@@ -1,0 +1,32 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table readers over the driver-generated parquet corpus
+  * (TESTDATA.md). One parquet file per table under `sfDir`.
+  *
+  * At 100 TB these would be multi-file partitioned datasets; the read
+  * path is identical (`spark.read.parquet(dir)`), and all downstream
+  * pipelines rely on Catalyst column pruning + filter pushdown into the
+  * parquet scan rather than eager materialization, so nothing here
+  * assumes single-file inputs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame = table(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+}

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Local replica of the driver's t2 step: run graft.Verify on $1 (sfDir)
+# writing to $2 (outDir), using the compiled classes directly (fast path;
+# run `sbt -batch compile` first).
+set -e
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/verify_out}
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  "${MAIN_CLASS:-graft.Verify}" "$SF" "$OUT"
