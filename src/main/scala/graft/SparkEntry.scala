@@ -3,30 +3,98 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.etl.Entities
 import graft.pipelines._
-import graft.sql.OracleSql
+import graft.curated.Aggregations
+import graft.sql.{AthenaQueries, OracleSql}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every entry pairs a Spark DataFrame query with DuckDB oracle SQL
+  * over the same fixture parquet (OracleSql); outputs are totally
+  * ordered and arithmetic-deterministic so the driver's hash compare
+  * is exact.
+  */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     salesTransactions(spark, "/root/testdata/sf0.001")
 
-  private def salesTransactions(s: SparkSession, dir: String): DataFrame =
+  // ---- pipeline-backed queries ----
+
+  private def sales(s: SparkSession, dir: String): DataFrame =
     SalesRevenue.run(
-      Entities.orders(s, dir),
-      Entities.orderItems(s, dir),
+      Entities.orders(s, dir), Entities.orderItems(s, dir),
       Entities.products(s, dir))
-      .orderBy("order_id", "line_number")
+
+  private def salesTransactions(s: SparkSession, dir: String): DataFrame =
+    sales(s, dir).orderBy("order_id", "line_number")
+
+  private def enriched(s: SparkSession, dir: String): DataFrame =
+    CustomerFeedback.enrich(
+      Entities.feedback(s, dir), Entities.customers(s, dir),
+      Entities.orders(s, dir), CustomerFeedback.ratingIcons(s))
+
+  private def recon(s: SparkSession, dir: String): DataFrame =
+    InventoryReconciliation.run(
+      Entities.inventoryOld(s, dir), Entities.inventoryNew(s, dir),
+      Entities.products(s, dir))
+
+  /** Registers the six curated tables as temp views and runs one of the
+    * Athena-layer SQL queries (views are lazy plans — only the ones the
+    * query references execute). */
+  private def athena(s: SparkSession, dir: String, name: String): DataFrame = {
+    Aggregations.revenueByCategory(sales(s, dir))
+      .createOrReplaceTempView("curated_revenue_by_category")
+    Aggregations.campaignPerformanceSummary(MarketingRoi.run(Entities.marketing(s, dir)))
+      .createOrReplaceTempView("curated_campaign_performance_summary")
+    Aggregations.deliveryPartnerPerformance(DeliveryPerformance.run(Entities.orders(s, dir)))
+      .createOrReplaceTempView("curated_delivery_partner_performance")
+    CustomerFeedback.areaMetrics(enriched(s, dir))
+      .createOrReplaceTempView("curated_area_feedback_metrics")
+    Aggregations.categoryInventoryImpact(recon(s, dir))
+      .createOrReplaceTempView("curated_category_inventory_impact")
+    Aggregations.productInventoryDiscrepancies(recon(s, dir))
+      .createOrReplaceTempView("curated_product_inventory_discrepancies")
+    s.sql(AthenaQueries.all(name))
+  }
+
+  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sales_transactions" -> ((s, d) => salesTransactions(s, d)),
+    "rating_icon_join" -> ((s, d) =>
+      CustomerFeedback.cleanFeedback(Entities.feedback(s, d))
+        .join(broadcast(CustomerFeedback.ratingIcons(s)), Seq("rating"), "left")
+        .select("feedback_id", "rating", "rating_icon")
+        .orderBy("feedback_id")),
+    "customer_feedback_enriched" -> ((s, d) => enriched(s, d).orderBy("feedback_id")),
+    "marketing_performance" -> ((s, d) => MarketingRoi.run(Entities.marketing(s, d))),
+    "inventory_reconciliation" -> ((s, d) => recon(s, d)),
+    "delivery_performance" -> ((s, d) => DeliveryPerformance.run(Entities.orders(s, d))),
+    "curated_revenue_by_category" -> ((s, d) =>
+      Aggregations.revenueByCategory(sales(s, d))),
+    "curated_campaign_performance_summary" -> ((s, d) =>
+      Aggregations.campaignPerformanceSummary(MarketingRoi.run(Entities.marketing(s, d)))),
+    "curated_delivery_partner_performance" -> ((s, d) =>
+      Aggregations.deliveryPartnerPerformance(DeliveryPerformance.run(Entities.orders(s, d)))),
+    "curated_area_feedback_metrics" -> ((s, d) =>
+      CustomerFeedback.areaMetrics(enriched(s, d))),
+    "curated_category_inventory_impact" -> ((s, d) =>
+      Aggregations.categoryInventoryImpact(recon(s, d))),
+    "curated_product_inventory_discrepancies" -> ((s, d) =>
+      Aggregations.productInventoryDiscrepancies(recon(s, d)))
+  )
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sales_transactions" -> ((s, dir) => salesTransactions(s, dir))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    pipelineQueries ++ AthenaQueries.all.keys.map(q =>
+      q -> ((s: SparkSession, d: String) => athena(s, d, q))).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "sales_transactions" -> OracleSql.salesTransactions
-  )
+    "sales_transactions" -> OracleSql.salesTransactions,
+    "rating_icon_join" -> OracleSql.ratingIconJoin,
+    "customer_feedback_enriched" -> OracleSql.customerFeedbackEnriched,
+    "marketing_performance" -> OracleSql.marketingPerformance,
+    "inventory_reconciliation" -> OracleSql.inventoryReconciliation,
+    "delivery_performance" -> OracleSql.deliveryPerformance
+  ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

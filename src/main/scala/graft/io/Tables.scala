@@ -26,7 +26,16 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame = table(spark, d, "events")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this reader
+    * converts the nano-long to a microsecond timestamp (integer `div`,
+    * no double round-trip — nanos exceed 2^53). */
+  def events(spark: SparkSession, d: String): DataFrame =
+    table(spark, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }
