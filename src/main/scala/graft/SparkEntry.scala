@@ -4,7 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.etl.Entities
 import graft.pipelines._
 import graft.curated.Aggregations
-import graft.sql.{AthenaQueries, OracleSql}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sql.{AthenaQueries, Extras, OracleSql}
+import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every entry pairs a Spark DataFrame query with DuckDB oracle SQL
@@ -82,9 +84,38 @@ object SparkEntry {
       Aggregations.productInventoryDiscrepancies(recon(s, d)))
   )
 
+  /** LLM-pipeline extension operators (dedup, similarity search,
+    * multimodal plumbing, text analysis, streaming-equivalent agg,
+    * window functions, set ops, provenance). */
+  private val llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
+    "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
+    "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "dedup_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashSignatures(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d)),
+    "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
+    "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
+    "campaign_rank_by_channel" -> ((s, d) => athena2(s, d, Extras.campaignRankSql)),
+    "inventory_union" -> ((s, d) => Extras.inventoryUnion(s, d)),
+    "file_provenance" -> ((s, d) => Extras.fileProvenance(s, d)))
+
+  private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
+    Aggregations.campaignPerformanceSummary(MarketingRoi.run(Entities.marketing(s, d)))
+      .createOrReplaceTempView("curated_campaign_performance_summary")
+    s.sql(sql)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    pipelineQueries ++ AthenaQueries.all.keys.map(q =>
+    pipelineQueries ++ llmQueries ++ AthenaQueries.all.keys.map(q =>
       q -> ((s: SparkSession, d: String) => athena(s, d, q))).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,6 +126,24 @@ object SparkEntry {
     "customer_feedback_enriched" -> OracleSql.customerFeedbackEnriched,
     "marketing_performance" -> OracleSql.marketingPerformance,
     "inventory_reconciliation" -> OracleSql.inventoryReconciliation,
-    "delivery_performance" -> OracleSql.deliveryPerformance
+    "delivery_performance" -> OracleSql.deliveryPerformance,
+    "text_stats" -> TextAnalysis.textStatsOracle,
+    "text_language_id" -> TextAnalysis.languageIdOracle,
+    "doc_fingerprints" -> TextAnalysis.fingerprintsOracle,
+    "dedup_exact" -> Dedup.exactDedupOracle,
+    "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,
+    "dedup_minhash_pairs" -> Dedup.minhashPairsOracle,
+    "dedup_simhash" -> Dedup.simhashSignaturesOracle,
+    "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsOracle,
+    "dedup_embedding" -> Dedup.embeddingNearDupOracle,
+    "ann_cosine_topk" -> Similarity.cosineTopKOracle,
+    "ann_lsh_buckets" -> Similarity.lshBucketsOracle,
+    "ann_lsh_topk" -> Similarity.lshTopKOracle,
+    "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
+    "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
+    "campaign_rank_by_channel" -> OracleSql.withCtes(Extras.campaignRankSql),
+    "inventory_union" -> Extras.inventoryUnionOracle,
+    "file_provenance" -> Extras.fileProvenanceOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

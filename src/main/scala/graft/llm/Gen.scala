@@ -1,0 +1,149 @@
+package graft.llm
+
+/** SQL-text generators shared by the Spark side (via `expr(...)`) and
+  * the DuckDB oracle, parameterized only where the dialects diverge
+  * (array indexing base, list vs array function names, bit operators).
+  * Generating both sides from one builder is what makes the LLM
+  * operators bit-reproducible across engines: identical operation
+  * shape → identical IEEE-754 results.
+  */
+object Gen {
+
+  sealed trait Dialect
+  case object SparkD extends Dialect
+  case object DuckD extends Dialect
+
+  /** Array element i (0-based logical index). */
+  def idx(arr: String, i: Int, d: Dialect): String = d match {
+    case SparkD => s"$arr[$i]"
+    case DuckD  => s"$arr[${i + 1}]"
+  }
+
+  def arrLen(arr: String, d: Dialect): String = d match {
+    case SparkD => s"size($arr)"
+    case DuckD  => s"len($arr)"
+  }
+
+  /** Whitespace tokenization of trimmed text. */
+  def words(text: String, d: Dialect): String = d match {
+    case SparkD => s"split(trim($text), '\\\\s+')"
+    case DuckD  => s"regexp_split_to_array(trim($text), '\\s+')"
+  }
+
+  /** Count of regex matches. */
+  def reCount(s: String, re: String, d: Dialect): String = d match {
+    case SparkD => s"size(regexp_extract_all($s, '$re', 0))"
+    case DuckD  => s"len(regexp_extract_all($s, '$re'))"
+  }
+
+  /** Distinct word 3-gram shingles of a `words` array expression. */
+  def shingles(w: String, d: Dialect): String = d match {
+    case SparkD =>
+      s"CASE WHEN size($w) >= 3 THEN array_distinct(transform(sequence(0, size($w) - 3), " +
+        s"i -> concat(element_at($w, i + 1), ' ', element_at($w, i + 2), ' ', element_at($w, i + 3)))) " +
+        s"ELSE array() END"
+    case DuckD =>
+      s"CASE WHEN len($w) >= 3 THEN list_distinct(list_transform(range(1, len($w) - 1), " +
+        s"i -> concat($w[i], ' ', $w[i + 1], ' ', $w[i + 2]))) " +
+        s"ELSE [] END"
+  }
+
+  /** MinHash signature j of a shingle array: min over shingles of
+    * md5(j || '|' || shingle). Lexicographic min over hex strings is a
+    * uniform permutation surrogate; deterministic in both engines. */
+  def minhashSig(sh: String, j: Int, d: Dialect): String = d match {
+    case SparkD => s"array_min(transform($sh, s -> md5(concat('$j|', s))))"
+    case DuckD  => s"list_min(list_transform($sh, s -> md5(concat('$j|', s))))"
+  }
+
+  /** |A ∩ B| for distinct-element arrays. */
+  def interSize(a: String, b: String, d: Dialect): String = d match {
+    case SparkD => s"size(filter($a, x -> array_contains($b, x)))"
+    case DuckD  => s"len(list_filter($a, x -> list_contains($b, x)))"
+  }
+
+  /** First 8 hex chars of md5(s) as a 32-bit value in a BIGINT —
+    * built from instr positional arithmetic so both engines parse hex
+    * identically (no dialect-specific hex casts). */
+  def hash32(s: String, d: Dialect): String = {
+    val h = s"md5($s)"
+    (0 until 8).map { i =>
+      val pow = java.lang.Long.toString(1L << (4 * (7 - i)))
+      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * CAST($pow AS BIGINT)"
+    }.mkString("(", " + ", ")")
+  }
+
+  def shiftRight(e: String, n: Int, d: Dialect): String = d match {
+    case SparkD => s"shiftright($e, $n)"
+    case DuckD  => s"($e >> $n)"
+  }
+
+  def bitXor(a: String, b: String, d: Dialect): String = d match {
+    case SparkD => s"($a ^ $b)"
+    case DuckD  => s"xor($a, $b)"
+  }
+
+  /** SimHash bit-balance aggregates: for each of 32 bits, the signed
+    * count sum(±1) over token-hash column `h` (call under GROUP BY). */
+  def simhashBitSums(h: String, d: Dialect): Seq[String] =
+    (0 until 32).map { i =>
+      s"CAST(sum(CASE WHEN (${shiftRight(h, i, d)} & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s_$i"
+    }
+
+  /** Assemble the 32-bit SimHash from the s_i balance columns. */
+  def simhashAssemble(d: Dialect): String =
+    (0 until 32).map { i =>
+      s"CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+
+  /** Unrolled 64-term dot product of two double-array expressions.
+    * Left-associated additions == a sequential fold, so both engines
+    * produce bit-identical doubles. */
+  def dot64(a: String, b: String, d: Dialect): String =
+    (0 until 64).map(i => s"${idx(a, i, d)} * ${idx(b, i, d)}").mkString(" + ")
+
+  /** Cosine similarity of two 64-dim double arrays. */
+  def cosine64(a: String, b: String, d: Dialect): String =
+    s"(${dot64(a, b, d)}) / (sqrt(${dot64(a, a, d)}) * sqrt(${dot64(b, b, d)}))"
+
+  /** Cast a float array to a double array (so all arithmetic is done in
+    * doubles on both engines). */
+  def toDoubleArr(e: String, d: Dialect): String = d match {
+    case SparkD => s"transform($e, x -> CAST(x AS DOUBLE))"
+    case DuckD  => s"CAST($e AS DOUBLE[])"
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane weight for LSH plane j,
+    * dimension i (integer arithmetic, engine-agnostic). */
+  def planeSign(j: Int, i: Int): String = {
+    val v = (((j + 1).toLong * 1103515245L + i.toLong * 12345L) % 97L) % 2L
+    if (v == 0) "1.0" else "-1.0"
+  }
+
+  /** Signed projection of a 64-dim double array onto pseudo-random
+    * hyperplane j. */
+  def lshProjection(a: String, j: Int, d: Dialect): String =
+    (0 until 64).map(i => s"${idx(a, i, d)} * ${planeSign(j, i)}").mkString(" + ")
+
+  /** LSH bucket id from `nPlanes` sign bits. */
+  def lshBucket(a: String, nPlanes: Int, d: Dialect): String =
+    (0 until nPlanes).map { j =>
+      s"CASE WHEN (${lshProjection(a, j, d)}) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Rolling polynomial fingerprint over a words array: fold
+    * acc = (acc * 31 + term(w)) % 1000000007, where term(w) mixes word
+    * length and first letter. DuckDB's list_reduce seeds with the first
+    * element, so the zero seed is prepended there. */
+  private def wordTerm(w: String): String =
+    s"CAST(length($w) * 17 + instr('abcdefghijklmnopqrstuvwxyz', substr($w, 1, 1)) AS BIGINT)"
+
+  def rollingFingerprint(wordsArr: String, d: Dialect): String = d match {
+    case SparkD =>
+      s"aggregate(transform($wordsArr, w -> ${wordTerm("w")}), CAST(0 AS BIGINT), " +
+        s"(acc, x) -> (acc * 31 + x) % 1000000007)"
+    case DuckD =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($wordsArr, w -> ${wordTerm("w")})), " +
+        s"(acc, x) -> (acc * 31 + x) % 1000000007)"
+  }
+}

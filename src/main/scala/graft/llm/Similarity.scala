@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Gen._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Baseline: brute-force cosine top-k — query set broadcast against the
+  * corpus, one codegen'd 64-term dot product per (query, candidate),
+  * then a per-query top-k window. At 100 TB the corpus side stays
+  * partitioned (never collected) and the query side is the broadcast
+  * relation, so the scan parallelism is the corpus partitioning.
+  *
+  * Scale path: random-hyperplane LSH — each vector hashes to a bucket
+  * from the sign pattern of `nPlanes` fixed pseudo-random hyperplanes
+  * (Gen.planeSign, Charikar 2002-style); candidate generation becomes a
+  * bucket equi-join instead of a cross product.
+  */
+object Similarity {
+
+  private val nPlanes = 4
+  private val topK = 10
+  private val nQueries = 5
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label", s"${toDoubleArr("embedding", SparkD)} AS v")
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv")
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id",
+        s"${cosine64("qv", "v", SparkD)} AS cosine")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val cosineTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, ${toDoubleArr("embedding", DuckD)} AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+        scored AS (SELECT q.query_id, e.vec_id,
+                     ${cosine64("q.qv", "e.v", DuckD)} AS cosine
+                   FROM e JOIN q ON e.vec_id <> q.query_id),
+        ranked AS (SELECT *, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, rank, cosine FROM ranked
+        WHERE rank <= $topK ORDER BY query_id, rank"""
+
+  /** LSH bucket assignment (the scale-path index structure). */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .selectExpr("vec_id", "label",
+        s"CAST(${lshBucket("v", nPlanes, SparkD)} AS INTEGER) AS bucket")
+      .orderBy("vec_id")
+
+  val lshBucketsOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, ${toDoubleArr("embedding", DuckD)} AS v FROM embeddings)
+        SELECT vec_id, label, CAST(${lshBucket("v", nPlanes, DuckD)} AS INTEGER) AS bucket
+        FROM e ORDER BY vec_id"""
+
+  /** LSH-bucketed top-k: candidates restricted to the query's bucket —
+    * the equi-join replaces the cross product. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = vecs(spark, dir)
+      .selectExpr("vec_id", "v",
+        s"CAST(${lshBucket("v", nPlanes, SparkD)} AS INTEGER) AS bucket")
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv", "bucket")
+    val scored = bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id", "bucket",
+        s"${cosine64("qv", "v", SparkD)} AS cosine")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "bucket", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val lshTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, ${toDoubleArr("embedding", DuckD)} AS v FROM embeddings),
+        bkt AS (SELECT vec_id, v, CAST(${lshBucket("v", nPlanes, DuckD)} AS INTEGER) AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bkt WHERE vec_id < $nQueries),
+        scored AS (SELECT q.query_id, b.vec_id, b.bucket,
+                     ${cosine64("q.qv", "b.v", DuckD)} AS cosine
+                   FROM bkt b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
+        ranked AS (SELECT *, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, bucket, rank, cosine FROM ranked
+        WHERE rank <= $topK ORDER BY query_id, rank"""
+}

@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Gen._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting (md5 canonical + rolling polynomial hash). Each
+  * operator is a per-row codegen'd projection — embarrassingly parallel
+  * at any scale — and each ships a DuckDB oracle generated from the
+  * same expression builders (Gen).
+  */
+object TextAnalysis {
+
+  /** Escape a regex for embedding in a SQL string literal: Spark SQL
+    * processes backslash escapes inside literals, DuckDB does not. */
+  private def re(pattern: String, d: Dialect): String = d match {
+    case SparkD => pattern.replace("\\", "\\\\")
+    case DuckD  => pattern
+  }
+
+  private val stopRe = "\\b(the|and|of|is|to|in|a|for|it|on)\\b"
+
+  // ---- text_stats ----
+
+  private def statsCols(d: Dialect): Seq[String] = {
+    val w = words("text", d)
+    Seq(
+      "doc_id",
+      s"CAST(${arrLen(w, d)} AS INTEGER) AS n_tokens",
+      "CAST(length(text) AS INTEGER) AS n_chars",
+      s"CAST(${reCount("text", re("[^A-Za-z0-9\\s]", d), d)} AS INTEGER) AS punct_count",
+      s"CAST(${reCount("lower(text)", re(stopRe, d), d)} AS INTEGER) AS stopword_count",
+      (d match {
+        case SparkD => s"CAST(length(regexp_replace(text, '\\\\s+', '')) AS INTEGER)"
+        case DuckD  => s"CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INTEGER)"
+      }) + " AS n_chars_no_ws")
+  }
+
+  private val statsDerived: Seq[String] = Seq(
+    "*",
+    "n_chars_no_ws / n_tokens AS avg_token_len",
+    "punct_count / n_chars AS punct_ratio",
+    "stopword_count / n_tokens AS stopword_ratio")
+
+  /** Note: the divisor is CAST to DOUBLE because Spark SQL parses the
+    * literal `100.0` as DECIMAL(4,1) — int/decimal would be decimal
+    * division there but double division in DuckDB (1-ulp divergence). */
+  private val qualityExpr: String =
+    "least(n_tokens, 100) / CAST(100 AS DOUBLE) * 0.4 + (1.0 - punct_ratio) * 0.3 " +
+      "+ least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality_score"
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr(statsCols(SparkD): _*)
+      .selectExpr(statsDerived: _*)
+      .selectExpr("*", qualityExpr)
+      .orderBy("doc_id")
+
+  val textStatsOracle: String =
+    s"""WITH base AS (SELECT ${statsCols(DuckD).mkString(", ")} FROM documents),
+        derived AS (SELECT ${statsDerived.mkString(", ")} FROM base)
+        SELECT *, $qualityExpr FROM derived ORDER BY doc_id"""
+
+  // ---- language ID (n-gram / stopword heuristic) ----
+
+  private def langScoreCols(d: Dialect): Seq[String] = {
+    val low = "lower(text)"
+    val cjk = d match {
+      case SparkD => "[\\\\u4e00-\\\\u9fff]"
+      case DuckD  => "[\\x{4e00}-\\x{9fff}]"
+    }
+    Seq(
+      "doc_id", "lang",
+      s"CAST(${reCount(low, re("\\b(the|and|of|is|to|in)\\b", d), d)} AS INTEGER) AS s_en",
+      s"CAST(${reCount(low, re("\\b(el|la|los|las|de|que|y)\\b", d), d)} AS INTEGER) AS s_es",
+      s"CAST(${reCount(low, re("\\b(le|les|et|des|du|une)\\b", d), d)} AS INTEGER) AS s_fr",
+      s"CAST(${reCount(low, re("\\b(der|die|und|das|ein|ist)\\b", d), d)} AS INTEGER) AS s_de",
+      s"CAST(${reCount("text", cjk, d)} AS INTEGER) AS s_zh")
+  }
+
+  /** Deterministic argmax cascade (fixed preference order on ties). */
+  private val langPredExpr: String =
+    """CASE WHEN s_zh >= 3 THEN 'zh'
+            WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_fr > s_en AND s_fr >= s_es THEN 'fr'
+            WHEN s_es > s_en THEN 'es'
+            ELSE 'en' END AS lang_pred"""
+
+  def languageId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr(langScoreCols(SparkD): _*)
+      .selectExpr("*", langPredExpr)
+      .selectExpr("*", "CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS is_match")
+      .orderBy("doc_id")
+
+  val languageIdOracle: String =
+    s"""WITH scores AS (SELECT ${langScoreCols(DuckD).mkString(", ")} FROM documents),
+        pred AS (SELECT *, $langPredExpr FROM scores)
+        SELECT *, CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS is_match
+        FROM pred ORDER BY doc_id"""
+
+  // ---- fingerprints ----
+
+  private def normExpr(d: Dialect): String = d match {
+    case SparkD => "lower(regexp_replace(text, '\\\\s+', ' '))"
+    case DuckD  => "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+  }
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr(
+        "doc_id",
+        s"md5(${normExpr(SparkD)}) AS fp_md5",
+        s"${rollingFingerprint(words("text", SparkD), SparkD)} AS fp_rolling")
+      .orderBy("doc_id")
+
+  val fingerprintsOracle: String =
+    s"""SELECT doc_id, md5(${normExpr(DuckD)}) AS fp_md5,
+        ${rollingFingerprint(words("text", DuckD), DuckD)} AS fp_rolling
+        FROM documents ORDER BY doc_id"""
+}

@@ -1,0 +1,60 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.Entities
+
+/** Polish operators beyond the reference surface (SURVEY §2.6 / §2.8 /
+  * S5): window-function ranking, set union, and source-file
+  * provenance.
+  */
+object Extras {
+
+  /** §2.8 — window functions over the campaign summary (the natural
+    * fit the reference imports but never uses): row_number / rank /
+    * dense_rank + running sum per channel. Dialect-common text, run
+    * via spark.sql over the curated view and verbatim in DuckDB. */
+  val campaignRankSql: String =
+    """SELECT campaign_id, campaign_name, channel, total_revenue,
+         row_number() OVER w AS revenue_rank,
+         rank() OVER w AS revenue_rank_with_ties,
+         dense_rank() OVER w AS revenue_dense_rank,
+         sum(total_revenue) OVER (PARTITION BY channel
+           ORDER BY total_revenue DESC, campaign_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_channel_revenue
+       FROM curated_campaign_performance_summary
+       WINDOW w AS (PARTITION BY channel ORDER BY total_revenue DESC, campaign_id)
+       ORDER BY channel, revenue_rank"""
+
+  /** §2.6 — union of the two inventory generations + per-product
+    * rollup (sums of ints: exact). */
+  def inventoryUnion(spark: SparkSession, dir: String): DataFrame =
+    Entities.inventoryOld(spark, dir)
+      .unionByName(Entities.inventoryNew(spark, dir))
+      .groupBy("product_id")
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("stock_received")).as("total_stock"),
+        sum(col("damaged_stock")).as("total_damaged"))
+      .orderBy("product_id")
+
+  val inventoryUnionOracle: String = OracleSql.withCtes(
+    """SELECT product_id, count(*) AS n_records,
+         CAST(sum(stock_received) AS BIGINT) AS total_stock,
+         CAST(sum(damaged_stock) AS BIGINT) AS total_damaged
+       FROM (SELECT * FROM inv_old_e UNION ALL SELECT * FROM inv_new_e)
+       GROUP BY product_id ORDER BY product_id""")
+
+  /** S5 — source-file provenance via the parquet `_metadata` column
+    * (the modern form of input_file_name(), reference 05:31-45). */
+  def fileProvenance(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.lineitem(spark, dir)
+      .select(col("_metadata.file_name").as("file_name"))
+      .groupBy("file_name")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("file_name")
+
+  /** The fixture is one file per table, so the oracle is the literal
+    * file name + total count. */
+  val fileProvenanceOracle: String =
+    "SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows FROM lineitem"
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-extension operator specs on sf0.001 fixtures + typed paths the
+  * oracle can't cover (multimodal mapPartitions). */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal typed mapPartitions feature extraction is deterministic") {
+    val media = Multimodal.media(spark, sfTiny).as[Multimodal.MediaRecord]
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(f1.length == 500)
+    assert(f1.forall(_.feature_dim == Multimodal.FakeCodec.featureDim))
+    assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
+    // payload length matches the document text byte length
+    val lens = graft.io.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), length(col("text")).as("n")).as[(Long, Int)]
+      .collect().toMap
+    assert(f1.forall(m => lens(m.doc_id) == m.n_bytes))
+  }
+
+  test("minhash signatures: 16 sigs + 4 bands, all hex, stable across runs") {
+    val s1 = Dedup.minhashSignatures(spark, sfTiny).collect()
+    val s2 = Dedup.minhashSignatures(spark, sfTiny).collect()
+    assert(s1.sameElements(s2))
+    val row = s1.head
+    (0 until 16).foreach(j =>
+      assert(row.getAs[String](s"sig_$j").matches("[0-9a-f]{32}")))
+  }
+
+  test("minhash pairs are candidates with true jaccard >= 0.5, a<b ordered") {
+    val pairs = Dedup.minhashPairs(spark, sfTiny)
+      .as[(Long, Long, Int, Int, Double)].collect()
+    assert(pairs.forall { case (a, b, i, u, j) =>
+      a < b && i <= u && j >= 0.5 && math.abs(j - i.toDouble / u) < 1e-12 })
+  }
+
+  test("simhash: 32-bit range and near-identical docs have small hamming") {
+    val sigs = Dedup.simhashSignatures(spark, sfTiny)
+      .select("simhash").as[Long].collect()
+    assert(sigs.forall(s => s >= 0 && s < (1L << 32)))
+    val pairs = Dedup.simhashPairs(spark, sfTiny)
+      .select("hamming").as[Int].collect()
+    assert(pairs.forall(h => h >= 0 && h <= 8))
+  }
+
+  test("lsh buckets in range; topk ranks dense from 1 per query") {
+    val b = Similarity.lshBuckets(spark, sfTiny).select("bucket").as[Int].collect()
+    assert(b.forall(x => x >= 0 && x < 16))
+    val tk = Similarity.lshTopK(spark, sfTiny)
+      .select("query_id", "rank").as[(Long, Int)].collect()
+    tk.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+  }
+
+  test("brute-force topk: cosine within [-1,1], rank ordered by cosine desc") {
+    val rows = Similarity.cosineTopK(spark, sfTiny)
+      .select("query_id", "rank", "cosine").as[(Long, Int, Double)].collect()
+    assert(rows.forall { case (_, _, c) => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("language-id scores are non-negative; quality score in [0,1]") {
+    val q = TextAnalysis.textStats(spark, sfTiny)
+      .select("quality_score").as[Double].collect()
+    assert(q.forall(x => x >= 0.0 && x <= 1.0))
+    val l = TextAnalysis.languageId(spark, sfTiny)
+      .select("s_en", "s_es", "s_fr", "s_de", "s_zh")
+      .as[(Int, Int, Int, Int, Int)].collect()
+    assert(l.forall(t => t._1 >= 0 && t._2 >= 0 && t._3 >= 0 && t._4 >= 0 && t._5 >= 0))
+  }
+
+  test("exact dedup partitions the corpus (group sizes sum to row count)") {
+    val g = Dedup.exactDedup(spark, sfTiny).select("n_docs").as[Long].collect()
+    assert(g.sum == 500)
+  }
+}

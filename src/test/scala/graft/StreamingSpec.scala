@@ -1,0 +1,26 @@
+package graft
+
+import graft.streaming.EventsStream
+
+/** Structured Streaming parity: the streaming hourly aggregation over
+  * the events fixture must converge to the batch-equivalent result
+  * (memory sink + processAllAvailable drives the file source to
+  * completion synchronously). */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed agg == batch windowed agg on sf0.001") {
+    val q = EventsStream.hourlyAggStream(spark, sfTiny)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hourly_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly_out")
+      .orderBy("window_start_s", "event_type").collect()
+    val batch = EventsStream.hourlyAggBatch(spark, sfTiny).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.sameElements(batch))
+  }
+}
