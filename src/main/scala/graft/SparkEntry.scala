@@ -27,8 +27,11 @@ object SparkEntry {
       Entities.orders(s, dir), Entities.orderItems(s, dir),
       Entities.products(s, dir))
 
+  /** (order_id, line_number) is not unique in the fixture: the full
+    * tuple makes the output ordering total. */
   private def salesTransactions(s: SparkSession, dir: String): DataFrame =
-    sales(s, dir).orderBy("order_id", "line_number")
+    sales(s, dir).orderBy("order_id", "line_number", "product_id",
+      "supplier_id", "quantity", "unit_price")
 
   private def enriched(s: SparkSession, dir: String): DataFrame =
     CustomerFeedback.enrich(

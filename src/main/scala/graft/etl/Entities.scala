@@ -36,11 +36,16 @@ object Entities {
         + (lit(1080L) + col("o_orderkey") % 1440) * 60).as("delivered_time"),
       ((col("o_orderkey") % 30) / 4.0 + 1.5).as("distance_km"))
 
-  /** order_items entity (reference: s3://raw/order-items — 01:40-43). */
+  /** order_items entity (reference: s3://raw/order-items — 01:40-43).
+    * supplier_id is carried because (order_id, line_number) alone is
+    * NOT unique in the fixture — deterministic output ordering needs
+    * the full tuple (..., product_id, supplier_id, quantity,
+    * unit_price). */
   def orderItems(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir).select(
       col("l_orderkey").as("order_id"),
       col("l_partkey").as("product_id"),
+      col("l_suppkey").as("supplier_id"),
       col("l_linenumber").as("line_number"),
       col("l_quantity").as("quantity"),
       (col("l_extendedprice") / col("l_quantity")).as("unit_price"))

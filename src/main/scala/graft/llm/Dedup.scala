@@ -90,12 +90,14 @@ object Dedup {
       .distinct()
     val sh = Tables.documents(spark, dir)
       .selectExpr("doc_id", s"${shinglesSql(SparkD)} AS sh")
+      .selectExpr("doc_id", "sh", s"CAST(${arrLen("sh", SparkD)} AS INTEGER) AS n")
     cands
-      .join(sh.selectExpr("doc_id AS doc_a", "sh AS sh_a"), Seq("doc_a"))
-      .join(sh.selectExpr("doc_id AS doc_b", "sh AS sh_b"), Seq("doc_b"))
-      .selectExpr("doc_a", "doc_b",
-        s"CAST(${interSize("sh_a", "sh_b", SparkD)} AS INTEGER) AS intersection_size",
-        s"CAST(${arrLen("sh_a", SparkD)} + ${arrLen("sh_b", SparkD)} - ${interSize("sh_a", "sh_b", SparkD)} AS INTEGER) AS union_size")
+      .join(sh.selectExpr("doc_id AS doc_a", "sh AS sh_a", "n AS na"), Seq("doc_a"))
+      .join(sh.selectExpr("doc_id AS doc_b", "sh AS sh_b", "n AS nb"), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b", "na", "nb",
+        s"CAST(${interSize("sh_a", "sh_b", SparkD)} AS INTEGER) AS intersection_size")
+      .selectExpr("doc_a", "doc_b", "intersection_size",
+        "na + nb - intersection_size AS union_size")
       .selectExpr("*", "intersection_size / union_size AS jaccard")
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
@@ -111,12 +113,14 @@ object Dedup {
                   FROM bands a JOIN bands b
                     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                    AND a.doc_id < b.doc_id),
-        sized AS (SELECT c.doc_a, c.doc_b,
-                    CAST(${interSize("sa.sh", "sb.sh", DuckD)} AS INTEGER) AS intersection_size,
-                    CAST(${arrLen("sa.sh", DuckD)} + ${arrLen("sb.sh", DuckD)} - ${interSize("sa.sh", "sb.sh", DuckD)} AS INTEGER) AS union_size
+        shn AS (SELECT doc_id, sh, CAST(${arrLen("sh", DuckD)} AS INTEGER) AS n FROM sh_t),
+        inter AS (SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb,
+                    CAST(${interSize("sa.sh", "sb.sh", DuckD)} AS INTEGER) AS intersection_size
                   FROM cands c
-                  JOIN sh_t sa ON c.doc_a = sa.doc_id
-                  JOIN sh_t sb ON c.doc_b = sb.doc_id)
+                  JOIN shn sa ON c.doc_a = sa.doc_id
+                  JOIN shn sb ON c.doc_b = sb.doc_id),
+        sized AS (SELECT doc_a, doc_b, intersection_size,
+                    na + nb - intersection_size AS union_size FROM inter)
         SELECT * FROM (SELECT *, intersection_size / union_size AS jaccard FROM sized)
         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
   }
@@ -127,7 +131,8 @@ object Dedup {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(expr(words("text", SparkD))).as("w"))
-      .selectExpr("doc_id", "lang", s"${hash32("w", SparkD)} AS h")
+      .selectExpr("doc_id", "lang", "md5(w) AS hw")
+      .selectExpr("doc_id", "lang", s"${hexPrefix32("hw")} AS h")
     val sums = simhashBitSums("h", SparkD).map(expr)
     toks.groupBy("doc_id", "lang")
       .agg(sums.head, sums.tail: _*)
@@ -141,7 +146,8 @@ object Dedup {
       case SparkD => sys.error("spark side built via DataFrame API")
     }
     s"""toks AS ($unnestW),
-        th AS (SELECT doc_id, lang, ${hash32("w", d)} AS h FROM toks),
+        tmd AS (SELECT doc_id, lang, md5(w) AS hw FROM toks),
+        th AS (SELECT doc_id, lang, ${hexPrefix32("hw")} AS h FROM tmd),
         bits AS (SELECT doc_id, lang, ${simhashBitSums("h", d).mkString(", ")}
                  FROM th GROUP BY doc_id, lang),
         sim_t AS (SELECT doc_id, lang, ${simhashAssemble(d)} AS simhash FROM bits)"""
@@ -178,14 +184,17 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .selectExpr("doc_id", "lang", "source", s"${shinglesSql(SparkD)} AS sh")
+      .selectExpr("doc_id", "lang", "source", "sh",
+        s"CAST(${arrLen("sh", SparkD)} AS INTEGER) AS n")
     sh.as("a")
       .join(sh.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
           && col("a.doc_id") < col("b.doc_id"))
       .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b", "a.lang AS lang",
-        "a.source AS source",
-        s"CAST(${interSize("a.sh", "b.sh", SparkD)} AS INTEGER) AS intersection_size",
-        s"CAST(${arrLen("a.sh", SparkD)} + ${arrLen("b.sh", SparkD)} - ${interSize("a.sh", "b.sh", SparkD)} AS INTEGER) AS union_size")
+        "a.source AS source", "a.n AS na", "b.n AS nb",
+        s"CAST(${interSize("a.sh", "b.sh", SparkD)} AS INTEGER) AS intersection_size")
+      .selectExpr("doc_a", "doc_b", "lang", "source", "intersection_size",
+        "na + nb - intersection_size AS union_size")
       .selectExpr("*", "intersection_size / union_size AS jaccard")
       .filter(col("jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
@@ -193,35 +202,40 @@ object Dedup {
 
   val ngramJaccardPairsOracle: String =
     s"""WITH sh_t AS (SELECT doc_id, lang, source, ${shinglesSql(DuckD)} AS sh FROM documents),
-        sized AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-                    a.source AS source,
-                    CAST(${interSize("a.sh", "b.sh", DuckD)} AS INTEGER) AS intersection_size,
-                    CAST(${arrLen("a.sh", DuckD)} + ${arrLen("b.sh", DuckD)} - ${interSize("a.sh", "b.sh", DuckD)} AS INTEGER) AS union_size
-                  FROM sh_t a JOIN sh_t b
-                    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        shn AS (SELECT *, CAST(${arrLen("sh", DuckD)} AS INTEGER) AS n FROM sh_t),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                    a.source AS source, a.n AS na, b.n AS nb,
+                    CAST(${interSize("a.sh", "b.sh", DuckD)} AS INTEGER) AS intersection_size
+                  FROM shn a JOIN shn b
+                    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+        sized AS (SELECT doc_a, doc_b, lang, source, intersection_size,
+                    na + nb - intersection_size AS union_size FROM inter)
         SELECT * FROM (SELECT *, intersection_size / union_size AS jaccard FROM sized)
         WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""
 
   // ---- embedding-cosine near-dup ----
 
-  /** Cosine near-dup pairs within label blocks, cosine >= 0.4. */
+  /** Cosine near-dup pairs within label blocks, cosine >= 0.4.
+    * Norms precomputed per vector: 1 dot + 1 multiply per pair. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "label", s"${toDoubleArr("embedding", SparkD)} AS v")
+      .selectExpr("vec_id", "label", "v", s"${norm64("v", SparkD)} AS nrm")
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b", "a.label AS label",
-        s"${cosine64("a.v", "b.v", SparkD)} AS cosine")
+        s"${cosineWithNorms("a.v", "b.v", "a.nrm", "b.nrm", SparkD)} AS cosine")
       .filter(col("cosine") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
 
   val embeddingNearDupOracle: String =
-    s"""WITH e AS (SELECT vec_id, label, ${toDoubleArr("embedding", DuckD)} AS v FROM embeddings)
+    s"""WITH e0 AS (SELECT vec_id, label, ${toDoubleArr("embedding", DuckD)} AS v FROM embeddings),
+        e AS (SELECT *, ${norm64("v", DuckD)} AS nrm FROM e0)
         SELECT * FROM (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-            ${cosine64("a.v", "b.v", DuckD)} AS cosine
+            ${cosineWithNorms("a.v", "b.v", "a.nrm", "b.nrm", DuckD)} AS cosine
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
 }

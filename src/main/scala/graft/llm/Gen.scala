@@ -56,22 +56,23 @@ object Gen {
     case DuckD  => s"list_min(list_transform($sh, s -> md5(concat('$j|', s))))"
   }
 
-  /** |A ∩ B| for distinct-element arrays. */
+  /** |A ∩ B| for distinct-element arrays. Both builtins are hash-based
+    * (linear in |A|+|B|) and return distinct elements, so the counts
+    * agree even though element order differs. */
   def interSize(a: String, b: String, d: Dialect): String = d match {
-    case SparkD => s"size(filter($a, x -> array_contains($b, x)))"
-    case DuckD  => s"len(list_filter($a, x -> list_contains($b, x)))"
+    case SparkD => s"size(array_intersect($a, $b))"
+    case DuckD  => s"len(list_intersect($a, $b))"
   }
 
-  /** First 8 hex chars of md5(s) as a 32-bit value in a BIGINT —
+  /** First 8 chars of an md5-hex column as a 32-bit value in a BIGINT —
     * built from instr positional arithmetic so both engines parse hex
-    * identically (no dialect-specific hex casts). */
-  def hash32(s: String, d: Dialect): String = {
-    val h = s"md5($s)"
+    * identically (no dialect-specific hex casts). Pass a *precomputed*
+    * md5 column so the digest is evaluated once, not per term. */
+  def hexPrefix32(hexCol: String): String =
     (0 until 8).map { i =>
       val pow = java.lang.Long.toString(1L << (4 * (7 - i)))
-      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * CAST($pow AS BIGINT)"
+      s"(instr('0123456789abcdef', substr($hexCol, ${i + 1}, 1)) - 1) * CAST($pow AS BIGINT)"
     }.mkString("(", " + ", ")")
-  }
 
   def shiftRight(e: String, n: Int, d: Dialect): String = d match {
     case SparkD => s"shiftright($e, $n)"
@@ -105,6 +106,17 @@ object Gen {
   /** Cosine similarity of two 64-dim double arrays. */
   def cosine64(a: String, b: String, d: Dialect): String =
     s"(${dot64(a, b, d)}) / (sqrt(${dot64(a, a, d)}) * sqrt(${dot64(b, b, d)}))"
+
+  /** L2 norm of a 64-dim double array (precompute once per vector —
+    * turns the 3-dot cosine into 1 dot + 1 multiply per pair). */
+  def norm64(a: String, d: Dialect): String =
+    s"sqrt(${dot64(a, a, d)})"
+
+  /** Cosine from a pair dot product and precomputed norms; identical
+    * arithmetic shape to [[cosine64]], so values are bit-equal. */
+  def cosineWithNorms(a: String, b: String, normA: String, normB: String,
+                      d: Dialect): String =
+    s"(${dot64(a, b, d)}) / ($normA * $normB)"
 
   /** Cast a float array to a double array (so all arithmetic is done in
     * doubles on both engines). */

@@ -9,10 +9,11 @@ import Gen._
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
   * Baseline: brute-force cosine top-k — query set broadcast against the
-  * corpus, one codegen'd 64-term dot product per (query, candidate),
-  * then a per-query top-k window. At 100 TB the corpus side stays
-  * partitioned (never collected) and the query side is the broadcast
-  * relation, so the scan parallelism is the corpus partitioning.
+  * corpus, one codegen'd 64-term dot product per (query, candidate)
+  * (norms precomputed per vector), then a per-query top-k window. At
+  * 100 TB the corpus side stays partitioned (never collected) and the
+  * query side is the broadcast relation, so scan parallelism is the
+  * corpus partitioning.
   *
   * Scale path: random-hyperplane LSH — each vector hashes to a bucket
   * from the sign pattern of `nPlanes` fixed pseudo-random hyperplanes
@@ -25,18 +26,24 @@ object Similarity {
   private val topK = 10
   private val nQueries = 5
 
+  /** Vectors as double arrays with precomputed L2 norms. */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "label", s"${toDoubleArr("embedding", SparkD)} AS v")
+      .selectExpr("vec_id", "label", "v", s"${norm64("v", SparkD)} AS nrm")
+
+  private def vecsCte(d: Dialect): String =
+    s"""e0 AS (SELECT vec_id, label, ${toDoubleArr("embedding", d)} AS v FROM embeddings),
+        e AS (SELECT vec_id, label, v, ${norm64("v", d)} AS nrm FROM e0)"""
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val q = all.filter(col("vec_id") < nQueries)
-      .selectExpr("vec_id AS query_id", "v AS qv")
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm")
     val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "vec_id",
-        s"${cosine64("qv", "v", SparkD)} AS cosine")
+        s"${cosineWithNorms("qv", "v", "qnrm", "nrm", SparkD)} AS cosine")
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
@@ -45,10 +52,10 @@ object Similarity {
   }
 
   val cosineTopKOracle: String =
-    s"""WITH e AS (SELECT vec_id, label, ${toDoubleArr("embedding", DuckD)} AS v FROM embeddings),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+    s"""WITH ${vecsCte(DuckD)},
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id < $nQueries),
         scored AS (SELECT q.query_id, e.vec_id,
-                     ${cosine64("q.qv", "e.v", DuckD)} AS cosine
+                     ${cosineWithNorms("q.qv", "e.v", "q.qnrm", "e.nrm", DuckD)} AS cosine
                    FROM e JOIN q ON e.vec_id <> q.query_id),
         ranked AS (SELECT *, row_number() OVER
                      (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
@@ -58,28 +65,29 @@ object Similarity {
 
   /** LSH bucket assignment (the scale-path index structure). */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
-    vecs(spark, dir)
+    Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label", s"${toDoubleArr("embedding", SparkD)} AS v")
       .selectExpr("vec_id", "label",
         s"CAST(${lshBucket("v", nPlanes, SparkD)} AS INTEGER) AS bucket")
       .orderBy("vec_id")
 
   val lshBucketsOracle: String =
-    s"""WITH e AS (SELECT vec_id, label, ${toDoubleArr("embedding", DuckD)} AS v FROM embeddings)
+    s"""WITH e0 AS (SELECT vec_id, label, ${toDoubleArr("embedding", DuckD)} AS v FROM embeddings)
         SELECT vec_id, label, CAST(${lshBucket("v", nPlanes, DuckD)} AS INTEGER) AS bucket
-        FROM e ORDER BY vec_id"""
+        FROM e0 ORDER BY vec_id"""
 
   /** LSH-bucketed top-k: candidates restricted to the query's bucket —
     * the equi-join replaces the cross product. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val bucketed = vecs(spark, dir)
-      .selectExpr("vec_id", "v",
+      .selectExpr("vec_id", "v", "nrm",
         s"CAST(${lshBucket("v", nPlanes, SparkD)} AS INTEGER) AS bucket")
     val q = bucketed.filter(col("vec_id") < nQueries)
-      .selectExpr("vec_id AS query_id", "v AS qv", "bucket")
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm", "bucket")
     val scored = bucketed.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "vec_id", "bucket",
-        s"${cosine64("qv", "v", SparkD)} AS cosine")
+        s"${cosineWithNorms("qv", "v", "qnrm", "nrm", SparkD)} AS cosine")
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
@@ -88,11 +96,11 @@ object Similarity {
   }
 
   val lshTopKOracle: String =
-    s"""WITH e AS (SELECT vec_id, ${toDoubleArr("embedding", DuckD)} AS v FROM embeddings),
-        bkt AS (SELECT vec_id, v, CAST(${lshBucket("v", nPlanes, DuckD)} AS INTEGER) AS bucket FROM e),
-        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bkt WHERE vec_id < $nQueries),
+    s"""WITH ${vecsCte(DuckD)},
+        bkt AS (SELECT vec_id, v, nrm, CAST(${lshBucket("v", nPlanes, DuckD)} AS INTEGER) AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM bkt WHERE vec_id < $nQueries),
         scored AS (SELECT q.query_id, b.vec_id, b.bucket,
-                     ${cosine64("q.qv", "b.v", DuckD)} AS cosine
+                     ${cosineWithNorms("q.qv", "b.v", "q.qnrm", "b.nrm", DuckD)} AS cosine
                    FROM bkt b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
         ranked AS (SELECT *, row_number() OVER
                      (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank

@@ -20,10 +20,13 @@ import graft.ops.{Cleaning, Metrics}
   */
 object InventoryReconciliation {
 
+  /** Tiebreak spans every non-key column: (src_order, src_line) alone
+    * can collide inside a (product_id, date) group in the fixture. */
   private def cleanGen(inv: DataFrame, prefix: String): DataFrame =
     Cleaning.dedupByKeyDeterministic(
         Cleaning.requireNonNull(inv, "product_id", "date"),
-        Seq("product_id", "date"), Seq("src_order", "src_line"))
+        Seq("product_id", "date"),
+        Seq("src_order", "src_line", "stock_received", "damaged_stock"))
       .withColumnRenamed("stock_received", s"${prefix}_stock_received")
       .withColumnRenamed("damaged_stock", s"${prefix}_damaged_stock")
       .drop("src_order", "src_line")

@@ -45,7 +45,7 @@ object SalesRevenue {
       .withColumn("year", year(col("order_date")))
       .withColumn("month", month(col("order_date")))
       .withColumn("day", dayofmonth(col("order_date")))
-      .select("order_id", "line_number", "product_id", "category",
-        "customer_id", "quantity", "unit_price", "line_total", "profit",
-        "year", "month", "day")
+      .select("order_id", "line_number", "product_id", "supplier_id",
+        "category", "customer_id", "quantity", "unit_price", "line_total",
+        "profit", "year", "month", "day")
 }

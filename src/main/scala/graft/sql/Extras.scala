@@ -47,7 +47,7 @@ object Extras {
   /** S5 — source-file provenance via the parquet `_metadata` column
     * (the modern form of input_file_name(), reference 05:31-45). */
   def fileProvenance(spark: SparkSession, dir: String): DataFrame =
-    graft.io.Tables.lineitem(spark, dir)
+    graft.io.Tables.table(spark, dir, "lineitem") // raw scan: _metadata needs the file relation
       .select(col("_metadata.file_name").as("file_name"))
       .groupBy("file_name")
       .agg(count(lit(1)).as("n_rows"))

@@ -37,6 +37,7 @@ object OracleSql {
 
     "item_e" ->
       """SELECT l_orderkey AS order_id, l_partkey AS product_id,
+         l_suppkey AS supplier_id,
          l_linenumber AS line_number, l_quantity AS quantity,
          l_extendedprice / l_quantity AS unit_price
          FROM lineitem""",
@@ -96,8 +97,8 @@ object OracleSql {
 
     // ---- pipeline 01: sales (mirrors pipelines.SalesRevenue) ----
     "sales_tx" ->
-      """SELECT i.order_id, i.line_number, i.product_id, p.category,
-           o.customer_id, i.quantity, i.unit_price,
+      """SELECT i.order_id, i.line_number, i.product_id, i.supplier_id,
+           p.category, o.customer_id, i.quantity, i.unit_price,
            i.quantity * i.unit_price AS line_total,
            i.quantity * i.unit_price * p.margin_percentage / 100.0 AS profit,
            CAST(year(o.order_date) AS INTEGER) AS year,
@@ -172,7 +173,7 @@ object OracleSql {
          FROM (SELECT * FROM inv_old_e
                WHERE product_id IS NOT NULL AND date IS NOT NULL)
          QUALIFY row_number() OVER (PARTITION BY product_id, date
-                                    ORDER BY src_order, src_line) = 1""",
+                                    ORDER BY src_order, src_line, stock_received, damaged_stock) = 1""",
 
     "inv_new_d" ->
       """SELECT product_id, date, stock_received AS new_stock_received,
@@ -180,7 +181,7 @@ object OracleSql {
          FROM (SELECT * FROM inv_new_e
                WHERE product_id IS NOT NULL AND date IS NOT NULL)
          QUALIFY row_number() OVER (PARTITION BY product_id, date
-                                    ORDER BY src_order, src_line) = 1""",
+                                    ORDER BY src_order, src_line, stock_received, damaged_stock) = 1""",
 
     "inv_var" ->
       """SELECT *,
@@ -297,7 +298,8 @@ object OracleSql {
   // ---- final per-query oracle statements ----
 
   val salesTransactions: String =
-    withCtes("SELECT * FROM sales_tx ORDER BY order_id, line_number")
+    withCtes("SELECT * FROM sales_tx ORDER BY order_id, line_number, " +
+      "product_id, supplier_id, quantity, unit_price")
 
   val ratingIconJoin: String = withCtes(
     """SELECT f.feedback_id, f.rating, i.rating_icon

@@ -17,9 +17,9 @@ class PipelineSpec extends SparkSpec {
       .toDF("order_id", "customer_id", "order_date")
       .withColumn("order_date", to_timestamp(col("order_date")))
     val items = Seq(
-      ("o1", "p1", 1, 2.0, 4.0), ("o1", "p2", 2, 0.0, 3.0), // qty 0 → dropped
-      ("o1", null, 3, 2.0, 1.0), ("o2", "p1", 4, 5.0, 2.0)) // null pid dropped; o2 dropped via join
-      .toDF("order_id", "product_id", "line_number", "quantity", "unit_price")
+      ("o1", "p1", "s1", 1, 2.0, 4.0), ("o1", "p2", "s1", 2, 0.0, 3.0), // qty 0 → dropped
+      ("o1", null, "s1", 3, 2.0, 1.0), ("o2", "p1", "s2", 4, 5.0, 2.0)) // null pid dropped; o2 dropped via join
+      .toDF("order_id", "product_id", "supplier_id", "line_number", "quantity", "unit_price")
     val products = Seq(("p1", "Widget", "CAT", 9.99, 20.0), ("p2", "Gadget", "CAT", 5.0, 10.0))
       .toDF("product_id", "product_name", "category", "price", "margin_percentage")
 
