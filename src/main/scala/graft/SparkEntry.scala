@@ -6,7 +6,7 @@ import graft.pipelines._
 import graft.curated.Aggregations
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sql.{AthenaQueries, Extras, OracleSql}
-import graft.streaming.EventsStream
+import graft.streaming.{EventsStream, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every entry pairs a Spark DataFrame query with DuckDB oracle SQL
@@ -106,6 +106,7 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
+    "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
     "campaign_rank_by_channel" -> ((s, d) => athena2(s, d, Extras.campaignRankSql)),
     "inventory_union" -> ((s, d) => Extras.inventoryUnion(s, d)),
     "file_provenance" -> ((s, d) => Extras.fileProvenance(s, d)))
@@ -145,6 +146,7 @@ object SparkEntry {
     "ann_lsh_topk" -> Similarity.lshTopKOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
+    "events_sessionized" -> Sessionize.sessionsBatchOracle,
     "campaign_rank_by_channel" -> OracleSql.withCtes(Extras.campaignRankSql),
     "inventory_union" -> Extras.inventoryUnionOracle,
     "file_provenance" -> Extras.fileProvenanceOracle
