@@ -218,6 +218,7 @@ object Dedup {
   /** Cosine near-dup pairs within label blocks, cosine >= 0.4.
     * Norms precomputed per vector: 1 dot + 1 multiply per pair. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(spark)
     val e = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "label", s"${toDoubleArr("embedding", SparkD)} AS v")
       .selectExpr("vec_id", "label", "v", s"${norm64("v", SparkD)} AS nrm")

@@ -97,11 +97,14 @@ object Gen {
       s"CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("(", " + ", ")")
 
-  /** Unrolled 64-term dot product of two double-array expressions.
-    * Left-associated additions == a sequential fold, so both engines
-    * produce bit-identical doubles. */
-  def dot64(a: String, b: String, d: Dialect): String =
-    (0 until 64).map(i => s"${idx(a, i, d)} * ${idx(b, i, d)}").mkString(" + ")
+  /** Dot product of two double-array expressions. Spark side uses the
+    * native codegen ArrayDotProduct (graft.functions — register via
+    * Native.register); DuckDB side unrolls 64 left-associated terms.
+    * Both are the same sequential fold → bit-identical doubles. */
+  def dot64(a: String, b: String, d: Dialect): String = d match {
+    case SparkD => s"graft_dot($a, $b)"
+    case DuckD  => (0 until 64).map(i => s"${idx(a, i, d)} * ${idx(b, i, d)}").mkString(" + ")
+  }
 
   /** Cosine similarity of two 64-dim double arrays. */
   def cosine64(a: String, b: String, d: Dialect): String =

@@ -27,10 +27,12 @@ object Similarity {
   private val nQueries = 5
 
   /** Vectors as double arrays with precomputed L2 norms. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(spark)
     Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "label", s"${toDoubleArr("embedding", SparkD)} AS v")
       .selectExpr("vec_id", "label", "v", s"${norm64("v", SparkD)} AS nrm")
+  }
 
   private def vecsCte(d: Dialect): String =
     s"""e0 AS (SELECT vec_id, label, ${toDoubleArr("embedding", d)} AS v FROM embeddings),
