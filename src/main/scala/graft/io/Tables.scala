@@ -33,9 +33,11 @@ object Tables {
 
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
-  def customer(spark: SparkSession, d: String): DataFrame = spread(table(spark, d, "customer"))
+  // dimension-sized tables skip the spread: their downstream ops either
+  // broadcast or shuffle anyway, and the extra exchange is pure cost
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
   def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
-  def part(spark: SparkSession, d: String): DataFrame = spread(table(spark, d, "part"))
+  def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = spread(table(spark, d, "orders"))
   def lineitem(spark: SparkSession, d: String): DataFrame = spread(table(spark, d, "lineitem"))
 
