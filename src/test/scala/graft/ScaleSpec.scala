@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Scale
+
+/** Skew-salting equivalence and bucketed-join exchange elimination. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg == direct groupBy aggregation") {
+    val li = graft.io.Tables.lineitem(spark, sfTiny)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    val salted = Scale.saltedAgg(li, Seq("l_returnflag"), "l_quantity")
+      .as[(String, Double, Long)].collect().toSet
+    // integral quantities: sums exact regardless of combine order
+    assert(salted == direct)
+  }
+
+  test("saltedJoin == plain join on a skewed key") {
+    // skew: every row keyed to one of two values, 90% on one
+    val large = (1 to 2000)
+      .map(i => (if (i % 10 == 0) "cold" else "hot", i))
+      .toDF("k", "v")
+    val small = Seq(("hot", 1.5), ("cold", 2.5)).toDF("k", "w")
+    val plain = large.join(small, Seq("k")).select("k", "v", "w")
+      .as[(String, Int, Double)].collect().toSet
+    val salted = Scale.saltedJoin(large, small, "k").select("k", "v", "w")
+      .as[(String, Int, Double)].collect().toSet
+    assert(salted == plain)
+    assert(plain.size == 2000)
+  }
+
+  test("bucketed tables join without an exchange on the bucketed sides") {
+    val li = graft.io.Tables.table(spark, sfTiny, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = graft.io.Tables.table(spark, sfTiny, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Scale.bucketedTable(li, "li_bkt", 4, "l_orderkey")
+    Scale.bucketedTable(ord, "ord_bkt", 4, "o_orderkey")
+    // force the sort-merge path (broadcast would bypass bucketing)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bkt")
+        .join(spark.table("ord_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() == li.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
