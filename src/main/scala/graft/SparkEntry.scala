@@ -75,6 +75,10 @@ object SparkEntry {
     "delivery_performance" -> ((s, d) => DeliveryPerformance.run(Entities.orders(s, d))),
     "curated_revenue_by_category" -> ((s, d) =>
       Aggregations.revenueByCategory(sales(s, d))),
+    // 100 TB variant: HLL-sketched distinct counts. Approximate by
+    // construction, so no DuckDB oracle — driver records rows-only.
+    "curated_revenue_by_category_approx" -> ((s, d) =>
+      Aggregations.revenueByCategoryApprox(sales(s, d))),
     "curated_campaign_performance_summary" -> ((s, d) =>
       Aggregations.campaignPerformanceSummary(MarketingRoi.run(Entities.marketing(s, d)))),
     "curated_delivery_partner_performance" -> ((s, d) =>
