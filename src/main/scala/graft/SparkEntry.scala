@@ -108,6 +108,8 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_ivf_cells" -> ((s, d) => Similarity.ivfCells(s, d)),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
@@ -148,6 +150,8 @@ object SparkEntry {
     "ann_cosine_topk" -> Similarity.cosineTopKOracle,
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle,
     "ann_lsh_topk" -> Similarity.lshTopKOracle,
+    "ann_ivf_cells" -> Similarity.ivfCellsOracle,
+    "ann_ivf_topk" -> Similarity.ivfTopKOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
     "events_sessionized" -> Sessionize.sessionsBatchOracle,

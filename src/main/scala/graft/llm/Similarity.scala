@@ -97,6 +97,78 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ---- IVF (inverted-file) variant ----
+
+  private val centroidMod = 100
+
+  /** IVF coarse quantizer: a deterministic sample of the corpus
+    * (vec_id % 100 == 0) serves as centroids; every vector is assigned
+    * to its highest-cosine centroid. At 100 TB the centroid set is the
+    * broadcast side and assignment is one scan; search then probes only
+    * the query's cell (an equi-join on cell id), the standard IVF
+    * trade: recall vs the number of probed cells. */
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = all.filter(col("vec_id") % centroidMod === 0)
+      .selectExpr("vec_id AS centroid_id", "v AS cv", "nrm AS cnrm")
+    val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))
+    all.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "label", "v", "nrm", "centroid_id",
+        s"${cosineWithNorms("v", "cv", "nrm", "cnrm", SparkD)} AS ccos")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .selectExpr("vec_id", "label", "v", "nrm", "centroid_id AS cell", "ccos")
+  }
+
+  private def ivfCte(d: Dialect): String =
+    s"""${vecsCte(d)},
+        cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+                  FROM e WHERE vec_id % $centroidMod = 0),
+        assigned AS (SELECT e.vec_id, e.label, e.v, e.nrm, c.centroid_id AS cell,
+                       ${cosineWithNorms("e.v", "c.cv", "e.nrm", "c.cnrm", d)} AS ccos
+                     FROM e CROSS JOIN cents c
+                     QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ccos DESC, c.centroid_id) = 1)"""
+
+  /** Cell assignment (the IVF index structure). */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame =
+    ivfAssigned(spark, dir)
+      .select("vec_id", "label", "cell", "ccos")
+      .orderBy("vec_id")
+
+  val ivfCellsOracle: String =
+    s"""WITH ${ivfCte(DuckD)}
+        SELECT vec_id, label, cell, ccos FROM assigned ORDER BY vec_id"""
+
+  /** IVF top-k: probe only the query's cell. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(spark, dir)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm", "cell")
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id", "cell",
+        s"${cosineWithNorms("qv", "v", "qnrm", "nrm", SparkD)} AS cosine")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "cell", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfTopKOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell
+              FROM assigned WHERE vec_id < $nQueries),
+        scored AS (SELECT q.query_id, a.vec_id, a.cell,
+                     ${cosineWithNorms("q.qv", "a.v", "q.qnrm", "a.nrm", DuckD)} AS cosine
+                   FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id),
+        ranked AS (SELECT *, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, cell, rank, cosine FROM ranked
+        WHERE rank <= $topK ORDER BY query_id, rank"""
+
   val lshTopKOracle: String =
     s"""WITH ${vecsCte(DuckD)},
         bkt AS (SELECT vec_id, v, nrm, CAST(${lshBucket("v", nPlanes, DuckD)} AS INTEGER) AS bucket FROM e),

@@ -65,6 +65,25 @@ object AthenaQueries {
          FROM curated_area_feedback_metrics
        ) t ORDER BY satisfaction_rate DESC, area"""
 
+  /** customer_satisfaction.sql in faithful-compat form (SURVEY §0.1.3):
+    * reproduces the reference's double-scaling bug verbatim —
+    * `satisfaction_rate * 100` although the curated column is already a
+    * percentage — and its `positive_count::float` cast (normalized to
+    * CAST, the one syntax change Athena itself would also need). Kept
+    * alongside the corrected [[customerSatisfaction]] so reference
+    * users can reproduce historical numbers bit-for-bit. */
+  val customerSatisfactionCompat: String =
+    """SELECT * FROM (
+         SELECT area, total_feedback,
+           round(avg_rating * 100) / 100 AS avg_rating,
+           positive_count, negative_count,
+           round(satisfaction_rate * 100 * 100) / 100 AS satisfaction_rate,
+           round(CAST(positive_count AS DOUBLE) / total_feedback * 100 * 100) / 100
+             AS positive_ratio_pct,
+           round(avg_sentiment_score * 100) / 100 AS avg_sentiment_score
+         FROM curated_area_feedback_metrics
+       ) t ORDER BY satisfaction_rate DESC, area"""
+
   /** delivery_partner.sql — partner scorecard + CASE risk tier. */
   val deliveryPartner: String =
     """SELECT * FROM (
@@ -112,6 +131,7 @@ object AthenaQueries {
     "q_campaign_roi" -> campaignRoi,
     "q_customer_metrics" -> customerMetrics,
     "q_customer_satisfaction" -> customerSatisfaction,
+    "q_customer_satisfaction_compat" -> customerSatisfactionCompat,
     "q_delivery_partner" -> deliveryPartner,
     "q_inventory_and_revenue" -> inventoryAndRevenue,
     "q_inventory_discrepancies" -> inventoryDiscrepancies)
