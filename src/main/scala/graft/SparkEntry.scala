@@ -115,6 +115,8 @@ object SparkEntry {
     "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
     "campaign_rank_by_channel" -> ((s, d) => athena2(s, d, Extras.campaignRankSql)),
     "inventory_union" -> ((s, d) => Extras.inventoryUnion(s, d)),
+    "sales_rollup" -> ((s, d) => Extras.salesRollup(s, d)),
+    "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
     "file_provenance" -> ((s, d) => Extras.fileProvenance(s, d)))
 
   private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
@@ -157,6 +159,8 @@ object SparkEntry {
     "events_sessionized" -> Sessionize.sessionsBatchOracle,
     "campaign_rank_by_channel" -> OracleSql.withCtes(Extras.campaignRankSql),
     "inventory_union" -> Extras.inventoryUnionOracle,
+    "sales_rollup" -> Extras.salesRollupOracle,
+    "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,
     "file_provenance" -> Extras.fileProvenanceOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

@@ -44,6 +44,53 @@ object Extras {
        FROM (SELECT * FROM inv_old_e UNION ALL SELECT * FROM inv_new_e)
        GROUP BY product_id ORDER BY product_id""")
 
+  /** Multi-level rollup of sales revenue over (category, year) —
+    * grouping-sets breadth beyond the reference surface. NULLS FIRST is
+    * pinned explicitly: Spark defaults ascending nulls first, DuckDB
+    * nulls last. Cent-quantized sums keep the totals exact. */
+  /** One dialect-common text; the Spark side registers the pipeline as
+    * a view named like the oracle CTE (the DataFrame `.rollup` API
+    * resolves the duplicated grouping attributes ambiguously when
+    * sorted, so the SQL form is both cleaner and shared). */
+  private val salesRollupSql: String =
+    """SELECT category, year,
+         CAST(sum(CAST(round(line_total * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_revenue,
+         count(*) AS n_lines
+       FROM sales_tx GROUP BY ROLLUP (category, year)
+       ORDER BY category ASC NULLS FIRST, year ASC NULLS FIRST"""
+
+  def salesRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.pipelines.SalesRevenue.run(
+        Entities.orders(spark, dir), Entities.orderItems(spark, dir),
+        Entities.products(spark, dir))
+      .createOrReplaceTempView("sales_tx")
+    spark.sql(salesRollupSql)
+  }
+
+  val salesRollupOracle: String = OracleSql.withCtes(salesRollupSql)
+
+  /** Pivot of sales revenue by delivery status — wide conditional
+    * aggregation (Spark `.pivot()`, mirrored as conditional sums). */
+  def salesPivotByStatus(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.SalesRevenue.run(
+        Entities.orders(spark, dir), Entities.orderItems(spark, dir),
+        Entities.products(spark, dir))
+      .join(Entities.orders(spark, dir).select("order_id", "delivery_status"),
+        Seq("order_id"))
+      .groupBy("category")
+      .pivot("delivery_status", Seq("F", "O", "P"))
+      .agg((sum(round(col("line_total") * 100).cast("long")) / 100.0))
+      .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+      .orderBy("category")
+
+  val salesPivotByStatusOracle: String = OracleSql.withCtes(
+    """SELECT s.category,
+         CAST(sum(CASE WHEN o.delivery_status = 'F' THEN CAST(round(s.line_total * 100) AS BIGINT) ELSE NULL END) AS BIGINT) / 100.0 AS rev_f,
+         CAST(sum(CASE WHEN o.delivery_status = 'O' THEN CAST(round(s.line_total * 100) AS BIGINT) ELSE NULL END) AS BIGINT) / 100.0 AS rev_o,
+         CAST(sum(CASE WHEN o.delivery_status = 'P' THEN CAST(round(s.line_total * 100) AS BIGINT) ELSE NULL END) AS BIGINT) / 100.0 AS rev_p
+       FROM sales_tx s JOIN ord_e o ON s.order_id = o.order_id
+       GROUP BY s.category ORDER BY s.category""")
+
   /** S5 — source-file provenance via the parquet `_metadata` column
     * (the modern form of input_file_name(), reference 05:31-45). */
   def fileProvenance(spark: SparkSession, dir: String): DataFrame =
