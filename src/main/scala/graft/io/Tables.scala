@@ -45,9 +45,11 @@ object Tables {
     * reader rejects; sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` and this reader
     * converts the nano-long to a microsecond timestamp (integer `div`,
-    * no double round-trip — nanos exceed 2^53). */
+    * no double round-trip — nanos exceed 2^53). No spread: the events
+    * pipelines shuffle at their first dedup/join/agg anyway (measured
+    * net loss with it). */
   def events(spark: SparkSession, d: String): DataFrame =
-    spread(table(spark, d, "events"))
+    table(spark, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
 
