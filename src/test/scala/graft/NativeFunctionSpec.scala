@@ -20,6 +20,29 @@ class NativeFunctionSpec extends SparkSpec {
     assert(rows.forall { case (n, u) => n == u })
   }
 
+  test("GraftExtensions installs graft_dot at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // shared context stays up
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // fresh sessionState on the same context — graft_dot must come
+      // from the extensions, not from any earlier Native.register call
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val got = s2.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head().getDouble(0)
+      assert(got == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("graft_dot handles arbitrary dims and nulls") {
     Native.register(spark)
     val df = Seq(
