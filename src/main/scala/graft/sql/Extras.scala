@@ -51,10 +51,13 @@ object Extras {
   /** One dialect-common text; the Spark side registers the pipeline as
     * a view named like the oracle CTE (the DataFrame `.rollup` API
     * resolves the duplicated grouping attributes ambiguously when
-    * sorted, so the SQL form is both cleaner and shared). */
+    * sorted, so the SQL form is both cleaner and shared).
+    * The divisor is CAST(100 AS DOUBLE), not the literal 100.0: Spark
+    * SQL parses a bare decimal literal as DECIMAL(4,1) (→ decimal(27,6)
+    * output) while DuckDB's `/` is always float division. */
   private val salesRollupSql: String =
     """SELECT category, year,
-         CAST(sum(CAST(round(line_total * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_revenue,
+         CAST(sum(CAST(round(line_total * 100) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS total_revenue,
          count(*) AS n_lines
        FROM sales_tx GROUP BY ROLLUP (category, year)
        ORDER BY category ASC NULLS FIRST, year ASC NULLS FIRST"""
