@@ -1,0 +1,42 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped reuse of shared pipeline prefixes.
+  *
+  * A bench/report workload runs many queries over the same handful of
+  * processed-zone relations (sales transactions, inventory
+  * reconciliation, enriched feedback, embedding norms, document
+  * shingles); rebuilding those per query replans and recomputes the
+  * same scans and shuffles. When `spark.graft.cachePrefixes=true`, the
+  * first builder call persists the prefix (MEMORY_AND_DISK) and later
+  * calls reuse it — the cluster-side analogue of writing the processed
+  * zone once and reading it from storage, which is exactly what the
+  * reference's staged S3 zones do between jobs.
+  *
+  * Off by default: correctness runs (Verify) and tests measure the
+  * cold path, and unit tests spin up many short-lived sessions.
+  */
+object PlanCache {
+  private val cache = TrieMap[(Int, String, String), DataFrame]()
+
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.cachePrefixes").exists(_.toBoolean)
+
+  /** Build-or-reuse the prefix `key` over fixture dir `dir`. */
+  def apply(spark: SparkSession, key: String, dir: String)(
+      build: => DataFrame): DataFrame =
+    if (!enabled(spark)) build
+    else cache.getOrElseUpdate(
+      (System.identityHashCode(spark), key, dir),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop every cached prefix (between scale factors / at shutdown). */
+  def clear(): Unit = {
+    cache.values.foreach(_.unpersist(blocking = false))
+    cache.clear()
+  }
+}

@@ -23,9 +23,11 @@ object SparkEntry {
   // ---- pipeline-backed queries ----
 
   private def sales(s: SparkSession, dir: String): DataFrame =
-    SalesRevenue.run(
-      Entities.orders(s, dir), Entities.orderItems(s, dir),
-      Entities.products(s, dir))
+    PlanCache(s, "sales", dir) {
+      SalesRevenue.run(
+        Entities.orders(s, dir), Entities.orderItems(s, dir),
+        Entities.products(s, dir))
+    }
 
   /** (order_id, line_number) is not unique in the fixture: the full
     * tuple makes the output ordering total. */
@@ -34,14 +36,28 @@ object SparkEntry {
       "supplier_id", "quantity", "unit_price")
 
   private def enriched(s: SparkSession, dir: String): DataFrame =
-    CustomerFeedback.enrich(
-      Entities.feedback(s, dir), Entities.customers(s, dir),
-      Entities.orders(s, dir), CustomerFeedback.ratingIcons(s))
+    PlanCache(s, "enriched", dir) {
+      CustomerFeedback.enrich(
+        Entities.feedback(s, dir), Entities.customers(s, dir),
+        Entities.orders(s, dir), CustomerFeedback.ratingIcons(s))
+    }
 
   private def recon(s: SparkSession, dir: String): DataFrame =
-    InventoryReconciliation.run(
-      Entities.inventoryOld(s, dir), Entities.inventoryNew(s, dir),
-      Entities.products(s, dir))
+    PlanCache(s, "recon", dir) {
+      InventoryReconciliation.run(
+        Entities.inventoryOld(s, dir), Entities.inventoryNew(s, dir),
+        Entities.products(s, dir))
+    }
+
+  private def marketing(s: SparkSession, dir: String): DataFrame =
+    PlanCache(s, "marketing", dir) {
+      MarketingRoi.run(Entities.marketing(s, dir))
+    }
+
+  private def delivery(s: SparkSession, dir: String): DataFrame =
+    PlanCache(s, "delivery", dir) {
+      DeliveryPerformance.run(Entities.orders(s, dir))
+    }
 
   /** Registers the six curated tables as temp views and runs one of the
     * Athena-layer SQL queries (views are lazy plans — only the ones the
@@ -49,9 +65,9 @@ object SparkEntry {
   private def athena(s: SparkSession, dir: String, name: String): DataFrame = {
     Aggregations.revenueByCategory(sales(s, dir))
       .createOrReplaceTempView("curated_revenue_by_category")
-    Aggregations.campaignPerformanceSummary(MarketingRoi.run(Entities.marketing(s, dir)))
+    Aggregations.campaignPerformanceSummary(marketing(s, dir))
       .createOrReplaceTempView("curated_campaign_performance_summary")
-    Aggregations.deliveryPartnerPerformance(DeliveryPerformance.run(Entities.orders(s, dir)))
+    Aggregations.deliveryPartnerPerformance(delivery(s, dir))
       .createOrReplaceTempView("curated_delivery_partner_performance")
     CustomerFeedback.areaMetrics(enriched(s, dir))
       .createOrReplaceTempView("curated_area_feedback_metrics")
@@ -70,9 +86,9 @@ object SparkEntry {
         .select("feedback_id", "rating", "rating_icon")
         .orderBy("feedback_id")),
     "customer_feedback_enriched" -> ((s, d) => enriched(s, d).orderBy("feedback_id")),
-    "marketing_performance" -> ((s, d) => MarketingRoi.run(Entities.marketing(s, d))),
+    "marketing_performance" -> ((s, d) => marketing(s, d)),
     "inventory_reconciliation" -> ((s, d) => recon(s, d)),
-    "delivery_performance" -> ((s, d) => DeliveryPerformance.run(Entities.orders(s, d))),
+    "delivery_performance" -> ((s, d) => delivery(s, d)),
     "curated_revenue_by_category" -> ((s, d) =>
       Aggregations.revenueByCategory(sales(s, d))),
     // 100 TB variant: HLL-sketched distinct counts. Approximate by
@@ -80,9 +96,9 @@ object SparkEntry {
     "curated_revenue_by_category_approx" -> ((s, d) =>
       Aggregations.revenueByCategoryApprox(sales(s, d))),
     "curated_campaign_performance_summary" -> ((s, d) =>
-      Aggregations.campaignPerformanceSummary(MarketingRoi.run(Entities.marketing(s, d)))),
+      Aggregations.campaignPerformanceSummary(marketing(s, d))),
     "curated_delivery_partner_performance" -> ((s, d) =>
-      Aggregations.deliveryPartnerPerformance(DeliveryPerformance.run(Entities.orders(s, d)))),
+      Aggregations.deliveryPartnerPerformance(delivery(s, d))),
     "curated_area_feedback_metrics" -> ((s, d) =>
       CustomerFeedback.areaMetrics(enriched(s, d))),
     "curated_category_inventory_impact" -> ((s, d) =>
@@ -120,7 +136,7 @@ object SparkEntry {
     "file_provenance" -> ((s, d) => Extras.fileProvenance(s, d)))
 
   private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
-    Aggregations.campaignPerformanceSummary(MarketingRoi.run(Entities.marketing(s, d)))
+    Aggregations.campaignPerformanceSummary(marketing(s, d))
       .createOrReplaceTempView("curated_campaign_performance_summary")
     s.sql(sql)
   }

@@ -62,11 +62,17 @@ object Extras {
        FROM sales_tx GROUP BY ROLLUP (category, year)
        ORDER BY category ASC NULLS FIRST, year ASC NULLS FIRST"""
 
-  def salesRollup(spark: SparkSession, dir: String): DataFrame = {
-    graft.pipelines.SalesRevenue.run(
+  /** Shared (bench-cacheable) sales-transactions prefix — same cache
+    * key as SparkEntry's, so report sessions build it once. */
+  private def salesTx(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "sales", dir) {
+      graft.pipelines.SalesRevenue.run(
         Entities.orders(spark, dir), Entities.orderItems(spark, dir),
         Entities.products(spark, dir))
-      .createOrReplaceTempView("sales_tx")
+    }
+
+  def salesRollup(spark: SparkSession, dir: String): DataFrame = {
+    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
     spark.sql(salesRollupSql)
   }
 
@@ -75,9 +81,7 @@ object Extras {
   /** Pivot of sales revenue by delivery status — wide conditional
     * aggregation (Spark `.pivot()`, mirrored as conditional sums). */
   def salesPivotByStatus(spark: SparkSession, dir: String): DataFrame =
-    graft.pipelines.SalesRevenue.run(
-        Entities.orders(spark, dir), Entities.orderItems(spark, dir),
-        Entities.products(spark, dir))
+    salesTx(spark, dir)
       .join(Entities.orders(spark, dir).select("order_id", "delivery_status"),
         Seq("order_id"))
       .groupBy("category")
