@@ -127,6 +127,7 @@ object SparkEntry {
     "ann_ivf_cells" -> ((s, d) => Similarity.ivfCells(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
+    "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
     "campaign_rank_by_channel" -> ((s, d) => athena2(s, d, Extras.campaignRankSql)),
@@ -171,6 +172,7 @@ object SparkEntry {
     "ann_ivf_cells" -> Similarity.ivfCellsOracle,
     "ann_ivf_topk" -> Similarity.ivfTopKOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
+    "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
     "events_sessionized" -> Sessionize.sessionsBatchOracle,
     "campaign_rank_by_channel" -> OracleSql.withCtes(Extras.campaignRankSql),

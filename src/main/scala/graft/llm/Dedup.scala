@@ -7,20 +7,43 @@ import Gen._
 
 /** Deduplication operators for large-scale text/embedding corpora:
   * exact (hash group-by), MinHash+LSH (shingle → 16 minhashes → 4
-  * band buckets → bucket-join candidates → exact-Jaccard verify),
-  * SimHash (32-bit, token bit-balance), blocked n-gram Jaccard, and
-  * embedding-cosine near-dup.
+  * band buckets → bucket-join candidates → signature pre-filter →
+  * exact-Jaccard verify), SimHash (32-bit, token bit-balance), n-gram
+  * Jaccard, and embedding-cosine near-dup.
   *
-  * Scale design: nothing here is quadratic in the corpus.
+  * Scale design: every candidate generator is an equi-join on a
+  * bounded-occupancy LSH key — nothing is quadratic in the corpus or
+  * in any low-cardinality block:
   *   - MinHash candidates come from an equi-join on (band_idx,
-  *     band_val) — a plain shuffle join whose cost is bounded by bucket
-  *     occupancy, the standard LSH trick at 100 TB;
-  *   - SimHash / n-gram / embedding pair generation is blocked on a
-  *     bounded-cardinality key (lang, source, label) — at real scale
-  *     the block key becomes the LSH band or an IVF cell;
-  *   - exact-Jaccard verification runs only on candidate pairs.
+  *     band_val): the standard banding trick, cost bounded by bucket
+  *     occupancy. A signature-agreement pre-filter (the 16 minhashes
+  *     estimate Jaccard for free) keeps the expensive exact-verify
+  *     join to pairs that can plausibly pass the 0.5 threshold.
+  *   - SimHash pairs band the 32-bit hash into 9 pieces; by pigeonhole
+  *     any pair at Hamming <= 8 is bit-identical in >= 1 band, so the
+  *     band equi-join is a LOSSLESS candidate generator (output exactly
+  *     equals the exhaustive self-join's).
+  *   - n-gram Jaccard reuses the MinHash band candidates (recall is
+  *     probabilistic at low Jaccard: a 0.3-similar pair collides in
+  *     some band with p = 1-(1-j^4)^4; near-dups at j >= 0.8 collide
+  *     w.p. >= 0.97 — the documented trade for sub-quadratic cost).
+  *   - Embedding near-dup draws candidates from 4 random-hyperplane
+  *     LSH bands of 2 planes each (Charikar sign-LSH), with the label
+  *     kept in the join key; cosine is verified exactly on candidates.
+  *   - Shingles/signatures are computed ONCE in a shared projection
+  *     ([[docFeatures]], bench-persisted via PlanCache — the cluster
+  *     analogue of materializing a feature table) and the full shingle
+  *     arrays are only joined to surviving candidate pairs.
   * Every operator has a DuckDB oracle generated from the same Gen
-  * builders.
+  * builders, running the same candidate algorithm — both engines see
+  * identical pair sets, so results stay bit-reproducible.
+  *
+  * Short-doc guard (< 3 words ⇒ empty shingle set ⇒ all-NULL sigs):
+  * band values are forced to NULL on BOTH dialects — Spark's `concat`
+  * propagates NULL but DuckDB's skips NULL args, which would otherwise
+  * cluster every short doc into one md5('') bucket. NULL never
+  * equi-joins, so short docs generate no candidates in either engine,
+  * and `union_size > 0` guards the 0/0 Jaccard (NULL vs NaN divergence).
   */
 object Dedup {
 
@@ -47,87 +70,143 @@ object Dedup {
 
   private val nSigs = 16
   private val nBands = 4
+  /** Signature-agreement pre-filter: >= 6/16 agreeing minhashes
+    * (Jaccard estimate 0.375) before exact verification at 0.5. */
+  private val minSigAgree = 6
 
   private def shinglesSql(d: Dialect): String = shingles(words("text", d), d)
 
   private def sigCols(d: Dialect): Seq[String] =
     (0 until nSigs).map(j => s"${minhashSig("sh", j, d)} AS sig_$j")
 
+  /** Band values NULL-guarded for empty shingle sets (see scaladoc). */
   private def bandCols: Seq[String] =
     (0 until nBands).map { b =>
       val parts = (0 until 4).map(r => s"sig_${b * 4 + r}").mkString(", ")
-      s"md5(concat($parts)) AS band_$b"
+      s"CASE WHEN sig_0 IS NULL THEN NULL ELSE md5(concat($parts)) END AS band_$b"
+    }
+
+  /** The shared document-feature relation: shingle set + size, 16
+    * minhash signatures, 4 band keys — computed once per session/dir
+    * (bench-persisted), reused by the signature, pair, and n-gram
+    * queries. At 100 TB this is the feature table you materialize to
+    * storage once and join against, not a per-query recompute. */
+  private[llm] def docFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "doc_features", dir) {
+      Tables.documents(spark, dir)
+        .selectExpr("doc_id", "lang", "source", s"${shinglesSql(SparkD)} AS sh")
+        .selectExpr(Seq("doc_id", "lang", "source", "sh",
+          s"CAST(${arrLen("sh", SparkD)} AS INTEGER) AS n") ++ sigCols(SparkD): _*)
+        .selectExpr(Seq("*") ++ bandCols: _*)
     }
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .selectExpr("doc_id", "lang", s"${shinglesSql(SparkD)} AS sh")
-      .selectExpr(Seq("doc_id", "lang") ++ sigCols(SparkD): _*)
-      .selectExpr(Seq("*") ++ bandCols: _*)
+    docFeatures(spark, dir)
+      .selectExpr(Seq("doc_id", "lang")
+        ++ (0 until nSigs).map(j => s"sig_$j")
+        ++ (0 until nBands).map(b => s"band_$b"): _*)
       .orderBy("doc_id")
 
   private def minhashCtes(d: Dialect): String =
-    s"""sh_t AS (SELECT doc_id, lang, ${shinglesSql(d)} AS sh FROM documents),
-        sig_t AS (SELECT doc_id, lang, ${sigCols(d).mkString(", ")} FROM sh_t),
+    s"""sh_t AS (SELECT doc_id, lang, source, ${shinglesSql(d)} AS sh FROM documents),
+        sig_t AS (SELECT doc_id, lang, source, sh,
+                    CAST(${arrLen("sh", d)} AS INTEGER) AS n,
+                    ${sigCols(d).mkString(", ")} FROM sh_t),
         band_t AS (SELECT *, ${bandCols.mkString(", ")} FROM sig_t)"""
 
-  val minhashSignaturesOracle: String =
-    s"WITH ${minhashCtes(DuckD)} SELECT * FROM band_t ORDER BY doc_id"
+  private def sigBandColList: String =
+    (Seq("doc_id", "lang")
+      ++ (0 until nSigs).map(j => s"sig_$j")
+      ++ (0 until nBands).map(b => s"band_$b")).mkString(", ")
 
-  /** Candidate pairs from band-bucket equi-join, verified with exact
-    * Jaccard on the distinct shingle sets; kept at jaccard >= 0.5. */
+  val minhashSignaturesOracle: String =
+    s"WITH ${minhashCtes(DuckD)} SELECT $sigBandColList FROM band_t ORDER BY doc_id"
+
+  /** Distinct band-collision candidate pairs (doc_a < doc_b) — the LSH
+    * candidate generator shared by the MinHash and n-gram verifiers.
+    * NULL bands (short docs) are filtered before the self-join. */
+  private def bandCandidates(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "mh_cands", dir) {
+      val bandStack = (0 until nBands).map(b => s"$b, band_$b").mkString(", ")
+      val bands = docFeatures(spark, dir)
+        .selectExpr("doc_id", s"stack($nBands, $bandStack) AS (band_idx, band_val)")
+        .filter(col("band_val").isNotNull)
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_val") === col("b.band_val")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
+
+  /** Oracle CTEs mirroring [[bandCandidates]] (append after minhashCtes). */
+  private def bandCandCtes: String = {
+    val bandUnion = (0 until nBands)
+      .map(b => s"SELECT doc_id, $b AS band_idx, band_$b AS band_val FROM band_t")
+      .mkString(" UNION ALL ")
+    s"""bands AS (SELECT * FROM ($bandUnion) WHERE band_val IS NOT NULL),
+        cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id)"""
+  }
+
+  /** Candidate pairs from the band-bucket equi-join, pre-filtered on
+    * minhash-signature agreement (>= 6/16), then verified with exact
+    * Jaccard on the distinct shingle sets; kept at jaccard >= 0.5.
+    * The wide shingle arrays are only joined to pairs that survive the
+    * narrow signature pre-filter. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
-    val bandStack = (0 until nBands).map(b => s"$b, band_$b").mkString(", ")
-    val bands = sigs.selectExpr("doc_id",
-      s"stack($nBands, $bandStack) AS (band_idx, band_val)")
-    val cands = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_val") === col("b.band_val")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sh = Tables.documents(spark, dir)
-      .selectExpr("doc_id", s"${shinglesSql(SparkD)} AS sh")
-      .selectExpr("doc_id", "sh", s"CAST(${arrLen("sh", SparkD)} AS INTEGER) AS n")
-    cands
+    val feats = docFeatures(spark, dir)
+    val sigsA = feats.selectExpr(
+      Seq("doc_id AS doc_a") ++ (0 until nSigs).map(j => s"sig_$j AS a_sig_$j"): _*)
+    val sigsB = feats.selectExpr(
+      Seq("doc_id AS doc_b") ++ (0 until nSigs).map(j => s"sig_$j AS b_sig_$j"): _*)
+    val agree = (0 until nSigs)
+      .map(j => s"CASE WHEN a_sig_$j = b_sig_$j THEN 1 ELSE 0 END").mkString(" + ")
+    val survivors = bandCandidates(spark, dir)
+      .join(sigsA, Seq("doc_a")).join(sigsB, Seq("doc_b"))
+      .filter(expr(s"($agree) >= $minSigAgree"))
+      .select("doc_a", "doc_b")
+    val sh = feats.selectExpr("doc_id", "sh", "n")
+    survivors
       .join(sh.selectExpr("doc_id AS doc_a", "sh AS sh_a", "n AS na"), Seq("doc_a"))
       .join(sh.selectExpr("doc_id AS doc_b", "sh AS sh_b", "n AS nb"), Seq("doc_b"))
       .selectExpr("doc_a", "doc_b", "na", "nb",
         s"CAST(${interSize("sh_a", "sh_b", SparkD)} AS INTEGER) AS intersection_size")
       .selectExpr("doc_a", "doc_b", "intersection_size",
         "na + nb - intersection_size AS union_size")
+      .filter(col("union_size") > 0)
       .selectExpr("*", "intersection_size / union_size AS jaccard")
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
   val minhashPairsOracle: String = {
-    val bandUnion = (0 until nBands)
-      .map(b => s"SELECT doc_id, $b AS band_idx, band_$b AS band_val FROM band_t")
-      .mkString(" UNION ALL ")
+    val agree = (0 until nSigs)
+      .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH ${minhashCtes(DuckD)},
-        bands AS ($bandUnion),
-        cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bands a JOIN bands b
-                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                   AND a.doc_id < b.doc_id),
-        shn AS (SELECT doc_id, sh, CAST(${arrLen("sh", DuckD)} AS INTEGER) AS n FROM sh_t),
-        inter AS (SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb,
+        $bandCandCtes,
+        surv AS (SELECT c.doc_a, c.doc_b FROM cands c
+                 JOIN band_t sa ON c.doc_a = sa.doc_id
+                 JOIN band_t sb ON c.doc_b = sb.doc_id
+                 WHERE ($agree) >= $minSigAgree),
+        inter AS (SELECT s.doc_a, s.doc_b, sa.n AS na, sb.n AS nb,
                     CAST(${interSize("sa.sh", "sb.sh", DuckD)} AS INTEGER) AS intersection_size
-                  FROM cands c
-                  JOIN shn sa ON c.doc_a = sa.doc_id
-                  JOIN shn sb ON c.doc_b = sb.doc_id),
+                  FROM surv s
+                  JOIN band_t sa ON s.doc_a = sa.doc_id
+                  JOIN band_t sb ON s.doc_b = sb.doc_id),
         sized AS (SELECT doc_a, doc_b, intersection_size,
-                    na + nb - intersection_size AS union_size FROM inter)
+                    na + nb - intersection_size AS union_size FROM inter
+                  WHERE na + nb - intersection_size > 0)
         SELECT * FROM (SELECT *, intersection_size / union_size AS jaccard FROM sized)
         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
   }
 
   // ---- SimHash ----
 
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(expr(words("text", SparkD))).as("w"))
@@ -137,8 +216,10 @@ object Dedup {
     toks.groupBy("doc_id", "lang")
       .agg(sums.head, sums.tail: _*)
       .selectExpr("doc_id", "lang", s"${simhashAssemble(SparkD)} AS simhash")
-      .orderBy("doc_id")
   }
+
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    simhashSigs(spark, dir).orderBy("doc_id")
 
   private def simhashCtes(d: Dialect): String = {
     val unnestW = d match {
@@ -156,87 +237,143 @@ object Dedup {
   val simhashSignaturesOracle: String =
     s"WITH ${simhashCtes(DuckD)} SELECT * FROM sim_t ORDER BY doc_id"
 
-  /** Near-dup pairs by Hamming distance <= 8, blocked on lang. */
+  /** Near-dup pairs by Hamming distance <= 8 within a language.
+    * Candidates come from a 9-band pigeonhole split of the 32-bit hash
+    * (Hamming <= 8 ⇒ at least one band identical), so the equi-join on
+    * (band_idx, band_val, lang) finds EXACTLY the pairs the exhaustive
+    * within-lang self-join would — sub-quadratic with zero recall loss.
+    * Multi-band collisions produce duplicate rows; DISTINCT (on the
+    * deterministic output columns) collapses them. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSignatures(spark, dir)
-    sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+    val stackParts = simhashBands.zipWithIndex.map { case ((off, w), i) =>
+      s"$i, ${simhashBandVal("simhash", off, w, SparkD)}"
+    }.mkString(", ")
+    val bands = simhashSigs(spark, dir).selectExpr("doc_id", "lang", "simhash",
+      s"stack(${simhashBands.size}, $stackParts) AS (band_idx, band_val)")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.lang") === col("b.lang")
+          && col("a.doc_id") < col("b.doc_id"))
       .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b", "a.lang AS lang",
         s"CAST(bit_count(${bitXor("a.simhash", "b.simhash", SparkD)}) AS INTEGER) AS hamming")
       .filter(col("hamming") <= 8)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
-  val simhashPairsOracle: String =
-    s"""WITH ${simhashCtes(DuckD)}
-        SELECT * FROM (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-            CAST(bit_count(${bitXor("a.simhash", "b.simhash", DuckD)}) AS INTEGER) AS hamming
-          FROM sim_t a JOIN sim_t b
-            ON a.lang = b.lang AND a.doc_id < b.doc_id)
+  val simhashPairsOracle: String = {
+    val bandUnion = simhashBands.zipWithIndex.map { case ((off, w), i) =>
+      s"SELECT doc_id, lang, simhash, $i AS band_idx, ${simhashBandVal("simhash", off, w, DuckD)} AS band_val FROM sim_t"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${simhashCtes(DuckD)},
+        bands AS ($bandUnion),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                   CAST(bit_count(${bitXor("a.simhash", "b.simhash", DuckD)}) AS INTEGER) AS hamming
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        SELECT DISTINCT doc_a, doc_b, lang, hamming FROM cand
         WHERE hamming <= 8 ORDER BY doc_a, doc_b"""
+  }
 
-  // ---- blocked n-gram Jaccard ----
+  // ---- n-gram Jaccard over LSH candidates ----
 
-  /** Exact word-3-gram Jaccard within (lang, source) blocks; kept at
-    * jaccard >= 0.3. The block key bounds the pair count. */
+  /** Exact word-3-gram Jaccard >= 0.3 for same-(lang, source) pairs,
+    * with candidates drawn from the shared MinHash band join rather
+    * than an exhaustive within-block self-join. Recall is the LSH
+    * trade documented on the object; the verification (and the
+    * threshold) are exact. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "lang", "source", s"${shinglesSql(SparkD)} AS sh")
-      .selectExpr("doc_id", "lang", "source", "sh",
-        s"CAST(${arrLen("sh", SparkD)} AS INTEGER) AS n")
-    sh.as("a")
-      .join(sh.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id"))
-      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b", "a.lang AS lang",
-        "a.source AS source", "a.n AS na", "b.n AS nb",
-        s"CAST(${interSize("a.sh", "b.sh", SparkD)} AS INTEGER) AS intersection_size")
+    val sh = docFeatures(spark, dir).selectExpr("doc_id", "lang", "source", "sh", "n")
+    bandCandidates(spark, dir)
+      .join(sh.selectExpr("doc_id AS doc_a", "lang AS lang_a",
+        "source AS source_a", "sh AS sh_a", "n AS na"), Seq("doc_a"))
+      .join(sh.selectExpr("doc_id AS doc_b", "lang AS lang_b",
+        "source AS source_b", "sh AS sh_b", "n AS nb"), Seq("doc_b"))
+      .filter(col("lang_a") === col("lang_b") && col("source_a") === col("source_b"))
+      .selectExpr("doc_a", "doc_b", "lang_a AS lang", "source_a AS source", "na", "nb",
+        s"CAST(${interSize("sh_a", "sh_b", SparkD)} AS INTEGER) AS intersection_size")
       .selectExpr("doc_a", "doc_b", "lang", "source", "intersection_size",
         "na + nb - intersection_size AS union_size")
+      .filter(col("union_size") > 0)
       .selectExpr("*", "intersection_size / union_size AS jaccard")
       .filter(col("jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
   }
 
   val ngramJaccardPairsOracle: String =
-    s"""WITH sh_t AS (SELECT doc_id, lang, source, ${shinglesSql(DuckD)} AS sh FROM documents),
-        shn AS (SELECT *, CAST(${arrLen("sh", DuckD)} AS INTEGER) AS n FROM sh_t),
-        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-                    a.source AS source, a.n AS na, b.n AS nb,
-                    CAST(${interSize("a.sh", "b.sh", DuckD)} AS INTEGER) AS intersection_size
-                  FROM shn a JOIN shn b
-                    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+    s"""WITH ${minhashCtes(DuckD)},
+        $bandCandCtes,
+        inter AS (SELECT c.doc_a, c.doc_b, sa.lang AS lang, sa.source AS source,
+                    sa.n AS na, sb.n AS nb,
+                    CAST(${interSize("sa.sh", "sb.sh", DuckD)} AS INTEGER) AS intersection_size
+                  FROM cands c
+                  JOIN band_t sa ON c.doc_a = sa.doc_id
+                  JOIN band_t sb ON c.doc_b = sb.doc_id
+                  WHERE sa.lang = sb.lang AND sa.source = sb.source),
         sized AS (SELECT doc_a, doc_b, lang, source, intersection_size,
-                    na + nb - intersection_size AS union_size FROM inter)
+                    na + nb - intersection_size AS union_size FROM inter
+                  WHERE na + nb - intersection_size > 0)
         SELECT * FROM (SELECT *, intersection_size / union_size AS jaccard FROM sized)
         WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""
 
   // ---- embedding-cosine near-dup ----
 
-  /** Cosine near-dup pairs within label blocks, cosine >= 0.4.
-    * Norms precomputed per vector: 1 dot + 1 multiply per pair. */
+  private val nDupBands = 4
+  private val dupPlanesPerBand = 2
+
+  private def dupBandExpr(v: String, b: Int, d: Dialect): String = {
+    val planes = (b * dupPlanesPerBand until (b + 1) * dupPlanesPerBand)
+    s"CAST(${lshBandVal(v, planes, d)} AS INTEGER)"
+  }
+
+  /** Cosine >= 0.4 near-dup pairs within a label, candidates from 4
+    * sign-LSH bands of 2 hyperplanes each (8 planes total) with the
+    * label in the join key — bounded bucket occupancy instead of a
+    * within-label self-join. Cosine is verified exactly (1 dot + 1
+    * multiply via precomputed norms) on candidates only. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.Native.register(spark)
-    val e = Tables.embeddings(spark, dir)
-      .selectExpr("vec_id", "label", s"${toDoubleArr("embedding", SparkD)} AS v")
-      .selectExpr("vec_id", "label", "v", s"${norm64("v", SparkD)} AS nrm")
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b", "a.label AS label",
-        s"${cosineWithNorms("a.v", "b.v", "a.nrm", "b.nrm", SparkD)} AS cosine")
+    val e = Similarity.vecs(spark, dir)
+    val stackParts = (0 until nDupBands)
+      .map(b => s"$b, ${dupBandExpr("v", b, SparkD)}").mkString(", ")
+    val bands = e.selectExpr("vec_id", "label",
+      s"stack($nDupBands, $stackParts) AS (band_idx, band_val)")
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.label") === col("b.label")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"))
+      .distinct()
+    cands
+      .join(e.selectExpr("vec_id AS vec_a", "v AS va", "nrm AS nrm_a"), Seq("vec_a"))
+      .join(e.selectExpr("vec_id AS vec_b", "v AS vb", "nrm AS nrm_b"), Seq("vec_b"))
+      .selectExpr("vec_a", "vec_b", "label",
+        s"${cosineWithNorms("va", "vb", "nrm_a", "nrm_b", SparkD)} AS cosine")
       .filter(col("cosine") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
 
-  val embeddingNearDupOracle: String =
-    s"""WITH e0 AS (SELECT vec_id, label, ${toDoubleArr("embedding", DuckD)} AS v FROM embeddings),
-        e AS (SELECT *, ${norm64("v", DuckD)} AS nrm FROM e0)
+  val embeddingNearDupOracle: String = {
+    val bandUnion = (0 until nDupBands).map { b =>
+      s"SELECT vec_id, label, $b AS band_idx, ${dupBandExpr("v", b, DuckD)} AS band_val FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${Similarity.vecsCte(DuckD)},
+        bands AS ($bandUnion),
+        cands AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
+                  FROM bands a JOIN bands b
+                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                   AND a.label = b.label AND a.vec_id < b.vec_id)
         SELECT * FROM (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-            ${cosineWithNorms("a.v", "b.v", "a.nrm", "b.nrm", DuckD)} AS cosine
-          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+          SELECT c.vec_a, c.vec_b, c.label,
+            ${cosineWithNorms("ea.v", "eb.v", "ea.nrm", "eb.nrm", DuckD)} AS cosine
+          FROM cands c
+          JOIN e ea ON c.vec_a = ea.vec_id
+          JOIN e eb ON c.vec_b = eb.vec_id)
         WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
+  }
 }

@@ -84,6 +84,18 @@ object Gen {
     case DuckD  => s"xor($a, $b)"
   }
 
+  /** SimHash band layout over the 32-bit hash: 9 bands (5×4 bits +
+    * 4×3 bits) as (offset, width). Pigeonhole: two hashes with Hamming
+    * distance <= 8 differ in at most 8 bit positions, so at least one
+    * of the 9 bands is bit-identical — an equi-join on (band_idx,
+    * band_val) is a lossless candidate generator for the <= 8 filter. */
+  val simhashBands: Seq[(Int, Int)] =
+    Seq((0, 4), (4, 4), (8, 4), (12, 4), (16, 4), (20, 3), (23, 3), (26, 3), (29, 3))
+
+  /** Band value: `width` bits of `e` starting at `offset`. */
+  def simhashBandVal(e: String, offset: Int, width: Int, d: Dialect): String =
+    s"(${shiftRight(e, offset, d)} & ${(1 << width) - 1})"
+
   /** SimHash bit-balance aggregates: for each of 32 bits, the signed
     * count sum(±1) over token-hash column `h` (call under GROUP BY). */
   def simhashBitSums(h: String, d: Dialect): Seq[String] =
@@ -144,6 +156,14 @@ object Gen {
   def lshBucket(a: String, nPlanes: Int, d: Dialect): String =
     (0 until nPlanes).map { j =>
       s"CASE WHEN (${lshProjection(a, j, d)}) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** LSH band value from the sign bits of an explicit plane subset —
+    * banding (OR over bands of AND-ed planes) trades per-bucket
+    * occupancy against recall, the standard near-dup knob. */
+  def lshBandVal(a: String, planes: Seq[Int], d: Dialect): String =
+    planes.zipWithIndex.map { case (j, k) =>
+      s"CASE WHEN (${lshProjection(a, j, d)}) > 0 THEN ${1 << k} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   /** Rolling polynomial fingerprint over a words array: fold

@@ -37,7 +37,7 @@ object Similarity {
     }
   }
 
-  private def vecsCte(d: Dialect): String =
+  private[llm] def vecsCte(d: Dialect): String =
     s"""e0 AS (SELECT vec_id, label, ${toDoubleArr("embedding", d)} AS v FROM embeddings),
         e AS (SELECT vec_id, label, v, ${norm64("v", d)} AS nrm FROM e0)"""
 

@@ -54,4 +54,16 @@ object Orchestrator {
     jobs.foreach(runJob)
     jobs
   }
+
+  /** Full reference sequence: jobs, then the catalog-refresh step
+    * (lambda:83-97 starts the Glue crawler after the last job; here
+    * `crawl` is typically `graft.io.Catalog` registration over the
+    * zones the jobs wrote). `crawl` runs only if at least one job ran,
+    * matching the lambda's early return for non-matching objects. */
+  def runAndCrawl(objectKey: String)(runJob: Job => Unit)(
+      crawl: Seq[Job] => Unit): Seq[Job] = {
+    val jobs = run(objectKey)(runJob)
+    if (jobs.nonEmpty) crawl(jobs)
+    jobs
+  }
 }
