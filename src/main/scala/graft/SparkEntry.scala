@@ -117,6 +117,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -129,6 +130,7 @@ object SparkEntry {
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
+    "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
     "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
     "campaign_rank_by_channel" -> ((s, d) => athena2(s, d, Extras.campaignRankSql)),
     "inventory_union" -> ((s, d) => Extras.inventoryUnion(s, d)),
@@ -162,6 +164,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,
     "dedup_minhash_pairs" -> Dedup.minhashPairsOracle,
+    "dedup_clusters" -> Dedup.dedupClustersOracle,
     "dedup_simhash" -> Dedup.simhashSignaturesOracle,
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsOracle,
@@ -174,6 +177,7 @@ object SparkEntry {
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
+    "events_purchase_attribution" -> EventsStream.purchaseAttributionBatchOracle,
     "events_sessionized" -> Sessionize.sessionsBatchOracle,
     "campaign_rank_by_channel" -> OracleSql.withCtes(Extras.campaignRankSql),
     "inventory_union" -> Extras.inventoryUnionOracle,

@@ -204,19 +204,104 @@ object Dedup {
         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
   }
 
+  // ---- cluster collapse (connected components over near-dup pairs) ----
+
+  /** The step that turns near-dup PAIRS into a dedup DECISION: the
+    * transitive closure of [[minhashPairs]] (a ~ b, b ~ c ⇒ one
+    * cluster), labeling every clustered doc with its canonical
+    * representative (the minimum doc_id reachable, self included).
+    *
+    * Implementation is iterative min-label propagation over the
+    * undirected edge set — each round is one shuffle join + min-agg,
+    * and rounds are bounded by the cluster diameter (near-dup clusters
+    * are shallow; the loop converges in 2-3 rounds on real corpora).
+    * The driver-side loop carries only a convergence bit, never data —
+    * the standard Spark connected-components shape (GraphX/GraphFrames
+    * iterate exactly like this; large-star/small-star would cut rounds
+    * to O(log n) for pathological chain graphs). Intermediate label
+    * states are persisted per round and unpersisted as soon as the
+    * next round materializes, so lineage stays bounded.
+    *
+    * The DuckDB oracle computes the same closure with a recursive CTE
+    * (min reachable node per doc) — identical fixpoint, engine-native
+    * recursion. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val propagated = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("cluster_id"))
+      val next = labels.union(propagated)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
+        .filter(col("cluster_id") < col("prev"))
+        .isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.orderBy("doc_id")
+  }
+
+  val dedupClustersOracle: String = {
+    // the minhashPairs oracle chain, re-yielding just the pair columns
+    val agree = (0 until nSigs)
+      .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE ${minhashCtes(DuckD)},
+        $bandCandCtes,
+        surv AS (SELECT c.doc_a, c.doc_b FROM cands c
+                 JOIN band_t sa ON c.doc_a = sa.doc_id
+                 JOIN band_t sb ON c.doc_b = sb.doc_id
+                 WHERE ($agree) >= $minSigAgree),
+        sized AS (SELECT s.doc_a, s.doc_b,
+                    CAST(${interSize("sa.sh", "sb.sh", DuckD)} AS INTEGER) AS i,
+                    sa.n + sb.n AS nn
+                  FROM surv s
+                  JOIN band_t sa ON s.doc_a = sa.doc_id
+                  JOIN band_t sb ON s.doc_b = sb.doc_id),
+        pairs AS (SELECT doc_a, doc_b FROM sized
+                  WHERE nn - i > 0 AND i / (nn - i) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id"""
+  }
+
   // ---- SimHash ----
 
-  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        explode(expr(words("text", SparkD))).as("w"))
-      .selectExpr("doc_id", "lang", "md5(w) AS hw")
-      .selectExpr("doc_id", "lang", s"${hexPrefix32("hw")} AS h")
-    val sums = simhashBitSums("h", SparkD).map(expr)
-    toks.groupBy("doc_id", "lang")
-      .agg(sums.head, sums.tail: _*)
-      .selectExpr("doc_id", "lang", s"${simhashAssemble(SparkD)} AS simhash")
-  }
+  /** Token-hash bit-balance SimHash per doc — a shuffle-heavy prefix
+    * (explode + 32-sum groupBy) shared by the signature and pair
+    * queries, so bench sessions persist it once. */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "simhash_sigs", dir) {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(words("text", SparkD))).as("w"))
+        .selectExpr("doc_id", "lang", "md5(w) AS hw")
+        .selectExpr("doc_id", "lang", s"${hexPrefix32("hw")} AS h")
+      val sums = simhashBitSums("h", SparkD).map(expr)
+      toks.groupBy("doc_id", "lang")
+        .agg(sums.head, sums.tail: _*)
+        .selectExpr("doc_id", "lang", s"${simhashAssemble(SparkD)} AS simhash")
+    }
 
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
     simhashSigs(spark, dir).orderBy("doc_id")

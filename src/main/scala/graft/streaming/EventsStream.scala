@@ -62,4 +62,74 @@ object EventsStream {
       .select(
         unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n_events"), col("total_value"))
+
+  // ---- stream-stream interval join: purchase → click attribution ----
+
+  private val attributionWindowUs: Long = 6L * 3600 * 1000 * 1000
+
+  /** Each purchase joined to every click by the same user in the
+    * preceding 6 hours — the classic event-attribution interval join.
+    * Equi-key is `user_id` (high-cardinality → a well-distributed
+    * shuffle join at scale); the time range is a secondary predicate.
+    * Comparisons run on integer epoch-micros so both engines see
+    * identical arithmetic. */
+  def purchaseAttributionBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("us").as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("value"), col("us").as("p_us"))
+    purchases
+      .join(clicks, col("p_user") === col("c_user")
+        && col("c_us") <= col("p_us")
+        && col("p_us") <= col("c_us") + attributionWindowUs)
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        (col("p_us") - col("c_us")).as("lag_us"), col("value"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val purchaseAttributionBatchOracle: String =
+    s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        c AS (SELECT event_id AS click_id, user_id, us AS c_us FROM ev
+              WHERE event_type = 'click'),
+        p AS (SELECT event_id AS purchase_id, user_id, value, us AS p_us FROM ev
+              WHERE event_type = 'purchase')
+        SELECT p.purchase_id, c.click_id, p.user_id,
+          p.p_us - c.c_us AS lag_us, p.value
+        FROM p JOIN c ON p.user_id = c.user_id
+          AND c.c_us <= p.p_us AND p.p_us <= c.c_us + $attributionWindowUs
+        ORDER BY purchase_id, click_id"""
+
+  /** The same attribution as a STREAM-STREAM inner join: both sides
+    * watermarked, and the event-time range condition is what lets the
+    * state store evict clicks older than the join window — bounded
+    * state, the requirement for an unbounded run. The purchase-side
+    * watermark exceeds the click watermark + window so no late match
+    * is dropped under AvailableNow processing. */
+  def purchaseAttributionStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = raw.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = raw.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("value"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "7 hours")
+    purchases
+      .join(clicks, expr(
+        "p_user = c_user AND c_ts <= p_ts AND p_ts <= c_ts + interval 6 hours"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"),
+        col("value"))
+  }
 }

@@ -38,6 +38,22 @@ class LlmSpec extends SparkSpec {
       a < b && i <= u && j >= 0.5 && math.abs(j - i.toDouble / u) < 1e-12 })
   }
 
+  test("dedup clusters: canonical labels are fixpoints and cover all pairs") {
+    val labels = Dedup.dedupClusters(spark, sfTiny)
+      .as[(Long, Long)].collect().toMap
+    val pairs = Dedup.minhashPairs(spark, sfTiny)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(labels.nonEmpty)
+    // canonical is the minimum of its cluster and labels itself
+    labels.foreach { case (d, c) =>
+      assert(c <= d && labels(c) == c)
+    }
+    // both endpoints of every near-dup pair share a cluster
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b)) }
+    // clusters partition the paired docs
+    assert(labels.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("simhash: 32-bit range and near-identical docs have small hamming") {
     val sigs = Dedup.simhashSignatures(spark, sfTiny)
       .select("simhash").as[Long].collect()

@@ -23,4 +23,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length && streamed.length > 0)
     assert(streamed.sameElements(batch))
   }
+
+  test("stream-stream interval join == batch attribution on sf0.001") {
+    val q = EventsStream.purchaseAttributionStream(spark, sfTiny)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("attribution_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("attribution_out")
+      .orderBy("purchase_id", "click_id").collect()
+    val batch = EventsStream.purchaseAttributionBatch(spark, sfTiny).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.sameElements(batch))
+  }
 }
