@@ -113,6 +113,7 @@ object SparkEntry {
   private val llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -160,6 +161,7 @@ object SparkEntry {
     "delivery_performance" -> OracleSql.deliveryPerformance,
     "text_stats" -> TextAnalysis.textStatsOracle,
     "text_language_id" -> TextAnalysis.languageIdOracle,
+    "text_repetition" -> TextAnalysis.repetitionOracle,
     "doc_fingerprints" -> TextAnalysis.fingerprintsOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,

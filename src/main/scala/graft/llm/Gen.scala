@@ -48,6 +48,24 @@ object Gen {
         s"ELSE [] END"
   }
 
+  /** Word 3-grams WITHOUT distinct-ing (the multiset form — repetition
+    * analysis needs the duplicates [[shingles]] throws away). */
+  def grams3(w: String, d: Dialect): String = d match {
+    case SparkD =>
+      s"CASE WHEN size($w) >= 3 THEN transform(sequence(0, size($w) - 3), " +
+        s"i -> concat(element_at($w, i + 1), ' ', element_at($w, i + 2), ' ', element_at($w, i + 3))) " +
+        s"ELSE array() END"
+    case DuckD =>
+      s"CASE WHEN len($w) >= 3 THEN list_transform(range(1, len($w) - 1), " +
+        s"i -> concat($w[i], ' ', $w[i + 1], ' ', $w[i + 2])) " +
+        s"ELSE [] END"
+  }
+
+  def arrDistinct(arr: String, d: Dialect): String = d match {
+    case SparkD => s"array_distinct($arr)"
+    case DuckD  => s"list_distinct($arr)"
+  }
+
   /** MinHash signature j of a shingle array: min over shingles of
     * md5(j || '|' || shingle). Lexicographic min over hex strings is a
     * uniform permutation surrogate; deterministic in both engines. */

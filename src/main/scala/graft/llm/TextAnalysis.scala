@@ -102,6 +102,36 @@ object TextAnalysis {
         SELECT *, CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS is_match
         FROM pred ORDER BY doc_id"""
 
+  // ---- repetition (boilerplate / loop detection) ----
+
+  /** Repeated word-3-gram share per document — the standard cheap
+    * signal for boilerplate and degenerate generation loops in corpus
+    * filtering (a doc whose 3-grams are mostly duplicates is template
+    * or repetition, not prose). Per-row projection: the 3-gram
+    * multiset never leaves the row. */
+  private def repetitionCols(d: Dialect): Seq[String] = Seq(
+    "doc_id",
+    s"CAST(${arrLen("g", d)} AS INTEGER) AS n_grams",
+    s"CAST(${arrLen(arrDistinct("g", d), d)} AS INTEGER) AS n_distinct_grams")
+
+  private val repetitionDerived: Seq[String] = Seq(
+    "*",
+    "n_grams - n_distinct_grams AS n_repeated",
+    "CASE WHEN n_grams > 0 THEN (n_grams - n_distinct_grams) / n_grams " +
+      "ELSE CAST(0 AS DOUBLE) END AS repetition_ratio")
+
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"${grams3(words("text", SparkD), SparkD)} AS g")
+      .selectExpr(repetitionCols(SparkD): _*)
+      .selectExpr(repetitionDerived: _*)
+      .orderBy("doc_id")
+
+  val repetitionOracle: String =
+    s"""WITH g_t AS (SELECT doc_id, ${grams3(words("text", DuckD), DuckD)} AS g FROM documents),
+        base AS (SELECT ${repetitionCols(DuckD).mkString(", ")} FROM g_t)
+        SELECT ${repetitionDerived.mkString(", ")} FROM base ORDER BY doc_id"""
+
   // ---- fingerprints ----
 
   private def normExpr(d: Dialect): String = d match {

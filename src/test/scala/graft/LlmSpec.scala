@@ -83,6 +83,18 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("repetition ratio in [0,1) and consistent with gram counts") {
+    val rows = TextAnalysis.repetition(spark, sfTiny)
+      .select("n_grams", "n_distinct_grams", "n_repeated", "repetition_ratio")
+      .as[(Int, Int, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, d, r, ratio) =>
+      assert(d <= n && r == n - d)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      if (n > 0) assert(math.abs(ratio - r.toDouble / n) < 1e-12)
+    }
+  }
+
   test("language-id scores are non-negative; quality score in [0,1]") {
     val q = TextAnalysis.textStats(spark, sfTiny)
       .select("quality_score").as[Double].collect()
