@@ -73,7 +73,7 @@ object EventsStream {
     * shuffle join at scale); the time range is a secondary predicate.
     * Comparisons run on integer epoch-micros so both engines see
     * identical arithmetic. */
-  def purchaseAttributionBatch(spark: SparkSession, dir: String): DataFrame = {
+  private def attributionJoined(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), unix_micros(col("ts")).as("us"))
@@ -89,8 +89,43 @@ object EventsStream {
         && col("p_us") <= col("c_us") + attributionWindowUs)
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
         (col("p_us") - col("c_us")).as("lag_us"), col("value"))
-      .orderBy("purchase_id", "click_id")
   }
+
+  def purchaseAttributionBatch(spark: SparkSession, dir: String): DataFrame =
+    attributionJoined(spark, dir).orderBy("purchase_id", "click_id")
+
+  /** As-of form: each purchase attributed to its single MOST RECENT
+    * in-window click — the nearest-preceding-event (as-of) join Spark
+    * has no native operator for, composed as the bounded interval join
+    * plus a per-purchase top-1 window (rank by smallest lag; click_id
+    * desc breaks exact-timestamp ties deterministically). The interval
+    * bound is what keeps the composition scalable: the window operates
+    * on in-window candidates only, never on the full click history. */
+  def purchaseAttributionAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("purchase_id").orderBy(asc("lag_us"), desc("click_id"))
+    attributionJoined(spark, dir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("purchase_id", "click_id", "user_id", "lag_us", "value")
+      .orderBy("purchase_id")
+  }
+
+  val purchaseAttributionAsOfOracle: String =
+    s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        c AS (SELECT event_id AS click_id, user_id, us AS c_us FROM ev
+              WHERE event_type = 'click'),
+        p AS (SELECT event_id AS purchase_id, user_id, value, us AS p_us FROM ev
+              WHERE event_type = 'purchase'),
+        j AS (SELECT p.purchase_id, c.click_id, p.user_id,
+                p.p_us - c.c_us AS lag_us, p.value
+              FROM p JOIN c ON p.user_id = c.user_id
+                AND c.c_us <= p.p_us AND p.p_us <= c.c_us + $attributionWindowUs)
+        SELECT purchase_id, click_id, user_id, lag_us, value FROM j
+        QUALIFY row_number() OVER (PARTITION BY purchase_id
+          ORDER BY lag_us, click_id DESC) = 1
+        ORDER BY purchase_id"""
 
   val purchaseAttributionBatchOracle: String =
     s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
