@@ -157,7 +157,10 @@ object Dedup {
     * Jaccard on the distinct shingle sets; kept at jaccard >= 0.5.
     * The wide shingle arrays are only joined to pairs that survive the
     * narrow signature pre-filter. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "mh_pairs", dir)(minhashPairsUncached(spark, dir))
+
+  private def minhashPairsUncached(spark: SparkSession, dir: String): DataFrame = {
     val feats = docFeatures(spark, dir)
     val sigsA = feats.selectExpr(
       Seq("doc_id AS doc_a") ++ (0 until nSigs).map(j => s"sig_$j AS a_sig_$j"): _*)
@@ -236,8 +239,17 @@ object Dedup {
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Convergence via a monotone checksum: labels only ever decrease,
+    // so sum(cluster_id) (exact DECIMAL(38,0) — no overflow at any
+    // corpus size) is strictly decreasing until the fixpoint. One
+    // cheap agg over the already-persisted labels replaces a
+    // join-and-compare per round.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var converged = false
     var rounds = 0
+    var prevSum = checksum(labels)
     while (!converged && rounds < 20) {
       val propagated = edges
         .join(labels, edges("dst") === labels("doc_id"))
@@ -245,10 +257,9 @@ object Dedup {
       val next = labels.union(propagated)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
-        .filter(col("cluster_id") < col("prev"))
-        .isEmpty
+      val nextSum = checksum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist(blocking = false)
       labels = next
       rounds += 1
