@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.Entities
 import graft.pipelines._
 import graft.curated.Aggregations
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sql.{AthenaQueries, Extras, OracleSql}
 import graft.streaming.{EventsStream, Sessionize}
 
@@ -114,6 +114,8 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "corpus_split" -> ((s, d) => Curation.sampleSplit(s, d)),
+    "corpus_source_quota" -> ((s, d) => Curation.sourceQuota(s, d)),
     "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -163,6 +165,8 @@ object SparkEntry {
     "text_stats" -> TextAnalysis.textStatsOracle,
     "text_language_id" -> TextAnalysis.languageIdOracle,
     "text_repetition" -> TextAnalysis.repetitionOracle,
+    "corpus_split" -> Curation.sampleSplitOracle,
+    "corpus_source_quota" -> Curation.sourceQuotaOracle,
     "doc_fingerprints" -> TextAnalysis.fingerprintsOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,

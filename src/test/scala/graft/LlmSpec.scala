@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-extension operator specs on sf0.001 fixtures + typed paths the
   * oracle can't cover (multimodal mapPartitions). */
@@ -103,6 +103,21 @@ class LlmSpec extends SparkSpec {
       .select("s_en", "s_es", "s_fr", "s_de", "s_zh")
       .as[(Int, Int, Int, Int, Int)].collect()
     assert(l.forall(t => t._1 >= 0 && t._2 >= 0 && t._3 >= 0 && t._4 >= 0 && t._5 >= 0))
+  }
+
+  test("corpus split is deterministic, ~80/10/10, and quota bounds hold") {
+    val s1 = Curation.sampleSplit(spark, sfTiny).collect()
+    val s2 = Curation.sampleSplit(spark, sfTiny).collect()
+    assert(s1.sameElements(s2)) // re-run can never reassign
+    val bySplit = s1.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > 350 && bySplit("val") > 20 && bySplit("test") > 20)
+    val quota = Curation.sourceQuota(spark, sfTiny)
+      .select("source", "pick_rank").as[(String, Int)].collect()
+    quota.groupBy(_._1).foreach { case (_, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1 to ranks.length) && ranks.length <= 50)
+    }
   }
 
   test("exact dedup partitions the corpus (group sizes sum to row count)") {
