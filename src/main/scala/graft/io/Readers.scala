@@ -32,4 +32,27 @@ object Readers {
   def literal(spark: SparkSession, schema: StructType, rows: Seq[org.apache.spark.sql.Row]): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
+
+  /** S1 hardening the reference lacks entirely (inferSchema silently
+    * widens types around bad rows): PERMISSIVE read with malformed
+    * lines captured in a quarantine column, so one bad upload can
+    * neither fail a 100 TB ingest (FAILFAST) nor silently vanish
+    * (DROPMALFORMED). Returns (clean rows, quarantined raw lines). */
+  def csvQuarantined(spark: SparkSession, schema: StructType,
+                     path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache() // corrupt-column reads require the same scan to see both sides
+    val clean = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantined = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantined)
+  }
 }

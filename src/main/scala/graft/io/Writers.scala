@@ -32,4 +32,20 @@ object Writers {
       .mode("overwrite")
       .option("compression", "snappy")
       .parquet(path)
+
+  /** Small-file compaction — the maintenance pass every long-lived
+    * zone needs: event-driven ingests (the reference re-runs a job per
+    * S3 object) accrete thousands of tiny files, and at 100 TB scan
+    * cost is dominated by file count, not bytes. Sizes the output file
+    * count from the source relation's on-disk statistics (so it only
+    * makes sense for file-backed inputs) and rewrites at roughly
+    * `targetFileBytes` per file. Returns the chosen file count. */
+  def compacted(df: DataFrame, path: String,
+                targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(1, (bytes.toDouble / targetFileBytes).ceil.toInt)
+    df.repartition(n)
+      .write.mode("overwrite").option("compression", "snappy").parquet(path)
+    n
+  }
 }

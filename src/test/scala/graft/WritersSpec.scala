@@ -32,6 +32,33 @@ class WritersSpec extends SparkSpec {
     assert(pruned.count() == 2)
   }
 
+  test("compaction rewrites a many-small-file dataset into few files") {
+    val src = Files.createTempDirectory("graft_frag").toString
+    val dst = Files.createTempDirectory("graft_compact").toString
+    spark.range(0, 10000).toDF("id")
+      .repartition(50) // simulate per-event micro-batch accretion
+      .write.mode("overwrite").parquet(src)
+    val before = new java.io.File(src).list().count(_.endsWith(".parquet"))
+    assert(before == 50)
+    val n = Writers.compacted(spark.read.parquet(src), dst, 64L * 1024 * 1024)
+    val after = new java.io.File(dst).list().count(_.endsWith(".parquet"))
+    assert(n == 1 && after == 1)
+    assert(spark.read.parquet(dst).count() == 10000)
+  }
+
+  test("quarantined csv read splits clean rows from malformed lines") {
+    val dir = Files.createTempDirectory("graft_quarantine").toString
+    val f = new java.io.PrintWriter(s"$dir/in.csv")
+    f.println("id,qty"); f.println("1,10"); f.println("2,notanumber")
+    f.println("3,30"); f.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("qty", org.apache.spark.sql.types.IntegerType)))
+    val (clean, bad) = graft.io.Readers.csvQuarantined(spark, schema, dir)
+    assert(clean.select("id").as[Int].collect().sorted.toSeq == Seq(1, 3))
+    assert(bad.as[String].collect().toSeq == Seq("2,notanumber"))
+  }
+
   test("curated write round-trips unicode strings") {
     val dir = Files.createTempDirectory("graft_curated").toString
     val df = Seq((1, "⭐⭐⭐")).toDF("rating", "icon")
