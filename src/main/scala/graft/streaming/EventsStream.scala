@@ -47,15 +47,20 @@ object EventsStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Raw events file-source stream with proper timestamps (file source
+    * needs a directory; the glob narrows it to the events fixture). */
+  def rawEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** The same aggregation as an unbounded streaming plan with a
     * watermark; drive it with Trigger.AvailableNow or
     * processAllAvailable over the fixture directory. */
   def hourlyAggStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a directory
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    rawEventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), centSum("value").as("total_value"))
@@ -140,6 +145,19 @@ object EventsStream {
           AND c.c_us <= p.p_us AND p.p_us <= c.c_us + $attributionWindowUs
         ORDER BY purchase_id, click_id"""
 
+  /** Production sink shape: stream → partitioned processed zone via
+    * foreachBatch, reusing the batch writer (dynamic partition
+    * overwrite makes per-batch re-runs idempotent — each micro-batch
+    * replaces exactly the partitions it carries, the streaming
+    * equivalent of the reference's per-event job runs). */
+  def streamToProcessed(stream: DataFrame, path: String,
+                        partitionCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.Writers.processed(batch, path, partitionCols)
+      }
+
   /** The same attribution as a STREAM-STREAM inner join: both sides
     * watermarked, and the event-time range condition is what lets the
     * state store evict clicks older than the join window — bounded
@@ -147,11 +165,7 @@ object EventsStream {
     * watermark exceeds the click watermark + window so no late match
     * is dropped under AvailableNow processing. */
   def purchaseAttributionStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = rawEventsStream(spark, dir)
     val clicks = raw.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))

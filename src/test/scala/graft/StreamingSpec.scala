@@ -24,6 +24,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("foreachBatch sink writes the partitioned processed zone from a stream") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val enriched = EventsStream.rawEventsStream(spark, sfTiny)
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+    val q = EventsStream.streamToProcessed(enriched, dir, Seq("year", "month")).start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(dir)
+    val expected = graft.io.Tables.events(spark, sfTiny).count()
+    assert(back.count() == expected)
+    assert(new java.io.File(s"$dir/year=2024").isDirectory)
+  }
+
   test("stream-stream interval join == batch attribution on sf0.001") {
     val q = EventsStream.purchaseAttributionStream(spark, sfTiny)
       .writeStream
