@@ -68,6 +68,29 @@ object EventsStream {
         unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Two-phase salted aggregation surfaced as a real query: event_type
+    * has ~5 values, so at 100 TB every reducer key is pathologically
+    * hot — exactly the case `ops.Scale.saltedAgg` exists for. The
+    * value sum is cent-quantized to a long first (decomposable AND
+    * exact, so the salted two-phase result is bit-identical to the
+    * direct group-by the oracle runs). */
+  def typeTotalsSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    graft.ops.Scale.saltedAgg(ev, Seq("event_type"), "cents")
+      .selectExpr("event_type",
+        "CAST(sum_cents AS BIGINT) / CAST(100 AS DOUBLE) AS total_value",
+        "n_rows")
+      .orderBy("event_type")
+  }
+
+  val typeTotalsSaltedOracle: String =
+    """SELECT event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS total_value,
+         count(*) AS n_rows
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   // ---- stream-stream interval join: purchase → click attribution ----
 
   private val attributionWindowUs: Long = 6L * 3600 * 1000 * 1000

@@ -35,6 +35,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("png header round-trips for arbitrary dimensions and modes") {
+    import graft.llm.MediaCodec
+    val dims = Gen.chooseNum(1, Int.MaxValue)
+    val depth = Gen.oneOf(1, 2, 4, 8, 16)
+    val ctype = Gen.oneOf(0, 2, 3, 4, 6)
+    check("png", Prop.forAll(dims, dims, depth, ctype) { (w, h, bd, ct) =>
+      MediaCodec.parsePng(MediaCodec.makePng(w, h, bd, ct))
+        .contains(MediaCodec.PngHeader(w, h, bd, ct))
+    })
+  }
+
+  test("wav fmt round-trips for arbitrary channel/rate/width combos") {
+    import graft.llm.MediaCodec
+    check("wav", Prop.forAll(
+      Gen.chooseNum(1, 64), Gen.chooseNum(1, 768000), Gen.oneOf(8, 16, 24, 32)) {
+      (ch, sr, bps) =>
+        MediaCodec.parseWav(MediaCodec.makeWav(ch, sr, bps))
+          .contains(MediaCodec.WavFormat(ch, sr, bps))
+    })
+  }
+
+  test("unit-interval hash split is stable and in-range (pure mirror)") {
+    // pure-logic mirror of Curation's md5→32-bit→[0,1) mapping
+    def u(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(8), 16).toDouble / 4294967296.0
+    }
+    check("unitHash", Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { id =>
+      val v = u(id)
+      v == u(id) && v >= 0.0 && v < 1.0
+    })
+  }
+
   test("minhash banding: identical shingle sets share every band key") {
     // pure-logic mirror of Gen.minhashSig determinism: same input string
     // set → same md5-min per permutation
