@@ -140,6 +140,9 @@ object SparkEntry {
     "campaign_rank_by_channel" -> ((s, d) => athena2(s, d, Extras.campaignRankSql)),
     "inventory_union" -> ((s, d) => Extras.inventoryUnion(s, d)),
     "sales_rollup" -> ((s, d) => Extras.salesRollup(s, d)),
+    "sales_grouping_sets" -> ((s, d) => Extras.salesGroupingSets(s, d)),
+    "customers_without_orders" -> ((s, d) => Extras.customersWithoutOrders(s, d)),
+    "customers_with_orders_by_segment" -> ((s, d) => Extras.customersWithOrdersBySegment(s, d)),
     "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
     "file_provenance" -> ((s, d) => Extras.fileProvenance(s, d)))
 
@@ -192,6 +195,9 @@ object SparkEntry {
     "campaign_rank_by_channel" -> OracleSql.withCtes(Extras.campaignRankSql),
     "inventory_union" -> Extras.inventoryUnionOracle,
     "sales_rollup" -> Extras.salesRollupOracle,
+    "sales_grouping_sets" -> Extras.salesGroupingSetsOracle,
+    "customers_without_orders" -> Extras.customersWithoutOrdersOracle,
+    "customers_with_orders_by_segment" -> Extras.customersWithOrdersBySegmentOracle,
     "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,
     "file_provenance" -> Extras.fileProvenanceOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries

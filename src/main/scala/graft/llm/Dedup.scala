@@ -263,6 +263,8 @@ object Dedup {
       labels.unpersist(blocking = false)
       labels = next
       rounds += 1
+      if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+        println(s"dedupClusters round=$rounds checksum=$prevSum converged=$converged")
     }
     edges.unpersist(blocking = false)
     labels.orderBy("doc_id")

@@ -78,6 +78,54 @@ object Extras {
 
   val salesRollupOracle: String = OracleSql.withCtes(salesRollupSql)
 
+  /** GROUPING SETS breadth beyond ROLLUP: the three explicit sets
+    * (category), (year), () — disjoint marginals, not the rollup
+    * hierarchy. Same dialect-common text and quantization rules as
+    * [[salesRollupSql]]. */
+  private val salesGroupingSetsSql: String =
+    """SELECT category, year,
+         CAST(sum(CAST(round(line_total * 100) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS total_revenue,
+         count(*) AS n_lines
+       FROM sales_tx GROUP BY GROUPING SETS ((category), (year), ())
+       ORDER BY category ASC NULLS FIRST, year ASC NULLS FIRST"""
+
+  def salesGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
+    spark.sql(salesGroupingSetsSql)
+  }
+
+  val salesGroupingSetsOracle: String = OracleSql.withCtes(salesGroupingSetsSql)
+
+  /** §2.3+ — semi/anti join breadth (absent in the reference, core
+    * DataFrame API surface): anti = customers that never ordered;
+    * semi = per-segment count of customers that did. Both keep the
+    * build side to the single join column, so the broadcast/shuffle
+    * side is as narrow as the operator allows. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Entities.customers(spark, dir)
+      .join(Entities.orders(spark, dir).select("customer_id"),
+        Seq("customer_id"), "left_anti")
+      .select("customer_id", "area", "customer_segment")
+      .orderBy("customer_id")
+
+  val customersWithoutOrdersOracle: String = OracleSql.withCtes(
+    """SELECT customer_id, area, customer_segment FROM cust_e c
+       WHERE NOT EXISTS (SELECT 1 FROM ord_e o WHERE o.customer_id = c.customer_id)
+       ORDER BY customer_id""")
+
+  def customersWithOrdersBySegment(spark: SparkSession, dir: String): DataFrame =
+    Entities.customers(spark, dir)
+      .join(Entities.orders(spark, dir).select("customer_id"),
+        Seq("customer_id"), "left_semi")
+      .groupBy("customer_segment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("customer_segment")
+
+  val customersWithOrdersBySegmentOracle: String = OracleSql.withCtes(
+    """SELECT customer_segment, count(*) AS n_customers FROM cust_e c
+       WHERE EXISTS (SELECT 1 FROM ord_e o WHERE o.customer_id = c.customer_id)
+       GROUP BY customer_segment ORDER BY customer_segment""")
+
   /** Pivot of sales revenue by delivery status — wide conditional
     * aggregation (Spark `.pivot()`, mirrored as conditional sums). */
   def salesPivotByStatus(spark: SparkSession, dir: String): DataFrame =
