@@ -136,6 +136,7 @@ object SparkEntry {
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
     "events_last_click_asof" -> ((s, d) => EventsStream.purchaseAttributionAsOf(s, d)),
     "events_type_totals_salted" -> ((s, d) => EventsStream.typeTotalsSalted(s, d)),
+    "events_props_json" -> ((s, d) => EventsStream.propsJsonMetrics(s, d)),
     "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
     "campaign_rank_by_channel" -> ((s, d) => athena2(s, d, Extras.campaignRankSql)),
     "inventory_union" -> ((s, d) => Extras.inventoryUnion(s, d)),
@@ -191,6 +192,7 @@ object SparkEntry {
     "events_purchase_attribution" -> EventsStream.purchaseAttributionBatchOracle,
     "events_last_click_asof" -> EventsStream.purchaseAttributionAsOfOracle,
     "events_type_totals_salted" -> EventsStream.typeTotalsSaltedOracle,
+    "events_props_json" -> EventsStream.propsJsonMetricsOracle,
     "events_sessionized" -> Sessionize.sessionsBatchOracle,
     "campaign_rank_by_channel" -> OracleSql.withCtes(Extras.campaignRankSql),
     "inventory_union" -> Extras.inventoryUnionOracle,

@@ -68,6 +68,34 @@ object EventsStream {
         unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Semi-structured column handling: `props` is a JSON string; the
+    * codegen'd JSON-path extraction promotes it to a typed column
+    * without a parse UDF, then aggregates. At scale this is the
+    * "schema-on-read for the messy column" pattern — extraction
+    * happens inside the scan projection, nothing materializes the raw
+    * JSON twice. */
+  def propsJsonMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .selectExpr("event_type",
+        "CAST(get_json_object(props, '$.k') AS INT) AS k")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .selectExpr("event_type", "n_events", "sum_k", "min_k", "max_k",
+        "CAST(sum_k AS DOUBLE) / n_events AS avg_k")
+      .orderBy("event_type")
+
+  val propsJsonMetricsOracle: String =
+    """WITH k_t AS (SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events),
+        agg AS (SELECT event_type, count(*) AS n_events,
+          CAST(sum(k) AS BIGINT) AS sum_k,
+          min(k) AS min_k, max(k) AS max_k
+        FROM k_t GROUP BY event_type)
+        SELECT event_type, n_events, sum_k, min_k, max_k,
+          CAST(sum_k AS DOUBLE) / n_events AS avg_k
+        FROM agg ORDER BY event_type"""
+
   /** Two-phase salted aggregation surfaced as a real query: event_type
     * has ~5 values, so at 100 TB every reducer key is pathologically
     * hot — exactly the case `ops.Scale.saltedAgg` exists for. The
