@@ -19,6 +19,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * At 100 TB both operations are metadata-only (no data movement): the
   * catalog entry is what lets Catalyst prune partitions by name-level
   * predicates across sessions.
+  *
+  * Durability note: these calls target whatever external catalog the
+  * session was built with. The test environment uses the in-memory
+  * catalog (one per SparkContext — Spark's SharedState holds a single
+  * ExternalCatalog per JVM, so suites can't mix implementations); in
+  * production, build the session with `enableHiveSupport()` (the
+  * hive-metastore + derby jars ship with Spark) or a JDBC-backed
+  * metastore and the SAME code paths persist across applications —
+  * the API surface is catalog-implementation-agnostic.
   */
 object Catalog {
 

@@ -59,6 +59,21 @@ class WritersSpec extends SparkSpec {
     assert(bad.as[String].collect().toSeq == Seq("2,notanumber"))
   }
 
+  test("schema evolution: widened batch merges with mergeSchema on read") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // v1 batch: (id, qty); v2 adds a discount column (the inventory
+    // old/new generational split, done at the storage layer)
+    Seq((1, 10), (2, 20)).toDF("id", "qty")
+      .write.mode("append").parquet(dir)
+    Seq((3, 30, 0.1)).toDF("id", "qty", "discount")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "qty", "discount"))
+    assert(merged.count() == 3)
+    val d = merged.filter(col("id") === 1).select("discount").collect().head
+    assert(d.isNullAt(0)) // old rows surface NULL for the new column
+  }
+
   test("curated write round-trips unicode strings") {
     val dir = Files.createTempDirectory("graft_curated").toString
     val df = Seq((1, "⭐⭐⭐")).toDF("rating", "icon")
