@@ -11,9 +11,14 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val names: Seq[String] =
-      if (args.length > 1) args(1).split(",").toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+    // run_verify.sh always passes an outDir as args(1); anything that
+    // names no known query (empty, or a path) means "all queries".
+    val names: Seq[String] = {
+      val asked =
+        if (args.length > 1) args(1).split(",").toSeq.filter(_.nonEmpty) else Seq.empty
+      val known = asked.filter(SparkEntry.queries.contains)
+      if (known.nonEmpty) known else SparkEntry.queries.keys.toSeq.sorted
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -121,6 +121,7 @@ object SparkEntry {
     "dedup_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "corpus_deduped" -> ((s, d) => Dedup.dedupedCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -177,6 +178,7 @@ object SparkEntry {
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,
     "dedup_minhash_pairs" -> Dedup.minhashPairsOracle,
     "dedup_clusters" -> Dedup.dedupClustersOracle,
+    "corpus_deduped" -> Dedup.dedupedCorpusOracle,
     "dedup_simhash" -> Dedup.simhashSignaturesOracle,
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsOracle,

@@ -228,7 +228,10 @@ object Dedup {
     * The DuckDB oracle computes the same closure with a recursive CTE
     * (min reachable node per doc) — identical fixpoint, engine-native
     * recursion. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "dedup_labels", dir)(dedupClustersUncached(spark, dir))
+
+  private def dedupClustersUncached(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
     val edges = pairs
@@ -270,11 +273,13 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
-  val dedupClustersOracle: String = {
-    // the minhashPairs oracle chain, re-yielding just the pair columns
+  /** Shared oracle CTE chain up to the transitive closure `reach` (the
+    * minhashPairs chain re-yielding pair columns, then the recursive
+    * reachability set). */
+  private def closureCtes: String = {
     val agree = (0 until nSigs)
       .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH RECURSIVE ${minhashCtes(DuckD)},
+    s"""${minhashCtes(DuckD)},
         $bandCandCtes,
         surv AS (SELECT c.doc_a, c.doc_b FROM cands c
                  JOIN band_t sa ON c.doc_a = sa.doc_id
@@ -293,10 +298,36 @@ object Dedup {
         reach(src, dst) AS (
           SELECT src, dst FROM edges
           UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)"""
+  }
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $closureCtes
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id"""
+
+  /** The dedup deliverable: the corpus with non-canonical near-dups
+    * REMOVED — every doc that belongs to a cluster but is not its
+    * minimum-id representative is anti-joined away. This is the
+    * relation a training pipeline actually consumes. */
+  def dedupedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val losers = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
   }
+
+  val dedupedCorpusOracle: String =
+    s"""WITH RECURSIVE $closureCtes,
+        labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                   FROM reach GROUP BY src)
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM labels l
+          WHERE l.doc_id = d.doc_id AND l.doc_id <> l.cluster_id)
+        ORDER BY d.doc_id"""
 
   // ---- SimHash ----
 
