@@ -140,9 +140,11 @@ object SparkEntry {
     "events_props_json" -> ((s, d) => EventsStream.propsJsonMetrics(s, d)),
     "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
     "campaign_rank_by_channel" -> ((s, d) => athena2(s, d, Extras.campaignRankSql)),
+    "campaign_distribution" -> ((s, d) => athena2(s, d, Extras.campaignDistributionSql)),
     "inventory_union" -> ((s, d) => Extras.inventoryUnion(s, d)),
     "sales_rollup" -> ((s, d) => Extras.salesRollup(s, d)),
     "sales_grouping_sets" -> ((s, d) => Extras.salesGroupingSets(s, d)),
+    "category_quantity_quartiles" -> ((s, d) => Extras.categoryQuantityQuartiles(s, d)),
     "customers_without_orders" -> ((s, d) => Extras.customersWithoutOrders(s, d)),
     "customers_with_orders_by_segment" -> ((s, d) => Extras.customersWithOrdersBySegment(s, d)),
     "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
@@ -197,9 +199,11 @@ object SparkEntry {
     "events_props_json" -> EventsStream.propsJsonMetricsOracle,
     "events_sessionized" -> Sessionize.sessionsBatchOracle,
     "campaign_rank_by_channel" -> OracleSql.withCtes(Extras.campaignRankSql),
+    "campaign_distribution" -> OracleSql.withCtes(Extras.campaignDistributionSql),
     "inventory_union" -> Extras.inventoryUnionOracle,
     "sales_rollup" -> Extras.salesRollupOracle,
     "sales_grouping_sets" -> Extras.salesGroupingSetsOracle,
+    "category_quantity_quartiles" -> Extras.categoryQuantityQuartilesOracle,
     "customers_without_orders" -> Extras.customersWithoutOrdersOracle,
     "customers_with_orders_by_segment" -> Extras.customersWithOrdersBySegmentOracle,
     "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,

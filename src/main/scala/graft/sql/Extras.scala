@@ -26,6 +26,24 @@ object Extras {
        WINDOW w AS (PARTITION BY channel ORDER BY total_revenue DESC, campaign_id)
        ORDER BY channel, revenue_rank"""
 
+  /** §2.8 breadth — distribution/navigation window functions over the
+    * campaign summary: quartile bucket, percent_rank, cume_dist, and
+    * lead/lag of revenue within a channel. Dialect-common text (run
+    * verbatim on both engines); the window order is total (revenue
+    * desc, campaign_id), so every function is deterministic. The
+    * rank-based functions are integer-ratio arithmetic — identical
+    * IEEE-754 on both engines. */
+  val campaignDistributionSql: String =
+    """SELECT campaign_id, channel, total_revenue,
+         ntile(4) OVER w AS revenue_quartile,
+         percent_rank() OVER w AS revenue_pct_rank,
+         cume_dist() OVER w AS revenue_cume_dist,
+         lead(campaign_id, 1) OVER w AS next_campaign,
+         lag(campaign_id, 1) OVER w AS prev_campaign
+       FROM curated_campaign_performance_summary
+       WINDOW w AS (PARTITION BY channel ORDER BY total_revenue DESC, campaign_id)
+       ORDER BY channel, revenue_pct_rank, campaign_id"""
+
   /** §2.6 — union of the two inventory generations + per-product
     * rollup (sums of ints: exact). */
   def inventoryUnion(spark: SparkSession, dir: String): DataFrame =
@@ -95,6 +113,32 @@ object Extras {
   }
 
   val salesGroupingSetsOracle: String = OracleSql.withCtes(salesGroupingSetsSql)
+
+  /** Exact quartiles of order quantity per category. Function names
+    * differ (Spark `percentile` vs DuckDB `quantile_cont`) but both
+    * interpolate linearly, and at ¼-multiples over integral values
+    * every intermediate is an exact dyadic rational — bit-equal
+    * doubles despite the different formula shapes. Exact percentile
+    * is a full-sort aggregate; at 100 TB prefer `approx_percentile`
+    * (t-digest) unless exactness is contractual. */
+  def categoryQuantityQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
+    spark.sql(
+      """SELECT category,
+           percentile(quantity, 0.25) AS q1,
+           percentile(quantity, 0.5) AS median,
+           percentile(quantity, 0.75) AS q3,
+           count(*) AS n_lines
+         FROM sales_tx GROUP BY category ORDER BY category""")
+  }
+
+  val categoryQuantityQuartilesOracle: String = OracleSql.withCtes(
+    """SELECT category,
+         quantile_cont(quantity, 0.25) AS q1,
+         quantile_cont(quantity, 0.5) AS median,
+         quantile_cont(quantity, 0.75) AS q3,
+         count(*) AS n_lines
+       FROM sales_tx GROUP BY category ORDER BY category""")
 
   /** §2.3+ — semi/anti join breadth (absent in the reference, core
     * DataFrame API surface): anti = customers that never ordered;
