@@ -11,13 +11,27 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    // run_verify.sh always passes an outDir as args(1); anything that
-    // names no known query (empty, or a path) means "all queries".
+    // run_verify.sh always passes an outDir as args(1); a path (or no
+    // arg) means "all queries". A non-path arg is a query list: every
+    // name must be known — a misspelling is an error, not a silent
+    // fall-through to running all 58 queries.
     val names: Seq[String] = {
-      val asked =
-        if (args.length > 1) args(1).split(",").toSeq.filter(_.nonEmpty) else Seq.empty
-      val known = asked.filter(SparkEntry.queries.contains)
-      if (known.nonEmpty) known else SparkEntry.queries.keys.toSeq.sorted
+      val arg = if (args.length > 1) args(1) else ""
+      val isPath = arg.isEmpty || arg.contains("/") ||
+        new java.io.File(arg).exists()
+      if (isPath) SparkEntry.queries.keys.toSeq.sorted
+      else {
+        val asked = arg.split(",").toSeq.filter(_.nonEmpty)
+        val unknown = asked.filterNot(SparkEntry.queries.contains)
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"Unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+              unknown.mkString(", ") +
+              s"\nKnown: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+          sys.exit(2)
+        }
+        asked
+      }
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

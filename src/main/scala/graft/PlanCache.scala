@@ -21,22 +21,43 @@ import org.apache.spark.storage.StorageLevel
   * cold path, and unit tests spin up many short-lived sessions.
   */
 object PlanCache {
-  private val cache = TrieMap[(Int, String, String), DataFrame]()
+  private val cache = TrieMap[(String, String, String), DataFrame]()
 
   def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.cachePrefixes").exists(_.toBoolean)
 
-  /** Build-or-reuse the prefix `key` over fixture dir `dir`. */
+  /** Unique, never-reused id per session (identity hashes can collide
+    * between live objects and be re-issued after GC; a minted UUID
+    * can't — Spark's own `sessionUUID` is `private[sql]`, so mint our
+    * own, weakly keyed so the map never pins a session). */
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
+  /** Build-or-reuse the prefix `key` over fixture dir `dir`. Entries
+    * whose owning context has stopped are evicted lazily here, so
+    * short-lived test sessions don't accrete dead DataFrames. */
   def apply(spark: SparkSession, key: String, dir: String)(
       build: => DataFrame): DataFrame =
     if (!enabled(spark)) build
-    else cache.getOrElseUpdate(
-      (System.identityHashCode(spark), key, dir),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    else {
+      evictStopped()
+      cache.getOrElseUpdate(
+        (sessionId(spark), key, dir),
+        build.persist(StorageLevel.MEMORY_AND_DISK))
+    }
+
+  private def evictStopped(): Unit =
+    cache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
 
   /** Drop every cached prefix (between scale factors / at shutdown). */
   def clear(): Unit = {
-    cache.values.foreach(_.unpersist(blocking = false))
+    cache.values.foreach { df =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
+    }
     cache.clear()
   }
 }

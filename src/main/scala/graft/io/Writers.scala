@@ -37,13 +37,26 @@ object Writers {
     * zone needs: event-driven ingests (the reference re-runs a job per
     * S3 object) accrete thousands of tiny files, and at 100 TB scan
     * cost is dominated by file count, not bytes. Sizes the output file
-    * count from the source relation's on-disk statistics (so it only
-    * makes sense for file-backed inputs) and rewrites at roughly
-    * `targetFileBytes` per file. Returns the chosen file count. */
+    * count from the ACTUAL on-disk bytes of the file-backed leaves
+    * (`FileIndex.sizeInBytes`) and rewrites at roughly
+    * `targetFileBytes` per file. For a plan with no file-backed leaf
+    * (e.g. an in-memory join) the planner's `stats.sizeInBytes` is a
+    * default-huge estimate, not a measurement — falling back to it
+    * naively would attempt `repartition(Int.MaxValue)`; instead the
+    * fallback is clamped to `maxFiles`. Returns the chosen file count. */
   def compacted(df: DataFrame, path: String,
-                targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n = math.max(1, (bytes.toDouble / targetFileBytes).ceil.toInt)
+                targetFileBytes: Long = 128L * 1024 * 1024,
+                maxFiles: Int = 10000): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val fileBytes = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation].location.sizeInBytes
+    }
+    val bytes: BigInt =
+      if (fileBytes.nonEmpty) BigInt(fileBytes.sum)
+      else df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes.toDouble / targetFileBytes).ceil
+      .max(1).min(maxFiles).toInt
     df.repartition(n)
       .write.mode("overwrite").option("compression", "snappy").parquet(path)
     n

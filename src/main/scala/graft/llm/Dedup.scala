@@ -221,15 +221,18 @@ object Dedup {
     * representative (the minimum doc_id reachable, self included).
     *
     * Implementation is iterative min-label propagation over the
-    * undirected edge set — each round is one shuffle join + min-agg,
-    * and rounds are bounded by the cluster diameter (near-dup clusters
-    * are shallow; the loop converges in 2-3 rounds on real corpora).
-    * The driver-side loop carries only a convergence bit, never data —
-    * the standard Spark connected-components shape (GraphX/GraphFrames
-    * iterate exactly like this; large-star/small-star would cut rounds
-    * to O(log n) for pathological chain graphs). Intermediate label
-    * states are persisted per round and unpersisted as soon as the
-    * next round materializes, so lineage stays bounded.
+    * undirected edge set, with a POINTER-JUMPING shortcut each round
+    * (label := label(label)) so convergence is O(log diameter) rather
+    * than O(diameter): a million-node chain converges inside the
+    * 20-round cap, and if the cap is ever exhausted the loop FAILS
+    * LOUDLY instead of silently returning a non-fixpoint labeling.
+    * Each round is two shuffle joins + a min-agg; the driver-side loop
+    * carries only a convergence bit, never data — the standard Spark
+    * connected-components shape (GraphX/GraphFrames iterate like
+    * this; the shortcut plays the role of large-star/small-star's
+    * round compression). Intermediate label states are persisted per
+    * round and unpersisted as soon as the next round materializes, so
+    * lineage stays bounded.
     *
     * The DuckDB oracle computes the same closure with a recursive CTE
     * (min reachable node per doc) — identical fixpoint, engine-native
@@ -237,11 +240,26 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache(spark, "dedup_labels", dir)(dedupClustersUncached(spark, dir))
 
-  private def dedupClustersUncached(spark: SparkSession, dir: String): DataFrame = {
+  private def dedupClustersUncached(spark: SparkSession, dir: String): DataFrame =
+    propagateLabels(minhashPairs(spark, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** Min-label propagation with pointer jumping over an undirected
+    * pair relation (columns: doc_a, doc_b). Exposed for the chain-graph
+    * convergence spec; `maxRounds` is the fail-loud cap (the default
+    * handles components of diameter up to ~2^20).
+    *
+    * Each round: (1) every node takes the min of its own label and its
+    * neighbors' labels (edge propagation); (2) every node re-reads the
+    * current label OF its label (pointer jump) — labels are doc_ids, so
+    * the label table doubles as the jump table. Both steps are
+    * label-monotone (never increase), so the monotone-checksum
+    * convergence test stays sound, and the jump compresses path length
+    * geometrically: round k bounds label distance by ~2^k edges. */
+  private[graft] def propagateLabels(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+    val edges = pairs.toDF("doc_a", "doc_b")
+      .union(pairs.toDF("doc_a", "doc_b").select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id"))
@@ -259,12 +277,21 @@ object Dedup {
     var converged = false
     var rounds = 0
     var prevSum = checksum(labels)
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
       val propagated = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("cluster_id"))
-      val next = labels.union(propagated)
+      val hopped = labels.union(propagated)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      // Pointer jump: cluster_id values are doc_ids, so `hopped` is its
+      // own jump table. Left join (the min label of a component labels
+      // itself, but stay total under any future relabeling).
+      val jump = hopped.select(
+        col("doc_id").as("j_id"), col("cluster_id").as("j_cluster"))
+      val next = hopped
+        .join(jump, hopped("cluster_id") === jump("j_id"), "left")
+        .select(hopped("doc_id"),
+          coalesce(col("j_cluster"), hopped("cluster_id")).as("cluster_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nextSum = checksum(next)
       converged = nextSum.compareTo(prevSum) == 0
@@ -276,7 +303,14 @@ object Dedup {
         println(s"dedupClusters round=$rounds checksum=$prevSum converged=$converged")
     }
     edges.unpersist(blocking = false)
-    labels.orderBy("doc_id")
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"dedupClusters: label propagation did not reach a fixpoint in " +
+          s"$maxRounds rounds — component diameter exceeds ~2^$maxRounds; " +
+          "raise maxRounds rather than trusting a non-fixpoint labeling")
+    }
+    labels
   }
 
   /** Shared oracle CTE chain up to the transitive closure `reach` (the

@@ -56,19 +56,29 @@ object MediaCodec {
     }
 
   /** Walk RIFF chunks to the "fmt " chunk (not assumed first — real
-    * writers emit LIST/INFO chunks before it). None if absent. */
+    * writers emit LIST/INFO chunks before it). None if absent.
+    *
+    * Payload bytes are untrusted: the RIFF chunk size field is read as
+    * UNSIGNED 32-bit into a Long cursor, so a crafted size (e.g.
+    * 0xFFFFFFF8, which a signed read would treat as -8 and advance the
+    * offset by zero — an infinite loop pinning an executor task) walks
+    * harmlessly off the end instead. A strictly-advancing check guards
+    * any residual arithmetic surprise. */
   def parseWav(payload: Array[Byte]): Option[WavFormat] = {
     if (sniff(payload) != "wav") return None
-    var off = 12
+    var off: Long = 12L
     while (off + 8 <= payload.length) {
-      val tag = new String(payload.slice(off, off + 4), "US-ASCII")
-      val size = le32(payload, off + 4)
-      if (tag == "fmt " && off + 8 + 16 <= payload.length && size >= 16)
+      val o = off.toInt
+      val tag = new String(payload.slice(o, o + 4), "US-ASCII")
+      val size = le32(payload, o + 4) & 0xFFFFFFFFL
+      if (tag == "fmt " && o + 8 + 16 <= payload.length && size >= 16)
         return Some(WavFormat(
-          channels = le16(payload, off + 10),
-          sampleRateHz = le32(payload, off + 12),
-          bitsPerSample = le16(payload, off + 22)))
-      off += 8 + size + (size & 1) // chunks are word-aligned
+          channels = le16(payload, o + 10),
+          sampleRateHz = le32(payload, o + 12),
+          bitsPerSample = le16(payload, o + 22)))
+      val next = off + 8 + size + (size & 1) // chunks are word-aligned
+      if (next <= off) return None
+      off = next
     }
     None
   }

@@ -25,11 +25,19 @@ object Scale {
   def saltCol(salts: Int, cols: Seq[Column]): Column =
     pmod(hash(cols: _*), lit(salts))
 
-  /** Two-phase (salted) sum+count aggregation over `keys`. */
+  /** Two-phase (salted) sum+count aggregation over `keys`.
+    *
+    * The salt hashes only (keys + valueCol), not the whole row: any
+    * deterministic per-row spread works for decomposable aggregates,
+    * and at 100 TB a full-width hash makes salt cost scale with scan
+    * width for no extra spread. (Determinism matters: a rand() salt
+    * can double-count rows under shuffle-fetch retry, SPARK-23207.
+    * Caveat: a hot key whose values are ALSO constant defeats this
+    * spread — add another cheap column to `saltCol` in that case.) */
   def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String,
                 salts: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      saltCol(salts, df.columns.map(col).toSeq))
+      saltCol(salts, (keys :+ valueCol).map(col)))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

@@ -124,4 +124,22 @@ class LlmSpec extends SparkSpec {
     val g = Dedup.exactDedup(spark, sfTiny).select("n_docs").as[Long].collect()
     assert(g.sum == 500)
   }
+
+  test("label propagation converges on a diameter-30 chain inside the cap") {
+    // Pathological shape for naive propagation: one 31-node chain —
+    // O(diameter) would need 30 rounds; pointer jumping lands well
+    // under the default 20-round cap.
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateLabels(chain).as[(Long, Long)].collect().toMap
+    assert(labels.size == 31)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("label propagation fails loudly when the round cap is exhausted") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.propagateLabels(chain, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
 }

@@ -50,6 +50,30 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.parsePng(bad).isEmpty)
   }
 
+  test("wav parser terminates on crafted chunk sizes (untrusted bytes)") {
+    // A signed reading of size 0xFFFFFFF8 (-8) would advance the chunk
+    // cursor by exactly zero bytes — an infinite loop on an executor.
+    // Unsigned reading walks off the end and returns None promptly.
+    def riff(chunks: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++
+        Array((4 + chunks.length).toByte, 0.toByte, 0.toByte, 0.toByte) ++
+        "WAVE".getBytes("US-ASCII") ++ chunks
+    val sizes = Seq(0xFFFFFFF8, -1, Int.MinValue, Int.MaxValue, 0x7FFFFFF9)
+    for (s <- sizes) {
+      val junk = "JUNK".getBytes("US-ASCII") ++
+        Array(s.toByte, (s >>> 8).toByte, (s >>> 16).toByte, (s >>> 24).toByte) ++
+        Array.fill(16)(0.toByte)
+      assert(MediaCodec.parseWav(riff(junk)).isEmpty, s"size=$s")
+    }
+    // a valid fmt BEFORE the hostile chunk still parses
+    val good = MediaCodec.makeWav(2, 44100)
+    val hostile = "JUNK".getBytes("US-ASCII") ++
+      Array(0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    val mixed = good ++ hostile
+    assert(MediaCodec.parseWav(mixed)
+      .contains(MediaCodec.WavFormat(2, 44100, 16)))
+  }
+
   test("typed mapPartitions header extraction matches per-row expectation") {
     val rows = Multimodal.extractHeaders(Multimodal.syntheticMedia(spark, sfTiny))
       .collect().sortBy(_.doc_id)
