@@ -50,6 +50,28 @@ object PlanCache {
         build.persist(StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Like [[apply]], but when `spark.graft.featureTableDir` is also
+    * set the prefix is MATERIALIZED TO A PARQUET SIDE-TABLE and read
+    * back, instead of persisted in block storage. This is the 100 TB
+    * pattern for wide, expensive, many-consumer relations (e.g. the
+    * dedup feature table of shingle arrays + signatures): written once
+    * to columnar storage, every consumer scans it with column pruning
+    * — array columns never squat in executor memory between queries.
+    * Without the dir conf it degrades to the persist path. */
+  def sideTable(spark: SparkSession, key: String, dir: String)(
+      build: => DataFrame): DataFrame =
+    spark.conf.getOption("spark.graft.featureTableDir") match {
+      case Some(root) if enabled(spark) =>
+        evictStopped()
+        cache.getOrElseUpdate((sessionId(spark), s"st_$key", dir), {
+          val path = s"$root/${key}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+          build.write.mode("overwrite")
+            .option("compression", "snappy").parquet(path)
+          spark.read.parquet(path)
+        })
+      case _ => apply(spark, key, dir)(build)
+    }
+
   private def evictStopped(): Unit =
     cache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
 

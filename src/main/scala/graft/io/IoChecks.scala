@@ -1,0 +1,93 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Oracle-checked end-to-end exercises of the IO layer (S1/S3/S4
+  * hardening): previously these behaviors were spec-only; surfacing
+  * them as `SparkEntry.queries` entries gives them DuckDB-checked
+  * rows/schema/hash verification at every scale factor the driver runs.
+  *
+  * Both queries round-trip fixture data through real files under
+  * java.io.tmpdir (re-written per invocation — `mode=overwrite`
+  * keeps them idempotent), then reduce to small deterministic
+  * summaries a DuckDB query over the ORIGINAL parquet fixture can
+  * reproduce — so what's verified is that the file round-trip is
+  * lossless, not just that counting works.
+  */
+object IoChecks {
+
+  /** Stable scratch dir per (query, fixture dir) — bench and verify
+    * may interleave SFs in one JVM. */
+  private def scratch(tag: String, sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** S1 quarantine split as a query: render `orders` to CSV with a
+    * deterministic corruption rule (o_orderkey % 97 == 0 → a
+    * non-numeric token in a column declared INT), read it back through
+    * [[Readers.csvQuarantined]], and summarize both sides with key
+    * checksums. The quarantined side's checksum is recomputed FROM THE
+    * RAW QUARANTINED LINES (first CSV field), proving malformed input
+    * is preserved verbatim rather than dropped — the property the
+    * reference's inferSchema read silently lacks. */
+  def csvQuarantineSplit(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("quarantine", sfDir)
+    Tables.orders(s, sfDir).select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("customer_id"),
+        when(col("o_orderkey") % 97 === 0, lit("corrupt"))
+          .otherwise((col("o_orderkey") % 1000).cast("string")).as("qty"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+
+    val schema = StructType(Seq(
+      StructField("order_id", LongType), StructField("customer_id", LongType),
+      StructField("qty", IntegerType)))
+    val (clean, quarantined) = Readers.csvQuarantined(s, schema, dir)
+    val cleanSide = clean.agg(
+        count(lit(1)).as("n_rows"), sum(col("order_id")).as("key_sum"))
+      .withColumn("split", lit("clean"))
+    val badSide = quarantined
+      .select(split(col("raw_line"), ",").getItem(0).cast("long").as("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"))
+      .withColumn("split", lit("quarantined"))
+    cleanSide.unionByName(badSide)
+      .select("split", "n_rows", "key_sum").orderBy("split")
+  }
+
+  val csvQuarantineSplitOracle: String =
+    """SELECT * FROM (
+         SELECT 'clean' AS split, count(*) AS n_rows,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders WHERE o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT 'quarantined', count(*),
+                CAST(sum(o_orderkey) AS BIGINT)
+         FROM orders WHERE o_orderkey % 97 = 0)
+       ORDER BY split"""
+
+  /** S3/S4 compaction as a query: fragment `events` into 64 small
+    * files (the event-driven-ingest pathology), compact via
+    * [[Writers.compacted]] (sized from actual on-disk bytes), and
+    * summarize the compacted zone — count, key checksum, and distinct
+    * users must survive both rewrites bit-for-bit. */
+  def compactionRoundtrip(s: SparkSession, sfDir: String): DataFrame = {
+    val smallDir = scratch("compact_small", sfDir)
+    val outDir = scratch("compact_out", sfDir)
+    Tables.events(s, sfDir).repartition(64)
+      .write.mode("overwrite").parquet(smallDir)
+    Writers.compacted(s.read.parquet(smallDir), outDir,
+      targetFileBytes = 32L * 1024 * 1024)
+    s.read.parquet(outDir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("event_id")).as("event_id_sum"),
+      countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val compactionRoundtripOracle: String =
+    """SELECT count(*) AS n_rows,
+              CAST(sum(event_id) AS BIGINT) AS event_id_sum,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events"""
+}

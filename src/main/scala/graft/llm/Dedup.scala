@@ -92,7 +92,7 @@ object Dedup {
     * queries. At 100 TB this is the feature table you materialize to
     * storage once and join against, not a per-query recompute. */
   private[llm] def docFeatures(spark: SparkSession, dir: String): DataFrame =
-    graft.PlanCache(spark, "doc_features", dir) {
+    graft.PlanCache.sideTable(spark, "doc_features", dir) {
       Tables.documents(spark, dir)
         .selectExpr("doc_id", "lang", "source", s"${shinglesSql(SparkD)} AS sh")
         .selectExpr(Seq("doc_id", "lang", "source", "sh",
