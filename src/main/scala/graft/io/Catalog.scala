@@ -38,8 +38,17 @@ object Catalog {
   /** Processed zone → external table over an existing partitioned
     * path + partition recovery (crawler's "update partitions" path). */
   def registerExternal(spark: SparkSession, name: String, path: String): Unit = {
+    registerExternalUnpartitioned(spark, name, path)
+    spark.catalog.recoverPartitions(name)
+  }
+
+  /** Unpartitioned external zone (e.g. a curated table written by
+    * [[Writers.curated]] that should stay at its path rather than be
+    * copied into the warehouse) — registration without the partition
+    * recovery step, which Spark rejects on unpartitioned tables. */
+  def registerExternalUnpartitioned(spark: SparkSession, name: String,
+                                    path: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$path'")
-    spark.catalog.recoverPartitions(name)
   }
 }
