@@ -114,7 +114,9 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "corpus_split" -> ((s, d) => Curation.sampleSplit(s, d)),
+    "corpus_curated" -> ((s, d) => Curation.curatedCorpus(s, d)),
     "corpus_source_quota" -> ((s, d) => Curation.sourceQuota(s, d)),
     "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -188,7 +190,9 @@ object SparkEntry {
     "text_stats" -> TextAnalysis.textStatsOracle,
     "text_language_id" -> TextAnalysis.languageIdOracle,
     "text_repetition" -> TextAnalysis.repetitionOracle,
+    "text_bpe_tokens" -> TextAnalysis.bpeTokensOracle,
     "corpus_split" -> Curation.sampleSplitOracle,
+    "corpus_curated" -> Curation.curatedCorpusOracle,
     "corpus_source_quota" -> Curation.sourceQuotaOracle,
     "doc_fingerprints" -> TextAnalysis.fingerprintsOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,

@@ -80,4 +80,62 @@ object Curation {
         FROM u_t
         QUALIFY pick_rank <= $quotaPerSource
         ORDER BY doc_id"""
+
+  // ---- the full curation pipeline as one relation ----
+
+  private val qualityFilter =
+    "quality_score >= 0.5 AND is_match = 1 AND n_tokens >= 5"
+
+  /** The end-to-end training-corpus assembly a data team actually
+    * ships, composed from the engine's own operators in one plan:
+    * quality gate ([[TextAnalysis.statsRelation]]), language-ID
+    * agreement ([[TextAnalysis.langRelation]]), near-dup removal
+    * (anti-join against [[Dedup.dedupClusters]] non-canonical docs),
+    * and reproducible split assignment — emitting the per-document
+    * manifest (id, lang, source, tokens, quality, split).
+    *
+    * Plan shape at 100 TB: three equi-joins on doc_id (the two filter
+    * relations are per-row projections of the same scan — Catalyst
+    * collapses them into shuffle-join inputs with pruned columns), one
+    * left-anti against the small label relation, and a pure projection
+    * for the split. No operator here is new — the point is that the
+    * building blocks compose into the real pipeline without glue code. */
+  def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stats = TextAnalysis.statsRelation(spark, dir)
+      .select("doc_id", "n_tokens", "quality_score")
+    val lang = TextAnalysis.langRelation(spark, dir).select("doc_id", "is_match")
+    val losers = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source")
+      .join(stats, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .where(qualityFilter)
+      .selectExpr(Seq("doc_id", "lang", "source", "n_tokens", "quality_score")
+        ++ unitHashCtes(SparkD).take(1): _*)
+      .selectExpr("doc_id", "lang", "source", "n_tokens", "quality_score",
+        unitHashCtes(SparkD)(1))
+      .selectExpr("doc_id", "lang", "source", "n_tokens", "quality_score", splitExpr)
+      .orderBy("doc_id")
+  }
+
+  val curatedCorpusOracle: String =
+    s"""WITH RECURSIVE ${Dedup.closureCtes},
+        labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                   FROM reach GROUP BY src),
+        ${TextAnalysis.statsCtes},
+        ${TextAnalysis.langCtes},
+        uh_t AS (SELECT doc_id, ${unitHashCtes(DuckD).head} FROM documents),
+        uu_t AS (SELECT doc_id, ${unitHashCtes(DuckD)(1)} FROM uh_t)
+        SELECT d.doc_id, d.lang, d.source, s.n_tokens, s.quality_score, $splitExpr
+        FROM documents d
+        JOIN stats s ON d.doc_id = s.doc_id
+        JOIN lang_t l ON d.doc_id = l.doc_id
+        JOIN uu_t uu ON d.doc_id = uu.doc_id
+        WHERE s.quality_score >= 0.5 AND l.is_match = 1 AND s.n_tokens >= 5
+          AND NOT EXISTS (SELECT 1 FROM labels lb
+            WHERE lb.doc_id = d.doc_id AND lb.doc_id <> lb.cluster_id)
+        ORDER BY d.doc_id"""
 }

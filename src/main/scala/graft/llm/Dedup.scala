@@ -316,7 +316,7 @@ object Dedup {
   /** Shared oracle CTE chain up to the transitive closure `reach` (the
     * minhashPairs chain re-yielding pair columns, then the recursive
     * reachability set). */
-  private def closureCtes: String = {
+  private[llm] def closureCtes: String = {
     val agree = (0 until nSigs)
       .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END").mkString(" + ")
     s"""${minhashCtes(DuckD)},

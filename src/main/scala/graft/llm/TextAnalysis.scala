@@ -52,12 +52,23 @@ object TextAnalysis {
     "least(n_tokens, 100) / CAST(100 AS DOUBLE) * 0.4 + (1.0 - punct_ratio) * 0.3 " +
       "+ least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality_score"
 
-  def textStats(spark: SparkSession, dir: String): DataFrame =
+  /** Unordered stats relation — reused by [[Curation.curatedCorpus]]
+    * as a join input, where a total order would be a wasted sort. */
+  private[llm] def statsRelation(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .selectExpr(statsCols(SparkD): _*)
       .selectExpr(statsDerived: _*)
       .selectExpr("*", qualityExpr)
-      .orderBy("doc_id")
+
+  /** DuckDB CTE chain ending in `stats(doc_id, n_tokens, ...columns...,
+    * quality_score)` — the oracle twin of [[statsRelation]]. */
+  private[llm] def statsCtes: String =
+    s"""stats_base AS (SELECT ${statsCols(DuckD).mkString(", ")} FROM documents),
+        stats_derived AS (SELECT ${statsDerived.mkString(", ")} FROM stats_base),
+        stats AS (SELECT *, $qualityExpr FROM stats_derived)"""
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    statsRelation(spark, dir).orderBy("doc_id")
 
   val textStatsOracle: String =
     s"""WITH base AS (SELECT ${statsCols(DuckD).mkString(", ")} FROM documents),
@@ -89,12 +100,22 @@ object TextAnalysis {
             WHEN s_es > s_en THEN 'es'
             ELSE 'en' END AS lang_pred"""
 
-  def languageId(spark: SparkSession, dir: String): DataFrame =
+  /** Unordered language-ID relation (see [[statsRelation]]). */
+  private[llm] def langRelation(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .selectExpr(langScoreCols(SparkD): _*)
       .selectExpr("*", langPredExpr)
       .selectExpr("*", "CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS is_match")
-      .orderBy("doc_id")
+
+  /** DuckDB CTE chain ending in `lang_t(doc_id, ..., is_match)`. */
+  private[llm] def langCtes: String =
+    s"""lang_scores AS (SELECT ${langScoreCols(DuckD).mkString(", ")} FROM documents),
+        lang_p AS (SELECT *, $langPredExpr FROM lang_scores),
+        lang_t AS (SELECT *, CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS is_match
+                   FROM lang_p)"""
+
+  def languageId(spark: SparkSession, dir: String): DataFrame =
+    langRelation(spark, dir).orderBy("doc_id")
 
   val languageIdOracle: String =
     s"""WITH scores AS (SELECT ${langScoreCols(DuckD).mkString(", ")} FROM documents),
@@ -131,6 +152,49 @@ object TextAnalysis {
     s"""WITH g_t AS (SELECT doc_id, ${grams3(words("text", DuckD), DuckD)} AS g FROM documents),
         base AS (SELECT ${repetitionCols(DuckD).mkString(", ")} FROM g_t)
         SELECT ${repetitionDerived.mkString(", ")} FROM base ORDER BY doc_id"""
+
+  // ---- BPE-style pre-tokenization count ----
+
+  /** GPT-2-family pre-tokenizer pattern, lookahead-free so it runs on
+    * both Java regex (Spark) and RE2 (DuckDB): contraction suffixes,
+    * then space-prefixed letter runs, digit runs, and punctuation
+    * runs. Whitespace-only spans match no branch, so the match count
+    * is the pre-token count a byte-level BPE would feed its merges.
+    * The apostrophe is escaped per SQL dialect (backslash vs doubled
+    * quote); backslashes per the [[re]] rule. */
+  private def bpeRe(d: Dialect): String = d match {
+    case SparkD =>
+      "\\'(?:s|t|re|ve|m|ll|d)| ?[\\\\p{L}]+| ?[\\\\p{N}]+| ?[^\\\\s\\\\p{L}\\\\p{N}]+"
+    case DuckD =>
+      "''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+  }
+
+  private def bpeCols(d: Dialect): Seq[String] = Seq(
+    "doc_id",
+    s"CAST(${reCount("text", bpeRe(d), d)} AS INTEGER) AS n_bpe_tokens",
+    s"CAST(${arrLen(words("text", d), d)} AS INTEGER) AS n_ws_tokens",
+    "CAST(length(text) AS INTEGER) AS n_chars")
+
+  private val bpeDerived: Seq[String] = Seq(
+    "*",
+    "CASE WHEN n_bpe_tokens > 0 THEN n_chars / n_bpe_tokens " +
+      "ELSE CAST(0 AS DOUBLE) END AS chars_per_bpe_token",
+    "CASE WHEN n_ws_tokens > 0 THEN n_bpe_tokens / n_ws_tokens " +
+      "ELSE CAST(0 AS DOUBLE) END AS bpe_per_ws_token")
+
+  /** Token counting at BPE granularity — the budget unit that matters
+    * for context-window packing and training-cost estimates, where
+    * whitespace tokens undercount by the punctuation/digit split
+    * factor. Per-row codegen'd projection like the rest of the file. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr(bpeCols(SparkD): _*)
+      .selectExpr(bpeDerived: _*)
+      .orderBy("doc_id")
+
+  val bpeTokensOracle: String =
+    s"""WITH base AS (SELECT ${bpeCols(DuckD).mkString(", ")} FROM documents)
+        SELECT ${bpeDerived.mkString(", ")} FROM base ORDER BY doc_id"""
 
   // ---- fingerprints ----
 

@@ -16,7 +16,7 @@ class PlanContractSpec extends SparkSpec {
     "customer_feedback_enriched", "curated_revenue_by_category",
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
     "dedup_embedding", "ann_lsh_topk", "events_purchase_attribution",
-    "events_last_click_asof", "corpus_source_quota")
+    "events_last_click_asof", "corpus_source_quota", "corpus_curated")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
