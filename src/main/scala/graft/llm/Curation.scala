@@ -87,32 +87,35 @@ object Curation {
     "quality_score >= 0.5 AND is_match = 1 AND n_tokens >= 5"
 
   /** The end-to-end training-corpus assembly a data team actually
-    * ships, composed from the engine's own operators in one plan:
-    * quality gate ([[TextAnalysis.statsRelation]]), language-ID
-    * agreement ([[TextAnalysis.langRelation]]), near-dup removal
-    * (anti-join against [[Dedup.dedupClusters]] non-canonical docs),
-    * and reproducible split assignment — emitting the per-document
-    * manifest (id, lang, source, tokens, quality, split).
+    * ships, composed from the engine's own operator surface in one
+    * plan: quality gate (the [[TextAnalysis]] stats columns),
+    * language-ID agreement, near-dup removal (anti-join against
+    * [[Dedup.dedupClusters]] non-canonical docs), and reproducible
+    * split assignment — emitting the per-document manifest (id, lang,
+    * source, tokens, quality, split).
     *
-    * Plan shape at 100 TB: three equi-joins on doc_id (the two filter
-    * relations are per-row projections of the same scan — Catalyst
-    * collapses them into shuffle-join inputs with pruned columns), one
-    * left-anti against the small label relation, and a pure projection
-    * for the split. No operator here is new — the point is that the
-    * building blocks compose into the real pipeline without glue code. */
+    * Plan shape at 100 TB: the quality, language, and split columns
+    * are all per-row functions of the SAME document row, so they are
+    * fused into one projection chain over ONE scan (never computed as
+    * separate relations joined back on doc_id — that would be three
+    * scans and two shuffle joins for what codegen does in a single
+    * pass). The only join is the left-anti against the small
+    * cluster-label relation. */
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val stats = TextAnalysis.statsRelation(spark, dir)
-      .select("doc_id", "n_tokens", "quality_score")
-    val lang = TextAnalysis.langRelation(spark, dir).select("doc_id", "is_match")
     val losers = Dedup.dedupClusters(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     Tables.documents(spark, dir)
-      .select("doc_id", "lang", "source")
-      .join(stats, Seq("doc_id"))
-      .join(lang, Seq("doc_id"))
-      .join(losers, Seq("doc_id"), "left_anti")
+      // one scan: stats + language scores side by side (both consume
+      // `text`; doc_id/lang arrive via the stats/lang col lists)
+      .selectExpr(TextAnalysis.statsCols(SparkD)
+        ++ Seq("source") ++ TextAnalysis.langScoreCols(SparkD).drop(2)
+        ++ Seq("lang"): _*)
+      .selectExpr(TextAnalysis.statsDerived: _*)
+      .selectExpr("*", TextAnalysis.qualityExpr, TextAnalysis.langPredExpr)
+      .selectExpr("*", "CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS is_match")
       .where(qualityFilter)
+      .join(losers, Seq("doc_id"), "left_anti")
       .selectExpr(Seq("doc_id", "lang", "source", "n_tokens", "quality_score")
         ++ unitHashCtes(SparkD).take(1): _*)
       .selectExpr("doc_id", "lang", "source", "n_tokens", "quality_score",

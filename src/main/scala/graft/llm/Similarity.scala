@@ -173,6 +173,39 @@ object Similarity {
         SELECT query_id, vec_id, cell, rank, cosine FROM ranked
         WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  /** One k-means refinement step over the IVF assignment — how the
+    * coarse quantizer is actually trained at scale (Lloyd iteration:
+    * assign → recompute centroids; [[ivfAssigned]] is the assign
+    * half). Emits the refreshed centroid in long form (cell, dim,
+    * mean) plus member counts.
+    *
+    * Determinism: a double mean is order-dependent under parallel sum,
+    * so each element is quantized to 1e-7 (CAST(round(x·1e7) AS
+    * BIGINT)), summed exactly (order-independent), then unscaled and
+    * divided — the repo's centSum pattern applied per dimension. Plan
+    * shape: posexplode → hash agg on (cell, dim) with map-side partial
+    * aggregation — one shuffle keyed wide enough (cells × 64 dims) to
+    * spread across any cluster. */
+  def ivfKmeansStep(spark: SparkSession, dir: String): DataFrame =
+    ivfAssigned(spark, dir)
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr("CAST(round(x * 10000000) AS BIGINT)")).as("qs"))
+      .selectExpr("cell", "dim", "n_members",
+        "qs / CAST(10000000 AS DOUBLE) / n_members AS mean_x")
+      .orderBy("cell", "dim")
+
+  val ivfKmeansStepOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        m AS (SELECT a.cell, d.dim, count(*) AS n_members,
+                sum(CAST(round(a.v[d.dim + 1] * 10000000) AS BIGINT)) AS qs
+              FROM assigned a CROSS JOIN range(0, 64) d(dim)
+              GROUP BY a.cell, d.dim)
+        SELECT cell, dim, n_members,
+               qs / CAST(10000000 AS DOUBLE) / n_members AS mean_x
+        FROM m ORDER BY cell, dim"""
+
   val lshTopKOracle: String =
     s"""WITH ${vecsCte(DuckD)},
         bkt AS (SELECT vec_id, v, nrm, CAST(${lshBucket("v", nPlanes, DuckD)} AS INTEGER) AS bucket FROM e),

@@ -25,7 +25,7 @@ object TextAnalysis {
 
   // ---- text_stats ----
 
-  private def statsCols(d: Dialect): Seq[String] = {
+  private[llm] def statsCols(d: Dialect): Seq[String] = {
     val w = words("text", d)
     Seq(
       "doc_id",
@@ -39,7 +39,7 @@ object TextAnalysis {
       }) + " AS n_chars_no_ws")
   }
 
-  private val statsDerived: Seq[String] = Seq(
+  private[llm] val statsDerived: Seq[String] = Seq(
     "*",
     "n_chars_no_ws / n_tokens AS avg_token_len",
     "punct_count / n_chars AS punct_ratio",
@@ -48,7 +48,7 @@ object TextAnalysis {
   /** Note: the divisor is CAST to DOUBLE because Spark SQL parses the
     * literal `100.0` as DECIMAL(4,1) — int/decimal would be decimal
     * division there but double division in DuckDB (1-ulp divergence). */
-  private val qualityExpr: String =
+  private[llm] val qualityExpr: String =
     "least(n_tokens, 100) / CAST(100 AS DOUBLE) * 0.4 + (1.0 - punct_ratio) * 0.3 " +
       "+ least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality_score"
 
@@ -77,7 +77,7 @@ object TextAnalysis {
 
   // ---- language ID (n-gram / stopword heuristic) ----
 
-  private def langScoreCols(d: Dialect): Seq[String] = {
+  private[llm] def langScoreCols(d: Dialect): Seq[String] = {
     val low = "lower(text)"
     val cjk = d match {
       case SparkD => "[\\\\u4e00-\\\\u9fff]"
@@ -93,7 +93,7 @@ object TextAnalysis {
   }
 
   /** Deterministic argmax cascade (fixed preference order on ties). */
-  private val langPredExpr: String =
+  private[llm] val langPredExpr: String =
     """CASE WHEN s_zh >= 3 THEN 'zh'
             WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
             WHEN s_fr > s_en AND s_fr >= s_es THEN 'fr'
