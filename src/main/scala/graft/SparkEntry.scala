@@ -115,6 +115,8 @@ object SparkEntry {
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
+    "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
+    "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_split" -> ((s, d) => Curation.sampleSplit(s, d)),
     "corpus_curated" -> ((s, d) => Curation.curatedCorpus(s, d)),
     "corpus_source_quota" -> ((s, d) => Curation.sourceQuota(s, d)),
@@ -153,7 +155,8 @@ object SparkEntry {
     "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
     "file_provenance" -> ((s, d) => Extras.fileProvenance(s, d)),
     "csv_quarantine_split" -> ((s, d) => graft.io.IoChecks.csvQuarantineSplit(s, d)),
-    "compaction_roundtrip" -> ((s, d) => graft.io.IoChecks.compactionRoundtrip(s, d)))
+    "compaction_roundtrip" -> ((s, d) => graft.io.IoChecks.compactionRoundtrip(s, d)),
+    "format_roundtrips" -> ((s, d) => graft.io.IoChecks.formatRoundtrips(s, d)))
 
   private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
     Aggregations.campaignPerformanceSummary(marketing(s, d))
@@ -192,6 +195,8 @@ object SparkEntry {
     "text_language_id" -> TextAnalysis.languageIdOracle,
     "text_repetition" -> TextAnalysis.repetitionOracle,
     "text_bpe_tokens" -> TextAnalysis.bpeTokensOracle,
+    "text_top_terms" -> TextAnalysis.topTermsOracle,
+    "dedup_edit_distance" -> Dedup.editDistancePairsOracle,
     "corpus_split" -> Curation.sampleSplitOracle,
     "corpus_curated" -> Curation.curatedCorpusOracle,
     "corpus_source_quota" -> Curation.sourceQuotaOracle,
@@ -230,6 +235,7 @@ object SparkEntry {
     "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,
     "file_provenance" -> Extras.fileProvenanceOracle,
     "csv_quarantine_split" -> graft.io.IoChecks.csvQuarantineSplitOracle,
-    "compaction_roundtrip" -> graft.io.IoChecks.compactionRoundtripOracle
+    "compaction_roundtrip" -> graft.io.IoChecks.compactionRoundtripOracle,
+    "format_roundtrips" -> graft.io.IoChecks.formatRoundtripsOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

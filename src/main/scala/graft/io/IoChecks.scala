@@ -85,6 +85,40 @@ object IoChecks {
       countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Source/sink format breadth: the same relation written to and read
+    * back from JSON-lines and ORC (both ship with Spark; Avro's
+    * connector module does not ship in this image), each leg reduced
+    * to count + key + text-length checksums that the DuckDB oracle
+    * reproduces from the original parquet — so what's verified is that
+    * each format round-trips values (including multi-line/unicode
+    * text through JSON string escaping) losslessly. JSON is read with
+    * the declared schema: inference would force a second full scan,
+    * the same rule as the CSV reader (Readers scaladoc). */
+  def formatRoundtrips(s: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    Seq("json", "orc").map { fmt =>
+      val dir = scratch(s"fmt_$fmt", sfDir)
+      src.write.mode("overwrite").format(fmt).save(dir)
+      s.read.format(fmt).schema(src.schema).load(dir)
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("key_sum"),
+          sum(length(col("text"))).as("text_len_sum"))
+        .withColumn("format", lit(fmt))
+    }.reduce(_.unionByName(_))
+      .select("format", "n_rows", "key_sum", "text_len_sum")
+      .orderBy("format")
+  }
+
+  val formatRoundtripsOracle: String = {
+    val agg = """count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS key_sum,
+                 CAST(sum(length(text)) AS BIGINT) AS text_len_sum"""
+    s"""SELECT * FROM (
+          SELECT 'json' AS format, $agg FROM documents
+          UNION ALL
+          SELECT 'orc', $agg FROM documents)
+        ORDER BY format"""
+  }
+
   val compactionRoundtripOracle: String =
     """SELECT count(*) AS n_rows,
               CAST(sum(event_id) AS BIGINT) AS event_id_sum,

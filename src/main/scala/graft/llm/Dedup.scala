@@ -213,6 +213,43 @@ object Dedup {
         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
   }
 
+  // ---- edit-distance verification tier ----
+
+  /** Near-dup pairs verified by EXACT edit distance — the strictest
+    * (and most expensive) verification tier, for corpora where
+    * set-similarity can't distinguish reorderings from true edits.
+    * Candidates still come from the LSH band equi-join, so the O(m·n)
+    * per-pair DP runs only on band-colliding pairs, never corpus²;
+    * the full texts join only those survivors (same discipline as the
+    * shingle arrays in [[minhashPairs]]). Kept when the distance is
+    * within 30% of the longer text — a length-relative bound, so short
+    * and long documents face the same strictness. `levenshtein` is a
+    * built-in on both engines with identical unit-cost semantics. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val txt = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    bandCandidates(spark, dir)
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_distance"),
+        greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
+      .filter(col("edit_distance") * 10 <= col("max_len") * 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val editDistancePairsOracle: String =
+    s"""WITH ${minhashCtes(DuckD)},
+        $bandCandCtes,
+        scored AS (SELECT c.doc_a, c.doc_b,
+                     levenshtein(da.text, db.text) AS edit_distance,
+                     greatest(length(da.text), length(db.text)) AS max_len
+                   FROM cands c
+                   JOIN documents da ON c.doc_a = da.doc_id
+                   JOIN documents db ON c.doc_b = db.doc_id)
+        SELECT doc_a, doc_b, edit_distance, max_len FROM scored
+        WHERE edit_distance * 10 <= max_len * 3
+        ORDER BY doc_a, doc_b"""
+
   // ---- cluster collapse (connected components over near-dup pairs) ----
 
   /** The step that turns near-dup PAIRS into a dedup DECISION: the

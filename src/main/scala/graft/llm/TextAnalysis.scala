@@ -196,6 +196,53 @@ object TextAnalysis {
     s"""WITH base AS (SELECT ${bpeCols(DuckD).mkString(", ")} FROM documents)
         SELECT ${bpeDerived.mkString(", ")} FROM base ORDER BY doc_id"""
 
+  // ---- TF-IDF-style keyword extraction ----
+
+  private val topTermsK = 5
+
+  /** Top-k characteristic terms per document, scored tf/df — the
+    * rational-arithmetic stand-in for tf·idf (same ranking as
+    * tf·(N/df) for a fixed corpus, since N is constant per run):
+    * log() is avoided deliberately because libm rounding may differ
+    * between engines, while a single int/int division is
+    * correctly-rounded IEEE on both. Ties break on the term itself, so
+    * the top-k set is total-order deterministic.
+    *
+    * Plan shape: explode → two hash aggregations (per-doc term counts;
+    * per-term document frequency) → shuffle equi-join on term → per-doc
+    * top-k window. The df relation is vocabulary-sized; at 100 TB both
+    * aggregations are map-side-combined and the join is a plain
+    * shuffle join on the term key. */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(words("lower(text)", SparkD))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(df, Seq("term"))
+      .selectExpr("doc_id", "term", "tf", "df", "tf / df AS score")
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= topTermsK)
+      .select("doc_id", "term", "tf", "df", "score", "term_rank")
+      .orderBy("doc_id", "term_rank")
+  }
+
+  val topTermsOracle: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${words("lower(text)", DuckD)}) AS term
+                      FROM documents),
+        tf_t AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        scored AS (SELECT tf_t.doc_id, tf_t.term, tf, df, tf / df AS score
+                   FROM tf_t JOIN df_t ON tf_t.term = df_t.term)
+        SELECT doc_id, term, tf, df, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS term_rank
+        FROM scored
+        QUALIFY term_rank <= $topTermsK
+        ORDER BY doc_id, term_rank"""
+
   // ---- fingerprints ----
 
   private def normExpr(d: Dialect): String = d match {
