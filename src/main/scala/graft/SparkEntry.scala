@@ -153,6 +153,7 @@ object SparkEntry {
     "customers_without_orders" -> ((s, d) => Extras.customersWithoutOrders(s, d)),
     "customers_with_orders_by_segment" -> ((s, d) => Extras.customersWithOrdersBySegment(s, d)),
     "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
+    "sales_unpivot" -> ((s, d) => Extras.salesUnpivot(s, d)),
     "file_provenance" -> ((s, d) => Extras.fileProvenance(s, d)),
     "csv_quarantine_split" -> ((s, d) => graft.io.IoChecks.csvQuarantineSplit(s, d)),
     "compaction_roundtrip" -> ((s, d) => graft.io.IoChecks.compactionRoundtrip(s, d)),
@@ -233,6 +234,7 @@ object SparkEntry {
     "customers_without_orders" -> Extras.customersWithoutOrdersOracle,
     "customers_with_orders_by_segment" -> Extras.customersWithOrdersBySegmentOracle,
     "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,
+    "sales_unpivot" -> Extras.salesUnpivotOracle,
     "file_provenance" -> Extras.fileProvenanceOracle,
     "csv_quarantine_split" -> graft.io.IoChecks.csvQuarantineSplitOracle,
     "compaction_roundtrip" -> graft.io.IoChecks.compactionRoundtripOracle,

@@ -190,6 +190,33 @@ object Extras {
        FROM sales_tx s JOIN ord_e o ON s.order_id = o.order_id
        GROUP BY s.category ORDER BY s.category""")
 
+  /** The inverse reshape (§2.4+ breadth): melt the pivoted per-status
+    * revenue columns back to (category, status_col, revenue) rows with
+    * the Dataset `unpivot` operator. Spark's unpivot EXCLUDES rows
+    * whose value is NULL (a category with no orders in a status), so
+    * the oracle filters `revenue IS NOT NULL` to pin the same
+    * semantics. Reshape is metadata-only at scale — one projection per
+    * value column, no shuffle beyond the pivoted input's own. */
+  def salesUnpivot(spark: SparkSession, dir: String): DataFrame =
+    salesPivotByStatus(spark, dir)
+      .unpivot(Array(col("category")),
+        Array(col("rev_f"), col("rev_o"), col("rev_p")),
+        "status_col", "revenue")
+      .orderBy("category", "status_col")
+
+  val salesUnpivotOracle: String = {
+    val pivot = salesPivotByStatusOracle
+    s"""WITH pvt AS ($pivot)
+        SELECT * FROM (
+          SELECT category, 'rev_f' AS status_col, rev_f AS revenue FROM pvt
+          UNION ALL
+          SELECT category, 'rev_o', rev_o FROM pvt
+          UNION ALL
+          SELECT category, 'rev_p', rev_p FROM pvt)
+        WHERE revenue IS NOT NULL
+        ORDER BY category, status_col"""
+  }
+
   /** S5 — source-file provenance via the parquet `_metadata` column
     * (the modern form of input_file_name(), reference 05:31-45). */
   def fileProvenance(spark: SparkSession, dir: String): DataFrame =
