@@ -347,7 +347,19 @@ object Dedup {
           s"$maxRounds rounds — component diameter exceeds ~2^$maxRounds; " +
           "raise maxRounds rather than trusting a non-fixpoint labeling")
     }
-    labels
+    // Truncate lineage before handing the labels to consumers: each
+    // round nests two joins into the logical plan, and downstream
+    // queries (cluster listing, corpus anti-joins) would re-optimize
+    // that whole tree on every use — measured ~6 s of pure driver-side
+    // planning per consumer at sf0.1. The rounds are already
+    // materialized (checksum per round), so checkpointing the small
+    // final label table costs one cheap job and leaves consumers a
+    // leaf-relation plan — the standard companion to iterative
+    // propagation (GraphX checkpoints the same way; on a cluster this
+    // would be reliable checkpoint() to storage).
+    val result = labels.localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    result
   }
 
   /** Shared oracle CTE chain up to the transitive closure `reach` (the
