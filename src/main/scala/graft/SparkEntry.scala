@@ -116,6 +116,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
+    "text_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_split" -> ((s, d) => Curation.sampleSplit(s, d)),
     "corpus_curated" -> ((s, d) => Curation.curatedCorpus(s, d)),
@@ -197,6 +198,7 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.repetitionOracle,
     "text_bpe_tokens" -> TextAnalysis.bpeTokensOracle,
     "text_top_terms" -> TextAnalysis.topTermsOracle,
+    "text_pii_scan" -> TextAnalysis.piiScanOracle,
     "dedup_edit_distance" -> Dedup.editDistancePairsOracle,
     "corpus_split" -> Curation.sampleSplitOracle,
     "corpus_curated" -> Curation.curatedCorpusOracle,

@@ -196,6 +196,42 @@ object TextAnalysis {
     s"""WITH base AS (SELECT ${bpeCols(DuckD).mkString(", ")} FROM documents)
         SELECT ${bpeDerived.mkString(", ")} FROM base ORDER BY doc_id"""
 
+  // ---- PII pattern scan ----
+
+  private def piiPatterns(d: Dialect): Seq[(String, String)] = Seq(
+    "n_emails" -> re("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", d),
+    "n_phones" -> re("\\+?[0-9][0-9()\\- ]{7,}[0-9]", d),
+    "n_urls" -> re("https?://[^\\s]+", d),
+    "n_id_numbers" -> re("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", d))
+
+  private def piiCols(d: Dialect): Seq[String] =
+    "doc_id" +: piiPatterns(d).map { case (name, p) =>
+      s"CAST(${reCount("text", p, d)} AS INTEGER) AS $name"
+    }
+
+  private val piiDerived =
+    """CASE WHEN n_emails + n_phones + n_urls + n_id_numbers > 0
+       THEN 1 ELSE 0 END AS has_pii"""
+
+  /** PII pattern scan over any relation with (doc_id, text) — the gate
+    * every shipped training corpus runs before release: emails,
+    * phone-number shapes, URLs, and SSN-shaped ids, counted per
+    * document with an aggregate flag. Patterns are boundary-anchored
+    * and lookahead-free so the same regex text runs on Java regex and
+    * RE2; per-row projection, embarrassingly parallel. Detection
+    * behavior on crafted positives/negatives is pinned in `LlmSpec`
+    * (the fixture corpus is word-soup, so the oracle parity alone
+    * would be a weak all-zeros check). */
+  def piiScanDf(df: DataFrame): DataFrame =
+    df.selectExpr(piiCols(SparkD): _*).selectExpr("*", piiDerived)
+
+  def piiScan(spark: SparkSession, dir: String): DataFrame =
+    piiScanDf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val piiScanOracle: String =
+    s"""WITH base AS (SELECT ${piiCols(DuckD).mkString(", ")} FROM documents)
+        SELECT *, $piiDerived FROM base ORDER BY doc_id"""
+
   // ---- TF-IDF-style keyword extraction ----
 
   private val topTermsK = 5

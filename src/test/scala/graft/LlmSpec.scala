@@ -142,4 +142,24 @@ class LlmSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("fixpoint"))
   }
+
+  test("pii scan detects emails, phones, urls, ssn shapes; clean text stays clean") {
+    import graft.llm.TextAnalysis
+    val df = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk today"),
+      (2L, "call +1 (415) 555-0199 or 020 7946 0958 now"),
+      (3L, "see https://example.org/a?b=c and http://x.io"),
+      (4L, "ssn 123-45-6789 leaked"),
+      (5L, "perfectly clean prose with nothing sensitive"),
+      (6L, "not-an-email@ nor http:/broken nor 12-34-56")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScanDf(df).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), (x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4), x.getInt(5)))).toMap
+    assert(r(1L) == ((1, 0, 0, 0, 1)))
+    assert(r(2L)._2 == 2 && r(2L)._5 == 1) // both phone shapes
+    assert(r(3L)._3 == 2 && r(3L)._5 == 1)
+    assert(r(4L)._4 == 1 && r(4L)._5 == 1)
+    assert(r(5L) == ((0, 0, 0, 0, 0)))
+    assert(r(6L) == ((0, 0, 0, 0, 0)))
+  }
 }
