@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_split" -> ((s, d) => Curation.sampleSplit(s, d)),
     "corpus_curated" -> ((s, d) => Curation.curatedCorpus(s, d)),
+    "doc_chunks" -> ((s, d) => Curation.docChunks(s, d)),
     "corpus_source_quota" -> ((s, d) => Curation.sourceQuota(s, d)),
     "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -202,6 +203,7 @@ object SparkEntry {
     "dedup_edit_distance" -> Dedup.editDistancePairsOracle,
     "corpus_split" -> Curation.sampleSplitOracle,
     "corpus_curated" -> Curation.curatedCorpusOracle,
+    "doc_chunks" -> Curation.docChunksOracle,
     "corpus_source_quota" -> Curation.sourceQuotaOracle,
     "doc_fingerprints" -> TextAnalysis.fingerprintsOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,

@@ -81,6 +81,41 @@ object Curation {
         QUALIFY pick_rank <= $quotaPerSource
         ORDER BY doc_id"""
 
+  // ---- document chunking (context-window packing primitive) ----
+
+  private val chunkTokens = 50
+  private val chunkStride = 40 // 10-token overlap between windows
+
+  /** Split every document into overlapping token windows — the
+    * chunking step that feeds context-window packing, embedding
+    * indexing, and retrieval corpora. Window starts are a per-row
+    * generated sequence exploded to one row per chunk; the token
+    * slice never leaves the row, so the operator stays a codegen'd
+    * projection + explode with no shuffle at all (ordering aside) —
+    * at 100 TB chunk output partitioning inherits the scan's. Both
+    * engines truncate the tail slice the same way. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"${words("text", SparkD)} AS w")
+      .selectExpr("doc_id", "w",
+        s"posexplode(sequence(0, greatest(size(w) - 1, 0), $chunkStride)) AS (chunk_idx, start)")
+      .selectExpr("doc_id", "chunk_idx",
+        s"CAST(size(slice(w, start + 1, $chunkTokens)) AS INTEGER) AS n_chunk_tokens",
+        s"array_join(slice(w, start + 1, $chunkTokens), ' ') AS chunk_text")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val docChunksOracle: String =
+    s"""WITH w_t AS (SELECT doc_id, ${words("text", DuckD)} AS w FROM documents),
+        c_t AS (SELECT doc_id, w,
+                  unnest(range(0, greatest(len(w), 1), $chunkStride)) AS start
+                FROM w_t)
+        SELECT doc_id, CAST(start // $chunkStride AS INTEGER) AS chunk_idx,
+               CAST(len(w[start + 1 : start + $chunkTokens]) AS INTEGER) AS n_chunk_tokens,
+               array_to_string(w[start + 1 : start + $chunkTokens], ' ') AS chunk_text
+        FROM c_t ORDER BY doc_id, chunk_idx"""
+
   // ---- the full curation pipeline as one relation ----
 
   private val qualityFilter =
