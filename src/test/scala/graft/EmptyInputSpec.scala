@@ -35,4 +35,32 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("feedback_id", "area", "rating", "sentiment_normalized", "sentiment_score")
     assert(CustomerFeedback.areaMetrics(empty).count() == 0)
   }
+
+  test("text/dedup/ANN operators are total on empty documents + embeddings") {
+    import graft.llm.{Curation, Dedup, Similarity, TextAnalysis}
+    // an empty-fixture dir with the real schemas (a new tenant's corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
+    Seq("documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfTiny/$t.parquet").limit(0)
+        .write.parquet(s"$dir/$t.parquet")
+    }
+    val ops: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "text_stats" -> (TextAnalysis.textStats _),
+      "text_bpe_tokens" -> (TextAnalysis.bpeTokens _),
+      "text_top_terms" -> (TextAnalysis.topTerms _),
+      "text_pii_scan" -> (TextAnalysis.piiScan _),
+      "doc_chunks" -> (Curation.docChunks _),
+      "corpus_split" -> (Curation.sampleSplit _),
+      "corpus_curated" -> (Curation.curatedCorpus _),
+      "dedup_exact" -> (Dedup.exactDedup _),
+      "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
+      "dedup_clusters" -> (Dedup.dedupClusters _),
+      "corpus_deduped" -> (Dedup.dedupedCorpus _),
+      "dedup_edit_distance" -> (Dedup.editDistancePairs _),
+      "ann_cosine_topk" -> (Similarity.cosineTopK _),
+      "ann_ivf_kmeans_step" -> (Similarity.ivfKmeansStep _))
+    ops.foreach { case (name, fn) =>
+      assert(fn(spark, dir).count() == 0, s"$name not empty/total on empty input")
+    }
+  }
 }
