@@ -138,6 +138,7 @@ object SparkEntry {
     "ann_ivf_cells" -> ((s, d) => Similarity.ivfCells(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans_step" -> ((s, d) => Similarity.ivfKmeansStep(s, d)),
+    "ann_ivf_topk_probe2" -> ((s, d) => Similarity.ivfTopKMultiProbe(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
@@ -221,6 +222,7 @@ object SparkEntry {
     "ann_ivf_cells" -> Similarity.ivfCellsOracle,
     "ann_ivf_topk" -> Similarity.ivfTopKOracle,
     "ann_ivf_kmeans_step" -> Similarity.ivfKmeansStepOracle,
+    "ann_ivf_topk_probe2" -> Similarity.ivfTopKMultiProbeOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,

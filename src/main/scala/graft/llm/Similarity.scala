@@ -173,6 +173,58 @@ object Similarity {
         SELECT query_id, vec_id, cell, rank, cosine FROM ranked
         WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  private val nProbe = 2
+
+  /** Multi-probe IVF top-k: each query probes its `nProbe` nearest
+    * cells instead of one — THE recall knob of an IVF index (a query
+    * near a cell boundary misses true neighbors assigned to the
+    * adjacent cell under single-probe). Cost scales linearly in
+    * probed cells while staying an equi-join on cell id; the
+    * query-to-centroid ranking reuses the same broadcast-centroids
+    * pattern as assignment. */
+  def ivfTopKMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = all.filter(col("vec_id") % centroidMod === 0)
+      .selectExpr("vec_id AS centroid_id", "v AS cv", "nrm AS cnrm")
+    val qw = Window.partitionBy("query_id").orderBy(desc("qccos"), asc("centroid_id"))
+    val qCells = all.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm")
+      .crossJoin(broadcast(cents))
+      .selectExpr("query_id", "qv", "qnrm", "centroid_id",
+        s"${cosineWithNorms("qv", "cv", "qnrm", "cnrm", SparkD)} AS qccos")
+      .withColumn("__pr", row_number().over(qw))
+      .filter(col("__pr") <= nProbe)
+      .selectExpr("query_id", "qv", "qnrm", "centroid_id AS cell")
+    val scored = ivfAssigned(spark, dir).join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id", "cell",
+        s"${cosineWithNorms("qv", "v", "qnrm", "nrm", SparkD)} AS cosine")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "cell", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfTopKMultiProbeOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        qc AS (SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qnrm,
+                 c.centroid_id AS cell,
+                 ${cosineWithNorms("e.v", "c.cv", "e.nrm", "c.cnrm", DuckD)} AS qccos
+               FROM e CROSS JOIN cents c
+               WHERE e.vec_id < $nQueries
+               QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY qccos DESC, c.centroid_id) <= $nProbe),
+        scored AS (SELECT q.query_id, a.vec_id, a.cell,
+                     ${cosineWithNorms("q.qv", "a.v", "q.qnrm", "a.nrm", DuckD)} AS cosine
+                   FROM assigned a JOIN qc q ON a.cell = q.cell
+                    AND a.vec_id <> q.query_id),
+        ranked AS (SELECT *, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, cell, rank, cosine FROM ranked
+        WHERE rank <= $topK ORDER BY query_id, rank"""
+
   /** One k-means refinement step over the IVF assignment — how the
     * coarse quantizer is actually trained at scale (Lloyd iteration:
     * assign → recompute centroids; [[ivfAssigned]] is the assign
