@@ -162,4 +162,31 @@ class LlmSpec extends SparkSpec {
     assert(r(5L) == ((0, 0, 0, 0, 0)))
     assert(r(6L) == ((0, 0, 0, 0, 0)))
   }
+
+  test("label propagation matches a union-find reference on random graphs") {
+    // The one operator with a hand-rolled distributed algorithm gets a
+    // randomized differential check: min-label propagation (with
+    // pointer jumping) must agree with driver-side union-find on the
+    // same edge set — any divergence in closure semantics, self-loop
+    // handling, or convergence detection shows up here.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(40)
+      val edges = Seq.fill(rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // root stays the min
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> find(x.toInt).toLong).toMap
+        val got = Dedup.propagateLabels(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"trial $trial: n=$n edges=$edges")
+      }
+    }
+  }
 }
