@@ -66,7 +66,10 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 /** Registration of the native functions into a session's function
   * registry (idempotent; `expr("graft_dot(a, b)")` then resolves). */
 object Native {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
+  }
 }

@@ -298,4 +298,36 @@ object TextAnalysis {
     s"""SELECT doc_id, md5(${normExpr(DuckD)}) AS fp_md5,
         ${rollingFingerprint(words("text", DuckD), DuckD)} AS fp_rolling
         FROM documents ORDER BY doc_id"""
+
+  // ---- canonical text normalization (NFC + casefold + ws collapse) ----
+
+  /** The canonicalization pass that fronts hashing/dedup in a training
+    * corpus: Unicode NFC composition (via the native codegen
+    * [[graft.functions.NfcNormalize]] — Spark has no built-in),
+    * lowercasing, whitespace collapse, and edge trim, with a changed
+    * flag and the resulting length. Per-row projection; the NFC tier
+    * fast-paths already-normalized (e.g. pure-ASCII) rows without
+    * reallocating, so on clean corpora the pass costs one scan. The
+    * fixture corpus is ASCII (oracle parity alone would not exercise
+    * composition), so the composed/decomposed behavior is pinned in
+    * `NativeFunctionSpec`. */
+  def normalized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(spark)
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text",
+        "trim(regexp_replace(graft_nfc(lower(text)), '\\\\s+', ' ')) AS norm_text")
+      .selectExpr("doc_id", "norm_text",
+        "CAST(length(norm_text) AS INTEGER) AS n_chars_norm",
+        "CASE WHEN norm_text = text THEN 0 ELSE 1 END AS changed")
+      .orderBy("doc_id")
+  }
+
+  val normalizedOracle: String =
+    """WITH n_t AS (SELECT doc_id, text,
+         trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')) AS norm_text
+       FROM documents)
+       SELECT doc_id, norm_text,
+         CAST(length(norm_text) AS INTEGER) AS n_chars_norm,
+         CASE WHEN norm_text = text THEN 0 ELSE 1 END AS changed
+       FROM n_t ORDER BY doc_id"""
 }

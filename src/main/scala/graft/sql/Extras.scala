@@ -114,6 +114,26 @@ object Extras {
 
   val salesGroupingSetsOracle: String = OracleSql.withCtes(salesGroupingSetsSql)
 
+  /** CUBE completes the grouping trio (ROLLUP hierarchy, explicit
+    * GROUPING SETS marginals, full cross of subsets): all four sets
+    * (category, year), (category), (year), (). Output rows are unique
+    * on (category, year) — neither column is NULL in the data — so the
+    * NULLS FIRST sort is total. Same dialect-common text and
+    * quantization rules as [[salesRollupSql]]. */
+  private val salesCubeSql: String =
+    """SELECT category, year,
+         CAST(sum(CAST(round(line_total * 100) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS total_revenue,
+         count(*) AS n_lines
+       FROM sales_tx GROUP BY CUBE (category, year)
+       ORDER BY category ASC NULLS FIRST, year ASC NULLS FIRST"""
+
+  def salesCube(spark: SparkSession, dir: String): DataFrame = {
+    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
+    spark.sql(salesCubeSql)
+  }
+
+  val salesCubeOracle: String = OracleSql.withCtes(salesCubeSql)
+
   /** Exact quartiles of order quantity per category. Function names
     * differ (Spark `percentile` vs DuckDB `quantile_cont`) but both
     * interpolate linearly, and at ¼-multiples over integral values

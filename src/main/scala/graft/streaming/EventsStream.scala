@@ -167,6 +167,67 @@ object EventsStream {
       .orderBy("purchase_id")
   }
 
+  // ---- staged conversion funnel: view → click → purchase ----
+
+  /** Ordered-stage funnel over the event log — the product-analytics
+    * staple: users who viewed, clicked AFTER their first view, and
+    * purchased AFTER that first qualifying click, with exact
+    * integer-microsecond stage-to-stage latency sums. Each stage is an
+    * equi-join on `user_id` (high-cardinality → well-distributed
+    * shuffle) followed by a map-side-combined min aggregation; the
+    * earlier stage's timestamp rides in the grouping key (it is
+    * functionally dependent on the user), so no re-join is needed to
+    * compute latencies. The final stage counts are three single-row
+    * aggregates — driver-light at any scale. */
+  def funnelBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") >= col("t_view"))
+      .groupBy("user_id", "t_view").agg(min("us").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.select("user_id", "t_click"), Seq("user_id"))
+      .filter(col("us") >= col("t_click"))
+      .groupBy("user_id", "t_click").agg(min("us").as("t_purchase"))
+    val stage1 = v.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"),
+        lit(null).cast("long").as("latency_us_sum"))
+    val stage2 = c.agg(count(lit(1)).as("n_users"),
+        sum(col("t_click") - col("t_view")).as("latency_us_sum"))
+      .select(lit("2_click").as("stage"), col("n_users"), col("latency_us_sum"))
+    val stage3 = p.agg(count(lit(1)).as("n_users"),
+        sum(col("t_purchase") - col("t_click")).as("latency_us_sum"))
+      .select(lit("3_purchase").as("stage"), col("n_users"), col("latency_us_sum"))
+    stage1.unionByName(stage2).unionByName(stage3).orderBy("stage")
+  }
+
+  val funnelBatchOracle: String =
+    """WITH ev AS (SELECT user_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        v AS (SELECT user_id, min(us) AS t_view FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT ev.user_id, v.t_view, min(us) AS t_click FROM ev
+              JOIN v ON ev.user_id = v.user_id
+              WHERE event_type = 'click' AND us >= t_view
+              GROUP BY ev.user_id, v.t_view),
+        p AS (SELECT ev.user_id, c.t_click, min(us) AS t_purchase FROM ev
+              JOIN c ON ev.user_id = c.user_id
+              WHERE event_type = 'purchase' AND us >= t_click
+              GROUP BY ev.user_id, c.t_click)
+       SELECT * FROM (
+         SELECT '1_view' AS stage, count(*) AS n_users,
+                CAST(NULL AS BIGINT) AS latency_us_sum FROM v
+         UNION ALL
+         SELECT '2_click', count(*),
+                CAST(sum(t_click - t_view) AS BIGINT) FROM c
+         UNION ALL
+         SELECT '3_purchase', count(*),
+                CAST(sum(t_purchase - t_click) AS BIGINT) FROM p)
+       ORDER BY stage"""
+
   val purchaseAttributionAsOfOracle: String =
     s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
           epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
