@@ -11,14 +11,15 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    // run_verify.sh always passes an outDir as args(1); a path (or no
-    // arg) means "all queries". A non-path arg is a query list: every
-    // name must be known — a misspelling is an error, not a silent
-    // fall-through to running all 58 queries.
+    // run_verify.sh always passes an outDir as args(1) — and its paths
+    // always contain '/'. Only that syntactic shape (or no arg) means
+    // "all queries"; anything else is a query list where every name
+    // must be known. No filesystem probe: a query name that happened
+    // to match a file in the CWD must not silently widen to all
+    // queries (the exact fall-through the fail-loud parsing removes).
     val names: Seq[String] = {
       val arg = if (args.length > 1) args(1) else ""
-      val isPath = arg.isEmpty || arg.contains("/") ||
-        new java.io.File(arg).exists()
+      val isPath = arg.isEmpty || arg.contains("/")
       if (isPath) SparkEntry.queries.keys.toSeq.sorted
       else {
         val asked = arg.split(",").toSeq.filter(_.nonEmpty)

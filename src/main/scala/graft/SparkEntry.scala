@@ -117,6 +117,7 @@ object SparkEntry {
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
     "text_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
+    "text_normalized" -> ((s, d) => TextAnalysis.normalized(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_split" -> ((s, d) => Curation.sampleSplit(s, d)),
     "corpus_curated" -> ((s, d) => Curation.curatedCorpus(s, d)),
@@ -147,6 +148,8 @@ object SparkEntry {
     "events_type_totals_salted" -> ((s, d) => EventsStream.typeTotalsSalted(s, d)),
     "events_props_json" -> ((s, d) => EventsStream.propsJsonMetrics(s, d)),
     "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
+    "events_funnel" -> ((s, d) => EventsStream.funnelBatch(s, d)),
+    "sales_cube" -> ((s, d) => Extras.salesCube(s, d)),
     "campaign_rank_by_channel" -> ((s, d) => athena2(s, d, Extras.campaignRankSql)),
     "campaign_distribution" -> ((s, d) => athena2(s, d, Extras.campaignDistributionSql)),
     "inventory_union" -> ((s, d) => Extras.inventoryUnion(s, d)),
@@ -201,6 +204,7 @@ object SparkEntry {
     "text_bpe_tokens" -> TextAnalysis.bpeTokensOracle,
     "text_top_terms" -> TextAnalysis.topTermsOracle,
     "text_pii_scan" -> TextAnalysis.piiScanOracle,
+    "text_normalized" -> TextAnalysis.normalizedOracle,
     "dedup_edit_distance" -> Dedup.editDistancePairsOracle,
     "corpus_split" -> Curation.sampleSplitOracle,
     "corpus_curated" -> Curation.curatedCorpusOracle,
@@ -231,6 +235,8 @@ object SparkEntry {
     "events_type_totals_salted" -> EventsStream.typeTotalsSaltedOracle,
     "events_props_json" -> EventsStream.propsJsonMetricsOracle,
     "events_sessionized" -> Sessionize.sessionsBatchOracle,
+    "events_funnel" -> EventsStream.funnelBatchOracle,
+    "sales_cube" -> Extras.salesCubeOracle,
     "campaign_rank_by_channel" -> OracleSql.withCtes(Extras.campaignRankSql),
     "campaign_distribution" -> OracleSql.withCtes(Extras.campaignDistributionSql),
     "inventory_union" -> Extras.inventoryUnionOracle,

@@ -19,9 +19,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * ever outgrows expressions (SURVEY §7.3 found none necessary).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       exprs => ArrayDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      exprs => NfcNormalize(exprs(0))))
+  }
 }

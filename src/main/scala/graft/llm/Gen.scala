@@ -127,13 +127,19 @@ object Gen {
       s"CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString("(", " + ", ")")
 
+  /** Dimensionality of the fixture `embeddings.embedding` column —
+    * the ONE constant every unrolled oracle expression and the
+    * kmeans-step oracle's dim range derive from, so a fixture change
+    * fails at this line instead of silently under-covering. */
+  val embeddingDims = 64
+
   /** Dot product of two double-array expressions. Spark side uses the
     * native codegen ArrayDotProduct (graft.functions — register via
     * Native.register); DuckDB side unrolls 64 left-associated terms.
     * Both are the same sequential fold → bit-identical doubles. */
   def dot64(a: String, b: String, d: Dialect): String = d match {
     case SparkD => s"graft_dot($a, $b)"
-    case DuckD  => (0 until 64).map(i => s"${idx(a, i, d)} * ${idx(b, i, d)}").mkString(" + ")
+    case DuckD  => (0 until embeddingDims).map(i => s"${idx(a, i, d)} * ${idx(b, i, d)}").mkString(" + ")
   }
 
   /** Cosine similarity of two 64-dim double arrays. */
@@ -168,7 +174,7 @@ object Gen {
   /** Signed projection of a 64-dim double array onto pseudo-random
     * hyperplane j. */
   def lshProjection(a: String, j: Int, d: Dialect): String =
-    (0 until 64).map(i => s"${idx(a, i, d)} * ${planeSign(j, i)}").mkString(" + ")
+    (0 until embeddingDims).map(i => s"${idx(a, i, d)} * ${planeSign(j, i)}").mkString(" + ")
 
   /** LSH bucket id from `nPlanes` sign bits. */
   def lshBucket(a: String, nPlanes: Int, d: Dialect): String =

@@ -252,7 +252,7 @@ object Similarity {
     s"""WITH ${ivfCte(DuckD)},
         m AS (SELECT a.cell, d.dim, count(*) AS n_members,
                 sum(CAST(round(a.v[d.dim + 1] * 10000000) AS BIGINT)) AS qs
-              FROM assigned a CROSS JOIN range(0, 64) d(dim)
+              FROM assigned a CROSS JOIN range(0, $embeddingDims) d(dim)
               GROUP BY a.cell, d.dim)
         SELECT cell, dim, n_members,
                qs / CAST(10000000 AS DOUBLE) / n_members AS mean_x

@@ -301,6 +301,29 @@ object TextAnalysis {
 
   // ---- canonical text normalization (NFC + casefold + ws collapse) ----
 
+  /** Non-ASCII side corpus unioned into [[normalized]]: the fixture
+    * documents are pure ASCII, for which NFC is an identity — oracle
+    * parity over the fixture alone would never exercise composition.
+    * These rows carry genuinely decomposed sequences (combining acute/
+    * ring/diaeresis, Hangul jamo) plus composed and ASCII controls, so
+    * the DuckDB `nfc_normalize` comparison checks real composition
+    * behavior, not a no-op. Doc ids are negative — fixture ids are
+    * non-negative at every SF, so no collision. Unicode content is
+    * written as Scala escapes (never raw decomposed chars in source —
+    * tooling could silently re-normalize the file). Only ASCII
+    * whitespace: Java and RE2 both scope regex \s to ASCII. */
+  private[llm] val sideDocs: Seq[(Long, String)] = Seq(
+    (-1L, "Cafe\u0301  du  Monde"), // decomposed e + U+0301, runs of spaces
+    (-2L, "Caf\u00e9 du Monde"), // composed NFC form of the same text
+    (-3L, "\u1100\u1161\u11a8 jamo composes"), // Hangul jamo -> U+AC01
+    (-4L, " A\u030a ngstro\u0308m edge "), // ring/diaeresis + edge trim
+    (-5L, "PLAIN ASCII stays put"))
+
+  private def sideDocsValues: String =
+    sideDocs.map { case (id, t) =>
+      s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+    }.mkString(", ")
+
   /** The canonicalization pass that fronts hashing/dedup in a training
     * corpus: Unicode NFC composition (via the native codegen
     * [[graft.functions.NfcNormalize]] — Spark has no built-in),
@@ -308,12 +331,14 @@ object TextAnalysis {
     * flag and the resulting length. Per-row projection; the NFC tier
     * fast-paths already-normalized (e.g. pure-ASCII) rows without
     * reallocating, so on clean corpora the pass costs one scan. The
-    * fixture corpus is ASCII (oracle parity alone would not exercise
-    * composition), so the composed/decomposed behavior is pinned in
+    * [[sideDocs]] union makes the oracle comparison exercise real
+    * composition; codegen/interpreted parity is pinned in
     * `NativeFunctionSpec`. */
   def normalized(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(spark)
-    Tables.documents(spark, dir)
+    val side = spark.createDataFrame(sideDocs).toDF("doc_id", "text")
+    Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(side)
       .selectExpr("doc_id", "text",
         "trim(regexp_replace(graft_nfc(lower(text)), '\\\\s+', ' ')) AS norm_text")
       .selectExpr("doc_id", "norm_text",
@@ -322,10 +347,14 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val normalizedOracle: String =
-    """WITH n_t AS (SELECT doc_id, text,
-         trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')) AS norm_text
-       FROM documents)
+  def normalizedOracle: String =
+    s"""WITH docs AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id, text FROM (VALUES $sideDocsValues) v(doc_id, text)),
+       n_t AS (SELECT doc_id, text,
+         trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g')) AS norm_text
+       FROM docs)
        SELECT doc_id, norm_text,
          CAST(length(norm_text) AS INTEGER) AS n_chars_norm,
          CASE WHEN norm_text = text THEN 0 ELSE 1 END AS changed

@@ -43,6 +43,49 @@ class NativeFunctionSpec extends SparkSpec {
     }
   }
 
+  test("graft_nfc composes decomposed input and fast-paths NFC input") {
+    Native.register(spark)
+    val rows = Seq(
+      ("e\u0301", "\u00e9"), // combining acute composes
+      ("\u00e9", "\u00e9"), // already-composed is unchanged
+      ("\u1100\u1161\u11a8", "\uac01"), // Hangul jamo -> one syllable
+      ("A\u030a", "\u00c5"), // combining ring
+      ("plain ascii", "plain ascii"), // ASCII fast path (no realloc)
+      ("\ufb01", "\ufb01")) // fi ligature: compatibility-only, NFC keeps it
+      .toDF("s", "want")
+      .selectExpr("graft_nfc(s) AS got", "want")
+      .as[(String, String)].collect()
+    rows.foreach { case (got, want) => assert(got == want) }
+  }
+
+  test("graft_nfc interpreted eval matches codegen path and handles null") {
+    Native.register(spark)
+    val inputs = Seq(Some("e\u0301 A\u030a"), Some("ascii"), None)
+    val df = inputs.toDF("s")
+    // codegen path (whole-stage projection)
+    val gen = df.selectExpr("graft_nfc(s) AS n").collect()
+      .map(r => Option(r.getString(0)))
+    // interpreted path: eval the expression directly
+    val interp = inputs.map(_.map { s =>
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType))
+        .eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString
+    })
+    assert(gen.toSeq == interp)
+    assert(interp == Seq(Some("\u00e9 \u00c5"), Some("ascii"), None))
+  }
+
+  test("graft_nfc rejects non-string input at analysis time") {
+    Native.register(spark)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_nfc(42)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
+  }
+
   test("graft_dot handles arbitrary dims and nulls") {
     Native.register(spark)
     val df = Seq(
