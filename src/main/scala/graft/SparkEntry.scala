@@ -142,6 +142,7 @@ object SparkEntry {
     "ann_ivf_topk_probe2" -> ((s, d) => Similarity.ivfTopKMultiProbe(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
+    "multimodal_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
     "events_last_click_asof" -> ((s, d) => EventsStream.purchaseAttributionAsOf(s, d)),
@@ -229,6 +230,7 @@ object SparkEntry {
     "ann_ivf_topk_probe2" -> Similarity.ivfTopKMultiProbeOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
+    "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
     "events_purchase_attribution" -> EventsStream.purchaseAttributionBatchOracle,
     "events_last_click_asof" -> EventsStream.purchaseAttributionAsOfOracle,

@@ -83,6 +83,115 @@ object MediaCodec {
     None
   }
 
+  // ---- pixel tier: real PNG decode (inflate + filter reversal) ----
+
+  /** Decoded raster: `bytes.length == width * height * channels`,
+    * scanlines concatenated top-to-bottom, filter bytes removed and
+    * filters reversed. */
+  case class PixelImage(width: Int, height: Int, channels: Int,
+                        bytes: Array[Byte])
+
+  private def channelsOf(colorType: Int): Option[Int] = colorType match {
+    case 0 => Some(1) // grayscale
+    case 2 => Some(3) // truecolor
+    case 6 => Some(4) // truecolor + alpha
+    case _ => None    // palette / gray+alpha not needed by this corpus
+  }
+
+  /** Full pixel decode for non-interlaced 8-bit PNGs, dependency-free:
+    * IDAT is raw zlib, which `java.util.zip.Inflater` (in the JDK)
+    * inflates; the five scanline filters (None/Sub/Up/Average/Paeth,
+    * PNG spec §9) are reversed in place. Multiple IDAT chunks are
+    * concatenated per spec. Untrusted-input rules as [[parseWav]]:
+    * chunk lengths read unsigned into a Long cursor with a
+    * strictly-advancing guard, inflated size capped by the expected
+    * raster size, and any structural surprise (interlace, palette,
+    * 16-bit, truncated or over-long IDAT, bad filter tag) returns None
+    * rather than throwing — a corrupt blob must not kill a 100 TB
+    * scan. */
+  def decodePngPixels(payload: Array[Byte]): Option[PixelImage] = {
+    val header = parsePng(payload).getOrElse(return None)
+    if (header.bitDepth != 8) return None
+    val ch = channelsOf(header.colorType).getOrElse(return None)
+    if (payload.length < 8 + 8 + 13 + 4 || (payload(28) & 0xff) != 0)
+      return None // interlaced (Adam7) out of scope
+    val w = header.width; val h = header.height
+    if (w <= 0 || h <= 0 || w.toLong * h * ch > 64L * 1024 * 1024) return None
+
+    // walk chunks, concatenating IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var off: Long = 8L
+    var sawEnd = false
+    while (!sawEnd && off + 8 <= payload.length) {
+      val o = off.toInt
+      val size = be32(payload, o) & 0xFFFFFFFFL
+      val tag = new String(payload.slice(o + 4, o + 8), "US-ASCII")
+      if (tag == "IEND") sawEnd = true
+      else if (tag == "IDAT") {
+        if (o + 8 + size > payload.length) return None
+        idat.write(payload, o + 8, size.toInt)
+      }
+      val next = off + 8 + size + 4 // length + tag + data + crc
+      if (next <= off) return None
+      off = next
+    }
+    if (idat.size() == 0) return None
+
+    // inflate to exactly h * (1 filter byte + w*ch) bytes
+    val rowBytes = w * ch
+    val expected = h * (1 + rowBytes)
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(raw, got, expected - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got != expected) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+
+    // reverse scanline filters (bpp = ch for 8-bit samples)
+    val out = new Array[Byte](h * rowBytes)
+    var y = 0
+    while (y < h) {
+      val src = y * (1 + rowBytes) + 1
+      val dst = y * rowBytes
+      val filter = raw(src - 1) & 0xff
+      if (filter > 4) return None
+      var x = 0
+      while (x < rowBytes) {
+        val cur = raw(src + x) & 0xff
+        val left = if (x >= ch) out(dst + x - ch) & 0xff else 0
+        val up = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= ch) out(dst - rowBytes + x - ch) & 0xff else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        out(dst + x) = ((cur + pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PixelImage(w, h, ch, out))
+  }
+
+  /** Paeth predictor (PNG spec §9.4): the neighbor closest to
+    * left + up - upLeft, ties broken left, up, upLeft. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
   // ---- builders (valid minimal files, used by fixtures and specs) ----
 
   private def u32be(v: Int): Array[Byte] =
@@ -106,6 +215,59 @@ object MediaCodec {
     val ihdr = u32be(width) ++ u32be(height) ++
       Array(bitDepth.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
     pngMagic ++ pngChunk("IHDR", ihdr) ++ pngChunk("IEND", Array.empty[Byte])
+  }
+
+  /** Spec-valid 8-bit RGBA PNG carrying the given raster
+    * (`pixels.length == width * height * 4`): each scanline is
+    * FILTERED with `filterFor(y)` (exercising Sub/Up/Average/Paeth on
+    * the decode side, not just None) and the stream deflated with the
+    * JDK Deflater into a real IDAT chunk. The compressed bytes vary
+    * with zlib level/version, but [[decodePngPixels]] must return the
+    * raster bit-for-bit — which is what the oracle checks. */
+  def makePngWithPixels(width: Int, height: Int, pixels: Array[Byte],
+                        filterFor: Int => Int = _ % 5): Array[Byte] = {
+    require(pixels.length == width * height * 4, "raster size mismatch")
+    val ch = 4
+    val rowBytes = width * ch
+    val filtered = new Array[Byte](height * (1 + rowBytes))
+    var y = 0
+    while (y < height) {
+      val filter = filterFor(y) % 5
+      filtered(y * (1 + rowBytes)) = filter.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val cur = pixels(y * rowBytes + x) & 0xff
+        val left = if (x >= ch) pixels(y * rowBytes + x - ch) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * rowBytes + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= ch) pixels((y - 1) * rowBytes + x - ch) & 0xff else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        filtered(y * (1 + rowBytes) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val idat = try {
+      deflater.setInput(filtered)
+      deflater.finish()
+      val buf = new Array[Byte](8192)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        bos.write(buf, 0, n)
+      }
+      bos.toByteArray
+    } finally deflater.end()
+    val ihdr = u32be(width) ++ u32be(height) ++
+      Array(8.toByte, 6.toByte, 0.toByte, 0.toByte, 0.toByte)
+    pngMagic ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", idat) ++
+      pngChunk("IEND", Array.empty[Byte])
   }
 
   /** Minimal PCM WAV: RIFF/WAVE + fmt (16-byte PCM) + empty data. */

@@ -10,15 +10,18 @@ import graft.io.Tables
   * per-partition codec work — at scale each partition amortizes codec
   * init, and the binary column never round-trips through the driver).
   *
-  * Two codec tiers:
-  *  - [[MediaCodec]] is REAL: dependency-free container sniffing and
-  *    PNG-IHDR / WAV-fmt header parsing over genuine container bytes
-  *    (the metadata tier that drives routing/filtering at scale —
-  *    oracle-checked end-to-end via [[headerMeta]]);
-  *  - [[FakeCodec]] remains a clearly-marked stand-in for full
-  *    pixel/sample decode (image/audio libraries are not in this
-  *    environment); it produces a deterministic feature vector so the
-  *    feature-pipeline plumbing stays testable.
+  * Three codec tiers:
+  *  - [[MediaCodec]] header tier is REAL: dependency-free container
+  *    sniffing and PNG-IHDR / WAV-fmt header parsing over genuine
+  *    container bytes (the metadata tier that drives routing/filtering
+  *    at scale — oracle-checked end-to-end via [[headerMeta]]);
+  *  - the PNG PIXEL tier is REAL too: [[MediaCodec.decodePngPixels]]
+  *    inflates IDAT with the JDK's zlib and reverses all five scanline
+  *    filters — oracle-checked via [[pixelStats]];
+  *  - [[FakeCodec]] remains a clearly-marked stand-in ONLY for
+  *    modalities whose decode genuinely needs external libraries
+  *    (audio resample, video frame-sample); it produces a
+  *    deterministic feature vector so that plumbing stays testable.
   */
 object Multimodal {
 
@@ -153,4 +156,92 @@ object Multimodal {
          CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) END AS sample_rate_hz,
          CASE WHEN doc_id % 3 = 1 THEN CAST(16 AS INTEGER) END AS bits_per_sample
        FROM documents ORDER BY doc_id"""
+
+  // ---- real pixel-decode tier (MediaCodec.decodePngPixels) ----
+
+  case class PixelStats(doc_id: Long, channel: Int, n_pixels: Long,
+                        b_sum: Long, b_min: Int, b_max: Int)
+
+  /** Deterministic RGBA raster for image doc `docId`: byte at scanline
+    * `y`, offset `i` is ((docId % 251) + y·31 + i·7) % 256 — chosen so
+    * a SQL oracle can reproduce every channel statistic from doc_id
+    * alone, with no byte ever leaving the executors. */
+  private[graft] def pixelRaster(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 4)
+    val base = (docId % 251).toInt
+    var y = 0
+    while (y < h) {
+      var i = 0
+      while (i < w * 4) {
+        out(y * w * 4 + i) = ((base + y * 31 + i * 7) % 256).toByte
+        i += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private[graft] def pixelDims(docId: Long): (Int, Int) =
+    ((docId % 31 + 1).toInt, (docId % 17 + 1).toInt)
+
+  /** Per-channel pixel statistics computed from REAL decoded PNG bytes:
+    * each image doc's raster is encoded to a spec-valid RGBA PNG in the
+    * executors (scanline filters cycling through all five types, zlib
+    * IDAT) and decoded back by [[MediaCodec.decodePngPixels]] — JDK
+    * Inflater + filter reversal, no stub — before the stats loop. The
+    * oracle recomputes the same statistics arithmetically from doc_id,
+    * so a hash-match proves deflate→inflate→unfilter returns the raster
+    * bit-for-bit. A decode failure throws rather than skips: these are
+    * our own builder's bytes, and a silent drop would hide a decoder
+    * bug behind a smaller result set. Per-partition work, no shuffle
+    * until the final (tiny) sort. */
+  def pixelStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 0").as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val (w, h) = pixelDims(id)
+          val png = MediaCodec.makePngWithPixels(
+            w, h, pixelRaster(id, w, h), y => ((id + y) % 5).toInt)
+          val img = MediaCodec.decodePngPixels(png).getOrElse(
+            sys.error(s"pixel decode failed for doc $id"))
+          (0 until 4).map { c =>
+            val b = img.bytes
+            var s = 0L; var mn = 255; var mx = 0; var j = c
+            while (j < b.length) {
+              val v = b(j) & 0xff
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              j += 4
+            }
+            PixelStats(id, c, img.width.toLong * img.height, s, mn, mx)
+          }
+        }
+      }
+    stats.toDF()
+      .withColumn("mean_val", col("b_sum") / col("n_pixels").cast("double"))
+      .orderBy("doc_id", "channel")
+  }
+
+  /** sum(b) in DuckDB is HUGEINT — cast back to BIGINT (sums are far
+    * below 2^53, so the double mean conversion is exact too). DuckDB's
+    * `range` table function cannot take lateral (per-row) bounds, so
+    * the pixel grid is the MAX dims (31×17, the [[pixelDims]] moduli)
+    * cross-joined then filtered to each image's actual w×h. */
+  val pixelStatsOracle: String =
+    """WITH imgs AS (SELECT doc_id,
+           CAST(doc_id % 31 + 1 AS INTEGER) AS w,
+           CAST(doc_id % 17 + 1 AS INTEGER) AS h
+         FROM documents WHERE doc_id % 3 = 0),
+       px AS (SELECT i.doc_id, CAST(c.c AS INTEGER) AS channel,
+           ((i.doc_id % 251) + y.y * 31 + (x.x * 4 + c.c) * 7) % 256 AS b
+         FROM imgs i, range(0, 31) x(x), range(0, 17) y(y), range(0, 4) c(c)
+         WHERE x.x < i.w AND y.y < i.h)
+       SELECT doc_id, channel,
+         count(*) AS n_pixels,
+         CAST(sum(b) AS BIGINT) AS b_sum,
+         CAST(min(b) AS INTEGER) AS b_min,
+         CAST(max(b) AS INTEGER) AS b_max,
+         sum(b) / CAST(count(*) AS DOUBLE) AS mean_val
+       FROM px GROUP BY doc_id, channel ORDER BY doc_id, channel"""
 }

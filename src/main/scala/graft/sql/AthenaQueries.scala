@@ -32,6 +32,30 @@ object AthenaQueries {
          FROM curated_campaign_performance_summary
        ) t ORDER BY overall_roi DESC, campaign_id, channel"""
 
+  /** campaign_roi.sql in faithful-compat form: the reference's own
+    * column aliases and rounding scales — scale 4 for ctr/conversion
+    * rate (campaign_roi.sql:10-11; small rates ~0.0x lose real
+    * precision at the main variant's uniform scale 2), scale 2
+    * elsewhere — and its ORDER BY on the UNROUNDED `overall_roi` base
+    * column (the main variant sorts on the rounded output). Rounding
+    * still uses the scale-0 normalization (round(x·10^s)/10^s):
+    * scale-0 round is bit-identical across engines and the subsequent
+    * division by a power of ten is one IEEE op on identical inputs, so
+    * scale-4 stays hash-exact — no tolerance spec needed. A full-key
+    * tie-break is appended; the reference's bare `overall_roi DESC` is
+    * non-deterministic on ties (documented deviation). */
+  val campaignRoiCompat: String =
+    """SELECT campaign_id, campaign_name, channel,
+         round(total_spend * 100) / 100 AS spend,
+         round(total_revenue * 100) / 100 AS revenue,
+         total_conversions,
+         round(avg_ctr * 10000) / 10000 AS ctr,
+         round(avg_conversion_rate * 10000) / 10000 AS conversion_rate,
+         round(overall_roi * 100) / 100 AS roi_percentage,
+         round(avg_roas * 100) / 100 AS roas
+       FROM curated_campaign_performance_summary
+       ORDER BY overall_roi DESC, campaign_id, channel"""
+
   /** customer_metrics.sql — per-category customer value ratios. */
   val customerMetrics: String =
     """SELECT * FROM (
@@ -129,6 +153,7 @@ object AthenaQueries {
 
   val all: Map[String, String] = Map(
     "q_campaign_roi" -> campaignRoi,
+    "q_campaign_roi_compat" -> campaignRoiCompat,
     "q_customer_metrics" -> customerMetrics,
     "q_customer_satisfaction" -> customerSatisfaction,
     "q_customer_satisfaction_compat" -> customerSatisfactionCompat,

@@ -74,6 +74,89 @@ class MediaCodecSpec extends SparkSpec {
       .contains(MediaCodec.WavFormat(2, 44100, 16)))
   }
 
+  test("png pixel encode/decode round-trips the raster for every filter type") {
+    val w = 7; val h = 5
+    val raster = Multimodal.pixelRaster(docId = 42L, w, h)
+    // each filter type alone, plus the cycling default
+    for (f <- 0 to 4) {
+      val png = MediaCodec.makePngWithPixels(w, h, raster, _ => f)
+      val img = MediaCodec.decodePngPixels(png)
+      assert(img.isDefined, s"filter=$f")
+      assert(img.get.width == w && img.get.height == h && img.get.channels == 4)
+      assert(img.get.bytes.sameElements(raster), s"filter=$f")
+    }
+    val cyc = MediaCodec.decodePngPixels(MediaCodec.makePngWithPixels(w, h, raster))
+    assert(cyc.exists(_.bytes.sameElements(raster)))
+    // 1x1 edge: no left/up neighbors anywhere
+    val one = Multimodal.pixelRaster(7L, 1, 1)
+    for (f <- 0 to 4)
+      assert(MediaCodec.decodePngPixels(
+        MediaCodec.makePngWithPixels(1, 1, one, _ => f))
+        .exists(_.bytes.sameElements(one)))
+  }
+
+  test("png pixel decode handles split IDAT and rejects malformed streams") {
+    val w = 9; val h = 4
+    val raster = Multimodal.pixelRaster(3L, w, h)
+    val png = MediaCodec.makePngWithPixels(w, h, raster)
+
+    // split the single IDAT into two chunks (spec: concatenate) — find
+    // the IDAT chunk and re-emit its payload as two chunks with real CRCs
+    def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      val t = tag.getBytes("US-ASCII")
+      crc.update(t); crc.update(body)
+      val len = body.length; val cv = crc.getValue.toInt
+      Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte) ++
+        t ++ body ++
+        Array((cv >>> 24).toByte, (cv >>> 16).toByte, (cv >>> 8).toByte, cv.toByte)
+    }
+    var off = 8
+    var idatStart = -1; var idatLen = -1
+    while (idatStart < 0) {
+      val len = be32(png, off)
+      val tag = new String(png.slice(off + 4, off + 8), "US-ASCII")
+      if (tag == "IDAT") { idatStart = off; idatLen = len }
+      else off += 12 + len
+    }
+    val payload = png.slice(idatStart + 8, idatStart + 8 + idatLen)
+    val (p1, p2) = payload.splitAt(payload.length / 2)
+    val split = png.take(idatStart) ++ chunk("IDAT", p1) ++ chunk("IDAT", p2) ++
+      png.drop(idatStart + 12 + idatLen)
+    assert(MediaCodec.decodePngPixels(split).exists(_.bytes.sameElements(raster)))
+
+    // malformed: truncated IDAT → None (never throws)
+    val truncated = png.take(idatStart) ++
+      chunk("IDAT", payload.take(payload.length / 2)) ++
+      png.drop(idatStart + 12 + idatLen)
+    assert(MediaCodec.decodePngPixels(truncated).isEmpty)
+    // malformed: garbage zlib body → None
+    assert(MediaCodec.decodePngPixels(
+      png.take(idatStart) ++ chunk("IDAT", Array.fill(idatLen)(0x55.toByte)) ++
+        png.drop(idatStart + 12 + idatLen)).isEmpty)
+    // interlaced flag set → out of scope, None
+    val inter = png.clone(); inter(28) = 1.toByte
+    assert(MediaCodec.decodePngPixels(inter).isEmpty)
+    // bad filter tag inside an otherwise-valid stream → None
+    val rowBytes = w * 4
+    val rawRows = new Array[Byte](h * (1 + rowBytes)) // filter 0 rows
+    for (y <- 0 until h)
+      System.arraycopy(raster, y * rowBytes, rawRows, y * (1 + rowBytes) + 1, rowBytes)
+    rawRows(0) = 7.toByte // invalid filter id
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(rawRows); deflater.finish()
+    val buf = new Array[Byte](1 << 16)
+    val n = deflater.deflate(buf); deflater.end()
+    val badFilter = png.take(idatStart) ++ chunk("IDAT", buf.take(n)) ++
+      png.drop(idatStart + 12 + idatLen)
+    assert(MediaCodec.decodePngPixels(badFilter).isEmpty)
+    // header-only PNG (no IDAT at all) → None
+    assert(MediaCodec.decodePngPixels(MediaCodec.makePng(4, 4)).isEmpty)
+  }
+
   test("typed mapPartitions header extraction matches per-row expectation") {
     val rows = Multimodal.extractHeaders(Multimodal.syntheticMedia(spark, sfTiny))
       .collect().sortBy(_.doc_id)
