@@ -139,7 +139,9 @@ object SparkEntry {
     "ann_ivf_cells" -> ((s, d) => Similarity.ivfCells(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans_step" -> ((s, d) => Similarity.ivfKmeansStep(s, d)),
+    "ann_ivf_kmeans_refined" -> ((s, d) => Similarity.ivfKmeansRefined(s, d)),
     "ann_ivf_topk_probe2" -> ((s, d) => Similarity.ivfTopKMultiProbe(s, d)),
+    "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "multimodal_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, d)),
@@ -227,7 +229,9 @@ object SparkEntry {
     "ann_ivf_cells" -> Similarity.ivfCellsOracle,
     "ann_ivf_topk" -> Similarity.ivfTopKOracle,
     "ann_ivf_kmeans_step" -> Similarity.ivfKmeansStepOracle,
+    "ann_ivf_kmeans_refined" -> Similarity.ivfKmeansRefinedOracle,
     "ann_ivf_topk_probe2" -> Similarity.ivfTopKMultiProbeOracle,
+    "ann_recall" -> Similarity.annRecallOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,

@@ -110,18 +110,24 @@ object Similarity {
     * broadcast side and assignment is one scan; search then probes only
     * the query's cell (an equi-join on cell id), the standard IVF
     * trade: recall vs the number of probed cells. */
+  /** Assign every vector to its highest-cosine centroid — the assign
+    * half of a Lloyd iteration; centroids are the broadcast side, so
+    * assignment is one corpus scan at any scale. */
+  private def assignTo(all: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))
+    all.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "label", "v", "nrm", "centroid_id",
+        s"${cosineWithNorms("v", "cv", "nrm", "cnrm", SparkD)} AS ccos")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .selectExpr("vec_id", "label", "v", "nrm", "centroid_id AS cell", "ccos")
+  }
+
   private def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache(spark, "ivf_assigned", dir) {
       val all = vecs(spark, dir)
-      val cents = all.filter(col("vec_id") % centroidMod === 0)
-        .selectExpr("vec_id AS centroid_id", "v AS cv", "nrm AS cnrm")
-      val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))
-      all.crossJoin(broadcast(cents))
-        .selectExpr("vec_id", "label", "v", "nrm", "centroid_id",
-          s"${cosineWithNorms("v", "cv", "nrm", "cnrm", SparkD)} AS ccos")
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .selectExpr("vec_id", "label", "v", "nrm", "centroid_id AS cell", "ccos")
+      assignTo(all, all.filter(col("vec_id") % centroidMod === 0)
+        .selectExpr("vec_id AS centroid_id", "v AS cv", "nrm AS cnrm"))
     }
 
   private def ivfCte(d: Dialect): String =
@@ -238,25 +244,184 @@ object Similarity {
     * shape: posexplode → hash agg on (cell, dim) with map-side partial
     * aggregation — one shuffle keyed wide enough (cells × 64 dims) to
     * spread across any cluster. */
-  def ivfKmeansStep(spark: SparkSession, dir: String): DataFrame =
-    ivfAssigned(spark, dir)
+  /** Centroid-update half of a Lloyd iteration, in long form (cell,
+    * dim, n_members, mean_x): posexplode → map-side-combined hash agg
+    * on (cell, dim); per-dim quantize-sum-unscale keeps the double
+    * means order-independent (exact — see [[ivfKmeansStep]]). */
+  private def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cell", "dim")
       .agg(count(lit(1)).as("n_members"),
         sum(expr("CAST(round(x * 10000000) AS BIGINT)")).as("qs"))
       .selectExpr("cell", "dim", "n_members",
         "qs / CAST(10000000 AS DOUBLE) / n_members AS mean_x")
-      .orderBy("cell", "dim")
+
+  /** Reassemble long-form centroid means into vectors with norms, the
+    * broadcast relation the next assign step needs. sort_array on
+    * (dim, mean) structs makes the collect order deterministic. */
+  private def centroidsOf(updLong: DataFrame): DataFrame =
+    updLong.groupBy("cell")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(dim, mean_x))), s -> s.mean_x)")
+        .as("cv"))
+      .selectExpr("cell AS centroid_id", "cv", s"${norm64("cv", SparkD)} AS cnrm")
+
+  /** Oracle twins of [[kmeansUpdate]] / [[centroidsOf]] / [[assignTo]],
+    * parameterized by CTE names so Lloyd iterations unroll without
+    * name collisions. */
+  private def updCte(src: String, out: String): String =
+    s"""${out}_u AS (SELECT a.cell, d.dim, count(*) AS n_members,
+          sum(CAST(round(a.v[d.dim + 1] * 10000000) AS BIGINT)) AS qs
+        FROM $src a CROSS JOIN range(0, $embeddingDims) d(dim)
+        GROUP BY a.cell, d.dim),
+        $out AS (SELECT cell, dim, n_members,
+          qs / CAST(10000000 AS DOUBLE) / n_members AS mean_x FROM ${out}_u)"""
+
+  private def centCte(updName: String, out: String): String =
+    s"""${out}_l AS (SELECT cell AS centroid_id, list(mean_x ORDER BY dim) AS cv
+          FROM $updName GROUP BY cell),
+        $out AS (SELECT centroid_id, cv, ${norm64("cv", DuckD)} AS cnrm
+                 FROM ${out}_l)"""
+
+  private def assignCte(centName: String, out: String): String =
+    s"""$out AS (SELECT e.vec_id, e.label, e.v, e.nrm, c.centroid_id AS cell,
+          ${cosineWithNorms("e.v", "c.cv", "e.nrm", "c.cnrm", DuckD)} AS ccos
+        FROM e CROSS JOIN $centName c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ccos DESC, c.centroid_id) = 1)"""
+
+  def ivfKmeansStep(spark: SparkSession, dir: String): DataFrame =
+    kmeansUpdate(ivfAssigned(spark, dir)).orderBy("cell", "dim")
 
   val ivfKmeansStepOracle: String =
     s"""WITH ${ivfCte(DuckD)},
-        m AS (SELECT a.cell, d.dim, count(*) AS n_members,
-                sum(CAST(round(a.v[d.dim + 1] * 10000000) AS BIGINT)) AS qs
-              FROM assigned a CROSS JOIN range(0, $embeddingDims) d(dim)
-              GROUP BY a.cell, d.dim)
-        SELECT cell, dim, n_members,
-               qs / CAST(10000000 AS DOUBLE) / n_members AS mean_x
-        FROM m ORDER BY cell, dim"""
+        ${updCte("assigned", "m")}
+        SELECT cell, dim, n_members, mean_x FROM m ORDER BY cell, dim"""
+
+  /** How many full Lloyd iterations [[ivfKmeansRefined]] unrolls
+    * (assign → update, twice). Fixed and small: at 100 TB the coarse
+    * quantizer is trained on a sample in a handful of passes, each one
+    * scan + one (cell, dim)-keyed shuffle; the oracle unrolls the same
+    * number of CTE rounds. */
+  private val lloydIters = 2
+
+  /** The composed k-means refinement loop over the IVF quantizer:
+    * start from the deterministic seed centroids ([[ivfAssigned]]'s
+    * assignment is iteration 1's assign half), then alternate
+    * centroid-update and re-assignment for [[lloydIters]] total
+    * iterations, emitting the refined centroids in long form.
+    * Every arithmetic step is order-independent (quantized integer
+    * sums; same-shape dot products), so the refined quantizer is
+    * bit-identical to the unrolled-CTE oracle — iteration drift
+    * cannot hide behind "approximately equal". */
+  def ivfKmeansRefined(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    var assigned = ivfAssigned(spark, dir)
+    for (_ <- 1 until lloydIters)
+      assigned = assignTo(all, centroidsOf(kmeansUpdate(assigned)))
+    kmeansUpdate(assigned).orderBy("cell", "dim")
+  }
+
+  val ivfKmeansRefinedOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        ${updCte("assigned", "c1")},
+        ${centCte("c1", "cents1")},
+        ${assignCte("cents1", "a2")},
+        ${updCte("a2", "c2")}
+        SELECT cell, dim, n_members, mean_x FROM c2 ORDER BY cell, dim"""
+
+  /** Recall@k of each approximate tier against the brute-force
+    * ground truth — THE number an ANN index is judged by. Each tier's
+    * retrieved set is semi-joined against [[cosineTopK]]'s top-k and
+    * reduced to (n_true, n_hit, recall) per tier; the probe-2 row
+    * exhibits the recall knob (more probed cells ⇒ recall can only
+    * grow — pinned as a monotonicity spec). All-integer counting, so
+    * the recall doubles are bit-exact across engines. At scale this
+    * is the standard offline index-quality job: truth for a small
+    * query sample via brute force, then one semi-join per tier. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = cosineTopK(spark, dir).select("query_id", "vec_id")
+    val tiers = Seq(
+      ("ivf_probe1", ivfTopK(spark, dir)),
+      ("ivf_probe2", ivfTopKMultiProbe(spark, dir)),
+      ("lsh", lshTopK(spark, dir)))
+    tiers.map { case (name, df) =>
+      // tier results are row_number-deduped: at most one row per
+      // (query_id, vec_id), so the left join cannot fan out truth rows
+      truth.join(
+          df.select("query_id", "vec_id").withColumn("__hit", lit(1)),
+          Seq("query_id", "vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+        .select(lit(name).as("tier"), col("n_true"), col("n_hit"),
+          (col("n_hit") / col("n_true").cast("double")).as("recall_at_k"))
+    }.reduce(_.unionByName(_)).orderBy("tier")
+  }
+
+  val annRecallOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        tq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+               WHERE vec_id < $nQueries),
+        t_scored AS (SELECT tq.query_id, e.vec_id,
+            ${cosineWithNorms("tq.qv", "e.v", "tq.qnrm", "e.nrm", DuckD)} AS cosine
+          FROM e JOIN tq ON e.vec_id <> tq.query_id),
+        truth AS (SELECT query_id, vec_id FROM t_scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) <= $topK),
+        bkt AS (SELECT vec_id, v, nrm,
+            CAST(${lshBucket("v", nPlanes, DuckD)} AS INTEGER) AS bucket FROM e),
+        lq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+               FROM bkt WHERE vec_id < $nQueries),
+        l_scored AS (SELECT lq.query_id, b.vec_id,
+            ${cosineWithNorms("lq.qv", "b.v", "lq.qnrm", "b.nrm", DuckD)} AS cosine
+          FROM bkt b JOIN lq ON b.bucket = lq.bucket AND b.vec_id <> lq.query_id),
+        lsh_r AS (SELECT query_id, vec_id FROM l_scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) <= $topK),
+        iq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell
+               FROM assigned WHERE vec_id < $nQueries),
+        i_scored AS (SELECT iq.query_id, a.vec_id,
+            ${cosineWithNorms("iq.qv", "a.v", "iq.qnrm", "a.nrm", DuckD)} AS cosine
+          FROM assigned a JOIN iq ON a.cell = iq.cell AND a.vec_id <> iq.query_id),
+        ivf1 AS (SELECT query_id, vec_id FROM i_scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) <= $topK),
+        pqc AS (SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qnrm,
+                 c.centroid_id AS cell,
+                 ${cosineWithNorms("e.v", "c.cv", "e.nrm", "c.cnrm", DuckD)} AS qccos
+               FROM e CROSS JOIN cents c
+               WHERE e.vec_id < $nQueries
+               QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY qccos DESC, c.centroid_id) <= $nProbe),
+        p_scored AS (SELECT q.query_id, a.vec_id,
+            ${cosineWithNorms("q.qv", "a.v", "q.qnrm", "a.nrm", DuckD)} AS cosine
+          FROM assigned a JOIN pqc q ON a.cell = q.cell
+           AND a.vec_id <> q.query_id),
+        ivf2 AS (SELECT query_id, vec_id FROM p_scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) <= $topK),
+        res AS (
+          SELECT 'ivf_probe1' AS tier, count(*) AS n_true,
+            CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivf1 r
+              WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM truth t
+          UNION ALL
+          SELECT 'ivf_probe2', count(*),
+            CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivf2 r
+              WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id)
+              THEN 1 ELSE 0 END) AS BIGINT)
+          FROM truth t
+          UNION ALL
+          SELECT 'lsh', count(*),
+            CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM lsh_r r
+              WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id)
+              THEN 1 ELSE 0 END) AS BIGINT)
+          FROM truth t)
+        SELECT tier, n_true, n_hit,
+          n_hit / CAST(n_true AS DOUBLE) AS recall_at_k
+        FROM res ORDER BY tier"""
 
   val lshTopKOracle: String =
     s"""WITH ${vecsCte(DuckD)},

@@ -1,0 +1,40 @@
+package graft
+
+import graft.llm.Similarity
+
+/** Properties of the ANN surface that the value-equality oracles can't
+  * express: recall bounds and the multi-probe monotonicity knob. */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recall is in [0,1] per tier; probe-2 recall >= probe-1 recall") {
+    val rows = Similarity.annRecall(spark, sfTiny)
+      .select("tier", "n_true", "n_hit", "recall_at_k")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("ivf_probe1", "ivf_probe2", "lsh"))
+    rows.values.foreach { case (tier, nTrue, nHit, recall) =>
+      assert(nTrue > 0, tier)
+      assert(nHit >= 0 && nHit <= nTrue, tier)
+      assert(recall == nHit.toDouble / nTrue, tier)
+    }
+    // probing more cells can only ADD candidates: recall monotone in
+    // nProbe (the knob the multi-probe variant exists to turn)
+    assert(rows("ivf_probe2")._4 >= rows("ivf_probe1")._4)
+  }
+
+  test("refined centroids keep every vector accounted for") {
+    val step = Similarity.ivfKmeansRefined(spark, sfTiny)
+      .select("cell", "dim", "n_members")
+      .as[(Long, Int, Long)].collect()
+    // each cell carries all dims, each dim of a cell the same count
+    val byCell = step.groupBy(_._1)
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.map(_._2).toSet.size == rows.length, s"dup dims in $cell")
+      assert(rows.map(_._3).toSet.size == 1, s"ragged counts in $cell")
+    }
+    // membership over all cells == corpus size (500 vectors at sfTiny)
+    val total = byCell.values.map(_.head._3).sum
+    assert(total == 500L)
+  }
+}
