@@ -133,6 +133,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -223,6 +224,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupOracle,
+    "dedup_incremental" -> Dedup.incrementalDedupOracle,
     "ann_cosine_topk" -> Similarity.cosineTopKOracle,
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle,
     "ann_lsh_topk" -> Similarity.lshTopKOracle,

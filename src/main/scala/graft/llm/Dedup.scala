@@ -86,6 +86,16 @@ object Dedup {
       s"CASE WHEN sig_0 IS NULL THEN NULL ELSE md5(concat($parts)) END AS band_$b"
     }
 
+  /** The shingle+signature+band projection over any (doc_id, text, …)
+    * relation — applied to the full corpus by [[docFeatures]] and to an
+    * append batch by the incremental check. */
+  private[graft] def featuresOf(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", "lang", "source", s"${shinglesSql(SparkD)} AS sh")
+      .selectExpr(Seq("doc_id", "lang", "source", "sh",
+        s"CAST(${arrLen("sh", SparkD)} AS INTEGER) AS n") ++ sigCols(SparkD): _*)
+      .selectExpr(Seq("*") ++ bandCols: _*)
+
   /** The shared document-feature relation: shingle set + size, 16
     * minhash signatures, 4 band keys — computed once per session/dir
     * (bench-persisted), reused by the signature, pair, and n-gram
@@ -93,11 +103,7 @@ object Dedup {
     * storage once and join against, not a per-query recompute. */
   private[llm] def docFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.sideTable(spark, "doc_features", dir) {
-      Tables.documents(spark, dir)
-        .selectExpr("doc_id", "lang", "source", s"${shinglesSql(SparkD)} AS sh")
-        .selectExpr(Seq("doc_id", "lang", "source", "sh",
-          s"CAST(${arrLen("sh", SparkD)} AS INTEGER) AS n") ++ sigCols(SparkD): _*)
-        .selectExpr(Seq("*") ++ bandCols: _*)
+      featuresOf(Tables.documents(spark, dir))
     }
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
@@ -211,6 +217,123 @@ object Dedup {
                   WHERE na + nb - intersection_size > 0)
         SELECT * FROM (SELECT *, intersection_size / union_size AS jaccard FROM sized)
         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+  }
+
+  // ---- incremental (append-time) near-dup check ----
+
+  /** Delta split: docs with doc_id % 10 == 9 model the APPEND batch,
+    * the rest the existing corpus — production corpora grow by append,
+    * and re-running full-corpus dedup per batch is the anti-pattern. */
+  private val deltaMod = 10
+  private val deltaRem = 9
+
+  /** Check an append batch against the existing corpus: band keys of
+    * the delta equi-joined against the corpus feature relation (no
+    * delta×delta and no corpus×corpus pairs — those were settled when
+    * the corpus was built), signature pre-filter, exact-Jaccard verify,
+    * then one decision row PER NEW DOC: match count, best corpus match
+    * (highest Jaccard, ties to the lowest corpus doc_id), and the keep/
+    * drop flag. `corpus` is the stored feature relation; `delta` is the
+    * batch's features computed fresh ([[featuresOf]]). At 100 TB the
+    * delta side is small (a day's crawl vs the corpus), so the band
+    * join broadcasts the delta bands and the corpus side never
+    * reshuffles — cost scales with the batch, not the corpus. */
+  private[graft] def incrementalCheck(delta: DataFrame, corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bandStack = (0 until nBands).map(b => s"$b, band_$b").mkString(", ")
+    def bandsOf(f: DataFrame, idCol: String) = f
+      .selectExpr(s"doc_id AS $idCol", s"stack($nBands, $bandStack) AS (band_idx, band_val)")
+      .filter(col("band_val").isNotNull)
+    val cands = broadcast(bandsOf(delta, "new_doc"))
+      .join(bandsOf(corpus, "corpus_doc"), Seq("band_idx", "band_val"))
+      .select("new_doc", "corpus_doc").distinct()
+    val sigsN = delta.selectExpr(
+      Seq("doc_id AS new_doc") ++ (0 until nSigs).map(j => s"sig_$j AS a_sig_$j"): _*)
+    val sigsC = corpus.selectExpr(
+      Seq("doc_id AS corpus_doc") ++ (0 until nSigs).map(j => s"sig_$j AS b_sig_$j"): _*)
+    val agree = (0 until nSigs)
+      .map(j => s"CASE WHEN a_sig_$j = b_sig_$j THEN 1 ELSE 0 END").mkString(" + ")
+    val surv = cands.join(sigsN, Seq("new_doc")).join(sigsC, Seq("corpus_doc"))
+      .filter(expr(s"($agree) >= $minSigAgree"))
+      .select("new_doc", "corpus_doc")
+    val verified = surv
+      .join(delta.selectExpr("doc_id AS new_doc", "sh AS sh_a", "n AS na"), Seq("new_doc"))
+      .join(corpus.selectExpr("doc_id AS corpus_doc", "sh AS sh_b", "n AS nb"), Seq("corpus_doc"))
+      .selectExpr("new_doc", "corpus_doc", "na", "nb",
+        s"CAST(${interSize("sh_a", "sh_b", SparkD)} AS INTEGER) AS intersection_size")
+      .selectExpr("new_doc", "corpus_doc", "intersection_size",
+        "na + nb - intersection_size AS union_size")
+      .filter(col("union_size") > 0)
+      .selectExpr("*", "intersection_size / union_size AS jaccard")
+      .filter(col("jaccard") >= 0.5)
+    val w = Window.partitionBy("new_doc").orderBy(desc("jaccard"), asc("corpus_doc"))
+    val best = verified
+      .withColumn("n_matches", count(lit(1)).over(Window.partitionBy("new_doc")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .selectExpr("new_doc", "n_matches", "corpus_doc AS dup_of", "jaccard AS best_jaccard")
+    delta.select(col("doc_id").as("new_doc"))
+      .join(best, Seq("new_doc"), "left")
+      .selectExpr("new_doc",
+        "CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches",
+        "dup_of", "best_jaccard",
+        "CASE WHEN dup_of IS NULL THEN 0 ELSE 1 END AS is_dup")
+      .orderBy("new_doc")
+  }
+
+  /** The oracle-checked incremental query over the fixture: corpus
+    * features come from the materialized side-table relation
+    * ([[docFeatures]] — exactly what a production run would read from
+    * storage), delta features are computed fresh from the raw batch. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalCheck(
+      featuresOf(Tables.documents(spark, dir)
+        .filter(col("doc_id") % deltaMod === deltaRem)),
+      docFeatures(spark, dir).filter(col("doc_id") % deltaMod =!= deltaRem))
+
+  val incrementalDedupOracle: String = {
+    val agree = (0 until nSigs)
+      .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END").mkString(" + ")
+    val dBands = (0 until nBands)
+      .map(b => s"SELECT doc_id AS new_doc, $b AS band_idx, band_$b AS band_val FROM delta")
+      .mkString(" UNION ALL ")
+    val cBands = (0 until nBands)
+      .map(b => s"SELECT doc_id AS corpus_doc, $b AS band_idx, band_$b AS band_val FROM corp")
+      .mkString(" UNION ALL ")
+    s"""WITH ${minhashCtes(DuckD)},
+        delta AS (SELECT * FROM band_t WHERE doc_id % $deltaMod = $deltaRem),
+        corp AS (SELECT * FROM band_t WHERE doc_id % $deltaMod <> $deltaRem),
+        dbands AS (SELECT * FROM ($dBands) WHERE band_val IS NOT NULL),
+        cbands AS (SELECT * FROM ($cBands) WHERE band_val IS NOT NULL),
+        cands AS (SELECT DISTINCT a.new_doc, b.corpus_doc
+                  FROM dbands a JOIN cbands b
+                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val),
+        surv AS (SELECT c.new_doc, c.corpus_doc FROM cands c
+                 JOIN delta sa ON c.new_doc = sa.doc_id
+                 JOIN corp sb ON c.corpus_doc = sb.doc_id
+                 WHERE ($agree) >= $minSigAgree),
+        inter AS (SELECT s.new_doc, s.corpus_doc, sa.n AS na, sb.n AS nb,
+                    CAST(${interSize("sa.sh", "sb.sh", DuckD)} AS INTEGER) AS intersection_size
+                  FROM surv s
+                  JOIN delta sa ON s.new_doc = sa.doc_id
+                  JOIN corp sb ON s.corpus_doc = sb.doc_id),
+        sized AS (SELECT new_doc, corpus_doc, intersection_size,
+                    na + nb - intersection_size AS union_size FROM inter
+                  WHERE na + nb - intersection_size > 0),
+        verified AS (SELECT * FROM
+                       (SELECT *, intersection_size / union_size AS jaccard FROM sized)
+                     WHERE jaccard >= 0.5),
+        best AS (SELECT new_doc, corpus_doc AS dup_of, jaccard AS best_jaccard,
+                   count(*) OVER (PARTITION BY new_doc) AS n_matches
+                 FROM verified
+                 QUALIFY row_number() OVER (PARTITION BY new_doc
+                   ORDER BY jaccard DESC, corpus_doc) = 1)
+        SELECT d.doc_id AS new_doc,
+          CAST(coalesce(b.n_matches, 0) AS BIGINT) AS n_matches,
+          b.dup_of, b.best_jaccard,
+          CASE WHEN b.dup_of IS NULL THEN 0 ELSE 1 END AS is_dup
+        FROM delta d LEFT JOIN best b ON d.doc_id = b.new_doc
+        ORDER BY new_doc"""
   }
 
   // ---- edit-distance verification tier ----
