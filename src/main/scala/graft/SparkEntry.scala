@@ -150,6 +150,7 @@ object SparkEntry {
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
     "events_last_click_asof" -> ((s, d) => EventsStream.purchaseAttributionAsOf(s, d)),
     "events_type_totals_salted" -> ((s, d) => EventsStream.typeTotalsSalted(s, d)),
+    "events_salted_join" -> ((s, d) => EventsStream.saltedJoinTotals(s, d)),
     "events_props_json" -> ((s, d) => EventsStream.propsJsonMetrics(s, d)),
     "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
     "events_funnel" -> ((s, d) => EventsStream.funnelBatch(s, d)),
@@ -241,6 +242,7 @@ object SparkEntry {
     "events_purchase_attribution" -> EventsStream.purchaseAttributionBatchOracle,
     "events_last_click_asof" -> EventsStream.purchaseAttributionAsOfOracle,
     "events_type_totals_salted" -> EventsStream.typeTotalsSaltedOracle,
+    "events_salted_join" -> EventsStream.saltedJoinTotalsOracle,
     "events_props_json" -> EventsStream.propsJsonMetricsOracle,
     "events_sessionized" -> Sessionize.sessionsBatchOracle,
     "events_funnel" -> EventsStream.funnelBatchOracle,

@@ -119,6 +119,46 @@ object EventsStream {
          count(*) AS n_rows
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // ---- skew-safe salted join (Scale.saltedJoin), oracle-checked ----
+
+  /** The per-type weight dim the salted join replicates — shared by the
+    * Spark literal relation and the oracle VALUES so they can't drift. */
+  private val typeWeightRows = Seq(
+    ("click", 2), ("error", 0), ("purchase", 10), ("signup", 5), ("view", 1))
+
+  /** [[graft.ops.Scale.saltedJoin]] surfaced as a query whose oracle is
+    * the PLAIN join: `event_type` is the pathological key (5 values
+    * over the whole event log — the worst case for a shuffle join,
+    * where every row of a type lands on one task), so the large side
+    * is salted and the 5-row dim replicated across the salt space.
+    * Results must be bit-identical to the unsalted join; the weighted
+    * sum runs on cents×weight integers so combine order can't leak in. */
+  def saltedJoinTotals(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val dim = spark.createDataFrame(typeWeightRows).toDF("event_type", "weight")
+    graft.ops.Scale.saltedJoin(ev, dim, "event_type", salts = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents") * col("weight")).as("weighted_cents"))
+      .selectExpr("event_type", "n_rows",
+        "CAST(weighted_cents AS BIGINT) / CAST(100 AS DOUBLE) AS weighted_value")
+      .orderBy("event_type")
+  }
+
+  val saltedJoinTotalsOracle: String = {
+    val vals = typeWeightRows
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH dim AS (SELECT * FROM (VALUES $vals) v(event_type, weight)),
+        ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+        SELECT e.event_type, count(*) AS n_rows,
+          CAST(sum(e.cents * d.weight) AS BIGINT) / CAST(100 AS DOUBLE) AS weighted_value
+        FROM ev e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type ORDER BY e.event_type"""
+  }
+
   // ---- stream-stream interval join: purchase → click attribution ----
 
   private val attributionWindowUs: Long = 6L * 3600 * 1000 * 1000

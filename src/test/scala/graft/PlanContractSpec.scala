@@ -16,7 +16,8 @@ class PlanContractSpec extends SparkSpec {
     "customer_feedback_enriched", "curated_revenue_by_category",
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
     "dedup_embedding", "ann_lsh_topk", "events_purchase_attribution",
-    "events_last_click_asof", "corpus_source_quota", "corpus_curated")
+    "events_last_click_asof", "corpus_source_quota", "corpus_curated",
+    "events_salted_join", "dedup_incremental")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
@@ -40,5 +41,27 @@ class PlanContractSpec extends SparkSpec {
   test("dimension joins broadcast the small side") {
     val p = plan("rating_icon_join")
     assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("co-bucketed tables join with no Exchange on either side") {
+    // the write-side co-location contract: two tables bucketed+sorted
+    // the same way must sort-merge-join straight off the scans — an
+    // Exchange here would mean bucketing silently stopped eliminating
+    // the shuffle (the 100 TB win the API exists for)
+    val ev = graft.io.Tables.events(spark, sfTiny)
+      .select("event_id", "user_id", "value")
+    val us = graft.io.Tables.events(spark, sfTiny)
+      .groupBy("user_id").count()
+    graft.ops.Scale.bucketedTable(ev, "pcs_ev_bkt", 4, "user_id")
+    graft.ops.Scale.bucketedTable(us, "pcs_user_bkt", 4, "user_id")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("pcs_ev_bkt")
+        .join(spark.table("pcs_user_bkt"), Seq("user_id"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"unexpected exchange in:\n$p")
+      assert(p.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
