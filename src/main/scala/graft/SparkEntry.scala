@@ -128,6 +128,7 @@ object SparkEntry {
     "dedup_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_cluster_sizes" -> ((s, d) => Dedup.dedupClusterSizes(s, d)),
     "corpus_deduped" -> ((s, d) => Dedup.dedupedCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -141,11 +142,13 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans_step" -> ((s, d) => Similarity.ivfKmeansStep(s, d)),
     "ann_ivf_kmeans_refined" -> ((s, d) => Similarity.ivfKmeansRefined(s, d)),
+    "ann_ivf_topk_refined" -> ((s, d) => Similarity.ivfTopKRefined(s, d)),
     "ann_ivf_topk_probe2" -> ((s, d) => Similarity.ivfTopKMultiProbe(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "multimodal_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, d)),
+    "multimodal_wav_stats" -> ((s, d) => Multimodal.wavStats(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
     "events_last_click_asof" -> ((s, d) => EventsStream.purchaseAttributionAsOf(s, d)),
@@ -220,6 +223,7 @@ object SparkEntry {
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,
     "dedup_minhash_pairs" -> Dedup.minhashPairsOracle,
     "dedup_clusters" -> Dedup.dedupClustersOracle,
+    "dedup_cluster_sizes" -> Dedup.dedupClusterSizesOracle,
     "corpus_deduped" -> Dedup.dedupedCorpusOracle,
     "dedup_simhash" -> Dedup.simhashSignaturesOracle,
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
@@ -233,11 +237,13 @@ object SparkEntry {
     "ann_ivf_topk" -> Similarity.ivfTopKOracle,
     "ann_ivf_kmeans_step" -> Similarity.ivfKmeansStepOracle,
     "ann_ivf_kmeans_refined" -> Similarity.ivfKmeansRefinedOracle,
+    "ann_ivf_topk_refined" -> Similarity.ivfTopKRefinedOracle,
     "ann_ivf_topk_probe2" -> Similarity.ivfTopKMultiProbeOracle,
     "ann_recall" -> Similarity.annRecallOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,
+    "multimodal_wav_stats" -> Multimodal.wavStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
     "events_purchase_attribution" -> EventsStream.purchaseAttributionBatchOracle,
     "events_last_click_asof" -> EventsStream.purchaseAttributionAsOfOracle,

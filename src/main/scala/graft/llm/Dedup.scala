@@ -541,6 +541,31 @@ object Dedup {
           WHERE l.doc_id = d.doc_id AND l.doc_id <> l.cluster_id)
         ORDER BY d.doc_id"""
 
+  /** Cluster-size histogram — the number a dedup run is reported by
+    * ("how much of the corpus is duplicated, and in how big a clump"):
+    * per-cluster member counts, then clusters per size. Two tiny aggs
+    * over the already-computed label relation; singleton docs (never in
+    * any near-dup pair) are not labeled and so not counted — the
+    * histogram describes the duplicated part of the corpus. */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy("cluster_size")
+
+  val dedupClusterSizesOracle: String =
+    s"""WITH RECURSIVE $closureCtes,
+        labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                   FROM reach GROUP BY src),
+        sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                  FROM labels GROUP BY cluster_id)
+        SELECT cluster_size, count(*) AS n_clusters,
+          CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
+
   // ---- SimHash ----
 
   /** Token-hash bit-balance SimHash per doc — a shuffle-heavy prefix

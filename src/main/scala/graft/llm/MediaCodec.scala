@@ -192,6 +192,46 @@ object MediaCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
+  // ---- sample tier: real PCM16 WAV decode ----
+
+  /** Decoded PCM: interleaved 16-bit samples (frame-major, channel
+    * within frame), little-endian per the RIFF spec. */
+  case class WavSamples(channels: Int, sampleRateHz: Int,
+                        samples: Array[Short])
+
+  /** Full sample decode for 16-bit PCM WAVs: after [[parseWav]]
+    * validates the fmt chunk, walk to the `data` chunk (same
+    * untrusted-size discipline — unsigned Long cursor, strictly
+    * advancing) and read its payload as little-endian int16. A data
+    * chunk that overruns the file, or a non-16-bit format, returns
+    * None rather than throwing. */
+  def decodeWavSamples(payload: Array[Byte]): Option[WavSamples] = {
+    val fmt = parseWav(payload).getOrElse(return None)
+    if (fmt.bitsPerSample != 16) return None
+    var off: Long = 12L
+    while (off + 8 <= payload.length) {
+      val o = off.toInt
+      val tag = new String(payload.slice(o, o + 4), "US-ASCII")
+      val size = le32(payload, o + 4) & 0xFFFFFFFFL
+      if (tag == "data") {
+        if (o + 8 + size > payload.length) return None
+        val n = (size / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((payload(o + 8 + 2 * i) & 0xff)
+            | (payload(o + 9 + 2 * i) << 8)).toShort
+          i += 1
+        }
+        return Some(WavSamples(fmt.channels, fmt.sampleRateHz, out))
+      }
+      val next = off + 8 + size + (size & 1)
+      if (next <= off) return None
+      off = next
+    }
+    None
+  }
+
   // ---- builders (valid minimal files, used by fixtures and specs) ----
 
   private def u32be(v: Int): Array[Byte] =
@@ -279,6 +319,28 @@ object MediaCodec {
       u32le(byteRate) ++ u16le(blockAlign) ++ u16le(bitsPerSample)
     val chunks = "fmt ".getBytes("US-ASCII") ++ u32le(16) ++ fmt ++
       "data".getBytes("US-ASCII") ++ u32le(0)
+    "RIFF".getBytes("US-ASCII") ++ u32le(4 + chunks.length) ++
+      "WAVE".getBytes("US-ASCII") ++ chunks
+  }
+
+  /** Spec-valid PCM16 WAV carrying the given interleaved samples in a
+    * real little-endian `data` chunk. */
+  def makeWavWithSamples(channels: Int, sampleRateHz: Int,
+                         samples: Array[Short]): Array[Byte] = {
+    val bitsPerSample = 16
+    val byteRate = sampleRateHz * channels * (bitsPerSample / 8)
+    val blockAlign = channels * (bitsPerSample / 8)
+    val fmt = u16le(1) ++ u16le(channels) ++ u32le(sampleRateHz) ++
+      u32le(byteRate) ++ u16le(blockAlign) ++ u16le(bitsPerSample)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = samples(i).toByte
+      data(2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    val chunks = "fmt ".getBytes("US-ASCII") ++ u32le(16) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ u32le(data.length) ++ data
     "RIFF".getBytes("US-ASCII") ++ u32le(4 + chunks.length) ++
       "WAVE".getBytes("US-ASCII") ++ chunks
   }

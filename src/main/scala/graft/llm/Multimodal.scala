@@ -15,13 +15,15 @@ import graft.io.Tables
   *    sniffing and PNG-IHDR / WAV-fmt header parsing over genuine
   *    container bytes (the metadata tier that drives routing/filtering
   *    at scale — oracle-checked end-to-end via [[headerMeta]]);
-  *  - the PNG PIXEL tier is REAL too: [[MediaCodec.decodePngPixels]]
-  *    inflates IDAT with the JDK's zlib and reverses all five scanline
-  *    filters — oracle-checked via [[pixelStats]];
+  *  - the PNG PIXEL and WAV SAMPLE tiers are REAL too:
+  *    [[MediaCodec.decodePngPixels]] inflates IDAT with the JDK's zlib
+  *    and reverses all five scanline filters, and
+  *    [[MediaCodec.decodeWavSamples]] reads the PCM16 data chunk —
+  *    oracle-checked via [[pixelStats]] / [[wavStats]];
   *  - [[FakeCodec]] remains a clearly-marked stand-in ONLY for
   *    modalities whose decode genuinely needs external libraries
-  *    (audio resample, video frame-sample); it produces a
-  *    deterministic feature vector so that plumbing stays testable.
+  *    (video frame extraction); it produces a deterministic feature
+  *    vector so that plumbing stays testable.
   */
 object Multimodal {
 
@@ -227,7 +229,8 @@ object Multimodal {
     * below 2^53, so the double mean conversion is exact too). DuckDB's
     * `range` table function cannot take lateral (per-row) bounds, so
     * the pixel grid is the MAX dims (31×17, the [[pixelDims]] moduli)
-    * cross-joined then filtered to each image's actual w×h. */
+    * cross-joined then filtered to each image's actual w×h (same
+    * technique in [[wavStatsOracle]]). */
   val pixelStatsOracle: String =
     """WITH imgs AS (SELECT doc_id,
            CAST(doc_id % 31 + 1 AS INTEGER) AS w,
@@ -244,4 +247,82 @@ object Multimodal {
          CAST(max(b) AS INTEGER) AS b_max,
          sum(b) / CAST(count(*) AS DOUBLE) AS mean_val
        FROM px GROUP BY doc_id, channel ORDER BY doc_id, channel"""
+
+  // ---- real sample-decode tier (MediaCodec.decodeWavSamples) ----
+
+  case class WavChannelStats(doc_id: Long, channel: Int, n_samples: Long,
+                             s_sum: Long, s_min: Int, s_max: Int)
+
+  private[graft] def wavFrames(docId: Long): Int = (docId % 37 + 1).toInt
+  private[graft] def wavChannels(docId: Long): Int = (docId % 2 + 1).toInt
+
+  /** Deterministic interleaved PCM16 signal for audio doc `docId`:
+    * sample i is ((docId % 251) + i·7919) % 65536 − 32768 — full int16
+    * range incl. negatives, SQL-reproducible from doc_id alone. */
+  private[graft] def wavSignal(docId: Long, frames: Int, channels: Int): Array[Short] = {
+    val n = frames * channels
+    val out = new Array[Short](n)
+    val base = (docId % 251).toInt
+    var i = 0
+    while (i < n) {
+      out(i) = (((base + i * 7919) % 65536) - 32768).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Per-channel PCM statistics from REAL decoded WAV bytes — the
+    * audio twin of [[pixelStats]]: each audio doc's signal is written
+    * into a spec-valid PCM16 WAV in the executors and read back by
+    * [[MediaCodec.decodeWavSamples]] (chunk walk + little-endian int16
+    * decode) before the per-channel de-interleave. The oracle
+    * recomputes every statistic arithmetically, so a hash-match proves
+    * the data-chunk round-trip is sample-exact — including sign
+    * handling at both int16 extremes. Decode failure throws (our own
+    * builder's bytes). */
+  def wavStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 1").as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val frames = wavFrames(id); val ch = wavChannels(id)
+          val wav = MediaCodec.makeWavWithSamples(
+            ch, (8000 + (id % 5) * 8000).toInt, wavSignal(id, frames, ch))
+          val pcm = MediaCodec.decodeWavSamples(wav).getOrElse(
+            sys.error(s"wav decode failed for doc $id"))
+          (0 until pcm.channels).map { c =>
+            var s = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var j = c
+            while (j < pcm.samples.length) {
+              val v: Int = pcm.samples(j)
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              j += pcm.channels
+            }
+            WavChannelStats(id, c, pcm.samples.length.toLong / pcm.channels,
+              s, mn, mx)
+          }
+        }
+      }
+    stats.toDF()
+      .withColumn("mean_s", col("s_sum") / col("n_samples").cast("double"))
+      .orderBy("doc_id", "channel")
+  }
+
+  val wavStatsOracle: String =
+    """WITH auds AS (SELECT doc_id,
+           CAST(doc_id % 37 + 1 AS INTEGER) AS frames,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels
+         FROM documents WHERE doc_id % 3 = 1),
+       sm AS (SELECT a.doc_id, CAST(c.c AS INTEGER) AS channel,
+           ((a.doc_id % 251) + (f.f * a.channels + c.c) * 7919) % 65536 - 32768 AS s
+         FROM auds a, range(0, 37) f(f), range(0, 2) c(c)
+         WHERE f.f < a.frames AND c.c < a.channels)
+       SELECT doc_id, channel,
+         count(*) AS n_samples,
+         CAST(sum(s) AS BIGINT) AS s_sum,
+         CAST(min(s) AS INTEGER) AS s_min,
+         CAST(max(s) AS INTEGER) AS s_max,
+         sum(s) / CAST(count(*) AS DOUBLE) AS mean_s
+       FROM sm GROUP BY doc_id, channel ORDER BY doc_id, channel"""
 }

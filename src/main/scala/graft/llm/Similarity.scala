@@ -315,19 +315,65 @@ object Similarity {
     * sums; same-shape dot products), so the refined quantizer is
     * bit-identical to the unrolled-CTE oracle — iteration drift
     * cannot hide behind "approximately equal". */
-  def ivfKmeansRefined(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
-    var assigned = ivfAssigned(spark, dir)
-    for (_ <- 1 until lloydIters)
-      assigned = assignTo(all, centroidsOf(kmeansUpdate(assigned)))
-    kmeansUpdate(assigned).orderBy("cell", "dim")
+  /** Corpus assignment under the refined (iteration-2) centroids —
+    * the index the refined search tier probes. Cell ids remain the
+    * seed centroid vec_ids through the update, so downstream joins
+    * keep their key shape. */
+  private def refinedAssigned(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "ivf_refined_assigned", dir) {
+      val all = vecs(spark, dir)
+      var assigned = ivfAssigned(spark, dir)
+      for (_ <- 1 until lloydIters)
+        assigned = assignTo(all, centroidsOf(kmeansUpdate(assigned)))
+      assigned
+    }
+
+  def ivfKmeansRefined(spark: SparkSession, dir: String): DataFrame =
+    kmeansUpdate(refinedAssigned(spark, dir)).orderBy("cell", "dim")
+
+  /** IVF top-k probing the REFINED quantizer's cells — the payoff
+    * query of the Lloyd loop: better-centered cells put more true
+    * neighbors in the probed cell, which [[annRecall]] measures as a
+    * separate tier. Same single-probe equi-join shape as [[ivfTopK]]. */
+  def ivfTopKRefined(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = refinedAssigned(spark, dir)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm", "cell")
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id", "cell",
+        s"${cosineWithNorms("qv", "v", "qnrm", "nrm", SparkD)} AS cosine")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "cell", "rank", "cosine")
+      .orderBy("query_id", "rank")
   }
+
+  /** The `a2` CTE chain (refined assignment), shared by the refined
+    * oracle queries. */
+  private def refinedCtes: String =
+    s"""${updCte("assigned", "c1")},
+        ${centCte("c1", "cents1")},
+        ${assignCte("cents1", "a2")}"""
+
+  val ivfTopKRefinedOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        $refinedCtes,
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell
+              FROM a2 WHERE vec_id < $nQueries),
+        scored AS (SELECT q.query_id, a.vec_id, a.cell,
+                     ${cosineWithNorms("q.qv", "a.v", "q.qnrm", "a.nrm", DuckD)} AS cosine
+                   FROM a2 a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id),
+        ranked AS (SELECT *, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, cell, rank, cosine FROM ranked
+        WHERE rank <= $topK ORDER BY query_id, rank"""
 
   val ivfKmeansRefinedOracle: String =
     s"""WITH ${ivfCte(DuckD)},
-        ${updCte("assigned", "c1")},
-        ${centCte("c1", "cents1")},
-        ${assignCte("cents1", "a2")},
+        $refinedCtes,
         ${updCte("a2", "c2")}
         SELECT cell, dim, n_members, mean_x FROM c2 ORDER BY cell, dim"""
 
@@ -345,6 +391,7 @@ object Similarity {
     val tiers = Seq(
       ("ivf_probe1", ivfTopK(spark, dir)),
       ("ivf_probe2", ivfTopKMultiProbe(spark, dir)),
+      ("ivf_refined", ivfTopKRefined(spark, dir)),
       ("lsh", lshTopK(spark, dir)))
     tiers.map { case (name, df) =>
       // tier results are row_number-deduped: at most one row per
@@ -353,14 +400,25 @@ object Similarity {
           df.select("query_id", "vec_id").withColumn("__hit", lit(1)),
           Seq("query_id", "vec_id"), "left_outer")
         .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+          coalesce(sum(coalesce(col("__hit"), lit(0))), lit(0L))
+            .cast("long").as("n_hit"))
         .select(lit(name).as("tier"), col("n_true"), col("n_hit"),
-          (col("n_hit") / col("n_true").cast("double")).as("recall_at_k"))
+          expr("CASE WHEN n_true > 0 THEN n_hit / CAST(n_true AS DOUBLE) " +
+            "ELSE CAST(0 AS DOUBLE) END").as("recall_at_k"))
     }.reduce(_.unionByName(_)).orderBy("tier")
   }
 
   val annRecallOracle: String =
     s"""WITH ${ivfCte(DuckD)},
+        $refinedCtes,
+        rq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell
+               FROM a2 WHERE vec_id < $nQueries),
+        r_scored AS (SELECT rq.query_id, a.vec_id,
+            ${cosineWithNorms("rq.qv", "a.v", "rq.qnrm", "a.nrm", DuckD)} AS cosine
+          FROM a2 a JOIN rq ON a.cell = rq.cell AND a.vec_id <> rq.query_id),
+        ivfr AS (SELECT query_id, vec_id FROM r_scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) <= $topK),
         tq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
                WHERE vec_id < $nQueries),
         t_scored AS (SELECT tq.query_id, e.vec_id,
@@ -414,13 +472,20 @@ object Similarity {
               THEN 1 ELSE 0 END) AS BIGINT)
           FROM truth t
           UNION ALL
+          SELECT 'ivf_refined', count(*),
+            CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivfr r
+              WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id)
+              THEN 1 ELSE 0 END) AS BIGINT)
+          FROM truth t
+          UNION ALL
           SELECT 'lsh', count(*),
             CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM lsh_r r
               WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id)
               THEN 1 ELSE 0 END) AS BIGINT)
           FROM truth t)
-        SELECT tier, n_true, n_hit,
-          n_hit / CAST(n_true AS DOUBLE) AS recall_at_k
+        SELECT tier, n_true, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+          CASE WHEN n_true > 0 THEN coalesce(n_hit, 0) / CAST(n_true AS DOUBLE)
+               ELSE CAST(0 AS DOUBLE) END AS recall_at_k
         FROM res ORDER BY tier"""
 
   val lshTopKOracle: String =

@@ -12,7 +12,8 @@ class AnnSpec extends SparkSpec {
       .select("tier", "n_true", "n_hit", "recall_at_k")
       .as[(String, Long, Long, Double)].collect()
       .map(r => r._1 -> r).toMap
-    assert(rows.keySet == Set("ivf_probe1", "ivf_probe2", "lsh"))
+    assert(rows.keySet ==
+      Set("ivf_probe1", "ivf_probe2", "ivf_refined", "lsh"))
     rows.values.foreach { case (tier, nTrue, nHit, recall) =>
       assert(nTrue > 0, tier)
       assert(nHit >= 0 && nHit <= nTrue, tier)

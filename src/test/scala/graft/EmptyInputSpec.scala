@@ -37,7 +37,7 @@ class EmptyInputSpec extends SparkSpec {
   }
 
   test("text/dedup/ANN operators are total on empty documents + embeddings") {
-    import graft.llm.{Curation, Dedup, Similarity, TextAnalysis}
+    import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
     // an empty-fixture dir with the real schemas (a new tenant's corpus)
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
     Seq("documents", "embeddings").foreach { t =>
@@ -58,9 +58,26 @@ class EmptyInputSpec extends SparkSpec {
       "corpus_deduped" -> (Dedup.dedupedCorpus _),
       "dedup_edit_distance" -> (Dedup.editDistancePairs _),
       "ann_cosine_topk" -> (Similarity.cosineTopK _),
-      "ann_ivf_kmeans_step" -> (Similarity.ivfKmeansStep _))
+      "ann_ivf_kmeans_step" -> (Similarity.ivfKmeansStep _),
+      "ann_ivf_kmeans_refined" -> (Similarity.ivfKmeansRefined _),
+      "ann_ivf_topk_refined" -> (Similarity.ivfTopKRefined _),
+      "dedup_incremental" -> (Dedup.incrementalDedup _),
+      "dedup_cluster_sizes" -> (Dedup.dedupClusterSizes _),
+      "multimodal_pixel_stats" -> (Multimodal.pixelStats _),
+      "multimodal_wav_stats" -> (Multimodal.wavStats _))
     ops.foreach { case (name, fn) =>
       assert(fn(spark, dir).count() == 0, s"$name not empty/total on empty input")
+    }
+    // non-zero-but-total cases: the normalization query carries its
+    // own 5-doc side corpus, and the recall report always emits one
+    // row per tier (counts zeroed, recall 0.0 — never null/NaN)
+    assert(TextAnalysis.normalized(spark, dir).count() == 5)
+    val recall = Similarity.annRecall(spark, dir)
+      .select("tier", "n_true", "n_hit", "recall_at_k")
+      .as[(String, Long, Long, Double)].collect()
+    assert(recall.length == 4)
+    recall.foreach { case (_, nt, nh, r) =>
+      assert(nt == 0 && nh == 0 && r == 0.0)
     }
   }
 }

@@ -157,6 +157,29 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.decodePngPixels(MediaCodec.makePng(4, 4)).isEmpty)
   }
 
+  test("wav sample encode/decode round-trips PCM16 incl. int16 extremes") {
+    val signal = Array[Short](Short.MinValue, Short.MaxValue, 0, -1, 1,
+      -12345, 12345, 255, -256)
+    for (ch <- 1 to 2) {
+      val wav = MediaCodec.makeWavWithSamples(ch, 44100, signal)
+      val got = MediaCodec.decodeWavSamples(wav)
+      assert(got.isDefined, s"ch=$ch")
+      assert(got.get.channels == ch && got.get.sampleRateHz == 44100)
+      assert(got.get.samples.sameElements(signal), s"ch=$ch")
+    }
+    // empty signal decodes to zero samples, not None
+    assert(MediaCodec.decodeWavSamples(MediaCodec.makeWav(1, 8000))
+      .exists(_.samples.isEmpty))
+    // non-16-bit fmt → sample tier declines (header tier still parses)
+    assert(MediaCodec.decodeWavSamples(MediaCodec.makeWav(1, 8000, 8)).isEmpty)
+    // truncated data chunk (declared longer than the file) → None
+    val wav = MediaCodec.makeWavWithSamples(1, 8000, signal)
+    val truncated = wav.take(wav.length - 4)
+    assert(MediaCodec.decodeWavSamples(truncated).isEmpty)
+    // not a wav at all
+    assert(MediaCodec.decodeWavSamples("nope".getBytes("UTF-8")).isEmpty)
+  }
+
   test("typed mapPartitions header extraction matches per-row expectation") {
     val rows = Multimodal.extractHeaders(Multimodal.syntheticMedia(spark, sfTiny))
       .collect().sortBy(_.doc_id)
