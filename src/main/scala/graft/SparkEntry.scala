@@ -118,6 +118,8 @@ object SparkEntry {
     "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
     "text_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
     "text_normalized" -> ((s, d) => TextAnalysis.normalized(s, d)),
+    "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
+    "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_split" -> ((s, d) => Curation.sampleSplit(s, d)),
     "corpus_curated" -> ((s, d) => Curation.curatedCorpus(s, d)),
@@ -213,6 +215,8 @@ object SparkEntry {
     "text_top_terms" -> TextAnalysis.topTermsOracle,
     "text_pii_scan" -> TextAnalysis.piiScanOracle,
     "text_normalized" -> TextAnalysis.normalizedOracle,
+    "text_vocabulary" -> TextAnalysis.vocabularyOracle,
+    "text_contamination" -> TextAnalysis.contaminationOracle,
     "dedup_edit_distance" -> Dedup.editDistancePairsOracle,
     "corpus_split" -> Curation.sampleSplitOracle,
     "corpus_curated" -> Curation.curatedCorpusOracle,

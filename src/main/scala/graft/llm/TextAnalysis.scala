@@ -279,6 +279,102 @@ object TextAnalysis {
         QUALIFY term_rank <= $topTermsK
         ORDER BY doc_id, term_rank"""
 
+  // ---- global vocabulary ----
+
+  private val vocabK = 100
+
+  /** Corpus-level vocabulary build — the step that feeds tokenizer
+    * training and embedding vocab selection: per-term total frequency
+    * and document frequency, top-[[vocabK]] by tf. The top-k is
+    * orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+    * global sort — the term-stats relation is vocabulary-sized but
+    * still worth not sorting at 100 TB); the rank column is a window
+    * over the already-top-k rows, which is k rows on one task by
+    * construction. */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(words("lower(text)", SparkD))).as("term"))
+    toks.groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), asc("term"))
+      .limit(vocabK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("tf"), asc("term"))))
+      .select("rank", "term", "tf", "df")
+      .orderBy("rank")
+  }
+
+  val vocabularyOracle: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${words("lower(text)", DuckD)}) AS term
+                      FROM documents),
+        v AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+              FROM toks GROUP BY term),
+        top AS (SELECT * FROM v ORDER BY tf DESC, term LIMIT $vocabK)
+        SELECT row_number() OVER (ORDER BY tf DESC, term) AS rank,
+               term, tf, df
+        FROM top ORDER BY rank"""
+
+  // ---- benchmark decontamination ----
+
+  /** Eval-set membership rule: every ~97th doc stands in for a held-out
+    * benchmark (deterministic, so the oracle sees the same split). */
+  private val evalMod = 97
+  private val evalRem = 3
+  private val contamMinShared = 2
+
+  /** Benchmark decontamination — the check every training corpus runs
+    * before release: training docs sharing >= [[contamMinShared]]
+    * distinct word-3-grams with any eval doc are flagged, with the
+    * worst-overlap eval doc reported. Candidates come from an equi-join
+    * on the exploded DISTINCT 3-grams (eval side broadcast — the eval
+    * set is benchmark-sized, not corpus-sized), so cost is one corpus
+    * scan + a gram-keyed join, never corpus × eval. Common-phrase grams
+    * fan out only on the tiny eval side. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def grams(docs: DataFrame, idCol: String) = docs
+      .selectExpr(s"doc_id AS $idCol",
+        s"${arrDistinct(grams3(words("lower(text)", SparkD), SparkD), SparkD)} AS g")
+      .select(col(idCol), explode(col("g")).as("gram"))
+    val docs = Tables.documents(spark, dir)
+    val evalGrams = grams(docs.filter(col("doc_id") % evalMod === evalRem), "eval_doc")
+    val trainGrams = grams(docs.filter(col("doc_id") % evalMod =!= evalRem), "doc_id")
+    val shared = trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id", "eval_doc")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= contamMinShared)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("n_shared_grams"), asc("eval_doc"))
+    shared
+      .withColumn("n_eval_matches", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .selectExpr("doc_id", "CAST(n_eval_matches AS BIGINT) AS n_eval_matches",
+        "eval_doc AS worst_eval_doc", "n_shared_grams")
+      .orderBy("doc_id")
+  }
+
+  val contaminationOracle: String =
+    s"""WITH eg AS (SELECT doc_id AS eval_doc,
+            unnest(${arrDistinct(grams3(words("lower(text)", DuckD), DuckD), DuckD)}) AS gram
+          FROM documents WHERE doc_id % $evalMod = $evalRem),
+        tg AS (SELECT doc_id,
+            unnest(${arrDistinct(grams3(words("lower(text)", DuckD), DuckD), DuckD)}) AS gram
+          FROM documents WHERE doc_id % $evalMod <> $evalRem),
+        shared AS (SELECT t.doc_id, e.eval_doc, count(*) AS n_shared_grams
+                   FROM tg t JOIN eg e ON t.gram = e.gram
+                   GROUP BY t.doc_id, e.eval_doc
+                   HAVING count(*) >= $contamMinShared)
+        SELECT doc_id,
+          CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_eval_matches,
+          eval_doc AS worst_eval_doc, n_shared_grams
+        FROM shared
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+          ORDER BY n_shared_grams DESC, eval_doc) = 1
+        ORDER BY doc_id"""
+
   // ---- fingerprints ----
 
   private def normExpr(d: Dialect): String = d match {

@@ -64,7 +64,9 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_incremental" -> (Dedup.incrementalDedup _),
       "dedup_cluster_sizes" -> (Dedup.dedupClusterSizes _),
       "multimodal_pixel_stats" -> (Multimodal.pixelStats _),
-      "multimodal_wav_stats" -> (Multimodal.wavStats _))
+      "multimodal_wav_stats" -> (Multimodal.wavStats _),
+      "text_vocabulary" -> (TextAnalysis.vocabulary _),
+      "text_contamination" -> (TextAnalysis.contamination _))
     ops.foreach { case (name, fn) =>
       assert(fn(spark, dir).count() == 0, s"$name not empty/total on empty input")
     }
