@@ -125,6 +125,8 @@ object SparkEntry {
     "corpus_curated" -> ((s, d) => Curation.curatedCorpus(s, d)),
     "doc_chunks" -> ((s, d) => Curation.docChunks(s, d)),
     "corpus_source_quota" -> ((s, d) => Curation.sourceQuota(s, d)),
+    "doc_pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
+    "corpus_mix_weights" -> ((s, d) => Curation.mixWeights(s, d)),
     "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -147,10 +149,14 @@ object SparkEntry {
     "ann_ivf_topk_refined" -> ((s, d) => Similarity.ivfTopKRefined(s, d)),
     "ann_ivf_topk_probe2" -> ((s, d) => Similarity.ivfTopKMultiProbe(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    "ann_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
+    "ann_pq_adc_topk" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
+    "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "multimodal_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, d)),
     "multimodal_wav_stats" -> ((s, d) => Multimodal.wavStats(s, d)),
+    "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
     "events_last_click_asof" -> ((s, d) => EventsStream.purchaseAttributionAsOf(s, d)),
@@ -222,6 +228,8 @@ object SparkEntry {
     "corpus_curated" -> Curation.curatedCorpusOracle,
     "doc_chunks" -> Curation.docChunksOracle,
     "corpus_source_quota" -> Curation.sourceQuotaOracle,
+    "doc_pack_sequences" -> Curation.packSequencesOracle,
+    "corpus_mix_weights" -> Curation.mixWeightsOracle,
     "doc_fingerprints" -> TextAnalysis.fingerprintsOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,
@@ -244,6 +252,10 @@ object SparkEntry {
     "ann_ivf_topk_refined" -> Similarity.ivfTopKRefinedOracle,
     "ann_ivf_topk_probe2" -> Similarity.ivfTopKMultiProbeOracle,
     "ann_recall" -> Similarity.annRecallOracle,
+    "ann_pq_codes" -> Similarity.pqCodesOracle,
+    "ann_pq_adc_topk" -> Similarity.pqAdcTopKOracle,
+    "ann_pq_recall" -> Similarity.pqRecallOracle,
+    "table_profile" -> graft.ops.Profile.tableProfileOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,

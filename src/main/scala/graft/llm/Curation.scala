@@ -116,6 +116,116 @@ object Curation {
                array_to_string(w[start + 1 : start + $chunkTokens], ' ') AS chunk_text
         FROM c_t ORDER BY doc_id, chunk_idx"""
 
+  // ---- sequence packing (concat-and-chunk manifest) ----
+
+  private val ctxLen = 128
+
+  /** Concat-and-chunk sequence packing: documents are concatenated in
+    * doc_id order within each source stream and cut into fixed
+    * [[ctxLen]]-token training sequences; the output is the packing
+    * MANIFEST — for every document, its token offset interval in the
+    * source stream and the first/last sequence ids it lands in (a doc
+    * straddling a cut contributes to consecutive sequences, the
+    * standard GPT-style packing).
+    *
+    * Plan shape at 100 TB: one window (running token sum) partitioned
+    * by `source` — one shuffle on the source key, then a linear
+    * per-partition scan. A global (unpartitioned) running sum would
+    * serialize the corpus through one task; per-stream packing is also
+    * the semantics real pipelines want, since shards are written per
+    * source anyway. Skewed sources are a data problem (split the
+    * stream into per-shard sub-keys), not a plan change. Zero-token
+    * docs occupy their start sequence (n_seqs = 1), so the manifest
+    * stays total. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source",
+        s"CAST(${arrLen(words("text", SparkD), SparkD)} AS BIGINT) AS n_tokens")
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .selectExpr("doc_id", "source", "n_tokens",
+        "tok_end - n_tokens AS tok_start", "tok_end")
+      .selectExpr("doc_id", "source", "n_tokens", "tok_start", "tok_end",
+        s"${intDiv("tok_start", ctxLen.toString, SparkD)} AS first_seq",
+        s"${intDiv(s"greatest(tok_end - 1, tok_start)", ctxLen.toString, SparkD)} AS last_seq")
+      .selectExpr("doc_id", "source", "n_tokens", "tok_start", "tok_end",
+        "first_seq", "last_seq",
+        "CAST(last_seq - first_seq + 1 AS INTEGER) AS n_seqs")
+      .orderBy("doc_id")
+  }
+
+  val packSequencesOracle: String =
+    s"""WITH t AS (SELECT doc_id, source,
+                     CAST(${arrLen(words("text", DuckD), DuckD)} AS BIGINT) AS n_tokens
+                   FROM documents),
+        r AS (SELECT doc_id, source, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
+              FROM t),
+        o AS (SELECT doc_id, source, n_tokens,
+                tok_end - n_tokens AS tok_start, tok_end FROM r),
+        s AS (SELECT doc_id, source, n_tokens, tok_start, tok_end,
+                ${intDiv("tok_start", ctxLen.toString, DuckD)} AS first_seq,
+                ${intDiv("greatest(tok_end - 1, tok_start)", ctxLen.toString, DuckD)} AS last_seq
+              FROM o)
+        SELECT doc_id, source, n_tokens, tok_start, tok_end, first_seq, last_seq,
+               CAST(last_seq - first_seq + 1 AS INTEGER) AS n_seqs
+        FROM s ORDER BY doc_id"""
+
+  // ---- domain mixing weights ----
+
+  private val maxRepeat = "CAST(4.0 AS DOUBLE)"
+
+  /** Per-source token accounting and mixing weights: each source's
+    * token share, the repeat factor that would move it toward a
+    * uniform per-source target (capped at [[maxRepeat]] epochs — the
+    * well-known guard against over-repeating small domains), and the
+    * resulting effective token count. This is the static mixture
+    * computation a corpus assembly runs before sampling.
+    *
+    * Plan shape: one scan → hash agg on `source` (map-side combined)
+    * → a window total over the handful of source rows. All downstream
+    * arithmetic is single-division / single-multiplication per row on
+    * exact integer aggregates, so the oracle is bit-exact. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, dir)
+      .selectExpr("source",
+        s"CAST(${arrLen(words("text", SparkD), SparkD)} AS BIGINT) AS n_tokens")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("total_tokens",
+        sum(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("n_sources",
+        count(lit(1)).over(Window.partitionBy()))
+      .selectExpr("source", "n_docs", "n_tokens",
+        "n_tokens / CAST(total_tokens AS DOUBLE) AS token_share",
+        s"least(CAST(total_tokens AS DOUBLE) / n_sources / n_tokens, $maxRepeat) AS repeat_factor")
+      .selectExpr("*",
+        "CAST(round(n_tokens * repeat_factor) AS BIGINT) AS effective_tokens")
+      .orderBy("source")
+  }
+
+  val mixWeightsOracle: String =
+    s"""WITH t AS (SELECT source,
+                     CAST(${arrLen(words("text", DuckD), DuckD)} AS BIGINT) AS n_tokens
+                   FROM documents),
+        g AS (SELECT source, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+              FROM t GROUP BY source),
+        w AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+                count(*) OVER () AS n_sources FROM g),
+        m AS (SELECT source, n_docs, n_tokens,
+                n_tokens / CAST(total_tokens AS DOUBLE) AS token_share,
+                least(CAST(total_tokens AS DOUBLE) / n_sources / n_tokens, $maxRepeat) AS repeat_factor
+              FROM w)
+        SELECT *, CAST(round(n_tokens * repeat_factor) AS BIGINT) AS effective_tokens
+        FROM m ORDER BY source"""
+
   // ---- the full curation pipeline as one relation ----
 
   private val qualityFilter =

@@ -30,6 +30,13 @@ object Gen {
     case DuckD  => s"regexp_split_to_array(trim($text), '\\s+')"
   }
 
+  /** Integer (floor-toward-zero) division — both engines floor-divide
+    * non-negative operands identically; only used with n >= 0 here. */
+  def intDiv(a: String, b: String, d: Dialect): String = d match {
+    case SparkD => s"($a DIV $b)"
+    case DuckD  => s"($a // $b)"
+  }
+
   /** Count of regex matches. */
   def reCount(s: String, re: String, d: Dialect): String = d match {
     case SparkD => s"size(regexp_extract_all($s, '$re', 0))"
@@ -141,6 +148,16 @@ object Gen {
     case SparkD => s"graft_dot($a, $b)"
     case DuckD  => (0 until embeddingDims).map(i => s"${idx(a, i, d)} * ${idx(b, i, d)}").mkString(" + ")
   }
+
+  /** Squared L2 distance over the contiguous dim range [from, from+len)
+    * of two double-array expressions, unrolled left-associated — the
+    * same sequential fold on both engines → bit-identical doubles.
+    * The per-subspace distance of a product quantizer. */
+  def l2sqRange(a: String, b: String, from: Int, len: Int, d: Dialect): String =
+    (from until from + len).map { i =>
+      val (x, y) = (idx(a, i, d), idx(b, i, d))
+      s"($x - $y) * ($x - $y)"
+    }.mkString(" + ")
 
   /** Cosine similarity of two 64-dim double arrays. */
   def cosine64(a: String, b: String, d: Dialect): String =

@@ -488,6 +488,192 @@ object Similarity {
                ELSE CAST(0 AS DOUBLE) END AS recall_at_k
         FROM res ORDER BY tier"""
 
+  // ---- PQ (product quantization) variant ----
+
+  private val nSub = 4
+  private val subDim = embeddingDims / nSub
+
+  /** Per-subspace code assignment: every vector is cut into [[nSub]]
+    * contiguous sub-vectors and each sub-vector is snapped to its
+    * nearest (squared-L2) codebook entry. The codebook reuses the IVF
+    * seed sample (vec_id % [[centroidMod]] == 0) — one shared codebook
+    * across subspaces, the "shared dictionary" PQ variant — and codes
+    * keep the seed vec_ids so joins stay key-shaped.
+    *
+    * Why this tier exists at 100 TB: a 64-dim double vector is 512
+    * bytes; its PQ form is [[nSub]] small codes — a ~100× memory
+    * compression that lets the whole index live hot while full
+    * vectors stay in cold storage (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011). Plan
+    * shape: corpus × broadcast-codebook (the assignTo pattern), one
+    * posexplode to long (vec, subspace) form, one argmin window keyed
+    * (vec_id, subspace) — wide enough to spread over any cluster. */
+  private def pqCents(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).filter(col("vec_id") % centroidMod === 0)
+      .selectExpr("vec_id AS code", "v AS cv")
+
+  private def pqCodesDf(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "pq_codes", dir) {
+      val dcols = (0 until nSub).map(s =>
+        s"${l2sqRange("v", "cv", s * subDim, subDim, SparkD)} AS d$s")
+      val w = Window.partitionBy("vec_id", "subspace").orderBy(asc("dist"), asc("code"))
+      vecs(spark, dir).crossJoin(broadcast(pqCents(spark, dir)))
+        .selectExpr(Seq("vec_id", "code") ++ dcols: _*)
+        .selectExpr("vec_id", "code",
+          s"posexplode(array(${(0 until nSub).map("d" + _).mkString(", ")})) AS (subspace, dist)")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("vec_id", "subspace", "code", "dist")
+    }
+
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodesDf(spark, dir).orderBy("vec_id", "subspace")
+
+  /** CTE chain ending in `pq_codes(vec_id, subspace, code, dist)` —
+    * oracle twin of [[pqCodesDf]] (subspace long form via a range
+    * cross join + CASE pick, same values as posexplode). */
+  private def pqCtes(d: Dialect): String = {
+    val dcols = (0 until nSub).map(s =>
+      s"${l2sqRange("e.v", "c.cv", s * subDim, subDim, d)} AS d$s").mkString(", ")
+    val pick = (0 until nSub - 1).map(s => s"WHEN $s THEN d$s").mkString(" ")
+    s"""pq_cents AS (SELECT vec_id AS code, v AS cv FROM e
+          WHERE vec_id % $centroidMod = 0),
+        pq_d AS (SELECT e.vec_id, c.code, $dcols FROM e CROSS JOIN pq_cents c),
+        pq_long AS (SELECT vec_id, code, t.subspace,
+            CASE t.subspace $pick ELSE d${nSub - 1} END AS dist
+          FROM pq_d CROSS JOIN range(0, $nSub) t(subspace)),
+        pq_codes AS (SELECT vec_id, subspace, code, dist FROM pq_long
+          QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+            ORDER BY dist, code) = 1)"""
+  }
+
+  val pqCodesOracle: String =
+    s"""WITH ${vecsCte(DuckD)},
+        ${pqCtes(DuckD)}
+        SELECT vec_id, subspace, code, dist FROM pq_codes
+        ORDER BY vec_id, subspace"""
+
+  /** ADC (asymmetric distance computation) top-k over the PQ index:
+    * each query precomputes its distance table — squared L2 from the
+    * query's sub-vectors to every codebook entry, (queries × codebook
+    * × [[nSub]]) rows, tiny, broadcast — and every corpus vector's
+    * approximate distance is then four table lookups and three adds:
+    * an equi-join of the codes relation on (subspace, code) plus a
+    * fixed-order sum. The corpus side never touches a full vector at
+    * query time — the whole point of PQ at scale.
+    *
+    * Determinism: each per-subspace partial is a fixed-order unrolled
+    * fold; the per-vector total is assembled from the four pivoted
+    * partials in fixed column order, never from an arrival-order
+    * float agg. */
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val pdcols = (0 until nSub).map(s =>
+      s"${l2sqRange("qv", "cv", s * subDim, subDim, SparkD)} AS pd$s")
+    val distTable = vecs(spark, dir).filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv")
+      .crossJoin(broadcast(pqCents(spark, dir)))
+      .selectExpr(Seq("query_id", "code") ++ pdcols: _*)
+      .selectExpr("query_id", "code",
+        s"posexplode(array(${(0 until nSub).map("pd" + _).mkString(", ")})) AS (subspace, pd)")
+    val partials = pqCodesDf(spark, dir)
+      .join(broadcast(distTable), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(when(col("subspace") === 0, col("pd"))).as("pd0"),
+        sum(when(col("subspace") === 1, col("pd"))).as("pd1"),
+        sum(when(col("subspace") === 2, col("pd"))).as("pd2"),
+        sum(when(col("subspace") === 3, col("pd"))).as("pd3"))
+      .selectExpr("query_id", "vec_id", "pd0 + pd1 + pd2 + pd3 AS adist")
+    val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("vec_id"))
+    partials.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "rank", "adist")
+      .orderBy("query_id", "rank")
+  }
+
+  /** CTE chain ending in `pq_adc(query_id, vec_id, rank, adist)`. */
+  private def pqAdcCtes(d: Dialect): String = {
+    val pdcols = (0 until nSub).map(s =>
+      s"${l2sqRange("e.v", "c.cv", s * subDim, subDim, d)} AS pd$s").mkString(", ")
+    val pick = (0 until nSub - 1).map(s => s"WHEN $s THEN pd$s").mkString(" ")
+    val partials = (0 until nSub).map(s =>
+      s"sum(CASE WHEN cd.subspace = $s THEN q.pd END) AS pd$s").mkString(", ")
+    s"""pq_qd AS (SELECT e.vec_id AS query_id, c.code, $pdcols
+          FROM e CROSS JOIN pq_cents c WHERE e.vec_id < $nQueries),
+        pq_qlong AS (SELECT query_id, code, t.subspace,
+            CASE t.subspace $pick ELSE pd${nSub - 1} END AS pd
+          FROM pq_qd CROSS JOIN range(0, $nSub) t(subspace)),
+        pq_part AS (SELECT q.query_id, cd.vec_id, $partials
+          FROM pq_codes cd JOIN pq_qlong q
+            ON cd.subspace = q.subspace AND cd.code = q.code
+          WHERE cd.vec_id <> q.query_id
+          GROUP BY q.query_id, cd.vec_id),
+        pq_adc AS (SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY pd0 + pd1 + pd2 + pd3, vec_id) AS rank,
+            pd0 + pd1 + pd2 + pd3 AS adist
+          FROM pq_part)"""
+  }
+
+  val pqAdcTopKOracle: String =
+    s"""WITH ${vecsCte(DuckD)},
+        ${pqCtes(DuckD)},
+        ${pqAdcCtes(DuckD)}
+        SELECT query_id, vec_id, rank, adist FROM pq_adc
+        WHERE rank <= $topK ORDER BY query_id, rank"""
+
+  /** Recall@k of the ADC tier against EXACT squared-L2 brute force —
+    * truth uses the same metric the quantizer approximates, so the
+    * number isolates pure quantization loss (not an L2-vs-cosine
+    * metric mismatch). One row; the integer counting makes the recall
+    * double bit-exact. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv")
+    val w = Window.partitionBy("query_id").orderBy(asc("l2"), asc("vec_id"))
+    val truth = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id",
+        s"${l2sqRange("qv", "v", 0, embeddingDims, SparkD)} AS l2")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id")
+    truth.join(
+        pqAdcTopK(spark, dir).select("query_id", "vec_id")
+          .withColumn("__hit", lit(1)),
+        Seq("query_id", "vec_id"), "left_outer")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(coalesce(col("__hit"), lit(0))), lit(0L))
+          .cast("long").as("n_hit"))
+      .select(lit("pq_adc").as("tier"), col("n_true"), col("n_hit"),
+        expr("CASE WHEN n_true > 0 THEN n_hit / CAST(n_true AS DOUBLE) " +
+          "ELSE CAST(0 AS DOUBLE) END").as("recall_at_k"))
+  }
+
+  val pqRecallOracle: String =
+    s"""WITH ${vecsCte(DuckD)},
+        ${pqCtes(DuckD)},
+        ${pqAdcCtes(DuckD)},
+        l2_scored AS (SELECT q.vec_id AS query_id, e.vec_id,
+            ${l2sqRange("q.v", "e.v", 0, embeddingDims, DuckD)} AS l2
+          FROM e CROSS JOIN e q
+          WHERE q.vec_id < $nQueries AND e.vec_id <> q.vec_id),
+        l2_truth AS (SELECT query_id, vec_id FROM l2_scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY l2, vec_id) <= $topK)
+        SELECT 'pq_adc' AS tier, count(*) AS n_true,
+          CAST(coalesce(sum(CASE WHEN EXISTS (SELECT 1 FROM pq_adc r
+            WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id
+              AND r.rank <= $topK)
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+          CASE WHEN count(*) > 0 THEN
+            coalesce(sum(CASE WHEN EXISTS (SELECT 1 FROM pq_adc r
+              WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id
+                AND r.rank <= $topK)
+              THEN 1 ELSE 0 END), 0) / CAST(count(*) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS recall_at_k
+        FROM l2_truth t"""
+
   val lshTopKOracle: String =
     s"""WITH ${vecsCte(DuckD)},
         bkt AS (SELECT vec_id, v, nrm, CAST(${lshBucket("v", nPlanes, DuckD)} AS INTEGER) AS bucket FROM e),

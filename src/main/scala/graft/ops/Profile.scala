@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.io.Tables
+import graft.llm.Gen._
+
+/** One-pass table profiling: per-column null counts, exact distinct
+  * counts, and min/max over an order proxy (the raw value for numeric
+  * columns, epoch seconds for timestamps, string length for varchar —
+  * chosen so every emitted stat is a DOUBLE with engine-exact
+  * formatting, never a dialect-dependent value-to-string cast).
+  *
+  * The data-quality summary every ingestion run computes before
+  * promoting a batch: all 44 statistics (11 columns × 4) come from ONE
+  * scan — a single hash-less global aggregate — then a `stack` unpivot
+  * reshapes the 1×45 row into the (column, stats) long form. The
+  * unpivot touches one row, so the operator's cost IS the scan.
+  *
+  * Scale note: multiple exact `count(DISTINCT)`s in one aggregate make
+  * Catalyst plan an Expand (one duplicated stream per distinct column
+  * — 11× the scan rows into the partial aggregate). That is the
+  * standard price of exact one-pass profiling; at 100 TB swap
+  * `count(DISTINCT c)` for `approx_count_distinct(c)` (HLL, no
+  * Expand), the same trade [[graft.curated.Aggregations]] documents
+  * for its `_approx` variant. Everything else is a plain partial agg.
+  */
+object Profile {
+
+  /** (column, kind) — kind picks the order proxy: num → value,
+    * ts → epoch seconds, str → length. */
+  private val cols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+    "l_linenumber" -> "num", "l_quantity" -> "num",
+    "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+    "l_returnflag" -> "str", "l_linestatus" -> "str",
+    "l_shipdate" -> "ts")
+
+  private def basis(kind: String): String = kind match {
+    case "num" => "value"
+    case "ts"  => "epoch"
+    case _     => "length"
+  }
+
+  private def ordExpr(c: String, kind: String, d: Dialect): String =
+    (kind, d) match {
+      case ("num", _)     => s"CAST($c AS DOUBLE)"
+      case ("ts", SparkD) => s"CAST(unix_timestamp($c) AS DOUBLE)"
+      case ("ts", DuckD)  => s"date_part('epoch', $c)"
+      case (_, _)         => s"CAST(length($c) AS DOUBLE)"
+    }
+
+  private def aggExprs(d: Dialect): Seq[String] =
+    Seq("CAST(count(*) AS BIGINT) AS n_rows") ++
+      cols.zipWithIndex.flatMap { case ((c, kind), i) =>
+        val ord = ordExpr(c, kind, d)
+        Seq(
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$i",
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS nd_$i",
+          s"min($ord) AS mn_$i", s"max($ord) AS mx_$i")
+      }
+
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val stackArgs = cols.zipWithIndex.map { case ((c, kind), i) =>
+      s"'$c', '${basis(kind)}', nn_$i, nd_$i, mn_$i, mx_$i"
+    }.mkString(", ")
+    Tables.lineitem(spark, dir)
+      .selectExpr(aggExprs(SparkD): _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, basis, n_null, n_distinct, min_ord, max_ord)")
+      .select("column_name", "basis", "n_rows", "n_null", "n_distinct",
+        "min_ord", "max_ord")
+      .orderBy("column_name")
+  }
+
+  val tableProfileOracle: String = {
+    val rows = cols.zipWithIndex.map { case ((c, kind), i) =>
+      s"""SELECT '$c' AS column_name, '${basis(kind)}' AS basis, n_rows,
+            nn_$i AS n_null, nd_$i AS n_distinct,
+            mn_$i AS min_ord, mx_$i AS max_ord FROM p"""
+    }.mkString(" UNION ALL ")
+    s"""WITH p AS (SELECT ${aggExprs(DuckD).mkString(", ")} FROM lineitem)
+        $rows ORDER BY column_name"""
+  }
+}

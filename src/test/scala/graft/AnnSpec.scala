@@ -24,6 +24,40 @@ class AnnSpec extends SparkSpec {
     assert(rows("ivf_probe2")._4 >= rows("ivf_probe1")._4)
   }
 
+  test("pq: every vector gets one code per subspace from the codebook") {
+    val codes = Similarity.pqCodes(spark, sfTiny)
+      .select("vec_id", "subspace", "code", "dist")
+      .as[(Long, Int, Long, Double)].collect()
+    val byVec = codes.groupBy(_._1)
+    assert(byVec.size == 500)
+    byVec.foreach { case (v, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3), s"subspaces of $v")
+    }
+    // codes come from the seed codebook; quantization error non-negative
+    assert(codes.forall(_._3 % 100 == 0))
+    assert(codes.forall(_._4 >= 0.0))
+  }
+
+  test("pq adc: ranked ascending by approximate distance; recall sane") {
+    val adc = Similarity.pqAdcTopK(spark, sfTiny)
+      .select("query_id", "vec_id", "rank", "adist")
+      .as[(Long, Long, Int, Double)].collect()
+    adc.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rows.length), s"ranks of $q")
+      assert(sorted.map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)), s"adist order of $q")
+      assert(rows.forall(_._4 >= 0.0))
+      assert(rows.forall(_._2 != q))
+    }
+    val Array((tier, nTrue, nHit, recall)) = Similarity.pqRecall(spark, sfTiny)
+      .select("tier", "n_true", "n_hit", "recall_at_k")
+      .as[(String, Long, Long, Double)].collect()
+    assert(tier == "pq_adc")
+    assert(nTrue > 0 && nHit >= 0 && nHit <= nTrue)
+    assert(recall == nHit.toDouble / nTrue)
+  }
+
   test("refined centroids keep every vector accounted for") {
     val step = Similarity.ivfKmeansRefined(spark, sfTiny)
       .select("cell", "dim", "n_members")

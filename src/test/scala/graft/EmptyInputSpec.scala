@@ -51,6 +51,8 @@ class EmptyInputSpec extends SparkSpec {
       "text_pii_scan" -> (TextAnalysis.piiScan _),
       "doc_chunks" -> (Curation.docChunks _),
       "corpus_split" -> (Curation.sampleSplit _),
+      "doc_pack_sequences" -> (Curation.packSequences _),
+      "corpus_mix_weights" -> (Curation.mixWeights _),
       "corpus_curated" -> (Curation.curatedCorpus _),
       "dedup_exact" -> (Dedup.exactDedup _),
       "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
@@ -58,6 +60,8 @@ class EmptyInputSpec extends SparkSpec {
       "corpus_deduped" -> (Dedup.dedupedCorpus _),
       "dedup_edit_distance" -> (Dedup.editDistancePairs _),
       "ann_cosine_topk" -> (Similarity.cosineTopK _),
+      "ann_pq_codes" -> (Similarity.pqCodes _),
+      "ann_pq_adc_topk" -> (Similarity.pqAdcTopK _),
       "ann_ivf_kmeans_step" -> (Similarity.ivfKmeansStep _),
       "ann_ivf_kmeans_refined" -> (Similarity.ivfKmeansRefined _),
       "ann_ivf_topk_refined" -> (Similarity.ivfTopKRefined _),
@@ -81,5 +85,9 @@ class EmptyInputSpec extends SparkSpec {
     recall.foreach { case (_, nt, nh, r) =>
       assert(nt == 0 && nh == 0 && r == 0.0)
     }
+    val pqRecall = Similarity.pqRecall(spark, dir)
+      .select("tier", "n_true", "n_hit", "recall_at_k")
+      .as[(String, Long, Long, Double)].collect()
+    assert(pqRecall.toSeq == Seq(("pq_adc", 0L, 0L, 0.0)))
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.llm.Curation
+import graft.ops.Profile
+
+/** Invariants of the packing manifest, mixing weights, and table
+  * profile that the value-equality oracles can't express. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pack manifest tiles each source stream with no gaps or overlaps") {
+    val rows = Curation.packSequences(spark, sfTiny)
+      .select("doc_id", "source", "n_tokens", "tok_start", "tok_end",
+        "first_seq", "last_seq", "n_seqs")
+      .as[(Long, String, Long, Long, Long, Long, Long, Int)].collect()
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val ordered = docs.sortBy(_._1)
+      // contiguous intervals: each doc starts where the previous ended
+      assert(ordered.head._4 == 0L, src)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._5, s"$src gap at doc ${b._1}")
+        case _ =>
+      }
+      ordered.foreach { case (id, _, n, s, e, f, l, k) =>
+        assert(e - s == n, s"interval width of $id")
+        assert(f <= l && k == l - f + 1 && k >= 1, s"seq span of $id")
+        // a doc spans ceil boundaries only: it cannot skip a sequence
+        assert(l == math.max(e - 1, s) / 128, s"last_seq of $id")
+      }
+    }
+  }
+
+  test("mix weights: shares sum to 1, repeat factors capped and inverse to share") {
+    val rows = Curation.mixWeights(spark, sfTiny)
+      .select("source", "n_docs", "n_tokens", "token_share",
+        "repeat_factor", "effective_tokens")
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    val total = rows.map(_._3).sum
+    rows.foreach { case (src, nDocs, nTok, share, rf, eff) =>
+      assert(nDocs > 0 && nTok > 0, src)
+      assert(share == nTok.toDouble / total, src)
+      assert(rf > 0.0 && rf <= 4.0, src)
+      // a source already at/above its uniform target is never repeated up
+      if (share >= 1.0 / rows.length) assert(rf <= 1.0, src)
+      assert(eff == math.round(nTok * rf), src)
+    }
+  }
+
+  test("table profile covers every lineitem column with consistent bounds") {
+    val prof = Profile.tableProfile(spark, sfTiny)
+      .select("column_name", "basis", "n_rows", "n_null", "n_distinct",
+        "min_ord", "max_ord")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+    val li = spark.read.parquet(s"$sfTiny/lineitem.parquet")
+    assert(prof.map(_._1).toSet == li.columns.toSet)
+    val nRows = li.count()
+    prof.foreach { case (c, basis, n, nNull, nDist, mn, mx) =>
+      assert(n == nRows, c)
+      assert(nNull >= 0 && nNull <= n, c)
+      assert(nDist >= 1 && nDist <= n - nNull, c)
+      assert(mn <= mx, c)
+      assert(Set("value", "epoch", "length")(basis), c)
+    }
+    // spot-check one column against a direct computation
+    val q = prof.find(_._1 == "l_quantity").get
+    val direct = li.selectExpr("count(distinct l_quantity)",
+      "CAST(min(l_quantity) AS DOUBLE)", "CAST(max(l_quantity) AS DOUBLE)")
+      .as[(Long, Double, Double)].head()
+    assert((q._5, q._6, q._7) == direct)
+  }
+}
