@@ -74,7 +74,10 @@ object Dedup {
     * (Jaccard estimate 0.375) before exact verification at 0.5. */
   private val minSigAgree = 6
 
-  private def shinglesSql(d: Dialect): String = shingles(words("text", d), d)
+  private def shinglesSql(d: Dialect): String = d match {
+    case SparkD => let1(words("text", SparkD), "wv", shingles("wv", SparkD))
+    case DuckD  => shingles(words("text", DuckD), DuckD)
+  }
 
   private def sigCols(d: Dialect): Seq[String] =
     (0 until nSigs).map(j => s"${minhashSig("sh", j, d)} AS sig_$j")

@@ -43,6 +43,18 @@ object Gen {
     case DuckD  => s"len(regexp_extract_all($s, '$re'))"
   }
 
+  /** Spark-only let binding: evaluate `bound` once per row, name it
+    * `v`, use it in `body`. Catalyst inlines shared subexpressions
+    * textually through projection collapse, so a words array
+    * referenced inside a transform lambda would otherwise re-run the
+    * regex split per ELEMENT (O(tokens²) regex work per row — measured
+    * 14s on text_contamination at sf0.1 before this binding); routing
+    * it through a single-element-array HOF forces one evaluation, and
+    * the optimizer cannot substitute through the lambda variable.
+    * DuckDB oracles bind via CTE columns instead and don't need it. */
+  def let1(bound: String, v: String, body: String): String =
+    s"transform(array($bound), $v -> $body)[0]"
+
   /** Distinct word 3-gram shingles of a `words` array expression. */
   def shingles(w: String, d: Dialect): String = d match {
     case SparkD =>

@@ -143,7 +143,8 @@ object TextAnalysis {
 
   def repetition(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .selectExpr("doc_id", s"${grams3(words("text", SparkD), SparkD)} AS g")
+      .selectExpr("doc_id",
+        s"${let1(words("text", SparkD), "wv", grams3("wv", SparkD))} AS g")
       .selectExpr(repetitionCols(SparkD): _*)
       .selectExpr(repetitionDerived: _*)
       .orderBy("doc_id")
@@ -336,7 +337,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     def grams(docs: DataFrame, idCol: String) = docs
       .selectExpr(s"doc_id AS $idCol",
-        s"${arrDistinct(grams3(words("lower(text)", SparkD), SparkD), SparkD)} AS g")
+        s"${let1(words("lower(text)", SparkD), "wv",
+          arrDistinct(grams3("wv", SparkD), SparkD))} AS g")
       .select(col(idCol), explode(col("g")).as("gram"))
     val docs = Tables.documents(spark, dir)
     val evalGrams = grams(docs.filter(col("doc_id") % evalMod === evalRem), "eval_doc")
