@@ -127,6 +127,10 @@ object SparkEntry {
     "corpus_source_quota" -> ((s, d) => Curation.sourceQuota(s, d)),
     "doc_pack_sequences" -> ((s, d) => Curation.packSequences(s, d)),
     "corpus_mix_weights" -> ((s, d) => Curation.mixWeights(s, d)),
+    "corpus_embedding_coverage" -> ((s, d) => Curation.embeddingCoverage(s, d)),
+    "text_term_spectrum" -> ((s, d) => TextAnalysis.termSpectrum(s, d)),
+    "text_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d)),
+    "orders_retention_cohorts" -> ((s, d) => Extras.retentionCohorts(s, d)),
     "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -230,6 +234,10 @@ object SparkEntry {
     "corpus_source_quota" -> Curation.sourceQuotaOracle,
     "doc_pack_sequences" -> Curation.packSequencesOracle,
     "corpus_mix_weights" -> Curation.mixWeightsOracle,
+    "corpus_embedding_coverage" -> Curation.embeddingCoverageOracle,
+    "text_term_spectrum" -> TextAnalysis.termSpectrumOracle,
+    "text_length_quantiles" -> TextAnalysis.lengthQuantilesOracle,
+    "orders_retention_cohorts" -> Extras.retentionCohortsOracle,
     "doc_fingerprints" -> TextAnalysis.fingerprintsOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,

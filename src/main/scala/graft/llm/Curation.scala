@@ -175,6 +175,40 @@ object Curation {
                CAST(last_seq - first_seq + 1 AS INTEGER) AS n_seqs
         FROM s ORDER BY doc_id"""
 
+  // ---- embedding coverage (corpus ↔ index integrity) ----
+
+  /** Per-source embedding coverage: which fraction of each source's
+    * documents has a row in the embeddings table (vec_id keyed by
+    * doc_id). The integrity check run before any ANN/near-dup job —
+    * a silently half-embedded corpus is the classic way an embedding
+    * dedup under-reports. Plan shape: one equi-join on the id key
+    * (both sides shuffle-partitioned by it at scale) and one small
+    * hash agg on source; no distinct needed since vec_id is unique. */
+  def embeddingCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), lit(1).as("has_emb"))
+    Tables.documents(spark, dir).select("doc_id", "source")
+      .join(emb, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("has_emb"), lit(0L)).cast("long").as("n_with_embedding"))
+      .selectExpr("source", "n_docs", "n_with_embedding",
+        "n_with_embedding / CAST(n_docs AS DOUBLE) AS coverage")
+      .orderBy("source")
+  }
+
+  val embeddingCoverageOracle: String =
+    s"""WITH j AS (SELECT d.doc_id, d.source,
+            CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS has_emb
+          FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id),
+        g AS (SELECT source, count(*) AS n_docs,
+                CAST(coalesce(sum(has_emb), 0) AS BIGINT) AS n_with_embedding
+              FROM j GROUP BY source)
+        SELECT source, n_docs, n_with_embedding,
+          n_with_embedding / CAST(n_docs AS DOUBLE) AS coverage
+        FROM g ORDER BY source"""
+
   // ---- domain mixing weights ----
 
   private val maxRepeat = "CAST(4.0 AS DOUBLE)"

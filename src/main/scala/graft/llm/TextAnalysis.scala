@@ -377,6 +377,60 @@ object TextAnalysis {
           ORDER BY n_shared_grams DESC, eval_doc) = 1
         ORDER BY doc_id"""
 
+  // ---- term frequency spectrum (frequency of frequencies) ----
+
+  /** The Zipf diagnostic behind vocabulary sizing: how many distinct
+    * terms appear in exactly `df` documents. Two map-side-combined
+    * hash aggs back to back (term → df, then df → n_terms) — the
+    * second agg's input is already vocabulary-sized, so the heavy
+    * shuffle is the first one, keyed by term (the same key shape
+    * [[vocabulary]] shuffles on). */
+  def termSpectrum(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr(
+        s"explode(${arrDistinct(words("lower(text)", SparkD), SparkD)}) AS term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n_terms"))
+      .orderBy("df")
+
+  val termSpectrumOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+            unnest(${arrDistinct(words("lower(text)", DuckD), DuckD)}) AS term
+          FROM documents),
+        d AS (SELECT term, count(*) AS df FROM t GROUP BY term)
+        SELECT df, count(*) AS n_terms FROM d GROUP BY df ORDER BY df"""
+
+  // ---- per-language length quantiles ----
+
+  /** Token-count quartiles per language — the length-distribution
+    * diagnostic a curation run reads before picking truncation and
+    * packing parameters. Interpolated percentile over INTEGER token
+    * counts, the same cross-engine-exact pairing
+    * (percentile ↔ quantile_cont) the category-quartiles query pins.
+    * Exact percentile is a per-group sort by design; the scaladoc
+    * trade at 100 TB is approx_percentile, as documented there. */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .selectExpr("lang",
+        s"CAST(${arrLen(words("text", SparkD), SparkD)} AS INTEGER) AS n_tokens")
+      .groupBy("lang")
+      .agg(expr("percentile(n_tokens, 0.25)").as("q1"),
+        expr("percentile(n_tokens, 0.5)").as("median"),
+        expr("percentile(n_tokens, 0.75)").as("q3"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  val lengthQuantilesOracle: String =
+    s"""WITH t AS (SELECT lang,
+            CAST(${arrLen(words("text", DuckD), DuckD)} AS INTEGER) AS n_tokens
+          FROM documents)
+        SELECT lang, quantile_cont(n_tokens, 0.25) AS q1,
+          quantile_cont(n_tokens, 0.5) AS median,
+          quantile_cont(n_tokens, 0.75) AS q3,
+          count(*) AS n_docs
+        FROM t GROUP BY lang ORDER BY lang"""
+
   // ---- fingerprints ----
 
   private def normExpr(d: Dialect): String = d match {

@@ -237,6 +237,52 @@ object Extras {
         ORDER BY category, status_col"""
   }
 
+  /** Cohort retention — the classic warehouse report: customers are
+    * grouped by first-order month (their cohort) and every later
+    * order month becomes a (cohort, month) cell with distinct-customer
+    * and revenue totals. Plan shape: one window min keyed by
+    * customer_id (one shuffle), then a hash agg on the small
+    * (cohort_month, order_month) grid; the single count(DISTINCT) is
+    * rewritten to a two-phase agg, no Expand. Revenue is summed
+    * cent-quantized (the repo's centSum rule) so the double is
+    * order-independent and bit-exact vs the oracle. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ymNum = (m: String) =>
+      s"(CAST(substring($m, 1, 4) AS INT) * 12 + CAST(substring($m, 6, 2) AS INT))"
+    val o = graft.io.Tables.orders(spark, dir).selectExpr(
+      "o_custkey AS customer_id",
+      "date_format(o_orderdate, 'yyyy-MM') AS order_month",
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+    o.withColumn("cohort_month",
+        min(col("order_month")).over(Window.partitionBy("customer_id")))
+      .groupBy("cohort_month", "order_month")
+      .agg(countDistinct("customer_id").as("n_customers"),
+        count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+      .selectExpr("cohort_month", "order_month",
+        s"CAST(${ymNum("order_month")} - ${ymNum("cohort_month")} AS INTEGER) AS months_since",
+        "n_customers", "n_orders", "cents / CAST(100 AS DOUBLE) AS revenue")
+      .orderBy("cohort_month", "order_month")
+  }
+
+  val retentionCohortsOracle: String = {
+    val ymNum = (m: String) =>
+      s"(CAST(substring($m, 1, 4) AS INT) * 12 + CAST(substring($m, 6, 2) AS INT))"
+    s"""WITH o AS (SELECT o_custkey AS customer_id,
+            strftime(o_orderdate, '%Y-%m') AS order_month,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        c AS (SELECT *, min(order_month) OVER (PARTITION BY customer_id)
+                AS cohort_month FROM o),
+        g AS (SELECT cohort_month, order_month,
+                count(DISTINCT customer_id) AS n_customers,
+                count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS cents
+              FROM c GROUP BY cohort_month, order_month)
+        SELECT cohort_month, order_month,
+          CAST(${ymNum("order_month")} - ${ymNum("cohort_month")} AS INTEGER) AS months_since,
+          n_customers, n_orders, cents / CAST(100 AS DOUBLE) AS revenue
+        FROM g ORDER BY cohort_month, order_month"""
+  }
+
   /** S5 — source-file provenance via the parquet `_metadata` column
     * (the modern form of input_file_name(), reference 05:31-45). */
   def fileProvenance(spark: SparkSession, dir: String): DataFrame =

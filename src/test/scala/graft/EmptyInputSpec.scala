@@ -53,6 +53,9 @@ class EmptyInputSpec extends SparkSpec {
       "corpus_split" -> (Curation.sampleSplit _),
       "doc_pack_sequences" -> (Curation.packSequences _),
       "corpus_mix_weights" -> (Curation.mixWeights _),
+      "corpus_embedding_coverage" -> (Curation.embeddingCoverage _),
+      "text_term_spectrum" -> (TextAnalysis.termSpectrum _),
+      "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
       "corpus_curated" -> (Curation.curatedCorpus _),
       "dedup_exact" -> (Dedup.exactDedup _),
       "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
