@@ -162,6 +162,7 @@ object SparkEntry {
     "multimodal_wav_stats" -> ((s, d) => Multimodal.wavStats(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
+    "events_hourly_anomaly" -> ((s, d) => EventsStream.hourlyAnomaly(s, d)),
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
     "events_last_click_asof" -> ((s, d) => EventsStream.purchaseAttributionAsOf(s, d)),
     "events_type_totals_salted" -> ((s, d) => EventsStream.typeTotalsSalted(s, d)),
@@ -269,6 +270,7 @@ object SparkEntry {
     "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,
     "multimodal_wav_stats" -> Multimodal.wavStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
+    "events_hourly_anomaly" -> EventsStream.hourlyAnomalyOracle,
     "events_purchase_attribution" -> EventsStream.purchaseAttributionBatchOracle,
     "events_last_click_asof" -> EventsStream.purchaseAttributionAsOfOracle,
     "events_type_totals_salted" -> EventsStream.typeTotalsSaltedOracle,

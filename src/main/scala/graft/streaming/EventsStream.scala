@@ -40,6 +40,53 @@ object EventsStream {
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Robust anomaly flagging over the hourly event counts: per type,
+    * hours whose count deviates from the type's median by more than
+    * 3 MADs (median absolute deviation) are flagged — the
+    * outlier-resistant alternative to mean/stddev z-scores (one bad
+    * hour inflates a stddev but barely moves a median). The MAD floor
+    * of 0.5 keeps the all-quiet (MAD = 0) case from flagging every
+    * hour.
+    *
+    * Plan shape at scale: the only big shuffle is the (window, type)
+    * hash agg over raw events (map-side combined); both median
+    * relations are per-type rows — broadcast back — and exact
+    * percentile is computed over hours-per-type, thousands of rows,
+    * not raw events. Interpolated percentile over integer counts and
+    * half-integer deviations is binary-fraction arithmetic, so the
+    * doubles are cross-engine exact (the category-quartiles pairing). */
+  def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n"))
+    val med = h.groupBy("event_type")
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val dev = h.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .selectExpr("event_type", "window_start_s", "n", "med", "mad",
+        "CAST(CASE WHEN dev > 3 * greatest(mad, CAST(0.5 AS DOUBLE)) " +
+          "THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly")
+      .orderBy("event_type", "window_start_s")
+  }
+
+  val hourlyAnomalyOracle: String =
+    """WITH h AS (SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_s,
+            event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM h GROUP BY 1),
+        d AS (SELECT h.*, m.med, abs(h.n - m.med) AS dev
+              FROM h JOIN m USING (event_type)),
+        m2 AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        SELECT d.event_type, d.window_start_s, d.n, d.med, m2.mad,
+          CAST(CASE WHEN d.dev > 3 * greatest(m2.mad, CAST(0.5 AS DOUBLE))
+            THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+        FROM d JOIN m2 USING (event_type)
+        ORDER BY d.event_type, d.window_start_s"""
+
   /** Raw parquet schema of events (ts as nano-long, matching the
     * nanosAsLong reader conf). */
   private val eventsRawSchema = StructType(Seq(

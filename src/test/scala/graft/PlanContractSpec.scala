@@ -43,6 +43,37 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("a selective dim filter injects a runtime bloom filter into the fact scan") {
+    // the runtime-filter contract: when a shuffle join's build side is
+    // selectively filtered, Spark should inject a bloom filter on the
+    // probe side so the fact scan drops non-joining rows BEFORE the
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the matching slice. Thresholds
+    // are floored because the fixture is tiny; the production confs
+    // keep their defaults.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // raw scans: the rule pattern-matches filter/project over a scan
+      // on the creation side, so the fixture-spread Repartition would
+      // hide the join shape it exists to optimize
+      val fact = spark.read.parquet(s"$sfTiny/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val dim = spark.read.parquet(s"$sfTiny/orders.parquet")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("co-bucketed tables join with no Exchange on either side") {
     // the write-side co-location contract: two tables bucketed+sorted
     // the same way must sort-merge-join straight off the scans — an
