@@ -161,6 +161,10 @@ object SparkEntry {
     "multimodal_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, d)),
     "multimodal_wav_stats" -> ((s, d) => Multimodal.wavStats(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
+    "lineitem_moment_corr" -> ((s, d) => graft.ops.Profile.momentCorr(s, d)),
+    "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(s, d)),
+    "corpus_epoch_plan" -> ((s, d) => Curation.epochPlan(s, d)),
+    "dedup_canonical_quality" -> ((s, d) => Dedup.canonicalByQuality(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_hourly_anomaly" -> ((s, d) => EventsStream.hourlyAnomaly(s, d)),
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
@@ -265,6 +269,10 @@ object SparkEntry {
     "ann_pq_adc_topk" -> Similarity.pqAdcTopKOracle,
     "ann_pq_recall" -> Similarity.pqRecallOracle,
     "table_profile" -> graft.ops.Profile.tableProfileOracle,
+    "lineitem_moment_corr" -> graft.ops.Profile.momentCorrOracle,
+    "text_oov_rate" -> TextAnalysis.oovRateOracle,
+    "corpus_epoch_plan" -> Curation.epochPlanOracle,
+    "dedup_canonical_quality" -> Dedup.canonicalByQualityOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,

@@ -244,21 +244,63 @@ object Curation {
       .orderBy("source")
   }
 
+  /** CTE chain ending in `mixw(source, n_docs, n_tokens, token_share,
+    * repeat_factor)` — shared by the mix-weights and epoch-plan
+    * oracles. */
+  private def mixCtes: String =
+    s"""mx_t AS (SELECT source,
+            CAST(${arrLen(words("text", DuckD), DuckD)} AS BIGINT) AS n_tokens
+          FROM documents),
+        mx_g AS (SELECT source, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          FROM mx_t GROUP BY source),
+        mx_w AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+            count(*) OVER () AS n_sources FROM mx_g),
+        mixw AS (SELECT source, n_docs, n_tokens,
+            n_tokens / CAST(total_tokens AS DOUBLE) AS token_share,
+            least(CAST(total_tokens AS DOUBLE) / n_sources / n_tokens, $maxRepeat) AS repeat_factor
+          FROM mx_w)"""
+
   val mixWeightsOracle: String =
-    s"""WITH t AS (SELECT source,
-                     CAST(${arrLen(words("text", DuckD), DuckD)} AS BIGINT) AS n_tokens
-                   FROM documents),
-        g AS (SELECT source, count(*) AS n_docs,
-                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-              FROM t GROUP BY source),
-        w AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
-                count(*) OVER () AS n_sources FROM g),
-        m AS (SELECT source, n_docs, n_tokens,
-                n_tokens / CAST(total_tokens AS DOUBLE) AS token_share,
-                least(CAST(total_tokens AS DOUBLE) / n_sources / n_tokens, $maxRepeat) AS repeat_factor
-              FROM w)
+    s"""WITH $mixCtes
         SELECT *, CAST(round(n_tokens * repeat_factor) AS BIGINT) AS effective_tokens
-        FROM m ORDER BY source"""
+        FROM mixw ORDER BY source"""
+
+  // ---- epoch expansion plan ----
+
+  /** Per-document repeat counts that realize the [[mixWeights]]
+    * mixture: every doc repeats floor(rf) times plus one more with
+    * probability frac(rf), decided by the document's content hash —
+    * deterministic Bernoulli rounding, so a source's expected epoch
+    * count equals its repeat factor exactly and re-runs never change
+    * any document's count. This is the manifest a mixture
+    * materialization job fans out from. Plan shape: the weights are a
+    * handful of per-source rows broadcast onto one corpus scan; the
+    * hash decision is per-row. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val weights = mixWeights(spark, dir).select("source", "repeat_factor")
+    Tables.documents(spark, dir).select("doc_id", "source")
+      .join(broadcast(weights), Seq("source"))
+      .selectExpr(Seq("doc_id", "source", "repeat_factor")
+        ++ unitHashCtes(SparkD).take(1): _*)
+      .selectExpr("doc_id", "source", "repeat_factor", unitHashCtes(SparkD)(1))
+      .selectExpr("doc_id", "source", "repeat_factor", "u",
+        """CAST(floor(repeat_factor)
+             + CASE WHEN u < repeat_factor - floor(repeat_factor)
+                    THEN 1 ELSE 0 END AS INTEGER) AS n_repeats""")
+      .orderBy("doc_id")
+  }
+
+  val epochPlanOracle: String =
+    s"""WITH $mixCtes,
+        ep_h AS (SELECT doc_id, source, ${unitHashCtes(DuckD).head} FROM documents),
+        ep_u AS (SELECT doc_id, source, ${unitHashCtes(DuckD)(1)} FROM ep_h)
+        SELECT u.doc_id, u.source, m.repeat_factor, u.u,
+          CAST(floor(m.repeat_factor)
+            + CASE WHEN u.u < m.repeat_factor - floor(m.repeat_factor)
+                   THEN 1 ELSE 0 END AS INTEGER) AS n_repeats
+        FROM ep_u u JOIN mixw m USING (source) ORDER BY u.doc_id"""
 
   // ---- the full curation pipeline as one relation ----
 

@@ -569,6 +569,49 @@ object Dedup {
           CAST(sum(cluster_size) AS BIGINT) AS n_docs
         FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
 
+  /** Quality-aware canonical selection: within each near-dup cluster,
+    * keep the HIGHEST-quality member (ties broken by doc_id) instead
+    * of the min-id one — what a production dedup actually wants, since
+    * near-dups differ in boilerplate and truncation. One row per
+    * cluster with the chosen representative, its quality, and the
+    * cluster size. Plan shape: the label relation (clustered docs
+    * only, tiny next to the corpus) joins the per-row quality
+    * projection on doc_id, then a per-cluster argmax window — keyed by
+    * cluster_id, so skew is bounded by the largest duplicate cluster. */
+  def canonicalByQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = graft.llm.TextAnalysis.statsRelation(spark, dir)
+      .select("doc_id", "quality_score")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("quality_score"), asc("doc_id"))
+    dedupClusters(spark, dir)
+      .join(quality, Seq("doc_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .selectExpr("cluster_id", "doc_id AS canonical_doc",
+        "quality_score AS best_quality",
+        "CAST(cluster_size AS BIGINT) AS cluster_size")
+      .orderBy("cluster_id")
+  }
+
+  val canonicalByQualityOracle: String =
+    s"""WITH RECURSIVE $closureCtes,
+        labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                   FROM reach GROUP BY src),
+        ${graft.llm.TextAnalysis.statsCtes},
+        jq AS (SELECT l.cluster_id, l.doc_id, s.quality_score,
+                 count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+               FROM labels l JOIN stats s ON l.doc_id = s.doc_id)
+        SELECT cluster_id, doc_id AS canonical_doc,
+          quality_score AS best_quality,
+          CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM jq
+        QUALIFY row_number() OVER (PARTITION BY cluster_id
+          ORDER BY quality_score DESC, doc_id) = 1
+        ORDER BY cluster_id"""
+
   // ---- SimHash ----
 
   /** Token-hash bit-balance SimHash per doc — a shuffle-heavy prefix

@@ -317,6 +317,51 @@ object TextAnalysis {
                term, tf, df
         FROM top ORDER BY rank"""
 
+  // ---- vocabulary OOV rate ----
+
+  /** Top-k cut for the OOV check — deliberately smaller than
+    * [[vocabK]] so roughly half the fixture vocabulary is
+    * out-of-vocabulary and the rates carry signal. */
+  private val oovVocabK = 15
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-[[oovVocabK]] terms — the coverage number a tokenizer/vocab
+    * choice is judged by before training. Plan shape: the vocab is a
+    * k-row relation (TakeOrderedAndProject, no global sort) broadcast
+    * against the exploded token stream; one per-doc hash agg after.
+    * At 100 TB the token explode dominates and is map-side combined
+    * into the doc-keyed agg — the scan's partitioning carries it. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(words("lower(text)", SparkD))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), asc("term")).limit(oovVocabK)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0))
+          .cast("long").as("n_oov"))
+      .selectExpr("doc_id", "n_tokens", "n_oov",
+        "n_oov / CAST(n_tokens AS DOUBLE) AS oov_rate")
+      .orderBy("doc_id")
+  }
+
+  val oovRateOracle: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${words("lower(text)", DuckD)}) AS term
+                      FROM documents),
+        v AS (SELECT term FROM (SELECT term, count(*) AS tf FROM toks GROUP BY term)
+              ORDER BY tf DESC, term LIMIT $oovVocabK),
+        j AS (SELECT t.doc_id,
+                CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+              FROM toks t LEFT JOIN v ON t.term = v.term),
+        g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS n_oov FROM j GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_oov,
+          n_oov / CAST(n_tokens AS DOUBLE) AS oov_rate
+        FROM g ORDER BY doc_id"""
+
   // ---- benchmark decontamination ----
 
   /** Eval-set membership rule: every ~97th doc stands in for a held-out

@@ -73,6 +73,59 @@ object Profile {
       .orderBy("column_name")
   }
 
+  /** The three fixed-decimal columns the correlation pass quantizes
+    * (column → scale): quantity has 2 decimals, discount/tax 4. */
+  private val corrCols: Seq[(String, Int)] =
+    Seq("l_quantity" -> 100, "l_discount" -> 10000, "l_tax" -> 10000)
+
+  /** Pairwise Pearson correlations from exact integer moments — the
+    * decomposable-statistics pattern for covariance/correlation at
+    * scale: quantize each fixed-decimal column to integers, sum the
+    * first and second moments in ONE map-side-combined pass (sums of
+    * BIGINTs are order-independent, so re-partitioning can never
+    * change a bit), then assemble each correlation with the textbook
+    * n·Sxy − Sx·Sy formula as a fixed arithmetic tree over DOUBLE
+    * casts of those exact sums — the same IEEE ops in both engines.
+    * Quantization scales cancel in Pearson r, so no unscaling step.
+    * Contrast with naive corr()/covar_samp(): float accumulation
+    * order there depends on partitioning, which is exactly what a
+    * 1000-executor run cannot keep stable. */
+  def momentCorr(spark: SparkSession, dir: String): DataFrame = {
+    val moments = momentExprs
+    Tables.lineitem(spark, dir)
+      .selectExpr(corrCols.map { case (c, s) =>
+        s"CAST(round($c * $s) AS BIGINT) AS q_$c" }: _*)
+      .selectExpr(moments: _*)
+      .selectExpr(corrExprs: _*)
+  }
+
+  private def momentExprs: Seq[String] =
+    Seq("CAST(count(*) AS BIGINT) AS n") ++
+      corrCols.flatMap { case (c, _) =>
+        Seq(s"CAST(sum(q_$c) AS BIGINT) AS s_$c",
+          s"CAST(sum(q_$c * q_$c) AS BIGINT) AS ss_$c")
+      } ++
+      corrCols.combinations(2).map { case Seq((a, _), (b, _)) =>
+        s"CAST(sum(q_$a * q_$b) AS BIGINT) AS sp_${a}_$b"
+      }.toSeq
+
+  private def corrExprs: Seq[String] =
+    Seq("n") ++ corrCols.combinations(2).map { case Seq((a, _), (b, _)) =>
+      val (n, sa, sb, ssa, ssb, sp) =
+        ("CAST(n AS DOUBLE)", s"CAST(s_$a AS DOUBLE)", s"CAST(s_$b AS DOUBLE)",
+          s"CAST(ss_$a AS DOUBLE)", s"CAST(ss_$b AS DOUBLE)",
+          s"CAST(sp_${a}_$b AS DOUBLE)")
+      s"($n * $sp - $sa * $sb) / (sqrt($n * $ssa - $sa * $sa) " +
+        s"* sqrt($n * $ssb - $sb * $sb)) AS corr_${a.drop(2)}_${b.drop(2)}"
+    }.toSeq
+
+  val momentCorrOracle: String =
+    s"""WITH q AS (SELECT ${corrCols.map { case (c, s) =>
+          s"CAST(round($c * $s) AS BIGINT) AS q_$c" }.mkString(", ")}
+          FROM lineitem),
+        m AS (SELECT ${momentExprs.mkString(", ")} FROM q)
+        SELECT ${corrExprs.mkString(", ")} FROM m"""
+
   val tableProfileOracle: String = {
     val rows = cols.zipWithIndex.map { case ((c, kind), i) =>
       s"""SELECT '$c' AS column_name, '${basis(kind)}' AS basis, n_rows,

@@ -54,6 +54,9 @@ class EmptyInputSpec extends SparkSpec {
       "doc_pack_sequences" -> (Curation.packSequences _),
       "corpus_mix_weights" -> (Curation.mixWeights _),
       "corpus_embedding_coverage" -> (Curation.embeddingCoverage _),
+      "corpus_epoch_plan" -> (Curation.epochPlan _),
+      "text_oov_rate" -> (TextAnalysis.oovRate _),
+      "dedup_canonical_quality" -> (Dedup.canonicalByQuality _),
       "text_term_spectrum" -> (TextAnalysis.termSpectrum _),
       "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
       "corpus_curated" -> (Curation.curatedCorpus _),

@@ -48,6 +48,43 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("epoch plan rounds each doc to floor or ceil of its source's factor") {
+    val weights = Curation.mixWeights(spark, sfTiny)
+      .select("source", "repeat_factor").as[(String, Double)].collect().toMap
+    val plan = Curation.epochPlan(spark, sfTiny)
+      .select("doc_id", "source", "n_repeats")
+      .as[(Long, String, Int)].collect()
+    assert(plan.length == 500)
+    plan.foreach { case (id, src, k) =>
+      val rf = weights(src)
+      assert(k == math.floor(rf).toInt || k == math.floor(rf).toInt + 1,
+        s"doc $id repeats $k for rf $rf")
+    }
+    // deterministic: a second run produces identical counts
+    val again = Curation.epochPlan(spark, sfTiny)
+      .select("doc_id", "n_repeats").as[(Long, Int)].collect().toMap
+    plan.foreach { case (id, _, k) => assert(again(id) == k, s"doc $id") }
+  }
+
+  test("quality canonical dominates every member of its cluster") {
+    val quality = graft.llm.TextAnalysis.textStats(spark, sfTiny)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val labels = graft.llm.Dedup.dedupClusters(spark, sfTiny)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    val chosen = graft.llm.Dedup.canonicalByQuality(spark, sfTiny)
+      .select("cluster_id", "canonical_doc", "best_quality", "cluster_size")
+      .as[(Long, Long, Double, Long)].collect()
+    val members = labels.groupBy(_._2)
+    assert(chosen.map(_._1).toSet == members.keySet)
+    chosen.foreach { case (cid, canon, best, size) =>
+      val ms = members(cid).map(_._1)
+      assert(ms.contains(canon), s"cluster $cid canonical not a member")
+      assert(ms.length == size, s"cluster $cid size")
+      assert(best == quality(canon), s"cluster $cid quality mismatch")
+      assert(ms.forall(m => quality(m) <= best), s"cluster $cid not argmax")
+    }
+  }
+
   test("table profile covers every lineitem column with consistent bounds") {
     val prof = Profile.tableProfile(spark, sfTiny)
       .select("column_name", "basis", "n_rows", "n_null", "n_distinct",
