@@ -17,7 +17,10 @@ class PlanContractSpec extends SparkSpec {
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
     "dedup_embedding", "ann_lsh_topk", "events_purchase_attribution",
     "events_last_click_asof", "corpus_source_quota", "corpus_curated",
-    "events_salted_join", "dedup_incremental")
+    "events_salted_join", "dedup_incremental", "text_oov_rate",
+    "corpus_epoch_plan", "dedup_canonical_quality",
+    "corpus_embedding_coverage", "orders_retention_cohorts",
+    "events_hourly_anomaly")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
