@@ -165,6 +165,8 @@ object SparkEntry {
     "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(s, d)),
     "corpus_epoch_plan" -> ((s, d) => Curation.epochPlan(s, d)),
     "dedup_canonical_quality" -> ((s, d) => Dedup.canonicalByQuality(s, d)),
+    "dedup_rate_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
+    "events_user_deciles" -> ((s, d) => EventsStream.userValueDeciles(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_hourly_anomaly" -> ((s, d) => EventsStream.hourlyAnomaly(s, d)),
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
@@ -273,6 +275,8 @@ object SparkEntry {
     "text_oov_rate" -> TextAnalysis.oovRateOracle,
     "corpus_epoch_plan" -> Curation.epochPlanOracle,
     "dedup_canonical_quality" -> Dedup.canonicalByQualityOracle,
+    "dedup_rate_by_source" -> Dedup.dupRateBySourceOracle,
+    "events_user_deciles" -> EventsStream.userValueDecilesOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,

@@ -569,6 +569,44 @@ object Dedup {
           CAST(sum(cluster_size) AS BIGINT) AS n_docs
         FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
 
+  /** Per-source duplication accounting: for every source, how many of
+    * its documents sit in a near-dup cluster at all and how many would
+    * be REMOVED by min-id canonical dedup — the dup-rate breakdown
+    * that tells a corpus team which ingestion streams are recycling
+    * content. Plan shape: the label relation (clustered docs only) is
+    * tiny next to the corpus, so the left join broadcasts it onto one
+    * documents scan; one hash agg on source after. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir)
+    Tables.documents(spark, dir).select("doc_id", "source")
+      .join(broadcast(labels), Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1).otherwise(0))
+          .cast("long").as("n_clustered"),
+        sum(when(col("cluster_id").isNotNull
+          && col("cluster_id") =!= col("doc_id"), 1).otherwise(0))
+          .cast("long").as("n_removed"))
+      .selectExpr("source", "n_docs", "n_clustered", "n_removed",
+        "n_removed / CAST(n_docs AS DOUBLE) AS dup_rate")
+      .orderBy("source")
+  }
+
+  val dupRateBySourceOracle: String =
+    s"""WITH RECURSIVE $closureCtes,
+        labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                   FROM reach GROUP BY src),
+        j AS (SELECT d.doc_id, d.source, l.cluster_id
+              FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+        g AS (SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+                CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+              FROM j GROUP BY source)
+        SELECT source, n_docs, n_clustered, n_removed,
+          n_removed / CAST(n_docs AS DOUBLE) AS dup_rate
+        FROM g ORDER BY source"""
+
   /** Quality-aware canonical selection: within each near-dup cluster,
     * keep the HIGHEST-quality member (ties broken by doc_id) instead
     * of the min-id one — what a production dedup actually wants, since

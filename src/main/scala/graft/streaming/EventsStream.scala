@@ -87,6 +87,50 @@ object EventsStream {
         FROM d JOIN m2 USING (event_type)
         ORDER BY d.event_type, d.window_start_s"""
 
+  /** Per-decile user-value report: users are ranked by lifetime event
+    * value (cent-quantized, ties broken by user_id for a total order)
+    * and cut into ten ntile buckets; each decile row carries its user
+    * count, value total, and share — the standard whale-curve report.
+    * Plan shape: per-user agg (map-side combined), then ntile over the
+    * 1-per-user relation — the window input is users, not events, so
+    * the single-partition window sort is bounded by distinct users; at
+    * 100 TB you'd bucket by a hashed range first, but the per-user agg
+    * is where the data volume dies. */
+  def userValueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(desc("cents"), asc("user_id"))
+    perUser.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum("n_events").as("n_events"), sum("cents").as("cents"))
+      .withColumn("total_cents",
+        sum(col("cents")).over(Window.partitionBy()))
+      .selectExpr("decile", "n_users", "n_events",
+        "cents / CAST(100 AS DOUBLE) AS total_value",
+        "cents / CAST(total_cents AS DOUBLE) AS value_share")
+      .orderBy("decile")
+  }
+
+  val userValueDecilesOracle: String =
+    """WITH u AS (SELECT user_id, count(*) AS n_events,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY user_id),
+        t AS (SELECT *, ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile
+              FROM u),
+        g AS (SELECT decile, count(*) AS n_users,
+                CAST(sum(n_events) AS BIGINT) AS n_events,
+                CAST(sum(cents) AS BIGINT) AS cents
+              FROM t GROUP BY decile),
+        tt AS (SELECT *, CAST(sum(cents) OVER () AS BIGINT) AS total_cents FROM g)
+        SELECT decile, n_users, n_events,
+          cents / CAST(100 AS DOUBLE) AS total_value,
+          cents / CAST(total_cents AS DOUBLE) AS value_share
+        FROM tt ORDER BY decile"""
+
   /** Raw parquet schema of events (ts as nano-long, matching the
     * nanosAsLong reader conf). */
   private val eventsRawSchema = StructType(Seq(

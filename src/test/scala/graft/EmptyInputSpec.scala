@@ -57,6 +57,7 @@ class EmptyInputSpec extends SparkSpec {
       "corpus_epoch_plan" -> (Curation.epochPlan _),
       "text_oov_rate" -> (TextAnalysis.oovRate _),
       "dedup_canonical_quality" -> (Dedup.canonicalByQuality _),
+      "dedup_rate_by_source" -> (Dedup.dupRateBySource _),
       "text_term_spectrum" -> (TextAnalysis.termSpectrum _),
       "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
       "corpus_curated" -> (Curation.curatedCorpus _),
