@@ -160,6 +160,7 @@ object SparkEntry {
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "multimodal_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, d)),
     "multimodal_wav_stats" -> ((s, d) => Multimodal.wavStats(s, d)),
+    "multimodal_video_stats" -> ((s, d) => Multimodal.videoStats(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "lineitem_moment_corr" -> ((s, d) => graft.ops.Profile.momentCorr(s, d)),
     "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(s, d)),
@@ -281,6 +282,7 @@ object SparkEntry {
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,
     "multimodal_wav_stats" -> Multimodal.wavStatsOracle,
+    "multimodal_video_stats" -> Multimodal.videoStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
     "events_hourly_anomaly" -> EventsStream.hourlyAnomalyOracle,
     "events_purchase_attribution" -> EventsStream.purchaseAttributionBatchOracle,

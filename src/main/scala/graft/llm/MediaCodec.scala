@@ -232,7 +232,109 @@ object MediaCodec {
     None
   }
 
+  // ---- video tier: YUV4MPEG2 (y4m) container ----
+
+  /** Parsed y4m stream header + frame count (frames are validated to
+    * be complete during the walk). */
+  case class Y4mVideo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                      frames: Int)
+
+  /** Per-plane sample statistics of a decoded y4m stream (plane 0 = Y,
+    * 1 = U, 2 = V). */
+  case class Y4mPlaneStats(plane: Int, nSamples: Long, sum: Long,
+                           min: Int, max: Int)
+
+  /** Parse + fully decode a YUV4MPEG2 stream: tokenized stream header
+    * (`YUV4MPEG2 W.. H.. F..:..` plus ignorable tokens), then a frame
+    * walk where every `FRAME` line must be followed by a COMPLETE
+    * 4:2:0 payload (w·h luma + 2·(w/2)·(h/2) chroma bytes) — a
+    * truncated frame, trailing garbage, odd dimensions, a non-420
+    * colorspace tag, or a malformed header all return None rather
+    * than throwing on untrusted bytes (same discipline as the PNG/WAV
+    * walkers). Returns the header plus per-plane sample stats
+    * accumulated across frames. */
+  def decodeY4m(payload: Array[Byte]): Option[(Y4mVideo, Array[Y4mPlaneStats])] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < payload.length && payload(i) != '\n'.toByte) i += 1
+      if (i >= payload.length) -1 else i
+    }
+    val nl = lineEnd(0)
+    if (nl < 0) return None
+    val toks = new String(payload, 0, nl, "US-ASCII").split(" ")
+    if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+    var w = -1; var h = -1; var fn = -1; var fd = -1; var cs = "420"
+    toks.drop(1).foreach { t =>
+      if (t.startsWith("W")) w = t.drop(1).toIntOption.getOrElse(-1)
+      else if (t.startsWith("H")) h = t.drop(1).toIntOption.getOrElse(-1)
+      else if (t.startsWith("F")) t.drop(1).split(":") match {
+        case Array(a, b) =>
+          fn = a.toIntOption.getOrElse(-1); fd = b.toIntOption.getOrElse(-1)
+        case _ => fn = -1
+      }
+      else if (t.startsWith("C")) cs = t.drop(1)
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    if (w % 2 != 0 || h % 2 != 0) return None
+    if (cs != "420" && !cs.startsWith("420")) return None
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    val frameSize = ySize + 2 * cSize
+    val sums = new Array[Long](3)
+    val mins = Array(255, 255, 255)
+    val maxs = Array(0, 0, 0)
+    var frames = 0
+    var off = nl + 1
+    while (off < payload.length) {
+      val fnl = lineEnd(off)
+      if (fnl < 0) return None
+      if (!new String(payload, off, fnl - off, "US-ASCII").startsWith("FRAME"))
+        return None
+      val start = fnl + 1
+      if (start + frameSize > payload.length) return None // truncated frame
+      var j = 0
+      while (j < frameSize) {
+        val plane = if (j < ySize) 0 else if (j < ySize + cSize) 1 else 2
+        val v = payload(start + j) & 0xff
+        sums(plane) += v
+        if (v < mins(plane)) mins(plane) = v
+        if (v > maxs(plane)) maxs(plane) = v
+        j += 1
+      }
+      frames += 1
+      off = start + frameSize
+    }
+    if (frames == 0) return None
+    val counts = Array(ySize.toLong, cSize.toLong, cSize.toLong)
+    Some((Y4mVideo(w, h, fn, fd, frames),
+      Array.tabulate(3)(p =>
+        Y4mPlaneStats(p, counts(p) * frames, sums(p), mins(p), maxs(p)))))
+  }
+
   // ---- builders (valid minimal files, used by fixtures and specs) ----
+
+  /** Spec-valid YUV4MPEG2 stream at 25 fps, 4:2:0, with deterministic
+    * sample bytes: byte j of frame f is (seed + f·17 + j·5) % 256 over
+    * the flattened Y+U+V frame buffer — reproducible by a SQL oracle
+    * from the seed alone. */
+  def makeY4m(width: Int, height: Int, frames: Int, seed: Int): Array[Byte] = {
+    require(width % 2 == 0 && height % 2 == 0, "4:2:0 needs even dims")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420\n"
+      .getBytes("US-ASCII"))
+    val frameSize = width * height * 3 / 2
+    var f = 0
+    while (f < frames) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      var j = 0
+      while (j < frameSize) {
+        out.write((seed + f * 17 + j * 5) % 256)
+        j += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
 
   private def u32be(v: Int): Array[Byte] =
     Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)

@@ -15,15 +15,19 @@ import graft.io.Tables
   *    sniffing and PNG-IHDR / WAV-fmt header parsing over genuine
   *    container bytes (the metadata tier that drives routing/filtering
   *    at scale — oracle-checked end-to-end via [[headerMeta]]);
-  *  - the PNG PIXEL and WAV SAMPLE tiers are REAL too:
+  *  - the PNG PIXEL, WAV SAMPLE, and Y4M VIDEO tiers are REAL too:
   *    [[MediaCodec.decodePngPixels]] inflates IDAT with the JDK's zlib
-  *    and reverses all five scanline filters, and
-  *    [[MediaCodec.decodeWavSamples]] reads the PCM16 data chunk —
-  *    oracle-checked via [[pixelStats]] / [[wavStats]];
-  *  - [[FakeCodec]] remains a clearly-marked stand-in ONLY for
-  *    modalities whose decode genuinely needs external libraries
-  *    (video frame extraction); it produces a deterministic feature
-  *    vector so that plumbing stays testable.
+  *    and reverses all five scanline filters,
+  *    [[MediaCodec.decodeWavSamples]] reads the PCM16 data chunk, and
+  *    [[MediaCodec.decodeY4m]] walks a multi-frame YUV4MPEG2 stream
+  *    (tokenized header + 4:2:0 frame payloads with truncation
+  *    checks) — oracle-checked via [[pixelStats]] / [[wavStats]] /
+  *    [[videoStats]];
+  *  - [[FakeCodec]] remains only as the generic feature-extraction
+  *    stand-in for [[extractFeatures]] (the typed mapPartitions
+  *    plumbing demo) — compressed-codec decode (JPEG/H.264/MP3)
+  *    genuinely needs external libraries; every container this
+  *    environment can honestly decode is decoded for real above.
   */
 object Multimodal {
 
@@ -325,4 +329,73 @@ object Multimodal {
          CAST(max(s) AS INTEGER) AS s_max,
          sum(s) / CAST(count(*) AS DOUBLE) AS mean_s
        FROM sm GROUP BY doc_id, channel ORDER BY doc_id, channel"""
+
+  // ---- real video-decode tier (MediaCodec.decodeY4m) ----
+
+  case class VideoPlaneStats(doc_id: Long, width: Int, height: Int,
+                             n_frames: Int, plane: Int, n_samples: Long,
+                             s_sum: Long, s_min: Int, s_max: Int)
+
+  /** Even 4:2:0-legal dims and a small frame count, all from doc_id. */
+  private[graft] def videoDims(docId: Long): (Int, Int, Int) =
+    ((2 * (docId % 8 + 1)).toInt, (2 * (docId % 6 + 1)).toInt,
+      (docId % 4 + 1).toInt)
+
+  /** Per-plane sample statistics from REAL decoded YUV4MPEG2 bytes —
+    * the video twin of [[pixelStats]]/[[wavStats]], completing the
+    * image/audio/video triple with honest container work on every
+    * branch: each video doc becomes a spec-valid multi-frame y4m
+    * stream in the executors (tokenized header, FRAME-delimited 4:2:0
+    * payloads) and is decoded back by [[MediaCodec.decodeY4m]] (header
+    * parse + full frame walk with truncation checks) before the stats
+    * are taken. Width/height/frame-count in the output come from the
+    * PARSED header, not the generator, so a hash-match proves the
+    * container round-trip, the frame accounting, and the per-plane
+    * sample partitioning all at once. Decode failure throws (our own
+    * builder's bytes). Per-partition work, no shuffle until the final
+    * tiny sort. */
+  def videoStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 2").as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val (w, h, frames) = videoDims(id)
+          val y4m = MediaCodec.makeY4m(w, h, frames, (id % 251).toInt)
+          val (video, planes) = MediaCodec.decodeY4m(y4m).getOrElse(
+            sys.error(s"y4m decode failed for doc $id"))
+          planes.map(p => VideoPlaneStats(id, video.width, video.height,
+            video.frames, p.plane, p.nSamples, p.sum, p.min, p.max))
+        }
+      }
+    stats.toDF()
+      .withColumn("mean_s", col("s_sum") / col("n_samples").cast("double"))
+      .orderBy("doc_id", "plane")
+  }
+
+  /** Same max-dims-grid-plus-filter technique as [[pixelStatsOracle]]:
+    * frame-buffer index j runs over the flattened Y+U+V planes
+    * (max 16·12·3/2 = 288 per frame, ≤ 4 frames). */
+  val videoStatsOracle: String =
+    """WITH vids AS (SELECT doc_id,
+           CAST(2 * (doc_id % 8 + 1) AS INTEGER) AS w,
+           CAST(2 * (doc_id % 6 + 1) AS INTEGER) AS h,
+           CAST(doc_id % 4 + 1 AS INTEGER) AS n_frames
+         FROM documents WHERE doc_id % 3 = 2),
+       sm AS (SELECT v.doc_id, v.w, v.h, v.n_frames,
+           CASE WHEN j.j < v.w * v.h THEN 0
+                WHEN j.j < v.w * v.h + (v.w // 2) * (v.h // 2) THEN 1
+                ELSE 2 END AS plane,
+           ((v.doc_id % 251) + f.f * 17 + j.j * 5) % 256 AS s
+         FROM vids v, range(0, 4) f(f), range(0, 288) j(j)
+         WHERE f.f < v.n_frames AND j.j < v.w * v.h * 3 // 2)
+       SELECT doc_id, w AS width, h AS height, n_frames,
+         CAST(plane AS INTEGER) AS plane,
+         count(*) AS n_samples,
+         CAST(sum(s) AS BIGINT) AS s_sum,
+         CAST(min(s) AS INTEGER) AS s_min,
+         CAST(max(s) AS INTEGER) AS s_max,
+         sum(s) / CAST(count(*) AS DOUBLE) AS mean_s
+       FROM sm GROUP BY doc_id, w, h, n_frames, plane
+       ORDER BY doc_id, plane"""
 }

@@ -76,6 +76,7 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_cluster_sizes" -> (Dedup.dedupClusterSizes _),
       "multimodal_pixel_stats" -> (Multimodal.pixelStats _),
       "multimodal_wav_stats" -> (Multimodal.wavStats _),
+      "multimodal_video_stats" -> (Multimodal.videoStats _),
       "text_vocabulary" -> (TextAnalysis.vocabulary _),
       "text_contamination" -> (TextAnalysis.contamination _))
     ops.foreach { case (name, fn) =>

@@ -180,6 +180,53 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.decodeWavSamples("nope".getBytes("UTF-8")).isEmpty)
   }
 
+  test("y4m build/decode round-trips header and per-plane stats") {
+    val y4m = MediaCodec.makeY4m(8, 6, 3, seed = 42)
+    val (video, planes) = MediaCodec.decodeY4m(y4m).get
+    assert(video == MediaCodec.Y4mVideo(8, 6, 25, 1, 3))
+    assert(planes.map(_.plane).toSeq == Seq(0, 1, 2))
+    // plane sizes: Y = w·h per frame, U = V = (w/2)·(h/2)
+    assert(planes(0).nSamples == 8L * 6 * 3)
+    assert(planes(1).nSamples == 4L * 3 * 3)
+    assert(planes(2).nSamples == 4L * 3 * 3)
+    // recompute stats directly from the generator formula
+    val frameSize = 8 * 6 * 3 / 2
+    val all = for (f <- 0 until 3; j <- 0 until frameSize)
+      yield (j, (42 + f * 17 + j * 5) % 256)
+    def planeOf(j: Int) = if (j < 48) 0 else if (j < 60) 1 else 2
+    (0 until 3).foreach { p =>
+      val vs = all.collect { case (j, v) if planeOf(j) == p => v }
+      assert(planes(p).sum == vs.map(_.toLong).sum, s"plane $p sum")
+      assert(planes(p).min == vs.min && planes(p).max == vs.max, s"plane $p")
+    }
+  }
+
+  test("y4m decode rejects malformed and truncated streams") {
+    val good = MediaCodec.makeY4m(4, 4, 2, seed = 7)
+    assert(MediaCodec.decodeY4m(good).isDefined)
+    // bad magic
+    assert(MediaCodec.decodeY4m("JUNK W4 H4 F25:1\n".getBytes("US-ASCII")).isEmpty)
+    // missing frame rate / zero dims / odd dims / non-420 colorspace
+    assert(MediaCodec.decodeY4m("YUV4MPEG2 W4 H4\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodec.decodeY4m("YUV4MPEG2 W0 H4 F25:1\n".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodec.decodeY4m("YUV4MPEG2 W3 H4 F25:1\n".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodec.decodeY4m(
+      "YUV4MPEG2 W4 H4 F25:1 C444\n".getBytes("US-ASCII")).isEmpty)
+    // truncated mid-frame, garbage between frames, zero frames
+    assert(MediaCodec.decodeY4m(good.dropRight(1)).isEmpty)
+    assert(MediaCodec.decodeY4m(good ++ "tail".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodec.decodeY4m("YUV4MPEG2 W4 H4 F25:1\n".getBytes("US-ASCII")).isEmpty)
+    // a frame header with parameters is legal
+    val paramFrame = {
+      val hdr = "YUV4MPEG2 W4 H4 F25:1\n".getBytes("US-ASCII")
+      val f = "FRAME Xparam\n".getBytes("US-ASCII") ++
+        Array.fill(4 * 4 * 3 / 2)(1.toByte)
+      hdr ++ f
+    }
+    assert(MediaCodec.decodeY4m(paramFrame)
+      .exists(_._1 == MediaCodec.Y4mVideo(4, 4, 25, 1, 1)))
+  }
+
   test("typed mapPartitions header extraction matches per-row expectation") {
     val rows = Multimodal.extractHeaders(Multimodal.syntheticMedia(spark, sfTiny))
       .collect().sortBy(_.doc_id)
