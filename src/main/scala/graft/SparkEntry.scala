@@ -168,6 +168,7 @@ object SparkEntry {
     "dedup_canonical_quality" -> ((s, d) => Dedup.canonicalByQuality(s, d)),
     "dedup_rate_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
     "events_user_deciles" -> ((s, d) => EventsStream.userValueDeciles(s, d)),
+    "events_rolling_7d" -> ((s, d) => EventsStream.rolling7d(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_hourly_anomaly" -> ((s, d) => EventsStream.hourlyAnomaly(s, d)),
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
@@ -278,6 +279,7 @@ object SparkEntry {
     "dedup_canonical_quality" -> Dedup.canonicalByQualityOracle,
     "dedup_rate_by_source" -> Dedup.dupRateBySourceOracle,
     "events_user_deciles" -> EventsStream.userValueDecilesOracle,
+    "events_rolling_7d" -> EventsStream.rolling7dOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,

@@ -87,6 +87,46 @@ object EventsStream {
         FROM d JOIN m2 USING (event_type)
         ORDER BY d.event_type, d.window_start_s"""
 
+  /** Rolling 7-day totals over the daily event aggregate — the RANGE
+    * window-frame form (value-based bounds over epoch seconds), which
+    * unlike a ROWS frame stays correct when days are missing from the
+    * series. Plan shape: raw events die in the per-day map-side agg;
+    * the window runs over one row per day, so the unpartitioned
+    * ordered frame is bounded by the calendar, not the data (at
+    * multi-tenant scale you'd partition the window by tenant). All
+    * sums are integer (counts + cents), so rolling totals are exact. */
+  def rolling7d(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_s"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy("day_s").rangeBetween(-6L * 86400, 0)
+    daily
+      .withColumn("n_events_7d", sum(col("n_events")).over(w))
+      .withColumn("cents_7d", sum(col("cents")).over(w))
+      .selectExpr("day_s", "n_events",
+        "cents / CAST(100 AS DOUBLE) AS day_value",
+        "n_events_7d", "cents_7d / CAST(100 AS DOUBLE) AS value_7d")
+      .orderBy("day_s")
+  }
+
+  val rolling7dOracle: String =
+    """WITH daily AS (SELECT
+            CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day_s,
+            count(*) AS n_events,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1),
+        r AS (SELECT *,
+            CAST(sum(n_events) OVER (ORDER BY day_s
+              RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_events_7d,
+            CAST(sum(cents) OVER (ORDER BY day_s
+              RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_7d
+          FROM daily)
+        SELECT day_s, n_events, cents / CAST(100 AS DOUBLE) AS day_value,
+          n_events_7d, cents_7d / CAST(100 AS DOUBLE) AS value_7d
+        FROM r ORDER BY day_s"""
+
   /** Per-decile user-value report: users are ranked by lifetime event
     * value (cent-quantized, ties broken by user_id for a total order)
     * and cut into ten ntile buckets; each decile row carries its user
