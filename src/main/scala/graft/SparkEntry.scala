@@ -165,6 +165,7 @@ object SparkEntry {
     "lineitem_moment_corr" -> ((s, d) => graft.ops.Profile.momentCorr(s, d)),
     "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(s, d)),
     "corpus_epoch_plan" -> ((s, d) => Curation.epochPlan(s, d)),
+    "corpus_training_manifest" -> ((s, d) => Curation.trainingManifest(s, d)),
     "dedup_canonical_quality" -> ((s, d) => Dedup.canonicalByQuality(s, d)),
     "dedup_rate_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
     "events_user_deciles" -> ((s, d) => EventsStream.userValueDeciles(s, d)),
@@ -276,6 +277,7 @@ object SparkEntry {
     "lineitem_moment_corr" -> graft.ops.Profile.momentCorrOracle,
     "text_oov_rate" -> TextAnalysis.oovRateOracle,
     "corpus_epoch_plan" -> Curation.epochPlanOracle,
+    "corpus_training_manifest" -> Curation.trainingManifestOracle,
     "dedup_canonical_quality" -> Dedup.canonicalByQualityOracle,
     "dedup_rate_by_source" -> Dedup.dupRateBySourceOracle,
     "events_user_deciles" -> EventsStream.userValueDecilesOracle,

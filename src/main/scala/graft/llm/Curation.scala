@@ -137,15 +137,15 @@ object Curation {
     * stream into per-shard sub-keys), not a plan change. Zero-token
     * docs occupy their start sequence (n_seqs = 1), so the manifest
     * stays total. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  /** Packing arithmetic over any (doc_id, source, n_tokens) relation —
+    * shared by [[packSequences]] (whole corpus) and
+    * [[trainingManifest]] (curated train split). */
+  private def packFrom(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .selectExpr("doc_id", "source",
-        s"CAST(${arrLen(words("text", SparkD), SparkD)} AS BIGINT) AS n_tokens")
-      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+    df.withColumn("tok_end", sum(col("n_tokens")).over(w))
       .selectExpr("doc_id", "source", "n_tokens",
         "tok_end - n_tokens AS tok_start", "tok_end")
       .selectExpr("doc_id", "source", "n_tokens", "tok_start", "tok_end",
@@ -154,26 +154,75 @@ object Curation {
       .selectExpr("doc_id", "source", "n_tokens", "tok_start", "tok_end",
         "first_seq", "last_seq",
         "CAST(last_seq - first_seq + 1 AS INTEGER) AS n_seqs")
-      .orderBy("doc_id")
   }
+
+  /** DuckDB twin of [[packFrom]]: pack CTE chain over relation `src`
+    * (columns doc_id, source, n_tokens), ending in `packed`. */
+  private def packCtes(src: String): String =
+    s"""pk_r AS (SELECT doc_id, source, n_tokens,
+            CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
+          FROM $src),
+        pk_o AS (SELECT doc_id, source, n_tokens,
+            tok_end - n_tokens AS tok_start, tok_end FROM pk_r),
+        pk_s AS (SELECT doc_id, source, n_tokens, tok_start, tok_end,
+            ${intDiv("tok_start", ctxLen.toString, DuckD)} AS first_seq,
+            ${intDiv("greatest(tok_end - 1, tok_start)", ctxLen.toString, DuckD)} AS last_seq
+          FROM pk_o),
+        packed AS (SELECT doc_id, source, n_tokens, tok_start, tok_end,
+            first_seq, last_seq,
+            CAST(last_seq - first_seq + 1 AS INTEGER) AS n_seqs
+          FROM pk_s)"""
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packFrom(Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source",
+        s"CAST(${arrLen(words("text", SparkD), SparkD)} AS BIGINT) AS n_tokens"))
+      .orderBy("doc_id")
 
   val packSequencesOracle: String =
     s"""WITH t AS (SELECT doc_id, source,
                      CAST(${arrLen(words("text", DuckD), DuckD)} AS BIGINT) AS n_tokens
                    FROM documents),
-        r AS (SELECT doc_id, source, n_tokens,
-                CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
-              FROM t),
-        o AS (SELECT doc_id, source, n_tokens,
-                tok_end - n_tokens AS tok_start, tok_end FROM r),
-        s AS (SELECT doc_id, source, n_tokens, tok_start, tok_end,
-                ${intDiv("tok_start", ctxLen.toString, DuckD)} AS first_seq,
-                ${intDiv("greatest(tok_end - 1, tok_start)", ctxLen.toString, DuckD)} AS last_seq
-              FROM o)
-        SELECT doc_id, source, n_tokens, tok_start, tok_end, first_seq, last_seq,
-               CAST(last_seq - first_seq + 1 AS INTEGER) AS n_seqs
-        FROM s ORDER BY doc_id"""
+        ${packCtes("t")}
+        SELECT * FROM packed ORDER BY doc_id"""
+
+  /** The END-TO-END deliverable, composed entirely from the engine's
+    * own operator surface in one plan: quality gate + language-ID
+    * agreement + near-dup removal + reproducible split
+    * ([[curatedCorpus]]), then context-window sequence packing of the
+    * surviving train split ([[packFrom]]) — document in, training
+    * sequence coordinates out. This is the query a user of the
+    * library would actually ship as their corpus build. Plan shape:
+    * everything per-row fuses into the one curated scan; the only
+    * additions over [[curatedCorpus]] are its existing anti-join and
+    * one window keyed by source. */
+  def trainingManifest(spark: SparkSession, dir: String): DataFrame =
+    packFrom(curatedCorpus(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+      .selectExpr("doc_id", "source", "CAST(n_tokens AS BIGINT) AS n_tokens"))
+      .orderBy("doc_id")
+
+  val trainingManifestOracle: String =
+    s"""WITH RECURSIVE ${Dedup.closureCtes},
+        labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                   FROM reach GROUP BY src),
+        ${TextAnalysis.statsCtes},
+        ${TextAnalysis.langCtes},
+        tm_h AS (SELECT doc_id, ${unitHashCtes(DuckD).head} FROM documents),
+        tm_u AS (SELECT doc_id, ${unitHashCtes(DuckD)(1)} FROM tm_h),
+        cur AS (SELECT d.doc_id, d.source,
+                  CAST(s.n_tokens AS BIGINT) AS n_tokens, $splitExpr
+                FROM documents d
+                JOIN stats s ON d.doc_id = s.doc_id
+                JOIN lang_t l ON d.doc_id = l.doc_id
+                JOIN tm_u uu ON d.doc_id = uu.doc_id
+                WHERE s.quality_score >= 0.5 AND l.is_match = 1 AND s.n_tokens >= 5
+                  AND NOT EXISTS (SELECT 1 FROM labels lb
+                    WHERE lb.doc_id = d.doc_id AND lb.doc_id <> lb.cluster_id)),
+        trn AS (SELECT doc_id, source, n_tokens FROM cur WHERE split = 'train'),
+        ${packCtes("trn")}
+        SELECT * FROM packed ORDER BY doc_id"""
 
   // ---- embedding coverage (corpus ↔ index integrity) ----
 

@@ -55,6 +55,7 @@ class EmptyInputSpec extends SparkSpec {
       "corpus_mix_weights" -> (Curation.mixWeights _),
       "corpus_embedding_coverage" -> (Curation.embeddingCoverage _),
       "corpus_epoch_plan" -> (Curation.epochPlan _),
+      "corpus_training_manifest" -> (Curation.trainingManifest _),
       "text_oov_rate" -> (TextAnalysis.oovRate _),
       "dedup_canonical_quality" -> (Dedup.canonicalByQuality _),
       "dedup_rate_by_source" -> (Dedup.dupRateBySource _),
