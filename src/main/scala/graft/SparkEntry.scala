@@ -163,6 +163,9 @@ object SparkEntry {
     "multimodal_video_stats" -> ((s, d) => Multimodal.videoStats(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "lineitem_moment_corr" -> ((s, d) => graft.ops.Profile.momentCorr(s, d)),
+    "lineitem_key_skew" -> ((s, d) => graft.ops.Profile.keySkew(s, d)),
+    "dedup_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "doc_chunk_boilerplate" -> ((s, d) => Curation.chunkBoilerplate(s, d)),
     "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(s, d)),
     "corpus_epoch_plan" -> ((s, d) => Curation.epochPlan(s, d)),
     "corpus_training_manifest" -> ((s, d) => Curation.trainingManifest(s, d)),
@@ -275,6 +278,9 @@ object SparkEntry {
     "ann_pq_recall" -> Similarity.pqRecallOracle,
     "table_profile" -> graft.ops.Profile.tableProfileOracle,
     "lineitem_moment_corr" -> graft.ops.Profile.momentCorrOracle,
+    "lineitem_key_skew" -> graft.ops.Profile.keySkewOracle,
+    "dedup_containment_pairs" -> Dedup.containmentPairsOracle,
+    "doc_chunk_boilerplate" -> Curation.chunkBoilerplateOracle,
     "text_oov_rate" -> TextAnalysis.oovRateOracle,
     "corpus_epoch_plan" -> Curation.epochPlanOracle,
     "corpus_training_manifest" -> Curation.trainingManifestOracle,

@@ -94,8 +94,9 @@ object Curation {
     * projection + explode with no shuffle at all (ordering aside) —
     * at 100 TB chunk output partitioning inherits the scan's. Both
     * engines truncate the tail slice the same way. */
-  def docChunks(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
+  /** Unordered chunk relation (doc_id, chunk_idx, n_chunk_tokens,
+    * chunk_text) — shared by [[docChunks]] and [[chunkBoilerplate]]. */
+  private def chunkRelation(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .selectExpr("doc_id", s"${words("text", SparkD)} AS w")
       .selectExpr("doc_id", "w",
@@ -103,18 +104,57 @@ object Curation {
       .selectExpr("doc_id", "chunk_idx",
         s"CAST(size(slice(w, start + 1, $chunkTokens)) AS INTEGER) AS n_chunk_tokens",
         s"array_join(slice(w, start + 1, $chunkTokens), ' ') AS chunk_text")
-      .orderBy("doc_id", "chunk_idx")
-  }
+
+  /** DuckDB twin of [[chunkRelation]], ending in `chunks`. */
+  private def chunkCtes: String =
+    s"""ck_w AS (SELECT doc_id, ${words("text", DuckD)} AS w FROM documents),
+        ck_t AS (SELECT doc_id, w,
+                   unnest(range(0, greatest(len(w), 1), $chunkStride)) AS start
+                 FROM ck_w),
+        chunks AS (SELECT doc_id, CAST(start // $chunkStride AS INTEGER) AS chunk_idx,
+                     CAST(len(w[start + 1 : start + $chunkTokens]) AS INTEGER) AS n_chunk_tokens,
+                     array_to_string(w[start + 1 : start + $chunkTokens], ' ') AS chunk_text
+                   FROM ck_t)"""
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkRelation(spark, dir).orderBy("doc_id", "chunk_idx")
 
   val docChunksOracle: String =
-    s"""WITH w_t AS (SELECT doc_id, ${words("text", DuckD)} AS w FROM documents),
-        c_t AS (SELECT doc_id, w,
-                  unnest(range(0, greatest(len(w), 1), $chunkStride)) AS start
-                FROM w_t)
-        SELECT doc_id, CAST(start // $chunkStride AS INTEGER) AS chunk_idx,
-               CAST(len(w[start + 1 : start + $chunkTokens]) AS INTEGER) AS n_chunk_tokens,
-               array_to_string(w[start + 1 : start + $chunkTokens], ' ') AS chunk_text
-        FROM c_t ORDER BY doc_id, chunk_idx"""
+    s"""WITH $chunkCtes
+        SELECT * FROM chunks ORDER BY doc_id, chunk_idx"""
+
+  /** Cross-document boilerplate detection at CHUNK granularity: hash
+    * every token window and report hashes appearing in two or more
+    * DISTINCT documents — repeated headers/footers/license blocks that
+    * doc-level dedup can never see because the surrounding text
+    * differs. Plan shape: chunking is projection + explode on the
+    * scan's partitioning; then one hash agg keyed by chunk hash (the
+    * natural high-cardinality shuffle key) with a single distinct
+    * rewrite; the flagged set is orders of magnitude smaller than the
+    * chunk stream. */
+  def chunkBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    chunkRelation(spark, dir)
+      .filter(col("n_chunk_tokens") >= 10)
+      .selectExpr("doc_id", "md5(chunk_text) AS chunk_hash")
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_occurrences"), asc("chunk_hash"))
+  }
+
+  val chunkBoilerplateOracle: String =
+    s"""WITH $chunkCtes,
+        h AS (SELECT doc_id, md5(chunk_text) AS chunk_hash FROM chunks
+              WHERE n_chunk_tokens >= 10),
+        g AS (SELECT chunk_hash, count(*) AS n_occurrences,
+                count(DISTINCT doc_id) AS n_docs,
+                CAST(min(doc_id) AS BIGINT) AS first_doc
+              FROM h GROUP BY chunk_hash)
+        SELECT * FROM g WHERE n_docs >= 2
+        ORDER BY n_occurrences DESC, chunk_hash"""
 
   // ---- sequence packing (concat-and-chunk manifest) ----
 

@@ -569,6 +569,53 @@ object Dedup {
           CAST(sum(cluster_size) AS BIGINT) AS n_docs
         FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
 
+  /** Shingle-containment verification on the band candidates —
+    * catches SUBSET duplication (one doc's shingles nearly all inside
+    * another's), which symmetric Jaccard under-scores: a paragraph
+    * pasted into a much longer doc has low resemblance but containment
+    * ≈ 1. Both directions are reported with the max flagged at 0.8.
+    * Honest recall note: MinHash bands estimate RESEMBLANCE, so a
+    * small-in-large pair whose Jaccard is far below the band threshold
+    * may never become a candidate — at scale a containment-first index
+    * uses bottom-k sketches of the smaller set instead; this tier
+    * verifies containment exactly on the candidates the shared band
+    * infrastructure already surfaces. No signature pre-filter here,
+    * deliberately: it estimates Jaccard and would re-bias candidates
+    * toward resemblance. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docFeatures(spark, dir).selectExpr("doc_id", "sh", "n")
+    bandCandidates(spark, dir)
+      .join(sh.selectExpr("doc_id AS doc_a", "sh AS sh_a", "n AS na"), Seq("doc_a"))
+      .join(sh.selectExpr("doc_id AS doc_b", "sh AS sh_b", "n AS nb"), Seq("doc_b"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .selectExpr("doc_a", "doc_b", "na", "nb",
+        s"CAST(${interSize("sh_a", "sh_b", SparkD)} AS INTEGER) AS intersection_size")
+      .selectExpr("*",
+        "intersection_size / CAST(na AS DOUBLE) AS containment_a",
+        "intersection_size / CAST(nb AS DOUBLE) AS containment_b")
+      .selectExpr("*", "greatest(containment_a, containment_b) AS max_containment")
+      .filter(col("max_containment") >= expr("CAST(0.8 AS DOUBLE)"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentPairsOracle: String =
+    s"""WITH ${minhashCtes(DuckD)},
+        $bandCandCtes,
+        wide AS (SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb,
+                   CAST(${interSize("sa.sh", "sb.sh", DuckD)} AS INTEGER) AS intersection_size
+                 FROM cands c
+                 JOIN band_t sa ON c.doc_a = sa.doc_id
+                 JOIN band_t sb ON c.doc_b = sb.doc_id
+                 WHERE sa.n > 0 AND sb.n > 0),
+        scored AS (SELECT *,
+                     intersection_size / CAST(na AS DOUBLE) AS containment_a,
+                     intersection_size / CAST(nb AS DOUBLE) AS containment_b
+                   FROM wide)
+        SELECT *, greatest(containment_a, containment_b) AS max_containment
+        FROM scored
+        WHERE greatest(containment_a, containment_b) >= CAST(0.8 AS DOUBLE)
+        ORDER BY doc_a, doc_b"""
+
   /** Per-source duplication accounting: for every source, how many of
     * its documents sit in a near-dup cluster at all and how many would
     * be REMOVED by min-id canonical dedup — the dup-rate breakdown

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import graft.io.Tables
 import graft.llm.Gen._
 
@@ -72,6 +73,35 @@ object Profile {
         "min_ord", "max_ord")
       .orderBy("column_name")
   }
+
+  /** Join-key skew summary for the lineitem order key — the diagnostic
+    * read before choosing salting ([[Scale.saltedJoin]]) or AQE skew
+    * thresholds: rows, distinct keys, the heaviest key's row count,
+    * the uniform-expected mean, and their ratio. Two hash aggs (key
+    * count then single-row summary), both map-side combined; the
+    * max/mean ratio is the number that says whether the shuffle's
+    * largest partition is a straggler. */
+  def keySkew(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("per_key"))
+      .selectExpr(
+        "CAST(sum(per_key) AS BIGINT) AS n_rows",
+        "CAST(count(*) AS BIGINT) AS n_keys",
+        "CAST(max(per_key) AS BIGINT) AS max_per_key")
+      .selectExpr("n_rows", "n_keys", "max_per_key",
+        "n_rows / CAST(n_keys AS DOUBLE) AS mean_per_key",
+        "max_per_key / (n_rows / CAST(n_keys AS DOUBLE)) AS skew_ratio")
+
+  val keySkewOracle: String =
+    """WITH g AS (SELECT l_orderkey, count(*) AS per_key
+          FROM lineitem GROUP BY l_orderkey),
+        s AS (SELECT CAST(sum(per_key) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(max(per_key) AS BIGINT) AS max_per_key FROM g)
+        SELECT n_rows, n_keys, max_per_key,
+          n_rows / CAST(n_keys AS DOUBLE) AS mean_per_key,
+          max_per_key / (n_rows / CAST(n_keys AS DOUBLE)) AS skew_ratio
+        FROM s"""
 
   /** The three fixed-decimal columns the correlation pass quantizes
     * (column → scale): quantity has 2 decimals, discount/tax 4. */

@@ -59,6 +59,8 @@ class EmptyInputSpec extends SparkSpec {
       "text_oov_rate" -> (TextAnalysis.oovRate _),
       "dedup_canonical_quality" -> (Dedup.canonicalByQuality _),
       "dedup_rate_by_source" -> (Dedup.dupRateBySource _),
+      "dedup_containment_pairs" -> (Dedup.containmentPairs _),
+      "doc_chunk_boilerplate" -> (Curation.chunkBoilerplate _),
       "text_term_spectrum" -> (TextAnalysis.termSpectrum _),
       "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
       "corpus_curated" -> (Curation.curatedCorpus _),
