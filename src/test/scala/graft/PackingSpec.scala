@@ -85,6 +85,32 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("containment pairs are ordered, bounded, and at least one side >= 0.8") {
+    val rows = graft.llm.Dedup.containmentPairs(spark, sfTiny)
+      .select("doc_a", "doc_b", "containment_a", "containment_b", "max_containment")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, ca, cb, mx) =>
+      assert(a < b, s"($a,$b) not ordered")
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0, s"($a,$b)")
+      assert(mx == math.max(ca, cb) && mx >= 0.8, s"($a,$b)")
+    }
+  }
+
+  test("boilerplate chunks appear in >= 2 docs; key skew ratio >= 1") {
+    val bp = graft.llm.Curation.chunkBoilerplate(spark, sfTiny)
+      .select("n_occurrences", "n_docs").as[(Long, Long)].collect()
+    bp.foreach { case (occ, docs) =>
+      assert(docs >= 2 && occ >= docs, s"($occ, $docs)")
+    }
+    val Array((nRows, nKeys, maxK, mean, ratio)) =
+      graft.ops.Profile.keySkew(spark, sfTiny)
+        .as[(Long, Long, Long, Double, Double)].collect()
+    assert(nRows > 0 && nKeys > 0 && maxK >= 1)
+    assert(mean == nRows.toDouble / nKeys)
+    assert(ratio >= 1.0 && ratio == maxK / mean)
+  }
+
   test("table profile covers every lineitem column with consistent bounds") {
     val prof = Profile.tableProfile(spark, sfTiny)
       .select("column_name", "basis", "n_rows", "n_null", "n_distinct",
