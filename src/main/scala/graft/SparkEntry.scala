@@ -173,6 +173,7 @@ object SparkEntry {
     "dedup_rate_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
     "events_user_deciles" -> ((s, d) => EventsStream.userValueDeciles(s, d)),
     "events_rolling_7d" -> ((s, d) => EventsStream.rolling7d(s, d)),
+    "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_hourly_anomaly" -> ((s, d) => EventsStream.hourlyAnomaly(s, d)),
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
@@ -288,6 +289,7 @@ object SparkEntry {
     "dedup_rate_by_source" -> Dedup.dupRateBySourceOracle,
     "events_user_deciles" -> EventsStream.userValueDecilesOracle,
     "events_rolling_7d" -> EventsStream.rolling7dOracle,
+    "events_type_transitions" -> EventsStream.typeTransitionsOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,

@@ -87,6 +87,45 @@ object EventsStream {
         FROM d JOIN m2 USING (event_type)
         ORDER BY d.event_type, d.window_start_s"""
 
+  /** First-order transition matrix over each user's event stream: for
+    * every consecutive (prev → next) event-type pair (per user,
+    * ordered by time with event_id as the total-order tiebreak), the
+    * transition count and the row-normalized probability — the
+    * behavioral summary session-model features are built from. Plan
+    * shape: one window lag keyed by user_id (the same shuffle every
+    * sessionization pays), then a hash agg onto the tiny type×type
+    * grid; the probability is one division over the per-prev window
+    * on that grid. Integer counts → exact doubles. */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_transition",
+        col("n_transitions") /
+          sum(col("n_transitions")).over(Window.partitionBy("prev_type"))
+            .cast("double"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val typeTransitionsOracle: String =
+    """WITH s AS (SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        g AS (SELECT prev_type, event_type AS next_type,
+                count(*) AS n_transitions
+              FROM s WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, event_type)
+        SELECT prev_type, next_type, n_transitions,
+          n_transitions / CAST(sum(n_transitions)
+            OVER (PARTITION BY prev_type) AS DOUBLE) AS p_transition
+        FROM g ORDER BY prev_type, next_type"""
+
   /** Rolling 7-day totals over the daily event aggregate — the RANGE
     * window-frame form (value-based bounds over epoch seconds), which
     * unlike a ROWS frame stays correct when days are missing from the
