@@ -131,6 +131,7 @@ object SparkEntry {
     "text_term_spectrum" -> ((s, d) => TextAnalysis.termSpectrum(s, d)),
     "text_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d)),
     "orders_retention_cohorts" -> ((s, d) => Extras.retentionCohorts(s, d)),
+    "revenue_by_nation" -> ((s, d) => Extras.revenueByNation(s, d)),
     "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -252,6 +253,7 @@ object SparkEntry {
     "text_term_spectrum" -> TextAnalysis.termSpectrumOracle,
     "text_length_quantiles" -> TextAnalysis.lengthQuantilesOracle,
     "orders_retention_cohorts" -> Extras.retentionCohortsOracle,
+    "revenue_by_nation" -> Extras.revenueByNationOracle,
     "doc_fingerprints" -> TextAnalysis.fingerprintsOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,

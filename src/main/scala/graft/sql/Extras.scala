@@ -283,6 +283,51 @@ object Extras {
         FROM g ORDER BY cohort_month, order_month"""
   }
 
+  /** Deep join-chain revenue rollup: lineitem → orders → customer →
+    * nation → region with cent-quantized discounted revenue per
+    * (region, nation) — the TPC-H-Q5-shaped stress of the join
+    * planner. Plan shape at scale: the two fact relations shuffle-join
+    * on their keys; customer/nation/region are classic broadcast dims
+    * (Catalyst picks BroadcastHashJoin under the default threshold),
+    * so the chain collapses to two big exchanges + three broadcasts,
+    * and the revenue quantization keeps the sum partition-independent. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val t = (n: String) => graft.io.Tables.table(spark, dir, n)
+    t("lineitem")
+      .selectExpr("l_orderkey",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_cents")
+      .join(t("orders").selectExpr("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer").selectExpr("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t("nation").selectExpr("n_nationkey", "n_name", "n_regionkey"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(t("region").selectExpr("r_regionkey", "r_name"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lines"), sum("rev_cents").as("rev_cents"))
+      .selectExpr("region", "nation", "n_lines",
+        "rev_cents / CAST(100 AS DOUBLE) AS revenue")
+      .orderBy("region", "nation")
+  }
+
+  val revenueByNationOracle: String =
+    """WITH l AS (SELECT l_orderkey,
+            CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_cents
+          FROM lineitem),
+        j AS (SELECT r.r_name AS region, n.n_name AS nation, l.rev_cents
+              FROM l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey),
+        g AS (SELECT region, nation, count(*) AS n_lines,
+                CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+              FROM j GROUP BY region, nation)
+        SELECT region, nation, n_lines,
+          rev_cents / CAST(100 AS DOUBLE) AS revenue
+        FROM g ORDER BY region, nation"""
+
   /** S5 — source-file provenance via the parquet `_metadata` column
     * (the modern form of input_file_name(), reference 05:31-45). */
   def fileProvenance(spark: SparkSession, dir: String): DataFrame =

@@ -20,7 +20,7 @@ class PlanContractSpec extends SparkSpec {
     "events_salted_join", "dedup_incremental", "text_oov_rate",
     "corpus_epoch_plan", "dedup_canonical_quality",
     "corpus_embedding_coverage", "orders_retention_cohorts",
-    "events_hourly_anomaly")
+    "events_hourly_anomaly", "revenue_by_nation")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
@@ -44,6 +44,16 @@ class PlanContractSpec extends SparkSpec {
   test("dimension joins broadcast the small side") {
     val p = plan("rating_icon_join")
     assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("the deep join chain broadcasts every dimension") {
+    // TPC-H-Q5 shape: lineitem⋈orders must be the only shuffle join;
+    // customer/nation/region ride in as broadcasts. A SortMergeJoin
+    // against nation at 100 TB would shuffle the whole fact lineage
+    // for a 25-row dim.
+    val p = plan("revenue_by_nation")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts in:\n$p")
   }
 
   test("a selective dim filter injects a runtime bloom filter into the fact scan") {
