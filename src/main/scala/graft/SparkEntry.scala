@@ -165,6 +165,9 @@ object SparkEntry {
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "lineitem_moment_corr" -> ((s, d) => graft.ops.Profile.momentCorr(s, d)),
     "lineitem_key_skew" -> ((s, d) => graft.ops.Profile.keySkew(s, d)),
+    "table_checksum" -> ((s, d) => graft.ops.Profile.tableChecksum(s, d)),
+    "fk_integrity" -> ((s, d) => graft.ops.Profile.fkIntegrity(s, d)),
+    "events_daily_gap_fill" -> ((s, d) => EventsStream.dailyGapFill(s, d)),
     "dedup_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "doc_chunk_boilerplate" -> ((s, d) => Curation.chunkBoilerplate(s, d)),
     "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(s, d)),
@@ -282,6 +285,9 @@ object SparkEntry {
     "table_profile" -> graft.ops.Profile.tableProfileOracle,
     "lineitem_moment_corr" -> graft.ops.Profile.momentCorrOracle,
     "lineitem_key_skew" -> graft.ops.Profile.keySkewOracle,
+    "table_checksum" -> graft.ops.Profile.tableChecksumOracle,
+    "fk_integrity" -> graft.ops.Profile.fkIntegrityOracle,
+    "events_daily_gap_fill" -> EventsStream.dailyGapFillOracle,
     "dedup_containment_pairs" -> Dedup.containmentPairsOracle,
     "doc_chunk_boilerplate" -> Curation.chunkBoilerplateOracle,
     "text_oov_rate" -> TextAnalysis.oovRateOracle,

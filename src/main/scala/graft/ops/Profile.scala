@@ -156,6 +156,127 @@ object Profile {
         m AS (SELECT ${momentExprs.mkString(", ")} FROM q)
         SELECT ${corrExprs.mkString(", ")} FROM m"""
 
+  /** Canonical column renderings for the content checksum: every value
+    * is reduced to a dialect-identical string (ints verbatim, money and
+    * fixed-4-decimal columns quantized to integers, timestamps as UTC
+    * calendar dates) before hashing, so the signature depends on CONTENT
+    * only, never on an engine's float or timestamp formatting. */
+  private val checksumTables: Seq[(String, Seq[(String, String)])] = Seq(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "str"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "str",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "int", "c_name" -> "str",
+      "c_nationkey" -> "int", "c_acctbal" -> "cents",
+      "c_mktsegment" -> "str"),
+    "orders" -> Seq("o_orderkey" -> "int", "o_custkey" -> "int",
+      "o_orderstatus" -> "str", "o_totalprice" -> "cents",
+      "o_orderdate" -> "date", "o_orderpriority" -> "str"),
+    "lineitem" -> Seq("l_orderkey" -> "int", "l_partkey" -> "int",
+      "l_suppkey" -> "int", "l_linenumber" -> "int",
+      "l_quantity" -> "cents", "l_extendedprice" -> "cents",
+      "l_discount" -> "tenk", "l_tax" -> "tenk",
+      "l_returnflag" -> "str", "l_linestatus" -> "str",
+      "l_shipdate" -> "date"))
+
+  private def canon(c: String, kind: String, d: Dialect): String = {
+    val str = if (d == SparkD) "STRING" else "VARCHAR"
+    kind match {
+      case "int"   => s"CAST(CAST($c AS BIGINT) AS $str)"
+      case "cents" => s"CAST(CAST(round($c * 100) AS BIGINT) AS $str)"
+      case "tenk"  => s"CAST(CAST(round($c * 10000) AS BIGINT) AS $str)"
+      case "date"  => s"CAST(CAST($c AS DATE) AS $str)"
+      case _       => c
+    }
+  }
+
+  /** 15 hex chars (60 bits) of an md5 hex string → BIGINT: stays clear
+    * of the signed-64 boundary in both engines. */
+  private def hex2long(h: String, from1: Int, d: Dialect): String = d match {
+    case SparkD => s"CAST(conv(substr($h, $from1, 15), 16, 10) AS BIGINT)"
+    case DuckD  => s"CAST('0x' || substr($h, $from1, 15) AS BIGINT)"
+  }
+
+  /** Cross-engine table content fingerprint — the migration-validation
+    * primitive: after copying 100 TB between systems, compare ONE row
+    * per table instead of re-reading both copies. Each row's canonical
+    * string is md5-hashed; the signature is (row count, XOR of the
+    * hash's top 60 bits, SUM of the next 60 bits mod 2^20). XOR and
+    * integer SUM are commutative — the signature is independent of
+    * partitioning and row order, so a 1000-executor run and a DuckDB
+    * single-thread run agree bit-for-bit. The mod-2^20 bound gives the
+    * sum ~2^43 rows of overflow headroom. Each table is one
+    * map-side-combined global aggregate over a projection — the cost
+    * is the scan, nothing shuffles but one partial-agg row per task. */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame =
+    checksumTables.map { case (t, cs) =>
+      val key = cs.map { case (c, k) => canon(c, k, SparkD) }.mkString(", ")
+      Tables.table(spark, dir, t)
+        .selectExpr(s"md5(concat_ws('|', $key)) AS h")
+        .selectExpr(s"${hex2long("h", 1, SparkD)} AS h1",
+          s"${hex2long("h", 17, SparkD)} % 1048576 AS h2")
+        .selectExpr(s"'$t' AS table_name",
+          "CAST(count(*) AS BIGINT) AS n_rows",
+          "CAST(bit_xor(h1) AS BIGINT) AS xor_sig",
+          "CAST(sum(h2) AS BIGINT) AS sum_sig")
+    }.reduce(_ unionByName _).orderBy("table_name")
+
+  val tableChecksumOracle: String =
+    checksumTables.map { case (t, cs) =>
+      val key = cs.map { case (c, k) => canon(c, k, DuckD) }.mkString(", ")
+      s"""SELECT '$t' AS table_name,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(bit_xor(${hex2long(s"md5(concat_ws('|', $key))", 1, DuckD)}) AS BIGINT) AS xor_sig,
+            CAST(sum(${hex2long(s"md5(concat_ws('|', $key))", 17, DuckD)} % 1048576) AS BIGINT) AS sum_sig
+          FROM $t"""
+    }.mkString(" UNION ALL ") + " ORDER BY table_name"
+
+  /** The star schema's foreign-key edges (child key → parent key). */
+  private val fkRels: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** Referential-integrity audit over every FK edge: child rows, null
+    * keys (non-references, not violations), and orphan rows/keys whose
+    * parent is missing — the promotion gate an ingestion run checks
+    * before publishing a batch. Scale shape per edge: the child is
+    * first collapsed to (key, row count) by a map-side-combined hash
+    * agg, so the anti-join probes DISTINCT keys (orders-of-magnitude
+    * smaller than the fact table); the parent side is a key-only
+    * projection (broadcast when dimension-sized). The final 1×1 cross
+    * of the two single-row aggregates is driver-trivial. */
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame =
+    fkRels.map { case (ct, ck, pt, pk) =>
+      val perKey = Tables.table(spark, dir, ct).selectExpr(s"$ck AS k")
+        .groupBy("k").agg(count(lit(1)).as("k_rows"))
+      val parent = Tables.table(spark, dir, pt)
+        .selectExpr(s"$pk AS k").distinct()
+      val orphans = perKey.filter("k IS NOT NULL")
+        .join(parent, Seq("k"), "left_anti")
+        .selectExpr("CAST(coalesce(sum(k_rows), 0) AS BIGINT) AS n_orphans",
+          "CAST(count(*) AS BIGINT) AS n_orphan_keys")
+      perKey.selectExpr(s"'$ct.$ck -> $pt.$pk' AS relationship",
+          "CAST(sum(k_rows) AS BIGINT) AS n_child",
+          "CAST(sum(CASE WHEN k IS NULL THEN k_rows ELSE 0 END) AS BIGINT) AS n_null_keys")
+        .crossJoin(orphans)
+    }.reduce(_ unionByName _).orderBy("relationship")
+
+  val fkIntegrityOracle: String =
+    fkRels.map { case (ct, ck, pt, pk) =>
+      s"""SELECT '$ct.$ck -> $pt.$pk' AS relationship,
+            CAST((SELECT count(*) FROM $ct) AS BIGINT) AS n_child,
+            CAST((SELECT count(*) FROM $ct WHERE $ck IS NULL) AS BIGINT) AS n_null_keys,
+            CAST((SELECT coalesce(count(*), 0) FROM $ct c
+              WHERE c.$ck IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck)) AS BIGINT) AS n_orphans,
+            CAST((SELECT count(DISTINCT c.$ck) FROM $ct c
+              WHERE c.$ck IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck)) AS BIGINT) AS n_orphan_keys"""
+    }.mkString(" UNION ALL ") + " ORDER BY relationship"
+
   val tableProfileOracle: String = {
     val rows = cols.zipWithIndex.map { case ((c, kind), i) =>
       s"""SELECT '$c' AS column_name, '${basis(kind)}' AS basis, n_rows,

@@ -166,6 +166,70 @@ object EventsStream {
           n_events_7d, cents_7d / CAST(100 AS DOUBLE) AS value_7d
         FROM r ORDER BY day_s"""
 
+  /** Calendar-spine gap fill: one row per (event_type, day) for EVERY
+    * day in the stream's span — days with no events appear with zero
+    * counts instead of silently missing (the difference between "no
+    * data" and "no row" that breaks downstream time-series models),
+    * plus running totals per type. Plan shape at scale: the events
+    * table dies in one map-side-combined (type, day) hash agg; the
+    * spine is `sequence(min_day, max_day)` exploded from a single-row
+    * bounds aggregate crossed with the tiny distinct-type relation —
+    * both broadcast-sized regardless of data volume (days × types,
+    * not rows). The cumulative window runs over one row per day per
+    * type. Total on empty input: a null-bounds sequence explodes to
+    * zero spine rows. */
+  def dailyGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val daily = ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val spine = ev
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .filter("d0 IS NOT NULL")
+      .selectExpr("explode(sequence(d0, d1, interval 1 day)) AS day_d")
+      .selectExpr("CAST(day_d AS TIMESTAMP) AS day")
+    val grid = spine.crossJoin(ev.select("event_type").distinct())
+    val w = Window.partitionBy("event_type").orderBy("day")
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .selectExpr("event_type", "day",
+        "CAST(coalesce(n, 0) AS BIGINT) AS n_events",
+        "CAST(coalesce(cents, 0) AS BIGINT) AS cents")
+      .withColumn("cum_events", sum(col("n_events")).over(w))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .selectExpr("event_type", "unix_timestamp(day) AS day_s", "n_events",
+        "cents / CAST(100 AS DOUBLE) AS day_value",
+        "CAST(cum_events AS BIGINT) AS cum_events",
+        "cum_cents / CAST(100 AS DOUBLE) AS cum_value")
+      .orderBy("event_type", "day_s")
+  }
+
+  val dailyGapFillOracle: String =
+    """WITH d AS (SELECT event_type,
+            date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+            count(*) AS n,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1, 2),
+        spine AS (SELECT unnest(generate_series(
+            (SELECT CAST(min(ts) AS DATE) FROM events),
+            (SELECT CAST(max(ts) AS DATE) FROM events),
+            INTERVAL 1 DAY)) AS day),
+        ty AS (SELECT DISTINCT event_type FROM events),
+        g AS (SELECT ty.event_type, spine.day,
+                CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+                CAST(coalesce(d.cents, 0) AS BIGINT) AS cents
+              FROM spine CROSS JOIN ty
+              LEFT JOIN d ON d.event_type = ty.event_type
+                AND d.day = spine.day)
+        SELECT event_type, CAST(epoch(day) AS BIGINT) AS day_s, n_events,
+          cents / CAST(100 AS DOUBLE) AS day_value,
+          CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day)
+            AS BIGINT) AS cum_events,
+          CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day)
+            AS BIGINT) / CAST(100 AS DOUBLE) AS cum_value
+        FROM g ORDER BY event_type, day_s"""
+
   /** Per-decile user-value report: users are ranked by lifetime event
     * value (cent-quantized, ties broken by user_id for a total order)
     * and cut into ten ntile buckets; each decile row carries its user
