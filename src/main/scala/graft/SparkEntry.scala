@@ -132,6 +132,9 @@ object SparkEntry {
     "text_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d)),
     "orders_retention_cohorts" -> ((s, d) => Extras.retentionCohorts(s, d)),
     "revenue_by_nation" -> ((s, d) => Extras.revenueByNation(s, d)),
+    "curated_incremental_refresh" -> ((s, d) => Extras.incrementalRefresh(s, d)),
+    "orders_priority_islands" -> ((s, d) => Extras.priorityIslands(s, d)),
+    "text_tfidf_pairs" -> ((s, d) => TextAnalysis.tfidfPairs(s, d)),
     "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -257,6 +260,9 @@ object SparkEntry {
     "text_length_quantiles" -> TextAnalysis.lengthQuantilesOracle,
     "orders_retention_cohorts" -> Extras.retentionCohortsOracle,
     "revenue_by_nation" -> Extras.revenueByNationOracle,
+    "curated_incremental_refresh" -> Extras.incrementalRefreshOracle,
+    "orders_priority_islands" -> Extras.priorityIslandsOracle,
+    "text_tfidf_pairs" -> TextAnalysis.tfidfPairsOracle,
     "doc_fingerprints" -> TextAnalysis.fingerprintsOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,

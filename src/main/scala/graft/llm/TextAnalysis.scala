@@ -476,6 +476,75 @@ object TextAnalysis {
           count(*) AS n_docs
         FROM t GROUP BY lang ORDER BY lang"""
 
+  // ---- sparse TF-IDF similarity pairs ----
+
+  private val tfidfDfMax = 20
+  private val tfidfQ = 10000
+  private val tfidfThreshold = 0.5
+
+  /** Weighted sparse-vector similarity via an inverted index: documents
+    * as TF-IDF-weighted bags of word-3-gram features, pairwise cosine
+    * computed through a term-keyed self-join — the classic sparse
+    * complement to the dense embedding tiers in
+    * [[graft.llm.Similarity]]. Document frequency gates the index two
+    * ways: df=1 terms cannot produce a pair (dropped), and
+    * df > [[tfidfDfMax]] stop-features are pruned — the lever that
+    * bounds the self-join's cost at Σ df² ≤ |terms|·cap² regardless of
+    * corpus size (unbounded df is the classic way a sparse self-join
+    * detonates at scale). Weights tf/df are quantized to integers, so
+    * every aggregate (norms, dots) is an order-independent BIGINT sum —
+    * bit-stable under any partitioning — and the final cosine is one
+    * fixed double expression tree over those exact integers, identical
+    * in both engines. Plan shape: token hash aggs (map-side combined),
+    * one term-keyed equi-join with bounded occupancy, then two
+    * broadcast-sized norm joins. */
+  def tfidfPairs(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        s"explode(${let1(words("lower(text)", SparkD), "wv", grams3("wv", SparkD))}) AS term")
+    val tf = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, tfidfDfMax))
+    val wts = tf.join(df, Seq("term"))
+      .selectExpr("doc_id", "term",
+        s"CAST(round($tfidfQ * (tf / df)) AS BIGINT) AS wq")
+    val norms = wts.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("n2"))
+    val dots = wts.as("a").join(wts.as("b"), Seq("term"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wq") * col("b.wq")).as("dot_q"))
+    dots
+      .join(norms.selectExpr("doc_id AS doc_a", "n2 AS na2"), Seq("doc_a"))
+      .join(norms.selectExpr("doc_id AS doc_b", "n2 AS nb2"), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b", "CAST(dot_q AS BIGINT) AS dot_q",
+        "CAST(dot_q AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cos_sim")
+      .filter(col("cos_sim") >= tfidfThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val tfidfPairsOracle: String =
+    s"""WITH w AS (SELECT doc_id, ${words("lower(text)", DuckD)} AS wv FROM documents),
+        g AS (SELECT doc_id, unnest(${grams3("wv", DuckD)}) AS term FROM w),
+        tf_t AS (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY 1, 2),
+        df_t AS (SELECT term, count(*) AS df FROM tf_t
+                 GROUP BY 1 HAVING count(*) BETWEEN 2 AND $tfidfDfMax),
+        wt AS (SELECT tf_t.doc_id, tf_t.term,
+                 CAST(round($tfidfQ * (tf / df)) AS BIGINT) AS wq
+               FROM tf_t JOIN df_t ON tf_t.term = df_t.term),
+        nrm AS (SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS n2
+                FROM wt GROUP BY 1),
+        dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(sum(a.wq * b.wq) AS BIGINT) AS dot_q
+               FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        s AS (SELECT doc_a, doc_b, dot_q,
+                CAST(dot_q AS DOUBLE) /
+                  (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+              FROM dt JOIN nrm na ON dt.doc_a = na.doc_id
+                JOIN nrm nb ON dt.doc_b = nb.doc_id)
+        SELECT doc_a, doc_b, dot_q, cos_sim FROM s
+        WHERE cos_sim >= $tfidfThreshold ORDER BY doc_a, doc_b"""
+
   // ---- fingerprints ----
 
   private def normExpr(d: Dialect): String = d match {

@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.Entities
 
@@ -327,6 +327,126 @@ object Extras {
         SELECT region, nation, n_lines,
           rev_cents / CAST(100 AS DOUBLE) AS revenue
         FROM g ORDER BY region, nation"""
+
+  /** The ship-date boundary splitting "already aggregated" history from
+    * the newly arrived delta for [[incrementalRefresh]]. */
+  private val refreshSplitDate = "1998-06-01"
+
+  /** Incremental aggregate maintenance — the materialized-view /
+    * streaming-state pattern: the standing aggregate over historical
+    * data is NOT recomputed when a delta arrives; instead the delta is
+    * aggregated alone and MERGED into the stored state. Every emitted
+    * statistic is kept in its decomposable form (counts, integer-cent
+    * sums, min/max — all commutative monoids), so
+    * merge(agg(base), agg(delta)) is bit-identical to agg(base ∪ delta)
+    * under any partitioning; the non-decomposable mean is derived from
+    * the merged (sum, count) pair at the end. The oracle IS the full
+    * recompute — the equality this query verifies is the one that makes
+    * incremental refresh safe at 100 TB, where re-reading history per
+    * batch is the thing you cannot afford. Plan shape: two
+    * map-side-combined hash aggs onto the tiny (returnflag, linestatus)
+    * grid and one broadcast-sized full-outer merge. */
+  def incrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.io.Tables.lineitem(spark, dir)
+    def aggSlice(pred: Column): DataFrame =
+      li.filter(pred)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          min(to_date(col("l_shipdate"))).as("first_ship"),
+          max(to_date(col("l_shipdate"))).as("last_ship"))
+    val base = aggSlice(col("l_shipdate") < lit(refreshSplitDate))
+    val delta = aggSlice(col("l_shipdate") >= lit(refreshSplitDate))
+    val b = base.columns.filterNot(Seq("l_returnflag", "l_linestatus").contains)
+      .foldLeft(base) { (d, c) => d.withColumnRenamed(c, s"b_$c") }
+    val d = delta.columns.filterNot(Seq("l_returnflag", "l_linestatus").contains)
+      .foldLeft(delta) { (df2, c) => df2.withColumnRenamed(c, s"d_$c") }
+    b.join(d, Seq("l_returnflag", "l_linestatus"), "full_outer")
+      .selectExpr("l_returnflag", "l_linestatus",
+        "CAST(coalesce(b_n, 0) + coalesce(d_n, 0) AS BIGINT) AS n_rows",
+        "CAST(coalesce(b_qty_cents, 0) + coalesce(d_qty_cents, 0) AS BIGINT) AS qty_cents",
+        "CAST(coalesce(b_price_cents, 0) + coalesce(d_price_cents, 0) AS BIGINT) AS price_cents",
+        "least(coalesce(b_first_ship, d_first_ship), coalesce(d_first_ship, b_first_ship)) AS first_ship",
+        "greatest(coalesce(b_last_ship, d_last_ship), coalesce(d_last_ship, b_last_ship)) AS last_ship")
+      .selectExpr("l_returnflag", "l_linestatus", "n_rows",
+        "qty_cents / CAST(100 AS DOUBLE) AS sum_qty",
+        "price_cents / CAST(100 AS DOUBLE) AS sum_price",
+        "(price_cents / CAST(100 AS DOUBLE)) / n_rows AS avg_price",
+        "CAST(first_ship AS STRING) AS first_ship",
+        "CAST(last_ship AS STRING) AS last_ship")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Oracle = direct full recompute (no base/delta split): passing
+    * means the merge path and the monolithic path agree bit-for-bit. */
+  val incrementalRefreshOracle: String =
+    """WITH g AS (SELECT l_returnflag, l_linestatus,
+            count(*) AS n_rows,
+            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+            min(CAST(l_shipdate AS DATE)) AS first_ship,
+            max(CAST(l_shipdate AS DATE)) AS last_ship
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, l_linestatus, CAST(n_rows AS BIGINT) AS n_rows,
+          qty_cents / CAST(100 AS DOUBLE) AS sum_qty,
+          price_cents / CAST(100 AS DOUBLE) AS sum_price,
+          (price_cents / CAST(100 AS DOUBLE)) / n_rows AS avg_price,
+          CAST(first_ship AS VARCHAR) AS first_ship,
+          CAST(last_ship AS VARCHAR) AS last_ship
+        FROM g ORDER BY l_returnflag, l_linestatus"""
+
+  /** Gaps-and-islands over each customer's order stream: consecutive
+    * orders with the same o_orderpriority collapse into one "island"
+    * (SCD-2-style validity run), via the canonical two-window
+    * technique — a lag-change flag, then a running sum of flags as the
+    * island id — with o_orderkey as the total-order tiebreak. Both
+    * windows share ONE partitioning (user key), so the plan pays a
+    * single hash-partition exchange + sort, the same shuffle
+    * sessionization pays; the island collapse is a map-side-combinable
+    * hash agg on (customer, island). This is the value-change twin of
+    * time-gap sessionization ([[graft.streaming.Sessionize]]): runs end
+    * when an ATTRIBUTE changes, not when a clock gap opens. */
+  def priorityIslands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    graft.io.Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+      .withColumn("chg",
+        when(lag(col("o_orderpriority"), 1).over(byTime).isNull
+          .or(lag(col("o_orderpriority"), 1).over(byTime) =!= col("o_orderpriority")), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("chg")).over(byTime))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(min(col("o_orderpriority")).as("priority"),
+        count(lit(1)).as("n_orders"),
+        min(col("od")).as("first_date"), max(col("od")).as("last_date"))
+      .selectExpr("o_custkey", "CAST(island AS BIGINT) AS island",
+        "priority", "n_orders",
+        "CAST(first_date AS STRING) AS first_date",
+        "CAST(last_date AS STRING) AS last_date")
+      .orderBy("o_custkey", "island")
+  }
+
+  val priorityIslandsOracle: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+            CAST(o_orderdate AS DATE) AS od,
+            CASE WHEN lag(o_orderpriority) OVER w IS NULL
+              OR lag(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+            ORDER BY CAST(o_orderdate AS DATE), o_orderkey)),
+        i AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+            ORDER BY od, o_orderkey) AS island FROM o)
+        SELECT o_custkey, CAST(island AS BIGINT) AS island,
+          min(o_orderpriority) AS priority,
+          count(*) AS n_orders,
+          CAST(min(od) AS VARCHAR) AS first_date,
+          CAST(max(od) AS VARCHAR) AS last_date
+        FROM i GROUP BY o_custkey, island
+        ORDER BY o_custkey, island"""
 
   /** S5 — source-file provenance via the parquet `_metadata` column
     * (the modern form of input_file_name(), reference 05:31-45). */

@@ -81,7 +81,8 @@ class EmptyInputSpec extends SparkSpec {
       "multimodal_wav_stats" -> (Multimodal.wavStats _),
       "multimodal_video_stats" -> (Multimodal.videoStats _),
       "text_vocabulary" -> (TextAnalysis.vocabulary _),
-      "text_contamination" -> (TextAnalysis.contamination _))
+      "text_contamination" -> (TextAnalysis.contamination _),
+      "text_tfidf_pairs" -> (TextAnalysis.tfidfPairs _))
     ops.foreach { case (name, fn) =>
       assert(fn(spark, dir).count() == 0, s"$name not empty/total on empty input")
     }

@@ -20,7 +20,8 @@ class PlanContractSpec extends SparkSpec {
     "events_salted_join", "dedup_incremental", "text_oov_rate",
     "corpus_epoch_plan", "dedup_canonical_quality",
     "corpus_embedding_coverage", "orders_retention_cohorts",
-    "events_hourly_anomaly", "revenue_by_nation")
+    "events_hourly_anomaly", "revenue_by_nation",
+    "curated_incremental_refresh", "text_tfidf_pairs")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
