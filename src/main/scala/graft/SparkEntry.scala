@@ -171,6 +171,9 @@ object SparkEntry {
     "table_checksum" -> ((s, d) => graft.ops.Profile.tableChecksum(s, d)),
     "fk_integrity" -> ((s, d) => graft.ops.Profile.fkIntegrity(s, d)),
     "events_daily_gap_fill" -> ((s, d) => EventsStream.dailyGapFill(s, d)),
+    "events_carry_forward" -> ((s, d) => EventsStream.purchaseCarryForward(s, d)),
+    "events_sliding_window" -> ((s, d) => EventsStream.slidingWindowAgg(s, d)),
+    "lineitem_price_histogram" -> ((s, d) => graft.ops.Profile.priceHistogram(s, d)),
     "dedup_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "doc_chunk_boilerplate" -> ((s, d) => Curation.chunkBoilerplate(s, d)),
     "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(s, d)),
@@ -294,6 +297,9 @@ object SparkEntry {
     "table_checksum" -> graft.ops.Profile.tableChecksumOracle,
     "fk_integrity" -> graft.ops.Profile.fkIntegrityOracle,
     "events_daily_gap_fill" -> EventsStream.dailyGapFillOracle,
+    "events_carry_forward" -> EventsStream.purchaseCarryForwardOracle,
+    "events_sliding_window" -> EventsStream.slidingWindowAggOracle,
+    "lineitem_price_histogram" -> graft.ops.Profile.priceHistogramOracle,
     "dedup_containment_pairs" -> Dedup.containmentPairsOracle,
     "doc_chunk_boilerplate" -> Curation.chunkBoilerplateOracle,
     "text_oov_rate" -> TextAnalysis.oovRateOracle,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import graft.io.Tables
 import graft.llm.Gen._
 
@@ -276,6 +276,52 @@ object Profile {
               WHERE c.$ck IS NOT NULL AND NOT EXISTS
                 (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck)) AS BIGINT) AS n_orphan_keys"""
     }.mkString(" UNION ALL ") + " ORDER BY relationship"
+
+  /** Histogram layout for [[priceHistogram]]: fixed equi-width buckets
+    * over l_extendedprice (fixture range ≈ 900..105000). Fixed bounds,
+    * not data-driven min/max, so the binning expression is a pure
+    * per-row projection — no extra pass over the data to find the
+    * range, which at 100 TB would double the scan cost. */
+  private val histWidth = 5000
+  private val histBuckets = 22
+
+  /** Equi-width histogram with a zero-filled bucket spine: per-row
+    * clamped integer binning (one map-side-combined hash agg onto ≤22
+    * groups — the whole table dies in the partial aggregate), then a
+    * left join from the literal bucket spine so EMPTY buckets appear
+    * with count 0 (a histogram with silent holes misleads exactly when
+    * the distribution is the question). Share-of-total is an exact
+    * integer ratio in one fixed double division. */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.lineitem(spark, dir)
+      .selectExpr("least(greatest(CAST(floor(l_extendedprice / " +
+        s"$histWidth) AS BIGINT), 0), ${histBuckets - 1}) AS bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val spine = binned.sparkSession.range(0, histBuckets)
+      .selectExpr("CAST(id AS BIGINT) AS bucket")
+    spine.join(binned, Seq("bucket"), "left")
+      .selectExpr("bucket",
+        s"bucket * $histWidth AS lo", s"(bucket + 1) * $histWidth AS hi",
+        "CAST(coalesce(n, 0) AS BIGINT) AS n_rows")
+      .withColumn("share", col("n_rows") /
+        sum(col("n_rows")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()).cast("double"))
+      .orderBy("bucket")
+  }
+
+  val priceHistogramOracle: String =
+    s"""WITH b AS (SELECT least(greatest(CAST(floor(l_extendedprice /
+            $histWidth) AS BIGINT), 0), ${histBuckets - 1}) AS bucket,
+            count(*) AS n
+          FROM lineitem GROUP BY 1),
+        spine AS (SELECT unnest(range(0, $histBuckets)) AS bucket),
+        g AS (SELECT spine.bucket, spine.bucket * $histWidth AS lo,
+                (spine.bucket + 1) * $histWidth AS hi,
+                CAST(coalesce(b.n, 0) AS BIGINT) AS n_rows
+              FROM spine LEFT JOIN b ON spine.bucket = b.bucket)
+        SELECT bucket, lo, hi, n_rows,
+          n_rows / CAST(sum(n_rows) OVER () AS DOUBLE) AS share
+        FROM g ORDER BY bucket"""
 
   val tableProfileOracle: String = {
     val rows = cols.zipWithIndex.map { case ((c, kind), i) =>

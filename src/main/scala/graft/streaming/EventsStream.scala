@@ -166,6 +166,74 @@ object EventsStream {
           n_events_7d, cents_7d / CAST(100 AS DOUBLE) AS value_7d
         FROM r ORDER BY day_s"""
 
+  /** Last-observation-carried-forward: every event row annotated with
+    * the most recent purchase value seen so far in its user's stream
+    * (null until the first purchase) — the forward-fill primitive
+    * feature pipelines use to densify sparse signals. Mechanically the
+    * WINDOW twin of the as-of join ([[purchaseAttributionAsOf]]): one
+    * `last(..., ignoreNulls)` pass over a user-keyed sort instead of a
+    * range join between two relations. At scale that trade matters —
+    * LOCF pays one shuffle+sort of the single stream and streams
+    * through it once, where the as-of join pays two shuffles plus the
+    * join; when the "observations" live IN the stream being filled,
+    * the window form wins. The carried value is copied verbatim (no
+    * arithmetic), so determinism is structural. */
+  def purchaseCarryForward(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .withColumn("carried_purchase",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+      .selectExpr("user_id", "event_id", "event_type",
+        "CAST(unix_timestamp(ts) AS BIGINT) AS ts_s", "carried_purchase")
+      .orderBy("user_id", "ts_s", "event_id")
+  }
+
+  val purchaseCarryForwardOracle: String =
+    """SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END
+             IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS carried_purchase
+       FROM events ORDER BY user_id, ts_s, event_id"""
+
+  /** Sliding-window aggregation: 1-hour windows advancing every 15
+    * minutes, so each event lands in exactly 4 overlapping windows —
+    * the smoothing form dashboards use where tumbling windows
+    * ([[hourlyAggBatch]]) would alias. Spark expands each row into its
+    * duration/slide = 4 window copies before the hash agg (the
+    * documented cost multiplier of overlap); map-side combine still
+    * collapses to one row per (window, type) per task. Window starts
+    * are epoch-aligned multiples of the slide, so the oracle
+    * reconstructs membership from floor-of-epoch-seconds arithmetic —
+    * exact for integer-aligned windows even though the raw timestamps
+    * carry fractional seconds. */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), centSum("value").as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start_s", "event_type")
+
+  val slidingWindowAggOracle: String =
+    """WITH e AS (SELECT
+            CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+            event_type, value FROM events),
+        x AS (SELECT ((es // 900) * 900) - (k.k * 900) AS window_start_s,
+                event_type, value
+              FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        SELECT window_start_s, event_type, count(*) AS n_events,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+            AS total_value
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Calendar-spine gap fill: one row per (event_type, day) for EVERY
     * day in the stream's span — days with no events appear with zero
     * counts instead of silently missing (the difference between "no
