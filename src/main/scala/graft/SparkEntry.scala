@@ -134,6 +134,8 @@ object SparkEntry {
     "revenue_by_nation" -> ((s, d) => Extras.revenueByNation(s, d)),
     "curated_incremental_refresh" -> ((s, d) => Extras.incrementalRefresh(s, d)),
     "orders_priority_islands" -> ((s, d) => Extras.priorityIslands(s, d)),
+    "orders_cdc_apply" -> ((s, d) => Extras.cdcApply(s, d)),
+    "events_top_values" -> ((s, d) => EventsStream.topValuesPerType(s, d)),
     "text_tfidf_pairs" -> ((s, d) => TextAnalysis.tfidfPairs(s, d)),
     "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -265,6 +267,8 @@ object SparkEntry {
     "revenue_by_nation" -> Extras.revenueByNationOracle,
     "curated_incremental_refresh" -> Extras.incrementalRefreshOracle,
     "orders_priority_islands" -> Extras.priorityIslandsOracle,
+    "orders_cdc_apply" -> Extras.cdcApplyOracle,
+    "events_top_values" -> EventsStream.topValuesPerTypeOracle,
     "text_tfidf_pairs" -> TextAnalysis.tfidfPairsOracle,
     "doc_fingerprints" -> TextAnalysis.fingerprintsOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,

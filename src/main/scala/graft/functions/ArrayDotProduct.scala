@@ -71,5 +71,8 @@ object Native {
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => TopKAgg(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
   }
 }

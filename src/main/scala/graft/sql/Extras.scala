@@ -396,6 +396,64 @@ object Extras {
           CAST(last_ship AS VARCHAR) AS last_ship
         FROM g ORDER BY l_returnflag, l_linestatus"""
 
+  /** CDC merge-apply — the row-level twin of [[incrementalRefresh]]:
+    * a base snapshot plus a changelog of upserts/deletes/inserts
+    * produces the next snapshot WITHOUT rewriting untouched rows'
+    * content. The changelog here is synthesized deterministically from
+    * the orders table (keys ≡ 0 mod 7 are updated or, when also ≡ 0
+    * mod 3, deleted; keys ≡ 0 mod 11 insert under a shifted key), so
+    * all three operation kinds are exercised non-trivially at every
+    * scale factor. Plan shape: the changelog is a small fraction of
+    * the base, so the touched-keys anti-join broadcasts and the apply
+    * is one scan + union — the merge pattern a lakehouse MERGE INTO
+    * compiles to when the delta is dimension-sized. Money stays in
+    * integer cents until the final projection. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.io.Tables.orders(spark, dir)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents")
+    val changes = o.filter("o_orderkey % 7 = 0")
+      .selectExpr("o_orderkey AS key",
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op",
+        "o_custkey", "o_orderstatus",
+        "price_cents + 10000 AS price_cents")
+      .unionByName(o.filter("o_orderkey % 11 = 0")
+        .selectExpr("o_orderkey + 1000000000 AS key", "'I' AS op",
+          "o_custkey", "o_orderstatus", "price_cents"))
+    val touched = changes.filter("op IN ('U', 'D')").select("key")
+    val kept = o.join(broadcast(touched),
+      o("o_orderkey") === touched("key"), "left_anti")
+    val applied = changes.filter("op <> 'D'")
+      .selectExpr("key AS o_orderkey", "o_custkey", "o_orderstatus",
+        "price_cents")
+    kept.unionByName(applied)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "price_cents / CAST(100 AS DOUBLE) AS total_price")
+      .orderBy("o_orderkey")
+  }
+
+  val cdcApplyOracle: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM orders),
+        changes AS (
+          SELECT o_orderkey AS key,
+            CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+            o_custkey, o_orderstatus, price_cents + 10000 AS price_cents
+          FROM o WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000, 'I', o_custkey, o_orderstatus,
+            price_cents
+          FROM o WHERE o_orderkey % 11 = 0),
+        kept AS (SELECT * FROM o WHERE o_orderkey NOT IN
+          (SELECT key FROM changes WHERE op IN ('U', 'D'))),
+        applied AS (SELECT key AS o_orderkey, o_custkey, o_orderstatus,
+            price_cents FROM changes WHERE op <> 'D')
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          price_cents / CAST(100 AS DOUBLE) AS total_price
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM applied)
+        ORDER BY o_orderkey"""
+
   /** Gaps-and-islands over each customer's order stream: consecutive
     * orders with the same o_orderpriority collapse into one "island"
     * (SCD-2-style validity run), via the canonical two-window

@@ -166,6 +166,36 @@ object EventsStream {
           n_events_7d, cents_7d / CAST(100 AS DOUBLE) AS value_7d
         FROM r ORDER BY day_s"""
 
+  /** Per-type top-5 event values via the native bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]): each task heaps its slice in O(k)
+    * state, partial heaps merge associatively, and only k longs per
+    * group cross the shuffle — versus a rank window, which would
+    * shuffle and sort EVERY event row per type. The heap's array
+    * output is exploded back to (rank, value) rows so the oracle — a
+    * full-sort rank window in DuckDB — proves the heap multiset equals
+    * the true top-k at every rank. Cent-quantized values make equal
+    * elements exactly equal, so rank→value is deterministic under
+    * ties. */
+  def topValuesPerType(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(spark)
+    Tables.events(spark, dir)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("event_type")
+      .agg(expr("graft_topk(cents, 5)").as("top_cents"))
+      .select(col("event_type"), posexplode(col("top_cents")))
+      .selectExpr("event_type", "CAST(pos + 1 AS INTEGER) AS rank",
+        "col AS cents")
+      .orderBy("event_type", "rank")
+  }
+
+  val topValuesPerTypeOracle: String =
+    """WITH g AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        r AS (SELECT event_type, cents, row_number() OVER
+            (PARTITION BY event_type ORDER BY cents DESC) AS rank FROM g)
+        SELECT event_type, CAST(rank AS INTEGER) AS rank, cents
+        FROM r WHERE rank <= 5 ORDER BY event_type, rank"""
+
   /** Last-observation-carried-forward: every event row annotated with
     * the most recent purchase value seen so far in its user's stream
     * (null until the first purchase) — the forward-fill primitive

@@ -97,4 +97,54 @@ class NativeFunctionSpec extends SparkSpec {
     val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(got.toSeq == Seq(Some(32.0), None, Some(16.0)))
   }
+
+  test("graft_topk == window-rank top-k under heavy repartitioning") {
+    Native.register(spark)
+    // deterministic values with many exact ties, spread over 16
+    // partitions so partial heaps + serialize/merge genuinely run
+    val df = spark.range(0, 2000).repartition(16)
+      .selectExpr("CAST(id % 7 AS STRING) AS grp",
+        "CAST((id * 37) % 211 AS BIGINT) AS v")
+    df.createOrReplaceTempView("nfs_topk_in")
+    val heap = spark.sql(
+      """SELECT grp, graft_topk(v, 10) AS top FROM nfs_topk_in GROUP BY grp""")
+      .selectExpr("grp", "top").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val ranked = spark.sql(
+      """SELECT grp, v FROM (
+           SELECT grp, v, row_number() OVER
+             (PARTITION BY grp ORDER BY v DESC) AS rk FROM nfs_topk_in)
+         WHERE rk <= 10""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted.reverse.toSeq }
+    assert(heap == ranked)
+  }
+
+  test("graft_topk: k larger than the group returns the whole group sorted") {
+    Native.register(spark)
+    val got = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L))
+      .toDF("g", "v")
+      .groupBy("g").agg(expr("graft_topk(v, 100)").as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got("a") == Seq(3L, 2L, 1L))
+    assert(got("b") == Seq(9L))
+  }
+
+  test("graft_topk skips nulls and rejects bad arguments at analysis time") {
+    Native.register(spark)
+    val got = Seq(("a", Some(5L)), ("a", None), ("a", Some(7L)))
+      .toDF("g", "v")
+      .groupBy("g").agg(expr("graft_topk(v, 2)").as("top"))
+      .collect().map(r => r.getSeq[Long](1).toSeq)
+    assert(got.head == Seq(7L, 5L))
+    Seq(("a", 1L)).toDF("g", "v").createOrReplaceTempView("nfs_topk_bad")
+    val nonLiteral = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(v, CAST(v AS INT)) FROM nfs_topk_bad GROUP BY g").collect()
+    }
+    assert(nonLiteral.getMessage.toLowerCase.contains("literal"))
+    val badK = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(v, 0) FROM nfs_topk_bad GROUP BY g").collect()
+    }
+    assert(badK.getMessage.contains("k > 0"))
+  }
 }

@@ -21,7 +21,7 @@ class PlanContractSpec extends SparkSpec {
     "corpus_epoch_plan", "dedup_canonical_quality",
     "corpus_embedding_coverage", "orders_retention_cohorts",
     "events_hourly_anomaly", "revenue_by_nation",
-    "curated_incremental_refresh", "text_tfidf_pairs")
+    "curated_incremental_refresh", "text_tfidf_pairs", "orders_cdc_apply")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
