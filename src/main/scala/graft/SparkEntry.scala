@@ -135,6 +135,9 @@ object SparkEntry {
     "curated_incremental_refresh" -> ((s, d) => Extras.incrementalRefresh(s, d)),
     "orders_priority_islands" -> ((s, d) => Extras.priorityIslands(s, d)),
     "orders_cdc_apply" -> ((s, d) => Extras.cdcApply(s, d)),
+    "lineitem_price_tiers" -> ((s, d) => Extras.priceTierJoin(s, d)),
+    "customers_all_urgent" -> ((s, d) => Extras.customersAllUrgent(s, d)),
+    "events_session_window" -> ((s, d) => EventsStream.sessionWindows(s, d)),
     "events_top_values" -> ((s, d) => EventsStream.topValuesPerType(s, d)),
     "text_tfidf_pairs" -> ((s, d) => TextAnalysis.tfidfPairs(s, d)),
     "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
@@ -268,6 +271,9 @@ object SparkEntry {
     "curated_incremental_refresh" -> Extras.incrementalRefreshOracle,
     "orders_priority_islands" -> Extras.priorityIslandsOracle,
     "orders_cdc_apply" -> Extras.cdcApplyOracle,
+    "lineitem_price_tiers" -> Extras.priceTierJoinOracle,
+    "customers_all_urgent" -> Extras.customersAllUrgentOracle,
+    "events_session_window" -> EventsStream.sessionWindowsOracle,
     "events_top_values" -> EventsStream.topValuesPerTypeOracle,
     "text_tfidf_pairs" -> TextAnalysis.tfidfPairsOracle,
     "doc_fingerprints" -> TextAnalysis.fingerprintsOracle,

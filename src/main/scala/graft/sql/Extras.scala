@@ -454,6 +454,78 @@ object Extras {
         FROM (SELECT * FROM kept UNION ALL SELECT * FROM applied)
         ORDER BY o_orderkey"""
 
+  /** Price-tier band join: lineitem rows matched to a 3-row tier
+    * dimension on `lo <= price < hi` — the non-equi BAND JOIN class
+    * (vs the equi/interval joins elsewhere). Spark plans a
+    * BroadcastNestedLoopJoin: each row tests against 3 broadcast tier
+    * rows, linear cost with a tiny constant — the CORRECT plan when
+    * the band table is dimension-sized (the alternative, a CASE
+    * binning projection like [[graft.ops.Profile.priceHistogram]], is
+    * faster but hardcodes the bands at plan time; the join form keeps
+    * them data). A band dim with many rows would instead want bucketed
+    * pre-binning — documented trade, not applicable at 3 rows. */
+  def priceTierJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      ("budget", 0.0, 20000.0),
+      ("mid", 20000.0, 60000.0),
+      ("premium", 60000.0, 120000.0))
+      .toDF("tier", "lo", "hi")
+    val li = graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("l_extendedprice AS price",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents")
+    li.join(broadcast(tiers),
+        li("price") >= tiers("lo") && li("price") < tiers("hi"))
+      .groupBy("tier", "lo", "hi")
+      .agg(count(lit(1)).as("n_rows"), sum("price_cents").as("cents"))
+      .selectExpr("tier", "lo", "hi", "n_rows",
+        "cents / CAST(100 AS DOUBLE) AS revenue")
+      .orderBy("lo")
+  }
+
+  val priceTierJoinOracle: String =
+    """WITH tiers(tier, lo, hi) AS (VALUES
+          ('budget', CAST(0 AS DOUBLE), CAST(20000 AS DOUBLE)),
+          ('mid', CAST(20000 AS DOUBLE), CAST(60000 AS DOUBLE)),
+          ('premium', CAST(60000 AS DOUBLE), CAST(120000 AS DOUBLE))),
+        j AS (SELECT t.tier, t.lo, t.hi, l.l_extendedprice,
+                CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+              FROM lineitem l JOIN tiers t
+                ON l.l_extendedprice >= t.lo AND l.l_extendedprice < t.hi)
+        SELECT tier, lo, hi, count(*) AS n_rows,
+          CAST(sum(price_cents) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+        FROM j GROUP BY tier, lo, hi ORDER BY lo"""
+
+  /** Relational division: customers ALL of whose orders are high
+    * priority (1-URGENT / 2-HIGH — wide enough that every scale factor
+    * has a non-empty, non-trivial answer) —
+    * the "for-all" query shape (÷ in relational algebra) that trips up
+    * naive join thinking because joins express "exists", not "every".
+    * Implemented as one aggregate over the orders scan: per customer,
+    * total orders and violating orders; division = violators == 0 with
+    * at least one order. That beats the textbook double-NOT-EXISTS at
+    * scale — one map-side-combined hash agg on the child table, no
+    * correlated probes — while the oracle states the same predicate in
+    * the classical NOT EXISTS form, so the pass proves the rewrite. */
+  def customersAllUrgent(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.orders(spark, dir)
+      .selectExpr("o_custkey",
+        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END AS viol")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("viol").as("n_violations"))
+      .filter("n_violations = 0")
+      .selectExpr("o_custkey", "n_orders")
+      .orderBy("o_custkey")
+
+  val customersAllUrgentOracle: String =
+    """SELECT o_custkey, count(*) AS n_orders
+       FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM orders x
+         WHERE x.o_custkey = o.o_custkey
+           AND x.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+       GROUP BY o_custkey
+       ORDER BY o_custkey"""
+
   /** Gaps-and-islands over each customer's order stream: consecutive
     * orders with the same o_orderpriority collapse into one "island"
     * (SCD-2-style validity run), via the canonical two-window

@@ -166,6 +166,45 @@ object EventsStream {
           n_events_7d, cents_7d / CAST(100 AS DOUBLE) AS value_7d
         FROM r ORDER BY day_s"""
 
+  /** Sessionization via Spark's NATIVE `session_window` operator — the
+    * declarative twin of the lag+cumsum construction in
+    * [[graft.streaming.Sessionize]]. Semantics differ at the boundary:
+    * session_window merges events when the gap is STRICTLY less than
+    * 30 minutes and works at full microsecond precision (the lag form
+    * uses floored seconds and closes only when the gap exceeds the
+    * threshold), so this query carries its own micros-exact oracle
+    * rather than reusing the lag one. The session end is
+    * last_event + gap by definition. Plan shape: one hash-partition
+    * exchange on user_id + sort, then Spark's dedicated
+    * UpdatingSessionsExec pass — same shuffle bill as the window form,
+    * but the operator is streaming-ready (the identical expression
+    * runs under watermark in a `writeStream`). */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .selectExpr("user_id",
+        "unix_micros(session_window.start) AS session_start_us",
+        "unix_micros(session_window.end) AS session_end_us", "n_events")
+      .orderBy("user_id", "session_start_us")
+
+  val sessionWindowsOracle: String =
+    """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        lagged AS (SELECT *, lag(us) OVER
+            (PARTITION BY user_id ORDER BY us) AS prev_us FROM ev),
+        flags AS (SELECT *, CASE WHEN prev_us IS NULL
+              OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM lagged),
+        sess AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+            ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS seq FROM flags)
+        SELECT user_id, min(us) AS session_start_us,
+          max(us) + 1800000000 AS session_end_us,
+          count(*) AS n_events
+        FROM sess GROUP BY user_id, seq
+        ORDER BY user_id, session_start_us"""
+
   /** Per-type top-5 event values via the native bounded-heap aggregate
     * ([[graft.functions.TopKAgg]]): each task heaps its slice in O(k)
     * state, partial heaps merge associatively, and only k longs per
@@ -399,6 +438,29 @@ object EventsStream {
       .select(
         unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming twin of [[slidingWindowAgg]] — identical expression
+    * under a watermark; the spec drives it to completion and asserts
+    * batch parity. */
+  def slidingWindowStream(spark: SparkSession, dir: String): DataFrame =
+    rawEventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), centSum("value").as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming twin of [[sessionWindows]]: the same `session_window`
+    * expression is legal under a watermark — the operator the batch
+    * form was chosen for. */
+  def sessionWindowStream(spark: SparkSession, dir: String): DataFrame =
+    rawEventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .selectExpr("user_id",
+        "unix_micros(session_window.start) AS session_start_us",
+        "unix_micros(session_window.end) AS session_end_us", "n_events")
 
   /** Semi-structured column handling: `props` is a JSON string; the
     * codegen'd JSON-path extraction promotes it to a typed column

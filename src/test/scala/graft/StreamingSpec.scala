@@ -92,4 +92,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length && streamed.length > 0)
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming sliding-window agg == batch sliding agg on sf0.001") {
+    val q = EventsStream.slidingWindowStream(spark, sfTiny)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("sliding_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sliding_out")
+      .orderBy("window_start_s", "event_type").collect()
+    val batch = EventsStream.slidingWindowAgg(spark, sfTiny).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("streaming session_window == batch session_window on sf0.001") {
+    val q = EventsStream.sessionWindowStream(spark, sfTiny)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("session_win_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("session_win_out")
+      .orderBy("user_id", "session_start_us").collect()
+    val batch = EventsStream.sessionWindows(spark, sfTiny).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.sameElements(batch))
+  }
 }
