@@ -205,6 +205,9 @@ object SparkEntry {
     "sales_rollup" -> ((s, d) => Extras.salesRollup(s, d)),
     "sales_grouping_sets" -> ((s, d) => Extras.salesGroupingSets(s, d)),
     "category_quantity_quartiles" -> ((s, d) => Extras.categoryQuantityQuartiles(s, d)),
+    // approx by construction → rows-only check, spec-bounded
+    "category_quantity_quartiles_approx" -> ((s, d) => Extras.categoryQuantityQuartilesApprox(s, d)),
+    "orders_null_safe_join" -> ((s, d) => Extras.nullSafeJoin(s, d)),
     "customers_without_orders" -> ((s, d) => Extras.customersWithoutOrders(s, d)),
     "customers_with_orders_by_segment" -> ((s, d) => Extras.customersWithOrdersBySegment(s, d)),
     "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
@@ -341,6 +344,7 @@ object SparkEntry {
     "sales_rollup" -> Extras.salesRollupOracle,
     "sales_grouping_sets" -> Extras.salesGroupingSetsOracle,
     "category_quantity_quartiles" -> Extras.categoryQuantityQuartilesOracle,
+    "orders_null_safe_join" -> Extras.nullSafeJoinOracle,
     "customers_without_orders" -> Extras.customersWithoutOrdersOracle,
     "customers_with_orders_by_segment" -> Extras.customersWithOrdersBySegmentOracle,
     "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,

@@ -160,6 +160,65 @@ object Extras {
          count(*) AS n_lines
        FROM sales_tx GROUP BY category ORDER BY category""")
 
+  /** 100 TB variant of [[categoryQuantityQuartiles]]: GK-sketch
+    * `approx_percentile` (accuracy 10000) instead of exact
+    * `percentile`. The exact form sorts every group's values; the
+    * sketch is a bounded-memory mergeable summary — the documented
+    * swap when groups stop fitting a sort buffer. Approximate by
+    * construction → no DuckDB oracle (driver records rows-only);
+    * `ApproxQuartilesSpec` bounds the rank error against the exact
+    * result instead, mirroring the HLL `_approx` precedent. */
+  def categoryQuantityQuartilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
+    spark.sql(
+      """SELECT category,
+           approx_percentile(quantity, 0.25, 10000) AS q1,
+           approx_percentile(quantity, 0.5, 10000) AS median,
+           approx_percentile(quantity, 0.75, 10000) AS q3,
+           count(*) AS n_lines
+         FROM sales_tx GROUP BY category ORDER BY category""")
+  }
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics MERGE keys
+    * need when "unknown" is itself a join value. Spark still plans a
+    * hash join (null hashes as a regular key under null-safe
+    * equality), so the scale shape is unchanged; the query reports,
+    * per market segment, how many joined rows came through real keys
+    * vs the NULL↔NULL channel. NULL keys are made deliberately rare
+    * (≡0 mod 1000 / mod 997) because null-safe join cross-multiplies
+    * the null groups — the same hot-key hazard as any skewed value,
+    * and the reason production merges salt or pre-split the NULL
+    * channel. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.io.Tables.orders(spark, dir)
+      .selectExpr(
+        "CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE o_custkey END AS k")
+    val c = graft.io.Tables.customer(spark, dir)
+      .selectExpr(
+        "CASE WHEN c_custkey % 997 = 0 THEN NULL ELSE c_custkey END AS k",
+        "c_mktsegment")
+    o.join(c, o("k") <=> c("k"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_joined"),
+        sum(when(o("k").isNull, 1L).otherwise(0L)).as("n_null_channel"))
+      .selectExpr("c_mktsegment", "n_joined",
+        "CAST(n_null_channel AS BIGINT) AS n_null_channel")
+      .orderBy("c_mktsegment")
+  }
+
+  val nullSafeJoinOracle: String =
+    """WITH o AS (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+            ELSE o_custkey END AS k FROM orders),
+        c AS (SELECT CASE WHEN c_custkey % 997 = 0 THEN NULL
+            ELSE c_custkey END AS k, c_mktsegment FROM customer),
+        j AS (SELECT o.k AS ok, c.c_mktsegment
+              FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k)
+        SELECT c_mktsegment, count(*) AS n_joined,
+          CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null_channel
+        FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   /** §2.3+ — semi/anti join breadth (absent in the reference, core
     * DataFrame API surface): anti = customers that never ordered;
     * semi = per-segment count of customers that did. Both keep the

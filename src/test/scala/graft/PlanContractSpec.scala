@@ -88,6 +88,34 @@ class PlanContractSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("AQE splits a skewed shuffle join at runtime") {
+    // the runtime skew lever: one key holding 99% of the left side
+    // must be detected AFTER the shuffle materializes and split into
+    // multiple tasks — the difference between one straggler task and
+    // a balanced stage at 100 TB. Thresholds floored for the tiny
+    // fixture; production keeps defaults.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000).selectExpr(
+        "CASE WHEN id % 100 < 99 THEN CAST(0 AS BIGINT) ELSE id END AS k",
+        "id AS v")
+      val right = spark.range(0, 1000).selectExpr("id AS k", "id AS w")
+      val j = left.join(right, "k")
+      j.collect(): Unit // execute so AQE finalizes the plan
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("skew"),
+        s"AQE did not mark the skewed join:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("co-bucketed tables join with no Exchange on either side") {
     // the write-side co-location contract: two tables bucketed+sorted
     // the same way must sort-merge-join straight off the scans — an
