@@ -208,6 +208,8 @@ object SparkEntry {
     // approx by construction → rows-only check, spec-bounded
     "category_quantity_quartiles_approx" -> ((s, d) => Extras.categoryQuantityQuartilesApprox(s, d)),
     "orders_null_safe_join" -> ((s, d) => Extras.nullSafeJoin(s, d)),
+    "orders_typed_revenue" -> ((s, d) => graft.ops.Typed.typedRevenue(s, d)),
+    "events_user_first_last" -> ((s, d) => EventsStream.userFirstLast(s, d)),
     "customers_without_orders" -> ((s, d) => Extras.customersWithoutOrders(s, d)),
     "customers_with_orders_by_segment" -> ((s, d) => Extras.customersWithOrdersBySegment(s, d)),
     "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
@@ -345,6 +347,8 @@ object SparkEntry {
     "sales_grouping_sets" -> Extras.salesGroupingSetsOracle,
     "category_quantity_quartiles" -> Extras.categoryQuantityQuartilesOracle,
     "orders_null_safe_join" -> Extras.nullSafeJoinOracle,
+    "orders_typed_revenue" -> graft.ops.Typed.typedRevenueOracle,
+    "events_user_first_last" -> EventsStream.userFirstLastOracle,
     "customers_without_orders" -> Extras.customersWithoutOrdersOracle,
     "customers_with_orders_by_segment" -> Extras.customersWithOrdersBySegmentOracle,
     "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,

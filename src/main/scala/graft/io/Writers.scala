@@ -61,4 +61,27 @@ object Writers {
       .write.mode("overwrite").option("compression", "snappy").parquet(path)
     n
   }
+
+  /** Clustered + sorted zone layout: hash-distribute by `clusterCol`
+    * (co-locating each key's rows in one file) and sort rows WITHIN
+    * each output file by `sortCols`. Two 100 TB effects, both from
+    * layout alone: (1) parquet row-group min/max stats on the sort
+    * columns become selective, so point/range reads skip row groups
+    * (data skipping needs no index — just sorted runs); (2) runs of
+    * similar values compress far better (delta/RLE encodings engage).
+    * `repartition(col)` + `sortWithinPartitions` is the exact
+    * DataFrame idiom — a global `orderBy` would add a pointless total
+    * sort barrier; only per-file order matters for skipping. */
+  def sortedZone(df: DataFrame, path: String, clusterCol: String,
+                 sortCols: Seq[String], numFiles: Int = 0): Unit = {
+    val c = org.apache.spark.sql.functions.col(clusterCol)
+    // numFiles = 0 lets AQE size the shuffle (production default); an
+    // explicit count pins the layout when file granularity is the point
+    val clustered =
+      if (numFiles > 0) df.repartition(numFiles, c) else df.repartition(c)
+    clustered
+      .sortWithinPartitions(sortCols.map(
+        org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").option("compression", "snappy").parquet(path)
+  }
 }

@@ -166,6 +166,37 @@ object EventsStream {
           n_events_7d, cents_7d / CAST(100 AS DOUBLE) AS value_7d
         FROM r ORDER BY day_s"""
 
+  /** Per-user first/last event summary via `min_by`/`max_by` — the
+    * argmin/argmax aggregates that replace the "self-join back to the
+    * row at the extreme timestamp" anti-pattern (two scans + a join)
+    * with ONE map-side-combined hash agg. The ordering key is a
+    * zero-padded (micros, event_id) string, a total order both
+    * engines compare identically (DuckDB's arg_min takes only scalar
+    * keys, so the composite is encoded, not a struct). */
+  def userFirstLast(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type",
+        "concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'), '|', " +
+          "lpad(CAST(event_id AS STRING), 12, '0')) AS ord",
+        "unix_micros(ts) AS us")
+      .groupBy("user_id")
+      .agg(expr("min_by(event_type, ord)").as("first_type"),
+        expr("max_by(event_type, ord)").as("last_type"),
+        count(lit(1)).as("n_events"),
+        expr("CAST((max(us) - min(us)) DIV 1000000 AS BIGINT)").as("span_s"))
+      .orderBy("user_id")
+
+  val userFirstLastOracle: String =
+    """WITH e AS (SELECT user_id, event_type,
+            lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+              || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events)
+        SELECT user_id, arg_min(event_type, ord) AS first_type,
+          arg_max(event_type, ord) AS last_type, count(*) AS n_events,
+          CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS span_s
+        FROM e GROUP BY user_id ORDER BY user_id"""
+
   /** Sessionization via Spark's NATIVE `session_window` operator — the
     * declarative twin of the lag+cumsum construction in
     * [[graft.streaming.Sessionize]]. Semantics differ at the boundary:

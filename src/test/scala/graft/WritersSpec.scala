@@ -81,4 +81,36 @@ class WritersSpec extends SparkSpec {
     val back = spark.read.parquet(dir).as[(Int, String)].collect().toSeq
     assert(back == Seq((1, "⭐⭐⭐")))
   }
+
+  test("sorted zone: keys co-located per file, rows sorted within each file") {
+    val dir = Files.createTempDirectory("graft_sorted_zone").toString
+    val ev = graft.io.Tables.events(spark, sfTiny)
+      .select("event_id", "user_id", "ts")
+    Writers.sortedZone(ev, dir, "user_id",
+      Seq("user_id", "ts", "event_id"), numFiles = 4)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 1, "fixture session writes multiple files")
+
+    // every user's rows live in exactly one file (clustering), and
+    // each file is sorted by the declared sort key (the property row-
+    // group skipping and delta encoding actually depend on)
+    val perFile = files.map { f =>
+      f -> spark.read.parquet(f)
+        .select("user_id", "ts", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    }
+    perFile.foreach { case (f, rows) =>
+      assert(rows.sameElements(rows.sortBy(identity)), s"$f not sorted")
+    }
+    val owners = perFile.flatMap { case (f, rows) =>
+      rows.map(_._1).distinct.map(_ -> f) }
+    owners.groupBy(_._1).foreach { case (u, fs) =>
+      assert(fs.map(_._2).distinct.length == 1, s"user $u split across files")
+    }
+    // nothing lost in the rewrite
+    assert(perFile.map(_._2.length).sum == ev.count())
+  }
 }
