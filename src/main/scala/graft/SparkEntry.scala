@@ -210,6 +210,9 @@ object SparkEntry {
     "orders_null_safe_join" -> ((s, d) => Extras.nullSafeJoin(s, d)),
     "orders_typed_revenue" -> ((s, d) => graft.ops.Typed.typedRevenue(s, d)),
     "events_user_first_last" -> ((s, d) => EventsStream.userFirstLast(s, d)),
+    "events_type_count_map" -> ((s, d) => EventsStream.typeCountMap(s, d)),
+    "lineitem_decimal_revenue" -> ((s, d) => Extras.decimalRevenue(s, d)),
+    "lineitem_bloom_join" -> ((s, d) => graft.ops.Scale.bloomJoin(s, d)),
     "customers_without_orders" -> ((s, d) => Extras.customersWithoutOrders(s, d)),
     "customers_with_orders_by_segment" -> ((s, d) => Extras.customersWithOrdersBySegment(s, d)),
     "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
@@ -349,6 +352,9 @@ object SparkEntry {
     "orders_null_safe_join" -> Extras.nullSafeJoinOracle,
     "orders_typed_revenue" -> graft.ops.Typed.typedRevenueOracle,
     "events_user_first_last" -> EventsStream.userFirstLastOracle,
+    "events_type_count_map" -> EventsStream.typeCountMapOracle,
+    "lineitem_decimal_revenue" -> Extras.decimalRevenueOracle,
+    "lineitem_bloom_join" -> graft.ops.Scale.bloomJoinOracle,
     "customers_without_orders" -> Extras.customersWithoutOrdersOracle,
     "customers_with_orders_by_segment" -> Extras.customersWithOrdersBySegmentOracle,
     "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,

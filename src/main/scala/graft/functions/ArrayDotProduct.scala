@@ -74,5 +74,19 @@ object Native {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk",
       exprs => TopKAgg(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // runtime-filter rewrite but does not register them as SQL
+    // functions; surfacing them lets a pipeline build a bloom filter as
+    // DATA (build once over a dim's keys, broadcast, pre-filter any
+    // number of fact scans) instead of relying on the per-query rewrite.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -160,6 +160,40 @@ object Extras {
          count(*) AS n_lines
        FROM sales_tx GROUP BY category ORDER BY category""")
 
+  /** DecimalType-exact revenue: the engine's default money discipline
+    * is integer cents (scaled BIGINTs), but Spark's DECIMAL(p,s) is
+    * the type-system-native alternative — exact scaled-integer
+    * arithmetic with widths tracked through multiplication
+    * (DECIMAL(12,2) × DECIMAL(13,4) → exact product, no float error
+    * to quantize away). Sums of decimals are order-independent, so the
+    * aggregate is partitioning-stable like the cent sums. The final
+    * projection converts the exact decimal to DOUBLE (one nearest-even
+    * conversion of the same rational in both engines) purely for
+    * output-schema parity with the rest of the corpus. */
+  def decimalRevenue(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag",
+        "CAST(l_extendedprice AS DECIMAL(12,2)) AS p",
+        "CAST(l_discount AS DECIMAL(12,4)) AS d")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("p")).as("gross_dec"),
+        sum(expr("p * (CAST(1 AS DECIMAL(5,4)) - d)")).as("net_dec"))
+      .selectExpr("l_returnflag", "n_lines",
+        "CAST(gross_dec AS DOUBLE) AS gross",
+        "CAST(net_dec AS DOUBLE) AS net")
+      .orderBy("l_returnflag")
+
+  val decimalRevenueOracle: String =
+    """WITH q AS (SELECT l_returnflag,
+            CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+            CAST(l_discount AS DECIMAL(12,4)) AS d
+          FROM lineitem)
+        SELECT l_returnflag, count(*) AS n_lines,
+          CAST(sum(p) AS DOUBLE) AS gross,
+          CAST(sum(p * (CAST(1 AS DECIMAL(5,4)) - d)) AS DOUBLE) AS net
+        FROM q GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** 100 TB variant of [[categoryQuantityQuartiles]]: GK-sketch
     * `approx_percentile` (accuracy 10000) instead of exact
     * `percentile`. The exact form sorts every group's values; the

@@ -166,6 +166,36 @@ object EventsStream {
           n_events_7d, cents_7d / CAST(100 AS DOUBLE) AS value_7d
         FROM r ORDER BY day_s"""
 
+  /** MapType surface: per user, a map of event_type → count built with
+    * `map_from_entries(collect_list(struct(…)))`, then keyed lookups
+    * (`element_at`) and `map` introspection project SCALARS out — the
+    * output never exposes raw map bytes, because map entry ORDER is
+    * engine- and partitioning-dependent even when the mapping is
+    * identical (the reason the rest of the corpus avoids map-typed
+    * outputs). The per-(user, type) pre-aggregate keeps collect_list
+    * bounded by the type cardinality, never the event count. */
+  def typeCountMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("n"))))).as("m"))
+      .selectExpr("user_id",
+        "CAST(size(m) AS INTEGER) AS n_types",
+        "CAST(coalesce(element_at(m, 'purchase'), 0) AS BIGINT) AS n_purchase",
+        "CAST(coalesce(element_at(m, 'view'), 0) AS BIGINT) AS n_view")
+      .orderBy("user_id")
+
+  val typeCountMapOracle: String =
+    """SELECT user_id,
+         CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_purchase,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_view
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
   /** Per-user first/last event summary via `min_by`/`max_by` — the
     * argmin/argmax aggregates that replace the "self-join back to the
     * row at the extreme timestamp" anti-pattern (two scans + a join)

@@ -52,4 +52,30 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() == li.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bloom pre-filter is selective and never drops a true match") {
+    graft.functions.Native.register(spark)
+    graft.io.Tables.orders(spark, sfTiny)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey").createOrReplaceTempView("ss_dim")
+    graft.io.Tables.lineitem(spark, sfTiny)
+      .select("l_orderkey").createOrReplaceTempView("ss_fact")
+    val counts = spark.sql(
+      """WITH bloom AS (SELECT graft_bloom_agg(xxhash64(o_orderkey),
+             CAST(100000 AS BIGINT), CAST(800000 AS BIGINT)) AS bf
+           FROM ss_dim)
+         SELECT count(*) AS total,
+           sum(CASE WHEN graft_might_contain((SELECT bf FROM bloom),
+             xxhash64(l_orderkey)) THEN 1 ELSE 0 END) AS passed,
+           sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM ss_dim)
+             THEN 1 ELSE 0 END) AS true_matches
+         FROM ss_fact""").collect()(0)
+    val (total, passed, trueMatches) =
+      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    // no false negatives — a bloom filter's defining guarantee
+    assert(passed >= trueMatches)
+    // and it must actually shed rows, or the pre-filter is pointless
+    assert(passed < total,
+      s"bloom passed everything: $passed of $total (true=$trueMatches)")
+  }
 }
