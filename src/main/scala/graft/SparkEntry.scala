@@ -186,6 +186,8 @@ object SparkEntry {
     "corpus_training_manifest" -> ((s, d) => Curation.trainingManifest(s, d)),
     "dedup_canonical_quality" -> ((s, d) => Dedup.canonicalByQuality(s, d)),
     "dedup_rate_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
+    "dedup_degree_histogram" -> ((s, d) => Dedup.dedupDegreeHistogram(s, d)),
+    "text_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "events_user_deciles" -> ((s, d) => EventsStream.userValueDeciles(s, d)),
     "events_rolling_7d" -> ((s, d) => EventsStream.rolling7d(s, d)),
     "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
@@ -325,6 +327,8 @@ object SparkEntry {
     "corpus_training_manifest" -> Curation.trainingManifestOracle,
     "dedup_canonical_quality" -> Dedup.canonicalByQualityOracle,
     "dedup_rate_by_source" -> Dedup.dupRateBySourceOracle,
+    "dedup_degree_histogram" -> Dedup.dedupDegreeHistogramOracle,
+    "text_lang_confusion" -> TextAnalysis.langConfusionOracle,
     "events_user_deciles" -> EventsStream.userValueDecilesOracle,
     "events_rolling_7d" -> EventsStream.rolling7dOracle,
     "events_type_transitions" -> EventsStream.typeTransitionsOracle,

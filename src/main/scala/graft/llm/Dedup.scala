@@ -582,6 +582,28 @@ object Dedup {
     * infrastructure already surfaces. No signature pre-filter here,
     * deliberately: it estimates Jaccard and would re-bias candidates
     * toward resemblance. */
+  /** Degree distribution of the near-dup pair graph: how many dup
+    * partners each document has, then how many documents sit at each
+    * degree — the diagnostic separating "scattered pairs" from "one
+    * giant template cluster" BEFORE running the (log-round) connected
+    * -components collapse. Cost on top of the shared pairs relation is
+    * two map-side-combined hash aggs over the (small) pair set. */
+  def dedupDegreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    pairs.selectExpr("doc_a AS doc_id")
+      .unionAll(pairs.selectExpr("doc_b AS doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  val dedupDegreeHistogramOracle: String =
+    s"""WITH p AS ($minhashPairsOracle),
+        d AS (SELECT doc_a AS doc_id FROM p
+              UNION ALL SELECT doc_b FROM p),
+        g AS (SELECT doc_id, count(*) AS degree FROM d GROUP BY 1)
+        SELECT degree, count(*) AS n_docs FROM g GROUP BY 1 ORDER BY 1"""
+
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = docFeatures(spark, dir).selectExpr("doc_id", "sh", "n")
     bandCandidates(spark, dir)

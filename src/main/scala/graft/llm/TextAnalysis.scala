@@ -123,6 +123,30 @@ object TextAnalysis {
         SELECT *, CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS is_match
         FROM pred ORDER BY doc_id"""
 
+  /** Language confusion matrix: declared `lang` vs heuristic
+    * `lang_pred`, with per-declared-language shares — the corpus-QA
+    * report that says WHERE the labeler and detector disagree, not
+    * just how often ([[languageId]]'s per-doc is_match flattens that).
+    * One hash agg onto the langs×langs grid; the share is an exact
+    * integer ratio via a window over that tiny grid. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langRelation(spark, dir)
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n") /
+        sum(col("n")).over(Window.partitionBy("lang")).cast("double"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  val langConfusionOracle: String =
+    s"""WITH scores AS (SELECT ${langScoreCols(DuckD).mkString(", ")} FROM documents),
+        pred AS (SELECT *, $langPredExpr FROM scores),
+        g AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2)
+        SELECT lang, lang_pred, n,
+          n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
+        FROM g ORDER BY lang, lang_pred"""
+
   // ---- repetition (boilerplate / loop detection) ----
 
   /** Repeated word-3-gram share per document — the standard cheap

@@ -106,10 +106,22 @@ class IntegritySpec extends SparkSpec {
     assert(rows.map(_._3).sum == raw)
   }
 
-  test("gap fill is total on an empty events table") {
+  test("events operators are total on an empty events table") {
+    import graft.streaming.EventsStream
     val dir = java.nio.file.Files.createTempDirectory("graft_gap_empty").toString
     spark.read.parquet(s"$sfTiny/events.parquet").limit(0)
       .write.parquet(s"$dir/events.parquet")
-    assert(graft.streaming.EventsStream.dailyGapFill(spark, dir).count() == 0)
+    val ops: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "events_daily_gap_fill" -> (EventsStream.dailyGapFill _),
+      "events_carry_forward" -> (EventsStream.purchaseCarryForward _),
+      "events_sliding_window" -> (EventsStream.slidingWindowAgg _),
+      "events_session_window" -> (EventsStream.sessionWindows _),
+      "events_top_values" -> (EventsStream.topValuesPerType _),
+      "events_user_first_last" -> (EventsStream.userFirstLast _),
+      "events_type_count_map" -> (EventsStream.typeCountMap _))
+    ops.foreach { case (name, fn) =>
+      assert(fn(spark, dir).count() == 0, s"$name not empty/total on empty input")
+    }
   }
 }
