@@ -215,6 +215,9 @@ object SparkEntry {
     "events_type_count_map" -> ((s, d) => EventsStream.typeCountMap(s, d)),
     "lineitem_decimal_revenue" -> ((s, d) => Extras.decimalRevenue(s, d)),
     "lineitem_bloom_join" -> ((s, d) => graft.ops.Scale.bloomJoin(s, d)),
+    "orders_weekday_seasonality" -> ((s, d) => Extras.weekdaySeasonality(s, d)),
+    "lineitem_ship_delay" -> ((s, d) => Extras.shipDelayByPriority(s, d)),
+    "suppliers_top_by_nation" -> ((s, d) => Extras.topSuppliersByNation(s, d)),
     "customers_without_orders" -> ((s, d) => Extras.customersWithoutOrders(s, d)),
     "customers_with_orders_by_segment" -> ((s, d) => Extras.customersWithOrdersBySegment(s, d)),
     "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
@@ -359,6 +362,9 @@ object SparkEntry {
     "events_type_count_map" -> EventsStream.typeCountMapOracle,
     "lineitem_decimal_revenue" -> Extras.decimalRevenueOracle,
     "lineitem_bloom_join" -> graft.ops.Scale.bloomJoinOracle,
+    "orders_weekday_seasonality" -> Extras.weekdaySeasonalityOracle,
+    "lineitem_ship_delay" -> Extras.shipDelayByPriorityOracle,
+    "suppliers_top_by_nation" -> Extras.topSuppliersByNationOracle,
     "customers_without_orders" -> Extras.customersWithoutOrdersOracle,
     "customers_with_orders_by_segment" -> Extras.customersWithOrdersBySegmentOracle,
     "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,

@@ -160,6 +160,109 @@ object Extras {
          count(*) AS n_lines
        FROM sales_tx GROUP BY category ORDER BY category""")
 
+  /** Weekday seasonality: order volume and cent-exact revenue by ISO
+    * day-of-week. Date-part extraction is the dialect trap here —
+    * Spark's `weekday` is Monday=0, DuckDB's `dayofweek` is Sunday=0;
+    * the one alignment both express exactly is ISO (Monday=1), via
+    * weekday+1 on the Spark side and `isodow` on the DuckDB side.
+    * One map-side-combined agg onto a 7-row grid. */
+  def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.orders(spark, dir)
+      .selectExpr("weekday(CAST(o_orderdate AS DATE)) + 1 AS isodow",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .groupBy("isodow")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+      .selectExpr("CAST(isodow AS INTEGER) AS isodow", "n_orders",
+        "cents / CAST(100 AS DOUBLE) AS revenue")
+      .orderBy("isodow")
+
+  val weekdaySeasonalityOracle: String =
+    """SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS INTEGER) AS isodow,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100 AS DOUBLE) AS revenue
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
+  /** Order-to-ship latency profile per priority class: integer
+    * date-diff days aggregated exactly (min/max/count and a mean from
+    * the exact day sum). The join is the lineitem⋈orders fact shuffle
+    * every Q5-shaped query pays; everything after dies in a 5-row
+    * grid. The negative-delay count is the data-quality tripwire
+    * (shipments before their order date). */
+  def shipDelayByPriority(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS sd")
+      .join(graft.io.Tables.orders(spark, dir)
+        .selectExpr("o_orderkey", "o_orderpriority",
+          "CAST(o_orderdate AS DATE) AS od"),
+        col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("o_orderpriority", "datediff(sd, od) AS delay_days")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        min("delay_days").as("min_days"), max("delay_days").as("max_days"),
+        sum(col("delay_days").cast("long")).as("sum_days"),
+        sum(when(col("delay_days") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .selectExpr("o_orderpriority", "n_lines",
+        "CAST(min_days AS INTEGER) AS min_days",
+        "CAST(max_days AS INTEGER) AS max_days",
+        "sum_days / CAST(n_lines AS DOUBLE) AS mean_days",
+        "CAST(n_negative AS BIGINT) AS n_negative")
+      .orderBy("o_orderpriority")
+
+  val shipDelayByPriorityOracle: String =
+    """WITH j AS (SELECT o.o_orderpriority,
+            datediff('day', CAST(o.o_orderdate AS DATE),
+              CAST(l.l_shipdate AS DATE)) AS delay_days
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        g AS (SELECT o_orderpriority, count(*) AS n_lines,
+            min(delay_days) AS min_days, max(delay_days) AS max_days,
+            CAST(sum(delay_days) AS BIGINT) AS sum_days,
+            CAST(sum(CASE WHEN delay_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_negative
+          FROM j GROUP BY 1)
+        SELECT o_orderpriority, n_lines,
+          CAST(min_days AS INTEGER) AS min_days,
+          CAST(max_days AS INTEGER) AS max_days,
+          sum_days / CAST(n_lines AS DOUBLE) AS mean_days,
+          n_negative
+        FROM g ORDER BY o_orderpriority"""
+
+  /** Top-3 suppliers by account balance within each nation — the
+    * per-group top-k via rank window (contrast with the heap aggregate
+    * [[graft.functions.TopKAgg]]: the window form shuffles every row
+    * but yields the full carrying row, not just the ranked value — the
+    * right tool when the payload matters and groups are dimension
+    * -sized). Balance is cent-quantized for the exact total order;
+    * s_suppkey breaks ties totally. */
+  def topSuppliersByNation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("n_name")
+      .orderBy(desc("bal_cents"), asc("s_suppkey"))
+    graft.io.Tables.supplier(spark, dir)
+      .selectExpr("s_suppkey", "s_name", "s_nationkey",
+        "CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents")
+      .join(broadcast(graft.io.Tables.nation(spark, dir)
+        .selectExpr("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .selectExpr("n_name", "CAST(rank AS INTEGER) AS rank", "s_suppkey",
+        "s_name", "bal_cents / CAST(100 AS DOUBLE) AS acctbal")
+      .orderBy("n_name", "rank")
+  }
+
+  val topSuppliersByNationOracle: String =
+    """WITH s AS (SELECT s_suppkey, s_name, s_nationkey,
+            CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM supplier),
+        r AS (SELECT n.n_name, s.s_suppkey, s.s_name, s.bal_cents,
+            row_number() OVER (PARTITION BY n.n_name
+              ORDER BY s.bal_cents DESC, s.s_suppkey) AS rank
+          FROM s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        SELECT n_name, CAST(rank AS INTEGER) AS rank, s_suppkey, s_name,
+          bal_cents / CAST(100 AS DOUBLE) AS acctbal
+        FROM r WHERE rank <= 3 ORDER BY n_name, rank"""
+
   /** DecimalType-exact revenue: the engine's default money discipline
     * is integer cents (scaled BIGINTs), but Spark's DECIMAL(p,s) is
     * the type-system-native alternative — exact scaled-integer
