@@ -218,6 +218,8 @@ object SparkEntry {
     "orders_weekday_seasonality" -> ((s, d) => Extras.weekdaySeasonality(s, d)),
     "lineitem_ship_delay" -> ((s, d) => Extras.shipDelayByPriority(s, d)),
     "suppliers_top_by_nation" -> ((s, d) => Extras.topSuppliersByNation(s, d)),
+    "orders_above_customer_avg" -> ((s, d) => Extras.ordersAboveCustomerAvg(s, d)),
+    "corpus_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "customers_without_orders" -> ((s, d) => Extras.customersWithoutOrders(s, d)),
     "customers_with_orders_by_segment" -> ((s, d) => Extras.customersWithOrdersBySegment(s, d)),
     "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
@@ -365,6 +367,8 @@ object SparkEntry {
     "orders_weekday_seasonality" -> Extras.weekdaySeasonalityOracle,
     "lineitem_ship_delay" -> Extras.shipDelayByPriorityOracle,
     "suppliers_top_by_nation" -> Extras.topSuppliersByNationOracle,
+    "orders_above_customer_avg" -> Extras.ordersAboveCustomerAvgOracle,
+    "corpus_stratified_sample" -> Curation.stratifiedSampleOracle,
     "customers_without_orders" -> Extras.customersWithoutOrdersOracle,
     "customers_with_orders_by_segment" -> Extras.customersWithOrdersBySegmentOracle,
     "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,

@@ -451,4 +451,48 @@ object Curation {
           AND NOT EXISTS (SELECT 1 FROM labels lb
             WHERE lb.doc_id = d.doc_id AND lb.doc_id <> lb.cluster_id)
         ORDER BY d.doc_id"""
+
+  // ---- stratified sampling ----
+
+  private val stratFrac = 0.1
+
+  /** Stratified EXACT-COUNT sampling: per language stratum, exactly
+    * ⌈10% · |stratum|⌉ documents, chosen by content-hash order — the
+    * eval-set construction that [[sampleSplit]]'s independent hash
+    * buckets cannot give you (Bernoulli buckets only hit the target
+    * fraction in expectation; an eval set wants the exact count, and
+    * wants it stable under re-runs). Hash order makes the choice a
+    * pure function of content: no seed state, identical on any
+    * cluster. Plan shape: one window rank per stratum (the same
+    * user-keyed shuffle+sort sessionization pays, keyed by lang) with
+    * a per-stratum count window sharing the partitioning — one
+    * exchange total. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{ceil, col, count, lit, row_number}
+    val byLang = Window.partitionBy("lang")
+    val ranked = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang", "source", "md5(text) AS h")
+      .withColumn("rn", row_number().over(
+        byLang.orderBy("h", "doc_id")))
+      .withColumn("n_stratum", count(lit(1)).over(byLang))
+    ranked
+      .filter(col("rn") <= ceil(col("n_stratum") * stratFrac))
+      .selectExpr("lang", "doc_id", "source",
+        "CAST(rn AS INTEGER) AS sample_rank",
+        "CAST(n_stratum AS BIGINT) AS n_stratum")
+      .orderBy("lang", "sample_rank")
+  }
+
+  val stratifiedSampleOracle: String =
+    s"""WITH d AS (SELECT doc_id, lang, source, md5(text) AS h
+          FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                ORDER BY h, doc_id) AS rn,
+              count(*) OVER (PARTITION BY lang) AS n_stratum
+              FROM d)
+        SELECT lang, doc_id, source, CAST(rn AS INTEGER) AS sample_rank,
+          CAST(n_stratum AS BIGINT) AS n_stratum
+        FROM r WHERE rn <= ceil(n_stratum * $stratFrac)
+        ORDER BY lang, sample_rank"""
 }

@@ -227,6 +227,41 @@ object Extras {
           n_negative
         FROM g ORDER BY o_orderpriority"""
 
+  /** Orders above their own customer's average — the correlated
+    * -aggregate pattern, done as one window pass instead of the
+    * textbook self-join-on-aggregate (same answer, half the scans).
+    * The comparison is the interesting part: "price > avg" compares a
+    * value against a ratio, and a float division boundary is exactly
+    * where engines could disagree — so the predicate cross-multiplies
+    * in integer cents (`price·n > sum`), which is EXACT: no division
+    * ever happens, and the boundary case (price == mean) resolves
+    * identically everywhere. */
+  def ordersAboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy("o_custkey")
+    graft.io.Tables.orders(spark, dir)
+      .selectExpr("o_custkey", "o_orderkey", "o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .withColumn("n_cust", count(lit(1)).over(byCust))
+      .withColumn("sum_cust", sum(col("cents")).over(byCust))
+      .filter(col("cents") * col("n_cust") > col("sum_cust"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy("o_orderpriority")
+  }
+
+  val ordersAboveCustomerAvgOracle: String =
+    """WITH o AS (SELECT o_custkey, o_orderpriority,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        w AS (SELECT *, count(*) OVER (PARTITION BY o_custkey) AS n_cust,
+            CAST(sum(cents) OVER (PARTITION BY o_custkey) AS BIGINT)
+              AS sum_cust
+          FROM o)
+        SELECT o_orderpriority, count(*) AS n_above
+        FROM w WHERE cents * n_cust > sum_cust
+        GROUP BY 1 ORDER BY 1"""
+
   /** Top-3 suppliers by account balance within each nation — the
     * per-group top-k via rank window (contrast with the heap aggregate
     * [[graft.functions.TopKAgg]]: the window form shuffles every row
