@@ -188,6 +188,8 @@ object SparkEntry {
     "dedup_rate_by_source" -> ((s, d) => Dedup.dupRateBySource(s, d)),
     "dedup_degree_histogram" -> ((s, d) => Dedup.dedupDegreeHistogram(s, d)),
     "text_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
+    "text_pii_redacted" -> ((s, d) => TextAnalysis.piiRedacted(s, d)),
+    "dedup_triangles" -> ((s, d) => Dedup.dedupTriangles(s, d)),
     "events_user_deciles" -> ((s, d) => EventsStream.userValueDeciles(s, d)),
     "events_rolling_7d" -> ((s, d) => EventsStream.rolling7d(s, d)),
     "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
@@ -334,6 +336,8 @@ object SparkEntry {
     "dedup_rate_by_source" -> Dedup.dupRateBySourceOracle,
     "dedup_degree_histogram" -> Dedup.dedupDegreeHistogramOracle,
     "text_lang_confusion" -> TextAnalysis.langConfusionOracle,
+    "text_pii_redacted" -> TextAnalysis.piiRedactedOracle,
+    "dedup_triangles" -> Dedup.dedupTrianglesOracle,
     "events_user_deciles" -> EventsStream.userValueDecilesOracle,
     "events_rolling_7d" -> EventsStream.rolling7dOracle,
     "events_type_transitions" -> EventsStream.typeTransitionsOracle,

@@ -604,6 +604,32 @@ object Dedup {
         g AS (SELECT doc_id, count(*) AS degree FROM d GROUP BY 1)
         SELECT degree, count(*) AS n_docs FROM g GROUP BY 1 ORDER BY 1"""
 
+  /** Triangles in the near-dup graph: ordered (a<b<c) triples where
+    * all three pairwise edges survived verification — the clustering
+    * -coefficient signal that separates chain-shaped near-dup drift
+    * (A≈B≈C but A≉C: translation chains, incremental edits) from true
+    * mutual-duplicate cliques (templates). Pure 3-way self-join on the
+    * already-verified pair relation: ordering is inherited (every edge
+    * is stored a<b), and the pair set is orders of magnitude smaller
+    * than the corpus, so the joins are dimension-sized. */
+  def dedupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val p = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val ab = p.selectExpr("doc_a AS a", "doc_b AS b")
+    val bc = p.selectExpr("doc_a AS b", "doc_b AS c")
+    val ac = p.selectExpr("doc_a AS a", "doc_b AS c")
+    ab.join(bc, "b").join(ac, Seq("a", "c"))
+      .selectExpr("a", "b", "c")
+      .orderBy("a", "b", "c")
+  }
+
+  val dedupTrianglesOracle: String =
+    s"""WITH p AS ($minhashPairsOracle),
+        t AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+              FROM p ab
+              JOIN p bc ON ab.doc_b = bc.doc_a
+              JOIN p ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+        SELECT a, b, c FROM t ORDER BY a, b, c"""
+
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = docFeatures(spark, dir).selectExpr("doc_id", "sh", "n")
     bandCandidates(spark, dir)

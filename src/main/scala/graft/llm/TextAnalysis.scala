@@ -257,6 +257,47 @@ object TextAnalysis {
     s"""WITH base AS (SELECT ${piiCols(DuckD).mkString(", ")} FROM documents)
         SELECT *, $piiDerived FROM base ORDER BY doc_id"""
 
+  /** Redaction stages, applied in order, specific before general: URL
+    * first (an address inside a URL is swallowed by `[URL]`, not
+    * double-masked), and SSN-shaped ids BEFORE phones (the digit-dash
+    * run also matches the looser phone pattern, and the specific tag
+    * is the right one). Fixed stage order is what makes the output
+    * deterministic. */
+  private val redactStages: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "[URL]",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "[ID]",
+    "\\+?[0-9][0-9()\\- ]{7,}[0-9]" -> "[PHONE]")
+
+  private def redactedExpr(d: Dialect): String =
+    redactStages.foldLeft("text") { case (acc, (pat, tag)) =>
+      d match {
+        case SparkD => s"regexp_replace($acc, '${re(pat, d)}', '$tag')"
+        case DuckD  => s"regexp_replace($acc, '${re(pat, d)}', '$tag', 'g')"
+      }
+    }
+
+  /** PII REDACTION — the action [[piiScan]]'s detection gates: mask
+    * every email/phone/URL/SSN-shaped span with a typed tag, keeping
+    * the surrounding text intact (the release form of a corpus that
+    * failed the scan). Same RE2-safe patterns as the scan; a chain of
+    * 4 codegen'd regexp_replace stages per row, embarrassingly
+    * parallel. The per-doc match counts ride along from the ORIGINAL
+    * text so downstream can audit how much was masked. The fixture is
+    * word-soup, so `LlmSpec` pins the replacement behavior on crafted
+    * positives; the oracle proves cross-engine parity of the chain. */
+  def piiRedactDf(df: DataFrame): DataFrame =
+    df.selectExpr(Seq("doc_id", s"${redactedExpr(SparkD)} AS text_redacted")
+      ++ piiCols(SparkD).tail: _*)
+
+  def piiRedacted(spark: SparkSession, dir: String): DataFrame =
+    piiRedactDf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val piiRedactedOracle: String =
+    s"""SELECT doc_id, ${redactedExpr(DuckD)} AS text_redacted,
+          ${piiCols(DuckD).tail.mkString(", ")}
+        FROM documents ORDER BY doc_id"""
+
   // ---- TF-IDF-style keyword extraction ----
 
   private val topTermsK = 5

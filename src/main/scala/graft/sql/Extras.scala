@@ -651,16 +651,26 @@ object Extras {
       .unionByName(o.filter("o_orderkey % 11 = 0")
         .selectExpr("o_orderkey + 1000000000 AS key", "'I' AS op",
           "o_custkey", "o_orderstatus", "price_cents"))
+    applyChanges(o, changes)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "price_cents / CAST(100 AS DOUBLE) AS total_price")
+      .orderBy("o_orderkey")
+  }
+
+  /** One CDC application step: drop base rows whose key is touched,
+    * then union the upserted/inserted versions. Public so the
+    * streaming fold spec can prove the micro-batch decomposition —
+    * applying a changelog in key-disjoint batches, state-to-state,
+    * lands on the same snapshot as one bulk apply (the property that
+    * makes a `foreachBatch` CDC sink correct). */
+  def applyChanges(base: DataFrame, changes: DataFrame): DataFrame = {
     val touched = changes.filter("op IN ('U', 'D')").select("key")
-    val kept = o.join(broadcast(touched),
-      o("o_orderkey") === touched("key"), "left_anti")
+    val kept = base.join(broadcast(touched),
+      base("o_orderkey") === touched("key"), "left_anti")
     val applied = changes.filter("op <> 'D'")
       .selectExpr("key AS o_orderkey", "o_custkey", "o_orderstatus",
         "price_cents")
     kept.unionByName(applied)
-      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
-        "price_cents / CAST(100 AS DOUBLE) AS total_price")
-      .orderBy("o_orderkey")
   }
 
   val cdcApplyOracle: String =

@@ -41,6 +41,50 @@ class RefreshSpec extends SparkSpec {
     }
   }
 
+  test("cdc apply decomposes into key-disjoint micro-batches") {
+    // the property a foreachBatch CDC sink relies on: folding the
+    // changelog batch-by-batch through applyChanges lands on exactly
+    // the one-shot snapshot, as long as batches don't split a key
+    import org.apache.spark.sql.functions.{abs => sabs, col, hash, lit, pmod}
+    val o = graft.io.Tables.orders(spark, sfTiny)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents")
+    val changes = o.filter("o_orderkey % 7 = 0")
+      .selectExpr("o_orderkey AS key",
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op",
+        "o_custkey", "o_orderstatus", "price_cents + 10000 AS price_cents")
+      .unionByName(o.filter("o_orderkey % 11 = 0")
+        .selectExpr("o_orderkey + 1000000000 AS key", "'I' AS op",
+          "o_custkey", "o_orderstatus", "price_cents"))
+    val oneShot = Extras.applyChanges(o, changes)
+      .orderBy("o_orderkey").collect()
+    val folded = (0 until 3).foldLeft(o) { (state, b) =>
+      // key-hash batching: disjoint by construction; materialized so
+      // each step is a clean state-to-state transition
+      val batch = changes.filter(pmod(sabs(hash(col("key"))), lit(3)) === b)
+      Extras.applyChanges(state, batch).localCheckpoint()
+    }.orderBy("o_orderkey").collect()
+    assert(folded.length == oneShot.length && folded.length > 0)
+    assert(folded.sameElements(oneShot))
+  }
+
+  test("pii redaction masks every span type and leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at jane.doe@example.com or +1 (555) 123-4567 ok"),
+      (2L, "see https://example.com/a?b=c#d for details"),
+      (3L, "ssn 123-45-6789 on file"),
+      (4L, "perfectly clean prose with no identifiers"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.piiRedactDf(df)
+      .select("doc_id", "text_redacted").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "contact me at [EMAIL] or [PHONE] ok")
+    assert(got(2L) == "see [URL] for details")
+    assert(got(3L) == "ssn [ID] on file")
+    assert(got(4L) == "perfectly clean prose with no identifiers")
+  }
+
   test("tfidf pairs: duplicates hit cosine 1.0, disjoint docs never pair") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
