@@ -222,6 +222,10 @@ object SparkEntry {
     "suppliers_top_by_nation" -> ((s, d) => Extras.topSuppliersByNation(s, d)),
     "orders_above_customer_avg" -> ((s, d) => Extras.ordersAboveCustomerAvg(s, d)),
     "corpus_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "parts_abc_analysis" -> ((s, d) => Extras.partsAbcAnalysis(s, d)),
+    "customer_balance_quartiles" -> ((s, d) => Extras.customerBalanceQuartiles(s, d)),
+    "parts_brand_summary" -> ((s, d) => Extras.partsBrandSummary(s, d)),
+    "revenue_share_of_parent" -> ((s, d) => Extras.revenueShareOfParent(s, d)),
     "customers_without_orders" -> ((s, d) => Extras.customersWithoutOrders(s, d)),
     "customers_with_orders_by_segment" -> ((s, d) => Extras.customersWithOrdersBySegment(s, d)),
     "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
@@ -373,6 +377,10 @@ object SparkEntry {
     "suppliers_top_by_nation" -> Extras.topSuppliersByNationOracle,
     "orders_above_customer_avg" -> Extras.ordersAboveCustomerAvgOracle,
     "corpus_stratified_sample" -> Curation.stratifiedSampleOracle,
+    "parts_abc_analysis" -> Extras.partsAbcAnalysisOracle,
+    "customer_balance_quartiles" -> Extras.customerBalanceQuartilesOracle,
+    "parts_brand_summary" -> Extras.partsBrandSummaryOracle,
+    "revenue_share_of_parent" -> Extras.revenueShareOfParentOracle,
     "customers_without_orders" -> Extras.customersWithoutOrdersOracle,
     "customers_with_orders_by_segment" -> Extras.customersWithOrdersBySegmentOracle,
     "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,

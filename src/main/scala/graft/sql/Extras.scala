@@ -160,6 +160,156 @@ object Extras {
          count(*) AS n_lines
        FROM sales_tx GROUP BY category ORDER BY category""")
 
+  /** ABC / Pareto analysis over part revenue: rank parts by revenue,
+    * accumulate the share, and classify A (first 80% of revenue),
+    * B (next 15%), C (tail) — the inventory-prioritization classic.
+    * The window runs over the PART-grain aggregate (dimension-sized —
+    * the event volume died in the first map-side-combined agg), and
+    * the class boundaries are integer cross-multiplications
+    * (`cum·100 ≤ total·80`), so no division ever decides a boundary
+    * row. Ties on revenue are broken by part key for a total order. */
+  def partsAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perPart = graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents")
+      .groupBy("l_partkey").agg(sum("cents").as("cents"))
+    val w = Window.orderBy(desc("cents"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .withColumn("total_cents",
+        sum(col("cents")).over(Window.partitionBy()))
+      .selectExpr("l_partkey", "cents",
+        """CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class""")
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
+      .selectExpr("abc_class", "n_parts",
+        "cents / CAST(100 AS DOUBLE) AS revenue")
+      .orderBy("abc_class")
+  }
+
+  val partsAbcAnalysisOracle: String =
+    """WITH p AS (SELECT l_partkey,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT)) AS BIGINT) AS cents
+          FROM lineitem GROUP BY 1),
+        r AS (SELECT *,
+            CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_cents,
+            CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+          FROM p),
+        c AS (SELECT l_partkey, cents,
+            CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                 WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                 ELSE 'C' END AS abc_class
+          FROM r)
+        SELECT abc_class, count(*) AS n_parts,
+          CAST(sum(cents) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+        FROM c GROUP BY 1 ORDER BY 1"""
+
+  /** Per-segment customer balance quartiles — the exact
+    * percentile↔quantile_cont pairing over cent-quantized balances
+    * (interpolation over integers is binary-fraction arithmetic, so
+    * the doubles are cross-engine exact; the established
+    * category-quartiles argument applied to the customer dim). */
+  def customerBalanceQuartiles(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.customer(spark, dir)
+      .selectExpr("c_mktsegment",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        expr("percentile(bal_cents, 0.25) / 100 AS q1"),
+        expr("percentile(bal_cents, 0.5) / 100 AS median"),
+        expr("percentile(bal_cents, 0.75) / 100 AS q3"))
+      .orderBy("c_mktsegment")
+
+  val customerBalanceQuartilesOracle: String =
+    """WITH q AS (SELECT c_mktsegment,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer)
+        SELECT c_mktsegment, count(*) AS n_customers,
+          quantile_cont(bal_cents, 0.25) / 100 AS q1,
+          quantile_cont(bal_cents, 0.5) / 100 AS median,
+          quantile_cont(bal_cents, 0.75) / 100 AS q3
+        FROM q GROUP BY 1 ORDER BY 1"""
+
+  /** Part-dimension profile: per brand, counts, distinct types/sizes,
+    * and cent-exact retail price stats — dimension-table QA. */
+  def partsBrandSummary(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.part(spark, dir)
+      .selectExpr("p_brand", "p_type", "p_size",
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        countDistinct(col("p_size")).as("n_sizes"),
+        min("price_cents").as("min_cents"),
+        max("price_cents").as("max_cents"),
+        sum("price_cents").as("sum_cents"))
+      .selectExpr("p_brand", "n_parts",
+        "CAST(n_types AS BIGINT) AS n_types",
+        "CAST(n_sizes AS BIGINT) AS n_sizes",
+        "min_cents / CAST(100 AS DOUBLE) AS min_price",
+        "max_cents / CAST(100 AS DOUBLE) AS max_price",
+        "sum_cents / CAST(100 AS DOUBLE) / n_parts AS mean_price")
+      .orderBy("p_brand")
+
+  val partsBrandSummaryOracle: String =
+    """WITH p AS (SELECT p_brand, p_type, p_size,
+            CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+          FROM part)
+        SELECT p_brand, count(*) AS n_parts,
+          CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+          CAST(count(DISTINCT p_size) AS BIGINT) AS n_sizes,
+          min(price_cents) / CAST(100 AS DOUBLE) AS min_price,
+          max(price_cents) / CAST(100 AS DOUBLE) AS max_price,
+          CAST(sum(price_cents) AS BIGINT) / CAST(100 AS DOUBLE) / count(*)
+            AS mean_price
+        FROM p GROUP BY 1 ORDER BY 1"""
+
+  /** Share-of-parent hierarchy over the Q5 lineage: each nation's
+    * revenue as a share of its region and of the world — two window
+    * levels over the (region, nation) aggregate (25 rows: the window
+    * sorts a dimension-sized relation, not data). Exact integer
+    * ratios in fixed double trees. */
+  def revenueShareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    revenueByNation(spark, dir)
+      .selectExpr("region", "nation",
+        "CAST(round(revenue * 100) AS BIGINT) AS cents")
+      .withColumn("region_cents",
+        sum(col("cents")).over(Window.partitionBy("region")))
+      .withColumn("world_cents",
+        sum(col("cents")).over(Window.partitionBy()))
+      .selectExpr("region", "nation",
+        "cents / CAST(100 AS DOUBLE) AS revenue",
+        "cents / CAST(region_cents AS DOUBLE) AS share_of_region",
+        "cents / CAST(world_cents AS DOUBLE) AS share_of_world")
+      .orderBy("region", "nation")
+  }
+
+  // lazy: revenueByNationOracle is declared later in this object, and
+  // a strict val here would capture null at initialization order
+  lazy val revenueShareOfParentOracle: String = {
+    val inner = revenueByNationOracle
+    s"""WITH rn AS ($inner),
+        w AS (SELECT region, nation,
+            CAST(round(revenue * 100) AS BIGINT) AS cents FROM rn),
+        s AS (SELECT *,
+            CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT)
+              AS region_cents,
+            CAST(sum(cents) OVER () AS BIGINT) AS world_cents
+          FROM w)
+        SELECT region, nation, cents / CAST(100 AS DOUBLE) AS revenue,
+          cents / CAST(region_cents AS DOUBLE) AS share_of_region,
+          cents / CAST(world_cents AS DOUBLE) AS share_of_world
+        FROM s ORDER BY region, nation"""
+  }
+
   /** Weekday seasonality: order volume and cent-exact revenue by ISO
     * day-of-week. Date-part extraction is the dialect trap here —
     * Spark's `weekday` is Monday=0, DuckDB's `dayofweek` is Sunday=0;
