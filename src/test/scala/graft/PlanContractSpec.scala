@@ -88,6 +88,24 @@ class PlanContractSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("join strategy hints are honored") {
+    // the escape hatch when the optimizer's choice is wrong at scale:
+    // a SHUFFLE_HASH hint must beat the SMJ default (no sort, build a
+    // hash map per partition) and a MERGE hint must force SMJ back
+    val a = graft.io.Tables.events(spark, sfTiny).select("user_id", "value")
+    val b = graft.io.Tables.events(spark, sfTiny).groupBy("user_id").count()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hashed = a.hint("shuffle_hash").join(b, "user_id")
+        .queryExecution.executedPlan.toString
+      assert(hashed.contains("ShuffledHashJoin"), s"hint ignored:\n$hashed")
+      val merged = a.hint("merge").join(b, "user_id")
+        .queryExecution.executedPlan.toString
+      assert(merged.contains("SortMergeJoin"), s"hint ignored:\n$merged")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("AQE splits a skewed shuffle join at runtime") {
     // the runtime skew lever: one key holding 99% of the left side
     // must be detected AFTER the shuffle materializes and split into

@@ -93,6 +93,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("stream-static broadcast join == batch join on sf0.001") {
+    // the enrichment shape: a streaming fact joined to a static
+    // broadcast dim needs no state and no watermark — the static side
+    // is just a local relation in every micro-batch plan
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = Seq(("purchase", "rev"), ("refund", "rev"),
+      ("view", "eng"), ("click", "eng"), ("cart_add", "eng"))
+      .toDF("event_type", "bucket")
+    val streamed = {
+      val q = EventsStream.rawEventsStream(spark, sfTiny)
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("static_join_out").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("static_join_out").orderBy("bucket").collect()
+    }
+    val batch = graft.io.Tables.events(spark, sfTiny)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming sliding-window agg == batch sliding agg on sf0.001") {
     val q = EventsStream.slidingWindowStream(spark, sfTiny)
       .writeStream
