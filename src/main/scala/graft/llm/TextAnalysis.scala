@@ -564,23 +564,29 @@ object TextAnalysis {
     * one term-keyed equi-join with bounded occupancy, then two
     * broadcast-sized norm joins. */
   def tfidfPairs(spark: SparkSession, dir: String): DataFrame = {
+    // direct grams3(words), NOT let1: the words array has exactly ONE
+    // consumer here (the generator input, evaluated once per row), so
+    // the let1 binding would only add nested-lambda interpretation
+    // overhead — measured 3.4s vs 1.0s for this stream at sf0.1. let1
+    // pays off when the array is referenced MULTIPLE times in one
+    // projection (repetition, contamination), not in a single-use
+    // generator.
     val grams = Tables.documents(spark, dir)
       .selectExpr("doc_id",
-        s"explode(${let1(words("lower(text)", SparkD), "wv", grams3("wv", SparkD))}) AS term")
+        s"explode(${grams3(words("lower(text)", SparkD), SparkD)}) AS term")
     val tf = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, tfidfDfMax))
-    // the weights relation feeds THREE consumers (norms + both join
-    // sides); bench mode persists it once via PlanCache so the token
-    // explode + two hash aggs don't run three times per query — the
-    // same staged-feature-table reuse the minhash tier gets from
-    // PlanCache.sideTable. Cold runs (Verify, tests) take the
-    // recompute path unchanged.
-    val wts = graft.PlanCache(spark, "tfidf_wts", dir) {
-      tf.join(df, Seq("term"))
-        .selectExpr("doc_id", "term",
-          s"CAST(round($tfidfQ * (tf / df)) AS BIGINT) AS wq")
-    }
+    // deliberately NOT PlanCache-persisted: the weights relation feeds
+    // three consumers, but a cached InMemoryRelation hides size stats
+    // from the planner, which then shuffle-joins where the live plan
+    // broadcasts the (tiny) df and norm relations — measured 2× slower
+    // end-to-end in an isolated sf0.1 run (30s vs 15s; within noise in
+    // full-bench context). Recomputing the narrow weights subtree is
+    // never worse than losing the broadcasts.
+    val wts = tf.join(df, Seq("term"))
+      .selectExpr("doc_id", "term",
+        s"CAST(round($tfidfQ * (tf / df)) AS BIGINT) AS wq")
     val norms = wts.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("n2"))
     val dots = wts.as("a").join(wts.as("b"), Seq("term"))
       .filter(col("a.doc_id") < col("b.doc_id"))
