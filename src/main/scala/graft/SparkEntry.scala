@@ -226,6 +226,7 @@ object SparkEntry {
     "customer_balance_quartiles" -> ((s, d) => Extras.customerBalanceQuartiles(s, d)),
     "parts_brand_summary" -> ((s, d) => Extras.partsBrandSummary(s, d)),
     "revenue_share_of_parent" -> ((s, d) => Extras.revenueShareOfParent(s, d)),
+    "orders_top_line_lateral" -> ((s, d) => Extras.topLineLateral(s, d)),
     "customers_without_orders" -> ((s, d) => Extras.customersWithoutOrders(s, d)),
     "customers_with_orders_by_segment" -> ((s, d) => Extras.customersWithOrdersBySegment(s, d)),
     "sales_pivot_by_status" -> ((s, d) => Extras.salesPivotByStatus(s, d)),
@@ -381,6 +382,7 @@ object SparkEntry {
     "customer_balance_quartiles" -> Extras.customerBalanceQuartilesOracle,
     "parts_brand_summary" -> Extras.partsBrandSummaryOracle,
     "revenue_share_of_parent" -> Extras.revenueShareOfParentOracle,
+    "orders_top_line_lateral" -> Extras.topLineLateralOracle,
     "customers_without_orders" -> Extras.customersWithoutOrdersOracle,
     "customers_with_orders_by_segment" -> Extras.customersWithOrdersBySegmentOracle,
     "sales_pivot_by_status" -> Extras.salesPivotByStatusOracle,

@@ -160,6 +160,31 @@ object Extras {
          count(*) AS n_lines
        FROM sales_tx GROUP BY category ORDER BY category""")
 
+  /** Correlated LATERAL subquery: for each sampled order, its single
+    * most expensive line item — the "top-1 per key, but written as a
+    * dependent subquery" SQL surface. Catalyst decorrelates the LIMIT
+    * subquery into a rank-window join (same physical shape as the
+    * explicit window form, so the declarative convenience costs
+    * nothing at scale); the identical text runs on DuckDB, which
+    * executes LATERAL natively. Values are copied verbatim (no
+    * arithmetic), ordering total on the unique order key. */
+  def topLineLateral(spark: SparkSession, dir: String): DataFrame = {
+    graft.io.Tables.orders(spark, dir).createOrReplaceTempView("tll_o")
+    graft.io.Tables.lineitem(spark, dir).createOrReplaceTempView("tll_l")
+    spark.sql(topLineLateralSql("tll_o", "tll_l"))
+  }
+
+  private def topLineLateralSql(o: String, l: String): String =
+    s"""SELECT o.o_orderkey, t.l_partkey, t.l_extendedprice
+        FROM $o o, LATERAL (
+          SELECT l_partkey, l_extendedprice FROM $l l
+          WHERE l.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_partkey LIMIT 1) t
+        WHERE o.o_orderkey % 10 = 0
+        ORDER BY o.o_orderkey"""
+
+  val topLineLateralOracle: String = topLineLateralSql("orders", "lineitem")
+
   /** ABC / Pareto analysis over part revenue: rank parts by revenue,
     * accumulate the share, and classify A (first 80% of revenue),
     * B (next 15%), C (tail) — the inventory-prioritization classic.
