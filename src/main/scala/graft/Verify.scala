@@ -1,12 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Hardened after round 4's gate loss: the driver runs this under a
+  * wall-clock timeout, and with 144 queries a sequential local[4] run
+  * exceeded it — the kill landed BEFORE oracle_sql.json was written, so
+  * the compare step had nothing to read and the whole round's
+  * correctness report was empty. Three changes close that failure mode:
+  * 1. oracle_sql.json is written FIRST — a timeout now yields partial
+  *    per-query rows instead of an empty report;
+  * 2. the core default follows the machine (availableProcessors), not a
+  *    hard-coded 4 — SPARK_GRAFT_CPUS still overrides;
+  * 3. queries run CONCURRENTLY from a small thread pool. Spark sessions
+  *    are thread-safe and the queries share no mutable state (PlanCache
+  *    is off here — Verify measures the cold path), so concurrent
+  *    submission just keeps the local scheduler saturated through each
+  *    query's single-threaded planning and parquet-commit phases. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,15 +38,6 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) =>
-      only.forall(_.contains(n)) }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,6 +54,29 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) }
+    val workers = math.max(2, math.min(8, cpus.toInt))
+    val pool = Executors.newFixedThreadPool(workers)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val t0 = System.nanoTime()
+    val runs = selected.toSeq.map { case (name, fn) =>
+      Future {
+        val s0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(
+            f"[verify] $name ok ${(System.nanoTime() - s0) / 1e9}%.1fs")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
+    }
+    Await.result(Future.sequence(runs), Duration.Inf)
+    pool.shutdown()
+    System.err.println(
+      f"[verify] ${selected.size} queries in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     spark.stop()
   }
 }

@@ -50,6 +50,12 @@ case class TopKAgg(
     else if (kExpr.eval() == null ||
       kExpr.eval().asInstanceOf[Number].intValue() <= 0)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0")
+    else if (kExpr.eval().asInstanceOf[Number].intValue() > TopKAgg.maxK)
+      // every group buffer eagerly allocates Array[Long](k) — an
+      // unbounded k turns a typo into a multi-GB per-group allocation
+      // at execution time; reject it at analysis time instead
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires k <= ${TopKAgg.maxK}")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -97,6 +103,10 @@ case class TopKAgg(
 }
 
 object TopKAgg {
+  /** Analysis-time ceiling on k: 2^20 longs = 8 MB per group buffer —
+    * far above any sane top-k, far below an executor-killing size. */
+  val maxK: Int = 1 << 20
+
   /** Primitive bounded min-heap: root is the SMALLEST retained value,
     * so a new candidate either beats the root (replace + sift down) or
     * is discarded in O(1). No boxing, O(k) memory. */

@@ -569,19 +569,6 @@ object Dedup {
           CAST(sum(cluster_size) AS BIGINT) AS n_docs
         FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
 
-  /** Shingle-containment verification on the band candidates —
-    * catches SUBSET duplication (one doc's shingles nearly all inside
-    * another's), which symmetric Jaccard under-scores: a paragraph
-    * pasted into a much longer doc has low resemblance but containment
-    * ≈ 1. Both directions are reported with the max flagged at 0.8.
-    * Honest recall note: MinHash bands estimate RESEMBLANCE, so a
-    * small-in-large pair whose Jaccard is far below the band threshold
-    * may never become a candidate — at scale a containment-first index
-    * uses bottom-k sketches of the smaller set instead; this tier
-    * verifies containment exactly on the candidates the shared band
-    * infrastructure already surfaces. No signature pre-filter here,
-    * deliberately: it estimates Jaccard and would re-bias candidates
-    * toward resemblance. */
   /** Degree distribution of the near-dup pair graph: how many dup
     * partners each document has, then how many documents sit at each
     * degree — the diagnostic separating "scattered pairs" from "one
@@ -630,6 +617,19 @@ object Dedup {
               JOIN p ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
         SELECT a, b, c FROM t ORDER BY a, b, c"""
 
+  /** Shingle-containment verification on the band candidates —
+    * catches SUBSET duplication (one doc's shingles nearly all inside
+    * another's), which symmetric Jaccard under-scores: a paragraph
+    * pasted into a much longer doc has low resemblance but containment
+    * ≈ 1. Both directions are reported with the max flagged at 0.8.
+    * Honest recall note: MinHash bands estimate RESEMBLANCE, so a
+    * small-in-large pair whose Jaccard is far below the band threshold
+    * may never become a candidate — at scale a containment-first index
+    * uses bottom-k sketches of the smaller set instead; this tier
+    * verifies containment exactly on the candidates the shared band
+    * infrastructure already surfaces. No signature pre-filter here,
+    * deliberately: it estimates Jaccard and would re-bias candidates
+    * toward resemblance. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = docFeatures(spark, dir).selectExpr("doc_id", "sh", "n")
     bandCandidates(spark, dir)

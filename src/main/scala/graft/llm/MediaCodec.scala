@@ -277,9 +277,18 @@ object MediaCodec {
     if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
     if (w % 2 != 0 || h % 2 != 0) return None
     if (cs != "420" && !cs.startsWith("420")) return None
-    val ySize = w * h
-    val cSize = (w / 2) * (h / 2)
-    val frameSize = ySize + 2 * cSize
+    // Sizes in Long: header-supplied dims (e.g. W65536 H65536) would
+    // overflow Int to a non-positive frameSize, sail past the truncated
+    // -frame check, and index payload at a negative offset. A frame
+    // larger than the payload can never fit, so reject it up front and
+    // only then narrow to Int (safe: bounded by payload.length).
+    val ySizeL = w.toLong * h
+    val cSizeL = (w.toLong / 2) * (h / 2)
+    val frameSizeL = ySizeL + 2 * cSizeL
+    if (frameSizeL <= 0 || frameSizeL > payload.length) return None
+    val ySize = ySizeL.toInt
+    val cSize = cSizeL.toInt
+    val frameSize = frameSizeL.toInt
     val sums = new Array[Long](3)
     val mins = Array(255, 255, 255)
     val maxs = Array(0, 0, 0)
@@ -291,7 +300,7 @@ object MediaCodec {
       if (!new String(payload, off, fnl - off, "US-ASCII").startsWith("FRAME"))
         return None
       val start = fnl + 1
-      if (start + frameSize > payload.length) return None // truncated frame
+      if (start.toLong + frameSize > payload.length) return None // truncated frame
       var j = 0
       while (j < frameSize) {
         val plane = if (j < ySize) 0 else if (j < ySize + cSize) 1 else 2

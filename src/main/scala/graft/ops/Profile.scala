@@ -178,15 +178,27 @@ object Profile {
       "l_returnflag" -> "str", "l_linestatus" -> "str",
       "l_shipdate" -> "date"))
 
+  /** Injective canonical rendering. Two hazards beyond type formatting:
+    * `concat_ws` SKIPS null fields (so (a,NULL,b) and (a,b,NULL) would
+    * collide), and a literal '|' inside a string value shifts field
+    * boundaries (("a|b","c") vs ("a","b|c")). Strings therefore get
+    * backslash-escaped ('\'→'\\', '|'→'\|') and every field is
+    * null-coalesced to the sentinel '\N' AFTER escaping — a real "\N"
+    * value escapes to "\\N", so the sentinel is unforgeable. The escape
+    * text is built from chr(92) so the SAME SQL works in both engines:
+    * Spark processes backslash escapes inside string literals, DuckDB
+    * does not, and chr() sidesteps that divergence entirely. */
   private def canon(c: String, kind: String, d: Dialect): String = {
     val str = if (d == SparkD) "STRING" else "VARCHAR"
-    kind match {
+    val e = kind match {
       case "int"   => s"CAST(CAST($c AS BIGINT) AS $str)"
       case "cents" => s"CAST(CAST(round($c * 100) AS BIGINT) AS $str)"
       case "tenk"  => s"CAST(CAST(round($c * 10000) AS BIGINT) AS $str)"
       case "date"  => s"CAST(CAST($c AS DATE) AS $str)"
-      case _       => c
+      case _       =>
+        s"replace(replace($c, chr(92), chr(92) || chr(92)), '|', chr(92) || '|')"
     }
+    s"coalesce($e, chr(92) || 'N')"
   }
 
   /** 15 hex chars (60 bits) of an md5 hex string → BIGINT: stays clear
@@ -258,9 +270,12 @@ object Profile {
         .join(parent, Seq("k"), "left_anti")
         .selectExpr("CAST(coalesce(sum(k_rows), 0) AS BIGINT) AS n_orphans",
           "CAST(count(*) AS BIGINT) AS n_orphan_keys")
+      // coalesce: sum over an EMPTY child table is NULL, but the audit
+      // must stay total — an empty batch has 0 rows, not unknown rows
+      // (the orphan branch already coalesces for the same reason).
       perKey.selectExpr(s"'$ct.$ck -> $pt.$pk' AS relationship",
-          "CAST(sum(k_rows) AS BIGINT) AS n_child",
-          "CAST(sum(CASE WHEN k IS NULL THEN k_rows ELSE 0 END) AS BIGINT) AS n_null_keys")
+          "CAST(coalesce(sum(k_rows), 0) AS BIGINT) AS n_child",
+          "CAST(coalesce(sum(CASE WHEN k IS NULL THEN k_rows ELSE 0 END), 0) AS BIGINT) AS n_null_keys")
         .crossJoin(orphans)
     }.reduce(_ unionByName _).orderBy("relationship")
 

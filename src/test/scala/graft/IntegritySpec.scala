@@ -53,6 +53,57 @@ class IntegritySpec extends SparkSpec {
     }
   }
 
+  test("checksum canonical encoding separates NULL position, pipe shifts, and the sentinel") {
+    // The canonical row string must be INJECTIVE: concat_ws skips NULL
+    // fields and a '|' inside a value shifts field boundaries, so
+    // without escaping these distinct rows hash identically — exactly
+    // the blind spot a migration check exists to catch.
+    def ck(nameSql: String, segSql: String): (Long, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ck_enc").toString
+      copyFixture(dir, Seq("region", "nation", "orders", "lineitem"))
+      spark.sql(
+        s"""SELECT CAST(1 AS BIGINT) AS c_custkey, $nameSql AS c_name,
+            CAST(0 AS BIGINT) AS c_nationkey, CAST(NULL AS DOUBLE) AS c_acctbal,
+            $segSql AS c_mktsegment""")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val r = Profile.tableChecksum(spark, dir).collect()
+        .find(_.getString(0) == "customer").get
+      (r.getLong(2), r.getLong(3))
+    }
+    val nullThenB = ck("CAST(NULL AS STRING)", "'b'")
+    val bThenNull = ck("'b'", "CAST(NULL AS STRING)")
+    assert(nullThenB != bThenNull, "NULL position must change the signature")
+    val pipeLeft = ck("'a|b'", "'c'")
+    val pipeRight = ck("'a'", "'b|c'")
+    assert(pipeLeft != pipeRight, "a value '|' must not shift field boundaries")
+    // a literal backslash-N value must not forge the NULL sentinel
+    val literalSentinel = ck("concat(chr(92), 'N')", "'b'")
+    assert(literalSentinel != nullThenB, "'\\N' value must differ from NULL")
+  }
+
+  test("fk audit is total on an empty child table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fk_empty").toString
+    Seq(0L).toDF("r_regionkey").write.parquet(s"$dir/region.parquet")
+    Seq((0L, 0L)).toDF("n_nationkey", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((10L, 0L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((100L, 10L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    // EMPTY lineitem: sum() over it is NULL — the audit must report 0s
+    Seq.empty[(Long, Long, Long)].toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq(1L).toDF("p_partkey").write.parquet(s"$dir/part.parquet")
+    Seq(1L).toDF("s_suppkey").write.parquet(s"$dir/supplier.parquet")
+    val rows = Profile.fkIntegrity(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("lineitem.l_orderkey -> orders.o_orderkey") == ((0L, 0L, 0L, 0L)))
+    assert(rows("lineitem.l_partkey -> part.p_partkey") == ((0L, 0L, 0L, 0L)))
+    assert(rows("orders.o_custkey -> customer.c_custkey") == ((1L, 0L, 0L, 0L)))
+  }
+
   test("fk audit counts exactly the planted orphans and null keys") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fk").toString

@@ -212,6 +212,15 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.decodeY4m("YUV4MPEG2 W3 H4 F25:1\n".getBytes("US-ASCII")).isEmpty)
     assert(MediaCodec.decodeY4m(
       "YUV4MPEG2 W4 H4 F25:1 C444\n".getBytes("US-ASCII")).isEmpty)
+    // header-supplied dims whose frame size overflows Int (65536² ≈ 2^32
+    // → a non-positive Int frameSize would sail past the truncation
+    // check and index at a negative offset); must reject, never throw
+    assert(MediaCodec.decodeY4m(
+      ("YUV4MPEG2 W65536 H65536 F25:1\nFRAME\n" + "x" * 64)
+        .getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodec.decodeY4m(
+      ("YUV4MPEG2 W1073741824 H2 F25:1\nFRAME\n" + "x" * 64)
+        .getBytes("US-ASCII")).isEmpty)
     // truncated mid-frame, garbage between frames, zero frames
     assert(MediaCodec.decodeY4m(good.dropRight(1)).isEmpty)
     assert(MediaCodec.decodeY4m(good ++ "tail".getBytes("US-ASCII")).isEmpty)

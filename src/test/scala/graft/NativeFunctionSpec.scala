@@ -146,5 +146,11 @@ class NativeFunctionSpec extends SparkSpec {
       spark.sql("SELECT graft_topk(v, 0) FROM nfs_topk_bad GROUP BY g").collect()
     }
     assert(badK.getMessage.contains("k > 0"))
+    // an absurd k must die at ANALYSIS time, not as a 16 GB per-group
+    // buffer allocation at execution time
+    val hugeK = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(v, 2000000000) FROM nfs_topk_bad GROUP BY g").collect()
+    }
+    assert(hugeK.getMessage.contains("k <="))
   }
 }
