@@ -5,7 +5,7 @@ import graft.etl.Entities
 import graft.pipelines._
 import graft.curated.Aggregations
 import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.sql.{AthenaQueries, Extras, OracleSql}
+import graft.sql.{AthenaQueries, Classics, Extras, OracleSql}
 import graft.streaming.{EventsStream, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -234,7 +234,21 @@ object SparkEntry {
     "file_provenance" -> ((s, d) => Extras.fileProvenance(s, d)),
     "csv_quarantine_split" -> ((s, d) => graft.io.IoChecks.csvQuarantineSplit(s, d)),
     "compaction_roundtrip" -> ((s, d) => graft.io.IoChecks.compactionRoundtrip(s, d)),
-    "format_roundtrips" -> ((s, d) => graft.io.IoChecks.formatRoundtrips(s, d)))
+    "format_roundtrips" -> ((s, d) => graft.io.IoChecks.formatRoundtrips(s, d)),
+    // classic decision-support shapes (TPC-H Q1..Q22 adapted; sql/Classics.scala)
+    "classic_pricing_summary" -> ((s, d) => Classics.pricingSummary(s, d)),
+    "classic_shipping_priority" -> ((s, d) => Classics.shippingPriority(s, d)),
+    "classic_forecast_revenue" -> ((s, d) => Classics.forecastRevenue(s, d)),
+    "classic_bilateral_trade" -> ((s, d) => Classics.bilateralTrade(s, d)),
+    "classic_market_share" -> ((s, d) => Classics.marketShare(s, d)),
+    "classic_returned_revenue" -> ((s, d) => Classics.returnedRevenue(s, d)),
+    "classic_order_distribution" -> ((s, d) => Classics.customerOrderDistribution(s, d)),
+    "classic_promo_share" -> ((s, d) => Classics.promoRevenueShare(s, d)),
+    "classic_top_supplier" -> ((s, d) => Classics.topSupplierByRevenue(s, d)),
+    "classic_small_order_revenue" -> ((s, d) => Classics.smallOrderRevenue(s, d)),
+    "classic_large_orders" -> ((s, d) => Classics.largeQuantityOrders(s, d)),
+    "classic_disjunctive_bands" -> ((s, d) => Classics.disjunctiveBandRevenue(s, d)),
+    "classic_lapsed_rich" -> ((s, d) => Classics.lapsedRichCustomers(s, d)))
 
   private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
     Aggregations.campaignPerformanceSummary(marketing(s, d))
@@ -390,6 +404,19 @@ object SparkEntry {
     "file_provenance" -> Extras.fileProvenanceOracle,
     "csv_quarantine_split" -> graft.io.IoChecks.csvQuarantineSplitOracle,
     "compaction_roundtrip" -> graft.io.IoChecks.compactionRoundtripOracle,
-    "format_roundtrips" -> graft.io.IoChecks.formatRoundtripsOracle
+    "format_roundtrips" -> graft.io.IoChecks.formatRoundtripsOracle,
+    "classic_pricing_summary" -> Classics.pricingSummaryOracle(),
+    "classic_shipping_priority" -> Classics.shippingPriorityOracle,
+    "classic_forecast_revenue" -> Classics.forecastRevenueOracle,
+    "classic_bilateral_trade" -> Classics.bilateralTradeOracle,
+    "classic_market_share" -> Classics.marketShareOracle,
+    "classic_returned_revenue" -> Classics.returnedRevenueOracle,
+    "classic_order_distribution" -> Classics.customerOrderDistributionOracle,
+    "classic_promo_share" -> Classics.promoRevenueShareOracle,
+    "classic_top_supplier" -> Classics.topSupplierByRevenueOracle,
+    "classic_small_order_revenue" -> Classics.smallOrderRevenueOracle,
+    "classic_large_orders" -> Classics.largeQuantityOrdersOracle,
+    "classic_disjunctive_bands" -> Classics.disjunctiveBandRevenueOracle,
+    "classic_lapsed_rich" -> Classics.lapsedRichCustomersOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

@@ -21,7 +21,12 @@ class PlanContractSpec extends SparkSpec {
     "corpus_epoch_plan", "dedup_canonical_quality",
     "corpus_embedding_coverage", "orders_retention_cohorts",
     "events_hourly_anomaly", "revenue_by_nation",
-    "curated_incremental_refresh", "text_tfidf_pairs", "orders_cdc_apply")
+    "curated_incremental_refresh", "text_tfidf_pairs", "orders_cdc_apply",
+    "classic_shipping_priority", "classic_bilateral_trade",
+    "classic_market_share", "classic_returned_revenue",
+    "classic_order_distribution", "classic_promo_share",
+    "classic_small_order_revenue", "classic_large_orders",
+    "classic_disjunctive_bands")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
@@ -55,6 +60,29 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("revenue_by_nation")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
     assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts in:\n$p")
+  }
+
+  test("classic top-k queries use TakeOrderedAndProject, never a global sort") {
+    Seq("classic_shipping_priority", "classic_returned_revenue").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
+  }
+
+  test("classic Q6 pushes its redundant raw-range guards into the scan") {
+    // plan.toString truncates the PushedFilters list; the formatted
+    // explain prints it in full
+    val p = SparkEntry.queries("classic_forecast_revenue")(spark, sfTiny)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.0499)"), p)
+    assert(p.contains("LessThan(l_quantity,24.01)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), p)
+  }
+
+  test("classic disjunctive-band join broadcasts the part dim") {
+    val p = plan("classic_disjunctive_bands")
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("a selective dim filter injects a runtime bloom filter into the fact scan") {
