@@ -192,6 +192,9 @@ object SparkEntry {
     "dedup_triangles" -> ((s, d) => Dedup.dedupTriangles(s, d)),
     "events_user_deciles" -> ((s, d) => EventsStream.userValueDeciles(s, d)),
     "events_rolling_7d" -> ((s, d) => EventsStream.rolling7d(s, d)),
+    "events_moving_avg" -> ((s, d) => EventsStream.movingAvg3(s, d)),
+    "customers_year_set_ops" -> ((s, d) => Extras.customerYearSetOps(s, d)),
+    "orders_time_rollup" -> ((s, d) => Extras.ordersTimeRollup(s, d)),
     "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_hourly_anomaly" -> ((s, d) => EventsStream.hourlyAnomaly(s, d)),
@@ -200,6 +203,7 @@ object SparkEntry {
     "events_type_totals_salted" -> ((s, d) => EventsStream.typeTotalsSalted(s, d)),
     "events_salted_join" -> ((s, d) => EventsStream.saltedJoinTotals(s, d)),
     "events_props_json" -> ((s, d) => EventsStream.propsJsonMetrics(s, d)),
+    "events_props_variant" -> ((s, d) => EventsStream.propsVariantMetrics(s, d)),
     "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
     "events_funnel" -> ((s, d) => EventsStream.funnelBatch(s, d)),
     "sales_cube" -> ((s, d) => Extras.salesCube(s, d)),
@@ -359,6 +363,9 @@ object SparkEntry {
     "dedup_triangles" -> Dedup.dedupTrianglesOracle,
     "events_user_deciles" -> EventsStream.userValueDecilesOracle,
     "events_rolling_7d" -> EventsStream.rolling7dOracle,
+    "events_moving_avg" -> EventsStream.movingAvg3Oracle,
+    "customers_year_set_ops" -> Extras.customerYearSetOpsOracle,
+    "orders_time_rollup" -> Extras.ordersTimeRollupOracle,
     "events_type_transitions" -> EventsStream.typeTransitionsOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
@@ -372,6 +379,7 @@ object SparkEntry {
     "events_type_totals_salted" -> EventsStream.typeTotalsSaltedOracle,
     "events_salted_join" -> EventsStream.saltedJoinTotalsOracle,
     "events_props_json" -> EventsStream.propsJsonMetricsOracle,
+    "events_props_variant" -> EventsStream.propsVariantMetricsOracle,
     "events_sessionized" -> Sessionize.sessionsBatchOracle,
     "events_funnel" -> EventsStream.funnelBatchOracle,
     "sales_cube" -> Extras.salesCubeOracle,

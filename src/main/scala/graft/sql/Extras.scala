@@ -1007,4 +1007,81 @@ object Extras {
     * file name + total count. */
   val fileProvenanceOracle: String =
     "SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows FROM lineitem"
+
+  /** §2.6 set-op completion: INTERSECT and both EXCEPT directions over
+    * the 1997-vs-1998 active-customer key sets, tagged and counted.
+    * Spark plans INTERSECT as a distinct left-semi join and EXCEPT as
+    * a distinct left-anti — both equi-shuffles on the key, no sort.
+    * At 100 TB the distinct collapses each year's orders to its
+    * customer-key set BEFORE the join, so the set op moves keys, not
+    * order rows. */
+  def customerYearSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def activeIn(year: Int) = graft.io.Tables.table(spark, dir, "orders")
+      .filter(s"extract(year FROM CAST(o_orderdate AS DATE)) = $year")
+      .select("o_custkey")
+    val a = activeIn(1997)
+    val b = activeIn(1998)
+    def tag(df: DataFrame, t: String) =
+      df.agg(count(lit(1)).as("n_customers")).selectExpr(s"'$t' AS cohort",
+        "n_customers")
+    tag(a.intersect(b), "both_years")
+      .unionByName(tag(a.except(b), "only_1997"))
+      .unionByName(tag(b.except(a), "only_1998"))
+      .orderBy("cohort")
+  }
+
+  val customerYearSetOpsOracle: String =
+    """WITH a AS (SELECT o_custkey FROM orders
+          WHERE extract(year FROM CAST(o_orderdate AS DATE)) = 1997),
+        b AS (SELECT o_custkey FROM orders
+          WHERE extract(year FROM CAST(o_orderdate AS DATE)) = 1998)
+        SELECT 'both_years' AS cohort, count(*) AS n_customers
+          FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        UNION ALL
+        SELECT 'only_1997', count(*)
+          FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        UNION ALL
+        SELECT 'only_1998', count(*)
+          FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        ORDER BY cohort"""
+
+  /** Time-hierarchy ROLLUP: (year, quarter, month) subtotals over
+    * orders in one pass — the calendar drill-down every revenue
+    * dashboard runs. ROLLUP plans as a single Expand (4 grouping sets)
+    * into one hash agg: the fact table is read ONCE for all four
+    * levels, vs four separate scans+aggs. Rolled-up levels are
+    * coalesced to -1 (calendar fields are never negative) instead of
+    * NULL so the final ordering is total under BOTH engines' NULL
+    * placement rules. Revenue stays an exact cent sum until the one
+    * final division. */
+  def ordersTimeRollup(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.table(spark, dir, "orders")
+      .selectExpr(
+        "CAST(extract(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year",
+        "CAST(extract(quarter FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_quarter",
+        "CAST(extract(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_month",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .rollup("o_year", "o_quarter", "o_month")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+      .selectExpr("coalesce(o_year, -1) AS o_year",
+        "coalesce(o_quarter, -1) AS o_quarter",
+        "coalesce(o_month, -1) AS o_month", "n_orders",
+        "CAST(cents AS DOUBLE) / 100.0 AS revenue")
+      .orderBy("o_year", "o_quarter", "o_month")
+
+  val ordersTimeRollupOracle: String =
+    """WITH q AS (SELECT
+          CAST(extract(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+          CAST(extract(quarter FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_quarter,
+          CAST(extract(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_month,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        g AS (SELECT o_year, o_quarter, o_month, count(*) AS n_orders,
+            sum(cents) AS cents
+          FROM q GROUP BY ROLLUP (o_year, o_quarter, o_month))
+        SELECT coalesce(o_year, -1) AS o_year,
+          coalesce(o_quarter, -1) AS o_quarter,
+          coalesce(o_month, -1) AS o_month, n_orders,
+          CAST(cents AS DOUBLE) / 100.0 AS revenue
+        FROM g ORDER BY o_year, o_quarter, o_month"""
 }

@@ -166,6 +166,47 @@ object EventsStream {
           n_events_7d, cents_7d / CAST(100 AS DOUBLE) AS value_7d
         FROM r ORDER BY day_s"""
 
+  /** The ROWS-frame twin of [[rolling7d]]: a per-type 3-observation
+    * trailing window (2 PRECEDING + CURRENT) over the daily series —
+    * positional frames are the right tool when the question is "the
+    * last k observations" rather than "the last k calendar days"
+    * (they differ exactly when days are missing, which the scaladoc
+    * of [[rolling7d]] pins from the other side). The average divides
+    * the exact integer frame-sum by the frame's own row count, so
+    * partial leading frames (1 or 2 rows) are correct, not padded.
+    * One exchange: the (type, day) agg; the window repartitions by
+    * event_type, a handful of rows per partition. */
+  def movingAvg3(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day_s")
+      .rowsBetween(-2, 0)
+    daily
+      .withColumn("n_3d", sum(col("n_events")).over(w))
+      .withColumn("w_rows", count(lit(1)).over(w))
+      .selectExpr("event_type", "day_s", "n_events", "n_3d", "w_rows",
+        "CAST(n_3d AS DOUBLE) / w_rows AS avg_3obs")
+      .orderBy("event_type", "day_s")
+  }
+
+  val movingAvg3Oracle: String =
+    """WITH daily AS (SELECT event_type,
+            CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day_s,
+            count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT *,
+            CAST(sum(n_events) OVER w AS BIGINT) AS n_3d,
+            CAST(count(*) OVER w AS BIGINT) AS w_rows
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day_s
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        SELECT event_type, day_s, n_events, n_3d, w_rows,
+          CAST(n_3d AS DOUBLE) / w_rows AS avg_3obs
+        FROM r ORDER BY event_type, day_s"""
+
   /** MapType surface: per user, a map of event_type → count built with
     * `map_from_entries(collect_list(struct(…)))`, then keyed lookups
     * (`element_at`) and `map` introspection project SCALARS out — the
@@ -523,9 +564,70 @@ object EventsStream {
         "unix_micros(session_window.start) AS session_start_us",
         "unix_micros(session_window.end) AS session_end_us", "n_events")
 
-  /** Semi-structured column handling: `props` is a JSON string; the
-    * codegen'd JSON-path extraction promotes it to a typed column
-    * without a parse UDF, then aggregates. At scale this is the
+  /** The VARIANT tier of semi-structured handling (Spark 4's native
+    * open-schema type, the engine-level successor to string JSON):
+    * each event's fields are composed into ONE nested JSON document
+    * (ints only — float-to-text formatting is engine-dependent and
+    * has no place in a deterministic fixture), ~1% of documents are
+    * deterministically truncated to exercise the failure channel,
+    * then `try_parse_json` produces a VARIANT (NULL on malformed —
+    * never a throw) and `variant_get` extracts typed values through
+    * nested paths. Why VARIANT instead of get_json_object at 100 TB:
+    * the document parses ONCE into a binary-encoded value that all
+    * downstream path extractions share, instead of re-tokenizing the
+    * string per path; shredded storage keeps extraction columnar.
+    * The DuckDB oracle walks the same documents with its JSON type
+    * (json_valid + json_extract), pinning cross-engine agreement of
+    * the parse-reject set and every extracted value. */
+  def propsVariantMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .selectExpr("event_type",
+        "concat('{\"u\":', CAST(user_id AS STRING), " +
+          "',\"c\":', CAST(CAST(round(value * 100) AS BIGINT) AS STRING), " +
+          "',\"p\":', props, '}') AS j")
+      .selectExpr("event_type",
+        "CASE WHEN event_type = 'error' THEN substr(j, 1, length(j) - 1) " +
+          "ELSE j END AS jm")
+      .selectExpr("event_type", "try_parse_json(jm) AS v")
+      .selectExpr("event_type",
+        "CASE WHEN v IS NULL THEN 1 ELSE 0 END AS bad",
+        "variant_get(v, '$.p.k', 'bigint') AS k",
+        "variant_get(v, '$.c', 'bigint') AS cents",
+        "variant_get(v, '$.u', 'bigint') AS u")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("bad").as("n_bad_json"),
+        sum("k").as("sum_k"), sum("cents").as("sum_cents"),
+        countDistinct(col("u")).as("n_users"))
+      .orderBy("event_type")
+
+  val propsVariantMetricsOracle: String =
+    """WITH doc AS (SELECT event_type,
+          concat('{"u":', CAST(user_id AS VARCHAR),
+            ',"c":', CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+            ',"p":', props, '}') AS j
+          FROM events),
+        mal AS (SELECT event_type,
+          CASE WHEN event_type = 'error' THEN substr(j, 1, length(j) - 1)
+            ELSE j END AS jm FROM doc),
+        ext AS (SELECT event_type,
+          CASE WHEN json_valid(jm) THEN 0 ELSE 1 END AS bad,
+          CASE WHEN json_valid(jm)
+            THEN CAST(json_extract_string(jm, '$.p.k') AS BIGINT) END AS k,
+          CASE WHEN json_valid(jm)
+            THEN CAST(json_extract_string(jm, '$.c') AS BIGINT) END AS cents,
+          CASE WHEN json_valid(jm)
+            THEN CAST(json_extract_string(jm, '$.u') AS BIGINT) END AS u
+          FROM mal)
+        SELECT event_type, count(*) AS n_events,
+          CAST(sum(bad) AS BIGINT) AS n_bad_json,
+          CAST(sum(k) AS BIGINT) AS sum_k,
+          CAST(sum(cents) AS BIGINT) AS sum_cents,
+          count(DISTINCT u) AS n_users
+        FROM ext GROUP BY event_type ORDER BY event_type"""
+
+  /** String-JSON tier kept alongside the VARIANT tier: the codegen'd
+    * JSON-path extraction promotes `props` to a typed column without
+    * a parse UDF, then aggregates. At scale this is the
     * "schema-on-read for the messy column" pattern — extraction
     * happens inside the scan projection, nothing materializes the raw
     * JSON twice. */
