@@ -195,6 +195,9 @@ object SparkEntry {
     "events_moving_avg" -> ((s, d) => EventsStream.movingAvg3(s, d)),
     "customers_year_set_ops" -> ((s, d) => Extras.customerYearSetOps(s, d)),
     "orders_time_rollup" -> ((s, d) => Extras.ordersTimeRollup(s, d)),
+    "orders_table_diff" -> ((s, d) => Extras.tableDiff(s, d)),
+    "parts_union_evolved" -> ((s, d) => Extras.partsUnionEvolved(s, d)),
+    "lineitem_zorder_locality" -> ((s, d) => graft.ops.Scale.zorderLocality(s, d)),
     "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_hourly_anomaly" -> ((s, d) => EventsStream.hourlyAnomaly(s, d)),
@@ -366,6 +369,9 @@ object SparkEntry {
     "events_moving_avg" -> EventsStream.movingAvg3Oracle,
     "customers_year_set_ops" -> Extras.customerYearSetOpsOracle,
     "orders_time_rollup" -> Extras.ordersTimeRollupOracle,
+    "orders_table_diff" -> Extras.tableDiffOracle,
+    "parts_union_evolved" -> Extras.partsUnionEvolvedOracle,
+    "lineitem_zorder_locality" -> graft.ops.Scale.zorderLocalityOracle,
     "events_type_transitions" -> EventsStream.typeTransitionsOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,

@@ -118,4 +118,54 @@ object Scale {
            / CAST(100 AS DOUBLE) AS urgent_revenue
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        WHERE o.o_orderpriority = '1-URGENT'"""
+
+  import graft.llm.Gen.{Dialect, DuckD, SparkD, intDiv}
+
+  /** Morton (z-order) bit interleave of two `bits`-bit non-negative
+    * keys, as pure integer div/mod arithmetic — no engine bit-op
+    * dialect, so the SAME formula (modulo integer-division spelling)
+    * runs in Spark and DuckDB and stays inside whole-stage codegen. */
+  private def zorderExpr(x: String, y: String, bits: Int, d: Dialect): String =
+    (0 until bits).flatMap { i =>
+      val p = (1L << i).toString
+      Seq(s"(${intDiv(x, p, d)} % 2) * ${1L << (2 * i)}",
+        s"(${intDiv(y, p, d)} % 2) * ${1L << (2 * i + 1)}")
+    }.mkString("(", " + ", ")")
+
+  /** Z-order locality report: interleave (partkey, suppkey) into a
+    * 32-bit Morton key and show that every bucket of the z-keyspace
+    * confines BOTH dimensions — each bucket (top 10 z-bits = top 5
+    * bits of each dim) bounds partkey AND suppkey within a 2^11-wide
+    * range, which is the property that makes z-clustering prune 2-D
+    * predicates. [[graft.io.Writers.sortedZone]] clusters one key;
+    * sorting by `zkey` instead clusters BOTH at once: parquet row-group
+    * min/max stay narrow on partkey and suppkey simultaneously, so a
+    * scan filtered on either dimension (or both) skips most row
+    * groups. That trade is exactly why lakehouse OPTIMIZE ... ZORDER
+    * exists; here it is an inspectable 32-term integer expression, not
+    * an engine intrinsic. */
+  def zorderLocality(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val z = zorderExpr("xk", "yk", 16, SparkD)
+    graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey % 65536 AS xk", "l_suppkey % 65536 AS yk")
+      .selectExpr("xk", "yk", s"$z AS zkey")
+      .selectExpr("zkey DIV 4194304 AS z_bucket", "xk", "yk")
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        (max("xk") - min("xk")).as("x_span"),
+        (max("yk") - min("yk")).as("y_span"))
+      .orderBy("z_bucket")
+  }
+
+  val zorderLocalityOracle: String = {
+    val z = zorderExpr("xk", "yk", 16, DuckD)
+    s"""WITH k AS (SELECT l_partkey % 65536 AS xk, l_suppkey % 65536 AS yk
+          FROM lineitem),
+        zk AS (SELECT xk, yk, $z AS zkey FROM k),
+        b AS (SELECT (zkey // 4194304) AS z_bucket, xk, yk FROM zk)
+        SELECT z_bucket, count(*) AS n_rows,
+          max(xk) - min(xk) AS x_span, max(yk) - min(yk) AS y_span
+        FROM b GROUP BY z_bucket ORDER BY z_bucket"""
+  }
 }

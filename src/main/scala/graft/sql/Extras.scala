@@ -814,11 +814,17 @@ object Extras {
     * is one scan + union — the merge pattern a lakehouse MERGE INTO
     * compiles to when the delta is dimension-sized. Money stays in
     * integer cents until the final projection. */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val o = graft.io.Tables.orders(spark, dir)
+  /** The quantized orders snapshot the CDC fixtures run on. */
+  private def ordersSnapshot(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.orders(spark, dir)
       .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
         "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents")
-    val changes = o.filter("o_orderkey % 7 = 0")
+
+  /** The deterministic changelog shared by [[cdcApply]] and
+    * [[tableDiff]]: keys ≡ 0 mod 7 update (or, when also ≡ 0 mod 3,
+    * delete); keys ≡ 0 mod 11 insert under a shifted key. */
+  private def ordersChangelog(o: DataFrame): DataFrame =
+    o.filter("o_orderkey % 7 = 0")
       .selectExpr("o_orderkey AS key",
         "CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op",
         "o_custkey", "o_orderstatus",
@@ -826,7 +832,10 @@ object Extras {
       .unionByName(o.filter("o_orderkey % 11 = 0")
         .selectExpr("o_orderkey + 1000000000 AS key", "'I' AS op",
           "o_custkey", "o_orderstatus", "price_cents"))
-    applyChanges(o, changes)
+
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersSnapshot(spark, dir)
+    applyChanges(o, ordersChangelog(o))
       .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
         "price_cents / CAST(100 AS DOUBLE) AS total_price")
       .orderBy("o_orderkey")
@@ -1068,6 +1077,120 @@ object Extras {
         "coalesce(o_month, -1) AS o_month", "n_orders",
         "CAST(cents AS DOUBLE) / 100.0 AS revenue")
       .orderBy("o_year", "o_quarter", "o_month")
+
+  /** Table diff — the INVERSE of [[cdcApply]]: given two versions of a
+    * table, derive what changed (the changelog a CDC system would have
+    * emitted). v2 here is the applied CDC snapshot, so the diff's
+    * added/removed/changed census is forced to reconcile exactly with
+    * the changelog that produced it — inserts appear as added, deletes
+    * as removed, updates as changed with the known +100.00 delta.
+    * Mechanics: one full-outer join on the key, presence classifies
+    * added/removed, and surviving pairs compare content with
+    * IS DISTINCT FROM (null-safe, dialect-identical). Scale shape: the
+    * full-outer key shuffle is the irreducible cost of diffing two
+    * unsorted 100 TB tables; the practical mitigations are comparing
+    * narrow per-row checksums instead of wide rows (tableChecksum's
+    * canonical string) and diffing partition-by-partition where layout
+    * allows. Output is the aggregate census, exact to the cent. */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = ordersSnapshot(spark, dir)
+    val v2 = applyChanges(base, ordersChangelog(base))
+      .selectExpr("o_orderkey AS v2_key", "o_custkey AS v2_custkey",
+        "o_orderstatus AS v2_status", "price_cents AS v2_cents")
+    base.join(v2, col("o_orderkey") === col("v2_key"), "full_outer")
+      .selectExpr(
+        """CASE WHEN o_orderkey IS NULL THEN 'added'
+               WHEN v2_key IS NULL THEN 'removed'
+               WHEN o_custkey IS DISTINCT FROM v2_custkey
+                 OR o_orderstatus IS DISTINCT FROM v2_status
+                 OR price_cents IS DISTINCT FROM v2_cents THEN 'changed'
+               ELSE 'unchanged' END AS status""",
+        "coalesce(v2_cents, 0) - coalesce(price_cents, 0) AS delta_cents")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("delta_cents").as("delta_cents"))
+      .selectExpr("status", "n_rows",
+        "delta_cents / CAST(100 AS DOUBLE) AS value_delta")
+      .orderBy("status")
+  }
+
+  val tableDiffOracle: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM orders),
+        changes AS (
+          SELECT o_orderkey AS key,
+            CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+            o_custkey, o_orderstatus, price_cents + 10000 AS price_cents
+          FROM o WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000, 'I', o_custkey, o_orderstatus,
+            price_cents
+          FROM o WHERE o_orderkey % 11 = 0),
+        v2 AS (
+          SELECT o.o_orderkey AS v2_key, o.o_custkey AS v2_custkey,
+            o.o_orderstatus AS v2_status, o.price_cents AS v2_cents
+          FROM o WHERE NOT EXISTS (SELECT 1 FROM changes c
+            WHERE c.op IN ('U', 'D') AND c.key = o.o_orderkey)
+          UNION ALL
+          SELECT key, o_custkey, o_orderstatus, price_cents
+          FROM changes WHERE op <> 'D'),
+        d AS (SELECT
+            CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                 WHEN v2.v2_key IS NULL THEN 'removed'
+                 WHEN o.o_custkey IS DISTINCT FROM v2.v2_custkey
+                   OR o.o_orderstatus IS DISTINCT FROM v2.v2_status
+                   OR o.price_cents IS DISTINCT FROM v2.v2_cents THEN 'changed'
+                 ELSE 'unchanged' END AS status,
+            coalesce(v2.v2_cents, 0) - coalesce(o.price_cents, 0) AS delta_cents
+          FROM o FULL OUTER JOIN v2 ON o.o_orderkey = v2.v2_key)
+        SELECT status, count(*) AS n_rows,
+          CAST(sum(delta_cents) AS BIGINT) / CAST(100 AS DOUBLE) AS value_delta
+        FROM d GROUP BY status ORDER BY status"""
+
+  /** Schema-evolution union: two vintages of the part dim — an old
+    * extract missing the size/price columns and a new one carrying
+    * them — combine with `unionByName(allowMissingColumns = true)`,
+    * which pads the absent columns with NULL by NAME (a positional
+    * UNION would silently misalign). The census separates the
+    * vintages' contributions, so a pad bug cannot hide. This is the
+    * daily reality of a 100 TB lake: readers must span files written
+    * before and after a column was added, and the name-based
+    * resolution here is the same contract parquet schema merging
+    * applies at the file level. */
+  def partsUnionEvolved(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.io.Tables.table(spark, dir, "part")
+    val oldV = p.filter("p_partkey % 2 = 0")
+      .selectExpr("p_partkey", "p_brand", "'v1' AS vintage")
+    val newV = p.filter("p_partkey % 2 = 1")
+      .selectExpr("p_partkey", "p_brand", "'v2' AS vintage", "p_size",
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents")
+    oldV.unionByName(newV, allowMissingColumns = true)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        expr("sum(CASE WHEN vintage = 'v1' THEN 1 ELSE 0 END)").as("n_v1"),
+        expr("sum(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END)").as("n_no_size"),
+        expr("CAST(coalesce(sum(price_cents), 0) AS BIGINT)").as("cents"))
+      .selectExpr("p_brand", "n_parts", "n_v1", "n_no_size",
+        "cents / CAST(100 AS DOUBLE) AS priced_value")
+      .orderBy("p_brand")
+  }
+
+  val partsUnionEvolvedOracle: String =
+    """WITH u AS (
+          SELECT p_partkey, p_brand, 'v1' AS vintage,
+            NULL AS p_size, NULL AS price_cents
+          FROM part WHERE p_partkey % 2 = 0
+          UNION ALL
+          SELECT p_partkey, p_brand, 'v2', p_size,
+            CAST(round(p_retailprice * 100) AS BIGINT)
+          FROM part WHERE p_partkey % 2 = 1)
+        SELECT p_brand, count(*) AS n_parts,
+          CAST(sum(CASE WHEN vintage = 'v1' THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+          CAST(sum(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_size,
+          CAST(coalesce(sum(price_cents), 0) AS BIGINT) / CAST(100 AS DOUBLE)
+            AS priced_value
+        FROM u GROUP BY p_brand ORDER BY p_brand"""
 
   val ordersTimeRollupOracle: String =
     """WITH q AS (SELECT

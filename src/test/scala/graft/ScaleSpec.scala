@@ -78,4 +78,17 @@ class ScaleSpec extends SparkSpec {
     assert(passed < total,
       s"bloom passed everything: $passed of $total (true=$trueMatches)")
   }
+
+  test("z-order buckets confine BOTH key dimensions") {
+    // top 10 z-bits = top 5 bits of each 16-bit dim → within a bucket
+    // each dimension spans < 2^11. This is the 2-D pruning property;
+    // a plain single-key sort would leave the other dim's span ~full.
+    val rows = graft.ops.Scale.zorderLocality(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, xs, ys) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(xs < 2048, s"bucket $b x_span $xs")
+      assert(ys < 2048, s"bucket $b y_span $ys")
+    }
+  }
 }
