@@ -1192,6 +1192,47 @@ object Extras {
             AS priced_value
         FROM u GROUP BY p_brand ORDER BY p_brand"""
 
+  /** Recursive CTE (new engine surface in Spark 4) — hierarchy
+    * flattening: every part walks its synthetic ancestor chain
+    * parent = key DIV 10 (a clean decimal-trie hierarchy over the key
+    * space) down to root 0, and the rollup reports population and
+    * distinct-ancestor counts per depth. The recursion terminates
+    * because the key STRICTLY DECREASES each step — the shape to
+    * insist on, since Spark's recursive CTEs are UNION ALL-only today
+    * ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE], probed on 4.1.2), so a
+    * cyclic walk (e.g. transitive closure of the near-dup pair graph)
+    * cannot rely on the UNION-distinct fixpoint to converge and would
+    * enumerate paths forever; that closure stays on
+    * [[graft.llm.Dedup.dedupClusters]]'s pointer-jumping, which also
+    * beats row-per-step recursion at 100 TB (log-diameter rounds, one
+    * relation per round, dedup each round). Work here is bounded by
+    * key width: rows = parts × ~7 levels, each iteration one
+    * broadcast-free self-extension. The oracle runs the SAME text
+    * modulo integer-division spelling. */
+  def partsHierarchyRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.io.Tables.table(spark, dir, "part").select("p_partkey")
+      .createOrReplaceTempView("ph_part")
+    spark.sql(partsHierarchySql(graft.llm.Gen.SparkD, "ph_part"))
+  }
+
+  private def partsHierarchySql(d: graft.llm.Gen.Dialect,
+      table: String): String = {
+    val step = graft.llm.Gen.intDiv("a.anc_key", "10", d)
+    s"""WITH RECURSIVE anc(p_partkey, anc_key, depth) AS (
+          SELECT p_partkey, CAST(p_partkey AS BIGINT), 0 FROM $table
+          UNION ALL
+          SELECT a.p_partkey, $step, a.depth + 1
+          FROM anc a WHERE a.anc_key > 0)
+        SELECT depth, count(*) AS n_nodes,
+          count(DISTINCT anc_key) AS n_ancestors,
+          CAST(min(anc_key) AS BIGINT) AS min_key,
+          CAST(max(anc_key) AS BIGINT) AS max_key
+        FROM anc GROUP BY depth ORDER BY depth"""
+  }
+
+  val partsHierarchyRollupOracle: String =
+    partsHierarchySql(graft.llm.Gen.DuckD, "part")
+
   val ordersTimeRollupOracle: String =
     """WITH q AS (SELECT
           CAST(extract(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
