@@ -197,6 +197,7 @@ object SparkEntry {
     "orders_time_rollup" -> ((s, d) => Extras.ordersTimeRollup(s, d)),
     "orders_table_diff" -> ((s, d) => Extras.tableDiff(s, d)),
     "parts_hierarchy_rollup" -> ((s, d) => Extras.partsHierarchyRollup(s, d)),
+    "nations_supplier_roster" -> ((s, d) => Extras.supplierRoster(s, d)),
     "parts_union_evolved" -> ((s, d) => Extras.partsUnionEvolved(s, d)),
     "lineitem_zorder_locality" -> ((s, d) => graft.ops.Scale.zorderLocality(s, d)),
     "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
@@ -372,6 +373,7 @@ object SparkEntry {
     "orders_time_rollup" -> Extras.ordersTimeRollupOracle,
     "orders_table_diff" -> Extras.tableDiffOracle,
     "parts_hierarchy_rollup" -> Extras.partsHierarchyRollupOracle,
+    "nations_supplier_roster" -> Extras.supplierRosterOracle,
     "parts_union_evolved" -> Extras.partsUnionEvolvedOracle,
     "lineitem_zorder_locality" -> graft.ops.Scale.zorderLocalityOracle,
     "events_type_transitions" -> EventsStream.typeTransitionsOracle,

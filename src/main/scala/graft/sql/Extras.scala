@@ -1233,6 +1233,43 @@ object Extras {
   val partsHierarchyRollupOracle: String =
     partsHierarchySql(graft.llm.Gen.DuckD, "part")
 
+  /** Ordered string aggregation — the report column every BI export
+    * wants ("list the members, in order"). Spark has no ordered
+    * string_agg, and collect_list's order is partition-dependent, so
+    * the deterministic form is collect → sort_array by a TOTAL key →
+    * project → join: the sort happens per GROUP on the collected
+    * array (no global sort), making the result independent of
+    * partitioning — the property the md5 column proves, since it
+    * hashes the full ordered concatenation and must match DuckDB's
+    * string_agg(... ORDER BY) byte-for-byte. Scale note: the collected
+    * array lives in one aggregation buffer, so this is for
+    * dimension-sized groups (suppliers per nation); an unbounded
+    * event stream per group wants the TopKAgg heap instead. */
+  def supplierRoster(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.table(spark, dir, "supplier")
+      .join(broadcast(graft.io.Tables.table(spark, dir, "nation")
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sort_array(collect_list(struct(col("s_suppkey"), col("s_name"))))
+          .as("members"))
+      .selectExpr("nation", "n_suppliers",
+        "array_join(transform(slice(members, 1, 3), x -> x.s_name), ',') AS first3",
+        "md5(array_join(transform(members, x -> x.s_name), ',')) AS roster_md5")
+      .orderBy("nation")
+
+  val supplierRosterOracle: String =
+    """SELECT n.n_name AS nation, count(*) AS n_suppliers,
+          string_agg(s.s_name, ',' ORDER BY s.s_suppkey, s.s_name)
+            FILTER (WHERE rk <= 3) AS first3,
+          md5(string_agg(s.s_name, ',' ORDER BY s.s_suppkey, s.s_name))
+            AS roster_md5
+        FROM (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                ORDER BY s_suppkey, s_name) AS rk FROM supplier) s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name"""
+
   val ordersTimeRollupOracle: String =
     """WITH q AS (SELECT
           CAST(extract(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
