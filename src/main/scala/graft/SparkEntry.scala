@@ -172,6 +172,9 @@ object SparkEntry {
     "multimodal_video_stats" -> ((s, d) => Multimodal.videoStats(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "lineitem_moment_corr" -> ((s, d) => graft.ops.Profile.momentCorr(s, d)),
+    "lineitem_spearman" -> ((s, d) => graft.ops.Profile.spearmanCorr(s, d)),
+    "doc_truncation_loss" -> ((s, d) => Curation.truncationLoss(s, d)),
+    "dedup_tier_agreement" -> ((s, d) => Dedup.dedupTierAgreement(s, d)),
     "lineitem_key_skew" -> ((s, d) => graft.ops.Profile.keySkew(s, d)),
     "table_checksum" -> ((s, d) => graft.ops.Profile.tableChecksum(s, d)),
     "fk_integrity" -> ((s, d) => graft.ops.Profile.fkIntegrity(s, d)),
@@ -348,6 +351,9 @@ object SparkEntry {
     "ann_pq_recall" -> Similarity.pqRecallOracle,
     "table_profile" -> graft.ops.Profile.tableProfileOracle,
     "lineitem_moment_corr" -> graft.ops.Profile.momentCorrOracle,
+    "lineitem_spearman" -> graft.ops.Profile.spearmanCorrOracle,
+    "doc_truncation_loss" -> Curation.truncationLossOracle,
+    "dedup_tier_agreement" -> Dedup.dedupTierAgreementOracle,
     "lineitem_key_skew" -> graft.ops.Profile.keySkewOracle,
     "table_checksum" -> graft.ops.Profile.tableChecksumOracle,
     "fk_integrity" -> graft.ops.Profile.fkIntegrityOracle,

@@ -495,4 +495,47 @@ object Curation {
           CAST(n_stratum AS BIGINT) AS n_stratum
         FROM r WHERE rn <= ceil(n_stratum * $stratFrac)
         ORDER BY lang, sample_rank"""
+
+  /** Context-window truncation loss — the budgeting number a training
+    * pipeline reads before choosing max_seq_len: per source, how many
+    * documents exceed the cap and how many tokens fall off the end
+    * under truncate-to-cap (the alternative the packing manifest
+    * [[packSequences]] exists to avoid — chunking keeps those tokens,
+    * truncation spends them). Cap 64 sits inside the fixture's 10–99
+    * token range so both channels are non-trivial at every SF. One
+    * scan, one hash agg; the share is exact integers and one final
+    * division. */
+  private val truncCap = 64
+
+  def truncationLoss(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, dir)
+      .selectExpr("source",
+        s"CAST(${arrLen(words("text", SparkD), SparkD)} AS BIGINT) AS n_tokens")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        expr(s"sum(CASE WHEN n_tokens > $truncCap THEN 1 ELSE 0 END)")
+          .as("n_truncated"),
+        expr(s"sum(greatest(n_tokens - $truncCap, 0))").as("lost_tokens"))
+      .selectExpr("source", "n_docs", "total_tokens", "n_truncated",
+        "lost_tokens",
+        "CAST(lost_tokens AS DOUBLE) / total_tokens AS lost_share")
+      .orderBy("source")
+  }
+
+  val truncationLossOracle: String =
+    s"""WITH t AS (SELECT source,
+          CAST(${arrLen(words("text", DuckD), DuckD)} AS BIGINT) AS n_tokens
+          FROM documents),
+        g AS (SELECT source, count(*) AS n_docs,
+            sum(n_tokens) AS total_tokens,
+            sum(CASE WHEN n_tokens > $truncCap THEN 1 ELSE 0 END) AS n_truncated,
+            sum(greatest(n_tokens - $truncCap, 0)) AS lost_tokens
+          FROM t GROUP BY source)
+        SELECT source, n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+          CAST(n_truncated AS BIGINT) AS n_truncated,
+          CAST(lost_tokens AS BIGINT) AS lost_tokens,
+          CAST(lost_tokens AS DOUBLE) / total_tokens AS lost_share
+        FROM g ORDER BY source"""
 }

@@ -376,6 +376,45 @@ object Dedup {
         WHERE edit_distance * 10 <= max_len * 3
         ORDER BY doc_a, doc_b"""
 
+  /** Verification-tier agreement — the honest-measurement companion to
+    * running two dup-verifiers: among the SAME band candidates, which
+    * pairs does the Jaccard tier accept, which does the edit-distance
+    * tier accept, and where do they disagree. Jaccard-only pairs are
+    * typically shuffled/reordered content (same shingle multiset, high
+    * edit distance); edit-only pairs are small local rewrites that
+    * shift many shingles at once. Cost: both relations derive from the
+    * shared band-candidate set, so this is a full-outer join of two
+    * small pair tables — the verifiers' scans dominate, not the
+    * comparison. */
+  def dedupTierAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val j = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val e = editDistancePairs(spark, dir)
+      .selectExpr("doc_a AS e_a", "doc_b AS e_b")
+    j.join(e, col("doc_a") === col("e_a") && col("doc_b") === col("e_b"),
+        "full_outer")
+      .selectExpr(
+        """CASE WHEN doc_a IS NULL THEN 'edit_only'
+               WHEN e_a IS NULL THEN 'jaccard_only'
+               ELSE 'both' END AS tier""")
+      .groupBy("tier").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("tier")
+  }
+
+  /** The tier relations are the EXISTING oracles nested verbatim as
+    * subqueries — zero re-derivation, so this oracle cannot drift from
+    * the relations it measures. */
+  val dedupTierAgreementOracle: String =
+    s"""WITH jpairs AS (SELECT doc_a, doc_b FROM ($minhashPairsOracle)),
+        epairs AS (SELECT doc_a, doc_b FROM ($editDistancePairsOracle)),
+        t AS (SELECT CASE WHEN j.doc_a IS NULL THEN 'edit_only'
+                          WHEN e.doc_a IS NULL THEN 'jaccard_only'
+                          ELSE 'both' END AS tier
+              FROM jpairs j
+              FULL OUTER JOIN epairs e
+                ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b)
+        SELECT tier, count(*) AS n_pairs FROM t
+        GROUP BY tier ORDER BY tier"""
+
   // ---- cluster collapse (connected components over near-dup pairs) ----
 
   /** The step that turns near-dup PAIRS into a dedup DECISION: the

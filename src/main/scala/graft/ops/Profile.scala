@@ -178,6 +178,71 @@ object Profile {
       "l_returnflag" -> "str", "l_linestatus" -> "str",
       "l_shipdate" -> "date"))
 
+  /** Spearman rank correlation — the robust companion to
+    * [[momentCorr]]'s Pearson: correlate the RANKS, so monotone but
+    * non-linear association registers and outliers stop dominating.
+    * Exactness: values quantize to integers first, so rank ties are
+    * exact; ties take the textbook average rank, kept integral as
+    * 2·avgRank = 2·rank + tieCount − 1; ranks center by subtracting
+    * the known mean (n+1), making every product an exact BIGINT and
+    * the three sums order-independent; each rho is then ONE fixed
+    * double expression. Honest cost: ranking needs a global sort per
+    * variable — three total-order windows — which is the price of
+    * exact Spearman anywhere; at 100 TB swap the exact rank for a
+    * bucketed ECDF (rank ≈ cumulative histogram position), which
+    * turns each sort into one map-side-combined histogram. Product
+    * sums bound: |dx·dy| ≤ n² per row ⇒ BIGINT holds to n ≈ 2·10⁶
+    * rows; widen to DECIMAL beyond (the Q1 charge pattern). */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .selectExpr(
+        "CAST(round(l_quantity * 100) AS BIGINT) AS qx",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS qy",
+        "CAST(round(l_discount * 10000) AS BIGINT) AS qz")
+      .selectExpr(
+        "2 * rank() OVER (ORDER BY qx) + count(*) OVER (PARTITION BY qx) - 1 AS rx2",
+        "2 * rank() OVER (ORDER BY qy) + count(*) OVER (PARTITION BY qy) - 1 AS ry2",
+        "2 * rank() OVER (ORDER BY qz) + count(*) OVER (PARTITION BY qz) - 1 AS rz2",
+        "count(*) OVER () AS n")
+      .selectExpr("n", "rx2 - (n + 1) AS dx", "ry2 - (n + 1) AS dy",
+        "rz2 - (n + 1) AS dz")
+      .selectExpr(
+        "CAST(max(n) AS BIGINT) AS n",
+        "CAST(sum(dx * dx) AS BIGINT) AS sxx",
+        "CAST(sum(dy * dy) AS BIGINT) AS syy",
+        "CAST(sum(dz * dz) AS BIGINT) AS szz",
+        "CAST(sum(dx * dy) AS BIGINT) AS sxy",
+        "CAST(sum(dx * dz) AS BIGINT) AS sxz")
+      .selectExpr("n",
+        "CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))) AS rho_qty_price",
+        "CAST(sxz AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(szz AS DOUBLE))) AS rho_qty_disc")
+
+  val spearmanCorrOracle: String =
+    """WITH q AS (SELECT
+          CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS qy,
+          CAST(round(l_discount * 10000) AS BIGINT) AS qz
+          FROM lineitem),
+        r AS (SELECT
+            2 * rank() OVER (ORDER BY qx) + count(*) OVER (PARTITION BY qx) - 1 AS rx2,
+            2 * rank() OVER (ORDER BY qy) + count(*) OVER (PARTITION BY qy) - 1 AS ry2,
+            2 * rank() OVER (ORDER BY qz) + count(*) OVER (PARTITION BY qz) - 1 AS rz2,
+            count(*) OVER () AS n
+          FROM q),
+        d AS (SELECT n, rx2 - (n + 1) AS dx, ry2 - (n + 1) AS dy,
+            rz2 - (n + 1) AS dz FROM r),
+        m AS (SELECT CAST(max(n) AS BIGINT) AS n,
+            CAST(sum(dx * dx) AS BIGINT) AS sxx,
+            CAST(sum(dy * dy) AS BIGINT) AS syy,
+            CAST(sum(dz * dz) AS BIGINT) AS szz,
+            CAST(sum(dx * dy) AS BIGINT) AS sxy,
+            CAST(sum(dx * dz) AS BIGINT) AS sxz
+          FROM d)
+        SELECT n,
+          CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))) AS rho_qty_price,
+          CAST(sxz AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(szz AS DOUBLE))) AS rho_qty_disc
+        FROM m"""
+
   /** Injective canonical rendering. Two hazards beyond type formatting:
     * `concat_ws` SKIPS null fields (so (a,NULL,b) and (a,b,NULL) would
     * collide), and a literal '|' inside a string value shifts field
