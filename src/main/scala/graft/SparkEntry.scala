@@ -209,6 +209,8 @@ object SparkEntry {
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
     "events_last_click_asof" -> ((s, d) => EventsStream.purchaseAttributionAsOf(s, d)),
     "events_type_totals_salted" -> ((s, d) => EventsStream.typeTotalsSalted(s, d)),
+    "events_adaptive_salted" -> ((s, d) => graft.ops.Scale.adaptiveSaltedTotals(s, d)),
+    "migration_validation" -> ((s, d) => graft.io.IoChecks.migrationValidation(s, d)),
     "events_salted_join" -> ((s, d) => EventsStream.saltedJoinTotals(s, d)),
     "events_props_json" -> ((s, d) => EventsStream.propsJsonMetrics(s, d)),
     "events_props_variant" -> ((s, d) => EventsStream.propsVariantMetrics(s, d)),
@@ -393,6 +395,8 @@ object SparkEntry {
     "events_purchase_attribution" -> EventsStream.purchaseAttributionBatchOracle,
     "events_last_click_asof" -> EventsStream.purchaseAttributionAsOfOracle,
     "events_type_totals_salted" -> EventsStream.typeTotalsSaltedOracle,
+    "events_adaptive_salted" -> graft.ops.Scale.adaptiveSaltedTotalsOracle,
+    "migration_validation" -> graft.io.IoChecks.migrationValidationOracle,
     "events_salted_join" -> EventsStream.saltedJoinTotalsOracle,
     "events_props_json" -> EventsStream.propsJsonMetricsOracle,
     "events_props_variant" -> EventsStream.propsVariantMetricsOracle,

@@ -124,4 +124,45 @@ object IoChecks {
               CAST(sum(event_id) AS BIGINT) AS event_id_sum,
               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
        FROM events"""
+
+  /** End-to-end migration validation — [[graft.ops.Profile.tableChecksum]]
+    * APPLIED as its own gate: copy the three small dimension tables to
+    * a scratch "target system" with the physical layout deliberately
+    * changed (descending sort, single file), read the copies back, and
+    * compare per-table content signatures. Because row order and file
+    * layout differ by construction, a pass certifies the signatures
+    * are CONTENT-only — the order-independence the checksum promises —
+    * and the emitted content_match booleans are exactly the check a
+    * 100 TB copy job runs instead of re-reading both sides. The oracle
+    * recomputes source-side row counts and asserts the matches, so a
+    * false mismatch (or a checksum that ignores content) fails the
+    * gate. */
+  def migrationValidation(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("migration", sfDir)
+    val tables = Seq("region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey")
+    tables.foreach { case (t, k) =>
+      Tables.table(s, sfDir, t).orderBy(col(k).desc).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val names = tables.map(_._1).toSet
+    val src = graft.ops.Profile.tableChecksumOf(s, sfDir, names)
+    val dst = graft.ops.Profile.tableChecksumOf(s, dir, names)
+      .selectExpr("table_name", "n_rows AS d_rows", "xor_sig AS d_xor",
+        "sum_sig AS d_sum")
+    src.join(dst, Seq("table_name"))
+      .selectExpr("table_name", "n_rows",
+        "n_rows = d_rows AND xor_sig = d_xor AND sum_sig = d_sum AS content_match")
+      .orderBy("table_name")
+  }
+
+  val migrationValidationOracle: String =
+    """SELECT * FROM (
+         SELECT 'customer' AS table_name, count(*) AS n_rows,
+           CAST(1 AS BOOLEAN) AS content_match FROM customer
+         UNION ALL
+         SELECT 'nation', count(*), CAST(1 AS BOOLEAN) FROM nation
+         UNION ALL
+         SELECT 'region', count(*), CAST(1 AS BOOLEAN) FROM region)
+       ORDER BY table_name"""
 }

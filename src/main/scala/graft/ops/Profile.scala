@@ -285,17 +285,24 @@ object Profile {
     * map-side-combined global aggregate over a projection — the cost
     * is the scan, nothing shuffles but one partial-agg row per task. */
   def tableChecksum(spark: SparkSession, dir: String): DataFrame =
-    checksumTables.map { case (t, cs) =>
-      val key = cs.map { case (c, k) => canon(c, k, SparkD) }.mkString(", ")
-      Tables.table(spark, dir, t)
-        .selectExpr(s"md5(concat_ws('|', $key)) AS h")
-        .selectExpr(s"${hex2long("h", 1, SparkD)} AS h1",
-          s"${hex2long("h", 17, SparkD)} % 1048576 AS h2")
-        .selectExpr(s"'$t' AS table_name",
-          "CAST(count(*) AS BIGINT) AS n_rows",
-          "CAST(bit_xor(h1) AS BIGINT) AS xor_sig",
-          "CAST(sum(h2) AS BIGINT) AS sum_sig")
-    }.reduce(_ unionByName _).orderBy("table_name")
+    tableChecksumOf(spark, dir, checksumTables.map(_._1).toSet)
+
+  /** [[tableChecksum]] over a subset of the tables — the form a
+    * migration run uses to validate just the tables it copied. */
+  def tableChecksumOf(spark: SparkSession, dir: String,
+      only: Set[String]): DataFrame =
+    checksumTables.filter { case (t, _) => only.contains(t) }
+      .map { case (t, cs) =>
+        val key = cs.map { case (c, k) => canon(c, k, SparkD) }.mkString(", ")
+        Tables.table(spark, dir, t)
+          .selectExpr(s"md5(concat_ws('|', $key)) AS h")
+          .selectExpr(s"${hex2long("h", 1, SparkD)} AS h1",
+            s"${hex2long("h", 17, SparkD)} % 1048576 AS h2")
+          .selectExpr(s"'$t' AS table_name",
+            "CAST(count(*) AS BIGINT) AS n_rows",
+            "CAST(bit_xor(h1) AS BIGINT) AS xor_sig",
+            "CAST(sum(h2) AS BIGINT) AS sum_sig")
+      }.reduce(_ unionByName _).orderBy("table_name")
 
   val tableChecksumOracle: String =
     checksumTables.map { case (t, cs) =>

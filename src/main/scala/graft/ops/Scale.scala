@@ -119,6 +119,56 @@ object Scale {
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        WHERE o.o_orderpriority = '1-URGENT'"""
 
+  /** Adaptive salting: read the skew diagnostic FIRST — a one-row
+    * aggregate over the per-key counts — and take the two-phase salted
+    * plan only when max/mean crosses `threshold`. The single-row
+    * `head()` is an execution-strategy read, the same
+    * runtime-statistics pattern AQE itself uses to re-plan; it is not
+    * a data-path collect (the data never leaves the cluster). Returns
+    * the chosen plan plus the decision, so callers (and the oracle,
+    * which recomputes the ratio in SQL) can verify WHICH strategy ran,
+    * not just that the numbers came out right. */
+  def adaptiveSaltedAgg(df: DataFrame, keys: Seq[String], valueCol: String,
+      threshold: Double): (DataFrame, Boolean) = {
+    val perKey = df.groupBy(keys.map(col): _*).count()
+    val stats = perKey.agg(max("count").as("mx"), avg("count").as("mn")).head()
+    val salted = !stats.isNullAt(0) &&
+      stats.getLong(0) / stats.getDouble(1) > threshold
+    val out = if (salted) saltedAgg(df, keys, valueCol)
+      else df.groupBy(keys.map(col): _*)
+        .agg(sum(col(valueCol)).as(s"sum_$valueCol"),
+          count(lit(1)).as("n_rows"))
+    (out, salted)
+  }
+
+  /** [[adaptiveSaltedAgg]] surfaced as a query over the events table.
+    * The oracle recomputes the max/mean skew ratio in SQL and emits
+    * the SAME used_salting boolean, so the adaptive decision itself is
+    * oracle-checked, not just the totals. */
+  def adaptiveSaltedTotals(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.io.Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val (agged, salted) = adaptiveSaltedAgg(ev, Seq("event_type"), "cents", 2.0)
+    agged.selectExpr("event_type",
+        "CAST(sum_cents AS BIGINT) / CAST(100 AS DOUBLE) AS total_value",
+        "n_rows", s"CAST($salted AS BOOLEAN) AS used_salting")
+      .orderBy("event_type")
+  }
+
+  val adaptiveSaltedTotalsOracle: String =
+    """WITH ev AS (SELECT event_type,
+          CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        pk AS (SELECT event_type, count(*) AS c FROM ev GROUP BY event_type),
+        st AS (SELECT max(c) AS mx, avg(c) AS mn FROM pk),
+        g AS (SELECT event_type, sum(cents) AS sc, count(*) AS n_rows
+              FROM ev GROUP BY event_type)
+        SELECT g.event_type,
+          CAST(sc AS BIGINT) / CAST(100 AS DOUBLE) AS total_value, n_rows,
+          (SELECT mx / mn > 2.0 FROM st) AS used_salting
+        FROM g ORDER BY event_type"""
+
   import graft.llm.Gen.{Dialect, DuckD, SparkD, intDiv}
 
   /** Morton (z-order) bit interleave of two `bits`-bit non-negative

@@ -79,6 +79,29 @@ class ScaleSpec extends SparkSpec {
       s"bloom passed everything: $passed of $total (true=$trueMatches)")
   }
 
+  test("adaptive salting picks the right branch and both branches agree") {
+    import spark.implicits._
+    import graft.ops.Scale
+    // balanced: 3 keys × 10 rows → ratio 1, plain branch
+    val balanced = (1 to 30).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+    val (b, bSalted) = Scale.adaptiveSaltedAgg(balanced, Seq("k"), "v", 2.0)
+    assert(!bSalted, "balanced keys must not trigger salting")
+    // skewed: one key holds 97% of rows → salted branch
+    val skewed = ((1 to 97).map(i => ("hot", i.toLong)) ++
+      Seq(("a", 1L), ("b", 2L), ("c", 3L))).toDF("k", "v")
+    val (sk, skSalted) = Scale.adaptiveSaltedAgg(skewed, Seq("k"), "v", 2.0)
+    assert(skSalted, "a 97%-hot key must trigger salting")
+    // and the salted result equals the plain aggregation bit-for-bit
+    val plain = skewed.groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("sum_v"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = sk.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == plain)
+  }
+
   test("z-order buckets confine BOTH key dimensions") {
     // top 10 z-bits = top 5 bits of each 16-bit dim → within a bucket
     // each dimension spans < 2^11. This is the 2-D pruning property;
