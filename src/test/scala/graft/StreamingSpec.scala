@@ -148,4 +148,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length && streamed.length > 0)
     assert(streamed.sameElements(batch))
   }
+
+  test("idempotent foreachBatch sink survives a batch replay; append sink does not") {
+    // Exactly-once for foreachBatch is the SINK's job: after a crash
+    // between sink write and checkpoint commit, the engine re-delivers
+    // the same (batchId, data) — a sink keyed by batchId (overwrite of
+    // batch=<id>/) absorbs the replay; a blind append double-counts.
+    // This is the other half of the CDC fold property in RefreshSpec:
+    // that one proves state composition, this one proves re-delivery
+    // safety.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val idem = s"$root/idem"; val naive = s"$root/naive"
+    val replayable =
+      scala.collection.mutable.Map[Long, Seq[(Long, Long)]]()
+    def writeIdem(rows: Seq[(Long, Long)], id: Long): Unit =
+      rows.toDF("k", "cents").write.mode("overwrite")
+        .parquet(s"$idem/batch=$id")
+    def writeNaive(rows: Seq[(Long, Long)], id: Long): Unit =
+      rows.toDF("k", "cents").write.mode("append").parquet(naive)
+
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "cents")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        replayable(id) = rows
+        writeIdem(rows, id)
+        writeNaive(rows, id)
+      }.start()
+    try {
+      in.addData((1L, 100L), (2L, 200L)); q.processAllAvailable()
+      in.addData((1L, 300L)); q.processAllAvailable()
+    } finally q.stop()
+
+    def total(path: String): Long =
+      spark.read.parquet(path).agg(
+        org.apache.spark.sql.functions.sum("cents")).head().getLong(0)
+    val before = total(idem)
+    assert(before == 600L && total(naive) == 600L)
+
+    // crash-replay of the LAST committed batch, as the engine would
+    val lastId = replayable.keys.max
+    writeIdem(replayable(lastId), lastId)
+    writeNaive(replayable(lastId), lastId)
+    assert(total(idem) == before, "batchId-keyed overwrite must absorb replay")
+    assert(total(naive) == before + 300L,
+      "the naive append sink double-counts on replay — the hazard the " +
+        "idempotent layout exists to remove")
+  }
 }
