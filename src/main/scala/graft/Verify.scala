@@ -20,7 +20,15 @@ import scala.concurrent.duration.Duration
   *    are thread-safe and the queries share no mutable state (PlanCache
   *    is off here — Verify measures the cold path), so concurrent
   *    submission just keeps the local scheduler saturated through each
-  *    query's single-threaded planning and parquet-commit phases. */
+  *    query's single-threaded planning and parquet-commit phases.
+  *
+  * Concurrency invariant the query corpus upholds: the handful of
+  * temp-view names shared by multiple queries (sales_tx, the six
+  * curated_* views) are only ever created with IDENTICAL definitions
+  * for a given fixture dir, so a concurrent create-or-replace can
+  * never swap a different relation under another query's analysis;
+  * per-query scratch paths (IoChecks, migration) are keyed by query
+  * tag + dir and never collide. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
