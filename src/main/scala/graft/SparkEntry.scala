@@ -223,6 +223,7 @@ object SparkEntry {
     "sales_rollup" -> ((s, d) => Extras.salesRollup(s, d)),
     "sales_grouping_sets" -> ((s, d) => Extras.salesGroupingSets(s, d)),
     "category_quantity_quartiles" -> ((s, d) => Extras.categoryQuantityQuartiles(s, d)),
+    "category_quantity_quartiles_disc" -> ((s, d) => Extras.categoryQuantityQuartilesDisc(s, d)),
     // approx by construction → rows-only check, spec-bounded
     "category_quantity_quartiles_approx" -> ((s, d) => Extras.categoryQuantityQuartilesApprox(s, d)),
     "orders_null_safe_join" -> ((s, d) => Extras.nullSafeJoin(s, d)),
@@ -409,6 +410,7 @@ object SparkEntry {
     "sales_rollup" -> Extras.salesRollupOracle,
     "sales_grouping_sets" -> Extras.salesGroupingSetsOracle,
     "category_quantity_quartiles" -> Extras.categoryQuantityQuartilesOracle,
+    "category_quantity_quartiles_disc" -> Extras.categoryQuantityQuartilesDiscOracle,
     "orders_null_safe_join" -> Extras.nullSafeJoinOracle,
     "orders_typed_revenue" -> graft.ops.Typed.typedRevenueOracle,
     "events_user_first_last" -> EventsStream.userFirstLastOracle,

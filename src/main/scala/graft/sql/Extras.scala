@@ -160,6 +160,37 @@ object Extras {
          count(*) AS n_lines
        FROM sales_tx GROUP BY category ORDER BY category""")
 
+  /** The DISCRETE twin of [[categoryQuantityQuartiles]]:
+    * percentile_disc returns an actual data value (the smallest value
+    * whose cumulative distribution reaches p) instead of
+    * interpolating between neighbors — the right choice when the
+    * statistic must be a value that EXISTS (a real order quantity,
+    * a real latency) rather than a synthetic midpoint. Both engines'
+    * discrete quantile definitions agree exactly (no interpolation →
+    * no float arithmetic at all), making this the strictest
+    * cross-engine quantile pairing in the corpus; the WITHIN GROUP
+    * syntax is the ANSI form Spark added alongside the classic
+    * `percentile` call. Same exact-sort cost note as the continuous
+    * form: full sort per group, approx_percentile at 100 TB. */
+  def categoryQuantityQuartilesDisc(spark: SparkSession, dir: String): DataFrame = {
+    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
+    spark.sql(
+      """SELECT category,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY quantity) AS q1,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY quantity) AS median,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY quantity) AS q3,
+           count(*) AS n_lines
+         FROM sales_tx GROUP BY category ORDER BY category""")
+  }
+
+  val categoryQuantityQuartilesDiscOracle: String = OracleSql.withCtes(
+    """SELECT category,
+         quantile_disc(quantity, 0.25) AS q1,
+         quantile_disc(quantity, 0.5) AS median,
+         quantile_disc(quantity, 0.75) AS q3,
+         count(*) AS n_lines
+       FROM sales_tx GROUP BY category ORDER BY category""")
+
   /** Correlated LATERAL subquery: for each sampled order, its single
     * most expensive line item — the "top-1 per key, but written as a
     * dependent subquery" SQL surface. Catalyst decorrelates the LIMIT
