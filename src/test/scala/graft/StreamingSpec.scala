@@ -149,6 +149,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("VARIANT extraction runs inside a streaming query == batch result") {
+    // the VARIANT path (try_parse_json → variant_get) is a per-row
+    // projection, so it must be streamable with zero semantic drift —
+    // the third JSON tier alongside get_json_object (string) and
+    // from_json (typed struct), all three asserted equal here
+    import spark.implicits._
+    val streamed = {
+      val q = EventsStream.rawEventsStream(spark, sfTiny)
+        .selectExpr("event_type",
+          "variant_get(try_parse_json(props), '$.k', 'bigint') AS k")
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.sum("k").as("sum_k"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("var_stream_out").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("var_stream_out").orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    }
+    val ev = graft.io.Tables.events(spark, sfTiny)
+    def agg(kExpr: String) = ev
+      .selectExpr("event_type", s"$kExpr AS k")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.sum("k").as("sum_k"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val viaVariant = agg("variant_get(try_parse_json(props), '$.k', 'bigint')")
+    val viaString = agg("CAST(get_json_object(props, '$.k') AS BIGINT)")
+    val viaStruct = agg(
+      "CAST(from_json(props, 'k BIGINT').k AS BIGINT)")
+    assert(streamed.length > 0)
+    assert(streamed.sameElements(viaVariant))
+    assert(viaVariant.sameElements(viaString), "variant tier != string tier")
+    assert(viaVariant.sameElements(viaStruct), "variant tier != struct tier")
+  }
+
   test("idempotent foreachBatch sink survives a batch replay; append sink does not") {
     // Exactly-once for foreachBatch is the SINK's job: after a crash
     // between sink write and checkpoint commit, the engine re-delivers
