@@ -196,6 +196,7 @@ object SparkEntry {
     "events_user_deciles" -> ((s, d) => EventsStream.userValueDeciles(s, d)),
     "events_rolling_7d" -> ((s, d) => EventsStream.rolling7d(s, d)),
     "events_moving_avg" -> ((s, d) => EventsStream.movingAvg3(s, d)),
+    "events_user_growth" -> ((s, d) => EventsStream.userGrowth(s, d)),
     "customers_year_set_ops" -> ((s, d) => Extras.customerYearSetOps(s, d)),
     "orders_time_rollup" -> ((s, d) => Extras.ordersTimeRollup(s, d)),
     "orders_table_diff" -> ((s, d) => Extras.tableDiff(s, d)),
@@ -378,6 +379,7 @@ object SparkEntry {
     "events_user_deciles" -> EventsStream.userValueDecilesOracle,
     "events_rolling_7d" -> EventsStream.rolling7dOracle,
     "events_moving_avg" -> EventsStream.movingAvg3Oracle,
+    "events_user_growth" -> EventsStream.userGrowthOracle,
     "customers_year_set_ops" -> Extras.customerYearSetOpsOracle,
     "orders_time_rollup" -> Extras.ordersTimeRollupOracle,
     "orders_table_diff" -> Extras.tableDiffOracle,

@@ -166,6 +166,52 @@ object EventsStream {
           n_events_7d, cents_7d / CAST(100 AS DOUBLE) AS value_7d
         FROM r ORDER BY day_s"""
 
+  /** Daily active / new / cumulative-distinct users — the growth
+    * dashboard triple. Cumulative COUNT(DISTINCT) over a window is
+    * the textbook trap (Spark would need collect_set state linear in
+    * users; engines that allow it pay the same); the scalable rewrite
+    * used here is FIRST-SEEN decomposition: cumulative distinct users
+    * at day d ≡ users whose first day ≤ d, so one per-user min-day
+    * aggregate + a per-day count + a running sum over the (tiny) day
+    * spine replaces the unbounded distinct state. Active counts come
+    * from the (day, user) distinct relation — map-side combined
+    * before its exchange. All integers; the oracle runs the SAME
+    * rewrite, so the identity it rests on is cross-checked. */
+  def userGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUser = Tables.events(spark, dir)
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("day_s"),
+        col("user_id"))
+      .distinct()
+    val active = dayUser.groupBy("day_s")
+      .agg(count(lit(1)).as("n_active"))
+    val firstSeen = dayUser.groupBy("user_id")
+      .agg(min("day_s").as("day_s"))
+      .groupBy("day_s").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstSeen, Seq("day_s"), "left")
+      .selectExpr("day_s", "n_active", "coalesce(n_new, 0) AS n_new")
+      .withColumn("n_cum_users", sum(col("n_new")).over(w))
+      .orderBy("day_s")
+  }
+
+  val userGrowthOracle: String =
+    """WITH du AS (SELECT DISTINCT
+          CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day_s,
+          user_id
+        FROM events),
+        active AS (SELECT day_s, count(*) AS n_active FROM du GROUP BY day_s),
+        fs AS (SELECT user_id, min(day_s) AS day_s FROM du GROUP BY user_id),
+        nw AS (SELECT day_s, count(*) AS n_new FROM fs GROUP BY day_s),
+        j AS (SELECT a.day_s, a.n_active, coalesce(nw.n_new, 0) AS n_new
+              FROM active a LEFT JOIN nw ON a.day_s = nw.day_s)
+        SELECT day_s, n_active, n_new,
+          CAST(sum(n_new) OVER (ORDER BY day_s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_cum_users
+        FROM j ORDER BY day_s"""
+
   /** The ROWS-frame twin of [[rolling7d]]: a per-type 3-observation
     * trailing window (2 PRECEDING + CURRENT) over the daily series —
     * positional frames are the right tool when the question is "the
