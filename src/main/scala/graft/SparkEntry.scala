@@ -202,6 +202,8 @@ object SparkEntry {
     "orders_table_diff" -> ((s, d) => Extras.tableDiff(s, d)),
     "parts_hierarchy_rollup" -> ((s, d) => Extras.partsHierarchyRollup(s, d)),
     "nations_supplier_roster" -> ((s, d) => Extras.supplierRoster(s, d)),
+    "orders_benford_digits" -> ((s, d) => Extras.benfordDigits(s, d)),
+    "parts_brand_copurchase" -> ((s, d) => Extras.brandCopurchase(s, d)),
     "parts_union_evolved" -> ((s, d) => Extras.partsUnionEvolved(s, d)),
     "lineitem_zorder_locality" -> ((s, d) => graft.ops.Scale.zorderLocality(s, d)),
     "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
@@ -385,6 +387,8 @@ object SparkEntry {
     "orders_table_diff" -> Extras.tableDiffOracle,
     "parts_hierarchy_rollup" -> Extras.partsHierarchyRollupOracle,
     "nations_supplier_roster" -> Extras.supplierRosterOracle,
+    "orders_benford_digits" -> Extras.benfordDigitsOracle,
+    "parts_brand_copurchase" -> Extras.brandCopurchaseOracle,
     "parts_union_evolved" -> Extras.partsUnionEvolvedOracle,
     "lineitem_zorder_locality" -> graft.ops.Scale.zorderLocalityOracle,
     "events_type_transitions" -> EventsStream.typeTransitionsOracle,

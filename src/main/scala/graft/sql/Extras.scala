@@ -191,6 +191,72 @@ object Extras {
          count(*) AS n_lines
        FROM sales_tx GROUP BY category ORDER BY category""")
 
+  /** Benford first-significant-digit audit — the data-forensics
+    * screen for fabricated or unit-mangled money columns: natural
+    * multi-magnitude amounts follow log10(1+1/d), so a flat or spiky
+    * digit histogram is the cheapest fraud/ETL-bug tripwire there is.
+    * The first digit comes from the CENTS INTEGER rendered as text
+    * (no float log arithmetic to diverge between engines); expected
+    * shares are fixed literals, and the deviation is |observed −
+    * expected| summed in one pass. One scan, a 9-row agg. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.orders(spark, dir)
+      .selectExpr(
+        "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit")
+      .filter("digit BETWEEN 1 AND 9")
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      .selectExpr("digit", "n_orders",
+        "CAST(n_orders AS DOUBLE) / CAST(sum(n_orders) OVER () AS DOUBLE) AS observed_share",
+        "log10(1.0 + 1.0 / digit) AS benford_share")
+      .orderBy("digit")
+
+  val benfordDigitsOracle: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+            AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders),
+        g AS (SELECT digit, count(*) AS n_orders FROM d
+              WHERE digit BETWEEN 1 AND 9 GROUP BY digit)
+        SELECT digit, n_orders,
+          CAST(n_orders AS DOUBLE)
+            / CAST(sum(n_orders) OVER () AS DOUBLE) AS observed_share,
+          log10(1.0 + 1.0 / digit) AS benford_share
+        FROM g ORDER BY digit"""
+
+  /** Market-basket co-purchase pairs: brand pairs appearing in the
+    * same order, counted and top-k'd — the self-join primitive under
+    * every "customers also bought" feature. The self-join is keyed on
+    * the order (equi-shuffle) and its fan-out is bounded by
+    * lines-per-order SQUARED (≤ 7² here, and small everywhere —
+    * basket size, not corpus size, bounds the blowup; the brand<brand
+    * guard halves it and drops self-pairs). The distinct-per-order
+    * step collapses multi-line same-brand orders BEFORE the join —
+    * the pre-aggregation that keeps the pair stream minimal. */
+  def brandCopurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ob = graft.io.Tables.lineitem(spark, dir)
+      .join(broadcast(graft.io.Tables.table(spark, dir, "part")
+          .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .distinct()
+    ob.selectExpr("l_orderkey", "p_brand AS brand_a")
+      .join(ob.selectExpr("l_orderkey AS ok2", "p_brand AS brand_b"),
+        col("l_orderkey") === col("ok2") && col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), asc("brand_a"), asc("brand_b"))
+      .limit(20)
+  }
+
+  val brandCopurchaseOracle: String =
+    """WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+          FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+            AND a.p_brand < b.p_brand)
+        SELECT brand_a, brand_b, count(*) AS n_orders
+        FROM pairs GROUP BY brand_a, brand_b
+        ORDER BY n_orders DESC, brand_a, brand_b LIMIT 20"""
+
   /** Correlated LATERAL subquery: for each sampled order, its single
     * most expensive line item — the "top-1 per key, but written as a
     * dependent subquery" SQL surface. Catalyst decorrelates the LIMIT
