@@ -5,7 +5,7 @@ import graft.etl.Entities
 import graft.pipelines._
 import graft.curated.Aggregations
 import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.sql.{AthenaQueries, Classics, Extras, OracleSql}
+import graft.sql.{Analytics, AthenaQueries, Classics, Extras, OracleSql}
 import graft.streaming.{EventsStream, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -204,6 +204,9 @@ object SparkEntry {
     "nations_supplier_roster" -> ((s, d) => Extras.supplierRoster(s, d)),
     "orders_benford_digits" -> ((s, d) => Extras.benfordDigits(s, d)),
     "parts_brand_copurchase" -> ((s, d) => Extras.brandCopurchase(s, d)),
+    "customer_rfm_segments" -> ((s, d) => Analytics.rfmSegments(s, d)),
+    "parts_skyline" -> ((s, d) => Analytics.partsSkyline(s, d)),
+    "nation_revenue_lorenz" -> ((s, d) => Analytics.nationRevenueLorenz(s, d)),
     "parts_union_evolved" -> ((s, d) => Extras.partsUnionEvolved(s, d)),
     "lineitem_zorder_locality" -> ((s, d) => graft.ops.Scale.zorderLocality(s, d)),
     "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
@@ -389,6 +392,9 @@ object SparkEntry {
     "nations_supplier_roster" -> Extras.supplierRosterOracle,
     "orders_benford_digits" -> Extras.benfordDigitsOracle,
     "parts_brand_copurchase" -> Extras.brandCopurchaseOracle,
+    "customer_rfm_segments" -> Analytics.rfmSegmentsOracle,
+    "parts_skyline" -> Analytics.partsSkylineOracle,
+    "nation_revenue_lorenz" -> Analytics.nationRevenueLorenzOracle,
     "parts_union_evolved" -> Extras.partsUnionEvolvedOracle,
     "lineitem_zorder_locality" -> graft.ops.Scale.zorderLocalityOracle,
     "events_type_transitions" -> EventsStream.typeTransitionsOracle,
