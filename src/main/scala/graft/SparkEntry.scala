@@ -207,6 +207,10 @@ object SparkEntry {
     "customer_rfm_segments" -> ((s, d) => Analytics.rfmSegments(s, d)),
     "parts_skyline" -> ((s, d) => Analytics.partsSkyline(s, d)),
     "nation_revenue_lorenz" -> ((s, d) => Analytics.nationRevenueLorenz(s, d)),
+    "customer_scd2" -> ((s, d) => Analytics.customerScd2(s, d)),
+    "lineitem_pit_priority" -> ((s, d) => Analytics.lineitemPitPriority(s, d)),
+    "parts_association_rules" -> ((s, d) => Analytics.brandAssociationRules(s, d)),
+    "events_chi_square" -> ((s, d) => Analytics.eventsChiSquare(s, d)),
     "parts_union_evolved" -> ((s, d) => Extras.partsUnionEvolved(s, d)),
     "lineitem_zorder_locality" -> ((s, d) => graft.ops.Scale.zorderLocality(s, d)),
     "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
@@ -395,6 +399,10 @@ object SparkEntry {
     "customer_rfm_segments" -> Analytics.rfmSegmentsOracle,
     "parts_skyline" -> Analytics.partsSkylineOracle,
     "nation_revenue_lorenz" -> Analytics.nationRevenueLorenzOracle,
+    "customer_scd2" -> Analytics.customerScd2Oracle,
+    "lineitem_pit_priority" -> Analytics.lineitemPitPriorityOracle,
+    "parts_association_rules" -> Analytics.brandAssociationRulesOracle,
+    "events_chi_square" -> Analytics.eventsChiSquareOracle,
     "parts_union_evolved" -> Extras.partsUnionEvolvedOracle,
     "lineitem_zorder_locality" -> graft.ops.Scale.zorderLocalityOracle,
     "events_type_transitions" -> EventsStream.typeTransitionsOracle,

@@ -97,8 +97,8 @@ object Analytics {
              ELSE 'core' END AS segment,
            frequency, monetary_cents, recency_days
          FROM scored)
-       SELECT segment, count(*) AS n_customers,
-         sum(frequency) AS n_orders,
+       SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(frequency) AS BIGINT) AS n_orders,
          sum(monetary_cents) / CAST(100 AS DOUBLE) AS total_monetary,
          CAST(sum(frequency) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_frequency,
          CAST(sum(recency_days) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_recency_days
@@ -201,7 +201,8 @@ object Analytics {
            CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_cents
          FROM lineitem),
        by_nation AS (
-         SELECT n.n_name AS nation, sum(l.rev_cents) AS rev_cents
+         SELECT n.n_name AS nation,
+           CAST(sum(l.rev_cents) AS BIGINT) AS rev_cents
          FROM l
          JOIN orders o ON l.l_orderkey = o.o_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey
@@ -210,8 +211,8 @@ object Analytics {
        ranked AS (
          SELECT nation, rev_cents,
            row_number() OVER (ORDER BY rev_cents, nation) AS lorenz_rank,
-           sum(rev_cents) OVER (ORDER BY rev_cents, nation
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+           CAST(sum(rev_cents) OVER (ORDER BY rev_cents, nation
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
            count(*) OVER () AS n_nations,
            sum(rev_cents) OVER () AS total_cents
          FROM by_nation),
@@ -223,4 +224,273 @@ object Analytics {
          CAST(2 * weighted - (n_nations + 1) * total_cents AS DOUBLE)
            / CAST(n_nations * total_cents AS DOUBLE) AS gini
        FROM g ORDER BY lorenz_rank"""
+
+  /** SCD Type 2 dimension build — the warehouse-dimension classic: from
+    * an order event stream, reconstruct each customer's priority-state
+    * HISTORY as validity intervals. Two window passes: (1) change
+    * detection — `lag` over (custkey, date, orderkey) keeps only rows
+    * where the tracked attribute actually changed (the compress step
+    * that separates SCD2 from a raw event log); (2) interval assembly —
+    * `lead` on the surviving rows closes each version with the next
+    * one's start; the open tail (`valid_to` NULL, `is_current` 1) is
+    * the live version. Same-day flips are real versions ordered by the
+    * order key, so the build is deterministic under ties.
+    *
+    * Scale: both windows partition by customer — the shuffle is one
+    * hash exchange on the dimension's natural key, never global. The
+    * change-detect filter runs BEFORE interval assembly, so the second
+    * window sees only the compressed stream. */
+  def customerScd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Core(spark, dir)
+      .selectExpr("custkey", "version_no", "priority",
+        "CAST(valid_from AS STRING) AS valid_from",
+        "CAST(valid_to AS STRING) AS valid_to",
+        "CAST(valid_to IS NULL AS INT) AS is_current")
+      .orderBy("custkey", "version_no")
+
+  /** The shared SCD2 builder: (custkey, version_no, priority,
+    * valid_from DATE, valid_to DATE-or-NULL). */
+  private def scd2Core(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "orders")
+      .selectExpr("o_custkey AS custkey",
+        "CAST(o_orderdate AS DATE) AS odate", "o_orderkey",
+        "o_orderpriority AS priority")
+    hist
+      .withColumn("prev", expr(
+        "lag(priority) OVER (PARTITION BY custkey ORDER BY odate, o_orderkey)"))
+      .filter("prev IS NULL OR prev <> priority")
+      .withColumn("version_no", expr(
+        "row_number() OVER (PARTITION BY custkey ORDER BY odate, o_orderkey)"))
+      .withColumn("valid_to", expr(
+        "lead(odate) OVER (PARTITION BY custkey ORDER BY odate, o_orderkey)"))
+      .selectExpr("custkey", "version_no", "priority",
+        "odate AS valid_from", "valid_to")
+  }
+
+  private val scd2CoreSql: String =
+    """chg AS (
+         SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS odate,
+           o_orderkey, o_orderpriority AS priority,
+           lag(o_orderpriority) OVER (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+         FROM orders),
+       scd2 AS (
+         SELECT custkey,
+           row_number() OVER (PARTITION BY custkey
+             ORDER BY odate, o_orderkey) AS version_no,
+           priority, odate AS valid_from,
+           lead(odate) OVER (PARTITION BY custkey
+             ORDER BY odate, o_orderkey) AS valid_to
+         FROM chg WHERE prev IS NULL OR prev <> priority)"""
+
+  val customerScd2Oracle: String =
+    s"""WITH $scd2CoreSql
+       SELECT custkey, version_no, priority,
+         CAST(valid_from AS VARCHAR) AS valid_from,
+         CAST(valid_to AS VARCHAR) AS valid_to,
+         CAST(valid_to IS NULL AS INT) AS is_current
+       FROM scd2 ORDER BY custkey, version_no"""
+
+  /** Point-in-time join against the SCD2 dimension: attribute each
+    * line item's revenue to the priority-state its CUSTOMER was in on
+    * the SHIP date — the "which version was true when the fact
+    * happened" lookup that separates a type-2 dimension from a
+    * latest-value snapshot. The intervals partition
+    * [first_order, ∞) per customer, so every fact row matches exactly
+    * one version (totality the grain check would catch if broken).
+    *
+    * Scale: the version predicate rides on a custkey EQUI-join (the
+    * interval test is a residual filter, never a cartesian); facts
+    * collapse to the output grain in one hash agg. Versions-per-
+    * customer is bounded by the change count, so the join fan-out is
+    * the SCD2 compression ratio — the same reason warehouses can
+    * afford PIT lookups at fact-table scale. */
+  def lineitemPitPriority(spark: SparkSession, dir: String): DataFrame = {
+    val facts = graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS ship",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_cents")
+      .join(t(spark, dir, "orders").selectExpr("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+    val dim = scd2Core(spark, dir)
+    facts.join(dim,
+        col("o_custkey") === col("custkey") &&
+          col("ship") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ship") < col("valid_to")))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_items"), sum("rev_cents").as("rev_cents"))
+      .selectExpr("priority", "n_items",
+        "rev_cents / CAST(100 AS DOUBLE) AS revenue")
+      .orderBy("priority")
+  }
+
+  val lineitemPitPriorityOracle: String =
+    s"""WITH $scd2CoreSql,
+       facts AS (
+         SELECT o.o_custkey, CAST(l.l_shipdate AS DATE) AS ship,
+           CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS rev_cents
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+       SELECT d.priority, count(*) AS n_items,
+         sum(f.rev_cents) / CAST(100 AS DOUBLE) AS revenue
+       FROM facts f JOIN scd2 d ON f.o_custkey = d.custkey
+         AND f.ship >= d.valid_from
+         AND (d.valid_to IS NULL OR f.ship < d.valid_to)
+       GROUP BY d.priority ORDER BY d.priority"""
+
+  /** Directed association rules over order baskets — the metrics layer
+    * above [[graft.sql.Extras.brandCopurchase]]'s raw pair counts:
+    * for each ordered brand pair (antecedent → consequent),
+    * support = P(A,B), confidence = P(B|A), lift = P(A,B)/(P(A)·P(B)).
+    * All three are single divisions over exact BIGINT counts, so the
+    * doubles are engine-identical; rows rank by lift with a full
+    * lexical tiebreak (equal-count pairs produce bit-equal lifts, so
+    * the tie order must be total for a stable top-k).
+    *
+    * Scale: the basket self-join is bounded by basket size squared
+    * (see brandCopurchase); the three statistics tables joined on are
+    * brand-grain and a 1-row global — all broadcast. The scalar
+    * basket count rides a broadcast nested-loop join of ONE row, the
+    * degenerate cross join that is free at any scale. */
+  def brandAssociationRules(spark: SparkSession, dir: String): DataFrame = {
+    val ob = graft.io.Tables.lineitem(spark, dir)
+      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .distinct()
+    val nBaskets = ob.agg(
+      countDistinct(col("l_orderkey")).as("n_baskets"))
+    val brandN = ob.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_brand"))
+    val pairs = ob.selectExpr("l_orderkey", "p_brand AS antecedent")
+      .join(ob.selectExpr("l_orderkey AS ok2", "p_brand AS consequent"),
+        col("l_orderkey") === col("ok2") &&
+          col("antecedent") =!= col("consequent"))
+      .groupBy("antecedent", "consequent")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter("n_ab >= 3")
+    pairs
+      .join(broadcast(brandN.selectExpr("p_brand AS ba", "n_brand AS n_a")),
+        col("antecedent") === col("ba"))
+      .join(broadcast(brandN.selectExpr("p_brand AS bb", "n_brand AS n_b")),
+        col("consequent") === col("bb"))
+      .crossJoin(broadcast(nBaskets))
+      .selectExpr("antecedent", "consequent", "n_ab", "n_a", "n_b",
+        "CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support",
+        "CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS confidence",
+        "CAST(n_ab * n_baskets AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS lift")
+      .orderBy(desc("lift"), asc("antecedent"), asc("consequent"))
+      .limit(50)
+  }
+
+  val brandAssociationRulesOracle: String =
+    """WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM ob),
+       bn AS (SELECT p_brand, count(*) AS n_brand FROM ob GROUP BY p_brand),
+       pairs AS (
+         SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+           count(*) AS n_ab
+         FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+           AND a.p_brand <> b.p_brand
+         GROUP BY 1, 2 HAVING count(*) >= 3)
+       SELECT antecedent, consequent, n_ab,
+         x.n_brand AS n_a, y.n_brand AS n_b,
+         CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+         CAST(n_ab AS DOUBLE) / CAST(x.n_brand AS DOUBLE) AS confidence,
+         CAST(n_ab * n_baskets AS DOUBLE)
+           / CAST(x.n_brand * y.n_brand AS DOUBLE) AS lift
+       FROM pairs
+       JOIN bn x ON pairs.antecedent = x.p_brand
+       JOIN bn y ON pairs.consequent = y.p_brand
+       CROSS JOIN nb
+       ORDER BY lift DESC, antecedent, consequent LIMIT 50"""
+
+  /** Chi-square independence test: is event type independent of the
+    * day of week? The full contingency grid (observed AND structural-
+    * zero cells, so the test is total), expected counts, per-cell
+    * contributions via the cross-multiplied identity
+    * (O·N − rt·ct)² / (N·rt·ct) ≡ (O−E)²/E — every operand an
+    * exact-integer-valued double, every step one IEEE op in a fixed
+    * tree, so both engines land on identical bits. The statistic
+    * itself must SUM those per-cell doubles, and float sums are
+    * order-dependent — so each contribution is quantized to micro
+    * units first and the total runs on BIGINTs (the corpus-wide
+    * discipline applied to a test statistic). Day-of-week comes from
+    * epoch-day mod 7 (Monday 0), the only dialect-neutral weekday.
+    *
+    * Scale: one map-side-combined count to the 42-cell grain; every
+    * window after that runs on the grid, not the events. */
+  def eventsChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.io.Tables.events(spark, dir)
+      .selectExpr("event_type",
+        "datediff(CAST(ts AS DATE), DATE '1970-01-05') % 7 AS dow")
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("observed"))
+    val grid = cells.select("event_type").distinct()
+      .crossJoin(broadcast(cells.select("dow").distinct()))
+      .join(cells, Seq("event_type", "dow"), "left")
+      .selectExpr("event_type", "dow",
+        "coalesce(observed, CAST(0 AS BIGINT)) AS observed")
+    val dof = cells.agg(
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(col("dow")).as("n_dows"))
+    grid.crossJoin(broadcast(dof))
+      .withColumn("row_total", expr(
+        "sum(observed) OVER (PARTITION BY event_type)"))
+      .withColumn("col_total", expr("sum(observed) OVER (PARTITION BY dow)"))
+      .withColumn("n_total", expr("sum(observed) OVER ()"))
+      .withColumn("expected", expr(
+        "CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE)"))
+      .withColumn("contrib", expr(
+        """((CAST(observed AS DOUBLE) * CAST(n_total AS DOUBLE)
+             - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE))
+            * (CAST(observed AS DOUBLE) * CAST(n_total AS DOUBLE)
+             - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)))
+           / (CAST(n_total AS DOUBLE) * CAST(row_total AS DOUBLE)
+             * CAST(col_total AS DOUBLE))"""))
+      .withColumn("chi2", expr(
+        """sum(CAST(round(contrib * 1000000) AS BIGINT)) OVER ()
+           / CAST(1000000 AS DOUBLE)"""))
+      .selectExpr("event_type", "dow", "observed", "expected", "contrib",
+        "chi2", "(n_types - 1) * (n_dows - 1) AS dof")
+      .orderBy("event_type", "dow")
+  }
+
+  val eventsChiSquareOracle: String =
+    """WITH cells AS (
+         SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-05' AS BIGINT) % 7 AS dow,
+           count(*) AS observed
+         FROM events GROUP BY 1, 2),
+       grid AS (
+         SELECT t.event_type, d.dow,
+           coalesce(c.observed, 0) AS observed
+         FROM (SELECT DISTINCT event_type FROM cells) t
+         CROSS JOIN (SELECT DISTINCT dow FROM cells) d
+         LEFT JOIN cells c ON c.event_type = t.event_type AND c.dow = d.dow),
+       dof AS (SELECT count(DISTINCT event_type) AS n_types,
+           count(DISTINCT dow) AS n_dows FROM cells),
+       tot AS (
+         SELECT event_type, dow, observed,
+           sum(observed) OVER (PARTITION BY event_type) AS row_total,
+           sum(observed) OVER (PARTITION BY dow) AS col_total,
+           sum(observed) OVER () AS n_total
+         FROM grid),
+       terms AS (
+         SELECT *,
+           CAST(row_total * col_total AS DOUBLE)
+             / CAST(n_total AS DOUBLE) AS expected,
+           ((CAST(observed AS DOUBLE) * CAST(n_total AS DOUBLE)
+              - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE))
+             * (CAST(observed AS DOUBLE) * CAST(n_total AS DOUBLE)
+              - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)))
+            / (CAST(n_total AS DOUBLE) * CAST(row_total AS DOUBLE)
+              * CAST(col_total AS DOUBLE)) AS contrib
+         FROM tot)
+       SELECT event_type, dow, observed, expected, contrib,
+         sum(CAST(round(contrib * 1000000) AS BIGINT)) OVER ()
+           / CAST(1000000 AS DOUBLE) AS chi2,
+         (n_types - 1) * (n_dows - 1) AS dof
+       FROM terms CROSS JOIN dof
+       ORDER BY event_type, dow"""
+
 }
