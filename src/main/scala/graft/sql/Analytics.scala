@@ -295,9 +295,14 @@ object Analytics {
     * line item's revenue to the priority-state its CUSTOMER was in on
     * the SHIP date — the "which version was true when the fact
     * happened" lookup that separates a type-2 dimension from a
-    * latest-value snapshot. The intervals partition
-    * [first_order, ∞) per customer, so every fact row matches exactly
-    * one version (totality the grain check would catch if broken).
+    * latest-value snapshot. Version 1 is treated as valid from −∞ (the
+    * standard initial-load convention: facts predating the first
+    * observed change belong to the first known state — and the fixture
+    * does ship line items before their customer's first order date, so
+    * this is load-bearing, not defensive; AnalyticsSpec proved the
+    * naive [first_order, ∞) tiling dropped rows). With it the
+    * intervals partition (−∞, ∞) per customer, so every fact row
+    * matches exactly one version.
     *
     * Scale: the version predicate rides on a custkey EQUI-join (the
     * interval test is a residual filter, never a cartesian); facts
@@ -314,7 +319,7 @@ object Analytics {
     val dim = scd2Core(spark, dir)
     facts.join(dim,
         col("o_custkey") === col("custkey") &&
-          col("ship") >= col("valid_from") &&
+          (col("version_no") === 1 || col("ship") >= col("valid_from")) &&
           (col("valid_to").isNull || col("ship") < col("valid_to")))
       .groupBy("priority")
       .agg(count(lit(1)).as("n_items"), sum("rev_cents").as("rev_cents"))
@@ -332,7 +337,7 @@ object Analytics {
        SELECT d.priority, count(*) AS n_items,
          sum(f.rev_cents) / CAST(100 AS DOUBLE) AS revenue
        FROM facts f JOIN scd2 d ON f.o_custkey = d.custkey
-         AND f.ship >= d.valid_from
+         AND (d.version_no = 1 OR f.ship >= d.valid_from)
          AND (d.valid_to IS NULL OR f.ship < d.valid_to)
        GROUP BY d.priority ORDER BY d.priority"""
 

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sql.Analytics
+
+/** Structural properties of the analytics classics that the DuckDB
+  * oracle compare cannot see: skyline == the O(n²) definition, SCD2
+  * intervals tile each customer's timeline exactly, the PIT join is a
+  * partition of the fact table, association-rule metrics stay in
+  * range, and the chi-square grid is complete with a finite statistic.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("skyline == brute-force pareto front on the distinct grain") {
+    val pts = graft.io.Tables.table(spark, sfTiny, "part")
+      .selectExpr("CAST(round(p_retailprice * 100) AS BIGINT) AS p", "p_size AS s")
+      .groupBy("p", "s").count()
+      .as[(Long, Int, Long)].collect().map { case (p, s, _) => (p, s) }
+    val brute = pts.filter { case (p, s) =>
+      !pts.exists { case (p2, s2) =>
+        p2 <= p && s2 <= s && (p2 < p || s2 < s) }
+    }.toSet
+    val sky = Analytics.partsSkyline(spark, sfTiny)
+      .select("price_cents", "p_size")
+      .as[(Long, Int)].collect().toSet
+    assert(sky == brute)
+    assert(sky.nonEmpty)
+  }
+
+  test("SCD2 versions tile [first_order, open) with no gaps or overlaps") {
+    val v = Analytics.customerScd2(spark, sfTiny)
+      .selectExpr("custkey", "version_no", "valid_from", "valid_to", "is_current")
+      .as[(Long, Int, String, Option[String], Int)].collect()
+      .groupBy(_._1)
+    v.foreach { case (cust, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._2 == 1, s"cust $cust versions must start at 1")
+      sorted.sliding(2).foreach {
+        case Array((_, n1, _, to1, cur1), (_, n2, from2, _, _)) =>
+          assert(n2 == n1 + 1, s"cust $cust version gap")
+          assert(cur1 == 0 && to1.contains(from2),
+            s"cust $cust: version $n1 must close exactly at version $n2's start")
+        case _ => ()
+      }
+      val last = sorted.last
+      assert(last._4.isEmpty && last._5 == 1,
+        s"cust $cust: final version must be open and current")
+    }
+  }
+
+  test("SCD2 compresses: consecutive versions always change the attribute") {
+    val v = Analytics.customerScd2(spark, sfTiny)
+      .selectExpr("custkey", "version_no", "priority")
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1)
+    v.foreach { case (cust, rows) =>
+      rows.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a != b,
+          s"cust $cust: adjacent versions with identical priority — not compressed")
+        case _ => ()
+      }
+    }
+  }
+
+  test("PIT join partitions the fact table (totals reconcile)") {
+    val li = graft.io.Tables.lineitem(spark, sfTiny)
+    val nAll = li.count()
+    val centsAll = li.selectExpr(
+      "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c")
+      .agg(sum("c")).as[Long].head()
+    val pit = Analytics.lineitemPitPriority(spark, sfTiny)
+      .selectExpr("n_items", "CAST(round(revenue * 100) AS BIGINT) AS c")
+      .as[(Long, Long)].collect()
+    assert(pit.map(_._1).sum == nAll, "every line item matches exactly one version")
+    assert(pit.map(_._2).sum == centsAll, "revenue is conserved through the PIT join")
+  }
+
+  test("association rules: metrics in range, pair counts symmetric") {
+    val rules = Analytics.brandAssociationRules(spark, sfTiny)
+      .selectExpr("antecedent", "consequent", "n_ab", "support", "confidence", "lift")
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    assert(rules.nonEmpty)
+    rules.foreach { case (a, b, nAb, sup, conf, lift) =>
+      assert(a != b)
+      assert(nAb >= 3)
+      assert(sup > 0 && sup <= 1)
+      assert(conf > 0 && conf <= 1)
+      assert(lift > 0)
+    }
+    // directed pair counts are symmetric: n(A→B) == n(B→A)
+    val byPair = rules.map(r => (r._1, r._2) -> r._3).toMap
+    byPair.foreach { case ((a, b), n) =>
+      byPair.get((b, a)).foreach(m => assert(m == n))
+    }
+  }
+
+  test("chi-square grid is the full cross product with a finite statistic") {
+    val rows = Analytics.eventsChiSquare(spark, sfTiny)
+      .selectExpr("event_type", "dow", "observed", "expected", "contrib", "chi2", "dof")
+      .as[(String, Long, Long, Double, Double, Double, Long)].collect()
+    val types = rows.map(_._1).distinct.length
+    val dows = rows.map(_._2).distinct.length
+    assert(rows.length == types * dows, "grid must be complete (zero cells included)")
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 6))
+    assert(rows.forall(_._5 >= 0), "contributions are squares — never negative")
+    val chi2 = rows.head._6
+    assert(rows.forall(_._6 == chi2), "statistic is one number for the table")
+    assert(chi2 >= 0 && !chi2.isNaN && !chi2.isInfinite)
+    assert(rows.head._7 == (types - 1).toLong * (dows - 1))
+    // expected counts reproduce the observed total
+    val nTotal = rows.map(_._3).sum
+    assert(math.abs(rows.map(_._4).sum - nTotal) < 1e-6)
+  }
+
+  test("RFM segments cover every customer exactly once") {
+    val nCust = graft.io.Tables.orders(spark, sfTiny)
+      .select("o_custkey").distinct().count()
+    val seg = Analytics.rfmSegments(spark, sfTiny)
+      .selectExpr("segment", "n_customers").as[(String, Long)].collect()
+    assert(seg.map(_._2).sum == nCust)
+    assert(seg.map(_._1).distinct.length == seg.length)
+  }
+}
