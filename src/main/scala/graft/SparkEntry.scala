@@ -211,6 +211,9 @@ object SparkEntry {
     "lineitem_pit_priority" -> ((s, d) => Analytics.lineitemPitPriority(s, d)),
     "parts_association_rules" -> ((s, d) => Analytics.brandAssociationRules(s, d)),
     "events_chi_square" -> ((s, d) => Analytics.eventsChiSquare(s, d)),
+    "daily_revenue_trend" -> ((s, d) => Analytics.dailyRevenueTrend(s, d)),
+    "monthly_revenue_theilsen" -> ((s, d) => Analytics.monthlyRevenueTheilSen(s, d)),
+    "docs_source_diversity" -> ((s, d) => Analytics.docsSourceDiversity(s, d)),
     "parts_union_evolved" -> ((s, d) => Extras.partsUnionEvolved(s, d)),
     "lineitem_zorder_locality" -> ((s, d) => graft.ops.Scale.zorderLocality(s, d)),
     "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
@@ -403,6 +406,9 @@ object SparkEntry {
     "lineitem_pit_priority" -> Analytics.lineitemPitPriorityOracle,
     "parts_association_rules" -> Analytics.brandAssociationRulesOracle,
     "events_chi_square" -> Analytics.eventsChiSquareOracle,
+    "daily_revenue_trend" -> Analytics.dailyRevenueTrendOracle,
+    "monthly_revenue_theilsen" -> Analytics.monthlyRevenueTheilSenOracle,
+    "docs_source_diversity" -> Analytics.docsSourceDiversityOracle,
     "parts_union_evolved" -> Extras.partsUnionEvolvedOracle,
     "lineitem_zorder_locality" -> graft.ops.Scale.zorderLocalityOracle,
     "events_type_transitions" -> EventsStream.typeTransitionsOracle,

@@ -498,4 +498,209 @@ object Analytics {
        FROM terms CROSS JOIN dof
        ORDER BY event_type, dow"""
 
+  /** The daily/monthly revenue series both trend operators regress
+    * over, in WHOLE DOLLARS (`cents DIV 100` — truncating integer
+    * division, identical in both engines on non-negative cents) so
+    * second moments stay inside BIGINT at any plausible scale: daily
+    * dollar sums square to ~1e11·n_days, five orders of magnitude
+    * under overflow, where daily CENTS squared would overflow BIGINT
+    * near sf1. */
+  private def revenueSeries(spark: SparkSession, dir: String,
+      grain: String): DataFrame =
+    graft.io.Tables.lineitem(spark, dir)
+      .selectExpr(s"$grain AS x",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents")
+      .groupBy("x")
+      .agg(expr("sum(cents) DIV 100").as("y"))
+
+  private val dayGrain =
+    "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)"
+  private val dayGrainDuck =
+    "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)"
+  private val monthGrain =
+    """CAST((extract(year FROM CAST(l_shipdate AS DATE)) - 1970) * 12
+        + extract(month FROM CAST(l_shipdate AS DATE)) - 1 AS BIGINT)"""
+
+  /** The OLS assembly over exact integer moments, shared verbatim by
+    * the Spark projection and the DuckDB oracle — the [[graft.ops.Profile.momentCorr]]
+    * pattern extended to the full regression readout: slope, intercept,
+    * R², and a 30-step-ahead forecast, each a fixed arithmetic tree
+    * over DOUBLE casts of order-independent BIGINT sums. */
+  private val olsExprs: Seq[String] = {
+    val (n, sx, sy, sxx, syy, sxy) =
+      ("CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+        "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)", "CAST(sxy AS DOUBLE)")
+    val cov = s"($n * $sxy - $sx * $sy)"
+    val varX = s"($n * $sxx - $sx * $sx)"
+    val varY = s"($n * $syy - $sy * $sy)"
+    val slope = s"$cov / $varX"
+    val intercept = s"($sy - $cov / $varX * $sx) / $n"
+    Seq("n AS n_days",
+      s"$slope AS slope_per_day",
+      s"$intercept AS intercept",
+      s"$cov * $cov / ($varX * $varY) AS r2",
+      s"$intercept + $slope * CAST(x_max + 30 AS DOUBLE) AS forecast_30d")
+  }
+
+  private val olsMoments: Seq[String] = Seq(
+    "CAST(count(*) AS BIGINT) AS n", "CAST(sum(x) AS BIGINT) AS sx",
+    "CAST(sum(y) AS BIGINT) AS sy", "CAST(sum(x * x) AS BIGINT) AS sxx",
+    "CAST(sum(y * y) AS BIGINT) AS syy", "CAST(sum(x * y) AS BIGINT) AS sxy",
+    "CAST(max(x) AS BIGINT) AS x_max")
+
+  /** Ordinary least squares over the daily revenue series — trend
+    * slope, intercept, R², and a 30-day-ahead point forecast, all from
+    * ONE pass of exact integer moments (the decomposable-statistics
+    * pattern: BIGINT sums are order-independent, so 1000 executors
+    * reach bit-identical moments, and the regression readout is a
+    * fixed IEEE tree both engines share verbatim). Contrast with
+    * `regr_slope`/`corr`: their float accumulation order depends on
+    * partitioning. At extreme scale, center x at the series midpoint
+    * first — epoch-day x keeps Σxy at ~2e15 here, but centering drops
+    * four orders of magnitude of headroom for free. */
+  def dailyRevenueTrend(spark: SparkSession, dir: String): DataFrame =
+    revenueSeries(spark, dir, dayGrain)
+      .selectExpr(olsMoments: _*)
+      .selectExpr(olsExprs: _*)
+
+  val dailyRevenueTrendOracle: String =
+    s"""WITH series AS (
+         SELECT $dayGrainDuck AS x,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) // 100 AS y
+         FROM lineitem GROUP BY 1),
+       m AS (SELECT ${olsMoments.mkString(", ")} FROM series)
+       SELECT ${olsExprs.mkString(", ")} FROM m"""
+
+  /** Theil–Sen robust trend over the monthly revenue series: the
+    * median of all pairwise slopes, with the intercept as the median
+    * of per-point residual offsets at that slope — the estimator that
+    * shrugs off the outlier months OLS chases. Medians are the DISCRETE
+    * lower median, selected by row_number over a totally ordered window
+    * (slope, then both endpoints), so both engines pick the same
+    * element — no percentile function, no interpolation, no float sum.
+    *
+    * Scale: the O(k²) pair join runs on the TIME grain (k months —
+    * bounded by calendar span, not data volume; the fact table died in
+    * the first hash agg), which is why Theil–Sen, quadratic in
+    * general, is free here at any corpus size. */
+  def monthlyRevenueTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val series = revenueSeries(spark, dir, monthGrain)
+    val a = series.selectExpr("x AS x1", "y AS y1")
+    val b = series.selectExpr("x AS x2", "y AS y2")
+    val slopes = a.join(b, col("x1") < col("x2"))
+      .selectExpr("x1", "x2",
+        "CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE) AS slope")
+    val medSlope = slopes
+      .withColumn("rn", expr("row_number() OVER (ORDER BY slope, x1, x2)"))
+      .withColumn("n_pairs", expr("count(*) OVER ()"))
+      .filter("rn = (n_pairs + 1) DIV 2")
+      .selectExpr("slope AS ts_slope", "n_pairs")
+    val resid = series.crossJoin(broadcast(medSlope))
+      .selectExpr("x", "ts_slope", "n_pairs",
+        "CAST(y AS DOUBLE) - ts_slope * CAST(x AS DOUBLE) AS off")
+    resid
+      .withColumn("rn", expr("row_number() OVER (ORDER BY off, x)"))
+      .withColumn("n_months", expr("count(*) OVER ()"))
+      .filter("rn = (n_months + 1) DIV 2")
+      .selectExpr("n_months", "n_pairs", "ts_slope",
+        "off AS ts_intercept")
+  }
+
+  val monthlyRevenueTheilSenOracle: String =
+    s"""WITH series AS (
+         SELECT $monthGrain AS x,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) // 100 AS y
+         FROM lineitem GROUP BY 1),
+       slopes AS (
+         SELECT a.x AS x1, b.x AS x2,
+           CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+         FROM series a JOIN series b ON a.x < b.x),
+       med AS (
+         SELECT slope AS ts_slope, n_pairs FROM (
+           SELECT slope,
+             row_number() OVER (ORDER BY slope, x1, x2) AS rn,
+             count(*) OVER () AS n_pairs
+           FROM slopes) s
+         WHERE rn = (n_pairs + 1) // 2),
+       resid AS (
+         SELECT x, ts_slope, n_pairs,
+           CAST(y AS DOUBLE) - ts_slope * CAST(x AS DOUBLE) AS off
+         FROM series CROSS JOIN med)
+       SELECT n_months, n_pairs, ts_slope, off AS ts_intercept FROM (
+         SELECT n_pairs, ts_slope, off,
+           row_number() OVER (ORDER BY off, x) AS rn,
+           count(*) OVER () AS n_months
+         FROM resid) r
+       WHERE rn = (n_months + 1) // 2"""
+
+  /** Language-mix diversity per document source — the corpus-balance
+    * audit a multilingual training pipeline runs before fixing mix
+    * weights: per source, Gini impurity and inverse-Simpson "effective
+    * language count" (both EXACT — pure rationals over BIGINT counts),
+    * plus Shannon entropy and KL(source ‖ corpus) drift in nats. The
+    * log-based terms cannot be summed as raw doubles (float sums are
+    * order-dependent), so each per-language term is computed in a
+    * fixed IEEE tree both engines share, quantized to nano-units, and
+    * summed in BIGINT — the corpus quantization discipline applied to
+    * information measures. KL is total because every source language
+    * exists in the corpus distribution by construction (q > 0).
+    *
+    * Scale: one map-side-combined count to (source, lang) grain; the
+    * global distribution is language-grain and broadcasts. */
+  def docsSourceDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+    val glob = cells.groupBy("lang").agg(sum("n").as("n_g"))
+      .withColumn("tot_g", expr("sum(n_g) OVER ()"))
+    val withTot = cells
+      .withColumn("n_s", expr("sum(n) OVER (PARTITION BY source)"))
+      .join(broadcast(glob), Seq("lang"))
+    withTot.groupBy("source")
+      .agg(
+        expr("max(n_s)").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        expr("sum(n * n)").as("sum_sq"),
+        expr("""sum(CAST(round((CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE))
+            * ln(CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE)) * -1000000000)
+            AS BIGINT))""").as("ent_nano"),
+        expr("""sum(CAST(round((CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE))
+            * ln((CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE))
+              / (CAST(n_g AS DOUBLE) / CAST(tot_g AS DOUBLE))) * 1000000000)
+            AS BIGINT))""").as("kl_nano"))
+      .selectExpr("source", "n_docs", "n_langs",
+        "CAST(n_docs * n_docs - sum_sq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE) AS gini_impurity",
+        "CAST(n_docs * n_docs AS DOUBLE) / CAST(sum_sq AS DOUBLE) AS effective_langs",
+        "ent_nano / CAST(1000000000 AS DOUBLE) AS entropy_nats",
+        "kl_nano / CAST(1000000000 AS DOUBLE) AS kl_vs_corpus")
+      .orderBy("source")
+  }
+
+  val docsSourceDiversityOracle: String =
+    """WITH cells AS (
+         SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+       gdist AS (
+         SELECT lang, CAST(sum(n) AS BIGINT) AS n_g,
+           CAST(sum(sum(n)) OVER () AS BIGINT) AS tot_g
+         FROM cells GROUP BY lang),
+       wt AS (
+         SELECT c.source, c.lang, c.n,
+           CAST(sum(c.n) OVER (PARTITION BY c.source) AS BIGINT) AS n_s,
+           g.n_g, g.tot_g
+         FROM cells c JOIN gdist g ON c.lang = g.lang)
+       SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(max(n_s) * max(n_s) - sum(n * n) AS DOUBLE)
+           / CAST(max(n_s) * max(n_s) AS DOUBLE) AS gini_impurity,
+         CAST(max(n_s) * max(n_s) AS DOUBLE)
+           / CAST(sum(n * n) AS DOUBLE) AS effective_langs,
+         CAST(sum(CAST(round((CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE))
+             * ln(CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE)) * -1000000000)
+             AS BIGINT)) AS BIGINT) / CAST(1000000000 AS DOUBLE) AS entropy_nats,
+         CAST(sum(CAST(round((CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE))
+             * ln((CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE))
+               / (CAST(n_g AS DOUBLE) / CAST(tot_g AS DOUBLE))) * 1000000000)
+             AS BIGINT)) AS BIGINT) / CAST(1000000000 AS DOUBLE) AS kl_vs_corpus
+       FROM wt GROUP BY source ORDER BY source"""
+
 }

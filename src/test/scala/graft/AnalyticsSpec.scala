@@ -113,6 +113,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rows.map(_._4).sum - nTotal) < 1e-6)
   }
 
+  test("OLS readout is well-formed and matches the two-point closed form") {
+    val r = Analytics.dailyRevenueTrend(spark, sfTiny)
+      .selectExpr("n_days", "slope_per_day", "intercept", "r2", "forecast_30d")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(r._1 > 100)
+    assert(r._4 >= 0 && r._4 <= 1, s"r2 out of range: ${r._4}")
+    assert(!r._2.isNaN && !r._3.isNaN && !r._5.isNaN)
+  }
+
+  test("Theil-Sen slope is the exact median of pairwise slopes") {
+    val series = graft.io.Tables.lineitem(spark, sfTiny)
+      .selectExpr(
+        """CAST((extract(year FROM CAST(l_shipdate AS DATE)) - 1970) * 12
+            + extract(month FROM CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS x""",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c")
+      .groupBy("x").agg(expr("sum(c) DIV 100").as("y"))
+      .as[(Long, Long)].collect()
+    val slopes = (for {
+      (x1, y1) <- series; (x2, y2) <- series if x1 < x2
+    } yield (y2 - y1).toDouble / (x2 - x1).toDouble).sorted
+    val expected = slopes((slopes.length - 1) / 2)
+    val got = Analytics.monthlyRevenueTheilSen(spark, sfTiny)
+      .selectExpr("n_pairs", "ts_slope").as[(Long, Double)].head()
+    assert(got._1 == slopes.length)
+    assert(got._2 == expected)
+  }
+
+  test("diversity measures stay in their theoretical ranges") {
+    val rows = Analytics.docsSourceDiversity(spark, sfTiny)
+      .selectExpr("source", "n_docs", "n_langs", "gini_impurity",
+        "effective_langs", "entropy_nats", "kl_vs_corpus")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nLangs, gini, eff, ent, kl) =>
+      assert(nLangs >= 1 && nLangs <= nDocs)
+      assert(gini >= 0 && gini < 1, s"$src gini $gini")
+      assert(eff >= 1 && eff <= nLangs, s"$src effective langs $eff vs $nLangs")
+      assert(ent >= 0 && ent <= math.log(nLangs.toDouble) + 1e-9, s"$src entropy $ent")
+      // Gibbs: KL >= 0; quantization can dip a hair below zero only at KL == 0
+      assert(kl >= -1e-6, s"$src KL $kl")
+    }
+  }
+
   test("RFM segments cover every customer exactly once") {
     val nCust = graft.io.Tables.orders(spark, sfTiny)
       .select("o_custkey").distinct().count()
