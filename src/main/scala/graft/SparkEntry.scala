@@ -214,6 +214,8 @@ object SparkEntry {
     "daily_revenue_trend" -> ((s, d) => Analytics.dailyRevenueTrend(s, d)),
     "monthly_revenue_theilsen" -> ((s, d) => Analytics.monthlyRevenueTheilSen(s, d)),
     "docs_source_diversity" -> ((s, d) => Analytics.docsSourceDiversity(s, d)),
+    "customer_survival_km" -> ((s, d) => Analytics.customerSurvivalKm(s, d)),
+    "daily_revenue_outliers" -> ((s, d) => Analytics.dailyRevenueOutliers(s, d)),
     "parts_union_evolved" -> ((s, d) => Extras.partsUnionEvolved(s, d)),
     "lineitem_zorder_locality" -> ((s, d) => graft.ops.Scale.zorderLocality(s, d)),
     "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
@@ -409,6 +411,8 @@ object SparkEntry {
     "daily_revenue_trend" -> Analytics.dailyRevenueTrendOracle,
     "monthly_revenue_theilsen" -> Analytics.monthlyRevenueTheilSenOracle,
     "docs_source_diversity" -> Analytics.docsSourceDiversityOracle,
+    "customer_survival_km" -> Analytics.customerSurvivalKmOracle,
+    "daily_revenue_outliers" -> Analytics.dailyRevenueOutliersOracle,
     "parts_union_evolved" -> Extras.partsUnionEvolvedOracle,
     "lineitem_zorder_locality" -> graft.ops.Scale.zorderLocalityOracle,
     "events_type_transitions" -> EventsStream.typeTransitionsOracle,

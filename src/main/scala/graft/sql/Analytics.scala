@@ -703,4 +703,169 @@ object Analytics {
              AS BIGINT)) AS BIGINT) / CAST(1000000000 AS DOUBLE) AS kl_vs_corpus
        FROM wt GROUP BY source ORDER BY source"""
 
+  /** Kaplan–Meier estimator over customer repurchase behavior: the
+    * durations are day-gaps between a customer's consecutive orders
+    * (event observed) plus the open gap from the last order to the
+    * dataset anchor (right-censored — the customer simply hasn't
+    * reordered YET, and discarding those tails is the classic survival
+    * bias). One row per event time: risk set, events, censorings,
+    * hazard d/n, and the survival curve. The product Π(1 − d/n) is
+    * order-sensitive in floats, so it runs as a cumulative ORDERED sum
+    * of nano-quantized ln((n−d)/n) terms in BIGINT — deterministic
+    * under any partitioning — and only the final readout exponentiates,
+    * quantized to micro units because exp() itself differs by an ulp
+    * across libm implementations (measured: 1.1e-16 Spark vs DuckDB).
+    * A total-death tail (n == d, log −∞) short-circuits to survival 0
+    * before the log.
+    *
+    * Scale: durations collapse to the day-gap grain immediately; the
+    * ordered scan runs on event times (calendar-bounded), not orders. */
+  def customerSurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val durations = t(spark, dir, "orders")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS odate", "o_orderkey")
+      .withColumn("next_d", expr(
+        "lead(odate) OVER (PARTITION BY o_custkey ORDER BY odate, o_orderkey)"))
+      .withColumn("anchor", expr("max(odate) OVER ()"))
+      .selectExpr(
+        "CAST(datediff(coalesce(next_d, anchor), odate) AS BIGINT) AS dur",
+        "CAST(next_d IS NOT NULL AS INT) AS event")
+    val grouped = durations.groupBy("dur")
+      .agg(sum("event").as("d"), count(lit(1)).as("m"))
+      .withColumn("n_total", expr("sum(m) OVER ()"))
+      .withColumn("n_at_risk", expr(
+        """n_total - coalesce(sum(m) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"""))
+    grouped
+      .withColumn("term_nano", expr(
+        """CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                WHEN n_at_risk > d THEN CAST(round(ln(
+                  CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+                  * 1000000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END"""))
+      .withColumn("dead", expr(
+        """max(CASE WHEN d > 0 AND n_at_risk = d THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+      .withColumn("log_s_nano", expr(
+        """sum(term_nano) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+      .filter("d > 0")
+      .selectExpr("dur AS duration_days", "n_at_risk", "d AS n_events",
+        "m - d AS n_censored",
+        "CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard",
+        "CASE WHEN dead = 1 THEN CAST('-Infinity' AS DOUBLE) " +
+          "ELSE log_s_nano / CAST(1000000000 AS DOUBLE) END AS log_survival",
+        "CASE WHEN dead = 1 THEN 0.0 " +
+          "ELSE round(exp(log_s_nano / CAST(1000000000 AS DOUBLE)) * 1000000) " +
+          "/ CAST(1000000 AS DOUBLE) END AS survival")
+      .orderBy("duration_days")
+  }
+
+  val customerSurvivalKmOracle: String =
+    """WITH durations AS (
+         SELECT CAST(coalesce(next_d, anchor) - odate AS BIGINT) AS dur,
+           CASE WHEN next_d IS NOT NULL THEN 1 ELSE 0 END AS event
+         FROM (
+           SELECT CAST(o_orderdate AS DATE) AS odate,
+             lead(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS next_d,
+             max(CAST(o_orderdate AS DATE)) OVER () AS anchor
+           FROM orders) g),
+       grouped AS (
+         SELECT dur, CAST(sum(event) AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS m
+         FROM durations GROUP BY dur),
+       risk AS (
+         SELECT dur, d, m,
+           CAST(sum(m) OVER () AS BIGINT)
+             - CAST(coalesce(sum(m) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk
+         FROM grouped),
+       terms AS (
+         SELECT *,
+           CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                WHEN n_at_risk > d THEN CAST(round(ln(
+                  CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+                  * 1000000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS term_nano
+         FROM risk),
+       curve AS (
+         SELECT *,
+           max(CASE WHEN d > 0 AND n_at_risk = d THEN 1 ELSE 0 END)
+             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS dead,
+           CAST(sum(term_nano) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS log_s_nano
+         FROM terms)
+       SELECT dur AS duration_days, n_at_risk, d AS n_events,
+         m - d AS n_censored,
+         CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard,
+         CASE WHEN dead = 1 THEN CAST('-Infinity' AS DOUBLE)
+           ELSE log_s_nano / CAST(1000000000 AS DOUBLE) END AS log_survival,
+         CASE WHEN dead = 1 THEN 0.0
+           ELSE round(exp(log_s_nano / CAST(1000000000 AS DOUBLE)) * 1000000)
+             / CAST(1000000 AS DOUBLE) END AS survival
+       FROM curve WHERE d > 0 ORDER BY duration_days"""
+
+  /** Robust outlier detection over the daily revenue series with
+    * median/MAD — the estimator pair whose 50% breakdown point
+    * survives the very outliers a mean/stddev z-score gets dragged
+    * toward. Both medians are DISCRETE (row_number selection), and
+    * because the lower median of integers is itself an integer, the
+    * deviations |y − med| and the MAD stay in BIGINT — the outlier
+    * decision `|y − med|·10⁴ > 3·14826·mad` is an exact integer
+    * cross-multiplication (1.4826 is the Gaussian-consistency scale as
+    * the rational 14826/10⁴); no float ever decides a boundary row.
+    * The robust z readout is the only double. Degenerate series
+    * (mad = 0) report no outliers by construction.
+    *
+    * Scale: medians run on the day grain; the two scalar medians ride
+    * single-row broadcast joins. */
+  def dailyRevenueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val series = revenueSeries(spark, dir, dayGrain)
+    val med = series
+      .withColumn("rn", expr("row_number() OVER (ORDER BY y, x)"))
+      .withColumn("cnt", expr("count(*) OVER ()"))
+      .filter("rn = (cnt + 1) DIV 2").selectExpr("y AS med")
+    val dev = series.crossJoin(broadcast(med))
+      .selectExpr("x", "y", "med", "abs(y - med) AS adev")
+    val mad = dev
+      .withColumn("rn", expr("row_number() OVER (ORDER BY adev, x)"))
+      .withColumn("cnt", expr("count(*) OVER ()"))
+      .filter("rn = (cnt + 1) DIV 2").selectExpr("adev AS mad")
+    dev.crossJoin(broadcast(mad))
+      .filter("mad > 0 AND adev * 10000 > 3 * 14826 * mad")
+      .selectExpr("x AS day_number", "y AS revenue_dollars", "med", "mad",
+        """CAST(y - med AS DOUBLE) * 10000.0
+           / (14826.0 * CAST(mad AS DOUBLE)) AS robust_z""")
+      .orderBy("x")
+  }
+
+  val dailyRevenueOutliersOracle: String =
+    s"""WITH series AS (
+         SELECT $dayGrainDuck AS x,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) // 100 AS BIGINT) AS y
+         FROM lineitem GROUP BY 1),
+       med AS (
+         SELECT y AS med FROM (
+           SELECT y, row_number() OVER (ORDER BY y, x) AS rn,
+             count(*) OVER () AS cnt FROM series) s
+         WHERE rn = (cnt + 1) // 2),
+       dev AS (
+         SELECT x, y, med, abs(y - med) AS adev
+         FROM series CROSS JOIN med),
+       mad AS (
+         SELECT adev AS mad FROM (
+           SELECT adev, x, row_number() OVER (ORDER BY adev, x) AS rn,
+             count(*) OVER () AS cnt FROM dev) s
+         WHERE rn = (cnt + 1) // 2)
+       SELECT x AS day_number, y AS revenue_dollars, med, mad,
+         CAST(y - med AS DOUBLE) * 10000.0
+           / (14826.0 * CAST(mad AS DOUBLE)) AS robust_z
+       FROM dev CROSS JOIN mad
+       WHERE mad > 0 AND adev * 10000 > 3 * 14826 * mad
+       ORDER BY x"""
+
 }

@@ -156,6 +156,70 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("KM curve: monotone risk set, survival in (0,1] non-increasing, matches brute force") {
+    val rows = Analytics.customerSurvivalKm(spark, sfTiny)
+      .selectExpr("duration_days", "n_at_risk", "n_events", "n_censored",
+        "hazard", "survival")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1)
+        assert(a._2 > b._2, "risk set must strictly shrink between event times")
+        assert(a._6 >= b._6, "survival must be non-increasing")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r._3 >= 1 && r._3 <= r._2)
+      assert(r._5 > 0 && r._5 <= 1)
+      assert(r._6 >= 0 && r._6 <= 1)
+    }
+    // brute-force KM from raw durations (plain double product)
+    val orders = graft.io.Tables.orders(spark, sfTiny)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d", "o_orderkey")
+      .as[(Long, java.sql.Date, Long)].collect()
+    val anchor = orders.map(_._2.toLocalDate).max
+    val durations = orders.groupBy(_._1).values.flatMap { os =>
+      val ds = os.sortBy(o => (o._2.toLocalDate.toEpochDay, o._3)).map(_._2.toLocalDate)
+      val gaps = ds.sliding(2).collect { case Array(a, b) =>
+        (b.toEpochDay - a.toEpochDay, 1) }.toSeq
+      gaps :+ ((anchor.toEpochDay - ds.last.toEpochDay, 0))
+    }.toSeq
+    var atRisk = durations.size.toLong
+    var s = 1.0
+    val brute = durations.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (dur, ds) =>
+        val d = ds.count(_._2 == 1).toLong
+        val out = if (d > 0) {
+          s *= (atRisk - d).toDouble / atRisk
+          Some(dur -> s)
+        } else None
+        atRisk -= ds.size
+        out
+    }.toMap
+    rows.foreach { r =>
+      assert(math.abs(r._6 - brute(r._1)) < 2e-6,
+        s"survival at ${r._1}: engine ${r._6} vs brute ${brute(r._1)}")
+    }
+  }
+
+  test("MAD outliers: flagged set is exactly the integer-exact 3-sigma exceedances") {
+    val series = graft.io.Tables.lineitem(spark, sfTiny)
+      .selectExpr(
+        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT) AS x",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c")
+      .groupBy("x").agg(expr("sum(c) DIV 100").as("y"))
+      .as[(Long, Long)].collect()
+    def lowerMedian(v: Seq[Long]): Long = v.sorted.apply((v.size - 1) / 2)
+    val med = lowerMedian(series.map(_._2).toSeq)
+    val mad = lowerMedian(series.map(p => math.abs(p._2 - med)).toSeq)
+    val expected = series.filter(p =>
+      mad > 0 && math.abs(p._2 - med) * 10000 > 3L * 14826 * mad).map(_._1).toSet
+    val got = Analytics.dailyRevenueOutliers(spark, sfTiny)
+      .selectExpr("day_number").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
   test("RFM segments cover every customer exactly once") {
     val nCust = graft.io.Tables.orders(spark, sfTiny)
       .select("o_custkey").distinct().count()
