@@ -356,11 +356,7 @@ object Analytics {
     * basket count rides a broadcast nested-loop join of ONE row, the
     * degenerate cross join that is free at any scale. */
   def brandAssociationRules(spark: SparkSession, dir: String): DataFrame = {
-    val ob = graft.io.Tables.lineitem(spark, dir)
-      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand"))
-      .distinct()
+    val ob = Extras.orderBrands(spark, dir)
     val nBaskets = ob.agg(
       countDistinct(col("l_orderkey")).as("n_baskets"))
     val brandN = ob.groupBy("p_brand")
@@ -584,7 +580,10 @@ object Analytics {
     * the first hash agg), which is why Theil–Sen, quadratic in
     * general, is free here at any corpus size. */
   def monthlyRevenueTheilSen(spark: SparkSession, dir: String): DataFrame = {
-    val series = revenueSeries(spark, dir, monthGrain)
+    // the month-grain series is consumed three times (both self-join
+    // sides + the residual pass); checkpointing the ~k-row result stops
+    // each consumer re-running the fact-table aggregation
+    val series = revenueSeries(spark, dir, monthGrain).localCheckpoint()
     val a = series.selectExpr("x AS x1", "y AS y1")
     val b = series.selectExpr("x AS x2", "y AS y2")
     val slopes = a.join(b, col("x1") < col("x2"))
@@ -823,7 +822,9 @@ object Analytics {
     * Scale: medians run on the day grain; the two scalar medians ride
     * single-row broadcast joins. */
   def dailyRevenueOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val series = revenueSeries(spark, dir, dayGrain)
+    // consumed by the median pass, the deviation pass, and the MAD
+    // pass — checkpoint the day-grain rows once
+    val series = revenueSeries(spark, dir, dayGrain).localCheckpoint()
     val med = series
       .withColumn("rn", expr("row_number() OVER (ORDER BY y, x)"))
       .withColumn("cnt", expr("count(*) OVER ()"))

@@ -231,13 +231,23 @@ object Extras {
     * guard halves it and drops self-pairs). The distinct-per-order
     * step collapses multi-line same-brand orders BEFORE the join —
     * the pre-aggregation that keeps the pair stream minimal. */
+  /** The distinct (order, brand) basket relation shared by
+    * [[brandCopurchase]] and [[Analytics.brandAssociationRules]] —
+    * built once per session under the PlanCache prefix contract (the
+    * self-join + three statistics passes would otherwise rescan and
+    * re-shuffle it per consumer). */
+  private[sql] def orderBrands(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "order_brands", dir) {
+      graft.io.Tables.lineitem(spark, dir)
+        .join(broadcast(graft.io.Tables.table(spark, dir, "part")
+            .select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+        .distinct()
+    }
+
   def brandCopurchase(spark: SparkSession, dir: String): DataFrame = {
-    val ob = graft.io.Tables.lineitem(spark, dir)
-      .join(broadcast(graft.io.Tables.table(spark, dir, "part")
-          .select("p_partkey", "p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand"))
-      .distinct()
+    val ob = orderBrands(spark, dir)
     ob.selectExpr("l_orderkey", "p_brand AS brand_a")
       .join(ob.selectExpr("l_orderkey AS ok2", "p_brand AS brand_b"),
         col("l_orderkey") === col("ok2") && col("brand_a") < col("brand_b"))

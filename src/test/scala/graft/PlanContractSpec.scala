@@ -26,7 +26,8 @@ class PlanContractSpec extends SparkSpec {
     "classic_market_share", "classic_returned_revenue",
     "classic_order_distribution", "classic_promo_share",
     "classic_small_order_revenue", "classic_large_orders",
-    "classic_disjunctive_bands")
+    "classic_disjunctive_bands", "lineitem_pit_priority",
+    "nation_revenue_lorenz", "docs_source_diversity")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
