@@ -208,6 +208,7 @@ object SparkEntry {
     "parts_skyline" -> ((s, d) => Analytics.partsSkyline(s, d)),
     "nation_revenue_lorenz" -> ((s, d) => Analytics.nationRevenueLorenz(s, d)),
     "customer_scd2" -> ((s, d) => Analytics.customerScd2(s, d)),
+    "customer_scd2_merged" -> ((s, d) => Analytics.customerScd2Merged(s, d)),
     "lineitem_pit_priority" -> ((s, d) => Analytics.lineitemPitPriority(s, d)),
     "parts_association_rules" -> ((s, d) => Analytics.brandAssociationRules(s, d)),
     "events_chi_square" -> ((s, d) => Analytics.eventsChiSquare(s, d)),
@@ -405,6 +406,7 @@ object SparkEntry {
     "parts_skyline" -> Analytics.partsSkylineOracle,
     "nation_revenue_lorenz" -> Analytics.nationRevenueLorenzOracle,
     "customer_scd2" -> Analytics.customerScd2Oracle,
+    "customer_scd2_merged" -> Analytics.customerScd2MergedOracle,
     "lineitem_pit_priority" -> Analytics.lineitemPitPriorityOracle,
     "parts_association_rules" -> Analytics.brandAssociationRulesOracle,
     "events_chi_square" -> Analytics.eventsChiSquareOracle,

@@ -248,14 +248,16 @@ object Analytics {
         "CAST(valid_to IS NULL AS INT) AS is_current")
       .orderBy("custkey", "version_no")
 
-  /** The shared SCD2 builder: (custkey, version_no, priority,
-    * valid_from DATE, valid_to DATE-or-NULL). */
-  private def scd2Core(spark: SparkSession, dir: String): DataFrame = {
-    val hist = t(spark, dir, "orders")
-      .selectExpr("o_custkey AS custkey",
-        "CAST(o_orderdate AS DATE) AS odate", "o_orderkey",
-        "o_orderpriority AS priority")
-    hist
+  /** SCD2 build over an arbitrary event relation
+    * (custkey, odate, o_orderkey, priority). The output keeps
+    * `version_key` — the ORDER KEY of the event that OPENED each
+    * version — because compression is re-runnable only with the full
+    * tie order: re-feeding (valid_from, version_key, priority) through
+    * this builder reproduces the same versions, which is what makes
+    * [[scd2Merge]]'s rebuild-touched-customers strategy exact even
+    * when a customer flips priority twice on one date. */
+  private[graft] def scd2FromEvents(events: DataFrame): DataFrame =
+    events
       .withColumn("prev", expr(
         "lag(priority) OVER (PARTITION BY custkey ORDER BY odate, o_orderkey)"))
       .filter("prev IS NULL OR prev <> priority")
@@ -264,8 +266,70 @@ object Analytics {
       .withColumn("valid_to", expr(
         "lead(odate) OVER (PARTITION BY custkey ORDER BY odate, o_orderkey)"))
       .selectExpr("custkey", "version_no", "priority",
-        "odate AS valid_from", "valid_to")
+        "odate AS valid_from", "valid_to", "o_orderkey AS version_key")
+
+  /** The order stream as SCD2 input events. */
+  private[graft] def orderEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .selectExpr("o_custkey AS custkey",
+        "CAST(o_orderdate AS DATE) AS odate", "o_orderkey",
+        "o_orderpriority AS priority")
+
+  /** The shared SCD2 builder: (custkey, version_no, priority,
+    * valid_from DATE, valid_to DATE-or-NULL, version_key). */
+  private def scd2Core(spark: SparkSession, dir: String): DataFrame =
+    scd2FromEvents(orderEvents(spark, dir))
+
+  /** Incremental SCD2 maintenance — the nightly production path: fold
+    * a batch of NEW events into an existing dimension without
+    * rewriting untouched customers. Touched customers (those with
+    * events in the batch) are REBUILT from their compressed version
+    * rows re-read as pseudo-events (valid_from + version_key carry the
+    * full original tie order) plus the new events; everyone else
+    * passes through verbatim via an anti-join. Rebuild-per-key is
+    * exact because SCD2 compression is idempotent over its own output:
+    * compress(compress(E₁) ∪ E₂) = compress(E₁ ∪ E₂) whenever E₂'s
+    * events never interleave BEFORE a kept event they would have
+    * displaced — i.e. per-customer history only appends, the CDC
+    * contract. The `customer_scd2_merged` query pins the equivalence
+    * against the full-rebuild DuckDB oracle; AnalyticsSpec folds three
+    * time-ordered batches and lands bit-identically on the one-shot
+    * build.
+    *
+    * Scale: the batch's customer set is batch-sized — it broadcasts to
+    * both the anti-join (untouched fast path rewrites nothing) and the
+    * pseudo-event extraction; the rebuild windows run only over
+    * touched customers' compressed histories plus the delta. */
+  def scd2Merge(existing: DataFrame, events: DataFrame): DataFrame = {
+    val touched = events.select("custkey").distinct()
+    val untouched = existing.join(broadcast(touched), Seq("custkey"), "left_anti")
+    val pseudo = existing.join(broadcast(touched), Seq("custkey"))
+      .selectExpr("custkey", "valid_from AS odate",
+        "version_key AS o_orderkey", "priority")
+    val rebuilt = scd2FromEvents(pseudo.unionByName(
+      events.select("custkey", "odate", "o_orderkey", "priority")))
+    untouched.unionByName(rebuilt)
   }
+
+  /** The merge path surfaced as an oracle-checked query: build the
+    * dimension from pre-2000 orders, fold the 2000+ delta through
+    * [[scd2Merge]], and present the result exactly like
+    * [[customerScd2]] — the ORACLE IS THE FULL REBUILD
+    * ([[customerScd2Oracle]]), so any divergence between the
+    * incremental and monolithic paths fails the hash compare. */
+  def customerScd2Merged(spark: SparkSession, dir: String): DataFrame = {
+    val all = orderEvents(spark, dir)
+    val base = scd2FromEvents(all.filter("odate < DATE '2000-01-01'"))
+    val delta = all.filter("odate >= DATE '2000-01-01'")
+    scd2Merge(base, delta)
+      .selectExpr("custkey", "version_no", "priority",
+        "CAST(valid_from AS STRING) AS valid_from",
+        "CAST(valid_to AS STRING) AS valid_to",
+        "CAST(valid_to IS NULL AS INT) AS is_current")
+      .orderBy("custkey", "version_no")
+  }
+
+  lazy val customerScd2MergedOracle: String = customerScd2Oracle
 
   private val scd2CoreSql: String =
     """chg AS (

@@ -113,6 +113,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rows.map(_._4).sum - nTotal) < 1e-6)
   }
 
+  test("SCD2 merge: folding three time-ordered batches == one-shot build") {
+    val all = Analytics.orderEvents(spark, sfTiny)
+    val cuts = Seq("DATE '1998-06-01'", "DATE '2000-01-01'")
+    val b1 = all.filter(s"odate < ${cuts(0)}")
+    val b2 = all.filter(s"odate >= ${cuts(0)} AND odate < ${cuts(1)}")
+    val b3 = all.filter(s"odate >= ${cuts(1)}")
+    val folded = Analytics.scd2Merge(Analytics.scd2Merge(
+      Analytics.scd2FromEvents(b1), b2), b3)
+    val oneShot = Analytics.scd2FromEvents(all)
+    val key = Seq("custkey", "version_no", "priority", "valid_from",
+      "valid_to", "version_key")
+    val f = folded.selectExpr(key.map(c => s"CAST($c AS STRING)"): _*)
+      .as[(String, String, String, String, String, String)].collect().toSet
+    val o = oneShot.selectExpr(key.map(c => s"CAST($c AS STRING)"): _*)
+      .as[(String, String, String, String, String, String)].collect().toSet
+    assert(f == o)
+    assert(f.nonEmpty)
+  }
+
   test("OLS readout is well-formed and matches the two-point closed form") {
     val r = Analytics.dailyRevenueTrend(spark, sfTiny)
       .selectExpr("n_days", "slope_per_day", "intercept", "r2", "forecast_30d")
