@@ -27,6 +27,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // NTZ-vintage events.ts casts wall clock → instant through the
+      // session zone; UTC keeps it identical to the oracle's naive read.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Heartbeat headroom (see scaladoc): tolerate minutes-long GC /
       // CPU starvation on a loaded host rather than exiting mid-run.
@@ -77,7 +80,25 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_._3.nonEmpty) + prepErr.size
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","prep":$prepSec,"prep_status":"${prepErr.fold("ok")("err:" + _)}","queries":$qs,"status":$st,"errors":$nErr,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","prep":$prepSec,"prep_status":"${prepErr.fold("ok")("err:" + _)}","queries":$qs,"status":$st,"errors":$nErr,"sf":"$sfDir"}"""
+    // Full per-query detail to a file (humans + regression diffing)...
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case _: Throwable => () }
+    println(full)
+    // ...and a COMPACT line LAST. The driver captures only the final
+    // ~2000 chars of process output; with 150+ queries the full line's
+    // "{"metric":...} head falls outside that window, so every prior
+    // round's bench parsed as None. The compact line keeps the required
+    // keys plus the 12 slowest queries and the failing ones, and stays
+    // well inside the window, so whichever parseable line the driver
+    // picks up from the tail, it gets the real totals.
+    val slow = results.sortBy(-_._2).take(12)
+      .map { case (k, v, _) => s"\"" + k + f"\":$v%.2f" }.mkString(",")
+    val failed = results.filter(_._3.nonEmpty).take(10)
+      .map { case (k, _, e) => s"\"" + k + "\":\"err:" + e.get + "\"" }
+      .mkString(",")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","prep":$prepSec%.2f,"prep_status":"${prepErr.fold("ok")("err:" + _)}","n_queries":${results.size},"errors":$nErr,"mean_sec":${total / math.max(1, results.size)}%.3f,"queries":{$slow},"failed":{$failed},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     PlanCache.clear()
     spark.stop()
     if (nErr > 0) sys.exit(1)

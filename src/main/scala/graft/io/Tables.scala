@@ -41,17 +41,39 @@ object Tables {
   def orders(spark: SparkSession, d: String): DataFrame = spread(table(spark, d, "orders"))
   def lineitem(spark: SparkSession, d: String): DataFrame = spread(table(spark, d, "lineitem"))
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and this reader
-    * converts the nano-long to a microsecond timestamp (integer `div`,
-    * no double round-trip — nanos exceed 2^53). No spread: the events
-    * pipelines shuffle at their first dedup/join/agg anyway (measured
-    * net loss with it). */
+  /** The events fixture's `ts` column has shipped in two vintages:
+    * TIMESTAMP(NANOS) (Spark rejects it; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and it arrives as a
+    * nano-long) and TIMESTAMP(MICROS) without UTC adjustment (arrives
+    * as TIMESTAMP_NTZ). [[normalizeTs]] maps BOTH onto the same
+    * session-timezone TimestampType instants — integer `div` for the
+    * nano-long (no double round-trip — nanos exceed 2^53), a plain
+    * cast for NTZ. Every session pins timeZone=UTC, so the NTZ wall
+    * clock IS the UTC instant, which is also exactly how DuckDB reads
+    * the naive column — the oracles' `CAST(ts AS TIMESTAMP)`/epoch()
+    * arithmetic agrees bit-for-bit with either vintage. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** The raw (pre-normalization) type of events.ts in this fixture
+    * dir — streaming sources need it to declare their read schema. */
+  private[graft] def eventsTsType(
+      spark: SparkSession, d: String): org.apache.spark.sql.types.DataType =
+    table(spark, d, "events").schema("ts").dataType
+
+  /** No spread: the events pipelines shuffle at their first
+    * dedup/join/agg anyway (measured net loss with it). */
   def events(spark: SparkSession, d: String): DataFrame =
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(table(spark, d, "events"))
 
   def documents(spark: SparkSession, d: String): DataFrame =
     spread(table(spark, d, "documents"))

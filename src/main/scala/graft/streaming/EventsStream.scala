@@ -559,21 +559,24 @@ object EventsStream {
           cents / CAST(total_cents AS DOUBLE) AS value_share
         FROM tt ORDER BY decile"""
 
-  /** Raw parquet schema of events (ts as nano-long, matching the
-    * nanosAsLong reader conf). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Raw parquet schema of events; `ts` follows the fixture vintage
+    * (nano-long or TIMESTAMP_NTZ — see [[Tables.normalizeTs]]), probed
+    * from the file footer because a file-source stream must declare
+    * its schema up front. */
+  private def eventsRawSchema(spark: SparkSession, dir: String): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", Tables.eventsTsType(spark, dir)),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Raw events file-source stream with proper timestamps (file source
     * needs a directory; the glob narrows it to the events fixture). */
   def rawEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
+    Tables.normalizeTs(spark.readStream
+      .schema(eventsRawSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
 
   /** The same aggregation as an unbounded streaming plan with a
     * watermark; drive it with Trigger.AvailableNow or

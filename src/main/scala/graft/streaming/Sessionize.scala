@@ -110,10 +110,13 @@ object Sessionize {
     }
   }
 
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** ts type follows the fixture vintage — see [[Tables.normalizeTs]]. */
+  private def eventsRawSchema(spark: SparkSession, dir: String): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", graft.io.Tables.eventsTsType(spark, dir)),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Unbounded sessionization: closed sessions stream out as they
     * close; the per-user open session is bounded state with an
@@ -121,11 +124,10 @@ object Sessionize {
     * O(active users) at any scale. */
   def sessionsStream(spark: SparkSession, dir: String): Dataset[SessionOut] = {
     import spark.implicits._
-    spark.readStream
-      .schema(eventsRawSchema)
+    graft.io.Tables.normalizeTs(spark.readStream
+      .schema(eventsRawSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
       .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("s"),
         col("ts"))
       .as[Ev]
