@@ -26,9 +26,13 @@ import scala.concurrent.duration.Duration
   * temp-view names shared by multiple queries (sales_tx, the six
   * curated_* views) are only ever created with IDENTICAL definitions
   * for a given fixture dir, so a concurrent create-or-replace can
-  * never swap a different relation under another query's analysis;
-  * per-query scratch paths (IoChecks, migration) are keyed by query
-  * tag + dir and never collide. */
+  * never swap a different relation under another query's analysis.
+  * This is no longer on the honor system: every main-source
+  * registration routes through [[graft.io.Views.register]], which
+  * remembers the canonicalized plan per (session, dir, name) and
+  * THROWS on a divergent re-registration (ViewsSpec). Per-query
+  * scratch paths (IoChecks, migration) are keyed by query tag + dir
+  * and never collide. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

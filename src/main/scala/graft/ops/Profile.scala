@@ -191,8 +191,12 @@ object Profile {
     * exact Spearman anywhere; at 100 TB swap the exact rank for a
     * bucketed ECDF (rank ≈ cumulative histogram position), which
     * turns each sort into one map-side-combined histogram. Product
-    * sums bound: |dx·dy| ≤ n² per row ⇒ BIGINT holds to n ≈ 2·10⁶
-    * rows; widen to DECIMAL beyond (the Q1 charge pattern). */
+    * sums: |dx·dy| ≤ 4n² per row ⇒ Σ grows as O(n³), past BIGINT
+    * near n ≈ 2·10⁶ — so the moments accumulate in DECIMAL(38,0)
+    * (the Q1 charge pattern; DECIMAL(19,0)·DECIMAL(19,0) lands on
+    * 38,0 in BOTH engines), which holds to n ≈ 10¹² rows. Spark
+    * non-ANSI would otherwise WRAP silently where DuckDB promotes
+    * to HUGEINT — a cross-engine divergence, not just an overflow. */
   def spearmanCorr(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .selectExpr(
@@ -206,13 +210,16 @@ object Profile {
         "count(*) OVER () AS n")
       .selectExpr("n", "rx2 - (n + 1) AS dx", "ry2 - (n + 1) AS dy",
         "rz2 - (n + 1) AS dz")
+      .selectExpr("n",
+        "CAST(dx AS DECIMAL(19,0)) AS dx", "CAST(dy AS DECIMAL(19,0)) AS dy",
+        "CAST(dz AS DECIMAL(19,0)) AS dz")
       .selectExpr(
         "CAST(max(n) AS BIGINT) AS n",
-        "CAST(sum(dx * dx) AS BIGINT) AS sxx",
-        "CAST(sum(dy * dy) AS BIGINT) AS syy",
-        "CAST(sum(dz * dz) AS BIGINT) AS szz",
-        "CAST(sum(dx * dy) AS BIGINT) AS sxy",
-        "CAST(sum(dx * dz) AS BIGINT) AS sxz")
+        "CAST(sum(dx * dx) AS DECIMAL(38,0)) AS sxx",
+        "CAST(sum(dy * dy) AS DECIMAL(38,0)) AS syy",
+        "CAST(sum(dz * dz) AS DECIMAL(38,0)) AS szz",
+        "CAST(sum(dx * dy) AS DECIMAL(38,0)) AS sxy",
+        "CAST(sum(dx * dz) AS DECIMAL(38,0)) AS sxz")
       .selectExpr("n",
         "CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))) AS rho_qty_price",
         "CAST(sxz AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(szz AS DOUBLE))) AS rho_qty_disc")
@@ -229,14 +236,16 @@ object Profile {
             2 * rank() OVER (ORDER BY qz) + count(*) OVER (PARTITION BY qz) - 1 AS rz2,
             count(*) OVER () AS n
           FROM q),
-        d AS (SELECT n, rx2 - (n + 1) AS dx, ry2 - (n + 1) AS dy,
-            rz2 - (n + 1) AS dz FROM r),
+        d AS (SELECT n,
+            CAST(rx2 - (n + 1) AS DECIMAL(19,0)) AS dx,
+            CAST(ry2 - (n + 1) AS DECIMAL(19,0)) AS dy,
+            CAST(rz2 - (n + 1) AS DECIMAL(19,0)) AS dz FROM r),
         m AS (SELECT CAST(max(n) AS BIGINT) AS n,
-            CAST(sum(dx * dx) AS BIGINT) AS sxx,
-            CAST(sum(dy * dy) AS BIGINT) AS syy,
-            CAST(sum(dz * dz) AS BIGINT) AS szz,
-            CAST(sum(dx * dy) AS BIGINT) AS sxy,
-            CAST(sum(dx * dz) AS BIGINT) AS sxz
+            CAST(sum(dx * dx) AS DECIMAL(38,0)) AS sxx,
+            CAST(sum(dy * dy) AS DECIMAL(38,0)) AS syy,
+            CAST(sum(dz * dz) AS DECIMAL(38,0)) AS szz,
+            CAST(sum(dx * dy) AS DECIMAL(38,0)) AS sxy,
+            CAST(sum(dx * dz) AS DECIMAL(38,0)) AS sxz
           FROM d)
         SELECT n,
           CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))) AS rho_qty_price,

@@ -86,14 +86,12 @@ object Scale {
     * at 100 TB that ratio is the shuffle you didn't pay. */
   def bloomJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.functions.Native.register(spark)
-    graft.io.Tables.orders(spark, dir)
+    graft.io.Views.register(dir, "bj_dim", graft.io.Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
-      .select("o_orderkey")
-      .createOrReplaceTempView("bj_dim")
-    graft.io.Tables.lineitem(spark, dir)
+      .select("o_orderkey"))
+    graft.io.Views.register(dir, "bj_fact", graft.io.Tables.lineitem(spark, dir)
       .selectExpr("l_orderkey",
-        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
-      .createOrReplaceTempView("bj_fact")
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents"))
     // might_contain requires the filter bytes as a scalar subquery (or
     // literal) — the plan broadcasts the one-row bloom aggregate to
     // every fact task. Capacity covers the sf0.1 dim (~30k keys) with

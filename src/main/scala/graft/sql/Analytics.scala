@@ -299,9 +299,32 @@ object Analytics {
     * Scale: the batch's customer set is batch-sized — it broadcasts to
     * both the anti-join (untouched fast path rewrites nothing) and the
     * pseudo-event extraction; the rebuild windows run only over
-    * touched customers' compressed histories plus the delta. */
-  def scd2Merge(existing: DataFrame, events: DataFrame): DataFrame = {
+    * touched customers' compressed histories plus the delta.
+    *
+    * `validate` (default ON) enforces the contract instead of trusting
+    * it: a batch event dated BEFORE a touched customer's latest
+    * existing `valid_from` means the history is NOT append-only for
+    * that key, the idempotence identity above does not apply, and the
+    * merged dimension would silently diverge from a full rebuild — so
+    * the merge fails loudly with the violation count. The check is one
+    * count job over batch-sized relations (events ⋈ broadcast
+    * per-touched-customer max valid_from), negligible next to the
+    * rebuild itself; callers that pre-validate upstream can pass
+    * false. */
+  def scd2Merge(existing: DataFrame, events: DataFrame,
+      validate: Boolean = true): DataFrame = {
     val touched = events.select("custkey").distinct()
+    if (validate) {
+      val maxVf = existing.join(broadcast(touched), Seq("custkey"))
+        .groupBy("custkey").agg(max("valid_from").as("max_vf"))
+      val bad = events.join(broadcast(maxVf), Seq("custkey"))
+        .filter(col("odate") < col("max_vf")).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"scd2Merge: $bad batch event(s) predate a touched customer's " +
+          "existing history — append-only CDC contract violated; the " +
+          "incremental merge would diverge from a full rebuild. " +
+          "Replay the affected customers through a full rebuild instead.")
+    }
     val untouched = existing.join(broadcast(touched), Seq("custkey"), "left_anti")
     val pseudo = existing.join(broadcast(touched), Seq("custkey"))
       .selectExpr("custkey", "valid_from AS odate",
@@ -438,10 +461,16 @@ object Analytics {
       .join(broadcast(brandN.selectExpr("p_brand AS bb", "n_brand AS n_b")),
         col("consequent") === col("bb"))
       .crossJoin(broadcast(nBaskets))
+      // lift multiplies in DOUBLE, not BIGINT: n_ab·n_baskets is a
+      // product of two row counts, which past ~3e9 rows each exceeds
+      // 2^63 — Spark non-ANSI would wrap silently while DuckDB promotes
+      // to HUGEINT, a cross-engine divergence. Counts below 2^53 are
+      // exact as doubles, and one IEEE multiply/divide tree is
+      // bit-identical in both engines.
       .selectExpr("antecedent", "consequent", "n_ab", "n_a", "n_b",
         "CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support",
         "CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS confidence",
-        "CAST(n_ab * n_baskets AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS lift")
+        "(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift")
       .orderBy(desc("lift"), asc("antecedent"), asc("consequent"))
       .limit(50)
   }
@@ -461,8 +490,8 @@ object Analytics {
          x.n_brand AS n_a, y.n_brand AS n_b,
          CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
          CAST(n_ab AS DOUBLE) / CAST(x.n_brand AS DOUBLE) AS confidence,
-         CAST(n_ab * n_baskets AS DOUBLE)
-           / CAST(x.n_brand * y.n_brand AS DOUBLE) AS lift
+         (CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+           / (CAST(x.n_brand AS DOUBLE) * CAST(y.n_brand AS DOUBLE)) AS lift
        FROM pairs
        JOIN bn x ON pairs.antecedent = x.p_brand
        JOIN bn y ON pairs.consequent = y.p_brand

@@ -90,7 +90,7 @@ object Extras {
     }
 
   def salesRollup(spark: SparkSession, dir: String): DataFrame = {
-    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
+    graft.io.Views.register(dir, "sales_tx", salesTx(spark, dir))
     spark.sql(salesRollupSql)
   }
 
@@ -108,7 +108,7 @@ object Extras {
        ORDER BY category ASC NULLS FIRST, year ASC NULLS FIRST"""
 
   def salesGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
+    graft.io.Views.register(dir, "sales_tx", salesTx(spark, dir))
     spark.sql(salesGroupingSetsSql)
   }
 
@@ -128,7 +128,7 @@ object Extras {
        ORDER BY category ASC NULLS FIRST, year ASC NULLS FIRST"""
 
   def salesCube(spark: SparkSession, dir: String): DataFrame = {
-    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
+    graft.io.Views.register(dir, "sales_tx", salesTx(spark, dir))
     spark.sql(salesCubeSql)
   }
 
@@ -142,7 +142,7 @@ object Extras {
     * is a full-sort aggregate; at 100 TB prefer `approx_percentile`
     * (t-digest) unless exactness is contractual. */
   def categoryQuantityQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
+    graft.io.Views.register(dir, "sales_tx", salesTx(spark, dir))
     spark.sql(
       """SELECT category,
            percentile(quantity, 0.25) AS q1,
@@ -173,7 +173,7 @@ object Extras {
     * `percentile` call. Same exact-sort cost note as the continuous
     * form: full sort per group, approx_percentile at 100 TB. */
   def categoryQuantityQuartilesDisc(spark: SparkSession, dir: String): DataFrame = {
-    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
+    graft.io.Views.register(dir, "sales_tx", salesTx(spark, dir))
     spark.sql(
       """SELECT category,
            percentile_disc(0.25) WITHIN GROUP (ORDER BY quantity) AS q1,
@@ -276,8 +276,8 @@ object Extras {
     * executes LATERAL natively. Values are copied verbatim (no
     * arithmetic), ordering total on the unique order key. */
   def topLineLateral(spark: SparkSession, dir: String): DataFrame = {
-    graft.io.Tables.orders(spark, dir).createOrReplaceTempView("tll_o")
-    graft.io.Tables.lineitem(spark, dir).createOrReplaceTempView("tll_l")
+    graft.io.Views.register(dir, "tll_o", graft.io.Tables.orders(spark, dir))
+    graft.io.Views.register(dir, "tll_l", graft.io.Tables.lineitem(spark, dir))
     spark.sql(topLineLateralSql("tll_o", "tll_l"))
   }
 
@@ -623,7 +623,7 @@ object Extras {
     * `ApproxQuartilesSpec` bounds the rank error against the exact
     * result instead, mirroring the HLL `_approx` precedent. */
   def categoryQuantityQuartilesApprox(spark: SparkSession, dir: String): DataFrame = {
-    salesTx(spark, dir).createOrReplaceTempView("sales_tx")
+    graft.io.Views.register(dir, "sales_tx", salesTx(spark, dir))
     spark.sql(
       """SELECT category,
            approx_percentile(quantity, 0.25, 10000) AS q1,
@@ -1317,8 +1317,8 @@ object Extras {
     * broadcast-free self-extension. The oracle runs the SAME text
     * modulo integer-division spelling. */
   def partsHierarchyRollup(spark: SparkSession, dir: String): DataFrame = {
-    graft.io.Tables.table(spark, dir, "part").select("p_partkey")
-      .createOrReplaceTempView("ph_part")
+    graft.io.Views.register(dir, "ph_part",
+      graft.io.Tables.table(spark, dir, "part").select("p_partkey"))
     spark.sql(partsHierarchySql(graft.llm.Gen.SparkD, "ph_part"))
   }
 

@@ -132,6 +132,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(f.nonEmpty)
   }
 
+  test("SCD2 merge rejects an out-of-order batch instead of corrupting") {
+    // History for one customer: A@Jan(k1), A@Feb(k2) — compressed away
+    // as a non-change — B@Mar(k3). The batch interleaves B@Jan-15(k4),
+    // which in a full rebuild RE-EXPOSES the Feb event as a change
+    // point (prev flips from A to B): 4 versions. The merge path can
+    // never recover Feb — compression already dropped it — so the
+    // unchecked result has 2 versions. This is exactly the silent
+    // corruption the validate guard turns into a loud failure.
+    import java.sql.Date
+    val hist = Seq(
+      (1L, Date.valueOf("2020-01-01"), 1L, "A"),
+      (1L, Date.valueOf("2020-02-01"), 2L, "A"),
+      (1L, Date.valueOf("2020-03-01"), 3L, "B"))
+      .toDF("custkey", "odate", "o_orderkey", "priority")
+    val batch = Seq((1L, Date.valueOf("2020-01-15"), 4L, "B"))
+      .toDF("custkey", "odate", "o_orderkey", "priority")
+    val base = Analytics.scd2FromEvents(hist)
+    val e = intercept[IllegalStateException] {
+      Analytics.scd2Merge(base, batch).count()
+    }
+    assert(e.getMessage.contains("append-only"))
+    // validate=false documents the unchecked fast path — and its wrong
+    // answer, which is the reason the guard defaults on.
+    assert(Analytics.scd2Merge(base, batch, validate = false).count() == 2)
+    assert(Analytics.scd2FromEvents(hist.unionByName(batch)).count() == 4)
+    // An in-order batch (strictly after Mar) passes the guard and
+    // lands on the full rebuild, validated or not.
+    val ok = Seq((1L, Date.valueOf("2020-04-01"), 5L, "A"))
+      .toDF("custkey", "odate", "o_orderkey", "priority")
+    assert(Analytics.scd2Merge(base, ok).count() ==
+      Analytics.scd2FromEvents(hist.unionByName(ok)).count())
+  }
+
   test("OLS readout is well-formed and matches the two-point closed form") {
     val r = Analytics.dailyRevenueTrend(spark, sfTiny)
       .selectExpr("n_days", "slope_per_day", "intercept", "r2", "forecast_30d")
