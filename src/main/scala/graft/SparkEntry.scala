@@ -287,7 +287,9 @@ object SparkEntry {
     "nation_pagerank" -> ((s, d) => graft.sql.Graph.nationPagerank(s, d)),
     "corpus_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     "doc_cdc_chunks" -> ((s, d) => graft.llm.Chunking.cdcChunks(s, d)),
-    "doc_cdc_shared" -> ((s, d) => graft.llm.Chunking.cdcSharedChunks(s, d)))
+    "doc_cdc_shared" -> ((s, d) => graft.llm.Chunking.cdcSharedChunks(s, d)),
+    "dedup_prefix_filter_pairs" -> ((s, d) => graft.llm.PrefixJoin.prefixFilterPairs(s, d)),
+    "text_bpe_merge_step" -> ((s, d) => graft.llm.LanguageModel.bpeMergeStep(s, d)))
 
   private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
     graft.io.Views.register(d, "curated_campaign_performance_summary",
@@ -493,6 +495,8 @@ object SparkEntry {
     "nation_pagerank" -> graft.sql.Graph.nationPagerankOracle,
     "corpus_weighted_sample" -> Curation.weightedSampleOracle,
     "doc_cdc_chunks" -> graft.llm.Chunking.cdcChunksOracle,
-    "doc_cdc_shared" -> graft.llm.Chunking.cdcSharedChunksOracle
+    "doc_cdc_shared" -> graft.llm.Chunking.cdcSharedChunksOracle,
+    "dedup_prefix_filter_pairs" -> graft.llm.PrefixJoin.prefixFilterPairsOracle,
+    "text_bpe_merge_step" -> graft.llm.LanguageModel.bpeMergeStepOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

@@ -85,6 +85,56 @@ object LanguageModel {
       .orderBy("doc_id")
   }
 
+  // ---- BPE merge-step candidates ----
+
+  private val bpeTopK = 10
+
+  /** One step of byte-pair-encoding training, relationally: the
+    * corpus-frequency-weighted count of every ADJACENT character pair
+    * inside words, ranked — the argmax is exactly the merge BPE would
+    * perform next, and the top-k is the candidate list. Training loops
+    * this (merge, re-pair, recount); each iteration is the same two
+    * hash aggregations, so the loop is as distributable as its worst
+    * agg. Works on the distinct-word relation weighted by word
+    * frequency (vocabulary-sized, NOT corpus-sized — the standard BPE
+    * trick: pair counts collapse over word types, then scale by type
+    * frequency). Pairs come from fixed substr arithmetic (words are
+    * short; identical spelling on both engines). */
+  def bpeMergeStep(spark: SparkSession, dir: String): DataFrame = {
+    val pairsOf =
+      "transform(sequence(1, length(word) - 1), " +
+        "i -> concat(substr(word, i, 1), substr(word, i + 1, 1)))"
+    val wordFreq = Tables.documents(spark, dir)
+      .select(explode(expr(words("lower(text)", SparkD))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+    wordFreq
+      .select(col("wf"), explode(expr(pairsOf)).as("pair"))
+      .groupBy("pair").agg(sum("wf").as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(bpeTopK)
+      .withColumn("merge_rank", expr("row_number() OVER (ORDER BY n DESC, pair)"))
+      .selectExpr("merge_rank", "pair", "CAST(n AS BIGINT) AS n")
+      .orderBy("merge_rank")
+  }
+
+  val bpeMergeStepOracle: String =
+    s"""WITH wf_t AS (
+          SELECT word, count(*) AS wf FROM (
+            SELECT unnest(${words("lower(text)", DuckD)}) AS word
+            FROM documents)
+          GROUP BY word HAVING length(word) >= 2),
+        pairs AS (
+          SELECT wf, unnest(list_transform(range(1, length(word)),
+            i -> substr(word, i, 1) || substr(word, i + 1, 1))) AS pair
+          FROM wf_t),
+        counts AS (
+          SELECT pair, sum(wf) AS n FROM pairs GROUP BY pair
+          ORDER BY n DESC, pair LIMIT $bpeTopK)
+        SELECT row_number() OVER (ORDER BY n DESC, pair) AS merge_rank,
+          pair, CAST(n AS BIGINT) AS n
+        FROM counts ORDER BY merge_rank"""
+
   val bigramScoreOracle: String = {
     val d = DuckD
     s"""WITH bigrams AS (

@@ -27,7 +27,9 @@ class PlanContractSpec extends SparkSpec {
     "classic_order_distribution", "classic_promo_share",
     "classic_small_order_revenue", "classic_large_orders",
     "classic_disjunctive_bands", "lineitem_pit_priority",
-    "nation_revenue_lorenz", "docs_source_diversity")
+    "nation_revenue_lorenz", "docs_source_diversity",
+    "events_cms_heavy_hitters", "text_bigram_lm", "doc_cdc_chunks",
+    "doc_cdc_shared", "corpus_weighted_sample")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
@@ -51,6 +53,14 @@ class PlanContractSpec extends SparkSpec {
   test("dimension joins broadcast the small side") {
     val p = plan("rating_icon_join")
     assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("pagerank iterations stay join-shaped: no cartesian products") {
+    // the only nested-loop joins allowed are the degenerate one-row
+    // broadcasts (dangling mass, node count) — same as the scalar
+    // basket count in parts_association_rules
+    val p = plan("nation_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("the deep join chain broadcasts every dimension") {

@@ -67,6 +67,22 @@ class Round6Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("BPE merge step == brute-force weighted pair counts") {
+    val texts = graft.io.Tables.documents(spark, sfTiny)
+      .select("text").as[String].collect()
+    val wf = texts.flatMap(_.trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (w, o) => (w, o.length.toLong) }
+      .filter(_._1.length >= 2)
+    val counts = wf.toSeq.flatMap { case (w, f) =>
+      w.sliding(2).map(p => (p, f)) }
+      .groupBy(_._1).map { case (p, o) => (p, o.map(_._2).sum) }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = graft.llm.LanguageModel.bpeMergeStep(spark, sfTiny)
+      .orderBy("merge_rank").select("pair", "n")
+      .as[(String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("CDC chunks tile each document exactly") {
     val bad = graft.llm.Chunking.cdcChunks(spark, sfTiny)
       .groupBy("doc_id")
@@ -75,6 +91,21 @@ class Round6Spec extends SparkSpec {
         .selectExpr("doc_id", "length(text) AS len"), Seq("doc_id"))
       .filter("covered <> len")
     assert(bad.count() == 0)
+  }
+
+  test("prefix filtering is COMPLETE: finds every brute-force Jaccard>=0.8 pair") {
+    val sets = graft.io.Tables.documents(spark, sfTiny)
+      .selectExpr("doc_id", "array_distinct(split(trim(lower(text)), '\\\\s+')) AS toks")
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, t) => (id, t.toSet) }
+    val brute = (for {
+      (a, ta) <- sets; (b, tb) <- sets if a < b
+      inter = (ta & tb).size; uni = (ta | tb).size
+      if uni > 0 && 5 * inter >= 4 * uni
+    } yield (a, b)).toSet
+    val got = graft.llm.PrefixJoin.prefixFilterPairs(spark, sfTiny)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"missing: ${brute -- got}, extra: ${got -- brute}")
   }
 
   test("CDC boundaries are content-local: a prefix edit realigns") {
