@@ -289,7 +289,8 @@ object SparkEntry {
     "doc_cdc_chunks" -> ((s, d) => graft.llm.Chunking.cdcChunks(s, d)),
     "doc_cdc_shared" -> ((s, d) => graft.llm.Chunking.cdcSharedChunks(s, d)),
     "dedup_prefix_filter_pairs" -> ((s, d) => graft.llm.PrefixJoin.prefixFilterPairs(s, d)),
-    "text_bpe_merge_step" -> ((s, d) => graft.llm.LanguageModel.bpeMergeStep(s, d)))
+    "text_bpe_merge_step" -> ((s, d) => graft.llm.LanguageModel.bpeMergeStep(s, d)),
+    "multimodal_ahash" -> ((s, d) => Multimodal.pixelAhash(s, d)))
 
   private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
     graft.io.Views.register(d, "curated_campaign_performance_summary",
@@ -497,6 +498,7 @@ object SparkEntry {
     "doc_cdc_chunks" -> graft.llm.Chunking.cdcChunksOracle,
     "doc_cdc_shared" -> graft.llm.Chunking.cdcSharedChunksOracle,
     "dedup_prefix_filter_pairs" -> graft.llm.PrefixJoin.prefixFilterPairsOracle,
-    "text_bpe_merge_step" -> graft.llm.LanguageModel.bpeMergeStepOracle
+    "text_bpe_merge_step" -> graft.llm.LanguageModel.bpeMergeStepOracle,
+    "multimodal_ahash" -> Multimodal.pixelAhashOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

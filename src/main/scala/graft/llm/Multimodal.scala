@@ -229,6 +229,91 @@ object Multimodal {
       .orderBy("doc_id", "channel")
   }
 
+  case class PixelAhash(doc_id: Long, w: Int, h: Int, ahash: Long)
+
+  /** Perceptual average-hash over the REAL decode path — the image
+    * near-dup primitive (aHash): nearest-neighbor-sample the decoded
+    * raster to an 8×8 grid of integer grayscales ((r+g+b) DIV 3),
+    * threshold each cell against the integer mean (sum DIV 64), pack
+    * the 64 bits. Two images within a few Hamming bits are
+    * re-encodes/crops of each other; the downstream join is the
+    * SimHash pigeonhole-banding machinery the text tier already has —
+    * per-image work is O(1) after decode, and the hash is 8 bytes per
+    * image regardless of resolution, which is what makes corpus-scale
+    * image dedup storable. All arithmetic integer, so the oracle (the
+    * generative raster formula, never decoded) matches bit-for-bit —
+    * a hash-match proves encode→decode→sample→threshold end-to-end. */
+  def pixelAhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 0").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h) = pixelDims(id)
+          val png = MediaCodec.makePngWithPixels(
+            w, h, pixelRaster(id, w, h), y => ((id + y) % 5).toInt)
+          val img = MediaCodec.decodePngPixels(png).getOrElse(
+            sys.error(s"pixel decode failed for doc $id"))
+          val b = img.bytes
+          val g = new Array[Long](64)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val x = i * img.width / 8
+              val y = j * img.height / 8
+              val off = (y * img.width + x) * 4
+              g(j * 8 + i) =
+                ((b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)) / 3
+              i += 1
+            }
+            j += 1
+          }
+          val mean = g.sum / 64
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (g(k) > mean) hash |= (1L << k)
+            k += 1
+          }
+          PixelAhash(id, img.width, img.height, hash)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Same generative-formula technique as [[pixelStatsOracle]]: cell
+    * grayscales from the raster arithmetic (byte (x·4+c) of row y is
+    * (base + y·31 + (x·4+c)·7) mod 256), integer mean, strict
+    * threshold, bit k = cell (j·8+i). Bit weights are exact signed
+    * BIGINT literals — bit 63 is Long.MinValue, so the two's-complement
+    * SUM of disjoint weights equals the packed bit pattern (power(2,63)
+    * would overflow). */
+  val pixelAhashOracle: String = {
+    val gExpr = (0 until 3).map { c =>
+      s"(((i.doc_id % 251) + ((cj.j * i.h) // 8) * 31 " +
+        s"+ (((ci.i * i.w) // 8) * 4 + $c) * 7) % 256)"
+    }.mkString("(", " + ", ") // 3")
+    val weights = (0 until 64).map { k =>
+      s"($k, CAST(${1L << k} AS BIGINT))" }.mkString(", ")
+    s"""WITH imgs AS (SELECT doc_id,
+           CAST(doc_id % 31 + 1 AS INTEGER) AS w,
+           CAST(doc_id % 17 + 1 AS INTEGER) AS h
+         FROM documents WHERE doc_id % 3 = 0),
+       w64(k, wt) AS (SELECT * FROM (VALUES $weights) t(k, wt)),
+       cells AS (SELECT i.doc_id, i.w, i.h, ci.i AS ci, cj.j AS cj,
+           $gExpr AS g
+         FROM imgs i, range(0, 8) ci(i), range(0, 8) cj(j)),
+       means AS (SELECT doc_id, sum(g) // 64 AS m FROM cells GROUP BY doc_id),
+       bits AS (SELECT c.doc_id, c.w, c.h,
+           CASE WHEN c.g > m.m THEN w64.wt ELSE CAST(0 AS BIGINT) END AS bit
+         FROM cells c JOIN means m ON c.doc_id = m.doc_id
+         JOIN w64 ON w64.k = c.cj * 8 + c.ci)
+       SELECT doc_id, w, h, CAST(sum(bit) AS BIGINT) AS ahash
+       FROM bits GROUP BY doc_id, w, h ORDER BY doc_id"""
+  }
+
   /** sum(b) in DuckDB is HUGEINT — cast back to BIGINT (sums are far
     * below 2^53, so the double mean conversion is exact too). DuckDB's
     * `range` table function cannot take lateral (per-row) bounds, so

@@ -27,6 +27,36 @@ class Round6Spec extends SparkSpec {
     assert(exact.count() > 0)
   }
 
+  test("CMS is a mergeable monoid: per-batch sketches sum to the one-shot sketch") {
+    // the property that makes the sketch work at scale: partition the
+    // input any way, sketch each part, ADD the cell grids — identical
+    // to sketching everything at once (this is also why the hash agg's
+    // map-side combine IS the sketch merge, and why a streaming
+    // foreachBatch accumulation converges on the batch answer)
+    val ev = graft.io.Tables.events(spark, sfTiny)
+      .selectExpr("user_id", "event_id % 3 AS part")
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("user_id", "explode(sequence(0, 3)) AS i")
+      .selectExpr("i",
+        """CASE WHEN i = 0 THEN ((31 * user_id + 7) % 2147483647) % 256
+                WHEN i = 1 THEN ((37 * user_id + 11) % 2147483647) % 256
+                WHEN i = 2 THEN ((41 * user_id + 13) % 2147483647) % 256
+                ELSE ((43 * user_id + 17) % 2147483647) % 256 END AS bucket""")
+      .groupBy("i", "bucket").count()
+    val oneShot = cells(ev).as[(Int, Long, Long)].collect().toMap2
+    val merged = (0 to 2).map(p => cells(ev.filter(s"part = $p")))
+      .map(_.as[(Int, Long, Long)].collect().toMap2)
+      .reduce { (a, b) =>
+        (a.keySet ++ b.keySet).map(k =>
+          k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap }
+    assert(merged == oneShot)
+  }
+
+  private implicit class Tuples3(rows: Array[(Int, Long, Long)]) {
+    def toMap2: Map[(Int, Long), Long] =
+      rows.map { case (i, b, n) => ((i, b), n) }.toMap
+  }
+
   test("bigram model: per-antecedent probabilities are a distribution") {
     val r = graft.llm.LanguageModel.bigramScore(spark, sfTiny)
     val rows = r.selectExpr("n_bigrams", "avg_bigram_prob")
