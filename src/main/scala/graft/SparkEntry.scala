@@ -290,7 +290,8 @@ object SparkEntry {
     "doc_cdc_shared" -> ((s, d) => graft.llm.Chunking.cdcSharedChunks(s, d)),
     "dedup_prefix_filter_pairs" -> ((s, d) => graft.llm.PrefixJoin.prefixFilterPairs(s, d)),
     "text_bpe_merge_step" -> ((s, d) => graft.llm.LanguageModel.bpeMergeStep(s, d)),
-    "multimodal_ahash" -> ((s, d) => Multimodal.pixelAhash(s, d)))
+    "multimodal_ahash" -> ((s, d) => Multimodal.pixelAhash(s, d)),
+    "text_posting_lists" -> ((s, d) => graft.llm.LanguageModel.postingLists(s, d)))
 
   private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
     graft.io.Views.register(d, "curated_campaign_performance_summary",
@@ -499,6 +500,7 @@ object SparkEntry {
     "doc_cdc_shared" -> graft.llm.Chunking.cdcSharedChunksOracle,
     "dedup_prefix_filter_pairs" -> graft.llm.PrefixJoin.prefixFilterPairsOracle,
     "text_bpe_merge_step" -> graft.llm.LanguageModel.bpeMergeStepOracle,
-    "multimodal_ahash" -> Multimodal.pixelAhashOracle
+    "multimodal_ahash" -> Multimodal.pixelAhashOracle,
+    "text_posting_lists" -> graft.llm.LanguageModel.postingListsOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

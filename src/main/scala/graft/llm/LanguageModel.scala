@@ -85,6 +85,49 @@ object LanguageModel {
       .orderBy("doc_id")
   }
 
+  // ---- inverted index ----
+
+  private val postingK = 20
+
+  /** Inverted-index build for the corpus's heaviest terms: per term,
+    * document frequency, total term frequency, and the posting list
+    * rendered as a canonical "doc:tf" string in doc_id order — the
+    * search-index primitive (and the retrieval side of RAG data prep).
+    *
+    * Posting lists ARE the partitioning story: the index shuffles once
+    * on the term key, each term's postings assemble independently, and
+    * the per-term row is as large as that term's corpus footprint —
+    * which is why real indexes shard exactly this way. The canonical
+    * string form (sort_array before join vs string_agg ORDER BY) makes
+    * the whole list one hash-comparable value, the same trick the
+    * supplier-roster query pins. */
+  def postingLists(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(words("lower(text)", SparkD))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
+        expr("""array_join(transform(
+                  sort_array(collect_list(struct(doc_id AS d, tf AS t))),
+                  s -> concat(s.d, ':', s.t)), ',')""").as("postings"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(postingK)
+      .selectExpr("term", "df", "CAST(total_tf AS BIGINT) AS total_tf",
+        "postings")
+  }
+
+  val postingListsOracle: String =
+    s"""WITH tf_t AS (
+          SELECT term, doc_id, count(*) AS tf FROM (
+            SELECT doc_id, unnest(${words("lower(text)", DuckD)}) AS term
+            FROM documents)
+          GROUP BY term, doc_id)
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+          string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        FROM tf_t GROUP BY term
+        ORDER BY df DESC, term LIMIT $postingK"""
+
   // ---- BPE merge-step candidates ----
 
   private val bpeTopK = 10
