@@ -27,6 +27,15 @@ class Round6Spec extends SparkSpec {
     assert(exact.count() > 0)
   }
 
+  private def cells(df: org.apache.spark.sql.DataFrame) = df
+    .selectExpr("user_id", "explode(sequence(0, 3)) AS i")
+    .selectExpr("i",
+      """CASE WHEN i = 0 THEN ((31 * user_id + 7) % 2147483647) % 256
+              WHEN i = 1 THEN ((37 * user_id + 11) % 2147483647) % 256
+              WHEN i = 2 THEN ((41 * user_id + 13) % 2147483647) % 256
+              ELSE ((43 * user_id + 17) % 2147483647) % 256 END AS bucket""")
+    .groupBy("i", "bucket").count()
+
   test("CMS is a mergeable monoid: per-batch sketches sum to the one-shot sketch") {
     // the property that makes the sketch work at scale: partition the
     // input any way, sketch each part, ADD the cell grids — identical
@@ -35,14 +44,6 @@ class Round6Spec extends SparkSpec {
     // foreachBatch accumulation converges on the batch answer)
     val ev = graft.io.Tables.events(spark, sfTiny)
       .selectExpr("user_id", "event_id % 3 AS part")
-    def cells(df: org.apache.spark.sql.DataFrame) = df
-      .selectExpr("user_id", "explode(sequence(0, 3)) AS i")
-      .selectExpr("i",
-        """CASE WHEN i = 0 THEN ((31 * user_id + 7) % 2147483647) % 256
-                WHEN i = 1 THEN ((37 * user_id + 11) % 2147483647) % 256
-                WHEN i = 2 THEN ((41 * user_id + 13) % 2147483647) % 256
-                ELSE ((43 * user_id + 17) % 2147483647) % 256 END AS bucket""")
-      .groupBy("i", "bucket").count()
     val oneShot = cells(ev).as[(Int, Long, Long)].collect().toMap2
     val merged = (0 to 2).map(p => cells(ev.filter(s"part = $p")))
       .map(_.as[(Int, Long, Long)].collect().toMap2)
@@ -55,6 +56,30 @@ class Round6Spec extends SparkSpec {
   private implicit class Tuples3(rows: Array[(Int, Long, Long)]) {
     def toMap2: Map[(Int, Long), Long] =
       rows.map { case (i, b, n) => ((i, b), n) }.toMap
+  }
+
+  test("streaming CMS: foreachBatch-merged sketch == batch sketch") {
+    // the streaming twin of the monoid test: sketch each micro-batch,
+    // merge cell-wise into an accumulator — the unbounded-stream form
+    // (bounded state: d x w cells forever, no watermark needed because
+    // the sketch never stores keys)
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val acc = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    val q = graft.streaming.EventsStream.rawEventsStream(spark, sfTiny)
+      .select("user_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        cells(b).as[(Int, Long, Long)].collect().foreach {
+          case (i, bk, n) => acc((i, bk)) = acc.getOrElse((i, bk), 0L) + n
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val batch = cells(graft.io.Tables.events(spark, sfTiny).select("user_id"))
+      .as[(Int, Long, Long)].collect().toMap2
+    assert(acc.toMap == batch)
   }
 
   test("bigram model: per-antecedent probabilities are a distribution") {
