@@ -63,7 +63,15 @@ object Graph {
   /** Fixed-depth PageRank readout: (nation, rank_pico, rank) ordered by
     * rank descending with the name tiebreak. */
   def nationPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = tradeEdges(spark, dir)
+    // localCheckpoint bounds the PLAN, not just the data (the
+    // dedupClusters lesson): without it each unrolled iteration
+    // re-expands the edge-extraction lineage — the audited plan had
+    // 800+ operators including SIX separate lineitem⋈orders joins,
+    // i.e. the fact table scanned once per reference instead of once.
+    // Edges/outdeg are node²-bounded and each rank table is
+    // node-sized, so the checkpoint itself is trivial; at real graph
+    // scale this is persist()/checkpoint every few rounds, same idea.
+    val edges = tradeEdges(spark, dir).localCheckpoint()
     val nodes = t(spark, dir, "nation").selectExpr("n_nationkey AS node")
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -83,6 +91,7 @@ object Graph {
         .crossJoin(broadcast(dangling)).crossJoin(broadcast(nNodes))
         .selectExpr("node",
           s"CAST(${nextRankExpr("coalesce(m, 0)", "dangling", "n_nodes", SparkD)} AS BIGINT) AS r")
+        .localCheckpoint()
     }
     ranks.join(t(spark, dir, "nation"), col("node") === col("n_nationkey"))
       .selectExpr("n_name AS nation", "r AS rank_pico",
