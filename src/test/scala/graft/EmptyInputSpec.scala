@@ -40,7 +40,8 @@ class EmptyInputSpec extends SparkSpec {
     import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
     // an empty-fixture dir with the real schemas (a new tenant's corpus)
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
-    Seq("documents", "embeddings").foreach { t =>
+    Seq("documents", "embeddings", "events", "nation", "customer",
+      "supplier", "orders", "lineitem").foreach { t =>
       spark.read.parquet(s"$sfTiny/$t.parquet").limit(0)
         .write.parquet(s"$dir/$t.parquet")
     }
@@ -82,7 +83,22 @@ class EmptyInputSpec extends SparkSpec {
       "multimodal_video_stats" -> (Multimodal.videoStats _),
       "text_vocabulary" -> (TextAnalysis.vocabulary _),
       "text_contamination" -> (TextAnalysis.contamination _),
-      "text_tfidf_pairs" -> (TextAnalysis.tfidfPairs _))
+      "text_tfidf_pairs" -> (TextAnalysis.tfidfPairs _),
+      // round-6 operators
+      "text_bigram_lm" -> (graft.llm.LanguageModel.bigramScore _),
+      "text_bpe_merge_step" -> (graft.llm.LanguageModel.bpeMergeStep _),
+      "text_posting_lists" -> (graft.llm.LanguageModel.postingLists _),
+      "corpus_weighted_sample" -> (Curation.weightedSample _),
+      "doc_cdc_chunks" -> (graft.llm.Chunking.cdcChunks _),
+      "doc_cdc_shared" -> (graft.llm.Chunking.cdcSharedChunks _),
+      "dedup_prefix_filter_pairs" -> (graft.llm.PrefixJoin.prefixFilterPairs _),
+      "multimodal_ahash" -> (Multimodal.pixelAhash _),
+      // empty EVENT/GRAPH inputs: the sketch has no heavy hitters to
+      // audit, and a graph with no nodes ranks nothing (the teleport
+      // division by a zero node count stays on the never-executed
+      // per-node path — non-ANSI DIV NULL, zero rows, no crash)
+      "events_cms_heavy_hitters" -> (graft.ops.Sketches.cmsHeavyHitters _),
+      "nation_pagerank" -> (graft.sql.Graph.nationPagerank _))
     ops.foreach { case (name, fn) =>
       assert(fn(spark, dir).count() == 0, s"$name not empty/total on empty input")
     }
