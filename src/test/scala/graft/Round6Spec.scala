@@ -163,6 +163,28 @@ class Round6Spec extends SparkSpec {
     assert(got == brute, s"missing: ${brute -- got}, extra: ${got -- brute}")
   }
 
+  test("CDC chunking is total on sub-window and empty documents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_short").toString
+    Seq(
+      (1L, "", "en", "crafted", 0L),
+      (2L, "abc", "en", "crafted", 3L),
+      (3L, "exactly8", "en", "crafted", 8L),
+      (4L, "a bit longer than the window", "en", "crafted", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val chunks = graft.llm.Chunking.cdcChunks(spark, dir)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_len")
+      .as[(Long, Long, Long, Int)].collect()
+    // the empty doc yields no chunks; every other doc tiles exactly
+    assert(!chunks.exists(_._1 == 1L))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc(2L).map(_._4).sum == 3)
+    assert(byDoc(3L).map(_._4).sum == 8)
+    assert(byDoc(4L).map(_._4).sum == 28)
+    // shorter than the window => can never cut => exactly one chunk
+    assert(byDoc(2L).length == 1 && byDoc(2L).head._3 == 1)
+  }
+
   test("CDC boundaries are content-local: a prefix edit realigns") {
     // varied content (LCG-generated letters) — a short REPEATING string
     // can miss the 1/64 cut condition on every one of its few distinct
