@@ -76,6 +76,9 @@ object Native {
       exprs => TopKAgg(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cdc_boundaries", exprs => CdcBoundariesExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_inter",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // runtime-filter rewrite but does not register them as SQL
     // functions; surfacing them lets a pipeline build a bloom filter as

@@ -36,34 +36,60 @@ object PrefixJoin {
   private val tDen = 5
 
   def prefixFilterPairs(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(expr(arrDistinct(words("lower(text)", SparkD), SparkD)))
-          .as("tok"))
+    // the distinct-token ARRAY rides alongside the exploded rows: the
+    // verify step intersects arrays per candidate pair (one codegen'd
+    // hash-intersect per row) instead of re-joining each pair against
+    // its token LISTS — on a boilerplate-heavy corpus the qualifying
+    // pairs are near-quadratic, and the list-join formulation pushed
+    // |pairs|·|tokens| rows through two shuffles (measured 73 s at
+    // sf0.1; the array form verifies map-side against the broadcast
+    // doc→array relation and runs in a few seconds)
+    // both checkpoints bound RECOMPUTATION, not size: docsArr is
+    // corpus-row-sized and prefix is ~sz/5 rows per doc, but each is
+    // referenced twice by the self-join (and docsArr twice more by the
+    // verify), so without them the tokenize+df+window lineage runs 4×
+    graft.functions.Native.register(spark)
+    // arrays are SORTED once here so verification can merge-walk
+    // (graft_sorted_inter) instead of hash-building per pair
+    val docsArr = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        s"sort_array(${arrDistinct(words("lower(text)", SparkD), SparkD)}) AS toks")
+      .selectExpr("doc_id", "toks", "size(toks) AS sz")
+      .localCheckpoint()
+    val toks = docsArr.select(col("doc_id"), col("sz"),
+      explode(col("toks")).as("tok"))
     val dfT = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val ranked = toks.join(dfT, Seq("tok"))
       .withColumn("rk", expr(
         "row_number() OVER (PARTITION BY doc_id ORDER BY df, tok)"))
-      .join(sizes, Seq("doc_id"))
     val prefix = ranked.filter(
       expr(s"rk <= sz - (($tNum * sz + $tNum) DIV $tDen) + 1"))
+      .select("doc_id", "tok", "sz")
+      .localCheckpoint()
+    // the pre-distinct pair stream repeats a pair once per shared
+    // prefix token — project it down to the two ids BEFORE the
+    // distinct so the dedup shuffle moves 16 bytes/row, not the
+    // token/size payload (the size filter runs pre-projection)
     val cand = prefix.selectExpr("doc_id AS doc_a", "tok", "sz AS sz_a")
       .join(prefix.selectExpr("doc_id AS doc_b", "tok", "sz AS sz_b"),
         Seq("tok"))
       .filter(col("doc_a") < col("doc_b"))
       // size filter: |B| ≥ t·|A| is necessary for Jaccard ≥ t
       .filter(expr(s"$tDen * sz_b >= $tNum * sz_a AND $tDen * sz_a >= $tNum * sz_b"))
-      .select("doc_a", "doc_b", "sz_a", "sz_b").distinct()
-    val inter = cand
-      .join(toks.selectExpr("doc_id AS doc_a", "tok"), Seq("doc_a"))
-      .join(toks.selectExpr("doc_id AS doc_b", "tok AS tok_b"), Seq("doc_b"))
-      .filter(col("tok") === col("tok_b"))
-      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .selectExpr("doc_a", "doc_b", "inter",
-        "sz_a + sz_b - inter AS uni")
+      .select("doc_a", "doc_b").distinct()
+    // doc→array is corpus-row-sized (tiny next to the pair set) —
+    // broadcast both sides so verification never shuffles the pairs;
+    // past broadcast limits this degrades to a doc_id shuffle join,
+    // same semantics
+    cand
+      .join(broadcast(docsArr.selectExpr(
+        "doc_id AS doc_a", "toks AS toks_a", "sz AS sz_a")), Seq("doc_a"))
+      .join(broadcast(docsArr.selectExpr(
+        "doc_id AS doc_b", "toks AS toks_b", "sz AS sz_b")), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        "graft_sorted_inter(toks_a, toks_b) AS inter", "sz_a", "sz_b")
+      .selectExpr("doc_a", "doc_b", "CAST(inter AS BIGINT) AS inter",
+        "CAST(sz_a + sz_b - inter AS BIGINT) AS uni")
       .filter(s"$tDen * inter >= $tNum * uni")
       .selectExpr("doc_a", "doc_b", "inter", "uni",
         "CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard")
@@ -72,16 +98,16 @@ object PrefixJoin {
 
   val prefixFilterPairsOracle: String = {
     val d = DuckD
-    s"""WITH toks AS (
-          SELECT doc_id, unnest(${arrDistinct(words("lower(text)", d), d)}) AS tok
+    s"""WITH docs_arr AS (
+          SELECT doc_id, ${arrDistinct(words("lower(text)", d), d)} AS toks
           FROM documents),
+        sized AS (SELECT doc_id, toks, ${arrLen("toks", d)} AS sz FROM docs_arr),
+        toks AS (SELECT doc_id, sz, unnest(toks) AS tok FROM sized),
         df_t AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
         ranked AS (
-          SELECT t.doc_id, t.tok, s.sz,
+          SELECT t.doc_id, t.tok, t.sz,
             row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rk
-          FROM toks t JOIN df_t f ON t.tok = f.tok
-          JOIN sizes s ON t.doc_id = s.doc_id),
+          FROM toks t JOIN df_t f ON t.tok = f.tok),
         prefix AS (
           SELECT doc_id, tok, sz FROM ranked
           WHERE rk <= sz - (($tNum * sz + $tNum) // $tDen) + 1),
@@ -93,15 +119,16 @@ object PrefixJoin {
           WHERE $tDen * b.sz >= $tNum * a.sz
             AND $tDen * a.sz >= $tNum * b.sz),
         inter_t AS (
-          SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b, count(*) AS inter
+          SELECT c.doc_a, c.doc_b,
+            CAST(${interSize("sa.toks", "sb.toks", d)} AS BIGINT) AS inter,
+            CAST(c.sz_a + c.sz_b - ${interSize("sa.toks", "sb.toks", d)} AS BIGINT) AS uni
           FROM cand c
-          JOIN toks ta ON ta.doc_id = c.doc_a
-          JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-          GROUP BY c.doc_a, c.doc_b, c.sz_a, c.sz_b)
-        SELECT doc_a, doc_b, inter, sz_a + sz_b - inter AS uni,
-          CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) AS jaccard
+          JOIN sized sa ON sa.doc_id = c.doc_a
+          JOIN sized sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, inter, uni,
+          CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
         FROM inter_t
-        WHERE $tDen * inter >= $tNum * (sz_a + sz_b - inter)
+        WHERE $tDen * inter >= $tNum * uni
         ORDER BY doc_a, doc_b"""
   }
 }
