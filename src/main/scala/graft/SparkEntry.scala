@@ -291,7 +291,8 @@ object SparkEntry {
     "dedup_prefix_filter_pairs" -> ((s, d) => graft.llm.PrefixJoin.prefixFilterPairs(s, d)),
     "text_bpe_merge_step" -> ((s, d) => graft.llm.LanguageModel.bpeMergeStep(s, d)),
     "multimodal_ahash" -> ((s, d) => Multimodal.pixelAhash(s, d)),
-    "text_posting_lists" -> ((s, d) => graft.llm.LanguageModel.postingLists(s, d)))
+    "text_posting_lists" -> ((s, d) => graft.llm.LanguageModel.postingLists(s, d)),
+    "text_bm25_topk" -> ((s, d) => graft.llm.LanguageModel.bm25TopK(s, d)))
 
   private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
     graft.io.Views.register(d, "curated_campaign_performance_summary",
@@ -501,6 +502,7 @@ object SparkEntry {
     "dedup_prefix_filter_pairs" -> graft.llm.PrefixJoin.prefixFilterPairsOracle,
     "text_bpe_merge_step" -> graft.llm.LanguageModel.bpeMergeStepOracle,
     "multimodal_ahash" -> Multimodal.pixelAhashOracle,
-    "text_posting_lists" -> graft.llm.LanguageModel.postingListsOracle
+    "text_posting_lists" -> graft.llm.LanguageModel.postingListsOracle,
+    "text_bm25_topk" -> graft.llm.LanguageModel.bm25TopKOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

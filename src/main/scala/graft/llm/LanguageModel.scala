@@ -128,6 +128,89 @@ object LanguageModel {
         FROM tf_t GROUP BY term
         ORDER BY df DESC, term LIMIT $postingK"""
 
+  // ---- BM25 ranking ----
+
+  private val bm25K = 20
+
+  /** BM25 retrieval scoring against the corpus's own top-3 terms (a
+    * deterministic stand-in for a user query): the standard Okapi
+    * formula with k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    * Each (doc, term) score is ONE fixed IEEE tree over exact integer
+    * inputs (tf, df, N, dl, Σdl — length normalization uses
+    * dl·N/Σdl, the exact-rational form of dl/avgdl), quantized to
+    * nano-units immediately (ln() wobbles by 1 ulp between engines on
+    * rare inputs — the weighted-sample lesson — and quantization
+    * confines that to rounding-boundary coincidences); per-document
+    * totals are order-independent BIGINT sums.
+    *
+    * Plan shape: the query-term relation (3 rows) and the two global
+    * scalars broadcast; scoring touches only the tf rows of query
+    * terms (semi-join on the term key); the readout is one top-k.
+    * That is the BM25 serving shape at any corpus size — score only
+    * the postings of queried terms, never the corpus. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(words("lower(text)", SparkD))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val globals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val qterms = dfT.orderBy(desc("df"), asc("term")).limit(3)
+    val termScore =
+      """CAST(round(
+           ln(CAST(1 AS DOUBLE)
+              + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+             / (CAST(tf AS DOUBLE)
+                + CAST(1.2 AS DOUBLE)
+                  * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE)
+                       * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                          / CAST(sum_dl AS DOUBLE))))
+           * 1e9) AS BIGINT)"""
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(globals))
+      .selectExpr("doc_id", s"$termScore AS s_nano")
+      .groupBy("doc_id").agg(sum("s_nano").as("score_nano"))
+      .orderBy(desc("score_nano"), asc("doc_id"))
+      .limit(bm25K)
+      .selectExpr("doc_id", "CAST(score_nano AS BIGINT) AS score_nano",
+        "CAST(score_nano AS DOUBLE) / 1e9 AS bm25")
+  }
+
+  val bm25TopKOracle: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${words("lower(text)", DuckD)}) AS term
+          FROM documents),
+        tf_t AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        df_t AS (SELECT term, count(*) AS df FROM tf_t GROUP BY term),
+        dl_t AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        g AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl_t),
+        q AS (SELECT term, df FROM df_t ORDER BY df DESC, term LIMIT 3),
+        scored AS (
+          SELECT tf_t.doc_id,
+            CAST(round(
+              ln(CAST(1 AS DOUBLE)
+                 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+              * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                / (CAST(tf AS DOUBLE)
+                   + CAST(1.2 AS DOUBLE)
+                     * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE)
+                          * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                             / CAST(sum_dl AS DOUBLE))))
+              * 1e9) AS BIGINT) AS s_nano
+          FROM tf_t JOIN q USING (term)
+          JOIN dl_t ON tf_t.doc_id = dl_t.doc_id
+          CROSS JOIN g)
+        SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS score_nano,
+          CAST(sum(s_nano) AS DOUBLE) / 1e9 AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY score_nano DESC, doc_id LIMIT $bm25K"""
+
   // ---- BPE merge-step candidates ----
 
   private val bpeTopK = 10
