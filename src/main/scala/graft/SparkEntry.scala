@@ -292,7 +292,8 @@ object SparkEntry {
     "text_bpe_merge_step" -> ((s, d) => graft.llm.LanguageModel.bpeMergeStep(s, d)),
     "multimodal_ahash" -> ((s, d) => Multimodal.pixelAhash(s, d)),
     "text_posting_lists" -> ((s, d) => graft.llm.LanguageModel.postingLists(s, d)),
-    "text_bm25_topk" -> ((s, d) => graft.llm.LanguageModel.bm25TopK(s, d)))
+    "text_bm25_topk" -> ((s, d) => graft.llm.LanguageModel.bm25TopK(s, d)),
+    "events_cusum_drift" -> ((s, d) => Analytics.eventsCusumDrift(s, d)))
 
   private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
     graft.io.Views.register(d, "curated_campaign_performance_summary",
@@ -503,6 +504,7 @@ object SparkEntry {
     "text_bpe_merge_step" -> graft.llm.LanguageModel.bpeMergeStepOracle,
     "multimodal_ahash" -> Multimodal.pixelAhashOracle,
     "text_posting_lists" -> graft.llm.LanguageModel.postingListsOracle,
-    "text_bm25_topk" -> graft.llm.LanguageModel.bm25TopKOracle
+    "text_bm25_topk" -> graft.llm.LanguageModel.bm25TopKOracle,
+    "events_cusum_drift" -> Analytics.eventsCusumDriftOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

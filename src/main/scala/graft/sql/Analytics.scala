@@ -962,4 +962,84 @@ object Analytics {
        WHERE mad > 0 AND adev * 10000 > 3 * 14826 * mad
        ORDER BY x"""
 
+  /** CUSUM drift detection over each event type's daily volume — the
+    * classic sequential change-point statistic
+    * S_t = max(0, S_{t−1} + (x_t − μ − k)) looks inherently
+    * one-at-a-time, but it has a closed form that windows compute in
+    * parallel: with P_t the ORDERED prefix sum of the penalized
+    * residuals, S_t = P_t − min_{i≤t} P_i. Two window passes
+    * (running sum, running min), no recursion, no driver loop — the
+    * "sequential algorithm → prefix-scan identity" move that makes
+    * streaming-style monitors feasible as batch queries at any scale
+    * (each event type is an independent window partition).
+    *
+    * Exactness: residuals are scaled through by the day count D
+    * (D·x_t − T is integral and sums to zero over the period), the
+    * drift penalty k = μ/2 becomes the integer T DIV 2, and the alarm
+    * threshold h = 2μ·D becomes 2·T — every comparison an exact
+    * BIGINT. The readout divides once for the unscaled statistic.
+    *
+    * Windows ARE ordered state here, so this query (like the other
+    * window analytics) relies on the per-partition total order
+    * (event_type, day) — deterministic in both engines. */
+  def eventsCusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.io.Tables.events(spark, dir)
+      .selectExpr("event_type",
+        "CAST(date_trunc('day', ts) AS DATE) AS day")
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    daily
+      .withColumn("t_total", expr(
+        "sum(c) OVER (PARTITION BY event_type)"))
+      .withColumn("n_days", expr(
+        "count(*) OVER (PARTITION BY event_type)"))
+      .withColumn("p", expr(
+        """sum(n_days * c - t_total - (t_total DIV 2))
+             OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+      // the running min must include the EMPTY prefix (P_0 = 0), or a
+      // series that only ever rises would subtract its first partial
+      // sum instead of zero
+      .withColumn("s", expr(
+        """p - least(CAST(0 AS BIGINT), min(p) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""))
+      .groupBy("event_type")
+      .agg(max("n_days").as("n_days"), max("t_total").as("total"),
+        max("s").as("max_cusum_scaled"),
+        expr("sum(CASE WHEN s > 2 * t_total THEN 1 ELSE 0 END)")
+          .as("n_alarm_days"),
+        expr("min(CASE WHEN s > 2 * t_total THEN day END)")
+          .as("first_alarm_day"))
+      .selectExpr("event_type", "n_days", "total", "max_cusum_scaled",
+        "CAST(max_cusum_scaled AS DOUBLE) / CAST(n_days AS DOUBLE) AS max_cusum",
+        "n_alarm_days", "CAST(first_alarm_day AS STRING) AS first_alarm_day")
+      .orderBy("event_type")
+  }
+
+  val eventsCusumDriftOracle: String =
+    """WITH daily AS (
+         SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           count(*) AS c
+         FROM events GROUP BY event_type, day),
+       w AS (
+         SELECT event_type, day, c,
+           sum(c) OVER (PARTITION BY event_type) AS t_total,
+           count(*) OVER (PARTITION BY event_type) AS n_days
+         FROM daily),
+       p_t AS (
+         SELECT *, sum(n_days * c - t_total - (t_total // 2))
+             OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+         FROM w),
+       s_t AS (
+         SELECT *, p - least(CAST(0 AS BIGINT), min(p) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+         FROM p_t)
+       SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+         CAST(max(t_total) AS BIGINT) AS total,
+         CAST(max(s) AS BIGINT) AS max_cusum_scaled,
+         CAST(max(s) AS DOUBLE) / CAST(max(n_days) AS DOUBLE) AS max_cusum,
+         CAST(sum(CASE WHEN s > 2 * t_total THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+         CAST(min(CASE WHEN s > 2 * t_total THEN day END) AS VARCHAR) AS first_alarm_day
+       FROM s_t GROUP BY event_type ORDER BY event_type"""
+
 }

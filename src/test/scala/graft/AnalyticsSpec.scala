@@ -165,6 +165,32 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.scd2FromEvents(hist.unionByName(ok)).count())
   }
 
+  test("CUSUM window closed form == the sequential max(0, ...) recursion") {
+    val daily = graft.io.Tables.events(spark, sfTiny)
+      .selectExpr("event_type", "CAST(date_trunc('day', ts) AS DATE) AS day")
+      .groupBy("event_type", "day").count()
+      .orderBy("event_type", "day")
+      .selectExpr("event_type", "CAST(count AS BIGINT) AS c")
+      .as[(String, Long)].collect()
+    val expected = daily.groupBy(_._1).map { case (et, rows) =>
+      val cs = rows.map(_._2)
+      val t = cs.sum; val d = cs.length.toLong; val pen = t / 2
+      var s = 0L; var maxS = 0L; var alarms = 0L
+      cs.foreach { c =>
+        s = math.max(0L, s + (d * c - t - pen))
+        maxS = math.max(maxS, s)
+        if (s > 2 * t) alarms += 1
+      }
+      et -> ((maxS, alarms))
+    }
+    val got = graft.sql.Analytics.eventsCusumDrift(spark, sfTiny)
+      .selectExpr("event_type", "max_cusum_scaled", "n_alarm_days")
+      .as[(String, Long, Long)].collect()
+      .map { case (et, m, a) => et -> ((m, a)) }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("OLS readout is well-formed and matches the two-point closed form") {
     val r = Analytics.dailyRevenueTrend(spark, sfTiny)
       .selectExpr("n_days", "slope_per_day", "intercept", "r2", "forecast_30d")
