@@ -293,7 +293,8 @@ object SparkEntry {
     "multimodal_ahash" -> ((s, d) => Multimodal.pixelAhash(s, d)),
     "text_posting_lists" -> ((s, d) => graft.llm.LanguageModel.postingLists(s, d)),
     "text_bm25_topk" -> ((s, d) => graft.llm.LanguageModel.bm25TopK(s, d)),
-    "events_cusum_drift" -> ((s, d) => Analytics.eventsCusumDrift(s, d)))
+    "events_cusum_drift" -> ((s, d) => Analytics.eventsCusumDrift(s, d)),
+    "doc_cdc_savings" -> ((s, d) => graft.llm.Chunking.cdcSavings(s, d)))
 
   private def athena2(s: SparkSession, d: String, sql: String): DataFrame = {
     graft.io.Views.register(d, "curated_campaign_performance_summary",
@@ -505,6 +506,7 @@ object SparkEntry {
     "multimodal_ahash" -> Multimodal.pixelAhashOracle,
     "text_posting_lists" -> graft.llm.LanguageModel.postingListsOracle,
     "text_bm25_topk" -> graft.llm.LanguageModel.bm25TopKOracle,
-    "events_cusum_drift" -> Analytics.eventsCusumDriftOracle
+    "events_cusum_drift" -> Analytics.eventsCusumDriftOracle,
+    "doc_cdc_savings" -> graft.llm.Chunking.cdcSavingsOracle
   ) ++ OracleSql.curatedQueries ++ OracleSql.athenaQueries
 }

@@ -92,6 +92,39 @@ object Chunking {
           CAST(chunk_len AS INTEGER) AS chunk_len, chunk_md5
         FROM chunks ORDER BY doc_id, chunk_idx"""
 
+  /** The storage-savings readout CDC dedup exists to produce: corpus
+    * characters vs the characters a chunk store would actually hold
+    * (each distinct fingerprint stored once), as one aggregation over
+    * the chunk table. `dedup_ratio` is the number a data-platform team
+    * reports for a chunked content-addressable store; the distinct-
+    * chunk accounting is one hash agg on the fingerprint key. */
+  def cdcSavings(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(spark, dir)
+      .groupBy("chunk_md5", "chunk_len")
+      .agg(count(lit(1)).as("n_occ"))
+      .agg(
+        count(lit(1)).as("n_unique_chunks"),
+        expr("CAST(sum(n_occ) AS BIGINT)").as("n_chunks"),
+        expr("CAST(sum(n_occ * chunk_len) AS BIGINT)").as("total_chars"),
+        expr("CAST(sum(chunk_len) AS BIGINT)").as("stored_chars"))
+      .selectExpr("n_chunks", "n_unique_chunks", "total_chars",
+        "stored_chars",
+        "CAST(total_chars - stored_chars AS BIGINT) AS saved_chars",
+        "CAST(total_chars AS DOUBLE) / CAST(stored_chars AS DOUBLE) AS dedup_ratio")
+
+  val cdcSavingsOracle: String =
+    s"""WITH $oracleCutsCtes,
+        per_chunk AS (
+          SELECT chunk_md5, chunk_len, count(*) AS n_occ
+          FROM chunks GROUP BY chunk_md5, chunk_len)
+        SELECT CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+          CAST(count(*) AS BIGINT) AS n_unique_chunks,
+          CAST(sum(n_occ * chunk_len) AS BIGINT) AS total_chars,
+          CAST(sum(chunk_len) AS BIGINT) AS stored_chars,
+          CAST(sum(n_occ * chunk_len) - sum(chunk_len) AS BIGINT) AS saved_chars,
+          CAST(sum(n_occ * chunk_len) AS DOUBLE) / CAST(sum(chunk_len) AS DOUBLE) AS dedup_ratio
+        FROM per_chunk"""
+
   private val sharedK = 50
 
   /** Cross-document shared-chunk audit: fingerprints occurring in more
