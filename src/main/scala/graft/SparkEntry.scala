@@ -91,10 +91,15 @@ object SparkEntry {
     "delivery_performance" -> ((s, d) => delivery(s, d)),
     "curated_revenue_by_category" -> ((s, d) =>
       Aggregations.revenueByCategory(sales(s, d))),
-    // 100 TB variant: HLL-sketched distinct counts. Approximate by
-    // construction, so no DuckDB oracle — driver records rows-only.
-    "curated_revenue_by_category_approx" -> ((s, d) =>
-      Aggregations.revenueByCategoryApprox(sales(s, d))),
+    // 100 TB variant (HLL-sketched distinct counts) surfaced through
+    // its relational bounds AUDIT: the sketch value can't hash-match a
+    // DuckDB oracle, but the within-bound flags + exact columns can —
+    // so the approximate operator is oracle-gated like everything else
+    // (the raw approx query remains available as
+    // Aggregations.revenueByCategoryApprox; ApproxBoundsSpec bounds it
+    // directly).
+    "curated_revenue_by_category_approx_audit" -> ((s, d) =>
+      Aggregations.revenueByCategoryApproxAudit(sales(s, d))),
     "curated_campaign_performance_summary" -> ((s, d) =>
       Aggregations.campaignPerformanceSummary(marketing(s, d))),
     "curated_delivery_partner_performance" -> ((s, d) =>
@@ -240,8 +245,10 @@ object SparkEntry {
     "sales_grouping_sets" -> ((s, d) => Extras.salesGroupingSets(s, d)),
     "category_quantity_quartiles" -> ((s, d) => Extras.categoryQuantityQuartiles(s, d)),
     "category_quantity_quartiles_disc" -> ((s, d) => Extras.categoryQuantityQuartilesDisc(s, d)),
-    // approx by construction → rows-only check, spec-bounded
-    "category_quantity_quartiles_approx" -> ((s, d) => Extras.categoryQuantityQuartilesApprox(s, d)),
+    // GK-sketch variant surfaced through its bounds audit (see the
+    // revenue_by_category_approx_audit note; raw approx query remains
+    // as Extras.categoryQuantityQuartilesApprox + ApproxQuartilesSpec)
+    "category_quantity_quartiles_approx_audit" -> ((s, d) => Extras.categoryQuantityQuartilesApproxAudit(s, d)),
     "orders_null_safe_join" -> ((s, d) => Extras.nullSafeJoin(s, d)),
     "orders_typed_revenue" -> ((s, d) => graft.ops.Typed.typedRevenue(s, d)),
     "events_user_first_last" -> ((s, d) => EventsStream.userFirstLast(s, d)),
@@ -289,6 +296,8 @@ object SparkEntry {
     "doc_cdc_chunks" -> ((s, d) => graft.llm.Chunking.cdcChunks(s, d)),
     "doc_cdc_shared" -> ((s, d) => graft.llm.Chunking.cdcSharedChunks(s, d)),
     "dedup_prefix_filter_pairs" -> ((s, d) => graft.llm.PrefixJoin.prefixFilterPairs(s, d)),
+    "dedup_prefix_filter_topk" -> ((s, d) => graft.llm.PrefixJoin.prefixFilterTopK(s, d)),
+    "text_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopKPartners(s, d)),
     "text_bpe_merge_step" -> ((s, d) => graft.llm.LanguageModel.bpeMergeStep(s, d)),
     "multimodal_ahash" -> ((s, d) => Multimodal.pixelAhash(s, d)),
     "text_posting_lists" -> ((s, d) => graft.llm.LanguageModel.postingLists(s, d)),
@@ -313,6 +322,12 @@ object SparkEntry {
   def prepare(spark: SparkSession, dir: String): Unit =
     if (PlanCache.enabled(spark)) {
       Dedup.dedupClusters(spark, dir).count(): Unit
+      // the two heaviest shared relations: the exact prefix-filter
+      // pair set and the TF-IDF similarity relation, each consumed by
+      // two registered queries (pairs + topk) — staged once here like
+      // the reference stages its processed zone between jobs
+      graft.llm.PrefixJoin.verifiedPairs(spark, dir).count(): Unit
+      TextAnalysis.tfidfSims(spark, dir).count(): Unit
     }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -502,6 +517,15 @@ object SparkEntry {
     "doc_cdc_chunks" -> graft.llm.Chunking.cdcChunksOracle,
     "doc_cdc_shared" -> graft.llm.Chunking.cdcSharedChunksOracle,
     "dedup_prefix_filter_pairs" -> graft.llm.PrefixJoin.prefixFilterPairsOracle,
+    "dedup_prefix_filter_topk" -> graft.llm.PrefixJoin.prefixFilterTopKOracle,
+    "text_tfidf_topk" -> TextAnalysis.tfidfTopKOracle,
+    "category_quantity_quartiles_approx_audit" ->
+      Extras.categoryQuantityQuartilesApproxAuditOracle,
+    "curated_revenue_by_category_approx_audit" -> OracleSql.withCtes(
+      """SELECT category, total_orders, unique_customers,
+           1 AS orders_within_bound, 1 AS customers_within_bound,
+           1 AS exact_columns_match
+         FROM curated_revenue_by_category ORDER BY category"""),
     "text_bpe_merge_step" -> graft.llm.LanguageModel.bpeMergeStepOracle,
     "multimodal_ahash" -> Multimodal.pixelAhashOracle,
     "text_posting_lists" -> graft.llm.LanguageModel.postingListsOracle,

@@ -56,6 +56,37 @@ object Aggregations {
       .withColumn("avg_order_value", col("total_revenue") / col("total_orders"))
       .orderBy("category")
 
+  /** Relational bounds audit for [[revenueByCategoryApprox]] — the
+    * oracle-checkable face of an approximate operator. The HLL sketch
+    * value itself can never hash-match a DuckDB oracle, so the audit
+    * outputs the EXACT counts plus within-bound FLAGS: the approx
+    * count must sit inside a 4-sigma band (rsd 0.05 ⇒ 20%, matching
+    * ApproxBoundsSpec) with an absolute slack of 3 for tiny groups
+    * (HLL is exact in sparse mode, so the slack is never exercised at
+    * fixture scale), and the non-sketched money columns must be
+    * bit-identical to the exact aggregation's. The oracle asserts the
+    * contract by emitting literal 1s — if the sketch ever drifts past
+    * its bound, the Spark side emits 0 and the hash compare fails
+    * loudly. Flags are deterministic because HLL++ is a deterministic,
+    * order-independent function of the value set. */
+  def revenueByCategoryApproxAudit(sales: DataFrame): DataFrame = {
+    val exact = revenueByCategory(sales)
+      .selectExpr("category", "total_orders", "unique_customers",
+        "total_revenue", "total_profit")
+    val approx = revenueByCategoryApprox(sales)
+      .selectExpr("category", "total_orders AS approx_orders",
+        "unique_customers AS approx_customers",
+        "total_revenue AS approx_revenue", "total_profit AS approx_profit")
+    exact.join(approx, Seq("category"))
+      .selectExpr("category", "total_orders", "unique_customers",
+        "CAST(abs(approx_orders - total_orders) <= " +
+          "greatest(CAST(3 AS BIGINT), CAST(ceil(0.2 * total_orders) AS BIGINT)) AS INT) AS orders_within_bound",
+        "CAST(abs(approx_customers - unique_customers) <= " +
+          "greatest(CAST(3 AS BIGINT), CAST(ceil(0.2 * unique_customers) AS BIGINT)) AS INT) AS customers_within_bound",
+        "CAST(approx_revenue = total_revenue AND approx_profit = total_profit AS INT) AS exact_columns_match")
+      .orderBy("category")
+  }
+
   /** curated_campaign_performance_summary (campaign_roi.sql:3-14) over
     * marketing_performance. */
   def campaignPerformanceSummary(mktg: DataFrame): DataFrame =

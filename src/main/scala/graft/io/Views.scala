@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.util.concurrent.ConcurrentHashMap
 
 /** Guarded temp-view registration.
@@ -22,9 +22,22 @@ import java.util.concurrent.ConcurrentHashMap
   * one Verify/Bench run the dir is constant, so the single-definition
   * invariant is fully enforced there. Cost per registration is one
   * plan analysis + MD5 — no job runs.
+  *
+  * Sessions are keyed by IDENTITY through a WeakHashMap, not by
+  * `System.identityHashCode` (hash values are not unique and can be
+  * re-issued after GC, which could alias two sessions into one
+  * namespace — a spurious mismatch throw or a missed divergence).
+  * The weak keying also lets a stopped session's entries be collected
+  * instead of accreting across the many short-lived test sessions a
+  * long-lived JVM creates (same pattern as PlanCache.sessionIds).
   */
 object Views {
-  private val defs = new ConcurrentHashMap[String, String]()
+  private val defs =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, String]]())
+
+  private def sessionDefs(s: SparkSession): ConcurrentHashMap[String, String] =
+    defs.computeIfAbsent(s, _ => new ConcurrentHashMap[String, String]())
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -32,8 +45,7 @@ object Views {
 
   def register(dir: String, name: String, df: DataFrame): Unit = {
     val sig = md5(df.queryExecution.analyzed.canonicalized.toString)
-    val key = s"${System.identityHashCode(df.sparkSession)}|$dir|$name"
-    val prev = defs.putIfAbsent(key, sig)
+    val prev = sessionDefs(df.sparkSession).putIfAbsent(s"$dir|$name", sig)
     if (prev != null && prev != sig)
       throw new IllegalStateException(
         s"temp view '$name' (dir=$dir) re-registered with a DIFFERENT " +

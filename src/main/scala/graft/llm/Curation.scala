@@ -557,7 +557,15 @@ object Curation {
     * output run on the exact BIGINT. A 1-ulp input wobble survives
     * quantization only when k·10¹² sits within an ulp of a rounding
     * boundary (~2·10⁻⁹ per row) — versus every row being a potential
-    * mismatch on the raw double. */
+    * mismatch on the raw double.
+    *
+    * Zero-weight guard: a zero-length document would make −ln(u)/0
+    * Infinity, which Spark's non-ANSI CAST saturates to Long.MaxValue
+    * but DuckDB REJECTS (CAST(round(inf) AS BIGINT) raises) — a
+    * cross-engine divergence waiting for the first empty doc in a
+    * fixture. Weightless rows can never win a weighted draw anyway, so
+    * both engines filter n_chars >= 1 up front (the same guard
+    * Chunking applies to empty texts). */
   private def aresKey(d: Dialect): Seq[String] = Seq(
     s"md5(concat('ws|', ${castStr("doc_id", d)})) AS h",
     s"(${hexPrefix32("h")} + 1) / CAST(4294967296 AS DOUBLE) AS u",
@@ -574,7 +582,8 @@ object Curation {
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val keyed = aresKey(SparkD).foldLeft(
-      Tables.documents(spark, dir).selectExpr("doc_id", "source", "n_chars")) {
+      Tables.documents(spark, dir).selectExpr("doc_id", "source", "n_chars")
+        .filter("n_chars >= 1")) {
         (df, e) => df.selectExpr("*", e) }
     keyed
       .orderBy(col("k_pico").asc, col("doc_id").asc)
@@ -588,7 +597,8 @@ object Curation {
 
   val weightedSampleOracle: String = {
     val Seq(hE, uE, kE) = aresKey(DuckD)
-    s"""WITH h_t AS (SELECT doc_id, source, n_chars, $hE FROM documents),
+    s"""WITH h_t AS (SELECT doc_id, source, n_chars, $hE FROM documents
+          WHERE n_chars >= 1),
         u_t AS (SELECT *, $uE FROM h_t),
         k_t AS (SELECT *, $kE FROM u_t),
         top AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,

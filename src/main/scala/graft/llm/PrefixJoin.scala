@@ -35,15 +35,28 @@ object PrefixJoin {
   private val tNum = 4
   private val tDen = 5
 
-  def prefixFilterPairs(spark: SparkSession, dir: String): DataFrame = {
+  // per-doc partner cap for the output-bounded variant
+  private val topK = 5
+
+  /** The verified pair set (doc_a < doc_b, inter, uni, jaccard),
+    * unordered — shared by [[prefixFilterPairs]] and
+    * [[prefixFilterTopK]] through the staged-zone side-table (one
+    * build per bench session; Verify measures the cold path). */
+  def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.sideTable(spark, "prefix_pairs", dir) {
+      buildPairs(spark, dir)
+    }
+
+  private def buildPairs(spark: SparkSession, dir: String): DataFrame = {
     // the distinct-token ARRAY rides alongside the exploded rows: the
     // verify step intersects arrays per candidate pair (one codegen'd
     // hash-intersect per row) instead of re-joining each pair against
     // its token LISTS — on a boilerplate-heavy corpus the qualifying
     // pairs are near-quadratic, and the list-join formulation pushed
     // |pairs|·|tokens| rows through two shuffles (measured 73 s at
-    // sf0.1; the array form verifies map-side against the broadcast
-    // doc→array relation and runs in a few seconds)
+    // sf0.1; the array form verifies each pair with one codegen'd
+    // merge-walk against the doc→array relation — AQE-broadcast when
+    // small, doc_id shuffle join otherwise — and runs in a few seconds)
     // both checkpoints bound RECOMPUTATION, not size: docsArr is
     // corpus-row-sized and prefix is ~sz/5 rows per doc, but each is
     // referenced twice by the self-join (and docsArr twice more by the
@@ -77,15 +90,25 @@ object PrefixJoin {
       // size filter: |B| ≥ t·|A| is necessary for Jaccard ≥ t
       .filter(expr(s"$tDen * sz_b >= $tNum * sz_a AND $tDen * sz_a >= $tNum * sz_b"))
       .select("doc_a", "doc_b").distinct()
-    // doc→array is corpus-row-sized (tiny next to the pair set) —
-    // broadcast both sides so verification never shuffles the pairs;
-    // past broadcast limits this degrades to a doc_id shuffle join,
-    // same semantics
+    // doc→array is corpus-row-sized; at fixture scale it is tiny next
+    // to the pair set and SHOULD broadcast, but an explicit broadcast()
+    // hint is honored unconditionally by the planner — at corpus scale
+    // it would try to collect the whole doc→token-array relation to
+    // the driver and die at the 8 GB broadcast hard limit rather than
+    // degrade. So: NO hint. The checkpointed relation carries no stats,
+    // which means the static plan is a doc_id shuffle join — the shape
+    // that survives any corpus size — and AQE converts it to a
+    // broadcast join at runtime from the OBSERVED shuffle size whenever
+    // the side actually fits under the threshold. Small corpus →
+    // runtime broadcast (measured equal to the old hinted plan); big
+    // corpus → the shuffle join just runs. PlanContractSpec pins the
+    // fallback by forcing the thresholds to -1 and asserting no
+    // broadcast appears while results stay identical.
     cand
-      .join(broadcast(docsArr.selectExpr(
-        "doc_id AS doc_a", "toks AS toks_a", "sz AS sz_a")), Seq("doc_a"))
-      .join(broadcast(docsArr.selectExpr(
-        "doc_id AS doc_b", "toks AS toks_b", "sz AS sz_b")), Seq("doc_b"))
+      .join(docsArr.selectExpr(
+        "doc_id AS doc_a", "toks AS toks_a", "sz AS sz_a"), Seq("doc_a"))
+      .join(docsArr.selectExpr(
+        "doc_id AS doc_b", "toks AS toks_b", "sz AS sz_b"), Seq("doc_b"))
       .selectExpr("doc_a", "doc_b",
         "graft_sorted_inter(toks_a, toks_b) AS inter", "sz_a", "sz_b")
       .selectExpr("doc_a", "doc_b", "CAST(inter AS BIGINT) AS inter",
@@ -93,12 +116,47 @@ object PrefixJoin {
       .filter(s"$tDen * inter >= $tNum * uni")
       .selectExpr("doc_a", "doc_b", "inter", "uni",
         "CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
-  val prefixFilterPairsOracle: String = {
+  def prefixFilterPairs(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** Output-bounded variant: each document's [[topK]] most-similar
+    * partners instead of every pair above threshold. On a
+    * boilerplate-heavy corpus the all-pairs output is near-quadratic
+    * (the fixture's regenerated corpus qualifies ~30k pairs from 500
+    * docs); a per-doc cap bounds the OUTPUT at k·|docs| no matter how
+    * self-similar the corpus is — the shape a downstream consumer
+    * (cluster collapse, canonical selection) actually wants. The cap
+    * is a doc_id-partitioned window over the symmetrized pair set:
+    * shuffle by doc, per-doc heap-sized sort, never global. Ties are
+    * totally ordered (jaccard is one exact division of the same two
+    * BIGINTs in both engines; partner_id breaks exact ties). */
+  def prefixFilterTopK(spark: SparkSession, dir: String): DataFrame = {
+    val p = verifiedPairs(spark, dir)
+    val sym = p.selectExpr("doc_a AS doc_id", "doc_b AS partner_id",
+        "inter", "uni", "jaccard")
+      .unionByName(p.selectExpr("doc_b AS doc_id", "doc_a AS partner_id",
+        "inter", "uni", "jaccard"))
+    sym.withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY doc_id " +
+          "ORDER BY jaccard DESC, partner_id)"))
+      .filter(col("rank") <= topK)
+      .selectExpr("doc_id", "partner_id", "inter", "uni", "jaccard",
+        "CAST(rank AS INTEGER) AS rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  val prefixFilterPairsOracle: String =
+    s"""WITH $pairsCtes
+        SELECT doc_a, doc_b, inter, uni, jaccard FROM pairs_t
+        ORDER BY doc_a, doc_b"""
+
+  /** Shared CTE prefix of [[prefixFilterPairsOracle]] up to the
+    * verified pair set (no ORDER BY). */
+  private def pairsCtes: String = {
     val d = DuckD
-    s"""WITH docs_arr AS (
+    s"""docs_arr AS (
           SELECT doc_id, ${arrDistinct(words("lower(text)", d), d)} AS toks
           FROM documents),
         sized AS (SELECT doc_id, toks, ${arrLen("toks", d)} AS sz FROM docs_arr),
@@ -124,11 +182,28 @@ object PrefixJoin {
             CAST(c.sz_a + c.sz_b - ${interSize("sa.toks", "sb.toks", d)} AS BIGINT) AS uni
           FROM cand c
           JOIN sized sa ON sa.doc_id = c.doc_a
-          JOIN sized sb ON sb.doc_id = c.doc_b)
-        SELECT doc_a, doc_b, inter, uni,
-          CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
-        FROM inter_t
-        WHERE $tDen * inter >= $tNum * uni
-        ORDER BY doc_a, doc_b"""
+          JOIN sized sb ON sb.doc_id = c.doc_b),
+        pairs_t AS (
+          SELECT doc_a, doc_b, inter, uni,
+            CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+          FROM inter_t
+          WHERE $tDen * inter >= $tNum * uni)"""
   }
+
+  val prefixFilterTopKOracle: String =
+    s"""WITH $pairsCtes,
+        sym AS (
+          SELECT doc_a AS doc_id, doc_b AS partner_id, inter, uni, jaccard
+          FROM pairs_t
+          UNION ALL
+          SELECT doc_b AS doc_id, doc_a AS partner_id, inter, uni, jaccard
+          FROM pairs_t),
+        rk_t AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY jaccard DESC, partner_id) AS rank
+          FROM sym)
+        SELECT doc_id, partner_id, inter, uni, jaccard,
+          CAST(rank AS INTEGER) AS rank
+        FROM rk_t WHERE rank <= $topK
+        ORDER BY doc_id, rank"""
 }

@@ -563,46 +563,91 @@ object TextAnalysis {
     * in both engines. Plan shape: token hash aggs (map-side combined),
     * one term-keyed equi-join with bounded occupancy, then two
     * broadcast-sized norm joins. */
-  def tfidfPairs(spark: SparkSession, dir: String): DataFrame = {
-    // direct grams3(words), NOT let1: the words array has exactly ONE
-    // consumer here (the generator input, evaluated once per row), so
-    // the let1 binding would only add nested-lambda interpretation
-    // overhead — measured 3.4s vs 1.0s for this stream at sf0.1. let1
-    // pays off when the array is referenced MULTIPLE times in one
-    // projection (repetition, contamination), not in a single-use
-    // generator.
-    val grams = Tables.documents(spark, dir)
-      .selectExpr("doc_id",
-        s"explode(${grams3(words("lower(text)", SparkD), SparkD)}) AS term")
-    val tf = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, tfidfDfMax))
-    // deliberately NOT PlanCache-persisted: the weights relation feeds
-    // three consumers, but a cached InMemoryRelation hides size stats
-    // from the planner, which then shuffle-joins where the live plan
-    // broadcasts the (tiny) df and norm relations — measured 2× slower
-    // end-to-end in an isolated sf0.1 run (30s vs 15s; within noise in
-    // full-bench context). Recomputing the narrow weights subtree is
-    // never worse than losing the broadcasts.
-    val wts = tf.join(df, Seq("term"))
-      .selectExpr("doc_id", "term",
-        s"CAST(round($tfidfQ * (tf / df)) AS BIGINT) AS wq")
-    val norms = wts.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("n2"))
-    val dots = wts.as("a").join(wts.as("b"), Seq("term"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum(col("a.wq") * col("b.wq")).as("dot_q"))
-    dots
-      .join(norms.selectExpr("doc_id AS doc_a", "n2 AS na2"), Seq("doc_a"))
-      .join(norms.selectExpr("doc_id AS doc_b", "n2 AS nb2"), Seq("doc_b"))
-      .selectExpr("doc_a", "doc_b", "CAST(dot_q AS BIGINT) AS dot_q",
-        "CAST(dot_q AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cos_sim")
+  /** The TF-IDF weights relation (doc_id, term, wq), staged-zone
+    * cached: when the PlanCache side-table is enabled (bench/report
+    * sessions) the weights are WRITTEN ONCE to a parquet side-table
+    * and read back by all three consumers (norms + both join sides) —
+    * the reference's own staged-zone pattern (write processed, read
+    * thrice; cf. 01:96-101) and the right 100 TB shape for a
+    * many-consumer expensive relation. Parquet (unlike an
+    * InMemoryRelation, which hides size stats and was measured 2×
+    * slower here) carries real file statistics, so the planner still
+    * broadcasts the tiny df/norm relations off it. Verify runs with
+    * the cache off and measures the cold recompute path — same
+    * semantics either way. */
+  private def tfidfWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.sideTable(spark, "tfidf_wts", dir) {
+      // direct grams3(words), NOT let1: the words array has exactly ONE
+      // consumer here (the generator input, evaluated once per row), so
+      // the let1 binding would only add nested-lambda interpretation
+      // overhead — measured 3.4s vs 1.0s for this stream at sf0.1. let1
+      // pays off when the array is referenced MULTIPLE times in one
+      // projection (repetition, contamination), not in a single-use
+      // generator.
+      val grams = Tables.documents(spark, dir)
+        .selectExpr("doc_id",
+          s"explode(${grams3(words("lower(text)", SparkD), SparkD)}) AS term")
+      val tf = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, tfidfDfMax))
+      tf.join(df, Seq("term"))
+        .selectExpr("doc_id", "term",
+          s"CAST(round($tfidfQ * (tf / df)) AS BIGINT) AS wq")
+    }
+
+  /** All co-term pairs with quantized dot product and cosine — the
+    * UNTHRESHOLDED similarity relation [[tfidfPairs]] filters and
+    * [[tfidfTopK]] caps. Side-table cached so the two consumers share
+    * one inverted-index self-join per bench session. */
+  private[graft] def tfidfSims(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.sideTable(spark, "tfidf_sims", dir) {
+      val wts = tfidfWeights(spark, dir)
+      val norms = wts.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("n2"))
+      val dots = wts.as("a").join(wts.as("b"), Seq("term"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(col("a.wq") * col("b.wq")).as("dot_q"))
+      dots
+        .join(norms.selectExpr("doc_id AS doc_a", "n2 AS na2"), Seq("doc_a"))
+        .join(norms.selectExpr("doc_id AS doc_b", "n2 AS nb2"), Seq("doc_b"))
+        .selectExpr("doc_a", "doc_b", "CAST(dot_q AS BIGINT) AS dot_q",
+          "CAST(dot_q AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cos_sim")
+    }
+
+  def tfidfPairs(spark: SparkSession, dir: String): DataFrame =
+    tfidfSims(spark, dir)
       .filter(col("cos_sim") >= tfidfThreshold)
       .orderBy("doc_a", "doc_b")
+
+  private val tfidfTopK = 3
+
+  /** Output-bounded variant of [[tfidfPairs]]: each document's
+    * [[tfidfTopK]] most-similar partners (no threshold) — on a
+    * boilerplate corpus the thresholded pair set grows
+    * near-quadratically with self-similarity, while the per-doc cap
+    * bounds the output at k·|docs| regardless. One doc-partitioned
+    * window over the symmetrized similarity relation: shuffle by doc,
+    * per-doc sort of that doc's candidate partners (bounded by its
+    * co-term neighborhood), never global. */
+  def tfidfTopKPartners(spark: SparkSession, dir: String): DataFrame = {
+    val sims = tfidfSims(spark, dir)
+    val sym = sims.selectExpr("doc_a AS doc_id", "doc_b AS partner_id",
+        "dot_q", "cos_sim")
+      .unionByName(sims.selectExpr("doc_b AS doc_id", "doc_a AS partner_id",
+        "dot_q", "cos_sim"))
+    sym.withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY doc_id " +
+          "ORDER BY cos_sim DESC, partner_id)"))
+      .filter(col("rank") <= tfidfTopK)
+      .selectExpr("doc_id", "partner_id", "dot_q", "cos_sim",
+        "CAST(rank AS INTEGER) AS rank")
+      .orderBy("doc_id", "rank")
   }
 
-  val tfidfPairsOracle: String =
-    s"""WITH w AS (SELECT doc_id, ${words("lower(text)", DuckD)} AS wv FROM documents),
+  /** Shared CTE prefix up to the unthresholded similarity relation
+    * `s` (mirrors [[tfidfSims]]). */
+  private def tfidfCtes: String =
+    s"""w AS (SELECT doc_id, ${words("lower(text)", DuckD)} AS wv FROM documents),
         g AS (SELECT doc_id, unnest(${grams3("wv", DuckD)}) AS term FROM w),
         tf_t AS (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY 1, 2),
         df_t AS (SELECT term, count(*) AS df FROM tf_t
@@ -620,9 +665,27 @@ object TextAnalysis {
                 CAST(dot_q AS DOUBLE) /
                   (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
               FROM dt JOIN nrm na ON dt.doc_a = na.doc_id
-                JOIN nrm nb ON dt.doc_b = nb.doc_id)
+                JOIN nrm nb ON dt.doc_b = nb.doc_id)"""
+
+  val tfidfPairsOracle: String =
+    s"""WITH $tfidfCtes
         SELECT doc_a, doc_b, dot_q, cos_sim FROM s
         WHERE cos_sim >= $tfidfThreshold ORDER BY doc_a, doc_b"""
+
+  val tfidfTopKOracle: String =
+    s"""WITH $tfidfCtes,
+        sym AS (
+          SELECT doc_a AS doc_id, doc_b AS partner_id, dot_q, cos_sim FROM s
+          UNION ALL
+          SELECT doc_b AS doc_id, doc_a AS partner_id, dot_q, cos_sim FROM s),
+        rk_t AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY cos_sim DESC, partner_id) AS rank
+          FROM sym)
+        SELECT doc_id, partner_id, dot_q, cos_sim,
+          CAST(rank AS INTEGER) AS rank
+        FROM rk_t WHERE rank <= $tfidfTopK
+        ORDER BY doc_id, rank"""
 
   // ---- fingerprints ----
 

@@ -258,6 +258,17 @@ object Analytics {
     * when a customer flips priority twice on one date. */
   private[graft] def scd2FromEvents(events: DataFrame): DataFrame =
     events
+      // last EVENT per customer in full (odate, orderkey) tie order —
+      // carried on every version row because compression is about to
+      // drop non-change events, and the append-only guard in
+      // [[scd2Merge]] must compare batches against the last EVENT, not
+      // the last change point: a trailing same-priority event leaves
+      // no version behind, yet a batch event interleaving before it
+      // still diverges from a full rebuild (it can re-expose the
+      // dropped event as a change). Same custkey-partitioned shuffle
+      // as the windows below; no extra exchange.
+      .withColumn("last_ev", expr(
+        "max(struct(odate AS d, o_orderkey AS k)) OVER (PARTITION BY custkey)"))
       .withColumn("prev", expr(
         "lag(priority) OVER (PARTITION BY custkey ORDER BY odate, o_orderkey)"))
       .filter("prev IS NULL OR prev <> priority")
@@ -266,7 +277,8 @@ object Analytics {
       .withColumn("valid_to", expr(
         "lead(odate) OVER (PARTITION BY custkey ORDER BY odate, o_orderkey)"))
       .selectExpr("custkey", "version_no", "priority",
-        "odate AS valid_from", "valid_to", "o_orderkey AS version_key")
+        "odate AS valid_from", "valid_to", "o_orderkey AS version_key",
+        "last_ev.d AS last_odate", "last_ev.k AS last_okey")
 
   /** The order stream as SCD2 input events. */
   private[graft] def orderEvents(spark: SparkSession, dir: String): DataFrame =
@@ -302,28 +314,43 @@ object Analytics {
     * touched customers' compressed histories plus the delta.
     *
     * `validate` (default ON) enforces the contract instead of trusting
-    * it: a batch event dated BEFORE a touched customer's latest
-    * existing `valid_from` means the history is NOT append-only for
-    * that key, the idempotence identity above does not apply, and the
-    * merged dimension would silently diverge from a full rebuild — so
-    * the merge fails loudly with the violation count. The check is one
-    * count job over batch-sized relations (events ⋈ broadcast
-    * per-touched-customer max valid_from), negligible next to the
-    * rebuild itself; callers that pre-validate upstream can pass
-    * false. */
+    * it: a batch event ordering BEFORE a touched customer's last
+    * existing EVENT — `(odate, orderkey)` lexicographically, against
+    * the `last_odate`/`last_okey` markers every dimension row carries
+    * precisely for this check — means the history is NOT append-only
+    * for that key, the idempotence identity above does not apply, and
+    * the merged dimension would silently diverge from a full rebuild —
+    * so the merge fails loudly with the violation count. The marker is
+    * the last EVENT, not the last change point (`max(valid_from)`):
+    * compression drops trailing same-priority events, and a batch
+    * event slotted between the last change and such a dropped event
+    * would pass a valid_from check yet re-expose the dropped event as
+    * a change in a full rebuild. The check is one count job over
+    * batch-sized relations (events ⋈ broadcast per-touched-customer
+    * last-event marker), negligible next to the rebuild itself;
+    * callers that pre-validate upstream can pass false.
+    *
+    * The rebuilt rows' own markers stay correct without a fix-up join:
+    * validation guarantees every delta event orders at-or-after the
+    * customer's previous last event, so max over pseudo ∪ delta IS the
+    * new true last event. */
   def scd2Merge(existing: DataFrame, events: DataFrame,
       validate: Boolean = true): DataFrame = {
     val touched = events.select("custkey").distinct()
     if (validate) {
-      val maxVf = existing.join(broadcast(touched), Seq("custkey"))
-        .groupBy("custkey").agg(max("valid_from").as("max_vf"))
-      val bad = events.join(broadcast(maxVf), Seq("custkey"))
-        .filter(col("odate") < col("max_vf")).count()
+      val lastEv = existing.join(broadcast(touched), Seq("custkey"))
+        .groupBy("custkey")
+        .agg(max(struct(col("last_odate").as("d"), col("last_okey").as("k")))
+          .as("last_ev"))
+      val bad = events.join(broadcast(lastEv), Seq("custkey"))
+        .filter(struct(col("odate").as("d"), col("o_orderkey").as("k"))
+          < col("last_ev")).count()
       if (bad > 0) throw new IllegalStateException(
-        s"scd2Merge: $bad batch event(s) predate a touched customer's " +
-          "existing history — append-only CDC contract violated; the " +
-          "incremental merge would diverge from a full rebuild. " +
-          "Replay the affected customers through a full rebuild instead.")
+        s"scd2Merge: $bad batch event(s) order before a touched " +
+          "customer's last existing event — append-only CDC contract " +
+          "violated; the incremental merge would diverge from a full " +
+          "rebuild. Replay the affected customers through a full " +
+          "rebuild instead.")
     }
     val untouched = existing.join(broadcast(touched), Seq("custkey"), "left_anti")
     val pseudo = existing.join(broadcast(touched), Seq("custkey"))

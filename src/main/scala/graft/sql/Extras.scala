@@ -633,6 +633,53 @@ object Extras {
          FROM sales_tx GROUP BY category ORDER BY category""")
   }
 
+  /** Relational bounds audit for [[categoryQuantityQuartilesApprox]]
+    * — same pattern as Aggregations.revenueByCategoryApproxAudit: the
+    * GK-sketch value can't hash-match an exact oracle, so the audit
+    * outputs exact DISC order statistics at p ± 0.02 as the bound
+    * window plus a within-window FLAG per quartile. The oracle emits
+    * the same exact bounds and literal-1 flags; a sketch drifting past
+    * a 2-percentile rank error (200× the accuracy-10000 guarantee)
+    * flips a flag to 0 and fails the hash compare. Bounds and flags
+    * are deterministic: percentile_disc is exact, and the flag is
+    * robust to any within-guarantee sketch wobble. */
+  def categoryQuantityQuartilesApproxAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.io.Views.register(dir, "sales_tx", salesTx(spark, dir))
+    spark.sql(
+      """WITH a AS (SELECT category,
+             approx_percentile(quantity, 0.25, 10000) AS q1a,
+             approx_percentile(quantity, 0.5, 10000) AS meda,
+             approx_percentile(quantity, 0.75, 10000) AS q3a,
+             count(*) AS n_lines
+           FROM sales_tx GROUP BY category),
+         b AS (SELECT category,
+             percentile_disc(0.23) WITHIN GROUP (ORDER BY quantity) AS lo_q1,
+             percentile_disc(0.27) WITHIN GROUP (ORDER BY quantity) AS hi_q1,
+             percentile_disc(0.48) WITHIN GROUP (ORDER BY quantity) AS lo_median,
+             percentile_disc(0.52) WITHIN GROUP (ORDER BY quantity) AS hi_median,
+             percentile_disc(0.73) WITHIN GROUP (ORDER BY quantity) AS lo_q3,
+             percentile_disc(0.77) WITHIN GROUP (ORDER BY quantity) AS hi_q3
+           FROM sales_tx GROUP BY category)
+         SELECT a.category, n_lines,
+           lo_q1, hi_q1, lo_median, hi_median, lo_q3, hi_q3,
+           CAST(q1a BETWEEN lo_q1 AND hi_q1 AS INT) AS q1_within,
+           CAST(meda BETWEEN lo_median AND hi_median AS INT) AS median_within,
+           CAST(q3a BETWEEN lo_q3 AND hi_q3 AS INT) AS q3_within
+         FROM a JOIN b ON a.category = b.category
+         ORDER BY a.category""")
+  }
+
+  val categoryQuantityQuartilesApproxAuditOracle: String = OracleSql.withCtes(
+    """SELECT category, count(*) AS n_lines,
+         quantile_disc(quantity, 0.23) AS lo_q1,
+         quantile_disc(quantity, 0.27) AS hi_q1,
+         quantile_disc(quantity, 0.48) AS lo_median,
+         quantile_disc(quantity, 0.52) AS hi_median,
+         quantile_disc(quantity, 0.73) AS lo_q3,
+         quantile_disc(quantity, 0.77) AS hi_q3,
+         1 AS q1_within, 1 AS median_within, 1 AS q3_within
+       FROM sales_tx GROUP BY category ORDER BY category""")
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * match each other instead of vanishing — the semantics MERGE keys
     * need when "unknown" is itself a join value. Spark still plans a

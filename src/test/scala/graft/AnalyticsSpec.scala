@@ -165,6 +165,57 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.scd2FromEvents(hist.unionByName(ok)).count())
   }
 
+  test("SCD2 merge guard catches batches behind a COMPRESSED-AWAY trailing event") {
+    // History A@Jan (kept), A@Mar (same priority — compressed away):
+    // the dimension's last CHANGE point is Jan, but the last EVENT is
+    // Mar. A batch B@Feb passes a max(valid_from) check (Feb > Jan)
+    // yet a full rebuild re-exposes Mar as a change (A,B,A = 3
+    // versions) while the merge can only see (A,B) = 2 — the exact
+    // silent divergence the round-6 advice flagged. The guard must
+    // validate against the last EVENT marker and reject.
+    import java.sql.Date
+    val hist = Seq(
+      (1L, Date.valueOf("2020-01-01"), 1L, "A"),
+      (1L, Date.valueOf("2020-03-01"), 2L, "A"))
+      .toDF("custkey", "odate", "o_orderkey", "priority")
+    val base = Analytics.scd2FromEvents(hist)
+    assert(base.count() == 1, "trailing non-change event is compressed away")
+    val batch = Seq((1L, Date.valueOf("2020-02-01"), 3L, "B"))
+      .toDF("custkey", "odate", "o_orderkey", "priority")
+    val e = intercept[IllegalStateException] {
+      Analytics.scd2Merge(base, batch).count()
+    }
+    assert(e.getMessage.contains("append-only"))
+    assert(Analytics.scd2FromEvents(hist.unionByName(batch)).count() == 3)
+    assert(Analytics.scd2Merge(base, batch, validate = false).count() == 2)
+    // same-DATE interleave caught through the order-key tie-break:
+    // k=1 orders before the existing Mar event's k=2 on the same day
+    val tied = Seq((1L, Date.valueOf("2020-03-01"), 1L, "B"))
+      .toDF("custkey", "odate", "o_orderkey", "priority")
+    // rebuild a fresh base with keys leaving room below k=2
+    val hist2 = Seq(
+      (1L, Date.valueOf("2020-01-01"), 0L, "A"),
+      (1L, Date.valueOf("2020-03-01"), 2L, "A"))
+      .toDF("custkey", "odate", "o_orderkey", "priority")
+    val base2 = Analytics.scd2FromEvents(hist2)
+    intercept[IllegalStateException] {
+      Analytics.scd2Merge(base2, tied).count()
+    }
+    // and an append strictly after the last EVENT still merges ==
+    // full rebuild, including the marker advancing to the new event
+    val ok = Seq((1L, Date.valueOf("2020-04-01"), 9L, "B"))
+      .toDF("custkey", "odate", "o_orderkey", "priority")
+    val merged = Analytics.scd2Merge(base, ok)
+    val rebuilt = Analytics.scd2FromEvents(hist.unionByName(ok))
+    val cols = Seq("custkey", "version_no", "priority", "valid_from",
+      "valid_to", "version_key", "last_odate", "last_okey")
+    assert(
+      merged.selectExpr(cols.map(c => s"CAST($c AS STRING)"): _*)
+        .collect().map(_.toSeq).toSet ==
+      rebuilt.selectExpr(cols.map(c => s"CAST($c AS STRING)"): _*)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("CUSUM window closed form == the sequential max(0, ...) recursion") {
     val daily = graft.io.Tables.events(spark, sfTiny)
       .selectExpr("event_type", "CAST(date_trunc('day', ts) AS DATE) AS day")

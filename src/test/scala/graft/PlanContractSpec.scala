@@ -29,7 +29,10 @@ class PlanContractSpec extends SparkSpec {
     "classic_disjunctive_bands", "lineitem_pit_priority",
     "nation_revenue_lorenz", "docs_source_diversity",
     "events_cms_heavy_hitters", "text_bigram_lm", "doc_cdc_chunks",
-    "doc_cdc_shared", "corpus_weighted_sample")
+    "doc_cdc_shared", "corpus_weighted_sample",
+    "dedup_prefix_filter_pairs", "dedup_prefix_filter_topk",
+    "text_tfidf_topk", "curated_revenue_by_category_approx_audit",
+    "category_quantity_quartiles_approx_audit")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
@@ -125,6 +128,34 @@ class PlanContractSpec extends SparkSpec {
       assert(p.toLowerCase.contains("bloomfilter"),
         s"no runtime bloom filter injected:\n$p")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("prefix-filter verify joins fall back to shuffle joins under a low broadcast threshold") {
+    // the 100 TB contract for the exact similarity join: the verify
+    // step's doc→token-array relation must NOT be pinned to a
+    // broadcast (an unconditional hint would OOM the driver at corpus
+    // scale — Spark's broadcast hard limit is 8 GB); with no hint the
+    // static plan is a doc_id shuffle join and AQE upgrades it to a
+    // runtime broadcast only when the observed size fits. Forcing both
+    // thresholds to -1 models the too-big-to-broadcast corpus: the
+    // plan must contain no BroadcastHashJoin and still produce the
+    // identical pair set.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val baseline = graft.llm.PrefixJoin.prefixFilterPairs(spark, sfTiny).count()
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = graft.llm.PrefixJoin.prefixFilterPairs(spark, sfTiny)
+      assert(df.count() == baseline, "fallback plan changed the result")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"corpus-sized relation still broadcast under forced-low threshold:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   test("join strategy hints are honored") {
