@@ -24,6 +24,27 @@ class AnnSpec extends SparkSpec {
     assert(rows("ivf_probe2")._4 >= rows("ivf_probe1")._4)
   }
 
+  test("recall floors: a bucketing regression cannot pass silently") {
+    // Measured on the current fixture: probe1 0.52, probe2 0.70,
+    // refined 0.54, lsh 0.28, pq_adc 0.10. The floors sit well below
+    // those (driver fixture regenerations shift the exact values —
+    // round 6 had one mid-round) but far above the ~0 a broken cell
+    // assignment, band hash, or codebook lookup produces: recall is
+    // the one end-to-end number every indexing bug flows into, and
+    // before this spec nothing asserted any floor.
+    val rows = Similarity.annRecall(spark, sfTiny)
+      .select("tier", "recall_at_k").as[(String, Double)].collect().toMap
+    val floors = Map("ivf_probe1" -> 0.35, "ivf_probe2" -> 0.5,
+      "ivf_refined" -> 0.35, "lsh" -> 0.1)
+    floors.foreach { case (tier, floor) =>
+      assert(rows(tier) >= floor,
+        s"$tier recall ${rows(tier)} fell below floor $floor")
+    }
+    val pq = Similarity.pqRecall(spark, sfTiny)
+      .select("recall_at_k").as[Double].head()
+    assert(pq >= 0.04, s"pq_adc recall $pq below floor 0.04")
+  }
+
   test("pq: every vector gets one code per subspace from the codebook") {
     val codes = Similarity.pqCodes(spark, sfTiny)
       .select("vec_id", "subspace", "code", "dist")
