@@ -298,6 +298,8 @@ object SparkEntry {
     "dedup_prefix_filter_pairs" -> ((s, d) => graft.llm.PrefixJoin.prefixFilterPairs(s, d)),
     "dedup_prefix_filter_topk" -> ((s, d) => graft.llm.PrefixJoin.prefixFilterTopK(s, d)),
     "text_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopKPartners(s, d)),
+    "dedup_duplicate_spans" -> ((s, d) => graft.llm.Spans.duplicateSpans(s, d)),
+    "doc_dup_span_coverage" -> ((s, d) => graft.llm.Spans.dupSpanCoverage(s, d)),
     "text_bpe_merge_step" -> ((s, d) => graft.llm.LanguageModel.bpeMergeStep(s, d)),
     "multimodal_ahash" -> ((s, d) => Multimodal.pixelAhash(s, d)),
     "text_posting_lists" -> ((s, d) => graft.llm.LanguageModel.postingLists(s, d)),
@@ -519,6 +521,8 @@ object SparkEntry {
     "dedup_prefix_filter_pairs" -> graft.llm.PrefixJoin.prefixFilterPairsOracle,
     "dedup_prefix_filter_topk" -> graft.llm.PrefixJoin.prefixFilterTopKOracle,
     "text_tfidf_topk" -> TextAnalysis.tfidfTopKOracle,
+    "dedup_duplicate_spans" -> graft.llm.Spans.duplicateSpansOracle,
+    "doc_dup_span_coverage" -> graft.llm.Spans.dupSpanCoverageOracle,
     "category_quantity_quartiles_approx_audit" ->
       Extras.categoryQuantityQuartilesApproxAuditOracle,
     "curated_revenue_by_category_approx_audit" -> OracleSql.withCtes(

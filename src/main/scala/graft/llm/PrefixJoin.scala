@@ -77,18 +77,35 @@ object PrefixJoin {
         "row_number() OVER (PARTITION BY doc_id ORDER BY df, tok)"))
     val prefix = ranked.filter(
       expr(s"rk <= sz - (($tNum * sz + $tNum) DIV $tDen) + 1"))
-      .select("doc_id", "tok", "sz")
+      .select("doc_id", "tok", "sz", "rk")
       .localCheckpoint()
     // the pre-distinct pair stream repeats a pair once per shared
     // prefix token — project it down to the two ids BEFORE the
     // distinct so the dedup shuffle moves 16 bytes/row, not the
-    // token/size payload (the size filter runs pre-projection)
-    val cand = prefix.selectExpr("doc_id AS doc_a", "tok", "sz AS sz_a")
-      .join(prefix.selectExpr("doc_id AS doc_b", "tok", "sz AS sz_b"),
-        Seq("tok"))
+    // token/size payload (the size + positional filters run
+    // pre-projection)
+    val cand = prefix.selectExpr("doc_id AS doc_a", "tok", "sz AS sz_a",
+        "rk AS pa")
+      .join(prefix.selectExpr("doc_id AS doc_b", "tok", "sz AS sz_b",
+        "rk AS pb"), Seq("tok"))
       .filter(col("doc_a") < col("doc_b"))
       // size filter: |B| ≥ t·|A| is necessary for Jaccard ≥ t
       .filter(expr(s"$tDen * sz_b >= $tNum * sz_a AND $tDen * sz_a >= $tNum * sz_b"))
+      // PPJoin positional filter: Jaccard ≥ t needs overlap
+      // o ≥ ⌈tNum·(sz_a+sz_b)/(tNum+tDen)⌉, and a shared token at
+      // positions (pa, pb) of the two globally-ordered token lists
+      // admits at most 1 + min(sz_a − pa, sz_b − pb) overlap beyond
+      // any common tokens BEFORE it. The first shared token (the
+      // global rarity order is shared, so "first" is consistent on
+      // both sides) has zero common-before, making the bound valid
+      // and the test guaranteed to pass for every true pair — so
+      // keeping pairs with ANY passing row is lossless (the
+      // completeness spec pins it against brute force). Rows failing
+      // the test vanish BEFORE the distinct: pruned rows never enter
+      // the candidate dedup shuffle. Integer form of
+      // (1+m) ≥ ⌈tNum·S/(tNum+tDen)⌉ via a ≥ ⌈p/q⌉ ⟺ q·a ≥ p.
+      .filter(expr(s"${tNum + tDen} * (1 + least(sz_a - pa, sz_b - pb)) " +
+        s">= $tNum * (sz_a + sz_b)"))
       .select("doc_a", "doc_b").distinct()
     // doc→array is corpus-row-sized; at fixture scale it is tiny next
     // to the pair set and SHOULD broadcast, but an explicit broadcast()
@@ -167,7 +184,7 @@ object PrefixJoin {
             row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rk
           FROM toks t JOIN df_t f ON t.tok = f.tok),
         prefix AS (
-          SELECT doc_id, tok, sz FROM ranked
+          SELECT doc_id, tok, sz, rk FROM ranked
           WHERE rk <= sz - (($tNum * sz + $tNum) // $tDen) + 1),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -175,7 +192,9 @@ object PrefixJoin {
           FROM prefix a JOIN prefix b ON a.tok = b.tok
             AND a.doc_id < b.doc_id
           WHERE $tDen * b.sz >= $tNum * a.sz
-            AND $tDen * a.sz >= $tNum * b.sz),
+            AND $tDen * a.sz >= $tNum * b.sz
+            AND ${tNum + tDen} * (1 + least(a.sz - a.rk, b.sz - b.rk))
+              >= $tNum * (a.sz + b.sz)),
         inter_t AS (
           SELECT c.doc_a, c.doc_b,
             CAST(${interSize("sa.toks", "sb.toks", d)} AS BIGINT) AS inter,

@@ -1,0 +1,191 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Gen._
+
+/** Exact duplicate-SPAN detection — the substring-level dedup tier.
+  *
+  * Document-level dedup (MinHash / SimHash / prefix-filter, `Dedup`,
+  * `PrefixJoin`) misses the dominant duplication mode in web corpora:
+  * long VERBATIM spans (boilerplate, licenses, quoted passages)
+  * embedded in otherwise-distinct documents. The standard remedy is
+  * exact substring matching over fixed-length token windows: hash
+  * every L-token window, group by hash, and call a window duplicated
+  * when it occurs in ≥2 DISTINCT documents. Cross-document is the
+  * definition that matters for training data (within-doc repetition
+  * is the `text_repetition` signal, a different axis).
+  *
+  * Scale shape: one scan explodes each document into (n − L + 1)
+  * window hashes (a constant-factor blowup of the token stream — the
+  * same cost class as the shingle explode in `Dedup.docFeatures`);
+  * the duplicate test is ONE map-side-combinable hash aggregate on
+  * the 16-byte hash key. Nothing is pairwise: a span shared by 10⁴
+  * documents costs 10⁴ aggregate rows, never 10⁸ pairs. The top-k
+  * readout joins the (tiny) winner set BACK to the window stream to
+  * recover sample text — broadcast-sized by construction — instead of
+  * dragging 120-byte span texts through the big group-by.
+  *
+  * Everything is exact integer/hash arithmetic; both engines hash the
+  * identical chr(1)-joined token string with md5, so the driver's
+  * hash compare is bit-exact.
+  */
+object Spans {
+
+  /** Window length in tokens — long enough that a shared window is
+    * verbatim copying, not phrase-level coincidence (the common
+    * choice in the dedup literature is 50 BPE tokens; 20 words is the
+    * same order on this fixture's 10–99-token documents, keeping both
+    * the span and non-span channels populated at every SF). */
+  private val L = 20
+
+  /** (doc_id, source, n, i, h): one row per L-token window. */
+  private def windows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", s"${words("text", SparkD)} AS w")
+      .selectExpr("doc_id", "source", "w", "size(w) AS n")
+      .filter(s"n >= $L")
+      .selectExpr("doc_id", "source", "n", "w",
+        s"explode(sequence(1, n - $L + 1)) AS i")
+      .selectExpr("doc_id", "source", "n", "i",
+        s"md5(concat_ws(chr(1), slice(w, i, $L))) AS h")
+
+  /** Duplicated-span table: every window hash occurring in ≥2 distinct
+    * documents, with occurrence counts. */
+  private def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    windows(spark, dir)
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+
+  private val topSpans = 50
+
+  /** Top duplicated spans with a deterministic sample occurrence and
+    * its recovered text. The sample is the two-step arg-min (smallest
+    * doc_id, then smallest position within it) — exact in both
+    * engines without struct-min. */
+  def duplicateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val top = dupSpans(spark, dir)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("h"))
+      .limit(topSpans)
+    // each step re-derives the window stream (fresh plan instance —
+    // Spark's ambiguous-self-join guard, and the cold-path cost is one
+    // extra scan, the same trade the other two-pass readouts make)
+    val firstDoc = windows(spark, dir).join(top.select("h"), Seq("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("sample_doc"))
+    val firstPos = windows(spark, dir)
+      .selectExpr("h AS h2", "doc_id AS d2", "i")
+      .join(firstDoc, col("h2") === col("h") && col("d2") === col("sample_doc"))
+      .groupBy("h", "sample_doc").agg(min(col("i")).as("sample_pos"))
+    // recover the sample text by recomputing the one winning window
+    // from the document row — a broadcast-sized join against the
+    // corpus, not a text column dragged through the global group-by
+    val sampleText = Tables.documents(spark, dir)
+      .selectExpr("doc_id AS sample_doc", s"${words("text", SparkD)} AS w")
+      .join(firstPos, Seq("sample_doc"))
+      .selectExpr("h", "sample_doc", "sample_pos",
+        s"concat_ws(' ', slice(w, sample_pos, $L)) AS span_text")
+    top.join(sampleText, Seq("h"))
+      .selectExpr("h AS span_hash", "n_docs", "n_occ", "sample_doc",
+        "CAST(sample_pos AS INTEGER) AS sample_pos", "span_text")
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_hash"))
+  }
+
+  val duplicateSpansOracle: String = {
+    val d = DuckD
+    s"""WITH w_t AS (SELECT doc_id, source, ${words("text", d)} AS w
+          FROM documents),
+        n_t AS (SELECT doc_id, source, w, ${arrLen("w", d)} AS n
+          FROM w_t WHERE ${arrLen("w", d)} >= $L),
+        i_t AS (SELECT doc_id, source, n, w,
+            unnest(range(1, n - $L + 2)) AS i FROM n_t),
+        win AS (SELECT doc_id, source, n, i,
+            md5(array_to_string(list_slice(w, i, i + $L - 1), chr(1))) AS h
+          FROM i_t),
+        d_t AS (SELECT h, count(DISTINCT doc_id) AS n_docs,
+            count(*) AS n_occ
+          FROM win GROUP BY h),
+        top AS (SELECT h, n_docs, n_occ FROM d_t WHERE n_docs >= 2
+          ORDER BY n_docs DESC, n_occ DESC, h LIMIT $topSpans),
+        fd AS (SELECT win.h, min(doc_id) AS sample_doc
+          FROM win JOIN top ON win.h = top.h GROUP BY win.h),
+        fp AS (SELECT fd.h, fd.sample_doc, min(win.i) AS sample_pos
+          FROM win JOIN fd ON win.h = fd.h AND win.doc_id = fd.sample_doc
+          GROUP BY fd.h, fd.sample_doc),
+        st AS (SELECT fp.h, fp.sample_doc, fp.sample_pos,
+            array_to_string(list_slice(w_t.w, fp.sample_pos,
+              fp.sample_pos + $L - 1), ' ') AS span_text
+          FROM fp JOIN w_t ON w_t.doc_id = fp.sample_doc)
+        SELECT top.h AS span_hash, top.n_docs, top.n_occ, st.sample_doc,
+          CAST(st.sample_pos AS INTEGER) AS sample_pos, st.span_text
+        FROM top JOIN st ON top.h = st.h
+        ORDER BY top.n_docs DESC, top.n_occ DESC, span_hash"""
+  }
+
+  /** Per-document duplicated-span coverage: the fraction of each
+    * document's tokens lying inside at least one cross-document
+    * duplicated window — the per-doc FILTER SIGNAL substring-level
+    * dedup exists to produce (drop or trim documents whose coverage
+    * exceeds a threshold). Window positions per doc are strictly
+    * increasing, so the interval union is a running-max scan: each
+    * window contributes `end − max(prev_end, start − 1)` clamped at 0
+    * — all integer arithmetic inside a doc-partitioned window frame
+    * (shuffle by doc, never global). Documents with no duplicated
+    * window (or shorter than L) surface with coverage 0 via the
+    * left join — the signal consumers need every document scored. */
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val dwin = windows(spark, dir)
+      .join(dupSpans(spark, dir).select("h"), Seq("h"))
+      .select("doc_id", "i")
+    val covered = dwin
+      .withColumn("pmax", expr(
+        s"max(i + $L - 1) OVER (PARTITION BY doc_id ORDER BY i " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"))
+      .selectExpr("doc_id",
+        s"greatest(0, (i + $L - 1) - greatest(coalesce(pmax, 0), i - 1)) AS newly")
+      .groupBy("doc_id")
+      .agg(sum(col("newly")).as("covered"))
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source",
+        s"CAST(${arrLen(words("text", SparkD), SparkD)} AS INTEGER) AS n_tokens")
+      .join(covered, Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "source", "n_tokens",
+        "CAST(coalesce(covered, 0) AS BIGINT) AS dup_tokens",
+        "CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens AS dup_share")
+      .orderBy("doc_id")
+  }
+
+  val dupSpanCoverageOracle: String = {
+    val d = DuckD
+    s"""WITH w_t AS (SELECT doc_id, source, ${words("text", d)} AS w
+          FROM documents),
+        n_t AS (SELECT doc_id, source, w, ${arrLen("w", d)} AS n
+          FROM w_t WHERE ${arrLen("w", d)} >= $L),
+        i_t AS (SELECT doc_id, n, w, unnest(range(1, n - $L + 2)) AS i
+          FROM n_t),
+        win AS (SELECT doc_id, i,
+            md5(array_to_string(list_slice(w, i, i + $L - 1), chr(1))) AS h
+          FROM i_t),
+        d_t AS (SELECT h FROM win
+          GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        dwin AS (SELECT win.doc_id, win.i FROM win JOIN d_t
+          ON win.h = d_t.h),
+        run AS (SELECT doc_id, i,
+            max(i + $L - 1) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM dwin),
+        cov AS (SELECT doc_id,
+            sum(greatest(0, (i + $L - 1) - greatest(coalesce(pmax, 0), i - 1)))
+              AS covered
+          FROM run GROUP BY doc_id)
+        SELECT d.doc_id, d.source,
+          CAST(${arrLen(words("text", d), d)} AS INTEGER) AS n_tokens,
+          CAST(coalesce(cov.covered, 0) AS BIGINT) AS dup_tokens,
+          CAST(coalesce(cov.covered, 0) AS DOUBLE)
+            / CAST(${arrLen(words("text", d), d)} AS INTEGER) AS dup_share
+        FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+        ORDER BY d.doc_id"""
+  }
+}

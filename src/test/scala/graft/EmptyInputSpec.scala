@@ -93,6 +93,11 @@ class EmptyInputSpec extends SparkSpec {
       "doc_cdc_shared" -> (graft.llm.Chunking.cdcSharedChunks _),
       "dedup_prefix_filter_pairs" -> (graft.llm.PrefixJoin.prefixFilterPairs _),
       "multimodal_ahash" -> (Multimodal.pixelAhash _),
+      // round-7 operators
+      "dedup_prefix_filter_topk" -> (graft.llm.PrefixJoin.prefixFilterTopK _),
+      "text_tfidf_topk" -> (TextAnalysis.tfidfTopKPartners _),
+      "dedup_duplicate_spans" -> (graft.llm.Spans.duplicateSpans _),
+      "doc_dup_span_coverage" -> (graft.llm.Spans.dupSpanCoverage _),
       // empty EVENT/GRAPH inputs: the sketch has no heavy hitters to
       // audit, and a graph with no nodes ranks nothing (the teleport
       // division by a zero node count stays on the never-executed

@@ -1,0 +1,66 @@
+package graft
+
+import graft.llm.Spans
+
+/** Properties of the duplicate-span tier the value-equality oracle
+  * can't express: a PLANTED verbatim passage is found with the exact
+  * expected coverage, and unique text scores zero. */
+class SpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 30 distinct tokens shared verbatim by docs 1 and 2 (L=20, so the
+  // run yields 11 shared windows per doc covering exactly 30 tokens);
+  // doc 3 is all-unique filler of the same length.
+  private val shared = (1 to 30).map(i => s"boiler$i").mkString(" ")
+  private def filler(tag: String, n: Int) =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  private def plantedDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    val docs = Seq(
+      (1L, s"${filler("alpha", 10)} $shared ${filler("omega", 5)}", "en", "web", 1),
+      (2L, s"${filler("beta", 7)} $shared", "en", "web", 1),
+      (3L, filler("uniq", 45), "en", "web", 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("a planted cross-document passage is detected with exact coverage") {
+    val dir = plantedDir()
+    val spans = Spans.duplicateSpans(spark, dir)
+      .select("span_hash", "n_docs", "n_occ", "sample_doc", "sample_pos")
+      .collect()
+    // the 30-token run has 11 window alignments; every one occurs in
+    // both docs and nowhere else
+    assert(spans.length == 11)
+    assert(spans.forall(r => r.getLong(1) == 2 && r.getLong(2) == 2))
+    // deterministic sample: smallest doc_id (1), whose shared run
+    // starts at token 11 → sample positions 11..21
+    assert(spans.forall(_.getLong(3) == 1L))
+    assert(spans.map(_.getInt(4)).sorted.toSeq == (11 to 21))
+
+    val cov = Spans.dupSpanCoverage(spark, dir)
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_share")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    // interval union collapses the 11 overlapping windows to the
+    // exact 30 planted tokens in both carriers; the unique doc is 0
+    assert(cov(1L) == ((45, 30L, 30.0 / 45)))
+    assert(cov(2L) == ((37, 30L, 30.0 / 37)))
+    assert(cov(3L) == ((45, 0L, 0.0)))
+  }
+
+  test("coverage saturates at 1.0 for a fully-duplicated document") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans2").toString
+    val t = filler("dup", 25)
+    Seq((1L, t, "en", "web", 1L), (2L, t, "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val cov = Spans.dupSpanCoverage(spark, dir)
+      .select("doc_id", "dup_share").collect()
+    assert(cov.length == 2 && cov.forall(_.getDouble(1) == 1.0))
+  }
+}
