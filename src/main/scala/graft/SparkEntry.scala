@@ -170,6 +170,7 @@ object SparkEntry {
     "ann_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     "ann_pq_adc_topk" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
+    "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "multimodal_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, d)),
@@ -400,6 +401,7 @@ object SparkEntry {
     "ann_pq_codes" -> Similarity.pqCodesOracle,
     "ann_pq_adc_topk" -> Similarity.pqAdcTopKOracle,
     "ann_pq_recall" -> Similarity.pqRecallOracle,
+    "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle,
     "table_profile" -> graft.ops.Profile.tableProfileOracle,
     "lineitem_moment_corr" -> graft.ops.Profile.momentCorrOracle,
     "lineitem_spearman" -> graft.ops.Profile.spearmanCorrOracle,

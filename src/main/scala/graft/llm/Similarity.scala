@@ -686,4 +686,84 @@ object Similarity {
                    FROM scored)
         SELECT query_id, vec_id, bucket, rank, cosine FROM ranked
         WHERE rank <= $topK ORDER BY query_id, rank"""
+
+  // ---- IVF + PQ composed (IVFADC) ----
+
+  /** IVFADC — the two tiers composed the way a production vector index
+    * runs them (Jégou/Douze/Schmid 2011): the IVF coarse quantizer
+    * bounds the CANDIDATE SET (an equi-join on the query's cell — only
+    * that cell's vectors are scored at all), and ADC scores those
+    * candidates from their PQ codes (an equi-join on (query, subspace,
+    * code) against the broadcast distance table + a fixed-order
+    * 4-lookup sum). At query time no full corpus vector is touched:
+    * candidate generation reads cell ids, scoring reads codes — which
+    * is why the shape holds at 100 TB: cells bound the work, codes
+    * bound the bytes. Both index relations (cell assignment, codes)
+    * are session-cached builds shared with the standalone IVF and PQ
+    * tiers. Determinism: the adist total is assembled from pivoted
+    * per-subspace partials in fixed column order, and ties break on
+    * vec_id. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(spark, dir)
+    val qcells = assigned.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "cell")
+    val cands = assigned.selectExpr("vec_id AS cand_id", "cell")
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+    val pdcols = (0 until nSub).map(s =>
+      s"${l2sqRange("qv", "cv", s * subDim, subDim, SparkD)} AS pd$s")
+    val distTable = vecs(spark, dir).filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv")
+      .crossJoin(broadcast(pqCents(spark, dir)))
+      .selectExpr(Seq("query_id", "code") ++ pdcols: _*)
+      .selectExpr("query_id", "code",
+        s"posexplode(array(${(0 until nSub).map("pd" + _).mkString(", ")})) AS (subspace, pd)")
+      .selectExpr("query_id AS q2", "code", "subspace", "pd")
+    val partials = pqCodesDf(spark, dir)
+      .selectExpr("vec_id AS cand_id2", "subspace AS s2", "code AS c2")
+      .join(cands, col("cand_id2") === col("cand_id"))
+      .join(broadcast(distTable),
+        col("q2") === col("query_id") && col("s2") === col("subspace") &&
+          col("c2") === col("code"))
+      .groupBy("query_id", "cand_id", "cell")
+      .agg(sum(when(col("s2") === 0, col("pd"))).as("pd0"),
+        sum(when(col("s2") === 1, col("pd"))).as("pd1"),
+        sum(when(col("s2") === 2, col("pd"))).as("pd2"),
+        sum(when(col("s2") === 3, col("pd"))).as("pd3"))
+      .selectExpr("query_id", "cand_id AS vec_id", "cell",
+        "pd0 + pd1 + pd2 + pd3 AS adist")
+    val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("vec_id"))
+    partials.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "cell", "rank", "adist")
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfPqTopKOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        ${pqCtes(DuckD)},
+        ${pqAdcCtes(DuckD)},
+        ivfpq_qc AS (SELECT vec_id AS query_id, cell FROM assigned
+          WHERE vec_id < $nQueries),
+        ivfpq_cand AS (SELECT qc.query_id, a.vec_id, a.cell
+          FROM assigned a JOIN ivfpq_qc qc ON a.cell = qc.cell
+          WHERE a.vec_id <> qc.query_id),
+        ivfpq_part AS (SELECT cd2.query_id, cd2.vec_id, cd2.cell,
+            ${(0 until nSub).map(s =>
+              s"sum(CASE WHEN cd2.subspace = $s THEN cd2.pd END) AS pd$s")
+              .mkString(", ")}
+          FROM (SELECT cand.query_id, cand.vec_id, cand.cell,
+                  cd.subspace, q.pd
+                FROM ivfpq_cand cand
+                JOIN pq_codes cd ON cd.vec_id = cand.vec_id
+                JOIN pq_qlong q ON q.query_id = cand.query_id
+                  AND q.subspace = cd.subspace AND q.code = cd.code) cd2
+          GROUP BY cd2.query_id, cd2.vec_id, cd2.cell),
+        ivfpq_adc AS (SELECT query_id, vec_id, cell,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY pd0 + pd1 + pd2 + pd3, vec_id) AS rank,
+            pd0 + pd1 + pd2 + pd3 AS adist
+          FROM ivfpq_part)
+        SELECT query_id, vec_id, cell, rank, adist FROM ivfpq_adc
+        WHERE rank <= $topK ORDER BY query_id, rank"""
 }

@@ -59,6 +59,36 @@ class AnnSpec extends SparkSpec {
     assert(codes.forall(_._4 >= 0.0))
   }
 
+  test("ivfpq: candidates confined to the query's cell, ranked ascending") {
+    val cells = Similarity.ivfCells(spark, sfTiny)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val rows = Similarity.ivfPqTopK(spark, sfTiny)
+      .select("query_id", "vec_id", "cell", "rank", "adist")
+      .as[(Long, Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      // the IVF tier must bound the candidate set: every scored vector
+      // lives in the query's own cell (that is the whole contract)
+      assert(rs.forall(r => r._3 == cells(q) && cells(r._2) == cells(q)),
+        s"query $q scored a vector outside its cell")
+      assert(rs.forall(_._2 != q))
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rs.length), s"ranks of $q")
+      assert(sorted.map(_._5).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)), s"adist order of $q")
+      assert(rs.forall(_._5 >= 0.0))
+    }
+    // composing IVF on top of ADC can only REMOVE candidates vs plain
+    // ADC over the full corpus — per query the result count is <= the
+    // unrestricted tier's
+    val full = Similarity.pqAdcTopK(spark, sfTiny)
+      .select("query_id").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= full.getOrElse(q, 0), s"query $q grew candidates")
+    }
+  }
+
   test("pq adc: ranked ascending by approximate distance; recall sane") {
     val adc = Similarity.pqAdcTopK(spark, sfTiny)
       .select("query_id", "vec_id", "rank", "adist")
