@@ -301,6 +301,8 @@ object SparkEntry {
     "text_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopKPartners(s, d)),
     "dedup_duplicate_spans" -> ((s, d) => graft.llm.Spans.duplicateSpans(s, d)),
     "doc_dup_span_coverage" -> ((s, d) => graft.llm.Spans.dupSpanCoverage(s, d)),
+    "doc_dup_span_intervals" -> ((s, d) => graft.llm.Spans.dupSpanIntervals(s, d)),
+    "dedup_incremental_spans" -> ((s, d) => graft.llm.Spans.incrementalSpans(s, d)),
     "text_bpe_merge_step" -> ((s, d) => graft.llm.LanguageModel.bpeMergeStep(s, d)),
     "multimodal_ahash" -> ((s, d) => Multimodal.pixelAhash(s, d)),
     "text_posting_lists" -> ((s, d) => graft.llm.LanguageModel.postingLists(s, d)),
@@ -525,6 +527,8 @@ object SparkEntry {
     "text_tfidf_topk" -> TextAnalysis.tfidfTopKOracle,
     "dedup_duplicate_spans" -> graft.llm.Spans.duplicateSpansOracle,
     "doc_dup_span_coverage" -> graft.llm.Spans.dupSpanCoverageOracle,
+    "doc_dup_span_intervals" -> graft.llm.Spans.dupSpanIntervalsOracle,
+    "dedup_incremental_spans" -> graft.llm.Spans.incrementalSpansOracle,
     "category_quantity_quartiles_approx_audit" ->
       Extras.categoryQuantityQuartilesApproxAuditOracle,
     "curated_revenue_by_category_approx_audit" -> OracleSql.withCtes(

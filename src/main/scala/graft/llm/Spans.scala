@@ -157,6 +157,155 @@ object Spans {
       .orderBy("doc_id")
   }
 
+  /** Maximal duplicated intervals per document — the ACTIONABLE form
+    * of the coverage signal: instead of one fraction per doc, the
+    * exact token ranges to trim (the standard remediation is cutting
+    * the duplicated spans, not dropping the document). Classic
+    * gaps-and-islands over the duplicated windows: a window opens a
+    * new island when its start exceeds the running coverage end + 1
+    * (overlap OR adjacency merges — contiguous coverage is one
+    * interval); islands then collapse to (start, end) in one grouped
+    * agg. Doc-partitioned windows only — shuffle by doc, never
+    * global. */
+  def dupSpanIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val dwin = windows(spark, dir)
+      .join(dupSpans(spark, dir).select("h"), Seq("h"))
+      .select("doc_id", "i")
+    dwin
+      .withColumn("pmax", expr(
+        s"max(i + $L - 1) OVER (PARTITION BY doc_id ORDER BY i " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"))
+      .withColumn("brk", expr("CASE WHEN pmax IS NULL OR i > pmax + 1 THEN 1 ELSE 0 END"))
+      .withColumn("island", expr(
+        "sum(brk) OVER (PARTITION BY doc_id ORDER BY i " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+      .groupBy("doc_id", "island")
+      .agg(min(col("i")).as("span_start"), max(col("i") + L - 1).as("span_end"))
+      .selectExpr("doc_id", "CAST(island AS INTEGER) AS island",
+        "CAST(span_start AS INTEGER) AS span_start",
+        "CAST(span_end AS INTEGER) AS span_end",
+        "CAST(span_end - span_start + 1 AS INTEGER) AS span_tokens")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val dupSpanIntervalsOracle: String = {
+    val d = DuckD
+    s"""WITH w_t AS (SELECT doc_id, ${words("text", d)} AS w FROM documents),
+        n_t AS (SELECT doc_id, w, ${arrLen("w", d)} AS n
+          FROM w_t WHERE ${arrLen("w", d)} >= $L),
+        i_t AS (SELECT doc_id, n, w, unnest(range(1, n - $L + 2)) AS i
+          FROM n_t),
+        win AS (SELECT doc_id, i,
+            md5(array_to_string(list_slice(w, i, i + $L - 1), chr(1))) AS h
+          FROM i_t),
+        d_t AS (SELECT h FROM win
+          GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        dwin AS (SELECT win.doc_id, win.i FROM win JOIN d_t
+          ON win.h = d_t.h),
+        run AS (SELECT doc_id, i,
+            max(i + $L - 1) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM dwin),
+        brk_t AS (SELECT doc_id, i,
+            CASE WHEN pmax IS NULL OR i > pmax + 1 THEN 1 ELSE 0 END AS brk
+          FROM run),
+        isl AS (SELECT doc_id, i,
+            sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM brk_t),
+        g AS (SELECT doc_id, island, min(i) AS span_start,
+            max(i + $L - 1) AS span_end
+          FROM isl GROUP BY doc_id, island)
+        SELECT doc_id, CAST(island AS INTEGER) AS island,
+          CAST(span_start AS INTEGER) AS span_start,
+          CAST(span_end AS INTEGER) AS span_end,
+          CAST(span_end - span_start + 1 AS INTEGER) AS span_tokens
+        FROM g ORDER BY doc_id, span_start"""
+  }
+
+  // ---- incremental span dedup (append batch vs corpus posting) ----
+
+  private val deltaMod = 10
+  private val deltaRem = 9
+
+  /** Append-batch span dedup — the production mode: a new crawl batch
+    * (doc_id % 10 == 9, the same delta convention as
+    * `Dedup.incrementalDedup`) is screened against the EXISTING
+    * corpus's span posting (the distinct window hashes of all
+    * non-batch docs). Per new document: window count, windows already
+    * present in the corpus, covered-token count (interval union over
+    * corpus-matching windows only) and the resulting share — the
+    * admit/trim/reject signal computed WITHOUT touching batch-vs-batch
+    * pairs. Scale shape: the corpus side reduces to a distinct-hash
+    * posting (16 bytes/row, the side table a real pipeline keeps
+    * materialized and appends to); the batch side is one scan; the
+    * screen is one equi-join on the hash. */
+  def incrementalSpans(spark: SparkSession, dir: String): DataFrame = {
+    val batchWin = windows(spark, dir)
+      .filter(col("doc_id") % deltaMod === deltaRem)
+    val corpusPosting = windows(spark, dir)
+      .filter(col("doc_id") % deltaMod =!= deltaRem)
+      .select("h").distinct()
+    val hits = batchWin.join(corpusPosting, Seq("h"))
+      .select("doc_id", "i")
+    val covered = hits
+      .withColumn("pmax", expr(
+        s"max(i + $L - 1) OVER (PARTITION BY doc_id ORDER BY i " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"))
+      .selectExpr("doc_id",
+        s"greatest(0, (i + $L - 1) - greatest(coalesce(pmax, 0), i - 1)) AS newly")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("newly")).as("covered"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % deltaMod === deltaRem)
+      .selectExpr("doc_id", "source",
+        s"CAST(${arrLen(words("text", SparkD), SparkD)} AS INTEGER) AS n_tokens")
+      .join(covered, Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "source", "n_tokens",
+        s"CAST(greatest(n_tokens - $L + 1, 0) AS BIGINT) AS n_windows",
+        "CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows",
+        "CAST(coalesce(covered, 0) AS BIGINT) AS dup_tokens",
+        "CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens AS dup_share")
+      .orderBy("doc_id")
+  }
+
+  val incrementalSpansOracle: String = {
+    val d = DuckD
+    s"""WITH w_t AS (SELECT doc_id, source, ${words("text", d)} AS w
+          FROM documents),
+        n_t AS (SELECT doc_id, w, ${arrLen("w", d)} AS n
+          FROM w_t WHERE ${arrLen("w", d)} >= $L),
+        i_t AS (SELECT doc_id, n, w, unnest(range(1, n - $L + 2)) AS i
+          FROM n_t),
+        win AS (SELECT doc_id, i,
+            md5(array_to_string(list_slice(w, i, i + $L - 1), chr(1))) AS h
+          FROM i_t),
+        posting AS (SELECT DISTINCT h FROM win
+          WHERE doc_id % $deltaMod <> $deltaRem),
+        hits AS (SELECT win.doc_id, win.i FROM win
+          JOIN posting ON win.h = posting.h
+          WHERE win.doc_id % $deltaMod = $deltaRem),
+        run AS (SELECT doc_id, i,
+            max(i + $L - 1) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM hits),
+        cov AS (SELECT doc_id, count(*) AS n_dup_windows,
+            sum(greatest(0, (i + $L - 1) - greatest(coalesce(pmax, 0), i - 1)))
+              AS covered
+          FROM run GROUP BY doc_id)
+        SELECT d.doc_id, d.source,
+          CAST(${arrLen(words("text", d), d)} AS INTEGER) AS n_tokens,
+          CAST(greatest(${arrLen(words("text", d), d)} - $L + 1, 0) AS BIGINT)
+            AS n_windows,
+          CAST(coalesce(cov.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+          CAST(coalesce(cov.covered, 0) AS BIGINT) AS dup_tokens,
+          CAST(coalesce(cov.covered, 0) AS DOUBLE)
+            / CAST(${arrLen(words("text", d), d)} AS INTEGER) AS dup_share
+        FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+        WHERE d.doc_id % $deltaMod = $deltaRem
+        ORDER BY d.doc_id"""
+  }
+
   val dupSpanCoverageOracle: String = {
     val d = DuckD
     s"""WITH w_t AS (SELECT doc_id, source, ${words("text", d)} AS w

@@ -98,6 +98,9 @@ class EmptyInputSpec extends SparkSpec {
       "text_tfidf_topk" -> (TextAnalysis.tfidfTopKPartners _),
       "dedup_duplicate_spans" -> (graft.llm.Spans.duplicateSpans _),
       "doc_dup_span_coverage" -> (graft.llm.Spans.dupSpanCoverage _),
+      "doc_dup_span_intervals" -> (graft.llm.Spans.dupSpanIntervals _),
+      "dedup_incremental_spans" -> (graft.llm.Spans.incrementalSpans _),
+      "ann_ivfpq_topk" -> (graft.llm.Similarity.ivfPqTopK _),
       // empty EVENT/GRAPH inputs: the sketch has no heavy hitters to
       // audit, and a graph with no nodes ranks nothing (the teleport
       // division by a zero node count stays on the never-executed

@@ -33,7 +33,8 @@ class PlanContractSpec extends SparkSpec {
     "dedup_prefix_filter_pairs", "dedup_prefix_filter_topk",
     "text_tfidf_topk", "curated_revenue_by_category_approx_audit",
     "category_quantity_quartiles_approx_audit",
-    "dedup_duplicate_spans", "doc_dup_span_coverage")
+    "dedup_duplicate_spans", "doc_dup_span_coverage",
+    "doc_dup_span_intervals", "dedup_incremental_spans")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>

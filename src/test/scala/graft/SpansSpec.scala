@@ -53,6 +53,47 @@ class SpansSpec extends SparkSpec {
     assert(cov(3L) == ((45, 0L, 0.0)))
   }
 
+  test("planted passage collapses to one maximal interval per carrier") {
+    val dir = plantedDir()
+    val ivals = Spans.dupSpanIntervals(spark, dir)
+      .select("doc_id", "island", "span_start", "span_end", "span_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    // the 11 overlapping windows merge into exactly ONE island per
+    // doc, spanning precisely the 30 planted tokens: doc 1's run sits
+    // at tokens 11..40 (after 10 filler tokens), doc 2's at 8..37
+    assert(ivals.toSet == Set((1L, 1, 11, 40, 30), (2L, 1, 8, 37, 30)))
+  }
+
+  test("incremental spans screen a batch against the corpus posting only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans3").toString
+    // corpus: doc 1 carries the passage, doc 2 unique. batch (ids ≡ 9
+    // mod 10): doc 9 shares the passage with CORPUS doc 1; docs 19/29
+    // share a passage only with EACH OTHER (batch-vs-batch must NOT
+    // count — the screen is against the existing corpus posting)
+    val batchShared = (1 to 25).map(i => s"newdup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler("c1", 5)} $shared", "en", "web", 1),
+      (2L, filler("c2", 40), "en", "web", 1),
+      (9L, s"$shared ${filler("b9", 6)}", "en", "web", 1),
+      (19L, s"${filler("b19", 4)} $batchShared", "en", "web", 1),
+      (29L, s"$batchShared ${filler("b29", 3)}", "en", "web", 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Spans.incrementalSpans(spark, dir)
+      .select("doc_id", "n_tokens", "n_windows", "n_dup_windows",
+        "dup_tokens", "dup_share")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set(9L, 19L, 29L), "exactly the batch docs scored")
+    // doc 9: 30-token shared run -> 11 corpus-matching windows
+    // covering exactly those 30 tokens
+    assert(out(9L) == ((36, 17L, 11L, 30L, 30.0 / 36)))
+    // batch-only duplication is invisible to the corpus screen
+    assert(out(19L)._3 == 0L && out(19L)._4 == 0L && out(19L)._5 == 0.0)
+    assert(out(29L)._3 == 0L && out(29L)._4 == 0L && out(29L)._5 == 0.0)
+  }
+
   test("coverage saturates at 1.0 for a fully-duplicated document") {
     val dir = java.nio.file.Files.createTempDirectory("graft_spans2").toString
     val t = filler("dup", 25)
