@@ -622,11 +622,14 @@ object Similarity {
         SELECT query_id, vec_id, rank, adist FROM pq_adc
         WHERE rank <= $topK ORDER BY query_id, rank"""
 
-  /** Recall@k of the ADC tier against EXACT squared-L2 brute force —
+  /** Recall@k of the PQ tiers against EXACT squared-L2 brute force —
     * truth uses the same metric the quantizer approximates, so the
-    * number isolates pure quantization loss (not an L2-vs-cosine
-    * metric mismatch). One row; the integer counting makes the recall
-    * double bit-exact. */
+    * number isolates quantization (and, for the composed tier, cell-
+    * restriction) loss rather than an L2-vs-cosine metric mismatch.
+    * Two rows — the unrestricted ADC scan and the IVFADC composition —
+    * so the recall COST of bounding candidates by cell is a first-
+    * class, oracle-checked number. Integer counting keeps the recall
+    * doubles bit-exact. */
   def pqRecall(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val q = all.filter(col("vec_id") < nQueries)
@@ -638,22 +641,41 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select("query_id", "vec_id")
-    truth.join(
-        pqAdcTopK(spark, dir).select("query_id", "vec_id")
-          .withColumn("__hit", lit(1)),
-        Seq("query_id", "vec_id"), "left_outer")
-      .agg(count(lit(1)).as("n_true"),
-        coalesce(sum(coalesce(col("__hit"), lit(0))), lit(0L))
-          .cast("long").as("n_hit"))
-      .select(lit("pq_adc").as("tier"), col("n_true"), col("n_hit"),
-        expr("CASE WHEN n_true > 0 THEN n_hit / CAST(n_true AS DOUBLE) " +
-          "ELSE CAST(0 AS DOUBLE) END").as("recall_at_k"))
+    val tiers = Seq(
+      ("pq_adc", pqAdcTopK(spark, dir)),
+      ("ivfpq_adc", ivfPqTopK(spark, dir)))
+    tiers.map { case (name, df) =>
+      truth.join(
+          df.select("query_id", "vec_id").withColumn("__hit", lit(1)),
+          Seq("query_id", "vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(coalesce(col("__hit"), lit(0))), lit(0L))
+            .cast("long").as("n_hit"))
+        .select(lit(name).as("tier"), col("n_true"), col("n_hit"),
+          expr("CASE WHEN n_true > 0 THEN n_hit / CAST(n_true AS DOUBLE) " +
+            "ELSE CAST(0 AS DOUBLE) END").as("recall_at_k"))
+    }.reduce(_.unionByName(_)).orderBy("tier")
   }
 
+  private def recallRowSql(tier: String, rel: String): String =
+    s"""SELECT '$tier' AS tier, count(*) AS n_true,
+          CAST(coalesce(sum(CASE WHEN EXISTS (SELECT 1 FROM $rel r
+            WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id
+              AND r.rank <= $topK)
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+          CASE WHEN count(*) > 0 THEN
+            coalesce(sum(CASE WHEN EXISTS (SELECT 1 FROM $rel r
+              WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id
+                AND r.rank <= $topK)
+              THEN 1 ELSE 0 END), 0) / CAST(count(*) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS recall_at_k
+        FROM l2_truth t"""
+
   val pqRecallOracle: String =
-    s"""WITH ${vecsCte(DuckD)},
+    s"""WITH ${ivfCte(DuckD)},
         ${pqCtes(DuckD)},
         ${pqAdcCtes(DuckD)},
+        $ivfPqCtes,
         l2_scored AS (SELECT q.vec_id AS query_id, e.vec_id,
             ${l2sqRange("q.v", "e.v", 0, embeddingDims, DuckD)} AS l2
           FROM e CROSS JOIN e q
@@ -661,18 +683,10 @@ object Similarity {
         l2_truth AS (SELECT query_id, vec_id FROM l2_scored
           QUALIFY row_number() OVER (PARTITION BY query_id
             ORDER BY l2, vec_id) <= $topK)
-        SELECT 'pq_adc' AS tier, count(*) AS n_true,
-          CAST(coalesce(sum(CASE WHEN EXISTS (SELECT 1 FROM pq_adc r
-            WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id
-              AND r.rank <= $topK)
-            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
-          CASE WHEN count(*) > 0 THEN
-            coalesce(sum(CASE WHEN EXISTS (SELECT 1 FROM pq_adc r
-              WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id
-                AND r.rank <= $topK)
-              THEN 1 ELSE 0 END), 0) / CAST(count(*) AS DOUBLE)
-            ELSE CAST(0 AS DOUBLE) END AS recall_at_k
-        FROM l2_truth t"""
+        ${recallRowSql("pq_adc", "pq_adc")}
+        UNION ALL
+        ${recallRowSql("ivfpq_adc", "ivfpq_adc")}
+        ORDER BY tier"""
 
   val lshTopKOracle: String =
     s"""WITH ${vecsCte(DuckD)},
@@ -739,11 +753,11 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val ivfPqTopKOracle: String =
-    s"""WITH ${ivfCte(DuckD)},
-        ${pqCtes(DuckD)},
-        ${pqAdcCtes(DuckD)},
-        ivfpq_qc AS (SELECT vec_id AS query_id, cell FROM assigned
+  /** CTE chain ending in `ivfpq_adc(query_id, vec_id, cell, rank,
+    * adist)` — requires `assigned` (ivfCte), `pq_codes` (pqCtes) and
+    * `pq_qlong` (pqAdcCtes) upstream. */
+  private def ivfPqCtes: String =
+    s"""ivfpq_qc AS (SELECT vec_id AS query_id, cell FROM assigned
           WHERE vec_id < $nQueries),
         ivfpq_cand AS (SELECT qc.query_id, a.vec_id, a.cell
           FROM assigned a JOIN ivfpq_qc qc ON a.cell = qc.cell
@@ -763,7 +777,13 @@ object Similarity {
             row_number() OVER (PARTITION BY query_id
               ORDER BY pd0 + pd1 + pd2 + pd3, vec_id) AS rank,
             pd0 + pd1 + pd2 + pd3 AS adist
-          FROM ivfpq_part)
+          FROM ivfpq_part)"""
+
+  val ivfPqTopKOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        ${pqCtes(DuckD)},
+        ${pqAdcCtes(DuckD)},
+        $ivfPqCtes
         SELECT query_id, vec_id, cell, rank, adist FROM ivfpq_adc
         WHERE rank <= $topK ORDER BY query_id, rank"""
 }

@@ -41,8 +41,8 @@ class AnnSpec extends SparkSpec {
         s"$tier recall ${rows(tier)} fell below floor $floor")
     }
     val pq = Similarity.pqRecall(spark, sfTiny)
-      .select("recall_at_k").as[Double].head()
-    assert(pq >= 0.04, s"pq_adc recall $pq below floor 0.04")
+      .select("tier", "recall_at_k").as[(String, Double)].collect().toMap
+    assert(pq("pq_adc") >= 0.04, s"pq_adc recall ${pq("pq_adc")} below floor 0.04")
   }
 
   test("pq: every vector gets one code per subspace from the codebook") {
@@ -101,12 +101,15 @@ class AnnSpec extends SparkSpec {
       assert(rows.forall(_._4 >= 0.0))
       assert(rows.forall(_._2 != q))
     }
-    val Array((tier, nTrue, nHit, recall)) = Similarity.pqRecall(spark, sfTiny)
+    val recalls = Similarity.pqRecall(spark, sfTiny)
       .select("tier", "n_true", "n_hit", "recall_at_k")
       .as[(String, Long, Long, Double)].collect()
-    assert(tier == "pq_adc")
-    assert(nTrue > 0 && nHit >= 0 && nHit <= nTrue)
-    assert(recall == nHit.toDouble / nTrue)
+      .map(r => r._1 -> r).toMap
+    assert(recalls.keySet == Set("pq_adc", "ivfpq_adc"))
+    recalls.values.foreach { case (tier, nTrue, nHit, recall) =>
+      assert(nTrue > 0 && nHit >= 0 && nHit <= nTrue, tier)
+      assert(recall == nHit.toDouble / nTrue, tier)
+    }
   }
 
   test("refined centroids keep every vector accounted for") {

@@ -124,6 +124,7 @@ class EmptyInputSpec extends SparkSpec {
     val pqRecall = Similarity.pqRecall(spark, dir)
       .select("tier", "n_true", "n_hit", "recall_at_k")
       .as[(String, Long, Long, Double)].collect()
-    assert(pqRecall.toSeq == Seq(("pq_adc", 0L, 0L, 0.0)))
+    assert(pqRecall.toSeq == Seq(
+      ("ivfpq_adc", 0L, 0L, 0.0), ("pq_adc", 0L, 0L, 0.0)))
   }
 }
