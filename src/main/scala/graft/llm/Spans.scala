@@ -40,16 +40,21 @@ object Spans {
     * the span and non-span channels populated at every SF). */
   private val L = 20
 
-  /** (doc_id, source, n, i, h): one row per L-token window. */
-  private def windows(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .selectExpr("doc_id", "source", s"${words("text", SparkD)} AS w")
-      .selectExpr("doc_id", "source", "w", "size(w) AS n")
+  /** (doc_id, n, i, h): one row per L-token window of `docs`
+    * (doc_id, text, …). Parametric so the streaming twin can window a
+    * micro-batch with the same expression tree. */
+  private[graft] def windowsOf(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", s"${words("text", SparkD)} AS w")
+      .selectExpr("doc_id", "w", "size(w) AS n")
       .filter(s"n >= $L")
-      .selectExpr("doc_id", "source", "n", "w",
+      .selectExpr("doc_id", "n", "w",
         s"explode(sequence(1, n - $L + 1)) AS i")
-      .selectExpr("doc_id", "source", "n", "i",
+      .selectExpr("doc_id", "n", "i",
         s"md5(concat_ws(chr(1), slice(w, i, $L))) AS h")
+
+  private def windows(spark: SparkSession, dir: String): DataFrame =
+    windowsOf(Tables.documents(spark, dir))
 
   /** Duplicated-span table: every window hash occurring in ≥2 distinct
     * documents, with occurrence counts. */
@@ -240,13 +245,21 @@ object Spans {
     * posting (16 bytes/row, the side table a real pipeline keeps
     * materialized and appends to); the batch side is one scan; the
     * screen is one equi-join on the hash. */
-  def incrementalSpans(spark: SparkSession, dir: String): DataFrame = {
-    val batchWin = windows(spark, dir)
-      .filter(col("doc_id") % deltaMod === deltaRem)
-    val corpusPosting = windows(spark, dir)
-      .filter(col("doc_id") % deltaMod =!= deltaRem)
-      .select("h").distinct()
-    val hits = batchWin.join(corpusPosting, Seq("h"))
+  /** The existing corpus's span posting: distinct window hashes —
+    * 16 bytes/row, the side table a real pipeline keeps materialized
+    * and appends to. */
+  def spanPosting(corpusDocs: DataFrame): DataFrame =
+    windowsOf(corpusDocs).select("h").distinct()
+
+  /** Screen `batchDocs` against a corpus `posting` — per new doc the
+    * matching-window count, covered tokens (interval union over
+    * corpus-matching windows only) and share. Checks each new doc
+    * against the STATIC posting only, never against other batch docs,
+    * so any chopping of the append stream yields the same union of
+    * results — the property that makes the screen safe to run
+    * continuously (the streaming twin spec pins it). */
+  def incrementalSpanCheck(batchDocs: DataFrame, posting: DataFrame): DataFrame = {
+    val hits = windowsOf(batchDocs).join(posting, Seq("h"))
       .select("doc_id", "i")
     val covered = hits
       .withColumn("pmax", expr(
@@ -256,17 +269,26 @@ object Spans {
         s"greatest(0, (i + $L - 1) - greatest(coalesce(pmax, 0), i - 1)) AS newly")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_windows"), sum(col("newly")).as("covered"))
-    Tables.documents(spark, dir)
-      .filter(col("doc_id") % deltaMod === deltaRem)
+      // renamed key: `covered` descends from batchDocs too, and the
+      // final join would otherwise trip the ambiguous-self-join guard
+      .selectExpr("doc_id AS cid", "n_dup_windows", "covered")
+    batchDocs
       .selectExpr("doc_id", "source",
         s"CAST(${arrLen(words("text", SparkD), SparkD)} AS INTEGER) AS n_tokens")
-      .join(covered, Seq("doc_id"), "left_outer")
+      .join(covered, col("doc_id") === col("cid"), "left_outer")
       .selectExpr("doc_id", "source", "n_tokens",
         s"CAST(greatest(n_tokens - $L + 1, 0) AS BIGINT) AS n_windows",
         "CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows",
         "CAST(coalesce(covered, 0) AS BIGINT) AS dup_tokens",
         "CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens AS dup_share")
       .orderBy("doc_id")
+  }
+
+  def incrementalSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalSpanCheck(
+      docs.filter(col("doc_id") % deltaMod === deltaRem),
+      spanPosting(docs.filter(col("doc_id") % deltaMod =!= deltaRem)))
   }
 
   val incrementalSpansOracle: String = {

@@ -8,6 +8,8 @@ import graft.llm.Spans
 class SpansSpec extends SparkSpec {
   import spark.implicits._
 
+  private case class Doc(doc_id: Long, lang: String, source: String, text: String)
+
   // 30 distinct tokens shared verbatim by docs 1 and 2 (L=20, so the
   // run yields 11 shared windows per doc covering exactly 30 tokens);
   // doc 3 is all-unique filler of the same length.
@@ -92,6 +94,55 @@ class SpansSpec extends SparkSpec {
     // batch-only duplication is invisible to the corpus screen
     assert(out(19L)._3 == 0L && out(19L)._4 == 0L && out(19L)._5 == 0.0)
     assert(out(29L)._3 == 0L && out(29L)._4 == 0L && out(29L)._5 == 0.0)
+  }
+
+  test("streamed append batches == one-shot span screen (stream twin)") {
+    // same independence property as IncrementalDedupSpec: each new doc
+    // is screened against the STATIC corpus posting only, never other
+    // batch docs, so any chopping of the append stream must yield the
+    // same union of per-micro-batch results as the one-shot check.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import scala.collection.mutable.ArrayBuffer
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.io.Tables.documents(spark, sfTiny)
+      .select("doc_id", "lang", "source", "text")
+    val posting = Spans.spanPosting(docs.filter(col("doc_id") % 10 =!= 9))
+      .localCheckpoint() // materialize once; each micro-batch re-reads
+    val delta = docs.filter(col("doc_id") % 10 === 9)
+      .as[(Long, String, String, String)].collect()
+    assert(delta.length > 10)
+
+    type Res = (Long, String, Int, Long, Long, Long, Double)
+    def collectRes(df: org.apache.spark.sql.DataFrame): Seq[Res] =
+      df.select("doc_id", "source", "n_tokens", "n_windows",
+          "n_dup_windows", "dup_tokens", "dup_share")
+        .as[(Long, String, Int, Long, Long, Long, Double)].collect().toSeq
+    val oneShot = collectRes(Spans.incrementalSpanCheck(
+      docs.filter(col("doc_id") % 10 === 9), posting))
+
+    val stream = MemoryStream[Doc]
+    val acc = ArrayBuffer[Res]()
+    val q = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.synchronized {
+          acc ++= collectRes(Spans.incrementalSpanCheck(batch, posting))
+        }: Unit
+      }
+      .start()
+    try {
+      val ds = delta.map(d => Doc(d._1, d._2, d._3, d._4))
+      val (b1, rest) = ds.splitAt(ds.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      for (b <- Seq(b1, b2, b3)) {
+        stream.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    assert(acc.sortBy(_._1) == oneShot.sortBy(_._1))
+    assert(oneShot.map(_._1).distinct.length == delta.length)
   }
 
   test("coverage saturates at 1.0 for a fully-duplicated document") {
