@@ -261,6 +261,158 @@ object LanguageModel {
           pair, CAST(n AS BIGINT) AS n
         FROM counts ORDER BY merge_rank"""
 
+  // ---- iterated BPE training (k merge rounds) ----
+
+  private val bpeRounds = 4
+
+  /** Per-round CTE block — DIALECT-FREE SQL (windows, gaps-and-islands,
+    * NOT EXISTS, LIMIT all parse identically in Spark and DuckDB), so
+    * Spark executes literally the same text the oracle runs. Round r
+    * over `seq_${r-1}(word, wf, pos, tok)`:
+    *   adj   — each token with its successor (lead over position);
+    *   win   — the argmax pair by frequency-weighted count, total
+    *           tie order (n DESC, left, right): THE merge BPE performs;
+    *   cand  — occurrences of the winning pair;
+    *   isl   — maximal runs of overlapping occurrences ("aaaa" has
+    *           candidates at 1,2,3 but only 1-2 and 3-4 merge): break
+    *           when this candidate's position is not the previous
+    *           candidate's partner;
+    *   keep  — greedy leftmost-first within each run = odd row_number;
+    *   seq_r — heads take the concatenated token, consumed partners
+    *           vanish (NOT EXISTS), everyone else passes through.
+    * Gaps in `pos` after a merge are harmless: adjacency is always
+    * "next surviving position", via lead. */
+  private def bpeRoundCtes(r: Int): String = {
+    val p = r - 1
+    s"""adj_$r AS (SELECT word, wf, pos, tok,
+          lead(pos) OVER (PARTITION BY word ORDER BY pos) AS npos,
+          lead(tok) OVER (PARTITION BY word ORDER BY pos) AS ntok
+        FROM seq_$p),
+       win_$r AS (SELECT tok AS wl, ntok AS wr, sum(wf) AS n
+        FROM adj_$r WHERE ntok IS NOT NULL GROUP BY tok, ntok
+        ORDER BY n DESC, wl, wr LIMIT 1),
+       cand_$r AS (SELECT a.word, a.wf, a.pos, a.tok, a.npos, a.ntok
+        FROM adj_$r a JOIN win_$r w ON a.tok = w.wl AND a.ntok = w.wr),
+       isl_$r AS (SELECT *, CASE WHEN
+          lag(npos) OVER (PARTITION BY word ORDER BY pos) = pos
+          THEN 0 ELSE 1 END AS brk FROM cand_$r),
+       isl2_$r AS (SELECT *, sum(brk) OVER (PARTITION BY word ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl_$r),
+       keep_$r AS (SELECT * FROM (SELECT *, row_number() OVER
+          (PARTITION BY word, island ORDER BY pos) AS rn FROM isl2_$r)
+        WHERE rn % 2 = 1),
+       seq_$r AS (SELECT s.word, s.wf, s.pos,
+          CASE WHEN k.pos IS NOT NULL THEN concat(s.tok, k.ntok)
+               ELSE s.tok END AS tok
+        FROM seq_$p s
+        LEFT JOIN keep_$r k ON s.word = k.word AND s.pos = k.pos
+        WHERE NOT EXISTS (SELECT 1 FROM keep_$r x
+          WHERE x.word = s.word AND x.npos = s.pos))"""
+  }
+
+  /** Full ORACLE SQL (DuckDB): base char-level sequence per DISTINCT
+    * word weighted by type frequency (vocabulary-sized, the standard
+    * BPE trick), then [[bpeRounds]] unrolled rounds, then the learned
+    * merge table. DuckDB materializes each CTE once, so the
+    * unrolled-text form is fine there; the Spark side runs the SAME
+    * per-round relational steps as a checkpointed loop instead
+    * ([[bpeTrain]]) because an inlined CTE chain re-evaluates
+    * `seq_{r-1}` twice per round — 2^k recomputation of the base. */
+  private def bpeTrainSql(docsRel: String): String = {
+    val base =
+      s"""wf_t AS (SELECT word, count(*) AS wf FROM (
+            SELECT unnest(${words("lower(text)", DuckD)}) AS word
+            FROM $docsRel)
+          GROUP BY word HAVING length(word) >= 2),
+         pos_t AS (SELECT word, wf,
+            unnest(range(1, length(word) + 1)) AS pos FROM wf_t),
+         seq_0 AS (SELECT word, wf, pos, substr(word, pos, 1) AS tok
+            FROM pos_t)"""
+    val rounds = (1 to bpeRounds).map(bpeRoundCtes).mkString(",\n")
+    val table = (1 to bpeRounds).map(r =>
+      s"""SELECT $r AS merge_rank, wl AS left_tok, wr AS right_tok,
+            concat(wl, wr) AS merged, CAST(n AS BIGINT) AS n
+          FROM win_$r""").mkString("\nUNION ALL\n")
+    s"""WITH $base,
+        $rounds,
+        merges AS ($table)
+        SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_tok,
+          right_tok, merged, n
+        FROM merges ORDER BY merge_rank"""
+  }
+
+  /** One merge round over `seq(word, wf, pos, tok)` — the DataFrame
+    * form of [[bpeRoundCtes]], expression-for-expression. Returns the
+    * merged sequence (checkpointed by the caller) and the one-row
+    * winner relation. */
+  private def bpeRound(seq: DataFrame): (DataFrame, DataFrame) = {
+    val adj = seq.selectExpr("word", "wf", "pos", "tok",
+      "lead(pos) OVER (PARTITION BY word ORDER BY pos) AS npos",
+      "lead(tok) OVER (PARTITION BY word ORDER BY pos) AS ntok")
+    val win = adj.filter("ntok IS NOT NULL")
+      .groupBy("tok", "ntok").agg(sum("wf").as("n"))
+      .orderBy(desc("n"), asc("tok"), asc("ntok")).limit(1)
+      .selectExpr("tok AS wl", "ntok AS wr", "n")
+    val cand = adj.join(broadcast(win),
+        col("tok") === col("wl") && col("ntok") === col("wr"))
+      .select("word", "wf", "pos", "tok", "npos", "ntok")
+    val keep = cand
+      .selectExpr("*",
+        "CASE WHEN lag(npos) OVER (PARTITION BY word ORDER BY pos) = pos " +
+          "THEN 0 ELSE 1 END AS brk")
+      .selectExpr("*",
+        "sum(brk) OVER (PARTITION BY word ORDER BY pos " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island")
+      .selectExpr("*",
+        "row_number() OVER (PARTITION BY word, island ORDER BY pos) AS rn")
+      .filter("rn % 2 = 1")
+    val heads = keep.selectExpr("word AS hw", "pos AS hp", "ntok AS hn")
+    val partners = keep.selectExpr("word AS pw", "npos AS pp")
+    val next = seq
+      .join(partners, col("word") === col("pw") && col("pos") === col("pp"),
+        "left_anti")
+      .join(heads, col("word") === col("hw") && col("pos") === col("hp"),
+        "left_outer")
+      .selectExpr("word", "wf", "pos",
+        "CASE WHEN hp IS NOT NULL THEN concat(tok, hn) ELSE tok END AS tok")
+    (next, win)
+  }
+
+  /** BPE tokenizer TRAINING as a distributed relational computation:
+    * [[bpeRounds]] greedy merges with exact reference semantics —
+    * overlapping pair counts, frequency-weighted over word TYPES, and
+    * leftmost-first merging inside runs (the "aaaa" case) via
+    * gaps-and-islands — each round two window passes and two
+    * vocabulary-sized joins, `localCheckpoint` bounding the plan like
+    * the PageRank loop (without it the lineage re-derives the base
+    * 2^k times). Nothing touches the corpus after the initial
+    * word-frequency aggregate: tokenizer-training state is the
+    * VOCABULARY, not the corpus — why this is cheap even at 100 TB.
+    * The output is the trained artifact itself, the ordered merge
+    * table; the DuckDB oracle runs the same relational steps as one
+    * unrolled CTE chain. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(explode(expr(words("lower(text)", SparkD))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+      .selectExpr("word", "wf", "explode(sequence(1, length(word))) AS pos")
+      .selectExpr("word", "wf", "pos", "substr(word, pos, 1) AS tok")
+    var seq = base.localCheckpoint()
+    val wins = (1 to bpeRounds).map { r =>
+      val (next, win) = bpeRound(seq)
+      seq = next.localCheckpoint()
+      win.selectExpr(s"CAST($r AS INTEGER) AS merge_rank",
+        "wl AS left_tok", "wr AS right_tok",
+        "concat(wl, wr) AS merged", "CAST(n AS BIGINT) AS n")
+        .localCheckpoint() // pin the winner BEFORE the next round mutates lineage
+    }
+    wins.reduce(_.unionByName(_)).orderBy("merge_rank")
+  }
+
+  val bpeTrainOracle: String = bpeTrainSql("documents")
+
   val bigramScoreOracle: String = {
     val d = DuckD
     s"""WITH bigrams AS (

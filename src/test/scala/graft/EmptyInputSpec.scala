@@ -87,6 +87,7 @@ class EmptyInputSpec extends SparkSpec {
       // round-6 operators
       "text_bigram_lm" -> (graft.llm.LanguageModel.bigramScore _),
       "text_bpe_merge_step" -> (graft.llm.LanguageModel.bpeMergeStep _),
+      "text_bpe_train" -> (graft.llm.LanguageModel.bpeTrain _),
       "text_posting_lists" -> (graft.llm.LanguageModel.postingLists _),
       "corpus_weighted_sample" -> (Curation.weightedSample _),
       "doc_cdc_chunks" -> (graft.llm.Chunking.cdcChunks _),

@@ -145,6 +145,41 @@ class SpansSpec extends SparkSpec {
     assert(oneShot.map(_._1).distinct.length == delta.length)
   }
 
+  test("intervals and coverage agree exactly on the real fixture") {
+    // cross-operator invariant: the maximal intervals are a partition
+    // of the covered positions, so per doc they must be sorted,
+    // pairwise non-adjacent (adjacency would have merged), each at
+    // least one window long, and sum exactly to the coverage query's
+    // dup_tokens — on the full fixture corpus, not a planted toy.
+    val ivals = Spans.dupSpanIntervals(spark, sfTiny)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Int, Int, Int)].collect()
+    val cov = Spans.dupSpanCoverage(spark, sfTiny)
+      .select("doc_id", "n_tokens", "dup_tokens")
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(ivals.nonEmpty, "fixture corpus must contain duplicated spans")
+    ivals.groupBy(_._1).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._2)
+      sorted.foreach { case (_, s, e, n) =>
+        assert(s >= 1 && e >= s && n == e - s + 1 && n >= 20, s"doc $doc span ($s,$e)")
+        assert(e <= cov(doc)._1, s"doc $doc span end $e beyond n_tokens")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, s"doc $doc intervals adjacent/overlapping")
+        case _ =>
+      }
+      assert(sorted.map(_._4.toLong).sum == cov(doc)._2,
+        s"doc $doc interval sum != coverage dup_tokens")
+    }
+    // docs without intervals must carry zero coverage
+    val docsWithSpans = ivals.map(_._1).toSet
+    cov.foreach { case (doc, (_, dup)) =>
+      if (!docsWithSpans.contains(doc)) assert(dup == 0L, s"doc $doc")
+    }
+  }
+
   test("coverage saturates at 1.0 for a fully-duplicated document") {
     val dir = java.nio.file.Files.createTempDirectory("graft_spans2").toString
     val t = filler("dup", 25)
