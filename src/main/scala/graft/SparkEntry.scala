@@ -305,6 +305,7 @@ object SparkEntry {
     "dedup_incremental_spans" -> ((s, d) => graft.llm.Spans.incrementalSpans(s, d)),
     "text_bpe_merge_step" -> ((s, d) => graft.llm.LanguageModel.bpeMergeStep(s, d)),
     "text_bpe_train" -> ((s, d) => graft.llm.LanguageModel.bpeTrain(s, d)),
+    "text_bpe_encode" -> ((s, d) => graft.llm.LanguageModel.bpeEncode(s, d)),
     "multimodal_ahash" -> ((s, d) => Multimodal.pixelAhash(s, d)),
     "text_posting_lists" -> ((s, d) => graft.llm.LanguageModel.postingLists(s, d)),
     "text_bm25_topk" -> ((s, d) => graft.llm.LanguageModel.bm25TopK(s, d)),
@@ -539,6 +540,7 @@ object SparkEntry {
          FROM curated_revenue_by_category ORDER BY category"""),
     "text_bpe_merge_step" -> graft.llm.LanguageModel.bpeMergeStepOracle,
     "text_bpe_train" -> graft.llm.LanguageModel.bpeTrainOracle,
+    "text_bpe_encode" -> graft.llm.LanguageModel.bpeEncodeOracle,
     "multimodal_ahash" -> Multimodal.pixelAhashOracle,
     "text_posting_lists" -> graft.llm.LanguageModel.postingListsOracle,
     "text_bm25_topk" -> graft.llm.LanguageModel.bm25TopKOracle,

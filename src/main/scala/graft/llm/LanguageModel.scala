@@ -319,7 +319,9 @@ object LanguageModel {
     * per-round relational steps as a checkpointed loop instead
     * ([[bpeTrain]]) because an inlined CTE chain re-evaluates
     * `seq_{r-1}` twice per round — 2^k recomputation of the base. */
-  private def bpeTrainSql(docsRel: String): String = {
+  /** Base + all round CTEs (no final SELECT) — shared by the trainer
+    * and encoder oracles. */
+  private def bpeCtes(docsRel: String): String = {
     val base =
       s"""wf_t AS (SELECT word, count(*) AS wf FROM (
             SELECT unnest(${words("lower(text)", DuckD)}) AS word
@@ -330,12 +332,15 @@ object LanguageModel {
          seq_0 AS (SELECT word, wf, pos, substr(word, pos, 1) AS tok
             FROM pos_t)"""
     val rounds = (1 to bpeRounds).map(bpeRoundCtes).mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
+  private def bpeTrainSql(docsRel: String): String = {
     val table = (1 to bpeRounds).map(r =>
       s"""SELECT $r AS merge_rank, wl AS left_tok, wr AS right_tok,
             concat(wl, wr) AS merged, CAST(n AS BIGINT) AS n
           FROM win_$r""").mkString("\nUNION ALL\n")
-    s"""WITH $base,
-        $rounds,
+    s"""WITH ${bpeCtes(docsRel)},
         merges AS ($table)
         SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_tok,
           right_tok, merged, n
@@ -392,7 +397,11 @@ object LanguageModel {
     * The output is the trained artifact itself, the ordered merge
     * table; the DuckDB oracle runs the same relational steps as one
     * unrolled CTE chain. */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** Run the training rounds; returns (per-round winner tables, final
+    * per-word-type token sequence). The final sequence IS the encoded
+    * form of every word type — [[bpeEncode]] reuses it. */
+  private def bpeTrainRounds(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
     val base = Tables.documents(spark, dir)
       .select(explode(expr(words("lower(text)", SparkD))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wf"))
@@ -408,10 +417,61 @@ object LanguageModel {
         "concat(wl, wr) AS merged", "CAST(n AS BIGINT) AS n")
         .localCheckpoint() // pin the winner BEFORE the next round mutates lineage
     }
-    wins.reduce(_.unionByName(_)).orderBy("merge_rank")
+    (wins, seq)
   }
 
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainRounds(spark, dir)._1.reduce(_.unionByName(_))
+      .orderBy("merge_rank")
+
   val bpeTrainOracle: String = bpeTrainSql("documents")
+
+  /** APPLY the trained tokenizer — per-document token count and
+    * compression under the [[bpeRounds]]-merge vocabulary. Encoding
+    * happens on word TYPES (the final training sequence already IS
+    * each type's encoded form — vocabulary-sized state again), then
+    * one equi-join scores every corpus word occurrence; a document's
+    * token count is an exact integer sum. Single-char words never
+    * entered training (length ≥ 2 filter) and encode as one token —
+    * the coalesce. Compression = alphabetic chars per token, THE
+    * number a tokenizer is judged by, here per doc so quality
+    * filtering can use it (pathological text compresses badly). */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val typeToks = bpeTrainRounds(spark, dir)._2
+      .groupBy("word").agg(count(lit(1)).as("n_toks"))
+      .selectExpr("word AS tw", "n_toks")
+    val docWords = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        s"explode(${words("lower(text)", SparkD)}) AS word")
+    docWords
+      .join(typeToks, col("word") === col("tw"), "left_outer")
+      .selectExpr("doc_id", "CAST(length(word) AS BIGINT) AS wlen",
+        "CAST(coalesce(n_toks, 1) AS BIGINT) AS wtoks")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("wlen")).as("n_chars_alpha"),
+        sum(col("wtoks")).as("n_tokens"))
+      .selectExpr("doc_id", "n_words", "n_chars_alpha", "n_tokens",
+        "CAST(n_chars_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token")
+      .orderBy("doc_id")
+  }
+
+  val bpeEncodeOracle: String = {
+    s"""WITH ${bpeCtes("documents")},
+        enc AS (SELECT word, count(*) AS n_toks FROM seq_$bpeRounds
+          GROUP BY word),
+        dw AS (SELECT doc_id, unnest(${words("lower(text)", DuckD)}) AS word
+          FROM documents),
+        scored AS (SELECT dw.doc_id,
+            CAST(length(dw.word) AS BIGINT) AS wlen,
+            CAST(coalesce(enc.n_toks, 1) AS BIGINT) AS wtoks
+          FROM dw LEFT JOIN enc ON dw.word = enc.word)
+        SELECT doc_id, count(*) AS n_words,
+          CAST(sum(wlen) AS BIGINT) AS n_chars_alpha,
+          CAST(sum(wtoks) AS BIGINT) AS n_tokens,
+          CAST(sum(wlen) AS DOUBLE) / CAST(sum(wtoks) AS DOUBLE)
+            AS chars_per_token
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""
+  }
 
   val bigramScoreOracle: String = {
     val d = DuckD

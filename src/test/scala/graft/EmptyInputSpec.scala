@@ -88,6 +88,7 @@ class EmptyInputSpec extends SparkSpec {
       "text_bigram_lm" -> (graft.llm.LanguageModel.bigramScore _),
       "text_bpe_merge_step" -> (graft.llm.LanguageModel.bpeMergeStep _),
       "text_bpe_train" -> (graft.llm.LanguageModel.bpeTrain _),
+      "text_bpe_encode" -> (graft.llm.LanguageModel.bpeEncode _),
       "text_posting_lists" -> (graft.llm.LanguageModel.postingLists _),
       "corpus_weighted_sample" -> (Curation.weightedSample _),
       "doc_cdc_chunks" -> (graft.llm.Chunking.cdcChunks _),
