@@ -123,6 +123,8 @@ object SparkEntry {
     "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
     "text_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
     "text_normalized" -> ((s, d) => TextAnalysis.normalized(s, d)),
+    "text_hashed_classifier" -> ((s, d) => TextAnalysis.hashedClassifier(s, d)),
+    "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
     "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -171,6 +173,9 @@ object SparkEntry {
     "ann_pq_adc_topk" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "ann_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "dedup_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
+    "embedding_label_outliers" -> ((s, d) => Similarity.labelOutliers(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "multimodal_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, d)),
@@ -358,6 +363,8 @@ object SparkEntry {
     "text_top_terms" -> TextAnalysis.topTermsOracle,
     "text_pii_scan" -> TextAnalysis.piiScanOracle,
     "text_normalized" -> TextAnalysis.normalizedOracle,
+    "text_hashed_classifier" -> TextAnalysis.hashedClassifierOracle,
+    "text_collocations" -> TextAnalysis.collocationsOracle,
     "text_vocabulary" -> TextAnalysis.vocabularyOracle,
     "text_contamination" -> TextAnalysis.contaminationOracle,
     "dedup_edit_distance" -> Dedup.editDistancePairsOracle,
@@ -406,6 +413,9 @@ object SparkEntry {
     "ann_pq_adc_topk" -> Similarity.pqAdcTopKOracle,
     "ann_pq_recall" -> Similarity.pqRecallOracle,
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle,
+    "ann_knn_graph" -> Similarity.knnGraphOracle,
+    "dedup_semantic_clusters" -> Similarity.semanticClustersOracle,
+    "embedding_label_outliers" -> Similarity.labelOutliersOracle,
     "table_profile" -> graft.ops.Profile.tableProfileOracle,
     "lineitem_moment_corr" -> graft.ops.Profile.momentCorrOracle,
     "lineitem_spearman" -> graft.ops.Profile.spearmanCorrOracle,

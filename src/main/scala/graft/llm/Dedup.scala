@@ -459,15 +459,25 @@ object Dedup {
     * convergence test stays sound, and the jump compresses path length
     * geometrically: round k bounds label distance by ~2^k edges. */
   private[graft] def propagateLabels(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+    // Lineage is truncated per round with an EAGER localCheckpoint, not
+    // persist(): persist leaves the logical plan intact and relies on
+    // CacheManager plan-matching to substitute the materialized blocks —
+    // and when that match misses (observed on the mutual-kNN edge
+    // relation: window-over-self-join upstream), every round silently
+    // re-executes all prior rounds, a geometric blowup that only
+    // surfaces once a graph needs >3 rounds (long chains). Checkpointing
+    // makes each round O(edges) by construction — the same bounding the
+    // PageRank loop uses — at the cost of one extra job per round, which
+    // the round's checksum action was already paying. On a cluster this
+    // would be reliable checkpoint() to storage.
     val edges = pairs.toDF("doc_a", "doc_b")
       .union(pairs.toDF("doc_a", "doc_b").select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Convergence via a monotone checksum: labels only ever decrease,
     // so sum(cluster_id) (exact DECIMAL(38,0) — no overflow at any
     // corpus size) is strictly decreasing until the fixpoint. One
@@ -478,8 +488,12 @@ object Dedup {
         .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var converged = false
     var rounds = 0
+    val t0 = System.nanoTime()
     var prevSum = checksum(labels)
+    if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      println(s"dedupClusters init checksum took ${(System.nanoTime() - t0) / 1000000} ms")
     while (!converged && rounds < maxRounds) {
+      val tr = System.nanoTime()
       val propagated = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("cluster_id"))
@@ -494,37 +508,27 @@ object Dedup {
         .join(jump, hopped("cluster_id") === jump("j_id"), "left")
         .select(hopped("doc_id"),
           coalesce(col("j_cluster"), hopped("cluster_id")).as("cluster_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val nextSum = checksum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist(blocking = false)
       labels = next
       rounds += 1
       if (sys.env.contains("SPARK_GRAFT_DEBUG"))
-        println(s"dedupClusters round=$rounds checksum=$prevSum converged=$converged")
+        println(s"dedupClusters round=$rounds checksum=$prevSum converged=$converged " +
+          s"took ${(System.nanoTime() - tr) / 1000000} ms")
     }
-    edges.unpersist(blocking = false)
     if (!converged) {
-      labels.unpersist(blocking = false)
       throw new IllegalStateException(
         s"dedupClusters: label propagation did not reach a fixpoint in " +
           s"$maxRounds rounds — component diameter exceeds ~2^$maxRounds; " +
           "raise maxRounds rather than trusting a non-fixpoint labeling")
     }
-    // Truncate lineage before handing the labels to consumers: each
-    // round nests two joins into the logical plan, and downstream
-    // queries (cluster listing, corpus anti-joins) would re-optimize
-    // that whole tree on every use — measured ~6 s of pure driver-side
-    // planning per consumer at sf0.1. The rounds are already
-    // materialized (checksum per round), so checkpointing the small
-    // final label table costs one cheap job and leaves consumers a
-    // leaf-relation plan — the standard companion to iterative
-    // propagation (GraphX checkpoints the same way; on a cluster this
-    // would be reliable checkpoint() to storage).
-    val result = labels.localCheckpoint(true)
-    labels.unpersist(blocking = false)
-    result
+    // Each round's labels are already an eager localCheckpoint, so the
+    // final table IS a leaf relation — consumers (cluster listing,
+    // corpus anti-joins) plan against it directly with no per-consumer
+    // re-optimization of the round tree.
+    labels
   }
 
   /** Shared oracle CTE chain up to the transitive closure `reach` (the

@@ -786,4 +786,169 @@ object Similarity {
         $ivfPqCtes
         SELECT query_id, vec_id, cell, rank, adist FROM ivfpq_adc
         WHERE rank <= $topK ORDER BY query_id, rank"""
+
+  // ---- corpus-wide kNN graph + semantic clusters ----
+
+  private val knnK = 3
+  private val semanticTau = 0.3
+
+  /** kNN graph over the WHOLE corpus (not just the 5 query vectors):
+    * every vector's `knnK` nearest in-cell neighbors by cosine. The
+    * graph is the substrate for semantic dedup, diversity selection
+    * and label propagation. Candidate generation is the IVF cell
+    * equi-join — per-cell self-joins bound work at occupancy² per
+    * cell, so with the centroid count grown ~√n (the standard IVF
+    * sizing) the total stays ~n·occupancy instead of n². Nothing is
+    * broadcast here: both sides are the same cell-partitioned
+    * relation, so Spark shuffles on cell once and joins co-located —
+    * the shape that survives any corpus size.
+    *
+    * Cf. reference behavior scope: the reference has no vector tier;
+    * this extends the engine's LLM-curation surface
+    * (SURVEY.md §training-data ops). */
+  private def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "ann_knn_edges", dir) {
+      val a = ivfAssigned(spark, dir).select("vec_id", "v", "nrm", "cell")
+      val b = a.selectExpr(
+        "vec_id AS nbr_id", "v AS nv", "nrm AS nnrm", "cell")
+      val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+      a.join(b, Seq("cell"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .selectExpr("vec_id", "nbr_id", "cell",
+          s"${cosineWithNorms("v", "nv", "nrm", "nnrm", SparkD)} AS cosine")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= knnK)
+        .select("vec_id", "nbr_id", "cell", "rank", "cosine")
+    }
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnEdges(spark, dir).orderBy("vec_id", "rank")
+
+  /** CTE chain ending in `knn(vec_id, nbr_id, cell, rank, cosine)` —
+    * requires `assigned` (ivfCte) upstream. */
+  private def knnCtes: String =
+    s"""knn_scored AS (SELECT a.vec_id, b.vec_id AS nbr_id, a.cell,
+          ${cosineWithNorms("a.v", "b.v", "a.nrm", "b.nrm", DuckD)} AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        knn AS (SELECT vec_id, nbr_id, cell, rank, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cosine DESC, nbr_id) AS rank FROM knn_scored)
+          WHERE rank <= $knnK)"""
+
+  val knnGraphOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        $knnCtes
+        SELECT vec_id, nbr_id, cell, rank, cosine FROM knn
+        ORDER BY vec_id, rank"""
+
+  /** Semantic near-dup clusters: connected components over MUTUAL-kNN
+    * edges above cosine `semanticTau`. Mutual-kNN (a lists b AND b
+    * lists a) is the standard sparsifier for embedding-space
+    * clustering — an asymmetric hub vector can appear in thousands of
+    * kNN lists, but it reciprocates at most `knnK` of them, so the
+    * edge set is ≤ k·n/2 by construction and components stay tight.
+    * Components come from the same min-label propagation
+    * (pointer-jumping, checksum-converged) as the MinHash cluster
+    * tier — one propagation engine serving both the lexical and the
+    * semantic dedup signals. Every vector is emitted: singletons
+    * label themselves, `is_clustered` distinguishes them. */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val fwd = knnEdges(spark, dir).select("vec_id", "nbr_id", "cosine")
+    val mutual = fwd.as("x").join(fwd.as("y"),
+        col("x.vec_id") === col("y.nbr_id")
+          && col("x.nbr_id") === col("y.vec_id")
+          && col("x.vec_id") < col("x.nbr_id"))
+      .filter(col("x.cosine") >= semanticTau)
+      .select(col("x.vec_id").as("doc_a"), col("x.nbr_id").as("doc_b"))
+    val labels = Dedup.propagateLabels(mutual)
+      .withColumnRenamed("doc_id", "vec_id")
+    vecs(spark, dir).select("vec_id", "label")
+      .join(labels, Seq("vec_id"), "left")
+      .selectExpr("vec_id", "label",
+        "coalesce(cluster_id, vec_id) AS cluster_id",
+        "CAST(cluster_id IS NOT NULL AS INTEGER) AS is_clustered")
+      .orderBy("vec_id")
+  }
+
+  val semanticClustersOracle: String =
+    s"""WITH RECURSIVE ${ivfCte(DuckD)},
+        $knnCtes,
+        mutual AS (SELECT x.vec_id AS doc_a, x.nbr_id AS doc_b
+          FROM knn x JOIN knn y
+            ON x.vec_id = y.nbr_id AND x.nbr_id = y.vec_id
+          WHERE x.vec_id < x.nbr_id AND x.cosine >= $semanticTau),
+        sedges AS (SELECT doc_a AS src, doc_b AS dst FROM mutual
+          UNION ALL SELECT doc_b, doc_a FROM mutual),
+        sreach(src, dst) AS (
+          SELECT src, dst FROM sedges
+          UNION
+          SELECT r.src, e2.dst FROM sreach r JOIN sedges e2 ON r.dst = e2.src),
+        slbl AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+          FROM sreach GROUP BY src)
+        SELECT e.vec_id, e.label,
+          coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+          CAST(l.cluster_id IS NOT NULL AS INTEGER) AS is_clustered
+        FROM e LEFT JOIN slbl l ON e.vec_id = l.vec_id
+        ORDER BY e.vec_id"""
+
+  // ---- embedding-space outliers ----
+
+  private val outlierK = 5
+
+  /** Embedding-space outlier scoring — the curation signal that flags
+    * mislabeled / off-distribution documents before training: each
+    * label's centroid (exact per-dim quantized-BIGINT mean, the same
+    * order-independent construction as [[ivfKmeansStep]]), then every
+    * vector's squared L2 distance to its OWN label's centroid, ranked
+    * within the label. Plan shape: one posexplode → (label, dim) hash
+    * agg (map-side combined; labels × 64 dims rows) → centroid
+    * reassembly → broadcast back against the corpus scan → per-label
+    * rank window. The centroid relation is labels-sized — broadcast at
+    * any corpus scale — and the distance is one codegen'd 64-term
+    * expression per row, so the operator is scan-bound at 100 TB. */
+  def labelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr("CAST(round(x * 10000000) AS BIGINT)")).as("qs"))
+      .selectExpr("label", "dim",
+        "qs / CAST(10000000 AS DOUBLE) / n_members AS mean_x")
+      .groupBy("label")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(dim, mean_x))), s -> s.mean_x)")
+        .as("cv"))
+    val w = Window.partitionBy("label").orderBy(desc("dist2"), asc("vec_id"))
+    e.join(broadcast(cent), Seq("label"))
+      .selectExpr("vec_id", "label",
+        s"${l2sqRange("v", "cv", 0, embeddingDims, SparkD)} AS dist2")
+      .withColumn("dist_rank", row_number().over(w))
+      .withColumn("is_outlier",
+        expr(s"CASE WHEN dist_rank <= $outlierK THEN 1 ELSE 0 END"))
+      .select("vec_id", "label", "dist2", "dist_rank", "is_outlier")
+      .orderBy("vec_id")
+  }
+
+  val labelOutliersOracle: String =
+    s"""WITH ${vecsCte(DuckD)},
+        cent_u AS (SELECT e.label, d.dim, count(*) AS n_members,
+            sum(CAST(round(e.v[d.dim + 1] * 10000000) AS BIGINT)) AS qs
+          FROM e CROSS JOIN range(0, $embeddingDims) d(dim)
+          GROUP BY e.label, d.dim),
+        cent_m AS (SELECT label, dim,
+            qs / CAST(10000000 AS DOUBLE) / n_members AS mean_x
+          FROM cent_u),
+        cent AS (SELECT label, list(mean_x ORDER BY dim) AS cv
+          FROM cent_m GROUP BY label),
+        scored AS (SELECT e.vec_id, e.label,
+            ${l2sqRange("e.v", "c.cv", 0, embeddingDims, DuckD)} AS dist2
+          FROM e JOIN cent c ON e.label = c.label),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY label
+            ORDER BY dist2 DESC, vec_id) AS dist_rank
+          FROM scored)
+        SELECT vec_id, label, dist2, dist_rank,
+          CASE WHEN dist_rank <= $outlierK THEN 1 ELSE 0 END AS is_outlier
+        FROM ranked ORDER BY vec_id"""
 }

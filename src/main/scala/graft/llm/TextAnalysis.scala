@@ -767,4 +767,144 @@ object TextAnalysis {
          CAST(length(norm_text) AS INTEGER) AS n_chars_norm,
          CASE WHEN norm_text = text THEN 0 ELSE 1 END AS changed
        FROM n_t ORDER BY doc_id"""
+
+  // ---- hashed linear classifier inference ----
+
+  private val clsBuckets = 4096
+
+  /** Per-token hashed-feature weight array: token → md5 → 32-bit
+    * bucket → signed integer weight. The weight table is a
+    * deterministic surrogate (a multiplicative scramble of the bucket
+    * id into [-500, 500]) standing in for trained coefficients — the
+    * container has no model artifacts, and what this operator pins is
+    * the SERVING shape: hash → weight lookup → sum. With a real model
+    * the weight expression becomes an equi-join (or broadcast map)
+    * against a 2^b-row coefficient relation; everything else is
+    * unchanged. */
+  private def clsWeightArr(d: Dialect): String = {
+    val md5s = d match {
+      case SparkD => s"transform(wv, w -> md5(w))"
+      case DuckD  => s"list_transform(wv, w -> md5(w))"
+    }
+    val bucket = s"${hexPrefix32("h")} % $clsBuckets"
+    val wexpr = s"CAST(($bucket) * 2654435761 % 1001 - 500 AS BIGINT)"
+    d match {
+      case SparkD => s"transform($md5s, h -> $wexpr)"
+      case DuckD  => s"list_transform($md5s, h -> $wexpr)"
+    }
+  }
+
+  private def clsSum(arr: String, d: Dialect): String = d match {
+    case SparkD => s"aggregate($arr, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    case DuckD  => s"list_reduce(list_prepend(CAST(0 AS BIGINT), $arr), " +
+      "(acc, x) -> acc + x)"
+  }
+
+  /** Linear text-classifier INFERENCE at corpus scale (the
+    * fastText-style quality/toxicity filter shape): every token hashes
+    * into one of 2^12 feature buckets, each bucket carries a signed
+    * weight, the document score is the exact BIGINT sum of its tokens'
+    * weights (tf-weighted because occurrences sum), and the verdict is
+    * the score's sign. The whole operator is a per-row codegen'd
+    * projection — ZERO shuffles, no UDF, embarrassingly parallel at
+    * any corpus size; model scoring rides the scan. Integer weights
+    * keep the score order-independent and hash-exact cross-engine
+    * (float dot products would be association-ordered). */
+  def hashedClassifier(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        s"${let1(words("lower(text)", SparkD), "wv",
+          s"named_struct('n', size(wv), 's', ${clsSum(clsWeightArr(SparkD), SparkD)})")} AS r")
+      .selectExpr("doc_id",
+        "CAST(r.n AS INTEGER) AS n_feats",
+        "r.s AS score",
+        "CASE WHEN r.s >= 0 THEN 1 ELSE 0 END AS keep_flag")
+      .orderBy("doc_id")
+
+  val hashedClassifierOracle: String =
+    s"""WITH w_t AS (SELECT doc_id, ${words("lower(text)", DuckD)} AS wv
+                     FROM documents),
+        s_t AS (SELECT doc_id, len(wv) AS n,
+                  ${clsSum(clsWeightArr(DuckD), DuckD)} AS s
+                FROM w_t)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_feats, s AS score,
+          CASE WHEN s >= 0 THEN 1 ELSE 0 END AS keep_flag
+        FROM s_t ORDER BY doc_id"""
+
+  // ---- PMI collocations ----
+
+  private val collocK = 30
+  private val collocMinCount = 5
+
+  /** Corpus-level collocation mining: adjacent token bigrams ranked by
+    * lift = p(ab) / (p(a)·p(b)) — exp(PMI), the same total order as
+    * PMI for a fixed corpus, computed WITHOUT ln() (libm rounding
+    * differs across engines; one IEEE multiply-divide tree is
+    * correctly rounded on both). All four counts ride two map-side-
+    * combined hash aggregations (unigram occurrences; adjacent pairs),
+    * the totals are 1-row broadcast relations, and products are taken
+    * in DOUBLE because at real corpus scale n_a·n_b overflows BIGINT
+    * (~3e9² ≫ 2^63) — the same wrap-vs-promote hazard
+    * [[graft.sql.Analytics]] hit in association-rule lift. Min pair
+    * count [[collocMinCount]] is the standard PMI noise floor (rare
+    * pairs otherwise dominate the ranking). */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(expr(words("lower(text)", SparkD))).as("term"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("n_term"))
+    val pairs = docs.selectExpr(
+        s"${let1(words("lower(text)", SparkD), "wv",
+          "CASE WHEN size(wv) >= 2 THEN transform(sequence(0, size(wv) - 2), " +
+            "i -> named_struct('ta', wv[i], 'tb', wv[i + 1])) " +
+            "ELSE array() END")} AS bg")
+      .select(explode(col("bg")).as("p"))
+      .select(col("p.ta").as("term_a"), col("p.tb").as("term_b"))
+    val big = pairs.groupBy("term_a", "term_b").agg(count(lit(1)).as("n_pair"))
+    val uniTotal = uni.agg(sum("n_term").as("n_term_total"))
+    val pairTotal = big.agg(sum("n_pair").as("n_pair_total"))
+    val liftExpr =
+      "(CAST(n_pair AS DOUBLE) * n_term_total * n_term_total) / " +
+        "(CAST(n_a AS DOUBLE) * n_b * n_pair_total) AS lift"
+    big.filter(col("n_pair") >= collocMinCount)
+      .join(uni.selectExpr("term AS term_a", "n_term AS n_a"), Seq("term_a"))
+      .join(uni.selectExpr("term AS term_b", "n_term AS n_b"), Seq("term_b"))
+      .crossJoin(broadcast(uniTotal))
+      .crossJoin(broadcast(pairTotal))
+      .selectExpr("term_a", "term_b", "n_pair", "n_a", "n_b", liftExpr)
+      .orderBy(desc("lift"), asc("term_a"), asc("term_b"))
+      .limit(collocK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("lift"), asc("term_a"), asc("term_b"))))
+      .select("rank", "term_a", "term_b", "n_pair", "n_a", "n_b", "lift")
+      .orderBy("rank")
+  }
+
+  val collocationsOracle: String =
+    s"""WITH w_t AS (SELECT doc_id, ${words("lower(text)", DuckD)} AS wv
+                     FROM documents),
+        toks AS (SELECT doc_id, unnest(wv) AS term FROM w_t),
+        uni AS (SELECT term, count(*) AS n_term FROM toks GROUP BY term),
+        bg AS (SELECT wv[i] AS term_a, wv[i + 1] AS term_b
+               FROM w_t, unnest(range(1, len(wv))) t(i)
+               WHERE len(wv) >= 2),
+        big AS (SELECT term_a, term_b, count(*) AS n_pair
+                FROM bg GROUP BY term_a, term_b),
+        ut AS (SELECT sum(n_term) AS n_term_total FROM uni),
+        pt AS (SELECT sum(n_pair) AS n_pair_total FROM big),
+        scored AS (SELECT b.term_a, b.term_b, b.n_pair,
+            ua.n_term AS n_a, ub.n_term AS n_b,
+            (CAST(b.n_pair AS DOUBLE) * n_term_total * n_term_total) /
+              (CAST(ua.n_term AS DOUBLE) * ub.n_term * n_pair_total) AS lift
+          FROM big b
+          JOIN uni ua ON b.term_a = ua.term
+          JOIN uni ub ON b.term_b = ub.term
+          CROSS JOIN ut CROSS JOIN pt
+          WHERE b.n_pair >= $collocMinCount),
+        top AS (SELECT * FROM scored
+                ORDER BY lift DESC, term_a, term_b LIMIT $collocK)
+        SELECT row_number() OVER (ORDER BY lift DESC, term_a, term_b) AS rank,
+          term_a, term_b, n_pair, n_a, n_b, lift
+        FROM top ORDER BY rank"""
 }
