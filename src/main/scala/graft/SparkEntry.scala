@@ -127,6 +127,8 @@ object SparkEntry {
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
     "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
+    "text_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
+    "corpus_quality_funnel" -> ((s, d) => Curation.qualityFunnel(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_split" -> ((s, d) => Curation.sampleSplit(s, d)),
     "corpus_curated" -> ((s, d) => Curation.curatedCorpus(s, d)),
@@ -174,6 +176,7 @@ object SparkEntry {
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "ann_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
     "embedding_label_outliers" -> ((s, d) => Similarity.labelOutliers(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
@@ -237,6 +240,8 @@ object SparkEntry {
     "events_last_click_asof" -> ((s, d) => EventsStream.purchaseAttributionAsOf(s, d)),
     "events_type_totals_salted" -> ((s, d) => EventsStream.typeTotalsSalted(s, d)),
     "events_adaptive_salted" -> ((s, d) => graft.ops.Scale.adaptiveSaltedTotals(s, d)),
+    "lineitem_promo_uplift" -> ((s, d) => graft.ops.RangeJoin.promoUplift(s, d)),
+    "dedup_kcore" -> ((s, d) => graft.sql.Graph.docKcore(s, d)),
     "migration_validation" -> ((s, d) => graft.io.IoChecks.migrationValidation(s, d)),
     "events_salted_join" -> ((s, d) => EventsStream.saltedJoinTotals(s, d)),
     "events_props_json" -> ((s, d) => EventsStream.propsJsonMetrics(s, d)),
@@ -367,6 +372,8 @@ object SparkEntry {
     "text_collocations" -> TextAnalysis.collocationsOracle,
     "text_vocabulary" -> TextAnalysis.vocabularyOracle,
     "text_contamination" -> TextAnalysis.contaminationOracle,
+    "text_quality_gate" -> TextAnalysis.qualityGateOracle,
+    "corpus_quality_funnel" -> Curation.qualityFunnelOracle,
     "dedup_edit_distance" -> Dedup.editDistancePairsOracle,
     "corpus_split" -> Curation.sampleSplitOracle,
     "corpus_curated" -> Curation.curatedCorpusOracle,
@@ -414,6 +421,7 @@ object SparkEntry {
     "ann_pq_recall" -> Similarity.pqRecallOracle,
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle,
     "ann_knn_graph" -> Similarity.knnGraphOracle,
+    "ann_incremental_assign" -> Similarity.incrementalAssignOracle,
     "dedup_semantic_clusters" -> Similarity.semanticClustersOracle,
     "embedding_label_outliers" -> Similarity.labelOutliersOracle,
     "table_profile" -> graft.ops.Profile.tableProfileOracle,
@@ -477,6 +485,8 @@ object SparkEntry {
     "events_last_click_asof" -> EventsStream.purchaseAttributionAsOfOracle,
     "events_type_totals_salted" -> EventsStream.typeTotalsSaltedOracle,
     "events_adaptive_salted" -> graft.ops.Scale.adaptiveSaltedTotalsOracle,
+    "lineitem_promo_uplift" -> graft.ops.RangeJoin.promoUpliftOracle,
+    "dedup_kcore" -> graft.sql.Graph.docKcoreOracle,
     "migration_validation" -> graft.io.IoChecks.migrationValidationOracle,
     "events_salted_join" -> EventsStream.saltedJoinTotalsOracle,
     "events_props_json" -> EventsStream.propsJsonMetricsOracle,

@@ -607,4 +607,109 @@ object Curation {
         SELECT *, row_number() OVER (ORDER BY k_pico, doc_id) AS sample_rank
         FROM top ORDER BY sample_rank"""
   }
+
+  // ---- the curation funnel readout ----
+
+  /** Shared first-failing-stage expression — identical SQL text in
+    * both engines. Stage order is the order a pipeline applies the
+    * filters: gate, language, exact dedup, near dedup, decontam. */
+  private val firstFailExpr =
+    "CASE WHEN f1 = 0 THEN 1 WHEN f2 = 0 THEN 2 WHEN f3 = 0 THEN 3 " +
+      "WHEN f4 = 0 THEN 4 WHEN f5 = 0 THEN 5 ELSE 99 END AS first_fail"
+
+  private val funnelStages = Seq(
+    "raw", "quality_gate", "lang_id", "exact_dedup", "near_dedup", "decontam")
+
+  /** One conditional-aggregation row: survivors (docs and tokens) at
+    * every funnel stage in a single pass over the flag relation. */
+  private val funnelAggs: Seq[String] = (0 to 5).flatMap(k => Seq(
+    s"CAST(coalesce(sum(CASE WHEN first_fail > $k THEN 1 ELSE 0 END), 0) AS BIGINT) AS s$k",
+    s"CAST(coalesce(sum(CASE WHEN first_fail > $k THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t$k"))
+
+  /** Corpus-curation FUNNEL: how many documents (and tokens) survive
+    * each successive pipeline filter — quality gate, language-ID
+    * agreement, exact dedup (canonical only), near-dup collapse
+    * (cluster canonical only), and benchmark decontamination (eval
+    * members and contaminated docs removed). This is the accounting
+    * table every training-data run is reported by: where the corpus
+    * is lost, stage by stage.
+    *
+    * Plan shape at 100 TB: the gate counts and language scores fuse
+    * into ONE projection over one corpus scan ([[curatedCorpus]]'s
+    * discipline); exact-dedup canonicality is one fingerprint-keyed
+    * window; the near-dup and contamination flags are left joins
+    * against the (small) loser/contaminated id sets the dedup tier
+    * already produces. The funnel itself is one conditional
+    * aggregation to a SINGLE row, unpivoted to six — no per-stage
+    * rescans, no driver loop. */
+  def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Tables.documents(spark, dir)
+      .selectExpr(TextAnalysis.gateCols(SparkD)
+        ++ TextAnalysis.langScoreCols(SparkD).drop(2)
+        ++ Seq("lang", s"md5(${Dedup.normExpr(SparkD)}) AS fp"): _*)
+      .selectExpr(("*" +: TextAnalysis.gateRules): _*)
+      .selectExpr(("*" +: TextAnalysis.gateVerdict): _*)
+      .selectExpr("*", TextAnalysis.langPredExpr)
+      .selectExpr("doc_id", "n_tokens", "fp", "pass AS f1",
+        "CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS f2")
+    val withExact = perDoc.withColumn("f3",
+      when(min("doc_id").over(Window.partitionBy("fp")) === col("doc_id"), 1)
+        .otherwise(0))
+    val losers = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("is_loser"))
+    val contam = TextAnalysis.contamShared(spark, dir)
+      .select("doc_id").distinct().withColumn("is_contam", lit(1))
+    val flagged = withExact
+      .join(losers, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_tokens", "f1", "f2", "f3",
+        "CASE WHEN is_loser IS NULL THEN 1 ELSE 0 END AS f4",
+        s"CASE WHEN doc_id % ${TextAnalysis.evalMod} = ${TextAnalysis.evalRem} " +
+          "OR is_contam IS NOT NULL THEN 0 ELSE 1 END AS f5")
+      .selectExpr("n_tokens", firstFailExpr)
+    val one = flagged.agg(expr(funnelAggs.head), funnelAggs.tail.map(expr): _*)
+    val stackArgs = (0 to 5).map { k =>
+      s"$k, '${funnelStages(k)}', s$k, t$k, CASE WHEN s0 = 0 " +
+        s"THEN CAST(NULL AS DOUBLE) ELSE s$k / CAST(s0 AS DOUBLE) END"
+    }.mkString(", ")
+    one.selectExpr(
+        s"stack(6, $stackArgs) AS (stage, stage_name, n_docs, n_tokens, doc_share)")
+      .orderBy("stage")
+  }
+
+  val qualityFunnelOracle: String = {
+    val rows = (0 to 5).map { k =>
+      s"""SELECT $k AS stage, '${funnelStages(k)}' AS stage_name,
+          s$k AS n_docs, t$k AS n_tokens,
+          CASE WHEN s0 = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE s$k / CAST(s0 AS DOUBLE) END AS doc_share FROM one"""
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${Dedup.closureCtes},
+        labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                   FROM reach GROUP BY src),
+        ${TextAnalysis.gateCtes},
+        ${TextAnalysis.langCtes},
+        ${TextAnalysis.contamSharedCtes},
+        contam_docs AS (SELECT DISTINCT doc_id FROM contam_shared),
+        fp_t AS (SELECT doc_id, md5(${Dedup.normExpr(DuckD)}) AS fp FROM documents),
+        canon AS (SELECT doc_id, CASE WHEN min(doc_id) OVER (PARTITION BY fp) = doc_id
+                    THEN 1 ELSE 0 END AS f3 FROM fp_t),
+        flags AS (SELECT g.doc_id, g.n_tokens, g.pass AS f1, l.is_match AS f2, c.f3,
+            CASE WHEN lb.doc_id IS NULL THEN 1 ELSE 0 END AS f4,
+            CASE WHEN g.doc_id % ${TextAnalysis.evalMod} = ${TextAnalysis.evalRem}
+                 OR cd.doc_id IS NOT NULL THEN 0 ELSE 1 END AS f5
+          FROM gate g
+          JOIN lang_t l ON g.doc_id = l.doc_id
+          JOIN canon c ON g.doc_id = c.doc_id
+          LEFT JOIN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id) lb
+            ON g.doc_id = lb.doc_id
+          LEFT JOIN contam_docs cd ON g.doc_id = cd.doc_id),
+        ff AS (SELECT n_tokens, $firstFailExpr FROM flags),
+        one AS (SELECT ${funnelAggs.mkString(", ")} FROM ff)
+        SELECT * FROM ($rows) ORDER BY stage"""
+  }
 }
+

@@ -49,7 +49,7 @@ object Dedup {
 
   // ---- exact dedup over normalized-text fingerprint ----
 
-  private def normExpr(d: Dialect): String = d match {
+  private[llm] def normExpr(d: Dialect): String = d match {
     case SparkD => "lower(regexp_replace(text, '\\\\s+', ' '))"
     case DuckD  => "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
   }
@@ -534,7 +534,7 @@ object Dedup {
   /** Shared oracle CTE chain up to the transitive closure `reach` (the
     * minhashPairs chain re-yielding pair columns, then the recursive
     * reachability set). */
-  private[llm] def closureCtes: String = {
+  private[graft] def closureCtes: String = {
     val agree = (0 until nSigs)
       .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END").mkString(" + ")
     s"""${minhashCtes(DuckD)},

@@ -951,4 +951,63 @@ object Similarity {
         SELECT vec_id, label, dist2, dist_rank,
           CASE WHEN dist_rank <= $outlierK THEN 1 ELSE 0 END AS is_outlier
         FROM ranked ORDER BY vec_id"""
+
+  // ---- incremental index maintenance ----
+
+  private val batchMod = 10
+  private val batchRem = 9
+
+  /** Incremental IVF index maintenance — the production "append a
+    * batch to a built index" path. Batch membership follows the
+    * [[Dedup.incrementalDedup]] convention (vec_id % 10 == 9); the
+    * coarse quantizer is FROZEN (centroids are vec_id % 100 == 0,
+    * which is never ≡ 9 mod 10, so they all predate the batch —
+    * exactly how a deployed IVF index behaves: appends are assigned
+    * under the existing centroids, and the quantizer is only
+    * retrained offline). Output is the per-cell maintenance readout:
+    * prior occupancy, appended count, new occupancy, and the batch's
+    * summed centroid-cosine (nano-quantized to a BIGINT so the sum is
+    * order-independent) — the number that says WHERE the index grew
+    * and whether the new vectors actually fit their cells (a falling
+    * mean assign-cosine is the retrain-the-quantizer signal).
+    *
+    * Scale shape: both halves reuse the session-cached full
+    * assignment ([[ivfAssigned]] — per-vector choices are independent,
+    * so assigning the batch under frozen centroids IS the cached
+    * assignment restricted to batch rows); the readout is two
+    * map-side-combinable aggs on cell id plus a cell-keyed outer join
+    * of two centroid-count-sized relations. Nothing rescans the base
+    * corpus vectors at append time. */
+  def incrementalAssign(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(spark, dir)
+    val old = assigned.filter(col("vec_id") % batchMod =!= batchRem)
+      .groupBy("cell").agg(count(lit(1)).as("old_n"))
+    val add = assigned.filter(col("vec_id") % batchMod === batchRem)
+      .groupBy("cell").agg(count(lit(1)).as("n_added"),
+        sum(expr("CAST(round(ccos * 1000000000) AS BIGINT)")).as("sum_ccos_nano"))
+    old.join(add, Seq("cell"), "full_outer")
+      .selectExpr("cell",
+        "CAST(coalesce(old_n, 0) AS BIGINT) AS old_n",
+        "CAST(coalesce(n_added, 0) AS BIGINT) AS n_added",
+        "CAST(coalesce(old_n, 0) + coalesce(n_added, 0) AS BIGINT) AS new_n",
+        "CAST(coalesce(sum_ccos_nano, 0) AS BIGINT) AS sum_ccos_nano")
+      .orderBy("cell")
+  }
+
+  val incrementalAssignOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        old_t AS (SELECT cell, count(*) AS old_n FROM assigned
+                  WHERE vec_id % $batchMod <> $batchRem GROUP BY cell),
+        add_t AS (SELECT cell, count(*) AS n_added,
+                    sum(CAST(round(ccos * 1000000000) AS BIGINT)) AS sum_ccos_nano
+                  FROM assigned
+                  WHERE vec_id % $batchMod = $batchRem GROUP BY cell)
+        SELECT coalesce(o.cell, a.cell) AS cell,
+          CAST(coalesce(o.old_n, 0) AS BIGINT) AS old_n,
+          CAST(coalesce(a.n_added, 0) AS BIGINT) AS n_added,
+          CAST(coalesce(o.old_n, 0) + coalesce(a.n_added, 0) AS BIGINT) AS new_n,
+          CAST(coalesce(a.sum_ccos_nano, 0) AS BIGINT) AS sum_ccos_nano
+        FROM old_t o FULL OUTER JOIN add_t a ON o.cell = a.cell
+        ORDER BY cell"""
 }
+

@@ -431,9 +431,9 @@ object TextAnalysis {
 
   /** Eval-set membership rule: every ~97th doc stands in for a held-out
     * benchmark (deterministic, so the oracle sees the same split). */
-  private val evalMod = 97
-  private val evalRem = 3
-  private val contamMinShared = 2
+  private[llm] val evalMod = 97
+  private[llm] val evalRem = 3
+  private[llm] val contamMinShared = 2
 
   /** Benchmark decontamination — the check every training corpus runs
     * before release: training docs sharing >= [[contamMinShared]]
@@ -443,8 +443,9 @@ object TextAnalysis {
     * set is benchmark-sized, not corpus-sized), so cost is one corpus
     * scan + a gram-keyed join, never corpus × eval. Common-phrase grams
     * fan out only on the tiny eval side. */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The (train doc, eval doc, shared-gram count) relation both
+    * [[contamination]] and [[Curation.qualityFunnel]] consume. */
+  private[llm] def contamShared(spark: SparkSession, dir: String): DataFrame = {
     def grams(docs: DataFrame, idCol: String) = docs
       .selectExpr(s"doc_id AS $idCol",
         s"${let1(words("lower(text)", SparkD), "wv",
@@ -453,13 +454,31 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     val evalGrams = grams(docs.filter(col("doc_id") % evalMod === evalRem), "eval_doc")
     val trainGrams = grams(docs.filter(col("doc_id") % evalMod =!= evalRem), "doc_id")
-    val shared = trainGrams.join(broadcast(evalGrams), Seq("gram"))
+    trainGrams.join(broadcast(evalGrams), Seq("gram"))
       .groupBy("doc_id", "eval_doc")
       .agg(count(lit(1)).as("n_shared_grams"))
       .filter(col("n_shared_grams") >= contamMinShared)
+  }
+
+  /** DuckDB CTE chain ending in `contam_shared(doc_id, eval_doc,
+    * n_shared_grams)` — the oracle twin of [[contamShared]]. */
+  private[llm] def contamSharedCtes: String =
+    s"""eg AS (SELECT doc_id AS eval_doc,
+            unnest(${arrDistinct(grams3(words("lower(text)", DuckD), DuckD), DuckD)}) AS gram
+          FROM documents WHERE doc_id % $evalMod = $evalRem),
+        tg AS (SELECT doc_id,
+            unnest(${arrDistinct(grams3(words("lower(text)", DuckD), DuckD), DuckD)}) AS gram
+          FROM documents WHERE doc_id % $evalMod <> $evalRem),
+        contam_shared AS (SELECT t.doc_id, e.eval_doc, count(*) AS n_shared_grams
+                   FROM tg t JOIN eg e ON t.gram = e.gram
+                   GROUP BY t.doc_id, e.eval_doc
+                   HAVING count(*) >= $contamMinShared)"""
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("n_shared_grams"), asc("eval_doc"))
-    shared
+    contamShared(spark, dir)
       .withColumn("n_eval_matches", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -469,20 +488,11 @@ object TextAnalysis {
   }
 
   val contaminationOracle: String =
-    s"""WITH eg AS (SELECT doc_id AS eval_doc,
-            unnest(${arrDistinct(grams3(words("lower(text)", DuckD), DuckD), DuckD)}) AS gram
-          FROM documents WHERE doc_id % $evalMod = $evalRem),
-        tg AS (SELECT doc_id,
-            unnest(${arrDistinct(grams3(words("lower(text)", DuckD), DuckD), DuckD)}) AS gram
-          FROM documents WHERE doc_id % $evalMod <> $evalRem),
-        shared AS (SELECT t.doc_id, e.eval_doc, count(*) AS n_shared_grams
-                   FROM tg t JOIN eg e ON t.gram = e.gram
-                   GROUP BY t.doc_id, e.eval_doc
-                   HAVING count(*) >= $contamMinShared)
+    s"""WITH $contamSharedCtes
         SELECT doc_id,
           CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_eval_matches,
           eval_doc AS worst_eval_doc, n_shared_grams
-        FROM shared
+        FROM contam_shared
         QUALIFY row_number() OVER (PARTITION BY doc_id
           ORDER BY n_shared_grams DESC, eval_doc) = 1
         ORDER BY doc_id"""
@@ -907,4 +917,95 @@ object TextAnalysis {
         SELECT row_number() OVER (ORDER BY lift DESC, term_a, term_b) AS rank,
           term_a, term_b, n_pair, n_a, n_b, lift
         FROM top ORDER BY rank"""
+
+  // ---- rule-based quality gate (Gopher-style heuristics) ----
+
+  /** Per-doc counting columns the gate rules compare. Everything is an
+    * exact integer; every ratio threshold below is applied as an
+    * integer cross-multiply, so no float ever decides a pass/fail
+    * boundary (the [[graft.sql.Analytics]] discipline) and both
+    * engines agree bit-for-bit. */
+  private[llm] def gateCols(d: Dialect): Seq[String] = {
+    val w = words("lower(text)", d)
+    val stopKinds = d match {
+      case SparkD =>
+        s"size(array_distinct(regexp_extract_all(lower(text), '${re(stopRe, SparkD)}', 0)))"
+      case DuckD =>
+        s"len(list_distinct(regexp_extract_all(lower(text), '$stopRe')))"
+    }
+    val alphaTokens = d match {
+      case SparkD => s"size(filter($w, t -> t rlike '[A-Za-z]'))"
+      case DuckD  => s"len(list_filter($w, t -> regexp_matches(t, '[A-Za-z]')))"
+    }
+    val g3counts = d match {
+      case SparkD => let1(w, "wv",
+        let1(grams3("wv", SparkD), "g3",
+          "named_struct('ng', size(g3), 'nd', size(array_distinct(g3)))"))
+      case DuckD => "" // DuckDB binds wv/g3 via CTE columns instead
+    }
+    statsCols(d) ++ Seq(
+      s"CAST($stopKinds AS INTEGER) AS n_stop_kinds",
+      s"CAST($alphaTokens AS INTEGER) AS n_alpha_tokens") ++ (d match {
+      case SparkD => Seq(
+        s"CAST($g3counts.ng AS INTEGER) AS n_g3",
+        s"CAST($g3counts.nd AS INTEGER) AS n_g3_distinct")
+      case DuckD => Seq(
+        s"CAST(${arrLen(grams3(words("lower(text)", DuckD), DuckD), DuckD)} AS INTEGER) AS n_g3",
+        s"CAST(${arrLen(arrDistinct(grams3(words("lower(text)", DuckD), DuckD), DuckD), DuckD)} AS INTEGER) AS n_g3_distinct")
+    })
+  }
+
+  /** The six gate rules — identical SQL text in both dialects.
+    * Thresholds follow the published filtering heuristics (Gopher /
+    * C4): doc length in tokens, mean word length in [3,10], symbol
+    * ratio <= 20%, >= 2 distinct stopwords present, >= 80% alphabetic
+    * tokens, and duplicate-3-gram fraction <= 50%. */
+  private[llm] val gateRules: Seq[String] = Seq(
+    "CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS r_len",
+    "CASE WHEN 3 * n_tokens <= n_chars_no_ws AND n_chars_no_ws <= 10 * n_tokens THEN 1 ELSE 0 END AS r_word_len",
+    "CASE WHEN 5 * punct_count <= n_chars THEN 1 ELSE 0 END AS r_symbol",
+    "CASE WHEN n_stop_kinds >= 2 THEN 1 ELSE 0 END AS r_stopword",
+    "CASE WHEN 5 * n_alpha_tokens >= 4 * n_tokens THEN 1 ELSE 0 END AS r_alpha",
+    "CASE WHEN 2 * n_g3_distinct >= n_g3 THEN 1 ELSE 0 END AS r_repetition")
+
+  private[llm] val gateVerdict: Seq[String] = Seq(
+    "r_len + r_word_len + r_symbol + r_stopword + r_alpha + r_repetition AS n_rules_passed",
+    "CASE WHEN r_len + r_word_len + r_symbol + r_stopword + r_alpha + r_repetition = 6 " +
+      "THEN 1 ELSE 0 END AS pass")
+
+  /** Unordered gate relation — [[Curation.qualityFunnel]] reuses it as
+    * a join input. */
+  private[llm] def gateRelation(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr(gateCols(SparkD): _*)
+      .selectExpr(("*" +: gateRules): _*)
+      .selectExpr(("*" +: gateVerdict): _*)
+
+  /** DuckDB CTE chain ending in `gate(doc_id, ..counts.., r_*,
+    * n_rules_passed, pass)` — the oracle twin of [[gateRelation]]. */
+  private[llm] def gateCtes: String =
+    s"""gate_base AS (SELECT ${gateCols(DuckD).mkString(", ")} FROM documents),
+        gate_rules AS (SELECT *, ${gateRules.mkString(", ")} FROM gate_base),
+        gate AS (SELECT *, ${gateVerdict.mkString(", ")} FROM gate_rules)"""
+
+  /** Rule-based quality gate — the multi-heuristic document filter
+    * every training pipeline runs before dedup (Rae et al. 2021 §A1.1
+    * "Gopher rules"; Raffel et al. 2020's C4 filters). Each rule is an
+    * independent 0/1 flag so downstream consumers can ablate a single
+    * rule without re-running the scan; `pass` is the conjunction. A
+    * per-row codegen'd projection riding the scan — no shuffle, no
+    * join: at 100 TB this is exactly one pass over the corpus. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    gateRelation(spark, dir)
+      .select("doc_id", "n_tokens", "n_stop_kinds", "n_alpha_tokens",
+        "n_g3", "n_g3_distinct", "r_len", "r_word_len", "r_symbol",
+        "r_stopword", "r_alpha", "r_repetition", "n_rules_passed", "pass")
+      .orderBy("doc_id")
+
+  val qualityGateOracle: String =
+    s"""WITH $gateCtes
+        SELECT doc_id, n_tokens, n_stop_kinds, n_alpha_tokens,
+          n_g3, n_g3_distinct, r_len, r_word_len, r_symbol,
+          r_stopword, r_alpha, r_repetition, n_rules_passed, pass
+        FROM gate ORDER BY doc_id"""
 }

@@ -137,4 +137,75 @@ object Graph {
         FROM r3 JOIN nation n ON r3.node = n.n_nationkey
         ORDER BY rank_pico DESC, nation"""
   }
+
+  // ---- k-core decomposition of the near-dup graph ----
+
+  private val kcoreK = 2
+  private val kcoreRounds = 8
+
+  /** Generic k-core peeling, `rounds` rounds: repeatedly drop nodes
+    * whose degree in the surviving induced subgraph is below k.
+    * `edges` must be the symmetrized (both-directions) edge list.
+    * Each round is two semi-joins (induce the subgraph) and one
+    * map-side-combined degree count — join-shaped like PageRank, so it
+    * scales as ordinary shuffles on the node key; every round ends in
+    * an eager localCheckpoint so the plan stays one-round shallow (the
+    * [[graft.llm.Dedup.propagateLabels]] lesson — an unrolled 8-round
+    * lineage re-executes every prior round per action).
+    *
+    * Fixed-round contract: peeling a path graph can need O(n) rounds,
+    * so a FIXED `rounds` is not universally the true k-core — but the
+    * round count is part of the operator's definition here (both
+    * engines run exactly the same rounds, so results always agree),
+    * and `Round7Spec` pins that the fixture converges inside the
+    * budget (one extra round changes nothing). At real scale you
+    * iterate with a convergence check exactly like [[nationPagerank]]
+    * / propagateLabels — same per-round plan. */
+  private[graft] def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    var nodes = e.select(col("src").as("doc_id"), lit(0L).as("deg"))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val induced = e
+        .join(nodes.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+        .join(nodes.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      nodes = induced.groupBy(col("src").as("doc_id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint(true)
+    }
+    nodes.selectExpr("doc_id", "CAST(deg AS BIGINT) AS core_degree")
+  }
+
+  /** The 2-core of the MinHash near-dup pair graph: documents whose
+    * duplication is STRUCTURAL (each has ≥ 2 surviving dup partners
+    * after peeling hangers-on) — the template/boilerplate clumps worth
+    * a human look, separated from incidental pairwise matches. Reuses
+    * the shared pair relation; output is per-doc with its core degree. */
+  def docKcore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.llm.Dedup.minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+      .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+    kcore(edges, kcoreK, kcoreRounds).orderBy("doc_id")
+  }
+
+  /** Oracle: the identical peeling unrolled as a CTE chain over the
+    * shared pair CTEs ([[graft.llm.Dedup.closureCtes]] re-yields
+    * `edges(src, dst)`; its recursive tail goes unreferenced). */
+  val docKcoreOracle: String = {
+    val roundCtes = (1 to kcoreRounds).map { r =>
+      val prev = if (r == 1) "knodes0" else s"knodes${r - 1}"
+      s"""ke$r AS (SELECT e.src FROM edges e
+            JOIN $prev a ON e.src = a.doc_id
+            JOIN $prev b ON e.dst = b.doc_id),
+          knodes$r AS (SELECT src AS doc_id, count(*) AS deg
+                       FROM ke$r GROUP BY src HAVING count(*) >= $kcoreK)"""
+    }.mkString(",\n        ")
+    s"""WITH RECURSIVE ${graft.llm.Dedup.closureCtes},
+        knodes0 AS (SELECT DISTINCT src AS doc_id FROM edges),
+        $roundCtes
+        SELECT doc_id, CAST(deg AS BIGINT) AS core_degree
+        FROM knodes$kcoreRounds ORDER BY doc_id"""
+  }
 }
+

@@ -103,6 +103,10 @@ class EmptyInputSpec extends SparkSpec {
       "doc_dup_span_intervals" -> (graft.llm.Spans.dupSpanIntervals _),
       "dedup_incremental_spans" -> (graft.llm.Spans.incrementalSpans _),
       "ann_ivfpq_topk" -> (graft.llm.Similarity.ivfPqTopK _),
+      "text_quality_gate" -> (TextAnalysis.qualityGate _),
+      "lineitem_promo_uplift" -> (graft.ops.RangeJoin.promoUplift _),
+      "ann_incremental_assign" -> (Similarity.incrementalAssign _),
+      "dedup_kcore" -> (graft.sql.Graph.docKcore _),
       // empty EVENT/GRAPH inputs: the sketch has no heavy hitters to
       // audit, and a graph with no nodes ranks nothing (the teleport
       // division by a zero node count stays on the never-executed
@@ -116,6 +120,11 @@ class EmptyInputSpec extends SparkSpec {
     // own 5-doc side corpus, and the recall report always emits one
     // row per tier (counts zeroed, recall 0.0 — never null/NaN)
     assert(TextAnalysis.normalized(spark, dir).count() == 5)
+    // the funnel is a report: six stage rows even over an empty
+    // corpus, counts zeroed, share NULL (guarded 0/0)
+    val funnel = Curation.qualityFunnel(spark, dir)
+      .select("stage", "n_docs", "n_tokens").as[(Int, Long, Long)].collect()
+    assert(funnel.toSeq == (0 to 5).map(k => (k, 0L, 0L)))
     val recall = Similarity.annRecall(spark, dir)
       .select("tier", "n_true", "n_hit", "recall_at_k")
       .as[(String, Long, Long, Double)].collect()

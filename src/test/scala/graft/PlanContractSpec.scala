@@ -34,7 +34,8 @@ class PlanContractSpec extends SparkSpec {
     "text_tfidf_topk", "curated_revenue_by_category_approx_audit",
     "category_quantity_quartiles_approx_audit",
     "dedup_duplicate_spans", "doc_dup_span_coverage",
-    "doc_dup_span_intervals", "dedup_incremental_spans")
+    "doc_dup_span_intervals", "dedup_incremental_spans",
+    "lineitem_promo_uplift")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
@@ -154,6 +155,28 @@ class PlanContractSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastHashJoin"),
         s"corpus-sized relation still broadcast under forced-low threshold:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("range join stays an equi-join even when nothing can broadcast") {
+    // the point of the bin-bucketing rewrite: with broadcast disabled
+    // (modeling an interval side too big to broadcast) the plan must
+    // be a shuffle hash/merge join on the bin key — a naive non-equi
+    // formulation would degrade to BroadcastNestedLoopJoin or a
+    // cartesian product, the O(facts × intervals) scale-killer
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val baseline = graft.ops.RangeJoin.promoUplift(spark, sfTiny).collect()
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = graft.ops.RangeJoin.promoUplift(spark, sfTiny)
+      assert(df.collect().sameElements(baseline), "fallback plan changed the result")
+      val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"), p)
     } finally prev.foreach { case (k, v) =>

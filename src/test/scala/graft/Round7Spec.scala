@@ -140,4 +140,48 @@ class Round7Spec extends SparkSpec {
       }
     }
   }
+
+  test("kcore: triangle survives peeling, pendant chain does not") {
+    // triangle 1-2-3 (the 2-core) with a pendant chain 3-4-5-6: peeling
+    // strips the chain end-in, then nothing else — the brute-force
+    // expectation is exactly the triangle at degree 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = pairs.toDF("a", "b").selectExpr("a AS src", "b AS dst")
+      .unionAll(pairs.toDF("a", "b").selectExpr("b AS src", "a AS dst"))
+    val core = graft.sql.Graph.kcore(edges, 2, 8)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(core == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kcore: fixture peeling converges inside the round budget") {
+    // the fixed-round contract: one extra round must change nothing on
+    // the fixture (if a regenerated corpus ever peels slower, this
+    // fails loudly and the round budget gets raised)
+    val p = Dedup.minhashPairs(spark, sfTiny).select("doc_a", "doc_b")
+    val edges = p.selectExpr("doc_a AS src", "doc_b AS dst")
+      .unionAll(p.selectExpr("doc_b AS src", "doc_a AS dst"))
+    val at8 = graft.sql.Graph.kcore(edges, 2, 8).as[(Long, Long)].collect().sorted.toSeq
+    val at9 = graft.sql.Graph.kcore(edges, 2, 9).as[(Long, Long)].collect().sorted.toSeq
+    assert(at8 == at9, "peeling had not converged after 8 rounds")
+    // and every member really has core degree >= k
+    assert(at8.forall(_._2 >= 2))
+  }
+
+  test("incremental assign: occupancy reconciles with the full index") {
+    val inc = Similarity.incrementalAssign(spark, sfTiny)
+      .select("cell", "old_n", "n_added", "new_n")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(inc.nonEmpty)
+    inc.foreach { case (c, o, a, n) => assert(o + a == n, s"cell $c") }
+    // per-cell new_n must equal the full ivfCells occupancy (frozen
+    // centroids: batch assignment == full assignment restricted)
+    val full = Similarity.ivfCells(spark, sfTiny)
+      .groupBy("cell").count().as[(Long, Long)].collect().toMap
+    assert(inc.map(r => r._1 -> r._4).toMap == full)
+    // and the appended count is exactly the batch-membership count
+    val batchN = graft.io.Tables.embeddings(spark, sfTiny)
+      .filter("vec_id % 10 = 9").count()
+    assert(inc.map(_._3).sum == batchN)
+  }
 }
+
