@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.Entities
 import graft.pipelines._
 import graft.curated.Aggregations
-import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
 import graft.sql.{Analytics, AthenaQueries, Classics, Extras, OracleSql}
 import graft.streaming.{EventsStream, Sessionize}
 
@@ -179,6 +179,9 @@ object SparkEntry {
     "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
     "embedding_label_outliers" -> ((s, d) => Similarity.labelOutliers(s, d)),
+    "embedding_int8_quant" -> ((s, d) => Quantize.int8Quant(s, d)),
+    "embedding_random_projection" -> ((s, d) => Quantize.randomProjection(s, d)),
+    "embedding_projection_audit" -> ((s, d) => Quantize.projectionAudit(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "multimodal_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, d)),
@@ -424,6 +427,9 @@ object SparkEntry {
     "ann_incremental_assign" -> Similarity.incrementalAssignOracle,
     "dedup_semantic_clusters" -> Similarity.semanticClustersOracle,
     "embedding_label_outliers" -> Similarity.labelOutliersOracle,
+    "embedding_int8_quant" -> Quantize.int8QuantOracle,
+    "embedding_random_projection" -> Quantize.randomProjectionOracle,
+    "embedding_projection_audit" -> Quantize.projectionAuditOracle,
     "table_profile" -> graft.ops.Profile.tableProfileOracle,
     "lineitem_moment_corr" -> graft.ops.Profile.momentCorrOracle,
     "lineitem_spearman" -> graft.ops.Profile.spearmanCorrOracle,

@@ -1,0 +1,216 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Gen._
+
+/** Embedding compression for vector stores: per-dimension symmetric
+  * INT8 scalar quantization and Johnson–Lindenstrauss random
+  * projection — the two standard ways a 100 TB vector corpus shrinks
+  * its working set before ANN indexing (scalar quantization is what
+  * FAISS `SQ8` / every production vector DB does for 4× memory;
+  * JL projection bounds pairwise-distance distortion while cutting
+  * dimensionality, Achlioptas 2003 for the ±1 matrix variant).
+  *
+  * Scale shape: the "training" pass for SQ8 is ONE map-side-combined
+  * aggregation producing a 64-value row (per-dim max |x|), broadcast
+  * back; quantization itself rides the scan — zero shuffles beyond
+  * the 1-row agg. The JL projection is purely per-row (the ±1 matrix
+  * is hash-derived, never materialized), so it is embarrassingly
+  * parallel at any corpus size.
+  *
+  * Determinism discipline: quantized codes are exact integers decided
+  * by `floor(x·127/m + 0.5)` — floor, not round, so the tie direction
+  * is pinned on both engines; reconstruction error readouts are
+  * nano-quantized BIGINTs (the [[Similarity]] idiom) so no float
+  * crosses the oracle boundary unquantized.
+  */
+object Quantize {
+
+  private val dims = embeddingDims // 64
+  private val projDims = 16
+  private val pairAudit = 40
+
+  /** floor(x + 0.5): round-half-up with an engine-agnostic tie
+    * direction (Spark round() is HALF_UP, DuckDB rounds half away
+    * from zero — identical for positives, divergent for negatives,
+    * so neither is used on a signed value anywhere here). */
+  private def rhu(x: String): String = s"floor($x + 0.5)"
+
+  private def vecsD(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(spark)
+    Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label", s"${toDoubleArr("embedding", SparkD)} AS v")
+  }
+
+  private def vecsDCte(d: Dialect): String =
+    s"ve AS (SELECT vec_id, label, ${toDoubleArr("embedding", d)} AS v FROM embeddings)"
+
+  // ---- per-dimension symmetric INT8 scalar quantization ----
+
+  /** One row, 64 columns m_0..m_63 = max |x_d| over the corpus — the
+    * SQ8 codebook. A single hash-agg with partial aggregation; the
+    * result is broadcast to the quantization scan. */
+  private def maxAbsAgg(spark: SparkSession, dir: String): DataFrame =
+    vecsD(spark, dir).agg(
+      expr(s"max(abs(${idx("v", 0, SparkD)})) AS m_0"),
+      (1 until dims).map(i =>
+        expr(s"max(abs(${idx("v", i, SparkD)})) AS m_$i")): _*)
+
+  private def maxAbsCte(d: Dialect): String = {
+    val cols = (0 until dims)
+      .map(i => s"max(abs(${idx("v", i, d)})) AS m_$i").mkString(", ")
+    s"mab AS (SELECT $cols FROM ve)"
+  }
+
+  /** Quantized code for dim i: q_i ∈ [−127, 127]. The guard keeps a
+    * degenerate all-zero dimension total (code 0) instead of NaN. */
+  private def codeExpr(i: Int, d: Dialect): String = {
+    val x = idx("v", i, d)
+    s"CASE WHEN m_$i > 0.0 THEN CAST(${rhu(s"$x * 127.0 / m_$i")} AS BIGINT) ELSE 0 END"
+  }
+
+  /** Per-vector SQ8 readout: a position-weighted code checksum (any
+    * misplaced or mis-valued code shifts it), the exact code L1 mass,
+    * and the nano-quantized squared reconstruction error. Codes are
+    * signed bytes; (q_i + 127)·(i+1) keeps every term non-negative so
+    * the checksum is also collision-evidence across engines. */
+  def int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    val checksum = (0 until dims).map(i => s"(q_$i + 127) * ${i + 1}L").mkString(" + ")
+    val l1 = (0 until dims).map(i => s"abs(q_$i)").mkString(" + ")
+    val sse = (0 until dims).map { i =>
+      val x = idx("v", i, SparkD)
+      val r = s"(CASE WHEN m_$i > 0.0 THEN CAST(q_$i AS DOUBLE) * m_$i / 127.0 ELSE 0.0 END)"
+      s"($x - $r) * ($x - $r)"
+    }.mkString(" + ")
+    vecsD(spark, dir)
+      .crossJoin(broadcast(maxAbsAgg(spark, dir)))
+      .selectExpr(Seq("vec_id", "label", "v") ++
+        (0 until dims).map(i => s"m_$i") ++
+        (0 until dims).map(i => s"${codeExpr(i, SparkD)} AS q_$i"): _*)
+      .selectExpr("vec_id", "label",
+        s"CAST($checksum AS BIGINT) AS code_checksum",
+        s"CAST($l1 AS BIGINT) AS code_l1",
+        s"CAST(round(($sse) * 1000000000) AS BIGINT) AS sse_nano")
+      .orderBy("vec_id")
+  }
+
+  val int8QuantOracle: String = {
+    val d = DuckD
+    val checksum = (0 until dims).map(i => s"(q_$i + 127) * ${i + 1}").mkString(" + ")
+    val l1 = (0 until dims).map(i => s"abs(q_$i)").mkString(" + ")
+    val sse = (0 until dims).map { i =>
+      val x = idx("v", i, d)
+      val r = s"(CASE WHEN m_$i > 0.0 THEN CAST(q_$i AS DOUBLE) * m_$i / 127.0 ELSE 0.0 END)"
+      s"($x - $r) * ($x - $r)"
+    }.mkString(" + ")
+    val codes = (0 until dims).map(i => s"${codeExpr(i, d)} AS q_$i").mkString(", ")
+    s"""WITH ${vecsDCte(d)}, ${maxAbsCte(d)},
+        coded AS (SELECT vec_id, label, v, $codes FROM ve CROSS JOIN mab),
+        outp AS (SELECT c.vec_id, c.label,
+            CAST($checksum AS BIGINT) AS code_checksum,
+            CAST($l1 AS BIGINT) AS code_l1,
+            CAST(round(($sse) * 1000000000) AS BIGINT) AS sse_nano
+          FROM coded c CROSS JOIN mab)
+        SELECT * FROM outp ORDER BY vec_id"""
+  }
+
+  // ---- Johnson–Lindenstrauss ±1 random projection ----
+
+  /** ±1 entry of the (never materialized) projection matrix, row j of
+    * [[projDims]], input dim i — [[Gen.planeSign]] seeded into a
+    * disjoint plane range so the projection is independent of the LSH
+    * planes already drawn from the same hash family. */
+  private def projSign(j: Int, i: Int): String = planeSign(j + 100, i)
+
+  /** Projected component j = Σ_i sign(j,i)·x_i / √k — one unrolled
+    * left-associated sum, identical tree both engines. */
+  private def projExpr(a: String, j: Int, d: Dialect): String = {
+    val s = (0 until dims).map(i => s"${idx(a, i, d)} * ${projSign(j, i)}").mkString(" + ")
+    s"($s) / sqrt(${projDims}.0)"
+  }
+
+  /** JL projection readout: per vector, the nano-quantized projected
+    * components' checksum and squared norm, plus the original squared
+    * norm — the norm pair IS the distortion witness (E‖Px‖² = ‖x‖²). */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val comps = (0 until projDims).map(j => s"${projExpr("v", j, SparkD)} AS p_$j")
+    val pn = (0 until projDims).map(j => s"p_$j * p_$j").mkString(" + ")
+    val checksum = (0 until projDims)
+      .map(j => s"CAST(round(p_$j * 1000000000) AS BIGINT) * ${j + 1}L").mkString(" + ")
+    vecsD(spark, dir)
+      .selectExpr(Seq("vec_id", "label", "v") ++ comps: _*)
+      .selectExpr("vec_id", "label",
+        s"CAST($checksum AS BIGINT) AS proj_checksum",
+        s"CAST(round(($pn) * 1000000000) AS BIGINT) AS proj_norm_sq_nano",
+        s"CAST(round((${dot64("v", "v", SparkD)}) * 1000000000) AS BIGINT) AS orig_norm_sq_nano")
+      .orderBy("vec_id")
+  }
+
+  val randomProjectionOracle: String = {
+    val d = DuckD
+    val comps = (0 until projDims).map(j => s"${projExpr("v", j, d)} AS p_$j").mkString(", ")
+    val pn = (0 until projDims).map(j => s"p_$j * p_$j").mkString(" + ")
+    val checksum = (0 until projDims)
+      .map(j => s"CAST(round(p_$j * 1000000000) AS BIGINT) * ${j + 1}").mkString(" + ")
+    s"""WITH ${vecsDCte(d)},
+        proj AS (SELECT vec_id, label, v, $comps FROM ve)
+        SELECT vec_id, label,
+          CAST($checksum AS BIGINT) AS proj_checksum,
+          CAST(round(($pn) * 1000000000) AS BIGINT) AS proj_norm_sq_nano,
+          CAST(round((${dot64("v", "v", d)}) * 1000000000) AS BIGINT) AS orig_norm_sq_nano
+        FROM proj ORDER BY vec_id"""
+  }
+
+  /** Distance-preservation audit over consecutive-id probe pairs: the
+    * JL guarantee made falsifiable. Per pair, original vs projected
+    * squared distance (nano) and an in-bounds flag at ε = 0.75 —
+    * loose because k = 16 is a real compression, not a safety margin;
+    * a broken sign hash or a dropped term sends ratios far outside.
+    * The pair set is id-arithmetic (vec_id ↔ vec_id+1), so candidate
+    * generation is an equi-join, not a cross product. */
+  def projectionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecsD(spark, dir)
+    val a = v.filter(col("vec_id") < pairAudit * 2)
+      .filter(col("vec_id") % 2 === 0)
+      .selectExpr("vec_id AS id_a", "v AS va")
+    val b = v.selectExpr("vec_id AS id_b", "v AS vb")
+    val od = l2sqRange("va", "vb", 0, dims, SparkD)
+    val pdist = (0 until projDims).map { j =>
+      val (x, y) = (projExpr("va", j, SparkD), projExpr("vb", j, SparkD))
+      s"(($x) - ($y)) * (($x) - ($y))"
+    }.mkString(" + ")
+    a.join(b, expr("id_b = id_a + 1"))
+      .selectExpr("id_a", "id_b",
+        s"CAST(round(($od) * 1000000000) AS BIGINT) AS orig_d2_nano",
+        s"CAST(round(($pdist) * 1000000000) AS BIGINT) AS proj_d2_nano")
+      .selectExpr("id_a", "id_b", "orig_d2_nano", "proj_d2_nano",
+        // ε-band check as an exact integer cross-multiply on the
+        // already-quantized BIGINTs: no float decides the flag.
+        "CASE WHEN proj_d2_nano * 4 >= orig_d2_nano AND proj_d2_nano * 4 <= orig_d2_nano * 7 " +
+          "THEN 1 ELSE 0 END AS within_eps")
+      .orderBy("id_a")
+  }
+
+  val projectionAuditOracle: String = {
+    val d = DuckD
+    val od = l2sqRange("va", "vb", 0, dims, d)
+    val pdist = (0 until projDims).map { j =>
+      val (x, y) = (projExpr("va", j, d), projExpr("vb", j, d))
+      s"(($x) - ($y)) * (($x) - ($y))"
+    }.mkString(" + ")
+    s"""WITH ${vecsDCte(d)},
+        a AS (SELECT vec_id AS id_a, v AS va FROM ve
+              WHERE vec_id < ${pairAudit * 2} AND vec_id % 2 = 0),
+        b AS (SELECT vec_id AS id_b, v AS vb FROM ve),
+        pr AS (SELECT id_a, id_b,
+            CAST(round(($od) * 1000000000) AS BIGINT) AS orig_d2_nano,
+            CAST(round(($pdist) * 1000000000) AS BIGINT) AS proj_d2_nano
+          FROM a JOIN b ON id_b = id_a + 1)
+        SELECT id_a, id_b, orig_d2_nano, proj_d2_nano,
+          CASE WHEN proj_d2_nano * 4 >= orig_d2_nano AND proj_d2_nano * 4 <= orig_d2_nano * 7
+            THEN 1 ELSE 0 END AS within_eps
+        FROM pr ORDER BY id_a"""
+  }
+}
