@@ -125,6 +125,7 @@ object SparkEntry {
     "text_normalized" -> ((s, d) => TextAnalysis.normalized(s, d)),
     "text_hashed_classifier" -> ((s, d) => TextAnalysis.hashedClassifier(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
+    "text_skipgram_pmi" -> ((s, d) => TextAnalysis.skipgramPmi(s, d)),
     "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
     "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "text_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
@@ -373,6 +374,7 @@ object SparkEntry {
     "text_normalized" -> TextAnalysis.normalizedOracle,
     "text_hashed_classifier" -> TextAnalysis.hashedClassifierOracle,
     "text_collocations" -> TextAnalysis.collocationsOracle,
+    "text_skipgram_pmi" -> TextAnalysis.skipgramPmiOracle,
     "text_vocabulary" -> TextAnalysis.vocabularyOracle,
     "text_contamination" -> TextAnalysis.contaminationOracle,
     "text_quality_gate" -> TextAnalysis.qualityGateOracle,

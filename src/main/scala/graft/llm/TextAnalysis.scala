@@ -1008,4 +1008,90 @@ object TextAnalysis {
           n_g3, n_g3_distinct, r_len, r_word_len, r_symbol,
           r_stopword, r_alpha, r_repetition, n_rules_passed, pass
         FROM gate ORDER BY doc_id"""
+
+  // ---- windowed skip-gram PMI (word2vec co-occurrence shape) ----
+
+  private val skipWindow = 3
+  private val skipK = 30
+  private val skipMinCount = 5
+
+  /** Windowed co-occurrence mining: unordered token pairs within
+    * distance ≤ [[skipWindow]] ranked by lift = p(ab)/(p(a)·p(b)) —
+    * the word2vec/GloVe co-occurrence matrix restricted to its top
+    * PMI entries. Extends [[collocations]] (distance exactly 1,
+    * ordered) to the skip-gram context window every embedding trainer
+    * actually consumes.
+    *
+    * Scale shape: pair generation is ARRAY-LOCAL (a per-row transform
+    * over the token array — offsets never leave the row), so the only
+    * shuffles are the two count hash-aggs, both map-side combined.
+    * The positional self-join a naive formulation would use (tokens ⋈
+    * tokens on doc_id, |i−j| ≤ w) never happens: at 100 TB that join
+    * shuffles every token w times; the array form shuffles each pair
+    * key once, already partially counted. Products stay in DOUBLE
+    * ([[collocations]]' overflow dodge); pairs are canonicalized
+    * (least, greatest) so the matrix is stored symmetric-once. */
+  def skipgramPmi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(expr(words("lower(text)", SparkD))).as("term"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("n_term"))
+    val pairArr = (1 to skipWindow).map { o =>
+      s"CASE WHEN size(wv) > $o THEN transform(sequence(0, size(wv) - 1 - $o), " +
+        s"i -> named_struct('ta', least(wv[i], wv[i + $o]), 'tb', greatest(wv[i], wv[i + $o]))) " +
+        "ELSE array() END"
+    }.mkString("concat(", ", ", ")")
+    val pairs = docs
+      .selectExpr(s"${let1(words("lower(text)", SparkD), "wv", pairArr)} AS pr")
+      .select(explode(col("pr")).as("p"))
+      .select(col("p.ta").as("term_a"), col("p.tb").as("term_b"))
+    val big = pairs.groupBy("term_a", "term_b").agg(count(lit(1)).as("n_pair"))
+    val uniTotal = uni.agg(sum("n_term").as("n_term_total"))
+    val pairTotal = big.agg(sum("n_pair").as("n_pair_total"))
+    val liftExpr =
+      "(CAST(n_pair AS DOUBLE) * n_term_total * n_term_total) / " +
+        "(CAST(n_a AS DOUBLE) * n_b * n_pair_total) AS lift"
+    big.filter(col("n_pair") >= skipMinCount)
+      .join(uni.selectExpr("term AS term_a", "n_term AS n_a"), Seq("term_a"))
+      .join(uni.selectExpr("term AS term_b", "n_term AS n_b"), Seq("term_b"))
+      .crossJoin(broadcast(uniTotal))
+      .crossJoin(broadcast(pairTotal))
+      .selectExpr("term_a", "term_b", "n_pair", "n_a", "n_b", liftExpr)
+      .orderBy(desc("lift"), asc("term_a"), asc("term_b"))
+      .limit(skipK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("lift"), asc("term_a"), asc("term_b"))))
+      .select("rank", "term_a", "term_b", "n_pair", "n_a", "n_b", "lift")
+      .orderBy("rank")
+  }
+
+  val skipgramPmiOracle: String =
+    s"""WITH w_t AS (SELECT doc_id, ${words("lower(text)", DuckD)} AS wv
+                     FROM documents),
+        toks AS (SELECT doc_id, unnest(wv) AS term FROM w_t),
+        uni AS (SELECT term, count(*) AS n_term FROM toks GROUP BY term),
+        sg AS (SELECT least(wv[i], wv[i + o.o]) AS term_a,
+                      greatest(wv[i], wv[i + o.o]) AS term_b
+               FROM w_t, (VALUES (1), (2), (3)) o(o),
+                    unnest(range(1, len(wv))) t(i)
+               WHERE i + o.o <= len(wv)),
+        big AS (SELECT term_a, term_b, count(*) AS n_pair
+                FROM sg GROUP BY term_a, term_b),
+        ut AS (SELECT sum(n_term) AS n_term_total FROM uni),
+        pt AS (SELECT sum(n_pair) AS n_pair_total FROM big),
+        scored AS (SELECT b.term_a, b.term_b, b.n_pair,
+            ua.n_term AS n_a, ub.n_term AS n_b,
+            (CAST(b.n_pair AS DOUBLE) * n_term_total * n_term_total) /
+              (CAST(ua.n_term AS DOUBLE) * ub.n_term * n_pair_total) AS lift
+          FROM big b
+          JOIN uni ua ON b.term_a = ua.term
+          JOIN uni ub ON b.term_b = ub.term
+          CROSS JOIN ut CROSS JOIN pt
+          WHERE b.n_pair >= $skipMinCount),
+        top AS (SELECT * FROM scored
+                ORDER BY lift DESC, term_a, term_b LIMIT $skipK)
+        SELECT row_number() OVER (ORDER BY lift DESC, term_a, term_b) AS rank,
+          term_a, term_b, n_pair, n_a, n_b, lift
+        FROM top ORDER BY rank"""
 }
