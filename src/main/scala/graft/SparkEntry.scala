@@ -307,6 +307,7 @@ object SparkEntry {
     "events_cms_heavy_hitters" -> ((s, d) => graft.ops.Sketches.cmsHeavyHitters(s, d)),
     "text_bigram_lm" -> ((s, d) => graft.llm.LanguageModel.bigramScore(s, d)),
     "nation_pagerank" -> ((s, d) => graft.sql.Graph.nationPagerank(s, d)),
+    "nation_bfs_hops" -> ((s, d) => graft.sql.Graph.nationBfsHops(s, d)),
     "corpus_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     "doc_cdc_chunks" -> ((s, d) => graft.llm.Chunking.cdcChunks(s, d)),
     "doc_cdc_shared" -> ((s, d) => graft.llm.Chunking.cdcSharedChunks(s, d)),
@@ -549,6 +550,7 @@ object SparkEntry {
     "events_cms_heavy_hitters" -> graft.ops.Sketches.cmsHeavyHittersOracle,
     "text_bigram_lm" -> graft.llm.LanguageModel.bigramScoreOracle,
     "nation_pagerank" -> graft.sql.Graph.nationPagerankOracle,
+    "nation_bfs_hops" -> graft.sql.Graph.nationBfsHopsOracle,
     "corpus_weighted_sample" -> Curation.weightedSampleOracle,
     "doc_cdc_chunks" -> graft.llm.Chunking.cdcChunksOracle,
     "doc_cdc_shared" -> graft.llm.Chunking.cdcSharedChunksOracle,

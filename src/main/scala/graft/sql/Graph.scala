@@ -50,6 +50,9 @@ object Graph {
   /** Directed trade edges: supplier nation → customer nation, distinct,
     * self-loops excluded. One 5-way equi-join chain, then a distinct on
     * the 625-bounded pair domain. */
+  private[graft] def tradeEdgesForTest(spark: SparkSession, dir: String): DataFrame =
+    tradeEdges(spark, dir)
+
   private def tradeEdges(spark: SparkSession, dir: String): DataFrame =
     graft.io.Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
       .join(t(spark, dir, "supplier").selectExpr("s_suppkey", "s_nationkey AS src"),
@@ -206,6 +209,88 @@ object Graph {
         $roundCtes
         SELECT doc_id, CAST(deg AS BIGINT) AS core_degree
         FROM knodes$kcoreRounds ORDER BY doc_id"""
+  }
+
+  // ---- multi-source BFS hop distances ----
+
+  private val bfsRounds = 6
+
+  /** Multi-source BFS kernel: per node, the lexicographic minimum of
+    * (hop, source) over all seeds that reach it, packed as
+    * combo = hop·100 + source (sources are nationkeys < 100, so BIGINT
+    * min of the packed value IS the lexicographic min — no float, no
+    * struct ordering). Each round relaxes every edge once: an equi-join
+    * of edges against the frontier-so-far plus a min hash-agg — the
+    * Pregel/Bellman-Ford shape that scales as ordinary node-key
+    * shuffles. Rounds are fixed ([[kcore]]'s fixed-round contract:
+    * both engines run the same rounds so results agree by
+    * construction; `Round7Spec` pins that the fixture converges inside
+    * the budget — at real scale you iterate with [[graft.llm.Dedup]]'s
+    * monotone-checksum convergence test, and the packed combo is
+    * monotone non-increasing, so the same trick applies verbatim). */
+  private[graft] def bfsHops(edges: DataFrame, sources: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    var dist = sources.selectExpr("node", "CAST(node AS BIGINT) AS combo")
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .selectExpr("dst AS node", "combo + 100 AS combo")
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("combo").as("combo"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Nearest-seed labeling of the trade graph: hop distance (and the
+    * winning seed) from the region-0 nations along directed trade
+    * edges — the "assign every node to its closest seed" pattern that
+    * partitions a 100 TB graph around landmark vertices. Unreachable
+    * nations surface with hop −1 (totality), seed NULL. */
+  def nationBfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    val nation = t(spark, dir, "nation")
+    val sources = nation.filter(col("n_regionkey") === 0)
+      .selectExpr("n_nationkey AS node")
+    val dist = bfsHops(edges, sources, bfsRounds)
+    nation.selectExpr("n_nationkey AS node", "n_name")
+      .join(dist, Seq("node"), "left")
+      .join(nation.selectExpr("n_nationkey AS src_key", "n_name AS nearest_seed"),
+        expr("src_key = combo % 100"), "left")
+      .selectExpr("n_name AS nation",
+        "CAST(CASE WHEN combo IS NULL THEN -1 ELSE combo DIV 100 END AS BIGINT) AS hop",
+        "nearest_seed")
+      .orderBy("hop", "nation")
+  }
+
+  val nationBfsHopsOracle: String = {
+    val iters = (1 to bfsRounds).map { r =>
+      s"""d$r AS (SELECT node, min(combo) AS combo FROM (
+            SELECT node, combo FROM d${r - 1}
+            UNION ALL
+            SELECT e.dst AS node, p.combo + 100 AS combo
+            FROM edges e JOIN d${r - 1} p ON e.src = p.node) u
+          GROUP BY node)"""
+    }.mkString(",\n        ")
+    s"""WITH edges AS (
+          SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE s.s_nationkey <> c.c_nationkey),
+        d0 AS (SELECT n_nationkey AS node, CAST(n_nationkey AS BIGINT) AS combo
+               FROM nation WHERE n_regionkey = 0),
+        $iters
+        SELECT n.n_name AS nation,
+          CAST(CASE WHEN d.combo IS NULL THEN -1 ELSE d.combo // 100 END AS BIGINT) AS hop,
+          ns.n_name AS nearest_seed
+        FROM nation n
+        LEFT JOIN d$bfsRounds d ON n.n_nationkey = d.node
+        LEFT JOIN nation ns ON ns.n_nationkey = d.combo % 100
+        ORDER BY hop, nation"""
   }
 }
 

@@ -183,5 +183,31 @@ class Round7Spec extends SparkSpec {
       .filter("vec_id % 10 = 9").count()
     assert(inc.map(_._3).sum == batchN)
   }
+
+  test("bfs kernel: exact hops and seed tie-break on a path graph") {
+    // 0→1→2→3→4 and 10→3: node 3 is reachable from seed 0 in 3 hops
+    // and from seed 10 in 1 hop — the packed min must pick (1, 10).
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 10L).toDF("node")
+    val dist = graft.sql.Graph.bfsHops(edges, seeds, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(dist(0L) == 0L && dist(10L) == 10L) // hop 0, own seed
+    assert(dist(1L) == 100L) // hop 1 from seed 0
+    assert(dist(2L) == 200L)
+    assert(dist(3L) == 110L) // hop 1 from seed 10 beats hop 3 from seed 0
+    assert(dist(4L) == 210L) // continues from the winning label
+    assert(!dist.contains(5L))
+  }
+
+  test("bfs fixture converges inside the round budget") {
+    val edges = graft.sql.Graph
+      .tradeEdgesForTest(spark, sfTiny).localCheckpoint(true)
+    val seeds = graft.io.Tables.table(spark, sfTiny, "nation")
+      .filter("n_regionkey = 0").selectExpr("n_nationkey AS node")
+    def run(r: Int) = graft.sql.Graph.bfsHops(edges, seeds, r)
+      .as[(Long, Long)].collect().toMap
+    assert(run(6) == run(7), "one extra round changed the labeling")
+  }
 }
 
