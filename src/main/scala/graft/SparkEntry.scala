@@ -305,6 +305,7 @@ object SparkEntry {
     // round-6 additions: sketching, LM scoring, graph analytics,
     // weighted sampling, content-defined chunking
     "events_cms_heavy_hitters" -> ((s, d) => graft.ops.Sketches.cmsHeavyHitters(s, d)),
+    "events_sliding_distinct" -> ((s, d) => graft.ops.Sketches.slidingDistinct(s, d)),
     "text_bigram_lm" -> ((s, d) => graft.llm.LanguageModel.bigramScore(s, d)),
     "nation_pagerank" -> ((s, d) => graft.sql.Graph.nationPagerank(s, d)),
     "nation_bfs_hops" -> ((s, d) => graft.sql.Graph.nationBfsHops(s, d)),
@@ -548,6 +549,7 @@ object SparkEntry {
     "classic_disjunctive_bands" -> Classics.disjunctiveBandRevenueOracle,
     "classic_lapsed_rich" -> Classics.lapsedRichCustomersOracle,
     "events_cms_heavy_hitters" -> graft.ops.Sketches.cmsHeavyHittersOracle,
+    "events_sliding_distinct" -> graft.ops.Sketches.slidingDistinctOracle,
     "text_bigram_lm" -> graft.llm.LanguageModel.bigramScoreOracle,
     "nation_pagerank" -> graft.sql.Graph.nationPagerankOracle,
     "nation_bfs_hops" -> graft.sql.Graph.nationBfsHopsOracle,

@@ -89,4 +89,59 @@ object Sketches {
         GROUP BY p.user_id, p.exact_n
         ORDER BY p.exact_n DESC, p.user_id"""
   }
+
+  // ---- HLL-sketch sliding-window distinct users ----
+
+  private val slideDays = 6 // window = anchor day and the 6 before it
+
+  /** Distinct users per sliding 7-day window, the sketch-merge way: raw
+    * events aggregate ONCE into per-day HLL sketches (DataSketches
+    * `hll_sketch_agg`, lgK = 12 → ~1.6 % RSE), and each window is a
+    * UNION of 7 day-grain sketches — so the windowed fan-out touches a
+    * days-sized relation, never the events again. That is the only
+    * shape that survives 100 TB: the exact form re-shuffles every
+    * (day, user) row into all 7 windows it belongs to and re-distincts
+    * per window, multiplying the heavy shuffle by the window length,
+    * while the sketch path pays one event-scale agg total.
+    *
+    * Oracle-gated through the bounds-AUDIT pattern (the
+    * `*_approx_audit` discipline): the output carries the EXACT
+    * distinct count (computed via the fan-out — affordable at audit
+    * scale) plus a within-bound flag on the sketch estimate; DuckDB
+    * recomputes the exact columns and pins the flag at literal 1. HLL
+    * union is commutative/idempotent and the estimate depends only on
+    * the merged register state, so the flag is deterministic under any
+    * partitioning; the 20 % + 3 slack bound is ≥ 12σ for lgK = 12. */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.io.Tables.events(spark, dir)
+      .selectExpr("CAST(ts AS DATE) AS day", "user_id")
+    val daySketch = ev.groupBy("day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val days = daySketch.select(col("day").as("anchor"))
+    val approx = broadcast(days)
+      .join(daySketch, expr(s"day BETWEEN date_sub(anchor, $slideDays) AND anchor"))
+      .groupBy("anchor").agg(
+        count(lit(1)).as("window_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+    val exact = broadcast(days)
+      .join(ev.distinct(), expr(s"day BETWEEN date_sub(anchor, $slideDays) AND anchor"))
+      .groupBy("anchor").agg(countDistinct("user_id").as("exact_users"))
+    approx.join(exact, Seq("anchor"))
+      .selectExpr("anchor AS day", "window_days", "exact_users",
+        "CAST(abs(approx_users - exact_users) <= greatest(CAST(3 AS BIGINT), " +
+          "CAST(ceil(0.2 * exact_users) AS BIGINT)) AS INT) AS within_bound")
+      .orderBy("day")
+  }
+
+  val slidingDistinctOracle: String =
+    s"""WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        days AS (SELECT DISTINCT day AS anchor FROM ev),
+        win AS (SELECT d.anchor, e.day, e.user_id
+                FROM days d JOIN ev e
+                ON e.day BETWEEN d.anchor - $slideDays AND d.anchor)
+        SELECT anchor AS day,
+          count(DISTINCT day) AS window_days,
+          count(DISTINCT user_id) AS exact_users,
+          1 AS within_bound
+        FROM win GROUP BY anchor ORDER BY day"""
 }
