@@ -126,6 +126,7 @@ object SparkEntry {
     "text_hashed_classifier" -> ((s, d) => TextAnalysis.hashedClassifier(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_skipgram_pmi" -> ((s, d) => TextAnalysis.skipgramPmi(s, d)),
+    "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
     "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "text_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
@@ -377,6 +378,7 @@ object SparkEntry {
     "text_hashed_classifier" -> TextAnalysis.hashedClassifierOracle,
     "text_collocations" -> TextAnalysis.collocationsOracle,
     "text_skipgram_pmi" -> TextAnalysis.skipgramPmiOracle,
+    "text_dsir_weights" -> TextAnalysis.dsirWeightsOracle,
     "text_vocabulary" -> TextAnalysis.vocabularyOracle,
     "text_contamination" -> TextAnalysis.contaminationOracle,
     "text_quality_gate" -> TextAnalysis.qualityGateOracle,

@@ -1094,4 +1094,84 @@ object TextAnalysis {
         SELECT row_number() OVER (ORDER BY lift DESC, term_a, term_b) AS rank,
           term_a, term_b, n_pair, n_a, n_b, lift
         FROM top ORDER BY rank"""
+
+  // ---- DSIR importance-resampling weights ----
+
+  private val dsirBuckets = 4096
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023): score
+    * every raw document by how much its hashed-n-gram distribution
+    * looks like a TARGET corpus (here: the `lang = 'en'` slice) versus
+    * the raw corpus — the published recipe for skewing a 100 TB crawl
+    * toward a domain without training a model. Per-token feature =
+    * md5 → 2^12 bucket (the [[hashedClassifier]] family); the two
+    * bucket distributions get add-1 smoothing; a document's importance
+    * weight is Σ_tokens ln(p̂(b)/q̂(b)).
+    *
+    * Scale shape: both distributions are ONE map-side-combined agg
+    * each over the token stream; the model is a ≤ 4096-row relation,
+    * BROADCAST to a token-level equi-join that rides the scan — the
+    * corpus is never shuffled on anything wider than its own tokens.
+    * Determinism: ln() is quantized to nano-units AT THE BUCKET MODEL
+    * (4096 rows, the [[LanguageModel]] BM25 discipline), so per-doc
+    * sums are exact BIGINT arithmetic — order-independent under any
+    * partitioning. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(expr(words("lower(text)", SparkD))).as("term"))
+      .withColumn("b", expr(s"${hexPrefix32("md5(term)")} % $dsirBuckets"))
+    val qCnt = toks.groupBy("b").agg(count(lit(1)).as("n_q"))
+    val pCnt = toks.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("n_p"))
+    val totals = qCnt.agg(sum("n_q").as("nq_total")).crossJoin(
+      pCnt.agg(sum("n_p").as("np_total")))
+    // q covers every observed bucket (p's support ⊆ q's), so the left
+    // join is total; smoothing keeps empty-in-target buckets finite.
+    val model = qCnt.join(pCnt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .selectExpr("b",
+        "CAST(round(ln(((CAST(coalesce(n_p, 0) AS DOUBLE) + 1) / " +
+          s"(CAST(np_total AS DOUBLE) + $dsirBuckets)) / " +
+          "((CAST(n_q AS DOUBLE) + 1) / " +
+          s"(CAST(nq_total AS DOUBLE) + $dsirBuckets))) * 1e9) AS BIGINT) AS w_nano")
+    val perDoc = toks.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w_nano").as("logw_sum"))
+    docs.select("doc_id", "lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "lang",
+        "CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens",
+        "CAST(coalesce(logw_sum, 0) AS BIGINT) AS logw_nano",
+        // resampling-eligible = looks more target than raw on net
+        "CASE WHEN coalesce(logw_sum, 0) > 0 THEN 1 ELSE 0 END AS prefer_flag")
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsOracle: String =
+    s"""WITH w_t AS (SELECT doc_id, lang, ${words("lower(text)", DuckD)} AS wv
+                     FROM documents),
+        toks AS (SELECT doc_id, lang, unnest(wv) AS term FROM w_t),
+        bt AS (SELECT doc_id, lang,
+                 ${hexPrefix32("md5(term)")} % $dsirBuckets AS b
+               FROM toks),
+        qc AS (SELECT b, count(*) AS n_q FROM bt GROUP BY b),
+        pc AS (SELECT b, count(*) AS n_p FROM bt WHERE lang = 'en' GROUP BY b),
+        tot AS (SELECT (SELECT sum(n_q) FROM qc) AS nq_total,
+                       (SELECT sum(n_p) FROM pc) AS np_total),
+        model AS (SELECT qc.b,
+            CAST(round(ln(((CAST(coalesce(pc.n_p, 0) AS DOUBLE) + 1) /
+                (CAST(np_total AS DOUBLE) + $dsirBuckets)) /
+              ((CAST(qc.n_q AS DOUBLE) + 1) /
+                (CAST(nq_total AS DOUBLE) + $dsirBuckets))) * 1e9) AS BIGINT) AS w_nano
+          FROM qc LEFT JOIN pc ON qc.b = pc.b CROSS JOIN tot),
+        perdoc AS (SELECT bt.doc_id, count(*) AS n_tokens,
+            sum(m.w_nano) AS logw_sum
+          FROM bt JOIN model m ON bt.b = m.b GROUP BY bt.doc_id)
+        SELECT d.doc_id, d.lang,
+          CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+          CAST(coalesce(p.logw_sum, 0) AS BIGINT) AS logw_nano,
+          CASE WHEN coalesce(p.logw_sum, 0) > 0 THEN 1 ELSE 0 END AS prefer_flag
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id"""
 }
