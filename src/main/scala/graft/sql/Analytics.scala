@@ -1069,4 +1069,84 @@ object Analytics {
          CAST(min(CASE WHEN s > 2 * t_total THEN day END) AS VARCHAR) AS first_alarm_day
        FROM s_t GROUP BY event_type ORDER BY event_type"""
 
+  // ---- Mann-Whitney U rank-sum test ----
+
+  /** Mann–Whitney U test of `value` between purchase and error events —
+    * the nonparametric two-sample location test (the A/B readout when
+    * revenue-per-event is heavy-tailed and a t-test's mean is the wrong
+    * summary). Completes the test battery next to the chi-square
+    * independence grid.
+    *
+    * Exactness discipline: values quantize to exact integer cents, and
+    * ALL rank arithmetic runs on 2× ranks so midranks of even tie
+    * groups stay integral — R₁, U₁, U₂ and the tie term Σ(t³−t) are
+    * exact BIGINTs that both engines must match bit-for-bit; only the
+    * final z readout is a double, computed in one shared IEEE tree.
+    *
+    * Scale shape: occurrences collapse to the DISTINCT-VALUE grain
+    * first (one map-side-combined agg), so the rank prefix-scan runs
+    * over the value domain, not the event count — cents of a bounded
+    * price range, thousands of rows at any corpus size. The global
+    * window is therefore domain-sized (same argument as the CUSUM
+    * day-grain scan); n₁·n₂ products go through DOUBLE for the z term
+    * (the association-rule overflow dodge). */
+  def eventsMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.io.Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1")
+    val byV = ev.groupBy("v").agg(
+      sum("g1").as("cnt1"), count(lit(1)).as("cnt"))
+    val wPrev = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byV.withColumn("cnt_less",
+      coalesce(sum("cnt").over(wPrev), lit(0L)))
+    val agg = ranked.agg(
+      sum("cnt1").as("n1"),
+      sum(expr("cnt - cnt1")).as("n2"),
+      sum(expr("cnt1 * (2 * cnt_less + cnt + 1)")).as("r1_doubled"),
+      sum(expr("cnt * cnt * cnt - cnt")).as("tie_t"))
+    agg.selectExpr("n1", "n2", "r1_doubled", "tie_t",
+        "r1_doubled - n1 * (n1 + 1) AS u1_doubled")
+      .selectExpr("n1", "n2", "r1_doubled", "tie_t", "u1_doubled",
+        "2 * n1 * n2 - u1_doubled AS u2_doubled",
+        // z = (U1 − n1·n2/2) / sqrt(n1·n2/12 · (n+1 − T/(n·(n−1))))
+        """(CAST(u1_doubled AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2) /
+           sqrt(CAST(n1 AS DOUBLE) * n2 / 12 *
+             (CAST(n1 + n2 + 1 AS DOUBLE)
+              - CAST(tie_t AS DOUBLE) /
+                (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z""")
+  }
+
+  val eventsMannWhitneyOracle: String =
+    """WITH ev AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+         FROM events WHERE event_type IN ('purchase', 'error')),
+       byv AS (SELECT v, sum(g1) AS cnt1, count(*) AS cnt
+               FROM ev GROUP BY v),
+       ranked AS (SELECT *,
+           coalesce(sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_less
+         FROM byv),
+       agg AS (SELECT
+           sum(cnt1) AS n1,
+           sum(cnt - cnt1) AS n2,
+           sum(cnt1 * (2 * cnt_less + cnt + 1)) AS r1_doubled,
+           sum(cnt * cnt * cnt - cnt) AS tie_t
+         FROM ranked),
+       u AS (SELECT *, r1_doubled - n1 * (n1 + 1) AS u1_doubled FROM agg)
+       SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         CAST(r1_doubled AS BIGINT) AS r1_doubled,
+         CAST(tie_t AS BIGINT) AS tie_t,
+         CAST(u1_doubled AS BIGINT) AS u1_doubled,
+         CAST(2 * n1 * n2 - u1_doubled AS BIGINT) AS u2_doubled,
+         (CAST(u1_doubled AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2) /
+           sqrt(CAST(n1 AS DOUBLE) * n2 / 12 *
+             (CAST(n1 + n2 + 1 AS DOUBLE)
+              - CAST(tie_t AS DOUBLE) /
+                (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z
+       FROM u"""
+
 }
