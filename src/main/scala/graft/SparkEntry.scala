@@ -127,6 +127,7 @@ object SparkEntry {
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_skipgram_pmi" -> ((s, d) => TextAnalysis.skipgramPmi(s, d)),
     "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "retrieval_rrf_fusion" -> ((s, d) => graft.llm.Retrieval.rrfFusion(s, d)),
     "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
     "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "text_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
@@ -380,6 +381,7 @@ object SparkEntry {
     "text_collocations" -> TextAnalysis.collocationsOracle,
     "text_skipgram_pmi" -> TextAnalysis.skipgramPmiOracle,
     "text_dsir_weights" -> TextAnalysis.dsirWeightsOracle,
+    "retrieval_rrf_fusion" -> graft.llm.Retrieval.rrfFusionOracle,
     "text_vocabulary" -> TextAnalysis.vocabularyOracle,
     "text_contamination" -> TextAnalysis.contaminationOracle,
     "text_quality_gate" -> TextAnalysis.qualityGateOracle,

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Gen._
+
+/** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+  * the engine's lexical tier (TF-IDF cosine over 3-gram shingles, the
+  * staged [[TextAnalysis.tfidfSims]] relation) and its semantic tier
+  * (embedding cosine, [[Similarity.cosineTopK]]) — the production
+  * default for search since pure-lexical and pure-vector both leave
+  * recall on the table, and the fusion needs only RANKS, never
+  * score calibration between incomparable metrics.
+  *
+  * Scale shape: both inputs are already per-query top-k relations
+  * (k·|queries| rows), so the fusion itself is a full-outer equi-join
+  * on (query, doc) plus one window — negligible next to the tiers it
+  * composes. At 100 TB the lexical candidates come from the
+  * posting-list/BM25 path and the semantic ones from IVF — both
+  * bounded — and this operator is unchanged.
+  *
+  * Determinism: RRF contributions are nano-quantized upfront —
+  * round(10⁹/(60 + rank)) is an exact integer for every rank, so
+  * fused scores are BIGINT sums and the final ordering needs no float
+  * comparison (doc_id breaks the remaining ties).
+  */
+object Retrieval {
+
+  private val nQueries = 5
+  private val topK = 10
+  private val rrfK = 60
+
+  private def rrfTerm(rank: String): String =
+    s"CAST(round(1000000000.0 / ($rrfK + $rank)) AS BIGINT)"
+
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    // lexical tier: symmetrize the doc_a<doc_b sims, rank per query
+    val sims = TextAnalysis.tfidfSims(spark, dir)
+    val lexSym = sims.selectExpr("doc_a AS q", "doc_b AS d", "cos_sim")
+      .unionAll(sims.selectExpr("doc_b AS q", "doc_a AS d", "cos_sim"))
+      .filter(col("q") < nQueries)
+    val wLex = Window.partitionBy("q").orderBy(desc("cos_sim"), asc("d"))
+    val lex10 = lexSym.withColumn("rank_lex", row_number().over(wLex))
+      .filter(col("rank_lex") <= topK).select("q", "d", "rank_lex")
+    // semantic tier: the brute-force cosine top-k (IVF at scale)
+    val sem10 = Similarity.cosineTopK(spark, dir)
+      .selectExpr("query_id AS q", "vec_id AS d", "rank AS rank_sem")
+    // fusion: full outer on (q, d), nano-quantized RRF contributions
+    val merged = lex10.join(sem10, Seq("q", "d"), "full_outer")
+      .selectExpr("q", "d",
+        "CAST(coalesce(rank_lex, 0) AS BIGINT) AS rank_lex",
+        "CAST(coalesce(rank_sem, 0) AS BIGINT) AS rank_sem",
+        s"coalesce(${rrfTerm("rank_lex")}, 0) + " +
+          s"coalesce(${rrfTerm("rank_sem")}, 0) AS score_nano")
+    val wFused = Window.partitionBy("q").orderBy(desc("score_nano"), asc("d"))
+    merged.withColumn("rrf_rank",
+        row_number().over(wFused).cast("long"))
+      .filter(col("rrf_rank") <= topK)
+      .selectExpr("q AS query_id", "d AS doc_id", "rrf_rank",
+        "score_nano", "rank_lex", "rank_sem")
+      .orderBy("query_id", "rrf_rank")
+  }
+
+  val rrfFusionOracle: String = {
+    val d = DuckD
+    s"""WITH ${TextAnalysis.tfidfCtes},
+        lexsym AS (SELECT doc_a AS q, doc_b AS dd, cos_sim FROM s
+                   UNION ALL
+                   SELECT doc_b AS q, doc_a AS dd, cos_sim FROM s),
+        lexr AS (SELECT q, dd, row_number() OVER
+                   (PARTITION BY q ORDER BY cos_sim DESC, dd) AS rank_lex
+                 FROM lexsym WHERE q < $nQueries),
+        lex10 AS (SELECT q, dd, rank_lex FROM lexr WHERE rank_lex <= $topK),
+        ${Similarity.vecsCte(d)},
+        qv AS (SELECT vec_id AS query_id, v AS cqv, nrm AS qnrm
+               FROM e WHERE vec_id < $nQueries),
+        semscored AS (SELECT qv.query_id, e.vec_id,
+            ${cosineWithNorms("qv.cqv", "e.v", "qv.qnrm", "e.nrm", d)} AS cosine
+          FROM e JOIN qv ON e.vec_id <> qv.query_id),
+        semr AS (SELECT query_id, vec_id, row_number() OVER
+                   (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank_sem
+                 FROM semscored),
+        sem10 AS (SELECT query_id AS q, vec_id AS dd, rank_sem
+                  FROM semr WHERE rank_sem <= $topK),
+        merged AS (SELECT coalesce(l.q, s10.q) AS q,
+            coalesce(l.dd, s10.dd) AS dd,
+            CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+            CAST(coalesce(s10.rank_sem, 0) AS BIGINT) AS rank_sem,
+            coalesce(${rrfTerm("l.rank_lex")}, 0) +
+              coalesce(${rrfTerm("s10.rank_sem")}, 0) AS score_nano
+          FROM lex10 l FULL OUTER JOIN sem10 s10
+            ON l.q = s10.q AND l.dd = s10.dd),
+        fused AS (SELECT *, CAST(row_number() OVER
+            (PARTITION BY q ORDER BY score_nano DESC, dd) AS BIGINT) AS rrf_rank
+          FROM merged)
+        SELECT q AS query_id, dd AS doc_id, rrf_rank,
+          CAST(score_nano AS BIGINT) AS score_nano, rank_lex, rank_sem
+        FROM fused WHERE rrf_rank <= $topK
+        ORDER BY query_id, rrf_rank"""
+  }
+}

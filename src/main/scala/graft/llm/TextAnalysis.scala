@@ -656,7 +656,7 @@ object TextAnalysis {
 
   /** Shared CTE prefix up to the unthresholded similarity relation
     * `s` (mirrors [[tfidfSims]]). */
-  private def tfidfCtes: String =
+  private[llm] def tfidfCtes: String =
     s"""w AS (SELECT doc_id, ${words("lower(text)", DuckD)} AS wv FROM documents),
         g AS (SELECT doc_id, unnest(${grams3("wv", DuckD)}) AS term FROM w),
         tf_t AS (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY 1, 2),
