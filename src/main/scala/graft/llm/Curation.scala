@@ -711,5 +711,68 @@ object Curation {
         one AS (SELECT ${funnelAggs.mkString(", ")} FROM ff)
         SELECT * FROM ($rows) ORDER BY stage"""
   }
+
+  // ---- corpus datacard ----
+
+  /** One-row dataset datasheet — the summary block of a data card
+    * (Gebru et al., "Datasheets for Datasets"): corpus size, source
+    * and language spread, token mass, verbatim-duplication rate, and
+    * means. Everything rides ONE scan of `documents` into a single
+    * map-side-combined aggregation (exact distincts over the bounded
+    * source/lang domains plus an md5 fingerprint distinct); the
+    * deeper tiers (near-dup clusters, quality funnel, span coverage)
+    * publish their own queries — this is the headline block that
+    * fronts them. Means are exact-count divisions in one IEEE tree;
+    * counts are BIGINT. */
+  def datacard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", "lang", "n_chars",
+        s"size(${words("lower(text)", SparkD)}) AS n_tokens",
+        "md5(text) AS fp",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tokens").as("total_tokens"),
+        countDistinct("fp").as("distinct_texts"),
+        sum("is_en").as("n_en_docs"))
+      .selectExpr("n_docs", "n_sources", "n_langs",
+        "total_chars", "total_tokens", "distinct_texts",
+        "n_docs - distinct_texts AS exact_dup_docs",
+        "n_en_docs",
+        "CAST(total_chars AS DOUBLE) / n_docs AS mean_chars",
+        "CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens",
+        "CAST(n_en_docs AS DOUBLE) / n_docs AS pct_en_docs")
+  }
+
+  val datacardOracle: String =
+    s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
+          len(${words("lower(text)", DuckD)}) AS n_tokens,
+          md5(text) AS fp,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        FROM documents),
+       agg AS (SELECT count(*) AS n_docs,
+          count(DISTINCT source) AS n_sources,
+          count(DISTINCT lang) AS n_langs,
+          sum(n_chars) AS total_chars,
+          sum(n_tokens) AS total_tokens,
+          count(DISTINCT fp) AS distinct_texts,
+          sum(is_en) AS n_en_docs
+        FROM d)
+       SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(n_sources AS BIGINT) AS n_sources,
+         CAST(n_langs AS BIGINT) AS n_langs,
+         CAST(total_chars AS BIGINT) AS total_chars,
+         CAST(total_tokens AS BIGINT) AS total_tokens,
+         CAST(distinct_texts AS BIGINT) AS distinct_texts,
+         CAST(n_docs - distinct_texts AS BIGINT) AS exact_dup_docs,
+         CAST(n_en_docs AS BIGINT) AS n_en_docs,
+         CAST(total_chars AS DOUBLE) / n_docs AS mean_chars,
+         CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens,
+         CAST(n_en_docs AS DOUBLE) / n_docs AS pct_en_docs
+       FROM agg"""
 }
 
