@@ -133,6 +133,7 @@ object SparkEntry {
     "text_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
     "corpus_quality_funnel" -> ((s, d) => Curation.qualityFunnel(s, d)),
     "corpus_datacard" -> ((s, d) => Curation.datacard(s, d)),
+    "corpus_shard_plan" -> ((s, d) => Curation.shardPlan(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_split" -> ((s, d) => Curation.sampleSplit(s, d)),
     "corpus_curated" -> ((s, d) => Curation.curatedCorpus(s, d)),
@@ -388,6 +389,7 @@ object SparkEntry {
     "text_quality_gate" -> TextAnalysis.qualityGateOracle,
     "corpus_quality_funnel" -> Curation.qualityFunnelOracle,
     "corpus_datacard" -> Curation.datacardOracle,
+    "corpus_shard_plan" -> Curation.shardPlanOracle,
     "dedup_edit_distance" -> Dedup.editDistancePairsOracle,
     "corpus_split" -> Curation.sampleSplitOracle,
     "corpus_curated" -> Curation.curatedCorpusOracle,

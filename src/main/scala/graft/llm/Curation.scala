@@ -452,6 +452,51 @@ object Curation {
             WHERE lb.doc_id = d.doc_id AND lb.doc_id <> lb.cluster_id)
         ORDER BY d.doc_id"""
 
+  // ---- training-shard plan ----
+
+  private val nShards = 16
+
+  /** Output sharding for the train split — the pipeline's last mile:
+    * every curated train document lands in one of [[nShards]] shards
+    * by content-independent hash (uniform regardless of doc_id
+    * clustering or source skew), and gets a deterministic intra-shard
+    * order key (seeded md5) — the "global shuffle" a training run
+    * needs, as a pure function of the corpus, reproducible on any
+    * cluster with no RNG state. The readout is the shard manifest:
+    * per-shard doc/token mass (the balance check that decides whether
+    * the hash is doing its job) and the first document in shuffle
+    * order (a spot-probe that the order key is stable). One hash-agg
+    * over the curated relation; the physical write would be
+    * `.repartition(col("shard")).sortWithinPartitions("ok")` feeding
+    * [[graft.io.Writers]] — partitioning and order both derive from
+    * these columns. */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cur = curatedCorpus(spark, dir).filter(col("split") === "train")
+    cur.selectExpr("doc_id", "n_tokens",
+        s"${hexPrefix32("md5(concat('shard:', CAST(doc_id AS STRING)))")} % $nShards AS shard",
+        "md5(concat('order:', CAST(doc_id AS STRING))) AS ok")
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        expr("min_by(doc_id, ok)").as("head_doc"))
+      .selectExpr("shard", "n_docs", "total_tokens",
+        "CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens", "head_doc")
+      .orderBy("shard")
+  }
+
+  val shardPlanOracle: String =
+    s"""WITH cur AS (SELECT * FROM ($curatedCorpusOracle) WHERE split = 'train'),
+        sh AS (SELECT doc_id, n_tokens,
+            ${hexPrefix32("md5('shard:' || CAST(doc_id AS VARCHAR))")} % $nShards AS shard,
+            md5('order:' || CAST(doc_id AS VARCHAR)) AS ok
+          FROM cur)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
+          min_by(doc_id, ok) AS head_doc
+        FROM sh GROUP BY shard ORDER BY shard"""
+
   // ---- stratified sampling ----
 
   private val stratFrac = 0.1
