@@ -229,6 +229,57 @@ object Multimodal {
       .orderBy("doc_id", "channel")
   }
 
+  case class PixelHistBin(doc_id: Long, channel: Int, bin: Int, n_px: Long)
+
+  /** Per-channel 16-bin intensity histograms from REAL decoded PNG
+    * bytes — the classic image feature vector (color histograms drive
+    * near-dup blocking, quality heuristics like over/under-exposure,
+    * and cheap perceptual clustering). Values bin by v DIV 16; only
+    * occupied bins emit (the join-friendly sparse form — 100 TB of
+    * images stays ≤ 64 rows per image regardless of resolution).
+    * Decode happens once per image in the executors; the oracle
+    * recomputes every bin count from the generative raster formula,
+    * so a hash-match proves the full encode→inflate→unfilter→bin
+    * path — the same technique as [[pixelStatsOracle]]. */
+  def pixelHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bins = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 0").as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val (w, h) = pixelDims(id)
+          val png = MediaCodec.makePngWithPixels(
+            w, h, pixelRaster(id, w, h), y => ((id + y) % 5).toInt)
+          val img = MediaCodec.decodePngPixels(png).getOrElse(
+            sys.error(s"pixel decode failed for doc $id"))
+          val b = img.bytes
+          val counts = Array.ofDim[Long](4, 16)
+          var j = 0
+          while (j < b.length) {
+            counts(j % 4)((b(j) & 0xff) >> 4) += 1
+            j += 1
+          }
+          for (c <- 0 until 4; bin <- 0 until 16 if counts(c)(bin) > 0L)
+            yield PixelHistBin(id, c, bin, counts(c)(bin))
+        }
+      }
+    bins.toDF().orderBy("doc_id", "channel", "bin")
+  }
+
+  val pixelHistogramOracle: String =
+    """WITH imgs AS (SELECT doc_id,
+           CAST(doc_id % 31 + 1 AS INTEGER) AS w,
+           CAST(doc_id % 17 + 1 AS INTEGER) AS h
+         FROM documents WHERE doc_id % 3 = 0),
+       px AS (SELECT i.doc_id,
+           CAST(b.i % 4 AS INTEGER) AS channel,
+           CAST((((i.doc_id % 251) + y.y * 31 + b.i * 7) % 256) // 16 AS INTEGER) AS bin
+         FROM imgs i, range(0, 17) y(y), range(0, 124) b(i)
+         WHERE y.y < i.h AND b.i < i.w * 4)
+       SELECT doc_id, channel, bin, count(*) AS n_px
+       FROM px GROUP BY doc_id, channel, bin
+       ORDER BY doc_id, channel, bin"""
+
   case class PixelAhash(doc_id: Long, w: Int, h: Int, ahash: Long)
 
   /** Perceptual average-hash over the REAL decode path — the image
