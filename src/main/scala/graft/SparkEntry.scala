@@ -187,6 +187,8 @@ object SparkEntry {
     "embedding_int8_quant" -> ((s, d) => Quantize.int8Quant(s, d)),
     "embedding_random_projection" -> ((s, d) => Quantize.randomProjection(s, d)),
     "embedding_projection_audit" -> ((s, d) => Quantize.projectionAudit(s, d)),
+    "ann_binary_topk" -> ((s, d) => Quantize.binaryTopK(s, d)),
+    "ann_matryoshka_recall" -> ((s, d) => Quantize.matryoshkaRecall(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "multimodal_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, d)),
@@ -444,6 +446,8 @@ object SparkEntry {
     "embedding_int8_quant" -> Quantize.int8QuantOracle,
     "embedding_random_projection" -> Quantize.randomProjectionOracle,
     "embedding_projection_audit" -> Quantize.projectionAuditOracle,
+    "ann_binary_topk" -> Quantize.binaryTopKOracle,
+    "ann_matryoshka_recall" -> Quantize.matryoshkaRecallOracle,
     "table_profile" -> graft.ops.Profile.tableProfileOracle,
     "lineitem_moment_corr" -> graft.ops.Profile.momentCorrOracle,
     "lineitem_spearman" -> graft.ops.Profile.spearmanCorrOracle,

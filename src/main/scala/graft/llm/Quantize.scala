@@ -213,4 +213,127 @@ object Quantize {
             THEN 1 ELSE 0 END AS within_eps
         FROM pr ORDER BY id_a"""
   }
+
+  // ---- binary (sign) embeddings + Hamming search ----
+
+  private val binTopK = 10
+  private val binQueries = 5
+
+  /** Sign-bit pack of a 64-dim vector into ONE signed BIGINT. Bit 63's
+    * weight is Long.MinValue, which neither engine can parse as a
+    * plain negative literal (−2⁶³ lexes as −(2⁶³) and the positive
+    * half overflows), so it is spelled (−(2⁶³−1))−1; disjoint bits
+    * make the two's-complement sum the exact bit pattern (the
+    * [[Multimodal]] aHash trick). */
+  private def signPack(a: String, d: Dialect): String =
+    (0 until dims).map { i =>
+      val w =
+        if (i == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+        else s"CAST(${1L << i} AS BIGINT)"
+      s"CASE WHEN ${idx(a, i, d)} > 0.0 THEN $w ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+
+  /** Binary-quantized ANN: 64-dim float vectors collapse to 64 BITS
+    * (32× smaller than SQ8), candidate ranking is one XOR + popcount
+    * per pair — the re-rank-from-binary shape every 2024-era vector
+    * DB ships. Per-query top-[[binTopK]] by Hamming distance; ties
+    * break on vec_id so the readout is total. The corpus side stays
+    * partitioned; only the 5-query bit relation broadcasts. */
+  def binaryTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = vecsD(spark, dir)
+      .selectExpr("vec_id", s"${signPack("v", SparkD)} AS b")
+    val q = bits.filter(col("vec_id") < binQueries)
+      .selectExpr("vec_id AS query_id", "b AS qb")
+    val scored = bits.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id",
+        s"bit_count(${bitXor("qb", "b", SparkD)}) AS hamming")
+    val w = Window.partitionBy("query_id").orderBy(asc("hamming"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= binTopK)
+      .selectExpr("query_id", "vec_id", "rank", "CAST(hamming AS INT) AS hamming")
+      .orderBy("query_id", "rank")
+  }
+
+  val binaryTopKOracle: String = {
+    val d = DuckD
+    s"""WITH ${vecsDCte(d)},
+        bits AS (SELECT vec_id, ${signPack("v", d)} AS b FROM ve),
+        q AS (SELECT vec_id AS query_id, b AS qb FROM bits
+              WHERE vec_id < $binQueries),
+        scored AS (SELECT q.query_id, bits.vec_id,
+            bit_count(${bitXor("q.qb", "bits.b", d)}) AS hamming
+          FROM bits JOIN q ON bits.vec_id <> q.query_id),
+        ranked AS (SELECT *, CAST(row_number() OVER
+            (PARTITION BY query_id ORDER BY hamming, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, rank, CAST(hamming AS INTEGER) AS hamming
+        FROM ranked WHERE rank <= $binTopK ORDER BY query_id, rank"""
+  }
+
+  // ---- Matryoshka prefix-dimension recall ----
+
+  private val mrlDims = 16
+
+  /** Matryoshka-style truncation audit (Kusupati et al. 2022): rank by
+    * the FIRST [[mrlDims]] dimensions only and measure recall@10
+    * against full-dimension cosine truth — the "how much cheaper can
+    * the first pass be" readout that decides a two-stage (truncate →
+    * re-rank) retrieval deployment. The fixture's embeddings are not
+    * MRL-trained, so recall here is the honest baseline a trained
+    * matryoshka head would beat; the operator (prefix dot, prefix
+    * norms, top-k, intersection count) is what production runs. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotP(a: String, b: String, d: Dialect): String =
+      (0 until mrlDims).map(i => s"${idx(a, i, d)} * ${idx(b, i, d)}").mkString(" + ")
+    val vp = vecsD(spark, dir)
+      .selectExpr("vec_id", "v", s"sqrt(${dotP("v", "v", SparkD)}) AS pnrm")
+    val q = vp.filter(col("vec_id") < binQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv", "pnrm AS qpnrm")
+    val scored = vp.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id",
+        s"(${dotP("qv", "v", SparkD)}) / (qpnrm * pnrm) AS pcos")
+    val w = Window.partitionBy("query_id").orderBy(desc("pcos"), asc("vec_id"))
+    val prefixTop = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= binTopK).select("query_id", "vec_id")
+    val fullTop = Similarity.cosineTopK(spark, dir).select("query_id", "vec_id")
+    fullTop.join(prefixTop, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      .selectExpr("query_id", "n_hits",
+        s"CAST(n_hits AS DOUBLE) / $binTopK AS recall")
+      .orderBy("query_id")
+  }
+
+  val matryoshkaRecallOracle: String = {
+    val d = DuckD
+    def dotP(a: String, b: String): String =
+      (0 until mrlDims).map(i => s"${idx(a, i, d)} * ${idx(b, i, d)}").mkString(" + ")
+    s"""WITH ${vecsDCte(d)},
+        vp AS (SELECT vec_id, v, sqrt(${dotP("v", "v")}) AS pnrm FROM ve),
+        q AS (SELECT vec_id AS query_id, v AS qv, pnrm AS qpnrm FROM vp
+              WHERE vec_id < $binQueries),
+        scored AS (SELECT q.query_id, vp.vec_id,
+            (${dotP("q.qv", "vp.v")}) / (q.qpnrm * vp.pnrm) AS pcos
+          FROM vp JOIN q ON vp.vec_id <> q.query_id),
+        ptop AS (SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY pcos DESC, vec_id) AS rank
+            FROM scored) WHERE rank <= $binTopK),
+        fe AS (SELECT vec_id, v, ${norm64("v", d)} AS nrm FROM ve),
+        fq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM fe
+               WHERE vec_id < $binQueries),
+        fscored AS (SELECT fq.query_id, fe.vec_id,
+            ${cosineWithNorms("fq.qv", "fe.v", "fq.qnrm", "fe.nrm", d)} AS cosine
+          FROM fe JOIN fq ON fe.vec_id <> fq.query_id),
+        ftop AS (SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM fscored) WHERE rank <= $binTopK)
+        SELECT f.query_id, count(*) AS n_hits,
+          CAST(count(*) AS DOUBLE) / $binTopK AS recall
+        FROM ftop f JOIN ptop p
+          ON f.query_id = p.query_id AND f.vec_id = p.vec_id
+        GROUP BY f.query_id ORDER BY f.query_id"""
+  }
 }
