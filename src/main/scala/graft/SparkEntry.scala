@@ -193,6 +193,7 @@ object SparkEntry {
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
     "multimodal_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, d)),
     "multimodal_pixel_histogram" -> ((s, d) => Multimodal.pixelHistogram(s, d)),
+    "multimodal_hist_similarity" -> ((s, d) => Multimodal.histSimilarity(s, d)),
     "multimodal_wav_stats" -> ((s, d) => Multimodal.wavStats(s, d)),
     "multimodal_video_stats" -> ((s, d) => Multimodal.videoStats(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
@@ -503,6 +504,7 @@ object SparkEntry {
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,
     "multimodal_pixel_histogram" -> Multimodal.pixelHistogramOracle,
+    "multimodal_hist_similarity" -> Multimodal.histSimilarityOracle,
     "multimodal_wav_stats" -> Multimodal.wavStatsOracle,
     "multimodal_video_stats" -> Multimodal.videoStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,

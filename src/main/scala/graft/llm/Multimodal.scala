@@ -280,6 +280,63 @@ object Multimodal {
        FROM px GROUP BY doc_id, channel, bin
        ORDER BY doc_id, channel, bin"""
 
+  private val histProbes = 5
+  private val histTopK = 5
+
+  /** Histogram-intersection similarity: for [[histProbes]] probe
+    * images, rank every other image by Σ min(hₐ, h_b) over the 64
+    * (channel, bin) cells, normalized by the probe's pixel mass — the
+    * classic color-similarity measure (Swain & Ballard 1991), and the
+    * cheap first pass of image near-dup once [[pixelHistogram]] is
+    * materialized. The probe side is a ≤ 64·[[histProbes]]-row
+    * broadcast; the corpus side is the (sparse) histogram relation
+    * joined on its (channel, bin) key — per-image work is O(64)
+    * regardless of resolution, and nothing ever touches pixels again.
+    * Similarity is an exact integer (min-sum of counts); the
+    * normalized readout divides by the probe mass in one shared tree. */
+  def histSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = pixelHistogram(spark, dir)
+    val probes = hist.filter(col("doc_id") < histProbes * 3)
+      .selectExpr("doc_id AS probe_id", "channel", "bin", "n_px AS p_px")
+    val inter = hist.join(broadcast(probes),
+        Seq("channel", "bin"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(least(col("n_px"), col("p_px"))).as("inter_px"))
+    val probeMass = probes.groupBy("probe_id")
+      .agg(sum("p_px").as("probe_px"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(desc("inter_px"), asc("doc_id"))
+    inter.join(broadcast(probeMass), Seq("probe_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= histTopK)
+      .selectExpr("probe_id", "doc_id", "rank",
+        "CAST(inter_px AS BIGINT) AS inter_px",
+        "CAST(inter_px AS DOUBLE) / probe_px AS similarity")
+      .orderBy("probe_id", "rank")
+  }
+
+  val histSimilarityOracle: String =
+    s"""WITH hist AS ($pixelHistogramOracle),
+        probes AS (SELECT doc_id AS probe_id, channel, bin, n_px AS p_px
+                   FROM hist WHERE doc_id < ${histProbes * 3}),
+        pm AS (SELECT probe_id, sum(p_px) AS probe_px FROM probes GROUP BY probe_id),
+        inter AS (SELECT p.probe_id, h.doc_id,
+            sum(least(h.n_px, p.p_px)) AS inter_px
+          FROM hist h JOIN probes p
+            ON h.channel = p.channel AND h.bin = p.bin
+          WHERE h.doc_id <> p.probe_id
+          GROUP BY p.probe_id, h.doc_id),
+        ranked AS (SELECT i.*, pm.probe_px, CAST(row_number() OVER
+            (PARTITION BY i.probe_id ORDER BY i.inter_px DESC, i.doc_id) AS BIGINT) AS rank
+          FROM inter i JOIN pm ON i.probe_id = pm.probe_id)
+        SELECT probe_id, doc_id, rank,
+          CAST(inter_px AS BIGINT) AS inter_px,
+          CAST(inter_px AS DOUBLE) / probe_px AS similarity
+        FROM ranked WHERE rank <= $histTopK
+        ORDER BY probe_id, rank"""
+
   case class PixelAhash(doc_id: Long, w: Int, h: Int, ahash: Long)
 
   /** Perceptual average-hash over the REAL decode path — the image
