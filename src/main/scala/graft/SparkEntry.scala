@@ -239,6 +239,7 @@ object SparkEntry {
     "parts_association_rules" -> ((s, d) => Analytics.brandAssociationRules(s, d)),
     "events_chi_square" -> ((s, d) => Analytics.eventsChiSquare(s, d)),
     "events_mann_whitney" -> ((s, d) => Analytics.eventsMannWhitney(s, d)),
+    "events_daily_autocorr" -> ((s, d) => Analytics.eventsDailyAutocorr(s, d)),
     "daily_revenue_trend" -> ((s, d) => Analytics.dailyRevenueTrend(s, d)),
     "monthly_revenue_theilsen" -> ((s, d) => Analytics.monthlyRevenueTheilSen(s, d)),
     "docs_source_diversity" -> ((s, d) => Analytics.docsSourceDiversity(s, d)),
@@ -492,6 +493,7 @@ object SparkEntry {
     "parts_association_rules" -> Analytics.brandAssociationRulesOracle,
     "events_chi_square" -> Analytics.eventsChiSquareOracle,
     "events_mann_whitney" -> Analytics.eventsMannWhitneyOracle,
+    "events_daily_autocorr" -> Analytics.eventsDailyAutocorrOracle,
     "daily_revenue_trend" -> Analytics.dailyRevenueTrendOracle,
     "monthly_revenue_theilsen" -> Analytics.monthlyRevenueTheilSenOracle,
     "docs_source_diversity" -> Analytics.docsSourceDiversityOracle,

@@ -1119,6 +1119,65 @@ object Analytics {
                 (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z""")
   }
 
+  // ---- daily-count autocorrelation (seasonality detector) ----
+
+  /** Autocorrelation of the daily event count at lags 1..7 — the
+    * periodicity detector that turns "is traffic weekly-seasonal?"
+    * into one readout (r spikes at the true period). Day-grain pairs
+    * come from ONE fan-out equi-join (each day projects its 7 lag
+    * targets; the join key is the computed target day — no range
+    * predicate, no window), and each lag's Pearson r is assembled
+    * from exact integer moments ([[Profile]]'s momentCorr discipline:
+    * BIGINT Σx/Σy/Σxy/Σx²/Σy² per lag, the float tree only at the
+    * final r). The scan is day-grain, so the whole operator is
+    * calendar-sized at any event volume — the events themselves
+    * aggregate once. */
+  def eventsDailyAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.io.Tables.events(spark, dir)
+      .selectExpr("CAST(ts AS DATE) AS day")
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val probes = daily.selectExpr("day", "n AS x",
+        "explode(sequence(1, 7)) AS lag")
+      .selectExpr("lag", "x", "date_add(day, lag) AS tday")
+    val pairs = probes.join(
+      daily.selectExpr("day AS tday", "n AS y"), Seq("tday"))
+    pairs.groupBy("lag").agg(
+        count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sx2"),
+        sum(expr("y * y")).as("sy2"))
+      .selectExpr("CAST(lag AS INT) AS lag", "n_pairs", "sx", "sy", "sxy",
+        """(CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+           sqrt((CAST(n_pairs AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) *
+                (CAST(n_pairs AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)) AS r""")
+      .orderBy("lag")
+  }
+
+  val eventsDailyAutocorrOracle: String =
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1),
+       probes AS (
+         SELECT l.lag, d.n AS x, d.day + CAST(l.lag AS INTEGER) AS tday
+         FROM daily d, (SELECT unnest(range(1, 8)) AS lag) l),
+       pairs AS (
+         SELECT p.lag, p.x, t.n AS y
+         FROM probes p JOIN daily t ON t.day = p.tday),
+       m AS (
+         SELECT lag, count(*) AS n_pairs,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sx2, sum(y * y) AS sy2
+         FROM pairs GROUP BY lag)
+       SELECT CAST(lag AS INTEGER) AS lag,
+         CAST(n_pairs AS BIGINT) AS n_pairs,
+         CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+         CAST(sxy AS BIGINT) AS sxy,
+         (CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+           sqrt((CAST(n_pairs AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) *
+                (CAST(n_pairs AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)) AS r
+       FROM m ORDER BY lag"""
+
   val eventsMannWhitneyOracle: String =
     """WITH ev AS (
          SELECT CAST(round(value * 100) AS BIGINT) AS v,
