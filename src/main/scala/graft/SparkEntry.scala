@@ -127,6 +127,8 @@ object SparkEntry {
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_skipgram_pmi" -> ((s, d) => TextAnalysis.skipgramPmi(s, d)),
     "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "text_sentences" -> ((s, d) => TextAnalysis.sentences(s, d)),
+    "text_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "retrieval_rrf_fusion" -> ((s, d) => graft.llm.Retrieval.rrfFusion(s, d)),
     "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
     "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
@@ -388,6 +390,8 @@ object SparkEntry {
     "text_collocations" -> TextAnalysis.collocationsOracle,
     "text_skipgram_pmi" -> TextAnalysis.skipgramPmiOracle,
     "text_dsir_weights" -> TextAnalysis.dsirWeightsOracle,
+    "text_sentences" -> TextAnalysis.sentencesOracle,
+    "text_char_diversity" -> TextAnalysis.charDiversityOracle,
     "retrieval_rrf_fusion" -> graft.llm.Retrieval.rrfFusionOracle,
     "text_vocabulary" -> TextAnalysis.vocabularyOracle,
     "text_contamination" -> TextAnalysis.contaminationOracle,

@@ -1095,6 +1095,94 @@ object TextAnalysis {
           term_a, term_b, n_pair, n_a, n_b, lift
         FROM top ORDER BY rank"""
 
+  // ---- sentence segmentation stats ----
+
+  /** Per-doc sentence segmentation on terminal punctuation runs
+    * ([.!?]+) — the grain sentence-level dedup, chunk alignment, and
+    * readability metrics all need before anything smarter (a real
+    * splitter adds abbreviation rules; the regex IS the deterministic
+    * core both engines share). Purely array-local per row — zero
+    * shuffles; empty segments from trailing terminators are dropped
+    * after trim so "a. b." is 2 sentences, not 3. Mean length is an
+    * exact-count division in one tree. */
+  def sentences(spark: SparkSession, dir: String): DataFrame = {
+    val segs = "filter(transform(split(text, '[.!?]+'), s -> trim(s)), s -> length(s) > 0)"
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"$segs AS sg")
+      .selectExpr("doc_id",
+        "CAST(size(sg) AS BIGINT) AS n_sentences",
+        "CAST(aggregate(sg, CAST(0 AS BIGINT), (a, s) -> a + length(s)) AS BIGINT) AS sentence_chars",
+        "CAST(coalesce(aggregate(sg, CAST(0 AS BIGINT), (a, s) -> greatest(a, length(s))), 0) AS BIGINT) AS max_sentence")
+      .selectExpr("doc_id", "n_sentences", "sentence_chars", "max_sentence",
+        "CASE WHEN n_sentences > 0 THEN CAST(sentence_chars AS DOUBLE) / n_sentences ELSE CAST(0 AS DOUBLE) END AS mean_sentence")
+      .orderBy("doc_id")
+  }
+
+  val sentencesOracle: String =
+    """WITH sg_t AS (SELECT doc_id,
+          list_filter(list_transform(string_split_regex(text, '[.!?]+'), s -> trim(s)),
+            s -> length(s) > 0) AS sg
+        FROM documents),
+       agg AS (SELECT doc_id,
+          CAST(len(sg) AS BIGINT) AS n_sentences,
+          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(sg, s -> CAST(length(s) AS BIGINT))), (a, s) -> a + s) AS BIGINT) AS sentence_chars,
+          CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(sg, s -> CAST(length(s) AS BIGINT))), (a, s) -> greatest(a, s)), 0) AS BIGINT) AS max_sentence
+        FROM sg_t)
+       SELECT doc_id, n_sentences, sentence_chars, max_sentence,
+         CASE WHEN n_sentences > 0 THEN CAST(sentence_chars AS DOUBLE) / n_sentences ELSE CAST(0 AS DOUBLE) END AS mean_sentence
+       FROM agg ORDER BY doc_id"""
+
+  // ---- char-level Simpson diversity ----
+
+  /** Per-doc character diversity as the inverse Simpson index
+    * 1/Σp_c² — the entropy-free compressibility proxy (repeated-char
+    * or single-token garbage scores near its distinct-char floor,
+    * healthy prose near its alphabet size) that needs no ln() and no
+    * float until the last division: Σn_c² and n² are exact BIGINTs
+    * from one (doc, char) hash-agg. Characters come from a
+    * newline-safe class match, so the count grain is every byte of
+    * text. The low-diversity flag is an integer cross-multiply
+    * (inv_simpson < 4 ⇔ 4·Σn_c² > n²·1... spelled exactly), so no
+    * float decides the boundary. */
+  def charDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val chars = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "explode(regexp_extract_all(text, '[\\\\s\\\\S]', 0)) AS ch")
+    val perChar = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(perChar.groupBy("doc_id").agg(
+          sum("nc").as("n"),
+          sum(expr("nc * nc")).as("sum_sq"),
+          count(lit(1)).as("n_distinct")),
+        Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CAST(coalesce(n, 0) AS BIGINT) AS n_chars_m",
+        "CAST(coalesce(n_distinct, 0) AS BIGINT) AS n_distinct_chars",
+        "CAST(coalesce(sum_sq, 0) AS BIGINT) AS sum_sq",
+        "CASE WHEN coalesce(n, 0) > 0 THEN CAST(n AS DOUBLE) * n / sum_sq ELSE CAST(0 AS DOUBLE) END AS inv_simpson",
+        // low-diversity ⇔ 1/Σp² < 8 ⇔ n² < 8·Σn_c² (exact integers)
+        "CASE WHEN coalesce(n, 0) > 0 AND n * n < 8 * sum_sq THEN 1 ELSE 0 END AS low_diversity")
+      .orderBy("doc_id")
+  }
+
+  val charDiversityOracle: String =
+    """WITH ch_t AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+        FROM documents),
+       pc AS (SELECT doc_id, ch, count(*) AS nc FROM ch_t GROUP BY doc_id, ch),
+       agg AS (SELECT doc_id, sum(nc) AS n, sum(nc * nc) AS sum_sq,
+           count(*) AS n_distinct
+         FROM pc GROUP BY doc_id)
+       SELECT d.doc_id,
+         CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars_m,
+         CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct_chars,
+         CAST(coalesce(a.sum_sq, 0) AS BIGINT) AS sum_sq,
+         CASE WHEN coalesce(a.n, 0) > 0 THEN CAST(a.n AS DOUBLE) * a.n / a.sum_sq ELSE CAST(0 AS DOUBLE) END AS inv_simpson,
+         CASE WHEN coalesce(a.n, 0) > 0 AND a.n * a.n < 8 * a.sum_sq THEN 1 ELSE 0 END AS low_diversity
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       ORDER BY d.doc_id"""
+
   // ---- DSIR importance-resampling weights ----
 
   private val dsirBuckets = 4096
