@@ -232,6 +232,7 @@ object SparkEntry {
     "nations_supplier_roster" -> ((s, d) => Extras.supplierRoster(s, d)),
     "orders_benford_digits" -> ((s, d) => Extras.benfordDigits(s, d)),
     "parts_brand_copurchase" -> ((s, d) => Extras.brandCopurchase(s, d)),
+    "parts_brand_triples" -> ((s, d) => Extras.brandTriples(s, d)),
     "customer_rfm_segments" -> ((s, d) => Analytics.rfmSegments(s, d)),
     "parts_skyline" -> ((s, d) => Analytics.partsSkyline(s, d)),
     "nation_revenue_lorenz" -> ((s, d) => Analytics.nationRevenueLorenz(s, d)),
@@ -488,6 +489,7 @@ object SparkEntry {
     "nations_supplier_roster" -> Extras.supplierRosterOracle,
     "orders_benford_digits" -> Extras.benfordDigitsOracle,
     "parts_brand_copurchase" -> Extras.brandCopurchaseOracle,
+    "parts_brand_triples" -> Extras.brandTriplesOracle,
     "customer_rfm_segments" -> Analytics.rfmSegmentsOracle,
     "parts_skyline" -> Analytics.partsSkylineOracle,
     "nation_revenue_lorenz" -> Analytics.nationRevenueLorenzOracle,

@@ -267,6 +267,81 @@ object Extras {
         FROM pairs GROUP BY brand_a, brand_b
         ORDER BY n_orders DESC, brand_a, brand_b LIMIT 20"""
 
+  // ---- Apriori frequent triples ----
+
+  /** Frequent brand TRIPLES by the genuine Apriori shape (Agrawal &
+    * Srikant 1994), not a blind 3-way self-join: L₂ (frequent pairs at
+    * min support) is computed first, candidate triples C₃ come from
+    * joining L₂ with itself on the shared first item and PRUNING any
+    * candidate whose (b, c) sub-pair is not itself frequent (the
+    * downward-closure property), and only then does the fact relation
+    * expand to triples — each expansion step is semi-joined against
+    * the (broadcast, tiny) frequent-set keys, so the widest join never
+    * materializes infrequent combinations. That pruning IS why Apriori
+    * scales: on a 100 TB basket table the candidate relations stay
+    * itemset-domain-sized while the data makes exactly one pass per
+    * level. Min support is relative (≥ max(5, orders/200)) so the
+    * operator is scale-invariant. */
+  def brandTriples(spark: SparkSession, dir: String): DataFrame = {
+    val ob = orderBrands(spark, dir)
+    val tot = ob.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_total"))
+      .selectExpr("n_total", "greatest(CAST(5 AS BIGINT), n_total DIV 200) AS min_sup")
+    val pairsRaw = ob.selectExpr("l_orderkey", "p_brand AS a")
+      .join(ob.selectExpr("l_orderkey AS ok2", "p_brand AS b"),
+        col("l_orderkey") === col("ok2") && col("a") < col("b"))
+      .select("l_orderkey", "a", "b")
+    val l2 = pairsRaw.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .crossJoin(broadcast(tot)).filter(col("n_pair") >= col("min_sup"))
+      .select("a", "b")
+    // C3 = join L2 on the shared first item + downward-closure prune
+    val c3 = l2.selectExpr("a", "b")
+      .join(l2.selectExpr("a AS a2", "b AS c"),
+        col("a") === col("a2") && col("b") < col("c"))
+      .select("a", "b", "c")
+      .join(l2.selectExpr("a AS b", "b AS c"), Seq("b", "c"), "left_semi")
+    val p2 = pairsRaw.join(broadcast(l2), Seq("a", "b"), "left_semi")
+    val t3 = p2
+      .join(ob.selectExpr("l_orderkey AS ok3", "p_brand AS c"),
+        col("l_orderkey") === col("ok3") && col("b") < col("c"))
+      .select("l_orderkey", "a", "b", "c")
+      .join(broadcast(c3), Seq("a", "b", "c"), "left_semi")
+    t3.groupBy("a", "b", "c").agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(tot)).filter(col("n_orders") >= col("min_sup"))
+      .selectExpr("a AS brand_a", "b AS brand_b", "c AS brand_c", "n_orders",
+        "CAST(n_orders AS DOUBLE) / n_total AS support")
+      .orderBy(desc("n_orders"), asc("brand_a"), asc("brand_b"), asc("brand_c"))
+      .limit(20)
+  }
+
+  val brandTriplesOracle: String =
+    """WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        tot AS (SELECT count(DISTINCT l_orderkey) AS n_total,
+            greatest(CAST(5 AS BIGINT), count(DISTINCT l_orderkey) // 200) AS min_sup
+          FROM ob),
+        praw AS (SELECT x.l_orderkey, x.p_brand AS a, y.p_brand AS b
+          FROM ob x JOIN ob y ON x.l_orderkey = y.l_orderkey
+            AND x.p_brand < y.p_brand),
+        l2 AS (SELECT a, b FROM praw CROSS JOIN tot
+          GROUP BY a, b, min_sup HAVING count(*) >= min_sup),
+        c3 AS (SELECT p.a, p.b, q.b AS c
+          FROM l2 p JOIN l2 q ON p.a = q.a AND p.b < q.b
+          WHERE EXISTS (SELECT 1 FROM l2 r WHERE r.a = p.b AND r.b = q.b)),
+        p2 AS (SELECT praw.* FROM praw
+          WHERE EXISTS (SELECT 1 FROM l2 WHERE l2.a = praw.a AND l2.b = praw.b)),
+        t3 AS (SELECT p2.l_orderkey, p2.a, p2.b, z.p_brand AS c
+          FROM p2 JOIN ob z ON p2.l_orderkey = z.l_orderkey
+            AND p2.b < z.p_brand
+          WHERE EXISTS (SELECT 1 FROM c3
+            WHERE c3.a = p2.a AND c3.b = p2.b AND c3.c = z.p_brand)),
+        cnt AS (SELECT a, b, c, count(*) AS n_orders
+          FROM t3 GROUP BY a, b, c)
+        SELECT a AS brand_a, b AS brand_b, c AS brand_c, n_orders,
+          CAST(n_orders AS DOUBLE) / n_total AS support
+        FROM cnt CROSS JOIN tot WHERE n_orders >= min_sup
+        ORDER BY n_orders DESC, brand_a, brand_b, brand_c LIMIT 20"""
+
   /** Correlated LATERAL subquery: for each sampled order, its single
     * most expensive line item — the "top-1 per key, but written as a
     * dependent subquery" SQL surface. Catalyst decorrelates the LIMIT
