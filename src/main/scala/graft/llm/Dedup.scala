@@ -660,6 +660,58 @@ object Dedup {
               JOIN p ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
         SELECT a, b, c FROM t ORDER BY a, b, c"""
 
+  /** Per-node clustering coefficient on the near-dup graph:
+    * 2·T_v / (deg_v·(deg_v − 1)) — the local-density readout that
+    * separates template CLUMPS (neighbors also duplicate each other,
+    * coeff → 1) from hub-and-spoke duplication (one canonical doc many
+    * variants copy, coeff → 0), which want different curation actions
+    * (drop the clump wholesale vs keep the hub). Reuses the
+    * [[dedupTriangles]] relation (each ordered triangle credits its
+    * three corners once) and the symmetrized pair degrees — two
+    * node-keyed hash-aggs and a left join; numerators/denominators
+    * stay exact integers, the division is the only float. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val p = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val deg = p.selectExpr("doc_a AS doc_id")
+      .unionAll(p.selectExpr("doc_b AS doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val tri = dedupTriangles(spark, dir)
+    val triPer = tri.selectExpr("a AS doc_id")
+      .unionAll(tri.selectExpr("b AS doc_id"))
+      .unionAll(tri.selectExpr("c AS doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(triPer, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "degree",
+        "CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles",
+        """CASE WHEN degree >= 2
+             THEN 2.0 * coalesce(n_triangles, 0) / (CAST(degree AS DOUBLE) * (degree - 1))
+             ELSE CAST(0 AS DOUBLE) END AS clustering_coeff""")
+      .orderBy("doc_id")
+  }
+
+  val clusteringCoeffOracle: String =
+    s"""WITH p AS ($minhashPairsOracle),
+        deg AS (SELECT doc_id, count(*) AS degree FROM (
+            SELECT doc_a AS doc_id FROM p
+            UNION ALL SELECT doc_b AS doc_id FROM p) u
+          GROUP BY doc_id),
+        t AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+              FROM p ab
+              JOIN p bc ON ab.doc_b = bc.doc_a
+              JOIN p ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+        tp AS (SELECT doc_id, count(*) AS n_triangles FROM (
+            SELECT a AS doc_id FROM t
+            UNION ALL SELECT b AS doc_id FROM t
+            UNION ALL SELECT c AS doc_id FROM t) u
+          GROUP BY doc_id)
+        SELECT d.doc_id, d.degree,
+          CAST(coalesce(tp.n_triangles, 0) AS BIGINT) AS n_triangles,
+          CASE WHEN d.degree >= 2
+            THEN 2.0 * coalesce(tp.n_triangles, 0) / (CAST(d.degree AS DOUBLE) * (d.degree - 1))
+            ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+        FROM deg d LEFT JOIN tp ON d.doc_id = tp.doc_id
+        ORDER BY d.doc_id"""
+
   /** Shingle-containment verification on the band candidates —
     * catches SUBSET duplication (one doc's shingles nearly all inside
     * another's), which symmetric Jaccard under-scores: a paragraph
