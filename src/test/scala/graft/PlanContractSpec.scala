@@ -35,7 +35,14 @@ class PlanContractSpec extends SparkSpec {
     "category_quantity_quartiles_approx_audit",
     "dedup_duplicate_spans", "doc_dup_span_coverage",
     "doc_dup_span_intervals", "dedup_incremental_spans",
-    "lineitem_promo_uplift")
+    "lineitem_promo_uplift",
+    // continuation-session operators whose plans must stay pure
+    // equi-join (the ones with intentional 1-row-broadcast cross
+    // joins — int8 codebook, DSIR totals, PMI totals, Apriori
+    // support threshold, query-side ANN — are excluded by design)
+    "nation_bfs_hops", "events_mann_whitney", "corpus_shard_plan",
+    "multimodal_hist_similarity", "events_daily_autocorr",
+    "text_char_diversity", "dedup_clustering_coeff")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
