@@ -130,6 +130,7 @@ object SparkEntry {
     "text_sentences" -> ((s, d) => TextAnalysis.sentences(s, d)),
     "text_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "retrieval_rrf_fusion" -> ((s, d) => graft.llm.Retrieval.rrfFusion(s, d)),
+    "cluster_top_terms" -> ((s, d) => graft.llm.Retrieval.clusterTopTerms(s, d)),
     "text_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
     "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "text_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
@@ -395,6 +396,7 @@ object SparkEntry {
     "text_sentences" -> TextAnalysis.sentencesOracle,
     "text_char_diversity" -> TextAnalysis.charDiversityOracle,
     "retrieval_rrf_fusion" -> graft.llm.Retrieval.rrfFusionOracle,
+    "cluster_top_terms" -> graft.llm.Retrieval.clusterTopTermsOracle,
     "text_vocabulary" -> TextAnalysis.vocabularyOracle,
     "text_contamination" -> TextAnalysis.contaminationOracle,
     "text_quality_gate" -> TextAnalysis.qualityGateOracle,

@@ -99,4 +99,65 @@ object Retrieval {
         FROM fused WHERE rrf_rank <= $topK
         ORDER BY query_id, rrf_rank"""
   }
+
+  // ---- cluster topic labeling ----
+
+  private val labelTopK = 3
+
+  /** Topic labels for the semantic (embedding-space) clusters from
+    * the lexical tier: per multi-member cluster, the [[labelTopK]]
+    * 3-gram terms with the highest summed TF-IDF mass over member
+    * documents — "what IS this clump" for a human triaging
+    * embedding-space structure, and the standard cheap cluster
+    * descriptor (sum of member term weights ≈ the cluster centroid in
+    * TF-IDF space). Cross-modal by construction: membership comes
+    * from vectors, the label text from tokens — the composition a
+    * real curation UI runs.
+    *
+    * Scale shape: the weights relation is (doc, term)-grain and
+    * already staged ([[TextAnalysis.tfidfWeights]]); cluster labels
+    * are doc-grain; the join keys on doc_id and the per-(cluster,
+    * term) agg is map-side combined. Weight sums are exact BIGINTs
+    * (the weights are already quantized), so ranking needs no float. */
+  def clusterTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.count
+    val clab = Similarity.semanticClusters(spark, dir)
+      .selectExpr("vec_id AS doc_id", "cluster_id")
+    val sizes = clab.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    val ctw = TextAnalysis.tfidfWeights(spark, dir)
+      .join(clab, Seq("doc_id"))
+      .join(broadcast(sizes), Seq("cluster_id"))
+      .groupBy("cluster_id", "n_members", "term")
+      .agg(sum("wq").as("weight"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("weight"), asc("term"))
+    ctw.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= labelTopK)
+      .selectExpr("cluster_id", "n_members", "rank", "term",
+        "CAST(weight AS BIGINT) AS weight")
+      .orderBy("cluster_id", "rank")
+  }
+
+  val clusterTopTermsOracle: String =
+    s"""WITH ${TextAnalysis.tfidfCtes},
+        -- MATERIALIZED: clab is referenced twice (sizes + ctw); DuckDB
+        -- would otherwise inline the whole recursive-closure subquery
+        -- per reference, which blows memory even at fixture scale.
+        clab AS MATERIALIZED (SELECT vec_id AS doc_id, cluster_id
+                 FROM (${Similarity.semanticClustersOracle}) sc),
+        sizes AS (SELECT cluster_id, count(*) AS n_members
+                  FROM clab GROUP BY cluster_id HAVING count(*) >= 2),
+        ctw AS (SELECT c.cluster_id, sz.n_members, wt.term,
+            CAST(sum(wt.wq) AS BIGINT) AS weight
+          FROM wt JOIN clab c ON wt.doc_id = c.doc_id
+          JOIN sizes sz ON c.cluster_id = sz.cluster_id
+          GROUP BY c.cluster_id, sz.n_members, wt.term),
+        ranked AS (SELECT *, CAST(row_number() OVER
+            (PARTITION BY cluster_id ORDER BY weight DESC, term) AS BIGINT) AS rank
+          FROM ctw)
+        SELECT cluster_id, n_members, rank, term, weight
+        FROM ranked WHERE rank <= $labelTopK
+        ORDER BY cluster_id, rank"""
 }

@@ -585,7 +585,7 @@ object TextAnalysis {
     * broadcasts the tiny df/norm relations off it. Verify runs with
     * the cache off and measures the cold recompute path — same
     * semantics either way. */
-  private def tfidfWeights(spark: SparkSession, dir: String): DataFrame =
+  private[llm] def tfidfWeights(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.sideTable(spark, "tfidf_wts", dir) {
       // direct grams3(words), NOT let1: the words array has exactly ONE
       // consumer here (the generator input, evaluated once per row), so
