@@ -1119,6 +1119,74 @@ object Analytics {
                 (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z""")
   }
 
+  // ---- forecast backtest (MASE) ----
+
+  /** Rolling-origin forecast backtest on the daily revenue series:
+    * hold out the last 7 observed days, score three closed-form
+    * forecasters — last-value naive, train mean, weekly
+    * seasonal-naive (t−7, falling back to the naive value when the
+    * lagged day is absent) — by MAE and MASE (MAE relative to naive,
+    * Hyndman & Koehler 2006). The point of shipping the BACKTEST
+    * rather than another forecaster: at 100 TB the model zoo changes,
+    * but the evaluation harness (holdout split, lag join, error agg)
+    * is the stable operator, and it runs entirely on the day grain —
+    * the fact table died in the first hash agg. Error sums are exact
+    * BIGINT dollars; only the MAE/MASE readouts divide. */
+  def dailyRevenueBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val series = revenueSeries(spark, dir, dayGrain).localCheckpoint(true)
+    val cut = series.agg(expr("max(x) - 6").as("cut"))
+    val train = series.crossJoin(broadcast(cut)).filter(col("x") < col("cut"))
+    val trainStats = train.agg(
+      expr("max_by(y, x)").as("last_y"),
+      expr("sum(y) DIV count(1)").as("mean_y"))
+    val holdout = series.crossJoin(broadcast(cut)).filter(col("x") >= col("cut"))
+      .select("x", "y")
+      .join(series.selectExpr("x + 7 AS x", "y AS y7"), Seq("x"), "left")
+    val agg = holdout.crossJoin(broadcast(trainStats)).agg(
+      count(lit(1)).as("n_days"),
+      sum(expr("abs(y - last_y)")).as("naive_sum"),
+      sum(expr("abs(y - mean_y)")).as("mean_sum"),
+      sum(expr("abs(y - coalesce(y7, last_y))")).as("seasonal_sum"))
+    agg.selectExpr("n_days", "naive_sum",
+        """stack(3,
+             'mean', mean_sum,
+             'naive', naive_sum,
+             'seasonal', seasonal_sum) AS (method, mae_sum)""")
+      .selectExpr("method", "n_days", "mae_sum",
+        "CAST(mae_sum AS DOUBLE) / n_days AS mae",
+        "CASE WHEN naive_sum > 0 THEN CAST(mae_sum AS DOUBLE) / naive_sum ELSE CAST(0 AS DOUBLE) END AS mase")
+      .orderBy("method")
+  }
+
+  val dailyRevenueBacktestOracle: String =
+    s"""WITH series AS (
+         SELECT $dayGrainDuck AS x,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) // 100 AS y
+         FROM lineitem GROUP BY 1),
+       cut AS (SELECT max(x) - 6 AS cut FROM series),
+       train AS (SELECT s.* FROM series s CROSS JOIN cut WHERE s.x < cut),
+       ts AS (SELECT max_by(y, x) AS last_y, sum(y) // count(*) AS mean_y FROM train),
+       holdout AS (SELECT s.x, s.y, l.y AS y7
+         FROM series s CROSS JOIN cut
+         LEFT JOIN series l ON l.x = s.x - 7
+         WHERE s.x >= cut),
+       agg AS (SELECT count(*) AS n_days,
+           sum(abs(y - last_y)) AS naive_sum,
+           sum(abs(y - mean_y)) AS mean_sum,
+           sum(abs(y - coalesce(y7, last_y))) AS seasonal_sum
+         FROM holdout CROSS JOIN ts),
+       stacked AS (
+         SELECT 'mean' AS method, n_days, mean_sum AS mae_sum, naive_sum FROM agg
+         UNION ALL
+         SELECT 'naive', n_days, naive_sum, naive_sum FROM agg
+         UNION ALL
+         SELECT 'seasonal', n_days, seasonal_sum, naive_sum FROM agg)
+       SELECT method, CAST(n_days AS BIGINT) AS n_days,
+         CAST(mae_sum AS BIGINT) AS mae_sum,
+         CAST(mae_sum AS DOUBLE) / n_days AS mae,
+         CASE WHEN naive_sum > 0 THEN CAST(mae_sum AS DOUBLE) / naive_sum ELSE CAST(0 AS DOUBLE) END AS mase
+       FROM stacked ORDER BY method"""
+
   // ---- daily-count autocorrelation (seasonality detector) ----
 
   /** Autocorrelation of the daily event count at lags 1..7 — the
