@@ -1066,6 +1066,23 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Count of ACTUALLY GENERATED (exploded) skip-gram pairs, for the
+    * conservation spec against the closed form Σ_o max(0, n−o) — a
+    * dropped or duplicated offset branch in the transform shows up as
+    * a mass mismatch. */
+  private[graft] def skipgramPairTotalForTest(spark: SparkSession,
+      dir: String): Long = {
+    val docs = Tables.documents(spark, dir)
+    val pairArr = (1 to skipWindow).map { o =>
+      s"CASE WHEN size(wv) > $o THEN transform(sequence(0, size(wv) - 1 - $o), " +
+        s"i -> named_struct('ta', least(wv[i], wv[i + $o]), 'tb', greatest(wv[i], wv[i + $o]))) " +
+        "ELSE array() END"
+    }.mkString("concat(", ", ", ")")
+    docs.selectExpr(s"${let1(words("lower(text)", SparkD), "wv", pairArr)} AS pr")
+      .select(explode(col("pr")).as("p"))
+      .count()
+  }
+
   val skipgramPmiOracle: String =
     s"""WITH w_t AS (SELECT doc_id, ${words("lower(text)", DuckD)} AS wv
                      FROM documents),
