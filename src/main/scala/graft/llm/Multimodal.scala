@@ -337,6 +337,67 @@ object Multimodal {
         FROM ranked WHERE rank <= $histTopK
         ORDER BY probe_id, rank"""
 
+  /** 9-band layout over the 64-bit aHash: eight 7-bit bands + one
+    * 8-bit band. Pigeonhole: Hamming ≤ 8 ⇒ at least one band
+    * bit-identical, so the (band, value) equi-join is a LOSSLESS
+    * candidate generator for the ≤ 8 near-dup filter — the image twin
+    * of the text tier's SimHash banding. Arithmetic right-shift of
+    * the signed hash is identical in both engines and the mask strips
+    * the sign extension, so band values agree bit-for-bit. */
+  private val ahashBands: Seq[(Int, Int)] =
+    Seq((0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 7), (49, 7), (56, 8))
+
+  private val ahashPairK = 50
+
+  /** Image near-dup candidate pairs from aHash banding: the top
+    * [[ahashPairK]] closest image pairs among band-collision
+    * candidates, with their exact Hamming distance and the ≤ 8 dup
+    * verdict. Candidates come from a (band, value) equi-join — never
+    * an all-pairs product — and the verify is one XOR+popcount per
+    * candidate; at corpus scale this is the whole image-dedup
+    * pipeline: 8 bytes per image in, bounded-occupancy equi-join,
+    * O(1) verify. On this fixture's pseudo-random rasters true dups
+    * don't exist, so the readout is the nearest-pair tail (all
+    * is_dup = 0) — the banding, collision, and verify machinery is
+    * what the oracle locks. */
+  def ahashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bandArr = ahashBands.map { case (o, w) =>
+      s"(shiftright(ahash, $o) & ${(1 << w) - 1})" }.mkString(", ")
+    val ah = pixelAhash(spark, dir).select("doc_id", "ahash")
+    val banded = ah.selectExpr("doc_id", "ahash",
+      s"posexplode(array($bandArr)) AS (band, bval)")
+    val cands = banded.selectExpr("doc_id AS doc_a", "ahash AS ha", "band", "bval")
+      .join(banded.selectExpr("doc_id AS doc_b", "ahash AS hb", "band", "bval"),
+        Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+    cands.selectExpr("doc_a", "doc_b",
+        "CAST(bit_count(ha ^ hb) AS INT) AS hamming")
+      .selectExpr("doc_a", "doc_b", "hamming",
+        "CASE WHEN hamming <= 8 THEN 1 ELSE 0 END AS is_dup")
+      .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b"))
+      .limit(ahashPairK)
+  }
+
+  // lazy: textually precedes pixelAhashOracle in this object; a strict
+  // val would read it as null during object init
+  lazy val ahashPairsOracle: String = {
+    val bandSelects = ahashBands.zipWithIndex.map { case ((o, w), i) =>
+      s"SELECT doc_id, ahash, $i AS band, ((ahash >> $o) & ${(1 << w) - 1}) AS bval FROM ah"
+    }.mkString(" UNION ALL ")
+    s"""WITH ah AS (SELECT doc_id, ahash FROM ($pixelAhashOracle) pa),
+        banded AS ($bandSelects),
+        cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.ahash AS ha, b.ahash AS hb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+          CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+          CASE WHEN bit_count(xor(ha, hb)) <= 8 THEN 1 ELSE 0 END AS is_dup
+        FROM cands
+        ORDER BY hamming, doc_a, doc_b LIMIT $ahashPairK"""
+  }
+
   case class PixelAhash(doc_id: Long, w: Int, h: Int, ahash: Long)
 
   /** Perceptual average-hash over the REAL decode path — the image
