@@ -208,6 +208,7 @@ object SparkEntry {
     "lineitem_key_skew" -> ((s, d) => graft.ops.Profile.keySkew(s, d)),
     "table_checksum" -> ((s, d) => graft.ops.Profile.tableChecksum(s, d)),
     "fk_integrity" -> ((s, d) => graft.ops.Profile.fkIntegrity(s, d)),
+    "table_expectations" -> ((s, d) => graft.ops.Profile.tableExpectations(s, d)),
     "events_daily_gap_fill" -> ((s, d) => EventsStream.dailyGapFill(s, d)),
     "events_carry_forward" -> ((s, d) => EventsStream.purchaseCarryForward(s, d)),
     "events_sliding_window" -> ((s, d) => EventsStream.slidingWindowAgg(s, d)),
@@ -468,6 +469,7 @@ object SparkEntry {
     "lineitem_key_skew" -> graft.ops.Profile.keySkewOracle,
     "table_checksum" -> graft.ops.Profile.tableChecksumOracle,
     "fk_integrity" -> graft.ops.Profile.fkIntegrityOracle,
+    "table_expectations" -> graft.ops.Profile.tableExpectationsOracle,
     "events_daily_gap_fill" -> EventsStream.dailyGapFillOracle,
     "events_carry_forward" -> EventsStream.purchaseCarryForwardOracle,
     "events_sliding_window" -> EventsStream.slidingWindowAggOracle,

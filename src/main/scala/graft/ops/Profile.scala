@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
 import graft.io.Tables
 import graft.llm.Gen._
 
@@ -427,5 +427,63 @@ object Profile {
     }.mkString(" UNION ALL ")
     s"""WITH p AS (SELECT ${aggExprs(DuckD).mkString(", ")} FROM lineitem)
         $rows ORDER BY column_name"""
+  }
+
+  // ---- declarative data-contract expectations ----
+
+  /** (check name, table, violation predicate) — the dbt-test /
+    * Great-Expectations surface: each check is a named predicate whose
+    * VIOLATION count must be zero. Domains are the fixture's actual
+    * contracts (TPC-H quantity 1..50, discount 0..0.10, status and
+    * return-flag code sets). */
+  private val expectations: Seq[(String, String, String)] = Seq(
+    ("lineitem.quantity_in_1_50", "lineitem",
+      "l_quantity < 1 OR l_quantity > 50"),
+    ("lineitem.discount_in_0_10pct", "lineitem",
+      "l_discount < 0 OR l_discount > 0.10"),
+    ("lineitem.extendedprice_positive", "lineitem",
+      "l_extendedprice <= 0"),
+    ("lineitem.shipdate_not_null", "lineitem",
+      "l_shipdate IS NULL"),
+    ("lineitem.returnflag_domain", "lineitem",
+      "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("orders.totalprice_positive", "orders",
+      "o_totalprice <= 0"),
+    ("orders.status_domain", "orders",
+      "o_orderstatus NOT IN ('F', 'O', 'P')"))
+
+  /** Data-contract readout: every expectation as one row
+    * (check, n_checked, n_violations, passed). All checks against a
+    * table ride ONE scan (conditional sums in a single
+    * map-side-combined agg — adding a check costs one expression, not
+    * one job), which is the only way a 50-check contract suite stays
+    * affordable on a 100 TB table. The unpivot to rows is driver-free
+    * (stack); `passed` is an exact integer comparison. */
+  def tableExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val byTable = expectations.groupBy(_._2).toSeq.sortBy(_._1)
+    byTable.map { case (table, checks) =>
+      val agg = Tables.table(spark, dir, table).agg(
+        expr("CAST(count(1) AS BIGINT)").as("n_checked"),
+        checks.zipWithIndex.map { case ((_, _, pred), i) =>
+          expr(s"CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT)").as(s"v_$i")
+        }: _*)
+      val stackArgs = checks.zipWithIndex
+        .map { case ((name, _, _), i) => s"'$name', v_$i" }.mkString(", ")
+      agg.selectExpr("n_checked",
+          s"stack(${checks.size}, $stackArgs) AS (check_name, n_violations)")
+        .selectExpr("check_name", "n_checked", "n_violations",
+          "CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed")
+    }.reduce(_ unionByName _).orderBy("check_name")
+  }
+
+  val tableExpectationsOracle: String = {
+    val rows = expectations.map { case (name, table, pred) =>
+      s"""SELECT '$name' AS check_name,
+            CAST((SELECT count(*) FROM $table) AS BIGINT) AS n_checked,
+            CAST((SELECT count(*) FROM $table WHERE $pred) AS BIGINT) AS n_violations,
+            CASE WHEN (SELECT count(*) FROM $table WHERE $pred) = 0
+              THEN 1 ELSE 0 END AS passed"""
+    }.mkString(" UNION ALL ")
+    s"$rows ORDER BY check_name"
   }
 }
