@@ -270,6 +270,7 @@ object SparkEntry {
     "events_props_variant" -> ((s, d) => EventsStream.propsVariantMetrics(s, d)),
     "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
     "events_funnel" -> ((s, d) => EventsStream.funnelBatch(s, d)),
+    "events_funnel_latency" -> ((s, d) => EventsStream.funnelLatency(s, d)),
     "sales_cube" -> ((s, d) => Extras.salesCube(s, d)),
     "campaign_rank_by_channel" -> ((s, d) => athena2(s, d, Extras.campaignRankSql)),
     "campaign_distribution" -> ((s, d) => athena2(s, d, Extras.campaignDistributionSql)),
@@ -539,6 +540,7 @@ object SparkEntry {
     "events_props_variant" -> EventsStream.propsVariantMetricsOracle,
     "events_sessionized" -> Sessionize.sessionsBatchOracle,
     "events_funnel" -> EventsStream.funnelBatchOracle,
+    "events_funnel_latency" -> EventsStream.funnelLatencyOracle,
     "sales_cube" -> Extras.salesCubeOracle,
     "campaign_rank_by_channel" -> OracleSql.withCtes(Extras.campaignRankSql),
     "campaign_distribution" -> OracleSql.withCtes(Extras.campaignDistributionSql),

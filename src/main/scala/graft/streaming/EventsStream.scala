@@ -939,4 +939,60 @@ object EventsStream {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"),
         col("value"))
   }
+
+  // ---- funnel conversion latency percentiles ----
+
+  /** Signup → first-purchase latency distribution: per converting
+    * user, the exact microsecond delay from first signup to the first
+    * purchase at-or-after it, summarized as discrete p50/p90 (the
+    * value AT rank ⌈q·n⌉ under a total order — no interpolation, so
+    * both engines select the identical element) plus the exact mean.
+    * This is the time-to-convert readout the stage-count funnel
+    * (`events_funnel`) doesn't give. Plan: two user-keyed min-aggs
+    * and one user equi-join — the rank window runs over converting
+    * USERS (audience-sized), and delays are exact BIGINT micros end
+    * to end. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.io.Tables.events(spark, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("ts") >= col("s_ts"))
+      .groupBy("user_id", "s_ts").agg(min("ts").as("p_ts"))
+      .selectExpr("user_id",
+        "unix_micros(p_ts) - unix_micros(s_ts) AS delay_us")
+    val w = Window.orderBy(asc("delay_us"), asc("user_id"))
+    val ranked = conv.withColumn("rk", row_number().over(w))
+    val n = ranked.agg(count(lit(1)).as("n_converted"))
+    ranked.crossJoin(broadcast(n))
+      .selectExpr("n_converted", "rk", "delay_us")
+      .agg(
+        max(expr("n_converted")).as("n_converted"),
+        max(expr("CASE WHEN rk = CAST(ceil(0.5 * n_converted) AS INT) THEN delay_us END")).as("p50_delay_us"),
+        max(expr("CASE WHEN rk = CAST(ceil(0.9 * n_converted) AS INT) THEN delay_us END")).as("p90_delay_us"),
+        sum("delay_us").as("delay_sum_us"))
+      .selectExpr("n_converted", "p50_delay_us", "p90_delay_us",
+        "CAST(delay_sum_us AS DOUBLE) / n_converted / 1e6 AS mean_delay_s")
+  }
+
+  val funnelLatencyOracle: String =
+    """WITH su AS (SELECT user_id, min(ts) AS s_ts
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       conv AS (SELECT e.user_id,
+           epoch_us(CAST(min(e.ts) AS TIMESTAMP)) - epoch_us(CAST(su.s_ts AS TIMESTAMP)) AS delay_us
+         FROM events e JOIN su ON e.user_id = su.user_id
+         WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+         GROUP BY e.user_id, su.s_ts),
+       ranked AS (SELECT *, row_number() OVER
+           (ORDER BY delay_us, user_id) AS rk FROM conv),
+       n_t AS (SELECT count(*) AS n_converted FROM ranked)
+       SELECT max(n_converted) AS n_converted,
+         CAST(max(CASE WHEN rk = CAST(ceil(0.5 * n_converted) AS INTEGER)
+           THEN delay_us END) AS BIGINT) AS p50_delay_us,
+         CAST(max(CASE WHEN rk = CAST(ceil(0.9 * n_converted) AS INTEGER)
+           THEN delay_us END) AS BIGINT) AS p90_delay_us,
+         CAST(sum(delay_us) AS DOUBLE) / max(n_converted) / 1e6 AS mean_delay_s
+       FROM ranked CROSS JOIN n_t"""
 }
