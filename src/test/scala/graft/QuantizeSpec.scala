@@ -90,6 +90,25 @@ class QuantizeSpec extends SparkSpec {
     assert(rows.forall(_._2 == 1), "HLL estimate left its error bound")
   }
 
+  test("HLL day sketches: partial sketches from disjoint slices merge to the one-shot estimate") {
+    // the merge guarantee slidingDistinct's 100 TB story rests on:
+    // executors build sketches independently, the union is exact —
+    // estimate depends only on merged register state, never the split
+    val ev = graft.io.Tables.events(spark, sfTiny)
+      .selectExpr("CAST(ts AS DATE) AS day", "user_id")
+    val partials = (0 until 3).map { s =>
+      ev.filter(col("user_id") % 3 === s)
+        .groupBy("day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    }.reduce(_ unionByName _)
+    val merged = partials.groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    val oneShot = ev.groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(merged == oneShot)
+  }
+
   test("skip-gram pair mass equals the closed-form window count") {
     // Σ_docs Σ_{o=1..3} max(0, n_o − o) pairs must equal the generated
     // pair total (no pair lost or duplicated by the array transform).
