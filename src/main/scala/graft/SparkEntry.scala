@@ -256,6 +256,7 @@ object SparkEntry {
     "parts_union_evolved" -> ((s, d) => Extras.partsUnionEvolved(s, d)),
     "lineitem_zorder_locality" -> ((s, d) => graft.ops.Scale.zorderLocality(s, d)),
     "events_type_transitions" -> ((s, d) => EventsStream.typeTransitions(s, d)),
+    "events_markov_stationary" -> ((s, d) => EventsStream.markovStationary(s, d)),
     "events_windowed_agg" -> ((s, d) => EventsStream.hourlyAggBatch(s, d)),
     "events_hourly_anomaly" -> ((s, d) => EventsStream.hourlyAnomaly(s, d)),
     "events_purchase_attribution" -> ((s, d) => EventsStream.purchaseAttributionBatch(s, d)),
@@ -338,6 +339,7 @@ object SparkEntry {
     "doc_dup_span_coverage" -> ((s, d) => graft.llm.Spans.dupSpanCoverage(s, d)),
     "doc_dup_span_intervals" -> ((s, d) => graft.llm.Spans.dupSpanIntervals(s, d)),
     "dedup_incremental_spans" -> ((s, d) => graft.llm.Spans.incrementalSpans(s, d)),
+    "corpus_split_leakage" -> ((s, d) => graft.llm.Spans.splitLeakage(s, d)),
     "text_bpe_merge_step" -> ((s, d) => graft.llm.LanguageModel.bpeMergeStep(s, d)),
     "text_bpe_train" -> ((s, d) => graft.llm.LanguageModel.bpeTrain(s, d)),
     "text_bpe_encode" -> ((s, d) => graft.llm.LanguageModel.bpeEncode(s, d)),
@@ -518,6 +520,7 @@ object SparkEntry {
     "parts_union_evolved" -> Extras.partsUnionEvolvedOracle,
     "lineitem_zorder_locality" -> graft.ops.Scale.zorderLocalityOracle,
     "events_type_transitions" -> EventsStream.typeTransitionsOracle,
+    "events_markov_stationary" -> EventsStream.markovStationaryOracle,
     "multimodal_media_summary" -> Multimodal.mediaSummaryOracle,
     "multimodal_header_meta" -> Multimodal.headerMetaOracle,
     "multimodal_pixel_stats" -> Multimodal.pixelStatsOracle,
@@ -601,6 +604,7 @@ object SparkEntry {
     "doc_dup_span_coverage" -> graft.llm.Spans.dupSpanCoverageOracle,
     "doc_dup_span_intervals" -> graft.llm.Spans.dupSpanIntervalsOracle,
     "dedup_incremental_spans" -> graft.llm.Spans.incrementalSpansOracle,
+    "corpus_split_leakage" -> graft.llm.Spans.splitLeakageOracle,
     "category_quantity_quartiles_approx_audit" ->
       Extras.categoryQuantityQuartilesApproxAuditOracle,
     "curated_revenue_by_category_approx_audit" -> OracleSql.withCtes(

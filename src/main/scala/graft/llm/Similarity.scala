@@ -861,8 +861,11 @@ object Similarity {
           && col("x.vec_id") < col("x.nbr_id"))
       .filter(col("x.cosine") >= semanticTau)
       .select(col("x.vec_id").as("doc_a"), col("x.nbr_id").as("doc_b"))
-    val labels = Dedup.propagateLabels(mutual)
-      .withColumnRenamed("doc_id", "vec_id")
+    // session-cached: the propagation loop is the expensive part and
+    // has two consumers (this readout and the cluster-topic labeling)
+    val labels = graft.PlanCache(spark, "semantic_labels", dir) {
+      Dedup.propagateLabels(mutual).withColumnRenamed("doc_id", "vec_id")
+    }
     vecs(spark, dir).select("vec_id", "label")
       .join(labels, Seq("vec_id"), "left")
       .selectExpr("vec_id", "label",

@@ -359,4 +359,77 @@ object Spans {
         FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
         ORDER BY d.doc_id"""
   }
+
+  // ---- train/holdout split leakage ----
+
+  /** Split-leakage audit: for every val/test document, the fraction of
+    * its L-token windows that ALSO occur anywhere in the train split —
+    * the within-corpus contamination that silently inflates eval
+    * numbers (the reason eval decks memorize; cf. the external-
+    * benchmark tier in [[TextAnalysis]]'s contamination query, which
+    * this completes on the corpus's own split). The machinery is the
+    * span posting the dedup tier already maintains: train's DISTINCT
+    * window-hash set (16 bytes/row) semi-joins the holdout windows —
+    * one hash-keyed shuffle, nothing pairwise, and the train side is
+    * exactly [[spanPosting]]'s shape, so at 100 TB the posting is a
+    * materialized side table, not a recompute. Every holdout doc is
+    * emitted (short docs score 0 windows); the leak flag is an integer
+    * cross-multiply at the 50 % line. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = Curation.sampleSplit(spark, dir).select("doc_id", "split")
+    val win = windows(spark, dir).join(splits, Seq("doc_id"))
+    val trainH = win.filter(col("split") === "train").select("h").distinct()
+    val hold = win.filter(col("split") =!= "train")
+    val tot = hold.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val leaked = hold.join(trainH, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+    splits.filter(col("split") =!= "train")
+      .join(tot, Seq("doc_id"), "left")
+      .join(leaked, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "split",
+        "CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows",
+        "CAST(coalesce(n_leaked, 0) AS BIGINT) AS n_leaked",
+        """CASE WHEN coalesce(n_windows, 0) > 0
+             THEN CAST(coalesce(n_leaked, 0) AS DOUBLE) / n_windows
+             ELSE CAST(0 AS DOUBLE) END AS leak_frac""",
+        """CASE WHEN coalesce(n_windows, 0) > 0
+             AND 2 * coalesce(n_leaked, 0) >= coalesce(n_windows, 0)
+             THEN 1 ELSE 0 END AS flagged""")
+      .orderBy("doc_id")
+  }
+
+  val splitLeakageOracle: String = {
+    val d = DuckD
+    s"""WITH w_t AS (SELECT doc_id, ${words("text", d)} AS w FROM documents),
+        n_t AS (SELECT doc_id, w, ${arrLen("w", d)} AS n
+          FROM w_t WHERE ${arrLen("w", d)} >= $L),
+        i_t AS (SELECT doc_id, n, w, unnest(range(1, n - $L + 2)) AS i FROM n_t),
+        win AS (SELECT doc_id, n, i,
+            md5(array_to_string(list_slice(w, i, i + $L - 1), chr(1))) AS h
+          FROM i_t),
+        sp AS MATERIALIZED (SELECT doc_id, split
+          FROM (${graft.llm.Curation.sampleSplitOracle}) s0),
+        trainh AS (SELECT DISTINCT win.h FROM win
+          JOIN sp ON win.doc_id = sp.doc_id WHERE sp.split = 'train'),
+        hold AS (SELECT win.doc_id, win.h FROM win
+          JOIN sp ON win.doc_id = sp.doc_id WHERE sp.split <> 'train'),
+        tot AS (SELECT doc_id, count(*) AS n_windows FROM hold GROUP BY doc_id),
+        lk AS (SELECT doc_id, count(*) AS n_leaked FROM hold
+          WHERE EXISTS (SELECT 1 FROM trainh t WHERE t.h = hold.h)
+          GROUP BY doc_id)
+        SELECT sp.doc_id, sp.split,
+          CAST(coalesce(tot.n_windows, 0) AS BIGINT) AS n_windows,
+          CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+          CASE WHEN coalesce(tot.n_windows, 0) > 0
+            THEN CAST(coalesce(lk.n_leaked, 0) AS DOUBLE) / tot.n_windows
+            ELSE CAST(0 AS DOUBLE) END AS leak_frac,
+          CASE WHEN coalesce(tot.n_windows, 0) > 0
+            AND 2 * coalesce(lk.n_leaked, 0) >= coalesce(tot.n_windows, 0)
+            THEN 1 ELSE 0 END AS flagged
+        FROM sp
+        LEFT JOIN tot ON sp.doc_id = tot.doc_id
+        LEFT JOIN lk ON sp.doc_id = lk.doc_id
+        WHERE sp.split <> 'train'
+        ORDER BY sp.doc_id"""
+  }
 }

@@ -287,10 +287,13 @@ object Extras {
     val tot = ob.select("l_orderkey").distinct()
       .agg(count(lit(1)).as("n_total"))
       .selectExpr("n_total", "greatest(CAST(5 AS BIGINT), n_total DIV 200) AS min_sup")
+    // checkpoint: the pair stream feeds BOTH the L2 count and the
+    // triple expansion — without it the self-join runs twice
     val pairsRaw = ob.selectExpr("l_orderkey", "p_brand AS a")
       .join(ob.selectExpr("l_orderkey AS ok2", "p_brand AS b"),
         col("l_orderkey") === col("ok2") && col("a") < col("b"))
       .select("l_orderkey", "a", "b")
+      .localCheckpoint(true)
     val l2 = pairsRaw.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
       .crossJoin(broadcast(tot)).filter(col("n_pair") >= col("min_sup"))
       .select("a", "b")

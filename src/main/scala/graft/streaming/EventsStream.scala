@@ -940,6 +940,94 @@ object EventsStream {
         col("value"))
   }
 
+  // ---- Markov stationary distribution ----
+
+  private val markovIters = 4
+  private val MR = 1000000000000L // picocounts, mass 1.0
+
+  /** Stationary distribution of the user-journey Markov chain: the
+    * long-run share of time a session spends in each event type, from
+    * fixed-iteration power method over the [[typeTransitions]] matrix
+    * — the summary number a "where do users end up" readout wants.
+    * Same determinism contract as [[graft.sql.Graph.nationPagerank]]:
+    * mass lives in BIGINT picocounts, each π'_b = Σ_a π_a·n_ab DIV n_a
+    * is floor arithmetic, iterations are fixed and identical in both
+    * engines — bit-equal by construction where float power iteration
+    * is partitioning-dependent. The matrix is type²-bounded (a handful
+    * of rows at any event volume — the fact table dies in the lag
+    * window + first agg); types with no outgoing transitions keep
+    * their mass (self-loop treatment, the absorbing-state convention). */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("a"), col("event_type").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true)
+    val outTot = trans.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val types = Tables.events(spark, dir).select(col("event_type").as("t"))
+      .distinct().localCheckpoint(true)
+    val nTypes = types.agg(count(lit(1)).as("nt"))
+    var pi = types.crossJoin(broadcast(nTypes))
+      .selectExpr("t", s"CAST($MR DIV nt AS BIGINT) AS m")
+    for (_ <- 1 to markovIters) {
+      val moved = trans.join(broadcast(outTot), Seq("a"))
+        .join(pi.withColumnRenamed("t", "a"), Seq("a"))
+        .selectExpr("b AS t", "(m * n_ab) DIV n_a AS c")
+        .groupBy("t").agg(sum("c").as("inflow"))
+      // absorbing states (no outgoing row) keep their own mass
+      val kept = pi.join(outTot.withColumnRenamed("a", "t"), Seq("t"), "left_anti")
+        .selectExpr("t", "m AS inflow")
+      pi = types
+        .join(moved.unionByName(kept).groupBy("t").agg(sum("inflow").as("m0")),
+          Seq("t"), "left")
+        .selectExpr("t", "CAST(coalesce(m0, 0) AS BIGINT) AS m")
+        .localCheckpoint(true)
+    }
+    pi.selectExpr("t AS event_type", "m AS stationary_pico",
+        "CAST(m AS DOUBLE) / 1e12 AS stationary")
+      .orderBy(desc("stationary_pico"), asc("event_type"))
+  }
+
+  val markovStationaryOracle: String = {
+    def iter(prev: String, cur: String): String =
+      s"""moved_$cur AS (
+            SELECT t.b AS ty, sum((p.m * t.n_ab) // o.n_a) AS inflow
+            FROM trans t JOIN outtot o ON t.a = o.a
+            JOIN $prev p ON p.ty = t.a GROUP BY t.b),
+          kept_$cur AS (
+            SELECT p.ty, p.m AS inflow FROM $prev p
+            WHERE NOT EXISTS (SELECT 1 FROM outtot o WHERE o.a = p.ty)),
+          $cur AS (
+            SELECT ty0.ty, CAST(coalesce(u.m0, 0) AS BIGINT) AS m
+            FROM types ty0 LEFT JOIN (
+              SELECT ty, sum(inflow) AS m0 FROM (
+                SELECT * FROM moved_$cur UNION ALL SELECT * FROM kept_$cur) z
+              GROUP BY ty) u ON ty0.ty = u.ty)"""
+    val chain = (1 to markovIters)
+      .map(i => iter(if (i == 1) "p0" else s"p${i - 1}", s"p$i"))
+      .mkString(",\n        ")
+    s"""WITH s AS (SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        trans AS (SELECT prev_type AS a, event_type AS b, count(*) AS n_ab
+          FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        outtot AS (SELECT a, sum(n_ab) AS n_a FROM trans GROUP BY a),
+        types AS (SELECT DISTINCT event_type AS ty FROM events),
+        ntypes AS (SELECT count(*) AS nt FROM types),
+        p0 AS (SELECT ty, CAST($MR // (SELECT nt FROM ntypes) AS BIGINT) AS m
+               FROM types),
+        $chain
+        SELECT ty AS event_type, m AS stationary_pico,
+          CAST(m AS DOUBLE) / 1e12 AS stationary
+        FROM p$markovIters
+        ORDER BY stationary_pico DESC, event_type"""
+  }
+
   // ---- funnel conversion latency percentiles ----
 
   /** Signup → first-purchase latency distribution: per converting
