@@ -225,6 +225,7 @@ object SparkEntry {
     "text_pii_redacted" -> ((s, d) => TextAnalysis.piiRedacted(s, d)),
     "dedup_triangles" -> ((s, d) => Dedup.dedupTriangles(s, d)),
     "dedup_clustering_coeff" -> ((s, d) => Dedup.clusteringCoeff(s, d)),
+    "dedup_cluster_ari" -> ((s, d) => Dedup.clusterAri(s, d)),
     "events_user_deciles" -> ((s, d) => EventsStream.userValueDeciles(s, d)),
     "events_rolling_7d" -> ((s, d) => EventsStream.rolling7d(s, d)),
     "events_moving_avg" -> ((s, d) => EventsStream.movingAvg3(s, d)),
@@ -489,6 +490,7 @@ object SparkEntry {
     "text_pii_redacted" -> TextAnalysis.piiRedactedOracle,
     "dedup_triangles" -> Dedup.dedupTrianglesOracle,
     "dedup_clustering_coeff" -> Dedup.clusteringCoeffOracle,
+    "dedup_cluster_ari" -> Dedup.clusterAriOracle,
     "events_user_deciles" -> EventsStream.userValueDecilesOracle,
     "events_rolling_7d" -> EventsStream.rolling7dOracle,
     "events_moving_avg" -> EventsStream.movingAvg3Oracle,

@@ -564,6 +564,71 @@ object Dedup {
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id"""
 
+  // ---- lexical-vs-semantic clustering agreement (ARI) ----
+
+  /** Adjusted Rand Index between the two clustering tiers — MinHash
+    * (lexical surface) vs mutual-kNN (embedding space) — the one
+    * number that says whether the cheap tier can stand in for the
+    * expensive one on this corpus (ARI 1 = identical partitions, ≈0 =
+    * chance agreement). Defined over the common domain (docs with
+    * embeddings); docs untouched by a tier are singletons under it.
+    * All four pair-count sums (Σ C(n_ij,2), Σ C(a_i,2), Σ C(b_j,2),
+    * C(n,2)) are exact BIGINTs off one contingency-table hash-agg;
+    * products go through DOUBLE in the final index (the n² overflow
+    * dodge). At 100 TB the contingency table is cluster²-bounded —
+    * label-grain, never doc-pair-grain. */
+  def clusterAri(spark: SparkSession, dir: String): DataFrame = {
+    val sem = graft.llm.Similarity.semanticClusters(spark, dir)
+      .selectExpr("vec_id AS doc_id", "cluster_id AS b_label")
+    val lex = dedupClusters(spark, dir)
+      .selectExpr("doc_id", "cluster_id AS a_label")
+    val joined = sem.join(lex, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(a_label, doc_id) AS a_label", "b_label")
+    val cells = joined.groupBy("a_label", "b_label").agg(count(lit(1)).as("nij"))
+    val sums = cells.agg(
+      sum("nij").as("n"),
+      sum(expr("nij * (nij - 1) DIV 2")).as("sum_cells"))
+    val aSum = cells.groupBy("a_label").agg(sum("nij").as("ai"))
+      .agg(sum(expr("ai * (ai - 1) DIV 2")).as("sum_a"))
+    val bSum = cells.groupBy("b_label").agg(sum("nij").as("bj"))
+      .agg(sum(expr("bj * (bj - 1) DIV 2")).as("sum_b"))
+    sums.crossJoin(aSum).crossJoin(bSum)
+      .selectExpr("n", "sum_cells", "sum_a", "sum_b",
+        """CASE WHEN n >= 2 AND (CAST(sum_a AS DOUBLE) + sum_b) / 2
+               <> CAST(sum_a AS DOUBLE) * sum_b / (CAST(n AS DOUBLE) * (n - 1) / 2)
+             THEN (CAST(sum_cells AS DOUBLE)
+                    - CAST(sum_a AS DOUBLE) * sum_b / (CAST(n AS DOUBLE) * (n - 1) / 2))
+                  / ((CAST(sum_a AS DOUBLE) + sum_b) / 2
+                    - CAST(sum_a AS DOUBLE) * sum_b / (CAST(n AS DOUBLE) * (n - 1) / 2))
+             ELSE CAST(0 AS DOUBLE) END AS ari""")
+  }
+
+  lazy val clusterAriOracle: String =
+    s"""WITH sem AS MATERIALIZED (SELECT vec_id AS doc_id, cluster_id AS b_label
+          FROM (${graft.llm.Similarity.semanticClustersOracle}) s0),
+        lex AS MATERIALIZED (SELECT doc_id, cluster_id AS a_label
+          FROM ($dedupClustersOracle) l0),
+        joined AS (SELECT sem.doc_id,
+            coalesce(lex.a_label, sem.doc_id) AS a_label, sem.b_label
+          FROM sem LEFT JOIN lex ON sem.doc_id = lex.doc_id),
+        cells AS (SELECT a_label, b_label, count(*) AS nij
+          FROM joined GROUP BY a_label, b_label),
+        s_t AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+            CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sum_cells FROM cells),
+        a_t AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS sum_a FROM (
+            SELECT sum(nij) AS ai FROM cells GROUP BY a_label) x),
+        b_t AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS sum_b FROM (
+            SELECT sum(nij) AS bj FROM cells GROUP BY b_label) y)
+        SELECT n, sum_cells, sum_a, sum_b,
+          CASE WHEN n >= 2 AND (CAST(sum_a AS DOUBLE) + sum_b) / 2
+              <> CAST(sum_a AS DOUBLE) * sum_b / (CAST(n AS DOUBLE) * (n - 1) / 2)
+            THEN (CAST(sum_cells AS DOUBLE)
+                   - CAST(sum_a AS DOUBLE) * sum_b / (CAST(n AS DOUBLE) * (n - 1) / 2))
+                 / ((CAST(sum_a AS DOUBLE) + sum_b) / 2
+                   - CAST(sum_a AS DOUBLE) * sum_b / (CAST(n AS DOUBLE) * (n - 1) / 2))
+            ELSE CAST(0 AS DOUBLE) END AS ari
+        FROM s_t CROSS JOIN a_t CROSS JOIN b_t"""
+
   /** The dedup deliverable: the corpus with non-canonical near-dups
     * REMOVED — every doc that belongs to a cluster but is not its
     * minimum-id representative is anti-joined away. This is the
