@@ -137,6 +137,7 @@ object SparkEntry {
     "corpus_quality_funnel" -> ((s, d) => Curation.qualityFunnel(s, d)),
     "corpus_datacard" -> ((s, d) => Curation.datacard(s, d)),
     "corpus_shard_plan" -> ((s, d) => Curation.shardPlan(s, d)),
+    "doc_chop_boundaries" -> ((s, d) => Curation.chopBoundaries(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_split" -> ((s, d) => Curation.sampleSplit(s, d)),
     "corpus_curated" -> ((s, d) => Curation.curatedCorpus(s, d)),
@@ -410,6 +411,7 @@ object SparkEntry {
     "corpus_quality_funnel" -> Curation.qualityFunnelOracle,
     "corpus_datacard" -> Curation.datacardOracle,
     "corpus_shard_plan" -> Curation.shardPlanOracle,
+    "doc_chop_boundaries" -> Curation.chopBoundariesOracle,
     "dedup_edit_distance" -> Dedup.editDistancePairsOracle,
     "corpus_split" -> Curation.sampleSplitOracle,
     "corpus_curated" -> Curation.curatedCorpusOracle,

@@ -452,6 +452,68 @@ object Curation {
             WHERE lb.doc_id = d.doc_id AND lb.doc_id <> lb.cluster_id)
         ORDER BY d.doc_id"""
 
+  // ---- concat-then-chop packing boundary table ----
+
+  private val chopLens = Seq(512, 2048, 8192)
+
+  /** Context-length decision table for concat-then-chop packing (the
+    * standard pretraining layout: concatenate all documents in a
+    * fixed order, slice into L-token sequences): for each candidate
+    * L, how many documents straddle a sequence boundary — the docs
+    * whose coherence the chop destroys — plus sequence count and
+    * tail waste. Chop packing has ZERO padding by construction, so
+    * boundary-split share IS the quality cost, and this table is how
+    * you pick L. One token-prefix-sum window (doc_id order — the
+    * deterministic concat order) computed ONCE, then the three L
+    * verdicts are per-row integer arithmetic off the same cumsum.
+    * A doc straddles iff its first and last token land in different
+    * L-blocks: cum_before DIV L ≠ (cum_before + n − 1) DIV L. */
+  def chopBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        s"CAST(size(${words("lower(text)", SparkD)}) AS BIGINT) AS n")
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = docs.withColumn("cb", coalesce(sum("n").over(w), lit(0L)))
+    val perL = cum.selectExpr("n", "cb",
+        s"explode(array(${chopLens.mkString(", ")})) AS l")
+      .selectExpr("l", "n",
+        "CASE WHEN n > 0 AND cb DIV l <> (cb + n - 1) DIV l THEN 1 ELSE 0 END AS split")
+    perL.groupBy("l").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        sum("split").as("n_docs_split"))
+      .selectExpr("CAST(l AS INT) AS context_len", "n_docs", "total_tokens",
+        "CAST((total_tokens + l - 1) DIV l AS BIGINT) AS n_sequences",
+        "CAST(total_tokens % l AS BIGINT) AS tail_tokens",
+        "CAST(n_docs_split AS BIGINT) AS n_docs_split",
+        "CAST(n_docs_split AS DOUBLE) / n_docs AS split_frac")
+      .orderBy("context_len")
+  }
+
+  val chopBoundariesOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+          CAST(${arrLen(words("lower(text)", DuckD), DuckD)} AS BIGINT) AS n
+        FROM documents),
+       cum AS (SELECT doc_id, n,
+           coalesce(sum(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         FROM d),
+       perl AS (SELECT l.l, c.n,
+           CASE WHEN c.n > 0 AND c.cb // l.l <> (c.cb + c.n - 1) // l.l
+             THEN 1 ELSE 0 END AS split
+         FROM cum c, (VALUES ${chopLens.map(l => s"($l)").mkString(", ")}) l(l))
+       SELECT CAST(l AS INTEGER) AS context_len,
+         count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST((sum(n) + l - 1) // l AS BIGINT) AS n_sequences,
+         CAST(sum(n) % l AS BIGINT) AS tail_tokens,
+         CAST(sum(split) AS BIGINT) AS n_docs_split,
+         CAST(sum(split) AS DOUBLE) / count(*) AS split_frac
+       FROM perl GROUP BY l ORDER BY context_len"""
+
   // ---- training-shard plan ----
 
   private val nShards = 16
