@@ -474,9 +474,23 @@ object Curation {
     val docs = Tables.documents(spark, dir)
       .selectExpr("doc_id",
         s"CAST(size(${words("lower(text)", SparkD)}) AS BIGINT) AS n")
-    val w = Window.orderBy("doc_id")
+    // two-phase distributed prefix sum: a naive global-ORDER window
+    // would drag the whole corpus through ONE partition. Instead:
+    // shard by doc_id range, per-shard token totals (map-side
+    // combined), prefix the SHARD totals (shard-grain — tiny global
+    // window), broadcast the offsets back, and run the within-shard
+    // cumsum under PARTITION BY shard — every stage parallel, result
+    // bit-identical to the single-scan form the oracle computes.
+    val sharded = docs.withColumn("shard", expr("doc_id DIV 10000"))
+    val shardOff = sharded.groupBy("shard").agg(sum("n").as("st"))
+      .withColumn("off", coalesce(
+        sum("st").over(Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "off")
+    val wIn = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = docs.withColumn("cb", coalesce(sum("n").over(w), lit(0L)))
+    val cum = sharded.join(broadcast(shardOff), Seq("shard"))
+      .withColumn("cb", col("off") + coalesce(sum("n").over(wIn), lit(0L)))
     val perL = cum.selectExpr("n", "cb",
         s"explode(array(${chopLens.mkString(", ")})) AS l")
       .selectExpr("l", "n",
