@@ -940,6 +940,59 @@ object EventsStream {
         col("value"))
   }
 
+  // ---- bot-likeness scoring ----
+
+  /** Per-user automation signals from inter-arrival timing: event
+    * count, mean gap, and the coefficient-of-variation verdict — a
+    * near-constant gap (CV² below 1/25) is the machine signature no
+    * content feature sees, the standard first-pass bot screen on a
+    * 100 TB event log. Gaps are exact BIGINT micros off one lag
+    * window (user-keyed — the same shuffle sessionization pays);
+    * moments are exact integer sums; CV² is compared by integer-free
+    * DOUBLE cross-multiply of exact sums (n·Σg² − (Σg)² < (Σg)²/25
+    * ⟺ 25·(n·Σg² − (Σg)²) < (Σg)², both sides products of exact
+    * values in DOUBLE — the n² overflow dodge), so no per-row float
+    * ever decides the flag. Users with < 5 events abstain (flag 0,
+    * too little evidence). */
+  def botScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) - prev_us AS g")
+    gaps.groupBy("user_id").agg(
+        count(lit(1)).as("n_gaps"),
+        sum("g").as("sg"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0))")).as("sgg"))
+      .selectExpr("user_id", "n_gaps", "sg",
+        "CAST(sg AS DOUBLE) / n_gaps / 1e6 AS mean_gap_s",
+        """CASE WHEN n_gaps >= 4 AND sg > 0
+             AND 25.0 * (CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg)
+                 < CAST(sg AS DOUBLE) * sg
+           THEN 1 ELSE 0 END AS bot_flag""")
+      .orderBy("user_id")
+  }
+
+  val botScoreOracle: String =
+    """WITH g_t AS (SELECT user_id,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS g
+         FROM events),
+       m AS (SELECT user_id, count(*) AS n_gaps,
+           CAST(sum(g) AS BIGINT) AS sg,
+           sum(CAST(g AS HUGEINT) * g) AS sgg
+         FROM g_t WHERE g IS NOT NULL GROUP BY user_id)
+       SELECT user_id, n_gaps, sg,
+         CAST(sg AS DOUBLE) / n_gaps / 1e6 AS mean_gap_s,
+         CASE WHEN n_gaps >= 4 AND sg > 0
+             AND 25.0 * (CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg)
+                 < CAST(sg AS DOUBLE) * sg
+           THEN 1 ELSE 0 END AS bot_flag
+       FROM m ORDER BY user_id"""
+
   // ---- Markov stationary distribution ----
 
   private val markovIters = 4
