@@ -136,6 +136,7 @@ object SparkEntry {
     "text_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
     "corpus_quality_funnel" -> ((s, d) => Curation.qualityFunnel(s, d)),
     "corpus_datacard" -> ((s, d) => Curation.datacard(s, d)),
+    "corpus_quality_calibrated" -> ((s, d) => Curation.qualityCalibrated(s, d)),
     "corpus_shard_plan" -> ((s, d) => Curation.shardPlan(s, d)),
     "doc_chop_boundaries" -> ((s, d) => Curation.chopBoundaries(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -411,6 +412,7 @@ object SparkEntry {
     "text_quality_gate" -> TextAnalysis.qualityGateOracle,
     "corpus_quality_funnel" -> Curation.qualityFunnelOracle,
     "corpus_datacard" -> Curation.datacardOracle,
+    "corpus_quality_calibrated" -> Curation.qualityCalibratedOracle,
     "corpus_shard_plan" -> Curation.shardPlanOracle,
     "doc_chop_boundaries" -> Curation.chopBoundariesOracle,
     "dedup_edit_distance" -> Dedup.editDistancePairsOracle,

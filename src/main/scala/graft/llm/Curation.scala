@@ -452,6 +452,47 @@ object Curation {
             WHERE lb.doc_id = d.doc_id AND lb.doc_id <> lb.cluster_id)
         ORDER BY d.doc_id"""
 
+  // ---- per-source quality calibration ----
+
+  /** Within-source percentile calibration of the quality score — the
+    * fix for classifier domain drift: a raw threshold keeps 90 % of
+    * one source and 4 % of another purely because the scorer's scale
+    * shifts by domain, so production filters select per-source
+    * QUANTILES instead (each source keeps its own top slice). Ranks
+    * are exact integers from one source-partitioned window (same
+    * shuffle key as the source quotas); the top-20 % verdict is the
+    * integer cross-multiply rank·5 ≤ n_src. The rank orders on the
+    * bit-identical quality double with the doc_id tie-break, so both
+    * engines select the same element at every boundary. */
+  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val q = Tables.documents(spark, dir).select("doc_id", "source")
+      .join(TextAnalysis.statsRelation(spark, dir)
+        .selectExpr("doc_id", "quality_score"), Seq("doc_id"))
+    val bySrc = Window.partitionBy("source")
+    val w = bySrc.orderBy(desc("quality_score"), asc("doc_id"))
+    q.withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(bySrc))
+      .selectExpr("doc_id", "source", "quality_score", "src_rank", "n_src",
+        "CASE WHEN src_rank * 5 <= n_src THEN 1 ELSE 0 END AS top20_flag")
+      .orderBy("doc_id")
+  }
+
+  val qualityCalibratedOracle: String =
+    s"""WITH ${TextAnalysis.statsCtes},
+        q AS (SELECT d.doc_id, d.source, s.quality_score
+              FROM documents d JOIN stats s ON d.doc_id = s.doc_id),
+        r AS (SELECT *,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY quality_score DESC, doc_id) AS BIGINT) AS src_rank,
+            count(*) OVER (PARTITION BY source) AS n_src
+          FROM q)
+        SELECT doc_id, source, quality_score, src_rank,
+          CAST(n_src AS BIGINT) AS n_src,
+          CASE WHEN src_rank * 5 <= n_src THEN 1 ELSE 0 END AS top20_flag
+        FROM r ORDER BY doc_id"""
+
   // ---- concat-then-chop packing boundary table ----
 
   private val chopLens = Seq(512, 2048, 8192)
