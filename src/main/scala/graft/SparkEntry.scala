@@ -127,6 +127,7 @@ object SparkEntry {
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_skipgram_pmi" -> ((s, d) => TextAnalysis.skipgramPmi(s, d)),
     "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "text_doc_keywords" -> ((s, d) => TextAnalysis.docKeywords(s, d)),
     "text_sentences" -> ((s, d) => TextAnalysis.sentences(s, d)),
     "text_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "retrieval_rrf_fusion" -> ((s, d) => graft.llm.Retrieval.rrfFusion(s, d)),
@@ -403,6 +404,7 @@ object SparkEntry {
     "text_collocations" -> TextAnalysis.collocationsOracle,
     "text_skipgram_pmi" -> TextAnalysis.skipgramPmiOracle,
     "text_dsir_weights" -> TextAnalysis.dsirWeightsOracle,
+    "text_doc_keywords" -> TextAnalysis.docKeywordsOracle,
     "text_sentences" -> TextAnalysis.sentencesOracle,
     "text_char_diversity" -> TextAnalysis.charDiversityOracle,
     "retrieval_rrf_fusion" -> graft.llm.Retrieval.rrfFusionOracle,

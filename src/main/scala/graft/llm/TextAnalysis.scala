@@ -1200,6 +1200,35 @@ object TextAnalysis {
        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        ORDER BY d.doc_id"""
 
+  // ---- per-document keywords ----
+
+  private val docKeywordK = 3
+
+  /** Per-document keyword extraction: each doc's top [[docKeywordK]]
+    * TF-IDF terms — the per-doc descriptor (search snippets, topic
+    * tags, routing features) the corpus-grain [[topTerms]] and
+    * cluster-grain [[graft.llm.Retrieval.clusterTopTerms]] don't
+    * give. Rides the staged weights relation: one doc-partitioned
+    * window over (doc, term) rows, weight ties broken by term — no
+    * additional scan of text, exact integer weights end to end. */
+  def docKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(desc("wq"), asc("term"))
+    tfidfWeights(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= docKeywordK)
+      .selectExpr("doc_id", "rank", "term", "CAST(wq AS BIGINT) AS weight")
+      .orderBy("doc_id", "rank")
+  }
+
+  val docKeywordsOracle: String =
+    s"""WITH $tfidfCtes,
+        r AS (SELECT doc_id, term, wq, CAST(row_number() OVER
+            (PARTITION BY doc_id ORDER BY wq DESC, term) AS BIGINT) AS rank
+          FROM wt)
+        SELECT doc_id, rank, term, CAST(wq AS BIGINT) AS weight
+        FROM r WHERE rank <= $docKeywordK ORDER BY doc_id, rank"""
+
   // ---- DSIR importance-resampling weights ----
 
   private val dsirBuckets = 4096
