@@ -193,6 +193,7 @@ object SparkEntry {
     "embedding_int8_quant" -> ((s, d) => Quantize.int8Quant(s, d)),
     "embedding_random_projection" -> ((s, d) => Quantize.randomProjection(s, d)),
     "embedding_projection_audit" -> ((s, d) => Quantize.projectionAudit(s, d)),
+    "embedding_pca_power" -> ((s, d) => Quantize.pcaPower(s, d)),
     "ann_binary_topk" -> ((s, d) => Quantize.binaryTopK(s, d)),
     "ann_matryoshka_recall" -> ((s, d) => Quantize.matryoshkaRecall(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
@@ -470,6 +471,7 @@ object SparkEntry {
     "embedding_int8_quant" -> Quantize.int8QuantOracle,
     "embedding_random_projection" -> Quantize.randomProjectionOracle,
     "embedding_projection_audit" -> Quantize.projectionAuditOracle,
+    "embedding_pca_power" -> Quantize.pcaPowerOracle,
     "ann_binary_topk" -> Quantize.binaryTopKOracle,
     "ann_matryoshka_recall" -> Quantize.matryoshkaRecallOracle,
     "table_profile" -> graft.ops.Profile.tableProfileOracle,

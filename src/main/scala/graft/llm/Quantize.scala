@@ -271,6 +271,109 @@ object Quantize {
         FROM ranked WHERE rank <= $binTopK ORDER BY query_id, rank"""
   }
 
+  // ---- distributed PCA: top principal component ----
+
+  private val pcaDims = 16
+  private val pcaIters = 3
+
+  /** Top principal component of the first [[pcaDims]] embedding
+    * dimensions by power iteration — the variance-axis readout that
+    * drives whitening, drift monitoring, and index rotation. The
+    * DISTRIBUTED part is one pass: all 16 first moments and 136
+    * second moments as exact sums (micro-quantized inputs, the
+    * Spearman DECIMAL(38,0)/HUGEINT discipline — float moment sums
+    * would be partitioning-dependent). The covariance numerators
+    * n·Σqᵢqⱼ − Σqᵢ·Σqⱼ and the unrolled [[pcaIters]]-round power
+    * iteration (with an ∞-norm renormalization per round) then run on
+    * a ONE-ROW relation as a fixed IEEE tree — bit-identical in both
+    * engines, so the eigenvector needs no sign convention: both
+    * engines walk the identical trajectory from the identical start.
+    * Rayleigh quotient reported in raw covariance-numerator units. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val d = SparkD
+    val quant = (0 until pcaDims).map(i =>
+      s"CAST(round(${idx("v", i, d)} * 1000000) AS BIGINT) AS q_$i")
+    val moments =
+      Seq("CAST(count(1) AS DECIMAL(38,0)) AS n") ++
+      (0 until pcaDims).map(i =>
+        s"CAST(sum(CAST(q_$i AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_$i") ++
+      (for (i <- 0 until pcaDims; j <- i until pcaDims) yield
+        s"CAST(sum(CAST(q_$i AS DECIMAL(38,0)) * q_$j) AS DECIMAL(38,0)) AS p_${i}_$j")
+    def cov(i: Int, j: Int): String = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      s"(CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE) - CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE))"
+    }
+    val base = vecsD(spark, dir)
+      .selectExpr(quant: _*)
+      .selectExpr(moments: _*)
+    var cur = base.selectExpr(Seq("*") ++
+      (0 until pcaDims).map(i => s"CAST(1.0 AS DOUBLE) AS v_$i"): _*)
+    for (_ <- 1 to pcaIters) {
+      val mult = (0 until pcaDims).map { i =>
+        (0 until pcaDims).map(j => s"${cov(i, j)} * v_$j").mkString(" + ")
+      }
+      cur = cur.selectExpr(Seq("*") ++
+          mult.zipWithIndex.map { case (e, i) => s"($e) AS u_$i" }: _*)
+        .selectExpr("*",
+          (0 until pcaDims).map(i => s"abs(u_$i)").mkString("greatest(", ", ", ")") + " AS mx")
+      cur = cur.selectExpr(
+        Seq("n") ++ (0 until pcaDims).map(i => s"s_$i") ++
+        (for (i <- 0 until pcaDims; j <- i until pcaDims) yield s"p_${i}_$j") ++
+        (0 until pcaDims).map(i => s"u_$i / mx AS v_$i"): _*)
+    }
+    val vnorm = (0 until pcaDims).map(i => s"v_$i * v_$i").mkString(" + ")
+    val cvDot = (0 until pcaDims).map { i =>
+      "(" + (0 until pcaDims).map(j => s"${cov(i, j)} * v_$j").mkString(" + ") + s") * v_$i"
+    }.mkString(" + ")
+    cur.selectExpr(
+      (0 until pcaDims).map(i =>
+        s"CAST(round(v_$i * 1000000000) AS BIGINT) AS pc_$i") ++
+      Seq(s"($cvDot) / ($vnorm) AS rayleigh"): _*)
+  }
+
+  val pcaPowerOracle: String = {
+    val d = DuckD
+    val quant = (0 until pcaDims).map(i =>
+      s"CAST(round(${idx("v", i, d)} * 1000000) AS BIGINT) AS q_$i").mkString(", ")
+    val moments =
+      (Seq("CAST(count(*) AS HUGEINT) AS n") ++
+        (0 until pcaDims).map(i => s"sum(CAST(q_$i AS HUGEINT)) AS s_$i") ++
+        (for (i <- 0 until pcaDims; j <- i until pcaDims) yield
+          s"sum(CAST(q_$i AS HUGEINT) * q_$j) AS p_${i}_$j")).mkString(", ")
+    def cov(i: Int, j: Int): String = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      s"(CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE) - CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE))"
+    }
+    val iterCtes = (1 to pcaIters).map { r =>
+      val prev = if (r == 1) "it0" else s"it${r - 1}"
+      val mult = (0 until pcaDims).map { i =>
+        (0 until pcaDims).map(j => s"${cov(i, j)} * v_$j").mkString(" + ")
+      }
+      val mx = (0 until pcaDims).map(i => s"abs(u_$i)").mkString("greatest(", ", ", ")")
+      s"""u$r AS (SELECT *, ${mult.zipWithIndex.map { case (e, i) => s"($e) AS u_$i" }.mkString(", ")}
+            FROM $prev),
+          m$r AS (SELECT *, $mx AS mx FROM u$r),
+          it$r AS (SELECT n, ${(0 until pcaDims).map(i => s"s_$i").mkString(", ")},
+              ${(for (i <- 0 until pcaDims; j <- i until pcaDims) yield s"p_${i}_$j").mkString(", ")},
+              ${(0 until pcaDims).map(i => s"u_$i / mx AS v_$i").mkString(", ")}
+            FROM m$r)"""
+    }.mkString(",\n        ")
+    val vnorm = (0 until pcaDims).map(i => s"v_$i * v_$i").mkString(" + ")
+    val cvDot = (0 until pcaDims).map { i =>
+      "(" + (0 until pcaDims).map(j => s"${cov(i, j)} * v_$j").mkString(" + ") + s") * v_$i"
+    }.mkString(" + ")
+    s"""WITH ${vecsDCte(d)},
+        qt AS (SELECT $quant FROM ve),
+        mo AS (SELECT $moments FROM qt),
+        it0 AS (SELECT *, ${(0 until pcaDims).map(i => s"CAST(1.0 AS DOUBLE) AS v_$i").mkString(", ")}
+                FROM mo),
+        $iterCtes
+        SELECT ${(0 until pcaDims).map(i =>
+          s"CAST(round(v_$i * 1000000000) AS BIGINT) AS pc_$i").mkString(", ")},
+          ($cvDot) / ($vnorm) AS rayleigh
+        FROM it$pcaIters"""
+  }
+
   // ---- Matryoshka prefix-dimension recall ----
 
   private val mrlDims = 16
