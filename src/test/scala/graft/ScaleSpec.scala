@@ -114,4 +114,43 @@ class ScaleSpec extends SparkSpec {
       assert(ys < 2048, s"bucket $b y_span $ys")
     }
   }
+
+  test("a selective dim filter dynamically prunes fact partitions at runtime") {
+    // Dynamic Partition Pruning: the fact side is partitioned by
+    // order year; the dim side's filter is only known at runtime
+    // (a join, not a literal the optimizer could fold into a static
+    // partition filter), so the scan must carry a dynamicpruning
+    // subquery that narrows the partitions from the broadcast dim —
+    // at 100 TB the difference between scanning one year and seven.
+    val zone = java.nio.file.Files
+      .createTempDirectory("dpp_zone").toString
+    graft.io.Tables.orders(spark, sfTiny)
+      .selectExpr("o_orderkey", "o_totalprice",
+        "year(CAST(o_orderdate AS DATE)) AS o_year")
+      .write.mode("overwrite").partitionBy("o_year").parquet(zone)
+    val fact = spark.read.parquet(zone)
+    val nYears = fact.select("o_year").distinct().count()
+    assert(nYears > 1, "fixture must span years for pruning to mean anything")
+    // independent dim with a NON-partition filter column: the
+    // optimizer cannot fold `label = 'keep'` into a static partition
+    // predicate on the fact, so pruning must happen at runtime
+    val pickYear = fact.agg(max("o_year")).head.getInt(0)
+    val years = fact.select("o_year").distinct()
+      .as[Int].collect().toSeq
+    val dimZone = java.nio.file.Files
+      .createTempDirectory("dpp_dim").toString
+    years.map(y => (y, if (y == pickYear) "keep" else "drop"))
+      .toDF("o_year", "label")
+      .write.mode("overwrite").parquet(dimZone)
+    val dim = spark.read.parquet(dimZone)
+    val q = fact.join(dim.filter(col("label") === "keep"), Seq("o_year"))
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in plan:\n${plan.take(2000)}")
+    // and the pruned result equals the statically-filtered truth
+    val expect = fact.filter(col("o_year") === pickYear)
+      .agg(count(lit(1)), sum("o_totalprice")).head
+    assert(q.head == expect)
+  }
 }
