@@ -202,6 +202,7 @@ object SparkEntry {
     "multimodal_pixel_histogram" -> ((s, d) => Multimodal.pixelHistogram(s, d)),
     "multimodal_hist_similarity" -> ((s, d) => Multimodal.histSimilarity(s, d)),
     "multimodal_ahash_pairs" -> ((s, d) => Multimodal.ahashPairs(s, d)),
+    "multimodal_motion_energy" -> ((s, d) => Multimodal.motionEnergy(s, d)),
     "multimodal_wav_stats" -> ((s, d) => Multimodal.wavStats(s, d)),
     "multimodal_video_stats" -> ((s, d) => Multimodal.videoStats(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
@@ -539,6 +540,7 @@ object SparkEntry {
     "multimodal_pixel_histogram" -> Multimodal.pixelHistogramOracle,
     "multimodal_hist_similarity" -> Multimodal.histSimilarityOracle,
     "multimodal_ahash_pairs" -> Multimodal.ahashPairsOracle,
+    "multimodal_motion_energy" -> Multimodal.motionEnergyOracle,
     "multimodal_wav_stats" -> Multimodal.wavStatsOracle,
     "multimodal_video_stats" -> Multimodal.videoStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,

@@ -320,6 +320,53 @@ object MediaCodec {
         Y4mPlaneStats(p, counts(p) * frames, sums(p), mins(p), maxs(p)))))
   }
 
+  /** Raw-frame variant of [[decodeY4m]]: the same header/FRAME walk,
+    * but returning each frame's full 4:2:0 buffer — the consumer
+    * shape temporal features (frame deltas, motion energy, scene
+    * cuts) need, which the aggregate decoder can't serve. */
+  def decodeY4mFrames(payload: Array[Byte]): Option[(Y4mVideo, Array[Array[Byte]])] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < payload.length && payload(i) != '\n'.toByte) i += 1
+      if (i >= payload.length) -1 else i
+    }
+    val nl = lineEnd(0)
+    if (nl < 0) return None
+    val toks = new String(payload, 0, nl, "US-ASCII").split(" ")
+    if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+    var w = -1; var h = -1; var fn = -1; var fd = -1; var cs = "420"
+    toks.drop(1).foreach { t =>
+      if (t.startsWith("W")) w = t.drop(1).toIntOption.getOrElse(-1)
+      else if (t.startsWith("H")) h = t.drop(1).toIntOption.getOrElse(-1)
+      else if (t.startsWith("F")) t.drop(1).split(":") match {
+        case Array(a, b) =>
+          fn = a.toIntOption.getOrElse(-1); fd = b.toIntOption.getOrElse(-1)
+        case _ => fn = -1
+      }
+      else if (t.startsWith("C")) cs = t.drop(1)
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    if (w % 2 != 0 || h % 2 != 0) return None
+    if (cs != "420" && !cs.startsWith("420")) return None
+    val frameSizeL = w.toLong * h + 2 * ((w.toLong / 2) * (h / 2))
+    if (frameSizeL > payload.length) return None
+    val frameSize = frameSizeL.toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = nl + 1
+    while (off < payload.length) {
+      val fnl = lineEnd(off)
+      if (fnl < 0) return None
+      if (!new String(payload, off, fnl - off, "US-ASCII").startsWith("FRAME"))
+        return None
+      val start = fnl + 1
+      if (start.toLong + frameSize > payload.length) return None
+      out += java.util.Arrays.copyOfRange(payload, start, start + frameSize)
+      off = start + frameSize
+    }
+    if (out.isEmpty) return None
+    Some((Y4mVideo(w, h, fn, fd, out.length), out.toArray))
+  }
+
   // ---- builders (valid minimal files, used by fixtures and specs) ----
 
   /** Spec-valid YUV4MPEG2 stream at 25 fps, 4:2:0, with deterministic

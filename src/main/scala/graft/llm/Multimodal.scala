@@ -337,6 +337,76 @@ object Multimodal {
         FROM ranked WHERE rank <= $histTopK
         ORDER BY probe_id, rank"""
 
+  case class MotionRow(doc_id: Long, n_frames: Int, frame_size: Long,
+                       n_deltas: Long, motion_energy: Long)
+
+  /** Frame-delta motion energy from REAL decoded Y4M frames: per
+    * video, Σ over consecutive frame pairs of Σ_j |s_f(j) − s_{f−1}(j)|
+    * — the temporal feature behind scene-cut detection and static-clip
+    * filtering, and the first consumer that needs raw FRAMES rather
+    * than plane aggregates ([[MediaCodec.decodeY4mFrames]]). Single-
+    * frame videos emit 0 deltas (totality). The oracle recomputes
+    * every |Δ| from the generative sample formula — the wrap cases
+    * (s jumps 239 instead of 17 when the mod boundary crosses) are
+    * exactly what proves real bytes were compared, not the formula's
+    * shortcut. */
+  def motionEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 2").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, frames) = videoDims(id)
+          val y4m = MediaCodec.makeY4m(w, h, frames, (id % 251).toInt)
+          val (video, fr) = MediaCodec.decodeY4mFrames(y4m).getOrElse(
+            sys.error(s"y4m frame decode failed for doc $id"))
+          val fs = fr.head.length
+          var e = 0L
+          var f = 1
+          while (f < fr.length) {
+            var j = 0
+            while (j < fs) {
+              e += math.abs((fr(f)(j) & 0xff) - (fr(f - 1)(j) & 0xff))
+              j += 1
+            }
+            f += 1
+          }
+          MotionRow(id, video.frames, fs.toLong,
+            (fr.length - 1).toLong * fs, e)
+        }
+      }
+    rows.toDF()
+      .selectExpr("doc_id", "n_frames", "frame_size", "n_deltas",
+        "motion_energy",
+        """CASE WHEN n_deltas > 0
+             THEN CAST(motion_energy AS DOUBLE) / n_deltas
+             ELSE CAST(0 AS DOUBLE) END AS mean_motion""")
+      .orderBy("doc_id")
+  }
+
+  val motionEnergyOracle: String =
+    """WITH vids AS (SELECT doc_id,
+           CAST(2 * (doc_id % 8 + 1) AS INTEGER) AS w,
+           CAST(2 * (doc_id % 6 + 1) AS INTEGER) AS h,
+           CAST(doc_id % 4 + 1 AS INTEGER) AS n_frames
+         FROM documents WHERE doc_id % 3 = 2),
+       dims AS (SELECT *, w * h * 3 // 2 AS fs FROM vids),
+       dl AS (SELECT d.doc_id, d.n_frames, d.fs,
+           abs((((d.doc_id % 251) + f.f * 17 + j.j * 5) % 256)
+             - (((d.doc_id % 251) + (f.f - 1) * 17 + j.j * 5) % 256)) AS ad
+         FROM dims d, range(1, 4) f(f), range(0, 288) j(j)
+         WHERE f.f < d.n_frames AND j.j < d.fs)
+       SELECT v.doc_id, v.n_frames,
+         CAST(v.fs AS BIGINT) AS frame_size,
+         CAST((v.n_frames - 1) * v.fs AS BIGINT) AS n_deltas,
+         CAST(coalesce(sum(dl.ad), 0) AS BIGINT) AS motion_energy,
+         CASE WHEN v.n_frames > 1
+           THEN CAST(coalesce(sum(dl.ad), 0) AS DOUBLE) / ((v.n_frames - 1) * v.fs)
+           ELSE CAST(0 AS DOUBLE) END AS mean_motion
+       FROM dims v LEFT JOIN dl ON v.doc_id = dl.doc_id
+       GROUP BY v.doc_id, v.n_frames, v.fs
+       ORDER BY v.doc_id"""
+
   /** 9-band layout over the 64-bit aHash: eight 7-bit bands + one
     * 8-bit band. Pigeonhole: Hamming ≤ 8 ⇒ at least one band
     * bit-identical, so the (band, value) equi-join is a LOSSLESS
