@@ -236,6 +236,29 @@ class MediaCodecSpec extends SparkSpec {
       .exists(_._1 == MediaCodec.Y4mVideo(4, 4, 25, 1, 1)))
   }
 
+  test("y4m raw-frame decode agrees with the aggregate decoder and rejects the same garbage") {
+    val y4m = MediaCodec.makeY4m(8, 6, 3, seed = 42)
+    val (video, frames) = MediaCodec.decodeY4mFrames(y4m).get
+    val (video2, planes) = MediaCodec.decodeY4m(y4m).get
+    assert(video == video2 && frames.length == 3)
+    val frameSize = 8 * 6 * 3 / 2
+    assert(frames.forall(_.length == frameSize))
+    // the raw frames re-aggregate to exactly the aggregate decoder's sums
+    def planeOf(j: Int) = if (j < 48) 0 else if (j < 60) 1 else 2
+    (0 until 3).foreach { p =>
+      val s = frames.flatMap(_.zipWithIndex.collect {
+        case (b, j) if planeOf(j) == p => (b & 0xff).toLong }).sum
+      assert(s == planes(p).sum, s"plane $p")
+    }
+    // same rejection surface as the aggregate decoder
+    assert(MediaCodec.decodeY4mFrames(y4m.dropRight(1)).isEmpty)
+    assert(MediaCodec.decodeY4mFrames(
+      "JUNK W4 H4 F25:1\n".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodec.decodeY4mFrames(
+      ("YUV4MPEG2 W65536 H65536 F25:1\nFRAME\n" + "x" * 64)
+        .getBytes("US-ASCII")).isEmpty)
+  }
+
   test("typed mapPartitions header extraction matches per-row expectation") {
     val rows = Multimodal.extractHeaders(Multimodal.syntheticMedia(spark, sfTiny))
       .collect().sortBy(_.doc_id)
