@@ -138,6 +138,7 @@ object SparkEntry {
     "corpus_quality_funnel" -> ((s, d) => Curation.qualityFunnel(s, d)),
     "corpus_datacard" -> ((s, d) => Curation.datacard(s, d)),
     "corpus_quality_calibrated" -> ((s, d) => Curation.qualityCalibrated(s, d)),
+    "corpus_budget_planner" -> ((s, d) => Curation.budgetPlanner(s, d)),
     "corpus_shard_plan" -> ((s, d) => Curation.shardPlan(s, d)),
     "doc_chop_boundaries" -> ((s, d) => Curation.chopBoundaries(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -417,6 +418,7 @@ object SparkEntry {
     "corpus_quality_funnel" -> Curation.qualityFunnelOracle,
     "corpus_datacard" -> Curation.datacardOracle,
     "corpus_quality_calibrated" -> Curation.qualityCalibratedOracle,
+    "corpus_budget_planner" -> Curation.budgetPlannerOracle,
     "corpus_shard_plan" -> Curation.shardPlanOracle,
     "doc_chop_boundaries" -> Curation.chopBoundariesOracle,
     "dedup_edit_distance" -> Dedup.editDistancePairsOracle,

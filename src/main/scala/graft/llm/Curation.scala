@@ -452,6 +452,85 @@ object Curation {
             WHERE lb.doc_id = d.doc_id AND lb.doc_id <> lb.cluster_id)
         ORDER BY d.doc_id"""
 
+  // ---- token-budget planner ----
+
+  private val budgets = Seq(50000L, 200000L, 1000000L)
+
+  /** Budget → threshold inversion: for each target token budget, the
+    * quality cutoff that keeps exactly that many tokens when documents
+    * are admitted best-quality-first — the planning step every
+    * data-mix decision runs ("what does a 2T-token corpus cost in
+    * quality floor?"). The quality-ordered cumulative token sum uses
+    * the same TWO-PHASE distributed prefix scan as [[chopBoundaries]]
+    * (coarse quality-bucket totals → bucket-grain prefix → broadcast
+    * offsets → within-bucket window) — never a single-partition global
+    * window. The crossing row per budget is a min-rank aggregate over
+    * the (tiny) qualifying set; budgets beyond the corpus keep
+    * everything (totality). */
+  def budgetPlanner(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = TextAnalysis.statsRelation(spark, dir)
+      .selectExpr("doc_id", "CAST(n_tokens AS BIGINT) AS n_tokens", "quality_score",
+        // coarse ordering bucket: quality DESC ⇒ bucket ASC
+        "CAST(floor((1.0 - quality_score) * 1000) AS BIGINT) AS qb")
+    val bucketTot = docs.groupBy("qb")
+      .agg(sum("n_tokens").as("bt"), count(lit(1)).as("bc"))
+    val off = bucketTot
+      .withColumn("t_off", coalesce(sum("bt").over(Window.orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("c_off", coalesce(sum("bc").over(Window.orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("qb", "t_off", "c_off")
+    val wIn = Window.partitionBy("qb")
+      .orderBy(desc("quality_score"), asc("doc_id"))
+    val ranked = docs.join(broadcast(off), Seq("qb"))
+      .withColumn("cum", col("t_off") +
+        sum("n_tokens").over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rk", col("c_off") + row_number().over(wIn))
+      .select("doc_id", "quality_score", "cum", "rk")
+      .localCheckpoint(true)
+    val total = ranked.agg(max("cum").as("tot"), max("rk").as("n_docs"))
+    import spark.implicits._
+    val budgetDf = budgets.toDF("budget")
+    val crossing = budgetDf.crossJoin(ranked)
+      .filter(col("cum") >= col("budget"))
+      .groupBy("budget").agg(min("rk").as("rk"))
+      .join(ranked, Seq("rk"))
+    budgetDf
+      .join(crossing.select("budget", "rk", "cum", "quality_score"),
+        Seq("budget"), "left")
+      .crossJoin(broadcast(total))
+      .selectExpr("budget",
+        "CAST(coalesce(rk, n_docs) AS BIGINT) AS docs_kept",
+        "CAST(coalesce(cum, tot) AS BIGINT) AS tokens_kept",
+        "coalesce(quality_score, -1.0) AS threshold_quality")
+      .orderBy("budget")
+  }
+
+  val budgetPlannerOracle: String =
+    s"""WITH ${TextAnalysis.statsCtes},
+        d AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+              FROM stats),
+        ranked AS (SELECT doc_id, quality_score,
+            sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            CAST(row_number() OVER
+              (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rk
+          FROM d),
+        tot AS (SELECT max(cum) AS tot, max(rk) AS n_docs FROM ranked),
+        b AS (SELECT unnest(ARRAY[${budgets.mkString(", ")}]) AS budget),
+        crossing AS (SELECT b.budget, min(r.rk) AS rk
+          FROM b JOIN ranked r ON r.cum >= b.budget GROUP BY b.budget),
+        cr AS (SELECT c.budget, c.rk, r.cum, r.quality_score
+          FROM crossing c JOIN ranked r ON c.rk = r.rk)
+        SELECT b.budget,
+          CAST(coalesce(cr.rk, tot.n_docs) AS BIGINT) AS docs_kept,
+          CAST(coalesce(cr.cum, tot.tot) AS BIGINT) AS tokens_kept,
+          coalesce(cr.quality_score, -1.0) AS threshold_quality
+        FROM b LEFT JOIN cr ON b.budget = cr.budget CROSS JOIN tot
+        ORDER BY b.budget"""
+
   // ---- per-source quality calibration ----
 
   /** Within-source percentile calibration of the quality score — the
