@@ -256,6 +256,7 @@ object SparkEntry {
     "events_daily_autocorr" -> ((s, d) => Analytics.eventsDailyAutocorr(s, d)),
     "daily_revenue_trend" -> ((s, d) => Analytics.dailyRevenueTrend(s, d)),
     "daily_revenue_backtest" -> ((s, d) => Analytics.dailyRevenueBacktest(s, d)),
+    "daily_revenue_decomposition" -> ((s, d) => Analytics.dailyRevenueDecomposition(s, d)),
     "monthly_revenue_theilsen" -> ((s, d) => Analytics.monthlyRevenueTheilSen(s, d)),
     "docs_source_diversity" -> ((s, d) => Analytics.docsSourceDiversity(s, d)),
     "customer_survival_km" -> ((s, d) => Analytics.customerSurvivalKm(s, d)),
@@ -527,6 +528,7 @@ object SparkEntry {
     "events_daily_autocorr" -> Analytics.eventsDailyAutocorrOracle,
     "daily_revenue_trend" -> Analytics.dailyRevenueTrendOracle,
     "daily_revenue_backtest" -> Analytics.dailyRevenueBacktestOracle,
+    "daily_revenue_decomposition" -> Analytics.dailyRevenueDecompositionOracle,
     "monthly_revenue_theilsen" -> Analytics.monthlyRevenueTheilSenOracle,
     "docs_source_diversity" -> Analytics.docsSourceDiversityOracle,
     "customer_survival_km" -> Analytics.customerSurvivalKmOracle,

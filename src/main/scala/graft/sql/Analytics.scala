@@ -1119,6 +1119,90 @@ object Analytics {
                 (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z""")
   }
 
+  // ---- trend + weekday variance decomposition ----
+
+  /** Seasonal decomposition readout: how much daily-revenue variance
+    * the linear trend explains, and how much more the weekday profile
+    * adds — the one-row answer to "is this series trending, weekly,
+    * or noise" that decides which forecaster [[dailyRevenueBacktest]]
+    * should even field. Discipline: OLS coefficients come from the
+    * exact integer moments (shared with [[dailyRevenueTrend]]);
+    * detrended residuals are quantized to exact integer CENTS before
+    * any aggregation (float residual sums would be partitioning-
+    * dependent); weekday means use floor(s/n) on a DOUBLE division of
+    * exact ints (both engines round the division identically — integer
+    * DIV would diverge on negatives: Spark truncates, DuckDB floors);
+    * the variance ratios are one shared IEEE tree at the end. The
+    * whole operator is day-grain. */
+  def dailyRevenueDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val series = revenueSeries(spark, dir, dayGrain).localCheckpoint(true)
+    val m = series.selectExpr(olsMoments: _*)
+    val fit = m.selectExpr("n", "sy", "syy",
+      """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+         (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b""",
+      "CAST(sx AS DOUBLE) AS sxd")
+      .selectExpr("n", "sy", "syy", "b",
+        "(CAST(sy AS DOUBLE) - b * sxd) / n AS a")
+    val resid = series.crossJoin(broadcast(fit))
+      .selectExpr("x % 7 AS wd",
+        "CAST(round((CAST(y AS DOUBLE) - (a + b * x)) * 100) AS BIGINT) AS dc",
+        "n", "sy", "syy")
+      .localCheckpoint(true)
+    val wm = resid.groupBy("wd")
+      .agg(sum("dc").as("swd"), count(lit(1)).as("nwd"))
+      .selectExpr("wd", "floor(CAST(swd AS DOUBLE) / nwd) AS wmean")
+    resid.join(broadcast(wm), Seq("wd"))
+      .selectExpr("n", "sy", "syy", "dc",
+        "CAST(dc - wmean AS BIGINT) AS rc")
+      .groupBy("n", "sy", "syy")
+      .agg(sum(expr("CAST(dc AS DECIMAL(38,0)) * dc")).as("sdd"),
+        sum(expr("CAST(rc AS DECIMAL(38,0)) * rc")).as("srr"))
+      .selectExpr("CAST(n AS BIGINT) AS n_days",
+        "CAST(sdd AS DOUBLE) AS ss_detrended_cents2",
+        "CAST(srr AS DOUBLE) AS ss_residual_cents2",
+        // ss_total (dollar²·n²-scaled) = n·Σy² − (Σy)²; residual sums
+        // are cents² · n-scaled → align scales via n and 10⁴
+        """1.0 - CAST(n AS DOUBLE) * sdd /
+           (10000.0 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2_trend""",
+        """1.0 - CAST(n AS DOUBLE) * srr /
+           (10000.0 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2_trend_weekday""")
+  }
+
+  val dailyRevenueDecompositionOracle: String =
+    s"""WITH series AS (
+         SELECT $dayGrainDuck AS x,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) // 100 AS y
+         FROM lineitem GROUP BY 1),
+       m AS (SELECT ${olsMoments.mkString(", ")} FROM series),
+       fit AS (SELECT n, sy, syy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+           CAST(sx AS DOUBLE) AS sxd
+         FROM m),
+       fit2 AS (SELECT n, sy, syy, b,
+           (CAST(sy AS DOUBLE) - b * sxd) / n AS a FROM fit),
+       resid AS (SELECT s.x % 7 AS wd,
+           CAST(round((CAST(s.y AS DOUBLE) - (f.a + f.b * s.x)) * 100) AS BIGINT) AS dc,
+           f.n, f.sy, f.syy
+         FROM series s CROSS JOIN fit2 f),
+       wm AS (SELECT wd, floor(CAST(sum(dc) AS DOUBLE) / count(*)) AS wmean
+              FROM resid GROUP BY wd),
+       rr AS (SELECT r.n, r.sy, r.syy, r.dc,
+           CAST(r.dc - w.wmean AS BIGINT) AS rc
+         FROM resid r JOIN wm w ON r.wd = w.wd),
+       agg AS (SELECT n, sy, syy,
+           sum(CAST(dc AS HUGEINT) * dc) AS sdd,
+           sum(CAST(rc AS HUGEINT) * rc) AS srr
+         FROM rr GROUP BY n, sy, syy)
+       SELECT CAST(n AS BIGINT) AS n_days,
+         CAST(sdd AS DOUBLE) AS ss_detrended_cents2,
+         CAST(srr AS DOUBLE) AS ss_residual_cents2,
+         1.0 - CAST(n AS DOUBLE) * sdd /
+           (10000.0 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2_trend,
+         1.0 - CAST(n AS DOUBLE) * srr /
+           (10000.0 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2_trend_weekday
+       FROM agg"""
+
   // ---- forecast backtest (MASE) ----
 
   /** Rolling-origin forecast backtest on the daily revenue series:
