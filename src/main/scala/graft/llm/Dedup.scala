@@ -564,6 +564,51 @@ object Dedup {
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id"""
 
+  // ---- LSH banding recall vs exact truth ----
+
+  /** Cross-tier recall at the 0.8 tier: of the pairs the EXACT
+    * zero-false-negative tier certifies (prefix-filter join, distinct-
+    * token Jaccard ≥ 0.8), how many does the sub-quadratic MinHash
+    * tier ALSO surface at its own ≥ 0.8 verify (shingle Jaccard via
+    * banding)? The feature spaces deliberately differ — tokens vs
+    * word shingles — so a miss is either a banding miss or a
+    * legitimate metric disagreement; what the audit certifies is the
+    * OPERATIONAL question (can the cheap tier stand in for the exact
+    * one on this corpus), not banding theory in isolation. Truth and
+    * candidate sets are both staged relations; the comparison is one
+    * left-semi count at pair grain. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = PrefixJoin.verifiedPairs(spark, dir).select("doc_a", "doc_b")
+    val caught = minhashPairs(spark, dir)
+      .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCaught = truth.join(caught, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    nTruth.crossJoin(nCaught)
+      .selectExpr("n_truth", "n_caught",
+        "n_truth - n_caught AS n_missed",
+        """CASE WHEN n_truth > 0
+             THEN CAST(n_caught AS DOUBLE) / n_truth
+             ELSE CAST(1 AS DOUBLE) END AS recall""")
+  }
+
+  lazy val lshRecallOracle: String =
+    s"""WITH truth AS MATERIALIZED (SELECT doc_a, doc_b
+          FROM (${PrefixJoin.prefixFilterPairsOracle}) p0),
+        caught AS MATERIALIZED (SELECT doc_a, doc_b
+          FROM ($minhashPairsOracle) m0 WHERE jaccard >= 0.8),
+        nt AS (SELECT count(*) AS n_truth FROM truth),
+        nc AS (SELECT count(*) AS n_caught FROM truth t
+               WHERE EXISTS (SELECT 1 FROM caught c
+                 WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+        SELECT CAST(n_truth AS BIGINT) AS n_truth,
+          CAST(n_caught AS BIGINT) AS n_caught,
+          CAST(n_truth - n_caught AS BIGINT) AS n_missed,
+          CASE WHEN n_truth > 0
+            THEN CAST(n_caught AS DOUBLE) / n_truth
+            ELSE CAST(1 AS DOUBLE) END AS recall
+        FROM nt CROSS JOIN nc"""
+
   // ---- lexical-vs-semantic clustering agreement (ARI) ----
 
   /** Adjusted Rand Index between the two clustering tiers — MinHash
