@@ -133,6 +133,36 @@ object Sketches {
       .orderBy("day")
   }
 
+  /** DAU/WAU stickiness: per day, exact daily active users over the
+    * trailing-7-day actives, the product-analytics staple. The exact
+    * WAU side reuses [[slidingDistinct]]'s day-grain fan-out (at
+    * 100 TB swap in its sketch path); DAU rides the same distinct
+    * (day, user) relation. Ratio is the only float. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.io.Tables.events(spark, dir)
+      .selectExpr("CAST(ts AS DATE) AS day", "user_id").distinct()
+    val dau = ev.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val days = dau.select(col("day").as("anchor"))
+    val wau = broadcast(days)
+      .join(ev, expr(s"day BETWEEN date_sub(anchor, $slideDays) AND anchor"))
+      .groupBy("anchor").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau.withColumnRenamed("anchor", "day"), Seq("day"))
+      .selectExpr("day", "dau", "wau",
+        "CAST(dau AS DOUBLE) / wau AS stickiness")
+      .orderBy("day")
+  }
+
+  val stickinessOracle: String =
+    s"""WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ev GROUP BY day),
+        wau AS (SELECT d.day AS day, count(DISTINCT e.user_id) AS wau
+                FROM dau d JOIN ev e
+                ON e.day BETWEEN d.day - $slideDays AND d.day
+                GROUP BY d.day)
+        SELECT dau.day, dau.dau, wau.wau,
+          CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+        FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day"""
+
   val slidingDistinctOracle: String =
     s"""WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         days AS (SELECT DISTINCT day AS anchor FROM ev),
