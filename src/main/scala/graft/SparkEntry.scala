@@ -280,6 +280,7 @@ object SparkEntry {
     "events_props_json" -> ((s, d) => EventsStream.propsJsonMetrics(s, d)),
     "events_props_variant" -> ((s, d) => EventsStream.propsVariantMetrics(s, d)),
     "events_sessionized" -> ((s, d) => Sessionize.sessionsBatch(s, d)),
+    "events_top_paths" -> ((s, d) => Sessionize.topPaths(s, d)),
     "events_funnel" -> ((s, d) => EventsStream.funnelBatch(s, d)),
     "events_funnel_latency" -> ((s, d) => EventsStream.funnelLatency(s, d)),
     "sales_cube" -> ((s, d) => Extras.salesCube(s, d)),
@@ -563,6 +564,7 @@ object SparkEntry {
     "events_props_json" -> EventsStream.propsJsonMetricsOracle,
     "events_props_variant" -> EventsStream.propsVariantMetricsOracle,
     "events_sessionized" -> Sessionize.sessionsBatchOracle,
+    "events_top_paths" -> Sessionize.topPathsOracle,
     "events_funnel" -> EventsStream.funnelBatchOracle,
     "events_funnel_latency" -> EventsStream.funnelLatencyOracle,
     "sales_cube" -> Extras.salesCubeOracle,

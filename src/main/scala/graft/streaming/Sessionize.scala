@@ -62,6 +62,66 @@ object Sessionize {
         FROM sess GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq"""
 
+  private val pathPrefix = 8
+  private val pathTopK = 20
+
+  /** Top user-journey paths: sessions rendered as ordered event-type
+    * strings (first [[pathPrefix]] events — the prefix cap bounds the
+    * key width on unbounded sessions), ranked by frequency — the
+    * "what do sessions actually look like" readout behind funnel
+    * design. Reuses the session assignment; the ordered path string
+    * is assembled engine-agnostically (sort the (rank, type) pairs
+    * inside the row, then join — Spark's collect_list is unordered by
+    * contract, so the order lives in the DATA, not the aggregation).
+    * Path keys are corpus-frequency-bounded; one hash agg ranks them. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("s"))
+    val byUser = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val sess = ev.withColumn("prev_s", lag(col("s"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_s").isNull || col("s") - col("prev_s") > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val ranked = sess.withColumn("rk", row_number().over(
+        Window.partitionBy("user_id", "session_seq").orderBy("s", "event_id")))
+      .filter(col("rk") <= pathPrefix)
+    val paths = ranked.groupBy("user_id", "session_seq")
+      .agg(collect_list(struct(col("rk"), col("event_type").as("et"))).as("evs"))
+      .selectExpr(
+        "array_join(transform(array_sort(evs), p -> p.et), '>') AS path")
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(pathTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n_sessions"), asc("path"))).cast("long"))
+      .select("rank", "path", "n_sessions")
+      .orderBy("rank")
+  }
+
+  val topPathsOracle: String =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type,
+            CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s FROM events),
+        lagged AS (SELECT *, lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev_s
+                   FROM ev),
+        flags AS (SELECT *, CASE WHEN prev_s IS NULL OR s - prev_s > $gapSeconds
+                                 THEN 1 ELSE 0 END AS is_new FROM lagged),
+        sess AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+                 FROM flags),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                     ORDER BY s, event_id) AS rk FROM sess),
+        paths AS (SELECT user_id, session_seq,
+            string_agg(event_type, '>' ORDER BY rk) AS path
+          FROM ranked WHERE rk <= $pathPrefix GROUP BY user_id, session_seq),
+        top AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+                ORDER BY n_sessions DESC, path LIMIT $pathTopK)
+        SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank,
+          path, n_sessions
+        FROM top ORDER BY rank"""
+
   // ---- streaming form ----
 
   /** ts is carried (not just epoch seconds) because the watermarked
