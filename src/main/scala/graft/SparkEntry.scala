@@ -258,6 +258,8 @@ object SparkEntry {
     "daily_revenue_trend" -> ((s, d) => Analytics.dailyRevenueTrend(s, d)),
     "daily_revenue_backtest" -> ((s, d) => Analytics.dailyRevenueBacktest(s, d)),
     "daily_revenue_decomposition" -> ((s, d) => Analytics.dailyRevenueDecomposition(s, d)),
+    "lineitem_regression_2f" -> ((s, d) => Analytics.lineitemRegression2f(s, d)),
+    "docs_anova_length" -> ((s, d) => Analytics.docsAnovaLength(s, d)),
     "monthly_revenue_theilsen" -> ((s, d) => Analytics.monthlyRevenueTheilSen(s, d)),
     "docs_source_diversity" -> ((s, d) => Analytics.docsSourceDiversity(s, d)),
     "customer_survival_km" -> ((s, d) => Analytics.customerSurvivalKm(s, d)),
@@ -533,6 +535,8 @@ object SparkEntry {
     "daily_revenue_trend" -> Analytics.dailyRevenueTrendOracle,
     "daily_revenue_backtest" -> Analytics.dailyRevenueBacktestOracle,
     "daily_revenue_decomposition" -> Analytics.dailyRevenueDecompositionOracle,
+    "lineitem_regression_2f" -> Analytics.lineitemRegression2fOracle,
+    "docs_anova_length" -> Analytics.docsAnovaLengthOracle,
     "monthly_revenue_theilsen" -> Analytics.monthlyRevenueTheilSenOracle,
     "docs_source_diversity" -> Analytics.docsSourceDiversityOracle,
     "customer_survival_km" -> Analytics.customerSurvivalKmOracle,

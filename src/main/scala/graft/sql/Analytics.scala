@@ -1119,6 +1119,162 @@ object Analytics {
                 (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z""")
   }
 
+  // ---- two-feature linear regression ----
+
+  /** Two-feature OLS (extended price ~ quantity + discount) by the
+    * closed-form 2×2 normal equations — multivariate regression at
+    * scale is the same decomposable-moments pattern as the univariate
+    * [[dailyRevenueTrend]]: ONE pass of exact integer sums
+    * (cent/basis-point-quantized), then the coefficient solve and R²
+    * as a fixed IEEE tree over DOUBLE casts. Nine moments cover the
+    * full normal-equation system; adding a feature adds a column of
+    * moments, never a pass. Second moments ride DECIMAL(38,0)
+    * ([[graft.ops.Profile]]'s Spearman lesson — cent-quantized price
+    * squares wrap BIGINT in the billions of rows). */
+  def lineitemRegression2f(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.io.Tables.lineitem(spark, dir).selectExpr(
+      "CAST(round(l_quantity * 100) AS BIGINT) AS x1",
+      "CAST(round(l_discount * 10000) AS BIGINT) AS x2",
+      "CAST(round(l_extendedprice * 100) AS BIGINT) AS y")
+    val dec = "DECIMAL(38,0)"
+    val m = q.agg(
+      expr("CAST(count(1) AS BIGINT)").as("n"),
+      expr("CAST(sum(x1) AS BIGINT)").as("s1"),
+      expr("CAST(sum(x2) AS BIGINT)").as("s2"),
+      expr("CAST(sum(y) AS BIGINT)").as("sy"),
+      expr(s"sum(CAST(x1 AS $dec) * x1)").as("s11"),
+      expr(s"sum(CAST(x2 AS $dec) * x2)").as("s22"),
+      expr(s"sum(CAST(x1 AS $dec) * x2)").as("s12"),
+      expr(s"sum(CAST(x1 AS $dec) * y)").as("s1y"),
+      expr(s"sum(CAST(x2 AS $dec) * y)").as("s2y"),
+      expr(s"sum(CAST(y AS $dec) * y)").as("syy"))
+    m.selectExpr("n",
+        // centered second moments (all exact → double once)
+        "CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 AS c11",
+        "CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 AS c22",
+        "CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 AS c12",
+        "CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy AS c1y",
+        "CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy AS c2y",
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS cyy",
+        "CAST(s1 AS DOUBLE) AS s1d", "CAST(s2 AS DOUBLE) AS s2d",
+        "CAST(sy AS DOUBLE) AS syd")
+      .selectExpr("n",
+        "(c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1",
+        "(c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2",
+        "c11", "c22", "c12", "c1y", "c2y", "cyy", "s1d", "s2d", "syd")
+      .selectExpr("CAST(n AS BIGINT) AS n", "b1", "b2",
+        "(syd - b1 * s1d - b2 * s2d) / n AS intercept", "c1y", "c2y", "cyy")
+      // readouts are nano/femto-quantized: the >2^53 exact moments
+      // round to DOUBLE one ulp apart between engines on some corpora,
+      // and that ulp walks into the last bits of the raw ratios
+      .selectExpr("n",
+        "CAST(round(b1 * 1000000000) AS BIGINT) AS b1_nano",
+        "CAST(round(b2 * 1000000000) AS BIGINT) AS b2_nano",
+        "CAST(round(intercept * 1000) AS BIGINT) AS intercept_milli",
+        "CAST(round((b1 * c1y + b2 * c2y) / cyy * 1e15) AS BIGINT) AS r2_femto")
+  }
+
+  val lineitemRegression2fOracle: String =
+    """WITH q AS (SELECT
+         CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+         CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+       FROM lineitem),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+           CAST(sum(y) AS BIGINT) AS sy,
+           sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+           sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+           sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+           sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+           sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+         FROM q),
+       c AS (SELECT n,
+           CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 AS c11,
+           CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 AS c22,
+           CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 AS c12,
+           CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy AS c1y,
+           CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy AS c2y,
+           CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS cyy,
+           CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+           CAST(sy AS DOUBLE) AS syd
+         FROM m),
+       b AS (SELECT n,
+           (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+           (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
+           c11, c22, c12, c1y, c2y, cyy, s1d, s2d, syd
+         FROM c),
+       b2t AS (SELECT n, b1, b2,
+           (syd - b1 * s1d - b2 * s2d) / n AS intercept, c1y, c2y, cyy
+         FROM b)
+       SELECT CAST(n AS BIGINT) AS n,
+         CAST(round(b1 * 1000000000) AS BIGINT) AS b1_nano,
+         CAST(round(b2 * 1000000000) AS BIGINT) AS b2_nano,
+         CAST(round(intercept * 1000) AS BIGINT) AS intercept_milli,
+         CAST(round((b1 * c1y + b2 * c2y) / cyy * 1e15) AS BIGINT) AS r2_femto
+       FROM b2t"""
+
+  // ---- one-way ANOVA ----
+
+  /** One-way ANOVA F statistic for document length across languages —
+    * the many-group location test completing the battery (chi-square:
+    * independence; Mann-Whitney: two-sample; ANOVA: k-sample). All
+    * between/within sums of squares assemble from per-group exact
+    * integer moments (one group-keyed hash agg over the lang domain);
+    * F is the only float. SSB = Σ nᵢ·(meanᵢ − mean)² and
+    * SSW = Σᵢ (Σx² − (Σx)²/nᵢ) are computed from the moment identities
+    * so no per-row float deviation ever sums. */
+  def docsAnovaLength(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.io.Tables.documents(spark, dir)
+      .selectExpr("lang", "n_chars AS x")
+      .groupBy("lang").agg(
+        count(lit(1)).as("ni"),
+        sum("x").as("si"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sii"))
+    val tot = g.agg(sum("ni").as("n"), sum("si").as("s"),
+      sum("sii").as("ss"), count(lit(1)).as("k"))
+    g.crossJoin(broadcast(tot))
+      .selectExpr("n", "k",
+        // group term of SSB: ni·meani² = si²/ni ; and SSW term
+        // per-group terms are rationals; milli-quantize each BEFORE
+        // summing so the cross-group sum is an order-independent
+        // BIGINT (a float sum over groups could differ by an ulp
+        // between engines)
+        "CAST(round((CAST(si AS DOUBLE) * si / ni) * 1000) AS BIGINT) AS sbterm",
+        "CAST(round((CAST(sii AS DOUBLE) - CAST(si AS DOUBLE) * si / ni) * 1000) AS BIGINT) AS swterm",
+        "CAST(s AS DOUBLE) AS sd", "CAST(ss AS DOUBLE) AS ssd")
+      .groupBy("n", "k", "sd", "ssd")
+      .agg(sum("sbterm").as("sb"), sum("swterm").as("sw"))
+      .selectExpr("CAST(n AS BIGINT) AS n", "CAST(k AS BIGINT) AS k",
+        "CAST(sb AS DOUBLE) / 1000 - sd * sd / n AS ssb",
+        "CAST(sw AS DOUBLE) / 1000 AS ssw")
+      .selectExpr("n", "k", "ssb", "ssw",
+        "(ssb / (k - 1)) / (ssw / (n - k)) AS f_stat")
+  }
+
+  val docsAnovaLengthOracle: String =
+    """WITH g AS (SELECT lang, count(*) AS ni,
+           CAST(sum(n_chars) AS BIGINT) AS si,
+           sum(CAST(n_chars AS HUGEINT) * n_chars) AS sii
+         FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(si) AS BIGINT) AS s,
+           sum(sii) AS ss, count(*) AS k FROM g),
+       terms AS (SELECT t.n, t.k,
+           CAST(round((CAST(g.si AS DOUBLE) * g.si / g.ni) * 1000) AS BIGINT) AS sbterm,
+           CAST(round((CAST(g.sii AS DOUBLE) - CAST(g.si AS DOUBLE) * g.si / g.ni) * 1000) AS BIGINT) AS swterm,
+           CAST(t.s AS DOUBLE) AS sd, CAST(t.ss AS DOUBLE) AS ssd
+         FROM g CROSS JOIN tot t),
+       agg AS (SELECT n, k, sd, ssd,
+           CAST(sum(sbterm) AS BIGINT) AS sb, CAST(sum(swterm) AS BIGINT) AS sw
+         FROM terms GROUP BY n, k, sd, ssd),
+       fin AS (SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST(sb AS DOUBLE) / 1000 - sd * sd / n AS ssb,
+           CAST(sw AS DOUBLE) / 1000 AS ssw FROM agg)
+       SELECT n, k, ssb, ssw,
+         (ssb / (k - 1)) / (ssw / (n - k)) AS f_stat
+       FROM fin"""
+
   // ---- trend + weekday variance decomposition ----
 
   /** Seasonal decomposition readout: how much daily-revenue variance
