@@ -128,6 +128,7 @@ object SparkEntry {
     "text_skipgram_pmi" -> ((s, d) => TextAnalysis.skipgramPmi(s, d)),
     "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "text_doc_keywords" -> ((s, d) => TextAnalysis.docKeywords(s, d)),
+    "text_term_burstiness" -> ((s, d) => TextAnalysis.termBurstiness(s, d)),
     "text_sentences" -> ((s, d) => TextAnalysis.sentences(s, d)),
     "text_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "retrieval_rrf_fusion" -> ((s, d) => graft.llm.Retrieval.rrfFusion(s, d)),
@@ -260,6 +261,7 @@ object SparkEntry {
     "daily_revenue_decomposition" -> ((s, d) => Analytics.dailyRevenueDecomposition(s, d)),
     "lineitem_regression_2f" -> ((s, d) => Analytics.lineitemRegression2f(s, d)),
     "docs_anova_length" -> ((s, d) => Analytics.docsAnovaLength(s, d)),
+    "parts_returns_wilson" -> ((s, d) => Analytics.brandReturnsWilson(s, d)),
     "monthly_revenue_theilsen" -> ((s, d) => Analytics.monthlyRevenueTheilSen(s, d)),
     "docs_source_diversity" -> ((s, d) => Analytics.docsSourceDiversity(s, d)),
     "customer_survival_km" -> ((s, d) => Analytics.customerSurvivalKm(s, d)),
@@ -414,6 +416,7 @@ object SparkEntry {
     "text_skipgram_pmi" -> TextAnalysis.skipgramPmiOracle,
     "text_dsir_weights" -> TextAnalysis.dsirWeightsOracle,
     "text_doc_keywords" -> TextAnalysis.docKeywordsOracle,
+    "text_term_burstiness" -> TextAnalysis.termBurstinessOracle,
     "text_sentences" -> TextAnalysis.sentencesOracle,
     "text_char_diversity" -> TextAnalysis.charDiversityOracle,
     "retrieval_rrf_fusion" -> graft.llm.Retrieval.rrfFusionOracle,
@@ -537,6 +540,7 @@ object SparkEntry {
     "daily_revenue_decomposition" -> Analytics.dailyRevenueDecompositionOracle,
     "lineitem_regression_2f" -> Analytics.lineitemRegression2fOracle,
     "docs_anova_length" -> Analytics.docsAnovaLengthOracle,
+    "parts_returns_wilson" -> Analytics.brandReturnsWilsonOracle,
     "monthly_revenue_theilsen" -> Analytics.monthlyRevenueTheilSenOracle,
     "docs_source_diversity" -> Analytics.docsSourceDiversityOracle,
     "customer_survival_km" -> Analytics.customerSurvivalKmOracle,

@@ -1200,6 +1200,65 @@ object TextAnalysis {
        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        ORDER BY d.doc_id"""
 
+  // ---- term burstiness ----
+
+  private val burstK = 20
+
+  /** Church–Gale burstiness for the corpus's heaviest terms: the
+    * variance-to-mean ratio of per-document counts — VMR ≈ 1 is
+    * Poisson (function words sprinkle uniformly), VMR ≫ 1 is bursty
+    * (content words clump in the documents that are ABOUT them). The
+    * classic statistic behind stopword discovery and idf's empirical
+    * justification. Per-term moments come from the (doc, term) tf
+    * relation plus the corpus doc count (zero-occurrence docs enter
+    * through the identity Σ(tf−μ)² = Σtf² − 2μΣtf + Nμ² — no explicit
+    * zero rows ever materialize); VMR is milli-quantized at readout. */
+  def termBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val tf = docs.select(col("doc_id"),
+        explode(expr(words("lower(text)", SparkD))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val byTerm = tf.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum("tf").as("stf"),
+      sum(expr("tf * tf")).as("stf2"))
+    val top = byTerm.crossJoin(broadcast(nDocs))
+      .orderBy(desc("df"), asc("term")).limit(burstK)
+    top.selectExpr("term", "df", "stf",
+        "CAST(stf AS DOUBLE) / nd AS mu", "CAST(stf2 AS DOUBLE) AS s2d",
+        "CAST(nd AS DOUBLE) AS ndd")
+      .selectExpr("term", "df", "stf",
+        "CAST(round(mu * 1000000) AS BIGINT) AS mean_tf_micro",
+        // VMR = (Σtf² − 2μΣtf + Nμ²) / ((N−1)·μ)
+        """CAST(round((s2d - 2 * mu * stf + ndd * mu * mu)
+             / ((ndd - 1) * mu) * 1000) AS BIGINT) AS vmr_milli""")
+      .orderBy(desc("df"), asc("term"))
+  }
+
+  val termBurstinessOracle: String =
+    s"""WITH w_t AS (SELECT doc_id, ${words("lower(text)", DuckD)} AS wv
+                     FROM documents),
+        nd_t AS (SELECT count(*) AS nd FROM documents),
+        tf_b AS (SELECT doc_id, unnest(wv) AS term FROM w_t),
+        tf_t AS (SELECT doc_id, term, count(*) AS tf
+                 FROM tf_b GROUP BY doc_id, term),
+        bt AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS stf,
+                 CAST(sum(tf * tf) AS BIGINT) AS stf2
+               FROM tf_t GROUP BY term),
+        top AS (SELECT bt.*, nd FROM bt CROSS JOIN nd_t
+                ORDER BY df DESC, term LIMIT $burstK),
+        v AS (SELECT term, df, stf,
+            CAST(stf AS DOUBLE) / nd AS mu,
+            CAST(stf2 AS DOUBLE) AS s2d, CAST(nd AS DOUBLE) AS ndd
+          FROM top)
+        SELECT term, CAST(df AS BIGINT) AS df, stf,
+          CAST(round(mu * 1000000) AS BIGINT) AS mean_tf_micro,
+          CAST(round((s2d - 2 * mu * stf + ndd * mu * mu)
+            / ((ndd - 1) * mu) * 1000) AS BIGINT) AS vmr_milli
+        FROM v ORDER BY df DESC, term"""
+
   // ---- per-document keywords ----
 
   private val docKeywordK = 3

@@ -1119,6 +1119,56 @@ object Analytics {
                 (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z""")
   }
 
+  // ---- Wilson interval for brand return rates ----
+
+  /** Per-brand return rate with a 95 % Wilson score interval — the
+    * honest small-sample CI (a ±1.96·√(p̂q̂/n) Wald band collapses to
+    * zero width at p̂ ∈ {0,1}; Wilson stays calibrated), which is what
+    * separates "brand with 3 returns out of 4" from "brand with 3000
+    * out of 4000" in a quality triage. Counts are one map-side agg on
+    * the brand key; the interval is a fixed IEEE tree over the two
+    * exact counts, nano-quantized at the readout (the quantized-
+    * readout discipline — raw doubles carry ulp risk through √). */
+  def brandReturnsWilson(spark: SparkSession, dir: String): DataFrame = {
+    val z2 = "3.8415" // 1.96²
+    val g = graft.io.Tables.lineitem(spark, dir)
+      .join(broadcast(graft.io.Tables.table(spark, dir, "part")
+        .select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(
+        count(lit(1)).as("n"),
+        sum(expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")).as("r"))
+    g.selectExpr("p_brand AS brand", "n", "r",
+        "CAST(r AS DOUBLE) / n AS ph")
+      .selectExpr("brand", "n", "r",
+        "CAST(round(ph * 1000000000) AS BIGINT) AS rate_nano",
+        s"""CAST(round(((ph + $z2 / (2 * n)
+             - sqrt($z2) * sqrt((ph * (1 - ph) + $z2 / (4 * n)) / n))
+             / (1 + $z2 / n)) * 1000000000) AS BIGINT) AS lo_nano""",
+        s"""CAST(round(((ph + $z2 / (2 * n)
+             + sqrt($z2) * sqrt((ph * (1 - ph) + $z2 / (4 * n)) / n))
+             / (1 + $z2 / n)) * 1000000000) AS BIGINT) AS hi_nano""")
+      .orderBy("brand")
+  }
+
+  val brandReturnsWilsonOracle: String = {
+    val z2 = "3.8415"
+    s"""WITH g AS (SELECT p.p_brand AS brand, count(*) AS n,
+           sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY p.p_brand),
+       ph_t AS (SELECT brand, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+           CAST(r AS DOUBLE) / n AS ph FROM g)
+       SELECT brand, n, r,
+         CAST(round(ph * 1000000000) AS BIGINT) AS rate_nano,
+         CAST(round(((ph + $z2 / (2 * n)
+           - sqrt($z2) * sqrt((ph * (1 - ph) + $z2 / (4 * n)) / n))
+           / (1 + $z2 / n)) * 1000000000) AS BIGINT) AS lo_nano,
+         CAST(round(((ph + $z2 / (2 * n)
+           + sqrt($z2) * sqrt((ph * (1 - ph) + $z2 / (4 * n)) / n))
+           / (1 + $z2 / n)) * 1000000000) AS BIGINT) AS hi_nano
+       FROM ph_t ORDER BY brand"""
+  }
+
   // ---- two-feature linear regression ----
 
   /** Two-feature OLS (extended price ~ quantity + discount) by the
