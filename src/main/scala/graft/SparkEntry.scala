@@ -137,6 +137,7 @@ object SparkEntry {
     "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "text_quality_gate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
     "corpus_quality_funnel" -> ((s, d) => Curation.qualityFunnel(s, d)),
+    "corpus_funnel_v2" -> ((s, d) => Curation.funnelV2(s, d)),
     "corpus_datacard" -> ((s, d) => Curation.datacard(s, d)),
     "corpus_quality_calibrated" -> ((s, d) => Curation.qualityCalibrated(s, d)),
     "corpus_budget_planner" -> ((s, d) => Curation.budgetPlanner(s, d)),
@@ -425,6 +426,7 @@ object SparkEntry {
     "text_contamination" -> TextAnalysis.contaminationOracle,
     "text_quality_gate" -> TextAnalysis.qualityGateOracle,
     "corpus_quality_funnel" -> Curation.qualityFunnelOracle,
+    "corpus_funnel_v2" -> Curation.funnelV2Oracle,
     "corpus_datacard" -> Curation.datacardOracle,
     "corpus_quality_calibrated" -> Curation.qualityCalibratedOracle,
     "corpus_budget_planner" -> Curation.budgetPlannerOracle,

@@ -452,6 +452,97 @@ object Curation {
             WHERE lb.doc_id = d.doc_id AND lb.doc_id <> lb.cluster_id)
         ORDER BY d.doc_id"""
 
+  // ---- curation funnel v2 (the session's signals, composed) ----
+
+  private val funnel2Stages = Seq(
+    "corpus", "calibrated_top80", "char_diversity", "span_coverage",
+    "dsir_domain")
+
+  /** Second-generation curation funnel: the four signals this tier
+    * added — per-source calibrated quality (top 80 % of each source),
+    * char-diversity garbage screen, duplicated-span coverage ≤ 50 %,
+    * and DSIR domain match — applied in sequence with first-fail
+    * attribution, the composition that proves the signals are
+    * pipeline stages rather than islands (the original gate-based
+    * funnel is [[qualityFunnel]]; the two are complementary layers).
+    * All four inputs are existing oracle-gated relations joined on
+    * doc_id; every verdict is an integer cross-multiply or exact-int
+    * comparison; the readout is one agg + stack. */
+  def funnelV2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cal = qualityCalibrated(spark, dir)
+      .selectExpr("doc_id", "src_rank", "n_src")
+    val div = TextAnalysis.charDiversity(spark, dir)
+      .selectExpr("doc_id", "low_diversity")
+    val cov = graft.llm.Spans.dupSpanCoverage(spark, dir)
+      .selectExpr("doc_id", "n_tokens", "dup_tokens")
+    val dsir = TextAnalysis.dsirWeights(spark, dir)
+      .selectExpr("doc_id", "logw_nano")
+    val flags = cal.join(div, Seq("doc_id")).join(cov, Seq("doc_id"))
+      .join(dsir, Seq("doc_id"))
+      .selectExpr("doc_id", "n_tokens",
+        "CASE WHEN src_rank * 5 <= n_src * 4 THEN 1 ELSE 0 END AS f1",
+        "CASE WHEN low_diversity = 0 THEN 1 ELSE 0 END AS f2",
+        "CASE WHEN 2 * dup_tokens <= n_tokens THEN 1 ELSE 0 END AS f3",
+        "CASE WHEN logw_nano > 0 THEN 1 ELSE 0 END AS f4")
+    val aggs =
+      Seq("CAST(count(1) AS BIGINT) AS s0", "CAST(sum(n_tokens) AS BIGINT) AS t0") ++
+      (1 to 4).map { k =>
+        val conj = (1 to k).map(i => s"f$i").mkString(" * ")
+        s"CAST(sum($conj) AS BIGINT) AS s$k"
+      } ++
+      (1 to 4).map { k =>
+        val conj = (1 to k).map(i => s"f$i").mkString(" * ")
+        s"CAST(sum($conj * n_tokens) AS BIGINT) AS t$k"
+      }
+    val one = flags.selectExpr("n_tokens", "f1", "f2", "f3", "f4")
+      .agg(expr(aggs.head), aggs.tail.map(expr): _*)
+    val stackArgs = (0 to 4).map { k =>
+      s"$k, '${funnel2Stages(k)}', s$k, t$k, CASE WHEN s0 = 0 " +
+        s"THEN CAST(NULL AS DOUBLE) ELSE s$k / CAST(s0 AS DOUBLE) END"
+    }.mkString(", ")
+    one.selectExpr(
+        s"stack(5, $stackArgs) AS (stage, stage_name, n_docs, n_tokens, doc_share)")
+      .orderBy("stage")
+  }
+
+  lazy val funnelV2Oracle: String = {
+    val aggs =
+      Seq("CAST(count(*) AS BIGINT) AS s0", "CAST(sum(n_tokens) AS BIGINT) AS t0") ++
+      (1 to 4).map { k =>
+        val conj = (1 to k).map(i => s"f$i").mkString(" * ")
+        s"CAST(sum($conj) AS BIGINT) AS s$k"
+      } ++
+      (1 to 4).map { k =>
+        val conj = (1 to k).map(i => s"f$i").mkString(" * ")
+        s"CAST(sum($conj * n_tokens) AS BIGINT) AS t$k"
+      }
+    val rows = (0 to 4).map { k =>
+      s"""SELECT $k AS stage, '${funnel2Stages(k)}' AS stage_name,
+          s$k AS n_docs, t$k AS n_tokens,
+          CASE WHEN s0 = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE s$k / CAST(s0 AS DOUBLE) END AS doc_share FROM one"""
+    }.mkString(" UNION ALL ")
+    s"""WITH cal AS MATERIALIZED (SELECT doc_id, src_rank, n_src
+          FROM ($qualityCalibratedOracle) c0),
+        dv AS MATERIALIZED (SELECT doc_id, low_diversity
+          FROM (${TextAnalysis.charDiversityOracle}) d0),
+        cov AS MATERIALIZED (SELECT doc_id, n_tokens, dup_tokens
+          FROM (${graft.llm.Spans.dupSpanCoverageOracle}) v0),
+        ds AS MATERIALIZED (SELECT doc_id, logw_nano
+          FROM (${TextAnalysis.dsirWeightsOracle}) w0),
+        flags AS (SELECT cal.doc_id, cov.n_tokens,
+            CASE WHEN cal.src_rank * 5 <= cal.n_src * 4 THEN 1 ELSE 0 END AS f1,
+            CASE WHEN dv.low_diversity = 0 THEN 1 ELSE 0 END AS f2,
+            CASE WHEN 2 * cov.dup_tokens <= cov.n_tokens THEN 1 ELSE 0 END AS f3,
+            CASE WHEN ds.logw_nano > 0 THEN 1 ELSE 0 END AS f4
+          FROM cal JOIN dv ON cal.doc_id = dv.doc_id
+          JOIN cov ON cal.doc_id = cov.doc_id
+          JOIN ds ON cal.doc_id = ds.doc_id),
+        one AS (SELECT ${aggs.mkString(", ")} FROM flags)
+        SELECT * FROM ($rows) ORDER BY stage"""
+  }
+
   // ---- token-budget planner ----
 
   private val budgets = Seq(50000L, 200000L, 1000000L)
