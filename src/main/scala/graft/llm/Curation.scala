@@ -477,14 +477,21 @@ object Curation {
     val cov = graft.llm.Spans.dupSpanCoverage(spark, dir)
       .selectExpr("doc_id", "n_tokens", "dup_tokens")
     val dsir = TextAnalysis.dsirWeights(spark, dir)
-      .selectExpr("doc_id", "logw_nano")
+      .selectExpr("doc_id", "logw_nano", "n_tokens AS dsir_toks")
+    // relative domain cut: per-token weight above the corpus mean —
+    // the absolute sign is smoothing-dominated (every doc lands near
+    // −0.16 nats/token on this corpus), the RELATIVE order is the
+    // signal DSIR resamples on
+    val dsirTot = dsir.filter(col("dsir_toks") > 0).agg(
+      sum("logw_nano").as("tot_logw"), sum("dsir_toks").as("tot_toks"))
     val flags = cal.join(div, Seq("doc_id")).join(cov, Seq("doc_id"))
-      .join(dsir, Seq("doc_id"))
+      .join(dsir, Seq("doc_id")).crossJoin(broadcast(dsirTot))
       .selectExpr("doc_id", "n_tokens",
         "CASE WHEN src_rank * 5 <= n_src * 4 THEN 1 ELSE 0 END AS f1",
         "CASE WHEN low_diversity = 0 THEN 1 ELSE 0 END AS f2",
         "CASE WHEN 2 * dup_tokens <= n_tokens THEN 1 ELSE 0 END AS f3",
-        "CASE WHEN logw_nano > 0 THEN 1 ELSE 0 END AS f4")
+        """CASE WHEN dsir_toks > 0 AND CAST(logw_nano AS DOUBLE) * tot_toks
+             >= CAST(tot_logw AS DOUBLE) * dsir_toks THEN 1 ELSE 0 END AS f4""")
     val aggs =
       Seq("CAST(count(1) AS BIGINT) AS s0", "CAST(sum(n_tokens) AS BIGINT) AS t0") ++
       (1 to 4).map { k =>
@@ -529,16 +536,21 @@ object Curation {
           FROM (${TextAnalysis.charDiversityOracle}) d0),
         cov AS MATERIALIZED (SELECT doc_id, n_tokens, dup_tokens
           FROM (${graft.llm.Spans.dupSpanCoverageOracle}) v0),
-        ds AS MATERIALIZED (SELECT doc_id, logw_nano
+        ds AS MATERIALIZED (SELECT doc_id, logw_nano, n_tokens AS dsir_toks
           FROM (${TextAnalysis.dsirWeightsOracle}) w0),
+        dst AS (SELECT CAST(sum(logw_nano) AS BIGINT) AS tot_logw,
+            CAST(sum(dsir_toks) AS BIGINT) AS tot_toks
+          FROM ds WHERE dsir_toks > 0),
         flags AS (SELECT cal.doc_id, cov.n_tokens,
             CASE WHEN cal.src_rank * 5 <= cal.n_src * 4 THEN 1 ELSE 0 END AS f1,
             CASE WHEN dv.low_diversity = 0 THEN 1 ELSE 0 END AS f2,
             CASE WHEN 2 * cov.dup_tokens <= cov.n_tokens THEN 1 ELSE 0 END AS f3,
-            CASE WHEN ds.logw_nano > 0 THEN 1 ELSE 0 END AS f4
+            CASE WHEN ds.dsir_toks > 0 AND CAST(ds.logw_nano AS DOUBLE) * dst.tot_toks
+              >= CAST(dst.tot_logw AS DOUBLE) * ds.dsir_toks THEN 1 ELSE 0 END AS f4
           FROM cal JOIN dv ON cal.doc_id = dv.doc_id
           JOIN cov ON cal.doc_id = cov.doc_id
-          JOIN ds ON cal.doc_id = ds.doc_id),
+          JOIN ds ON cal.doc_id = ds.doc_id
+          CROSS JOIN dst),
         one AS (SELECT ${aggs.mkString(", ")} FROM flags)
         SELECT * FROM ($rows) ORDER BY stage"""
   }
