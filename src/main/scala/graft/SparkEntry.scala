@@ -129,6 +129,7 @@ object SparkEntry {
     "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "text_doc_keywords" -> ((s, d) => TextAnalysis.docKeywords(s, d)),
     "text_term_burstiness" -> ((s, d) => TextAnalysis.termBurstiness(s, d)),
+    "text_ttr_by_length" -> ((s, d) => TextAnalysis.ttrByLength(s, d)),
     "text_sentences" -> ((s, d) => TextAnalysis.sentences(s, d)),
     "text_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "retrieval_rrf_fusion" -> ((s, d) => graft.llm.Retrieval.rrfFusion(s, d)),
@@ -198,6 +199,8 @@ object SparkEntry {
     "embedding_projection_audit" -> ((s, d) => Quantize.projectionAudit(s, d)),
     "embedding_pca_power" -> ((s, d) => Quantize.pcaPower(s, d)),
     "ann_binary_topk" -> ((s, d) => Quantize.binaryTopK(s, d)),
+    "ann_cell_balance" -> ((s, d) => Quantize.cellBalance(s, d)),
+    "embedding_text_corr" -> ((s, d) => Quantize.embeddingTextCorr(s, d)),
     "ann_matryoshka_recall" -> ((s, d) => Quantize.matryoshkaRecall(s, d)),
     "multimodal_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "multimodal_header_meta" -> ((s, d) => Multimodal.headerMeta(s, d)),
@@ -418,6 +421,7 @@ object SparkEntry {
     "text_dsir_weights" -> TextAnalysis.dsirWeightsOracle,
     "text_doc_keywords" -> TextAnalysis.docKeywordsOracle,
     "text_term_burstiness" -> TextAnalysis.termBurstinessOracle,
+    "text_ttr_by_length" -> TextAnalysis.ttrByLengthOracle,
     "text_sentences" -> TextAnalysis.sentencesOracle,
     "text_char_diversity" -> TextAnalysis.charDiversityOracle,
     "retrieval_rrf_fusion" -> graft.llm.Retrieval.rrfFusionOracle,
@@ -487,6 +491,8 @@ object SparkEntry {
     "embedding_projection_audit" -> Quantize.projectionAuditOracle,
     "embedding_pca_power" -> Quantize.pcaPowerOracle,
     "ann_binary_topk" -> Quantize.binaryTopKOracle,
+    "ann_cell_balance" -> Quantize.cellBalanceOracle,
+    "embedding_text_corr" -> Quantize.embeddingTextCorrOracle,
     "ann_matryoshka_recall" -> Quantize.matryoshkaRecallOracle,
     "table_profile" -> graft.ops.Profile.tableProfileOracle,
     "lineitem_moment_corr" -> graft.ops.Profile.momentCorrOracle,

@@ -271,6 +271,88 @@ object Quantize {
         FROM ranked WHERE rank <= $binTopK ORDER BY query_id, rank"""
   }
 
+  // ---- IVF cell balance ----
+
+  /** Cell-occupancy balance of the IVF index — the diagnostic that
+    * decides whether the coarse quantizer needs retraining: probe
+    * latency tracks the LARGEST cell (a query probes whole cells), so
+    * max/mean occupancy is the straggler ratio, the ANN twin of
+    * [[graft.ops.Profile.keySkew]]. One count per cell + a one-row
+    * summary — index-metadata-sized at any corpus scale. */
+  def cellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val per = Similarity.ivfCells(spark, dir)
+      .groupBy("cell").agg(count(lit(1)).as("per_cell"))
+    per.agg(
+        sum("per_cell").as("n_vectors"),
+        count(lit(1)).as("n_cells"),
+        max("per_cell").as("max_cell"),
+        min("per_cell").as("min_cell"))
+      .selectExpr("n_vectors", "n_cells", "max_cell", "min_cell",
+        "CAST(n_vectors AS DOUBLE) / n_cells AS mean_cell",
+        "max_cell / (CAST(n_vectors AS DOUBLE) / n_cells) AS balance_ratio")
+  }
+
+  val cellBalanceOracle: String =
+    s"""WITH cells AS (SELECT cell FROM (${Similarity.ivfCellsOracle}) c0),
+        per AS (SELECT cell, count(*) AS per_cell FROM cells GROUP BY cell)
+        SELECT CAST(sum(per_cell) AS BIGINT) AS n_vectors,
+          CAST(count(*) AS BIGINT) AS n_cells,
+          CAST(max(per_cell) AS BIGINT) AS max_cell,
+          CAST(min(per_cell) AS BIGINT) AS min_cell,
+          CAST(sum(per_cell) AS DOUBLE) / count(*) AS mean_cell,
+          max(per_cell) / (CAST(sum(per_cell) AS DOUBLE) / count(*)) AS balance_ratio
+        FROM per"""
+
+  // ---- embedding-vs-text correlation ----
+
+  /** Cross-modal sanity correlation: does embedding norm track
+    * document length? (It shouldn't, much, for normalized encoders —
+    * a strong correlation is the classic symptom of un-normalized
+    * embeddings leaking length, which silently biases cosine ANN.)
+    * Pearson from exact integer moments on (n_chars, nano-quantized
+    * norm²) — the [[graft.ops.Profile.momentCorr]] discipline; the
+    * doc↔vector link is the id equi-join. */
+  def embeddingTextCorr(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecsD(spark, dir).selectExpr("vec_id AS doc_id",
+      s"CAST(round((${dot64("v", "v", SparkD)}) * 1000000000) AS BIGINT) AS nq")
+    val q = graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("xc"))
+      .join(v, Seq("doc_id"))
+    val dec = "DECIMAL(38,0)"
+    q.agg(
+        expr("CAST(count(1) AS BIGINT)").as("n"),
+        expr("CAST(sum(xc) AS BIGINT)").as("sx"),
+        expr("CAST(sum(nq) AS BIGINT)").as("sy"),
+        expr(s"sum(CAST(xc AS $dec) * xc)").as("sxx"),
+        expr(s"sum(CAST(nq AS $dec) * nq)").as("syy"),
+        expr(s"sum(CAST(xc AS $dec) * nq)").as("sxy"))
+      .selectExpr("n",
+        """CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+           (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) *
+            sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) * 1e9) AS BIGINT) AS corr_nano""")
+  }
+
+  val embeddingTextCorrOracle: String = {
+    val d = DuckD
+    s"""WITH ${vecsDCte(d)},
+        vq AS (SELECT vec_id AS doc_id,
+            CAST(round((${dot64("v", "v", d)}) * 1000000000) AS BIGINT) AS nq
+          FROM ve),
+        q AS (SELECT d2.n_chars AS xc, vq.nq
+              FROM documents d2 JOIN vq ON d2.doc_id = vq.doc_id),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(nq) AS BIGINT) AS sy,
+            sum(CAST(xc AS HUGEINT) * xc) AS sxx,
+            sum(CAST(nq AS HUGEINT) * nq) AS syy,
+            sum(CAST(xc AS HUGEINT) * nq) AS sxy
+          FROM q)
+        SELECT n,
+          CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+            (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) *
+             sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) * 1e9) AS BIGINT) AS corr_nano
+        FROM m"""
+  }
+
   // ---- distributed PCA: top principal component ----
 
   private val pcaDims = 16

@@ -1200,6 +1200,51 @@ object TextAnalysis {
        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        ORDER BY d.doc_id"""
 
+  // ---- type-token ratio by length (Heaps-law readout) ----
+
+  /** Type-token ratio by document-length bucket — the Heaps-law
+    * diagnostic (TTR falls with length for natural text; FLAT TTR
+    * across buckets is the signature of templated/generated text
+    * whose vocabulary doesn't grow). Buckets are decades of token
+    * count in 25-token steps (the fixture's 10–99-token docs spread
+    * across four buckets; at web scale widen the step); per-doc
+    * distinct counts are
+    * array-local (`array_distinct` inside the row); per-bucket means
+    * are exact-sum divisions. */
+  def ttrByLength(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .selectExpr(
+        s"${let1(words("lower(text)", SparkD), "wv",
+          "named_struct('n', size(wv), 'u', size(array_distinct(wv)))")} AS r")
+      .selectExpr("r.n AS n", "r.u AS u")
+      .filter("n > 0")
+      .selectExpr("n", "u", "CAST(n DIV 25 AS INT) AS bucket")
+    base.groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        sum("u").as("total_types"))
+      .selectExpr("CAST(bucket AS INT) AS len_bucket", "n_docs",
+        "CAST(total_tokens AS BIGINT) AS total_tokens",
+        "CAST(total_types AS BIGINT) AS total_types",
+        "CAST(total_types AS DOUBLE) / total_tokens AS ttr")
+      .orderBy("len_bucket")
+  }
+
+  val ttrByLengthOracle: String =
+    s"""WITH w_t AS (SELECT ${words("lower(text)", DuckD)} AS wv FROM documents),
+        b AS (SELECT ${arrLen("wv", DuckD)} AS n,
+                ${arrLen(arrDistinct("wv", DuckD), DuckD)} AS u
+              FROM w_t WHERE ${arrLen("wv", DuckD)} > 0),
+        g AS (SELECT n // 25 AS bucket,
+                count(*) AS n_docs, sum(n) AS total_tokens, sum(u) AS total_types
+              FROM b GROUP BY 1)
+        SELECT CAST(bucket AS INTEGER) AS len_bucket,
+          CAST(n_docs AS BIGINT) AS n_docs,
+          CAST(total_tokens AS BIGINT) AS total_tokens,
+          CAST(total_types AS BIGINT) AS total_types,
+          CAST(total_types AS DOUBLE) / total_tokens AS ttr
+        FROM g ORDER BY len_bucket"""
+
   // ---- term burstiness ----
 
   private val burstK = 20
