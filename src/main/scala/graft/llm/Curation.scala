@@ -493,14 +493,15 @@ object Curation {
         """CASE WHEN dsir_toks > 0 AND CAST(logw_nano AS DOUBLE) * tot_toks
              >= CAST(tot_logw AS DOUBLE) * dsir_toks THEN 1 ELSE 0 END AS f4""")
     val aggs =
-      Seq("CAST(count(1) AS BIGINT) AS s0", "CAST(sum(n_tokens) AS BIGINT) AS t0") ++
+      Seq("CAST(count(1) AS BIGINT) AS s0",
+        "CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t0") ++
       (1 to 4).map { k =>
         val conj = (1 to k).map(i => s"f$i").mkString(" * ")
-        s"CAST(sum($conj) AS BIGINT) AS s$k"
+        s"CAST(coalesce(sum($conj), 0) AS BIGINT) AS s$k"
       } ++
       (1 to 4).map { k =>
         val conj = (1 to k).map(i => s"f$i").mkString(" * ")
-        s"CAST(sum($conj * n_tokens) AS BIGINT) AS t$k"
+        s"CAST(coalesce(sum($conj * n_tokens), 0) AS BIGINT) AS t$k"
       }
     val one = flags.selectExpr("n_tokens", "f1", "f2", "f3", "f4")
       .agg(expr(aggs.head), aggs.tail.map(expr): _*)
@@ -515,14 +516,15 @@ object Curation {
 
   lazy val funnelV2Oracle: String = {
     val aggs =
-      Seq("CAST(count(*) AS BIGINT) AS s0", "CAST(sum(n_tokens) AS BIGINT) AS t0") ++
+      Seq("CAST(count(*) AS BIGINT) AS s0",
+        "CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t0") ++
       (1 to 4).map { k =>
         val conj = (1 to k).map(i => s"f$i").mkString(" * ")
-        s"CAST(sum($conj) AS BIGINT) AS s$k"
+        s"CAST(coalesce(sum($conj), 0) AS BIGINT) AS s$k"
       } ++
       (1 to 4).map { k =>
         val conj = (1 to k).map(i => s"f$i").mkString(" * ")
-        s"CAST(sum($conj * n_tokens) AS BIGINT) AS t$k"
+        s"CAST(coalesce(sum($conj * n_tokens), 0) AS BIGINT) AS t$k"
       }
     val rows = (0 to 4).map { k =>
       s"""SELECT $k AS stage, '${funnel2Stages(k)}' AS stage_name,
@@ -593,7 +595,9 @@ object Curation {
       .withColumn("rk", col("c_off") + row_number().over(wIn))
       .select("doc_id", "quality_score", "cum", "rk")
       .localCheckpoint(true)
-    val total = ranked.agg(max("cum").as("tot"), max("rk").as("n_docs"))
+    val total = ranked.agg(
+      coalesce(max("cum"), lit(0L)).as("tot"),
+      coalesce(max("rk"), lit(0L)).as("n_docs"))
     import spark.implicits._
     val budgetDf = budgets.toDF("budget")
     val crossing = budgetDf.crossJoin(ranked)
@@ -621,7 +625,8 @@ object Curation {
             CAST(row_number() OVER
               (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rk
           FROM d),
-        tot AS (SELECT max(cum) AS tot, max(rk) AS n_docs FROM ranked),
+        tot AS (SELECT coalesce(max(cum), 0) AS tot,
+            coalesce(max(rk), 0) AS n_docs FROM ranked),
         b AS (SELECT unnest(ARRAY[${budgets.mkString(", ")}]) AS budget),
         crossing AS (SELECT b.budget, min(r.rk) AS rk
           FROM b JOIN ranked r ON r.cum >= b.budget GROUP BY b.budget),

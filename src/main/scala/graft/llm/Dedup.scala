@@ -631,12 +631,12 @@ object Dedup {
       .selectExpr("doc_id", "coalesce(a_label, doc_id) AS a_label", "b_label")
     val cells = joined.groupBy("a_label", "b_label").agg(count(lit(1)).as("nij"))
     val sums = cells.agg(
-      sum("nij").as("n"),
-      sum(expr("nij * (nij - 1) DIV 2")).as("sum_cells"))
+      coalesce(sum("nij"), lit(0L)).as("n"),
+      coalesce(sum(expr("nij * (nij - 1) DIV 2")), lit(0L)).as("sum_cells"))
     val aSum = cells.groupBy("a_label").agg(sum("nij").as("ai"))
-      .agg(sum(expr("ai * (ai - 1) DIV 2")).as("sum_a"))
+      .agg(coalesce(sum(expr("ai * (ai - 1) DIV 2")), lit(0L)).as("sum_a"))
     val bSum = cells.groupBy("b_label").agg(sum("nij").as("bj"))
-      .agg(sum(expr("bj * (bj - 1) DIV 2")).as("sum_b"))
+      .agg(coalesce(sum(expr("bj * (bj - 1) DIV 2")), lit(0L)).as("sum_b"))
     sums.crossJoin(aSum).crossJoin(bSum)
       .selectExpr("n", "sum_cells", "sum_a", "sum_b",
         """CASE WHEN n >= 2 AND (CAST(sum_a AS DOUBLE) + sum_b) / 2
@@ -658,11 +658,11 @@ object Dedup {
           FROM sem LEFT JOIN lex ON sem.doc_id = lex.doc_id),
         cells AS (SELECT a_label, b_label, count(*) AS nij
           FROM joined GROUP BY a_label, b_label),
-        s_t AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
-            CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sum_cells FROM cells),
-        a_t AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS sum_a FROM (
+        s_t AS (SELECT CAST(coalesce(sum(nij), 0) AS BIGINT) AS n,
+            CAST(coalesce(sum(nij * (nij - 1) // 2), 0) AS BIGINT) AS sum_cells FROM cells),
+        a_t AS (SELECT CAST(coalesce(sum(ai * (ai - 1) // 2), 0) AS BIGINT) AS sum_a FROM (
             SELECT sum(nij) AS ai FROM cells GROUP BY a_label) x),
-        b_t AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS sum_b FROM (
+        b_t AS (SELECT CAST(coalesce(sum(bj * (bj - 1) // 2), 0) AS BIGINT) AS sum_b FROM (
             SELECT sum(nij) AS bj FROM cells GROUP BY b_label) y)
         SELECT n, sum_cells, sum_a, sum_b,
           CASE WHEN n >= 2 AND (CAST(sum_a AS DOUBLE) + sum_b) / 2

@@ -137,5 +137,53 @@ class EmptyInputSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect()
     assert(pqRecall.toSeq == Seq(
       ("ivfpq_adc", 0L, 0L, 0.0), ("pq_adc", 0L, 0L, 0.0)))
+
+    // continuation-session operators: zero-row totality
+    val ops2: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "embedding_int8_quant" -> (graft.llm.Quantize.int8Quant _),
+      "embedding_random_projection" -> (graft.llm.Quantize.randomProjection _),
+      "embedding_projection_audit" -> (graft.llm.Quantize.projectionAudit _),
+      "ann_binary_topk" -> (graft.llm.Quantize.binaryTopK _),
+      "ann_matryoshka_recall" -> (graft.llm.Quantize.matryoshkaRecall _),
+      "text_skipgram_pmi" -> (TextAnalysis.skipgramPmi _),
+      "text_dsir_weights" -> (TextAnalysis.dsirWeights _),
+      "text_sentences" -> (TextAnalysis.sentences _),
+      "text_char_diversity" -> (TextAnalysis.charDiversity _),
+      "text_doc_keywords" -> (TextAnalysis.docKeywords _),
+      "text_term_burstiness" -> (TextAnalysis.termBurstiness _),
+      "text_ttr_by_length" -> (TextAnalysis.ttrByLength _),
+      "events_sliding_distinct" -> (graft.ops.Sketches.slidingDistinct _),
+      "events_stickiness" -> (graft.ops.Sketches.stickiness _),
+      "events_bot_score" -> (graft.streaming.EventsStream.botScore _),
+      "events_markov_stationary" -> (graft.streaming.EventsStream.markovStationary _),
+      "events_top_paths" -> (graft.streaming.Sessionize.topPaths _),
+      "corpus_quality_calibrated" -> (Curation.qualityCalibrated _),
+      "corpus_shard_plan" -> (Curation.shardPlan _),
+      "corpus_split_leakage" -> (graft.llm.Spans.splitLeakage _),
+      "cluster_top_terms" -> (graft.llm.Retrieval.clusterTopTerms _),
+      "retrieval_rrf_fusion" -> (graft.llm.Retrieval.rrfFusion _),
+      "dedup_clustering_coeff" -> (Dedup.clusteringCoeff _),
+      "dedup_semantic_clusters" -> (Similarity.semanticClusters _),
+      "multimodal_pixel_histogram" -> (Multimodal.pixelHistogram _),
+      "multimodal_hist_similarity" -> (Multimodal.histSimilarity _),
+      "multimodal_ahash_pairs" -> (Multimodal.ahashPairs _),
+      "multimodal_motion_energy" -> (Multimodal.motionEnergy _),
+      "nation_bfs_hops" -> (graft.sql.Graph.nationBfsHops _))
+    ops2.foreach { case (name, fn) =>
+      assert(fn(spark, dir).count() == 0, s"$name not empty/total on empty input")
+    }
+    // report-shaped continuation operators: fixed row counts with
+    // zeroed/guarded values over an empty corpus
+    assert(Curation.chopBoundaries(spark, dir)
+      .select("n_docs").as[Long].collect().forall(_ == 0L))
+    assert(Curation.budgetPlanner(spark, dir)
+      .select("docs_kept").as[Long].collect().forall(_ == 0L))
+    val f2 = Curation.funnelV2(spark, dir)
+      .select("stage", "n_docs").as[(Int, Long)].collect()
+    assert(f2.toSeq == (0 to 4).map(k => (k, 0L)))
+    assert(Dedup.lshRecall(spark, dir)
+      .selectExpr("n_truth", "recall").as[(Long, Double)].head() == ((0L, 1.0)))
+    assert(Dedup.clusterAri(spark, dir)
+      .selectExpr("n", "ari").as[(Long, Double)].head() == ((0L, 0.0)))
   }
 }
