@@ -346,6 +346,7 @@ object SparkEntry {
     "events_cms_heavy_hitters" -> ((s, d) => graft.ops.Sketches.cmsHeavyHitters(s, d)),
     "events_sliding_distinct" -> ((s, d) => graft.ops.Sketches.slidingDistinct(s, d)),
     "events_stickiness" -> ((s, d) => graft.ops.Sketches.stickiness(s, d)),
+    "events_kmv_distinct" -> ((s, d) => graft.ops.Sketches.kmvDistinct(s, d)),
     "text_bigram_lm" -> ((s, d) => graft.llm.LanguageModel.bigramScore(s, d)),
     "nation_pagerank" -> ((s, d) => graft.sql.Graph.nationPagerank(s, d)),
     "nation_bfs_hops" -> ((s, d) => graft.sql.Graph.nationBfsHops(s, d)),
@@ -631,6 +632,7 @@ object SparkEntry {
     "events_cms_heavy_hitters" -> graft.ops.Sketches.cmsHeavyHittersOracle,
     "events_sliding_distinct" -> graft.ops.Sketches.slidingDistinctOracle,
     "events_stickiness" -> graft.ops.Sketches.stickinessOracle,
+    "events_kmv_distinct" -> graft.ops.Sketches.kmvDistinctOracle,
     "text_bigram_lm" -> graft.llm.LanguageModel.bigramScoreOracle,
     "nation_pagerank" -> graft.sql.Graph.nationPagerankOracle,
     "nation_bfs_hops" -> graft.sql.Graph.nationBfsHopsOracle,

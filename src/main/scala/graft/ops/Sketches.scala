@@ -133,6 +133,64 @@ object Sketches {
       .orderBy("day")
   }
 
+  private val kmvK = 64
+
+  /** KMV (bottom-k) distinct sketch per event type: keep the [[kmvK]]
+    * smallest user-id hashes and estimate N̂ = (k−1)·2³²/h₍k₎
+    * (Bar-Yossef et al. 2002) — the OTHER mergeable distinct sketch
+    * next to HLL, with a property HLL lacks: the kept hashes are a
+    * uniform SAMPLE of the distinct set (so the same 8·k bytes answer
+    * "how many" AND "show me a few"). Mergeability rides the native
+    * [[graft.functions.TopKAgg]] heap (bottom-k = top-k of the
+    * negated hash; merge folds heaps, partitioning-independent), so
+    * the whole sketch is one map-side-combined agg. Bounds-AUDIT
+    * gated: exact distinct + within-bound flag (k = 64 → RSE ≈ 13 %,
+    * the 50 % + 3 bound is ≈ 4σ); groups with < k distinct hashes
+    * are EXACT by construction. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(spark)
+    import graft.llm.Gen.hexPrefix32
+    val hashes = graft.io.Tables.events(spark, dir)
+      .selectExpr("event_type",
+        s"${hexPrefix32("md5(CAST(user_id AS STRING))")} AS h")
+      .distinct()
+    val grp = hashes.groupBy("event_type").agg(
+      count(lit(1)).as("n_hashes"),
+      expr(s"graft_topk(-h, $kmvK)").as("negs"))
+    grp.selectExpr("event_type", "n_hashes",
+        // h_(k) = the k-th smallest hash = -(last kept element)
+        "-element_at(negs, size(negs)) AS hk")
+      .selectExpr("event_type", "n_hashes",
+        s"""CASE WHEN n_hashes < $kmvK THEN n_hashes
+             ELSE CAST(floor(($kmvK - 1) * 4294967296.0 / hk) AS BIGINT)
+           END AS est""")
+      .selectExpr("event_type", "n_hashes", "est",
+        "CAST(abs(est - n_hashes) <= greatest(CAST(3 AS BIGINT), " +
+          "CAST(ceil(0.5 * n_hashes) AS BIGINT)) AS INT) AS within_bound")
+      .orderBy("event_type")
+  }
+
+  val kmvDistinctOracle: String = {
+    import graft.llm.Gen.hexPrefix32
+    s"""WITH hs AS (SELECT DISTINCT event_type,
+           ${hexPrefix32("md5(CAST(user_id AS VARCHAR))")} AS h
+         FROM events),
+       rk AS (SELECT event_type, h, row_number() OVER
+           (PARTITION BY event_type ORDER BY h) AS r
+         FROM hs),
+       g AS (SELECT event_type, count(*) AS n_hashes FROM hs GROUP BY event_type),
+       kth AS (SELECT event_type, h AS hk FROM rk WHERE r = $kmvK),
+       est_t AS (SELECT g.event_type, CAST(g.n_hashes AS BIGINT) AS n_hashes,
+           CASE WHEN g.n_hashes < $kmvK THEN g.n_hashes
+             ELSE CAST(floor(($kmvK - 1) * 4294967296.0 / kth.hk) AS BIGINT)
+           END AS est
+         FROM g LEFT JOIN kth ON g.event_type = kth.event_type)
+       SELECT event_type, n_hashes, CAST(est AS BIGINT) AS est,
+         CAST(abs(est - n_hashes) <= greatest(CAST(3 AS BIGINT),
+           CAST(ceil(0.5 * n_hashes) AS BIGINT)) AS INTEGER) AS within_bound
+       FROM est_t ORDER BY event_type"""
+  }
+
   /** DAU/WAU stickiness: per day, exact daily active users over the
     * trailing-7-day actives, the product-analytics staple. The exact
     * WAU side reuses [[slidingDistinct]]'s day-grain fan-out (at

@@ -109,6 +109,17 @@ class QuantizeSpec extends SparkSpec {
     assert(merged == oneShot)
   }
 
+  test("pca power iteration: renormalized vector and positive variance axis") {
+    val row = graft.llm.Quantize.pcaPower(spark, sfTiny).collect().head
+    val comps = (0 until 16).map(i => row.getLong(i))
+    // ∞-norm renormalization: the largest |component| is exactly ±1e9
+    assert(comps.map(math.abs).max == 1000000000L, "renormalization lost")
+    // Rayleigh quotient of a covariance form is non-negative, and a
+    // degenerate (all-zero) direction can't emerge from a 1-vector
+    assert(row.getDouble(16) > 0.0, "rayleigh must be positive")
+    assert(comps.count(_ != 0L) > 1, "vector collapsed to an axis")
+  }
+
   test("skip-gram pair mass equals the closed-form window count") {
     // Σ_docs Σ_{o=1..3} max(0, n_o − o) pairs must equal the generated
     // pair total (no pair lost or duplicated by the array transform).
