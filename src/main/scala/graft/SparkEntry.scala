@@ -266,6 +266,7 @@ object SparkEntry {
     "lineitem_regression_2f" -> ((s, d) => Analytics.lineitemRegression2f(s, d)),
     "docs_anova_length" -> ((s, d) => Analytics.docsAnovaLength(s, d)),
     "parts_returns_wilson" -> ((s, d) => Analytics.brandReturnsWilson(s, d)),
+    "orders_open_backlog" -> ((s, d) => Analytics.ordersOpenBacklog(s, d)),
     "monthly_revenue_theilsen" -> ((s, d) => Analytics.monthlyRevenueTheilSen(s, d)),
     "docs_source_diversity" -> ((s, d) => Analytics.docsSourceDiversity(s, d)),
     "customer_survival_km" -> ((s, d) => Analytics.customerSurvivalKm(s, d)),
@@ -550,6 +551,7 @@ object SparkEntry {
     "lineitem_regression_2f" -> Analytics.lineitemRegression2fOracle,
     "docs_anova_length" -> Analytics.docsAnovaLengthOracle,
     "parts_returns_wilson" -> Analytics.brandReturnsWilsonOracle,
+    "orders_open_backlog" -> Analytics.ordersOpenBacklogOracle,
     "monthly_revenue_theilsen" -> Analytics.monthlyRevenueTheilSenOracle,
     "docs_source_diversity" -> Analytics.docsSourceDiversityOracle,
     "customer_survival_km" -> Analytics.customerSurvivalKmOracle,

@@ -1119,6 +1119,59 @@ object Analytics {
                 (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z""")
   }
 
+  // ---- open-order backlog over time ----
+
+  /** Orders in flight per day — the classic concurrent-intervals
+    * count, done the way it scales: never join days×orders (interval
+    * stabbing is quadratic-prone); emit +1 at each order's open date
+    * and −1 the day after its close (last ship date), aggregate to
+    * the day grain, and prefix-sum the deltas — the CUSUM/carry-
+    * forward calendar-scan shape, day-grain regardless of order
+    * volume. Orders with no line items never close (stay in the
+    * backlog — the honest semantics for a missing fulfilment). */
+  def ordersOpenBacklog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val opens = graft.io.Tables.orders(spark, dir)
+      .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE) AS day",
+        "CAST(1 AS BIGINT) AS delta", "CAST(1 AS BIGINT) AS opened",
+        "CAST(0 AS BIGINT) AS closed")
+    val closes = graft.io.Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(max(expr("CAST(l_shipdate AS DATE)")).as("close_day"))
+      .selectExpr("l_orderkey", "date_add(close_day, 1) AS day",
+        "CAST(-1 AS BIGINT) AS delta", "CAST(0 AS BIGINT) AS opened",
+        "CAST(1 AS BIGINT) AS closed")
+    val daily = opens.select("day", "delta", "opened", "closed")
+      .unionAll(closes.select("day", "delta", "opened", "closed"))
+      .groupBy("day").agg(
+        sum("delta").as("delta"),
+        sum("opened").as("n_opened"),
+        sum("closed").as("n_closed"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.withColumn("backlog", sum("delta").over(w))
+      .selectExpr("day", "n_opened",
+        // closes recorded on day+1; report them against that day
+        "n_closed", "CAST(backlog AS BIGINT) AS backlog")
+      .orderBy("day")
+  }
+
+  val ordersOpenBacklogOracle: String =
+    """WITH opens AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           1 AS delta, 1 AS opened, 0 AS closed FROM orders),
+       closes AS (SELECT cd + 1 AS day, -1 AS delta, 0 AS opened, 1 AS closed
+         FROM (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS cd
+               FROM lineitem GROUP BY l_orderkey) c),
+       daily AS (SELECT day, sum(delta) AS delta,
+           sum(opened) AS n_opened, sum(closed) AS n_closed
+         FROM (SELECT * FROM opens UNION ALL SELECT * FROM closes) u
+         GROUP BY day)
+       SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+         CAST(n_closed AS BIGINT) AS n_closed,
+         CAST(sum(delta) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+       FROM daily ORDER BY day"""
+
   // ---- Wilson interval for brand return rates ----
 
   /** Per-brand return rate with a 95 % Wilson score interval — the
