@@ -238,6 +238,7 @@ object SparkEntry {
     "dedup_clustering_coeff" -> ((s, d) => Dedup.clusteringCoeff(s, d)),
     "dedup_cluster_ari" -> ((s, d) => Dedup.clusterAri(s, d)),
     "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(s, d)),
+    "corpus_dedup_savings" -> ((s, d) => Dedup.dedupSavings(s, d)),
     "events_user_deciles" -> ((s, d) => EventsStream.userValueDeciles(s, d)),
     "events_rolling_7d" -> ((s, d) => EventsStream.rolling7d(s, d)),
     "events_moving_avg" -> ((s, d) => EventsStream.movingAvg3(s, d)),
@@ -523,6 +524,7 @@ object SparkEntry {
     "dedup_clustering_coeff" -> Dedup.clusteringCoeffOracle,
     "dedup_cluster_ari" -> Dedup.clusterAriOracle,
     "dedup_lsh_recall" -> Dedup.lshRecallOracle,
+    "corpus_dedup_savings" -> Dedup.dedupSavingsOracle,
     "events_user_deciles" -> EventsStream.userValueDecilesOracle,
     "events_rolling_7d" -> EventsStream.rolling7dOracle,
     "events_moving_avg" -> EventsStream.movingAvg3Oracle,

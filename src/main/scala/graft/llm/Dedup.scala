@@ -564,6 +564,87 @@ object Dedup {
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id"""
 
+  // ---- cross-tier dedup savings ledger ----
+
+  /** What each dedup tier would remove, as one ledger — the
+    * cost-justification card for running the tiers at all: verbatim
+    * doc copies (exact md5 losers), near-dup cluster losers, verbatim
+    * SPAN mass inside surviving docs, and chunk-store bytes (CDC) —
+    * four removable-mass rows with their corpus share. Tiers are
+    * reported INDEPENDENTLY (their sets overlap by design — a doc can
+    * be an exact loser AND carry dup spans; the composed anti-join
+    * path is `corpus_curated`). Units are per-tier honest: doc tiers
+    * and CDC count chars, the span tier counts tokens. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    val totals = docs.agg(sum("n_chars").as("tot_chars"),
+      count(lit(1)).as("tot_docs"))
+    val exactLosers = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "n_chars", s"md5(${normExpr(SparkD)}) AS fp")
+      .withColumn("keep", expr(
+        "min(doc_id) OVER (PARTITION BY fp) = doc_id"))
+      .filter(!col("keep"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+        coalesce(sum("n_chars"), lit(0L)).as("mass"))
+      .selectExpr("'exact_doc' AS tier", "n_docs", "mass", "'chars' AS unit")
+    val nearLosers = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .join(docs, Seq("doc_id"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+        coalesce(sum("n_chars"), lit(0L)).as("mass"))
+      .selectExpr("'near_doc' AS tier", "n_docs", "mass", "'chars' AS unit")
+    val spanMass = graft.llm.Spans.dupSpanCoverage(spark, dir)
+      .filter(col("dup_tokens") > 0)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+        coalesce(sum("dup_tokens"), lit(0L)).as("mass"))
+      .selectExpr("'dup_span' AS tier", "n_docs", "mass", "'tokens' AS unit")
+    val cdc = graft.llm.Chunking.cdcSavings(spark, dir)
+      .selectExpr("'cdc_chunk' AS tier",
+        "CAST(n_chunks - n_unique_chunks AS BIGINT) AS n_docs",
+        "saved_chars AS mass", "'chars' AS unit")
+    exactLosers.unionAll(nearLosers).unionAll(spanMass).unionAll(cdc)
+      .crossJoin(broadcast(totals))
+      .selectExpr("tier", "n_docs", "mass", "unit",
+        """CASE WHEN unit = 'chars' AND tot_chars > 0
+             THEN CAST(mass AS DOUBLE) / tot_chars
+             ELSE CAST(NULL AS DOUBLE) END AS share_of_corpus_chars""")
+      .orderBy("tier")
+  }
+
+  lazy val dedupSavingsOracle: String =
+    s"""WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot_chars FROM documents),
+        ex AS (SELECT 'exact_doc' AS tier,
+            CAST(coalesce(count(*), 0) AS BIGINT) AS n_docs,
+            CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS mass,
+            'chars' AS unit
+          FROM (SELECT doc_id, n_chars,
+              min(doc_id) OVER (PARTITION BY md5(${normExpr(DuckD)})) AS keeper
+            FROM documents) x WHERE doc_id <> keeper),
+        nr AS (SELECT 'near_doc' AS tier,
+            CAST(coalesce(count(*), 0) AS BIGINT) AS n_docs,
+            CAST(coalesce(sum(d.n_chars), 0) AS BIGINT) AS mass,
+            'chars' AS unit
+          FROM ($dedupClustersOracle) cl
+          JOIN documents d ON cl.doc_id = d.doc_id
+          WHERE cl.doc_id <> cl.cluster_id),
+        sp AS (SELECT 'dup_span' AS tier,
+            CAST(coalesce(count(*), 0) AS BIGINT) AS n_docs,
+            CAST(coalesce(sum(dup_tokens), 0) AS BIGINT) AS mass,
+            'tokens' AS unit
+          FROM (${graft.llm.Spans.dupSpanCoverageOracle}) cv
+          WHERE dup_tokens > 0),
+        cd AS (SELECT 'cdc_chunk' AS tier,
+            CAST(n_chunks - n_unique_chunks AS BIGINT) AS n_docs,
+            saved_chars AS mass, 'chars' AS unit
+          FROM (${graft.llm.Chunking.cdcSavingsOracle}) cs)
+        SELECT u.tier, u.n_docs, u.mass, u.unit,
+          CASE WHEN u.unit = 'chars' AND tot.tot_chars > 0
+            THEN CAST(u.mass AS DOUBLE) / tot.tot_chars
+            ELSE CAST(NULL AS DOUBLE) END AS share_of_corpus_chars
+        FROM (SELECT * FROM ex UNION ALL SELECT * FROM nr
+              UNION ALL SELECT * FROM sp UNION ALL SELECT * FROM cd) u
+        CROSS JOIN tot ORDER BY u.tier"""
+
   // ---- LSH banding recall vs exact truth ----
 
   /** Cross-tier recall at the 0.8 tier: of the pairs the EXACT
