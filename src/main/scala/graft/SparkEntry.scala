@@ -198,6 +198,7 @@ object SparkEntry {
     "embedding_random_projection" -> ((s, d) => Quantize.randomProjection(s, d)),
     "embedding_projection_audit" -> ((s, d) => Quantize.projectionAudit(s, d)),
     "embedding_pca_power" -> ((s, d) => Quantize.pcaPower(s, d)),
+    "embedding_anisotropy" -> ((s, d) => Quantize.anisotropy(s, d)),
     "ann_binary_topk" -> ((s, d) => Quantize.binaryTopK(s, d)),
     "ann_cell_balance" -> ((s, d) => Quantize.cellBalance(s, d)),
     "embedding_text_corr" -> ((s, d) => Quantize.embeddingTextCorr(s, d)),
@@ -493,6 +494,7 @@ object SparkEntry {
     "embedding_random_projection" -> Quantize.randomProjectionOracle,
     "embedding_projection_audit" -> Quantize.projectionAuditOracle,
     "embedding_pca_power" -> Quantize.pcaPowerOracle,
+    "embedding_anisotropy" -> Quantize.anisotropyOracle,
     "ann_binary_topk" -> Quantize.binaryTopKOracle,
     "ann_cell_balance" -> Quantize.cellBalanceOracle,
     "embedding_text_corr" -> Quantize.embeddingTextCorrOracle,

@@ -456,6 +456,61 @@ object Quantize {
         FROM it$pcaIters"""
   }
 
+  // ---- embedding anisotropy ----
+
+  /** Anisotropy of the 16-dim prefix subspace: the dominant
+    * eigenvalue's share of total variance, λ̂₁/(trace/d) — the
+    * Ethayarajh-style "embeddings collapse into a cone" diagnostic
+    * (isotropic ≈ 1; a few dominant directions ⇒ ≫ 1, and cosine
+    * similarity loses contrast). Reuses the PCA power-iteration
+    * machinery verbatim: λ̂₁ is the converged Rayleigh quotient,
+    * trace is Σᵢ(n·Σqᵢ² − (Σqᵢ)²) off the same one-pass exact
+    * moments. Readout milli-quantized. */
+  def anisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val pca = pcaPower(spark, dir)
+    val d = SparkD
+    val quant = (0 until pcaDims).map(i =>
+      s"CAST(round(${idx("v", i, d)} * 1000000) AS BIGINT) AS q_$i")
+    val moments =
+      Seq("CAST(count(1) AS DECIMAL(38,0)) AS n") ++
+      (0 until pcaDims).map(i =>
+        s"CAST(sum(CAST(q_$i AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_$i") ++
+      (0 until pcaDims).map(i =>
+        s"CAST(sum(CAST(q_$i AS DECIMAL(38,0)) * q_$i) AS DECIMAL(38,0)) AS p_$i")
+    val trace = (0 until pcaDims).map(i =>
+      s"(CAST(n AS DOUBLE) * CAST(p_$i AS DOUBLE) - CAST(s_$i AS DOUBLE) * CAST(s_$i AS DOUBLE))")
+      .mkString(" + ")
+    val tr = vecsD(spark, dir).selectExpr(quant: _*)
+      .selectExpr(moments: _*)
+      .selectExpr(s"($trace) AS trace")
+    pca.select("rayleigh").crossJoin(broadcast(tr))
+      .selectExpr(
+        s"CAST(round(rayleigh / trace * 1000) AS BIGINT) AS top_share_milli",
+        s"CAST(round(rayleigh / (trace / $pcaDims) * 1000) AS BIGINT) AS anisotropy_milli")
+  }
+
+  val anisotropyOracle: String = {
+    val d = DuckD
+    val quant = (0 until pcaDims).map(i =>
+      s"CAST(round(${idx("v", i, d)} * 1000000) AS BIGINT) AS q_$i").mkString(", ")
+    val moments =
+      (Seq("CAST(count(*) AS HUGEINT) AS n") ++
+        (0 until pcaDims).map(i => s"sum(CAST(q_$i AS HUGEINT)) AS s_$i") ++
+        (0 until pcaDims).map(i =>
+          s"sum(CAST(q_$i AS HUGEINT) * q_$i) AS p_$i")).mkString(", ")
+    val trace = (0 until pcaDims).map(i =>
+      s"(CAST(n AS DOUBLE) * CAST(p_$i AS DOUBLE) - CAST(s_$i AS DOUBLE) * CAST(s_$i AS DOUBLE))")
+      .mkString(" + ")
+    s"""WITH pc AS (SELECT rayleigh FROM ($pcaPowerOracle) p0),
+        ${vecsDCte(d).replace("ve AS", "ve2 AS")},
+        qt2 AS (SELECT $quant FROM ve2),
+        mo2 AS (SELECT $moments FROM qt2),
+        tr AS (SELECT ($trace) AS trace FROM mo2)
+        SELECT CAST(round(rayleigh / trace * 1000) AS BIGINT) AS top_share_milli,
+          CAST(round(rayleigh / (trace / $pcaDims) * 1000) AS BIGINT) AS anisotropy_milli
+        FROM pc CROSS JOIN tr"""
+  }
+
   // ---- Matryoshka prefix-dimension recall ----
 
   private val mrlDims = 16
