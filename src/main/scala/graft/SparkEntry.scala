@@ -211,6 +211,7 @@ object SparkEntry {
     "multimodal_ahash_pairs" -> ((s, d) => Multimodal.ahashPairs(s, d)),
     "multimodal_motion_energy" -> ((s, d) => Multimodal.motionEnergy(s, d)),
     "multimodal_wav_stats" -> ((s, d) => Multimodal.wavStats(s, d)),
+    "multimodal_wav_clipping" -> ((s, d) => Multimodal.wavClipping(s, d)),
     "multimodal_video_stats" -> ((s, d) => Multimodal.videoStats(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "lineitem_moment_corr" -> ((s, d) => graft.ops.Profile.momentCorr(s, d)),
@@ -573,6 +574,7 @@ object SparkEntry {
     "multimodal_ahash_pairs" -> Multimodal.ahashPairsOracle,
     "multimodal_motion_energy" -> Multimodal.motionEnergyOracle,
     "multimodal_wav_stats" -> Multimodal.wavStatsOracle,
+    "multimodal_wav_clipping" -> Multimodal.wavClippingOracle,
     "multimodal_video_stats" -> Multimodal.videoStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
     "events_hourly_anomaly" -> EventsStream.hourlyAnomalyOracle,

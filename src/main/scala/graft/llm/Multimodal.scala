@@ -654,6 +654,59 @@ object Multimodal {
          sum(s) / CAST(count(*) AS DOUBLE) AS mean_s
        FROM sm GROUP BY doc_id, channel ORDER BY doc_id, channel"""
 
+  case class WavClipRow(doc_id: Long, n_samples: Long, n_clipped: Long,
+                        peak: Int)
+
+  /** Clipping detection on REAL decoded PCM — the audio QC gate
+    * (clipped takes are unusable for training): per audio doc, how
+    * many samples sit at the int16 rails (±32767/−32768) and the
+    * absolute peak. Rides the same executor-side decode as
+    * [[wavStats]]; the oracle recomputes every sample from the
+    * generative formula, so the rail hits prove sign-exact decode at
+    * both extremes (the formula sweeps the full int16 range). */
+  def wavClipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 1").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val frames = wavFrames(id); val ch = wavChannels(id)
+          val wav = MediaCodec.makeWavWithSamples(
+            ch, (8000 + (id % 5) * 8000).toInt, wavSignal(id, frames, ch))
+          val pcm = MediaCodec.decodeWavSamples(wav).getOrElse(
+            sys.error(s"wav decode failed for doc $id"))
+          var clipped = 0L; var peak = 0
+          pcm.samples.foreach { s =>
+            val v: Int = s
+            if (v >= 32767 || v <= -32768) clipped += 1
+            val a = math.abs(v); if (a > peak) peak = a
+          }
+          WavClipRow(id, pcm.samples.length.toLong, clipped, peak)
+        }
+      }
+    rows.toDF()
+      .selectExpr("doc_id", "n_samples", "n_clipped",
+        "CAST(peak AS INT) AS peak",
+        "CAST(n_clipped AS DOUBLE) / n_samples AS clip_rate")
+      .orderBy("doc_id")
+  }
+
+  val wavClippingOracle: String =
+    """WITH auds AS (SELECT doc_id,
+           CAST(doc_id % 37 + 1 AS INTEGER) AS frames,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels
+         FROM documents WHERE doc_id % 3 = 1),
+       sm AS (SELECT a.doc_id,
+           ((a.doc_id % 251) + i.i * 7919) % 65536 - 32768 AS s
+         FROM auds a, range(0, 74) i(i)
+         WHERE i.i < a.frames * a.channels)
+       SELECT doc_id, count(*) AS n_samples,
+         CAST(sum(CASE WHEN s >= 32767 OR s <= -32768 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+         CAST(max(abs(s)) AS INTEGER) AS peak,
+         CAST(sum(CASE WHEN s >= 32767 OR s <= -32768 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS clip_rate
+       FROM sm GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- real video-decode tier (MediaCodec.decodeY4m) ----
 
   case class VideoPlaneStats(doc_id: Long, width: Int, height: Int,
