@@ -118,7 +118,13 @@ object Bench {
       .map { case (k, v, _) => s"\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val nErr = results.count(_._3.nonEmpty) + prepErr.size
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","prep":$prepSec,"prep_status":"${prepErr.fold("ok")(m => "err:" + esc(m))}","queries":$qs,"status":$st,"first_pass":$firstJson,"errors":$nErr,"sf":"$sfDir"}"""
+    // What a FRESH session pays end-to-end: side-table prep plus every
+    // query's first (cold) pass, before the min-of-two steady-state
+    // estimator. Reported alongside `value` so round-over-round
+    // comparisons can't hide prep growth or warm-cache drift
+    // (VERDICT r7 #3).
+    val coldTotal = prepSec + firstPass.map(_._2).sum
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prep":$prepSec,"prep_status":"${prepErr.fold("ok")(m => "err:" + esc(m))}","queries":$qs,"status":$st,"first_pass":$firstJson,"errors":$nErr,"sf":"$sfDir"}"""
     // Full per-query detail to a file (humans + regression diffing)...
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
@@ -136,7 +142,7 @@ object Bench {
     val failed = results.filter(_._3.nonEmpty).take(10)
       .map { case (k, _, e) => s"\"" + k + "\":\"err:" + esc(e.get) + "\"" }
       .mkString(",")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","prep":$prepSec%.2f,"prep_status":"${prepErr.fold("ok")(m => "err:" + esc(m))}","n_queries":${results.size},"errors":$nErr,"mean_sec":${total / math.max(1, results.size)}%.3f,"queries":{$slow},"failed":{$failed},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","cold_total":$coldTotal%.2f,"prep":$prepSec%.2f,"prep_status":"${prepErr.fold("ok")(m => "err:" + esc(m))}","n_queries":${results.size},"errors":$nErr,"mean_sec":${total / math.max(1, results.size)}%.3f,"queries":{$slow},"failed":{$failed},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     PlanCache.clear()
     spark.stop()
     if (nErr > 0) sys.exit(1)

@@ -594,7 +594,7 @@ object Curation {
         sum("n_tokens").over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("rk", col("c_off") + row_number().over(wIn))
       .select("doc_id", "quality_score", "cum", "rk")
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.cut)
     val total = ranked.agg(
       coalesce(max("cum"), lit(0L)).as("tot"),
       coalesce(max("rk"), lit(0L)).as("n_docs"))

@@ -468,16 +468,17 @@ object Dedup {
     // surfaces once a graph needs >3 rounds (long chains). Checkpointing
     // makes each round O(edges) by construction — the same bounding the
     // PageRank loop uses — at the cost of one extra job per round, which
-    // the round's checksum action was already paying. On a cluster this
-    // would be reliable checkpoint() to storage.
+    // the round's checksum action was already paying. On a cluster, set
+    // spark.graft.checkpointDir and every cut below becomes a reliable
+    // checkpoint() to fault-tolerant storage (graft.ops.Checkpoints).
     val edges = pairs.toDF("doc_a", "doc_b")
       .union(pairs.toDF("doc_a", "doc_b").select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.cut)
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.cut)
     // Convergence via a monotone checksum: labels only ever decrease,
     // so sum(cluster_id) (exact DECIMAL(38,0) — no overflow at any
     // corpus size) is strictly decreasing until the fixpoint. One
@@ -508,7 +509,7 @@ object Dedup {
         .join(jump, hopped("cluster_id") === jump("j_id"), "left")
         .select(hopped("doc_id"),
           coalesce(col("j_cluster"), hopped("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Checkpoints.cut)
       val nextSum = checksum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -408,14 +408,14 @@ object LanguageModel {
       .filter(length(col("word")) >= 2)
       .selectExpr("word", "wf", "explode(sequence(1, length(word))) AS pos")
       .selectExpr("word", "wf", "pos", "substr(word, pos, 1) AS tok")
-    var seq = base.localCheckpoint()
+    var seq = base.transform(graft.ops.Checkpoints.cut)
     val wins = (1 to bpeRounds).map { r =>
       val (next, win) = bpeRound(seq)
-      seq = next.localCheckpoint()
+      seq = next.transform(graft.ops.Checkpoints.cut)
       win.selectExpr(s"CAST($r AS INTEGER) AS merge_rank",
         "wl AS left_tok", "wr AS right_tok",
         "concat(wl, wr) AS merged", "CAST(n AS BIGINT) AS n")
-        .localCheckpoint() // pin the winner BEFORE the next round mutates lineage
+        .transform(graft.ops.Checkpoints.cut) // pin the winner BEFORE the next round mutates lineage
     }
     (wins, seq)
   }

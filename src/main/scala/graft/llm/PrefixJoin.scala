@@ -68,7 +68,7 @@ object PrefixJoin {
       .selectExpr("doc_id",
         s"sort_array(${arrDistinct(words("lower(text)", SparkD), SparkD)}) AS toks")
       .selectExpr("doc_id", "toks", "size(toks) AS sz")
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.cut)
     val toks = docsArr.select(col("doc_id"), col("sz"),
       explode(col("toks")).as("tok"))
     val dfT = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -78,7 +78,7 @@ object PrefixJoin {
     val prefix = ranked.filter(
       expr(s"rk <= sz - (($tNum * sz + $tNum) DIV $tDen) + 1"))
       .select("doc_id", "tok", "sz", "rk")
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.cut)
     // the pre-distinct pair stream repeats a pair once per shared
     // prefix token — project it down to the two ids BEFORE the
     // distinct so the dedup shuffle moves 16 bytes/row, not the

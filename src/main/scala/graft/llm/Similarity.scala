@@ -104,12 +104,43 @@ object Similarity {
 
   private val centroidMod = 100
 
+  /** Hard cap on the coarse-quantizer size (nlist). Without it the
+    * `vec_id % centroidMod == 0` sample grows as n/100 with the corpus
+    * — at 10^10 vectors the centroid relation itself would blow past
+    * Spark's 8 GB broadcast hard limit (VERDICT r7 #2). Real IVF runs a
+    * FIXED nlist (typically ~sqrt(n), capped in the thousands) with a
+    * trained coarse quantizer; we cap the deterministic sample the same
+    * way: centroids are the first `maxNlist` sampled vec_ids, so
+    * nlist = min(n/centroidMod, maxNlist) and the broadcast side is
+    * bounded at ~maxNlist·(dim·8) bytes ≈ 2 MB forever. The trade is
+    * recall, not correctness: past the cap, cells grow as n/nlist, and
+    * the recall knob is probing more cells ([[ivfTopKMultiProbe]]) —
+    * the standard IVF trade, now explicit. Override with
+    * `spark.graft.ivf.maxNlist` (the cap-engagement spec lowers it;
+    * the default never binds at fixture scale, so oracles use the
+    * same literal bound). */
+  private[graft] val defaultMaxNlist = 4096
+
+  private def maxNlist(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ivf.maxNlist")
+      .map(_.toLong).getOrElse(defaultMaxNlist.toLong)
+
+  /** The bounded centroid-sample predicate (Spark side; conf-aware). */
+  private def centroidPred(spark: SparkSession) =
+    (col("vec_id") % centroidMod === 0) &&
+      (col("vec_id") < lit(centroidMod.toLong * maxNlist(spark)))
+
+  /** Oracle twin of [[centroidPred]] at the default cap. */
+  private def centroidPredSql: String =
+    s"vec_id % $centroidMod = 0 AND vec_id < ${centroidMod.toLong * defaultMaxNlist}"
+
   /** IVF coarse quantizer: a deterministic sample of the corpus
-    * (vec_id % 100 == 0) serves as centroids; every vector is assigned
-    * to its highest-cosine centroid. At 100 TB the centroid set is the
-    * broadcast side and assignment is one scan; search then probes only
-    * the query's cell (an equi-join on cell id), the standard IVF
-    * trade: recall vs the number of probed cells. */
+    * (vec_id % 100 == 0, capped at [[defaultMaxNlist]] entries) serves
+    * as centroids; every vector is assigned to its highest-cosine
+    * centroid. At 100 TB the centroid set is the bounded broadcast side
+    * and assignment is one scan; search then probes only the query's
+    * cell (an equi-join on cell id), the standard IVF trade: recall vs
+    * the number of probed cells. */
   /** Assign every vector to its highest-cosine centroid — the assign
     * half of a Lloyd iteration; centroids are the broadcast side, so
     * assignment is one corpus scan at any scale. */
@@ -126,14 +157,14 @@ object Similarity {
   private def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache(spark, "ivf_assigned", dir) {
       val all = vecs(spark, dir)
-      assignTo(all, all.filter(col("vec_id") % centroidMod === 0)
+      assignTo(all, all.filter(centroidPred(spark))
         .selectExpr("vec_id AS centroid_id", "v AS cv", "nrm AS cnrm"))
     }
 
   private def ivfCte(d: Dialect): String =
     s"""${vecsCte(d)},
         cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
-                  FROM e WHERE vec_id % $centroidMod = 0),
+                  FROM e WHERE $centroidPredSql),
         assigned AS (SELECT e.vec_id, e.label, e.v, e.nrm, c.centroid_id AS cell,
                        ${cosineWithNorms("e.v", "c.cv", "e.nrm", "c.cnrm", d)} AS ccos
                      FROM e CROSS JOIN cents c
@@ -190,7 +221,7 @@ object Similarity {
     * pattern as assignment. */
   def ivfTopKMultiProbe(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val cents = all.filter(col("vec_id") % centroidMod === 0)
+    val cents = all.filter(centroidPred(spark))
       .selectExpr("vec_id AS centroid_id", "v AS cv", "nrm AS cnrm")
     val qw = Window.partitionBy("query_id").orderBy(desc("qccos"), asc("centroid_id"))
     val qCells = all.filter(col("vec_id") < nQueries)
@@ -509,7 +540,7 @@ object Similarity {
     * posexplode to long (vec, subspace) form, one argmin window keyed
     * (vec_id, subspace) — wide enough to spread over any cluster. */
   private def pqCents(spark: SparkSession, dir: String): DataFrame =
-    vecs(spark, dir).filter(col("vec_id") % centroidMod === 0)
+    vecs(spark, dir).filter(centroidPred(spark))
       .selectExpr("vec_id AS code", "v AS cv")
 
   private def pqCodesDf(spark: SparkSession, dir: String): DataFrame =
@@ -537,7 +568,7 @@ object Similarity {
       s"${l2sqRange("e.v", "c.cv", s * subDim, subDim, d)} AS d$s").mkString(", ")
     val pick = (0 until nSub - 1).map(s => s"WHEN $s THEN d$s").mkString(" ")
     s"""pq_cents AS (SELECT vec_id AS code, v AS cv FROM e
-          WHERE vec_id % $centroidMod = 0),
+          WHERE $centroidPredSql),
         pq_d AS (SELECT e.vec_id, c.code, $dcols FROM e CROSS JOIN pq_cents c),
         pq_long AS (SELECT vec_id, code, t.subspace,
             CASE t.subspace $pick ELSE d${nSub - 1} END AS dist

@@ -703,7 +703,7 @@ object Analytics {
     // the month-grain series is consumed three times (both self-join
     // sides + the residual pass); checkpointing the ~k-row result stops
     // each consumer re-running the fact-table aggregation
-    val series = revenueSeries(spark, dir, monthGrain).localCheckpoint()
+    val series = revenueSeries(spark, dir, monthGrain).transform(graft.ops.Checkpoints.cut)
     val a = series.selectExpr("x AS x1", "y AS y1")
     val b = series.selectExpr("x AS x2", "y AS y2")
     val slopes = a.join(b, col("x1") < col("x2"))
@@ -944,7 +944,7 @@ object Analytics {
   def dailyRevenueOutliers(spark: SparkSession, dir: String): DataFrame = {
     // consumed by the median pass, the deviation pass, and the MAD
     // pass — checkpoint the day-grain rows once
-    val series = revenueSeries(spark, dir, dayGrain).localCheckpoint()
+    val series = revenueSeries(spark, dir, dayGrain).transform(graft.ops.Checkpoints.cut)
     val med = series
       .withColumn("rn", expr("row_number() OVER (ORDER BY y, x)"))
       .withColumn("cnt", expr("count(*) OVER ()"))
@@ -1394,7 +1394,7 @@ object Analytics {
     * the variance ratios are one shared IEEE tree at the end. The
     * whole operator is day-grain. */
   def dailyRevenueDecomposition(spark: SparkSession, dir: String): DataFrame = {
-    val series = revenueSeries(spark, dir, dayGrain).localCheckpoint(true)
+    val series = revenueSeries(spark, dir, dayGrain).transform(graft.ops.Checkpoints.cut)
     val m = series.selectExpr(olsMoments: _*)
     val fit = m.selectExpr("n", "sy", "syy",
       """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
@@ -1406,7 +1406,7 @@ object Analytics {
       .selectExpr("x % 7 AS wd",
         "CAST(round((CAST(y AS DOUBLE) - (a + b * x)) * 100) AS BIGINT) AS dc",
         "n", "sy", "syy")
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.cut)
     val wm = resid.groupBy("wd")
       .agg(sum("dc").as("swd"), count(lit(1)).as("nwd"))
       .selectExpr("wd", "floor(CAST(swd AS DOUBLE) / nwd) AS wmean")
@@ -1476,7 +1476,7 @@ object Analytics {
     * the fact table died in the first hash agg. Error sums are exact
     * BIGINT dollars; only the MAE/MASE readouts divide. */
   def dailyRevenueBacktest(spark: SparkSession, dir: String): DataFrame = {
-    val series = revenueSeries(spark, dir, dayGrain).localCheckpoint(true)
+    val series = revenueSeries(spark, dir, dayGrain).transform(graft.ops.Checkpoints.cut)
     val cut = series.agg(expr("max(x) - 6").as("cut"))
     val train = series.crossJoin(broadcast(cut)).filter(col("x") < col("cut"))
     val trainStats = train.agg(

@@ -293,7 +293,7 @@ object Extras {
       .join(ob.selectExpr("l_orderkey AS ok2", "p_brand AS b"),
         col("l_orderkey") === col("ok2") && col("a") < col("b"))
       .select("l_orderkey", "a", "b")
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.cut)
     val l2 = pairsRaw.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
       .crossJoin(broadcast(tot)).filter(col("n_pair") >= col("min_sup"))
       .select("a", "b")

@@ -74,7 +74,7 @@ object Graph {
     // Edges/outdeg are node²-bounded and each rank table is
     // node-sized, so the checkpoint itself is trivial; at real graph
     // scale this is persist()/checkpoint every few rounds, same idea.
-    val edges = tradeEdges(spark, dir).localCheckpoint()
+    val edges = tradeEdges(spark, dir).transform(graft.ops.Checkpoints.cut)
     val nodes = t(spark, dir, "nation").selectExpr("n_nationkey AS node")
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -94,7 +94,7 @@ object Graph {
         .crossJoin(broadcast(dangling)).crossJoin(broadcast(nNodes))
         .selectExpr("node",
           s"CAST(${nextRankExpr("coalesce(m, 0)", "dangling", "n_nodes", SparkD)} AS BIGINT) AS r")
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoints.cut)
     }
     ranks.join(t(spark, dir, "nation"), col("node") === col("n_nationkey"))
       .selectExpr("n_name AS nation", "r AS rank_pico",
@@ -165,9 +165,9 @@ object Graph {
     * iterate with a convergence check exactly like [[nationPagerank]]
     * / propagateLabels — same per-round plan. */
   private[graft] def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val e = edges.toDF("src", "dst").transform(graft.ops.Checkpoints.cut)
     var nodes = e.select(col("src").as("doc_id"), lit(0L).as("deg"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.ops.Checkpoints.cut)
     for (_ <- 1 to rounds) {
       val induced = e
         .join(nodes.select(col("doc_id").as("src")), Seq("src"), "left_semi")
@@ -175,7 +175,7 @@ object Graph {
       nodes = induced.groupBy(col("src").as("doc_id"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-        .localCheckpoint(true)
+        .transform(graft.ops.Checkpoints.cut)
     }
     nodes.selectExpr("doc_id", "CAST(deg AS BIGINT) AS core_degree")
   }
@@ -230,16 +230,16 @@ object Graph {
     * monotone non-increasing, so the same trick applies verbatim). */
   private[graft] def bfsHops(edges: DataFrame, sources: DataFrame,
       rounds: Int): DataFrame = {
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val e = edges.toDF("src", "dst").transform(graft.ops.Checkpoints.cut)
     var dist = sources.selectExpr("node", "CAST(node AS BIGINT) AS combo")
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.cut)
     for (_ <- 1 to rounds) {
       val relaxed = e
         .join(dist.withColumnRenamed("node", "src"), Seq("src"))
         .selectExpr("dst AS node", "combo + 100 AS combo")
       dist = dist.union(relaxed)
         .groupBy("node").agg(min("combo").as("combo"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Checkpoints.cut)
     }
     dist
   }

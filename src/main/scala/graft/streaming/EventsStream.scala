@@ -1019,10 +1019,10 @@ object EventsStream {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type").as("a"), col("event_type").as("b"))
       .agg(count(lit(1)).as("n_ab"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.cut)
     val outTot = trans.groupBy("a").agg(sum("n_ab").as("n_a"))
     val types = Tables.events(spark, dir).select(col("event_type").as("t"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.ops.Checkpoints.cut)
     val nTypes = types.agg(count(lit(1)).as("nt"))
     var pi = types.crossJoin(broadcast(nTypes))
       .selectExpr("t", s"CAST($MR DIV nt AS BIGINT) AS m")
@@ -1038,7 +1038,7 @@ object EventsStream {
         .join(moved.unionByName(kept).groupBy("t").agg(sum("inflow").as("m0")),
           Seq("t"), "left")
         .selectExpr("t", "CAST(coalesce(m0, 0) AS BIGINT) AS m")
-        .localCheckpoint(true)
+        .transform(graft.ops.Checkpoints.cut)
     }
     pi.selectExpr("t AS event_type", "m AS stationary_pico",
         "CAST(m AS DOUBLE) / 1e12 AS stationary")
