@@ -74,9 +74,20 @@ object PlanCache {
             java.lang.Integer.toHexString(
               java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
           val path = s"$root/${sessionId(spark)}/${key}_$dirTag"
-          build.write.mode("overwrite")
-            .option("compression", "snappy").parquet(path)
-          spark.read.parquet(path)
+          try {
+            build.write.mode("overwrite")
+              .option("compression", "snappy").parquet(path)
+            spark.read.parquet(path)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              // A full or unwritable staging dir must DEGRADE the
+              // session, not fail its queries: fall back to the
+              // persist path over a fresh plan (never read the
+              // possibly-partial files at `path`). Correctness can't
+              // depend on staging succeeding — only steady-state cost
+              // does (PlanCacheResilienceSpec).
+              build.persist(StorageLevel.MEMORY_AND_DISK)
+          }
         })
       case _ => apply(spark, key, dir)(build)
     }

@@ -109,7 +109,12 @@ object SparkEntry {
     "curated_category_inventory_impact" -> ((s, d) =>
       Aggregations.categoryInventoryImpact(recon(s, d))),
     "curated_product_inventory_discrepancies" -> ((s, d) =>
-      Aggregations.productInventoryDiscrepancies(recon(s, d)))
+      Aggregations.productInventoryDiscrepancies(recon(s, d))),
+    // The reference's full unit of work as ONE timed query: CSV drop
+    // -> routing -> five pipelines -> zone writes -> crawl -> the six
+    // Athena queries -> exact-digest summary (VERDICT r7 #4).
+    "pipeline_end_to_end" -> ((s, d) =>
+      graft.orchestrate.EndToEnd.pipelineEndToEnd(s, d))
   )
 
   /** LLM-pipeline extension operators (dedup, similarity search,
@@ -214,6 +219,8 @@ object SparkEntry {
     "multimodal_wav_clipping" -> ((s, d) => Multimodal.wavClipping(s, d)),
     "multimodal_video_stats" -> ((s, d) => Multimodal.videoStats(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
+    "table_profile_approx_audit" ->
+      ((s, d) => graft.ops.Profile.tableProfileApproxAudit(s, d)),
     "lineitem_moment_corr" -> ((s, d) => graft.ops.Profile.momentCorr(s, d)),
     "lineitem_spearman" -> ((s, d) => graft.ops.Profile.spearmanCorr(s, d)),
     "doc_truncation_loss" -> ((s, d) => Curation.truncationLoss(s, d)),
@@ -408,6 +415,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "sales_transactions" -> OracleSql.salesTransactions,
+    "pipeline_end_to_end" ->
+      graft.orchestrate.EndToEnd.pipelineEndToEndOracle,
     "rating_icon_join" -> OracleSql.ratingIconJoin,
     "customer_feedback_enriched" -> OracleSql.customerFeedbackEnriched,
     "marketing_performance" -> OracleSql.marketingPerformance,
@@ -501,6 +510,8 @@ object SparkEntry {
     "embedding_text_corr" -> Quantize.embeddingTextCorrOracle,
     "ann_matryoshka_recall" -> Quantize.matryoshkaRecallOracle,
     "table_profile" -> graft.ops.Profile.tableProfileOracle,
+    "table_profile_approx_audit" ->
+      graft.ops.Profile.tableProfileApproxAuditOracle,
     "lineitem_moment_corr" -> graft.ops.Profile.momentCorrOracle,
     "lineitem_spearman" -> graft.ops.Profile.spearmanCorrOracle,
     "doc_truncation_loss" -> Curation.truncationLossOracle,

@@ -419,6 +419,74 @@ object Profile {
           n_rows / CAST(sum(n_rows) OVER () AS DOUBLE) AS share
         FROM g ORDER BY bucket"""
 
+  /** The 100 TB profile: identical shape to [[tableProfile]] but every
+    * exact `count(DISTINCT)` is an `approx_count_distinct` HLL sketch —
+    * ONE partial-aggregable pass with NO Expand (the exact form
+    * duplicates the scan stream once per distinct column; 11 columns =
+    * 11× rows into the partial agg). `ProfilePlanSpec` pins the
+    * no-Expand plan contract. Not oracle-checked directly (a sketch
+    * value can never hash-match DuckDB); the audit variant below is the
+    * correctness gate. */
+  def tableProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = Seq("CAST(count(*) AS BIGINT) AS n_rows") ++
+      cols.zipWithIndex.flatMap { case ((c, kind), i) =>
+        val ord = ordExpr(c, kind, SparkD)
+        Seq(
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$i",
+          s"CAST(approx_count_distinct($c) AS BIGINT) AS nd_$i",
+          s"min($ord) AS mn_$i", s"max($ord) AS mx_$i")
+      }
+    val stackArgs = cols.zipWithIndex.map { case ((c, kind), i) =>
+      s"'$c', '${basis(kind)}', nn_$i, nd_$i, mn_$i, mx_$i"
+    }.mkString(", ")
+    Tables.lineitem(spark, dir)
+      .selectExpr(aggs: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, basis, n_null, n_distinct, min_ord, max_ord)")
+      .select("column_name", "basis", "n_rows", "n_null", "n_distinct",
+        "min_ord", "max_ord")
+      .orderBy("column_name")
+  }
+
+  /** Bounds audit for [[tableProfileApprox]] — the oracle-checkable
+    * face of the sketched profile (the [[graft.curated.Aggregations]]
+    * HLL-audit pattern): emit the EXACT profile columns plus flags
+    * asserting (a) the HLL distinct estimate sits inside a 4-sigma band
+    * (default rsd 0.05 ⇒ 20%) with absolute slack 3 for tiny columns,
+    * and (b) every non-sketched stat of the approx run is bit-identical
+    * to the exact run's. The DuckDB oracle computes the same exact
+    * columns and literal-1 flags, so a sketch drifting past its bound
+    * flips a flag and fails the hash compare. Deterministic: HLL++ is
+    * an order-independent function of the value set. */
+  def tableProfileApproxAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = tableProfile(spark, dir)
+    val approx = tableProfileApprox(spark, dir).selectExpr(
+      "column_name", "n_rows AS a_rows", "n_null AS a_null",
+      "n_distinct AS a_distinct", "min_ord AS a_min", "max_ord AS a_max")
+    exact.join(approx, Seq("column_name"))
+      .selectExpr("column_name", "basis", "n_rows", "n_null", "n_distinct",
+        "min_ord", "max_ord",
+        "CAST(abs(a_distinct - n_distinct) <= greatest(CAST(3 AS BIGINT), " +
+          "CAST(ceil(0.2 * n_distinct) AS BIGINT)) AS INT) AS distinct_within_bound",
+        "CAST(a_rows = n_rows AND a_null = n_null AND a_min = min_ord " +
+          "AND a_max = max_ord AS INT) AS exact_columns_match")
+      .orderBy("column_name")
+  }
+
+  val tableProfileApproxAuditOracle: String = {
+    val rows = cols.zipWithIndex.map { case ((c, kind), i) =>
+      s"""SELECT '$c' AS column_name, '${basis(kind)}' AS basis, n_rows,
+            nn_$i AS n_null, nd_$i AS n_distinct,
+            mn_$i AS min_ord, mx_$i AS max_ord FROM p"""
+    }.mkString(" UNION ALL ")
+    s"""WITH p AS (SELECT ${aggExprs(DuckD).mkString(", ")} FROM lineitem),
+        e AS ($rows)
+        SELECT column_name, basis, n_rows, n_null, n_distinct, min_ord,
+          max_ord, 1 AS distinct_within_bound, 1 AS exact_columns_match
+        FROM e ORDER BY column_name"""
+  }
+
   val tableProfileOracle: String = {
     val rows = cols.zipWithIndex.map { case ((c, kind), i) =>
       s"""SELECT '$c' AS column_name, '${basis(kind)}' AS basis, n_rows,

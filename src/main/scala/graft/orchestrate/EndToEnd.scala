@@ -1,0 +1,222 @@
+package graft.orchestrate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.curated.Aggregations
+import graft.etl.Entities
+import graft.io.{Catalog, Readers, Writers}
+import graft.pipelines.{CustomerFeedback, DeliveryPerformance,
+  InventoryReconciliation, MarketingRoi, SalesRevenue}
+import graft.sql.{AthenaQueries, OracleSql}
+
+/** The reference's ACTUAL unit of work, composed end-to-end and timed
+  * as one registered query (VERDICT r7 #4): a raw CSV batch lands →
+  * lambda-style routing fans out to the five Glue-job pipelines (each
+  * under its own budget with per-job failure isolation,
+  * [[Orchestrator.runAndCrawlRecorded]]) → pipelines READ THE RAW CSVs
+  * with declared schemas → write the processed + curated parquet zones
+  * → the crawler step registers every zone in the catalog → the six
+  * Athena queries run over the crawled tables → one summary row per
+  * zone and per query (exact row counts + exact-integer digests).
+  *
+  * The raw zone is staged ONCE per fixture dir (the upstream
+  * producer's side of the S3 drop — a CSV export of the entity
+  * relations, exactly the relations the per-query oracles derive), so
+  * the timed work is the drop-to-dashboard path, not fixture
+  * generation. CSV round-trip is bit-exact by construction: longs and
+  * strings verbatim, doubles via shortest-repr (Double.toString
+  * round-trips), timestamps written and read at micros precision.
+  *
+  * The oracle recomputes the same summaries from the shared CTE
+  * registry ([[graft.sql.OracleSql]]) — every digest column is an
+  * exact integer (cents/counts), so the whole composition
+  * hash-matches DuckDB.
+  */
+object EndToEnd {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private def tmp = System.getProperty("java.io.tmpdir")
+
+  private def dirTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+
+  /** Entity name → (builder, raw-zone subpath). The inventory
+    * generations land in sibling dirs so the generation split runs on
+    * file provenance, the reference's own mechanism (05:39-45). */
+  private def entities(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    Seq(
+      "orders" -> Entities.orders(spark, dir),
+      "order_items" -> Entities.orderItems(spark, dir),
+      "products" -> Entities.products(spark, dir),
+      "customers" -> Entities.customers(spark, dir),
+      "feedback" -> Entities.feedback(spark, dir),
+      "marketing" -> Entities.marketing(spark, dir),
+      "inventory/gen_old" -> Entities.inventoryOld(spark, dir),
+      "inventory/inventoryNew" -> Entities.inventoryNew(spark, dir))
+
+  /** Stage the raw CSV zone for `dir` (idempotent, once per fixture
+    * dir per machine; guarded by a marker file + JVM lock). */
+  def stageRawZone(spark: SparkSession, dir: String): String = synchronized {
+    val root = s"$tmp/graft_raw_zone/${dirTag(dir)}"
+    val marker = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(marker)) {
+      entities(spark, dir).foreach { case (name, df) =>
+        df.write.mode("overwrite")
+          .option("header", "true")
+          .option("timestampFormat", TsFmt)
+          .csv(s"$root/$name")
+      }
+      java.nio.file.Files.createFile(marker)
+    }
+    root
+  }
+
+  private def readEntity(spark: SparkSession, dir: String, raw: String,
+      name: String): DataFrame = {
+    val schema = entities(spark, dir).toMap.apply(name).schema
+    spark.read.option("header", "true").option("timestampFormat", TsFmt)
+      .schema(schema).csv(s"$raw/$name")
+  }
+
+  /** Zone/query summary digests — every one an exact integer so the
+    * composition is hash-checkable end to end. */
+  private val zoneDigests: Seq[(String, String)] = Seq(
+    "processed_sales_transactions" ->
+      "sum(CAST(round(line_total * 100) AS BIGINT))",
+    "curated_revenue_by_category" ->
+      "sum(CAST(round(total_revenue * 100) AS BIGINT))",
+    "curated_campaign_performance_summary" ->
+      "sum(CAST(round(total_spend * 100) AS BIGINT))",
+    "curated_delivery_partner_performance" -> "sum(delayed_deliveries)",
+    "curated_area_feedback_metrics" -> "sum(total_feedback)",
+    "curated_category_inventory_impact" ->
+      "sum(CAST(round(total_impact * 100) AS BIGINT))",
+    "curated_product_inventory_discrepancies" ->
+      "sum(discrepancy_occurrences)")
+
+  private val queryDigests: Seq[(String, String)] = Seq(
+    "q_campaign_roi" -> "sum(total_conversions)",
+    "q_customer_metrics" -> "sum(total_orders)",
+    "q_customer_satisfaction" -> "sum(positive_count)",
+    "q_delivery_partner" -> "sum(delayed_deliveries)",
+    "q_inventory_and_revenue" -> "sum(affected_products)",
+    "q_inventory_discrepancies" -> "sum(discrepancy_occurrences)")
+
+  /** Catalog names carry an e2e_ prefix so the crawled tables can
+    * never collide with the q_* queries' temp views (Verify runs the
+    * corpus concurrently over one session). */
+  private def e2eSql(sql: String): String =
+    sql.replaceAll("\\bcurated_", "e2e_curated_")
+
+  private def summarize(zone: String, df: DataFrame, digest: String): DataFrame =
+    df.agg(expr("CAST(count(*) AS BIGINT)").as("n_rows"),
+        expr(s"CAST($digest AS BIGINT)").as("digest"))
+      .selectExpr(s"'$zone' AS zone", "n_rows", "digest")
+
+  def pipelineEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val raw = stageRawZone(spark, dir)
+    val out = s"$tmp/graft_e2e_zones/${dirTag(dir)}"
+    def zonePath(z: String): String = s"$out/$z"
+
+    // Raw reads with declared schemas (S1) — the five jobs below
+    // consume ONLY these CSV relations, exactly like the Glue jobs.
+    val orders = readEntity(spark, dir, raw, "orders")
+    val items = readEntity(spark, dir, raw, "order_items")
+    val products = readEntity(spark, dir, raw, "products")
+    val customers = readEntity(spark, dir, raw, "customers")
+    val feedback = readEntity(spark, dir, raw, "feedback")
+    val marketing = readEntity(spark, dir, raw, "marketing")
+    // Generation split on file provenance (P6, 05:39-45).
+    val invSchema = Entities.inventoryOld(spark, dir).schema
+    val invAll = Readers.csvWithProvenance(spark, invSchema, s"$raw/inventory/*/*.csv")
+    val invOld = invAll.filter(!col("source_file").contains("inventoryNew"))
+      .drop("source_file")
+    val invNew = invAll.filter(col("source_file").contains("inventoryNew"))
+      .drop("source_file")
+
+    // A full daily batch routes to ALL five jobs (lambda:45-53 default
+    // branch); each runs under its own 600 s budget, failures recorded
+    // and skipped, and the crawl still runs (lambda:55-97 semantics).
+    val (results, crawl) =
+      Orchestrator.runAndCrawlRecorded("incoming/daily_batch_2024_08.csv") {
+        case Orchestrator.SalesRevenue =>
+          val sales = SalesRevenue.run(orders, items, products)
+          Writers.processed(sales,
+            zonePath("processed_sales_transactions"), Seq("year", "month"))
+          Writers.curated(Aggregations.revenueByCategory(sales),
+            zonePath("curated_revenue_by_category"))
+        case Orchestrator.DeliveryPerformance =>
+          Writers.curated(
+            Aggregations.deliveryPartnerPerformance(
+              DeliveryPerformance.run(orders)),
+            zonePath("curated_delivery_partner_performance"))
+        case Orchestrator.CustomerFeedback =>
+          Writers.curated(
+            CustomerFeedback.areaMetrics(CustomerFeedback.enrich(
+              feedback, customers, orders, CustomerFeedback.ratingIcons(spark))),
+            zonePath("curated_area_feedback_metrics"))
+        case Orchestrator.MarketingRoi =>
+          Writers.curated(
+            Aggregations.campaignPerformanceSummary(MarketingRoi.run(marketing)),
+            zonePath("curated_campaign_performance_summary"))
+        case Orchestrator.InventoryReconciliation =>
+          val recon = InventoryReconciliation.run(invOld, invNew, products)
+          Writers.curated(Aggregations.categoryInventoryImpact(recon),
+            zonePath("curated_category_inventory_impact"))
+          Writers.curated(Aggregations.productInventoryDiscrepancies(recon),
+            zonePath("curated_product_inventory_discrepancies"))
+      } { _ =>
+        // Crawler step: register every curated zone + the partitioned
+        // processed zone in the catalog, e2e_-prefixed (see e2eSql).
+        zoneDigests.map(_._1).foreach { z =>
+          if (z.startsWith("processed_"))
+            Catalog.registerExternal(spark, s"e2e_$z", zonePath(z))
+          else
+            Catalog.registerExternalUnpartitioned(spark, s"e2e_$z", zonePath(z))
+        }
+      }
+    val failed = results.filterNot(_.succeeded)
+    if (failed.nonEmpty || !crawl.contains("succeeded"))
+      throw new IllegalStateException(
+        s"end-to-end run degraded: jobs=$results crawl=$crawl")
+
+    // Athena tier over the crawled tables, then one summary row per
+    // zone and per query.
+    val zoneRows = zoneDigests.map { case (z, digest) =>
+      summarize(z, spark.table(s"e2e_$z"), digest) }
+    val queryRows = queryDigests.map { case (q, digest) =>
+      summarize(q, spark.sql(e2eSql(AthenaQueries.all(q))), digest) }
+    (zoneRows ++ queryRows).reduce(_ unionByName _).orderBy("zone")
+  }
+
+  /** Oracle: identical summaries from the shared CTE registry (the
+    * DuckDB-side derivation of the same entities → pipelines →
+    * curated aggregates → Athena queries). */
+  val pipelineEndToEndOracle: String = {
+    val zoneSrc = Map(
+      "processed_sales_transactions" -> "SELECT * FROM sales_tx",
+      "curated_revenue_by_category" -> "SELECT * FROM curated_revenue_by_category",
+      "curated_campaign_performance_summary" ->
+        "SELECT * FROM curated_campaign_performance_summary",
+      "curated_delivery_partner_performance" ->
+        "SELECT * FROM curated_delivery_partner_performance",
+      "curated_area_feedback_metrics" ->
+        "SELECT * FROM curated_area_feedback_metrics",
+      "curated_category_inventory_impact" ->
+        "SELECT * FROM curated_category_inventory_impact",
+      "curated_product_inventory_discrepancies" ->
+        "SELECT * FROM curated_product_inventory_discrepancies")
+    val rows =
+      zoneDigests.map { case (z, digest) =>
+        s"""SELECT '$z' AS zone, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST($digest AS BIGINT) AS digest FROM (${zoneSrc(z)})""" } ++
+      queryDigests.map { case (q, digest) =>
+        s"""SELECT '$q' AS zone, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST($digest AS BIGINT) AS digest
+            FROM (${AthenaQueries.all(q)})""" }
+    OracleSql.withCtes(rows.mkString(" UNION ALL ") + " ORDER BY zone")
+  }
+}

@@ -52,6 +52,21 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("approx profile plan avoids the Expand the exact profile pays") {
+    // Exact multi-count(DISTINCT) duplicates the scan stream per
+    // distinct column (Expand ×11); the HLL profile is one plain
+    // partial agg — the documented 100 TB swap, now a plan contract.
+    val approx = graft.ops.Profile.tableProfileApprox(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!approx.contains("Expand"), "approx profile should not Expand")
+    assert(plan("table_profile").contains("Expand"))
+    // And the audited form stays within its published 4-sigma band at
+    // fixture scale (flags all 1).
+    val audit = graft.ops.Profile.tableProfileApproxAudit(spark, sfTiny)
+    assert(audit.filter(
+      "distinct_within_bound = 0 OR exact_columns_match = 0").count() === 0)
+  }
+
   test("filters are pushed into the lineitem scan and schema is pruned") {
     val p = plan("sales_transactions")
     assert(p.contains("PushedFilters: ["))
