@@ -218,6 +218,7 @@ object SparkEntry {
     "multimodal_wav_stats" -> ((s, d) => Multimodal.wavStats(s, d)),
     "multimodal_wav_clipping" -> ((s, d) => Multimodal.wavClipping(s, d)),
     "multimodal_video_stats" -> ((s, d) => Multimodal.videoStats(s, d)),
+    "multimodal_jpeg_stats" -> ((s, d) => Multimodal.jpegStats(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "table_profile_approx_audit" ->
       ((s, d) => graft.ops.Profile.tableProfileApproxAudit(s, d)),
@@ -586,6 +587,7 @@ object SparkEntry {
     "multimodal_motion_energy" -> Multimodal.motionEnergyOracle,
     "multimodal_wav_stats" -> Multimodal.wavStatsOracle,
     "multimodal_wav_clipping" -> Multimodal.wavClippingOracle,
+    "multimodal_jpeg_stats" -> Multimodal.jpegStatsOracle,
     "multimodal_video_stats" -> Multimodal.videoStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
     "events_hourly_anomaly" -> EventsStream.hourlyAnomalyOracle,

@@ -775,4 +775,81 @@ object Multimodal {
          sum(s) / CAST(count(*) AS DOUBLE) AS mean_s
        FROM sm GROUP BY doc_id, w, h, n_frames, plane
        ORDER BY doc_id, plane"""
+
+  // ---- JPEG tier: first perceptually-coded format ----
+
+  private[graft] def jpegDims(docId: Long): (Int, Int) =
+    ((docId % 21 + 10).toInt, (docId % 13 + 9).toInt)
+
+  private[graft] def jpegBlockValue(docId: Long)(bx: Int, by: Int): Int =
+    ((docId * 31 + bx * 17 + by * 29) % 256).toInt
+
+  case class JpegStats(doc_id: Long, width: Long, height: Long,
+      n_pixels: Long, px_sum: Long, px_min: Long, px_max: Long)
+
+  /** Grayscale pixel statistics from REAL baseline-JPEG decode: each
+    * image doc is encoded to a spec-valid JFIF file in the executors
+    * ([[JpegCodec.encodeGrayConstantBlocks]] — standard Annex K
+    * Huffman tables, DC quantizer 4, real DC prediction and byte
+    * stuffing) and decoded back by the general baseline decoder
+    * ([[JpegCodec.decode]] — marker walk, DHT table build, entropy
+    * decode with 0xFF00 unstuffing, dequantization, floating IDCT,
+    * MCU-padding crop). The fixture's constant-per-block rasters make
+    * the lossy pipeline bit-exact (object doc on [[JpegCodec]]), so
+    * the oracle recomputes every statistic arithmetically and a hash
+    * match proves the whole markers→Huffman→dequant→IDCT path. Odd
+    * dimensions (10..30 × 9..21) keep partial edge blocks in every
+    * image, so the crop path is always exercised. A decode failure
+    * throws: these are our own builder's bytes. */
+  def jpegStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 1").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h) = jpegDims(id)
+          val jpg = JpegCodec.encodeGrayConstantBlocks(w, h, jpegBlockValue(id))
+          val img = JpegCodec.decode(jpg).getOrElse(
+            sys.error(s"jpeg decode failed for doc $id"))
+          if (img.width != w || img.height != h || img.components != 1)
+            sys.error(s"jpeg dims mismatch for doc $id: " +
+              s"${img.width}x${img.height}x${img.components}")
+          var s = 0L; var mn = 255L; var mx = 0L
+          var j = 0
+          while (j < img.bytes.length) {
+            val v = img.bytes(j) & 0xff
+            s += v; if (v < mn) mn = v; if (v > mx) mx = v
+            j += 1
+          }
+          JpegStats(id, w.toLong, h.toLong, img.bytes.length.toLong, s, mn, mx)
+        }
+      }
+    stats.toDF()
+      .withColumn("mean_val", col("px_sum") / col("n_pixels").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** Block-grid oracle: every pixel's value is its 8x8 block's
+    * constant, so per-image stats aggregate over blocks weighted by
+    * the cropped block footprint least(8, w−8bx)·least(8, h−8by) —
+    * the same max-grid-plus-filter technique as [[pixelStatsOracle]]
+    * (w ≤ 30, h ≤ 21 ⇒ at most 4×3 blocks). */
+  val jpegStatsOracle: String =
+    """WITH imgs AS (SELECT doc_id,
+           CAST(doc_id % 21 + 10 AS BIGINT) AS w,
+           CAST(doc_id % 13 + 9 AS BIGINT) AS h
+         FROM documents WHERE doc_id % 3 = 1),
+       blk AS (SELECT i.doc_id, i.w, i.h,
+           least(8, i.w - 8 * t1.bx) AS bw,
+           least(8, i.h - 8 * t2.byy) AS bh,
+           (i.doc_id * 31 + t1.bx * 17 + t2.byy * 29) % 256 AS c
+         FROM imgs i, range(0, 4) t1(bx), range(0, 4) t2(byy)
+         WHERE 8 * t1.bx < i.w AND 8 * t2.byy < i.h)
+       SELECT doc_id, w AS width, h AS height,
+         CAST(sum(bw * bh) AS BIGINT) AS n_pixels,
+         CAST(sum(bw * bh * c) AS BIGINT) AS px_sum,
+         CAST(min(c) AS BIGINT) AS px_min,
+         CAST(max(c) AS BIGINT) AS px_max,
+         sum(bw * bh * c) / CAST(sum(bw * bh) AS DOUBLE) AS mean_val
+       FROM blk GROUP BY doc_id, w, h ORDER BY doc_id"""
 }
