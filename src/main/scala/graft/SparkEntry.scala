@@ -196,6 +196,8 @@ object SparkEntry {
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "ann_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "ann_graph_topk" -> ((s, d) => Similarity.graphSearchTopK(s, d)),
+    "ann_graph_recall" -> ((s, d) => Similarity.graphSearchRecall(s, d)),
     "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
     "embedding_label_outliers" -> ((s, d) => Similarity.labelOutliers(s, d)),
@@ -405,6 +407,10 @@ object SparkEntry {
       // the reference stages its processed zone between jobs
       graft.llm.PrefixJoin.verifiedPairs(spark, dir).count(): Unit
       TextAnalysis.tfidfSims(spark, dir).count(): Unit
+      // raw CSV zone for pipeline_end_to_end: the upstream producer's
+      // side of the S3 drop — staged once so the e2e timing measures
+      // the drop-to-dashboard path, not fixture generation
+      graft.orchestrate.EndToEnd.stageRawZone(spark, dir): Unit
     }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -498,6 +504,8 @@ object SparkEntry {
     "ann_pq_recall" -> Similarity.pqRecallOracle,
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle,
     "ann_knn_graph" -> Similarity.knnGraphOracle,
+    "ann_graph_topk" -> Similarity.graphSearchTopKOracle,
+    "ann_graph_recall" -> Similarity.graphSearchRecallOracle,
     "ann_incremental_assign" -> Similarity.incrementalAssignOracle,
     "dedup_semantic_clusters" -> Similarity.semanticClustersOracle,
     "embedding_label_outliers" -> Similarity.labelOutliersOracle,

@@ -1043,5 +1043,207 @@ object Similarity {
           CAST(coalesce(a.sum_ccos_nano, 0) AS BIGINT) AS sum_ccos_nano
         FROM old_t o FULL OUTER JOIN add_t a ON o.cell = a.cell
         ORDER BY cell"""
+
+  // ---- graph-based ANN search (HNSW/NSG family, relational form) ----
+
+  private val beamB = 16
+  private val searchHops = 5
+  private val searchDegree = 8
+
+  /** Search graph: two complementary bounded-occupancy views, unioned.
+    *
+    * (a) in-IVF-cell kNN at degree [[searchDegree]] — navigable-graph
+    * search needs more out-edges than the k=3 analysis graph (HNSW's M
+    * is 8–48; a degree-3 graph in 64 dims strands the walk in local
+    * optima, measured ~10% recall at the fixture). (b) in-LSH-bucket
+    * kNN at the same degree — the cross-cutting family: LSH buckets
+    * partition the space DIFFERENTLY from IVF cells, so a vector's
+    * true neighbor in another cell is often an in-bucket edge away,
+    * which is what lets the walk cross cell boundaries (the
+    * small-world long-link role of HNSW's upper layers). Both views
+    * are equi-join candidate generation with bounded occupancy (cells
+    * ~centroidMod; buckets n/2^nPlanes — at real scale nPlanes grows
+    * ~log n to hold occupancy, exactly like nlist). Kept separate from
+    * [[knnEdges]] so the `ann_knn_graph` oracle surface is untouched. */
+  private def searchEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "ann_search_edges", dir) {
+      val a = ivfAssigned(spark, dir)
+        .selectExpr("vec_id", "v", "nrm", "cell",
+          s"CAST(${lshBucket("v", nPlanes, SparkD)} AS INTEGER) AS bucket")
+      def view(key: String): DataFrame = {
+        val b = a.selectExpr(
+          "vec_id AS nbr_id", "v AS nv", "nrm AS nnrm", key)
+        val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("nbr_id"))
+        a.join(b, Seq(key))
+          .filter(col("vec_id") =!= col("nbr_id"))
+          .selectExpr("vec_id", "nbr_id",
+            s"${cosineWithNorms("v", "nv", "nrm", "nnrm", SparkD)} AS cosine")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= searchDegree)
+          .select("vec_id", "nbr_id")
+      }
+      view("cell").union(view("bucket")).distinct()
+    }
+
+  /** Best-first beam search over the corpus search graph — the
+    * navigable-graph ANN idea (Malkov & Yashunin's HNSW, DiskANN's
+    * Vamana) expressed as bounded relational rounds instead of
+    * pointer chasing: entry points are the coarse-quantizer sample
+    * (one per IVF cell, so every cell component of the in-cell graph
+    * is reachable); each hop joins the per-query beam (≤ beamB
+    * rows per query — a TINY relation, broadcast by the planner)
+    * against the edge list, scores the expanded candidates once,
+    * folds them into the visited pool with a max-dedup agg, and
+    * re-beams. Per-hop cost is one equi-join of a Q·beamB relation
+    * against the degree·n edge relation — the shape that scales to
+    * any corpus; the driver never sees a row. Hops are fixed
+    * ([[graft.sql.Graph]]'s fixed-round contract: both engines run
+    * the same rounds, so results agree by construction). */
+  private def graphVisited(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm")
+    val knn = searchEdges(spark, dir)
+    def score(cand: DataFrame): DataFrame =
+      cand.join(all.select("vec_id", "v", "nrm"), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .selectExpr("query_id", "vec_id",
+          s"${cosineWithNorms("qv", "v", "qnrm", "nrm", SparkD)} AS cosine")
+    val entries = all.filter(centroidPred(spark)).select("vec_id")
+    var visited = score(
+      q.select("query_id").crossJoin(broadcast(entries))
+        .filter(col("vec_id") =!= col("query_id")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    for (_ <- 1 to searchHops) {
+      val frontier = visited.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= beamB).select("query_id", "vec_id")
+      val expanded = frontier.join(knn, Seq("vec_id"))
+        .select(col("query_id"), col("nbr_id").as("vec_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .distinct()
+      visited = visited.union(score(expanded))
+        .groupBy("query_id", "vec_id").agg(max("cosine").as("cosine"))
+    }
+    visited
+  }
+
+  /** Graph-search top-k readout (rank, cosine per query). */
+  def graphSearchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    graphVisited(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** CTE chain ending in `gvis$searchHops(query_id, vec_id, cosine)` —
+    * the search unrolled round by round; requires ivfCte + knnCtes
+    * upstream. */
+  private def graphCtes: String = {
+    val base =
+      s"""gab AS MATERIALIZED (SELECT vec_id, v, nrm, cell,
+            CAST(${lshBucket("v", nPlanes, DuckD)} AS INTEGER) AS bucket
+          FROM assigned),
+          gsknn_cell AS (SELECT vec_id, nbr_id FROM (
+            SELECT a.vec_id, b.vec_id AS nbr_id,
+              row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                ${cosineWithNorms("a.v", "b.v", "a.nrm", "b.nrm", DuckD)} DESC,
+                b.vec_id) AS rank
+            FROM gab a JOIN gab b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+            WHERE rank <= $searchDegree),
+          gsknn_bucket AS (SELECT vec_id, nbr_id FROM (
+            SELECT a.vec_id, b.vec_id AS nbr_id,
+              row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                ${cosineWithNorms("a.v", "b.v", "a.nrm", "b.nrm", DuckD)} DESC,
+                b.vec_id) AS rank
+            FROM gab a JOIN gab b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+            WHERE rank <= $searchDegree),
+          gsknn AS MATERIALIZED (
+            SELECT DISTINCT vec_id, nbr_id FROM (
+              SELECT * FROM gsknn_cell UNION ALL SELECT * FROM gsknn_bucket)),
+          gq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+            WHERE vec_id < $nQueries),
+          gvis0 AS MATERIALIZED (SELECT gq.query_id, en.vec_id,
+              ${cosineWithNorms("gq.qv", "ev.v", "gq.qnrm", "ev.nrm", DuckD)} AS cosine
+            FROM gq JOIN e en ON $centroidPredGrafted
+              AND en.vec_id <> gq.query_id
+            JOIN e ev ON ev.vec_id = en.vec_id)"""
+    val rounds = (1 to searchHops).map { r =>
+      val prev = s"gvis${r - 1}"
+      s"""gf$r AS MATERIALIZED (SELECT query_id, vec_id FROM (SELECT *,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rk FROM $prev)
+            WHERE rk <= $beamB),
+          gx$r AS (SELECT DISTINCT f.query_id, k.nbr_id AS vec_id
+            FROM gf$r f JOIN gsknn k ON k.vec_id = f.vec_id
+            WHERE k.nbr_id <> f.query_id),
+          gs$r AS (SELECT x.query_id, x.vec_id,
+              ${cosineWithNorms("gq.qv", "ev.v", "gq.qnrm", "ev.nrm", DuckD)} AS cosine
+            FROM gx$r x JOIN gq ON gq.query_id = x.query_id
+            JOIN e ev ON ev.vec_id = x.vec_id),
+          gvis$r AS MATERIALIZED (SELECT query_id, vec_id, max(cosine) AS cosine
+            FROM (SELECT * FROM $prev UNION ALL SELECT * FROM gs$r)
+            GROUP BY query_id, vec_id)"""
+    }
+    (base +: rounds).mkString(",\n        ")
+  }
+
+  /** centroid predicate over alias `en` (SQL injection point for
+    * [[graphCtes]]'s entry set — same bound as [[centroidPredSql]]). */
+  private def centroidPredGrafted: String =
+    s"en.vec_id % $centroidMod = 0 AND en.vec_id < ${centroidMod.toLong * defaultMaxNlist}"
+
+  val graphSearchTopKOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        $graphCtes
+        SELECT query_id, vec_id, rank, cosine FROM (SELECT *,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rank
+          FROM gvis$searchHops)
+        WHERE rank <= $topK ORDER BY query_id, rank"""
+
+  /** Recall of the graph search against the brute-force truth — the
+    * audit row that keeps the navigable-graph tier honest (the same
+    * pattern as [[annRecall]]; `AnnSpec` pins a recall floor). */
+  def graphSearchRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = cosineTopK(spark, dir).select("query_id", "vec_id")
+    truth.join(
+        graphSearchTopK(spark, dir).select("query_id", "vec_id")
+          .withColumn("__hit", lit(1)),
+        Seq("query_id", "vec_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(coalesce(col("__hit"), lit(0))), lit(0L))
+          .cast("long").as("n_hit"))
+      .selectExpr("query_id", "CAST(n_true AS BIGINT) AS n_true", "n_hit",
+        "CASE WHEN n_true > 0 THEN n_hit / CAST(n_true AS DOUBLE) " +
+          "ELSE CAST(0 AS DOUBLE) END AS recall_at_k")
+      .orderBy("query_id")
+  }
+
+  val graphSearchRecallOracle: String =
+    s"""WITH ${ivfCte(DuckD)},
+        $graphCtes,
+        g_top AS (SELECT query_id, vec_id FROM (SELECT *,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rank
+          FROM gvis$searchHops) WHERE rank <= $topK),
+        t_scored AS (SELECT gq.query_id, e.vec_id,
+            ${cosineWithNorms("gq.qv", "e.v", "gq.qnrm", "e.nrm", DuckD)} AS cosine
+          FROM e JOIN gq ON e.vec_id <> gq.query_id),
+        t_top AS (SELECT query_id, vec_id FROM (SELECT *,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rank
+          FROM t_scored) WHERE rank <= $topK)
+        SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+          CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            / CAST(count(*) AS DOUBLE) AS recall_at_k
+        FROM t_top t LEFT JOIN g_top g
+          ON t.query_id = g.query_id AND t.vec_id = g.vec_id
+        GROUP BY t.query_id ORDER BY t.query_id"""
 }
 
