@@ -197,6 +197,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "ann_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "ann_graph_topk" -> ((s, d) => Similarity.graphSearchTopK(s, d)),
+    "corpus_semantic_prune" -> ((s, d) => Similarity.semanticPrune(s, d)),
     "ann_graph_recall" -> ((s, d) => Similarity.graphSearchRecall(s, d)),
     "ann_incremental_assign" -> ((s, d) => Similarity.incrementalAssign(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
@@ -505,6 +506,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle,
     "ann_knn_graph" -> Similarity.knnGraphOracle,
     "ann_graph_topk" -> Similarity.graphSearchTopKOracle,
+    "corpus_semantic_prune" -> Similarity.semanticPruneOracle,
     "ann_graph_recall" -> Similarity.graphSearchRecallOracle,
     "ann_incremental_assign" -> Similarity.incrementalAssignOracle,
     "dedup_semantic_clusters" -> Similarity.semanticClustersOracle,

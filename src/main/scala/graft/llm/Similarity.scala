@@ -905,10 +905,12 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val semanticClustersOracle: String =
-    s"""WITH RECURSIVE ${ivfCte(DuckD)},
-        $knnCtes,
-        mutual AS (SELECT x.vec_id AS doc_a, x.nbr_id AS doc_b
+  /** Shared CTE chain ending in `slbl(vec_id, cluster_id)` — the
+    * transitive closure of the mutual-kNN graph (needs WITH RECURSIVE
+    * and ivfCte + knnCtes upstream); reused by the semantic-prune
+    * ledger oracle. */
+  private[graft] def semanticLabelCtes: String =
+    s"""mutual AS (SELECT x.vec_id AS doc_a, x.nbr_id AS doc_b
           FROM knn x JOIN knn y
             ON x.vec_id = y.nbr_id AND x.nbr_id = y.vec_id
           WHERE x.vec_id < x.nbr_id AND x.cosine >= $semanticTau),
@@ -919,12 +921,73 @@ object Similarity {
           UNION
           SELECT r.src, e2.dst FROM sreach r JOIN sedges e2 ON r.dst = e2.src),
         slbl AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
-          FROM sreach GROUP BY src)
+          FROM sreach GROUP BY src)"""
+
+  val semanticClustersOracle: String =
+    s"""WITH RECURSIVE ${ivfCte(DuckD)},
+        $knnCtes,
+        $semanticLabelCtes
         SELECT e.vec_id, e.label,
           coalesce(l.cluster_id, e.vec_id) AS cluster_id,
           CAST(l.cluster_id IS NOT NULL AS INTEGER) AS is_clustered
         FROM e LEFT JOIN slbl l ON e.vec_id = l.vec_id
         ORDER BY e.vec_id"""
+
+  /** SemDeDup-style semantic pruning ledger (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): within each mutual-kNN semantic cluster keep ONE
+    * canonical document (longest text, doc_id tie-break — the length
+    * proxy every curation pass starts from) and account the rest as
+    * pruned, per source. The keeper pick is a map-side-combined
+    * struct-min aggregate, NOT a window: a viral boilerplate cluster
+    * would make a window partition hot, while min() partials collapse
+    * it per partition before the shuffle (the same skew discipline as
+    * [[graft.llm.Dedup.propagateLabels]]). Output: per-source doc and
+    * char counts, kept/pruned splits, and the prune rate. */
+  def semanticPrune(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = semanticClusters(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+    val j = clusters.join(docs, Seq("doc_id"))
+    val keepers = j.groupBy("cluster_id")
+      .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("doc_id")))
+        .as("k"))
+      .select(col("k.doc_id").as("doc_id"), lit(1).as("is_keeper"))
+    j.join(keepers, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("is_keeper"), lit(0L)).cast("long").as("n_kept"),
+        sum("n_chars").cast("long").as("chars_total"),
+        sum(when(col("is_keeper").isNull, col("n_chars")).otherwise(0L))
+          .cast("long").as("chars_pruned"))
+      .selectExpr("source", "n_docs", "n_kept",
+        "n_docs - n_kept AS n_pruned", "chars_total", "chars_pruned",
+        "(n_docs - n_kept) / CAST(n_docs AS DOUBLE) AS prune_rate")
+      .orderBy("source")
+  }
+
+  val semanticPruneOracle: String =
+    s"""WITH RECURSIVE ${ivfCte(DuckD)},
+        $knnCtes,
+        $semanticLabelCtes,
+        pj AS MATERIALIZED (SELECT e.vec_id AS doc_id,
+            coalesce(l.cluster_id, e.vec_id) AS cluster_id
+          FROM e LEFT JOIN slbl l ON e.vec_id = l.vec_id),
+        pd AS MATERIALIZED (SELECT pj.doc_id, pj.cluster_id, d.source, d.n_chars
+          FROM pj JOIN documents d ON d.doc_id = pj.doc_id),
+        pk AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (
+            PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+          FROM pd) WHERE rk = 1),
+        pg AS (SELECT pd.source, count(*) AS n_docs,
+            CAST(sum(CASE WHEN pk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            CAST(sum(pd.n_chars) AS BIGINT) AS chars_total,
+            CAST(sum(CASE WHEN pk.doc_id IS NULL THEN pd.n_chars ELSE 0 END) AS BIGINT) AS chars_pruned
+          FROM pd LEFT JOIN pk ON pd.doc_id = pk.doc_id
+          GROUP BY pd.source)
+        SELECT source, n_docs, n_kept, n_docs - n_kept AS n_pruned,
+          chars_total, chars_pruned,
+          (n_docs - n_kept) / CAST(n_docs AS DOUBLE) AS prune_rate
+        FROM pg ORDER BY source"""
 
   // ---- embedding-space outliers ----
 
