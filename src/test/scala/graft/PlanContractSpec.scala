@@ -67,6 +67,34 @@ class PlanContractSpec extends SparkSpec {
       "distinct_within_bound = 0 OR exact_columns_match = 0").count() === 0)
   }
 
+  test("min/max/count aggregates push into the parquet footer under DSv2") {
+    // The 100 TB freebie: MIN/MAX/COUNT over parquet can be answered
+    // from row-group statistics without touching a data page. Spark
+    // gates this behind the v2 reader + an explicit conf; this contract
+    // pins that the engine's scans stay eligible (no hidden projection
+    // or filter that would force a full read) — a regression here turns
+    // metadata-time audits into full-corpus scans. Integer keys only:
+    // ONE non-pushable aggregate (e.g. min over the NTZ timestamp
+    // column) disables pushdown for the whole scan, which is itself
+    // worth knowing when writing a 100 TB audit.
+    val confs = Seq(
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = spark.read.parquet(s"$sfTiny/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.min("l_orderkey"),
+          org.apache.spark.sql.functions.max("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate not pushed into the scan:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("filters are pushed into the lineitem scan and schema is pruned") {
     val p = plan("sales_transactions")
     assert(p.contains("PushedFilters: ["))
