@@ -1166,16 +1166,25 @@ object Similarity {
     val all = vecs(spark, dir)
     val q = all.filter(col("vec_id") < nQueries)
       .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm")
-    val knn = searchEdges(spark, dir)
+    // Lineage discipline (the propagateLabels lesson): `visited` is
+    // referenced twice per hop (beam + union) and the edge relation
+    // once per hop — without cuts the unrolled plan re-derives the
+    // whole upstream per reference, geometrically (audited: a 5400-node
+    // physical plan at 5 hops). Cutting the edge list once and the
+    // visited pool per hop keeps every hop one-join shallow, and the
+    // materialized sizes give the planner REAL stats, so the tiny beam
+    // side broadcasts. Honors spark.graft.checkpointDir like every
+    // other iterative operator.
+    val knn = graft.ops.Checkpoints.cut(searchEdges(spark, dir))
     def score(cand: DataFrame): DataFrame =
       cand.join(all.select("vec_id", "v", "nrm"), Seq("vec_id"))
         .join(broadcast(q), Seq("query_id"))
         .selectExpr("query_id", "vec_id",
           s"${cosineWithNorms("qv", "v", "qnrm", "nrm", SparkD)} AS cosine")
     val entries = all.filter(centroidPred(spark)).select("vec_id")
-    var visited = score(
+    var visited = graft.ops.Checkpoints.cut(score(
       q.select("query_id").crossJoin(broadcast(entries))
-        .filter(col("vec_id") =!= col("query_id")))
+        .filter(col("vec_id") =!= col("query_id"))))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     for (_ <- 1 to searchHops) {
       val frontier = visited.withColumn("__rk", row_number().over(w))
@@ -1184,8 +1193,9 @@ object Similarity {
         .select(col("query_id"), col("nbr_id").as("vec_id"))
         .filter(col("vec_id") =!= col("query_id"))
         .distinct()
-      visited = visited.union(score(expanded))
-        .groupBy("query_id", "vec_id").agg(max("cosine").as("cosine"))
+      visited = graft.ops.Checkpoints.cut(
+        visited.union(score(expanded))
+          .groupBy("query_id", "vec_id").agg(max("cosine").as("cosine")))
     }
     visited
   }
