@@ -222,6 +222,8 @@ object SparkEntry {
     "multimodal_wav_clipping" -> ((s, d) => Multimodal.wavClipping(s, d)),
     "multimodal_video_stats" -> ((s, d) => Multimodal.videoStats(s, d)),
     "multimodal_jpeg_stats" -> ((s, d) => Multimodal.jpegStats(s, d)),
+    "multimodal_thumbnail" -> ((s, d) => Multimodal.pixelThumbnail(s, d)),
+    "multimodal_wav_zcr" -> ((s, d) => Multimodal.wavZcr(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "table_profile_approx_audit" ->
       ((s, d) => graft.ops.Profile.tableProfileApproxAudit(s, d)),
@@ -598,6 +600,8 @@ object SparkEntry {
     "multimodal_wav_stats" -> Multimodal.wavStatsOracle,
     "multimodal_wav_clipping" -> Multimodal.wavClippingOracle,
     "multimodal_jpeg_stats" -> Multimodal.jpegStatsOracle,
+    "multimodal_thumbnail" -> Multimodal.pixelThumbnailOracle,
+    "multimodal_wav_zcr" -> Multimodal.wavZcrOracle,
     "multimodal_video_stats" -> Multimodal.videoStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
     "events_hourly_anomaly" -> EventsStream.hourlyAnomalyOracle,

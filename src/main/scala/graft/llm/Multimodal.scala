@@ -852,4 +852,152 @@ object Multimodal {
          CAST(max(c) AS BIGINT) AS px_max,
          sum(bw * bh * c) / CAST(sum(bw * bh) AS DOUBLE) AS mean_val
        FROM blk GROUP BY doc_id, w, h ORDER BY doc_id"""
+
+  // ---- image resize (box-filter thumbnail) ----
+
+  case class ThumbCell(doc_id: Long, tx: Int, ty: Int, n_px: Long,
+      px_sum: Long)
+
+  private val thumbDim = 4
+
+  /** Fixed-grid box-filter downsample on REAL decoded PNG pixels — the
+    * resize step of an image-curation pipeline (thumbnails feed
+    * perceptual hashing, manual QA grids, and cheap vision-model
+    * pre-filters). Every source pixel lands in exactly one target cell
+    * by the integer box partition tx = x·4 div w (exact and total for
+    * any source size, no float resampling kernel to disagree about);
+    * cell means are exact integer sums over the decoded channel-0
+    * bytes. Images smaller than 4×4 legitimately produce fewer cells
+    * (only non-empty cells emit — the sparse form). Decode rides the
+    * same executor-side PNG path as [[pixelStats]]; the oracle
+    * recomputes every cell from the generative raster formula, so a
+    * hash-match proves decode + partition + accumulate. */
+  def pixelThumbnail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 0").as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val (w, h) = pixelDims(id)
+          val png = MediaCodec.makePngWithPixels(
+            w, h, pixelRaster(id, w, h), y => ((id + y) % 5).toInt)
+          val img = MediaCodec.decodePngPixels(png).getOrElse(
+            sys.error(s"pixel decode failed for doc $id"))
+          val sums = Array.ofDim[Long](thumbDim, thumbDim)
+          val counts = Array.ofDim[Long](thumbDim, thumbDim)
+          var y = 0
+          while (y < h) {
+            val ty = y * thumbDim / h
+            var x = 0
+            while (x < w) {
+              val tx = x * thumbDim / w
+              sums(ty)(tx) += img.bytes((y * w + x) * 4) & 0xff // channel 0
+              counts(ty)(tx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          for (ty <- 0 until thumbDim; tx <- 0 until thumbDim
+               if counts(ty)(tx) > 0)
+            yield ThumbCell(id, tx, ty, counts(ty)(tx), sums(ty)(tx))
+        }
+      }
+    cells.toDF()
+      .withColumn("mean_val", col("px_sum") / col("n_px").cast("double"))
+      .orderBy("doc_id", "ty", "tx")
+  }
+
+  /** Source-pixel grid + integer box partition, grouped per cell —
+    * channel-0 value at (x, y) is (base + y·31 + 28x) mod 256 from the
+    * raster formula (byte index x·4 + 0). */
+  val pixelThumbnailOracle: String =
+    s"""WITH imgs AS (SELECT doc_id,
+           CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+           CAST(doc_id % 17 + 1 AS BIGINT) AS h,
+           doc_id % 251 AS base
+         FROM documents WHERE doc_id % 3 = 0),
+       px AS (SELECT i.doc_id, i.w, i.h,
+           CAST(t1.x * $thumbDim // i.w AS INTEGER) AS tx,
+           CAST(t2.y * $thumbDim // i.h AS INTEGER) AS ty,
+           (i.base + t2.y * 31 + t1.x * 28) % 256 AS v
+         FROM imgs i, range(0, 31) t1(x), range(0, 17) t2(y)
+         WHERE t1.x < i.w AND t2.y < i.h)
+       SELECT doc_id, tx, ty,
+         CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(v) AS BIGINT) AS px_sum,
+         sum(v) / CAST(count(*) AS DOUBLE) AS mean_val
+       FROM px GROUP BY doc_id, tx, ty ORDER BY doc_id, ty, tx"""
+
+  // ---- audio zero-crossing rate ----
+
+  case class ZcrRow(doc_id: Long, channel: Int, n_frames: Long,
+      n_crossings: Long)
+
+  /** Per-channel zero-crossing count on REAL decoded PCM — the classic
+    * cheap audio feature (ZCR separates voiced/unvoiced speech and
+    * flags silence vs noise before any model runs). A crossing is a
+    * strict sign flip between consecutive frames of one channel, with
+    * sign(x) = x < 0 (zero counts as non-negative — fixed convention
+    * both engines implement identically). Rides the same executor-side
+    * WAV decode as [[wavStats]]; the oracle recomputes every
+    * consecutive pair from the generative signal formula. */
+  def wavZcr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 1").as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val frames = wavFrames(id); val ch = wavChannels(id)
+          val wav = MediaCodec.makeWavWithSamples(
+            ch, (8000 + (id % 5) * 8000).toInt, wavSignal(id, frames, ch))
+          val pcm = MediaCodec.decodeWavSamples(wav).getOrElse(
+            sys.error(s"wav decode failed for doc $id"))
+          (0 until pcm.channels).map { c =>
+            var crossings = 0L
+            var f = 1
+            while (f < frames) {
+              val prev = pcm.samples((f - 1) * pcm.channels + c) < 0
+              val cur = pcm.samples(f * pcm.channels + c) < 0
+              if (prev != cur) crossings += 1
+              f += 1
+            }
+            ZcrRow(id, c, frames.toLong, crossings)
+          }
+        }
+      }
+    rows.toDF()
+      .withColumn("zcr_rate",
+        when(col("n_frames") > 1,
+          col("n_crossings") / (col("n_frames") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id", "channel")
+  }
+
+  val wavZcrOracle: String =
+    """WITH auds AS (SELECT doc_id,
+           CAST(doc_id % 37 + 1 AS INTEGER) AS frames,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels
+         FROM documents WHERE doc_id % 3 = 1),
+       sm AS (SELECT a.doc_id, a.frames, a.channels,
+           CAST(f.f AS INTEGER) AS f, CAST(c.c AS INTEGER) AS channel,
+           ((a.doc_id % 251) + (f.f * a.channels + c.c) * 7919) % 65536 - 32768 AS s
+         FROM auds a, range(0, 37) f(f), range(0, 2) c(c)
+         WHERE f.f < a.frames AND c.c < a.channels),
+       pairs AS (SELECT cur.doc_id, cur.channel, cur.frames,
+           CASE WHEN (prev.s < 0) <> (cur.s < 0) THEN 1 ELSE 0 END AS x
+         FROM sm cur JOIN sm prev
+           ON prev.doc_id = cur.doc_id AND prev.channel = cur.channel
+           AND prev.f = cur.f - 1),
+       g AS (SELECT a.doc_id, c.c AS channel,
+           CAST(a.frames AS BIGINT) AS n_frames,
+           CAST(coalesce((SELECT sum(x) FROM pairs p
+             WHERE p.doc_id = a.doc_id AND p.channel = c.c), 0) AS BIGINT)
+             AS n_crossings
+         FROM auds a, range(0, 2) c(c) WHERE c.c < a.channels)
+       SELECT doc_id, CAST(channel AS INTEGER) AS channel, n_frames,
+         n_crossings,
+         CASE WHEN n_frames > 1
+           THEN n_crossings / CAST(n_frames - 1 AS DOUBLE) ELSE 0.0 END
+           AS zcr_rate
+       FROM g ORDER BY doc_id, channel"""
 }
