@@ -567,7 +567,7 @@ object Dedup {
         .join(jump, hopped("cluster_id") === jump("j_id"), "left")
         .select(hopped("doc_id"),
           coalesce(col("j_cluster"), hopped("cluster_id")).as("cluster_id"))
-        .transform(graft.ops.Checkpoints.cut)
+        .transform(graft.ops.Checkpoints.cutRound(_, rounds))
       val nextSum = checksum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -583,11 +583,15 @@ object Dedup {
           s"$maxRounds rounds — component diameter exceeds ~2^$maxRounds; " +
           "raise maxRounds rather than trusting a non-fixpoint labeling")
     }
-    // Each round's labels are already an eager localCheckpoint, so the
+    // Each round's labels are already an eager checkpoint, so the
     // final table IS a leaf relation — consumers (cluster listing,
     // corpus anti-joins) plan against it directly with no per-consumer
-    // re-optimization of the round tree.
-    labels
+    // re-optimization of the round tree. Under an interval > 1 the last
+    // round may be a LOCAL cut; pin the returned relation durably so
+    // callers always hold survivable state in durable mode.
+    if (graft.ops.Checkpoints.interval(labels.sparkSession) > 1)
+      graft.ops.Checkpoints.cut(labels)
+    else labels
   }
 
   /** Shared oracle CTE chain up to the transitive closure `reach` (the

@@ -411,7 +411,7 @@ object LanguageModel {
     var seq = base.transform(graft.ops.Checkpoints.cut)
     val wins = (1 to bpeRounds).map { r =>
       val (next, win) = bpeRound(seq)
-      seq = next.transform(graft.ops.Checkpoints.cut)
+      seq = next.transform(graft.ops.Checkpoints.cutRound(_, r))
       win.selectExpr(s"CAST($r AS INTEGER) AS merge_rank",
         "wl AS left_tok", "wr AS right_tok",
         "concat(wl, wr) AS merged", "CAST(n AS BIGINT) AS n")

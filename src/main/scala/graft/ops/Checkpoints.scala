@@ -55,4 +55,25 @@ object Checkpoints {
         df.localCheckpoint(true)
     }
   }
+
+  val IntervalKey = "spark.graft.checkpointInterval"
+
+  /** Round-indexed cut for iterative loops: durable every
+    * `spark.graft.checkpointInterval` rounds (default 1 = every
+    * round), executor-local in between. The standard
+    * checkpoint-interval trade — measured at sf0.1, every-round
+    * durable costs +50 % on PageRank's many tiny rounds, and a K-round
+    * interval bounds recomputation after an executor loss to at most
+    * K−1 local rounds re-derived from the last durable state. The
+    * FINAL round of any loop should still use [[cut]] so the result
+    * the caller holds is always durable in durable mode. No-op
+    * distinction when checkpointDir is unset (both paths are local). */
+  def cutRound(df: DataFrame, round: Int): DataFrame = {
+    val every = interval(df.sparkSession)
+    if (every <= 1 || round % every == 0) cut(df)
+    else df.localCheckpoint(true)
+  }
+
+  def interval(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption(IntervalKey).map(_.toInt).getOrElse(1)
 }

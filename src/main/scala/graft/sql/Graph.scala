@@ -80,7 +80,7 @@ object Graph {
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(nNodes))
       .selectExpr("node", s"${intDiv(R.toString, "n_nodes", SparkD)} AS r")
-    for (_ <- 1 to iterations) {
+    for (iter <- 1 to iterations) {
       val contrib = edges
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(broadcast(outdeg), Seq("src"))
@@ -94,7 +94,7 @@ object Graph {
         .crossJoin(broadcast(dangling)).crossJoin(broadcast(nNodes))
         .selectExpr("node",
           s"CAST(${nextRankExpr("coalesce(m, 0)", "dangling", "n_nodes", SparkD)} AS BIGINT) AS r")
-        .transform(graft.ops.Checkpoints.cut)
+        .transform(graft.ops.Checkpoints.cutRound(_, iter))
     }
     ranks.join(t(spark, dir, "nation"), col("node") === col("n_nationkey"))
       .selectExpr("n_name AS nation", "r AS rank_pico",
@@ -168,14 +168,14 @@ object Graph {
     val e = edges.toDF("src", "dst").transform(graft.ops.Checkpoints.cut)
     var nodes = e.select(col("src").as("doc_id"), lit(0L).as("deg"))
       .distinct().transform(graft.ops.Checkpoints.cut)
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val induced = e
         .join(nodes.select(col("doc_id").as("src")), Seq("src"), "left_semi")
         .join(nodes.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
       nodes = induced.groupBy(col("src").as("doc_id"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-        .transform(graft.ops.Checkpoints.cut)
+        .transform(graft.ops.Checkpoints.cutRound(_, round))
     }
     nodes.selectExpr("doc_id", "CAST(deg AS BIGINT) AS core_degree")
   }
@@ -233,13 +233,13 @@ object Graph {
     val e = edges.toDF("src", "dst").transform(graft.ops.Checkpoints.cut)
     var dist = sources.selectExpr("node", "CAST(node AS BIGINT) AS combo")
       .transform(graft.ops.Checkpoints.cut)
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val relaxed = e
         .join(dist.withColumnRenamed("node", "src"), Seq("src"))
         .selectExpr("dst AS node", "combo + 100 AS combo")
       dist = dist.union(relaxed)
         .groupBy("node").agg(min("combo").as("combo"))
-        .transform(graft.ops.Checkpoints.cut)
+        .transform(graft.ops.Checkpoints.cutRound(_, round))
     }
     dist
   }

@@ -53,6 +53,30 @@ class CheckpointDurabilitySpec extends SparkSpec {
     })
   }
 
+  test("checkpoint interval K: identical results, durable final state") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val local = graft.llm.Dedup.propagateLabels(pairs)
+      .orderBy("doc_id").collect().toSeq
+    val prLocal = graft.sql.Graph.nationPagerank(spark, sfTiny).collect().toSeq
+    withDurable { dir =>
+      spark.conf.set(graft.ops.Checkpoints.IntervalKey, "3")
+      try {
+        // Intermediate rounds are local, every 3rd + the returned
+        // relation durable — results bit-identical, and durable state
+        // still lands under the dir (the K-bounded recomputation
+        // contract: executor loss re-derives at most K-1 local rounds).
+        assert(graft.llm.Dedup.propagateLabels(pairs)
+          .orderBy("doc_id").collect().toSeq === local)
+        assert(graft.sql.Graph.nationPagerank(spark, sfTiny)
+          .collect().toSeq === prLocal)
+        assert(countFiles(dir) > 0)
+      } finally spark.conf.unset(graft.ops.Checkpoints.IntervalKey)
+    }
+  }
+
   test("PageRank and BFS are bit-identical under reliable checkpoint") {
     val prLocal = graft.sql.Graph.nationPagerank(spark, sfTiny).collect().toSeq
     val bfsLocal = graft.sql.Graph.nationBfsHops(spark, sfTiny).collect().toSeq
