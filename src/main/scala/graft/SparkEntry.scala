@@ -358,6 +358,14 @@ object SparkEntry {
     "classic_large_orders" -> ((s, d) => Classics.largeQuantityOrders(s, d)),
     "classic_disjunctive_bands" -> ((s, d) => Classics.disjunctiveBandRevenue(s, d)),
     "classic_lapsed_rich" -> ((s, d) => Classics.lapsedRichCustomers(s, d)),
+    "classic_min_cost_supplier" -> ((s, d) => Classics.minCostSupplier(s, d)),
+    "classic_late_order_priority" -> ((s, d) => Classics.lateOrderPriority(s, d)),
+    "classic_product_profit" -> ((s, d) => Classics.productTypeProfit(s, d)),
+    "classic_important_value" -> ((s, d) => Classics.importantPartValue(s, d)),
+    "classic_ship_lag_priority" -> ((s, d) => Classics.shipLagPriority(s, d)),
+    "classic_supplier_part_counts" -> ((s, d) => Classics.supplierPartCounts(s, d)),
+    "classic_dominant_supplier" -> ((s, d) => Classics.dominantSupplier(s, d)),
+    "classic_waiting_supplier" -> ((s, d) => Classics.waitingSupplier(s, d)),
     // round-6 additions: sketching, LM scoring, graph analytics,
     // weighted sampling, content-defined chunking
     "events_cms_heavy_hitters" -> ((s, d) => graft.ops.Sketches.cmsHeavyHitters(s, d)),
@@ -664,6 +672,14 @@ object SparkEntry {
     "classic_large_orders" -> Classics.largeQuantityOrdersOracle,
     "classic_disjunctive_bands" -> Classics.disjunctiveBandRevenueOracle,
     "classic_lapsed_rich" -> Classics.lapsedRichCustomersOracle,
+    "classic_min_cost_supplier" -> Classics.minCostSupplierOracle,
+    "classic_late_order_priority" -> Classics.lateOrderPriorityOracle,
+    "classic_product_profit" -> Classics.productTypeProfitOracle,
+    "classic_important_value" -> Classics.importantPartValueOracle,
+    "classic_ship_lag_priority" -> Classics.shipLagPriorityOracle,
+    "classic_supplier_part_counts" -> Classics.supplierPartCountsOracle,
+    "classic_dominant_supplier" -> Classics.dominantSupplierOracle,
+    "classic_waiting_supplier" -> Classics.waitingSupplierOracle,
     "events_cms_heavy_hitters" -> graft.ops.Sketches.cmsHeavyHittersOracle,
     "events_sliding_distinct" -> graft.ops.Sketches.slidingDistinctOracle,
     "events_stickiness" -> graft.ops.Sketches.stickinessOracle,

@@ -3,6 +3,7 @@ package graft.sql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
+import graft.llm.Gen
 import graft.llm.Gen.{Dialect, DuckD, SparkD}
 
 /** Classic decision-support queries — the TPC-H shapes (Q1, Q3, Q6, Q7,
@@ -573,4 +574,413 @@ object Classics {
         SELECT c_nationkey, count(*) AS n_customers,
           CAST(sum(bal_c) AS DOUBLE) / 100.0 AS total_balance
         FROM rich GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  // ================================================================
+  // Round-8 completion tier: the nine shapes the fixture schema kept
+  // out of the original battery (no partsupp / commit-receipt dates /
+  // shipmode / comments), adapted the same way Q7/Q22 already were —
+  // each preserves its query's CANONICAL PLAN SHAPE (the thing a
+  // warehouse engine is actually graded on) with fixture-expressible
+  // semantics, documented per query. Q5's shape already lives in
+  // [[Extras]]; the eight below close the 22-query battery.
+  // ================================================================
+
+  // ---------------------------------------------------------------- Q2
+
+  /** Q2 minimum-cost supplier (adapted): partsupp.ps_supplycost does
+    * not exist, so a supplier's "offer" for a part is its best
+    * observed unit price from lineitem — min((price·10^6) DIV qty_c),
+    * an exact non-negative integer in 10^-4 dollars (floor division
+    * agrees between engines on non-negative operands, the
+    * [[graft.llm.Gen.intDiv]] contract). The shape is Q2's: a
+    * correlated per-part MIN decorrelates to an aggregate joined back
+    * on (partkey, exact-min equality), with the part filter and the
+    * supplier→nation→region reduction broadcast in front of both the
+    * aggregate and the rejoin. Ties at the min are REAL ties (integer
+    * equality), all kept, made total by the (partkey, suppkey)
+    * tie-break. At 100 TB the per-(part,supp) agg is map-side
+    * combined on the scan and the rejoin carries one row per part. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val offerU = Gen.intDiv(s"($priceC * 10000)", qtyC, SparkD)
+    val euroSupp = broadcast(
+      t(spark, dir, "supplier")
+        .join(broadcast(t(spark, dir, "nation")
+            .join(broadcast(t(spark, dir, "region")
+                .filter("r_name = 'EUROPE'").select("r_regionkey")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    val offers = t(spark, dir, "lineitem")
+      .selectExpr("l_partkey", "l_suppkey", s"$offerU AS offer_u")
+      .join(broadcast(t(spark, dir, "part")
+          .filter("p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'")
+          .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+      .agg(min("offer_u").as("cost_u"))
+    val perPart = offers.groupBy("p_partkey").agg(min("cost_u").as("min_u"))
+      .withColumnRenamed("p_partkey", "mk")
+    offers
+      .join(perPart, col("p_partkey") === col("mk"))
+      .filter("cost_u = min_u")
+      .selectExpr("s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey",
+        "CAST(cost_u AS DOUBLE) / 10000.0 AS unit_cost")
+      .orderBy(desc("s_acctbal"), asc("p_partkey"), asc("s_suppkey"))
+      .limit(100)
+  }
+
+  val minCostSupplierOracle: String = {
+    val offerU = Gen.intDiv(s"($priceC * 10000)", qtyC, DuckD)
+    s"""WITH offers AS (
+          SELECT p.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+                 min($offerU) AS cost_u
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+            AND r.r_name = 'EUROPE'
+          GROUP BY 1, 2, 3, 4, 5)
+        SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey,
+          CAST(cost_u AS DOUBLE) / 10000.0 AS unit_cost
+        FROM offers o
+        WHERE cost_u = (SELECT min(cost_u) FROM offers i
+                        WHERE i.p_partkey = o.p_partkey)
+        ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100"""
+  }
+
+  // ---------------------------------------------------------------- Q4
+
+  /** Q4 order priority checking (adapted): "a line missed its commit
+    * date" becomes "a line shipped more than 45 days after the order
+    * date" — the fixture has no commit/receipt dates, the ship lag is
+    * the same lateness signal. The shape is Q4's EXISTS: a LEFT SEMI
+    * join from the date-pruned orders onto lineitem whose condition
+    * carries the correlated date inequality alongside the orderkey
+    * equi-pair — Catalyst keeps orderkey as the shuffle key and
+    * evaluates the lag residual inside the join, so an order is
+    * emitted at most once no matter how many late lines it has. */
+  def lateOrderPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(s"$ordD >= DATE '1997-01-01' AND $ordD < DATE '1997-07-01'")
+      .selectExpr("o_orderkey", "o_orderpriority", s"$ordD AS od")
+      .join(t(spark, dir, "lineitem")
+          .selectExpr("l_orderkey", s"$shipD AS sd"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("sd") > expr("date_add(od, 45)"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val lateOrderPriorityOracle: String =
+    s"""SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE $ordD >= DATE '1997-01-01' AND $ordD < DATE '1997-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND $shipD > $ordD + 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---------------------------------------------------------------- Q9
+
+  /** Q9 product-type profit (adapted): ps_supplycost does not exist,
+    * so cost is a fixed 60% of the part's retail price — the profit
+    * formula keeps Q9's structure (revenue minus quantity·cost) and
+    * the plan keeps Q9's shape: the name-filtered part dim and the
+    * supplier→nation dim both broadcast onto one lineitem scan, and
+    * the (nation, year) rollup is map-side combined. Units: rev_u and
+    * qty_c·retail_c·60 are both dollars·10^6, exact BIGINTs (max
+    * ~1e11/row — a BIGINT group sum holds ~9e7 rows headroom; at
+    * 100 TB widen the SUM to DECIMAL(38,0) like Q1's charge). */
+  def productTypeProfit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .selectExpr("l_partkey", "l_suppkey", s"$qtyC AS qty_c",
+        s"$revU AS rev_u", s"year($shipD) AS o_year")
+      .join(broadcast(t(spark, dir, "part")
+          .filter("p_name LIKE '%widget%'")
+          .selectExpr("p_partkey",
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS retail_c")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier")
+          .join(broadcast(t(spark, dir, "nation")
+              .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .selectExpr("n_name AS nation", "o_year",
+        "rev_u - qty_c * retail_c * 60 AS profit_u")
+      .groupBy("nation", "o_year")
+      .agg(sum("profit_u").as("profit_u"))
+      .selectExpr("nation", "o_year",
+        "CAST(profit_u AS DOUBLE) / 1000000.0 AS sum_profit")
+      .orderBy(asc("nation"), desc("o_year"))
+
+  val productTypeProfitOracle: String =
+    s"""WITH j AS (SELECT n.n_name AS nation, year($shipD) AS o_year,
+          $revU - $qtyC * CAST(round(p.p_retailprice * 100) AS BIGINT) * 60
+            AS profit_u
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%widget%')
+        SELECT nation, o_year,
+          CAST(sum(profit_u) AS DOUBLE) / 1000000.0 AS sum_profit
+        FROM j GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC"""
+
+  // --------------------------------------------------------------- Q11
+
+  /** Q11 important stock (adapted): partsupp availability does not
+    * exist, so a part's "held value" from one region's suppliers is
+    * its discounted shipped revenue (a region, not a nation — the
+    * sf0.001 fixture has nations with ZERO suppliers, and the query
+    * must be non-empty at every scale). The threshold is relative to
+    * the MEAN part value (> 2×), not a fixed corpus fraction —
+    * TPC-H's own 0.0001/SF scaling lesson: a fixed share empties as
+    * the part count grows. The shape is Q11's scalar-subquery
+    * HAVING: the same aggregate computed twice — per part and
+    * globally — with the global (total, count) arriving as a
+    * broadcast one-row join and the mean comparison tested by exact
+    * integer cross-multiplication (val·n > 2·total ⇔ val > 2·mean),
+    * never a float share. */
+  def importantPartValue(spark: SparkSession, dir: String): DataFrame = {
+    val ameriSupp = broadcast(t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+          .join(broadcast(t(spark, dir, "region")
+              .filter("r_name = 'AMERICA'").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey"))
+    val perPart = t(spark, dir, "lineitem")
+      .selectExpr("l_partkey", "l_suppkey", s"$revU AS val_u")
+      .join(ameriSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey").agg(sum("val_u").as("val_u"))
+    perPart
+      .join(broadcast(perPart.agg(sum("val_u").as("total_u"),
+        count(lit(1)).as("n_parts"))))
+      .filter("val_u * n_parts > 2 * total_u")
+      .selectExpr("l_partkey AS p_partkey",
+        "CAST(val_u AS DOUBLE) / 1000000.0 AS part_value")
+      .orderBy(desc("part_value"), asc("p_partkey"))
+  }
+
+  val importantPartValueOracle: String =
+    s"""WITH v AS (SELECT l.l_partkey, sum($revU) AS val_u
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'AMERICA'
+          GROUP BY l.l_partkey)
+        SELECT l_partkey AS p_partkey,
+          CAST(val_u AS DOUBLE) / 1000000.0 AS part_value
+        FROM v
+        WHERE val_u * (SELECT count(*) FROM v) >
+              2 * (SELECT sum(val_u) FROM v)
+        ORDER BY part_value DESC, p_partkey"""
+
+  // --------------------------------------------------------------- Q12
+
+  /** Q12 shipmode priority (adapted): l_shipmode does not exist, so
+    * the two "modes" are ship-lag bands — FAST (≤ 7 days from order
+    * to ship) and SLOW (≥ 60 days) — which keeps Q12's IN-list-of-two
+    * selection and its signature conditional two-way count (urgent
+    * vs other priorities per mode). The orders↔lineitem join is the
+    * one genuine fact-fact shuffle in the battery; both sides are
+    * date/band-pruned before the exchange. */
+  def shipLagPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(s"$shipD >= DATE '1997-01-01' AND $shipD < DATE '1998-01-01'")
+      .selectExpr("l_orderkey", s"$shipD AS sd")
+      .join(t(spark, dir, "orders")
+          .selectExpr("o_orderkey", "o_orderpriority", s"$ordD AS od"),
+        col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("o_orderpriority",
+        """CASE WHEN datediff(sd, od) >= 60 THEN 'SLOW'
+                WHEN datediff(sd, od) <= 7 THEN 'FAST' END AS lag_band""")
+      .filter("lag_band IS NOT NULL")
+      .groupBy("lag_band")
+      .agg(
+        sum(expr("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+          "THEN 1 ELSE 0 END")).as("high_line_count"),
+        sum(expr("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+          "THEN 0 ELSE 1 END")).as("low_line_count"))
+      .orderBy("lag_band")
+
+  val shipLagPriorityOracle: String =
+    s"""WITH j AS (SELECT o.o_orderpriority,
+          CASE WHEN datediff('day', $ordD, $shipD) >= 60 THEN 'SLOW'
+               WHEN datediff('day', $ordD, $shipD) <= 7 THEN 'FAST'
+          END AS lag_band
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE $shipD >= DATE '1997-01-01' AND $shipD < DATE '1998-01-01')
+        SELECT lag_band,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM j WHERE lag_band IS NOT NULL
+        GROUP BY lag_band ORDER BY lag_band"""
+
+  // --------------------------------------------------------------- Q16
+
+  /** Q16 part/supplier relationship (adapted): the part-supplier link
+    * comes from observed lineitem trade instead of partsupp, and the
+    * "customer complaints" supplier exclusion becomes negative account
+    * balance — preserving Q16's NOT IN anti-join against a filtered
+    * supplier subquery (none of the keys are nullable, so NOT IN and
+    * LEFT ANTI coincide; the exclusion list broadcasts). The distinct
+    * supplier count per (brand, type, size) dies in partial
+    * aggregation on the (attrs, suppkey) grain before the exchange. */
+  def supplierPartCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(t(spark, dir, "part")
+          .filter("p_brand <> 'Brand#45' AND p_type <> 'PROMO' " +
+            "AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)")
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier")
+          .filter("s_acctbal < 0").select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+        asc("p_size"))
+
+  val supplierPartCountsOracle: String =
+    s"""SELECT p.p_brand, p.p_type, p.p_size,
+          count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND l.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  // --------------------------------------------------------------- Q20
+
+  /** Q20 excess-supply promotion (adapted): availqty does not exist,
+    * so the threshold inverts — a supplier qualifies when its 1997
+    * shipped quantity of a name-prefixed part exceeds HALF that
+    * part's total 1997 volume (dominant-supplier detection; same
+    * correlated-aggregate-vs-correlated-aggregate comparison, tested
+    * as 2·ps_qty > total on exact integers). The shape is Q20's
+    * nested IN: the qualifying suppkey set semi-joins the
+    * region-filtered supplier dim. The per-part total derives from
+    * the per-(part,supp) aggregate, so lineitem is scanned once. */
+  def dominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perPS = t(spark, dir, "lineitem")
+      .filter(s"$shipD >= DATE '1997-01-01' AND $shipD < DATE '1998-01-01'")
+      .selectExpr("l_partkey", "l_suppkey", s"$qtyC AS qty_c")
+      .join(broadcast(t(spark, dir, "part")
+          .filter("p_name LIKE 'small%'").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum("qty_c").as("ps_qty"))
+    val perP = perPS.groupBy("l_partkey").agg(sum("ps_qty").as("total_qty"))
+      .withColumnRenamed("l_partkey", "pk")
+    val qualifying = perPS
+      .join(perP, col("l_partkey") === col("pk"))
+      .filter("2 * ps_qty > total_qty")
+      .select("l_suppkey").distinct()
+    t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+          .join(broadcast(t(spark, dir, "region")
+              .filter("r_name = 'ASIA'").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
+  val dominantSupplierOracle: String =
+    s"""WITH l97 AS (SELECT l.l_partkey, l.l_suppkey, $qtyC AS qty_c
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_name LIKE 'small%'
+            AND $shipD >= DATE '1997-01-01' AND $shipD < DATE '1998-01-01'),
+        ps AS (SELECT l_partkey, l_suppkey, sum(qty_c) AS ps_qty
+               FROM l97 GROUP BY 1, 2),
+        tot AS (SELECT l_partkey, sum(ps_qty) AS total_qty
+                FROM ps GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND s.s_suppkey IN
+            (SELECT ps.l_suppkey FROM ps
+             JOIN tot ON ps.l_partkey = tot.l_partkey
+             WHERE 2 * ps.ps_qty > tot.total_qty)
+        ORDER BY s.s_suppkey"""
+
+  // --------------------------------------------------------------- Q21
+
+  /** Q21 suppliers who kept orders waiting (adapted): lateness is
+    * shipping more than 60 days after the order date (no
+    * commit/receipt dates). The reference shape is the battery's
+    * hardest — a correlated EXISTS (another supplier contributed to
+    * the order) AND NOT EXISTS (no OTHER supplier was late) — and the
+    * ORACLE keeps exactly that doubly-correlated form, while the
+    * Spark plan is its decorrelation: aggregate lineitem to the
+    * (order, supplier, any-late) grain, roll up per order to
+    * (n_supp, n_late), and a waiting supplier is a late one on a
+    * multi-supplier order where it was the ONLY late one. The
+    * hash-match between the two is the decorrelation-correctness
+    * proof. Per-order supplier counts are bounded by order width, so
+    * nothing in the plan exceeds the (order, supplier) grain. */
+  def waitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perOS = t(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_suppkey", s"$shipD AS sd")
+      .join(t(spark, dir, "orders")
+          .filter("o_orderstatus = 'F'")
+          .selectExpr("o_orderkey", s"$ordD AS od"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(expr("CASE WHEN sd > date_add(od, 60) THEN 1 ELSE 0 END"))
+        .as("late"))
+    val perO = perOS.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+      .withColumnRenamed("l_orderkey", "ok")
+    perOS.filter("late = 1")
+      .join(perO, col("l_orderkey") === col("ok"))
+      .filter("n_supp >= 2 AND n_late = 1")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(spark, dir, "supplier")
+          .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "numwait")
+      .orderBy(desc("numwait"), asc("s_suppkey"))
+      .limit(100)
+  }
+
+  val waitingSupplierOracle: String =
+    s"""WITH f AS (SELECT o_orderkey, $ordD AS od FROM orders
+          WHERE o_orderstatus = 'F')
+        SELECT s.s_suppkey, s.s_name,
+          count(DISTINCT l1.l_orderkey) AS numwait
+        FROM lineitem l1
+        JOIN f ON l1.l_orderkey = f.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE CAST(l1.l_shipdate AS DATE) > f.od + 60
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND CAST(l3.l_shipdate AS DATE) > f.od + 60)
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY numwait DESC, s_suppkey LIMIT 100"""
 }

@@ -42,7 +42,13 @@ class PlanContractSpec extends SparkSpec {
     // support threshold, query-side ANN — are excluded by design)
     "nation_bfs_hops", "events_mann_whitney", "corpus_shard_plan",
     "multimodal_hist_similarity", "events_daily_autocorr",
-    "text_char_diversity", "dedup_clustering_coeff")
+    "text_char_diversity", "dedup_clustering_coeff",
+    // round-8 battery completion (Q11's mean-threshold one-row
+    // broadcast is excluded like the other scalar-total patterns)
+    "classic_min_cost_supplier", "classic_late_order_priority",
+    "classic_product_profit", "classic_ship_lag_priority",
+    "classic_supplier_part_counts", "classic_dominant_supplier",
+    "classic_waiting_supplier")
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
