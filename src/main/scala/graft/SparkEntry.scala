@@ -224,6 +224,7 @@ object SparkEntry {
     "multimodal_jpeg_stats" -> ((s, d) => Multimodal.jpegStats(s, d)),
     "multimodal_thumbnail" -> ((s, d) => Multimodal.pixelThumbnail(s, d)),
     "multimodal_wav_zcr" -> ((s, d) => Multimodal.wavZcr(s, d)),
+    "multimodal_flac_stats" -> ((s, d) => Multimodal.flacStats(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "table_profile_approx_audit" ->
       ((s, d) => graft.ops.Profile.tableProfileApproxAudit(s, d)),
@@ -610,6 +611,7 @@ object SparkEntry {
     "multimodal_jpeg_stats" -> Multimodal.jpegStatsOracle,
     "multimodal_thumbnail" -> Multimodal.pixelThumbnailOracle,
     "multimodal_wav_zcr" -> Multimodal.wavZcrOracle,
+    "multimodal_flac_stats" -> Multimodal.flacStatsOracle,
     "multimodal_video_stats" -> Multimodal.videoStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
     "events_hourly_anomaly" -> EventsStream.hourlyAnomalyOracle,

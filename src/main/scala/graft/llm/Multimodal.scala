@@ -1000,4 +1000,98 @@ object Multimodal {
            THEN n_crossings / CAST(n_frames - 1 AS DOUBLE) ELSE 0.0 END
            AS zcr_rate
        FROM g ORDER BY doc_id, channel"""
+
+  // ---- real compressed-audio tier (FlacCodec) ----
+
+  private[graft] def flacInterFrames(docId: Long): Int =
+    (docId % 617 + 64).toInt
+  private[graft] def flacChannels(docId: Long): Int = (docId % 2 + 1).toInt
+
+  /** Deterministic interleaved PCM16 for FLAC doc `docId` — distinct
+    * constants from [[wavSignal]] so the two audio tiers can never
+    * mask each other: sample i is ((docId % 241) + i·6007) % 65536 −
+    * 32768, full int16 range, SQL-reproducible from doc_id alone. */
+  private[graft] def flacSignal(docId: Long, n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    val base = (docId % 241).toInt
+    var i = 0
+    while (i < n) {
+      out(i) = (((base + i * 6007) % 65536) - 32768).toShort
+      i += 1
+    }
+    out
+  }
+
+  case class FlacChannelStats(doc_id: Long, channel: Int, n_frames: Int,
+      n_samples: Long, s_sum: Long, s_min: Int, s_max: Int)
+
+  /** Per-channel PCM statistics from REAL entropy-coded FLAC — the
+    * compressed-audio twin of [[jpegStats]]: each audio doc's signal
+    * is encoded in the executors to a spec-compliant FLAC stream
+    * ([[FlacCodec.encode]] — STREAMINFO, UTF-8-coded frame numbers,
+    * best-of-orders fixed predictors, cost-minimizing Rice residuals,
+    * CRC-8 + CRC-16) and decoded back by the general subset decoder
+    * (bit-level reads, predictor reconstruction, both CRCs VALIDATED).
+    * FLAC is lossless, so unlike JPEG no fixture restriction is needed
+    * for bit-exactness: the noise-like signal stresses the Rice coder
+    * at high parameters while the oracle recomputes every statistic
+    * from the generative formula. The 256-sample block size forces
+    * multi-frame streams with a partial tail frame on almost every
+    * doc (64..680 interchannel samples), so the frame walk, coded
+    * frame numbers, and last-frame-shorter path are always exercised;
+    * n_frames is part of the hashed output. Decode failure throws:
+    * our own builder's bytes. */
+  def flacStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 2").as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val nInter = flacInterFrames(id); val ch = flacChannels(id)
+          val flac = FlacCodec.encode(
+            flacSignal(id, nInter * ch), ch,
+            (8000 + (id % 5) * 8000).toInt)
+          val dec = FlacCodec.decode(flac).getOrElse(
+            sys.error(s"flac decode failed for doc $id"))
+          if (dec.info.channels != ch || dec.samples.length != nInter * ch)
+            sys.error(s"flac shape mismatch for doc $id")
+          (0 until ch).map { c =>
+            var s = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var j = c
+            while (j < dec.samples.length) {
+              val v = dec.samples(j)
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              j += ch
+            }
+            FlacChannelStats(id, c, dec.nFrames, nInter.toLong, s, mn, mx)
+          }
+        }
+      }
+    stats.toDF()
+      .withColumn("mean_s", col("s_sum") / col("n_samples").cast("double"))
+      .orderBy("doc_id", "channel")
+  }
+
+  /** Arithmetic oracle over the generative signal (the [[wavStats]]
+    * technique); n_frames is ceil(n/256) — the encoder's fixed
+    * blocking made SQL-checkable. */
+  val flacStatsOracle: String =
+    """WITH auds AS (SELECT doc_id,
+           CAST(doc_id % 617 + 64 AS INTEGER) AS n,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels
+         FROM documents WHERE doc_id % 3 = 2),
+       sm AS (SELECT a.doc_id, CAST(c.c AS INTEGER) AS channel,
+           ((a.doc_id % 241) + (f.f * a.channels + c.c) * 6007) % 65536
+             - 32768 AS s
+         FROM auds a, range(0, 680) f(f), range(0, 2) c(c)
+         WHERE f.f < a.n AND c.c < a.channels)
+       SELECT sm.doc_id, sm.channel,
+         CAST((a.n + 255) // 256 AS INTEGER) AS n_frames,
+         count(*) AS n_samples,
+         CAST(sum(sm.s) AS BIGINT) AS s_sum,
+         CAST(min(sm.s) AS INTEGER) AS s_min,
+         CAST(max(sm.s) AS INTEGER) AS s_max,
+         sum(sm.s) / CAST(count(*) AS DOUBLE) AS mean_s
+       FROM sm JOIN auds a ON sm.doc_id = a.doc_id
+       GROUP BY sm.doc_id, sm.channel, a.n ORDER BY sm.doc_id, sm.channel"""
 }
