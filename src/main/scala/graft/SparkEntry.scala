@@ -367,6 +367,8 @@ object SparkEntry {
     "classic_supplier_part_counts" -> ((s, d) => Classics.supplierPartCounts(s, d)),
     "classic_dominant_supplier" -> ((s, d) => Classics.dominantSupplier(s, d)),
     "classic_waiting_supplier" -> ((s, d) => Classics.waitingSupplier(s, d)),
+    "lineitem_zorder_layout" -> ((s, d) => graft.sql.Layout.zorderLayout(s, d)),
+    "lineitem_zorder_pruning" -> ((s, d) => graft.sql.Layout.zorderPruning(s, d)),
     // round-6 additions: sketching, LM scoring, graph analytics,
     // weighted sampling, content-defined chunking
     "events_cms_heavy_hitters" -> ((s, d) => graft.ops.Sketches.cmsHeavyHitters(s, d)),
@@ -682,6 +684,8 @@ object SparkEntry {
     "classic_supplier_part_counts" -> Classics.supplierPartCountsOracle,
     "classic_dominant_supplier" -> Classics.dominantSupplierOracle,
     "classic_waiting_supplier" -> Classics.waitingSupplierOracle,
+    "lineitem_zorder_layout" -> graft.sql.Layout.zorderLayoutOracle,
+    "lineitem_zorder_pruning" -> graft.sql.Layout.zorderPruningOracle,
     "events_cms_heavy_hitters" -> graft.ops.Sketches.cmsHeavyHittersOracle,
     "events_sliding_distinct" -> graft.ops.Sketches.slidingDistinctOracle,
     "events_stickiness" -> graft.ops.Sketches.stickinessOracle,
