@@ -135,6 +135,7 @@ object SparkEntry {
     "text_doc_keywords" -> ((s, d) => TextAnalysis.docKeywords(s, d)),
     "text_term_burstiness" -> ((s, d) => TextAnalysis.termBurstiness(s, d)),
     "text_ttr_by_length" -> ((s, d) => TextAnalysis.ttrByLength(s, d)),
+    "text_token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
     "text_sentences" -> ((s, d) => TextAnalysis.sentences(s, d)),
     "text_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "retrieval_rrf_fusion" -> ((s, d) => graft.llm.Retrieval.rrfFusion(s, d)),
@@ -148,6 +149,7 @@ object SparkEntry {
     "corpus_quality_calibrated" -> ((s, d) => Curation.qualityCalibrated(s, d)),
     "corpus_budget_planner" -> ((s, d) => Curation.budgetPlanner(s, d)),
     "corpus_shard_plan" -> ((s, d) => Curation.shardPlan(s, d)),
+    "corpus_content_manifest" -> ((s, d) => Curation.contentManifest(s, d)),
     "doc_chop_boundaries" -> ((s, d) => Curation.chopBoundaries(s, d)),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "corpus_split" -> ((s, d) => Curation.sampleSplit(s, d)),
@@ -236,6 +238,7 @@ object SparkEntry {
     "table_checksum" -> ((s, d) => graft.ops.Profile.tableChecksum(s, d)),
     "fk_integrity" -> ((s, d) => graft.ops.Profile.fkIntegrity(s, d)),
     "table_expectations" -> ((s, d) => graft.ops.Profile.tableExpectations(s, d)),
+    "customers_k_anonymity" -> ((s, d) => graft.ops.Profile.kAnonymity(s, d)),
     "events_daily_gap_fill" -> ((s, d) => EventsStream.dailyGapFill(s, d)),
     "events_carry_forward" -> ((s, d) => EventsStream.purchaseCarryForward(s, d)),
     "events_sliding_window" -> ((s, d) => EventsStream.slidingWindowAgg(s, d)),
@@ -457,6 +460,7 @@ object SparkEntry {
     "text_doc_keywords" -> TextAnalysis.docKeywordsOracle,
     "text_term_burstiness" -> TextAnalysis.termBurstinessOracle,
     "text_ttr_by_length" -> TextAnalysis.ttrByLengthOracle,
+    "text_token_fertility" -> TextAnalysis.tokenFertilityOracle,
     "text_sentences" -> TextAnalysis.sentencesOracle,
     "text_char_diversity" -> TextAnalysis.charDiversityOracle,
     "retrieval_rrf_fusion" -> graft.llm.Retrieval.rrfFusionOracle,
@@ -470,6 +474,7 @@ object SparkEntry {
     "corpus_quality_calibrated" -> Curation.qualityCalibratedOracle,
     "corpus_budget_planner" -> Curation.budgetPlannerOracle,
     "corpus_shard_plan" -> Curation.shardPlanOracle,
+    "corpus_content_manifest" -> Curation.contentManifestOracle,
     "doc_chop_boundaries" -> Curation.chopBoundariesOracle,
     "dedup_edit_distance" -> Dedup.editDistancePairsOracle,
     "corpus_split" -> Curation.sampleSplitOracle,
@@ -544,6 +549,7 @@ object SparkEntry {
     "table_checksum" -> graft.ops.Profile.tableChecksumOracle,
     "fk_integrity" -> graft.ops.Profile.fkIntegrityOracle,
     "table_expectations" -> graft.ops.Profile.tableExpectationsOracle,
+    "customers_k_anonymity" -> graft.ops.Profile.kAnonymityOracle,
     "events_daily_gap_fill" -> EventsStream.dailyGapFillOracle,
     "events_carry_forward" -> EventsStream.purchaseCarryForwardOracle,
     "events_sliding_window" -> EventsStream.slidingWindowAggOracle,

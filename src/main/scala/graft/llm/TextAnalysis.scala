@@ -1412,4 +1412,46 @@ object TextAnalysis {
           CASE WHEN coalesce(p.logw_sum, 0) > 0 THEN 1 ELSE 0 END AS prefer_flag
         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         ORDER BY d.doc_id"""
+
+  // ---- tokenizer fertility by language ----
+
+  /** Tokenizer fertility rollup — chars per BPE-style pre-token BY
+    * LANGUAGE, the multilingual tokenizer-equity readout (a tokenizer
+    * trained on English famously spends 2-4x more tokens per
+    * character on other scripts, which silently taxes their context
+    * budget and training compute; fertility per language is the
+    * number every multilingual data card reports). Reuses
+    * [[bpeTokens]]' regex pre-token count; exact BIGINT sums per
+    * language, one IEEE division per readout column at the 5-row
+    * language grain. Map-side combined onto |langs| groups — one scan
+    * at any corpus size. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("lang",
+        s"CAST(${reCount("text", bpeRe(SparkD), SparkD)} AS BIGINT) AS n_bpe",
+        s"CAST(${arrLen(words("text", SparkD), SparkD)} AS BIGINT) AS n_ws",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum("n_bpe").as("sum_bpe"), sum("n_ws").as("sum_ws"))
+      .selectExpr("lang", "n_docs", "sum_chars", "sum_bpe", "sum_ws",
+        "CAST(sum_chars AS DOUBLE) / sum_bpe AS chars_per_token",
+        "CAST(sum_bpe AS DOUBLE) / sum_ws AS tokens_per_word")
+      .orderBy("lang")
+
+  val tokenFertilityOracle: String =
+    s"""WITH base AS (SELECT lang,
+          CAST(${reCount("text", bpeRe(DuckD), DuckD)} AS BIGINT) AS n_bpe,
+          CAST(${arrLen(words("text", DuckD), DuckD)} AS BIGINT) AS n_ws,
+          CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+          CAST(sum(n_ws) AS BIGINT) AS sum_ws,
+          CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe) AS BIGINT)
+            AS chars_per_token,
+          CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_ws) AS BIGINT)
+            AS tokens_per_word
+        FROM base GROUP BY lang ORDER BY lang"""
 }

@@ -554,4 +554,64 @@ object Profile {
     }.mkString(" UNION ALL ")
     s"$rows ORDER BY check_name"
   }
+
+  // ---- k-anonymity audit ----
+
+  /** K-anonymity audit over the customer quasi-identifiers — the
+    * re-identification QC a privacy review runs before a table is
+    * cleared for sharing (Sweeney 2002): every row whose
+    * quasi-identifier combination is shared by fewer than k=5 people
+    * is at linkage risk. Audited at TWO generalization levels of the
+    * lattice — (nation, segment) and the coarser (region, segment) —
+    * because generalization is k-anonymity's remedy: groups that are
+    * risky at nation grain usually dissolve into safe region-grain
+    * groups, and the paired readout shows exactly which do.
+    *
+    * Shape: two hash aggs onto dim-bounded grids (|nations|x|segments|
+    * and |regions|x|segments|), nation/region dims broadcast; the
+    * at-risk flag is an integer comparison. One scan per level at any
+    * corpus size. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.table(spark, dir, "customer")
+    val nations = Tables.table(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val regions = Tables.table(spark, dir, "region")
+      .select("r_regionkey", "r_name")
+    val geo = org.apache.spark.sql.functions.broadcast(
+      nations.join(regions, col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name"))
+    val byNation = cust
+      .join(geo, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_mktsegment")
+      .agg(count(lit(1)).as("group_size"))
+      .selectExpr("'nation_segment' AS level", "n_name AS qi_geo",
+        "c_mktsegment AS qi_segment", "group_size")
+    val byRegion = cust
+      .join(geo, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("r_name", "c_mktsegment")
+      .agg(count(lit(1)).as("group_size"))
+      .selectExpr("'region_segment' AS level", "r_name AS qi_geo",
+        "c_mktsegment AS qi_segment", "group_size")
+    byNation.unionByName(byRegion)
+      .selectExpr("level", "qi_geo", "qi_segment", "group_size",
+        "CASE WHEN group_size < 5 THEN 1 ELSE 0 END AS at_risk")
+      .orderBy("level", "qi_geo", "qi_segment")
+  }
+
+  val kAnonymityOracle: String =
+    """WITH geo AS (SELECT n.n_nationkey, n.n_name, r.r_name
+          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+        lv AS (
+          SELECT 'nation_segment' AS level, g.n_name AS qi_geo,
+            c.c_mktsegment AS qi_segment, count(*) AS group_size
+          FROM customer c JOIN geo g ON c.c_nationkey = g.n_nationkey
+          GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT 'region_segment' AS level, g.r_name AS qi_geo,
+            c.c_mktsegment AS qi_segment, count(*) AS group_size
+          FROM customer c JOIN geo g ON c.c_nationkey = g.n_nationkey
+          GROUP BY 1, 2, 3)
+        SELECT level, qi_geo, qi_segment, group_size,
+          CASE WHEN group_size < 5 THEN 1 ELSE 0 END AS at_risk
+        FROM lv ORDER BY level, qi_geo, qi_segment"""
 }
