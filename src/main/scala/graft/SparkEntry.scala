@@ -136,6 +136,7 @@ object SparkEntry {
     "text_term_burstiness" -> ((s, d) => TextAnalysis.termBurstiness(s, d)),
     "text_ttr_by_length" -> ((s, d) => TextAnalysis.ttrByLength(s, d)),
     "text_token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
+    "text_unigram_viterbi" -> ((s, d) => graft.llm.LanguageModel.unigramViterbi(s, d)),
     "text_sentences" -> ((s, d) => TextAnalysis.sentences(s, d)),
     "text_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "retrieval_rrf_fusion" -> ((s, d) => graft.llm.Retrieval.rrfFusion(s, d)),
@@ -461,6 +462,7 @@ object SparkEntry {
     "text_term_burstiness" -> TextAnalysis.termBurstinessOracle,
     "text_ttr_by_length" -> TextAnalysis.ttrByLengthOracle,
     "text_token_fertility" -> TextAnalysis.tokenFertilityOracle,
+    "text_unigram_viterbi" -> graft.llm.LanguageModel.unigramViterbiOracle,
     "text_sentences" -> TextAnalysis.sentencesOracle,
     "text_char_diversity" -> TextAnalysis.charDiversityOracle,
     "retrieval_rrf_fusion" -> graft.llm.Retrieval.rrfFusionOracle,

@@ -494,4 +494,138 @@ object LanguageModel {
         FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
         ORDER BY d.doc_id"""
   }
+
+  // ---- unigram-LM (SentencePiece-style) Viterbi segmentation ----
+
+  private val uniMaxLen = 16   // DP round budget; longer words excluded
+  private val uniMaxPiece = 4  // candidate piece length cap
+  private val uniMinCount = 5  // piece vocabulary floor (chars always kept)
+  private val uniSentinel = -900000000000000000L
+
+  /** Unigram-LM tokenizer segmentation (Kudo 2018, the SentencePiece
+    * model family) as a distributed relational DP — the third member
+    * of the tokenizer tier after BPE train/encode: a piece vocabulary
+    * is seeded from frequency-weighted substrings (length ≤ 4, count
+    * ≥ 5, single chars always kept so segmentation is TOTAL), scored
+    * with nano-quantized log-probabilities, and each word type gets
+    * its max-likelihood segmentation by Viterbi over character
+    * positions.
+    *
+    * The DP runs as [[uniMaxLen]] bounded relational rounds (the
+    * [[bpeTrainRounds]] discipline): round i computes packed(i) — the
+    * best score for the first i chars — from the previous four
+    * positions via four vocabulary lookups; state is ONE ROW PER WORD
+    * TYPE with the last four DP values as columns, so nothing in the
+    * loop ever exceeds the vocabulary grain and the corpus is touched
+    * exactly once (the word-frequency aggregate). Lineage is cut per
+    * round ([[graft.ops.Checkpoints]]).
+    *
+    * Exactness: scores and the tie-break ride ONE BIGINT — packed =
+    * 64·Σ lnp_nano − n_pieces — so "max score, then fewest pieces" is
+    * a single integer max (scores are integral nanos, so distinct
+    * scores differ by ≥ 64 after scaling and the piece count ≤ 16
+    * can never flip an order; both engines unpack with the same
+    * truncated-% arithmetic on negative values). */
+  def unigramViterbi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Checkpoints
+    val types = Tables.documents(spark, dir)
+      .select(explode(expr(words("lower(text)", SparkD))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+      .filter(s"length(word) BETWEEN 1 AND $uniMaxLen")
+      .selectExpr("word", "wf", "CAST(length(word) AS INT) AS len")
+      .transform(Checkpoints.cut)
+    // piece vocabulary: frequency-weighted substring counts
+    val occ = types
+      .selectExpr("word", "wf", "len",
+        "explode(sequence(1, len)) AS pos")
+      .selectExpr(Seq("wf") ++ (1 to uniMaxPiece).map(l =>
+        s"CASE WHEN pos + $l - 1 <= len THEN substr(word, pos, $l) END AS pc_$l"): _*)
+      .selectExpr("wf", s"stack($uniMaxPiece, " +
+        (1 to uniMaxPiece).map(l => s"pc_$l").mkString(", ") + ") AS piece")
+      .filter("piece IS NOT NULL")
+    val counts = occ.groupBy("piece").agg(sum("wf").as("cnt"))
+      .filter(s"cnt >= $uniMinCount OR length(piece) = 1")
+    val vocab = counts
+      .join(broadcast(counts.agg(sum("cnt").as("tot"))))
+      .selectExpr("piece",
+        "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e9) AS BIGINT) AS lnp_nano")
+      .transform(Checkpoints.cut)
+    // Viterbi rounds: packed(i) from packed(i-1..i-4)
+    var dp = types.selectExpr("word", "wf", "len",
+      "CAST(0 AS BIGINT) AS pm1", "CAST(NULL AS BIGINT) AS pm2",
+      "CAST(NULL AS BIGINT) AS pm3", "CAST(NULL AS BIGINT) AS pm4",
+      "CAST(NULL AS BIGINT) AS best_final")
+    for (i <- 1 to uniMaxLen) {
+      var r = dp
+      val ls = (1 to uniMaxPiece).filter(_ <= i)
+      ls.foreach { l =>
+        r = r.withColumn(s"qp_$l", expr(s"substr(word, ${i - l + 1}, $l)"))
+          .join(broadcast(vocab.selectExpr(s"piece AS v_piece_$l",
+            s"lnp_nano AS lnp_$l")),
+            col(s"qp_$l") === col(s"v_piece_$l"), "left_outer")
+      }
+      val terms = ls.map(l =>
+        s"coalesce(pm$l + 64 * lnp_$l - 1, CAST($uniSentinel AS BIGINT))")
+      val best = if (terms.size == 1) terms.head
+        else s"greatest(${terms.mkString(", ")})"
+      val newp = s"CASE WHEN $i <= len THEN $best END"
+      dp = r.selectExpr("word", "wf", "len",
+        s"$newp AS pm1", "pm1 AS pm2", "pm2 AS pm3", "pm3 AS pm4",
+        s"CASE WHEN $i = len THEN $newp ELSE best_final END AS best_final")
+        .transform(Checkpoints.cutRound(_, i))
+    }
+    dp.selectExpr("word", "wf", "len", "best_final",
+      "CAST(-(best_final % 64) AS INT) AS n_pieces")
+      .selectExpr("word", "wf", "len", "n_pieces",
+        "(best_final + n_pieces) DIV 64 AS score_nano",
+        "CAST(len AS DOUBLE) / n_pieces AS chars_per_piece")
+      .orderBy("word")
+  }
+
+  val unigramViterbiOracle: String = {
+    val occSelects = (1 to uniMaxPiece).map(l =>
+      s"""SELECT wf, substr(word, CAST(p.p AS INT) + 1, $l) AS piece
+          FROM wt, range(0, $uniMaxLen) p(p)
+          WHERE p.p + $l <= len""").mkString("\n          UNION ALL ")
+    val rounds = (1 to uniMaxLen).map { i =>
+      val ls = (1 to uniMaxPiece).filter(_ <= i)
+      val joins = ls.map(l =>
+        s"LEFT JOIN vocab v$l ON v$l.piece = substr(d.word, ${i - l + 1}, $l)")
+        .mkString(" ")
+      val terms = ls.map(l =>
+        s"coalesce(d.pm$l + 64 * v$l.lnp_nano - 1, CAST($uniSentinel AS BIGINT))")
+      val best = if (terms.size == 1) terms.head
+        else s"greatest(${terms.mkString(", ")})"
+      s"""dp$i AS (SELECT d.word, d.wf, d.len,
+          CASE WHEN $i <= d.len THEN $best END AS pm1,
+          d.pm1 AS pm2, d.pm2 AS pm3, d.pm3 AS pm4,
+          CASE WHEN $i = d.len
+            THEN CASE WHEN $i <= d.len THEN $best END
+            ELSE d.best_final END AS best_final
+        FROM dp${i - 1} d $joins)"""
+    }.mkString(",\n        ")
+    s"""WITH wt AS (
+          SELECT word, count(*) AS wf, CAST(length(word) AS INT) AS len
+          FROM (SELECT unnest(${words("lower(text)", DuckD)}) AS word
+                FROM documents)
+          GROUP BY word HAVING length(word) BETWEEN 1 AND $uniMaxLen),
+        occ AS ($occSelects),
+        counts AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt FROM occ
+          GROUP BY piece
+          HAVING sum(wf) >= $uniMinCount OR length(piece) = 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM counts),
+        vocab AS (SELECT piece,
+            CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e9) AS BIGINT) AS lnp_nano
+          FROM counts, tot),
+        dp0 AS (SELECT word, wf, len,
+          CAST(0 AS BIGINT) AS pm1, CAST(NULL AS BIGINT) AS pm2,
+          CAST(NULL AS BIGINT) AS pm3, CAST(NULL AS BIGINT) AS pm4,
+          CAST(NULL AS BIGINT) AS best_final FROM wt),
+        $rounds
+        SELECT word, wf, len,
+          CAST(-(best_final % 64) AS INT) AS n_pieces,
+          (best_final + (-(best_final % 64))) // 64 AS score_nano,
+          CAST(len AS DOUBLE) / (-(best_final % 64)) AS chars_per_piece
+        FROM dp$uniMaxLen ORDER BY word"""
+  }
 }
