@@ -137,6 +137,9 @@ object SparkEntry {
     "text_ttr_by_length" -> ((s, d) => TextAnalysis.ttrByLength(s, d)),
     "text_token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
     "text_unigram_viterbi" -> ((s, d) => graft.llm.LanguageModel.unigramViterbi(s, d)),
+    "events_range_window" -> ((s, d) => EventsStream.rangeWindowSum(s, d)),
+    "events_type_pivot" -> ((s, d) => EventsStream.eventTypePivot(s, d)),
+    "orders_cube" -> ((s, d) => Extras.ordersCube(s, d)),
     "text_sentences" -> ((s, d) => TextAnalysis.sentences(s, d)),
     "text_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "retrieval_rrf_fusion" -> ((s, d) => graft.llm.Retrieval.rrfFusion(s, d)),
@@ -463,6 +466,9 @@ object SparkEntry {
     "text_ttr_by_length" -> TextAnalysis.ttrByLengthOracle,
     "text_token_fertility" -> TextAnalysis.tokenFertilityOracle,
     "text_unigram_viterbi" -> graft.llm.LanguageModel.unigramViterbiOracle,
+    "events_range_window" -> EventsStream.rangeWindowSumOracle,
+    "events_type_pivot" -> EventsStream.eventTypePivotOracle,
+    "orders_cube" -> Extras.ordersCubeOracle,
     "text_sentences" -> TextAnalysis.sentencesOracle,
     "text_char_diversity" -> TextAnalysis.charDiversityOracle,
     "retrieval_rrf_fusion" -> graft.llm.Retrieval.rrfFusionOracle,

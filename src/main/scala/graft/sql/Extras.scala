@@ -1517,4 +1517,43 @@ object Extras {
           coalesce(o_month, -1) AS o_month, n_orders,
           CAST(cents AS DOUBLE) / 100.0 AS revenue
         FROM g ORDER BY o_year, o_quarter, o_month"""
+
+  // ---- CUBE with grouping id ----
+
+  /** Full CUBE over (priority, status) with exact-cents revenue — the
+    * grouping-sets surface beyond the existing ROLLUP: all four
+    * aggregation grains (detail, by-priority, by-status, grand total)
+    * in ONE pass, disambiguated by grouping_id (bit i set = column i
+    * rolled up; Spark's first-listed column is the high bit and the
+    * DuckDB twin composes GROUPING(p)*2 + GROUPING(s) to match).
+    * Rolled-up keys are coalesced to '(all)' IN the query — NULL
+    * group keys would otherwise hit the engines' opposite default
+    * NULL sort orders, and a sentinel the data cannot contain is the
+    * deterministic fix. Cube expansion is 4 rows per input row into a
+    * map-side-combined agg onto a dims-bounded grid. */
+  def ordersCube(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.table(spark, dir, "orders")
+      .selectExpr("o_orderpriority AS priority", "o_orderstatus AS status",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
+      .cube("priority", "status")
+      .agg(count(lit(1)).as("n_orders"), sum("price_c").as("rev_c"),
+        grouping_id().as("grouping_id"))
+      .selectExpr("coalesce(priority, '(all)') AS priority",
+        "coalesce(status, '(all)') AS status", "grouping_id",
+        "n_orders", "CAST(rev_c AS DOUBLE) / 100.0 AS revenue")
+      .orderBy("grouping_id", "priority", "status")
+
+  val ordersCubeOracle: String =
+    """WITH o AS (SELECT o_orderpriority AS priority,
+          o_orderstatus AS status,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders)
+       SELECT coalesce(priority, '(all)') AS priority,
+         coalesce(status, '(all)') AS status,
+         CAST(GROUPING(priority) * 2 + GROUPING(status) AS BIGINT)
+           AS grouping_id,
+         count(*) AS n_orders,
+         CAST(sum(price_c) AS DOUBLE) / 100.0 AS revenue
+       FROM o GROUP BY CUBE (priority, status)
+       ORDER BY grouping_id, priority, status"""
 }

@@ -1136,4 +1136,76 @@ object EventsStream {
            THEN delay_us END) AS BIGINT) AS p90_delay_us,
          CAST(sum(delay_us) AS DOUBLE) / max(n_converted) / 1e6 AS mean_delay_s
        FROM ranked CROSS JOIN n_t"""
+
+  // ---- RANGE-interval window frame ----
+
+  /** Trailing one-hour per-user value sum — the RANGE frame the ROWS
+    * moving averages cannot express: the frame is bounded by event
+    * TIME (all events within 3600 s), not row count, so bursts widen
+    * the frame and quiet periods shrink it. Values quantize to exact
+    * cents before the frame sum; the frame key is integer epoch
+    * seconds (floor of the micros timestamp — identical truncation in
+    * both engines), and ties inside a second are no hazard because a
+    * RANGE frame includes every peer row regardless of intra-peer
+    * order. One shuffle on user_id at any volume; each partition
+    * sorts its own user's events. */
+  def rangeWindowSum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.table(spark, dir, "events")
+      .selectExpr("event_id", "user_id",
+        "unix_timestamp(ts) AS epoch_s",
+        "CAST(round(value * 100) AS BIGINT) AS value_c")
+    val w = Window.partitionBy("user_id").orderBy("epoch_s")
+      .rangeBetween(-3600L, 0L)
+    ev.withColumn("hour_sum_c", sum("value_c").over(w))
+      .withColumn("hour_events", count(lit(1)).over(w))
+      .selectExpr("event_id", "user_id", "epoch_s", "value_c",
+        "hour_sum_c", "hour_events",
+        "CAST(hour_sum_c AS DOUBLE) / 100.0 AS hour_sum")
+      .orderBy("event_id")
+  }
+
+  val rangeWindowSumOracle: String =
+    """WITH ev AS (SELECT event_id, user_id,
+          epoch_us(ts) // 1000000 AS epoch_s,
+          CAST(round(value * 100) AS BIGINT) AS value_c
+        FROM events)
+       SELECT event_id, user_id, epoch_s, value_c,
+         CAST(sum(value_c) OVER w AS BIGINT) AS hour_sum_c,
+         CAST(count(*) OVER w AS BIGINT) AS hour_events,
+         CAST(sum(value_c) OVER w AS DOUBLE) / 100.0 AS hour_sum
+       FROM ev
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+
+  // ---- PIVOT (long -> wide event-type matrix) ----
+
+  /** Per-user event-type count matrix via the PIVOT relational
+    * operator — the long→wide reshape feeding feature stores and BI
+    * exports. The pivot VALUES are pinned explicitly (the five fixture
+    * event types): an unpinned pivot plans a distinct-scan first AND
+    * makes the output schema data-dependent, which breaks both
+    * determinism and pruning — pin your pivot columns. Compiles to
+    * one conditional-sum hash agg (same plan as the CASE form), so it
+    * is map-side combined and scale-indifferent. */
+  def eventTypePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .selectExpr("user_id", "click AS n_click", "error AS n_error",
+        "purchase AS n_purchase", "signup AS n_signup", "view AS n_view")
+      .orderBy("user_id")
+
+  val eventTypePivotOracle: String =
+    """SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+       FROM events GROUP BY user_id ORDER BY user_id"""
 }
