@@ -231,6 +231,8 @@ object SparkEntry {
     "multimodal_thumbnail" -> ((s, d) => Multimodal.pixelThumbnail(s, d)),
     "multimodal_wav_zcr" -> ((s, d) => Multimodal.wavZcr(s, d)),
     "multimodal_flac_stats" -> ((s, d) => Multimodal.flacStats(s, d)),
+    "multimodal_edge_energy" -> ((s, d) => Multimodal.edgeEnergy(s, d)),
+    "ann_kmeanspp_seed" -> ((s, d) => Similarity.kmeansParallelSeed(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "table_profile_approx_audit" ->
       ((s, d) => graft.ops.Profile.tableProfileApproxAudit(s, d)),
@@ -628,6 +630,8 @@ object SparkEntry {
     "multimodal_thumbnail" -> Multimodal.pixelThumbnailOracle,
     "multimodal_wav_zcr" -> Multimodal.wavZcrOracle,
     "multimodal_flac_stats" -> Multimodal.flacStatsOracle,
+    "multimodal_edge_energy" -> Multimodal.edgeEnergyOracle,
+    "ann_kmeanspp_seed" -> Similarity.kmeansParallelSeedOracle,
     "multimodal_video_stats" -> Multimodal.videoStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
     "events_hourly_anomaly" -> EventsStream.hourlyAnomalyOracle,

@@ -1094,4 +1094,87 @@ object Multimodal {
          sum(sm.s) / CAST(count(*) AS DOUBLE) AS mean_s
        FROM sm JOIN auds a ON sm.doc_id = a.doc_id
        GROUP BY sm.doc_id, sm.channel, a.n ORDER BY sm.doc_id, sm.channel"""
+
+  // ---- Sobel edge energy on the real PNG decode ----
+
+  case class EdgeEnergy(doc_id: Long, width: Int, height: Int,
+      n_interior: Long, energy: Long)
+
+  /** Sobel gradient energy over REAL decoded PNG pixels — the edge/
+    * blur screen of an image-curation pipeline (near-zero energy
+    * flags blank or synthetic-flat images; extreme energy flags noise
+    * and moire — both are drop signals before vision training). The
+    * 3×3 Sobel kernels run on channel 0 over interior pixels in the
+    * executor right after the [[pixelStats]] decode path; energy =
+    * Σ|gx|+|gy| is an exact BIGINT. Sub-3×3 images legitimately emit
+    * zero interior pixels and zero energy (totality). The oracle
+    * recomputes every gradient from the generative raster formula —
+    * whose mod-256 wraps produce large legitimate gradients at wrap
+    * columns, so a hash-match proves the kernel really read the
+    * decoded neighbor bytes (the [[motionEnergy]] wrap argument). */
+  def edgeEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 0").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h) = pixelDims(id)
+          val png = MediaCodec.makePngWithPixels(
+            w, h, pixelRaster(id, w, h), y => ((id + y) % 5).toInt)
+          val img = MediaCodec.decodePngPixels(png).getOrElse(
+            sys.error(s"pixel decode failed for doc $id"))
+          def v(x: Int, y: Int): Int = img.bytes((y * w + x) * 4) & 0xff
+          var energy = 0L; var n = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = (v(x + 1, y - 1) + 2 * v(x + 1, y) + v(x + 1, y + 1)) -
+                (v(x - 1, y - 1) + 2 * v(x - 1, y) + v(x - 1, y + 1))
+              val gy = (v(x - 1, y + 1) + 2 * v(x, y + 1) + v(x + 1, y + 1)) -
+                (v(x - 1, y - 1) + 2 * v(x, y - 1) + v(x + 1, y - 1))
+              energy += math.abs(gx) + math.abs(gy)
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          EdgeEnergy(id, w, h, n, energy)
+        }
+      }
+    rows.toDF()
+      .selectExpr("doc_id", "width", "height", "n_interior", "energy",
+        "CASE WHEN n_interior > 0 THEN CAST(energy AS DOUBLE) / n_interior " +
+          "ELSE 0.0 END AS mean_energy")
+      .orderBy("doc_id")
+  }
+
+  /** Channel-0 value at (x, y) is (base + 31y + 28x) % 256; the nine
+    * kernel taps recompute it at each offset. */
+  val edgeEnergyOracle: String = {
+    def v(dx: Int, dy: Int): String =
+      s"(((i.doc_id % 251) + 31 * (g.y + ${dy}) + 28 * (g.x + ${dx})) % 256)"
+    val gx = s"((${v(1, -1)} + 2 * ${v(1, 0)} + ${v(1, 1)}) - " +
+      s"(${v(-1, -1)} + 2 * ${v(-1, 0)} + ${v(-1, 1)}))"
+    val gy = s"((${v(-1, 1)} + 2 * ${v(0, 1)} + ${v(1, 1)}) - " +
+      s"(${v(-1, -1)} + 2 * ${v(0, -1)} + ${v(1, -1)}))"
+    s"""WITH imgs AS (SELECT doc_id,
+           CAST(doc_id % 31 + 1 AS INTEGER) AS w,
+           CAST(doc_id % 17 + 1 AS INTEGER) AS h
+         FROM documents WHERE doc_id % 3 = 0),
+       grid AS (SELECT CAST(x.x AS BIGINT) AS x, CAST(y.y AS BIGINT) AS y
+         FROM range(1, 30) x(x), range(1, 16) y(y)),
+       px AS (SELECT i.doc_id, i.w, i.h,
+           abs($gx) + abs($gy) AS e
+         FROM imgs i JOIN grid g ON g.x < i.w - 1 AND g.y < i.h - 1)
+       SELECT i.doc_id, i.w AS width, i.h AS height,
+         CAST(coalesce(p.n, 0) AS BIGINT) AS n_interior,
+         CAST(coalesce(p.energy, 0) AS BIGINT) AS energy,
+         CASE WHEN coalesce(p.n, 0) > 0
+           THEN CAST(p.energy AS DOUBLE) / p.n ELSE 0.0 END AS mean_energy
+       FROM imgs i LEFT JOIN (SELECT doc_id, count(*) AS n,
+           sum(e) AS energy FROM px GROUP BY doc_id) p
+         ON i.doc_id = p.doc_id
+       ORDER BY i.doc_id"""
+  }
 }

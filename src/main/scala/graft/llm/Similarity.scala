@@ -1318,5 +1318,105 @@ object Similarity {
         FROM t_top t LEFT JOIN g_top g
           ON t.query_id = g.query_id AND t.vec_id = g.vec_id
         GROUP BY t.query_id ORDER BY t.query_id"""
-}
 
+  // ---- k-means|| oversampling seeding (Bahmani et al. 2012) ----
+
+  private val kppRounds = 3
+  private val kppOversample = 8
+
+  private def kppStr(e: String, d: Dialect): String = d match {
+    case SparkD => s"CAST($e AS STRING)"
+    case DuckD  => s"CAST($e AS VARCHAR)"
+  }
+
+  /** K-means|| seeding — the SCALE path for training the IVF coarse
+    * quantizer: sequential k-means++ needs k passes (useless on a
+    * cluster), k-means|| gets an O(log n)-competitive seed set in a
+    * FIXED number of passes by oversampling each round: every point
+    * joins the current candidate set (tiny, broadcast), computes its
+    * squared-L2 distance to the nearest candidate, and is selected
+    * with probability l·d²/φ — here made fully deterministic by
+    * drawing the "coin" from a per-(vector, round) md5 hash and
+    * testing it against the exact-integer threshold
+    * (l·d²_micro·10^6) DIV φ_micro, so both engines select the
+    * identical set and the oracle hash is exact. Selected candidates
+    * get their k-means++ WEIGHT (how many points they are nearest
+    * candidate for, ties to the smaller id) — the weighted instance a
+    * driver-side k-clustering finishes in milliseconds.
+    *
+    * Scale shape: per round one broadcast join (candidates ≤
+    * 1 + r·E[l] rows) + one map-side-combined φ total; the corpus
+    * shuffles ZERO times across all rounds. Candidate d² = 0 gives
+    * threshold 0, so re-selection is structurally impossible. */
+  def kmeansParallelSeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Checkpoints
+    val all = vecs(spark, dir).select("vec_id", "v")
+    // deterministic start: the minimum vec_id
+    var cands = all
+      .join(broadcast(all.agg(min("vec_id").as("m"))),
+        col("vec_id") === col("m"))
+      .selectExpr("CAST(0 AS INT) AS sel_round", "vec_id AS cand_id",
+        "v AS cv")
+      .transform(Checkpoints.cut)
+    for (r <- 1 to kppRounds) {
+      val d2 = all.join(broadcast(cands))
+        .selectExpr("vec_id", "v",
+          s"${l2sqRange("v", "cv", 0, embeddingDims, SparkD)} AS d2")
+        .groupBy("vec_id").agg(min("d2").as("d2"), first("v").as("v"))
+        .selectExpr("vec_id", "v",
+          "CAST(round(d2 * 1e6) AS BIGINT) AS d2_micro")
+      val phi = d2.agg(sum("d2_micro").as("phi"))
+      val picked = d2.join(broadcast(phi))
+        .selectExpr("vec_id", "v", "d2_micro", "phi",
+          s"${hexPrefix32(s"md5(concat(${kppStr("vec_id", SparkD)}, ':kpp$r'))")} % 1000000 AS coin")
+        .filter(s"phi > 0 AND coin < ($kppOversample * d2_micro * 1000000) DIV phi")
+        .selectExpr(s"CAST($r AS INT) AS sel_round", "vec_id AS cand_id",
+          "v AS cv")
+      cands = cands.unionByName(picked).transform(Checkpoints.cutRound(_, r))
+    }
+    // k-means++ weights: each point votes for its nearest candidate
+    val votes = all.join(broadcast(cands))
+      .selectExpr("vec_id", "cand_id",
+        s"${l2sqRange("v", "cv", 0, embeddingDims, SparkD)} AS d2")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cand_id"))))
+      .filter("rk = 1")
+      .groupBy("cand_id").agg(count(lit(1)).as("weight"))
+    cands.select("sel_round", "cand_id")
+      .join(votes, Seq("cand_id"), "left_outer")
+      .selectExpr("sel_round", "cand_id",
+        "CAST(coalesce(weight, 0) AS BIGINT) AS weight")
+      .orderBy("sel_round", "cand_id")
+  }
+
+  val kmeansParallelSeedOracle: String = {
+    val d = DuckD
+    val rounds = (1 to kppRounds).map { r =>
+      s"""d2_$r AS (SELECT e.vec_id, e.v,
+            CAST(round(min(${l2sqRange("e.v", "c.cv", 0, embeddingDims, d)}) * 1e6) AS BIGINT) AS d2_micro
+          FROM e CROSS JOIN cands_${r - 1} c GROUP BY e.vec_id, e.v),
+        phi_$r AS (SELECT CAST(sum(d2_micro) AS BIGINT) AS phi FROM d2_$r),
+        picked_$r AS (SELECT $r AS sel_round, vec_id AS cand_id, v AS cv
+          FROM d2_$r, phi_$r
+          WHERE phi > 0 AND
+            ${hexPrefix32(s"md5(concat(${kppStr("vec_id", d)}, ':kpp$r'))")} % 1000000
+              < ${intDiv(s"($kppOversample * d2_micro * 1000000)", "phi", d)}),
+        cands_$r AS (SELECT * FROM cands_${r - 1}
+          UNION ALL SELECT * FROM picked_$r)"""
+    }.mkString(",\n        ")
+    s"""WITH ${vecsCte(d)},
+        cands_0 AS (SELECT 0 AS sel_round, vec_id AS cand_id, v AS cv
+          FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+        $rounds,
+        votes AS (SELECT cand_id, count(*) AS weight FROM (
+          SELECT e.vec_id, c.cand_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${l2sqRange("e.v", "c.cv", 0, embeddingDims, d)}, c.cand_id) AS rk
+          FROM e CROSS JOIN cands_$kppRounds c) a
+          WHERE rk = 1 GROUP BY cand_id)
+        SELECT c.sel_round, c.cand_id,
+          CAST(coalesce(v.weight, 0) AS BIGINT) AS weight
+        FROM cands_$kppRounds c LEFT JOIN votes v ON c.cand_id = v.cand_id
+        ORDER BY c.sel_round, c.cand_id"""
+  }
+}
