@@ -137,6 +137,7 @@ object SparkEntry {
     "text_ttr_by_length" -> ((s, d) => TextAnalysis.ttrByLength(s, d)),
     "text_token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
     "text_unigram_viterbi" -> ((s, d) => graft.llm.LanguageModel.unigramViterbi(s, d)),
+    "text_unigram_em_step" -> ((s, d) => graft.llm.LanguageModel.unigramEmStep(s, d)),
     "events_range_window" -> ((s, d) => EventsStream.rangeWindowSum(s, d)),
     "events_type_pivot" -> ((s, d) => EventsStream.eventTypePivot(s, d)),
     "orders_cube" -> ((s, d) => Extras.ordersCube(s, d)),
@@ -468,6 +469,7 @@ object SparkEntry {
     "text_ttr_by_length" -> TextAnalysis.ttrByLengthOracle,
     "text_token_fertility" -> TextAnalysis.tokenFertilityOracle,
     "text_unigram_viterbi" -> graft.llm.LanguageModel.unigramViterbiOracle,
+    "text_unigram_em_step" -> graft.llm.LanguageModel.unigramEmStepOracle,
     "events_range_window" -> EventsStream.rangeWindowSumOracle,
     "events_type_pivot" -> EventsStream.eventTypePivotOracle,
     "orders_cube" -> Extras.ordersCubeOracle,

@@ -526,15 +526,20 @@ object LanguageModel {
     * scores differ by ≥ 64 after scaling and the piece count ≤ 16
     * can never flip an order; both engines unpack with the same
     * truncated-% arithmetic on negative values). */
-  def unigramViterbi(spark: SparkSession, dir: String): DataFrame = {
+  private def uniTypes(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Checkpoints
-    val types = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(explode(expr(words("lower(text)", SparkD))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wf"))
       .filter(s"length(word) BETWEEN 1 AND $uniMaxLen")
       .selectExpr("word", "wf", "CAST(length(word) AS INT) AS len")
       .transform(Checkpoints.cut)
-    // piece vocabulary: frequency-weighted substring counts
+  }
+
+  /** Piece vocabulary with counts AND nano log-probs (see
+    * [[unigramViterbi]] doc for the seeding rule). */
+  private def uniVocab(types: DataFrame): DataFrame = {
+    import graft.ops.Checkpoints
     val occ = types
       .selectExpr("word", "wf", "len",
         "explode(sequence(1, len)) AS pos")
@@ -545,12 +550,20 @@ object LanguageModel {
       .filter("piece IS NOT NULL")
     val counts = occ.groupBy("piece").agg(sum("wf").as("cnt"))
       .filter(s"cnt >= $uniMinCount OR length(piece) = 1")
-    val vocab = counts
+    counts
       .join(broadcast(counts.agg(sum("cnt").as("tot"))))
-      .selectExpr("piece",
+      .selectExpr("piece", "cnt",
         "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e9) AS BIGINT) AS lnp_nano")
       .transform(Checkpoints.cut)
-    // Viterbi rounds: packed(i) from packed(i-1..i-4)
+  }
+
+  /** Forward Viterbi DP (see [[unigramViterbi]]); the result carries
+    * best_final plus per-position ARGMAX columns al1..al16 (smallest
+    * piece length achieving the max at each position — the backtrack
+    * pointers, so [[unigramEmStep]] never touches the vocabulary
+    * again). */
+  private def uniForward(types: DataFrame, vocab: DataFrame): DataFrame = {
+    import graft.ops.Checkpoints
     var dp = types.selectExpr("word", "wf", "len",
       "CAST(0 AS BIGINT) AS pm1", "CAST(NULL AS BIGINT) AS pm2",
       "CAST(NULL AS BIGINT) AS pm3", "CAST(NULL AS BIGINT) AS pm4",
@@ -569,13 +582,25 @@ object LanguageModel {
       val best = if (terms.size == 1) terms.head
         else s"greatest(${terms.mkString(", ")})"
       val newp = s"CASE WHEN $i <= len THEN $best END"
-      dp = r.selectExpr("word", "wf", "len",
+      val argl = "CASE WHEN " + ls.map(l =>
+        s"${terms(ls.indexOf(l))} = ($best) THEN $l").mkString(" WHEN ") +
+        " END"
+      val keepAl = (1 until i).map(j => s"al$j")
+      dp = r.selectExpr(Seq("word", "wf", "len",
         s"$newp AS pm1", "pm1 AS pm2", "pm2 AS pm3", "pm3 AS pm4",
-        s"CASE WHEN $i = len THEN $newp ELSE best_final END AS best_final")
+        s"CASE WHEN $i = len THEN $newp ELSE best_final END AS best_final",
+        s"CASE WHEN $i <= len THEN CAST(($argl) AS INT) END AS al$i")
+        ++ keepAl: _*)
         .transform(Checkpoints.cutRound(_, i))
     }
-    dp.selectExpr("word", "wf", "len", "best_final",
-      "CAST(-(best_final % 64) AS INT) AS n_pieces")
+    dp
+  }
+
+  def unigramViterbi(spark: SparkSession, dir: String): DataFrame = {
+    val types = uniTypes(spark, dir)
+    uniForward(types, uniVocab(types))
+      .selectExpr("word", "wf", "len", "best_final",
+        "CAST(-(best_final % 64) AS INT) AS n_pieces")
       .selectExpr("word", "wf", "len", "n_pieces",
         "(best_final + n_pieces) DIV 64 AS score_nano",
         "CAST(len AS DOUBLE) / n_pieces AS chars_per_piece")
@@ -627,5 +652,129 @@ object LanguageModel {
           (best_final + (-(best_final % 64))) // 64 AS score_nano,
           CAST(len AS DOUBLE) / (-(best_final % 64)) AS chars_per_piece
         FROM dp$uniMaxLen ORDER BY word"""
+  }
+
+  /** One hard-EM (Viterbi-EM) training step for the unigram LM — the
+    * E-step segments every word type by [[uniForward]]'s DP, the
+    * backtrack reads the stored per-position ARGMAX-length pointers
+    * (al1..al16), and the M-step recounts pieces under the chosen
+    * segmentations, frequency-weighted. This is the iteration
+    * SentencePiece training runs (segment → recount → reprune);
+    * emitting old vs new log-probs per piece makes the probability
+    * mass movement — toward pieces the Viterbi paths actually use —
+    * directly inspectable and hash-checkable.
+    *
+    * The backtrack is the interesting plan shape: because the forward
+    * pass stored argmax POINTERS, backtracking is [[uniMaxLen]] pure
+    * column projections — pos_k = pos_{k-1} − al[pos_{k-1}], piece_k
+    * = substr(word, ...) — with NO joins and NO vocabulary lookups;
+    * the only shuffles in the whole step are the two vocabulary-grain
+    * aggregates. Unused pieces keep a row (em_count 0, new_lnp NULL)
+    * so pruning candidates are visible. */
+  def unigramEmStep(spark: SparkSession, dir: String): DataFrame = {
+    val types = uniTypes(spark, dir)
+    val vocab = uniVocab(types)
+    var bt = uniForward(types, vocab)
+      .withColumn("pos_0", col("len"))
+    val alArr = (1 to uniMaxLen).map(j => s"al$j").mkString("array(", ", ", ")")
+    for (k <- 1 to uniMaxLen) {
+      bt = bt
+        .withColumn(s"l_$k", expr(
+          s"CASE WHEN pos_${k - 1} > 0 THEN " +
+            s"element_at($alArr, CAST(pos_${k - 1} AS INT)) END"))
+        .withColumn(s"piece_$k", expr(
+          s"CASE WHEN pos_${k - 1} > 0 THEN " +
+            s"substr(word, pos_${k - 1} - l_$k + 1, l_$k) END"))
+        .withColumn(s"pos_$k", expr(
+          s"CASE WHEN pos_${k - 1} > 0 THEN pos_${k - 1} - l_$k ELSE 0 END"))
+    }
+    val pieceArr = (1 to uniMaxLen).map(k => s"piece_$k")
+      .mkString("array(", ", ", ")")
+    val used = bt
+      .selectExpr("wf", s"explode($pieceArr) AS piece")
+      .filter("piece IS NOT NULL")
+      .groupBy("piece").agg(sum("wf").as("em_count"))
+    val total = used.agg(sum("em_count").as("em_tot"))
+    vocab
+      .join(used, Seq("piece"), "left_outer")
+      .join(broadcast(total))
+      .selectExpr("piece", "cnt AS seed_count", "lnp_nano AS seed_lnp_nano",
+        "CAST(coalesce(em_count, 0) AS BIGINT) AS em_count",
+        "CASE WHEN coalesce(em_count, 0) > 0 THEN " +
+          "CAST(round(ln(CAST(em_count AS DOUBLE) / CAST(em_tot AS DOUBLE)) * 1e9) AS BIGINT) " +
+          "END AS em_lnp_nano")
+      .orderBy("piece")
+  }
+
+  val unigramEmStepOracle: String = {
+    // forward CTEs with argmax-length columns
+    val rounds = (1 to uniMaxLen).map { i =>
+      val ls = (1 to uniMaxPiece).filter(_ <= i)
+      val joins = ls.map(l =>
+        s"LEFT JOIN vocab v$l ON v$l.piece = substr(d.word, ${i - l + 1}, $l)")
+        .mkString(" ")
+      val terms = ls.map(l =>
+        s"coalesce(d.pm$l + 64 * v$l.lnp_nano - 1, CAST($uniSentinel AS BIGINT))")
+      val best = if (terms.size == 1) terms.head
+        else s"greatest(${terms.mkString(", ")})"
+      val argl = "CASE WHEN " + ls.zipWithIndex.map { case (l, ix) =>
+        s"${terms(ix)} = ($best) THEN $l" }.mkString(" WHEN ") + " END"
+      val keepAl = (1 until i).map(j => s"d.al$j").mkString(", ")
+      val keepAlSel = if (i == 1) "" else s", $keepAl"
+      s"""dpe$i AS (SELECT d.word, d.wf, d.len,
+          CASE WHEN $i <= d.len THEN $best END AS pm1,
+          d.pm1 AS pm2, d.pm2 AS pm3, d.pm3 AS pm4,
+          CASE WHEN $i <= d.len THEN CAST(($argl) AS INT) END AS al$i$keepAlSel
+        FROM dpe${i - 1} d $joins)"""
+    }.mkString(",\n        ")
+    // backtrack CTEs: pure projections off the al columns
+    val alList = (1 to uniMaxLen).map(j => s"al$j").mkString("list_value(", ", ", ")")
+    val btRounds = (1 to uniMaxLen).map { k =>
+      s"""bt$k AS (SELECT *,
+          CASE WHEN pos_${k - 1} > 0
+            THEN $alList[CAST(pos_${k - 1} AS INT)] END AS l_$k,
+          CASE WHEN pos_${k - 1} > 0
+            THEN substr(word, CAST(pos_${k - 1} AS INT) - $alList[CAST(pos_${k - 1} AS INT)] + 1,
+                        $alList[CAST(pos_${k - 1} AS INT)]) END AS piece_$k,
+          CASE WHEN pos_${k - 1} > 0
+            THEN pos_${k - 1} - $alList[CAST(pos_${k - 1} AS INT)] ELSE 0 END AS pos_$k
+        FROM bt${k - 1})"""
+    }.mkString(",\n        ")
+    val pieceList = (1 to uniMaxLen).map(k => s"piece_$k")
+      .mkString("list_value(", ", ", ")")
+    s"""WITH wt AS (
+          SELECT word, count(*) AS wf, CAST(length(word) AS INT) AS len
+          FROM (SELECT unnest(${words("lower(text)", DuckD)}) AS word
+                FROM documents)
+          GROUP BY word HAVING length(word) BETWEEN 1 AND $uniMaxLen),
+        occ AS (${(1 to uniMaxPiece).map(l =>
+          s"""SELECT wf, substr(word, CAST(p.p AS INT) + 1, $l) AS piece
+          FROM wt, range(0, $uniMaxLen) p(p)
+          WHERE p.p + $l <= len""").mkString("\n          UNION ALL ")}),
+        counts AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt FROM occ
+          GROUP BY piece
+          HAVING sum(wf) >= $uniMinCount OR length(piece) = 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM counts),
+        vocab AS (SELECT piece, cnt,
+            CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e9) AS BIGINT) AS lnp_nano
+          FROM counts, tot),
+        dpe0 AS (SELECT word, wf, len,
+          CAST(0 AS BIGINT) AS pm1, CAST(NULL AS BIGINT) AS pm2,
+          CAST(NULL AS BIGINT) AS pm3, CAST(NULL AS BIGINT) AS pm4 FROM wt),
+        $rounds,
+        bt0 AS (SELECT *, len AS pos_0 FROM dpe$uniMaxLen),
+        $btRounds,
+        used AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS em_count FROM (
+            SELECT wf, unnest($pieceList) AS piece FROM bt$uniMaxLen) u
+          WHERE piece IS NOT NULL GROUP BY piece),
+        em_tot AS (SELECT CAST(sum(em_count) AS BIGINT) AS em_tot FROM used)
+        SELECT v.piece, v.cnt AS seed_count, v.lnp_nano AS seed_lnp_nano,
+          CAST(coalesce(u.em_count, 0) AS BIGINT) AS em_count,
+          CASE WHEN coalesce(u.em_count, 0) > 0 THEN
+            CAST(round(ln(CAST(u.em_count AS DOUBLE) / CAST(t.em_tot AS DOUBLE)) * 1e9) AS BIGINT)
+            END AS em_lnp_nano
+        FROM vocab v LEFT JOIN used u ON v.piece = u.piece
+        CROSS JOIN em_tot t
+        ORDER BY v.piece"""
   }
 }

@@ -63,4 +63,26 @@ class UnigramViterbiSpec extends SparkSpec {
       assert(pieces >= 1 && pieces <= w.length)
     }
   }
+
+  test("EM-step backtrack conserves character and piece mass exactly") {
+    val viterbi = LanguageModel.unigramViterbi(spark, sfTiny)
+      .selectExpr("word", "wf", "len", "n_pieces")
+      .as[(String, Long, Int, Int)].collect()
+    val em = LanguageModel.unigramEmStep(spark, sfTiny)
+      .selectExpr("piece", "em_count", "seed_count")
+      .as[(String, Long, Long)].collect()
+    // every occurrence of every word is segmented: character mass in
+    // equals character mass out of the backtrack
+    val charsIn = viterbi.map(v => v._2 * v._3).sum
+    val charsOut = em.map(e => e._2 * e._1.length).sum
+    assert(charsOut == charsIn, "character mass must survive segmentation")
+    // and the piece totals equal the Viterbi piece counts, weighted
+    val piecesIn = viterbi.map(v => v._2 * v._4).sum
+    val piecesOut = em.map(_._2).sum
+    assert(piecesOut == piecesIn, "piece mass must match the DP counts")
+    // the EM recount concentrates: used pieces are a strict subset of
+    // the seed vocabulary and at least one piece loses all its mass
+    assert(em.count(_._2 > 0) > 0)
+    assert(em.count(_._2 == 0) > 0, "some seed pieces must go unused")
+  }
 }
