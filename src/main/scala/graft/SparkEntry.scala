@@ -234,6 +234,9 @@ object SparkEntry {
     "multimodal_flac_stats" -> ((s, d) => Multimodal.flacStats(s, d)),
     "multimodal_edge_energy" -> ((s, d) => Multimodal.edgeEnergy(s, d)),
     "ann_kmeanspp_seed" -> ((s, d) => Similarity.kmeansParallelSeed(s, d)),
+    "embedding_label_silhouette" -> ((s, d) => Similarity.labelSilhouette(s, d)),
+    "customers_rfm_segments" -> ((s, d) => Analytics.customerRfm(s, d)),
+    "lineitem_mahalanobis_outliers" -> ((s, d) => Analytics.lineitemMahalanobis(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
     "table_profile_approx_audit" ->
       ((s, d) => graft.ops.Profile.tableProfileApproxAudit(s, d)),
@@ -634,6 +637,9 @@ object SparkEntry {
     "multimodal_flac_stats" -> Multimodal.flacStatsOracle,
     "multimodal_edge_energy" -> Multimodal.edgeEnergyOracle,
     "ann_kmeanspp_seed" -> Similarity.kmeansParallelSeedOracle,
+    "embedding_label_silhouette" -> Similarity.labelSilhouetteOracle,
+    "customers_rfm_segments" -> Analytics.customerRfmOracle,
+    "lineitem_mahalanobis_outliers" -> Analytics.lineitemMahalanobisOracle,
     "multimodal_video_stats" -> Multimodal.videoStatsOracle,
     "events_windowed_agg" -> EventsStream.hourlyAggBatchOracle,
     "events_hourly_anomaly" -> EventsStream.hourlyAnomalyOracle,

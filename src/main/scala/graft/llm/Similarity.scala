@@ -1419,4 +1419,77 @@ object Similarity {
         FROM cands_$kppRounds c LEFT JOIN votes v ON c.cand_id = v.cand_id
         ORDER BY c.sel_round, c.cand_id"""
   }
+
+  // ---- simplified silhouette over the label partition ----
+
+  /** Simplified silhouette score per label — the cluster-quality
+    * readout (Rousseeuw 1987, centroid form): for each vector,
+    * a = distance to its OWN label centroid, b = distance to the
+    * nearest OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; a label
+    * whose members sit closer to a foreign centroid than their own
+    * (s ≤ 0) is mislabeled or unseparated — the dataset-diagnosis
+    * twin of [[labelOutliers]]' per-vector ranking. The centroid form
+    * is THE scalable silhouette: true silhouette is all-pairs O(n²),
+    * this is one broadcast join against the label-grain centroid
+    * relation (exact quantized-integer means, the [[labelOutliers]]
+    * machinery) and one map-side-combined rollup. Per-vector scores
+    * nano-quantize before the per-label BIGINT sum, so the mean is
+    * order-independent under any partitioning. */
+  def labelSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr("CAST(round(x * 10000000) AS BIGINT)")).as("qs"))
+      .selectExpr("label AS clabel", "dim",
+        "qs / CAST(10000000 AS DOUBLE) / n_members AS mean_x")
+      .groupBy("clabel")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(dim, mean_x))), s -> s.mean_x)")
+        .as("cv"))
+    val scored = e.join(broadcast(cent))
+      .selectExpr("vec_id", "label", "clabel",
+        s"sqrt(${l2sqRange("v", "cv", 0, embeddingDims, SparkD)}) AS dist")
+      .groupBy("vec_id", "label")
+      .agg(min(expr("CASE WHEN clabel = label THEN dist END")).as("a"),
+        min(expr("CASE WHEN clabel <> label THEN dist END")).as("b"))
+      .selectExpr("vec_id", "label",
+        "CASE WHEN greatest(a, b) > 0 THEN " +
+          "CAST(round((b - a) / greatest(a, b) * 1e9) AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END AS s_nano")
+    scored.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"), sum("s_nano").as("s_sum"),
+        sum(expr("CASE WHEN s_nano > 0 THEN 1 ELSE 0 END")).as("n_positive"))
+      .selectExpr("label", "n_vectors",
+        "CAST(s_sum AS DOUBLE) / n_vectors / 1e9 AS mean_silhouette",
+        "CAST(n_positive AS BIGINT) AS n_positive")
+      .orderBy("label")
+  }
+
+  val labelSilhouetteOracle: String =
+    s"""WITH ${vecsCte(DuckD)},
+        cent_u AS (SELECT e.label AS clabel, d.dim, count(*) AS n_members,
+            sum(CAST(round(e.v[d.dim + 1] * 10000000) AS BIGINT)) AS qs
+          FROM e CROSS JOIN range(0, $embeddingDims) d(dim)
+          GROUP BY e.label, d.dim),
+        cent AS (SELECT clabel,
+            list(qs / CAST(10000000 AS DOUBLE) / n_members ORDER BY dim) AS cv
+          FROM cent_u GROUP BY clabel),
+        ab AS (SELECT e.vec_id, e.label,
+            min(CASE WHEN c.clabel = e.label THEN
+              sqrt(${l2sqRange("e.v", "c.cv", 0, embeddingDims, DuckD)}) END) AS a,
+            min(CASE WHEN c.clabel <> e.label THEN
+              sqrt(${l2sqRange("e.v", "c.cv", 0, embeddingDims, DuckD)}) END) AS b
+          FROM e CROSS JOIN cent c GROUP BY e.vec_id, e.label),
+        sc AS (SELECT vec_id, label,
+            CASE WHEN greatest(a, b) > 0 THEN
+              CAST(round((b - a) / greatest(a, b) * 1e9) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS s_nano
+          FROM ab)
+        SELECT label, count(*) AS n_vectors,
+          CAST(sum(s_nano) AS DOUBLE) / count(*) / 1e9 AS mean_silhouette,
+          CAST(sum(CASE WHEN s_nano > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_positive
+        FROM sc GROUP BY label ORDER BY label"""
 }

@@ -1619,4 +1619,157 @@ object Analytics {
                 (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z
        FROM u"""
 
+
+  // ---- RFM customer segmentation ----
+
+  /** RFM (recency / frequency / monetary) segmentation — the
+    * warehouse-classic customer scoring every CRM export runs:
+    * quintile each dimension with ntile(5) (5 = best), label the
+    * canonical segments from the score triple. Determinism: every
+    * ntile window carries a custkey tie-break so bucket boundaries
+    * are identical in both engines (ntile's first-(n mod 5)-buckets-
+    * get-one-extra rule is standard SQL); recency anchors to the
+    * CORPUS max order date (broadcast one-row) so the query is a pure
+    * function of the data, not of the wall clock. Covers customers
+    * WITH orders (an RFM score for a never-ordered customer is
+    * undefined on every axis). One groupBy + three windows over the
+    * customer grain. */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.io.Tables.table(spark, dir, "orders")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS od",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
+      .groupBy("o_custkey")
+      .agg(max("od").as("last_order"), count(lit(1)).as("n_orders"),
+        sum("price_c").as("monetary_c"))
+    val anchored = base
+      .join(broadcast(base.agg(max("last_order").as("anchor"))))
+      .selectExpr("o_custkey AS custkey",
+        "datediff(anchor, last_order) AS recency_days",
+        "n_orders", "monetary_c")
+    anchored
+      .withColumn("r_score", ntile(5).over(Window.orderBy(
+        desc("recency_days"), asc("custkey"))))
+      .withColumn("f_score", ntile(5).over(Window.orderBy(
+        asc("n_orders"), asc("custkey"))))
+      .withColumn("m_score", ntile(5).over(Window.orderBy(
+        asc("monetary_c"), asc("custkey"))))
+      .selectExpr("custkey", "recency_days", "n_orders",
+        "CAST(monetary_c AS DOUBLE) / 100.0 AS monetary",
+        "r_score", "f_score", "m_score",
+        """CASE
+             WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champion'
+             WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+             WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
+             WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_returning'
+             ELSE 'regular' END AS segment""")
+      .orderBy("custkey")
+  }
+
+  val customerRfmOracle: String =
+    """WITH base AS (SELECT o_custkey,
+          max(CAST(o_orderdate AS DATE)) AS last_order,
+          count(*) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS monetary_c
+        FROM orders GROUP BY o_custkey),
+       anch AS (SELECT max(last_order) AS anchor FROM base),
+       rfm AS (SELECT o_custkey AS custkey,
+          datediff('day', last_order, anchor) AS recency_days,
+          n_orders, monetary_c FROM base, anch),
+       scored AS (SELECT *,
+          ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+          ntile(5) OVER (ORDER BY n_orders, custkey) AS f_score,
+          ntile(5) OVER (ORDER BY monetary_c, custkey) AS m_score
+        FROM rfm)
+       SELECT custkey, CAST(recency_days AS INTEGER) AS recency_days,
+         n_orders, CAST(monetary_c AS DOUBLE) / 100.0 AS monetary,
+         r_score, f_score, m_score,
+         CASE
+           WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+             THEN 'champion'
+           WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+           WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
+           WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_returning'
+           ELSE 'regular' END AS segment
+       FROM scored ORDER BY custkey"""
+
+  // ---- Mahalanobis outlier screen ----
+
+  /** Top-20 bivariate Mahalanobis outliers over (quantity, price) —
+    * the covariance-aware anomaly screen (a point can be ordinary on
+    * each axis yet wildly off the joint distribution; Euclidean
+    * z-scores miss exactly those). One pass collects the six exact
+    * moments (second moments in DECIMAL(38,0)/HUGEINT — cents squared
+    * overflow BIGINT at corpus scale), the 2×2 covariance inverts in
+    * closed form, and each row's distance is ONE fixed IEEE tree over
+    * exact-integer deviations (dx = x·n − Σx stays BIGINT), nano-
+    * quantized before the rank (the n² factors in numerator and
+    * determinant cancel, so the ratio IS true d² — a first cut
+    * scaled by 1e-9 instead of 1e9 crushed every distance to zero
+    * and the "top-20" degenerated to key order). Top-k via
+    * TakeOrderedAndProject on (d², orderkey, linenumber, qty, price)
+    * — (orderkey, linenumber) alone is NOT unique in this fixture,
+    * the salesTransactions lesson. */
+  def lineitemMahalanobis(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.io.Tables.lineitem(spark, dir).selectExpr(
+      "l_orderkey", "l_linenumber",
+      "CAST(round(l_quantity * 100) AS BIGINT) AS x",
+      "CAST(round(l_extendedprice * 100) AS BIGINT) AS y")
+    val dec = "DECIMAL(38,0)"
+    val m = q.agg(
+      expr("CAST(count(1) AS BIGINT)").as("n"),
+      expr("CAST(sum(x) AS BIGINT)").as("sx"),
+      expr("CAST(sum(y) AS BIGINT)").as("sy"),
+      expr(s"sum(CAST(x AS $dec) * x)").as("sxx"),
+      expr(s"sum(CAST(y AS $dec) * y)").as("syy"),
+      expr(s"sum(CAST(x AS $dec) * y)").as("sxy"))
+      .selectExpr("n", "sx", "sy",
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS cxx",
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS cyy",
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy AS cxy")
+    q.join(broadcast(m))
+      .selectExpr("l_orderkey", "l_linenumber", "x", "y",
+        "CAST(x * n - sx AS DOUBLE) AS dx",
+        "CAST(y * n - sy AS DOUBLE) AS dy",
+        "cxx", "cyy", "cxy")
+      .selectExpr("l_orderkey", "l_linenumber", "x", "y",
+        "CAST(round((dx * dx * cyy - 2 * dx * dy * cxy + dy * dy * cxx) " +
+          "/ (cxx * cyy - cxy * cxy) * 1e9) AS BIGINT) AS d2_nano")
+      .orderBy(desc("d2_nano"), asc("l_orderkey"), asc("l_linenumber"),
+        asc("x"), asc("y"))
+      .limit(20)
+      .selectExpr("l_orderkey", "l_linenumber",
+        "CAST(x AS DOUBLE) / 100.0 AS quantity",
+        "CAST(y AS DOUBLE) / 100.0 AS price", "d2_nano")
+  }
+
+  val lineitemMahalanobisOracle: String =
+    """WITH q AS (SELECT l_orderkey, l_linenumber,
+          CAST(round(l_quantity * 100) AS BIGINT) AS x,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          sum(CAST(x AS HUGEINT) * x) AS sxx,
+          sum(CAST(y AS HUGEINT) * y) AS syy,
+          sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM q),
+       c AS (SELECT n, sx, sy,
+          CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS cxx,
+          CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS cyy,
+          CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy AS cxy
+        FROM m),
+       scored AS (SELECT q.l_orderkey, q.l_linenumber, q.x, q.y,
+          CAST(round((CAST(q.x * c.n - c.sx AS DOUBLE) * CAST(q.x * c.n - c.sx AS DOUBLE) * c.cyy
+            - 2 * CAST(q.x * c.n - c.sx AS DOUBLE) * CAST(q.y * c.n - c.sy AS DOUBLE) * c.cxy
+            + CAST(q.y * c.n - c.sy AS DOUBLE) * CAST(q.y * c.n - c.sy AS DOUBLE) * c.cxx)
+            / (c.cxx * c.cyy - c.cxy * c.cxy) * 1e9) AS BIGINT) AS d2_nano
+        FROM q, c)
+       SELECT l_orderkey, l_linenumber,
+         CAST(x AS DOUBLE) / 100.0 AS quantity,
+         CAST(y AS DOUBLE) / 100.0 AS price, d2_nano
+       FROM scored
+       ORDER BY d2_nano DESC, l_orderkey, l_linenumber, x, y LIMIT 20"""
 }
