@@ -235,6 +235,8 @@ object SparkEntry {
     "multimodal_edge_energy" -> ((s, d) => Multimodal.edgeEnergy(s, d)),
     "ann_kmeanspp_seed" -> ((s, d) => Similarity.kmeansParallelSeed(s, d)),
     "embedding_label_silhouette" -> ((s, d) => Similarity.labelSilhouette(s, d)),
+    "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
+    "text_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
     "customers_rfm_segments" -> ((s, d) => Analytics.customerRfm(s, d)),
     "lineitem_mahalanobis_outliers" -> ((s, d) => Analytics.lineitemMahalanobis(s, d)),
     "table_profile" -> ((s, d) => graft.ops.Profile.tableProfile(s, d)),
@@ -638,6 +640,8 @@ object SparkEntry {
     "multimodal_edge_energy" -> Multimodal.edgeEnergyOracle,
     "ann_kmeanspp_seed" -> Similarity.kmeansParallelSeedOracle,
     "embedding_label_silhouette" -> Similarity.labelSilhouetteOracle,
+    "ann_filtered_topk" -> Similarity.filteredTopKOracle,
+    "text_zipf_slope" -> TextAnalysis.zipfSlopeOracle,
     "customers_rfm_segments" -> Analytics.customerRfmOracle,
     "lineitem_mahalanobis_outliers" -> Analytics.lineitemMahalanobisOracle,
     "multimodal_video_stats" -> Multimodal.videoStatsOracle,

@@ -1492,4 +1492,50 @@ object Similarity {
           CAST(sum(CASE WHEN s_nano > 0 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_positive
         FROM sc GROUP BY label ORDER BY label"""
+
+  // ---- filtered (attribute-constrained) vector search ----
+
+  /** Filtered ANN — top-k under a metadata predicate (here: candidate
+    * label must be even), the vector-database feature every RAG stack
+    * asks for next ("nearest neighbors WHERE source = X AND date >
+    * Y"). The load-bearing decision is WHERE the filter runs: this
+    * plan PRE-filters — the predicate lands on the candidate scan
+    * before any distance math, so cost scales with the filtered
+    * corpus and recall is exact-by-construction over the admissible
+    * set. The alternative (post-filtering a top-k′ of the unfiltered
+    * index) silently under-returns when the filter is selective —
+    * k′ must grow like k/selectivity, which is the documented
+    * production trade for IVF/graph tiers (probe wider or maintain
+    * per-attribute partitions; this fixture's brute tier needs
+    * neither). Same broadcast-queries shape as [[cosineTopK]]. */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm")
+    val admissible = all.filter("label % 2 = 0")
+    val scored = admissible
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id", "label",
+        s"${cosineWithNorms("qv", "v", "qnrm", "nrm", SparkD)} AS cosine")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "label", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val filteredTopKOracle: String =
+    s"""WITH ${vecsCte(DuckD)},
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+              WHERE vec_id < $nQueries),
+        scored AS (SELECT q.query_id, e.vec_id, e.label,
+            ${cosineWithNorms("q.qv", "e.v", "q.qnrm", "e.nrm", DuckD)} AS cosine
+          FROM e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id AND e.label % 2 = 0),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, label, rank, cosine
+        FROM ranked WHERE rank <= $topK
+        ORDER BY query_id, rank"""
 }

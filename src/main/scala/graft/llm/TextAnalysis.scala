@@ -1454,4 +1454,72 @@ object TextAnalysis {
           CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_ws) AS BIGINT)
             AS tokens_per_word
         FROM base GROUP BY lang ORDER BY lang"""
+
+  // ---- Zipf rank-frequency law fit ----
+
+  /** Zipf's-law fit over the term rank-frequency curve: OLS slope of
+    * ln(freq) on ln(rank) across the full vocabulary — natural text
+    * sits near −1, and large deviations flag synthetic, templated, or
+    * heavily-duplicated corpora (this fixture's tiny fixed word pool
+    * reads as a plateau, slope ≈ −0.3 — exactly the anomaly the
+    * diagnostic exists to catch). Completes the lexical-statistics
+    * pair with the Heaps-law TTR readout ([[ttrByLength]]).
+    *
+    * Exactness: ranks are exact (tf desc, term tie-break); both ln()
+    * values nano-quantize immediately (the [[dsirWeights]] ln
+    * discipline), moments of nano products go through DECIMAL(38,0)/
+    * HUGEINT, and the slope/intercept emerge from one fixed IEEE
+    * tree, nano-quantized. Vocabulary-grain throughout — corpus
+    * touched once by the term count. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "DECIMAL(38,0)"
+    val ranked = Tables.documents(spark, dir)
+      .select(explode(expr(words("lower(text)", SparkD))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("tf"), asc("term"))))
+      .selectExpr(
+        "CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT) AS lx",
+        "CAST(round(ln(CAST(tf AS DOUBLE)) * 1e9) AS BIGINT) AS ly")
+    ranked.agg(
+      expr("CAST(count(1) AS BIGINT)").as("n"),
+      expr("CAST(sum(lx) AS BIGINT)").as("sx"),
+      expr("CAST(sum(ly) AS BIGINT)").as("sy"),
+      expr(s"sum(CAST(lx AS $dec) * lx)").as("sxx"),
+      expr(s"sum(CAST(lx AS $dec) * ly)").as("sxy"))
+      .selectExpr("n",
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS cxx",
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy AS cxy",
+        "CAST(sx AS DOUBLE) AS sxd", "CAST(sy AS DOUBLE) AS syd")
+      .selectExpr("n", "cxy / cxx AS slope", "cxx", "sxd", "syd")
+      .selectExpr("n",
+        "CAST(round(slope * 1e9) AS BIGINT) AS slope_nano",
+        "CAST(round((syd - slope * sxd) / n) AS BIGINT) AS intercept_nano")
+  }
+
+  val zipfSlopeOracle: String =
+    s"""WITH v AS (SELECT term, count(*) AS tf FROM (
+            SELECT unnest(${words("lower(text)", DuckD)}) AS term
+            FROM documents) t
+          GROUP BY term),
+        ranked AS (SELECT
+            CAST(round(ln(CAST(row_number() OVER (ORDER BY tf DESC, term) AS DOUBLE)) * 1e9) AS BIGINT) AS lx,
+            CAST(round(ln(CAST(tf AS DOUBLE)) * 1e9) AS BIGINT) AS ly
+          FROM v),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+            sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+            sum(CAST(lx AS HUGEINT) * ly) AS sxy
+          FROM ranked),
+        c AS (SELECT n,
+            CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS cxx,
+            CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy AS cxy,
+            CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+          FROM m),
+        sl AS (SELECT n, cxy / cxx AS slope, cxx, sxd, syd FROM c)
+        SELECT n,
+          CAST(round(slope * 1e9) AS BIGINT) AS slope_nano,
+          CAST(round((syd - slope * sxd) / n) AS BIGINT) AS intercept_nano
+        FROM sl"""
 }
