@@ -1177,4 +1177,97 @@ object Multimodal {
          ON i.doc_id = p.doc_id
        ORDER BY i.doc_id"""
   }
+
+  // ---- Walsh-Hadamard spectral energy on the FLAC decode ----
+
+  case class WhtBand(doc_id: Long, channel: Int, band: Int, energy: Long)
+
+  /** Sequency-band energy via a 64-point Walsh–Hadamard transform on
+    * the first 64 samples of each REAL-decoded FLAC channel — the
+    * integer-exact stand-in for spectral analysis (audio fingerprints
+    * and band-energy QC use exactly this transform family): unlike a
+    * DFT there is no trigonometry, so every coefficient is an exact
+    * BIGINT in BOTH engines and the usual libm-divergence hazard
+    * never arises. The executor runs the fast butterfly
+    * (O(n log n), the production shape); the ORACLE computes every
+    * coefficient by the O(n²) direct form c_k = Σ x_n·(−1)^popcount(k&n)
+    * — a hash match therefore proves the butterfly IS the transform,
+    * on entropy-decoded bytes. Natural (Hadamard) coefficient order;
+    * bands are the dyadic octaves of k. */
+  def whtBandEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 2").as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val nInter = flacInterFrames(id); val ch = flacChannels(id)
+          val flac = FlacCodec.encode(
+            flacSignal(id, nInter * ch), ch,
+            (8000 + (id % 5) * 8000).toInt)
+          val dec = FlacCodec.decode(flac).getOrElse(
+            sys.error(s"flac decode failed for doc $id"))
+          (0 until ch).flatMap { c =>
+            val x = new Array[Long](64)
+            var i = 0
+            while (i < 64) { x(i) = dec.samples(i * ch + c).toLong; i += 1 }
+            // in-place fast WHT butterfly (natural order)
+            var len = 1
+            while (len < 64) {
+              var base = 0
+              while (base < 64) {
+                var j = base
+                while (j < base + len) {
+                  val a = x(j); val b = x(j + len)
+                  x(j) = a + b; x(j + len) = a - b
+                  j += 1
+                }
+                base += 2 * len
+              }
+              len *= 2
+            }
+            val bands = new Array[Long](7)
+            var k = 0
+            while (k < 64) {
+              val band =
+                if (k == 0) 0
+                else if (k == 1) 1
+                else if (k < 4) 2
+                else if (k < 8) 3
+                else if (k < 16) 4
+                else if (k < 32) 5
+                else 6
+              bands(band) += x(k) * x(k)
+              k += 1
+            }
+            (0 until 7).map(b => WhtBand(id, c, b, bands(b)))
+          }
+        }
+      }
+    rows.toDF().orderBy("doc_id", "channel", "band")
+  }
+
+  /** Direct-form oracle: sign(k, n) = 1 − 2·(popcount(k AND n) mod 2),
+    * samples from the generative FLAC signal formula. */
+  val whtBandEnergyOracle: String =
+    """WITH auds AS (SELECT doc_id,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels
+         FROM documents WHERE doc_id % 3 = 2),
+       sm AS (SELECT a.doc_id, CAST(c.c AS INTEGER) AS channel,
+           CAST(n.n AS INTEGER) AS n,
+           ((a.doc_id % 241) + (n.n * a.channels + c.c) * 6007) % 65536
+             - 32768 AS x
+         FROM auds a, range(0, 64) n(n), range(0, 2) c(c)
+         WHERE c.c < a.channels),
+       coeffs AS (SELECT s.doc_id, s.channel, CAST(k.k AS INTEGER) AS k,
+           CAST(sum(s.x * (1 - 2 * (bit_count(CAST(k.k AS BIGINT) & s.n) % 2))) AS BIGINT) AS ck
+         FROM sm s, range(0, 64) k(k)
+         GROUP BY s.doc_id, s.channel, k.k)
+       SELECT doc_id, channel,
+         CASE WHEN k = 0 THEN 0 WHEN k = 1 THEN 1 WHEN k < 4 THEN 2
+              WHEN k < 8 THEN 3 WHEN k < 16 THEN 4 WHEN k < 32 THEN 5
+              ELSE 6 END AS band,
+         CAST(sum(ck * ck) AS BIGINT) AS energy
+       FROM coeffs
+       GROUP BY doc_id, channel, band
+       ORDER BY doc_id, channel, band"""
 }
