@@ -777,4 +777,60 @@ object LanguageModel {
         CROSS JOIN em_tot t
         ORDER BY v.piece"""
   }
+
+  /** Three-way tokenizer comparison per document — whitespace words,
+    * BPE-style regex pre-tokens, and the trained unigram-LM
+    * segmentation — with chars-per-token for each: the head-to-head
+    * readout a tokenizer decision actually needs (compression rate
+    * by tokenizer, per doc, so quality filters can also flag docs
+    * that compress anomalously under ANY tokenizer). The unigram
+    * count rides the word-TYPE grain: [[unigramViterbi]]'s per-type
+    * piece counts join the corpus word stream once — the corpus is
+    * never re-segmented (the [[bpeEncode]] types-then-join shape). */
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val typePieces = unigramViterbi(spark, dir)
+      .select(col("word"), col("n_pieces").cast("long").as("np"))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(words("lower(text)", SparkD))).as("word"))
+      .join(typePieces, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ws"), sum("np").as("n_unigram"))
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n_chars",
+        s"CAST(${reCount("text", TextAnalysis.bpeReFor(SparkD), SparkD)} AS BIGINT) AS n_bpe")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "n_chars", "n_bpe",
+        "CAST(coalesce(n_ws, 0) AS BIGINT) AS n_ws",
+        "CAST(coalesce(n_unigram, 0) AS BIGINT) AS n_unigram")
+      .selectExpr("doc_id", "n_chars", "n_ws", "n_bpe", "n_unigram",
+        "CASE WHEN n_bpe > 0 THEN CAST(n_chars AS DOUBLE) / n_bpe " +
+          "ELSE 0.0 END AS chars_per_bpe",
+        "CASE WHEN n_unigram > 0 THEN CAST(n_chars AS DOUBLE) / n_unigram " +
+          "ELSE 0.0 END AS chars_per_unigram")
+      .orderBy("doc_id")
+  }
+
+  val tokenizerCompareOracle: String =
+    s"""WITH uni AS (
+          SELECT word, CAST(n_pieces AS BIGINT) AS np
+          FROM ($unigramViterbiOracle) u),
+        toks AS (SELECT doc_id, unnest(${words("lower(text)", DuckD)}) AS word
+          FROM documents),
+        per_doc AS (SELECT t.doc_id, count(*) AS n_ws,
+            CAST(sum(u.np) AS BIGINT) AS n_unigram
+          FROM toks t JOIN uni u ON t.word = u.word
+          GROUP BY t.doc_id)
+        SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+          CAST(${reCount("text", TextAnalysis.bpeReFor(DuckD), DuckD)} AS BIGINT) AS n_bpe,
+          CAST(coalesce(p.n_ws, 0) AS BIGINT) AS n_ws,
+          CAST(coalesce(p.n_unigram, 0) AS BIGINT) AS n_unigram,
+          CASE WHEN ${reCount("text", TextAnalysis.bpeReFor(DuckD), DuckD)} > 0
+            THEN CAST(length(d.text) AS DOUBLE) / ${reCount("text", TextAnalysis.bpeReFor(DuckD), DuckD)}
+            ELSE 0.0 END AS chars_per_bpe,
+          CASE WHEN coalesce(p.n_unigram, 0) > 0
+            THEN CAST(length(d.text) AS DOUBLE) / p.n_unigram
+            ELSE 0.0 END AS chars_per_unigram
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id"""
 }

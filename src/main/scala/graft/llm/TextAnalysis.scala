@@ -187,6 +187,9 @@ object TextAnalysis {
     * is the pre-token count a byte-level BPE would feed its merges.
     * The apostrophe is escaped per SQL dialect (backslash vs doubled
     * quote); backslashes per the [[re]] rule. */
+  /** [[LanguageModel.tokenizerCompare]] shares the pre-token regex. */
+  private[llm] def bpeReFor(d: Dialect): String = bpeRe(d)
+
   private def bpeRe(d: Dialect): String = d match {
     case SparkD =>
       "\\'(?:s|t|re|ve|m|ll|d)| ?[\\\\p{L}]+| ?[\\\\p{N}]+| ?[^\\\\s\\\\p{L}\\\\p{N}]+"
