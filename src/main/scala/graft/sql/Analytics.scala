@@ -1772,4 +1772,85 @@ object Analytics {
          CAST(y AS DOUBLE) / 100.0 AS price, d2_nano
        FROM scored
        ORDER BY d2_nano DESC, l_orderkey, l_linenumber, x, y LIMIT 20"""
+
+  // ---- winsorized robust statistics ----
+
+  /** Winsorized mean/sd of extended price (clamp at the exact p1/p99
+    * order statistics, then exact moments of the clamped cents) — the
+    * robust-statistics answer to a heavy-tailed money column, where a
+    * handful of jumbo orders drag the raw mean. The percentile
+    * machinery is the scale-correct one: counts collapse to the VALUE
+    * grain, a bucket-grain prefix (the [[graft.llm.Curation]]
+    * chopBoundaries two-phase scan: per-bucket totals, bucket-grain
+    * cumulative, broadcast offsets, within-bucket window) yields
+    * exact cumulative ranks with NO single-partition global window,
+    * and the thresholds are the smallest values whose cumulative
+    * count reaches ⌈0.01·n⌉ / ⌈0.99·n⌉ — exact integer arithmetic
+    * end to end. Clamped second moments ride DECIMAL(38,0)/HUGEINT;
+    * readouts quantize once. */
+  def lineitemWinsorized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "DECIMAL(38,0)"
+    val q = graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) AS v")
+    val vals = q.groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("bucket", expr("v DIV 100000"))
+    val bucketTot = vals.groupBy("bucket").agg(sum("c").as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bucket", "off")
+    val cum = vals.join(broadcast(bucketTot), Seq("bucket"))
+      .withColumn("cum", col("off") + sum("c").over(
+        Window.partitionBy("bucket").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val n = q.agg(count(lit(1)).as("n"))
+    val thresholds = cum.join(broadcast(n))
+      .agg(
+        min(expr("CASE WHEN cum >= (n + 99) DIV 100 THEN v END")).as("lo"),
+        min(expr("CASE WHEN cum >= (99 * n + 99) DIV 100 THEN v END")).as("hi"))
+    q.join(broadcast(thresholds))
+      .selectExpr("v", "least(greatest(v, lo), hi) AS w", "lo", "hi")
+      .groupBy("lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        sum("v").as("sv"), sum("w").as("sw"),
+        expr(s"sum(CAST(w AS $dec) * w)").as("ssw"))
+      .selectExpr("n",
+        "CAST(lo AS DOUBLE) / 100.0 AS p1",
+        "CAST(hi AS DOUBLE) / 100.0 AS p99",
+        "CAST(round(CAST(sv AS DOUBLE) / n * 10) AS BIGINT) AS mean_raw_dmilli",
+        "CAST(round(CAST(sw AS DOUBLE) / n * 10) AS BIGINT) AS mean_wins_dmilli",
+        "CAST(round(sqrt((CAST(n AS DOUBLE) * CAST(ssw AS DOUBLE) " +
+          "- CAST(sw AS DOUBLE) * sw) / (CAST(n AS DOUBLE) * n)) * 10) " +
+          "AS BIGINT) AS sd_wins_dmilli")
+  }
+
+  val lineitemWinsorizedOracle: String =
+    """WITH q AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem),
+       vals AS (SELECT v, count(*) AS c FROM q GROUP BY v),
+       cum_t AS (SELECT v, c,
+          sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+         FROM vals),
+       nn AS (SELECT count(*) AS n FROM q),
+       th AS (SELECT
+          min(CASE WHEN cum >= (n + 99) // 100 THEN v END) AS lo,
+          min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS hi
+         FROM cum_t, nn),
+       cl AS (SELECT q.v, least(greatest(q.v, th.lo), th.hi) AS w,
+           th.lo, th.hi
+         FROM q, th),
+       m AS (SELECT lo, hi, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS sv, CAST(sum(w) AS BIGINT) AS sw,
+           sum(CAST(w AS HUGEINT) * w) AS ssw
+         FROM cl GROUP BY lo, hi)
+       SELECT n,
+         CAST(lo AS DOUBLE) / 100.0 AS p1,
+         CAST(hi AS DOUBLE) / 100.0 AS p99,
+         CAST(round(CAST(sv AS DOUBLE) / n * 10) AS BIGINT) AS mean_raw_dmilli,
+         CAST(round(CAST(sw AS DOUBLE) / n * 10) AS BIGINT) AS mean_wins_dmilli,
+         CAST(round(sqrt((CAST(n AS DOUBLE) * CAST(ssw AS DOUBLE)
+           - CAST(sw AS DOUBLE) * sw) / (CAST(n AS DOUBLE) * n)) * 10)
+           AS BIGINT) AS sd_wins_dmilli
+       FROM m"""
 }
