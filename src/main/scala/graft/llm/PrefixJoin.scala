@@ -225,4 +225,108 @@ object PrefixJoin {
           CAST(rank AS INTEGER) AS rank
         FROM rk_t WHERE rank <= $topK
         ORDER BY doc_id, rank"""
+
+  // ---- banded containment join (asymmetric near-dup) ----
+
+  // containment threshold 9/10 and the size band |big| <= 2 |small|
+  private val cNum = 9
+  private val cDen = 10
+
+  /** Asymmetric containment pairs, LOSSLESS within the band — closes
+    * the false-negative gap [[graft.llm.Dedup.containmentPairs]]
+    * documents (its candidates come from MinHash bands, and a true
+    * containment pair with low RESEMBLANCE may never share a band;
+    * these candidates come from the prefix lemma, so within the size
+    * band every qualifying pair is guaranteed found).
+    *
+    * C(A→B) = |A∩B|/|A| ≥ 9/10 with
+    * the size band |B| ≤ 2·|A|: the quote-plus-commentary duplicate
+    * Jaccard structurally misses (A ⊂ B with B twice A's size has
+    * Jaccard ≤ ½ — invisible at any symmetric threshold, yet exactly
+    * the expansion-dup a curation pass wants). The band is the SCALE
+    * CONTRACT, not a shortcut: unbounded containment search cannot
+    * bound the container's prefix (a token of A may sit anywhere in
+    * an arbitrarily large B), so the lossless self-join form exists
+    * only per size band — within it, overlap ≥ ⌈9·szA/10⌉ ≥
+    * ⌈9·szB/20⌉ gives BOTH sides a rarity-ordered prefix, and the
+    * classic prefix lemma (overlap ≥ o ⇒ the two (sz−o+1)-prefixes
+    * intersect) applies; outside it you build an inverted index
+    * (the [[graft.llm.LanguageModel.postingLists]] shape) and probe.
+    * Bigger bands = longer container prefixes, same plan. Verify is
+    * the exact merge-walk intersect; direction is size (tie: id).
+    * Top-200 by containment keeps the output bounded; the ordering
+    * is total. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(spark)
+    val docsArr = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        s"sort_array(${arrDistinct(words("lower(text)", SparkD), SparkD)}) AS toks")
+      .selectExpr("doc_id", "toks", "size(toks) AS sz")
+      .transform(graft.ops.Checkpoints.cut)
+    val toks = docsArr.select(col("doc_id"), col("sz"),
+      explode(col("toks")).as("tok"))
+    val dfT = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfT, Seq("tok"))
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY doc_id ORDER BY df, tok)"))
+      .transform(graft.ops.Checkpoints.cut)
+    // small side: overlap >= ceil(9 sz/10); big side (<= 2x small):
+    // overlap >= ceil(9 sz/20)
+    val prefS = ranked.filter(
+      expr(s"rk <= sz - (($cNum * sz + $cDen - 1) DIV $cDen) + 1"))
+    val prefB = ranked.filter(
+      expr(s"rk <= sz - (($cNum * sz + 2 * $cDen - 1) DIV (2 * $cDen)) + 1"))
+    val cand = prefS.selectExpr("doc_id AS doc_s", "tok", "sz AS sz_s")
+      .join(prefB.selectExpr("doc_id AS doc_b", "tok", "sz AS sz_b"),
+        Seq("tok"))
+      .filter("doc_s <> doc_b")
+      // orient: small ⊆ big by size then id; band |big| <= 2 |small|
+      .filter("(sz_s < sz_b OR (sz_s = sz_b AND doc_s < doc_b)) " +
+        "AND sz_b <= 2 * sz_s")
+      .select("doc_s", "doc_b").distinct()
+    cand
+      .join(docsArr.selectExpr(
+        "doc_id AS doc_s", "toks AS toks_s", "sz AS sz_s"), Seq("doc_s"))
+      .join(docsArr.selectExpr(
+        "doc_id AS doc_b", "toks AS toks_b", "sz AS sz_b"), Seq("doc_b"))
+      .selectExpr("doc_s AS contained_id", "doc_b AS container_id",
+        "CAST(graft_sorted_inter(toks_s, toks_b) AS BIGINT) AS inter",
+        "CAST(sz_s AS BIGINT) AS sz_small", "CAST(sz_b AS BIGINT) AS sz_big")
+      .filter(s"$cDen * inter >= $cNum * sz_small")
+      .selectExpr("contained_id", "container_id", "inter", "sz_small",
+        "sz_big",
+        "CAST(inter AS DOUBLE) / CAST(sz_small AS DOUBLE) AS containment")
+      .orderBy(desc("containment"), asc("contained_id"), asc("container_id"))
+      .limit(200)
+  }
+
+  val containmentPairsOracle: String =
+    s"""WITH docs_t AS (SELECT doc_id,
+          list_sort(${arrDistinct(words("lower(text)", DuckD), DuckD)}) AS toks
+        FROM documents),
+      docs_a AS (SELECT doc_id, toks, len(toks) AS sz FROM docs_t),
+      tk AS (SELECT doc_id, sz, unnest(toks) AS tok FROM docs_a),
+      dft AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+      rk_t AS (SELECT tk.doc_id, tk.sz, tk.tok,
+          row_number() OVER (PARTITION BY tk.doc_id ORDER BY dft.df, tk.tok) AS rk
+        FROM tk JOIN dft ON tk.tok = dft.tok),
+      pref_s AS (SELECT * FROM rk_t
+        WHERE rk <= sz - (($cNum * sz + $cDen - 1) // $cDen) + 1),
+      pref_b AS (SELECT * FROM rk_t
+        WHERE rk <= sz - (($cNum * sz + 2 * $cDen - 1) // (2 * $cDen)) + 1),
+      cand AS (SELECT DISTINCT s.doc_id AS doc_s, b.doc_id AS doc_b
+        FROM pref_s s JOIN pref_b b ON s.tok = b.tok
+        WHERE s.doc_id <> b.doc_id
+          AND (s.sz < b.sz OR (s.sz = b.sz AND s.doc_id < b.doc_id))
+          AND b.sz <= 2 * s.sz),
+      ver AS (SELECT c.doc_s AS contained_id, c.doc_b AS container_id,
+          CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+          CAST(a.sz AS BIGINT) AS sz_small, CAST(b.sz AS BIGINT) AS sz_big
+        FROM cand c
+        JOIN docs_a a ON c.doc_s = a.doc_id
+        JOIN docs_a b ON c.doc_b = b.doc_id)
+      SELECT contained_id, container_id, inter, sz_small, sz_big,
+        CAST(inter AS DOUBLE) / CAST(sz_small AS DOUBLE) AS containment
+      FROM ver WHERE $cDen * inter >= $cNum * sz_small
+      ORDER BY containment DESC, contained_id, container_id LIMIT 200"""
 }
