@@ -596,9 +596,18 @@ object LanguageModel {
     dp
   }
 
+  /** Forward DP shared by the three unigram consumers (viterbi, EM
+    * step, tokenizer compare) — session-cached like the other staged
+    * relations; Verify still measures the cold path (PlanCache is off
+    * there). */
+  private def uniForwardCached(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "uni_forward", dir) {
+      val types = uniTypes(spark, dir)
+      uniForward(types, uniVocab(types))
+    }
+
   def unigramViterbi(spark: SparkSession, dir: String): DataFrame = {
-    val types = uniTypes(spark, dir)
-    uniForward(types, uniVocab(types))
+    uniForwardCached(spark, dir)
       .selectExpr("word", "wf", "len", "best_final",
         "CAST(-(best_final % 64) AS INT) AS n_pieces")
       .selectExpr("word", "wf", "len", "n_pieces",
@@ -672,9 +681,8 @@ object LanguageModel {
     * aggregates. Unused pieces keep a row (em_count 0, new_lnp NULL)
     * so pruning candidates are visible. */
   def unigramEmStep(spark: SparkSession, dir: String): DataFrame = {
-    val types = uniTypes(spark, dir)
-    val vocab = uniVocab(types)
-    var bt = uniForward(types, vocab)
+    val vocab = uniVocab(uniTypes(spark, dir))
+    var bt = uniForwardCached(spark, dir)
       .withColumn("pos_0", col("len"))
     val alArr = (1 to uniMaxLen).map(j => s"al$j").mkString("array(", ", ", ")")
     for (k <- 1 to uniMaxLen) {
