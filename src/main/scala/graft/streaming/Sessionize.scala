@@ -195,52 +195,4 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onUser)
   }
-
-  // ---- native session_window form ----
-
-  /** The THIRD sessionization form: Spark's native session_window()
-    * grouping — the API a streaming job would use (it carries over to
-    * readStream unchanged, with merging-session state management for
-    * free). Semantics sharpened against the gaps-and-islands twin:
-    * session_window treats each event as [ts, ts+gap) and MERGES
-    * overlapping windows, so an event exactly gap after its
-    * predecessor starts a NEW session — the boundary rule is
-    * `delta >= gap`, one `=` different from [[sessionsBatch]]'s
-    * documented `delta > gap` convention, and the oracle encodes
-    * that difference. Window bounds are exact event micros (start =
-    * first event, end = last event + gap). */
-  def sessionsNative(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "events")
-      .selectExpr("user_id", "ts",
-        "CAST(round(value * 100) AS BIGINT) AS value_c")
-      .groupBy(col("user_id"),
-        session_window(col("ts"), s"$gapSeconds seconds").as("w"))
-      .agg(count(lit(1)).as("n_events"), sum("value_c").as("value_c"))
-      .selectExpr("user_id",
-        "unix_micros(CAST(w.start AS TIMESTAMP)) AS session_start_us",
-        "unix_micros(CAST(w.end AS TIMESTAMP)) AS session_end_us",
-        "n_events", "CAST(value_c AS DOUBLE) / 100.0 AS session_value")
-      .orderBy("user_id", "session_start_us")
-
-  val sessionsNativeOracle: String =
-    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
-          CAST(round(value * 100) AS BIGINT) AS value_c
-        FROM events),
-       lagged AS (SELECT *,
-          lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
-        FROM ev),
-       flags AS (SELECT *,
-          CASE WHEN prev_us IS NULL OR us - prev_us >= ${gapSeconds}000000
-            THEN 1 ELSE 0 END AS is_new
-        FROM lagged),
-       sess AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
-            ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
-        FROM flags)
-       SELECT user_id,
-         min(us) AS session_start_us,
-         max(us) + ${gapSeconds}000000 AS session_end_us,
-         count(*) AS n_events,
-         CAST(sum(value_c) AS DOUBLE) / 100.0 AS session_value
-       FROM sess GROUP BY user_id, sid
-       ORDER BY user_id, session_start_us"""
 }
