@@ -1126,54 +1126,71 @@ object Curation {
 
   // ---- content-addressed corpus manifest (Merkle fingerprint) ----
 
-  /** Two-level Merkle fingerprint of the corpus — the dataset-version
+  /** Three-level Merkle fingerprint of the corpus — the dataset-version
     * identity every reproducible training run records (the HuggingFace
     * datasets fingerprint / DVC content-hash idea): md5 leaf per
-    * document, per-shard hash over the SORTED leaf hashes, and a root
-    * hash over the sorted shard hashes. Sorting makes every level a
+    * document, per-BLOCK hash over the sorted leaves (8 blocks per
+    * shard), per-shard hash over its sorted block hashes, and a root
+    * over the sorted shard hashes. Sorting makes every level a
     * canonical SET fingerprint — immune to scan order, partitioning,
     * and shuffle nondeterminism, which is precisely what makes it
     * usable as an identity: same bytes in, same root out, on any
-    * cluster. A changed/added/dropped document flips its shard hash
-    * and the root; the 16 shard rows localize WHICH sixteenth of the
-    * corpus changed before any doc-level diff runs.
+    * cluster. A changed/added/dropped document flips its block, its
+    * shard, and the root; the 128 block rows localize WHICH 1/128th
+    * of the corpus changed before any doc-level diff runs.
     *
-    * Scale shape: leaves ride the scan; each shard's ordered
-    * concat+md5 is one string agg over n/16 rows. At 100 TB the
-    * concat string is the bottleneck — the fix is deepening the tree
-    * (block-grain md5 over ~1k leaves, then shard-over-blocks), which
-    * changes constants, not this plan's shape. */
+    * Scale shape: the block level is what bounds the string aggs —
+    * each ordered concat covers n/128 leaves, and deepening the tree
+    * (more levels, same three-line pattern) keeps every agg buffer
+    * at a chosen constant as the corpus grows; the upper levels
+    * aggregate HASHES, never documents. */
   def contentManifest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, expr, lit, sum}
-    val shards = Tables.documents(spark, dir)
-      .selectExpr("doc_id % 16 AS shard_id", "md5(text) AS leaf")
-      .groupBy("shard_id")
+    val blocks = Tables.documents(spark, dir)
+      .selectExpr("doc_id % 16 AS shard_id",
+        "(doc_id DIV 16) % 8 AS block_id", "md5(text) AS leaf")
+      .groupBy("shard_id", "block_id")
       .agg(count(lit(1)).as("n_docs"),
         expr("md5(array_join(sort_array(collect_list(leaf)), ''))")
+          .as("hash"))
+    val shards = blocks.groupBy("shard_id")
+      .agg(sum("n_docs").as("n_docs"),
+        expr("md5(array_join(sort_array(collect_list(hash)), ''))")
           .as("hash"))
     val root = shards
       .agg(sum("n_docs").as("n_docs"),
         expr("md5(array_join(sort_array(collect_list(hash)), ''))")
           .as("hash"))
       .selectExpr("'root' AS level", "CAST(-1 AS BIGINT) AS shard_id",
-        "n_docs", "hash")
-    shards
-      .selectExpr("'shard' AS level", "shard_id", "n_docs", "hash")
+        "CAST(-1 AS BIGINT) AS block_id", "n_docs", "hash")
+    blocks
+      .selectExpr("'block' AS level", "shard_id", "block_id", "n_docs",
+        "hash")
+      .unionByName(shards.selectExpr("'shard' AS level", "shard_id",
+        "CAST(-1 AS BIGINT) AS block_id", "n_docs", "hash"))
       .unionByName(root)
-      .orderBy("level", "shard_id")
+      .orderBy("level", "shard_id", "block_id")
   }
 
   val contentManifestOracle: String =
-    """WITH leaves AS (SELECT doc_id % 16 AS shard_id, md5(text) AS leaf
+    """WITH leaves AS (SELECT doc_id % 16 AS shard_id,
+          (doc_id // 16) % 8 AS block_id, md5(text) AS leaf
           FROM documents),
-        shards AS (SELECT shard_id, count(*) AS n_docs,
+        blocks AS (SELECT shard_id, block_id, count(*) AS n_docs,
             md5(string_agg(leaf, '' ORDER BY leaf)) AS hash
-          FROM leaves GROUP BY shard_id),
+          FROM leaves GROUP BY shard_id, block_id),
+        shards AS (SELECT shard_id, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+            md5(string_agg(hash, '' ORDER BY hash)) AS hash
+          FROM blocks GROUP BY shard_id),
         root AS (SELECT 'root' AS level, CAST(-1 AS BIGINT) AS shard_id,
+            CAST(-1 AS BIGINT) AS block_id,
             CAST(sum(n_docs) AS BIGINT) AS n_docs,
             md5(string_agg(hash, '' ORDER BY hash)) AS hash
           FROM shards)
-        SELECT 'shard' AS level, shard_id, n_docs, hash FROM shards
+        SELECT 'block' AS level, shard_id, block_id, n_docs, hash
+        FROM blocks
+        UNION ALL SELECT 'shard', shard_id, CAST(-1 AS BIGINT), n_docs, hash
+        FROM shards
         UNION ALL SELECT * FROM root
-        ORDER BY level, shard_id"""
+        ORDER BY level, shard_id, block_id"""
 }
