@@ -1193,4 +1193,90 @@ object Curation {
         FROM shards
         UNION ALL SELECT * FROM root
         ORDER BY level, shard_id, block_id"""
+
+  // ---- leakage-free cluster-atomic split ----
+
+  /** Cluster-atomic train/val/test split — the FIX whose need
+    * [[graft.llm.Spans.splitLeakage]] measures: hashing DOC ids
+    * scatters near-duplicate documents across splits (train/test
+    * leakage, benchmark inflation), so the split key must be the
+    * near-dup CLUSTER id — every cluster lands in exactly one split
+    * BY CONSTRUCTION. Emitted as a paired audit of both strategies:
+    * per (strategy, split) doc and touched-cluster counts, plus a
+    * SPANNING row per strategy counting clusters split across
+    * assignments — 0 for cluster_hash structurally, and the nonzero
+    * doc_hash number is precisely the leakage surface removed.
+    * Singletons (docs in no near-dup pair) are their own cluster
+    * (coalesce to doc_id, the [[graft.llm.Similarity.semanticClusters]]
+    * convention). The cluster relation is the session-cached
+    * propagation labels; everything else is one stack + two
+    * dim-bounded aggs. */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val labels = Tables.documents(spark, dir).select("doc_id")
+      .join(Dedup.dedupClusters(spark, dir)
+        .selectExpr("doc_id", "cluster_id AS cl"), Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "coalesce(cl, doc_id) AS cluster_id")
+    def splitOf(key: String): String =
+      s"""CASE WHEN (${hexPrefix32(s"md5(${castStr(key, SparkD)})")})
+            / CAST(4294967296 AS DOUBLE) < 0.8 THEN 'train'
+          WHEN (${hexPrefix32(s"md5(${castStr(key, SparkD)})")})
+            / CAST(4294967296 AS DOUBLE) < 0.9 THEN 'val'
+          ELSE 'test' END"""
+    val assigned = labels.selectExpr("doc_id", "cluster_id",
+      s"${splitOf("cluster_id")} AS split_cluster",
+      s"${splitOf("doc_id")} AS split_doc")
+      .selectExpr("doc_id", "cluster_id",
+        "stack(2, 'cluster_hash', split_cluster, 'doc_hash', split_doc) " +
+          "AS (strategy, split)")
+    val perSplit = assigned.groupBy("strategy", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster_id").as("n_clusters"))
+    val spanning = assigned.groupBy("strategy", "cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .groupBy("strategy")
+      .agg(sum(expr("CASE WHEN n_splits > 1 THEN 1 ELSE 0 END"))
+        .as("n_docs"),
+        count(lit(1)).as("n_clusters"))
+      .selectExpr("strategy", "'SPANNING' AS split",
+        "CAST(n_docs AS BIGINT) AS n_docs", "n_clusters")
+    perSplit.selectExpr("strategy", "split", "n_docs", "n_clusters")
+      .unionByName(spanning)
+      .orderBy("strategy", "split")
+  }
+
+  val clusterSplitOracle: String = {
+    def splitOf(key: String): String =
+      s"""CASE WHEN (${hexPrefix32(s"md5(${castStr(key, DuckD)})")})
+            / CAST(4294967296 AS DOUBLE) < 0.8 THEN 'train'
+          WHEN (${hexPrefix32(s"md5(${castStr(key, DuckD)})")})
+            / CAST(4294967296 AS DOUBLE) < 0.9 THEN 'val'
+          ELSE 'test' END"""
+    s"""WITH labels AS (SELECT d.doc_id,
+            coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d
+          LEFT JOIN (${Dedup.dedupClustersOracle}) c
+            ON d.doc_id = c.doc_id),
+        assigned AS (
+          SELECT doc_id, cluster_id, 'cluster_hash' AS strategy,
+            ${splitOf("cluster_id")} AS split FROM labels
+          UNION ALL
+          SELECT doc_id, cluster_id, 'doc_hash',
+            ${splitOf("doc_id")} FROM labels),
+        per_split AS (SELECT strategy, split, count(*) AS n_docs,
+            count(DISTINCT cluster_id) AS n_clusters
+          FROM assigned GROUP BY strategy, split),
+        spanning AS (SELECT strategy,
+            CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_docs,
+            count(*) AS n_clusters
+          FROM (SELECT strategy, cluster_id,
+                  count(DISTINCT split) AS n_splits
+                FROM assigned GROUP BY strategy, cluster_id) x
+          GROUP BY strategy)
+        SELECT strategy, split, n_docs, n_clusters FROM per_split
+        UNION ALL
+        SELECT strategy, 'SPANNING', n_docs, n_clusters FROM spanning
+        ORDER BY strategy, split"""
+  }
 }
