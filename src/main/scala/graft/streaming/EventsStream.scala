@@ -1208,4 +1208,89 @@ object EventsStream {
          CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
        FROM events GROUP BY user_id ORDER BY user_id"""
+
+  // ---- day-over-day distribution drift ----
+
+  /** Event-type distribution drift, day over day — the
+    * data-drift monitor a production pipeline runs on every ingest
+    * (upstream schema changes, bot floods, and logger bugs all show
+    * up as a type-mix shift before they show up anywhere else): per
+    * day, Pearson's chi-square of today's type counts against
+    * expected counts scaled from YESTERDAY's distribution, flagged at
+    * the 5% critical value for df=4 (9.488). Exactness discipline:
+    * each type's chi-square term is ONE fixed IEEE tree over exact
+    * integer counts — (c·n_prev − p·n_today)²/(p·n_today·n_prev) —
+    * quantized to micro BEFORE the cross-type sum (the ANOVA lesson:
+    * a float sum across groups is order-dependent), so the per-day
+    * statistic is an exact BIGINT sum and the flag an integer
+    * comparison. Day×type grain (calendar-bounded) at any event
+    * volume; types absent on either day contribute the p=0 guard. */
+  def typeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = daily.groupBy("day_s").agg(sum("c").as("n_day"))
+    val joined = daily
+      .join(totals, Seq("day_s"))
+      .selectExpr("day_s", "event_type", "c", "n_day",
+        "day_s - 86400 AS prev_day_s")
+      .join(daily.selectExpr("day_s AS pd", "event_type", "c AS p"),
+        Seq("event_type"), "left_outer")
+      .filter("pd IS NULL OR pd = prev_day_s")
+      .join(totals.selectExpr("day_s AS pt", "n_day AS n_prev"),
+        col("pt") === col("prev_day_s"), "left_outer")
+    joined
+      .selectExpr("day_s", "n_day", "n_prev",
+        """CASE WHEN p IS NULL OR p = 0 OR n_prev IS NULL THEN NULL
+           ELSE CAST(round(
+             (CAST(c AS DOUBLE) * n_prev - CAST(p AS DOUBLE) * n_day) *
+             (CAST(c AS DOUBLE) * n_prev - CAST(p AS DOUBLE) * n_day) /
+             (CAST(p AS DOUBLE) * n_day * n_prev) * 1e6) AS BIGINT)
+           END AS term_micro""")
+      .groupBy("day_s")
+      .agg(max("n_day").as("n_events"),
+        sum("term_micro").as("chi2_micro"),
+        count(lit(1)).as("n_types"),
+        sum(expr("CASE WHEN term_micro IS NULL THEN 1 ELSE 0 END"))
+          .as("n_unmatched"))
+      .filter("n_unmatched = 0") // first day / type gaps: no verdict
+      .selectExpr("day_s", "n_events", "chi2_micro",
+        "CAST(chi2_micro AS DOUBLE) / 1e6 AS chi2",
+        "CASE WHEN chi2_micro > 9488000 THEN 1 ELSE 0 END AS drift_flag")
+      .orderBy("day_s")
+  }
+
+  val typeDriftOracle: String =
+    """WITH daily AS (SELECT
+          CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+            AS day_s,
+          event_type, count(*) AS c
+        FROM events GROUP BY 1, 2),
+       totals AS (SELECT day_s, CAST(sum(c) AS BIGINT) AS n_day
+         FROM daily GROUP BY day_s),
+       j AS (SELECT d.day_s, d.event_type, d.c, t.n_day,
+           p.c AS p, pt.n_day AS n_prev
+         FROM daily d
+         JOIN totals t ON d.day_s = t.day_s
+         LEFT JOIN daily p ON p.event_type = d.event_type
+           AND p.day_s = d.day_s - 86400
+         LEFT JOIN totals pt ON pt.day_s = d.day_s - 86400),
+       terms AS (SELECT day_s, n_day,
+           CASE WHEN p IS NULL OR p = 0 OR n_prev IS NULL THEN NULL
+           ELSE CAST(round(
+             (CAST(c AS DOUBLE) * n_prev - CAST(p AS DOUBLE) * n_day) *
+             (CAST(c AS DOUBLE) * n_prev - CAST(p AS DOUBLE) * n_day) /
+             (CAST(p AS DOUBLE) * n_day * n_prev) * 1e6) AS BIGINT)
+           END AS term_micro
+         FROM j),
+       agg AS (SELECT day_s, max(n_day) AS n_events,
+           CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+           sum(CASE WHEN term_micro IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+         FROM terms GROUP BY day_s)
+       SELECT day_s, n_events, chi2_micro,
+         CAST(chi2_micro AS DOUBLE) / 1e6 AS chi2,
+         CASE WHEN chi2_micro > 9488000 THEN 1 ELSE 0 END AS drift_flag
+       FROM agg WHERE n_unmatched = 0
+       ORDER BY day_s"""
 }
