@@ -1231,15 +1231,16 @@ object EventsStream {
         col("event_type"))
       .agg(count(lit(1)).as("c"))
     val totals = daily.groupBy("day_s").agg(sum("c").as("n_day"))
+    // prev-day relations SHIFTED forward one day, so both lookups are
+    // plain equi-joins on (day, type) / (day) — a type absent
+    // yesterday surfaces as p IS NULL (the no-verdict guard), never as
+    // a silently dropped row, and nothing fans out across the calendar
     val joined = daily
       .join(totals, Seq("day_s"))
-      .selectExpr("day_s", "event_type", "c", "n_day",
-        "day_s - 86400 AS prev_day_s")
-      .join(daily.selectExpr("day_s AS pd", "event_type", "c AS p"),
-        Seq("event_type"), "left_outer")
-      .filter("pd IS NULL OR pd = prev_day_s")
-      .join(totals.selectExpr("day_s AS pt", "n_day AS n_prev"),
-        col("pt") === col("prev_day_s"), "left_outer")
+      .join(daily.selectExpr("day_s + 86400 AS day_s", "event_type",
+        "c AS p"), Seq("day_s", "event_type"), "left_outer")
+      .join(totals.selectExpr("day_s + 86400 AS day_s",
+        "n_day AS n_prev"), Seq("day_s"), "left_outer")
     joined
       .selectExpr("day_s", "n_day", "n_prev",
         """CASE WHEN p IS NULL OR p = 0 OR n_prev IS NULL THEN NULL
