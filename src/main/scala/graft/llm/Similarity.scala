@@ -1538,4 +1538,50 @@ object Similarity {
         SELECT query_id, vec_id, label, rank, cosine
         FROM ranked WHERE rank <= $topK
         ORDER BY query_id, rank"""
+
+  // ---- hard-negative mining for contrastive training ----
+
+  private val hardNegK = 50
+
+  /** Hard-negative mining — the contrastive-training data op: the
+    * corpus-wide top-[[hardNegK]] CROSS-LABEL pairs by cosine. Easy
+    * negatives (random cross-label pairs) teach an encoder nothing;
+    * the pairs that sit closest in embedding space while carrying
+    * different labels are exactly the ones a contrastive or triplet
+    * loss needs — and, dually, the first place to look for LABEL
+    * ERRORS (a 0.99-cosine cross-label pair is more often a
+    * mislabel than a hard negative, which is why the pair list is a
+    * curation artifact too, cf. [[labelOutliers]]).
+    *
+    * Candidates come from the same bounded-occupancy IVF-cell
+    * equi-join as [[knnGraph]] — never all pairs; the trade
+    * (cross-cell hard negatives are invisible) is the standard
+    * in-batch/-cell mining approximation, and widening it is probe
+    * multiplicity, not a plan change. Pairs are canonicalized
+    * (va < vb) BEFORE the top-k so each unordered pair appears
+    * once; ordering is total via the id tie-break. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val a = ivfAssigned(spark, dir)
+      .select("vec_id", "v", "nrm", "cell", "label")
+    val b = a.selectExpr("vec_id AS nbr_id", "v AS nv", "nrm AS nnrm",
+      "cell", "label AS nlabel")
+    a.join(b, Seq("cell"))
+      .filter(col("vec_id") < col("nbr_id") &&
+        col("label") =!= col("nlabel"))
+      .selectExpr("vec_id AS vec_a", "nbr_id AS vec_b",
+        "label AS label_a", "nlabel AS label_b", "cell",
+        s"${cosineWithNorms("v", "nv", "nrm", "nnrm", SparkD)} AS cosine")
+      .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
+      .limit(hardNegK)
+  }
+
+  val hardNegativesOracle: String =
+    s"""WITH ${ivfCte(DuckD)}
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          a.label AS label_a, b.label AS label_b, a.cell,
+          ${cosineWithNorms("a.v", "b.v", "a.nrm", "b.nrm", DuckD)} AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE a.label <> b.label
+        ORDER BY cosine DESC, vec_a, vec_b LIMIT $hardNegK"""
 }
