@@ -1633,7 +1633,16 @@ object Analytics {
     * function of the data, not of the wall clock. Covers customers
     * WITH orders (an RFM score for a never-ordered customer is
     * undefined on every axis). One groupBy + three windows over the
-    * customer grain. */
+    * customer grain.
+    *
+    * The three ntile windows are GLOBAL (no partition key) — the same
+    * dimension-grain global-window class as the vocabulary rank in
+    * [[graft.llm.TextAnalysis.vocabulary]]/[[graft.llm.TextAnalysis.zipfSlope]]:
+    * the window sorts the CUSTOMER DIMENSION, never a fact table, and
+    * a dimension that outgrows one partition's sort upgrades to the
+    * two-phase value-grain rank ([[lineitemWinsorized]]'s machinery)
+    * with the ntile boundary computed from the exact cumulative
+    * count — a constant-factor change, not a new plan. */
   def customerRfm(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = graft.io.Tables.table(spark, dir, "orders")
