@@ -1294,4 +1294,71 @@ object EventsStream {
          CASE WHEN chi2_micro > 9488000 THEN 1 ELSE 0 END AS drift_flag
        FROM agg WHERE n_unmatched = 0
        ORDER BY day_s"""
+
+  // ---- watermark lateness audit ----
+
+  /** Which events would a 1-hour watermark DROP — the batch-checkable
+    * audit of the streaming semantics the watermark specs pin: with
+    * arrival order = event_id (the fixture's ingestion order), the
+    * watermark after event k is max(event-time so far) − 1 h, and an
+    * event is late iff its own event time sits below the watermark
+    * already established on arrival. Reported per event-time day so
+    * an operator can see WHEN lateness clusters (backfills, clock
+    * skew, mobile uploads) and size the delay before turning on the
+    * real `withWatermark` drop.
+    *
+    * The running maximum over arrival order is the two-phase
+    * distributed prefix scan (the chopBoundaries discipline): 4096-id
+    * arrival buckets → per-bucket max → bucket-grain prefix max
+    * (bounded window) → broadcast → within-bucket running max; never
+    * a single-partition global window over the fact table. */
+  def watermarkLateness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lateUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .selectExpr("event_id", "ts",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "event_id DIV 4096 AS b")
+    val bucketMax = ev.groupBy("b").agg(max("us").as("bmax"))
+      .withColumn("prev_max", max("bmax").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("b", "prev_max")
+    ev.join(broadcast(bucketMax), Seq("b"))
+      .withColumn("run_max", greatest(
+        coalesce(col("prev_max"), lit(Long.MinValue)),
+        max("us").over(Window.partitionBy("b").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))))
+      .selectExpr(
+        "unix_timestamp(date_trunc('day', ts)) AS day_s",
+        s"CASE WHEN us < run_max - $lateUs THEN 1 ELSE 0 END AS is_late",
+        s"CASE WHEN us < run_max - $lateUs THEN run_max - $lateUs - us " +
+          "ELSE 0 END AS late_by_us")
+      .groupBy("day_s")
+      .agg(count(lit(1)).as("n_events"),
+        sum("is_late").cast("long").as("n_late"),
+        max("late_by_us").as("max_late_us"))
+      .selectExpr("day_s", "n_events", "n_late", "max_late_us",
+        "CAST(n_late AS DOUBLE) / n_events AS late_rate")
+      .orderBy("day_s")
+  }
+
+  val watermarkLatenessOracle: String =
+    """WITH ev AS (SELECT event_id,
+          CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+            AS day_s,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+       rm AS (SELECT *, max(us) OVER (ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) AS run_max
+         FROM ev),
+       f AS (SELECT day_s,
+           CASE WHEN us < run_max - 3600000000 THEN 1 ELSE 0 END AS is_late,
+           CASE WHEN us < run_max - 3600000000
+             THEN run_max - 3600000000 - us ELSE 0 END AS late_by_us
+         FROM rm)
+       SELECT day_s, count(*) AS n_events,
+         CAST(sum(is_late) AS BIGINT) AS n_late,
+         CAST(max(late_by_us) AS BIGINT) AS max_late_us,
+         CAST(sum(is_late) AS DOUBLE) / count(*) AS late_rate
+       FROM f GROUP BY day_s ORDER BY day_s"""
 }
