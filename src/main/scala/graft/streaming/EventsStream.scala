@@ -1312,10 +1312,17 @@ object EventsStream {
     * arrival buckets → per-bucket max → bucket-grain prefix max
     * (bounded window) → broadcast → within-bucket running max; never
     * a single-partition global window over the fact table. */
-  def watermarkLateness(spark: SparkSession, dir: String): DataFrame = {
+  def watermarkLateness(spark: SparkSession, dir: String): DataFrame =
+    watermarkLatenessOf(Tables.events(spark, dir).select("event_id", "ts"))
+
+  /** Core audit over any (event_id, ts) relation — split out so the
+    * spec can drive the LATE branch with crafted out-of-order arrivals
+    * (the fixture ingests in time order, so its late count is the
+    * honest zero and the drop path needs synthetic disorder). */
+  private[graft] def watermarkLatenessOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lateUs = 3600L * 1000000L
-    val ev = Tables.events(spark, dir)
+    val ev = events
       .selectExpr("event_id", "ts",
         "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
         "event_id DIV 4096 AS b")
