@@ -680,10 +680,11 @@ object LanguageModel {
     * the only shuffles in the whole step are the two vocabulary-grain
     * aggregates. Unused pieces keep a row (em_count 0, new_lnp NULL)
     * so pruning candidates are visible. */
-  def unigramEmStep(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = uniVocab(uniTypes(spark, dir))
-    var bt = uniForwardCached(spark, dir)
-      .withColumn("pos_0", col("len"))
+  /** Backtracked per-piece Viterbi counts (piece, em_count) off a
+    * forward DP result — shared by [[unigramEmStep]] and
+    * [[unigramPruneIter]]. */
+  private def emUsedCounts(forward: DataFrame): DataFrame = {
+    var bt = forward.withColumn("pos_0", col("len"))
     val alArr = (1 to uniMaxLen).map(j => s"al$j").mkString("array(", ", ", ")")
     for (k <- 1 to uniMaxLen) {
       bt = bt
@@ -698,10 +699,14 @@ object LanguageModel {
     }
     val pieceArr = (1 to uniMaxLen).map(k => s"piece_$k")
       .mkString("array(", ", ", ")")
-    val used = bt
-      .selectExpr("wf", s"explode($pieceArr) AS piece")
+    bt.selectExpr("wf", s"explode($pieceArr) AS piece")
       .filter("piece IS NOT NULL")
       .groupBy("piece").agg(sum("wf").as("em_count"))
+  }
+
+  def unigramEmStep(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = uniVocab(uniTypes(spark, dir))
+    val used = emUsedCounts(uniForwardCached(spark, dir))
     val total = used.agg(sum("em_count").as("em_tot"))
     vocab
       .join(used, Seq("piece"), "left_outer")
@@ -841,4 +846,136 @@ object LanguageModel {
             ELSE 0.0 END AS chars_per_unigram
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         ORDER BY d.doc_id"""
+
+  /** One full prune-and-resegment iteration of unigram-LM training —
+    * the loop SentencePiece actually runs: seed vocab → Viterbi
+    * segment → recount on the chosen paths → PRUNE unused pieces and
+    * renormalize → re-segment under the new model. Emitted as a
+    * two-row likelihood card (stage, vocab size, used pieces, corpus
+    * log-likelihood in exact nano-BIGINTs): the EM stage's LL is
+    * guaranteed ≥ the seed stage's — recounting on fixed
+    * segmentations is the ML estimate for those paths (Gibbs), and
+    * re-segmenting under the new model can only improve further —
+    * and the spec pins that inequality. All heavy state stays at the
+    * word-type / vocabulary grain; the corpus is touched once. */
+  def unigramPruneIter(spark: SparkSession, dir: String): DataFrame = {
+    val types = uniTypes(spark, dir)
+    val vocab1 = uniVocab(types)
+    val fwd1 = uniForwardCached(spark, dir)
+    val used = emUsedCounts(fwd1)
+    val vocab2 = used
+      .join(broadcast(used.agg(sum("em_count").as("emt"))))
+      .selectExpr("piece",
+        "CAST(round(ln(CAST(em_count AS DOUBLE) / CAST(emt AS DOUBLE)) * 1e9) AS BIGINT) AS lnp_nano")
+      .transform(graft.ops.Checkpoints.cut)
+    val fwd2 = uniForward(types, vocab2)
+    def ll(fwd: DataFrame, stage: String, nVocab: DataFrame): DataFrame = {
+      val scored = fwd.selectExpr("wf",
+        "(best_final + (-(best_final % 64))) DIV 64 AS score_nano")
+        .agg(sum(expr("wf * score_nano")).as("corpus_ll_nano"),
+          count(lit(1)).as("n_words"))
+      scored.join(broadcast(nVocab.agg(count(lit(1)).as("n_vocab"))))
+        .selectExpr(s"'$stage' AS stage", "n_vocab", "n_words",
+          "corpus_ll_nano")
+    }
+    ll(fwd1, "seed", vocab1)
+      .unionByName(ll(fwd2, "pruned_em", vocab2))
+      .orderBy("stage")
+  }
+
+  /** Parameterized DuckDB DP chain (same structure as the Spark
+    * rounds): `prefix`0..`prefix`16 CTEs carrying best_final + the
+    * argmax columns, reading piece log-probs from `vocabName`. */
+  private def uniDpChainSql(prefix: String, vocabName: String): String =
+    (1 to uniMaxLen).map { i =>
+      val ls = (1 to uniMaxPiece).filter(_ <= i)
+      val joins = ls.map(l =>
+        s"LEFT JOIN $vocabName v$l ON v$l.piece = substr(d.word, ${i - l + 1}, $l)")
+        .mkString(" ")
+      val terms = ls.map(l =>
+        s"coalesce(d.pm$l + 64 * v$l.lnp_nano - 1, CAST($uniSentinel AS BIGINT))")
+      val best = if (terms.size == 1) terms.head
+        else s"greatest(${terms.mkString(", ")})"
+      val argl = "CASE WHEN " + ls.zipWithIndex.map { case (l, ix) =>
+        s"${terms(ix)} = ($best) THEN $l" }.mkString(" WHEN ") + " END"
+      val keepAl = (1 until i).map(j => s"d.al$j").mkString(", ")
+      val keepAlSel = if (i == 1) "" else s", $keepAl"
+      s"""$prefix$i AS (SELECT d.word, d.wf, d.len,
+          CASE WHEN $i <= d.len THEN $best END AS pm1,
+          d.pm1 AS pm2, d.pm2 AS pm3, d.pm3 AS pm4,
+          CASE WHEN $i = d.len
+            THEN CASE WHEN $i <= d.len THEN $best END
+            ELSE d.best_final END AS best_final,
+          CASE WHEN $i <= d.len THEN CAST(($argl) AS INT) END AS al$i$keepAlSel
+        FROM $prefix${i - 1} d $joins)"""
+    }.mkString(",\n        ")
+
+  private def uniDpBaseSql(prefix: String): String =
+    s"""${prefix}0 AS (SELECT word, wf, len,
+        CAST(0 AS BIGINT) AS pm1, CAST(NULL AS BIGINT) AS pm2,
+        CAST(NULL AS BIGINT) AS pm3, CAST(NULL AS BIGINT) AS pm4,
+        CAST(NULL AS BIGINT) AS best_final FROM wt)"""
+
+  private def uniBtChainSql(fromCte: String): String = {
+    val alList = (1 to uniMaxLen).map(j => s"al$j")
+      .mkString("list_value(", ", ", ")")
+    val rounds = (1 to uniMaxLen).map { k =>
+      s"""bt$k AS (SELECT *,
+          CASE WHEN pos_${k - 1} > 0
+            THEN substr(word, CAST(pos_${k - 1} AS INT) - $alList[CAST(pos_${k - 1} AS INT)] + 1,
+                        $alList[CAST(pos_${k - 1} AS INT)]) END AS piece_$k,
+          CASE WHEN pos_${k - 1} > 0
+            THEN pos_${k - 1} - $alList[CAST(pos_${k - 1} AS INT)] ELSE 0 END AS pos_$k
+        FROM bt${k - 1})"""
+    }.mkString(",\n        ")
+    s"""bt0 AS (SELECT *, len AS pos_0 FROM $fromCte),
+        $rounds"""
+  }
+
+  val unigramPruneIterOracle: String = {
+    val pieceList = (1 to uniMaxLen).map(k => s"piece_$k")
+      .mkString("list_value(", ", ", ")")
+    val llOf = (cte: String) =>
+      s"""SELECT CAST(sum(wf * ((best_final + (-(best_final % 64))) // 64)) AS BIGINT)
+            AS corpus_ll_nano, count(*) AS n_words
+          FROM $cte"""
+    s"""WITH wt AS MATERIALIZED (
+          SELECT word, count(*) AS wf, CAST(length(word) AS INT) AS len
+          FROM (SELECT unnest(${words("lower(text)", DuckD)}) AS word
+                FROM documents)
+          GROUP BY word HAVING length(word) BETWEEN 1 AND $uniMaxLen),
+        occ AS (${(1 to uniMaxPiece).map(l =>
+          s"""SELECT wf, substr(word, CAST(p.p AS INT) + 1, $l) AS piece
+          FROM wt, range(0, $uniMaxLen) p(p)
+          WHERE p.p + $l <= len""").mkString("\n          UNION ALL ")}),
+        counts AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt FROM occ
+          GROUP BY piece
+          HAVING sum(wf) >= $uniMinCount OR length(piece) = 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM counts),
+        vocab AS MATERIALIZED (SELECT piece,
+            CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e9) AS BIGINT) AS lnp_nano
+          FROM counts, tot),
+        ${uniDpBaseSql("dpe")},
+        ${uniDpChainSql("dpe", "vocab")},
+        ${uniBtChainSql(s"dpe$uniMaxLen")},
+        used AS MATERIALIZED (SELECT piece, CAST(sum(wf) AS BIGINT) AS em_count FROM (
+            SELECT wf, unnest($pieceList) AS piece FROM bt$uniMaxLen) u
+          WHERE piece IS NOT NULL GROUP BY piece),
+        em_tot AS (SELECT CAST(sum(em_count) AS BIGINT) AS emt FROM used),
+        vocab2 AS MATERIALIZED (SELECT piece,
+            CAST(round(ln(CAST(em_count AS DOUBLE) / CAST(emt AS DOUBLE)) * 1e9) AS BIGINT) AS lnp_nano
+          FROM used, em_tot),
+        ${uniDpBaseSql("dp2_")},
+        ${uniDpChainSql("dp2_", "vocab2")},
+        ll1 AS (${llOf(s"dpe$uniMaxLen")}),
+        ll2 AS (${llOf(s"dp2_$uniMaxLen")}),
+        nv1 AS (SELECT count(*) AS n_vocab FROM vocab),
+        nv2 AS (SELECT count(*) AS n_vocab FROM vocab2)
+        SELECT 'seed' AS stage, nv1.n_vocab, ll1.n_words, ll1.corpus_ll_nano
+        FROM ll1, nv1
+        UNION ALL
+        SELECT 'pruned_em', nv2.n_vocab, ll2.n_words, ll2.corpus_ll_nano
+        FROM ll2, nv2
+        ORDER BY stage"""
+  }
 }

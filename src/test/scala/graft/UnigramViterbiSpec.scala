@@ -85,4 +85,16 @@ class UnigramViterbiSpec extends SparkSpec {
     assert(em.count(_._2 > 0) > 0)
     assert(em.count(_._2 == 0) > 0, "some seed pieces must go unused")
   }
+
+  test("prune-and-resegment improves corpus likelihood (the hard-EM bound)") {
+    val rows = LanguageModel.unigramPruneIter(spark, sfTiny)
+      .selectExpr("stage", "n_vocab", "corpus_ll_nano")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val seed = rows("seed"); val em = rows("pruned_em")
+    // recounting on the chosen paths is their ML estimate (Gibbs), and
+    // re-segmenting under the new model can only improve further
+    assert(em._3 > seed._3, s"LL must improve: ${em._3} vs ${seed._3}")
+    assert(em._2 < seed._2, "pruning must shrink the vocabulary")
+    assert(em._2 > 0)
+  }
 }
