@@ -680,6 +680,72 @@ object Curation {
           CASE WHEN src_rank * 5 <= n_src THEN 1 ELSE 0 END AS top20_flag
         FROM r ORDER BY doc_id"""
 
+  // ---- CCNet-style perplexity bucketing ----
+
+  /** Per-source head/middle/tail thirds by the interpolated Kneser-Ney
+    * bigram score — the CCNet recipe (Wenzek et al. 2020): score every
+    * document with a small LM, bucket WITHIN each source by perplexity
+    * terciles (head = most-fluent third), and let downstream mixing
+    * draw from buckets instead of a global threshold (a global cut
+    * would empty whole sources purely because the LM's scale shifts by
+    * domain — the same drift the quality calibration fixes). Output is
+    * the (source × bucket) decision card: doc/char mass plus the
+    * bucket's score range (min/max are SELECTION ops on bit-identical
+    * doubles, so cross-engine exact).
+    *
+    * Tercile membership is integer cross-multiplication on exact
+    * ranks (rk·3 vs n_src), never a float percentile; ranks come from
+    * one source-partitioned window over the bit-reproducible KN score
+    * with doc_id tie-break — source is the established
+    * calibration/quota shuffle key, and the per-source window is the
+    * same scale shape those operators already carry. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val scores = graft.llm.LanguageModel.knBigramScore(spark, dir)
+      .select("doc_id", "avg_kn_prob")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+    val bySrc = Window.partitionBy("source")
+    val w = bySrc.orderBy(desc("avg_kn_prob"), asc("doc_id"))
+    docs.join(scores, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(bySrc))
+      .withColumn("bucket", expr(
+        """CASE WHEN rk * 3 <= n_src THEN 'head'
+                WHEN rk * 3 <= 2 * n_src THEN 'middle'
+                ELSE 'tail' END"""))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        min("avg_kn_prob").as("min_kn_prob"),
+        max("avg_kn_prob").as("max_kn_prob"))
+      .selectExpr("source", "bucket", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_chars AS BIGINT) AS n_chars", "min_kn_prob", "max_kn_prob")
+      .orderBy("source", "bucket")
+  }
+
+  val perplexityBucketsOracle: String =
+    s"""WITH scored AS (
+          SELECT d.doc_id, d.source, d.n_chars, k.avg_kn_prob
+          FROM documents d
+          JOIN (${graft.llm.LanguageModel.knBigramScoreOracle}) k
+            ON d.doc_id = k.doc_id),
+        r AS (SELECT *,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY avg_kn_prob DESC, doc_id) AS BIGINT) AS rk,
+            count(*) OVER (PARTITION BY source) AS n_src
+          FROM scored),
+        b AS (SELECT *,
+            CASE WHEN rk * 3 <= n_src THEN 'head'
+                 WHEN rk * 3 <= 2 * n_src THEN 'middle'
+                 ELSE 'tail' END AS bucket
+          FROM r)
+        SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS n_chars,
+          min(avg_kn_prob) AS min_kn_prob,
+          max(avg_kn_prob) AS max_kn_prob
+        FROM b GROUP BY source, bucket ORDER BY source, bucket"""
+
   // ---- concat-then-chop packing boundary table ----
 
   private val chopLens = Seq(512, 2048, 8192)

@@ -594,6 +594,131 @@ object Dedup {
     else labels
   }
 
+  // ---- connected components by alternating star contraction ----
+
+  /** One large-star step over a canonical (larger→smaller) edge set:
+    * every node attaches its strictly-larger neighbors to the minimum
+    * of its closed neighborhood. Input and output are canonical,
+    * self-loop-free, distinct. */
+  private def largeStarStep(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("mu"))
+    // v > u ≥ mu, so (v, mu) is already canonical and never a self-loop.
+    sym.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("mu").as("v"))
+      .distinct()
+  }
+
+  /** One small-star step: every node re-points its smaller neighbors
+    * (and itself) at the minimum of those neighbors. Canonical in,
+    * canonical out. */
+  private def smallStarStep(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("u").agg(min("v").as("mu"))
+    val moved = edges.join(mins, Seq("u"))
+      .filter(col("v") =!= col("mu"))
+      .select(col("v").as("u"), col("mu").as("v"))
+    val self = mins.select(col("u"), col("mu").as("v"))
+    moved.union(self).filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the second,
+    * algorithmically independent path to the same fixpoint as
+    * [[propagateLabels]], kept because its scale story is different:
+    * pointer-jumping propagation carries a LABEL table and compresses
+    * paths through it; star contraction rewrites the EDGE set itself
+    * and converges in O(log n) rounds with edge-set size monotonically
+    * bounded by the input — no label table at all, so a graph whose
+    * edge relation dwarfs its node relation (the near-dup graph of a
+    * boilerplate-heavy crawl) iterates over shrinking state instead of
+    * joining a static edge set every round.
+    *
+    * Round shape: each star step is one map-side-combined min-agg and
+    * one equi-join on the node key, then a distinct — three shuffles,
+    * all on node keys, nothing collected, nothing broadcast. A hub
+    * node's degree-sized row group hits the min-agg (collapsed
+    * map-side) and the join (AQE skew-split territory, same reasoning
+    * as the pointer-jump's per-round hot set). Lineage is cut per
+    * round ([[graft.ops.Checkpoints]] — reliable on a cluster with
+    * `spark.graft.checkpointDir` set).
+    *
+    * Convergence: the edge set is fingerprinted per round with
+    * (count, xor of xxhash64(u,v)) — equal fingerprints end the loop
+    * (a 2⁻⁶⁴ collision check, not a proof), and the final labeling is
+    * then AUDITED for the property that makes it a fixpoint: label
+    * composed with label must be the identity (label-of-label join,
+    * zero mismatches) — a wrong early stop fails loudly rather than
+    * returning a non-fixpoint labeling. */
+  private[graft] def contractComponents(pairs: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    val base = pairs.toDF("a", "b").filter(col("a") =!= col("b"))
+    var edges = base
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+      .transform(graft.ops.Checkpoints.cut)
+    val allNodes = base.select(col("a").as("doc_id"))
+      .union(base.select(col("b").as("doc_id")))
+      .distinct()
+      .transform(graft.ops.Checkpoints.cut)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // xor-fold, not sum: the edge relation is distinct() so a set
+      // fingerprint suffices, and xor can't hit ANSI BIGINT overflow.
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = fingerprint(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStarStep(largeStarStep(edges))
+        .transform(graft.ops.Checkpoints.cutRound(_, rounds))
+      val cur = fingerprint(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"contractComponents: star contraction did not stabilize in " +
+          s"$maxRounds rounds — raise maxRounds rather than trusting a " +
+          "non-fixpoint edge set")
+    // At the fixpoint every component is a star rooted at its minimum:
+    // each non-root node carries exactly one canonical edge to the root.
+    val labels = allNodes
+      .join(edges.groupBy("u").agg(min("v").as("lbl")),
+        allNodes("doc_id") === col("u"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .transform(graft.ops.Checkpoints.cut)
+    // Fail-loud fixpoint audit (backs the fingerprint's collision bound):
+    // label∘label = label.
+    val relabel = labels.select(col("doc_id").as("j_id"), col("cluster_id").as("j_lbl"))
+    val broken = labels
+      .join(relabel, labels("cluster_id") === col("j_id"))
+      .filter(col("cluster_id") =!= col("j_lbl"))
+      .count()
+    if (broken != 0)
+      throw new IllegalStateException(
+        s"contractComponents: $broken non-idempotent labels after " +
+          "convergence — fingerprint collision or algorithm bug")
+    labels
+  }
+
+  /** `dedup_cc_contraction`: the near-dup components of the MinHash
+    * pair graph via star contraction — same output contract (and same
+    * DuckDB recursive-closure oracle) as `dedup_clusters`, which the
+    * equality spec pins; see [[contractComponents]] for why both
+    * algorithms are kept. */
+  def dedupCcContraction(spark: SparkSession, dir: String): DataFrame =
+    contractComponents(minhashPairs(spark, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
   /** Shared oracle CTE chain up to the transitive closure `reach` (the
     * minhashPairs chain re-yielding pair columns, then the recursive
     * reachability set). */

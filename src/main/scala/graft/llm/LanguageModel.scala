@@ -495,6 +495,110 @@ object LanguageModel {
         ORDER BY d.doc_id"""
   }
 
+  // ---- Kneser-Ney smoothed bigram model ----
+
+  /** Second token of a bigram string (exactly one space by
+    * construction — tokens never contain whitespace). */
+  private def w2Of(bg: String, d: Dialect): String = d match {
+    case SparkD => s"substring_index($bg, ' ', -1)"
+    case DuckD  => s"split_part($bg, ' ', 2)"
+  }
+
+  /** Interpolated Kneser-Ney probability of one bigram TYPE, as one
+    * fixed arithmetic tree over exact BIGINT inputs, nano-quantized:
+    *   p_kn(w2|w1) = max(c2 − D, 0)/c1 + (D·n1f/c1)·(n1b/T)
+    * with absolute discount D = 0.75, c2 = c(w1 w2), c1 = c(w1 ·),
+    * n1f = |{w : c(w1 w) > 0}| (types following w1 — the backoff
+    * weight's numerator), n1b = |{w : c(w w2) > 0}| (types preceding
+    * w2 — the CONTINUATION count that distinguishes KN from plain
+    * backoff: "francisco" is frequent but follows almost nothing), and
+    * T = total distinct bigram types. Both engines evaluate the
+    * identical expression text over identical integers, so every IEEE
+    * op is the same correctly-rounded op → identical doubles →
+    * identical nano quantization (the [[bigramScore]] discipline,
+    * extended from one division to a fixed tree). */
+  private def knExpr(c2: String, c1: String, n1f: String, n1b: String,
+      tt: String): String =
+    s"""CAST(round((greatest(CAST($c2 AS DOUBLE) - 0.75, CAST(0 AS DOUBLE))
+          / CAST($c1 AS DOUBLE)
+          + 0.75 * CAST($n1f AS DOUBLE) / CAST($c1 AS DOUBLE)
+            * (CAST($n1b AS DOUBLE) / CAST($tt AS DOUBLE))) * 1e9) AS BIGINT)"""
+      .replaceAll("\\s+", " ")
+
+  /** Per-document average interpolated Kneser-Ney bigram probability —
+    * the smoothed upgrade of [[bigramScore]] and the model family real
+    * perplexity-based quality filters actually use (raw MLE assigns
+    * p=0 to any unseen continuation; KN redistributes discount mass by
+    * continuation DIVERSITY, so formulaic boilerplate — high raw
+    * probability, low continuation diversity — scores differently from
+    * fluent prose, which is exactly the signal a corpus filter wants).
+    *
+    * Plan shape at scale (same skeleton as [[bigramScore]]): bigram
+    * assembly is a per-row projection; the model is built from the
+    * bigram-TYPE relation (vocabulary-bounded, far smaller than the
+    * corpus) with two map-side-combined aggs — one per antecedent
+    * (c1 and n1f fused in a single groupBy) and one per continuation
+    * (n1b) — plus a one-row type-count broadcast; scoring is one
+    * shuffle equi-join of the corpus bigrams against the model and one
+    * map-side-combined collapse to doc grain. Nothing corpus-sized is
+    * broadcast; nothing is iterated. */
+  def knBigramScore(spark: SparkSession, dir: String): DataFrame =
+    knBigramScoreDf(Tables.documents(spark, dir))
+
+  /** [[knBigramScore]] over an explicit (doc_id, text) relation —
+    * exposed for the hand-computed truth-table spec. */
+  private[graft] def knBigramScoreDf(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"), explode(expr(bigramExpr(SparkD))).as("bg"))
+    val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", expr(w1Of("bg", SparkD)))
+      .withColumn("w2", expr(w2Of("bg", SparkD)))
+    val fwd = c2.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1f"))
+    val bwd = c2.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = c2.agg(count(lit(1)).as("tt"))
+    val model = c2.join(fwd, Seq("w1")).join(bwd, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .selectExpr("bg", s"${knExpr("c2", "c1", "n1f", "n1b", "tt")} AS p_nano")
+    val perDoc = bigrams.join(model, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_nano").as("p_sum"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams",
+        "CAST(coalesce(p_sum, 0) AS BIGINT) AS kn_sum_nano",
+        """CASE WHEN coalesce(n_bigrams, 0) > 0
+             THEN (CAST(p_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / 1e9
+             ELSE CAST(0 AS DOUBLE) END AS avg_kn_prob""")
+      .orderBy("doc_id")
+  }
+
+  val knBigramScoreOracle: String = {
+    val d = DuckD
+    s"""WITH bigrams AS (
+          SELECT doc_id, unnest(${bigramExpr(d)}) AS bg FROM documents),
+        c2_t AS (SELECT bg, count(*) AS c2 FROM bigrams GROUP BY bg),
+        c2w AS (SELECT bg, c2, ${w1Of("bg", d)} AS w1, ${w2Of("bg", d)} AS w2
+          FROM c2_t),
+        fwd AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM c2w GROUP BY w1),
+        bwd AS (SELECT w2, count(*) AS n1b FROM c2w GROUP BY w2),
+        types_t AS (SELECT count(*) AS tt FROM c2_t),
+        model AS (SELECT bg,
+            ${knExpr("c2", "c1", "n1f", "n1b", "tt")} AS p_nano
+          FROM c2w JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN types_t),
+        per_doc AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_nano) AS p_sum
+          FROM bigrams JOIN model USING (bg) GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          CAST(coalesce(p_sum, 0) AS BIGINT) AS kn_sum_nano,
+          CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN (CAST(p_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / 1e9
+            ELSE CAST(0 AS DOUBLE) END AS avg_kn_prob
+        FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+        ORDER BY d.doc_id"""
+  }
+
   // ---- unigram-LM (SentencePiece-style) Viterbi segmentation ----
 
   private val uniMaxLen = 16   // DP round budget; longer words excluded
