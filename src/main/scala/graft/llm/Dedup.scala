@@ -222,6 +222,53 @@ object Dedup {
         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
   }
 
+  // ---- cross-source duplication matrix ----
+
+  /** `dedup_source_overlap`: the verified near-dup pair mass broken
+    * out by (source, source) — the data-lineage view that says WHICH
+    * crawls/dumps duplicate each other (diagonal = within-source
+    * boilerplate, off-diagonal = one feed re-serving another's
+    * content), the first table a mix planner reads before assigning
+    * per-source quotas (double-counted mass inflates a source's
+    * apparent contribution). Pair similarities are nano-quantized
+    * BEFORE the sum so the per-cell average is an order-independent
+    * exact BIGINT ratio. Scale shape: the pair relation is already
+    * bounded (band-join candidates, not all-pairs); both source
+    * lookups are doc-key equi-joins against the narrow (doc_id,
+    * source) projection; the final agg is source²-grain. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b", "jaccard")
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    pairs
+      .join(src.selectExpr("doc_id AS doc_a", "source AS sa"), Seq("doc_a"))
+      .join(src.selectExpr("doc_id AS doc_b", "source AS sb"), Seq("doc_b"))
+      .selectExpr("least(sa, sb) AS source_a", "greatest(sa, sb) AS source_b",
+        "CAST(round(jaccard * 1e9) AS BIGINT) AS j_nano")
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum("j_nano").as("sum_j_nano"))
+      .selectExpr("source_a", "source_b",
+        "CAST(n_pairs AS BIGINT) AS n_pairs", "sum_j_nano",
+        "CAST(sum_j_nano AS DOUBLE) / n_pairs / 1e9 AS avg_jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapOracle: String =
+    s"""WITH p AS MATERIALIZED (SELECT doc_a, doc_b, jaccard
+                                FROM ($minhashPairsOracle) mp),
+        src AS (SELECT doc_id, source FROM documents),
+        lab AS (SELECT least(a.source, b.source) AS source_a,
+                  greatest(a.source, b.source) AS source_b,
+                  CAST(round(p.jaccard * 1e9) AS BIGINT) AS j_nano
+                FROM p JOIN src a ON p.doc_a = a.doc_id
+                       JOIN src b ON p.doc_b = b.doc_id),
+        g AS (SELECT source_a, source_b, count(*) AS n_pairs,
+                CAST(sum(j_nano) AS BIGINT) AS sum_j_nano
+              FROM lab GROUP BY source_a, source_b)
+        SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+          sum_j_nano,
+          CAST(sum_j_nano AS DOUBLE) / n_pairs / 1e9 AS avg_jaccard
+        FROM g ORDER BY source_a, source_b"""
+
   // ---- incremental (append-time) near-dup check ----
 
   /** Delta split: docs with doc_id % 10 == 9 model the APPEND batch,

@@ -834,15 +834,118 @@ object TextAnalysis {
         "CASE WHEN r.s >= 0 THEN 1 ELSE 0 END AS keep_flag")
       .orderBy("doc_id")
 
+  /** DuckDB CTE chain ending in `cls_s(doc_id, n, s)` — the classifier
+    * score relation, shared by the inference oracle and the two
+    * evaluation oracles below. */
+  private def clsCtes: String =
+    s"""cls_w AS (SELECT doc_id, ${words("lower(text)", DuckD)} AS wv
+                  FROM documents),
+        cls_s AS (SELECT doc_id, len(wv) AS n,
+                    ${clsSum(clsWeightArr(DuckD), DuckD)} AS s
+                  FROM cls_w)"""
+
   val hashedClassifierOracle: String =
-    s"""WITH w_t AS (SELECT doc_id, ${words("lower(text)", DuckD)} AS wv
-                     FROM documents),
-        s_t AS (SELECT doc_id, len(wv) AS n,
-                  ${clsSum(clsWeightArr(DuckD), DuckD)} AS s
-                FROM w_t)
+    s"""WITH $clsCtes
         SELECT doc_id, CAST(n AS INTEGER) AS n_feats, s AS score,
           CASE WHEN s >= 0 THEN 1 ELSE 0 END AS keep_flag
-        FROM s_t ORDER BY doc_id"""
+        FROM cls_s ORDER BY doc_id"""
+
+  // ---- classifier evaluation: ROC-AUC + reliability deciles ----
+
+  /** ROC-AUC of the hashed-classifier score against the rule-based
+    * quality gate — the eval every filtering classifier gets before it
+    * touches the corpus (does the cheap hashed model rank documents
+    * the way the expensive rule battery labels them?). AUC is computed
+    * through the rank-sum identity AUC = U₁/(n₁·n₂) with midrank tie
+    * handling — the same doubled-rank exactness discipline as the
+    * Mann-Whitney battery ([[graft.sql.Analytics]]): scores collapse
+    * to the DISTINCT-VALUE grain first (map-side-combined agg), the
+    * rank prefix-scan runs over the score domain (bounded by the
+    * weight-sum range, not the corpus), and U₁ is an exact BIGINT on
+    * both engines; only the final AUC ratio is a double, in one shared
+    * IEEE tree. */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = hashedClassifier(spark, dir).select("doc_id", "score")
+    val lab = gateRelation(spark, dir).select(col("doc_id"), col("pass"))
+    val byV = scored.join(lab, Seq("doc_id"))
+      .groupBy("score")
+      .agg(sum("pass").as("cnt1"), count(lit(1)).as("cnt"))
+    val wPrev = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byV.withColumn("cnt_less", coalesce(sum("cnt").over(wPrev), lit(0L)))
+      .agg(sum("cnt1").as("n_pos"),
+        sum(expr("cnt - cnt1")).as("n_neg"),
+        sum(expr("cnt1 * (2 * cnt_less + cnt + 1)")).as("r1_doubled"))
+      .selectExpr("n_pos", "n_neg",
+        "r1_doubled - n_pos * (n_pos + 1) AS u1_doubled")
+      .selectExpr("n_pos", "n_neg", "u1_doubled",
+        "CAST(u1_doubled AS DOUBLE) / 2 / (CAST(n_pos AS DOUBLE) * n_neg) AS auc")
+  }
+
+  lazy val classifierAucOracle: String =
+    s"""WITH $gateCtes, $clsCtes,
+        j AS (SELECT c.doc_id, c.s AS score, g.pass
+              FROM cls_s c JOIN gate g ON c.doc_id = g.doc_id),
+        byv AS (SELECT score, CAST(sum(pass) AS BIGINT) AS cnt1,
+                  count(*) AS cnt
+                FROM j GROUP BY score),
+        rk AS (SELECT *, CAST(coalesce(sum(cnt) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cnt_less
+               FROM byv),
+        a AS (SELECT CAST(sum(cnt1) AS BIGINT) AS n_pos,
+                CAST(sum(cnt - cnt1) AS BIGINT) AS n_neg,
+                CAST(sum(cnt1 * (2 * cnt_less + cnt + 1)) AS BIGINT) AS r1_doubled
+              FROM rk),
+        u AS (SELECT n_pos, n_neg,
+                r1_doubled - n_pos * (n_pos + 1) AS u1_doubled
+              FROM a)
+        SELECT n_pos, n_neg, u1_doubled,
+          CAST(u1_doubled AS DOUBLE) / 2 / (CAST(n_pos AS DOUBLE) * n_neg) AS auc
+        FROM u"""
+
+  /** Reliability (calibration) table for the hashed classifier: docs
+    * are ranked by score and cut into ten ntile bins; each bin reports
+    * its gate-pass rate and score range — the pre-Platt-scaling
+    * readout that says WHERE on the score axis the classifier is
+    * trustworthy (a monotone pass-rate column calibrates; a flat or
+    * non-monotone one says the score is noise at that range). Window
+    * input is one row per document with all heavy text work collapsed
+    * to (score, pass) first — same shape and justification as the
+    * user-decile report; at 100 TB you'd bucket by a hashed score
+    * range first (the winsorized two-phase scan), but the per-doc
+    * projection is where the volume dies. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = hashedClassifier(spark, dir).select("doc_id", "score")
+    val lab = gateRelation(spark, dir).select(col("doc_id"), col("pass"))
+    val w = Window.orderBy(asc("score"), asc("doc_id"))
+    scored.join(lab, Seq("doc_id"))
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("pass").as("n_pass"),
+        min("score").as("min_score"), max("score").as("max_score"))
+      .selectExpr("bin", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_pass AS BIGINT) AS n_pass", "min_score", "max_score",
+        "CAST(n_pass AS DOUBLE) / n_docs AS pass_rate")
+      .orderBy("bin")
+  }
+
+  lazy val classifierCalibrationOracle: String =
+    s"""WITH $gateCtes, $clsCtes,
+        j AS (SELECT c.doc_id, c.s AS score, g.pass
+              FROM cls_s c JOIN gate g ON c.doc_id = g.doc_id),
+        t AS (SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS bin
+              FROM j),
+        g2 AS (SELECT bin, count(*) AS n_docs,
+                 CAST(sum(pass) AS BIGINT) AS n_pass,
+                 min(score) AS min_score, max(score) AS max_score
+               FROM t GROUP BY bin)
+        SELECT bin, CAST(n_docs AS BIGINT) AS n_docs, n_pass,
+          min_score, max_score,
+          CAST(n_pass AS DOUBLE) / n_docs AS pass_rate
+        FROM g2 ORDER BY bin"""
 
   // ---- PMI collocations ----
 
