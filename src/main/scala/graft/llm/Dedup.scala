@@ -269,6 +269,78 @@ object Dedup {
           CAST(sum_j_nano AS DOUBLE) / n_pairs / 1e9 AS avg_jaccard
         FROM g ORDER BY source_a, source_b"""
 
+  // ---- LSH band/row planner ----
+
+  /** Signature budget the planner allocates: 128 hash functions split
+    * into b bands × r rows, both powers of two so every power in the
+    * S-curve is a REPEATED-SQUARING chain — the one exponentiation
+    * form whose IEEE tree is identical text on both engines (pow()
+    * would be a libm call with engine-specific rounding). */
+  private val plannerSigs = 128
+  private val plannerSplits: Seq[(Int, Int)] =
+    (0 to 7).map(i => (plannerSigs >> i, 1 << i)) // (bands, rows)
+
+  /** x^(2^k) by textual repeated squaring (dialect-free arithmetic). */
+  private def sq(base: String, k: Int): String =
+    (0 until k).foldLeft(base)((e, _) => s"(($e) * ($e))")
+
+  /** Candidate probability 1 − (1 − s^r)^b for power-of-two r, b. */
+  private def pCand(s: String, r: Int, b: Int): String = {
+    val sr = sq(s, Integer.numberOfTrailingZeros(r))
+    val comp = sq(s"(1.0 - $sr)", Integer.numberOfTrailingZeros(b))
+    s"(1.0 - $comp)"
+  }
+
+  /** `dedup_lsh_planner`: the banding-parameter decision table — for
+    * every (bands × rows) split of a 128-hash MinHash signature, the
+    * S-curve candidate probability at three reference similarities
+    * (0.5 / 0.8 / 0.9) plus the EXPECTED RECALL over the corpus's own
+    * verified near-dup pairs (mean of p(s) at each observed Jaccard).
+    * This is how b and r are actually chosen before a 100 TB dedup
+    * run: the grid columns show the curve's shape, the data column
+    * shows what each split would retain of THIS corpus's duplicate
+    * population — tune r up to suppress false candidates until
+    * expected recall starts paying for it. Per-pair probabilities are
+    * nano-quantized before summing (order-independent exact BIGINTs);
+    * the pair relation is the already-bounded band-join output, and
+    * each split adds one map-side-combined aggregate over it. */
+  def lshPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val base = minhashPairs(spark, dir).selectExpr("jaccard AS s")
+    plannerSplits.map { case (b, r) =>
+      base
+        .selectExpr(s"CAST(round((${pCand("s", r, b)}) * 1e9) AS BIGINT) AS p_nano")
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum("p_nano"), lit(0L)).as("sum_p_nano"))
+        .selectExpr(s"CAST($b AS INT) AS n_bands",
+          s"CAST($r AS INT) AS rows_per_band",
+          "CAST(n_pairs AS BIGINT) AS n_pairs", "sum_p_nano",
+          "CASE WHEN n_pairs > 0 THEN CAST(sum_p_nano AS DOUBLE) / n_pairs / 1e9 " +
+            "ELSE CAST(0 AS DOUBLE) END AS exp_recall",
+          s"${pCand("CAST(0.5 AS DOUBLE)", r, b)} AS p_at_05",
+          s"${pCand("CAST(0.8 AS DOUBLE)", r, b)} AS p_at_08",
+          s"${pCand("CAST(0.9 AS DOUBLE)", r, b)} AS p_at_09")
+    }.reduce(_ unionByName _).orderBy("rows_per_band")
+  }
+
+  val lshPlannerOracle: String = {
+    val rows = plannerSplits.map { case (b, r) =>
+      s"""SELECT CAST($b AS INTEGER) AS n_bands,
+            CAST($r AS INTEGER) AS rows_per_band,
+            CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(coalesce(sum(CAST(round((${pCand("s", r, b)}) * 1e9) AS BIGINT)), 0) AS BIGINT) AS sum_p_nano,
+            CASE WHEN count(*) > 0
+              THEN CAST(coalesce(sum(CAST(round((${pCand("s", r, b)}) * 1e9) AS BIGINT)), 0) AS DOUBLE) / count(*) / 1e9
+              ELSE CAST(0 AS DOUBLE) END AS exp_recall,
+            ${pCand("CAST(0.5 AS DOUBLE)", r, b)} AS p_at_05,
+            ${pCand("CAST(0.8 AS DOUBLE)", r, b)} AS p_at_08,
+            ${pCand("CAST(0.9 AS DOUBLE)", r, b)} AS p_at_09
+          FROM pp"""
+    }.mkString(" UNION ALL ")
+    s"""WITH pp AS MATERIALIZED (SELECT jaccard AS s
+                                 FROM ($minhashPairsOracle) mp)
+        SELECT * FROM ($rows) u ORDER BY rows_per_band"""
+  }
+
   // ---- incremental (append-time) near-dup check ----
 
   /** Delta split: docs with doc_id % 10 == 9 model the APPEND batch,

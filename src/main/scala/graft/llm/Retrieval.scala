@@ -100,6 +100,108 @@ object Retrieval {
         ORDER BY query_id, rrf_rank"""
   }
 
+  // ---- ranking-quality evaluation (recall / MRR / nDCG) ----
+
+  /** Position-discount weights, nano-quantized ONCE in Scala and
+    * emitted as identical integer literals into both engines — the
+    * 1/log₂(i+1) discounts (and 1/rank reciprocals) are the only
+    * transcendental quantities in the metric, so freezing them as
+    * constants makes every per-query metric an exact BIGINT sum;
+    * only the final nDCG ratio is a float, in one shared tree. */
+  private val ndcgW: IndexedSeq[Long] =
+    (1 to topK).map(i => Math.round(1e9 / (Math.log(i + 1.0) / Math.log(2.0))))
+  private val ndcgCumW: IndexedSeq[Long] = ndcgW.scanLeft(0L)(_ + _).tail
+  private val mrrW: IndexedSeq[Long] =
+    (1 to topK).map(i => Math.round(1e9 / i))
+
+  private def dcgCase: String =
+    (1 to topK).map(i => s"WHEN rrf_rank = $i THEN ${ndcgW(i - 1)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+  private def mrrCase: String =
+    (1 to topK).map(i => s"WHEN rrf_rank = $i THEN ${mrrW(i - 1)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+  private def idcgCase(nRel: String): String =
+    (s"CASE WHEN $nRel >= $topK THEN ${ndcgCumW(topK - 1)} " +
+      (topK - 1 to 1 by -1)
+        .map(k => s"WHEN $nRel = $k THEN ${ndcgCumW(k - 1)}")
+        .mkString(" ")) + " ELSE 0 END"
+
+  /** `retrieval_eval_metrics`: the standard ranking-quality readout
+    * (hits@k, MRR, nDCG@k) for the RRF-fused ranking, with relevance
+    * defined by label agreement between query and result vectors —
+    * the eval loop a retrieval stack runs on every index/fusion
+    * change, here closing the loop on the engine's own fusion tier.
+    * MRR falls out as the MAX of the per-hit reciprocal weights
+    * (weights are strictly decreasing in rank, so max = first
+    * relevant); ideal DCG is the prefix sum of discounts cut at
+    * min(k, n_relevant). Scale shape: the fused relation is already
+    * k·|queries| rows; label lookups are key equi-joins (query side
+    * broadcast); n_rel is one map-side-combined agg over the label
+    * relation. All metric sums are exact BIGINTs. */
+  def evalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Tables
+    val fused = rrfFusion(spark, dir).select("query_id", "doc_id", "rrf_rank")
+    val lab = Tables.embeddings(spark, dir).select("vec_id", "label")
+    val qlab = lab.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "label AS qlabel")
+    val nRel = lab.join(broadcast(qlab),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "qlabel")
+      .agg(count(lit(1)).as("n_rel"))
+    val perQ = fused
+      .join(broadcast(qlab), Seq("query_id"))
+      .join(lab.selectExpr("vec_id AS doc_id", "label AS dlabel"), Seq("doc_id"))
+      .selectExpr("query_id",
+        "CASE WHEN qlabel = dlabel THEN 1 ELSE 0 END AS rel", "rrf_rank")
+      .groupBy("query_id")
+      .agg(sum("rel").as("hits_at_10"),
+        sum(expr(s"rel * ($dcgCase)")).as("dcg_nano"),
+        max(expr(s"rel * ($mrrCase)")).as("mrr_nano"))
+    nRel.join(perQ, Seq("query_id"), "left")
+      .selectExpr("query_id", "qlabel AS label",
+        "CAST(n_rel AS BIGINT) AS n_rel",
+        "CAST(coalesce(hits_at_10, 0) AS BIGINT) AS hits_at_10",
+        "CAST(coalesce(mrr_nano, 0) AS BIGINT) AS mrr_nano",
+        "CAST(coalesce(dcg_nano, 0) AS BIGINT) AS dcg_nano",
+        s"CAST(${idcgCase("n_rel")} AS BIGINT) AS idcg_nano")
+      .selectExpr("*",
+        "CASE WHEN idcg_nano > 0 THEN CAST(dcg_nano AS DOUBLE) / idcg_nano " +
+          "ELSE CAST(0 AS DOUBLE) END AS ndcg")
+      .orderBy("query_id")
+  }
+
+  lazy val evalMetricsOracle: String =
+    s"""WITH f AS MATERIALIZED (SELECT query_id, doc_id, rrf_rank
+                                FROM ($rrfFusionOracle) ff),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        qlab AS (SELECT vec_id AS query_id, label AS qlabel
+                 FROM lab WHERE vec_id < $nQueries),
+        nrel AS (SELECT q.query_id, q.qlabel, count(*) AS n_rel
+                 FROM lab l JOIN qlab q
+                   ON l.label = q.qlabel AND l.vec_id <> q.query_id
+                 GROUP BY q.query_id, q.qlabel),
+        relrows AS (SELECT f.query_id,
+                      CASE WHEN q.qlabel = d.label THEN 1 ELSE 0 END AS rel,
+                      f.rrf_rank
+                    FROM f JOIN qlab q ON f.query_id = q.query_id
+                           JOIN lab d ON f.doc_id = d.vec_id),
+        perq AS (SELECT query_id,
+                   CAST(sum(rel) AS BIGINT) AS hits_at_10,
+                   CAST(sum(rel * ($dcgCase)) AS BIGINT) AS dcg_nano,
+                   CAST(max(rel * ($mrrCase)) AS BIGINT) AS mrr_nano
+                 FROM relrows GROUP BY query_id),
+        m AS (SELECT n.query_id, n.qlabel AS label,
+                CAST(n.n_rel AS BIGINT) AS n_rel,
+                CAST(coalesce(p.hits_at_10, 0) AS BIGINT) AS hits_at_10,
+                CAST(coalesce(p.mrr_nano, 0) AS BIGINT) AS mrr_nano,
+                CAST(coalesce(p.dcg_nano, 0) AS BIGINT) AS dcg_nano,
+                CAST(${idcgCase("n.n_rel")} AS BIGINT) AS idcg_nano
+              FROM nrel n LEFT JOIN perq p ON n.query_id = p.query_id)
+        SELECT *, CASE WHEN idcg_nano > 0
+            THEN CAST(dcg_nano AS DOUBLE) / idcg_nano
+            ELSE CAST(0 AS DOUBLE) END AS ndcg
+        FROM m ORDER BY query_id"""
+
   // ---- cluster topic labeling ----
 
   private val labelTopK = 3
