@@ -202,6 +202,129 @@ object Retrieval {
             ELSE CAST(0 AS DOUBLE) END AS ndcg
         FROM m ORDER BY query_id"""
 
+  // ---- Maximal Marginal Relevance (diversified top-k) ----
+
+  private val mmrPool = 20
+  private val mmrK = 8
+
+  /** `retrieval_mmr_topk`: greedy Maximal-Marginal-Relevance selection
+    * (Carbonell & Goldstein 1998) — the diversification pass a RAG
+    * stack runs after retrieval so the context window isn't five
+    * copies of the same paragraph. Per query: take the top-[[mmrPool]]
+    * cosine candidates, then greedily pick [[mmrK]] docs maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) with λ=0.7.
+    *
+    * Exactness: rel and sim are nano-quantized BIGINTs and λ=0.7 is
+    * applied as the integer form 7·rel − 3·maxsim (argmax-equivalent
+    * after scaling by 10), so every greedy decision is an integer
+    * comparison with doc-id tie-break — no float ordering anywhere,
+    * and both engines replay the identical selection path.
+    *
+    * Scale shape: the candidate pool bounds everything — the
+    * candidate-candidate sim relation is pool²·|queries| rows built
+    * by one equi-join, and each greedy round is one anti-join + one
+    * (bounded) join + two map-side-combined aggs, all keyed on
+    * query_id. The argmax is a struct-min agg, never a global sort.
+    * Rounds are lineage-cut ([[graft.ops.Checkpoints]]) — the
+    * unrolled-iteration plan-growth lesson from propagateLabels. */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = Similarity.vecs(spark, dir)
+    val q = all.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm")
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id",
+        s"CAST(round((${cosineWithNorms("qv", "v", "qnrm", "nrm", SparkD)}) * 1e9) AS BIGINT) AS rel_nano")
+    val wC = Window.partitionBy("query_id").orderBy(desc("rel_nano"), asc("vec_id"))
+    val cand = scored.withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= mmrPool)
+      .select("query_id", "vec_id", "rel_nano")
+      .transform(graft.ops.Checkpoints.cut)
+    val cv = cand.select("query_id", "vec_id")
+      .join(all.select("vec_id", "v", "nrm"), Seq("vec_id"))
+    val sims = cv.as("a").join(cv.as("b"),
+        col("a.query_id") === col("b.query_id")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .selectExpr("a.query_id AS query_id", "a.vec_id AS d1", "b.vec_id AS d2",
+        s"CAST(round((${cosineWithNorms("a.v", "b.v", "a.nrm", "b.nrm", SparkD)}) * 1e9) AS BIGINT) AS sim_nano")
+      .transform(graft.ops.Checkpoints.cut)
+    // round 1: pure relevance argmax (struct-min: score desc, id asc)
+    var sel = cand.groupBy("query_id")
+      .agg(min(struct(expr("-rel_nano").as("ns"), col("vec_id").as("d"))).as("m"))
+      .selectExpr("query_id", "m.d AS vec_id", "CAST(1 AS INT) AS rank",
+        "-(7 * m.ns) AS mmr_nano")
+    for (r <- 2 to mmrK) {
+      val selIds = sel.select("query_id", "vec_id")
+      val rem = cand.join(selIds, Seq("query_id", "vec_id"), "left_anti")
+      val ms = rem
+        .join(sims.selectExpr("query_id", "d1 AS vec_id", "d2 AS s", "sim_nano"),
+          Seq("query_id", "vec_id"))
+        .join(selIds.selectExpr("query_id", "vec_id AS s"), Seq("query_id", "s"))
+        .groupBy("query_id", "vec_id", "rel_nano")
+        .agg(max("sim_nano").as("max_sim"))
+      val pick = ms
+        .selectExpr("query_id", "vec_id", "7 * rel_nano - 3 * max_sim AS score")
+        .groupBy("query_id")
+        .agg(min(struct(expr("-score").as("ns"), col("vec_id").as("d"))).as("m"))
+        .selectExpr("query_id", "m.d AS vec_id", s"CAST($r AS INT) AS rank",
+          "-m.ns AS mmr_nano")
+      sel = sel.unionByName(pick)
+        .transform(graft.ops.Checkpoints.cutRound(_, r))
+    }
+    sel.orderBy("query_id", "rank")
+  }
+
+  /** One greedy-round CTE pair for the oracle: pick_r (argmax of the
+    * integer MMR score over non-selected candidates) and sel_r
+    * (running selection). MATERIALIZED on sel: each round fans out to
+    * the next round twice (anti-join + max-sim join) — unpinned, the
+    * chain re-inlines geometrically (the cluster_top_terms lesson). */
+  private def mmrRoundCte(r: Int): String =
+    s"""ms_$r AS (SELECT c.query_id, c.vec_id, c.rel_nano,
+            max(s.sim_nano) AS max_sim
+          FROM cand c
+          JOIN sims s ON c.query_id = s.query_id AND c.vec_id = s.d1
+          JOIN sel_${r - 1} p ON s.query_id = p.query_id AND s.d2 = p.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM sel_${r - 1} x
+                            WHERE x.query_id = c.query_id
+                              AND x.vec_id = c.vec_id)
+          GROUP BY c.query_id, c.vec_id, c.rel_nano),
+        pick_$r AS (SELECT query_id, vec_id, CAST($r AS INTEGER) AS rank,
+            7 * rel_nano - 3 * max_sim AS mmr_nano
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY 7 * rel_nano - 3 * max_sim DESC, vec_id) AS rn
+                FROM ms_$r) z WHERE rn = 1),
+        sel_$r AS MATERIALIZED (SELECT * FROM sel_${r - 1}
+          UNION ALL SELECT * FROM pick_$r)"""
+
+  lazy val mmrTopKOracle: String = {
+    val rounds = (2 to mmrK).map(mmrRoundCte).mkString(",\n        ")
+    s"""WITH ${Similarity.vecsCte(DuckD)},
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+              FROM e WHERE vec_id < $nQueries),
+        scored AS (SELECT q.query_id, e.vec_id,
+            CAST(round((${cosineWithNorms("q.qv", "e.v", "q.qnrm", "e.nrm", DuckD)}) * 1e9) AS BIGINT) AS rel_nano
+          FROM e JOIN q ON e.vec_id <> q.query_id),
+        cand AS MATERIALIZED (SELECT query_id, vec_id, rel_nano
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel_nano DESC, vec_id) AS crank
+                FROM scored) c0 WHERE crank <= $mmrPool),
+        ce AS (SELECT c.query_id, c.vec_id, e.v, e.nrm
+               FROM cand c JOIN e ON c.vec_id = e.vec_id),
+        sims AS MATERIALIZED (SELECT a.query_id, a.vec_id AS d1,
+            b.vec_id AS d2,
+            CAST(round((${cosineWithNorms("a.v", "b.v", "a.nrm", "b.nrm", DuckD)}) * 1e9) AS BIGINT) AS sim_nano
+          FROM ce a JOIN ce b
+            ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+        sel_1 AS MATERIALIZED (SELECT query_id, vec_id,
+            CAST(1 AS INTEGER) AS rank, 7 * rel_nano AS mmr_nano
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel_nano DESC, vec_id) AS rn
+                FROM cand) z WHERE rn = 1),
+        $rounds
+        SELECT query_id, vec_id, rank, mmr_nano FROM sel_$mmrK
+        ORDER BY query_id, rank"""
+  }
+
   // ---- cluster topic labeling ----
 
   private val labelTopK = 3
