@@ -989,6 +989,73 @@ object Similarity {
           (n_docs - n_kept) / CAST(n_docs AS DOUBLE) AS prune_rate
         FROM pg ORDER BY source"""
 
+  // ---- clustering-quality readout: Newman modularity ----
+
+  /** `dedup_semantic_modularity`: Newman modularity Q of the semantic
+    * cluster assignment, evaluated over the UNDIRECTED union of all
+    * kNN edges — deliberately a superset of the mutual-kNN edges the
+    * clustering was built from, so Q measures how much of the full
+    * neighborhood structure the partition explains rather than
+    * grading the clustering on its own inputs. Q = Σ_c (e_c/m −
+    * (d_c/2m)²) computed from exact integer counts (m, intra-edge
+    * count, Σ d_c²) with one shared IEEE readout tree; Σ d_c² stays a
+    * BIGINT (safe while total degree < 2³¹·√clusters — at the scale
+    * where one cluster's degree sum approaches 2³¹, quantize to the
+    * DOUBLE-product form used by the association-rule lift). Plan:
+    * edge canonicalize + distinct, two label equi-joins, degree agg,
+    * then two one-row aggregates cross-joined — nothing data-sized is
+    * broadcast or windowed. */
+  def semanticModularity(spark: SparkSession, dir: String): DataFrame = {
+    val und = knnEdges(spark, dir)
+      .selectExpr("least(vec_id, nbr_id) AS u", "greatest(vec_id, nbr_id) AS v")
+      .distinct()
+    val lbl = semanticClusters(spark, dir).select("vec_id", "cluster_id")
+    val eAgg = und
+      .join(lbl.selectExpr("vec_id AS u", "cluster_id AS cu"), Seq("u"))
+      .join(lbl.selectExpr("vec_id AS v", "cluster_id AS cv"), Seq("v"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(expr("CASE WHEN cu = cv THEN 1 ELSE 0 END")).as("intra_edges"))
+    val dAgg = und.selectExpr("u AS vec_id").unionAll(und.selectExpr("v AS vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+      .join(lbl, Seq("vec_id"))
+      .groupBy("cluster_id").agg(sum("deg").as("d_c"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(expr("d_c * d_c")).as("sum_deg_sq"))
+    eAgg.crossJoin(broadcast(dAgg))
+      .selectExpr("CAST(n_edges AS BIGINT) AS n_edges",
+        "CAST(intra_edges AS BIGINT) AS intra_edges",
+        "CAST(n_clusters AS BIGINT) AS n_clusters",
+        "CAST(sum_deg_sq AS BIGINT) AS sum_deg_sq",
+        "(CAST(4 AS DOUBLE) * n_edges * intra_edges - sum_deg_sq) / (CAST(4 AS DOUBLE) * n_edges * n_edges) AS modularity")
+  }
+
+  val semanticModularityOracle: String =
+    s"""WITH RECURSIVE ${ivfCte(DuckD)},
+        $knnCtes,
+        $semanticLabelCtes,
+        lbl AS MATERIALIZED (SELECT e.vec_id,
+            coalesce(l.cluster_id, e.vec_id) AS cluster_id
+          FROM e LEFT JOIN slbl l ON e.vec_id = l.vec_id),
+        und AS MATERIALIZED (SELECT DISTINCT least(vec_id, nbr_id) AS u,
+            greatest(vec_id, nbr_id) AS v FROM knn),
+        ea AS (SELECT count(*) AS n_edges,
+            CAST(sum(CASE WHEN la.cluster_id = lb.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+          FROM und JOIN lbl la ON und.u = la.vec_id
+                   JOIN lbl lb ON und.v = lb.vec_id),
+        degs AS (SELECT vec_id, count(*) AS deg FROM (
+            SELECT u AS vec_id FROM und UNION ALL SELECT v FROM und) z
+          GROUP BY vec_id),
+        dc AS (SELECT l.cluster_id, CAST(sum(d.deg) AS BIGINT) AS d_c
+               FROM degs d JOIN lbl l ON d.vec_id = l.vec_id
+               GROUP BY l.cluster_id),
+        da AS (SELECT count(*) AS n_clusters,
+                 CAST(sum(d_c * d_c) AS BIGINT) AS sum_deg_sq FROM dc)
+        SELECT CAST(ea.n_edges AS BIGINT) AS n_edges, ea.intra_edges,
+          CAST(da.n_clusters AS BIGINT) AS n_clusters, da.sum_deg_sq,
+          (CAST(4 AS DOUBLE) * ea.n_edges * ea.intra_edges - da.sum_deg_sq) /
+            (CAST(4 AS DOUBLE) * ea.n_edges * ea.n_edges) AS modularity
+        FROM ea CROSS JOIN da"""
+
   // ---- embedding-space outliers ----
 
   private val outlierK = 5
