@@ -355,6 +355,134 @@ object Curation {
         SELECT *, CAST(round(n_tokens * repeat_factor) AS BIGINT) AS effective_tokens
         FROM mixw ORDER BY source"""
 
+  // ---- temperature-scaled mixing (multilingual-style τ sampling) ----
+
+  /** `corpus_mix_temperature`: the τ-scaled sampling table — per
+    * source, the normalized weight w_s ∝ (chars_s)^τ at τ ∈ {1, 0.75,
+    * 0.5, 0.25}, the standard knob for flattening a skewed source
+    * distribution (multilingual training's temperature sampling;
+    * τ=1 is proportional, τ→0 approaches uniform). The exponents are
+    * restricted to quarter powers ON PURPOSE: x^0.5 = sqrt(x) and
+    * x^0.25 = sqrt(sqrt(x)) are correctly-rounded IEEE ops on both
+    * engines and x^0.75 composes as their product — no libm pow
+    * anywhere. Weights are micro-quantized to BIGINTs per τ before
+    * normalization (shares are scale-invariant within a τ, so τ=1
+    * uses the exact char counts unquantized), making every share a
+    * ratio of exact integers. One source-grain agg; the τ fan-out is
+    * a stack over the handful of source rows. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val per = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum("n_chars").as("chars"))
+      .selectExpr("source", "CAST(chars AS BIGINT) AS chars",
+        "CAST(chars AS DOUBLE) AS cd")
+      .selectExpr("source", "chars",
+        "chars AS w100",
+        "CAST(round(sqrt(cd) * sqrt(sqrt(cd)) * 1e6) AS BIGINT) AS w075",
+        "CAST(round(sqrt(cd) * 1e6) AS BIGINT) AS w050",
+        "CAST(round(sqrt(sqrt(cd)) * 1e6) AS BIGINT) AS w025")
+    val w = Window.partitionBy()
+    per
+      .withColumn("t100", sum(col("w100")).over(w))
+      .withColumn("t075", sum(col("w075")).over(w))
+      .withColumn("t050", sum(col("w050")).over(w))
+      .withColumn("t025", sum(col("w025")).over(w))
+      .selectExpr("source", "chars",
+        """stack(4,
+             CAST(1.0 AS DOUBLE), w100, t100,
+             CAST(0.75 AS DOUBLE), w075, t075,
+             CAST(0.5 AS DOUBLE), w050, t050,
+             CAST(0.25 AS DOUBLE), w025, t025) AS (tau, w_q, w_tot)""")
+      .selectExpr("source", "tau", "chars", "w_q",
+        "CAST(w_q AS DOUBLE) / w_tot AS share")
+      .orderBy("source", "tau")
+  }
+
+  val mixTemperatureOracle: String =
+    s"""WITH cg AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+                    FROM documents GROUP BY source),
+        cw AS (SELECT source, chars, CAST(chars AS DOUBLE) AS cd FROM cg),
+        ws AS (SELECT source, chars,
+                 chars AS w100,
+                 CAST(round(sqrt(cd) * sqrt(sqrt(cd)) * 1e6) AS BIGINT) AS w075,
+                 CAST(round(sqrt(cd) * 1e6) AS BIGINT) AS w050,
+                 CAST(round(sqrt(sqrt(cd)) * 1e6) AS BIGINT) AS w025
+               FROM cw),
+        wt AS (SELECT *, CAST(sum(w100) OVER () AS BIGINT) AS t100,
+                 CAST(sum(w075) OVER () AS BIGINT) AS t075,
+                 CAST(sum(w050) OVER () AS BIGINT) AS t050,
+                 CAST(sum(w025) OVER () AS BIGINT) AS t025
+               FROM ws),
+        st AS (SELECT source, chars, CAST(1.0 AS DOUBLE) AS tau,
+                 w100 AS w_q, t100 AS w_tot FROM wt
+               UNION ALL
+               SELECT source, chars, CAST(0.75 AS DOUBLE), w075, t075 FROM wt
+               UNION ALL
+               SELECT source, chars, CAST(0.5 AS DOUBLE), w050, t050 FROM wt
+               UNION ALL
+               SELECT source, chars, CAST(0.25 AS DOUBLE), w025, t025 FROM wt)
+        SELECT source, tau, chars, w_q,
+          CAST(w_q AS DOUBLE) / w_tot AS share
+        FROM st ORDER BY source, tau"""
+
+  // ---- context-length fit planning ----
+
+  private val contextLengths = Seq(256, 512, 1024, 2048)
+
+  /** `corpus_context_fit`: the context-length decision table — for
+    * each candidate sequence length L, how many documents fit whole,
+    * what token mass survives hard truncation at L, and the packing
+    * slack a truncate-only loader would waste. This is the readout
+    * that picks L before committing to a packing run (the complement
+    * of the packing/truncation operators, which EXECUTE a chosen L).
+    * Exact integers end-to-end: per-doc token counts aggregate to
+    * sums and least(n, L) sums; one scan, L fan-out via stack on the
+    * per-doc grain, map-side-combined agg on the 4 L values. */
+  def contextFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stackArgs = contextLengths
+      .map(l => s"CAST($l AS INT), least(n_tokens, CAST($l AS BIGINT))")
+      .mkString(", ")
+    Tables.documents(spark, dir)
+      .selectExpr(
+        s"CAST(${arrLen(words("text", SparkD), SparkD)} AS BIGINT) AS n_tokens")
+      .selectExpr("n_tokens",
+        s"stack(${contextLengths.size}, $stackArgs) AS (ctx_len, kept_tokens)")
+      .groupBy("ctx_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CASE WHEN n_tokens <= ctx_len THEN 1 ELSE 0 END")).as("n_fit"),
+        sum("n_tokens").as("total_tokens"),
+        sum("kept_tokens").as("kept_tokens"))
+      .selectExpr("ctx_len", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_fit AS BIGINT) AS n_fit",
+        "CAST(total_tokens AS BIGINT) AS total_tokens",
+        "CAST(kept_tokens AS BIGINT) AS kept_tokens",
+        "CAST(kept_tokens AS DOUBLE) / total_tokens AS kept_share")
+      .orderBy("ctx_len")
+  }
+
+  val contextFitOracle: String = {
+    val fan = contextLengths
+      .map(l => s"SELECT n_tokens, CAST($l AS INTEGER) AS ctx_len, " +
+        s"least(n_tokens, CAST($l AS BIGINT)) AS kept_tokens FROM tk")
+      .mkString(" UNION ALL ")
+    s"""WITH tk AS (SELECT
+            CAST(${arrLen(words("text", DuckD), DuckD)} AS BIGINT) AS n_tokens
+          FROM documents),
+        fan AS ($fan),
+        g AS (SELECT ctx_len, count(*) AS n_docs,
+                CAST(sum(CASE WHEN n_tokens <= ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens
+              FROM fan GROUP BY ctx_len)
+        SELECT ctx_len, CAST(n_docs AS BIGINT) AS n_docs, n_fit,
+          total_tokens, kept_tokens,
+          CAST(kept_tokens AS DOUBLE) / total_tokens AS kept_share
+        FROM g ORDER BY ctx_len"""
+  }
+
   // ---- epoch expansion plan ----
 
   /** Per-document repeat counts that realize the [[mixWeights]]
