@@ -947,6 +947,77 @@ object TextAnalysis {
           CAST(n_pass AS DOUBLE) / n_docs AS pass_rate
         FROM g2 ORDER BY bin"""
 
+  // ---- corpus n-gram repetition spectrum ----
+
+  private val repeatLens = Seq(1, 2, 4, 8, 16, 32, 64)
+
+  /** `text_repeat_spectrum`: the corpus-wide window-repetition profile
+    * — for each window length L in [[repeatLens]], how many token
+    * windows exist, how many are distinct, how many KINDS repeat, the
+    * repeated token mass, and the worst offender's occurrence count.
+    * This is the memorization-risk readout behind exact-substring
+    * dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): the L at which repeated mass stops
+    * decaying is where verbatim boilerplate lives, and the spectrum
+    * says WHICH L a span-dedup pass should target. One corpus scan:
+    * the doc's token array is bound once, all seven window arrays are
+    * concatenated as (len, hash) structs and exploded together; the
+    * (len, hash) hash-agg is map-side combined, so the shuffle carries
+    * distinct windows, not positions — the plan a 100 TB n-gram count
+    * actually uses. Windows are md5-hashed so shuffle rows stay
+    * narrow; counts are exact integers. */
+  def repeatSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val arrs = repeatLens.map { l =>
+      s"""CASE WHEN size(wv) >= $l THEN transform(sequence(0, size(wv) - $l),
+            i -> named_struct('len', $l,
+              'h', md5(array_join(slice(wv, i + 1, $l), ' '))))
+          ELSE array() END"""
+    }.mkString("concat(", ", ", ")")
+    val windows = Tables.documents(spark, dir)
+      .selectExpr(s"${let1(words("lower(text)", SparkD), "wv", arrs)} AS ws")
+      .select(explode(col("ws")).as("w"))
+      .select(col("w.len").as("len"), col("w.h").as("h"))
+    windows.groupBy("len", "h").agg(count(lit(1)).as("cnt"))
+      .groupBy("len")
+      .agg(sum("cnt").as("n_windows"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("CASE WHEN cnt > 1 THEN 1 ELSE 0 END")).as("n_repeated_kinds"),
+        sum(expr("CASE WHEN cnt > 1 THEN cnt ELSE 0 END")).as("repeated_mass"),
+        max("cnt").as("max_count"))
+      .selectExpr("len", "CAST(n_windows AS BIGINT) AS n_windows",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "CAST(n_repeated_kinds AS BIGINT) AS n_repeated_kinds",
+        "CAST(repeated_mass AS BIGINT) AS repeated_mass",
+        "CAST(max_count AS BIGINT) AS max_count",
+        "CASE WHEN n_windows > 0 THEN CAST(repeated_mass AS DOUBLE) / n_windows " +
+          "ELSE CAST(0 AS DOUBLE) END AS repeated_share")
+      .orderBy("len")
+  }
+
+  val repeatSpectrumOracle: String = {
+    val fan = repeatLens.map { l =>
+      s"""SELECT $l AS len,
+            md5(array_to_string(wv[i + 1:i + $l], ' ')) AS h
+          FROM wt2, unnest(range(0, CASE WHEN len(wv) >= $l
+            THEN len(wv) - $l + 1 ELSE 0 END)) AS t(i)"""
+    }.mkString(" UNION ALL ")
+    s"""WITH wt2 AS MATERIALIZED (SELECT ${words("lower(text)", DuckD)} AS wv
+          FROM documents),
+        fan AS ($fan),
+        cnts AS (SELECT len, h, count(*) AS cnt FROM fan GROUP BY len, h),
+        g AS (SELECT len, CAST(sum(cnt) AS BIGINT) AS n_windows,
+                count(*) AS n_distinct,
+                CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated_kinds,
+                CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS repeated_mass,
+                CAST(max(cnt) AS BIGINT) AS max_count
+              FROM cnts GROUP BY len)
+        SELECT len, n_windows, CAST(n_distinct AS BIGINT) AS n_distinct,
+          n_repeated_kinds, repeated_mass, max_count,
+          CASE WHEN n_windows > 0 THEN CAST(repeated_mass AS DOUBLE) / n_windows
+            ELSE CAST(0 AS DOUBLE) END AS repeated_share
+        FROM g ORDER BY len"""
+  }
+
   // ---- PMI collocations ----
 
   private val collocK = 30

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, sum}
 import graft.io.Tables
 import graft.llm.Gen._
 
@@ -597,6 +597,69 @@ object Profile {
         "CASE WHEN group_size < 5 THEN 1 ELSE 0 END AS at_risk")
       .orderBy("level", "qi_geo", "qi_segment")
   }
+
+  /** L-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    * companion check: a group can be large (k-safe) yet still leak if
+    * everyone in it shares the same SENSITIVE value, so each
+    * (nation, segment) equivalence class is audited for the diversity
+    * of its sensitive attribute — here the account-balance band
+    * (negative / low / mid / high at fixed thresholds), the classic
+    * financial sensitive proxy. Reports distinct-value count,
+    * l≥2 / l≥3 flags, and the dominant band's share (the quantity the
+    * homogeneity attack exploits). Shape: one hash agg to the
+    * (class × band) grid, one to the class grid — both dim-bounded;
+    * the dominant share is a struct-max over the ≤4 band rows per
+    * class, never a window over customers. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.table(spark, dir, "customer")
+    val nations = Tables.table(spark, dir, "nation")
+      .select("n_nationkey", "n_name")
+    val band =
+      """CASE WHEN c_acctbal < 0 THEN 'negative'
+              WHEN c_acctbal < 3000 THEN 'low'
+              WHEN c_acctbal < 7000 THEN 'mid'
+              ELSE 'high' END"""
+    val byBand = cust
+      .join(org.apache.spark.sql.functions.broadcast(nations),
+        col("c_nationkey") === col("n_nationkey"))
+      .selectExpr("n_name AS qi_geo", "c_mktsegment AS qi_segment",
+        s"$band AS sens_band")
+      .groupBy("qi_geo", "qi_segment", "sens_band")
+      .agg(count(lit(1)).as("band_n"))
+    byBand.groupBy("qi_geo", "qi_segment")
+      .agg(sum("band_n").as("group_size"),
+        count(lit(1)).as("n_bands"),
+        max("band_n").as("dominant_n"))
+      .selectExpr("qi_geo", "qi_segment",
+        "CAST(group_size AS BIGINT) AS group_size",
+        "CAST(n_bands AS BIGINT) AS n_bands",
+        "CAST(dominant_n AS BIGINT) AS dominant_n",
+        "CASE WHEN n_bands >= 2 THEN 1 ELSE 0 END AS l2_ok",
+        "CASE WHEN n_bands >= 3 THEN 1 ELSE 0 END AS l3_ok",
+        "CAST(dominant_n AS DOUBLE) / group_size AS dominant_share")
+      .orderBy("qi_geo", "qi_segment")
+  }
+
+  val lDiversityOracle: String =
+    """WITH jb AS (SELECT n.n_name AS qi_geo, c.c_mktsegment AS qi_segment,
+          CASE WHEN c.c_acctbal < 0 THEN 'negative'
+               WHEN c.c_acctbal < 3000 THEN 'low'
+               WHEN c.c_acctbal < 7000 THEN 'mid'
+               ELSE 'high' END AS sens_band
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        bb AS (SELECT qi_geo, qi_segment, sens_band, count(*) AS band_n
+               FROM jb GROUP BY qi_geo, qi_segment, sens_band),
+        g AS (SELECT qi_geo, qi_segment,
+                CAST(sum(band_n) AS BIGINT) AS group_size,
+                count(*) AS n_bands,
+                CAST(max(band_n) AS BIGINT) AS dominant_n
+              FROM bb GROUP BY qi_geo, qi_segment)
+        SELECT qi_geo, qi_segment, group_size,
+          CAST(n_bands AS BIGINT) AS n_bands, dominant_n,
+          CASE WHEN n_bands >= 2 THEN 1 ELSE 0 END AS l2_ok,
+          CASE WHEN n_bands >= 3 THEN 1 ELSE 0 END AS l3_ok,
+          CAST(dominant_n AS DOUBLE) / group_size AS dominant_share
+        FROM g ORDER BY qi_geo, qi_segment"""
 
   val kAnonymityOracle: String =
     """WITH geo AS (SELECT n.n_nationkey, n.n_name, r.r_name
