@@ -543,7 +543,11 @@ object LanguageModel {
     * map-side-combined collapse to doc grain. Nothing corpus-sized is
     * broadcast; nothing is iterated. */
   def knBigramScore(spark: SparkSession, dir: String): DataFrame =
-    knBigramScoreDf(Tables.documents(spark, dir))
+    // session-cached: the model build is the expensive part and has two
+    // consumers (this readout and Curation.perplexityBuckets' terciles)
+    graft.PlanCache(spark, "kn_doc_scores", dir) {
+      knBigramScoreDf(Tables.documents(spark, dir))
+    }
 
   /** [[knBigramScore]] over an explicit (doc_id, text) relation —
     * exposed for the hand-computed truth-table spec. */
