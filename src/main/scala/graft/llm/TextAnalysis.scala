@@ -1018,6 +1018,67 @@ object TextAnalysis {
         FROM g ORDER BY len"""
   }
 
+  /** `text_top_repeats`: the worst-offender table the
+    * [[repeatSpectrum]] points at — for each window length L, the
+    * most-repeated token window WITH its text and occurrence count
+    * (only lengths where something actually repeats). Two-stage on
+    * purpose: stage 1 aggregates (len, md5) counts so the corpus-wide
+    * shuffle carries 16-byte hashes, not window strings; the top-1
+    * per length is a struct-min over the already-aggregated relation;
+    * only then does stage 2 re-derive windows and semi-join the ≤7
+    * winning hashes to recover their text — the narrow-shuffle-first
+    * discipline that keeps this runnable when windows are 64 tokens
+    * wide and the corpus is 100 TB. */
+  def topRepeats(spark: SparkSession, dir: String): DataFrame = {
+    val arrs = repeatLens.map { l =>
+      s"""CASE WHEN size(wv) >= $l THEN transform(sequence(0, size(wv) - $l),
+            i -> named_struct('len', $l,
+              't', array_join(slice(wv, i + 1, $l), ' ')))
+          ELSE array() END"""
+    }.mkString("concat(", ", ", ")")
+    val windows = Tables.documents(spark, dir)
+      .selectExpr(s"${let1(words("lower(text)", SparkD), "wv", arrs)} AS ws")
+      .select(explode(col("ws")).as("w"))
+      .selectExpr("w.len AS len", "md5(w.t) AS h")
+    val top = windows.groupBy("len", "h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .groupBy("len")
+      .agg(min(struct(expr("-cnt").as("nc"), col("h").as("h"))).as("m"))
+      .selectExpr("len", "m.h AS h", "-m.nc AS n_occurrences")
+    val texts = Tables.documents(spark, dir)
+      .selectExpr(s"${let1(words("lower(text)", SparkD), "wv", arrs)} AS ws")
+      .select(explode(col("ws")).as("w"))
+      .selectExpr("w.len AS len", "md5(w.t) AS h", "w.t AS window_text")
+      .join(top.select("len", "h"), Seq("len", "h"), "left_semi")
+      .distinct()
+    top.join(texts, Seq("len", "h"))
+      .selectExpr("len", "CAST(n_occurrences AS BIGINT) AS n_occurrences",
+        "window_text")
+      .orderBy("len")
+  }
+
+  val topRepeatsOracle: String = {
+    val fan = repeatLens.map { l =>
+      s"""SELECT $l AS len, array_to_string(wv[i + 1:i + $l], ' ') AS t
+          FROM wt2, unnest(range(0, CASE WHEN len(wv) >= $l
+            THEN len(wv) - $l + 1 ELSE 0 END)) AS x(i)"""
+    }.mkString(" UNION ALL ")
+    s"""WITH wt2 AS MATERIALIZED (SELECT ${words("lower(text)", DuckD)} AS wv
+          FROM documents),
+        fan AS MATERIALIZED (SELECT len, md5(t) AS h, t FROM ($fan) f0),
+        cnts AS (SELECT len, h, count(*) AS cnt FROM fan GROUP BY len, h),
+        top AS (SELECT len, h, cnt AS n_occurrences FROM (
+            SELECT *, row_number() OVER (PARTITION BY len
+              ORDER BY cnt DESC, h) AS rn
+            FROM cnts WHERE cnt > 1) z WHERE rn = 1),
+        tx AS (SELECT DISTINCT f.len, f.h, f.t AS window_text
+               FROM fan f JOIN top ON f.len = top.len AND f.h = top.h)
+        SELECT top.len, CAST(top.n_occurrences AS BIGINT) AS n_occurrences,
+          tx.window_text
+        FROM top JOIN tx ON top.len = tx.len AND top.h = tx.h
+        ORDER BY top.len"""
+  }
+
   // ---- PMI collocations ----
 
   private val collocK = 30
