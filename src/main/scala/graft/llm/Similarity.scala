@@ -262,6 +262,97 @@ object Similarity {
         SELECT query_id, vec_id, cell, rank, cosine FROM ranked
         WHERE rank <= $topK ORDER BY query_id, rank"""
 
+  private val probeSweepPs = Seq(1, 2, 4, 8)
+
+  /** [[ivfTopKMultiProbe]] with the probe count as a parameter — the
+    * shared body of the probe-2 query and the sweep below. */
+  private def probeTopK(spark: SparkSession, dir: String, p: Int): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = all.filter(centroidPred(spark))
+      .selectExpr("vec_id AS centroid_id", "v AS cv", "nrm AS cnrm")
+    val qw = Window.partitionBy("query_id").orderBy(desc("qccos"), asc("centroid_id"))
+    val qCells = all.filter(col("vec_id") < nQueries)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm")
+      .crossJoin(broadcast(cents))
+      .selectExpr("query_id", "qv", "qnrm", "centroid_id",
+        s"${cosineWithNorms("qv", "cv", "qnrm", "cnrm", SparkD)} AS qccos")
+      .withColumn("__pr", row_number().over(qw))
+      .filter(col("__pr") <= p)
+      .selectExpr("query_id", "qv", "qnrm", "centroid_id AS cell")
+    val scored = ivfAssigned(spark, dir).join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id",
+        s"${cosineWithNorms("qv", "v", "qnrm", "nrm", SparkD)} AS cosine")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id")
+  }
+
+  /** `ann_probe_sweep`: the recall-vs-probe CURVE (p ∈ 1,2,4,8) against
+    * brute-force truth — the measured trade-off an IVF deployment is
+    * tuned from (probe count multiplies scanned cells linearly; recall
+    * saturates once the probed cells cover the query's true
+    * neighborhood, and THIS table says where). Same all-integer hit
+    * counting as the per-tier recall audit, so the recall doubles are
+    * bit-exact; each probe tier stays the bounded broadcast-cells
+    * equi-join shape regardless of corpus size. */
+  def probeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val truth = cosineTopK(spark, dir).select("query_id", "vec_id")
+    probeSweepPs.map { p =>
+      truth.join(
+          probeTopK(spark, dir, p).withColumn("__hit", lit(1)),
+          Seq("query_id", "vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(coalesce(col("__hit"), lit(0))), lit(0L))
+            .cast("long").as("n_hit"))
+        .select(lit(p).cast("int").as("n_probe"), col("n_true"), col("n_hit"),
+          expr("CASE WHEN n_true > 0 THEN n_hit / CAST(n_true AS DOUBLE) " +
+            "ELSE CAST(0 AS DOUBLE) END").as("recall_at_k"))
+    }.reduce(_.unionByName(_)).orderBy("n_probe")
+  }
+
+  val probeSweepOracle: String = {
+    val tiers = probeSweepPs.map { p =>
+      s"""qc_$p AS (SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qnrm,
+              c.centroid_id AS cell,
+              ${cosineWithNorms("e.v", "c.cv", "e.nrm", "c.cnrm", DuckD)} AS qccos
+            FROM e CROSS JOIN cents c
+            WHERE e.vec_id < $nQueries
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY qccos DESC, c.centroid_id) <= $p),
+          sc_$p AS (SELECT q.query_id, a.vec_id,
+              ${cosineWithNorms("q.qv", "a.v", "q.qnrm", "a.nrm", DuckD)} AS cosine
+            FROM assigned a JOIN qc_$p q ON a.cell = q.cell
+             AND a.vec_id <> q.query_id),
+          r_$p AS (SELECT query_id, vec_id FROM sc_$p
+            QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) <= $topK)"""
+    }.mkString(",\n        ")
+    val rows = probeSweepPs.map { p =>
+      s"""SELECT CAST($p AS INTEGER) AS n_probe,
+            CAST(count(*) AS BIGINT) AS n_true,
+            CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM r_$p r
+              WHERE r.query_id = t.query_id AND r.vec_id = t.vec_id)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM truth t"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${ivfCte(DuckD)},
+        tq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+               WHERE vec_id < $nQueries),
+        t_scored AS (SELECT tq.query_id, e.vec_id,
+            ${cosineWithNorms("tq.qv", "e.v", "tq.qnrm", "e.nrm", DuckD)} AS cosine
+          FROM e JOIN tq ON e.vec_id <> tq.query_id),
+        truth AS MATERIALIZED (SELECT query_id, vec_id FROM t_scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) <= $topK),
+        $tiers
+        SELECT n_probe, n_true, n_hit,
+          CASE WHEN n_true > 0 THEN n_hit / CAST(n_true AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS recall_at_k
+        FROM ($rows) u ORDER BY n_probe"""
+  }
+
   /** One k-means refinement step over the IVF assignment — how the
     * coarse quantizer is actually trained at scale (Lloyd iteration:
     * assign → recompute centroids; [[ivfAssigned]] is the assign
