@@ -51,6 +51,85 @@ object Curation {
         u_t AS (SELECT doc_id, source, ${unitHashCtes(DuckD)(1)} FROM h_t)
         SELECT doc_id, source, u, $splitExpr FROM u_t ORDER BY doc_id"""
 
+  // ---- split-drift audit (population stability index) ----
+
+  private val psiComparisons = Seq(("train", "val"), ("train", "test"))
+
+  /** `corpus_split_psi`: Population Stability Index of the quality-
+    * score distribution between the train split and each held-out
+    * split — the standard production check that a hash split didn't
+    * land a skewed sample (PSI < 0.1 is the conventional "stable"
+    * band; a big PSI here would mean the eval sets don't measure the
+    * training distribution). Scores bin into 10 fixed-width buckets;
+    * per-bin shares are Laplace-smoothed ((n+1)/(N+10)) so empty bins
+    * stay finite without an arbitrary epsilon; each bin's
+    * (p−q)·ln(p/q) contribution is nano-quantized before the sum (the
+    * bounded-bin sum is then order-independent), and ln enters the
+    * plan only under the established quantize-the-readout discipline.
+    * One corpus scan, a (split × 10)-cell agg, then constant-sized
+    * arithmetic. */
+  def splitPsi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val binned = TextAnalysis.statsRelation(spark, dir)
+      .selectExpr(Seq("doc_id", "quality_score")
+        ++ unitHashCtes(SparkD).take(1): _*)
+      .selectExpr("doc_id", "quality_score", unitHashCtes(SparkD)(1))
+      .selectExpr("quality_score", splitExpr)
+      .selectExpr("split",
+        "CAST(greatest(least(floor(quality_score * 10), 9), 0) AS INT) AS bin")
+    val counts = binned.groupBy("split", "bin").agg(count(lit(1)).as("n"))
+    val totals = binned.groupBy("split").agg(count(lit(1)).as("t"))
+    val grid = spark.range(10).selectExpr("CAST(id AS INT) AS bin")
+    psiComparisons.map { case (a, b) =>
+      val na = counts.filter(col("split") === a).select(col("bin"), col("n").as("n_a"))
+      val nb = counts.filter(col("split") === b).select(col("bin"), col("n").as("n_b"))
+      val ta = totals.filter(col("split") === a).select(col("t").as("tot_a"))
+      val tb = totals.filter(col("split") === b).select(col("t").as("tot_b"))
+      val pa = "(CAST(n_a + 1 AS DOUBLE) / (tot_a + 10))"
+      val pb = "(CAST(n_b + 1 AS DOUBLE) / (tot_b + 10))"
+      grid.join(na, Seq("bin"), "left").join(nb, Seq("bin"), "left")
+        .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+        .selectExpr("coalesce(n_a, 0) AS n_a", "coalesce(n_b, 0) AS n_b",
+          "tot_a", "tot_b")
+        .selectExpr("tot_a", "tot_b",
+          s"CAST(round(($pa - $pb) * ln($pa / $pb) * 1e9) AS BIGINT) AS c_nano")
+        .groupBy("tot_a", "tot_b")
+        .agg(sum("c_nano").as("psi_nano"))
+        .selectExpr(s"'${a}_vs_$b' AS comparison",
+          "CAST(tot_a AS BIGINT) AS n_a", "CAST(tot_b AS BIGINT) AS n_b",
+          "psi_nano", "CAST(psi_nano AS DOUBLE) / 1e9 AS psi")
+    }.reduce(_ unionByName _).orderBy("comparison")
+  }
+
+  val splitPsiOracle: String = {
+    val rows = psiComparisons.map { case (a, b) =>
+      val pa = "(CAST(q.n_a + 1 AS DOUBLE) / (q.tot_a + 10))"
+      val pb = "(CAST(q.n_b + 1 AS DOUBLE) / (q.tot_b + 10))"
+      s"""SELECT '${a}_vs_$b' AS comparison,
+            CAST(max(q.tot_a) AS BIGINT) AS n_a,
+            CAST(max(q.tot_b) AS BIGINT) AS n_b,
+            CAST(sum(CAST(round(($pa - $pb) * ln($pa / $pb) * 1e9) AS BIGINT)) AS BIGINT) AS psi_nano,
+            CAST(sum(CAST(round(($pa - $pb) * ln($pa / $pb) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS psi
+          FROM (SELECT g.bin,
+                  coalesce((SELECT n FROM cnt WHERE split = '$a' AND bin = g.bin), 0) AS n_a,
+                  coalesce((SELECT n FROM cnt WHERE split = '$b' AND bin = g.bin), 0) AS n_b,
+                  (SELECT t FROM tot WHERE split = '$a') AS tot_a,
+                  (SELECT t FROM tot WHERE split = '$b') AS tot_b
+                FROM grid g) q"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${TextAnalysis.statsCtes},
+        uh_t AS (SELECT doc_id, ${unitHashCtes(DuckD).head} FROM documents),
+        uu_t AS (SELECT doc_id, ${unitHashCtes(DuckD)(1)} FROM uh_t),
+        sp AS (SELECT u2.doc_id, $splitExpr,
+                 CAST(greatest(least(floor(s.quality_score * 10), 9), 0) AS INTEGER) AS bin
+               FROM stats s JOIN uu_t u2 ON s.doc_id = u2.doc_id),
+        cnt AS MATERIALIZED (SELECT split, bin, count(*) AS n
+               FROM sp GROUP BY split, bin),
+        tot AS MATERIALIZED (SELECT split, count(*) AS t FROM sp GROUP BY split),
+        grid AS (SELECT unnest(range(0, 10)) AS bin)
+        SELECT * FROM ($rows) u ORDER BY comparison"""
+  }
+
   private val quotaPerSource = 50
 
   /** Per-source quota balancing: keep at most [[quotaPerSource]] docs
