@@ -130,6 +130,108 @@ object Curation {
         SELECT * FROM ($rows) u ORDER BY comparison"""
   }
 
+  // ---- quality-signal agreement matrix ----
+
+  /** `corpus_signal_spearman`: pairwise Spearman rank correlation
+    * between the engine's four independent quality signals — the
+    * heuristic gate score, the KN bigram fluency score, the hashed
+    * classifier score, and the DSIR per-token domain weight. This is
+    * the "do my filters agree" readout a curation review runs before
+    * composing signals into a funnel: near-1 pairs are redundant
+    * (drop the expensive one), near-0 pairs measure different things
+    * (keep both), negative pairs are a bug or a genuinely adversarial
+    * signal. Machinery is the established doubled-midrank discipline
+    * (ties exact, DECIMAL(38) cross-products, one IEEE readout per
+    * rho); signals are quantized to exact integers BEFORE ranking so
+    * the rank keys are engine-identical. Ranks are global windows
+    * over the doc-grain joined relation — the [[graft.ops.Profile]]
+    * Spearman precedent; at 100 TB the two-phase bucket prefix scan
+    * substitutes, same as the winsorized stats. */
+  def signalSpearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qual = TextAnalysis.statsRelation(spark, dir)
+      .selectExpr("doc_id", "CAST(round(quality_score * 10000) AS BIGINT) AS qq")
+    val kn = graft.llm.LanguageModel.knBigramScore(spark, dir)
+      .selectExpr("doc_id", "CAST(round(avg_kn_prob * 1e9) AS BIGINT) AS qk")
+    val cls = TextAnalysis.hashedClassifier(spark, dir)
+      .selectExpr("doc_id", "score AS qc")
+    val dsir = TextAnalysis.dsirWeights(spark, dir)
+      .filter(col("n_tokens") > 0)
+      .selectExpr("doc_id",
+        "CAST(round(CAST(logw_nano AS DOUBLE) / n_tokens * 1000) AS BIGINT) AS qd")
+    qual.join(kn, Seq("doc_id")).join(cls, Seq("doc_id")).join(dsir, Seq("doc_id"))
+      .selectExpr(
+        "2 * rank() OVER (ORDER BY qq) + count(*) OVER (PARTITION BY qq) - 1 AS rq2",
+        "2 * rank() OVER (ORDER BY qk) + count(*) OVER (PARTITION BY qk) - 1 AS rk2",
+        "2 * rank() OVER (ORDER BY qc) + count(*) OVER (PARTITION BY qc) - 1 AS rc2",
+        "2 * rank() OVER (ORDER BY qd) + count(*) OVER (PARTITION BY qd) - 1 AS rd2",
+        "count(*) OVER () AS n")
+      .selectExpr("n",
+        "CAST(rq2 - (n + 1) AS DECIMAL(19,0)) AS dq",
+        "CAST(rk2 - (n + 1) AS DECIMAL(19,0)) AS dk",
+        "CAST(rc2 - (n + 1) AS DECIMAL(19,0)) AS dc",
+        "CAST(rd2 - (n + 1) AS DECIMAL(19,0)) AS dd")
+      .selectExpr(
+        "CAST(max(n) AS BIGINT) AS n",
+        "CAST(sum(dq * dq) AS DECIMAL(38,0)) AS sqq",
+        "CAST(sum(dk * dk) AS DECIMAL(38,0)) AS skk",
+        "CAST(sum(dc * dc) AS DECIMAL(38,0)) AS scc",
+        "CAST(sum(dd * dd) AS DECIMAL(38,0)) AS sdd",
+        "CAST(sum(dq * dk) AS DECIMAL(38,0)) AS sqk",
+        "CAST(sum(dq * dc) AS DECIMAL(38,0)) AS sqc",
+        "CAST(sum(dq * dd) AS DECIMAL(38,0)) AS sqd",
+        "CAST(sum(dk * dc) AS DECIMAL(38,0)) AS skc")
+      .selectExpr("n",
+        "CAST(sqk AS DOUBLE) / (sqrt(CAST(sqq AS DOUBLE)) * sqrt(CAST(skk AS DOUBLE))) AS rho_quality_kn",
+        "CAST(sqc AS DOUBLE) / (sqrt(CAST(sqq AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE))) AS rho_quality_classifier",
+        "CAST(sqd AS DOUBLE) / (sqrt(CAST(sqq AS DOUBLE)) * sqrt(CAST(sdd AS DOUBLE))) AS rho_quality_dsir",
+        "CAST(skc AS DOUBLE) / (sqrt(CAST(skk AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE))) AS rho_kn_classifier")
+  }
+
+  lazy val signalSpearmanOracle: String =
+    s"""WITH ${TextAnalysis.statsCtes},
+        knq AS MATERIALIZED (SELECT doc_id,
+            CAST(round(avg_kn_prob * 1e9) AS BIGINT) AS qk
+          FROM (${graft.llm.LanguageModel.knBigramScoreOracle}) kk),
+        clq AS MATERIALIZED (SELECT doc_id, score AS qc
+          FROM (${TextAnalysis.hashedClassifierOracle}) cc),
+        dsq AS MATERIALIZED (SELECT doc_id,
+            CAST(round(CAST(logw_nano AS DOUBLE) / n_tokens * 1000) AS BIGINT) AS qd
+          FROM (${TextAnalysis.dsirWeightsOracle}) dd0 WHERE n_tokens > 0),
+        j AS (SELECT CAST(round(s.quality_score * 10000) AS BIGINT) AS qq,
+                k.qk, c.qc, d.qd
+              FROM stats s JOIN knq k ON s.doc_id = k.doc_id
+                JOIN clq c ON s.doc_id = c.doc_id
+                JOIN dsq d ON s.doc_id = d.doc_id),
+        r AS (SELECT
+            2 * rank() OVER (ORDER BY qq) + count(*) OVER (PARTITION BY qq) - 1 AS rq2,
+            2 * rank() OVER (ORDER BY qk) + count(*) OVER (PARTITION BY qk) - 1 AS rk2,
+            2 * rank() OVER (ORDER BY qc) + count(*) OVER (PARTITION BY qc) - 1 AS rc2,
+            2 * rank() OVER (ORDER BY qd) + count(*) OVER (PARTITION BY qd) - 1 AS rd2,
+            count(*) OVER () AS n
+          FROM j),
+        dd AS (SELECT n,
+            CAST(rq2 - (n + 1) AS DECIMAL(19,0)) AS dq,
+            CAST(rk2 - (n + 1) AS DECIMAL(19,0)) AS dk,
+            CAST(rc2 - (n + 1) AS DECIMAL(19,0)) AS dc,
+            CAST(rd2 - (n + 1) AS DECIMAL(19,0)) AS dd2 FROM r),
+        m AS (SELECT CAST(max(n) AS BIGINT) AS n,
+            CAST(sum(dq * dq) AS DECIMAL(38,0)) AS sqq,
+            CAST(sum(dk * dk) AS DECIMAL(38,0)) AS skk,
+            CAST(sum(dc * dc) AS DECIMAL(38,0)) AS scc,
+            CAST(sum(dd2 * dd2) AS DECIMAL(38,0)) AS sdd,
+            CAST(sum(dq * dk) AS DECIMAL(38,0)) AS sqk,
+            CAST(sum(dq * dc) AS DECIMAL(38,0)) AS sqc,
+            CAST(sum(dq * dd2) AS DECIMAL(38,0)) AS sqd,
+            CAST(sum(dk * dc) AS DECIMAL(38,0)) AS skc
+          FROM dd)
+        SELECT n,
+          CAST(sqk AS DOUBLE) / (sqrt(CAST(sqq AS DOUBLE)) * sqrt(CAST(skk AS DOUBLE))) AS rho_quality_kn,
+          CAST(sqc AS DOUBLE) / (sqrt(CAST(sqq AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE))) AS rho_quality_classifier,
+          CAST(sqd AS DOUBLE) / (sqrt(CAST(sqq AS DOUBLE)) * sqrt(CAST(sdd AS DOUBLE))) AS rho_quality_dsir,
+          CAST(skc AS DOUBLE) / (sqrt(CAST(skk AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE))) AS rho_kn_classifier
+        FROM m"""
+
   private val quotaPerSource = 50
 
   /** Per-source quota balancing: keep at most [[quotaPerSource]] docs
