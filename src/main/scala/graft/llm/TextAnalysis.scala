@@ -947,6 +947,49 @@ object TextAnalysis {
           CAST(n_pass AS DOUBLE) / n_docs AS pass_rate
         FROM g2 ORDER BY bin"""
 
+  /** `text_source_novelty`: each source's EXCLUSIVE contribution — of
+    * the distinct 3-gram shingle types a source contains, how many
+    * appear in NO other source. This is the marginal-value table for
+    * source selection (a feed whose content is 95 % covered by other
+    * feeds adds little beyond duplication risk; corpus-level dedup
+    * stats can't see this because they count pairs, not coverage).
+    * Shingle types are md5-hashed before the corpus-wide distinct so
+    * the shuffle carries 16-byte keys; the per-gram source count and
+    * the per-source rollup are both map-side-combined hash aggs on
+    * bounded-width keys — one scan plus two aggregations at any
+    * corpus size. */
+  def sourceNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sg = Tables.documents(spark, dir)
+      .selectExpr("source",
+        s"${let1(words("lower(text)", SparkD), "wv", shingles("wv", SparkD))} AS sh")
+      .select(col("source"), explode(col("sh")).as("g"))
+      .selectExpr("source", "md5(g) AS h")
+      .distinct()
+    val perGram = sg.groupBy("h").agg(count(lit(1)).as("n_sources"))
+    sg.join(perGram, Seq("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(expr("CASE WHEN n_sources = 1 THEN 1 ELSE 0 END")).as("n_exclusive"))
+      .selectExpr("source", "CAST(n_types AS BIGINT) AS n_types",
+        "CAST(n_exclusive AS BIGINT) AS n_exclusive",
+        "CAST(n_exclusive AS DOUBLE) / n_types AS exclusive_share")
+      .orderBy("source")
+  }
+
+  val sourceNoveltyOracle: String =
+    s"""WITH wv_t AS (SELECT source, ${words("lower(text)", DuckD)} AS wv
+          FROM documents),
+        sg AS MATERIALIZED (SELECT DISTINCT source,
+            md5(unnest(${shingles("wv", DuckD)})) AS h
+          FROM wv_t),
+        pg AS (SELECT h, count(*) AS n_sources FROM sg GROUP BY h),
+        g AS (SELECT sg.source, count(*) AS n_types,
+                CAST(sum(CASE WHEN pg.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive
+              FROM sg JOIN pg ON sg.h = pg.h GROUP BY sg.source)
+        SELECT source, CAST(n_types AS BIGINT) AS n_types, n_exclusive,
+          CAST(n_exclusive AS DOUBLE) / n_types AS exclusive_share
+        FROM g ORDER BY source"""
+
   // ---- corpus n-gram repetition spectrum ----
 
   private val repeatLens = Seq(1, 2, 4, 8, 16, 32, 64)
