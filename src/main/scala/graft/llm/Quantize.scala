@@ -47,6 +47,83 @@ object Quantize {
   private def vecsDCte(d: Dialect): String =
     s"ve AS (SELECT vec_id, label, ${toDoubleArr("embedding", d)} AS v FROM embeddings)"
 
+  // ---- embedding centroid drift between hash splits ----
+
+  private val driftComparisons = Seq(("train", "val"), ("train", "test"))
+
+  /** `embedding_split_drift`: squared L2 distance between the
+    * embedding CENTROIDS of the train split and each held-out split —
+    * the vector-space twin of the PSI quality-histogram audit (a hash
+    * split should land statistically identical embedding mass; a
+    * centroid that moved says the eval set sees a different region of
+    * representation space). Splits use the engine's standard
+    * 80/10/10 doc-hash assignment; per-(split, dim) means use the
+    * exact quantize-sum-unscale construction (order-independent), and
+    * each dimension's squared-difference contribution is
+    * pico-quantized before the 64-term sum so the readout never
+    * depends on float association. Plan: one posexplode scan → a
+    * (3 × 64)-cell map-side-combined agg → constant-size arithmetic. */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cents = vecsD(spark, dir)
+      .selectExpr("vec_id", "v", "md5(CAST(vec_id AS STRING)) AS h")
+      .selectExpr("v",
+        s"(${graft.llm.Gen.hexPrefix32("h")}) / CAST(4294967296 AS DOUBLE) AS u")
+      .selectExpr("v",
+        """CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split""")
+      .select(col("split"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("split", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(x * 10000000) AS BIGINT)")).as("qs"))
+      .selectExpr("split", "dim",
+        "CAST(n AS BIGINT) AS n",
+        "qs / CAST(10000000 AS DOUBLE) / n AS m")
+    driftComparisons.map { case (a, b) =>
+      val ca = cents.filter(col("split") === a)
+        .selectExpr("dim", "n AS n_a", "m AS m_a")
+      val cb = cents.filter(col("split") === b)
+        .selectExpr("dim", "n AS n_b", "m AS m_b")
+      ca.join(cb, Seq("dim"))
+        .selectExpr("n_a", "n_b",
+          "CAST(round((m_a - m_b) * (m_a - m_b) * 1e12) AS BIGINT) AS c_pico")
+        .groupBy("n_a", "n_b")
+        .agg(count(lit(1)).as("n_dims"), sum("c_pico").as("d2_pico"))
+        .selectExpr(s"'${a}_vs_$b' AS comparison", "n_a", "n_b",
+          "CAST(n_dims AS BIGINT) AS n_dims", "d2_pico",
+          "CAST(d2_pico AS DOUBLE) / 1e12 AS dist2")
+    }.reduce(_ unionByName _).orderBy("comparison")
+  }
+
+  val splitDriftOracle: String = {
+    val rows = driftComparisons.map { case (a, b) =>
+      s"""SELECT '${a}_vs_$b' AS comparison, q.n_a, q.n_b,
+            CAST(count(*) AS BIGINT) AS n_dims,
+            CAST(sum(q.c_pico) AS BIGINT) AS d2_pico,
+            CAST(sum(q.c_pico) AS DOUBLE) / 1e12 AS dist2
+          FROM (SELECT ca.n AS n_a, cb.n AS n_b,
+                  CAST(round((ca.m - cb.m) * (ca.m - cb.m) * 1e12) AS BIGINT) AS c_pico
+                FROM cents ca JOIN cents cb ON ca.dim = cb.dim
+                WHERE ca.split = '$a' AND cb.split = '$b') q
+          GROUP BY q.n_a, q.n_b"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${vecsDCte(DuckD)},
+        sp AS (SELECT v,
+            CASE WHEN u < 0.8 THEN 'train'
+                 WHEN u < 0.9 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT v,
+              (${graft.llm.Gen.hexPrefix32("md5(CAST(vec_id AS VARCHAR))")}) / CAST(4294967296 AS DOUBLE) AS u
+            FROM ve) u0),
+        xl AS (SELECT split, d.dim, sp.v[d.dim + 1] AS x
+               FROM sp CROSS JOIN range(0, $dims) d(dim)),
+        cents AS MATERIALIZED (SELECT split, dim, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(round(x * 10000000) AS BIGINT)) / CAST(10000000 AS DOUBLE)
+              / count(*) AS m
+          FROM xl GROUP BY split, dim)
+        SELECT * FROM ($rows) u ORDER BY comparison"""
+  }
+
   // ---- per-dimension symmetric INT8 scalar quantization ----
 
   /** One row, 64 columns m_0..m_63 = max |x_d| over the corpus — the
