@@ -1119,6 +1119,115 @@ object Analytics {
                 (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z""")
   }
 
+  // ---- changepoint detection (binary segmentation) ----
+
+  /** Shared gain expression: SSE reduction from splitting a segment
+    * with totals (t1, t2, nn) at a prefix point (s1, s2, i) —
+    * SSE(a..b) = Σx² − (Σx)²/len via prefix sums, every term exact
+    * (BIGINT / DECIMAL(38)) until the one double readout tree, which
+    * is identical text on both engines. */
+  private def segGain(s1: String, s2: String, i: String,
+      t1: String, t2: String, nn: String): String =
+    (s"((CAST($t2 AS DOUBLE) - CAST($t1 AS DOUBLE) * $t1 / $nn) " +
+      s"- (CAST($s2 AS DOUBLE) - CAST($s1 AS DOUBLE) * $s1 / $i) " +
+      s"- (CAST(($t2) - ($s2) AS DOUBLE) " +
+      s"- CAST(($t1) - ($s1) AS DOUBLE) * (($t1) - ($s1)) / (($nn) - ($i))))")
+
+  /** `daily_revenue_changepoints`: two-level binary segmentation of
+    * the daily revenue series (the greedy first rounds of PELT-family
+    * changepoint detection): the split maximizing the SSE reduction
+    * over the whole series, then the best split inside each resulting
+    * half — the structural-break readout that says WHEN the revenue
+    * process changed, complementing CUSUM (drift alarm) and the trend
+    * decomposition (fixed seasonal model). Costs come from prefix
+    * sums over the day grain (a bounded calendar scan, the CUSUM
+    * argument); squared sums ride DECIMAL(38) so no count or price
+    * scale overflows; each argmax is a struct-min aggregate over
+    * day-grain candidates, and the child-segment passes reuse the ONE
+    * prefix relation with offset arithmetic — the series is scanned
+    * once regardless of depth. */
+  def dailyRevenueChangepoints(spark: SparkSession, dir: String): DataFrame = {
+    val pre = revenueSeries(spark, dir, dayGrain)
+      .withColumn("i", expr("row_number() OVER (ORDER BY x)"))
+      .withColumn("s1", expr(
+        "sum(y) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+      .withColumn("s2", expr(
+        "CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) " +
+          "OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0))"))
+      .withColumn("n", expr("count(*) OVER ()"))
+      .withColumn("t1", expr("sum(y) OVER ()"))
+      .withColumn("t2", expr(
+        "CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER () AS DECIMAL(38,0))"))
+      .transform(graft.ops.Checkpoints.cut)
+    val root = pre.filter(col("i") < col("n"))
+      .selectExpr("x", "i", "s1", "s2",
+        s"${segGain("s1", "s2", "i", "t1", "t2", "n")} AS gain")
+      .agg(min(struct(expr("-gain").as("ng"), col("x").as("x"),
+        col("i").as("i"), col("s1").as("s1"), col("s2").as("s2"))).as("m"))
+      .selectExpr("m.x AS root_x", "m.i AS ri", "m.s1 AS rs1",
+        "m.s2 AS rs2", "-m.ng AS root_gain")
+    val wroot = broadcast(root.transform(graft.ops.Checkpoints.cut))
+    def pick(cand: DataFrame, seg: String) = cand
+      .agg(min(struct(expr("-gain").as("ng"), col("x").as("x"))).as("m"))
+      .selectExpr(s"'$seg' AS segment", "CAST(2 AS INT) AS level",
+        "m.x AS split_day", "-m.ng AS gain")
+      .filter(col("split_day").isNotNull)
+    val left = pick(pre.crossJoin(wroot).filter(col("i") < col("ri"))
+      .selectExpr("x", s"${segGain("s1", "s2", "i", "rs1", "rs2", "ri")} AS gain"),
+      "left")
+    val right = pick(pre.crossJoin(wroot)
+      .filter(col("i") > col("ri") && col("i") < col("n"))
+      .selectExpr("x", s"${segGain("(s1 - rs1)", "(s2 - rs2)", "(i - ri)",
+        "(t1 - rs1)", "(t2 - rs2)", "(n - ri)")} AS gain"),
+      "right")
+    root.selectExpr("'root' AS segment", "CAST(1 AS INT) AS level",
+        "root_x AS split_day", "root_gain AS gain")
+      .unionByName(left).unionByName(right)
+      .orderBy("level", "segment")
+  }
+
+  val dailyRevenueChangepointsOracle: String =
+    s"""WITH series AS (
+          SELECT $dayGrainDuck AS x,
+            sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) // 100 AS y
+          FROM lineitem GROUP BY 1),
+        pre AS MATERIALIZED (SELECT x, y,
+            row_number() OVER (ORDER BY x) AS i,
+            sum(y) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+            CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS s2,
+            count(*) OVER () AS n,
+            sum(y) OVER () AS t1,
+            CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER () AS DECIMAL(38,0)) AS t2
+          FROM series),
+        rootc AS (SELECT x, i, s1, s2,
+            ${segGain("s1", "s2", "i", "t1", "t2", "n")} AS gain
+          FROM pre WHERE i < n),
+        root AS MATERIALIZED (SELECT x AS root_x, i AS ri, s1 AS rs1,
+            s2 AS rs2, gain AS root_gain
+          FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, x) AS rn
+                FROM rootc) z WHERE rn = 1),
+        leftp AS (SELECT p.x,
+            ${segGain("p.s1", "p.s2", "p.i", "r.rs1", "r.rs2", "r.ri")} AS gain
+          FROM pre p CROSS JOIN root r WHERE p.i < r.ri),
+        rightp AS (SELECT p.x,
+            ${segGain("(p.s1 - r.rs1)", "(p.s2 - r.rs2)", "(p.i - r.ri)",
+      "(p.t1 - r.rs1)", "(p.t2 - r.rs2)", "(p.n - r.ri)")} AS gain
+          FROM pre p CROSS JOIN root r WHERE p.i > r.ri AND p.i < p.n),
+        out AS (
+          SELECT 'root' AS segment, CAST(1 AS INTEGER) AS level,
+            root_x AS split_day, root_gain AS gain FROM root
+          UNION ALL
+          SELECT 'left', CAST(2 AS INTEGER), x, gain FROM
+            (SELECT *, row_number() OVER (ORDER BY gain DESC, x) AS rn
+             FROM leftp) z WHERE rn = 1
+          UNION ALL
+          SELECT 'right', CAST(2 AS INTEGER), x, gain FROM
+            (SELECT *, row_number() OVER (ORDER BY gain DESC, x) AS rn
+             FROM rightp) z WHERE rn = 1)
+        SELECT segment, level, split_day, gain FROM out
+        ORDER BY level, segment"""
+
   // ---- open-order backlog over time ----
 
   /** Orders in flight per day — the classic concurrent-intervals
