@@ -1290,6 +1290,110 @@ object TextAnalysis {
           r_stopword, r_alpha, r_repetition, n_rules_passed, pass
         FROM gate ORDER BY doc_id"""
 
+  // ---- negative-sampling distribution (word2vec unigram^0.75) ----
+
+  private val negSampleK = 100
+
+  /** `text_negative_sampling`: the smoothed unigram sampling table
+    * word2vec-family training draws negatives from — p(w) ∝ count^0.75
+    * (Mikolov et al. 2013's empirical flattening exponent), emitted as
+    * the top-[[negSampleK]] terms with exact counts, micro-quantized
+    * weights, shares against the FULL-vocabulary total, and the
+    * cumulative share (the bucket boundaries an alias-table build
+    * consumes). count^0.75 composes as sqrt(c)·sqrt(sqrt(c)) — two
+    * correctly-rounded IEEE ops, no libm pow (the quarter-power trick
+    * from the temperature-mixing table). The share denominator is one
+    * map-side-combined agg over the whole vocabulary; the cum-share
+    * window sees only the K output rows. */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(expr(words("lower(text)", SparkD))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .selectExpr("term", "cnt",
+        "CAST(round(sqrt(CAST(cnt AS DOUBLE)) * sqrt(sqrt(CAST(cnt AS DOUBLE))) * 1e6) AS BIGINT) AS w_q")
+    val tot = counts.agg(sum("w_q").as("w_tot"))
+    val wTop = Window.orderBy(desc("cnt"), asc("term"))
+    counts
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= negSampleK)
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_w", expr(
+        "sum(w_q) OVER (ORDER BY cnt DESC, term ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+      .selectExpr("rk", "term", "CAST(cnt AS BIGINT) AS cnt", "w_q",
+        "CAST(w_q AS DOUBLE) / w_tot AS share",
+        "CAST(cum_w AS DOUBLE) / w_tot AS cum_share")
+      .orderBy("rk")
+  }
+
+  val negativeSamplingOracle: String =
+    s"""WITH toks AS (SELECT unnest(${words("lower(text)", DuckD)}) AS term
+          FROM documents),
+        cnts AS (SELECT term, count(*) AS cnt,
+            CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * sqrt(sqrt(CAST(count(*) AS DOUBLE))) * 1e6) AS BIGINT) AS w_q
+          FROM toks GROUP BY term),
+        tt AS (SELECT CAST(sum(w_q) AS BIGINT) AS w_tot FROM cnts),
+        top AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, term) AS rk
+                FROM cnts
+                QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= $negSampleK),
+        cw AS (SELECT *, CAST(sum(w_q) OVER (ORDER BY cnt DESC, term
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w
+               FROM top)
+        SELECT rk, term, CAST(cnt AS BIGINT) AS cnt, w_q,
+          CAST(w_q AS DOUBLE) / w_tot AS share,
+          CAST(cum_w AS DOUBLE) / w_tot AS cum_share
+        FROM cw CROSS JOIN tt ORDER BY rk"""
+
+  // ---- per-source unigram entropy ----
+
+  /** `text_source_entropy`: Shannon entropy of each source's unigram
+    * distribution (plug-in estimator, nats) plus the vocabulary-
+    * normalized form H/ln(V) — the lexical-diversity signal that
+    * separates templated/boilerplate feeds (low H for their size)
+    * from natural prose at a glance, complementing TTR (which ignores
+    * the shape of the frequency distribution). Per-term contributions
+    * (c/T)·ln(c/T) are nano-quantized before the per-source sum, so
+    * the readout is order-independent; ln appears only under the
+    * established quantize-the-readout discipline. Two
+    * map-side-combined aggs ((source, term) then source), nothing
+    * else. */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(expr(words("lower(text)", SparkD))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val pt = st.groupBy("source").agg(sum("c").as("t_toks"))
+    st.join(pt, Seq("source"))
+      .selectExpr("source", "t_toks",
+        "CAST(round((CAST(c AS DOUBLE) / t_toks) * ln(CAST(c AS DOUBLE) / t_toks) * 1e9) AS BIGINT) AS h_nano")
+      .groupBy("source", "t_toks")
+      .agg(count(lit(1)).as("vocab"), sum("h_nano").as("hsum"))
+      .selectExpr("source", "CAST(t_toks AS BIGINT) AS n_tokens",
+        "CAST(vocab AS BIGINT) AS vocab",
+        "-(CAST(hsum AS DOUBLE)) / 1e9 AS entropy_nats",
+        """CASE WHEN vocab > 1
+             THEN (-(CAST(hsum AS DOUBLE)) / 1e9) / ln(CAST(vocab AS DOUBLE))
+             ELSE CAST(0 AS DOUBLE) END AS norm_entropy""")
+      .orderBy("source")
+  }
+
+  val sourceEntropyOracle: String =
+    s"""WITH toks AS (SELECT source, unnest(${words("lower(text)", DuckD)}) AS term
+          FROM documents),
+        st AS (SELECT source, term, count(*) AS c FROM toks GROUP BY source, term),
+        pt AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_toks FROM st GROUP BY source),
+        hh AS (SELECT st.source, pt.t_toks,
+            CAST(round((CAST(st.c AS DOUBLE) / pt.t_toks) * ln(CAST(st.c AS DOUBLE) / pt.t_toks) * 1e9) AS BIGINT) AS h_nano
+          FROM st JOIN pt ON st.source = pt.source),
+        g AS (SELECT source, t_toks, count(*) AS vocab,
+                CAST(sum(h_nano) AS BIGINT) AS hsum
+              FROM hh GROUP BY source, t_toks)
+        SELECT source, t_toks AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+          -(CAST(hsum AS DOUBLE)) / 1e9 AS entropy_nats,
+          CASE WHEN vocab > 1
+            THEN (-(CAST(hsum AS DOUBLE)) / 1e9) / ln(CAST(vocab AS DOUBLE))
+            ELSE CAST(0 AS DOUBLE) END AS norm_entropy
+        FROM g ORDER BY source"""
+
   // ---- windowed skip-gram PMI (word2vec co-occurrence shape) ----
 
   private val skipWindow = 3
