@@ -555,6 +555,73 @@ object Profile {
     s"$rows ORDER BY check_name"
   }
 
+  // ---- write-layout planner ----
+
+  /** (table, fixed bytes per row, string columns, float-array columns)
+    * — the width model both engines price identically: 8 B for
+    * BIGINT/DOUBLE/TIMESTAMP, 4 B for INTEGER, character count for
+    * strings, 4·len for float arrays. */
+  private val writeSpecs: Seq[(String, Int, Seq[String], Seq[String])] = Seq(
+    ("region", 4, Seq("r_name"), Nil),
+    ("nation", 8, Seq("n_name"), Nil),
+    ("customer", 20, Seq("c_name", "c_mktsegment"), Nil),
+    ("supplier", 20, Seq("s_name"), Nil),
+    ("part", 20, Seq("p_name", "p_brand", "p_type"), Nil),
+    ("orders", 32, Seq("o_orderstatus", "o_orderpriority"), Nil),
+    ("lineitem", 68, Seq("l_returnflag", "l_linestatus"), Nil),
+    ("events", 32, Seq("event_type", "props"), Nil),
+    ("documents", 16, Seq("text", "lang", "source"), Nil),
+    ("embeddings", 12, Nil, Seq("embedding")))
+
+  private val targetFileBytes = 128L * 1024 * 1024
+
+  /** `table_write_plan`: the file-count planner a write job runs
+    * BEFORE `repartition(n)` — per table, the exact row count, the
+    * modeled uncompressed byte mass (fixed type widths + measured
+    * string/array mass), and the partition count that lands files at
+    * the 128 MiB target with its rows-per-file consequence. Too many
+    * small files poisons the downstream scan (file-open overhead,
+    * row-group fragmentation); too few starves parallelism — this
+    * table is where that trade is decided from data, not guessed.
+    * One map-side-combined agg per table; the variable mass is
+    * measured, not sampled, because it rides the same scan that
+    * counts rows. */
+  def writePlan(spark: SparkSession, dir: String): DataFrame =
+    writeSpecs.map { case (name, fixed, strCols, arrCols) =>
+      val varTerms = strCols.map(c => s"CAST(length($c) AS BIGINT)") ++
+        arrCols.map(c => s"CAST(4 * size($c) AS BIGINT)")
+      val varExpr = if (varTerms.isEmpty) "CAST(0 AS BIGINT)"
+        else varTerms.mkString(" + ")
+      Tables.table(spark, dir, name)
+        .selectExpr(s"$varExpr AS var_bytes")
+        .agg(count(lit(1)).as("n_rows"), sum("var_bytes").as("var_bytes"))
+        .selectExpr(s"'$name' AS table_name",
+          "CAST(n_rows AS BIGINT) AS n_rows",
+          s"CAST(n_rows * $fixed + var_bytes AS BIGINT) AS est_bytes")
+        .selectExpr("table_name", "n_rows", "est_bytes",
+          s"(est_bytes + ${targetFileBytes - 1}) DIV $targetFileBytes AS target_files")
+        .selectExpr("*", "(n_rows + target_files - 1) DIV target_files AS rows_per_file")
+    }.reduce(_ unionByName _).orderBy("table_name")
+
+  val writePlanOracle: String = {
+    val rows = writeSpecs.map { case (name, fixed, strCols, arrCols) =>
+      val varTerms = strCols.map(c => s"CAST(length($c) AS BIGINT)") ++
+        arrCols.map(c => s"CAST(4 * len($c) AS BIGINT)")
+      val varExpr = if (varTerms.isEmpty) "CAST(0 AS BIGINT)"
+        else varTerms.mkString(" + ")
+      s"""SELECT '$name' AS table_name,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) * $fixed + sum($varExpr) AS BIGINT) AS est_bytes
+          FROM $name"""
+    }.mkString(" UNION ALL ")
+    s"""WITH base AS ($rows),
+        f AS (SELECT *, (est_bytes + ${targetFileBytes - 1}) // $targetFileBytes AS target_files
+              FROM base)
+        SELECT table_name, n_rows, est_bytes, target_files,
+          (n_rows + target_files - 1) // target_files AS rows_per_file
+        FROM f ORDER BY table_name"""
+  }
+
   // ---- k-anonymity audit ----
 
   /** K-anonymity audit over the customer quasi-identifiers — the
