@@ -1080,6 +1080,111 @@ object Similarity {
           (n_docs - n_kept) / CAST(n_docs AS DOUBLE) AS prune_rate
         FROM pg ORDER BY source"""
 
+  // ---- greedy facility-location coverage selection ----
+
+  private val coverCandMod = 50
+  private val coverK = 6
+
+  /** `corpus_coverage_selection`: greedy facility-location
+    * maximization — pick [[coverK]] exemplar vectors whose summed
+    * best-coverage Σ_v max_{s∈S} sim(v, s) over the WHOLE corpus is
+    * within the greedy (1−1/e) bound of maximal — the coreset/data-
+    * selection shape
+    * (CRAIG-family): "which k documents best represent the corpus",
+    * the complement of MMR (which diversifies a QUERY's result, not
+    * the corpus). Candidates are the deterministic 1-in-
+    * [[coverCandMod]] sample; the (vector × candidate) similarity
+    * relation is staged ONCE (candidates broadcast onto one corpus
+    * scan, nano-quantized), and each greedy round is: anti-join spent
+    * candidates, one map-side-combined marginal-gain agg
+    * (Σ max(sim − cov, 0)), a struct-min argmax, and a coverage
+    * update join — state is one (vec, cov) relation, lineage-cut per
+    * round. Submodularity makes marginal gains non-increasing — the
+    * spec pins that as the algebraic invariant. */
+  def coverageSelection(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cands = all.filter(col("vec_id") % coverCandMod === 0)
+      .selectExpr("vec_id AS cand_id", "v AS cv", "nrm AS cnrm")
+    val sims = all.join(broadcast(cands), col("vec_id") =!= col("cand_id"))
+      .selectExpr("vec_id", "cand_id",
+        s"CAST(round((${cosineWithNorms("v", "cv", "nrm", "cnrm", SparkD)}) * 1e9) AS BIGINT) AS sim_nano")
+      .transform(graft.ops.Checkpoints.cut)
+    var cov = all.selectExpr("vec_id", "CAST(0 AS BIGINT) AS cov")
+      .transform(graft.ops.Checkpoints.cut)
+    var picked = Seq.empty[DataFrame]
+    var pickedIds: DataFrame = null
+    for (r <- 1 to coverK) {
+      val live = if (pickedIds == null) sims
+        else sims.join(pickedIds, Seq("cand_id"), "left_anti")
+      val gains = live.join(cov, Seq("vec_id"))
+        .selectExpr("cand_id", "greatest(sim_nano - cov, 0L) AS g")
+        .groupBy("cand_id").agg(sum("g").as("gain"))
+      val pick = gains
+        .agg(min(struct(expr("-gain").as("ng"), col("cand_id").as("c"))).as("m"))
+        .selectExpr("m.c AS cand_id", s"CAST($r AS INT) AS rank", "-m.ng AS gain_nano")
+        .transform(graft.ops.Checkpoints.cutRound(_, r))
+      picked :+= pick
+      pickedIds = (if (pickedIds == null) pick.select("cand_id")
+        else pickedIds.unionByName(pick.select("cand_id")))
+      cov = cov
+        .join(sims.join(pick.select("cand_id"), Seq("cand_id"), "left_semi")
+          .selectExpr("vec_id", "sim_nano"), Seq("vec_id"), "left")
+        .selectExpr("vec_id", "greatest(cov, coalesce(sim_nano, 0L)) AS cov")
+        .transform(graft.ops.Checkpoints.cutRound(_, 100 + r))
+    }
+    val total = cov.agg(sum("cov").as("total_cov_nano"))
+    picked.reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+      .selectExpr("rank", "cand_id AS vec_id", "gain_nano", "total_cov_nano")
+      .orderBy("rank")
+  }
+
+  /** One greedy-round CTE triple for the oracle (gains over
+    * non-picked candidates, argmax pick, coverage update);
+    * MATERIALIZED state CTEs — each fans out to the next round twice. */
+  private def coverRoundCte(r: Int): String = {
+    val notPicked = if (r == 1) ""
+      else s"""WHERE NOT EXISTS (SELECT 1 FROM picks_${r - 1} p
+                WHERE p.cand_id = s.cand_id)"""
+    val prevPicks = if (r == 1) s"pick_$r"
+      else s"(SELECT * FROM picks_${r - 1} UNION ALL SELECT cand_id FROM pick_$r)"
+    s"""gain_$r AS (SELECT s.cand_id,
+            CAST(sum(greatest(s.sim_nano - c.cov, 0)) AS BIGINT) AS gain
+          FROM csims s JOIN cov_${r - 1} c ON s.vec_id = c.vec_id
+          $notPicked
+          GROUP BY s.cand_id),
+        pick_$r AS MATERIALIZED (SELECT cand_id, CAST($r AS INTEGER) AS rank,
+            gain AS gain_nano
+          FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, cand_id) AS rn
+                FROM gain_$r) z WHERE rn = 1),
+        picks_$r AS MATERIALIZED (SELECT cand_id FROM $prevPicks),
+        cov_$r AS MATERIALIZED (SELECT c.vec_id,
+            greatest(c.cov, coalesce(s.sim_nano, 0)) AS cov
+          FROM cov_${r - 1} c
+          LEFT JOIN (SELECT s2.vec_id, s2.sim_nano FROM csims s2
+                     JOIN pick_$r p ON s2.cand_id = p.cand_id) s
+            ON c.vec_id = s.vec_id)"""
+  }
+
+  lazy val coverageSelectionOracle: String = {
+    val rounds = (1 to coverK).map(coverRoundCte).mkString(",\n        ")
+    val unionPicks = (1 to coverK).map(r => s"SELECT * FROM pick_$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${vecsCte(DuckD)},
+        cand AS (SELECT vec_id AS cand_id, v AS cv, nrm AS cnrm
+                 FROM e WHERE vec_id % $coverCandMod = 0),
+        csims AS MATERIALIZED (SELECT e.vec_id, c.cand_id,
+            CAST(round((${cosineWithNorms("e.v", "c.cv", "e.nrm", "c.cnrm", DuckD)}) * 1e9) AS BIGINT) AS sim_nano
+          FROM e JOIN cand c ON e.vec_id <> c.cand_id),
+        cov_0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS cov FROM e),
+        $rounds,
+        allp AS ($unionPicks),
+        tot AS (SELECT CAST(sum(cov) AS BIGINT) AS total_cov_nano
+                FROM cov_$coverK)
+        SELECT rank, cand_id AS vec_id, gain_nano, total_cov_nano
+        FROM allp CROSS JOIN tot ORDER BY rank"""
+  }
+
   // ---- clustering-quality readout: Newman modularity ----
 
   /** `dedup_semantic_modularity`: Newman modularity Q of the semantic
