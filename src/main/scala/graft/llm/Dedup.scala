@@ -269,6 +269,149 @@ object Dedup {
           CAST(sum_j_nano AS DOUBLE) / n_pairs / 1e9 AS avg_jaccard
         FROM g ORDER BY source_a, source_b"""
 
+  // ---- KMV set-operation sketches between sources ----
+
+  private val kmvSetK = 64
+
+  /** `dedup_source_kmv_jaccard`: pairwise source-overlap estimation
+    * from MERGEABLE bottom-k (KMV) sketches — the sketch-algebra tier
+    * above [[sourceOverlap]] (which averages verified near-dup pairs):
+    * here each source's 8-gram shingle set is summarized by its 64
+    * smallest 32-bit hashes, and ANY pair's union/intersection/Jaccard
+    * is estimated purely from the two sketches (Beyer et al. 2007) —
+    * union via the k-th smallest hash of the merged sketch, Jaccard
+    * via the fraction of the union sketch present in both sides, the
+    * set operations HLL cannot do without inclusion-exclusion blowup.
+    * At 100 TB this is the shape that matters: the per-source sketch
+    * is 512 bytes, sketches of 10⁴ sources all-pairs-compare on ONE
+    * node, and the corpus is scanned once, ever.
+    *
+    * The AUDIT (same pattern as the HLL/GK gates): exact per-source
+    * distincts, exact pairwise intersections (per-hash source-pair
+    * expansion — occupancy bounded by #sources, never quadratic in
+    * data), exact union by inclusion-exclusion, and literal-1 flags
+    * that the sketch union is within 4σ-ish bounds and the sketch
+    * Jaccard within ±0.35 (k=64 ⇒ σ_J ≤ 1/16) — a sketch drifting
+    * past its guarantee flips a flag and fails the hash compare.
+    * Sets live in 32-bit-hash space on BOTH engines (collisions fold
+    * identically, so exact and estimated sides stay comparable).
+    * The 20×20 sketch cross-pairing is a broadcast nested-loop on a
+    * DIM-bounded relation (sources), not data. */
+  def sourceKmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(spark)
+    val gs = docFeatures(spark, dir)
+      .selectExpr("source", "explode(sh) AS g")
+      .selectExpr("source", s"${hexPrefix32("md5(g)")} AS h")
+      .distinct()
+    val exact = gs.groupBy("source").agg(count(lit(1)).as("exact_n"))
+    val sk = gs.groupBy("source")
+      .agg(expr(s"graft_topk(-h, $kmvSetK)").as("negs"))
+      .selectExpr("source", "array_sort(transform(negs, x -> -x)) AS hs")
+    val pairs = sk.selectExpr("source AS source_a", "hs AS hs_a")
+      .join(broadcast(sk.selectExpr("source AS source_b", "hs AS hs_b")),
+        col("source_a") < col("source_b"))
+    val est = pairs
+      .selectExpr("source_a", "source_b", "hs_a", "hs_b",
+        s"slice(array_sort(array_union(hs_a, hs_b)), 1, $kmvSetK) AS u")
+      .selectExpr("source_a", "source_b",
+        "CAST(size(u) AS BIGINT) AS ku",
+        "element_at(u, size(u)) AS kth_u",
+        "CAST(size(array_intersect(array_intersect(u, hs_a), hs_b)) AS BIGINT) AS k_inter")
+      .selectExpr("source_a", "source_b", "ku", "k_inter",
+        s"""CASE WHEN ku < $kmvSetK THEN ku
+             ELSE CAST(floor((${kmvSetK - 1}) * 4294967296.0 / kth_u) AS BIGINT)
+           END AS est_union""")
+    val exInter = gs.selectExpr("source AS source_a", "h")
+      .join(gs.selectExpr("source AS source_b", "h"), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_inter"))
+    val exA = exact.selectExpr("source AS source_a", "exact_n AS exact_a")
+    val exB = exact.selectExpr("source AS source_b", "exact_n AS exact_b")
+    est.join(broadcast(exA), Seq("source_a"))
+      .join(broadcast(exB), Seq("source_b"))
+      .join(broadcast(exInter), Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .selectExpr("source_a", "source_b",
+        "CAST(exact_a AS BIGINT) AS exact_a",
+        "CAST(exact_b AS BIGINT) AS exact_b",
+        "CAST(exact_inter AS BIGINT) AS exact_inter",
+        "exact_a + exact_b - exact_inter AS exact_union",
+        "est_union", "ku", "k_inter",
+        "CAST(k_inter AS DOUBLE) / ku AS est_jaccard",
+        "CAST(exact_inter AS DOUBLE) / (exact_a + exact_b - exact_inter) AS exact_jaccard")
+      .selectExpr("source_a", "source_b", "exact_a", "exact_b",
+        "exact_inter", "exact_union", "est_union", "k_inter",
+        "est_jaccard", "exact_jaccard",
+        "CASE WHEN abs(est_union - exact_union) <= " +
+          "greatest(CAST(10 AS BIGINT), CAST(ceil(0.5 * exact_union) AS BIGINT)) " +
+          "THEN 1 ELSE 0 END AS union_within_bound",
+        "CASE WHEN abs(est_jaccard - exact_jaccard) <= 0.35 THEN 1 ELSE 0 END " +
+          "AS jaccard_within_bound")
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceKmvJaccardOracle: String =
+    s"""WITH ${minhashCtes(DuckD)},
+        gs AS MATERIALIZED (SELECT DISTINCT source,
+            ${hexPrefix32("md5(g)")} AS h
+          FROM (SELECT source, unnest(sh) AS g FROM sh_t)),
+        ex AS (SELECT source, count(*) AS exact_n FROM gs GROUP BY source),
+        bk AS MATERIALIZED (SELECT source, h FROM (
+            SELECT source, h, row_number() OVER (
+              PARTITION BY source ORDER BY h) AS r FROM gs)
+          WHERE r <= $kmvSetK),
+        pr AS (SELECT a.source AS source_a, b.source AS source_b
+          FROM ex a, ex b WHERE a.source < b.source),
+        mu AS (SELECT p.source_a, p.source_b, k.h
+          FROM pr p JOIN bk k ON k.source = p.source_a OR k.source = p.source_b
+          GROUP BY p.source_a, p.source_b, k.h),
+        rk AS (SELECT *, row_number() OVER (
+            PARTITION BY source_a, source_b ORDER BY h) AS r FROM mu),
+        uu AS MATERIALIZED (SELECT source_a, source_b, h FROM rk
+          WHERE r <= $kmvSetK),
+        ug AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS ku,
+            max(h) AS kth_u
+          FROM uu GROUP BY source_a, source_b),
+        ki AS (SELECT u.source_a, u.source_b,
+            CAST(count(*) AS BIGINT) AS k_inter
+          FROM uu u JOIN bk ka ON ka.source = u.source_a AND ka.h = u.h
+                    JOIN bk kb ON kb.source = u.source_b AND kb.h = u.h
+          GROUP BY u.source_a, u.source_b),
+        xin AS (SELECT a.source AS source_a, b.source AS source_b,
+            count(*) AS exact_inter
+          FROM gs a JOIN gs b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2),
+        es AS (SELECT ug.source_a, ug.source_b, ug.ku, ug.kth_u,
+            coalesce(ki.k_inter, 0) AS k_inter,
+            CASE WHEN ug.ku < $kmvSetK THEN ug.ku
+              ELSE CAST(floor((${kmvSetK - 1}) * 4294967296.0 / ug.kth_u)
+                AS BIGINT)
+            END AS est_union
+          FROM ug LEFT JOIN ki ON ki.source_a = ug.source_a
+            AND ki.source_b = ug.source_b),
+        fin AS (SELECT es.source_a, es.source_b,
+            CAST(xa.exact_n AS BIGINT) AS exact_a,
+            CAST(xb.exact_n AS BIGINT) AS exact_b,
+            CAST(coalesce(xin.exact_inter, 0) AS BIGINT) AS exact_inter,
+            CAST(xa.exact_n + xb.exact_n - coalesce(xin.exact_inter, 0)
+              AS BIGINT) AS exact_union,
+            es.est_union, es.ku, CAST(es.k_inter AS BIGINT) AS k_inter
+          FROM es JOIN ex xa ON xa.source = es.source_a
+                  JOIN ex xb ON xb.source = es.source_b
+          LEFT JOIN xin ON xin.source_a = es.source_a
+            AND xin.source_b = es.source_b)
+        SELECT source_a, source_b, exact_a, exact_b, exact_inter,
+          exact_union, est_union, k_inter,
+          CAST(k_inter AS DOUBLE) / ku AS est_jaccard,
+          CAST(exact_inter AS DOUBLE) / exact_union AS exact_jaccard,
+          CASE WHEN abs(est_union - exact_union) <=
+            greatest(CAST(10 AS BIGINT), CAST(ceil(0.5 * exact_union) AS BIGINT))
+            THEN 1 ELSE 0 END AS union_within_bound,
+          CASE WHEN abs(CAST(k_inter AS DOUBLE) / ku
+            - CAST(exact_inter AS DOUBLE) / exact_union) <= 0.35
+            THEN 1 ELSE 0 END AS jaccard_within_bound
+        FROM fin ORDER BY source_a, source_b"""
+
   // ---- LSH band/row planner ----
 
   /** Signature budget the planner allocates: 128 hash functions split

@@ -1270,4 +1270,104 @@ object Multimodal {
        FROM coeffs
        GROUP BY doc_id, channel, band
        ORDER BY doc_id, channel, band"""
+
+  // ---- fixed-point DFT bin energy on the FLAC decode ----
+
+  /** Analysis bins for [[dftBinEnergy]]: DC-adjacent through Nyquist-
+    * adjacent octaves of a 64-point frame. */
+  private val dftBins = Array(1, 2, 4, 8, 16, 31)
+
+  /** Q7 integer twiddle factors, computed ONCE here and shared by the
+    * executor loop and the oracle SQL text (as literals) — the DFT
+    * analogue of the repo-wide "one builder emits both engines" rule.
+    * Fixed-point is what makes a TRIG transform oracle-matchable at
+    * all: `cos()` routes through each engine's libm, whose last-ulp
+    * results are not contractually identical, so the transform bakes
+    * the trigonometry into integers up front and the query itself
+    * never calls a transcendental. Q7 (×128) is chosen against the
+    * BIGINT budget: |Σ x·c| ≤ 64·2¹⁵·2⁷ = 2²⁸, so re²+im² ≤ 2⁵⁷ —
+    * exact in both engines' 64-bit sums (Q14 would overflow at 2⁷⁰). */
+  private val dftCos: Array[Array[Int]] = dftBins.map(k =>
+    Array.tabulate(64)(n =>
+      math.round(math.cos(2 * math.Pi * k * n / 64) * 128).toInt))
+  private val dftSin: Array[Array[Int]] = dftBins.map(k =>
+    Array.tabulate(64)(n =>
+      math.round(math.sin(2 * math.Pi * k * n / 64) * 128).toInt))
+
+  case class DftBin(doc_id: Long, channel: Int, k: Int,
+                    re: Long, im: Long, energy: Long)
+
+  /** True sinusoidal bin energy via a fixed-point 64-point DFT on the
+    * first 64 samples of each REAL-decoded FLAC channel — the
+    * frequency-domain twin of [[whtBandEnergy]]: WHT gives sequency
+    * octaves with no trigonometry at all; this gives genuine Fourier
+    * bins (what audio QC, bandwidth detection, and codec-artifact
+    * screens actually read) while STAYING integer-exact through the
+    * Q7 twiddle quantization above. Executor side runs the direct
+    * per-bin correlation on entropy-decoded bytes (6 bins × 64 macs
+    * per channel — cheaper than a full FFT at this bin count);
+    * relational from there on. The oracle recomputes every
+    * correlation from the generative signal formula joined against
+    * the SAME literal twiddle table, so a hash match proves the
+    * decode AND the fixed-point arithmetic end-to-end. Scale shape:
+    * per-doc local work inside the one sanctioned mapPartitions
+    * decode boundary; the output is 6·channels rows per doc. */
+  def dftBinEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bins = dftBins; val cosT = dftCos; val sinT = dftSin
+    val rows = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 2").as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val nInter = flacInterFrames(id); val ch = flacChannels(id)
+          val flac = FlacCodec.encode(
+            flacSignal(id, nInter * ch), ch,
+            (8000 + (id % 5) * 8000).toInt)
+          val dec = FlacCodec.decode(flac).getOrElse(
+            sys.error(s"flac decode failed for doc $id"))
+          (0 until ch).flatMap { c =>
+            val x = new Array[Long](64)
+            var i = 0
+            while (i < 64) { x(i) = dec.samples(i * ch + c).toLong; i += 1 }
+            bins.indices.map { bi =>
+              var re = 0L; var im = 0L; var n = 0
+              while (n < 64) {
+                re += x(n) * cosT(bi)(n); im += x(n) * sinT(bi)(n); n += 1
+              }
+              DftBin(id, c, bins(bi), re, im, re * re + im * im)
+            }
+          }
+        }
+      }
+    rows.toDF().orderBy("doc_id", "channel", "k")
+  }
+
+  /** Oracle: generative samples joined against the literal twiddle
+    * table — 384 (k, n, cw, sw) rows interpolated from [[dftCos]] /
+    * [[dftSin]], so both engines correlate against identical
+    * integers by construction. */
+  val dftBinEnergyOracle: String = {
+    val tw = (for {
+      bi <- dftBins.indices; n <- 0 until 64
+    } yield s"(${dftBins(bi)},$n,${dftCos(bi)(n)},${dftSin(bi)(n)})")
+      .mkString(", ")
+    s"""WITH auds AS (SELECT doc_id,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels
+         FROM documents WHERE doc_id % 3 = 2),
+       sm AS (SELECT a.doc_id, CAST(c.c AS INTEGER) AS channel,
+           CAST(n.n AS INTEGER) AS n,
+           ((a.doc_id % 241) + (n.n * a.channels + c.c) * 6007) % 65536
+             - 32768 AS x
+         FROM auds a, range(0, 64) n(n), range(0, 2) c(c)
+         WHERE c.c < a.channels),
+       tw AS (SELECT * FROM (VALUES $tw) AS t(k, n, cw, sw)),
+       co AS (SELECT s.doc_id, s.channel, CAST(t.k AS INTEGER) AS k,
+           CAST(sum(s.x * t.cw) AS BIGINT) AS re,
+           CAST(sum(s.x * t.sw) AS BIGINT) AS im
+         FROM sm s JOIN tw t ON t.n = s.n
+         GROUP BY s.doc_id, s.channel, t.k)
+       SELECT doc_id, channel, k, re, im,
+         CAST(re * re + im * im AS BIGINT) AS energy
+       FROM co ORDER BY doc_id, channel, k"""
+  }
 }

@@ -1080,6 +1080,74 @@ object Similarity {
           (n_docs - n_kept) / CAST(n_docs AS DOUBLE) AS prune_rate
         FROM pg ORDER BY source"""
 
+  // ---- preference-pair construction from semantic clusters ----
+
+  /** `corpus_preference_pairs`: chosen/rejected training-pair
+    * construction — the reward-model/DPO data shape: two documents
+    * that say nearly the same thing (same mutual-kNN semantic
+    * cluster) but differ in quality make a natural preference pair,
+    * with the quality gap as the margin for margin-weighted losses.
+    * Per cluster: chosen = highest [[graft.llm.TextAnalysis]] quality
+    * score (doc_id tie-break low), rejected = lowest (tie-break HIGH,
+    * so a fully-tied cluster still yields a distinct pair), margin =
+    * the score gap.
+    *
+    * Shape: the cluster relation (clustered docs only — tiny next to
+    * the corpus) equi-joins the per-doc quality projection, then BOTH
+    * extremes come from one map-side-combined struct-min/max
+    * aggregate — no window, so a viral boilerplate cluster can't make
+    * a partition hot (same discipline as [[semanticPrune]]'s keeper
+    * pick). The margin subtraction is the only double op and is
+    * identical text on both engines. */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = semanticClusters(spark, dir)
+      .filter(col("is_clustered") === 1)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val quality = graft.llm.TextAnalysis.statsRelation(spark, dir)
+      .select("doc_id", "quality_score")
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("negid")))
+          .as("best"),
+        min(struct(col("quality_score").as("q"), (-col("doc_id")).as("negid")))
+          .as("worst"),
+        count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+      .selectExpr("cluster_id",
+        "-best.negid AS chosen_id", "-worst.negid AS rejected_id",
+        "best.q AS q_chosen", "worst.q AS q_rejected",
+        "best.q - worst.q AS margin",
+        "CAST(cluster_size AS BIGINT) AS cluster_size")
+      .orderBy("cluster_id")
+  }
+
+  val preferencePairsOracle: String =
+    s"""WITH RECURSIVE ${ivfCte(DuckD)},
+        $knnCtes,
+        $semanticLabelCtes,
+        ${graft.llm.TextAnalysis.statsCtes},
+        jq AS MATERIALIZED (SELECT l.cluster_id, l.vec_id AS doc_id,
+            s.quality_score
+          FROM slbl l JOIN stats s ON s.doc_id = l.vec_id),
+        ch AS (SELECT cluster_id, doc_id AS chosen_id,
+            quality_score AS q_chosen
+          FROM jq QUALIFY row_number() OVER (PARTITION BY cluster_id
+            ORDER BY quality_score DESC, doc_id) = 1),
+        rj AS (SELECT cluster_id, doc_id AS rejected_id,
+            quality_score AS q_rejected
+          FROM jq QUALIFY row_number() OVER (PARTITION BY cluster_id
+            ORDER BY quality_score ASC, doc_id DESC) = 1),
+        cs AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM jq GROUP BY cluster_id)
+        SELECT ch.cluster_id, chosen_id, rejected_id, q_chosen, q_rejected,
+          q_chosen - q_rejected AS margin,
+          CAST(cs.cluster_size AS BIGINT) AS cluster_size
+        FROM ch JOIN rj ON rj.cluster_id = ch.cluster_id
+        JOIN cs ON cs.cluster_id = ch.cluster_id
+        WHERE cs.cluster_size >= 2
+        ORDER BY ch.cluster_id"""
+
   // ---- greedy facility-location coverage selection ----
 
   private val coverCandMod = 50

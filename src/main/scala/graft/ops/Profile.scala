@@ -728,6 +728,201 @@ object Profile {
           CAST(dominant_n AS DOUBLE) / group_size AS dominant_share
         FROM g ORDER BY qi_geo, qi_segment"""
 
+  /** T-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy-audit ladder after [[kAnonymity]] and
+    * [[lDiversity]]: a class can be large AND diverse yet still leak
+    * if its sensitive-value DISTRIBUTION differs sharply from the
+    * corpus-wide one (skewness attack). For the ordered acctbal bands
+    * (negative < low < mid < high) the prescribed distance is the
+    * Earth Mover's Distance with unit ground steps, which for an
+    * ordered domain collapses to the mean absolute difference of the
+    * cumulative distributions: EMD = Σᵢ|cumPᵢ−cumQᵢ|/(m−1) over the
+    * first m−1 bands.
+    *
+    * Exactness: both CDFs stay integer — the per-class comparison is
+    * |cum_class·N − cum_global·n_class| (BIGINT), summed per class,
+    * and the t ≤ 0.2 flag is the cross-multiplied integer inequality
+    * 5·emd_num ≤ 3·n_class·N, so the audit verdict never touches a
+    * double; the reported emd is one exact-integer division readout.
+    * Shape: two hash aggs onto dim-bounded grids (class×band, band),
+    * a 4-row band spine densifies classes that miss a band (EMD needs
+    * the zero terms), the global band CDF and the corpus total ride
+    * one-row/4-row broadcasts, and the per-class cumulative window
+    * partitions on the class key over ≤4 rows — nothing data-sized is
+    * ever sorted or broadcast. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.table(spark, dir, "customer")
+    val nations = Tables.table(spark, dir, "nation")
+      .select("n_nationkey", "n_name")
+    val bandOrd =
+      """CASE WHEN c_acctbal < 0 THEN 0
+              WHEN c_acctbal < 3000 THEN 1
+              WHEN c_acctbal < 7000 THEN 2
+              ELSE 3 END"""
+    val jb = cust
+      .join(org.apache.spark.sql.functions.broadcast(nations),
+        col("c_nationkey") === col("n_nationkey"))
+      .selectExpr("n_name AS qi_geo", "c_mktsegment AS qi_segment",
+        s"$bandOrd AS b")
+    val cb = jb.groupBy("qi_geo", "qi_segment", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val cls = jb.groupBy("qi_geo", "qi_segment")
+      .agg(count(lit(1)).as("n_class"))
+    val glob = jb.groupBy("b").agg(count(lit(1)).as("gcnt"))
+    val wg = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    val globCum = glob
+      .withColumn("cum_g", sum("gcnt").over(wg))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        jb.agg(count(lit(1)).as("n_total"))))
+      .select("b", "cum_g", "n_total")
+    val spine = spark.range(4).selectExpr("CAST(id AS INT) AS b")
+    val grid = cls.crossJoin(org.apache.spark.sql.functions.broadcast(spine))
+      .join(cb, Seq("qi_geo", "qi_segment", "b"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .join(org.apache.spark.sql.functions.broadcast(globCum), Seq("b"))
+    val wc = Window.partitionBy("qi_geo", "qi_segment").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.withColumn("cum_c", sum("cnt").over(wc))
+      .filter(col("b") < 3)
+      .groupBy("qi_geo", "qi_segment")
+      .agg(max("n_class").as("n_class"), max("n_total").as("n_total"),
+        sum(expr("abs(cum_c * n_total - cum_g * n_class)")).as("emd_num"))
+      .selectExpr("qi_geo", "qi_segment",
+        "CAST(n_class AS BIGINT) AS group_size",
+        "CAST(emd_num AS BIGINT) AS emd_num",
+        """CAST(emd_num AS DOUBLE)
+           / (CAST(n_class AS DOUBLE) * n_total * 3) AS emd""",
+        "CASE WHEN 5 * emd_num <= 3 * n_class * n_total THEN 1 ELSE 0 END AS t02_ok")
+      .orderBy("qi_geo", "qi_segment")
+  }
+
+  val tClosenessOracle: String =
+    """WITH jb AS (SELECT n.n_name AS qi_geo, c.c_mktsegment AS qi_segment,
+          CASE WHEN c.c_acctbal < 0 THEN 0
+               WHEN c.c_acctbal < 3000 THEN 1
+               WHEN c.c_acctbal < 7000 THEN 2
+               ELSE 3 END AS b
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        cb AS (SELECT qi_geo, qi_segment, b, count(*) AS cnt
+               FROM jb GROUP BY qi_geo, qi_segment, b),
+        cls AS (SELECT qi_geo, qi_segment, count(*) AS n_class
+                FROM jb GROUP BY qi_geo, qi_segment),
+        gb AS (SELECT b, count(*) AS gcnt FROM jb GROUP BY b),
+        tot AS (SELECT count(*) AS n_total FROM jb),
+        globcum AS (SELECT b,
+            sum(gcnt) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+            n_total
+          FROM gb, tot),
+        spine AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(b)),
+        grid AS (SELECT cls.qi_geo, cls.qi_segment, spine.b, cls.n_class,
+            coalesce(cb.cnt, 0) AS cnt, g.cum_g, g.n_total
+          FROM cls CROSS JOIN spine
+          LEFT JOIN cb ON cb.qi_geo = cls.qi_geo
+            AND cb.qi_segment = cls.qi_segment AND cb.b = spine.b
+          JOIN globcum g ON g.b = spine.b),
+        cum_t AS (SELECT *,
+            sum(cnt) OVER (PARTITION BY qi_geo, qi_segment ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+          FROM grid),
+        agg AS (SELECT qi_geo, qi_segment,
+            max(n_class) AS n_class, max(n_total) AS n_total,
+            sum(abs(cum_c * n_total - cum_g * n_class)) AS emd_num
+          FROM cum_t WHERE b < 3 GROUP BY qi_geo, qi_segment)
+        SELECT qi_geo, qi_segment,
+          CAST(n_class AS BIGINT) AS group_size,
+          CAST(emd_num AS BIGINT) AS emd_num,
+          CAST(emd_num AS DOUBLE)
+           / (CAST(n_class AS DOUBLE) * n_total * 3) AS emd,
+          CASE WHEN 5 * emd_num <= 3 * n_class * n_total THEN 1 ELSE 0 END AS t02_ok
+        FROM agg ORDER BY qi_geo, qi_segment"""
+
+  /** Two-sided-geometric inverse-CDF thresholds for the DP release:
+    * T_j = ⌊CDF(j)·2³²⌋ for j ∈ [−16, 15], α = e^−ε with ε = 0.5.
+    * Computed ONCE here and baked into both engines' SQL as integer
+    * literals (the [[graft.sql.Analytics]] Poisson-bootstrap
+    * discipline): the queries never call exp/ln, so libm never gets a
+    * vote. P(|noise| > 16) ≈ 2·α¹⁷/(1+α) ≈ 2.4e-4 — those draws clamp
+    * to +16 (documented truncation). */
+  private val geomEps = 0.5
+  private val geomRange = 16
+  private val geomThresholds: Seq[(Int, Long)] = {
+    val a = math.exp(-geomEps)
+    val p0 = (1 - a) / (1 + a)
+    def pmf(j: Int): Double = p0 * math.pow(a, math.abs(j))
+    var cum = 0.0
+    (-geomRange to geomRange - 1).map { j =>
+      cum += pmf(j)
+      j -> math.floor(cum * 4294967296.0).toLong
+    }
+  }
+
+  private def geomNoiseExpr(h: String): String = {
+    val cases = geomThresholds
+      .map { case (j, t) => s"WHEN $h < $t THEN ($j)" }.mkString(" ")
+    s"(CASE $cases ELSE $geomRange END)"
+  }
+
+  /** `customers_dp_release`: per-nation customer counts released
+    * under the DISCRETE (two-sided geometric) mechanism — the integer
+    * Laplace used for production DP count releases (Ghosh,
+    * Roughgarden & Sundararajan 2009: the geometric mechanism is the
+    * universally optimal ε-DP release for counts): noise_j has
+    * P ∝ α^|j| with α = e^−ε, added to each true count, clamped at 0.
+    *
+    * The "draw" is the 32-bit md5 prefix of the nation name against
+    * the baked inverse-CDF thresholds above — deterministic, so both
+    * engines release identical values and re-runs can't double-spend
+    * the privacy budget by re-rolling. (A production release would
+    * draw the noise from real entropy ONCE and persist it; the
+    * deterministic coin here is that persisted draw, expressed as a
+    * pure function so the oracle can replay it.) Shape: one hash agg
+    * onto the nation grid + a broadcast dim join; noise is a per-row
+    * CASE over integer literals. Everything BIGINT; the audit columns
+    * pin |noise| ≤ 16 and noisy ≥ 0 as literal 1s the oracle
+    * re-asserts. */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Gen.hexPrefix32
+    val cust = Tables.table(spark, dir, "customer")
+    val nations = Tables.table(spark, dir, "nation")
+      .select("n_nationkey", "n_name")
+    val counts = cust.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("true_count"))
+      .join(org.apache.spark.sql.functions.broadcast(nations),
+        col("c_nationkey") === col("n_nationkey"))
+    counts
+      .selectExpr("n_name", "CAST(true_count AS BIGINT) AS true_count",
+        s"${hexPrefix32("md5(concat('dp:', n_name))")} AS h")
+      .selectExpr("n_name", "true_count",
+        s"CAST(${geomNoiseExpr("h")} AS BIGINT) AS noise")
+      .selectExpr("n_name", "true_count", "noise",
+        "greatest(true_count + noise, CAST(0 AS BIGINT)) AS noisy_count",
+        s"CASE WHEN abs(noise) <= $geomRange THEN 1 ELSE 0 END AS noise_bounded",
+        "CASE WHEN greatest(true_count + noise, CAST(0 AS BIGINT)) >= 0 " +
+          "THEN 1 ELSE 0 END AS nonneg_ok")
+      .orderBy("n_name")
+  }
+
+  val dpReleaseOracle: String = {
+    import graft.llm.Gen.hexPrefix32
+    s"""WITH counts AS (SELECT n.n_name, count(*) AS true_count
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name),
+        h_t AS (SELECT n_name, CAST(true_count AS BIGINT) AS true_count,
+            ${hexPrefix32("md5(concat('dp:', n_name))")} AS h
+          FROM counts),
+        z AS (SELECT n_name, true_count,
+            CAST(${geomNoiseExpr("h")} AS BIGINT) AS noise
+          FROM h_t)
+        SELECT n_name, true_count, noise,
+          greatest(true_count + noise, CAST(0 AS BIGINT)) AS noisy_count,
+          CASE WHEN abs(noise) <= $geomRange THEN 1 ELSE 0 END AS noise_bounded,
+          CASE WHEN greatest(true_count + noise, CAST(0 AS BIGINT)) >= 0
+            THEN 1 ELSE 0 END AS nonneg_ok
+        FROM z ORDER BY n_name"""
+  }
+
   val kAnonymityOracle: String =
     """WITH geo AS (SELECT n.n_nationkey, n.n_name, r.r_name
           FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),

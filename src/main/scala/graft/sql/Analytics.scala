@@ -1971,4 +1971,329 @@ object Analytics {
            - CAST(sw AS DOUBLE) * sw) / (CAST(n AS DOUBLE) * n)) * 10)
            AS BIGINT) AS sd_wins_dmilli
        FROM m"""
+
+  // ---- two-sample Kolmogorov–Smirnov (distributed ECDF) ----
+
+  /** Shared double readout for [[docsKsLengths]] — one expression
+    * text used verbatim by both engines so the IEEE-754 trees are
+    * identical. `d = D_num/(n1·n2)` is the exact KS statistic (the
+    * numerator is an exact BIGINT max of cross-multiplied cumulative
+    * counts); `p_asym` is the standard two-sided asymptotic tail
+    * 2·exp(−2·D²·n1·n2/(n1+n2)). */
+  private val ksReadout = Seq(
+    "n1", "n2", "d_num",
+    "CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS d",
+    """2 * exp(-2 * (CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))
+        * (CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))
+        * (CAST(n1 AS DOUBLE) * n2 / (CAST(n1 AS DOUBLE) + n2)))
+       AS p_asym""")
+
+  // ---- CUPED-adjusted A/B comparison ----
+
+  /** Shared readout expressions for [[eventsCupedAb]] (identical text
+    * on both engines). Inputs are the exact pooled/per-arm integer
+    * moments; everything below is the one sanctioned double tree.
+    * θ = cov(X,Y)/var(X) pooled; Yadj = Y − θ·(X − E[X]); the z-stat
+    * uses the per-arm adjusted variances (Welch form). Var(Yadj) per
+    * arm expands to Var(Y) − 2θ·Cov(X,Y) + θ²·Var(X), all from the
+    * same six sums — no second pass. */
+  private def cupedReadout: Seq[String] = {
+    def m(p: String) = (s"CAST(n_$p AS DOUBLE)", s"CAST(sx_$p AS DOUBLE)",
+      s"CAST(sy_$p AS DOUBLE)", s"CAST(sxx_$p AS DOUBLE)",
+      s"CAST(syy_$p AS DOUBLE)", s"CAST(sxy_$p AS DOUBLE)")
+    val (n, sx, sy, sxx, syy, sxy) = m("all")
+    val theta = s"(($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx))"
+    val xbar = s"($sx / $n)"
+    def arm(p: String): (String, String, String) = {
+      val (na, sxa, sya, sxxa, syya, sxya) = m(p)
+      val meanAdj = s"($sya / $na - $theta * ($sxa / $na - $xbar))"
+      val varY = s"(($na * $syya - $sya * $sya) / ($na * $na))"
+      val covA = s"(($na * $sxya - $sxa * $sya) / ($na * $na))"
+      val varX = s"(($na * $sxxa - $sxa * $sxa) / ($na * $na))"
+      val varAdj =
+        s"($varY - 2 * $theta * $covA + $theta * $theta * $varX)"
+      (meanAdj, varY, varAdj)
+    }
+    val (ma, vya, vaa) = arm("a"); val (mb, vyb, vab) = arm("b")
+    val (naD, _, syaD, _, _, _) = m("a"); val (nbD, _, sybD, _, _, _) = m("b")
+    Seq(
+      "CAST(n_a AS BIGINT) AS n_a", "CAST(n_b AS BIGINT) AS n_b",
+      s"($syaD / $naD) AS mean_y_a", s"($sybD / $nbD) AS mean_y_b",
+      s"$theta AS theta",
+      s"($sybD / $nbD - $syaD / $naD) AS diff_raw",
+      s"($mb - $ma) AS diff_adj",
+      s"(1 - ($vaa * $naD + $vab * $nbD) / ($vya * $naD + $vyb * $nbD)) AS var_reduction",
+      s"(($mb - $ma) / sqrt($vaa / $naD + $vab / $nbD)) AS z_adj")
+  }
+
+  /** `events_cuped_ab`: A/B comparison of per-user purchase value
+    * with CUPED variance reduction (Deng et al. 2013, "Improving the
+    * sensitivity of online controlled experiments") — THE production
+    * experimentation-platform adjustment: regress the experiment-
+    * period metric Y on the PRE-period covariate X (same metric,
+    * earlier window), subtract the predictable part, and the arm
+    * comparison keeps its mean but sheds the between-user variance X
+    * explains.
+    *
+    * Determinism end-to-end: arms are the md5 parity of the user id
+    * (the hash-split discipline — reproducible, partition-independent);
+    * the period boundary is the integer midpoint of the observed
+    * micros range (one-row broadcast, a pure function of the data);
+    * X and Y are exact cents; all six moments per arm + pooled are
+    * BIGINT sums (order-independent), and every reported statistic is
+    * one shared double tree over those ints ([[cupedReadout]]).
+    * Shape: events collapse to user grain in one map-side-combined
+    * agg, then ONE single-row moment aggregate — no window, no
+    * second scan, CUPED at 100 TB is exactly this plan. */
+  def eventsCupedAb(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Gen.hexPrefix32
+    val ev = graft.io.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id",
+        "unix_micros(ts) AS tsu",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+    val bounds = ev.agg(min("tsu").as("t0"), max("tsu").as("t1"))
+      .selectExpr("t0 + (t1 - t0) DIV 2 AS tmid")
+    val users = ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(sum(expr("CASE WHEN tsu < tmid THEN cents ELSE 0 END")).as("x"),
+        sum(expr("CASE WHEN tsu >= tmid THEN cents ELSE 0 END")).as("y"))
+      .selectExpr("x", "y",
+        s"${hexPrefix32("md5(concat('ab:', CAST(user_id AS STRING)))")} % 2 AS arm")
+    val momentCols = Seq("all", "a", "b").flatMap { p =>
+      val f = p match {
+        case "all" => "1 = 1"
+        case "a"   => "arm = 0"
+        case _     => "arm = 1"
+      }
+      Seq(s"CAST(sum(CASE WHEN $f THEN 1 ELSE 0 END) AS BIGINT) AS n_$p",
+        s"CAST(sum(CASE WHEN $f THEN x ELSE 0 END) AS BIGINT) AS sx_$p",
+        s"CAST(sum(CASE WHEN $f THEN y ELSE 0 END) AS BIGINT) AS sy_$p",
+        s"CAST(sum(CASE WHEN $f THEN x * x ELSE 0 END) AS BIGINT) AS sxx_$p",
+        s"CAST(sum(CASE WHEN $f THEN y * y ELSE 0 END) AS BIGINT) AS syy_$p",
+        s"CAST(sum(CASE WHEN $f THEN x * y ELSE 0 END) AS BIGINT) AS sxy_$p")
+    }
+    users.selectExpr(momentCols: _*).selectExpr(cupedReadout: _*)
+  }
+
+  val eventsCupedAbOracle: String = {
+    import graft.llm.Gen.hexPrefix32
+    val momentCols = Seq("all", "a", "b").flatMap { p =>
+      val f = p match {
+        case "all" => "1 = 1"
+        case "a"   => "arm = 0"
+        case _     => "arm = 1"
+      }
+      Seq(s"CAST(sum(CASE WHEN $f THEN 1 ELSE 0 END) AS BIGINT) AS n_$p",
+        s"CAST(sum(CASE WHEN $f THEN x ELSE 0 END) AS BIGINT) AS sx_$p",
+        s"CAST(sum(CASE WHEN $f THEN y ELSE 0 END) AS BIGINT) AS sy_$p",
+        s"CAST(sum(CASE WHEN $f THEN x * x ELSE 0 END) AS BIGINT) AS sxx_$p",
+        s"CAST(sum(CASE WHEN $f THEN y * y ELSE 0 END) AS BIGINT) AS syy_$p",
+        s"CAST(sum(CASE WHEN $f THEN x * y ELSE 0 END) AS BIGINT) AS sxy_$p")
+    }.mkString(",\n            ")
+    s"""WITH ev AS (SELECT user_id,
+            CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tsu,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        bounds AS (SELECT min(tsu) + (max(tsu) - min(tsu)) // 2
+            AS tmid FROM ev),
+        users AS (SELECT user_id,
+            sum(CASE WHEN tsu < tmid THEN cents ELSE 0 END) AS x,
+            sum(CASE WHEN tsu >= tmid THEN cents ELSE 0 END) AS y
+          FROM ev, bounds GROUP BY user_id),
+        armed AS (SELECT x, y,
+            ${hexPrefix32("md5(concat('ab:', CAST(user_id AS VARCHAR)))")} % 2 AS arm
+          FROM users),
+        m AS (SELECT
+            $momentCols
+          FROM armed)
+        SELECT ${cupedReadout.mkString(",\n          ")} FROM m"""
+  }
+
+  // ---- Poisson bootstrap (single-pass distributed resampling) ----
+
+  /** Integer inverse-CDF thresholds for Poisson(1): T_k =
+    * ⌊CDF(k)·2³²⌋, so a 32-bit hash draw maps to a resampling weight
+    * by pure BIGINT comparison. Computing the CDF here ONCE and
+    * baking the nine integers into both engines' SQL as literals is
+    * what keeps the bootstrap oracle-exact: the queries never call
+    * exp(), so libm never gets a vote. Tail mass beyond k=9 is
+    * ~1.1e-7 — those draws take weight 9 (documented truncation). */
+  private val poisCumThresholds: Array[Long] = {
+    var p = math.exp(-1.0); var cum = p
+    (0 to 8).map { k =>
+      if (k > 0) { p = p / k; cum += p }
+      math.floor(cum * 4294967296.0).toLong
+    }.toArray
+  }
+
+  private def bootWeight(h: String): String = {
+    val cases = poisCumThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < $t THEN $k" }.mkString(" ")
+    s"(CASE $cases ELSE ${poisCumThresholds.length} END)"
+  }
+
+  private val bootReps = 32
+
+  /** `orders_bootstrap_ci`: bootstrap confidence interval for the
+    * mean order value via the POISSON bootstrap (Chamandy et al.,
+    * "Estimating uncertainty for massive data streams", the
+    * bootstrap that actually runs at 100 TB): instead of drawing B
+    * resamples (impossible — a resample IS the dataset), each row
+    * independently contributes a Poisson(1) count to every replicate,
+    * which converges to multinomial resampling as n grows. One scan,
+    * B=32 replicate (Σw·x, Σw) pairs accumulated as 64 aggregate
+    * columns — no row explosion, no shuffle beyond the one-row
+    * final combine; the replicate spine then unpivots to 32 rows for
+    * the order statistics.
+    *
+    * Determinism: the "random" draw for (order, replicate) is the
+    * 32-bit md5 prefix of `orderkey:boot:r` compared against the
+    * integer thresholds above — reproducible across engines, re-runs,
+    * stragglers, and partitionings, the same discipline as the
+    * hash-split samplers. Every accumulated quantity is BIGINT-exact;
+    * each replicate mean is ONE double division+round readout
+    * (identical text both engines), and the CI bounds are order
+    * statistics of those 32 exact milli-cent integers (ranks 2/16/31
+    * of the sorted replicate means — a ~93.75% interval). The md5
+    * appears once per replicate in a dedicated projection; the CASE
+    * fan-out over it relies on codegen subexpression elimination
+    * after projection collapse (md5 is scalar — the O(tokens²)
+    * Gen.let1 hazard does not apply). */
+  def ordersBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Gen.hexPrefix32
+    val base = t(spark, dir, "orders").selectExpr("o_orderkey",
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
+    val withH = base.selectExpr(Seq("price_c") ++
+      (0 until bootReps).map(r => hexPrefix32(
+        s"md5(concat(CAST(o_orderkey AS STRING), ':boot:$r'))") +
+        s" AS h_$r"): _*)
+    val withW = withH.selectExpr(Seq("price_c") ++
+      (0 until bootReps).map(r => s"${bootWeight(s"h_$r")} AS w_$r"): _*)
+    val agg = withW.selectExpr(
+      Seq("CAST(count(*) AS BIGINT) AS n_orders",
+        "CAST(sum(price_c) AS BIGINT) AS total_c") ++
+      (0 until bootReps).flatMap(r => Seq(
+        s"CAST(sum(w_$r * price_c) AS BIGINT) AS ws_$r",
+        s"CAST(sum(w_$r) AS BIGINT) AS w_$r")): _*)
+    val stackArgs = (0 until bootReps)
+      .map(r => s"$r, ws_$r, w_$r").mkString(", ")
+    val reps = agg.selectExpr("n_orders", "total_c",
+      s"stack($bootReps, $stackArgs) AS (r, ws, w)")
+      .selectExpr("n_orders", "total_c", "r",
+        "CAST(round(CAST(ws AS DOUBLE) * 1000 / w) AS BIGINT) AS mean_milli")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy("mean_milli", "r")))
+    ranked.agg(
+      max("n_orders").as("n_orders"),
+      max(expr(s"CAST($bootReps AS BIGINT)")).as("n_reps"),
+      max(expr("CAST(round(CAST(total_c AS DOUBLE) * 1000 / n_orders) AS BIGINT)"))
+        .as("mean_milli_full"),
+      max(expr("CASE WHEN rn = 2 THEN mean_milli END")).as("boot_lo_milli"),
+      max(expr("CASE WHEN rn = 16 THEN mean_milli END")).as("boot_med_milli"),
+      max(expr("CASE WHEN rn = 31 THEN mean_milli END")).as("boot_hi_milli"))
+  }
+
+  val ordersBootstrapCiOracle: String = {
+    import graft.llm.Gen.hexPrefix32
+    val hCols = (0 until bootReps).map(r => hexPrefix32(
+      s"md5(concat(CAST(o_orderkey AS VARCHAR), ':boot:$r'))") +
+      s" AS h_$r").mkString(",\n            ")
+    val wCols = (0 until bootReps)
+      .map(r => s"${bootWeight(s"h_$r")} AS w_$r").mkString(",\n            ")
+    val aggCols = (0 until bootReps).flatMap(r => Seq(
+      s"CAST(sum(w_$r * price_c) AS BIGINT) AS ws_$r",
+      s"CAST(sum(w_$r) AS BIGINT) AS w_$r")).mkString(",\n            ")
+    val spine = (0 until bootReps)
+      .map(r => s"SELECT $r AS r, ws_$r AS ws, w_$r AS w FROM agg")
+      .mkString("\n          UNION ALL ")
+    s"""WITH base AS (SELECT o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+          FROM orders),
+        h_t AS (SELECT price_c,
+            $hCols
+          FROM base),
+        w_t AS (SELECT price_c,
+            $wCols
+          FROM h_t),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+            CAST(sum(price_c) AS BIGINT) AS total_c,
+            $aggCols
+          FROM w_t),
+        reps AS ($spine),
+        mm AS (SELECT r,
+            CAST(round(CAST(ws AS DOUBLE) * 1000 / w) AS BIGINT) AS mean_milli
+          FROM reps),
+        ranked AS (SELECT r, mean_milli,
+            row_number() OVER (ORDER BY mean_milli, r) AS rn
+          FROM mm)
+        SELECT max(a.n_orders) AS n_orders,
+          CAST($bootReps AS BIGINT) AS n_reps,
+          max(CAST(round(CAST(a.total_c AS DOUBLE) * 1000 / a.n_orders)
+            AS BIGINT)) AS mean_milli_full,
+          max(CASE WHEN k.rn = 2 THEN k.mean_milli END) AS boot_lo_milli,
+          max(CASE WHEN k.rn = 16 THEN k.mean_milli END) AS boot_med_milli,
+          max(CASE WHEN k.rn = 31 THEN k.mean_milli END) AS boot_hi_milli
+        FROM ranked k, agg a"""
+  }
+
+  /** `docs_ks_lengths`: two-sample Kolmogorov–Smirnov test comparing
+    * the document-length distribution of English docs against the
+    * rest of the corpus — the distribution-shape sibling of the
+    * rank-based [[eventsMannWhitney]]: MW asks "is one group
+    * stochastically larger", KS asks "do the two ECDFs diverge
+    * anywhere", which is the drift check a corpus monitor wants when
+    * a new source ships truncated or concatenated documents.
+    *
+    * Distributed-ECDF shape (same class as Mann-Whitney): collapse
+    * the corpus to VALUE grain with one map-side-combined hash
+    * aggregate (per length: group-1 count, total count), then a
+    * cumulative window over the value grain gives both ECDFs at every
+    * observed value — KS only needs the sup at observed points. The
+    * statistic stays exact: sup|F1−F2| = max|cum1·n2 − cum2·n1| /
+    * (n1·n2), computed as a BIGINT max so partitioning can never
+    * perturb it; doubles appear only in the final readout. The one
+    * global window sorts the VALUE DOMAIN (distinct lengths), never
+    * the corpus — at 100 TB the distinct-length relation is still
+    * tiny; a genuinely wide value domain upgrades to the two-phase
+    * prefix scan [[lineitemWinsorized]] documents. Totals ride a
+    * one-row broadcast cross join (the scalar-totals pattern). */
+  def docsKsLengths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = graft.io.Tables.documents(spark, dir)
+      .selectExpr("n_chars AS v",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g1")
+      .groupBy("v").agg(sum("g1").as("cnt1"), count(lit(1)).as("cnt"))
+    val totals = byV.agg(sum("cnt1").as("n1"),
+      sum(expr("cnt - cnt1")).as("n2"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byV
+      .withColumn("cum1", sum("cnt1").over(wCum))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .crossJoin(broadcast(totals))
+      .agg(max(expr("abs(cum1 * n2 - (cum - cum1) * n1)")).as("d_num"),
+        max("n1").as("n1"), max("n2").as("n2"))
+      .selectExpr(ksReadout: _*)
+  }
+
+  val docsKsLengthsOracle: String =
+    s"""WITH byv AS (
+          SELECT n_chars AS v,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt1,
+            count(*) AS cnt
+          FROM documents GROUP BY n_chars),
+        totals AS (SELECT sum(cnt1) AS n1, sum(cnt - cnt1) AS n2 FROM byv),
+        cum_t AS (SELECT v, cnt1, cnt,
+            sum(cnt1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+            sum(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM byv),
+        agg AS (SELECT
+            CAST(max(abs(cum1 * n2 - (cum - cum1) * n1)) AS BIGINT) AS d_num,
+            CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+          FROM cum_t, totals)
+        SELECT ${ksReadout.mkString(",\n          ")} FROM agg"""
 }
