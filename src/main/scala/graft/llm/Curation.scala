@@ -1654,4 +1654,63 @@ object Curation {
         SELECT strategy, 'SPANNING', n_docs, n_clusters FROM spanning
         ORDER BY strategy, split"""
   }
+
+  // ---- leave-one-out source ablation ----
+
+  /** `corpus_source_ablation`: data-valuation by algebraic
+    * leave-one-out — for each source, the corpus mean quality WITH it
+    * and WITHOUT it, and the delta (positive = the source pulls the
+    * corpus up). This is the cheapest honest answer to "which feed is
+    * hurting the mix" — the full per-source retrain is a fleet job,
+    * but the metric-level ablation is pure sufficient-statistics
+    * algebra: one pass accumulates the global (N, Σq) and per-source
+    * (n_s, Σq_s); mean-without-s = (Σq − Σq_s)/(N − n_s). Nothing is
+    * recomputed per source, so the cost is one map-side-combined agg
+    * regardless of source count — the shape that survives 10⁴
+    * sources at 100 TB.
+    *
+    * Exactness: per-doc quality is nano-quantized before summation
+    * (the corpus-wide rule — BIGINT sums are order-independent where
+    * double sums are not); the three means are exact-integer-division
+    * double readouts with identical text on both engines. */
+  def sourceAblation(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.llm.TextAnalysis.statsRelation(spark, dir)
+      .selectExpr("doc_id",
+        "CAST(round(quality_score * 1e9) AS BIGINT) AS q_nano")
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    val perDoc = src.join(q, Seq("doc_id"))
+    val bySrc = perDoc.groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum("q_nano").as("sq"))
+    val glob = bySrc.agg(
+      org.apache.spark.sql.functions.sum("n_docs").as("n_total"),
+      org.apache.spark.sql.functions.sum("sq").as("sq_total"))
+    bySrc.crossJoin(org.apache.spark.sql.functions.broadcast(glob))
+      .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(sq AS DOUBLE) / n_docs / 1e9 AS mean_quality",
+        "CAST(sq_total - sq AS DOUBLE) / (n_total - n_docs) / 1e9 AS mean_without",
+        """(CAST(sq AS DOUBLE) / n_docs / 1e9)
+           - (CAST(sq_total - sq AS DOUBLE) / (n_total - n_docs) / 1e9)
+           AS ablation_delta""")
+      .orderBy("source")
+  }
+
+  val sourceAblationOracle: String =
+    s"""WITH ${graft.llm.TextAnalysis.statsCtes},
+        per_doc AS (SELECT d.source,
+            CAST(round(s.quality_score * 1e9) AS BIGINT) AS q_nano
+          FROM documents d JOIN stats s ON s.doc_id = d.doc_id),
+        by_src AS (SELECT source, count(*) AS n_docs, sum(q_nano) AS sq
+          FROM per_doc GROUP BY source),
+        gtot AS (SELECT sum(n_docs) AS n_total, sum(sq) AS sq_total
+          FROM by_src)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+          CAST(sq AS DOUBLE) / n_docs / 1e9 AS mean_quality,
+          CAST(sq_total - sq AS DOUBLE) / (n_total - n_docs) / 1e9
+            AS mean_without,
+          (CAST(sq AS DOUBLE) / n_docs / 1e9)
+           - (CAST(sq_total - sq AS DOUBLE) / (n_total - n_docs) / 1e9)
+           AS ablation_delta
+        FROM by_src, gtot ORDER BY source"""
 }

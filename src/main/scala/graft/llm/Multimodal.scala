@@ -1271,6 +1271,78 @@ object Multimodal {
        GROUP BY doc_id, channel, band
        ORDER BY doc_id, channel, band"""
 
+  // ---- GIF (LZW) decode stats ----
+
+  private[graft] def gifDims(docId: Long): (Int, Int) =
+    ((docId % 29 + 1).toInt, (docId % 13 + 1).toInt)
+
+  /** Deterministic palette-index raster for GIF doc `docId`:
+    * p(x, y) = ((docId % 239) + 31·y + 7·x) % 256, identity grayscale
+    * palette so index == gray value — SQL-reproducible per pixel. */
+  private[graft] def gifRaster(docId: Long, w: Int, h: Int): Array[Int] = {
+    val base = (docId % 239).toInt
+    Array.tabulate(w * h)(i => (base + 31 * (i / w) + 7 * (i % w)) % 256)
+  }
+
+  case class GifStats(doc_id: Long, width: Int, height: Int,
+                      n_pixels: Long, p_sum: Long, p_min: Int, p_max: Int)
+
+  /** Pixel statistics from REAL decoded GIF bytes — the third
+    * compressed format after JPEG (transform+Huffman) and FLAC
+    * (predictive+Rice): [[GifCodec]] LZW with variable-width codes,
+    * mid-stream dictionary resets, and LSB-first packing. Each image
+    * doc's generative raster is LZW-compressed into a spec-valid
+    * GIF87a in the executors and decoded back before the stats, and
+    * the oracle recomputes every statistic from the raster formula —
+    * GIF is lossless over palette indices, so a hash match proves the
+    * string-table round-trip bit-exact on real entropy-coded bytes.
+    * Same shape discipline as [[pixelStats]]: decode at the
+    * mapPartitions boundary, relational after. */
+  def gifStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .select("doc_id").where("doc_id % 3 = 0").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h) = gifDims(id)
+          val gif = GifCodec.encode(w, h, gifRaster(id, w, h))
+          val img = GifCodec.decode(gif).getOrElse(
+            sys.error(s"gif decode failed for doc $id"))
+          var s = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.palette(img.pixels(i)) & 0xff // gray == index
+            s += v; if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          GifStats(id, img.width, img.height,
+            img.width.toLong * img.height, s, mn, mx)
+        }
+      }
+    rows.toDF()
+      .withColumn("mean_val", col("p_sum") / col("n_pixels").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val gifStatsOracle: String =
+    """WITH imgs AS (SELECT doc_id,
+           CAST(doc_id % 29 + 1 AS INTEGER) AS w,
+           CAST(doc_id % 13 + 1 AS INTEGER) AS h
+         FROM documents WHERE doc_id % 3 = 0),
+       grid AS (SELECT CAST(x.x AS BIGINT) AS x, CAST(y.y AS BIGINT) AS y
+         FROM range(0, 29) x(x), range(0, 13) y(y)),
+       px AS (SELECT i.doc_id, i.w, i.h,
+           ((i.doc_id % 239) + 31 * g.y + 7 * g.x) % 256 AS v
+         FROM imgs i JOIN grid g ON g.x < i.w AND g.y < i.h)
+       SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
+         CAST(max(h) AS INTEGER) AS height,
+         count(*) AS n_pixels,
+         CAST(sum(v) AS BIGINT) AS p_sum,
+         CAST(min(v) AS INTEGER) AS p_min,
+         CAST(max(v) AS INTEGER) AS p_max,
+         sum(v) / CAST(count(*) AS DOUBLE) AS mean_val
+       FROM px GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- fixed-point DFT bin energy on the FLAC decode ----
 
   /** Analysis bins for [[dftBinEnergy]]: DC-adjacent through Nyquist-
