@@ -75,6 +75,10 @@ object Native {
       "graft_topk",
       exprs => TopKAgg(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavyhitters",
+      exprs => SpaceSavingAgg(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cdc_boundaries", exprs => CdcBoundariesExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_inter",

@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       exprs => TopKAgg(exprs(0), exprs(1)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavyhitters"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "graft_heavyhitters"),
+      exprs => SpaceSavingAgg(exprs(0), exprs(1)).toAggregateExpression()))
   }
 }

@@ -1907,4 +1907,64 @@ object TextAnalysis {
           CAST(round(slope * 1e9) AS BIGINT) AS slope_nano,
           CAST(round((syd - slope * sxd) / n) AS BIGINT) AS intercept_nano
         FROM sl"""
+
+  // ---- Misra–Gries heavy-hitter discovery audit ----
+
+  private val hhK = 64
+
+  /** `text_heavyhitters_audit`: heavy-token DISCOVERY via the native
+    * [[graft.functions.SpaceSavingAgg]] Misra–Gries aggregate
+    * (`graft_heavyhitters`), audited against exact counts. The sketch
+    * side never shuffles raw tokens — each task summarizes its slice
+    * in 64 counters and 64 structs per task cross the wire; the exact
+    * side is the one keyed aggregate the audit needs anyway.
+    *
+    * What the gate can honestly pin: MG counter VALUES are arrival-
+    * order-dependent, but two bounds are theorems under ANY task
+    * layout (the mergeable-summaries reduction — see the aggregate's
+    * scaladoc): cnt ≤ true, and true − cnt ≤ n/(k+1), hence every
+    * token with true count > n/(k+1) is retained. So the query emits
+    * the EXACT-heavy tokens (exact·(k+1) > n, a deterministic set
+    * with < k+1 members by pigeonhole) with exact counts and three
+    * literal-1 flags — retained-in-sketch, no-overcount, slack-within-
+    * bound (all integer cross-multiplied comparisons). A sketch bug
+    * flips a flag and fails the hash compare at whatever partitioning
+    * the driver runs. Tokens enter the sketch as xxhash64 keys
+    * (64-bit: collision odds over a 10⁵ vocab ≈ 1e-10 — documented,
+    * not handled). */
+  def heavyHittersAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(expr(words("lower(text)", SparkD))).as("term"))
+      .selectExpr("term", "xxhash64(term) AS h")
+    val sketch = toks
+      .agg(expr(s"graft_heavyhitters(h, $hhK)").as("sk"),
+        count(lit(1)).as("n_stream"))
+      .selectExpr("n_stream", "explode(sk) AS e")
+      .selectExpr("n_stream", "e.key AS h", "e.cnt AS cnt")
+    val exact = toks.groupBy("term", "h").agg(count(lit(1)).as("exact_cnt"))
+    exact
+      .join(broadcast(sketch), Seq("h"), "left")
+      .filter(expr(s"exact_cnt * ${hhK + 1} > n_stream"))
+      .selectExpr("term", "CAST(exact_cnt AS BIGINT) AS exact_cnt",
+        "CASE WHEN cnt IS NOT NULL THEN 1 ELSE 0 END AS in_sketch",
+        "CASE WHEN cnt IS NOT NULL AND cnt <= exact_cnt THEN 1 ELSE 0 END " +
+          "AS no_overcount",
+        s"""CASE WHEN cnt IS NOT NULL
+              AND (exact_cnt - cnt) * ${hhK + 1} <= n_stream
+            THEN 1 ELSE 0 END AS slack_ok""")
+      .orderBy(desc("exact_cnt"), asc("term"))
+  }
+
+  /** The oracle recomputes the deterministic part (exact-heavy set)
+    * and asserts the theorem flags as literal 1s. */
+  val heavyHittersAuditOracle: String =
+    s"""WITH toks AS (SELECT unnest(${words("lower(text)", DuckD)}) AS term
+          FROM documents),
+        tf AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY term),
+        n AS (SELECT count(*) AS n_stream FROM toks)
+        SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+          1 AS in_sketch, 1 AS no_overcount, 1 AS slack_ok
+        FROM tf, n WHERE exact_cnt * ${hhK + 1} > n_stream
+        ORDER BY exact_cnt DESC, term"""
 }
