@@ -1556,4 +1556,102 @@ object Extras {
          CAST(sum(price_c) AS DOUBLE) / 100.0 AS revenue
        FROM o GROUP BY CUBE (priority, status)
        ORDER BY grouping_id, priority, status"""
+
+  // ---- incremental JOIN-view maintenance (delta algebra) ----
+
+  /** `orders_join_view_delta`: the delta-join identity that maintains
+    * a materialized JOIN view incrementally — the third member of the
+    * maintenance family ([[incrementalRefresh]] = aggregates,
+    * [[ordersCdcApply]] = row-level upserts; this = joins):
+    *
+    *   (O∪ΔO) ⋈ (L∪ΔL) = O⋈L  ∪  ΔO⋈L  ∪  O⋈ΔL  ∪  ΔO⋈ΔL
+    *
+    * At 100 TB the first term is the standing view you must never
+    * recompute; the three delta terms are each bounded by a delta-side
+    * scan (and their joins broadcast the delta when it's small — the
+    * streaming/CDC join shape). The query splits both fixture
+    * relations by deterministic key predicates, evaluates all four
+    * branches AND the direct full join, and emits per-branch
+    * order-independent digests: row count, exact cent sum, and a
+    * content checksum (BIGINT sum of 32-bit md5 prefixes of the join
+    * keys). The `union` row sums the four branches; it must equal the
+    * `full_join` row on both engines — the identity is verified by the
+    * hash compare, not asserted by the code. Disjointness of the four
+    * branches (what makes UNION ALL valid) is by construction:
+    * old/delta predicates partition each side. */
+  def ordersJoinViewDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Gen.hexPrefix32
+    val o = graft.io.Tables.table(spark, dir, "orders")
+      .selectExpr("o_orderkey", "o_orderkey % 7 = 0 AS o_delta")
+    val l = graft.io.Tables.table(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_linenumber",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        "(l_orderkey * 31 + l_linenumber) % 5 = 0 AS l_delta")
+    val rowHash = hexPrefix32(
+      "md5(concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING)))")
+    def branch(name: String, oDelta: Boolean, lDelta: Boolean): DataFrame =
+      o.filter(col("o_delta") === oDelta)
+        .join(l.filter(col("l_delta") === lDelta),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum("cents"), lit(0L)).as("cents_sum"),
+          coalesce(sum(expr(rowHash)), lit(0L)).as("key_checksum"))
+        .selectExpr(s"'$name' AS branch", "CAST(n_rows AS BIGINT) AS n_rows",
+          "CAST(cents_sum AS BIGINT) AS cents_sum",
+          "CAST(key_checksum AS BIGINT) AS key_checksum")
+    val branches = Seq(
+      branch("1_old", oDelta = false, lDelta = false),
+      branch("2_delta_orders", oDelta = true, lDelta = false),
+      branch("3_delta_lines", oDelta = false, lDelta = true),
+      branch("4_delta_both", oDelta = true, lDelta = true))
+    val unionRow = branches.reduce(_ unionByName _)
+      .agg(sum("n_rows").as("n_rows"), sum("cents_sum").as("cents_sum"),
+        sum("key_checksum").as("key_checksum"))
+      .selectExpr("'5_union' AS branch", "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(cents_sum AS BIGINT) AS cents_sum",
+        "CAST(key_checksum AS BIGINT) AS key_checksum")
+    val fullRow = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum("cents"), lit(0L)).as("cents_sum"),
+        coalesce(sum(expr(rowHash)), lit(0L)).as("key_checksum"))
+      .selectExpr("'6_full_join' AS branch", "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(cents_sum AS BIGINT) AS cents_sum",
+        "CAST(key_checksum AS BIGINT) AS key_checksum")
+    (branches :+ unionRow :+ fullRow).reduce(_ unionByName _)
+      .orderBy("branch")
+  }
+
+  val ordersJoinViewDeltaOracle: String = {
+    import graft.llm.Gen.hexPrefix32
+    val rowHash = hexPrefix32(
+      "md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))")
+    def branchSql(name: String, oPred: String, lPred: String): String =
+      s"""SELECT '$name' AS branch, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(coalesce(sum(l.cents), 0) AS BIGINT) AS cents_sum,
+            CAST(coalesce(sum($rowHash), 0) AS BIGINT) AS key_checksum
+          FROM (SELECT o_orderkey FROM orders WHERE $oPred) o
+          JOIN (SELECT l_orderkey, l_linenumber,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem WHERE $lPred) l
+            ON o.o_orderkey = l.l_orderkey"""
+    val oldO = "NOT (o_orderkey % 7 = 0)"
+    val newO = "o_orderkey % 7 = 0"
+    val oldL = "NOT ((l_orderkey * 31 + l_linenumber) % 5 = 0)"
+    val newL = "(l_orderkey * 31 + l_linenumber) % 5 = 0"
+    s"""WITH b AS (
+          ${branchSql("1_old", oldO, oldL)}
+          UNION ALL ${branchSql("2_delta_orders", newO, oldL)}
+          UNION ALL ${branchSql("3_delta_lines", oldO, newL)}
+          UNION ALL ${branchSql("4_delta_both", newO, newL)}),
+        u AS (SELECT '5_union' AS branch,
+            CAST(sum(n_rows) AS BIGINT) AS n_rows,
+            CAST(sum(cents_sum) AS BIGINT) AS cents_sum,
+            CAST(sum(key_checksum) AS BIGINT) AS key_checksum
+          FROM b),
+        f AS (${branchSql("6_full_join", "1 = 1", "1 = 1")})
+        SELECT * FROM b
+        UNION ALL SELECT * FROM u
+        UNION ALL SELECT * FROM f
+        ORDER BY branch"""
+  }
 }
