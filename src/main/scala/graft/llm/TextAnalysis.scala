@@ -147,6 +147,70 @@ object TextAnalysis {
           n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
         FROM g ORDER BY lang, lang_pred"""
 
+  // ---- chance-corrected classifier agreement (Cohen's kappa) ----
+
+  /** `text_langid_kappa`: Cohen's kappa for the language-ID heuristic
+    * against the fixture's true labels — the chance-corrected summary
+    * the per-cell [[langConfusion]] matrix doesn't give: raw accuracy
+    * flatters any classifier on an imbalanced corpus (predicting the
+    * majority language scores high), while κ subtracts the agreement
+    * expected from the marginals alone: κ = (p_o − p_e)/(1 − p_e),
+    * p_e = Σ_k rowshare_k · colshare_k.
+    *
+    * Everything before the readout is exact: cell counts, the
+    * diagonal sum, and the marginal cross-product Σ row_k·col_k are
+    * BIGINT (cross-multiplied so p_e never exists as a float until
+    * the one identical-text readout tree). Shape: one hash agg to the
+    * ≤25-cell confusion grid, marginals from two grid re-aggs, one
+    * broadcast-sized join on the label key — nothing corpus-sized
+    * after the first agg. */
+  def langIdKappa(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langRelation(spark, dir)
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("lang").agg(sum("n").as("row_n"))
+    val cols = cells.groupBy("lang_pred").agg(sum("n").as("col_n"))
+      .withColumnRenamed("lang_pred", "lang")
+    val cross = rows.join(cols, Seq("lang"))
+      .agg(sum(expr("row_n * col_n")).as("cross_sum"))
+    val diag = cells.filter(col("lang") === col("lang_pred"))
+      .agg(coalesce(sum("n"), lit(0L)).as("n_agree"))
+    val total = cells.agg(sum("n").as("n_total"))
+    diag.crossJoin(broadcast(total)).crossJoin(broadcast(cross))
+      .selectExpr("CAST(n_total AS BIGINT) AS n_total",
+        "CAST(n_agree AS BIGINT) AS n_agree",
+        "CAST(cross_sum AS BIGINT) AS cross_sum",
+        "CAST(n_agree AS DOUBLE) / n_total AS p_observed",
+        "CAST(cross_sum AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_total) AS p_expected",
+        """(CAST(n_agree AS DOUBLE) / n_total
+            - CAST(cross_sum AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_total))
+           / (1 - CAST(cross_sum AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_total))
+           AS kappa""")
+  }
+
+  val langIdKappaOracle: String =
+    s"""WITH scores AS (SELECT ${langScoreCols(DuckD).mkString(", ")} FROM documents),
+        pred AS (SELECT *, $langPredExpr FROM scores),
+        cells AS (SELECT lang, lang_pred, count(*) AS n
+          FROM pred GROUP BY 1, 2),
+        r AS (SELECT lang, sum(n) AS row_n FROM cells GROUP BY lang),
+        c AS (SELECT lang_pred AS lang, sum(n) AS col_n
+          FROM cells GROUP BY lang_pred),
+        x AS (SELECT sum(r.row_n * c.col_n) AS cross_sum
+          FROM r JOIN c ON r.lang = c.lang),
+        d AS (SELECT coalesce(sum(n), 0) AS n_agree FROM cells
+          WHERE lang = lang_pred),
+        t AS (SELECT sum(n) AS n_total FROM cells)
+        SELECT CAST(n_total AS BIGINT) AS n_total,
+          CAST(n_agree AS BIGINT) AS n_agree,
+          CAST(cross_sum AS BIGINT) AS cross_sum,
+          CAST(n_agree AS DOUBLE) / n_total AS p_observed,
+          CAST(cross_sum AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_total) AS p_expected,
+          (CAST(n_agree AS DOUBLE) / n_total
+            - CAST(cross_sum AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_total))
+           / (1 - CAST(cross_sum AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_total))
+           AS kappa
+        FROM d, t, x"""
+
   // ---- repetition (boilerplate / loop detection) ----
 
   /** Repeated word-3-gram share per document — the standard cheap

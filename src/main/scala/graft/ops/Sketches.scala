@@ -232,4 +232,84 @@ object Sketches {
           count(DISTINCT user_id) AS exact_users,
           1 AS within_bound
         FROM win GROUP BY anchor ORDER BY day"""
+
+  // ---- CMS inner-product join-size estimation ----
+
+  /** `orders_join_size_sketch`: equi-join cardinality estimation from
+    * COUNT-MIN INNER PRODUCTS (Cormode & Muthukrishnan 2005 §4.2 /
+    * the AGMS family) — the statistic a cost-based optimizer needs
+    * before it picks a join strategy: |O ⋈ L| = Σ_k c_O(k)·c_L(k),
+    * estimated as min over hash rows of Σ_b cmsO[r][b]·cmsL[r][b]
+    * without touching per-key truth. Two theorems make the audit
+    * deterministic under any partitioning (CMS cells are plain sums):
+    * the estimate NEVER undercounts (collisions only add cross
+    * terms), and the overshoot is at most Σ cross-products of
+    * colliding keys — audited here against the generous closed-form
+    * slack n_O·n_L/W per row. The exact side is the per-key
+    * count-product sum (one keyed agg per relation + one equi-join on
+    * the key grid — the key-grain relation the sketch exists to
+    * avoid at 100 TB, computed here only because the audit needs
+    * truth). */
+  def joinSizeSketch(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.io.Tables.table(spark, dir, "orders")
+      .selectExpr("o_orderkey AS k")
+    val l = graft.io.Tables.table(spark, dir, "lineitem")
+      .selectExpr("l_orderkey AS k")
+    val rowsIdx = expr(s"explode(sequence(0, ${rows.size - 1}))")
+    def cms(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.select(col("k"), rowsIdx.as("i"))
+        .select(col("i"), expr(bucketByRow("k", "i")).as("bucket"))
+        .groupBy("i", "bucket").agg(count(lit(1)).as(name))
+    val co = cms(o, "c_o")
+    val cl = cms(l, "c_l")
+    val est = co.join(cl, Seq("i", "bucket"))
+      .groupBy("i").agg(sum(expr("c_o * c_l")).as("row_ip"))
+      .agg(min("row_ip").as("est_join"))
+    val exact = o.groupBy("k").agg(count(lit(1)).as("n_o"))
+      .join(l.groupBy("k").agg(count(lit(1)).as("n_l")), Seq("k"))
+      .agg(coalesce(sum(expr("n_o * n_l")), lit(0L)).as("exact_join"))
+    val sizes = o.agg(count(lit(1)).as("n_o_rows"))
+      .crossJoin(broadcast(l.agg(count(lit(1)).as("n_l_rows"))))
+    est.crossJoin(broadcast(exact)).crossJoin(broadcast(sizes))
+      .selectExpr("CAST(n_o_rows AS BIGINT) AS n_o_rows",
+        "CAST(n_l_rows AS BIGINT) AS n_l_rows",
+        "CAST(exact_join AS BIGINT) AS exact_join",
+        "CAST(est_join AS BIGINT) AS est_join",
+        "est_join - exact_join AS overshoot",
+        "CASE WHEN est_join >= exact_join THEN 1 ELSE 0 END AS never_under",
+        s"CASE WHEN (est_join - exact_join) * $W <= n_o_rows * n_l_rows " +
+          "THEN 1 ELSE 0 END AS within_slack")
+  }
+
+  val joinSizeSketchOracle: String = {
+    def cmsSql(table: String, keyCol: String, name: String): String = {
+      val selects = rows.indices.map { r =>
+        s"SELECT $r AS i, ${bucketExpr(keyCol, r)} AS bucket FROM $table"
+      }.mkString(" UNION ALL ")
+      s"SELECT i, bucket, count(*) AS $name FROM ($selects) GROUP BY i, bucket"
+    }
+    s"""WITH co AS (${cmsSql("orders", "o_orderkey", "c_o")}),
+        cl AS (${cmsSql("lineitem", "l_orderkey", "c_l")}),
+        ip AS (SELECT co.i, sum(co.c_o * cl.c_l) AS row_ip
+          FROM co JOIN cl ON co.i = cl.i AND co.bucket = cl.bucket
+          GROUP BY co.i),
+        est AS (SELECT min(row_ip) AS est_join FROM ip),
+        xo AS (SELECT o_orderkey AS k, count(*) AS n_o
+          FROM orders GROUP BY 1),
+        xl AS (SELECT l_orderkey AS k, count(*) AS n_l
+          FROM lineitem GROUP BY 1),
+        ex AS (SELECT coalesce(sum(xo.n_o * xl.n_l), 0) AS exact_join
+          FROM xo JOIN xl ON xo.k = xl.k),
+        sz AS (SELECT (SELECT count(*) FROM orders) AS n_o_rows,
+          (SELECT count(*) FROM lineitem) AS n_l_rows)
+        SELECT CAST(n_o_rows AS BIGINT) AS n_o_rows,
+          CAST(n_l_rows AS BIGINT) AS n_l_rows,
+          CAST(exact_join AS BIGINT) AS exact_join,
+          CAST(est_join AS BIGINT) AS est_join,
+          CAST(est_join - exact_join AS BIGINT) AS overshoot,
+          CASE WHEN est_join >= exact_join THEN 1 ELSE 0 END AS never_under,
+          CASE WHEN (est_join - exact_join) * $W <= n_o_rows * n_l_rows
+            THEN 1 ELSE 0 END AS within_slack
+        FROM est, ex, sz"""
+  }
 }

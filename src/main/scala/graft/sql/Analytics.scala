@@ -1988,6 +1988,77 @@ object Analytics {
         * (CAST(n1 AS DOUBLE) * n2 / (CAST(n1 AS DOUBLE) + n2)))
        AS p_asym""")
 
+  // ---- distribution-free median confidence interval ----
+
+  /** `lineitem_median_ci`: exact median of the line price with a
+    * DISTRIBUTION-FREE confidence interval from binomial order
+    * statistics (the nonparametric classic: P(X_(l) ≤ m ≤ X_(u))
+    * depends only on Binomial(n, ½), never on the price
+    * distribution) — the partner of [[ordersBootstrapCi]]: the
+    * bootstrap CI is for the MEAN and needs resampling; the median CI
+    * is closed-form from three order statistics. Ranks use the normal
+    * approximation l = ⌊(n − z·√n)/2⌋, u = n − l + 1 (z = 1.96),
+    * computed as identical double text on both engines from the same
+    * exact n — no baked tables needed.
+    *
+    * Shape: the corpus collapses to VALUE grain (distinct cents) in
+    * one map-side-combined agg; one cumulative window over the value
+    * domain turns rank lookups into three conditional mins — the
+    * [[lineitemWinsorized]] two-phase-rank machinery, reused. */
+  def lineitemMedianCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = t(spark, dir, "lineitem")
+      .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) AS v")
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byV.withColumn("cum", sum("cnt").over(wCum))
+    val totals = byV.agg(sum("cnt").as("n"))
+    cum.crossJoin(broadcast(totals))
+      .selectExpr("v", "cum", "n",
+        "(n + 1) DIV 2 AS r_med",
+        """greatest(CAST(1 AS BIGINT), CAST(floor((CAST(n AS DOUBLE)
+            - 1.959963984540054 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT))
+           AS r_lo""")
+      .selectExpr("v", "cum", "n", "r_med", "r_lo", "n - r_lo + 1 AS r_hi")
+      .agg(max("n").as("n"), max("r_lo").as("r_lo"), max("r_hi").as("r_hi"),
+        min(expr("CASE WHEN cum >= r_med THEN v END")).as("med_c"),
+        min(expr("CASE WHEN cum >= r_lo THEN v END")).as("lo_c"),
+        min(expr("CASE WHEN cum >= r_hi THEN v END")).as("hi_c"))
+      .selectExpr("CAST(n AS BIGINT) AS n",
+        "CAST(r_lo AS BIGINT) AS r_lo", "CAST(r_hi AS BIGINT) AS r_hi",
+        "CAST(med_c AS DOUBLE) / 100 AS median_price",
+        "CAST(lo_c AS DOUBLE) / 100 AS ci_lo",
+        "CAST(hi_c AS DOUBLE) / 100 AS ci_hi")
+  }
+
+  val lineitemMedianCiOracle: String =
+    """WITH byv AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+            count(*) AS cnt
+          FROM lineitem GROUP BY 1),
+        cum_t AS (SELECT v, sum(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM byv),
+        tot AS (SELECT sum(cnt) AS n FROM byv),
+        rk AS (SELECT v, cum, n,
+            (n + 1) // 2 AS r_med,
+            greatest(CAST(1 AS BIGINT), CAST(floor((CAST(n AS DOUBLE)
+              - 1.959963984540054 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT))
+              AS r_lo
+          FROM cum_t, tot),
+        rk2 AS (SELECT *, n - r_lo + 1 AS r_hi FROM rk),
+        agg AS (SELECT max(n) AS n, max(r_lo) AS r_lo, max(r_hi) AS r_hi,
+            min(CASE WHEN cum >= r_med THEN v END) AS med_c,
+            min(CASE WHEN cum >= r_lo THEN v END) AS lo_c,
+            min(CASE WHEN cum >= r_hi THEN v END) AS hi_c
+          FROM rk2)
+        SELECT CAST(n AS BIGINT) AS n,
+          CAST(r_lo AS BIGINT) AS r_lo, CAST(r_hi AS BIGINT) AS r_hi,
+          CAST(med_c AS DOUBLE) / 100 AS median_price,
+          CAST(lo_c AS DOUBLE) / 100 AS ci_lo,
+          CAST(hi_c AS DOUBLE) / 100 AS ci_hi
+        FROM agg"""
+
   // ---- CUPED-adjusted A/B comparison ----
 
   /** Shared readout expressions for [[eventsCupedAb]] (identical text
