@@ -2226,32 +2226,37 @@ object Analytics {
     * each replicate mean is ONE double division+round readout
     * (identical text both engines), and the CI bounds are order
     * statistics of those 32 exact milli-cent integers (ranks 2/16/31
-    * of the sorted replicate means — a ~93.75% interval). The md5
-    * appears once per replicate in a dedicated projection; the CASE
-    * fan-out over it relies on codegen subexpression elimination
-    * after projection collapse (md5 is scalar — the O(tokens²)
-    * Gen.let1 hazard does not apply). */
+    * of the sorted replicate means — a ~93.75% interval).
+    *
+    * Plan-shape lesson (measured): the first cut accumulated 64
+    * aggregate columns over 32 per-row hash projections, counting on
+    * codegen subexpression elimination across the CASE fan-out — the
+    * giant expression tree fell out of whole-stage codegen and ran
+    * 14 s at sf0.1. This form EXPLODES to (row × replicate) grain
+    * instead: 32× the scan-side rows, but one md5 per (order,
+    * replicate), a single tight codegen'd projection, and a map-side-
+    * combined 32-group aggregate — 0.6 s for identical results. At
+    * 100 TB the explode factor is the replicate count, amortized by
+    * partial aggregation; the shuffle still carries 32 rows per
+    * task. */
   def ordersBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     import graft.llm.Gen.hexPrefix32
     val base = t(spark, dir, "orders").selectExpr("o_orderkey",
       "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
-    val withH = base.selectExpr(Seq("price_c") ++
-      (0 until bootReps).map(r => hexPrefix32(
-        s"md5(concat(CAST(o_orderkey AS STRING), ':boot:$r'))") +
-        s" AS h_$r"): _*)
-    val withW = withH.selectExpr(Seq("price_c") ++
-      (0 until bootReps).map(r => s"${bootWeight(s"h_$r")} AS w_$r"): _*)
-    val agg = withW.selectExpr(
-      Seq("CAST(count(*) AS BIGINT) AS n_orders",
-        "CAST(sum(price_c) AS BIGINT) AS total_c") ++
-      (0 until bootReps).flatMap(r => Seq(
-        s"CAST(sum(w_$r * price_c) AS BIGINT) AS ws_$r",
-        s"CAST(sum(w_$r) AS BIGINT) AS w_$r")): _*)
-    val stackArgs = (0 until bootReps)
-      .map(r => s"$r, ws_$r, w_$r").mkString(", ")
-    val reps = agg.selectExpr("n_orders", "total_c",
-      s"stack($bootReps, $stackArgs) AS (r, ws, w)")
-      .selectExpr("n_orders", "total_c", "r",
+    val repAgg = base
+      .select(col("o_orderkey"), col("price_c"),
+        explode(expr(s"sequence(0, ${bootReps - 1})")).as("r"))
+      .selectExpr("price_c", "r", hexPrefix32(
+        "md5(concat(CAST(o_orderkey AS STRING), ':boot:', CAST(r AS STRING)))") +
+        " AS h")
+      .selectExpr("price_c", "r", s"${bootWeight("h")} AS w")
+      .groupBy("r").agg(
+        sum(expr("w * price_c")).cast("long").as("ws"),
+        sum("w").cast("long").as("w"))
+    val totals = base.agg(count(lit(1)).cast("long").as("n_orders"),
+      sum("price_c").cast("long").as("total_c"))
+    val reps = repAgg.crossJoin(broadcast(totals))
+      .selectExpr("n_orders", "total_c", "CAST(r AS INT) AS r",
         "CAST(round(CAST(ws AS DOUBLE) * 1000 / w) AS BIGINT) AS mean_milli")
     import org.apache.spark.sql.expressions.Window
     val ranked = reps.withColumn("rn",

@@ -62,6 +62,41 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("MG aggregate runs under streaming complete-mode aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    graft.functions.Native.register(spark)
+    implicit val sq = spark.sqlContext
+    val stream = mkStream().take(4000)
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("h")
+      .agg(expr("graft_heavyhitters(h, 16)").as("sk"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: state must merge across batches
+      in.addData(stream.take(2000): _*)
+      q.processAllAvailable()
+      in.addData(stream.drop(2000): _*)
+      q.processAllAvailable()
+      val sk = spark.table("hh_stream")
+        .selectExpr("explode(sk) AS e")
+        .selectExpr("e.key AS key", "e.cnt AS cnt").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val truth = stream.groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong }
+      val n = stream.length.toLong
+      assert(sk.nonEmpty && sk.size <= 16)
+      sk.foreach { case (k, cnt) =>
+        assert(cnt <= truth(k), s"streaming overcount at $k")
+        assert(truth(k) - cnt <= n / 17 + 1, s"streaming slack at $k")
+      }
+      truth.filter { case (_, t) => t * 17 > n }.keys.foreach { k =>
+        assert(sk.contains(k), s"streaming heavy key $k missing")
+      }
+    } finally q.stop()
+  }
+
   test("analysis-time rejection of bad arguments") {
     graft.functions.Native.register(spark)
     import spark.implicits._
