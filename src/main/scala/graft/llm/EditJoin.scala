@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Exact edit-distance similarity self-join (Ed-Join lineage,
+  * Xiao/Wang/Lin 2008): every document pair within Levenshtein
+  * distance [[d]], found WITHOUT the all-pairs product.
+  *
+  * This is the character-level member of the engine's lossless
+  * candidate-generator family (set-Jaccard has the rarity-prefix
+  * join, containment has pigeonhole bands, Hamming has SimHash
+  * bands). The filter chain, every link a theorem:
+  *
+  * 1. LENGTH: ed(s,t) ≤ d ⇒ ||s|−|t|| ≤ d (each edit changes length
+  *    by ≤ 1).
+  * 2. GRAM-SET PREFIX: one character edit rewrites at most [[q]]
+  *    of a string's q-gram windows and leaves every other window's
+  *    CONTENT unchanged, so it can remove at most q values from the
+  *    DISTINCT-gram set; d edits remove ≤ q·d. Hence
+  *    |set(s) ∩ set(t)| ≥ |set(s)| − q·d, and by the standard prefix
+  *    argument (Chaudhuri et al., SSJoin) under any shared total
+  *    order on gram values, the first q·d+1 grams of each side must
+  *    share a value. Set semantics are load-bearing here: the BAG
+  *    version of the prefix theorem fails under an occurrence-ordinal
+  *    encoding (deleting one early occurrence of a frequent gram
+  *    cascades every later ordinal), so we prefix over
+  *    `array_distinct` grams and never tag occurrences.
+  * 3. The prefix argument needs the required overlap max(1, |A|−qd)
+  *    to be ≥ 1 for a reason: when max(|s|,|t|) ≥ q·(d+1) the BAG
+  *    intersection is ≥ max(|s|,|t|)−q+1−q·d ≥ 1, so a shared value
+  *    exists and α = 1 is justified even for a pathologically
+  *    repetitive side whose distinct-set is tiny (its prefix is then
+  *    its whole set — the min(qd+1, |set|) cap is automatic because
+  *    rank ≤ |set|). Pairs where BOTH sides are shorter than
+  *    q·(d+1) chars carry no such guarantee, so they go through an
+  *    explicit short-document fallback: all pairs within the length
+  *    filter among docs with length < q·(d+1). That relation is
+  *    bounded by the short-doc count squared — empty on the fixture
+  *    corpus (min length 44 ≥ 39) and exercised by crafted strings
+  *    in EditJoinSpec.
+  * 4. VERIFY: Spark's thresholded `levenshtein(a, b, d)` — the
+  *    banded O(d·min|s|) algorithm, not the O(|s|·|t|) full matrix —
+  *    returns the exact distance when ≤ d and −1 past it.
+  *
+  * Rarity ordering (document frequency asc, gram asc — a total order
+  * because gram is unique per df group) is what keeps the prefix
+  * equi-join sparse: boilerplate grams shared by half the corpus
+  * sort to the back and never enter a prefix unless a document has
+  * nothing rarer. Scale shape: the df relation is gram-vocabulary-
+  * sized; prefix rows are ≤ (q·d+1)/doc; candidates dedup BEFORE
+  * verification so each surviving pair pays the banded distance once;
+  * the verify joins are doc_id equi-joins AQE can broadcast when one
+  * side is small. Nothing is ever all-pairs on the long-document
+  * population, and the output is bounded by the true result size.
+  *
+  * Reference tie-in: the reference dedups records by exact key
+  * equality only (03_transform_inventory.py:31 dropDuplicates) —
+  * this operator is the typo-tolerant tier of the same dedup duty.
+  *
+  * Relation to [[Dedup.editDistancePairs]] (`dedup_edit_distance`):
+  * that tier verifies LSH-band candidates by edit distance —
+  * candidate-LOSSY (a pair that never band-collides is never seen)
+  * with a length-relative threshold; this one is candidate-LOSSLESS
+  * at a fixed distance bound — the same completeness split as
+  * `dedup_containment_pairs` (MinHash, lossy) vs
+  * `dedup_containment_banded` (pigeonhole, lossless).
+  */
+object EditJoin {
+
+  /** Edit-distance threshold: pairs at distance ≤ d qualify. */
+  private val d = 12
+  /** Gram width. */
+  private val q = 3
+  /** Prefix length per the set-prefix theorem. */
+  private val prefixLen = q * d + 1
+  /** Both-sides-shorter-than-this pairs bypass the gram filter. */
+  private val shortLen = q * (d + 1)
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text", "length(text) AS len")
+
+  /** (doc_a, doc_b, edit_dist) for every pair with
+    * levenshtein ≤ [[d]], doc_a < doc_b, totally ordered. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairsImpl(docs(spark, dir))
+
+  /** Brute force with only the trivially-correct length filter —
+    * DuckDB's levenshtein is the same unit-cost metric. */
+  val editDistancePairsOracle: String =
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id
+          AND abs(length(a.text) - length(b.text)) <= $d
+        WHERE levenshtein(a.text, b.text) <= $d
+        ORDER BY doc_a, doc_b"""
+
+  /** Test seam: the same join over an arbitrary (doc_id, text)
+    * relation, for the crafted-corpus losslessness spec. */
+  private[graft] def pairsOf(docsIn: DataFrame): DataFrame =
+    editDistancePairsImpl(
+      docsIn.selectExpr("doc_id", "text", "length(text) AS len"))
+
+  // The body of editDistancePairs, parameterized by the base relation.
+  private def editDistancePairsImpl(base: DataFrame): DataFrame = {
+    val grams = base
+      .filter(col("len") >= q)
+      .selectExpr("doc_id", "len",
+        s"explode(array_distinct(transform(sequence(1, len - $q + 1), " +
+          s"i -> substring(text, i, $q)))) AS gram")
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df_g"))
+    val ranked = grams.join(df, Seq("gram"))
+      .withColumn("rk", expr(
+        "row_number() OVER (PARTITION BY doc_id ORDER BY df_g, gram)"))
+      .filter(col("rk") <= prefixLen)
+      .select("doc_id", "len", "gram")
+    val a = ranked.selectExpr("doc_id AS doc_a", "len AS len_a", "gram")
+    val b = ranked.selectExpr("doc_id AS doc_b", "len AS len_b", "gram")
+    val prefixCand = a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= d)
+      .select("doc_a", "doc_b")
+    val short = base.filter(col("len") < shortLen)
+    val shortCand = short.selectExpr("doc_id AS doc_a", "len AS len_a")
+      .join(short.selectExpr("doc_id AS doc_b", "len AS len_b"),
+        col("doc_a") < col("doc_b") &&
+          abs(col("len_a") - col("len_b")) <= d)
+      .select("doc_a", "doc_b")
+    val cand = prefixCand.unionByName(shortCand).distinct()
+    val texts = base.select("doc_id", "text")
+    cand
+      .join(texts.selectExpr("doc_id AS doc_a", "text AS text_a"), "doc_a")
+      .join(texts.selectExpr("doc_id AS doc_b", "text AS text_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        s"levenshtein(text_a, text_b, $d) AS edit_dist")
+      .filter(col("edit_dist") >= 0)
+      .selectExpr("doc_a", "doc_b", "CAST(edit_dist AS BIGINT) AS edit_dist")
+      .orderBy("doc_a", "doc_b")
+  }
+}

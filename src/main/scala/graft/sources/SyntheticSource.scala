@@ -1,0 +1,249 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSourceV2 connector: the engine's fourth Catalyst
+  * extension tier (native expression → native aggregate → optimizer
+  * rule / custom operator → CONNECTOR), exercising the read-side
+  * contracts a 100 TB table format lives or dies by:
+  *
+  *   - `TableProvider` / `SupportsRead` / `Batch` — the full v2 read
+  *     path, no V1 fallback;
+  *   - `SupportsPushDownRequiredColumns` — column pruning reaches the
+  *     reader: unrequested columns are never even computed (the
+  *     generator closure per field is selected at plan time);
+  *   - `SupportsPushDownFilters` — `id` range predicates clamp the
+  *     generated interval at PLANNING time, so filter pushdown becomes
+  *     real partition pruning: `planInputPartitions` emits only slices
+  *     intersecting the clamped range (an `id >= hi` contradiction
+  *     plans ZERO partitions). Pushed filters are also returned as
+  *     residuals — Spark re-evaluates them above the scan, exactly the
+  *     parquet row-group-stats discipline: pruning is a performance
+  *     contract, never a correctness dependency;
+  *   - `SupportsReportStatistics` — post-pushdown row/byte estimates,
+  *     so the optimizer can broadcast a well-filtered scan.
+  *
+  * The table itself is a deterministic synthetic ledger (seeded LCG
+  * over the row id) — every column is exact 64-bit integer arithmetic
+  * that DuckDB reproduces bit-for-bit from `range(lo, hi)`, which is
+  * what lets a connector, of all things, be oracle-gated:
+  *
+  *   id       BIGINT   row id in [0, rows)
+  *   value    BIGINT   (id * 1103515245 + 12345) % 2^31   (LCG step)
+  *   cents    BIGINT   value % 9973                        (prime mod)
+  *   category STRING   'c' || (value % 23)
+  *
+  * (At `rows` ≤ ~8·10^9 the multiply stays within Long — the fixture
+  * uses 10^6. An industrial source would widen to 128-bit or split
+  * the id; the overflow bound is documented rather than silently
+  * wrapped.)
+  *
+  * Reference tie-in: the reference's ingestion tier is fixed-format
+  * S3 CSV (`glue_jobs/01_ingest_sales.py:14-23` spark.read.csv with
+  * explicit schema); this connector is the same contract — "a table
+  * the engine can scan" — expressed against the v2 API that lets the
+  * engine prune and prune EARLY instead of reading whole objects.
+  *
+  * Options: `rows` (table size, default 1e6), `slices` (max planned
+  * partitions, default 32).
+  */
+class SyntheticSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000000L)
+    val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(32)
+    new SyntheticTable(rows, slices)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SyntheticSource {
+
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** The connector's oracle-gated proof query: scan through the full
+    * v2 path with an id-range predicate (clamps the planned range —
+    * SyntheticSourceSpec pins the pruning) and aggregate per category.
+    * Every measure is exact integer arithmetic, so the hash gate holds
+    * bit-for-bit against DuckDB regenerating the same LCG from
+    * `range()`. The `sfDir` is unused — the table is the source itself. */
+  def syntheticAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format(classOf[SyntheticSource].getName)
+      .option("rows", "1000000").option("slices", "64").load()
+      .where(col("id") >= 250000L && col("id") < 750000L)
+      .groupBy(col("category"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy("category")
+  }
+
+  /** DuckDB regenerates the ledger from `range()` with the same LCG. */
+  val syntheticAggOracle: String =
+    """SELECT 'c' || CAST(v % 23 AS VARCHAR) AS category,
+         count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS sum_value,
+         CAST(sum(v % 9973) AS BIGINT) AS sum_cents,
+         min(id) AS min_id,
+         max(id) AS max_id
+       FROM (SELECT id, (id * 1103515245 + 12345) % 2147483648 AS v
+             FROM range(250000, 750000) t(id))
+       GROUP BY 1 ORDER BY 1"""
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("value", LongType, nullable = false),
+    StructField("cents", LongType, nullable = false),
+    StructField("category", StringType, nullable = false)))
+
+  /** The LCG step — the single definition both the reader and the
+    * spec's in-JVM oracle share. */
+  def lcg(id: Long): Long = (id * 1103515245L + 12345L) % 2147483648L
+
+  /** Per-field generator, as exact integer arithmetic. */
+  def fieldValue(name: String, id: Long): Any = name match {
+    case "id" => id
+    case "value" => lcg(id)
+    case "cents" => lcg(id) % 9973L
+    case "category" => UTF8String.fromString("c" + (lcg(id) % 23L))
+    case other => throw new IllegalArgumentException(s"no column $other")
+  }
+}
+
+private[sources] class SyntheticTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"synthetic($rows)"
+  override def schema(): StructType = SyntheticSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticScanBuilder(rows, slices)
+}
+
+private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SyntheticSource.schema
+
+  /** Clamp [lo, hi) by id-range predicates; everything is returned as
+    * a residual (Spark re-filters above the scan), so an over-eager
+    * clamp can lose rows but never invent them — and the clamp itself
+    * is exact, which the losslessness spec pins. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case f @ GreaterThan("id", v: Long) =>
+        lo = math.max(lo, v + 1); accepted += f
+      case f @ GreaterThanOrEqual("id", v: Long) =>
+        lo = math.max(lo, v); accepted += f
+      case f @ LessThan("id", v: Long) =>
+        hi = math.min(hi, v); accepted += f
+      case f @ LessThanOrEqual("id", v: Long) =>
+        hi = math.min(hi, v + 1); accepted += f
+      case f @ EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); accepted += f
+      case _ => // not understood: left entirely to Spark
+    }
+    pushed = accepted.toArray
+    filters // all residual — pruning is an optimization, not a promise
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark hands back a projection of our schema; empty means a
+    // count-style scan — keep zero fields and emit empty rows.
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SyntheticScan(math.max(lo, 0L), math.max(hi, lo), slices, required, pushed)
+}
+
+private[sources] class SyntheticScan(
+    lo: Long, hi: Long, slices: Int, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-synthetic [$lo, $hi) slices=$slices " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.fieldNames.mkString(",")}"
+
+  override def toBatch: Batch = this
+
+  /** Partition planning AFTER the clamp — this is where pushdown
+    * becomes pruning. Slice count scales down with the surviving
+    * range so a point lookup plans one partition, a contradiction
+    * plans none. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val span = math.max(0L, hi - lo)
+    if (span == 0L) return Array.empty
+    val n = math.max(1, math.min(slices.toLong, span).toInt)
+    Array.tabulate[InputPartition](n) { k =>
+      SyntheticPartition(
+        lo + span * k / n,
+        lo + span * (k + 1) / n)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required.fieldNames)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    // 8 bytes per long + ~4 per category char; close enough for
+    // broadcast decisions, which only need order of magnitude
+    private val width = required.fields.map {
+      case f if f.dataType == StringType => 4L
+      case _ => 8L
+    }.sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(n * math.max(width, 1L))
+    override def numRows(): OptionalLong = OptionalLong.of(n)
+  }
+}
+
+private[sources] case class SyntheticPartition(start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class SyntheticReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SyntheticPartition]
+    new PartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def get(): InternalRow =
+        new GenericInternalRow(
+          fields.map(f => SyntheticSource.fieldValue(f, cur)).toArray[Any])
+      override def close(): Unit = ()
+    }
+  }
+}

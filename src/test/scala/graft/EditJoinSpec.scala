@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Losslessness of the Ed-Join candidate chain against JVM brute
+  * force, on a corpus crafted to hit every branch the fixture can't:
+  * short docs (the both-short fallback), pathologically repetitive
+  * docs (distinct-gram set ≪ gram bag — the set-vs-bag theorem
+  * distinction), boundary pairs at exactly d and d+1, and identical
+  * texts (distance 0). */
+class EditJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = 12
+
+  /** Plain O(n·m) Levenshtein — the spec's independent metric. */
+  private def lev(s: String, t: String): Int = {
+    val dp = Array.tabulate(t.length + 1)(identity)
+    for (i <- 1 to s.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to t.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (s(i - 1) == t(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(t.length)
+  }
+
+  private def mut(s: String, edits: Int): String = {
+    // deterministic spread of substitutions/inserts/deletes
+    var r = s
+    (0 until edits).foreach { k =>
+      val p = (k * 37 + 11) % math.max(1, r.length - 1)
+      r = (k % 3) match {
+        case 0 => r.substring(0, p) + "Z" + r.substring(p + 1) // sub
+        case 1 => r.substring(0, p) + "Q" + r.substring(p)     // ins
+        case 2 => r.substring(0, p) + r.substring(p + 1)       // del
+      }
+    }
+    r
+  }
+
+  test("edit join equals brute force on a branch-covering corpus") {
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "spark shuffles parquet row groups across executor threads"
+    val docs = Seq[(Long, String)](
+      // long family: mutations at 0, 3, 12 (== d), 13 (== d+1), 40
+      (0L, base),
+      (1L, mut(base, 3)),
+      (2L, mut(base, 12)),
+      (3L, mut(base, 13)),
+      (4L, mut(base, 40)),
+      (5L, base), // exact duplicate of 0
+      // repetitive docs: 60 chars, ~2 distinct grams
+      (6L, "ab" * 30),
+      (7L, "ab" * 28 + "cdab"),
+      (8L, "xy" * 30),
+      // short-doc family (< 39 chars): fallback branch
+      (9L, "short text one"),
+      (10L, "short text two"),
+      (11L, "completely different tiny"),
+      (12L, "sh"), // below gram width q=3
+      // short-vs-long length gap keeps them apart via length filter
+      (13L, "the quick brown fox")
+    ).toDF("doc_id", "text")
+
+    val rows = graft.llm.EditJoin.pairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val local = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val expected = (for {
+      (ia, ta) <- local; (ib, tb) <- local if ia < ib
+      e = lev(ta, tb) if e <= d
+    } yield (ia, ib) -> e.toLong).toMap
+
+    assert(rows === expected)
+    // sanity on the crafted intent: the spec actually exercised
+    // a distance-0 pair, a == d boundary pair, and a short-pair hit
+    assert(expected((0L, 5L)) === 0L)
+    assert(expected.exists { case (_, e) => e == d.toLong })
+    assert(expected.contains((9L, 10L)))
+    assert(!expected.contains((0L, 4L))) // 40 edits is out
+  }
+
+  test("thresholded levenshtein boundary: d kept, d+1 rejected") {
+    val r = spark.sql(
+      s"SELECT levenshtein('${"a" * 20}', '${"a" * 20 + "b" * d}', $d) x, " +
+        s"levenshtein('${"a" * 20}', '${"a" * 20 + "b" * (d + 1)}', $d) y")
+      .head()
+    assert(r.getInt(0) === d)
+    assert(r.getInt(1) === -1)
+  }
+
+  test("fixture run is non-empty and all distances within threshold") {
+    val out = graft.llm.EditJoin.editDistancePairs(spark, sfTiny)
+    val rs = out.collect()
+    assert(rs.nonEmpty)
+    assert(rs.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= d))
+    // pair set is canonical: a < b, no duplicates
+    val keys = rs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.forall { case (a, b) => a < b })
+    assert(keys.distinct.length === keys.length)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Contracts of the DSv2 connector: losslessness of the pushdown
+  * clamp, filter-pushdown-as-partition-pruning, column pruning into
+  * the reader's schema, residual re-evaluation safety, and
+  * post-pushdown statistics. */
+class SyntheticSourceSpec extends graft.SparkSpec {
+
+  private def read(rows: Long, slices: Int): DataFrame =
+    spark.read.format(classOf[SyntheticSource].getName)
+      .option("rows", rows.toString).option("slices", slices.toString).load()
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("full scan equals the in-JVM generator") {
+    val got = read(1000, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val want = (0L until 1000L).map { id =>
+      val v = SyntheticSource.lcg(id)
+      (id, v, v % 9973L, "c" + (v % 23L))
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("id-range pushdown clamps planned partitions") {
+    // point lookup → one partition; contradiction → zero partitions
+    val point = scanOf(read(1000, 8).where(col("id") === 123L))
+    assert(point.inputRDD.getNumPartitions === 1)
+    val none = scanOf(read(1000, 8).where(col("id") >= 5000L))
+    assert(none.inputRDD.getNumPartitions === 0)
+    // and the clamp is lossless at both boundaries
+    val edge = read(1000, 8).where(col("id") >= 998L).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(edge.toSeq === Seq(998L, 999L))
+  }
+
+  test("column pruning reaches the reader schema") {
+    val pruned = scanOf(read(1000, 8).select("category"))
+    assert(pruned.scan.readSchema().fieldNames.toSeq === Seq("category"))
+    // zero-column scan (count) still enumerates every row
+    assert(read(1000, 8).count() === 1000L)
+  }
+
+  test("non-pushable residuals stay exact") {
+    val got = read(1000, 8).where(col("value") % 7L === 0L).count()
+    val want = (0L until 1000L).count(id => SyntheticSource.lcg(id) % 7L == 0L)
+    assert(got === want.toLong)
+  }
+
+  test("statistics reflect the post-pushdown range") {
+    val b = new SyntheticScanBuilder(1000000L, 32)
+    b.pushFilters(Array(GreaterThanOrEqual("id", 250000L), LessThan("id", 750000L)))
+    val stats = b.build().asInstanceOf[SyntheticScan].estimateStatistics()
+    assert(stats.numRows().getAsLong === 500000L)
+    val eq = new SyntheticScanBuilder(1000000L, 32)
+    eq.pushFilters(Array(EqualTo("id", 42L)))
+    assert(eq.build().asInstanceOf[SyntheticScan]
+      .estimateStatistics().numRows().getAsLong === 1L)
+  }
+
+  test("unknown option defaults and scan description carry the contract") {
+    val provider = new SyntheticSource
+    val t = provider.getTable(
+      SyntheticSource.schema, Array.empty,
+      new CaseInsensitiveStringMap(java.util.Map.of("rows", "10")).asCaseSensitiveMap())
+    val scan = t.asInstanceOf[SyntheticTable]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    assert(scan.description().contains("[0, 10)"))
+  }
+}
