@@ -7,7 +7,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -100,6 +101,38 @@ object SyntheticSource {
       .orderBy("category")
   }
 
+  /** Runtime-pruning proof query: the ledger joined to a SELECTIVE
+    * dimension (5 of 25 nations), keys spread across the full id
+    * range. Dynamic partition pruning hands the scan the build side's
+    * observed keys at runtime ([[SyntheticScan.filter]]); the spec
+    * pins that the scan then plans a narrowed partition set, while
+    * THIS gate pins that the answer is the answer either way. At
+    * 100 TB this contract is the difference between scanning the
+    * whole fact table and scanning the slice the dimension names. */
+  def runtimePrunedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dim = graft.io.Tables.nation(spark, sfDir)
+      .filter(col("n_regionkey") === 2)
+      .selectExpr("CAST(n_nationkey AS BIGINT) * 37337 + 11 AS id", "n_name")
+    val fact = spark.read.format(classOf[SyntheticSource].getName)
+      .option("rows", "1000000").option("slices", "64").load()
+    fact.join(dim, "id")
+      .selectExpr("n_name", "id", "value", "cents")
+      .orderBy("n_name")
+  }
+
+  /** DuckDB derives the joined rows arithmetically: every spread key
+    * lands inside [0, 1e6), so the expected relation is the dimension
+    * with the LCG columns recomputed from the key. */
+  val runtimePrunedJoinOracle: String =
+    """WITH dim AS (
+         SELECT n_name, CAST(n_nationkey AS BIGINT) * 37337 + 11 AS id
+         FROM nation WHERE n_regionkey = 2)
+       SELECT n_name, id,
+         (id * 1103515245 + 12345) % 2147483648 AS value,
+         ((id * 1103515245 + 12345) % 2147483648) % 9973 AS cents
+       FROM dim ORDER BY n_name"""
+
   /** DuckDB regenerates the ledger from `range()` with the same LCG. */
   val syntheticAggOracle: String =
     """SELECT 'c' || CAST(v % 23 AS VARCHAR) AS category,
@@ -188,7 +221,18 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
 
 private[sources] class SyntheticScan(
     lo: Long, hi: Long, slices: Int, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+
+  // Runtime-narrowed bounds: dynamic partition pruning delivers the
+  // build side's observed join keys AFTER that side has executed;
+  // [[filter]] shrinks these, and BatchScanExec re-plans partitions
+  // from the narrowed range (filteredPartitions calls
+  // planInputPartitions again). Like the static pushdown, the clamp
+  // is advisory — the join above still evaluates the real condition —
+  // so an envelope over a sparse IN-set is sound.
+  @volatile private var rlo: Long = lo
+  @volatile private var rhi: Long = hi
 
   override def readSchema(): StructType = required
 
@@ -199,18 +243,45 @@ private[sources] class SyntheticScan(
 
   override def toBatch: Batch = this
 
+  /** DPP eligibility: this scan can consume runtime predicates on
+    * `id` — the same column the static pushdown prunes on. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  /** Narrow [lo, hi) to the envelope of the runtime IN-set (DPP hands
+    * the build side's distinct keys as one IN predicate). Anything
+    * unrecognized is ignored — pruning may only ever shrink, and only
+    * when it provably covers the delivered key set. */
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val onId = p.children().head match {
+          case r: NamedReference => r.fieldNames().sameElements(Array("id"))
+          case _ => false
+        }
+        val vals: Array[Long] = p.children().tail.collect {
+          case l: Literal[_] if l.value().isInstanceOf[Long] =>
+            l.value().asInstanceOf[Long]
+        }
+        if (onId && vals.length == p.children().length - 1 && vals.nonEmpty) {
+          rlo = math.max(rlo, vals.min)
+          rhi = math.min(rhi, vals.max + 1)
+        }
+      }
+    }
+
   /** Partition planning AFTER the clamp — this is where pushdown
     * becomes pruning. Slice count scales down with the surviving
     * range so a point lookup plans one partition, a contradiction
     * plans none. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val span = math.max(0L, hi - lo)
+    val span = math.max(0L, rhi - rlo)
     if (span == 0L) return Array.empty
     val n = math.max(1, math.min(slices.toLong, span).toInt)
     Array.tabulate[InputPartition](n) { k =>
       SyntheticPartition(
-        lo + span * k / n,
-        lo + span * (k + 1) / n)
+        rlo + span * k / n,
+        rlo + span * (k + 1) / n)
     }
   }
 

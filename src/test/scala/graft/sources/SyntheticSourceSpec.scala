@@ -67,6 +67,57 @@ class SyntheticSourceSpec extends graft.SparkSpec {
       .estimateStatistics().numRows().getAsLong === 1L)
   }
 
+  test("runtime IN-filter narrows the planned partition envelope") {
+    val b = new SyntheticScanBuilder(1000000L, 32)
+    val scan = b.build().asInstanceOf[SyntheticScan]
+    assert(scan.planInputPartitions().length === 32)
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val in = new Predicate("IN", Array(
+      Expressions.column("id"),
+      Expressions.literal(777000L), Expressions.literal(777003L)))
+    scan.filter(Array(in))
+    val parts = scan.planInputPartitions()
+      .map(_.asInstanceOf[SyntheticPartition])
+    assert(parts.map(_.start).min === 777000L)
+    assert(parts.map(_.end).max === 777004L)
+    // and a mismatched-column IN must not narrow anything
+    val other = new Predicate("IN", Array(
+      Expressions.column("value"), Expressions.literal(1L)))
+    val fresh = new SyntheticScanBuilder(1000L, 8).build().asInstanceOf[SyntheticScan]
+    fresh.filter(Array(other))
+    assert(fresh.planInputPartitions().length === 8)
+  }
+
+  test("dynamic partition pruning reaches the v2 scan in a real join") {
+    val df = SyntheticSource.runtimePrunedJoin(spark, sfTiny)
+    val rows = df.collect()
+    assert(rows.length === 5) // five nations in region 2
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps materialized stages in leaf QueryStageExec nodes, so a
+    // plain collect never reaches the scan — recurse through them.
+    def findScan(p: SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[SyntheticScan] => Seq(b)
+        case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+        case q: QueryStageExec => findScan(q.plan)
+      }.flatten
+    val scan = findScan(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no BatchScanExec over SyntheticScan in plan"))
+    assert(scan.runtimeFilters.nonEmpty,
+      "DPP inserted no runtime filter for the v2 scan")
+    // collect() above already forced filteredPartitions, so the
+    // scan's runtime bounds are applied: the re-planned envelope must
+    // be strictly inside [0, 1e6) on both ends (region-2 nation keys
+    // start well above 0 and end well below the table max)
+    val parts = scan.scan.asInstanceOf[SyntheticScan].planInputPartitions()
+      .map(_.asInstanceOf[SyntheticPartition])
+    assert(parts.nonEmpty)
+    assert(parts.map(_.start).min > 0L, "low bound not narrowed")
+    assert(parts.map(_.end).max < 1000000L, "high bound not narrowed")
+  }
+
   test("unknown option defaults and scan description carry the contract") {
     val provider = new SyntheticSource
     val t = provider.getTable(
