@@ -1713,4 +1713,97 @@ object Curation {
            - (CAST(sq_total - sq AS DOUBLE) / (n_total - n_docs) / 1e9)
            AS ablation_delta
         FROM by_src, gtot ORDER BY source"""
+
+  // ---- empirical-Bayes shrinkage of per-source pass rates ----
+
+  /** Micro-quantized gate pass rate per source, as integer
+    * round-half-up — `(2e6·k + n) div (2n)` is the exact midpoint
+    * rounding both engines agree on (float `round` was rejected here:
+    * the quotient can land on a representable .5 and the engines'
+    * tie rules are only accidentally aligned). */
+  private def rateQ(d: Dialect): String =
+    intDiv("(2000000 * n_pass + n_docs)", "(2 * n_docs)", d)
+
+  /** The prior/posterior arithmetic — ONE SQL text both engines run,
+    * over exact integer sufficient statistics (s_cnt sources, s_q =
+    * Σ quantized rates, s_qq = Σ squares; rates ≤ 1e6 so squares ≤
+    * 1e12 and a thousand sources still fit a BIGINT sum). m/v are the
+    * method-of-moments mean and population variance of the per-source
+    * rates; `ab` is the implied beta prior mass α+β, zeroed when the
+    * moments refuse a beta fit (v = 0 or v ≥ m(1−m)). */
+  private val priorM =
+    "CAST(s_q AS DOUBLE) / (1e6 * s_cnt) AS m"
+  private val priorV =
+    "CAST(s_qq AS DOUBLE) / (1e12 * s_cnt) " +
+      "- (CAST(s_q AS DOUBLE) / (1e6 * s_cnt)) * (CAST(s_q AS DOUBLE) / (1e6 * s_cnt)) AS v"
+  private val priorAb =
+    "CASE WHEN v > 0 AND v < m * (1 - m) THEN m * (1 - m) / v - 1 ELSE 0 END AS ab"
+  private val shrinkOut = Seq(
+    "source", "n_docs", "n_pass",
+    "n_pass / CAST(n_docs AS DOUBLE) AS raw_rate",
+    "m * ab AS alpha",
+    "(1 - m) * ab AS beta",
+    "(n_pass + m * ab) / (n_docs + ab) AS shrunk_rate")
+
+  /** `corpus_source_shrinkage`: per-source quality-gate pass rates
+    * shrunk toward the corpus-wide prior by empirical Bayes
+    * (beta-binomial, method-of-moments prior — Efron & Morris 1975's
+    * recipe). A source with 10 documents and a lucky 100 % pass rate
+    * should not outrank a source with 10 000 documents at 92 % when
+    * mix weights or quotas consume the rate — the posterior mean
+    * `(k+α)/(n+α+β)` pulls small-n sources toward the global mean in
+    * proportion to their evidence.
+    *
+    * Scale shape: one corpus scan fused with the gate projection →
+    * per-source partial agg (20 rows at any corpus size) → the prior
+    * is one row computed from three integer sums and broadcast back
+    * over the 20-row relation. Float determinism follows the
+    * exact-moment discipline: every double is derived from exact
+    * BIGINTs through one shared expression text. */
+  def sourceShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val per = Tables.documents(spark, dir)
+      .selectExpr(("source" +: TextAnalysis.gateCols(SparkD)): _*)
+      .selectExpr(("*" +: TextAnalysis.gateRules): _*)
+      .selectExpr(("*" +: TextAnalysis.gateVerdict): _*)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs0"), sum("pass").as("n_pass0"))
+      .selectExpr("source",
+        "CAST(n_docs0 AS BIGINT) AS n_docs",
+        "CAST(n_pass0 AS BIGINT) AS n_pass")
+    shrinkageOf(per)
+  }
+
+  /** Test seam: the posterior over an arbitrary
+    * (source, n_docs, n_pass) relation. */
+  private[graft] def shrinkageOf(per0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val per = per0.selectExpr("*", s"${rateQ(SparkD)} AS q")
+    val prior = per
+      .agg(expr("CAST(count(*) AS BIGINT) AS s_cnt"),
+        expr("CAST(sum(q) AS BIGINT) AS s_q"),
+        expr("CAST(sum(q * q) AS BIGINT) AS s_qq"))
+      .selectExpr("*", priorM, priorV)
+      .selectExpr("*", priorAb)
+      .select("m", "v", "ab")
+    per.crossJoin(broadcast(prior))
+      .selectExpr(shrinkOut: _*)
+      .orderBy("source")
+  }
+
+  val sourceShrinkageOracle: String =
+    s"""WITH ${TextAnalysis.gateCtes},
+        src AS (SELECT d.source, g.pass FROM documents d
+                JOIN gate g ON d.doc_id = g.doc_id),
+        per0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(pass) AS BIGINT) AS n_pass
+                 FROM src GROUP BY source),
+        per AS (SELECT *, ${rateQ(DuckD)} AS q FROM per0),
+        pr0 AS (SELECT CAST(count(*) AS BIGINT) AS s_cnt,
+                  CAST(sum(q) AS BIGINT) AS s_q,
+                  CAST(sum(q * q) AS BIGINT) AS s_qq FROM per),
+        pr1 AS (SELECT *, $priorM, $priorV FROM pr0),
+        pr AS (SELECT m, v, $priorAb FROM pr1)
+        SELECT ${shrinkOut.mkString(", ")}
+        FROM per CROSS JOIN pr ORDER BY source"""
 }
