@@ -13,6 +13,8 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 /** A complete DataSourceV2 connector: the engine's fourth Catalyst
@@ -70,7 +72,10 @@ class SyntheticSource extends TableProvider {
       properties: java.util.Map[String, String]): Table = {
     val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000000L)
     val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(32)
-    new SyntheticTable(rows, slices)
+    // vectorized by default, like the built-in parquet reader; the
+    // row path stays selectable for the equivalence spec
+    val columnar = Option(properties.get("columnar")).forall(_.toBoolean)
+    new SyntheticTable(rows, slices, columnar)
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -165,17 +170,19 @@ object SyntheticSource {
   }
 }
 
-private[sources] class SyntheticTable(rows: Long, slices: Int)
+private[sources] class SyntheticTable(rows: Long, slices: Int,
+    columnar: Boolean = true)
     extends Table with SupportsRead {
   override def name(): String = s"synthetic($rows)"
   override def schema(): StructType = SyntheticSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, slices)
+    new SyntheticScanBuilder(rows, slices, columnar)
 }
 
-private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
+private[sources] class SyntheticScanBuilder(rows: Long, slices: Int,
+    columnar: Boolean = true)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -216,11 +223,12 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    new SyntheticScan(math.max(lo, 0L), math.max(hi, lo), slices, required, pushed)
+    new SyntheticScan(math.max(lo, 0L), math.max(hi, lo), slices, required, pushed, columnar)
 }
 
 private[sources] class SyntheticScan(
-    lo: Long, hi: Long, slices: Int, required: StructType, pushed: Array[Filter])
+    lo: Long, hi: Long, slices: Int, required: StructType, pushed: Array[Filter],
+    columnar: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -286,7 +294,7 @@ private[sources] class SyntheticScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SyntheticReaderFactory(required.fieldNames)
+    new SyntheticReaderFactory(required.fieldNames, columnar)
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val n = math.max(0L, hi - lo)
@@ -304,8 +312,9 @@ private[sources] class SyntheticScan(
 private[sources] case class SyntheticPartition(start: Long, end: Long)
     extends InputPartition
 
-private[sources] class SyntheticReaderFactory(fields: Array[String])
+private[sources] class SyntheticReaderFactory(fields: Array[String], columnar: Boolean)
     extends PartitionReaderFactory {
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SyntheticPartition]
     new PartitionReader[InternalRow] {
@@ -317,4 +326,55 @@ private[sources] class SyntheticReaderFactory(fields: Array[String])
       override def close(): Unit = ()
     }
   }
+
+  /** Vectorized path — the same contract parquet's vectorized reader
+    * serves: fill reusable on-heap column vectors in 4096-row batches
+    * and hand Spark whole [[ColumnarBatch]]es, so the scan feeds
+    * whole-stage codegen through one ColumnarToRow boundary instead
+    * of allocating a row object per record. Long columns bulk-fill;
+    * category goes through putByteArray (ASCII by construction). */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[SyntheticPartition]
+    val schema = StructType(fields.map(f =>
+      SyntheticSource.schema(SyntheticSource.schema.fieldIndex(f))))
+    new PartitionReader[ColumnarBatch] {
+      private val vectors = OnHeapColumnVector.allocateColumns(
+        SyntheticReaderFactory.batchSize, schema)
+      private val batch =
+        new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+      private var cur = p.start
+      override def next(): Boolean = {
+        if (cur >= p.end) return false
+        val n = math.min(SyntheticReaderFactory.batchSize.toLong, p.end - cur).toInt
+        vectors.foreach(_.reset())
+        var i = 0
+        while (i < n) {
+          val id = cur + i
+          fields.indices.foreach { c =>
+            fields(c) match {
+              case "id" => vectors(c).putLong(i, id)
+              case "value" => vectors(c).putLong(i, SyntheticSource.lcg(id))
+              case "cents" => vectors(c).putLong(i, SyntheticSource.lcg(id) % 9973L)
+              case "category" =>
+                val b = ("c" + (SyntheticSource.lcg(id) % 23L)).getBytes("UTF-8")
+                vectors(c).putByteArray(i, b, 0, b.length)
+            }
+          }
+          i += 1
+        }
+        cur += n
+        batch.setNumRows(n)
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
+  }
+}
+
+private[sources] object SyntheticReaderFactory {
+  val batchSize = 4096
 }

@@ -118,6 +118,23 @@ class SyntheticSourceSpec extends graft.SparkSpec {
     assert(parts.map(_.end).max < 1000000L, "high bound not narrowed")
   }
 
+  test("columnar batches equal the row path and plan a ColumnarToRow boundary") {
+    val vec = read(10000, 8) // columnar by default, like parquet
+    val row = spark.read.format(classOf[SyntheticSource].getName)
+      .option("rows", "10000").option("slices", "8")
+      .option("columnar", "false").load()
+    assert(vec.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "vectorized scan did not plan a columnar boundary")
+    assert(!row.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val a = vec.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = row.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(a.toSeq === b.toSeq)
+    // batch boundaries: 10000 rows / 8 slices = 1250/partition — not a
+    // multiple of 4096, so the last-batch partial-fill path is on; and
+    // a pruned single column survives batching
+    assert(vec.select("category").distinct().count() === 23L)
+  }
+
   test("unknown option defaults and scan description carry the contract") {
     val provider = new SyntheticSource
     val t = provider.getTable(
