@@ -1639,6 +1639,93 @@ object Analytics {
          CASE WHEN naive_sum > 0 THEN CAST(mae_sum AS DOUBLE) / naive_sum ELSE CAST(0 AS DOUBLE) END AS mase
        FROM stacked ORDER BY method"""
 
+  // ---- split-conformal forecast intervals ----
+
+  /** Distribution-free forecast intervals on the daily revenue series
+    * by split conformal prediction (Vovk et al. 2005; Lei et al. 2018
+    * §2): fit a weekday-mean forecaster on history, take the
+    * calibration window's absolute residuals, and the k-th order
+    * statistic with k = ⌈(n+1)(1−α)⌉ (α = 0.1) is a width with a
+    * FINITE-SAMPLE marginal coverage guarantee ≥ 90 % under
+    * exchangeability — no model-correctness assumption, which is why
+    * it ships next to the MASE backtest: the backtest scores point
+    * forecasts, this bounds them. The three-way split (fit / calibrate
+    * / test) is load-bearing: calibrating on the fit window breaks the
+    * guarantee.
+    *
+    * Everything is exact: y is integer dollars, the weekday model is
+    * `sum DIV count`, residuals are BIGINT, and the quantile is an
+    * order statistic picked by row_number (k computed by integer
+    * ceiling DIV — no float quantile interpolation for engines to
+    * disagree on). Scale shape: the fact table dies in the first
+    * day-grain hash agg; fit/calibration/test relations are
+    * calendar-sized, every join key is `wd` (7 rows, broadcast). */
+  def dailyRevenueConformal(spark: SparkSession, dir: String): DataFrame = {
+    val series = revenueSeries(spark, dir, dayGrain)
+      .transform(graft.ops.Checkpoints.cut)
+    val cuts = series.agg(
+      expr("max(x) - 13").as("cut_test"),
+      expr("max(x) - 41").as("cut_cal"))
+    val withCuts = series.crossJoin(broadcast(cuts))
+    val fitRows = withCuts.filter(col("x") < col("cut_cal"))
+    val fit = fitRows.selectExpr("x % 7 AS wd", "y")
+      .groupBy("wd").agg(expr("sum(y) DIV count(1)").as("yhat_wd"))
+    val gfit = fitRows.agg(expr("sum(y) DIV count(1)").as("yhat_g"))
+    val calib = withCuts
+      .filter(col("x") >= col("cut_cal") && col("x") < col("cut_test"))
+      .selectExpr("x", "x % 7 AS wd", "y")
+      .join(broadcast(fit), Seq("wd"), "left")
+      .crossJoin(broadcast(gfit))
+      .selectExpr("x", "abs(y - coalesce(yhat_wd, yhat_g)) AS r")
+    val qhat = calib
+      .selectExpr("r", "row_number() OVER (ORDER BY r, x) AS rk",
+        "count(1) OVER () AS ncal")
+      .filter(expr("rk = ((ncal + 1) * 9 + 9) DIV 10"))
+      .selectExpr("r AS qhat")
+    withCuts.filter(col("x") >= col("cut_test"))
+      .selectExpr("x", "x % 7 AS wd", "y")
+      .join(broadcast(fit), Seq("wd"), "left")
+      .crossJoin(broadcast(gfit))
+      .crossJoin(broadcast(qhat))
+      .selectExpr("CAST(x AS BIGINT) AS x", "y",
+        "coalesce(yhat_wd, yhat_g) AS yhat", "qhat")
+      .selectExpr("x", "y", "yhat", "qhat",
+        "yhat - qhat AS lo", "yhat + qhat AS hi",
+        "CAST(CASE WHEN y >= yhat - qhat AND y <= yhat + qhat THEN 1 ELSE 0 END AS INT) AS covered")
+      .orderBy("x")
+  }
+
+  val dailyRevenueConformalOracle: String =
+    s"""WITH series AS (
+         SELECT $dayGrainDuck AS x,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) // 100 AS y
+         FROM lineitem GROUP BY 1),
+       cuts AS (SELECT max(x) - 13 AS cut_test, max(x) - 41 AS cut_cal FROM series),
+       fit AS (SELECT s.x % 7 AS wd, sum(s.y) // count(*) AS yhat_wd
+         FROM series s CROSS JOIN cuts WHERE s.x < cut_cal GROUP BY 1),
+       gfit AS (SELECT sum(s.y) // count(*) AS yhat_g
+         FROM series s CROSS JOIN cuts WHERE s.x < cut_cal),
+       calib AS (SELECT s.x, abs(s.y - coalesce(f.yhat_wd, g.yhat_g)) AS r
+         FROM series s CROSS JOIN cuts CROSS JOIN gfit g
+         LEFT JOIN fit f ON f.wd = s.x % 7
+         WHERE s.x >= cut_cal AND s.x < cut_test),
+       ranked AS (SELECT r, row_number() OVER (ORDER BY r, x) AS rk,
+           count(*) OVER () AS ncal FROM calib),
+       qh AS (SELECT r AS qhat FROM ranked
+              WHERE rk = ((ncal + 1) * 9 + 9) // 10)
+       SELECT CAST(s.x AS BIGINT) AS x, CAST(s.y AS BIGINT) AS y,
+         CAST(coalesce(f.yhat_wd, g.yhat_g) AS BIGINT) AS yhat,
+         CAST(q.qhat AS BIGINT) AS qhat,
+         CAST(coalesce(f.yhat_wd, g.yhat_g) - q.qhat AS BIGINT) AS lo,
+         CAST(coalesce(f.yhat_wd, g.yhat_g) + q.qhat AS BIGINT) AS hi,
+         CAST(CASE WHEN s.y >= coalesce(f.yhat_wd, g.yhat_g) - q.qhat
+                    AND s.y <= coalesce(f.yhat_wd, g.yhat_g) + q.qhat
+              THEN 1 ELSE 0 END AS INT) AS covered
+       FROM series s CROSS JOIN cuts CROSS JOIN gfit g CROSS JOIN qh q
+       LEFT JOIN fit f ON f.wd = s.x % 7
+       WHERE s.x >= cut_test
+       ORDER BY x"""
+
   // ---- daily-count autocorrelation (seasonality detector) ----
 
   /** Autocorrelation of the daily event count at lags 1..7 — the
