@@ -1639,6 +1639,72 @@ object Analytics {
          CASE WHEN naive_sum > 0 THEN CAST(mae_sum AS DOUBLE) / naive_sum ELSE CAST(0 AS DOUBLE) END AS mase
        FROM stacked ORDER BY method"""
 
+  // ---- robust location: trimmed and winsorized means ----
+
+  /** 10 %-trimmed and 10 %-winsorized mean quantity per return flag —
+    * the robust-location pair (Tukey; Huber 1981 §1) that survives the
+    * fat tails a plain mean drowns in. Trimming drops the k = ⌊0.1·n⌋
+    * extreme ranks per side; winsorizing clamps them to the surviving
+    * boundary order statistics (win_sum = trim_sum + k·(q_lo + q_hi)
+    * exactly — the identity the spec checks). Ranks, not values,
+    * define the trim so boundary TIES are handled deterministically
+    * (value-threshold trimming drops a data-dependent count).
+    *
+    * Everything is integer: quantities are whole in this schema
+    * (centi-scaled anyway for safety), rank selection is row_number
+    * with a unique (orderkey, linenumber) tiebreak, sums are BIGINT,
+    * and only the final mean readouts divide. Scale note: the rank
+    * window sorts each group once — the documented exact path; past
+    * memory, swap the boundary selection to GK ε-quantiles and keep
+    * the same conditional-sum pass (the swap changes bounds by ≤ εn
+    * ranks, named here rather than silently taken). */
+  def lineitemTrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag AS flag",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS v",
+        "l_orderkey", "l_linenumber")
+      .selectExpr("flag", "v",
+        """row_number() OVER (PARTITION BY flag
+             ORDER BY v, l_orderkey, l_linenumber) AS rk""",
+        "count(1) OVER (PARTITION BY flag) AS n")
+      .selectExpr("flag", "v", "rk", "n", "n DIV 10 AS k")
+    ranked.groupBy("flag")
+      .agg(
+        expr("max(n) AS n"), expr("max(k) AS k"),
+        expr("sum(v) AS sum_all"),
+        expr("sum(CASE WHEN rk > k AND rk <= n - k THEN v ELSE 0 END) AS trim_sum"),
+        expr("max(CASE WHEN rk = k + 1 THEN v END) AS q_lo"),
+        expr("max(CASE WHEN rk = n - k THEN v END) AS q_hi"))
+      .selectExpr("flag", "n", "k", "q_lo", "q_hi",
+        "CAST(sum_all AS DOUBLE) / (100 * n) AS mean",
+        "CAST(trim_sum AS DOUBLE) / (100 * (n - 2 * k)) AS trimmed_mean",
+        "CAST(trim_sum + k * (q_lo + q_hi) AS DOUBLE) / (100 * n) AS winsorized_mean")
+      .orderBy("flag")
+  }
+
+  val lineitemTrimmedMeanOracle: String =
+    """WITH ranked AS (
+         SELECT l_returnflag AS flag,
+           CAST(round(l_quantity * 100) AS BIGINT) AS v,
+           row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY CAST(round(l_quantity * 100) AS BIGINT),
+                      l_orderkey, l_linenumber) AS rk,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+         FROM lineitem),
+       rk2 AS (SELECT *, n // 10 AS k FROM ranked),
+       agg AS (SELECT flag, max(n) AS n, max(k) AS k,
+           sum(v) AS sum_all,
+           sum(CASE WHEN rk > k AND rk <= n - k THEN v ELSE 0 END) AS trim_sum,
+           max(CASE WHEN rk = k + 1 THEN v END) AS q_lo,
+           max(CASE WHEN rk = n - k THEN v END) AS q_hi
+         FROM rk2 GROUP BY flag)
+       SELECT flag, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+         q_lo, q_hi,
+         CAST(sum_all AS DOUBLE) / (100 * n) AS mean,
+         CAST(trim_sum AS DOUBLE) / (100 * (n - 2 * k)) AS trimmed_mean,
+         CAST(trim_sum + k * (q_lo + q_hi) AS DOUBLE) / (100 * n) AS winsorized_mean
+       FROM agg ORDER BY flag"""
+
   // ---- split-conformal forecast intervals ----
 
   /** Distribution-free forecast intervals on the daily revenue series
