@@ -117,9 +117,22 @@ object EditJoin {
         "row_number() OVER (PARTITION BY doc_id ORDER BY df_g, gram)"))
       .filter(col("rk") <= prefixLen)
       .select("doc_id", "len", "gram")
-    val a = ranked.selectExpr("doc_id AS doc_a", "len AS len_a", "gram")
-    val b = ranked.selectExpr("doc_id AS doc_b", "len AS len_b", "gram")
-    val prefixCand = a.join(b, Seq("gram"))
+    // The equi-join key is (gram, length band), not gram alone: with a
+    // band width of d+1, ||s|−|t|| ≤ d forces band(s) and band(t) to
+    // differ by at most 1 (floor division), so probing the three
+    // adjacent bands loses nothing — and on a low-entropy corpus whose
+    // gram vocabulary is tiny (377 three-grams at sf0.1), splitting
+    // each dense gram bucket by length cuts the join's pair fan-out
+    // ~13× (63.7M → 4.9M rows measured) while producing the IDENTICAL
+    // candidate set. The probe side emits bands {b−1, b, b+1} so every
+    // adjacent-band pair is found regardless of id order; duplicates
+    // die in the existing distinct.
+    val b = ranked.selectExpr("doc_id AS doc_b", "len AS len_b", "gram",
+      s"len DIV ${d + 1} AS band")
+    val a = ranked.selectExpr("doc_id AS doc_a", "len AS len_a", "gram",
+        s"explode(array(len DIV ${d + 1} - 1, len DIV ${d + 1}, " +
+          s"len DIV ${d + 1} + 1)) AS band")
+    val prefixCand = a.join(b, Seq("gram", "band"))
       .filter(col("doc_a") < col("doc_b") &&
         abs(col("len_a") - col("len_b")) <= d)
       .select("doc_a", "doc_b")
