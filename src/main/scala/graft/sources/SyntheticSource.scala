@@ -31,10 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     generated interval at PLANNING time, so filter pushdown becomes
   *     real partition pruning: `planInputPartitions` emits only slices
   *     intersecting the clamped range (an `id >= hi` contradiction
-  *     plans ZERO partitions). Pushed filters are also returned as
-  *     residuals — Spark re-evaluates them above the scan, exactly the
-  *     parquet row-group-stats discipline: pruning is a performance
-  *     contract, never a correctness dependency;
+  *     plans ZERO partitions). The accepted range shapes are captured
+  *     exactly by the clamp and declared fully handled; anything else
+  *     is a residual Spark evaluates above the scan;
   *   - `SupportsReportStatistics` — post-pushdown row/byte estimates,
   *     so the optimizer can broadcast a well-filtered scan.
   *
@@ -138,6 +137,26 @@ object SyntheticSource {
          ((id * 1103515245 + 12345) % 2147483648) % 9973 AS cents
        FROM dim ORDER BY n_name"""
 
+  /** Aggregate-pushdown proof query: COUNT/MIN(id)/MAX(id) under an
+    * id-range filter are answered from the clamp arithmetic without
+    * enumerating a single row (SyntheticSourceSpec pins the
+    * PushedAggregates plan); the gate pins the VALUES against DuckDB
+    * actually aggregating the regenerated range. */
+  def aggPushdownAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format(classOf[SyntheticSource].getName)
+      .option("rows", "1000000").option("slices", "64").load()
+      .where(col("id") >= 123456L && col("id") <= 876543L)
+      .agg(count(lit(1)).as("n"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
+
+  val aggPushdownAuditOracle: String =
+    """SELECT count(*) AS n, min(id) AS min_id, max(id) AS max_id
+       FROM range(0, 1000000) t(id)
+       WHERE id >= 123456 AND id <= 876543"""
+
   /** DuckDB regenerates the ledger from `range()` with the same LCG. */
   val syntheticAggOracle: String =
     """SELECT 'c' || CAST(v % 23 AS VARCHAR) AS category,
@@ -185,17 +204,57 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int,
     columnar: Boolean = true)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticSource.schema
+  private var aggs: Option[Array[AggregateFunc]] = None
 
-  /** Clamp [lo, hi) by id-range predicates; everything is returned as
-    * a residual (Spark re-filters above the scan), so an over-eager
-    * clamp can lose rows but never invent them — and the clamp itself
-    * is exact, which the losslessness spec pins. */
+  /** COUNT(*)/MIN(id)/MAX(id) are answerable from the clamped range
+    * arithmetic alone — the connector analogue of answering from
+    * parquet footer statistics. Complete pushdown: Spark plans NO
+    * aggregate above the scan, so acceptance is all-or-nothing (one
+    * unanswerable aggregate refuses the whole set — the same sharp
+    * edge the parquet footer contract documents) and only sound when
+    * every pushed filter was fully translated to the range clamp
+    * (an untranslated residual would need per-row evaluation the
+    * aggregate path never does). */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions().isEmpty &&
+      allFiltersClamped &&
+      aggregation.aggregateExpressions().forall {
+        case _: CountStar => true
+        case m: Min => isIdRef(m.column())
+        case m: Max => isIdRef(m.column())
+        case _ => false
+      }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    supportCompletePushDown(aggregation) && {
+      aggs = Some(aggregation.aggregateExpressions())
+      true
+    }
+
+  private def isIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames().sameElements(Array("id"))
+      case _ => false
+    }
+
+  private var allFiltersClamped = true
+
+  /** Clamp [lo, hi) by id-range predicates. The five accepted shapes
+    * are captured EXACTLY by the range (the reader generates precisely
+    * the ids in [lo, hi)), so they are declared fully handled — which
+    * is also what lets complete aggregate pushdown engage: Spark only
+    * pushes aggregates beneath a scan with no residual Filter.
+    * Anything unrecognized is returned as a residual for Spark to
+    * evaluate. The losslessness spec pins both halves. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = ArrayBuffer.empty[Filter]
     filters.foreach {
@@ -209,10 +268,14 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int,
         hi = math.min(hi, v + 1); accepted += f
       case f @ EqualTo("id", v: Long) =>
         lo = math.max(lo, v); hi = math.min(hi, v + 1); accepted += f
-      case _ => // not understood: left entirely to Spark
+      case _ =>
+        // not understood: left entirely to Spark — which also bars
+        // complete aggregate pushdown (the aggregate path never
+        // evaluates residuals per-row)
+        allFiltersClamped = false
     }
     pushed = accepted.toArray
-    filters // all residual — pruning is an optimization, not a promise
+    filters.filterNot(accepted.contains) // residual = unrecognized only
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -222,8 +285,12 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int,
     // count-style scan — keep zero fields and emit empty rows.
     required = requiredSchema
 
-  override def build(): Scan =
-    new SyntheticScan(math.max(lo, 0L), math.max(hi, lo), slices, required, pushed, columnar)
+  override def build(): Scan = aggs match {
+    case Some(fs) =>
+      new SyntheticAggScan(math.max(lo, 0L), math.max(hi, lo), fs, pushed)
+    case None =>
+      new SyntheticScan(math.max(lo, 0L), math.max(hi, lo), slices, required, pushed, columnar)
+  }
 }
 
 private[sources] class SyntheticScan(
@@ -306,6 +373,57 @@ private[sources] class SyntheticScan(
     }.sum
     override def sizeInBytes(): OptionalLong = OptionalLong.of(n * math.max(width, 1L))
     override def numRows(): OptionalLong = OptionalLong.of(n)
+  }
+}
+
+/** Complete-pushdown aggregate scan: COUNT(*)/MIN(id)/MAX(id) over the
+  * clamped range are closed-form (span, lo, hi−1), so the "scan" is
+  * one partition emitting one row and the fact table is never
+  * enumerated — the connector analogue of answering MIN/MAX/COUNT
+  * from parquet row-group footers. An empty range gives count 0 and
+  * NULL extrema, matching SQL aggregate semantics on zero rows. */
+private[sources] class SyntheticAggScan(
+    lo: Long, hi: Long,
+    aggs: Array[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
+    pushed: Array[Filter])
+    extends Scan with Batch {
+
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+
+  private val span = math.max(0L, hi - lo)
+
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+
+  override def description(): String =
+    s"graft-synthetic-agg [$lo, $hi) " +
+      s"PushedAggregates: [${aggs.mkString(", ")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticPartition(0L, 1L))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = aggs.map {
+      case _: CountStar => span
+      case _: Min => if (span == 0L) null else lo
+      case _: Max => if (span == 0L) null else hi - 1
+      case other => throw new IllegalStateException(s"unpushable $other")
+    }
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = new GenericInternalRow(values)
+          override def close(): Unit = ()
+        }
+    }
   }
 }
 

@@ -135,6 +135,29 @@ class SyntheticSourceSpec extends graft.SparkSpec {
     assert(vec.select("category").distinct().count() === 23L)
   }
 
+  test("count/min/max push down completely and never enumerate the range") {
+    val df = read(1000000, 64)
+      .where(col("id") >= 100L && col("id") < 900L)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    assert(df.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "aggregate did not push into the scan")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((800L, 100L, 899L)))
+    // empty range: count 0, NULL extrema — SQL semantics preserved
+    val e = read(1000, 8).where(col("id") >= 5000L)
+      .agg(count(lit(1)), min("id"), max("id")).collect().head
+    assert(e.getLong(0) === 0L && e.isNullAt(1) && e.isNullAt(2))
+  }
+
+  test("one unanswerable aggregate refuses the whole pushdown") {
+    val df = read(1000, 8)
+      .agg(count(lit(1)).as("n"), min("value").as("mv"))
+    assert(!df.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    val r = df.collect().head
+    val wantMin = (0L until 1000L).map(SyntheticSource.lcg).min
+    assert((r.getLong(0), r.getLong(1)) === ((1000L, wantMin)))
+  }
+
   test("unknown option defaults and scan description carry the contract") {
     val provider = new SyntheticSource
     val t = provider.getTable(
