@@ -473,6 +473,51 @@ object LanguageModel {
         FROM scored GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** `text_tokenizer_fertility`: tokens-per-word and chars-per-token
+    * of the trained BPE vocabulary, split by document language — the
+    * tokenizer-bias readout multilingual pipelines run before fixing a
+    * vocabulary (a language whose fertility is 2× pays 2× the context
+    * budget per word; cf. the fertility tables in the XLM-R / NLLB
+    * tokenizer analyses). Same relations as [[bpeEncode]] — the
+    * vocabulary is type-level and tiny, the per-word join is a
+    * broadcast, the per-lang rollup is a 5-row partial agg — with the
+    * doc grain swapped for the language grain and exact integer
+    * sufficient statistics all the way to the two readout divisions. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val typeToks = bpeTrainRounds(spark, dir)._2
+      .groupBy("word").agg(count(lit(1)).as("n_toks"))
+      .selectExpr("word AS tw", "n_toks")
+    Tables.documents(spark, dir)
+      .selectExpr("lang", s"explode(${words("lower(text)", SparkD)}) AS word")
+      .join(typeToks, col("word") === col("tw"), "left_outer")
+      .selectExpr("lang", "CAST(length(word) AS BIGINT) AS wlen",
+        "CAST(coalesce(n_toks, 1) AS BIGINT) AS wtoks")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum(col("wlen")).as("n_chars"),
+        sum(col("wtoks")).as("n_tokens"))
+      .selectExpr("lang", "n_words", "n_chars", "n_tokens",
+        "CAST(n_tokens AS DOUBLE) / n_words AS fertility",
+        "CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token")
+      .orderBy("lang")
+  }
+
+  val tokenizerFertilityOracle: String =
+    s"""WITH ${bpeCtes("documents")},
+        enc AS (SELECT word, count(*) AS n_toks FROM seq_$bpeRounds
+          GROUP BY word),
+        dw AS (SELECT lang, unnest(${words("lower(text)", DuckD)}) AS word
+          FROM documents),
+        scored AS (SELECT dw.lang,
+            CAST(length(dw.word) AS BIGINT) AS wlen,
+            CAST(coalesce(enc.n_toks, 1) AS BIGINT) AS wtoks
+          FROM dw LEFT JOIN enc ON dw.word = enc.word)
+        SELECT lang, count(*) AS n_words,
+          CAST(sum(wlen) AS BIGINT) AS n_chars,
+          CAST(sum(wtoks) AS BIGINT) AS n_tokens,
+          CAST(sum(wtoks) AS DOUBLE) / count(*) AS fertility,
+          CAST(sum(wlen) AS DOUBLE) / CAST(sum(wtoks) AS BIGINT) AS chars_per_token
+        FROM scored GROUP BY lang ORDER BY lang"""
+
   val bigramScoreOracle: String = {
     val d = DuckD
     s"""WITH bigrams AS (
