@@ -205,15 +205,53 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int,
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticSource.schema
   private var aggs: Option[Array[AggregateFunc]] = None
+
+  /** LIMIT n: the generator enumerates ids in order within each slice,
+    * so the first n rows of the table are exactly [lo, lo+n) — the
+    * limit becomes a range clamp, FULLY pushed (Spark keeps its own
+    * limit above anyway, which is why isPartiallyPushed=false is safe
+    * either way; we report full). Only sound because no residual
+    * filter can precede it: Spark only offers limit pushdown when the
+    * scan has no residual filters, and our accepted shapes clamp
+    * exactly. */
+  override def pushLimit(limit: Int): Boolean = aggs.isEmpty && {
+    hi = math.min(hi, lo + limit)
+    true
+  }
+
+  /** ORDER BY id [ASC|DESC] LIMIT n: ascending top-n is [lo, lo+n),
+    * descending is [hi−n, hi) — both exact range clamps because id is
+    * the generation order. Any other sort key is refused (the
+    * generator's order proves nothing about value/category order).
+    * Partially pushed: Spark still sorts the ≤ n surviving rows, so
+    * the contract only requires the scan to RETAIN the top-n set, not
+    * emit it sorted. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val byId = orders.length == 1 && (orders.head.expression() match {
+      case r: NamedReference => r.fieldNames().sameElements(Array("id"))
+      case _ => false
+    })
+    if (!byId || aggs.nonEmpty) return false
+    if (orders.head.direction() == SortDirection.ASCENDING)
+      hi = math.min(hi, lo + limit)
+    else
+      lo = math.max(lo, hi - limit)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** COUNT(*)/MIN(id)/MAX(id) are answerable from the clamped range
     * arithmetic alone — the connector analogue of answering from

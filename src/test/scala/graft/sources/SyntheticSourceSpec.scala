@@ -158,6 +158,25 @@ class SyntheticSourceSpec extends graft.SparkSpec {
     assert((r.getLong(0), r.getLong(1)) === ((1000L, wantMin)))
   }
 
+  test("limit and top-n by id clamp the range; other sort keys refuse") {
+    // LIMIT: the first n ids of the surviving range
+    val lim = read(1000000, 64).where(col("id") >= 500L).limit(5)
+    val scanL = scanOf(lim)
+    assert(scanL.scan.description().contains("[500, 505)"))
+    assert(lim.collect().map(_.getLong(0)).sorted.toSeq ===
+      (500L to 504L).toSeq)
+    // ORDER BY id DESC LIMIT n: the last n ids
+    val top = read(1000, 8).orderBy(col("id").desc).limit(3)
+    assert(scanOf(top).scan.description().contains("[997, 1000)"))
+    assert(top.collect().map(_.getLong(0)).toSeq === Seq(999L, 998L, 997L))
+    // a value-ordered top-n must NOT clamp (generation order proves
+    // nothing about value order) — result must still be exact
+    val byValue = read(1000, 8).orderBy(col("value").desc).limit(1)
+    assert(scanOf(byValue).scan.description().contains("[0, 1000)"))
+    val wantMax = (0L until 1000L).map(SyntheticSource.lcg).max
+    assert(byValue.collect().head.getLong(1) === wantMax)
+  }
+
   test("unknown option defaults and scan description carry the contract") {
     val provider = new SyntheticSource
     val t = provider.getTable(
