@@ -195,13 +195,17 @@ private[sources] class SyntheticTable(rows: Long, slices: Int,
   override def name(): String = s"synthetic($rows)"
   override def schema(): StructType = SyntheticSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, slices, columnar)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxPerBatch =
+      Option(options.get("maxRowsPerBatch")).map(_.toLong).getOrElse(0L)
+    new SyntheticScanBuilder(rows, slices, columnar, maxPerBatch)
+  }
 }
 
 private[sources] class SyntheticScanBuilder(rows: Long, slices: Int,
-    columnar: Boolean = true)
+    columnar: Boolean = true, maxPerBatch: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -327,13 +331,14 @@ private[sources] class SyntheticScanBuilder(rows: Long, slices: Int,
     case Some(fs) =>
       new SyntheticAggScan(math.max(lo, 0L), math.max(hi, lo), fs, pushed)
     case None =>
-      new SyntheticScan(math.max(lo, 0L), math.max(hi, lo), slices, required, pushed, columnar)
+      new SyntheticScan(math.max(lo, 0L), math.max(hi, lo), slices, required,
+        pushed, columnar, maxPerBatch)
   }
 }
 
 private[sources] class SyntheticScan(
     lo: Long, hi: Long, slices: Int, required: StructType, pushed: Array[Filter],
-    columnar: Boolean = true)
+    columnar: Boolean = true, maxPerBatch: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -355,6 +360,13 @@ private[sources] class SyntheticScan(
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = this
+
+  /** Streaming view of the same (statically clamped) range — filter
+    * and column pushdown compose with the stream exactly as with the
+    * batch path, since both funnel through this scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SyntheticMicroBatchStream(rlo, rhi, slices, required.fieldNames, maxPerBatch)
 
   /** DPP eligibility: this scan can consume runtime predicates on
     * `id` — the same column the static pushdown prunes on. */
@@ -412,6 +424,73 @@ private[sources] class SyntheticScan(
     override def sizeInBytes(): OptionalLong = OptionalLong.of(n * math.max(width, 1L))
     override def numRows(): OptionalLong = OptionalLong.of(n)
   }
+}
+
+/** The connector's STREAMING tier: the same ledger served as a
+  * bounded, exactly-replayable micro-batch stream — the contract a
+  * Kafka-like source implements. The offset is the id high-watermark
+  * (restart-safe: it serializes as the plain number), admission
+  * control honors `maxRowsPerBatch` so one trigger never swallows the
+  * backlog, and batch [s, e) planning reuses the batch slicing, so a
+  * lost task replays its exact id range — idempotent by construction,
+  * which is what makes end-to-end exactly-once with a transactional
+  * sink possible. */
+private[sources] class SyntheticMicroBatchStream(
+    lo: Long, hi: Long, slices: Int, fields: Array[String], maxPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  /** Trigger.AvailableNow drains to the offset frozen here THROUGH the
+    * admission-controlled batch loop — without this interface Spark
+    * wraps the source and swallows the whole backlog in one batch,
+    * which is exactly the OOM a rate limit exists to prevent. The
+    * ledger's end is already fixed, so preparing is a no-op. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = SyntheticOffset(lo)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerBatch > 0L) ReadLimit.maxRows(maxPerBatch) else ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset = SyntheticOffset(hi)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SyntheticOffset].id
+    limit match {
+      case m: ReadMaxRows => SyntheticOffset(math.min(hi, s + m.maxRows()))
+      case _ => SyntheticOffset(hi)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = SyntheticOffset(hi)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SyntheticOffset].id
+    val e = end.asInstanceOf[SyntheticOffset].id
+    val span = math.max(0L, e - s)
+    if (span == 0L) return Array.empty
+    val n = math.max(1, math.min(slices.toLong, span).toInt)
+    Array.tabulate[InputPartition](n) { k =>
+      SyntheticPartition(s + span * k / n, s + span * (k + 1) / n)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(fields, columnar = false)
+
+  override def deserializeOffset(json: String): Offset =
+    SyntheticOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class SyntheticOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
 }
 
 /** Complete-pushdown aggregate scan: COUNT(*)/MIN(id)/MAX(id) over the
