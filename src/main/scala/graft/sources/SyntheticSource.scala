@@ -35,7 +35,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *     exactly by the clamp and declared fully handled; anything else
   *     is a residual Spark evaluates above the scan;
   *   - `SupportsReportStatistics` — post-pushdown row/byte estimates,
-  *     so the optimizer can broadcast a well-filtered scan.
+  *     so the optimizer can broadcast a well-filtered scan;
+  *   - `SupportsRuntimeV2Filtering` — dynamic partition pruning
+  *     narrows the planned range to the join build side's observed
+  *     keys at runtime;
+  *   - `SupportsPushDownAggregates` — COUNT/MIN(id)/MAX(id) answered
+  *     from range arithmetic, never enumerating a row;
+  *   - `SupportsPushDownLimit` / `SupportsPushDownTopN` — LIMIT and
+  *     ORDER BY id LIMIT become exact range clamps;
+  *   - columnar reads (`ColumnarBatch`, 4096-row vectors) by default,
+  *     with the row reader selectable for the equivalence spec;
+  *   - `MicroBatchStream` + `SupportsAdmissionControl` +
+  *     `SupportsTriggerAvailableNow` — the same ledger as a bounded,
+  *     exactly-replayable rate-limited stream.
   *
   * The table itself is a deterministic synthetic ledger (seeded LCG
   * over the row id) — every column is exact 64-bit integer arithmetic
