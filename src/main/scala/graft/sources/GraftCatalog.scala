@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A v2 CATALOG PLUGIN — the extension tier above connectors: the
+  * thing `spark.sql.catalog.<name>=<class>` installs, after which
+  * plain SQL DDL/DML (`CREATE TABLE g.ns.t`, `INSERT INTO`, `SELECT`,
+  * `DROP TABLE`) resolves through this class instead of the Hive
+  * metastore. This is what Iceberg/Delta/Unity ship as their
+  * integration point; the engine's instance manages ledger-format
+  * tables ([[LedgerSink]]'s staged-file + atomic-manifest protocol)
+  * under a root directory:
+  *
+  *   root/<namespace...>/<table>/_MANIFEST     — existence = the table
+  *   root/<namespace...>/<table>/_staging/...  — committed row files
+  *
+  * Catalog state IS the filesystem state: a table exists iff its
+  * manifest does (no second metadata store to drift), create writes
+  * an empty manifest atomically, drop deletes the directory, rename
+  * is a directory move. Namespaces are implicit prefixes, like object
+  * stores treat them. `alterTable` is honestly unsupported — ledger
+  * manifests pin their schema, and schema evolution without a
+  * rewrite is exactly the feature that separates a table FORMAT from
+  * a file format (documented, not faked).
+  *
+  * Reference tie-in: this replaces the reference's Glue Data Catalog
+  * tier (`crawler.tf` + `06_catalog.py` registration) — where Glue
+  * crawls files to discover tables, this catalog derives them from
+  * the commit protocol's own manifests.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Paths.get(Option(options.get("root")).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_catalog_$name"))
+    Files.createDirectories(root)
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): Path =
+    ident.namespace().foldLeft(root)(_.resolve(_)).resolve(ident.name())
+
+  private def isTable(p: Path): Boolean =
+    Files.exists(p.resolve(LedgerSink.ManifestName))
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTable(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    LedgerSink.readManifest(dir) match {
+      case Some((schema, _)) => new LedgerTable(dir, schema)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(Seq(ident.toString))
+    LedgerSink.checkSchema(schema)
+    val dir = tableDir(ident)
+    // an empty manifest, atomically — the create is durable the same
+    // way commits are
+    LedgerSink.writeManifestAtomic(dir, schema, Seq.empty)
+    new LedgerTable(dir, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ledger manifests pin their schema; evolution requires a rewrite")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) return false
+    // delete children bottom-up; the manifest goes FIRST so a crash
+    // mid-drop leaves a non-table directory, never a corrupt table
+    Files.deleteIfExists(dir.resolve(LedgerSink.ManifestName))
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(Seq(to.toString))
+    Files.createDirectories(tableDir(to).getParent)
+    Files.move(tableDir(from), tableDir(to))
+  }
+
+  // ---- namespaces: implicit directory prefixes ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || Files.isDirectory(namespace.foldLeft(root)(_.resolve(_)))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    java.util.Map.of()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    Files.createDirectories(namespace.foldLeft(root)(_.resolve(_)))
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespaces carry no metadata")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(dir)) return false
+    if (!cascade && Files.list(dir).iterator().hasNext)
+      throw new IllegalStateException(s"namespace not empty: $dir")
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    true
+  }
+}
+
+/** Oracle gate for the catalog tier: plain SQL end-to-end — CREATE
+  * TABLE through the plugin, INSERT INTO ... SELECT from the parquet
+  * fixture, SELECT back through the catalog — against DuckDB reading
+  * the fixture directly. What this pins: identifier resolution,
+  * v2 write through SQL, and manifest-backed reads, all via the
+  * public `spark.sql.catalog.*` installation path. */
+object CatalogRoundtrip {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def catalogSqlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt")
+    graft.io.Tables.nation(spark, sfDir)
+      .createOrReplaceTempView(s"cat_rt_nation_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.rt.nation_$tag")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_cat.rt")
+    spark.sql(
+      s"""CREATE TABLE graft_cat.rt.nation_$tag
+            (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)""")
+    spark.sql(
+      s"""INSERT INTO graft_cat.rt.nation_$tag
+          SELECT CAST(n_nationkey AS BIGINT), n_name,
+                 CAST(n_regionkey AS BIGINT)
+          FROM cat_rt_nation_$tag""")
+    spark.sql(
+      s"""SELECT n_regionkey, count(*) AS n_nations,
+            min(n_name) AS first_name, max(n_name) AS last_name
+          FROM graft_cat.rt.nation_$tag
+          GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
+  val catalogSqlRoundtripOracle: String =
+    """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+         count(*) AS n_nations,
+         min(n_name) AS first_name, max(n_name) AS last_name
+       FROM nation GROUP BY 1 ORDER BY 1"""
+}
