@@ -1639,6 +1639,71 @@ object Analytics {
          CASE WHEN naive_sum > 0 THEN CAST(mae_sum AS DOUBLE) / naive_sum ELSE CAST(0 AS DOUBLE) END AS mase
        FROM stacked ORDER BY method"""
 
+  // ---- Mann-Kendall trend test ----
+
+  /** Mann–Kendall monotonic-trend test on the daily revenue series —
+    * the significance companion to the Theil–Sen slope (Mann 1945;
+    * Kendall 1975): S = Σ_{i<j} sign(y_j − y_i), exact tie-corrected
+    * variance n(n−1)(2n+5)/18 − Σ_t t(t−1)(2t+5)/18, and the
+    * continuity-corrected normal score z = (S∓1)/√Var. Distribution-
+    * free like the conformal operator — no residual model to
+    * mis-specify; ships as a one-row readout with the ±1.96 verdict.
+    *
+    * Scale shape: the pair enumeration is a self-join on the DAY
+    * grain — calendar² pairs (≈3M at a 7-year span), constant in the
+    * fact-table volume, which died in the first hash agg. S and the
+    * tie sums are exact BIGINTs; z is the only float. */
+  def dailyRevenueMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val series = revenueSeries(spark, dir, dayGrain)
+      .transform(graft.ops.Checkpoints.cut)
+    val a = series.selectExpr("x AS xa", "y AS ya")
+    val b = series.selectExpr("x AS xb", "y AS yb")
+    val s = a.join(b, col("xa") < col("xb"))
+      .agg(sum(expr(
+        "CASE WHEN yb > ya THEN 1 WHEN yb < ya THEN -1 ELSE 0 END")).as("s"))
+    val ties = series.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_sum"))
+    val n = series.agg(count(lit(1)).as("n"))
+    s.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .selectExpr("CAST(n AS BIGINT) AS n", "CAST(s AS BIGINT) AS s",
+        "CAST(n * (n - 1) * (2 * n + 5) - tie_sum AS BIGINT) AS var_num")
+      .selectExpr("n", "s", "var_num",
+        """CASE WHEN var_num <= 0 THEN CAST(0 AS DOUBLE)
+                WHEN s > 0 THEN (s - 1) / sqrt(var_num / CAST(18 AS DOUBLE))
+                WHEN s < 0 THEN (s + 1) / sqrt(var_num / CAST(18 AS DOUBLE))
+                ELSE CAST(0 AS DOUBLE) END AS z""")
+      .selectExpr("n", "s", "var_num", "z",
+        """CASE WHEN z > 1.96 THEN 'increasing'
+                WHEN z < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS verdict""")
+  }
+
+  val dailyRevenueMannKendallOracle: String =
+    s"""WITH series AS (
+         SELECT $dayGrainDuck AS x,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) // 100 AS y
+         FROM lineitem GROUP BY 1),
+       s_t AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                         WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+         FROM series a JOIN series b ON a.x < b.x),
+       ties AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+         FROM (SELECT count(*) AS t FROM series GROUP BY y)),
+       n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series),
+       v AS (SELECT n, s,
+           CAST(n * (n - 1) * (2 * n + 5) - tie_sum AS BIGINT) AS var_num
+         FROM s_t CROSS JOIN ties CROSS JOIN n_t),
+       z_t AS (SELECT n, s, var_num,
+           CASE WHEN var_num <= 0 THEN CAST(0 AS DOUBLE)
+                WHEN s > 0 THEN (s - 1) / sqrt(var_num / CAST(18 AS DOUBLE))
+                WHEN s < 0 THEN (s + 1) / sqrt(var_num / CAST(18 AS DOUBLE))
+                ELSE CAST(0 AS DOUBLE) END AS z
+         FROM v)
+       SELECT n, s, var_num, z,
+         CASE WHEN z > 1.96 THEN 'increasing'
+              WHEN z < -1.96 THEN 'decreasing'
+              ELSE 'no_trend' END AS verdict
+       FROM z_t"""
+
   // ---- robust location: trimmed and winsorized means ----
 
   /** 10 %-trimmed and 10 %-winsorized mean quantity per return flag —
