@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -169,21 +170,51 @@ object LedgerSink {
     })
   }
 
-  /** Manifest: line 1 the schema DDL, then one staged file name per
-    * line. Present-and-parseable == committed (the atomic rename in
-    * [[LedgerBatchWrite.commit]] is what makes that equivalence hold). */
-  private[sources] def readManifest(dir: Path): Option[(StructType, Seq[String])] = {
+  /** One committed file plus its data-skipping statistics: min/max of
+    * the table's FIRST integral column over the file's non-null values
+    * (None stats = no non-null values, or the schema has no integral
+    * column). This is the micro version of a table format's column
+    * stats: enough for a scan to skip whole files on range predicates. */
+  private[sources] case class FileEntry(
+      file: String, rows: Long, min: Option[Long], max: Option[Long]) {
+    def render: String =
+      s"$file\t$rows\t${min.getOrElse("-")}\t${max.getOrElse("-")}"
+  }
+
+  private[sources] object FileEntry {
+    def parse(line: String): FileEntry = {
+      val p = line.split("\t", -1)
+      FileEntry(p(0), p(1).toLong,
+        if (p(2) == "-") None else Some(p(2).toLong),
+        if (p(3) == "-") None else Some(p(3).toLong))
+    }
+  }
+
+  /** Index of the data-skipping stats column: the first long/int
+    * field, if any. */
+  private[sources] def statColIndex(schema: StructType): Option[Int] = {
+    val i = schema.fields.indexWhere(f =>
+      f.dataType == LongType || f.dataType == IntegerType)
+    if (i < 0) None else Some(i)
+  }
+
+  /** Manifest: line 1 the schema DDL, then one tab-separated
+    * [[FileEntry]] per line. Present-and-parseable == committed (the
+    * atomic rename in [[LedgerBatchWrite.commit]] is what makes that
+    * equivalence hold). */
+  private[sources] def readManifest(dir: Path): Option[(StructType, Seq[FileEntry])] = {
     val m = dir.resolve(ManifestName)
     if (!Files.exists(m)) return None
     val lines = Files.readAllLines(m, UTF_8).asScala.toSeq
-    Some((StructType.fromDDL(lines.head), lines.tail))
+    Some((StructType.fromDDL(lines.head), lines.tail.map(FileEntry.parse)))
   }
 
   private[sources] def writeManifestAtomic(
-      dir: Path, schema: StructType, files: Seq[String]): Unit = {
+      dir: Path, schema: StructType, files: Seq[FileEntry]): Unit = {
     Files.createDirectories(dir)
     val tmp = dir.resolve(s"$ManifestName.tmp")
-    Files.write(tmp, (schema.toDDL +: files).mkString("\n").getBytes(UTF_8))
+    Files.write(tmp,
+      (schema.toDDL +: files.map(_.render)).mkString("\n").getBytes(UTF_8))
     Files.move(tmp, dir.resolve(ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -200,24 +231,84 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new LedgerScan(dir, schema0)
+    new LedgerScanBuilder(dir, schema0)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LedgerWriteBuilder(dir, info.schema())
 }
 
-private[sources] class LedgerScan(dir: Path, schema: StructType)
+/** Stats-based file skipping, the OTHER pruning discipline (the
+  * synthetic source's clamp is exact because generation is exact;
+  * here the stats only BOUND each file, so pruning may keep a file
+  * with no matching rows but can never drop a matching one, and every
+  * filter is returned as a residual for Spark to evaluate row-wise —
+  * the parquet row-group contract, reproduced at file grain). Range
+  * predicates on the stats column shrink [flo, fhi]; a file survives
+  * iff its [min, max] intersects it. A statless file always survives;
+  * an all-null-stat-column file never matches a null-excluding range
+  * predicate, so skipping it is exact. */
+private[sources] class LedgerScanBuilder(dir: Path, schema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private val statName: Option[String] =
+    LedgerSink.statColIndex(schema).map(schema.fields(_).name)
+  private var flo: Long = Long.MinValue
+  private var fhi: Long = Long.MaxValue // inclusive
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case f @ GreaterThan(c, v: Long) if statName.contains(c) =>
+        flo = math.max(flo, v + 1); accepted += f
+      case f @ GreaterThanOrEqual(c, v: Long) if statName.contains(c) =>
+        flo = math.max(flo, v); accepted += f
+      case f @ LessThan(c, v: Long) if statName.contains(c) =>
+        fhi = math.min(fhi, v - 1); accepted += f
+      case f @ LessThanOrEqual(c, v: Long) if statName.contains(c) =>
+        fhi = math.min(fhi, v); accepted += f
+      case f @ EqualTo(c, v: Long) if statName.contains(c) =>
+        flo = math.max(flo, v); fhi = math.min(fhi, v); accepted += f
+      case _ => ()
+    }
+    pushed = accepted.toArray
+    filters // ALL residual: stats bound files, they don't filter rows
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new LedgerScan(dir, schema, flo, fhi, pushed.nonEmpty)
+}
+
+private[sources] class LedgerScan(
+    dir: Path, schema: StructType,
+    flo: Long = Long.MinValue, fhi: Long = Long.MaxValue,
+    filtered: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-ledger $dir"
+  override def description(): String =
+    s"graft-ledger $dir" +
+      (if (filtered) s" StatsRange: [$flo, $fhi]" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     LedgerSink.readManifest(dir) match {
       case Some((_, files)) =>
-        files.map(f => LedgerFilePartition(dir.resolve(f).toString)).toArray
+        files.filter { e =>
+          !filtered || ((e.min, e.max) match {
+            case (Some(lo), Some(hi)) => hi >= flo && lo <= fhi
+            case _ =>
+              // no stats: a file with rows but no non-null stat values
+              // cannot match a null-excluding range predicate; a
+              // statless schema (no integral column) never pushes
+              e.min.isEmpty && e.max.isEmpty && statlessSchema
+          })
+        }.map(f => LedgerFilePartition(dir.resolve(f.file).toString)).toArray
       case None => Array.empty
     }
+
+  private def statlessSchema: Boolean = LedgerSink.statColIndex(schema).isEmpty
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val ddl = schema.toDDL
@@ -251,7 +342,7 @@ private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType)
   }
 }
 
-private[sources] case class LedgerCommitMessage(file: String, rows: Long)
+private[sources] case class LedgerCommitMessage(entry: LedgerSink.FileEntry)
     extends WriterCommitMessage
 
 private[sources] class LedgerBatchWrite(
@@ -274,14 +365,14 @@ private[sources] class LedgerBatchWrite(
     val prev =
       if (truncate) Seq.empty
       else LedgerSink.readManifest(dir).map(_._2).getOrElse(Seq.empty)
-    val files = messages.map(_.asInstanceOf[LedgerCommitMessage].file)
+    val files = messages.map(_.asInstanceOf[LedgerCommitMessage].entry)
     LedgerSink.writeManifestAtomic(dir, schema, prev ++ files)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case LedgerCommitMessage(f, _) =>
-        Files.deleteIfExists(dir.resolve(f))
+      case LedgerCommitMessage(e) =>
+        Files.deleteIfExists(dir.resolve(e.file))
       case _ => ()
     }
 }
@@ -296,16 +387,34 @@ private[sources] class LedgerDataWriter(
   // driver's mkdir raced or the writer runs on another host's view
   private val out = Files.newBufferedWriter(path, UTF_8)
   private var rows = 0L
+  // data-skipping stats over the first integral column's non-null values
+  private val statIdx = LedgerSink.statColIndex(schema)
+  private var statMin = Long.MaxValue
+  private var statMax = Long.MinValue
+  private var statSeen = false
 
   override def write(record: InternalRow): Unit = {
     out.write(LedgerSink.encodeRow(record, schema))
     out.write("\n")
     rows += 1
+    statIdx.foreach { i =>
+      if (!record.isNullAt(i)) {
+        val v = schema.fields(i).dataType match {
+          case LongType => record.getLong(i)
+          case _ => record.getInt(i).toLong
+        }
+        statSeen = true
+        if (v < statMin) statMin = v
+        if (v > statMax) statMax = v
+      }
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    LedgerCommitMessage(rel, rows)
+    LedgerCommitMessage(LedgerSink.FileEntry(rel, rows,
+      if (statSeen) Some(statMin) else None,
+      if (statSeen) Some(statMax) else None))
   }
 
   override def abort(): Unit = { out.close(); Files.deleteIfExists(path) }

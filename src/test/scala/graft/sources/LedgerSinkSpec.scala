@@ -85,6 +85,31 @@ class LedgerSinkSpec extends graft.SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("does not support")))
   }
 
+  test("manifest stats skip whole files; statless columns never skip") {
+    val dir = scratch("skip")
+    // range-partitioned write → per-file key ranges are disjoint, so
+    // the manifest's min/max actually discriminate
+    spark.range(0, 10000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .repartitionByRange(8, col("k"))
+      .write.format(classOf[LedgerSink].getName)
+      .option("path", dir).mode("overwrite").save()
+    val all = spark.read.format(classOf[LedgerSink].getName)
+      .option("path", dir).load()
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.getOrElse(fail("no scan"))
+    assert(parts(all) === 8)
+    val narrow = all.where(col("k") >= 9000L)
+    assert(parts(narrow) < 8, "stats did not skip files")
+    // pruning is advisory: the rows that survive are exactly right
+    assert(narrow.count() === 1000L)
+    assert(all.where(col("k") === 4242L).count() === 1L)
+    // a filter on a statless (string) column must not skip anything
+    assert(parts(all.where(col("v") > "zzz")) === 8)
+  }
+
   test("fixture roundtrip query matches the direct scan") {
     val out = LedgerRoundtrip.sinkRoundtrip(spark, sfTiny).collect()
     val direct = graft.io.Tables.customer(spark, sfTiny)
