@@ -1714,6 +1714,108 @@ object Curation {
            AS ablation_delta
         FROM by_src, gtot ORDER BY source"""
 
+  // ---- span-corruption (denoising) masking plan ----
+
+  /** Two-step integer hash with every intermediate bounded < 2^31 so
+    * the multiply never leaves Long — the same LCG family as the
+    * synthetic connector, parameterized by (doc, span index, salt). */
+  private def spanHash(k: String, salt: Int): String =
+    s"(((doc_id * 1000003 + ($k) * 7919 + $salt) % 2147483648) " +
+      "* 1103515245 + 12345) % 2147483648"
+
+  /** `doc_span_corruption_plan`: the deterministic noise-span plan a
+    * T5-style denoising objective materializes before training
+    * (Raffel et al. 2020 §3.1.4: corrupt ~15 % of tokens in spans of
+    * mean length 3, replace each with a sentinel). Spans are drawn by
+    * integer hashing (length 1–5 uniform, start uniform over the
+    * doc), then OVERLAPPING spans are merged into maximal intervals —
+    * the same islands pattern as the duplicate-span operator — and
+    * sentinels are numbered in document order, because a masking plan
+    * with overlapping spans double-counts its corruption budget and
+    * mis-aligns the target sequence.
+    *
+    * Everything is exact integer arithmetic over the token grid; the
+    * only windows are per-document over ≤ n/20+1 span rows. One scan,
+    * one explode, one doc-grain window — nothing corpus-global. */
+  def spanCorruptionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        s"CAST(size(${words("lower(text)", SparkD)}) AS BIGINT) AS n_tokens")
+      .filter(col("n_tokens") >= 2)
+      .selectExpr("doc_id", "n_tokens",
+        "greatest(CAST(1 AS BIGINT), (n_tokens + 10) DIV 20) AS n_spans")
+    val raw = base
+      .selectExpr("doc_id", "n_tokens",
+        "explode(sequence(CAST(1 AS BIGINT), n_spans)) AS k")
+      .selectExpr("doc_id", "n_tokens", "k",
+        s"1 + (${spanHash("k", 1)}) % 5 AS len0")
+      .selectExpr("doc_id", "n_tokens", "k",
+        "least(len0, n_tokens) AS len")
+      .selectExpr("doc_id", "n_tokens", "k", "len",
+        s"(${spanHash("k", 2)}) % (n_tokens - len + 1) AS start")
+    val merged = raw
+      .selectExpr("doc_id", "n_tokens", "start", "start + len AS fin", "k")
+      .selectExpr("doc_id", "n_tokens", "start", "fin",
+        """CASE WHEN start > coalesce(max(fin) OVER (
+               PARTITION BY doc_id ORDER BY start, fin, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(-1 AS BIGINT)) THEN 1 ELSE 0 END AS new_island""")
+      .selectExpr("doc_id", "n_tokens", "start", "fin",
+        """sum(new_island) OVER (PARTITION BY doc_id
+             ORDER BY start, fin ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS island""")
+      .groupBy("doc_id", "n_tokens", "island")
+      .agg(min("start").as("start"), max("fin").as("fin"))
+    merged
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(island AS BIGINT) AS sentinel",
+        "CAST(start AS BIGINT) AS start_tok",
+        "CAST(fin - start AS BIGINT) AS span_len")
+      .orderBy("doc_id", "sentinel")
+  }
+
+  val spanCorruptionPlanOracle: String = {
+    def h(k: String, salt: Int) =
+      s"(((doc_id * 1000003 + ($k) * 7919 + $salt) % 2147483648) " +
+        "* 1103515245 + 12345) % 2147483648"
+    s"""WITH base AS (
+         SELECT doc_id,
+           CAST(${arrLen(words("lower(text)", DuckD), DuckD)} AS BIGINT) AS n_tokens
+         FROM documents),
+       base2 AS (SELECT doc_id, n_tokens,
+           greatest(CAST(1 AS BIGINT), (n_tokens + 10) // 20) AS n_spans
+         FROM base WHERE n_tokens >= 2),
+       ks AS (SELECT doc_id, n_tokens, unnest(range(1, n_spans + 1)) AS k
+         FROM base2),
+       raw0 AS (SELECT doc_id, n_tokens, k,
+           1 + (${h("k", 1)}) % 5 AS len0 FROM ks),
+       raw1 AS (SELECT doc_id, n_tokens, k,
+           least(len0, n_tokens) AS len FROM raw0),
+       raw AS (SELECT doc_id, n_tokens, k, len,
+           (${h("k", 2)}) % (n_tokens - len + 1) AS start FROM raw1),
+       spans AS (SELECT doc_id, n_tokens, start, start + len AS fin, k
+         FROM raw),
+       flagged AS (SELECT doc_id, n_tokens, start, fin,
+           CASE WHEN start > coalesce(max(fin) OVER (
+               PARTITION BY doc_id ORDER BY start, fin, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(-1 AS BIGINT)) THEN 1 ELSE 0 END AS new_island
+         FROM spans),
+       islands AS (SELECT doc_id, n_tokens, start, fin,
+           sum(new_island) OVER (PARTITION BY doc_id
+             ORDER BY start, fin ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS island
+         FROM flagged),
+       merged AS (SELECT doc_id, n_tokens, island,
+           min(start) AS start, max(fin) AS fin
+         FROM islands GROUP BY doc_id, n_tokens, island)
+       SELECT doc_id, n_tokens, CAST(island AS BIGINT) AS sentinel,
+         CAST(start AS BIGINT) AS start_tok,
+         CAST(fin - start AS BIGINT) AS span_len
+       FROM merged ORDER BY doc_id, sentinel"""
+  }
+
   // ---- empirical-Bayes shrinkage of per-source pass rates ----
 
   /** Micro-quantized gate pass rate per source, as integer
