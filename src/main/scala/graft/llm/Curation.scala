@@ -1714,6 +1714,109 @@ object Curation {
            AS ablation_delta
         FROM by_src, gtot ORDER BY source"""
 
+  // ---- water-filling token-budget allocation ----
+
+  /** `corpus_budget_waterfill`: allocate a token budget across sources
+    * by WATER-FILLING — the max-min-fair allocation (Bertsekas &
+    * Gallager 1992 §6.5.2): sources smaller than the water level keep
+    * everything they have; the rest are cut to one common level chosen
+    * so the total exactly meets the budget. This is the allocation
+    * that neither starves small sources (quota-proportional does) nor
+    * lets one giant source eat the budget (uniform caps do). The
+    * closed form needs one sort by availability: source k (ascending)
+    * is fully funded iff funding EVERYONE remaining at its
+    * availability still fits the remaining budget; the first source
+    * where that fails fixes the level.
+    *
+    * Integer exactness: the level is an integer DIV and the remainder
+    * is distributed one token each to the first `rem` uncapped sources
+    * in rank order, so Σ allocated == min(budget, total) EXACTLY —
+    * the identity the output exposes and the oracle hashes. Budget =
+    * 40 % of corpus tokens, derived not hard-coded, so the operator
+    * scales with the fixture. All relations are source-grain (20
+    * rows); the corpus dies in the first per-source agg. */
+  def budgetWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perSource = Tables.documents(spark, dir)
+      .selectExpr("source",
+        s"CAST(${arrLen(words("lower(text)", SparkD), SparkD)} AS BIGINT) AS n_tok")
+      .groupBy("source").agg(sum("n_tok").as("avail"))
+    waterfillOf(perSource)
+  }
+
+  /** Test seam: the allocation over an arbitrary (source, avail)
+    * relation — the fixture's sources are too balanced to exercise
+    * the capped branch, so the spec feeds a skewed one. */
+  private[graft] def waterfillOf(perSource: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ranked = perSource
+      .selectExpr("source", "avail",
+        "row_number() OVER (ORDER BY avail, source) AS rk",
+        "count(1) OVER () AS s_cnt",
+        "CAST(sum(avail) OVER () AS BIGINT) AS total",
+        """CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           CAST(0 AS BIGINT)) AS BIGINT) AS cum_before""")
+      .selectExpr("source", "avail", "rk", "s_cnt", "cum_before",
+        "(4 * total) DIV 10 AS budget")
+      .selectExpr("*",
+        "CASE WHEN avail * (s_cnt - rk + 1) <= budget - cum_before THEN 1 ELSE 0 END AS capped")
+    val cut = ranked
+      .agg(expr("min(CASE WHEN capped = 0 THEN rk END) AS k_star"),
+        expr("max(budget) AS budget"),
+        expr("max(s_cnt) AS s_cnt"),
+        expr("CAST(sum(CASE WHEN capped = 1 THEN avail ELSE 0 END) AS BIGINT) AS capped_sum"))
+      .selectExpr("k_star",
+        "CASE WHEN k_star IS NULL THEN CAST(0 AS BIGINT) " +
+          "ELSE (budget - capped_sum) DIV (s_cnt - k_star + 1) END AS level",
+        "CASE WHEN k_star IS NULL THEN CAST(0 AS BIGINT) " +
+          "ELSE (budget - capped_sum) % (s_cnt - k_star + 1) END AS rem")
+    ranked.crossJoin(broadcast(cut))
+      .selectExpr("source", "avail", "rk", "capped",
+        """CASE WHEN capped = 1 THEN avail
+                WHEN rk < k_star + rem THEN level + 1
+                ELSE level END AS allocated""")
+      .selectExpr("source", "avail", "CAST(rk AS BIGINT) AS rk",
+        "CAST(capped AS INT) AS capped", "allocated")
+      .orderBy("source")
+  }
+
+  val budgetWaterfillOracle: String =
+    s"""WITH per_source AS (
+         SELECT source,
+           CAST(sum(${arrLen(words("lower(text)", DuckD), DuckD)}) AS BIGINT) AS avail
+         FROM documents GROUP BY source),
+       ranked0 AS (SELECT source, avail,
+           row_number() OVER (ORDER BY avail, source) AS rk,
+           count(*) OVER () AS s_cnt,
+           CAST(sum(avail) OVER () AS BIGINT) AS total,
+           CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(0 AS BIGINT)) AS BIGINT) AS cum_before
+         FROM per_source),
+       ranked1 AS (SELECT *, (4 * total) // 10 AS budget FROM ranked0),
+       ranked AS (SELECT *,
+           CASE WHEN avail * (s_cnt - rk + 1) <= budget - cum_before
+                THEN 1 ELSE 0 END AS capped
+         FROM ranked1),
+       cut AS (SELECT
+           min(CASE WHEN capped = 0 THEN rk END) AS k_star,
+           max(budget) AS budget, max(s_cnt) AS s_cnt,
+           CAST(sum(CASE WHEN capped = 1 THEN avail ELSE 0 END) AS BIGINT) AS capped_sum
+         FROM ranked),
+       lv AS (SELECT k_star,
+           CASE WHEN k_star IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST((budget - capped_sum) // (s_cnt - k_star + 1) AS BIGINT) END AS level,
+           CASE WHEN k_star IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST((budget - capped_sum) % (s_cnt - k_star + 1) AS BIGINT) END AS rem
+         FROM cut)
+       SELECT source, avail, CAST(rk AS BIGINT) AS rk,
+         CAST(capped AS INT) AS capped,
+         CAST(CASE WHEN capped = 1 THEN avail
+              WHEN rk < k_star + rem THEN level + 1
+              ELSE level END AS BIGINT) AS allocated
+       FROM ranked CROSS JOIN lv ORDER BY source"""
+
   // ---- span-corruption (denoising) masking plan ----
 
   /** Two-step integer hash with every intermediate bounded < 2^31 so
