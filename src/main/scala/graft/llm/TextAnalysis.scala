@@ -1011,6 +1011,65 @@ object TextAnalysis {
           CAST(n_pass AS DOUBLE) / n_docs AS pass_rate
         FROM g2 ORDER BY bin"""
 
+  /** Lift and cumulative-gains table — the SELECTION view of the same
+    * classifier the calibration table judges pointwise: rank documents
+    * by score DESCENDING (best first, the order a filtering pipeline
+    * consumes them), cut into ten ntile bins, and report per bin the
+    * pass rate, the lift over the base rate, and the cumulative recall
+    * of gate-passing documents. "Top 30 % of scores captures 45 % of
+    * the good documents at 1.5× lift" is the sentence that decides a
+    * keep-threshold; AUC alone can't say it. Same one-row-per-doc
+    * window discipline as the calibration table; every measure is a
+    * ratio of exact BIGINTs. */
+  def classifierLiftGains(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = hashedClassifier(spark, dir).select("doc_id", "score")
+    val lab = gateRelation(spark, dir).select(col("doc_id"), col("pass"))
+    val w = Window.orderBy(desc("score"), asc("doc_id"))
+    val bins = scored.join(lab, Seq("doc_id"))
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("pass").as("n_pass"))
+      .selectExpr("bin", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_pass AS BIGINT) AS n_pass")
+    val tot = bins.agg(
+      expr("CAST(sum(n_docs) AS BIGINT) AS t_docs"),
+      expr("CAST(sum(n_pass) AS BIGINT) AS t_pass"))
+    bins.crossJoin(broadcast(tot))
+      .selectExpr("bin", "n_docs", "n_pass",
+        """CAST(sum(n_pass) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_pass""",
+        "t_docs", "t_pass")
+      .selectExpr("bin", "n_docs", "n_pass", "cum_pass",
+        "CAST(n_pass AS DOUBLE) / n_docs AS pass_rate",
+        "(CAST(n_pass AS DOUBLE) * t_docs) / (CAST(n_docs AS DOUBLE) * t_pass) AS lift",
+        "CAST(cum_pass AS DOUBLE) / t_pass AS cum_recall")
+      .orderBy("bin")
+  }
+
+  lazy val classifierLiftGainsOracle: String =
+    s"""WITH $gateCtes, $clsCtes,
+        j AS (SELECT c.doc_id, c.s AS score, g.pass
+              FROM cls_s c JOIN gate g ON c.doc_id = g.doc_id),
+        t AS (SELECT *, ntile(10) OVER (ORDER BY score DESC, doc_id) AS bin
+              FROM j),
+        b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(pass) AS BIGINT) AS n_pass
+              FROM t GROUP BY bin),
+        tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+                 CAST(sum(n_pass) AS BIGINT) AS t_pass FROM b),
+        c AS (SELECT CAST(bin AS INT) AS bin, n_docs, n_pass,
+                CAST(sum(n_pass) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_pass, t_docs, t_pass
+              FROM b CROSS JOIN tt)
+        SELECT bin, n_docs, n_pass, cum_pass,
+          CAST(n_pass AS DOUBLE) / n_docs AS pass_rate,
+          (CAST(n_pass AS DOUBLE) * t_docs) / (CAST(n_docs AS DOUBLE) * t_pass) AS lift,
+          CAST(cum_pass AS DOUBLE) / t_pass AS cum_recall
+        FROM c ORDER BY bin"""
+
   /** `text_source_novelty`: each source's EXCLUSIVE contribution — of
     * the distinct 3-gram shingle types a source contains, how many
     * appear in NO other source. This is the marginal-value table for
