@@ -1070,6 +1070,68 @@ object TextAnalysis {
           CAST(cum_pass AS DOUBLE) / t_pass AS cum_recall
         FROM c ORDER BY bin"""
 
+  /** Optimal keep-threshold for the hashed classifier by Youden's J
+    * (sensitivity + specificity − 1), the point on the ROC curve
+    * farthest from chance — the threshold a one-number policy keeps.
+    * The sweep runs on the DISTINCT-score grain (cumulative counts of
+    * positives/negatives at-or-above each score), and the argmax is
+    * EXACT: maximizing J = tp/n_pos − fp/n_neg over thresholds equals
+    * maximizing the BIGINT tp·n_neg − fp·n_pos (common positive
+    * denominator), so no float ever enters the comparison — ties
+    * break to the highest threshold (keep less). One row out: the
+    * chosen threshold with its exact confusion counts and the float
+    * readouts computed once at the end. */
+  def classifierOptimalThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = hashedClassifier(spark, dir).select("doc_id", "score")
+    val lab = gateRelation(spark, dir).select(col("doc_id"), col("pass"))
+    val byV = scored.join(lab, Seq("doc_id"))
+      .groupBy("score")
+      .agg(sum("pass").as("cnt1"), count(lit(1)).as("cnt"))
+    byV
+      .withColumn("tp", expr("CAST(sum(cnt1) OVER (ORDER BY score DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"))
+      .withColumn("keep_n", expr("CAST(sum(cnt) OVER (ORDER BY score DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"))
+      .withColumn("n_pos", expr("CAST(sum(cnt1) OVER () AS BIGINT)"))
+      .withColumn("n_all", expr("CAST(sum(cnt) OVER () AS BIGINT)"))
+      .selectExpr("score AS threshold", "tp", "keep_n - tp AS fp",
+        "n_pos", "n_all - n_pos AS n_neg")
+      .selectExpr("*", "tp * n_neg - fp * n_pos AS j_num")
+      .orderBy(desc("j_num"), desc("threshold"))
+      .limit(1)
+      .selectExpr("threshold", "tp", "fp", "n_pos", "n_neg", "j_num",
+        "CAST(tp AS DOUBLE) / n_pos AS tpr",
+        "CAST(fp AS DOUBLE) / n_neg AS fpr",
+        "CAST(tp AS DOUBLE) / n_pos - CAST(fp AS DOUBLE) / n_neg AS youden_j")
+  }
+
+  lazy val classifierOptimalThresholdOracle: String =
+    s"""WITH $gateCtes, $clsCtes,
+        j AS (SELECT c.doc_id, c.s AS score, g.pass
+              FROM cls_s c JOIN gate g ON c.doc_id = g.doc_id),
+        byv AS (SELECT score, CAST(sum(pass) AS BIGINT) AS cnt1,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM j GROUP BY score),
+        cum AS (SELECT score,
+            CAST(sum(cnt1) OVER (ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+            CAST(sum(cnt) OVER (ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS keep_n,
+            CAST(sum(cnt1) OVER () AS BIGINT) AS n_pos,
+            CAST(sum(cnt) OVER () AS BIGINT) AS n_all
+          FROM byv),
+        sweep AS (SELECT score AS threshold, tp, keep_n - tp AS fp,
+            n_pos, n_all - n_pos AS n_neg
+          FROM cum),
+        best AS (SELECT *, tp * n_neg - fp * n_pos AS j_num FROM sweep
+          ORDER BY j_num DESC, threshold DESC LIMIT 1)
+        SELECT threshold, tp, fp, n_pos, n_neg, j_num,
+          CAST(tp AS DOUBLE) / n_pos AS tpr,
+          CAST(fp AS DOUBLE) / n_neg AS fpr,
+          CAST(tp AS DOUBLE) / n_pos - CAST(fp AS DOUBLE) / n_neg AS youden_j
+        FROM best"""
+
   /** `text_source_novelty`: each source's EXCLUSIVE contribution — of
     * the distinct 3-gram shingle types a source contains, how many
     * appear in NO other source. This is the marginal-value table for
