@@ -290,6 +290,52 @@ object EventsStream {
     * zero-padded (micros, event_id) string, a total order both
     * engines compare identically (DuckDB's arg_min takes only scalar
     * keys, so the composite is encoded, not a struct). */
+  /** `events_decay_engagement`: per-user engagement with exponential
+    * time decay at a one-week half-life — the recency-weighted score
+    * ranking/retention features use — computed WITHOUT a single
+    * floating-point sum. Per (user, age-week k ≤ 30) the weight is
+    * 2^(30−k) as a BIGINT shift, so the accumulated score is an exact
+    * integer in half-life units scaled by 2^30; the float score is one
+    * exact dyadic division at readout (score_scaled < 2^53 holds up to
+    * ~8M events/user — past that, drop the cap to fewer weeks or widen
+    * the scale; the bound is documented, not silently crossed: the
+    * readout column would lose ulps, the scaled BIGINT never does).
+    * The usual exp()-based form is libm-ordered float addition — the
+    * exact thing the engine's no-libm discipline exists to avoid.
+    * Ages anchor to the corpus max day (one-row broadcast). */
+  def decayEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .selectExpr("user_id",
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS d")
+    val ref = days.agg(max("d").as("ref_d"))
+    days.crossJoin(broadcast(ref))
+      .selectExpr("user_id", "least((ref_d - d) DIV 7, CAST(30 AS BIGINT)) AS k")
+      .groupBy("user_id", "k").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(sum("cnt").as("n_events"),
+        sum(expr("cnt * shiftleft(CAST(1 AS BIGINT), CAST(30 - k AS INT))"))
+          .as("score_scaled"))
+      .selectExpr("user_id", "CAST(n_events AS BIGINT) AS n_events",
+        "CAST(score_scaled AS BIGINT) AS score_scaled",
+        "score_scaled / CAST(1073741824 AS DOUBLE) AS score")
+      .orderBy("user_id")
+  }
+
+  val decayEngagementOracle: String =
+    """WITH days AS (SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+          FROM events),
+        ref AS (SELECT max(d) AS ref_d FROM days),
+        ks AS (SELECT user_id, least((ref_d - d) // 7, 30) AS k
+          FROM days CROSS JOIN ref),
+        per AS (SELECT user_id, k, count(*) AS cnt FROM ks GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+          CAST(sum(cnt * (CAST(1 AS BIGINT) << CAST(30 - k AS INT))) AS BIGINT)
+            AS score_scaled,
+          CAST(sum(cnt * (CAST(1 AS BIGINT) << CAST(30 - k AS INT))) AS BIGINT)
+            / CAST(1073741824 AS DOUBLE) AS score
+        FROM per GROUP BY user_id ORDER BY user_id"""
+
   def userFirstLast(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .selectExpr("user_id", "event_type",
