@@ -1654,4 +1654,106 @@ object Extras {
         UNION ALL SELECT * FROM f
         ORDER BY branch"""
   }
+
+  // ---- ABC-XYZ inventory classification ----
+
+  /** `parts_abc_xyz`: the two-axis inventory matrix — value
+    * concentration (ABC, cumulative revenue share 80/95) crossed with
+    * demand VARIABILITY (XYZ, coefficient of variation of monthly
+    * quantity at the 0.5/1.0 textbook cuts). A-X parts are forecast-
+    * friendly cash cows; C-Z parts are the long tail stochastic noise.
+    *
+    * The XYZ boundaries never touch a float OR a square root:
+    * CV ≤ c ⟺ CV² ≤ c² ⟺ M²·var ≤ c²·S², and with months-without-
+    * sales counted as zero demand (the textbook convention — a part
+    * selling one month a year IS erratic), M²·var = M·ΣQ² − S² over
+    * exact BIGINT month sums, so the class predicates are
+    * 4·(M·ΣQ² − S²) ≤ S² (X) and M·ΣQ² ≤ 2·S² (Y) — pure integer
+    * cross-multiplication, like the ABC 80/95 cuts above. Output is
+    * the 9-cell matrix with part counts and revenue, the planning
+    * summary the per-part relation rolls into at any scale. */
+  def partsAbcXyz(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents",
+        "CAST(round(l_quantity) AS BIGINT) AS q",
+        """CAST((extract(year FROM CAST(l_shipdate AS DATE)) - 1970) * 12
+            + extract(month FROM CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS mth""")
+    val months = li.agg(countDistinct("mth").as("m_total"))
+    val abc = {
+      val perPart = li.groupBy("l_partkey").agg(sum("cents").as("cents"))
+      val w = Window.orderBy(desc("cents"), asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perPart
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        .withColumn("total_cents", sum(col("cents")).over(Window.partitionBy()))
+        .selectExpr("l_partkey", "cents",
+          """CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                  WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class""")
+    }
+    val xyz = xyzClasses(li.groupBy("l_partkey", "mth").agg(sum("q").as("mq")))
+    abc.join(xyz, Seq("l_partkey"))
+      .groupBy("abc_class", "xyz_class")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
+      .selectExpr("abc_class", "xyz_class",
+        "CAST(n_parts AS BIGINT) AS n_parts",
+        "CAST(cents AS BIGINT) / CAST(100 AS DOUBLE) AS revenue")
+      .orderBy("abc_class", "xyz_class")
+  }
+
+  /** XYZ classification over a (l_partkey, mth, mq) monthly-demand
+    * relation; the month universe is the relation's own distinct-month
+    * count, zero-months implicit. Seam for the spec — the fixture's
+    * demand is so intermittent every part lands in Z, so the X/Y
+    * predicates need crafted series to be exercised at all. */
+  private[graft] def xyzClasses(mq: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val months = mq.agg(countDistinct("mth").as("m_total"))
+    mq.groupBy("l_partkey")
+      .agg(sum("mq").as("s"), sum(expr("mq * mq")).as("q2"))
+      .crossJoin(broadcast(months))
+      .selectExpr("l_partkey",
+        """CASE WHEN 4 * (m_total * q2 - s * s) <= s * s THEN 'X'
+                WHEN m_total * q2 <= 2 * s * s THEN 'Y'
+                ELSE 'Z' END AS xyz_class""")
+  }
+
+  val partsAbcXyzOracle: String =
+    """WITH li AS (SELECT l_partkey,
+            CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+            CAST(round(l_quantity) AS BIGINT) AS q,
+            CAST((extract(year FROM CAST(l_shipdate AS DATE)) - 1970) * 12
+              + extract(month FROM CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS mth
+          FROM lineitem),
+        months AS (SELECT CAST(count(DISTINCT mth) AS BIGINT) AS m_total FROM li),
+        per AS (SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS cents
+          FROM li GROUP BY 1),
+        r AS (SELECT *,
+            CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_cents,
+            CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+          FROM per),
+        abc AS (SELECT l_partkey, cents,
+            CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                 WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                 ELSE 'C' END AS abc_class
+          FROM r),
+        mq_t AS (SELECT l_partkey, mth, CAST(sum(q) AS BIGINT) AS mq
+          FROM li GROUP BY 1, 2),
+        xs AS (SELECT l_partkey, CAST(sum(mq) AS BIGINT) AS s,
+            CAST(sum(mq * mq) AS BIGINT) AS q2
+          FROM mq_t GROUP BY 1),
+        xyz AS (SELECT l_partkey,
+            CASE WHEN 4 * (m_total * q2 - s * s) <= s * s THEN 'X'
+                 WHEN m_total * q2 <= 2 * s * s THEN 'Y'
+                 ELSE 'Z' END AS xyz_class
+          FROM xs CROSS JOIN months)
+        SELECT a.abc_class, x.xyz_class,
+          CAST(count(*) AS BIGINT) AS n_parts,
+          CAST(sum(a.cents) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+        FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+        GROUP BY 1, 2 ORDER BY 1, 2"""
 }
