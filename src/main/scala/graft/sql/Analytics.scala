@@ -1639,6 +1639,84 @@ object Analytics {
          CASE WHEN naive_sum > 0 THEN CAST(mae_sum AS DOUBLE) / naive_sum ELSE CAST(0 AS DOUBLE) END AS mase
        FROM stacked ORDER BY method"""
 
+  // ---- Wald-Wolfowitz runs test ----
+
+  /** Runs test for randomness of the daily revenue series around its
+    * median (Wald & Wolfowitz 1940): days are signed above/below the
+    * median (exact low-median order statistic; exact-median days are
+    * dropped, the standard dichotomization), the run count R is an
+    * exact integer from a lag comparison, and the normal approximation
+    * z = (R − E[R])/√Var[R] uses the closed-form rational moments
+    * E = 1 + 2n₁n₂/n, Var = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)). Too FEW runs
+    * means positive serial dependence (trends, regimes — what CUSUM
+    * and Mann–Kendall then characterize); too many means oscillation.
+    * This is the cheap "is there any structure at all" gate in front
+    * of the heavier trend battery. Day-grain everything; the one sqrt
+    * is IEEE-exact-rounded on both engines. */
+  def dailyRevenueRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val series = revenueSeries(spark, dir, dayGrain)
+      .transform(graft.ops.Checkpoints.cut)
+    val med = series
+      .selectExpr("y", "row_number() OVER (ORDER BY y, x) AS rk",
+        "count(1) OVER () AS n")
+      .filter(expr("rk = (n + 1) DIV 2"))
+      .selectExpr("y AS median_y")
+    val signed = series.crossJoin(broadcast(med))
+      .filter(col("y") =!= col("median_y"))
+      .selectExpr("x", "CASE WHEN y > median_y THEN 1 ELSE 0 END AS s")
+    val runs = signed
+      .selectExpr("s",
+        """CASE WHEN lag(s) OVER (ORDER BY x) IS NULL
+                OR lag(s) OVER (ORDER BY x) <> s THEN 1 ELSE 0 END AS new_run""")
+      .agg(sum("new_run").as("r"),
+        sum("s").as("n1"),
+        sum(expr("1 - s")).as("n2"))
+    runs
+      .selectExpr("CAST(r AS BIGINT) AS r", "CAST(n1 AS BIGINT) AS n1",
+        "CAST(n2 AS BIGINT) AS n2")
+      .selectExpr("r", "n1", "n2",
+        "1 + 2 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) AS e_r",
+        """2 * CAST(n1 AS DOUBLE) * n2 * (2 * CAST(n1 AS DOUBLE) * n2 - (n1 + n2))
+           / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)) AS var_r""")
+      .selectExpr("r", "n1", "n2", "e_r", "var_r",
+        "CASE WHEN var_r > 0 THEN (r - e_r) / sqrt(var_r) ELSE CAST(0 AS DOUBLE) END AS z")
+      .selectExpr("r", "n1", "n2", "e_r", "var_r", "z",
+        """CASE WHEN z < -1.96 THEN 'clustered'
+                WHEN z > 1.96 THEN 'oscillating'
+                ELSE 'random' END AS verdict""")
+  }
+
+  val dailyRevenueRunsTestOracle: String =
+    s"""WITH series AS (
+         SELECT $dayGrainDuck AS x,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) // 100 AS y
+         FROM lineitem GROUP BY 1),
+       med AS (SELECT y AS median_y FROM (
+           SELECT y, row_number() OVER (ORDER BY y, x) AS rk,
+             count(*) OVER () AS n FROM series)
+         WHERE rk = (n + 1) // 2),
+       signed AS (SELECT x, CASE WHEN y > median_y THEN 1 ELSE 0 END AS s
+         FROM series CROSS JOIN med WHERE y <> median_y),
+       flags AS (SELECT s,
+           CASE WHEN lag(s) OVER (ORDER BY x) IS NULL
+                OR lag(s) OVER (ORDER BY x) <> s THEN 1 ELSE 0 END AS new_run
+         FROM signed),
+       agg AS (SELECT CAST(sum(new_run) AS BIGINT) AS r,
+           CAST(sum(s) AS BIGINT) AS n1,
+           CAST(sum(1 - s) AS BIGINT) AS n2 FROM flags),
+       m AS (SELECT r, n1, n2,
+           1 + 2 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) AS e_r,
+           2 * CAST(n1 AS DOUBLE) * n2 * (2 * CAST(n1 AS DOUBLE) * n2 - (n1 + n2))
+             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)) AS var_r
+         FROM agg),
+       zt AS (SELECT *, CASE WHEN var_r > 0 THEN (r - e_r) / sqrt(var_r)
+                ELSE CAST(0 AS DOUBLE) END AS z FROM m)
+       SELECT r, n1, n2, e_r, var_r, z,
+         CASE WHEN z < -1.96 THEN 'clustered'
+              WHEN z > 1.96 THEN 'oscillating'
+              ELSE 'random' END AS verdict
+       FROM zt"""
+
   // ---- Mann-Kendall trend test ----
 
   /** Mann–Kendall monotonic-trend test on the daily revenue series —
