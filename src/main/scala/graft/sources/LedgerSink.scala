@@ -221,7 +221,8 @@ object LedgerSink {
 }
 
 private[sources] class LedgerTable(dir: Path, schema0: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
   LedgerSink.checkSchema(schema0)
 
   override def name(): String = s"ledger(${dir.toString})"
@@ -235,6 +236,70 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LedgerWriteBuilder(dir, info.schema())
+
+  // ---- metadata-only DELETE (the Iceberg "metadata delete") ----
+
+  /** Resolve the delete predicates to an inclusive [lo, hi] range on
+    * the stats column, or None when any predicate falls outside the
+    * provable shapes. */
+  private def deleteRange(filters: Array[Filter]): Option[(Long, Long)] = {
+    val statName = LedgerSink.statColIndex(schema0).map(schema0.fields(_).name)
+    if (statName.isEmpty) return None
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    val ok = filters.forall {
+      case GreaterThan(c, v: Long) if statName.contains(c) =>
+        lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual(c, v: Long) if statName.contains(c) =>
+        lo = math.max(lo, v); true
+      case LessThan(c, v: Long) if statName.contains(c) =>
+        hi = math.min(hi, v - 1); true
+      case LessThanOrEqual(c, v: Long) if statName.contains(c) =>
+        hi = math.min(hi, v); true
+      case EqualTo(c, v: Long) if statName.contains(c) =>
+        lo = math.max(lo, v); hi = math.min(hi, v); true
+      case _ => false
+    }
+    if (ok) Some((lo, hi)) else None
+  }
+
+  /** A file is decidable when its stats prove it fully inside the
+    * delete range (every row's stat value lies in [min,max] ⊆ range)
+    * or fully outside (ranges disjoint — including the all-null file,
+    * which a null-excluding range predicate can never match). */
+  private def classify(range: (Long, Long))
+      : Option[(Seq[LedgerSink.FileEntry], Seq[LedgerSink.FileEntry])] = {
+    val (lo, hi) = range
+    val entries = LedgerSink.readManifest(dir).map(_._2).getOrElse(Seq.empty)
+    val (drop, keep) = (Seq.newBuilder[LedgerSink.FileEntry],
+      Seq.newBuilder[LedgerSink.FileEntry])
+    entries.foreach { e =>
+      (e.min, e.max) match {
+        case (Some(mn), Some(mx)) if mn >= lo && mx <= hi => drop += e
+        case (Some(mn), Some(mx)) if mx < lo || mn > hi => keep += e
+        case (None, None) => keep += e // all-null: no row can match
+        case _ => return None // straddling file: not a metadata delete
+      }
+    }
+    Some((drop.result(), keep.result()))
+  }
+
+  /** Accept exactly the deletes the manifest can prove whole-file:
+    * Spark surfaces a refusal as an analysis error telling the user
+    * this table needs a rewrite for that predicate — the honest
+    * boundary between a metadata delete and row-level ops. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deleteRange(filters).exists(r => classify(r).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (drop, keep) = deleteRange(filters).flatMap(classify)
+      .getOrElse(throw new UnsupportedOperationException(
+        "delete predicate does not align with file boundaries"))
+    LedgerSink.writeManifestAtomic(dir, schema0, keep)
+    // physical cleanup AFTER the commit point — a crash between the
+    // two leaves unreferenced files, never a manifest naming ghosts
+    drop.foreach(e => Files.deleteIfExists(dir.resolve(e.file)))
+  }
 }
 
 /** Stats-based file skipping, the OTHER pruning discipline (the

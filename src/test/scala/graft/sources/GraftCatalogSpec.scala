@@ -49,6 +49,30 @@ class GraftCatalogSpec extends graft.SparkSpec {
     assert(a.getMessage.contains("rewrite") || a.getMessage.contains("support"))
   }
 
+  test("metadata delete drops whole files by stats; straddling deletes refuse") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spec_cat.del")
+    spark.sql("CREATE TABLE spec_cat.del.t (k BIGINT, v STRING)")
+    // two appends with disjoint key ranges → two files with aligned
+    // stats boundaries at k = 5000
+    spark.range(0, 5000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .coalesce(1).writeTo("spec_cat.del.t").append()
+    spark.range(5000, 10000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .coalesce(1).writeTo("spec_cat.del.t").append()
+    assert(spark.sql("SELECT count(*) FROM spec_cat.del.t").head.getLong(0) === 10000L)
+    // aligned delete: whole second file disappears from the manifest
+    spark.sql("DELETE FROM spec_cat.del.t WHERE k >= 5000")
+    val left = spark.sql("SELECT count(*), max(k) FROM spec_cat.del.t").head
+    assert((left.getLong(0), left.getLong(1)) === ((5000L, 4999L)))
+    // straddling delete cannot be proven whole-file → refused
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM spec_cat.del.t WHERE k >= 2500")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete") ||
+      e.getMessage.contains("rewrite"))
+    assert(spark.sql("SELECT count(*) FROM spec_cat.del.t").head.getLong(0) === 5000L)
+  }
+
   test("fixture SQL roundtrip groups match the direct scan") {
     val out = CatalogRoundtrip.catalogSqlRoundtrip(spark, sfTiny).collect()
     assert(out.length === 5)
