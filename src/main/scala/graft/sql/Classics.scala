@@ -983,4 +983,64 @@ object Classics {
                             AND CAST(l3.l_shipdate AS DATE) > f.od + 60)
         GROUP BY s.s_suppkey, s.s_name
         ORDER BY numwait DESC, s_suppkey LIMIT 100"""
+
+  // ---- supplier concentration (Herfindahl-Hirschman index) ----
+
+  /** `nation_supplier_hhi`: supplier revenue concentration per nation
+    * by the Herfindahl–Hirschman index, HHI = Σ share² — the antitrust
+    * screen (DOJ/FTC 2010 guidelines: > 0.25 highly concentrated,
+    * > 0.15 moderately). The index itself is the only float, computed
+    * as ΣC²/S² from exact BIGINT cent sums, and the CLASS cuts never
+    * touch it: HHI > 0.25 ⟺ 4·ΣC² > S² and HHI > 0.15 ⟺
+    * 20·ΣC² > 3·S², pure integer cross-multiplication (the ABC-XYZ
+    * discipline). Supplier dim broadcasts; two hash aggs; nation-grain
+    * output. The share unit is WHOLE DOLLARS (cents DIV 100 after the
+    * per-supplier sum): shares are scale-invariant, and cent-squared
+    * sums overflow Long already at sf0.001 (3.1e9² > 2^63) — found by
+    * the oracle's own overflow error, which is the integer-exactness
+    * discipline working as intended: loud, never wrapped. Dollar
+    * squares stay in range past sf100. */
+  def nationSupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bySup = t(spark, dir, "lineitem")
+      .selectExpr("l_suppkey",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents")
+      .join(broadcast(t(spark, dir, "supplier")
+        .selectExpr("s_suppkey AS l_suppkey", "CAST(s_nationkey AS BIGINT) AS nk")),
+        "l_suppkey")
+      .groupBy("nk", "l_suppkey")
+      .agg(expr("sum(cents) DIV 100").as("c"))
+    bySup.groupBy("nk")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("c").as("s_tot"),
+        sum(expr("c * c")).as("c2"))
+      .join(broadcast(t(spark, dir, "nation")
+        .selectExpr("CAST(n_nationkey AS BIGINT) AS nk", "n_name")), "nk")
+      .selectExpr("n_name", "CAST(n_suppliers AS BIGINT) AS n_suppliers",
+        "CAST(s_tot AS BIGINT) AS s_tot", "CAST(c2 AS BIGINT) AS c2")
+      .selectExpr("n_name", "n_suppliers",
+        "CAST(c2 AS DOUBLE) / (CAST(s_tot AS DOUBLE) * s_tot) AS hhi",
+        """CASE WHEN 4 * c2 > s_tot * s_tot THEN 'concentrated'
+                WHEN 20 * c2 > 3 * (s_tot * s_tot) THEN 'moderate'
+                ELSE 'competitive' END AS market_class""")
+      .orderBy("n_name")
+  }
+
+  val nationSupplierHhiOracle: String =
+    """WITH by_sup AS (SELECT s.s_nationkey AS nk, l.l_suppkey,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT)) // 100 AS BIGINT) AS c
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        by_nat AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_suppliers,
+            CAST(sum(c) AS BIGINT) AS s_tot,
+            CAST(sum(c * c) AS BIGINT) AS c2
+          FROM by_sup GROUP BY nk)
+        SELECT n.n_name, b.n_suppliers,
+          CAST(c2 AS DOUBLE) / (CAST(s_tot AS DOUBLE) * s_tot) AS hhi,
+          CASE WHEN 4 * c2 > s_tot * s_tot THEN 'concentrated'
+               WHEN 20 * c2 > 3 * (s_tot * s_tot) THEN 'moderate'
+               ELSE 'competitive' END AS market_class
+        FROM by_nat b JOIN nation n ON b.nk = n.n_nationkey
+        ORDER BY n_name"""
 }
