@@ -1639,6 +1639,73 @@ object Analytics {
          CASE WHEN naive_sum > 0 THEN CAST(mae_sum AS DOUBLE) / naive_sum ELSE CAST(0 AS DOUBLE) END AS mase
        FROM stacked ORDER BY method"""
 
+  // ---- pinball-loss quantile (loss-minimization view) ----
+
+  /** The 0.9-quantile of daily revenue derived TWICE: as the order
+    * statistic, and as the minimizer of the pinball (quantile) loss
+    * L_τ(c) = Σ τ·(y−c)⁺ + (1−τ)·(c−y)⁺ — the loss quantile
+    * regression and forecast-interval scoring optimize. The theorem
+    * that any τ-quantile minimizes L_τ (Koenker & Bassett 1978)
+    * becomes a CHECKED FLAG: both derivations must name the same
+    * value, and the oracle hashes the flag as a literal 1.
+    *
+    * Exactness: with τ = 9/10 and integer dollars, 10·L is an exact
+    * BIGINT — per candidate c (the distinct values), both one-sided
+    * sums come from cumulative count/sum windows over the value
+    * domain, so the whole sweep is O(distinct values), not O(n²), and
+    * the argmin comparison never touches a float. Ties break to the
+    * smallest candidate, the lower quantile. */
+  def dailyRevenuePinballQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val series = revenueSeries(spark, dir, dayGrain)
+      .transform(graft.ops.Checkpoints.cut)
+    val cand = series.groupBy("y").agg(count(lit(1)).as("cnt"))
+      .selectExpr("y AS c", "cnt",
+        """CAST(sum(cnt) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_le""",
+        """CAST(sum(y * cnt) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_le""",
+        "CAST(sum(cnt) OVER () AS BIGINT) AS n",
+        "CAST(sum(y * cnt) OVER () AS BIGINT) AS s")
+      .selectExpr("c", "n_le", "n",
+        "9 * ((s - sum_le) - c * (n - n_le)) + (c * n_le - sum_le) AS loss10")
+    val best = cand.orderBy(asc("loss10"), asc("c")).limit(1)
+      .selectExpr("c AS q_pinball", "loss10", "n")
+    val orderStat = cand
+      .filter(expr("n_le >= (9 * n + 9) DIV 10"))
+      .orderBy(asc("c")).limit(1)
+      .selectExpr("c AS q_order")
+    best.crossJoin(broadcast(orderStat))
+      .selectExpr("n", "q_pinball", "q_order", "loss10",
+        "CAST(CASE WHEN q_pinball = q_order THEN 1 ELSE 0 END AS INT) AS theorem_holds")
+  }
+
+  val dailyRevenuePinballQuantileOracle: String =
+    s"""WITH series AS (
+         SELECT $dayGrainDuck AS x,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) // 100 AS y
+         FROM lineitem GROUP BY 1),
+       cand0 AS (SELECT y AS c, count(*) AS cnt FROM series GROUP BY y),
+       cand AS (SELECT c,
+           CAST(sum(cnt) OVER (ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_le,
+           CAST(sum(c * cnt) OVER (ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_le,
+           CAST(sum(cnt) OVER () AS BIGINT) AS n,
+           CAST(sum(c * cnt) OVER () AS BIGINT) AS s
+         FROM cand0),
+       sweep AS (SELECT c, n_le, n,
+           9 * ((s - sum_le) - c * (n - n_le)) + (c * n_le - sum_le) AS loss10
+         FROM cand),
+       best AS (SELECT c AS q_pinball, loss10, n FROM sweep
+         ORDER BY loss10, c LIMIT 1),
+       ord AS (SELECT c AS q_order FROM sweep
+         WHERE n_le >= (9 * n + 9) // 10 ORDER BY c LIMIT 1)
+       SELECT n, CAST(q_pinball AS BIGINT) AS q_pinball,
+         CAST(q_order AS BIGINT) AS q_order,
+         CAST(loss10 AS BIGINT) AS loss10,
+         CAST(CASE WHEN q_pinball = q_order THEN 1 ELSE 0 END AS INT) AS theorem_holds
+       FROM best CROSS JOIN ord"""
+
   // ---- Wald-Wolfowitz runs test ----
 
   /** Runs test for randomness of the daily revenue series around its
