@@ -1132,6 +1132,49 @@ object TextAnalysis {
           CAST(tp AS DOUBLE) / n_pos - CAST(fp AS DOUBLE) / n_neg AS youden_j
         FROM best"""
 
+  /** `source_simpson_diversity`: per-source TERM diversity by the
+    * Simpson index — 1 − Σp² (the probability two random tokens are
+    * different types) and its inverse 1/Σp², the "effective
+    * vocabulary" (Hill number of order 2). Simpson is the diversity
+    * index that needs NO logarithm, which makes it the one this
+    * engine can gate bit-exactly: Σc² and S are exact BIGINT token
+    * sums per source, the two readouts are single divisions. The
+    * entropy-based diversity lives in the lang-mix table under
+    * quantized-nano discipline; this is its log-free vocabulary-grain
+    * complement, and the one to prefer cross-engine. Term counts per
+    * (source, term) are one map-side-combined agg; per-source squares
+    * another — two shuffles on bounded keys at any corpus size. */
+  def sourceSimpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("source",
+        s"explode(${words("lower(text)", SparkD)}) AS term")
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum("c").as("s"),
+        sum(expr("c * c")).as("c2"))
+      .selectExpr("source", "CAST(n_types AS BIGINT) AS n_types",
+        "CAST(s AS BIGINT) AS n_tokens", "CAST(c2 AS BIGINT) AS c2")
+      .selectExpr("source", "n_types", "n_tokens",
+        "1 - CAST(c2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens) AS simpson",
+        "(CAST(n_tokens AS DOUBLE) * n_tokens) / c2 AS effective_vocab")
+      .orderBy("source")
+
+  val sourceSimpsonDiversityOracle: String =
+    s"""WITH toks AS (SELECT source,
+           unnest(${words("lower(text)", DuckD)}) AS term
+         FROM documents),
+       per AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+         FROM toks GROUP BY 1, 2),
+       agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(c * c) AS BIGINT) AS c2
+         FROM per GROUP BY source)
+       SELECT source, n_types, n_tokens,
+         1 - CAST(c2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens) AS simpson,
+         (CAST(n_tokens AS DOUBLE) * n_tokens) / c2 AS effective_vocab
+       FROM agg ORDER BY source"""
+
   /** `text_source_novelty`: each source's EXCLUSIVE contribution — of
     * the distinct 3-gram shingle types a source contains, how many
     * appear in NO other source. This is the marginal-value table for
