@@ -1132,6 +1132,78 @@ object TextAnalysis {
           CAST(tp AS DOUBLE) / n_pos - CAST(fp AS DOUBLE) / n_neg AS youden_j
         FROM best"""
 
+  /** Kendall's τ-b between document quality score and length, computed
+    * on the 10×10 DECILE GRID (Agresti 2010 §7; the grouped-data form
+    * of the rank correlation): each doc lands in a (quality decile,
+    * length decile) cell, concordant/discordant pair counts come from
+    * one 100×100 cell-pair comparison — never a doc-pair product —
+    * and the tie corrections use the grid's row/column marginals.
+    * τ-b complements the existing Spearman: Spearman squares rank
+    * gaps, τ counts inversions, and on coarsened (tied-heavy) data
+    * τ-b's tie handling is the principled one. C, D, and the three
+    * tie sums are exact BIGINTs; τ-b itself is the single float at
+    * the end (one sqrt). Decile assignment uses ntile with a doc_id
+    * tiebreak so the grid is deterministic. */
+  def qualityLengthKendall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = statsRelation(spark, dir)
+      .select(col("doc_id"), col("quality_score"), col("n_chars"))
+      .withColumn("qi", ntile(10).over(
+        Window.orderBy(asc("quality_score"), asc("doc_id"))))
+      .withColumn("li", ntile(10).over(
+        Window.orderBy(asc("n_chars"), asc("doc_id"))))
+    val cells = per.groupBy("qi", "li").agg(count(lit(1)).as("nij"))
+      .selectExpr("qi", "li", "CAST(nij AS BIGINT) AS nij")
+    val a = cells.selectExpr("qi AS qa", "li AS la", "nij AS na")
+    val b = cells.selectExpr("qi AS qb", "li AS lb", "nij AS nb")
+    val pairs = a.crossJoin(broadcast(b)).filter(
+      col("qa") < col("qb") || (col("qa") === col("qb") && col("la") < col("lb")))
+    val cd = pairs.agg(
+      sum(expr("CASE WHEN qa < qb AND la < lb THEN na * nb ELSE 0 END")).as("c"),
+      sum(expr("CASE WHEN qa < qb AND la > lb THEN na * nb ELSE 0 END")).as("d"))
+    val rows = cells.groupBy("qi").agg(sum("nij").as("r"))
+      .agg(sum(expr("r * (r - 1)")).as("t1_2"))
+    val cols = cells.groupBy("li").agg(sum("nij").as("c"))
+      .agg(sum(expr("c * (c - 1)")).as("t2_2"))
+    val n = cells.agg(sum("nij").as("n"))
+    cd.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
+      .crossJoin(broadcast(n))
+      .selectExpr("CAST(n AS BIGINT) AS n", "CAST(c AS BIGINT) AS c",
+        "CAST(d AS BIGINT) AS d",
+        "CAST(t1_2 AS BIGINT) AS t1_2", "CAST(t2_2 AS BIGINT) AS t2_2")
+      .selectExpr("n", "c", "d",
+        "n * (n - 1) - t1_2 AS den1_2", "n * (n - 1) - t2_2 AS den2_2")
+      .selectExpr("n", "c", "d",
+        "(c - d) / sqrt(CAST(den1_2 AS DOUBLE) / 2 * (CAST(den2_2 AS DOUBLE) / 2)) AS tau_b")
+  }
+
+  lazy val qualityLengthKendallOracle: String =
+    s"""WITH $statsCtes,
+        per AS (SELECT doc_id,
+            ntile(10) OVER (ORDER BY quality_score, doc_id) AS qi,
+            ntile(10) OVER (ORDER BY n_chars, doc_id) AS li
+          FROM stats),
+        cells AS (SELECT qi, li, CAST(count(*) AS BIGINT) AS nij
+          FROM per GROUP BY 1, 2),
+        cd AS (SELECT
+            CAST(sum(CASE WHEN a.qi < b.qi AND a.li < b.li
+              THEN a.nij * b.nij ELSE 0 END) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN a.qi < b.qi AND a.li > b.li
+              THEN a.nij * b.nij ELSE 0 END) AS BIGINT) AS d
+          FROM cells a CROSS JOIN cells b
+          WHERE a.qi < b.qi OR (a.qi = b.qi AND a.li < b.li)),
+        rt AS (SELECT CAST(sum(r * (r - 1)) AS BIGINT) AS t1_2
+          FROM (SELECT sum(nij) AS r FROM cells GROUP BY qi)),
+        ct AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS t2_2
+          FROM (SELECT sum(nij) AS c FROM cells GROUP BY li)),
+        nt AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cells),
+        dens AS (SELECT n, c, d, t1_2, t2_2,
+            n * (n - 1) - t1_2 AS den1_2, n * (n - 1) - t2_2 AS den2_2
+          FROM cd CROSS JOIN rt CROSS JOIN ct CROSS JOIN nt)
+        SELECT n, c, d,
+          (c - d) / sqrt(CAST(den1_2 AS DOUBLE) / 2 * (CAST(den2_2 AS DOUBLE) / 2)) AS tau_b
+        FROM dens"""
+
   /** `source_simpson_diversity`: per-source TERM diversity by the
     * Simpson index — 1 − Σp² (the probability two random tokens are
     * different types) and its inverse 1/Σp², the "effective
