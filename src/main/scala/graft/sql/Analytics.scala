@@ -1639,6 +1639,80 @@ object Analytics {
          CASE WHEN naive_sum > 0 THEN CAST(mae_sum AS DOUBLE) / naive_sum ELSE CAST(0 AS DOUBLE) END AS mase
        FROM stacked ORDER BY method"""
 
+  // ---- lang × source independence (chi-square + Cramér's V) ----
+
+  /** Independence test of the documents' language × source
+    * contingency — the corpus-composition audit that catches a feed
+    * silently becoming monolingual (a common crawl failure mode):
+    * Pearson χ², Cramér's V (the [0,1] effect size χ² alone lacks —
+    * with 100 cells a significant χ² can still be a trivial
+    * association), and the count of |standardized residual| > 2
+    * cells, the "which cells drive it" readout. Expected counts are
+    * exact rationals n_r·n_c/n; each cell's χ² term is one fixed IEEE
+    * tree over exact BIGINTs, nano-quantized BEFORE the cross-cell
+    * sum (the ANOVA order-independence discipline), so the gate holds
+    * bit-exact; V's single sqrt is correctly rounded on both engines.
+    * Grain: sources × langs cells — dimension-bounded at any corpus
+    * size. */
+  def docsLangSourceIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.io.Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val full = cells
+      .withColumn("n_r", expr("sum(o) OVER (PARTITION BY source)"))
+      .withColumn("n_c", expr("sum(o) OVER (PARTITION BY lang)"))
+      .withColumn("n", expr("sum(o) OVER ()"))
+      .selectExpr("source", "lang", "o", "n_r", "n_c", "n",
+        """CAST(round((CAST(o AS DOUBLE) - CAST(n_r AS DOUBLE) * n_c / n)
+             * (CAST(o AS DOUBLE) - CAST(n_r AS DOUBLE) * n_c / n)
+             / (CAST(n_r AS DOUBLE) * n_c / n) * 1e9) AS BIGINT) AS chi_nano""",
+        """CASE WHEN (CAST(o AS DOUBLE) - CAST(n_r AS DOUBLE) * n_c / n)
+                   * (CAST(o AS DOUBLE) - CAST(n_r AS DOUBLE) * n_c / n)
+                 > 4 * (CAST(n_r AS DOUBLE) * n_c / n)
+           THEN 1 ELSE 0 END AS big_resid""")
+    full.agg(
+        expr("CAST(max(n) AS BIGINT) AS n"),
+        expr("CAST(count(1) AS BIGINT) AS n_cells"),
+        expr("CAST(count(DISTINCT source) AS BIGINT) AS n_sources"),
+        expr("CAST(count(DISTINCT lang) AS BIGINT) AS n_langs"),
+        expr("CAST(sum(chi_nano) AS BIGINT) AS chi2_nano"),
+        expr("CAST(sum(big_resid) AS BIGINT) AS n_big_residuals"))
+      .selectExpr("n", "n_cells", "n_sources", "n_langs",
+        "chi2_nano", "n_big_residuals",
+        "(n_sources - 1) * (n_langs - 1) AS df",
+        """sqrt(chi2_nano / 1e9
+           / (n * least(n_sources - 1, n_langs - 1))) AS cramers_v""")
+  }
+
+  val docsLangSourceIndependenceOracle: String =
+    """WITH cells AS (SELECT source, lang, count(*) AS o
+         FROM documents GROUP BY 1, 2),
+       full_t AS (SELECT source, lang, o,
+           sum(o) OVER (PARTITION BY source) AS n_r,
+           sum(o) OVER (PARTITION BY lang) AS n_c,
+           sum(o) OVER () AS n
+         FROM cells),
+       terms AS (SELECT source, lang, o, n_r, n_c, n,
+           CAST(round((CAST(o AS DOUBLE) - CAST(n_r AS DOUBLE) * n_c / n)
+             * (CAST(o AS DOUBLE) - CAST(n_r AS DOUBLE) * n_c / n)
+             / (CAST(n_r AS DOUBLE) * n_c / n) * 1e9) AS BIGINT) AS chi_nano,
+           CASE WHEN (CAST(o AS DOUBLE) - CAST(n_r AS DOUBLE) * n_c / n)
+                    * (CAST(o AS DOUBLE) - CAST(n_r AS DOUBLE) * n_c / n)
+                  > 4 * (CAST(n_r AS DOUBLE) * n_c / n)
+             THEN 1 ELSE 0 END AS big_resid
+         FROM full_t),
+       agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(chi_nano) AS BIGINT) AS chi2_nano,
+           CAST(sum(big_resid) AS BIGINT) AS n_big_residuals
+         FROM terms)
+       SELECT n, n_cells, n_sources, n_langs, chi2_nano, n_big_residuals,
+         (n_sources - 1) * (n_langs - 1) AS df,
+         sqrt(chi2_nano / 1e9
+           / (n * least(n_sources - 1, n_langs - 1))) AS cramers_v
+       FROM agg"""
+
   // ---- pinball-loss quantile (loss-minimization view) ----
 
   /** The 0.9-quantile of daily revenue derived TWICE: as the order
