@@ -336,6 +336,50 @@ object EventsStream {
             / CAST(1073741824 AS DOUBLE) AS score
         FROM per GROUP BY user_id ORDER BY user_id"""
 
+  /** `events_user_fano`: dispersion of each user's daily event counts
+    * by the Fano factor (variance/mean; Poisson arrivals sit at 1) —
+    * the regularity signal that complements the bot screen: scripted
+    * traffic is UNDER-dispersed (metronomic, F < 1), campaign-driven
+    * humans are over-dispersed bursts (F > 1). Days without events
+    * count as zeros over the corpus's M-day span, so
+    * M²·var = M·ΣC² − S² over exact BIGINT daily sums and the
+    * dispersion class is the integer comparison of M·ΣC² − S² against
+    * M·S — no float enters the verdict; the Fano readout itself is
+    * one division. User-grain output, day-grain shuffles. */
+  def userFano(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day")
+      .groupBy("user_id", "day").agg(count(lit(1)).as("c"))
+    val span = daily.agg(countDistinct("day").as("m"))
+    daily.groupBy("user_id")
+      .agg(count(lit(1)).as("n_days_active"),
+        sum("c").as("s"), sum(expr("c * c")).as("q2"))
+      .crossJoin(broadcast(span))
+      .selectExpr("user_id",
+        "CAST(n_days_active AS BIGINT) AS n_days_active",
+        "CAST(s AS BIGINT) AS n_events",
+        "CAST((m * q2 - s * s) AS DOUBLE) / (CAST(m AS DOUBLE) * s) AS fano",
+        """CASE WHEN m * q2 - s * s < m * s THEN 'under_dispersed'
+                WHEN m * q2 - s * s > m * s THEN 'over_dispersed'
+                ELSE 'poissonian' END AS dispersion""")
+      .orderBy("user_id")
+  }
+
+  val userFanoOracle: String =
+    """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       span AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS m FROM daily),
+       per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days_active,
+           CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q2
+         FROM daily GROUP BY user_id)
+       SELECT user_id, n_days_active, s AS n_events,
+         CAST((m * q2 - s * s) AS DOUBLE) / (CAST(m AS DOUBLE) * s) AS fano,
+         CASE WHEN m * q2 - s * s < m * s THEN 'under_dispersed'
+              WHEN m * q2 - s * s > m * s THEN 'over_dispersed'
+              ELSE 'poissonian' END AS dispersion
+       FROM per CROSS JOIN span ORDER BY user_id"""
+
   def userFirstLast(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .selectExpr("user_id", "event_type",
