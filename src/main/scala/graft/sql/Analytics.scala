@@ -1639,6 +1639,83 @@ object Analytics {
          CASE WHEN naive_sum > 0 THEN CAST(mae_sum AS DOUBLE) / naive_sum ELSE CAST(0 AS DOUBLE) END AS mase
        FROM stacked ORDER BY method"""
 
+  // ---- difference-in-differences (promo effect) ----
+
+  /** Difference-in-differences estimate of the promo effect on
+    * per-line revenue (Card & Krueger 1994's identification strategy,
+    * on the fixture's natural experiment): treated = PROMO-type
+    * parts, control = everything else, periods split at the corpus
+    * ship-date midpoint (derived, not hard-coded), and
+    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the
+    * estimator that differences away both the group-level baseline
+    * gap and the common time trend, which a naive post-period
+    * comparison conflates. One conditional aggregation produces all
+    * four cells (exact BIGINT cent sums and counts); the four means
+    * and the estimate are fixed IEEE trees at the end. Parallel-trends
+    * is the untestable assumption — stated, not implied. */
+  def lineitemPromoDid(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents",
+        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT) AS d")
+    val parts = graft.io.Tables.part(spark, dir)
+      .selectExpr("p_partkey AS l_partkey",
+        "CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS treated")
+    val cut = li.agg(expr("(min(d) + max(d)) DIV 2").as("cut_d"))
+    li.join(broadcast(parts), "l_partkey")
+      .crossJoin(broadcast(cut))
+      .selectExpr("treated", "CASE WHEN d >= cut_d THEN 1 ELSE 0 END AS post", "cents")
+      .groupBy()
+      .agg(
+        sum(expr("CASE WHEN treated = 1 AND post = 1 THEN cents ELSE 0 END")).as("s_tp"),
+        sum(expr("CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END")).as("n_tp"),
+        sum(expr("CASE WHEN treated = 1 AND post = 0 THEN cents ELSE 0 END")).as("s_t0"),
+        sum(expr("CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END")).as("n_t0"),
+        sum(expr("CASE WHEN treated = 0 AND post = 1 THEN cents ELSE 0 END")).as("s_cp"),
+        sum(expr("CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END")).as("n_cp"),
+        sum(expr("CASE WHEN treated = 0 AND post = 0 THEN cents ELSE 0 END")).as("s_c0"),
+        sum(expr("CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END")).as("n_c0"))
+      .selectExpr(
+        "CAST(n_tp AS BIGINT) AS n_treated_post", "CAST(n_t0 AS BIGINT) AS n_treated_pre",
+        "CAST(n_cp AS BIGINT) AS n_control_post", "CAST(n_c0 AS BIGINT) AS n_control_pre",
+        "CAST(s_tp AS DOUBLE) / (100 * n_tp) AS y_treated_post",
+        "CAST(s_t0 AS DOUBLE) / (100 * n_t0) AS y_treated_pre",
+        "CAST(s_cp AS DOUBLE) / (100 * n_cp) AS y_control_post",
+        "CAST(s_c0 AS DOUBLE) / (100 * n_c0) AS y_control_pre")
+      .selectExpr("*",
+        "(y_treated_post - y_treated_pre) - (y_control_post - y_control_pre) AS did")
+  }
+
+  val lineitemPromoDidOracle: String =
+    """WITH li AS (SELECT l_partkey,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+           CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+         FROM lineitem),
+       cut AS (SELECT (min(d) + max(d)) // 2 AS cut_d FROM li),
+       j AS (SELECT CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS treated,
+           CASE WHEN li.d >= cut_d THEN 1 ELSE 0 END AS post, li.cents
+         FROM li JOIN part p ON li.l_partkey = p.p_partkey CROSS JOIN cut),
+       agg AS (SELECT
+           CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_tp,
+           CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+           CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_t0,
+           CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+           CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_cp,
+           CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+           CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_c0,
+           CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0
+         FROM j),
+       means AS (SELECT n_tp AS n_treated_post, n_t0 AS n_treated_pre,
+           n_cp AS n_control_post, n_c0 AS n_control_pre,
+           CAST(s_tp AS DOUBLE) / (100 * n_tp) AS y_treated_post,
+           CAST(s_t0 AS DOUBLE) / (100 * n_t0) AS y_treated_pre,
+           CAST(s_cp AS DOUBLE) / (100 * n_cp) AS y_control_post,
+           CAST(s_c0 AS DOUBLE) / (100 * n_c0) AS y_control_pre
+         FROM agg)
+       SELECT *,
+         (y_treated_post - y_treated_pre) - (y_control_post - y_control_pre) AS did
+       FROM means"""
+
   // ---- lang × source independence (chi-square + Cramér's V) ----
 
   /** Independence test of the documents' language × source
