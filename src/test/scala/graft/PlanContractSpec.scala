@@ -48,7 +48,40 @@ class PlanContractSpec extends SparkSpec {
     "classic_min_cost_supplier", "classic_late_order_priority",
     "classic_product_profit", "classic_ship_lag_priority",
     "classic_supplier_part_counts", "classic_dominant_supplier",
-    "classic_waiting_supplier")
+    "classic_waiting_supplier",
+    // session-3 operators with pure equi-join plans (the scalar
+    // one-row-broadcast patterns — waterfill level, DiD cut, prior
+    // row, decile totals, Kendall cell grid — are excluded by design
+    // like the other scalar-total patterns; the edit join and
+    // Mann-Kendall carry intentional BOUNDED non-equi joins asserted
+    // in their own tests below)
+    "source_simpson_diversity", "dsv2_runtime_pruned_join",
+    "text_tokenizer_fertility", "dsv2_sink_roundtrip")
+
+  test("edit join's long-document population never goes cartesian") {
+    // the candidate generator must stay a (gram, band) equi-join; the
+    // only permitted non-equi join is the BOUNDED short-document
+    // fallback (both sides < q·(d+1) chars by construction), which
+    // plans as a broadcast nested-loop, never a cartesian product
+    val p = plan("dedup_edit_join_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "no equi-join found for the gram buckets")
+  }
+
+  test("trend tests never go cartesian above the day-grain checkpoint") {
+    // the series is checkpointed at the day grain (Checkpoints.cut
+    // truncates the visible lineage, so the grain itself is pinned by
+    // the revenueSeries construction, not re-derivable from the plan);
+    // what the plan CAN still promise is that the pair fan-outs above
+    // it — Mann-Kendall's day-pair join especially — stay broadcast
+    // nested-loop over the calendar-sized relation, never a cartesian
+    Seq("daily_revenue_mann_kendall", "daily_revenue_runs_test",
+      "daily_revenue_conformal", "daily_revenue_pinball_quantile").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+  }
 
   test("no cartesian or nested-loop join in any equi-join query plan") {
     equiJoinOnly.foreach { q =>
