@@ -1655,6 +1655,97 @@ object Extras {
         ORDER BY branch"""
   }
 
+  // ---- arc price elasticity of demand ----
+
+  /** `parts_arc_elasticity`: per-brand arc (midpoint-formula) price
+    * elasticity of demand — %Δquantity over %Δprice between the
+    * brand's cheaper and dearer transaction halves, with midpoint
+    * denominators so the sign convention is symmetric (Allen &
+    * Lerner 1934; the log-log regression alternative needs libm, the
+    * arc form needs only ratios of exact sums). The halves split at
+    * the brand's exact unit-price median rank with a unique
+    * (orderkey, linenumber) tiebreak; each half contributes exact
+    * BIGINT quantity/price-cent sums and the elasticity is one fixed
+    * IEEE tree at the end — the /2 midpoints cancel, so
+    * e = ((q̄₂−q̄₁)(p̄₂+p̄₁)) / ((q̄₂+q̄₁)(p̄₂−p̄₁)). |e| > 1 reads
+    * elastic. Brand-grain output; the rank window partitions by
+    * brand, the documented exact-order-statistic path. */
+  def partsArcElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey", "l_orderkey", "l_linenumber",
+        "CAST(round(l_quantity) AS BIGINT) AS q",
+        "CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT) AS u_cents")
+    val branded = li.join(
+      broadcast(graft.io.Tables.part(spark, dir)
+        .selectExpr("p_partkey AS l_partkey", "p_brand")), "l_partkey")
+    branded
+      .selectExpr("p_brand", "q", "u_cents",
+        """row_number() OVER (PARTITION BY p_brand
+             ORDER BY u_cents, l_orderkey, l_linenumber) AS rk""",
+        "count(1) OVER (PARTITION BY p_brand) AS n")
+      .selectExpr("p_brand", "q", "u_cents",
+        "CASE WHEN rk <= n DIV 2 THEN 0 ELSE 1 END AS half")
+      .groupBy("p_brand")
+      .agg(
+        sum(expr("CASE WHEN half = 0 THEN q ELSE 0 END")).as("q1"),
+        sum(expr("CASE WHEN half = 0 THEN u_cents ELSE 0 END")).as("p1"),
+        sum(expr("CASE WHEN half = 0 THEN 1 ELSE 0 END")).as("n1"),
+        sum(expr("CASE WHEN half = 1 THEN q ELSE 0 END")).as("q2"),
+        sum(expr("CASE WHEN half = 1 THEN u_cents ELSE 0 END")).as("p2"),
+        sum(expr("CASE WHEN half = 1 THEN 1 ELSE 0 END")).as("n2"))
+      .selectExpr("p_brand",
+        "CAST(n1 AS BIGINT) AS n_low", "CAST(n2 AS BIGINT) AS n_high",
+        "CAST(q1 AS DOUBLE) / n1 AS qm1", "CAST(p1 AS DOUBLE) / n1 AS pm1",
+        "CAST(q2 AS DOUBLE) / n2 AS qm2", "CAST(p2 AS DOUBLE) / n2 AS pm2")
+      .selectExpr("p_brand", "n_low", "n_high",
+        """CASE WHEN pm2 > pm1 AND qm1 + qm2 > 0
+           THEN ((qm2 - qm1) * (pm2 + pm1)) / ((qm2 + qm1) * (pm2 - pm1))
+           ELSE CAST(NULL AS DOUBLE) END AS elasticity""")
+      .selectExpr("p_brand", "n_low", "n_high", "elasticity",
+        """CASE WHEN elasticity IS NULL THEN 'undefined'
+                WHEN elasticity < -1 OR elasticity > 1 THEN 'elastic'
+                ELSE 'inelastic' END AS demand_class""")
+      .orderBy("p_brand")
+  }
+
+  val partsArcElasticityOracle: String =
+    """WITH li AS (SELECT l_partkey, l_orderkey, l_linenumber,
+           CAST(round(l_quantity) AS BIGINT) AS q,
+           CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT) AS u_cents
+         FROM lineitem),
+       branded AS (SELECT p.p_brand, li.q, li.u_cents, li.l_orderkey, li.l_linenumber
+         FROM li JOIN part p ON li.l_partkey = p.p_partkey),
+       ranked AS (SELECT p_brand, q, u_cents,
+           row_number() OVER (PARTITION BY p_brand
+             ORDER BY u_cents, l_orderkey, l_linenumber) AS rk,
+           count(*) OVER (PARTITION BY p_brand) AS n
+         FROM branded),
+       halves AS (SELECT p_brand, q, u_cents,
+           CASE WHEN rk <= n // 2 THEN 0 ELSE 1 END AS half
+         FROM ranked),
+       agg AS (SELECT p_brand,
+           CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS q1,
+           CAST(sum(CASE WHEN half = 0 THEN u_cents ELSE 0 END) AS BIGINT) AS p1,
+           CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS q2,
+           CAST(sum(CASE WHEN half = 1 THEN u_cents ELSE 0 END) AS BIGINT) AS p2,
+           CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         FROM halves GROUP BY p_brand),
+       means AS (SELECT p_brand, n1 AS n_low, n2 AS n_high,
+           CAST(q1 AS DOUBLE) / n1 AS qm1, CAST(p1 AS DOUBLE) / n1 AS pm1,
+           CAST(q2 AS DOUBLE) / n2 AS qm2, CAST(p2 AS DOUBLE) / n2 AS pm2
+         FROM agg),
+       e AS (SELECT p_brand, n_low, n_high,
+           CASE WHEN pm2 > pm1 AND qm1 + qm2 > 0
+             THEN ((qm2 - qm1) * (pm2 + pm1)) / ((qm2 + qm1) * (pm2 - pm1))
+             ELSE CAST(NULL AS DOUBLE) END AS elasticity
+         FROM means)
+       SELECT p_brand, n_low, n_high, elasticity,
+         CASE WHEN elasticity IS NULL THEN 'undefined'
+              WHEN elasticity < -1 OR elasticity > 1 THEN 'elastic'
+              ELSE 'inelastic' END AS demand_class
+       FROM e ORDER BY p_brand"""
+
   // ---- ABC-XYZ inventory classification ----
 
   /** `parts_abc_xyz`: the two-axis inventory matrix — value
