@@ -91,11 +91,18 @@ object Dedup {
 
   /** The shingle+signature+band projection over any (doc_id, text, …)
     * relation — applied to the full corpus by [[docFeatures]] and to an
-    * append batch by the incremental check. */
+    * append batch by the incremental check. `fp_raw` (md5 of the RAW
+    * text — byte equality, deliberately stricter than the exact-dedup
+    * tier's whitespace-normalized fingerprint) and `text_len` feed the
+    * exact-duplicate collapse in front of the band join: byte-identical
+    * docs share every derived feature (shingles, sigs, bands, lengths),
+    * so one representative can stand in for the whole group through
+    * candidate generation AND verification. */
   private[graft] def featuresOf(docs: DataFrame): DataFrame =
     docs
-      .selectExpr("doc_id", "lang", "source", s"${shinglesSql(SparkD)} AS sh")
-      .selectExpr(Seq("doc_id", "lang", "source", "sh",
+      .selectExpr("doc_id", "lang", "source", "md5(text) AS fp_raw",
+        "length(text) AS text_len", s"${shinglesSql(SparkD)} AS sh")
+      .selectExpr(Seq("doc_id", "lang", "source", "fp_raw", "text_len", "sh",
         s"CAST(${arrLen("sh", SparkD)} AS INTEGER) AS n") ++ sigCols(SparkD): _*)
       .selectExpr(Seq("*") ++ bandCols: _*)
 
@@ -137,23 +144,150 @@ object Dedup {
   val minhashSignaturesOracle: String =
     s"WITH ${minhashCtes(DuckD)} SELECT $sigBandColList FROM band_t ORDER BY doc_id"
 
-  /** Distinct band-collision candidate pairs (doc_a < doc_b) — the LSH
-    * candidate generator shared by the MinHash and n-gram verifiers.
-    * NULL bands (short docs) are filtered before the self-join. */
-  private def bandCandidates(spark: SparkSession, dir: String): DataFrame =
-    graft.PlanCache(spark, "mh_cands", dir) {
-      val bandStack = (0 until nBands).map(b => s"$b, band_$b").mkString(", ")
-      val bands = docFeatures(spark, dir)
-        .selectExpr("doc_id", s"stack($nBands, $bandStack) AS (band_idx, band_val)")
-        .filter(col("band_val").isNotNull)
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx")
-            && col("a.band_val") === col("b.band_val")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-    }
+  /** Occupancy threshold above which a self-join bucket is processed
+    * block-decomposed, and the block count. A bucket of m rows yields
+    * m²/2 pairs no matter what — the cap bounds the largest single
+    * JOIN TASK at (m/blocks)², not the answer. */
+  private[llm] val hotBucketOccupancy = 1024L
+  private[llm] val selfJoinBlocks = 16
+
+  /** All intra-bucket ordered pairs (doc_a < doc_b) of `rel` co-keyed
+    * on `keys` — the skew-guarded self-join primitive behind the LSH
+    * band candidates and the exact-dup group expansion. Buckets at or
+    * below [[hotBucketOccupancy]] take the ordinary co-keyed self-join
+    * (no task can be hot). Hot buckets are BLOCK-DECOMPOSED: each row
+    * gets a deterministic block g = pmod(hash(id), B); same-block
+    * pairs self-join within (keys, g) under the usual id_a < id_b
+    * predicate, and cross-block pairs join on strictly ordered block
+    * partners (the left side replicated to (g, j > g), the right side
+    * to (i < g, g)) so an unordered pair meets exactly once, then
+    * re-orient with least/greatest — the id order is independent of
+    * the block order, so a plain id_a < id_b filter there would DROP
+    * every pair whose smaller-block row has the larger id (the bug
+    * the equality spec caught on first cut). A bucket of m rows costs
+    * ~B·m replication and (m/B)² per task instead of m² in ONE task —
+    * the splitByHotDst idea adapted to a self-join, where no side is
+    * broadcastable because both sides ARE the hot bucket. Hot keys
+    * are split with plain (non-broadcast) semi/anti joins: the key
+    * histogram is bucket-grain, and at worst n/occupancy buckets are
+    * hot — unbounded, so never broadcast.
+    *
+    * `payload` columns ride along FROM AN ARBITRARY SIDE of each pair
+    * (the a-side, whose identity depends on the path), so they must be
+    * constant within a bucket — true of both callers (nothing for the
+    * band join; the group-shared n/text_len for the fp_raw buckets). */
+  private[graft] def bucketSelfJoinPairs(rel: DataFrame, keys: Seq[String],
+      id: String, payload: Seq[String] = Nil,
+      hotOccupancy: Long = hotBucketOccupancy,
+      blocks: Int = selfJoinBlocks): DataFrame = {
+    val keyCols = keys.map(col)
+    val hotKeys = rel.groupBy(keyCols: _*).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > hotOccupancy).drop("__occ")
+    val cold = rel.join(hotKeys, keys, "left_anti")
+    val hot = rel.join(hotKeys, keys, "left_semi")
+    def ordered(a: DataFrame, b: DataFrame, joinKeys: Seq[String]): DataFrame =
+      a.as("a").join(b.as("b"),
+          joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))
+            .reduce(_ && _) && col(s"a.$id") < col(s"b.$id"))
+        .select(col(s"a.$id").as("doc_a") +: col(s"b.$id").as("doc_b") +:
+          payload.map(p => col(s"a.$p")): _*)
+    val coldPairs = ordered(cold, cold, keys)
+    val hotG = hot.withColumn("__g", pmod(hash(col(id)), lit(blocks)))
+    val samePairs = ordered(hotG, hotG, keys :+ "__g")
+    val crossA = hotG.withColumnRenamed("__g", "__bi")
+      .withColumn("__bj", explode(
+        when(col("__bi") < blocks - 1,
+          sequence(col("__bi") + 1, lit(blocks - 1)))
+          .otherwise(array())))
+    val crossB = hotG.withColumnRenamed("__g", "__bj")
+      .withColumn("__bi", explode(
+        when(col("__bj") > 0, sequence(lit(0), col("__bj") - 1))
+          .otherwise(array())))
+    val crossPairs = crossA.as("a").join(crossB.as("b"),
+        (keys ++ Seq("__bi", "__bj"))
+          .map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _))
+      .select(least(col(s"a.$id"), col(s"b.$id")).as("doc_a") +:
+        greatest(col(s"a.$id"), col(s"b.$id")).as("doc_b") +:
+        payload.map(p => col(s"a.$p")): _*)
+    coldPairs.union(samePairs).union(crossPairs)
+  }
+
+  /** One row per distinct raw text with a non-empty shingle set:
+    * (fp_raw, doc_id = group minimum, n, text_len). Everything the
+    * band join and both verifiers need lives at this REPRESENTATIVE
+    * grain — a viral cluster of k byte-identical docs is ONE row here,
+    * so it contributes one band-bucket occupant and at most one
+    * verification per counterpart group, never k²/2 candidates
+    * (the bounded-occupancy enforcement VERDICT r8 asked for). Docs
+    * with empty shingle sets (< 3 words) have all-NULL bands and can
+    * never be candidates; they are excluded here to keep the member
+    * expansion aligned with the band join's reach. */
+  private[graft] def dupReps(feats: DataFrame): DataFrame =
+    feats.filter(col("n") > 0)
+      .groupBy("fp_raw").agg(min("doc_id").as("doc_id"))
+
+  /** (fp_raw, doc_id, n, text_len) for every doc with a non-empty
+    * shingle set — the expansion side of the collapse. */
+  private[graft] def dupMembers(feats: DataFrame): DataFrame =
+    feats.filter(col("n") > 0)
+      .select("fp_raw", "doc_id", "n", "text_len")
+
+  /** Distinct band-collision candidate pairs at REPRESENTATIVE grain
+    * (rep_a < rep_b, one rep per distinct raw text) — the LSH
+    * candidate generator shared by the MinHash and edit-distance
+    * verifiers. NULL bands (short docs) are filtered before the
+    * self-join; hot band buckets run block-decomposed
+    * ([[bucketSelfJoinPairs]]). Verification happens at this grain;
+    * [[expandRepPairs]] fans verified pairs back out to members. */
+  private def repBandCandidates(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "mh_cands", dir)(
+      repBandCandidatesOf(docFeatures(spark, dir)))
+
+  private[graft] def repBandCandidatesOf(feats: DataFrame): DataFrame = {
+    val bandStack = (0 until nBands).map(b => s"$b, band_$b").mkString(", ")
+    val bands = feats
+      .join(dupReps(feats).select("doc_id"), Seq("doc_id"), "left_semi")
+      .selectExpr("doc_id", s"stack($nBands, $bandStack) AS (band_idx, band_val)")
+      .filter(col("band_val").isNotNull)
+    bucketSelfJoinPairs(bands, Seq("band_idx", "band_val"), "doc_id")
+      .distinct()
+  }
+
+  /** Fan verified representative-level pairs back out to member pairs:
+    * every (member of rep_a's group) × (member of rep_b's group),
+    * re-oriented doc_a < doc_b, carrying the rep-level payload columns
+    * verbatim — byte-identical docs share every feature, so the
+    * verification result of the reps IS the result of every member
+    * pair. Output size equals the true answer (a verified viral pair
+    * genuinely relates k_a·k_b documents); what the collapse bought is
+    * that candidate generation and verification never touched that
+    * product. The two fp equi-joins fan out 1-to-k on the surviving
+    * pairs only; a pathological group size there is AQE skew-join
+    * territory, not a hot band bucket. */
+  private[graft] def expandRepPairs(feats: DataFrame,
+      repPairs: DataFrame, payload: Seq[String]): DataFrame = {
+    val reps = dupReps(feats)
+    val members = dupMembers(feats)
+    repPairs
+      .join(reps.selectExpr("doc_id AS doc_a", "fp_raw AS fp_a"), Seq("doc_a"))
+      .join(reps.selectExpr("doc_id AS doc_b", "fp_raw AS fp_b"), Seq("doc_b"))
+      .join(members.selectExpr("fp_raw AS fp_a", "doc_id AS ma"), Seq("fp_a"))
+      .join(members.selectExpr("fp_raw AS fp_b", "doc_id AS mb"), Seq("fp_b"))
+      .selectExpr(Seq("least(ma, mb) AS doc_a",
+        "greatest(ma, mb) AS doc_b") ++ payload: _*)
+  }
+
+  /** All within-group member pairs (doc_a < doc_b) of the exact-dup
+    * groups, with the group's shared n and text_len riding along —
+    * the pairs the representative collapse removed from the band join,
+    * re-emitted directly (they need no verification: byte-identical
+    * docs have Jaccard 1 and edit distance 0 by definition). Group
+    * pairing is itself a bucket self-join on fp_raw, so a viral group
+    * enumerates its (genuinely quadratic) answer across (k/B)² tasks,
+    * not one. */
+  private[graft] def withinGroupPairs(feats: DataFrame): DataFrame =
+    bucketSelfJoinPairs(dupMembers(feats), Seq("fp_raw"), "doc_id",
+      payload = Seq("n", "text_len"))
 
   /** Oracle CTEs mirroring [[bandCandidates]] (append after minhashCtes). */
   private def bandCandCtes: String = {
@@ -175,20 +309,34 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache(spark, "mh_pairs", dir)(minhashPairsUncached(spark, dir))
 
-  private def minhashPairsUncached(spark: SparkSession, dir: String): DataFrame = {
-    val feats = docFeatures(spark, dir)
+  /** Candidates, signature pre-filter and exact-Jaccard verification
+    * all run at REPRESENTATIVE grain (one doc per distinct raw text);
+    * verified pairs expand to member pairs, and the within-group pairs
+    * of each exact-dup group union in directly with their known
+    * payload (intersection = union = n ⇒ jaccard = n/n = 1.0, the
+    * same division text both engines run). The union is disjoint by
+    * construction (a pair is within-group iff its docs share fp_raw),
+    * so the final (doc_a, doc_b) order is total. */
+  private def minhashPairsUncached(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(docFeatures(spark, dir), repBandCandidates(spark, dir))
+
+  /** [[minhashPairsUncached]] parameterized by the feature relation
+    * and the rep-level candidate set — the seam the viral-cluster
+    * spec drives with synthetic corpora. */
+  private[graft] def minhashPairsOf(feats: DataFrame,
+      repCands: DataFrame): DataFrame = {
     val sigsA = feats.selectExpr(
       Seq("doc_id AS doc_a") ++ (0 until nSigs).map(j => s"sig_$j AS a_sig_$j"): _*)
     val sigsB = feats.selectExpr(
       Seq("doc_id AS doc_b") ++ (0 until nSigs).map(j => s"sig_$j AS b_sig_$j"): _*)
     val agree = (0 until nSigs)
       .map(j => s"CASE WHEN a_sig_$j = b_sig_$j THEN 1 ELSE 0 END").mkString(" + ")
-    val survivors = bandCandidates(spark, dir)
+    val survivors = repCands
       .join(sigsA, Seq("doc_a")).join(sigsB, Seq("doc_b"))
       .filter(expr(s"($agree) >= $minSigAgree"))
       .select("doc_a", "doc_b")
     val sh = feats.selectExpr("doc_id", "sh", "n")
-    survivors
+    val verifiedReps = survivors
       .join(sh.selectExpr("doc_id AS doc_a", "sh AS sh_a", "n AS na"), Seq("doc_a"))
       .join(sh.selectExpr("doc_id AS doc_b", "sh AS sh_b", "n AS nb"), Seq("doc_b"))
       .selectExpr("doc_a", "doc_b", "na", "nb",
@@ -198,6 +346,14 @@ object Dedup {
       .filter(col("union_size") > 0)
       .selectExpr("*", "intersection_size / union_size AS jaccard")
       .filter(col("jaccard") >= 0.5)
+    val crossPairs = expandRepPairs(feats, verifiedReps,
+      Seq("intersection_size", "union_size", "jaccard"))
+    val withinPairs = withinGroupPairs(feats)
+      .selectExpr("doc_a", "doc_b", "n AS intersection_size",
+        "n AS union_size")
+      .selectExpr("doc_a", "doc_b", "intersection_size", "union_size",
+        "intersection_size / union_size AS jaccard")
+    crossPairs.unionByName(withinPairs)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -615,13 +771,23 @@ object Dedup {
     * built-in on both engines with identical unit-cost semantics. */
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
     val txt = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    bandCandidates(spark, dir)
+    // The O(m·n) DP runs once per REPRESENTATIVE pair; member pairs of
+    // byte-identical groups inherit the verdict (distance 0, equal
+    // lengths — trivially within the 30% bound), so a viral cluster
+    // costs k pair EMISSIONS, never k levenshtein evaluations.
+    val verifiedReps = repBandCandidates(spark, dir)
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("text_a"), col("text_b")).as("edit_distance"),
         greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
       .filter(col("edit_distance") * 10 <= col("max_len") * 3)
+    val crossPairs = expandRepPairs(docFeatures(spark, dir), verifiedReps,
+      Seq("edit_distance", "max_len"))
+    val withinPairs = withinGroupPairs(docFeatures(spark, dir))
+      .selectExpr("doc_a", "doc_b", "CAST(0 AS INTEGER) AS edit_distance",
+        "text_len AS max_len")
+    crossPairs.unionByName(withinPairs)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1368,7 +1534,12 @@ object Dedup {
     * toward resemblance. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = docFeatures(spark, dir).selectExpr("doc_id", "sh", "n")
-    bandCandidates(spark, dir)
+    // Containment is a pure function of the two texts, so the whole
+    // verification runs at representative grain (one doc per distinct
+    // raw text) and member pairs inherit it; within an exact-dup group
+    // both containments are n/n = 1.0 ≥ 0.8, emitted directly through
+    // the same division text the oracle runs.
+    val verifiedReps = repBandCandidates(spark, dir)
       .join(sh.selectExpr("doc_id AS doc_a", "sh AS sh_a", "n AS na"), Seq("doc_a"))
       .join(sh.selectExpr("doc_id AS doc_b", "sh AS sh_b", "n AS nb"), Seq("doc_b"))
       .filter(col("na") > 0 && col("nb") > 0)
@@ -1379,6 +1550,17 @@ object Dedup {
         "intersection_size / CAST(nb AS DOUBLE) AS containment_b")
       .selectExpr("*", "greatest(containment_a, containment_b) AS max_containment")
       .filter(col("max_containment") >= expr("CAST(0.8 AS DOUBLE)"))
+    val crossPairs = expandRepPairs(docFeatures(spark, dir), verifiedReps,
+      Seq("na", "nb", "intersection_size", "containment_a",
+        "containment_b", "max_containment"))
+    val withinPairs = withinGroupPairs(docFeatures(spark, dir))
+      .selectExpr("doc_a", "doc_b", "n AS na", "n AS nb",
+        "n AS intersection_size")
+      .selectExpr("*",
+        "intersection_size / CAST(na AS DOUBLE) AS containment_a",
+        "intersection_size / CAST(nb AS DOUBLE) AS containment_b")
+      .selectExpr("*", "greatest(containment_a, containment_b) AS max_containment")
+    crossPairs.unionByName(withinPairs)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1567,20 +1749,38 @@ object Dedup {
     * trade documented on the object; the verification (and the
     * threshold) are exact. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docFeatures(spark, dir).selectExpr("doc_id", "lang", "source", "sh", "n")
-    bandCandidates(spark, dir)
-      .join(sh.selectExpr("doc_id AS doc_a", "lang AS lang_a",
-        "source AS source_a", "sh AS sh_a", "n AS na"), Seq("doc_a"))
-      .join(sh.selectExpr("doc_id AS doc_b", "lang AS lang_b",
-        "source AS source_b", "sh AS sh_b", "n AS nb"), Seq("doc_b"))
-      .filter(col("lang_a") === col("lang_b") && col("source_a") === col("source_b"))
-      .selectExpr("doc_a", "doc_b", "lang_a AS lang", "source_a AS source", "na", "nb",
+    val sh = docFeatures(spark, dir).selectExpr("doc_id", "sh", "n")
+    val meta = docFeatures(spark, dir).selectExpr("doc_id", "lang", "source")
+    // The set math (intersection, union, Jaccard) is a pure function
+    // of the texts, so it verifies at representative grain and expands
+    // to member pairs; the (lang, source) equality filter is METADATA
+    // — byte-identical docs can carry different labels — so it applies
+    // per MEMBER pair, after expansion, exactly as the all-pairs form
+    // did. Within-group pairs (Jaccard n/n = 1 ≥ 0.3) skip straight to
+    // the metadata gate.
+    val verifiedReps = repBandCandidates(spark, dir)
+      .join(sh.selectExpr("doc_id AS doc_a", "sh AS sh_a", "n AS na"), Seq("doc_a"))
+      .join(sh.selectExpr("doc_id AS doc_b", "sh AS sh_b", "n AS nb"), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b", "na", "nb",
         s"CAST(${interSize("sh_a", "sh_b", SparkD)} AS INTEGER) AS intersection_size")
-      .selectExpr("doc_a", "doc_b", "lang", "source", "intersection_size",
+      .selectExpr("doc_a", "doc_b", "intersection_size",
         "na + nb - intersection_size AS union_size")
       .filter(col("union_size") > 0)
       .selectExpr("*", "intersection_size / union_size AS jaccard")
       .filter(col("jaccard") >= 0.3)
+    val crossPairs = expandRepPairs(docFeatures(spark, dir), verifiedReps,
+      Seq("intersection_size", "union_size", "jaccard"))
+    val withinPairs = withinGroupPairs(docFeatures(spark, dir))
+      .selectExpr("doc_a", "doc_b", "n AS intersection_size", "n AS union_size")
+      .selectExpr("*", "intersection_size / union_size AS jaccard")
+    crossPairs.unionByName(withinPairs)
+      .join(meta.selectExpr("doc_id AS doc_a", "lang AS lang_a",
+        "source AS source_a"), Seq("doc_a"))
+      .join(meta.selectExpr("doc_id AS doc_b", "lang AS lang_b",
+        "source AS source_b"), Seq("doc_b"))
+      .filter(col("lang_a") === col("lang_b") && col("source_a") === col("source_b"))
+      .selectExpr("doc_a", "doc_b", "lang_a AS lang", "source_a AS source",
+        "intersection_size", "union_size", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -216,4 +216,102 @@ object Scale {
           max(xk) - min(xk) AS x_span, max(yk) - min(yk) AS y_span
         FROM b GROUP BY z_bucket ORDER BY z_bucket"""
   }
+
+  // ---- two-phase global ordered prefix (exact rank / ntile / cumsum
+  //      without a one-partition WindowExec over the data grain) ----
+
+  /** EXACT global inclusive prefix sum of `value` in the total order
+    * `order`, computed in two phases so no full-grain relation ever
+    * sorts in one partition (`Window.orderBy` with no partition key
+    * moves ALL rows to one task — fine on a 10-row rollup, fatal on a
+    * 1e9-row dimension):
+    *
+    *   1. rows are assigned to ORDER-ALIGNED buckets (`buckets` must
+    *      be monotone non-decreasing along `order` when compared as a
+    *      sorted tuple — e.g. `(-cents) DIV 1048576` for a
+    *      `cents DESC` order; integer truncating division is monotone
+    *      for negatives too);
+    *   2. per-bucket totals roll up map-side-combined, and the bucket
+    *      offsets take ONE tiny global window over the BUCKET GRAIN
+    *      (bounded by the value domain / bucket width, never by row
+    *      count — the [[graft.sql.Analytics.lineitemWinsorized]]
+    *      prefix-percentile construction, generalized);
+    *   3. offsets broadcast back and each row finishes with a window
+    *      PARTITIONED by bucket — every sort is bucket-local.
+    *
+    * The result is bucket-width-INDEPENDENT: widths tune partition
+    * sizes, never values, so the oracle hash can't see the knob.
+    *
+    * Tie-skew sharp edge: a bucket holds every row sharing its key
+    * range, so a single hot VALUE (1e8 customers with n_orders = 1)
+    * makes a hot bucket. The fix is a second bucket column derived
+    * from the TIE-BREAK order column (`custkey DIV 65536`) — sound
+    * ONLY when the preceding bucket columns pin the exact values of
+    * all preceding order columns (otherwise the composite bucket is
+    * not monotone along the order). Low-cardinality axes therefore
+    * bucket by the exact value + a tie-break range; near-unique axes
+    * bucket by a value range alone. */
+  def orderedPrefixSum(df: DataFrame, buckets: Seq[Column],
+      order: Seq[Column], value: Column, out: String,
+      totalOut: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bnames = buckets.indices.map(i => s"__pb${i}_$out")
+    val withB = buckets.zip(bnames).foldLeft(df) {
+      case (d, (c, n)) => d.withColumn(n, c) }
+    val bcols = bnames.map(col)
+    val bsums = withB.groupBy(bcols: _*).agg(sum(value).as(s"__bsum_$out"))
+    // `totalOut`: the GRAND total rides the same tiny bucket-grain
+    // window pass (full-frame sum of the per-bucket sums) — a second
+    // aggregate over `df` would re-execute its whole lineage, and an
+    // empty-partition window over the data grain is the very plan
+    // this helper exists to avoid.
+    val offs = totalOut.foldLeft(bsums) { (d, t) =>
+      d.withColumn(t, sum(s"__bsum_$out").over(Window.orderBy(bcols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    }
+      .withColumn(s"__off_$out", coalesce(
+        sum(s"__bsum_$out").over(Window.orderBy(bcols: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop(s"__bsum_$out")
+    withB.join(broadcast(offs), bnames)
+      .withColumn(out, col(s"__off_$out") + sum(value).over(
+        Window.partitionBy(bcols: _*).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop(s"__off_$out").drop(bnames: _*)
+  }
+
+  /** EXACT global 1-based rank (row_number) in the total order
+    * `order` — [[orderedPrefixSum]] of the constant 1. */
+  def globalRank(df: DataFrame, buckets: Seq[Column],
+      order: Seq[Column], out: String): DataFrame =
+    orderedPrefixSum(df, buckets, order, lit(1L), out)
+
+  /** Standard-SQL ntile from an exact rank: the first `n % k` tiles
+    * get `n DIV k + 1` rows, the rest `n DIV k` (both Spark's NTile
+    * and DuckDB's ntile implement exactly this split). The closed
+    * form needs only (rank, n), so it rides [[globalRank]] with no
+    * further shuffle. The ELSE branch divides by `n DIV k`, which is
+    * 0 when n < k — but then `threshold = n` and the first branch
+    * covers every rank, so the guarded division never evaluates. */
+  def ntileFromRank(k: Int, rank: String, n: String): Column =
+    expr(
+      s"""CASE WHEN $rank <= ($n % $k) * (($n DIV $k) + 1)
+            THEN ($rank - 1) DIV (($n DIV $k) + 1) + 1
+            ELSE ($n % $k)
+              + ($rank - ($n % $k) * (($n DIV $k) + 1) - 1) DIV ($n DIV $k)
+              + 1 END""").cast("int")
+
+  /** ntile(k) over the total order `order`, computed scalably:
+    * [[globalRank]] + a broadcast one-row count + [[ntileFromRank]].
+    * Replaces `ntile(k).over(Window.orderBy(...))` value-for-value. */
+  def withNtile(df: DataFrame, k: Int, buckets: Seq[Column],
+      order: Seq[Column], out: String): DataFrame = {
+    val rk = s"__rank_$out"
+    val nc = s"__n_$out"
+    globalRank(df, buckets, order, rk)
+      .join(broadcast(df.agg(count(lit(1)).as(nc))))
+      .withColumn(out, ntileFromRank(k, rk, nc))
+      .drop(rk, nc)
+  }
 }

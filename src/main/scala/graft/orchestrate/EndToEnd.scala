@@ -137,9 +137,11 @@ object EndToEnd {
     val invNew = invAll.filter(col("source_file").contains("inventoryNew"))
       .drop("source_file")
 
-    // A full daily batch routes to ALL five jobs (lambda:45-53 default
-    // branch); each runs under its own 600 s budget, failures recorded
-    // and skipped, and the crawl still runs (lambda:55-97 semantics).
+    // A generic daily-batch basename matches no routing substring, so
+    // it routes to ALL five jobs (lambda:44-53 default branch); each
+    // runs under its own 600 s budget, failures recorded and skipped,
+    // and the crawl runs because at least one job succeeded
+    // (lambda:31-33 / 55-97 semantics).
     val (results, crawl) =
       Orchestrator.runAndCrawlRecorded("incoming/daily_batch_2024_08.csv") {
         case Orchestrator.SalesRevenue =>

@@ -4,10 +4,17 @@ package graft.orchestrate
   * orchestration (S3 ObjectCreated → Lambda → sequential Glue jobs →
   * crawler refresh; `lambda/blinkit-etl-orchestrator.py`).
   *
-  * Routing reproduces the filename-substring rules at lambda:45-53
-  * exactly: order/product → sales + delivery; feedback → feedback;
-  * marketing → roi; inventory → reconciliation; anything else → all
-  * jobs. Only `.csv` objects trigger anything (lambda:23).
+  * Routing reproduces `determine_jobs_to_run` (lambda:44-53) exactly:
+  * the match runs against the BASENAME only (`file_key.split('/')[-1]`
+  * lowercased — so `raw/orders/batch1.csv` matches nothing and falls
+  * through to the all-jobs default), the four branches are INDEPENDENT
+  * accumulating `if`s (not a first-match chain — `order_feedback.csv`
+  * runs sales + delivery + feedback), the result is set-deduped, and
+  * an empty match defaults to every configured job. Only `.csv`
+  * objects trigger anything (lambda:23). One deliberate refinement:
+  * the reference's `list(set(jobs))` leaves job ORDER unspecified
+  * (CPython hash order); we dedup preserving first-mention order so
+  * runs are reproducible — the job SET is identical.
   *
   * Instead of start_job_run + 20 s polling (lambda:55-81), pipelines
   * run as function calls inside one SparkSession — the process/cluster
@@ -32,18 +39,28 @@ object Orchestrator {
   def accepts(objectKey: String): Boolean =
     objectKey.toLowerCase.endsWith(".csv")
 
-  /** lambda:45-53 — filename-substring routing (first-match semantics
-    * of the reference's if/elif chain, with the order|product branch
-    * fanning out to both sales jobs). */
+  /** lambda:44-53 — basename-substring routing with ACCUMULATING
+    * branches: every matching `if` contributes its jobs (a file named
+    * `order_feedback.csv` routes to sales + delivery + feedback), the
+    * list is deduped (`list(set(jobs))` in the reference; here
+    * `.distinct` preserving first-mention order — duplicates cannot in
+    * fact arise because each branch fires at most once, the dedup is a
+    * faithful guard), and no match at all → ALL jobs. The match key is
+    * the basename only: `file_key.split('/')[-1].lower()`, so path
+    * components like `raw/orders/` never influence routing. */
   def route(objectKey: String): Seq[Job] = {
-    val key = objectKey.toLowerCase
     if (!accepts(objectKey)) Seq.empty
-    else if (key.contains("order") || key.contains("product"))
-      Seq(SalesRevenue, DeliveryPerformance)
-    else if (key.contains("feedback")) Seq(CustomerFeedback)
-    else if (key.contains("marketing")) Seq(MarketingRoi)
-    else if (key.contains("inventory")) Seq(InventoryReconciliation)
-    else allJobs
+    else {
+      val name = objectKey.split('/').last.toLowerCase
+      val jobs = Seq.newBuilder[Job]
+      if (name.contains("order") || name.contains("product"))
+        jobs ++= Seq(SalesRevenue, DeliveryPerformance)
+      if (name.contains("feedback")) jobs += CustomerFeedback
+      if (name.contains("marketing")) jobs += MarketingRoi
+      if (name.contains("inventory")) jobs += InventoryReconciliation
+      val matched = jobs.result().distinct
+      if (matched.isEmpty) allJobs else matched
+    }
   }
 
   /** Reference per-job time budgets (lambda:67 — 600 s max_wait per
@@ -92,14 +109,14 @@ object Orchestrator {
     runRecorded(objectKey)(runJob).map(_.job)
 
   /** Full reference sequence: jobs, then the catalog-refresh step
-    * (lambda:83-97 starts the Glue crawler after the last job; here
-    * `crawl` is typically `graft.io.Catalog` registration over the
-    * zones the jobs wrote). `crawl` runs only if at least one job ran,
-    * matching the lambda's early return for non-matching objects —
-    * and it runs even when some jobs failed, because the lambda
-    * reaches the crawler block unconditionally after the loop, and a
-    * partial refresh of the successful zones is the useful outcome.
-    * The crawl gets its own 300 s budget (lambda:90). */
+    * (here `crawl` is typically `graft.io.Catalog` registration over
+    * the zones the jobs wrote). The lambda starts the crawler ONLY
+    * when at least one job succeeded (`if len(successful) > 0`,
+    * lambda:31-33) — an all-failed run leaves the catalog untouched,
+    * because there is no fresh zone to refresh. The crawl gets its own
+    * 300 s budget and records (never throws) its outcome
+    * (`start_and_wait_crawler`, lambda:84-97). `crawl` receives only
+    * the SUCCEEDED jobs — those are the zones that actually changed. */
   def runAndCrawl(objectKey: String)(runJob: Job => Unit)(
       crawl: Seq[Job] => Unit): Seq[Job] =
     runAndCrawlRecorded(objectKey)(runJob)(crawl)._1.map(_.job)
@@ -108,11 +125,49 @@ object Orchestrator {
   def runAndCrawlRecorded(objectKey: String)(runJob: Job => Unit)(
       crawl: Seq[Job] => Unit): (Seq[JobResult], Option[String]) = {
     val results = runRecorded(objectKey)(runJob)
+    val succeeded = results.filter(_.succeeded).map(_.job)
     val crawlStatus =
-      if (results.isEmpty) None
+      if (succeeded.isEmpty) None
       else Some(withBudget(crawlTimeoutSeconds, "crawler")(
-        crawl(results.map(_.job))).fold("succeeded")(identity))
+        crawl(succeeded)).fold("succeeded")(identity))
     (results, crawlStatus)
+  }
+
+  /** One S3 ObjectCreated record inside an event envelope
+    * (`event['Records'][i]['s3']`, lambda:20-22). */
+  final case class S3Record(bucket: String, objectKey: String)
+
+  /** Outcome of one event envelope, mirroring the lambda's HTTP-shaped
+    * return: 200 all-success or no-CSV, 207 partial failure
+    * (lambda:34). `processed` is the one record that ran (None when
+    * every record was skipped). */
+  final case class EventOutcome(statusCode: Int, processed: Option[S3Record],
+      results: Seq[JobResult], crawlStatus: Option[String])
+
+  /** Multi-record event entry point, mirroring `lambda_handler`
+    * (lambda:17-38) exactly — including its sharpest edge: the
+    * `return` statement sits INSIDE the record loop, so the lambda
+    * processes AT MOST ONE CSV record per event. Records are scanned
+    * in order; non-`.csv` keys are skipped (lambda:23-25); the first
+    * record that routes to a non-empty job list runs its jobs, crawls
+    * if any succeeded, and ends the event (lambda:26-34). Later
+    * records in the same envelope are silently dropped — that is the
+    * reference's behavior, preserved here because a replayer of real
+    * S3 notification batches must see identical processing decisions.
+    * An envelope with no runnable CSV returns 200/"No CSV files"
+    * (lambda:35). */
+  def handleEvent(records: Seq[S3Record])(runJob: Job => Unit)(
+      crawl: Seq[Job] => Unit): EventOutcome = {
+    records.iterator
+      .filter(r => accepts(r.objectKey) && route(r.objectKey).nonEmpty)
+      .nextOption() match {
+      case Some(rec) =>
+        val (results, crawlStatus) =
+          runAndCrawlRecorded(rec.objectKey)(runJob)(crawl)
+        val code = if (results.forall(_.succeeded)) 200 else 207
+        EventOutcome(code, Some(rec), results, crawlStatus)
+      case None => EventOutcome(200, None, Nil, None)
+    }
   }
 
   /** Run `body` on a dedicated thread with a wall-clock budget.

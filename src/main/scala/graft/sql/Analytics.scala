@@ -15,55 +15,76 @@ object Analytics {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.io.Tables.table(spark, dir, name)
 
-  /** RFM segmentation — the classic CRM decomposition: per customer,
-    * Recency (days since last order, anchored to the dataset's max
-    * date so the query is reproducible), Frequency (order count), and
-    * Monetary (lifetime cents), each scored into quintiles with
-    * ntile(5), then bucketed into named segments. Determinism: ntile
-    * ties are broken arbitrarily unless the window order is total, so
-    * every ORDER BY carries the custkey tiebreak — without it the two
-    * engines would tile tied customers differently and the hash
-    * compare would flap. Tile polarity is "5 = best" on all three
-    * axes (recency DESC puts stale customers in tile 1).
+  /** Shared RFM scoring subplan — ONE implementation of the
+    * recency/frequency/monetary quintile triple, consumed by both
+    * [[rfmSegments]] (segment-grain rollup, `rfm_segment_rollup`) and
+    * [[customerRfm]] (customer-grain scores, `rfm_customer_scores`).
+    * The two queries used to carry near-twin copies of this plan
+    * under names one typo apart; now the scoring is built once (and
+    * reused via PlanCache when prefix caching is on).
     *
-    * Scale: the expensive input (orders) collapses to customer grain
-    * in one map-side-combined hash aggregate; only that much smaller
-    * grain enters the three global ntile sorts, which each move all
-    * rows to ONE partition (WindowExec with empty PARTITION BY). At
-    * 100 TB with ~1e9 customers, replace ntile with a quantile-
-    * boundary broadcast join (compute 4 cut points per axis, then a
-    * per-row CASE) — same output, no global sort; the events_user_
-    * deciles query documents that rewrite. */
+    * Per customer: Recency (days since last order, anchored to the
+    * dataset's max date so the query is reproducible), Frequency
+    * (order count), Monetary (lifetime cents), each scored into
+    * quintiles equivalent to `ntile(5)` with a custkey tie-break
+    * (total order — without it the two engines would tile tied
+    * customers differently and the hash compare would flap). Tile
+    * polarity is "5 = best" on all three axes (recency DESC puts
+    * stale customers in tile 1).
+    *
+    * Scale: orders collapse to customer grain in one map-side-combined
+    * hash aggregate, and the three quintiles ride
+    * [[graft.ops.Scale.withNtile]] — the two-phase exact rank whose
+    * only global window runs over the BUCKET grain, so no WindowExec
+    * ever sorts the customer dimension in one partition (the price the
+    * old `ntile(5).over(Window.orderBy(...))` form paid at 1e9
+    * customers). The low-cardinality axes (recency days, order count)
+    * bucket by exact value + a custkey range so even a hot tie value
+    * can't make a hot bucket; the near-unique monetary axis buckets
+    * by value range. */
+  private[graft] def rfmScores(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "rfm_scores", dir) {
+      import graft.ops.Scale
+      val base = t(spark, dir, "orders")
+        .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS od",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
+        .groupBy("o_custkey")
+        .agg(max("od").as("last_order"), count(lit(1)).as("n_orders"),
+          sum("price_c").as("monetary_c"))
+      val anchored = base
+        .join(broadcast(base.agg(max("last_order").as("anchor"))))
+        .selectExpr("o_custkey AS custkey",
+          "datediff(anchor, last_order) AS recency_days",
+          "n_orders", "monetary_c")
+      val r = Scale.withNtile(anchored, 5,
+        Seq(expr("-recency_days"), expr("custkey DIV 65536")),
+        Seq(desc("recency_days"), asc("custkey")), "r_score")
+      val f = Scale.withNtile(r, 5,
+        Seq(col("n_orders"), expr("custkey DIV 65536")),
+        Seq(asc("n_orders"), asc("custkey")), "f_score")
+      Scale.withNtile(f, 5,
+        Seq(expr("monetary_c DIV 4194304")),
+        Seq(asc("monetary_c"), asc("custkey")), "m_score")
+    }
+
+  /** `rfm_segment_rollup`: RFM segmentation rolled up to SEGMENT grain
+    * — the CRM summary (customer counts, revenue, average frequency /
+    * recency per named segment). Scoring comes from [[rfmScores]];
+    * this query owns only the segment labels and the rollup. */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    val cust = t(spark, dir, "orders")
-      .selectExpr("o_custkey", "o_orderdate",
-        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
-      .groupBy("o_custkey")
-      .agg(count(lit(1)).as("frequency"),
-        sum("cents").as("monetary_cents"),
-        max("o_orderdate").as("last_order"))
-      .withColumn("anchor", max(col("last_order")).over())
-      .selectExpr("o_custkey", "frequency", "monetary_cents",
-        "datediff(anchor, last_order) AS recency_days")
-    val scored = cust
-      .withColumn("r_tile", expr(
-        "ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)"))
-      .withColumn("f_tile", expr(
-        "ntile(5) OVER (ORDER BY frequency ASC, o_custkey)"))
-      .withColumn("m_tile", expr(
-        "ntile(5) OVER (ORDER BY monetary_cents ASC, o_custkey)"))
+    rfmScores(spark, dir)
       .withColumn("segment", expr(
         """CASE
-             WHEN r_tile >= 4 AND f_tile >= 4 AND m_tile >= 4 THEN 'champions'
-             WHEN r_tile >= 4 AND f_tile <= 2 THEN 'new_customers'
-             WHEN r_tile <= 2 AND f_tile >= 4 THEN 'at_risk'
-             WHEN r_tile <= 2 AND f_tile <= 2 THEN 'hibernating'
+             WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+             WHEN r_score >= 4 AND f_score <= 2 THEN 'new_customers'
+             WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+             WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
              ELSE 'core'
            END"""))
-    scored.groupBy("segment")
+      .groupBy("segment")
       .agg(count(lit(1)).as("n_customers"),
-        sum("monetary_cents").as("mon_cents"),
-        sum("frequency").as("n_orders"),
+        sum("monetary_c").as("mon_cents"),
+        sum("n_orders").as("n_orders"),
         sum("recency_days").as("rec_days"))
       .selectExpr("segment", "n_customers", "n_orders",
         "mon_cents / CAST(100 AS DOUBLE) AS total_monetary",
@@ -2245,47 +2266,16 @@ object Analytics {
 
   // ---- RFM customer segmentation ----
 
-  /** RFM (recency / frequency / monetary) segmentation — the
-    * warehouse-classic customer scoring every CRM export runs:
-    * quintile each dimension with ntile(5) (5 = best), label the
-    * canonical segments from the score triple. Determinism: every
-    * ntile window carries a custkey tie-break so bucket boundaries
-    * are identical in both engines (ntile's first-(n mod 5)-buckets-
-    * get-one-extra rule is standard SQL); recency anchors to the
-    * CORPUS max order date (broadcast one-row) so the query is a pure
-    * function of the data, not of the wall clock. Covers customers
-    * WITH orders (an RFM score for a never-ordered customer is
-    * undefined on every axis). One groupBy + three windows over the
-    * customer grain.
-    *
-    * The three ntile windows are GLOBAL (no partition key) — the same
-    * dimension-grain global-window class as the vocabulary rank in
-    * [[graft.llm.TextAnalysis.vocabulary]]/[[graft.llm.TextAnalysis.zipfSlope]]:
-    * the window sorts the CUSTOMER DIMENSION, never a fact table, and
-    * a dimension that outgrows one partition's sort upgrades to the
-    * two-phase value-grain rank ([[lineitemWinsorized]]'s machinery)
-    * with the ntile boundary computed from the exact cumulative
-    * count — a constant-factor change, not a new plan. */
-  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = graft.io.Tables.table(spark, dir, "orders")
-      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS od",
-        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
-      .groupBy("o_custkey")
-      .agg(max("od").as("last_order"), count(lit(1)).as("n_orders"),
-        sum("price_c").as("monetary_c"))
-    val anchored = base
-      .join(broadcast(base.agg(max("last_order").as("anchor"))))
-      .selectExpr("o_custkey AS custkey",
-        "datediff(anchor, last_order) AS recency_days",
-        "n_orders", "monetary_c")
-    anchored
-      .withColumn("r_score", ntile(5).over(Window.orderBy(
-        desc("recency_days"), asc("custkey"))))
-      .withColumn("f_score", ntile(5).over(Window.orderBy(
-        asc("n_orders"), asc("custkey"))))
-      .withColumn("m_score", ntile(5).over(Window.orderBy(
-        asc("monetary_c"), asc("custkey"))))
+  /** `rfm_customer_scores`: the CUSTOMER-grain RFM export — one row
+    * per ordering customer with the quintile triple and a canonical
+    * segment label (this is the CRM-export grain; its sibling
+    * [[rfmSegments]] rolls the same scores up to segment grain).
+    * Scoring comes from the shared [[rfmScores]] subplan — quintile
+    * semantics, tie-breaks, anchoring, and the two-phase scalable
+    * rank are documented there. Covers customers WITH orders (an RFM
+    * score for a never-ordered customer is undefined on every axis). */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame =
+    rfmScores(spark, dir)
       .selectExpr("custkey", "recency_days", "n_orders",
         "CAST(monetary_c AS DOUBLE) / 100.0 AS monetary",
         "r_score", "f_score", "m_score",
@@ -2297,7 +2287,6 @@ object Analytics {
              WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_returning'
              ELSE 'regular' END AS segment""")
       .orderBy("custkey")
-  }
 
   val customerRfmOracle: String =
     """WITH base AS (SELECT o_custkey,

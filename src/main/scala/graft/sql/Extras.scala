@@ -370,30 +370,37 @@ object Extras {
 
   val topLineLateralOracle: String = topLineLateralSql("orders", "lineitem")
 
-  /** ABC / Pareto analysis over part revenue: rank parts by revenue,
-    * accumulate the share, and classify A (first 80% of revenue),
-    * B (next 15%), C (tail) — the inventory-prioritization classic.
-    * The window runs over the PART-grain aggregate (dimension-sized —
-    * the event volume died in the first map-side-combined agg), and
-    * the class boundaries are integer cross-multiplications
-    * (`cum·100 ≤ total·80`), so no division ever decides a boundary
-    * row. Ties on revenue are broken by part key for a total order. */
-  def partsAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perPart = graft.io.Tables.lineitem(spark, dir)
-      .selectExpr("l_partkey",
-        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents")
-      .groupBy("l_partkey").agg(sum("cents").as("cents"))
-    val w = Window.orderBy(desc("cents"), asc("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perPart
-      .withColumn("cum_cents", sum(col("cents")).over(w))
-      .withColumn("total_cents",
-        sum(col("cents")).over(Window.partitionBy()))
+  /** ABC classification over a (l_partkey, cents) part-revenue
+    * relation: cumulative revenue share in (cents DESC, partkey)
+    * order, A = first 80%, B = next 15%, C = tail. Class boundaries
+    * are integer cross-multiplications (`cum·100 ≤ total·80`), so no
+    * division ever decides a boundary row; ties on revenue are broken
+    * by part key for a total order.
+    *
+    * The cumulative sum and the grand total both ride
+    * [[graft.ops.Scale.orderedPrefixSum]] — the two-phase prefix whose
+    * only global window runs over the revenue-range BUCKET grain, so
+    * the part dimension never sorts (or totals) in one partition the
+    * way the old `Window.orderBy(...)` / `sum().over(partitionBy())`
+    * pair did. Shared by [[partsAbcAnalysis]] and [[partsAbcXyz]]. */
+  private[graft] def abcClasses(perPart: DataFrame): DataFrame =
+    graft.ops.Scale.orderedPrefixSum(perPart,
+        Seq(expr("(-cents) DIV 1048576")),
+        Seq(desc("cents"), asc("l_partkey")),
+        col("cents"), "cum_cents", totalOut = Some("total_cents"))
       .selectExpr("l_partkey", "cents",
         """CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
                 WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
                 ELSE 'C' END AS abc_class""")
+
+  /** ABC / Pareto analysis over part revenue — [[abcClasses]] over the
+    * map-side-combined part-revenue rollup, summarized per class. */
+  def partsAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = graft.io.Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents")
+      .groupBy("l_partkey").agg(sum("cents").as("cents"))
+    abcClasses(perPart)
       .groupBy("abc_class")
       .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
       .selectExpr("abc_class", "n_parts",
@@ -1764,26 +1771,14 @@ object Extras {
     * the 9-cell matrix with part counts and revenue, the planning
     * summary the per-part relation rolls into at any scale. */
   def partsAbcXyz(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val li = graft.io.Tables.lineitem(spark, dir)
       .selectExpr("l_partkey",
         "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents",
         "CAST(round(l_quantity) AS BIGINT) AS q",
         """CAST((extract(year FROM CAST(l_shipdate AS DATE)) - 1970) * 12
             + extract(month FROM CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS mth""")
-    val months = li.agg(countDistinct("mth").as("m_total"))
-    val abc = {
-      val perPart = li.groupBy("l_partkey").agg(sum("cents").as("cents"))
-      val w = Window.orderBy(desc("cents"), asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perPart
-        .withColumn("cum_cents", sum(col("cents")).over(w))
-        .withColumn("total_cents", sum(col("cents")).over(Window.partitionBy()))
-        .selectExpr("l_partkey", "cents",
-          """CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
-                  WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
-                  ELSE 'C' END AS abc_class""")
-    }
+    val abc = abcClasses(
+      li.groupBy("l_partkey").agg(sum("cents").as("cents")))
     val xyz = xyzClasses(li.groupBy("l_partkey", "mth").agg(sum("q").as("mq")))
     abc.join(xyz, Seq("l_partkey"))
       .groupBy("abc_class", "xyz_class")

@@ -21,6 +21,55 @@ package graft.sql
   */
 object OracleSql {
 
+  /** DuckDB planner-hint pass for the driver's oracle runs: mark every
+    * CTE referenced MORE THAN ONCE as `AS MATERIALIZED`.
+    *
+    * Why this exists: DuckDB inlines CTEs by default, so a chain like
+    * the k-core rounds — where `knodes_r` is referenced twice by
+    * `ke_{r+1}` — re-executes the ENTIRE upstream chain once per
+    * reference: 2^rounds recomputations of the MinHash pipeline. The
+    * round-8 artifact loss traced to exactly this: the driver's
+    * correctness step timed out because seven cluster-family oracles
+    * burned 483 s of a 660 s DuckDB budget (dedup_kcore alone 124 s;
+    * with hints 1.7 s). Materializing shared CTEs is a pure
+    * evaluation-strategy hint — result sets are identical — and it is
+    * applied centrally here rather than hand-sprinkled through three
+    * thousand lines of oracle text, so a future shared CTE can't
+    * reintroduce the blowup by forgetting the keyword.
+    *
+    * Mechanics: a CTE head is `name [col-list] AS (` whose body starts
+    * with SELECT or VALUES — the body guard distinguishes CTE heads
+    * from named-window clauses (`WINDOW w AS (PARTITION BY ...)`),
+    * which share the head syntax but reject MATERIALIZED (caught live:
+    * five window-clause oracles failed to parse before the guard).
+    * Already-hinted heads don't match `AS (`. A name is "shared" when
+    * `\bname\b`
+    * occurs ≥ 3 times in the statement (its head + ≥ 2 uses); the
+    * count can only over-estimate (a column spelled like a CTE name
+    * counts), and over-materializing a once-used CTE costs a small
+    * buffer, never correctness. Single-use CTEs stay inline so
+    * DuckDB's filter/projection pushdown through them survives.
+    * Recursive CTEs accept the keyword too (verified: DuckDB 1.0
+    * evaluates `WITH RECURSIVE r(x) AS MATERIALIZED (...)`
+    * identically); their self-reference makes them count as shared,
+    * which is harmless — a recursive CTE is inherently materialized. */
+  def materializeSharedCtes(sql: String): String = {
+    val head =
+      ("""([A-Za-z_][A-Za-z_0-9]*)(\s*\([A-Za-z_0-9,\s]*\))?(\s+AS\s+)\(""" +
+        """(?=\s*(?i:SELECT|VALUES)\b)""").r
+    val names = head.findAllMatchIn(sql).map(_.group(1)).toSet
+    def refs(n: String): Int =
+      ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+        .findAllIn(sql).size
+    val shared = names.filter(refs(_) >= 3)
+    head.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (shared(m.group(1)))
+          m.group(1) + Option(m.group(2)).getOrElse("") +
+            m.group(3) + "MATERIALIZED ("
+        else m.matched))
+  }
+
   /** CTEs in dependency order; every oracle query carries the full
     * registry (unreferenced CTEs cost nothing). */
   val ctes: Seq[(String, String)] = Seq(

@@ -609,24 +609,29 @@ object EventsStream {
     * value (cent-quantized, ties broken by user_id for a total order)
     * and cut into ten ntile buckets; each decile row carries its user
     * count, value total, and share — the standard whale-curve report.
-    * Plan shape: per-user agg (map-side combined), then ntile over the
-    * 1-per-user relation — the window input is users, not events, so
-    * the single-partition window sort is bounded by distinct users; at
-    * 100 TB you'd bucket by a hashed range first, but the per-user agg
-    * is where the data volume dies. */
+    * Plan shape: per-user agg (map-side combined) kills the event
+    * volume; the decile cut rides [[graft.ops.Scale.withNtile]] — the
+    * two-phase exact rank whose only global window runs over the
+    * value-range BUCKET grain, so the user dimension never sorts in
+    * one partition (the old `ntile(10).over(Window.orderBy(...))`
+    * did exactly that at 1e8 users). The grand total stays a
+    * partition-less window — but over the DECILE rollup, whose grain
+    * is ≤ 10 rows by construction (re-aggregating the per-user
+    * relation for the total would scan events twice; a 10-row window
+    * costs nothing at any corpus size). */
   def userValueDeciles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perUser = Tables.events(spark, dir)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
-    val w = Window.orderBy(desc("cents"), asc("user_id"))
-    perUser.withColumn("decile", ntile(10).over(w))
+    graft.ops.Scale.withNtile(perUser, 10,
+        Seq(expr("(-cents) DIV 65536")),
+        Seq(desc("cents"), asc("user_id")), "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"),
         sum("n_events").as("n_events"), sum("cents").as("cents"))
-      .withColumn("total_cents",
-        sum(col("cents")).over(Window.partitionBy()))
+      .withColumn("total_cents", sum(col("cents")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .selectExpr("decile", "n_users", "n_events",
         "cents / CAST(100 AS DOUBLE) AS total_value",
         "cents / CAST(total_cents AS DOUBLE) AS value_share")

@@ -318,6 +318,40 @@ class PlanContractSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("no data-grain global-sort window in the rank/ntile/cumsum rewrites") {
+    // The five dimension-grain queries that used to run
+    // `ntile/sum OVER (ORDER BY ...)` with no partition key — one
+    // WindowExec task sorting the whole dimension — now ride the
+    // two-phase Scale.orderedPrefixSum. Contract: every WindowExec
+    // with an EMPTY partitionSpec either (a) orders only by __pb*
+    // bucket columns (the tiny bucket-grain offset pass — bounded by
+    // the value domain / bucket width, never by row count), or
+    // (b) has an empty orderSpec too (a grand total over an already-
+    // rolled-up grain, e.g. the 10-row decile relation — a global
+    // ORDER there is what moves unbounded data to one task, a
+    // frame-less total over a group-key-bounded rollup is not).
+    // Residual honesty gap: (b) cannot see the input's grain, so a
+    // frameless global total over a RAW relation would pass — none of
+    // these five plans has one, and the ORDER-carrying class is the
+    // one that bit at sf0.1 already.
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("rfm_customer_scores", "rfm_segment_rollup",
+      "events_user_deciles", "parts_abc_analysis", "parts_abc_xyz")
+      .foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, sfTiny)
+          .queryExecution.sparkPlan
+        val offenders = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+            w.orderSpec.nonEmpty &&
+            !w.orderSpec.forall(_.child.references.forall(
+              _.name.startsWith("__pb"))) => w
+        }
+        assert(offenders.isEmpty,
+          s"$q has a data-grain global-sort WindowExec:\n" +
+            offenders.mkString("\n"))
+      }
+  }
+
   test("co-bucketed tables join with no Exchange on either side") {
     // the write-side co-location contract: two tables bucketed+sorted
     // the same way must sort-merge-join straight off the scans — an

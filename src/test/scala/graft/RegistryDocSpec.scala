@@ -22,6 +22,34 @@ class RegistryDocSpec extends AnyFunSuite {
       s"queries without oracle SQL (drivers record these as errors): $noOracle")
   }
 
+  test("no two registered names one edit apart (near-twin guard)") {
+    // The customer_rfm_segments / customers_rfm_segments pair survived
+    // two rounds because the names differed by one typo; distance-1
+    // names are either a duplicate implementation or a trap for users
+    // typing one and getting the other. Levenshtein here, not just
+    // prefix checks — insertions inside the name count too.
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    val names = SparkEntry.queries.keys.toIndexedSeq.sorted
+    val close = for {
+      i <- names.indices; j <- (i + 1) until names.length
+      // cheap length prescreen: |len diff| > 1 can't be distance 1
+      if math.abs(names(i).length - names(j).length) <= 1
+      if lev(names(i), names(j)) <= 1
+    } yield (names(i), names(j))
+    assert(close.isEmpty, s"near-twin query names: $close")
+  }
+
   test("README's gate counts match the registries") {
     val readme = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("README.md")), "UTF-8")

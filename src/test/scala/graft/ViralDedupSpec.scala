@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+
+/** Bounded-occupancy LSH enforcement (VERDICT r8 #4): a viral cluster
+  * of byte-identical documents must never flow k²/2 candidates through
+  * the band-bucket self-join — the exact-duplicate collapse runs
+  * candidates and verification at one-representative-per-text grain,
+  * and the block-decomposed self-join bounds any remaining hot
+  * bucket's largest join task. Output equality with the all-pairs
+  * formulation is pinned here on a synthetic corpus (the fixture
+  * corpus is pinned by the DuckDB oracle gate).
+  */
+class ViralDedupSpec extends SparkSpec {
+
+  private def docsOf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source")
+  }
+
+  private val viralText =
+    "breaking news this viral story is being reposted everywhere today"
+  private val nearText = // one word changed vs viralText: high jaccard
+    "breaking news this viral story is being reposted everywhere tonight"
+  private val otherText =
+    "a completely different document about distributed query planning internals"
+
+  test("10^4 identical docs: candidate set stays at representative grain") {
+    val k = 10000
+    val viral = (0 until k).map(i => (i.toLong, viralText))
+    val extras = Seq(
+      (20001L, nearText), (20002L, otherText),
+      (20003L, "short doc"), // < 3 words: no bands, never a candidate
+      (20004L, otherText + " with an extra tail clause"))
+    val feats = Dedup.featuresOf(docsOf(viral ++ extras))
+    val nCands = Dedup.repBandCandidatesOf(feats).count()
+    // 4 distinct band-bearing texts -> at most C(4,2) = 6 rep pairs;
+    // the all-pairs band join would have produced >= C(10^4,2) ~ 5e7.
+    assert(nCands <= 6, s"candidate set not collapsed: $nCands")
+  }
+
+  test("pair output equals the all-pairs band-join formulation") {
+    // small enough to brute-force: one 80-doc viral group, a 3-doc
+    // near group, distinct docs, a short doc
+    val docs = docsOf(
+      (0 until 80).map(i => (i.toLong, viralText)) ++ Seq(
+        (100L, nearText), (101L, nearText), (102L, nearText),
+        (200L, otherText), (201L, "short doc")))
+    val feats = Dedup.featuresOf(docs).cache()
+    val got = Dedup.minhashPairsOf(feats, Dedup.repBandCandidatesOf(feats))
+      .select("doc_a", "doc_b", "intersection_size", "union_size", "jaccard")
+      .collect().map(_.toSeq).toSet
+    // reference: the pre-collapse formulation — all-pairs band
+    // collision, signature pre-filter, exact jaccard
+    val bandStack = (0 until 4).map(b => s"$b, band_$b").mkString(", ")
+    val bands = feats
+      .selectExpr("doc_id", s"stack(4, $bandStack) AS (band_idx, band_val)")
+      .filter(col("band_val").isNotNull)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until 16)
+      .map(j => s"CASE WHEN a_sig_$j = b_sig_$j THEN 1 ELSE 0 END").mkString(" + ")
+    val sigsA = feats.selectExpr(
+      Seq("doc_id AS doc_a") ++ (0 until 16).map(j => s"sig_$j AS a_sig_$j"): _*)
+    val sigsB = feats.selectExpr(
+      Seq("doc_id AS doc_b") ++ (0 until 16).map(j => s"sig_$j AS b_sig_$j"): _*)
+    val sh = feats.selectExpr("doc_id", "sh", "n")
+    val want = cands
+      .join(sigsA, Seq("doc_a")).join(sigsB, Seq("doc_b"))
+      .filter(expr(s"($agree) >= 6")).select("doc_a", "doc_b")
+      .join(sh.selectExpr("doc_id AS doc_a", "sh AS sh_a", "n AS na"), Seq("doc_a"))
+      .join(sh.selectExpr("doc_id AS doc_b", "sh AS sh_b", "n AS nb"), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        "CAST(size(array_intersect(sh_a, sh_b)) AS INTEGER) AS intersection_size",
+        "na", "nb")
+      .selectExpr("doc_a", "doc_b", "intersection_size",
+        "na + nb - intersection_size AS union_size")
+      .filter(col("union_size") > 0)
+      .selectExpr("*", "intersection_size / union_size AS jaccard")
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "fixture produced no pairs — test is vacuous")
+    assert(got == want,
+      s"collapsed pipeline diverged: extra=${got -- want} missing=${want -- got}")
+    // within-group pairs all carry jaccard exactly 1.0
+    val withinJ = Dedup.minhashPairsOf(feats, Dedup.repBandCandidatesOf(feats))
+      .filter(col("doc_a") < 80 && col("doc_b") < 80)
+      .select("jaccard").distinct().collect().map(_.getDouble(0)).toSeq
+    assert(withinJ == Seq(1.0), s"within-group jaccard: $withinJ")
+    feats.unpersist()
+  }
+
+  test("bucketSelfJoinPairs: blocked hot path equals the naive self-join") {
+    // one hot key (600 rows) and several cold keys, threshold 64 so the
+    // hot path genuinely engages, 4 blocks
+    val rel = spark.range(0, 600).selectExpr("CAST(7 AS INT) AS k", "id")
+      .union(spark.range(1000, 1030).selectExpr("CAST(1 AS INT) AS k", "id"))
+      .union(spark.range(2000, 2002).selectExpr("CAST(2 AS INT) AS k", "id"))
+    val got = Dedup.bucketSelfJoinPairs(rel, Seq("k"), "id",
+        hotOccupancy = 64, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = rel.as("a").join(rel.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.size == 600 * 599 / 2 + 30 * 29 / 2 + 1)
+    assert(got == naive,
+      s"blocked self-join diverged: extra=${(got -- naive).take(5)} " +
+        s"missing=${(naive -- got).take(5)}")
+    // every pair met exactly once per bucket: no distinct() above, so
+    // equality of SETS plus equal COUNTS proves no duplicates either
+    val gotCount = Dedup.bucketSelfJoinPairs(rel, Seq("k"), "id",
+      hotOccupancy = 64, blocks = 4).count()
+    assert(gotCount == naive.size, s"duplicate pairs: $gotCount vs ${naive.size}")
+  }
+
+  test("bucket-constant payload columns survive both paths") {
+    // payload contract: constant within a bucket (the fp_raw group's
+    // shared n/text_len in real use) — here w = k * 10
+    val rel = spark.range(0, 100)
+      .selectExpr("CAST(pmod(id, 2) AS INT) AS k", "id", "pmod(id, 2) * 10 AS w")
+    val pairs = Dedup.bucketSelfJoinPairs(rel, Seq("k"), "id",
+      payload = Seq("w"), hotOccupancy = 16, blocks = 4)
+    assert(pairs.filter(col("w") =!= pmod(col("doc_a"), lit(2)) * 10).count() == 0)
+    assert(pairs.count() == 2L * (50 * 49 / 2))
+  }
+}
