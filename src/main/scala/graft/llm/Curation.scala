@@ -1857,19 +1857,8 @@ object Curation {
         "least(len0, n_tokens) AS len")
       .selectExpr("doc_id", "n_tokens", "k", "len",
         s"(${spanHash("k", 2)}) % (n_tokens - len + 1) AS start")
-    val merged = raw
-      .selectExpr("doc_id", "n_tokens", "start", "start + len AS fin", "k")
-      .selectExpr("doc_id", "n_tokens", "start", "fin",
-        """CASE WHEN start > coalesce(max(fin) OVER (
-               PARTITION BY doc_id ORDER BY start, fin, k
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             CAST(-1 AS BIGINT)) THEN 1 ELSE 0 END AS new_island""")
-      .selectExpr("doc_id", "n_tokens", "start", "fin",
-        """sum(new_island) OVER (PARTITION BY doc_id
-             ORDER BY start, fin ROWS BETWEEN UNBOUNDED PRECEDING
-             AND CURRENT ROW) AS island""")
-      .groupBy("doc_id", "n_tokens", "island")
-      .agg(min("start").as("start"), max("fin").as("fin"))
+    val merged = mergeSpanIslands(
+      raw.selectExpr("doc_id", "n_tokens", "start", "start + len AS fin", "k"))
     merged
       .selectExpr("doc_id", "n_tokens",
         "CAST(island AS BIGINT) AS sentinel",
@@ -1877,6 +1866,31 @@ object Curation {
         "CAST(fin - start AS BIGINT) AS span_len")
       .orderBy("doc_id", "sentinel")
   }
+
+  /** Merge overlapping/adjacent-overlap spans (doc_id, n_tokens,
+    * start, fin, k) into maximal islands. Both windows MUST order by
+    * the full (start, fin, k) triple: two hashed spans colliding on
+    * identical (start, fin) in one doc are otherwise tie-ordered
+    * arbitrarily, and if the flag-0 twin sums first it joins the
+    * PREVIOUS island — overlapping "merged" intervals and
+    * engine-dependent output (ADVICE r8). k makes the order total,
+    * and identical across the flag and cumulative-sum passes (and
+    * across engines — the DuckDB oracle carries the same triple). */
+  private[graft] def mergeSpanIslands(spans: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    spans
+      .selectExpr("doc_id", "n_tokens", "start", "fin", "k",
+        """CASE WHEN start > coalesce(max(fin) OVER (
+               PARTITION BY doc_id ORDER BY start, fin, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(-1 AS BIGINT)) THEN 1 ELSE 0 END AS new_island""")
+      .selectExpr("doc_id", "n_tokens", "start", "fin",
+        """sum(new_island) OVER (PARTITION BY doc_id
+             ORDER BY start, fin, k ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS island""")
+      .groupBy("doc_id", "n_tokens", "island")
+      .agg(org.apache.spark.sql.functions.min("start").as("start"),
+        org.apache.spark.sql.functions.max("fin").as("fin"))
 
   val spanCorruptionPlanOracle: String = {
     def h(k: String, salt: Int) =
@@ -1899,7 +1913,7 @@ object Curation {
            (${h("k", 2)}) % (n_tokens - len + 1) AS start FROM raw1),
        spans AS (SELECT doc_id, n_tokens, start, start + len AS fin, k
          FROM raw),
-       flagged AS (SELECT doc_id, n_tokens, start, fin,
+       flagged AS (SELECT doc_id, n_tokens, start, fin, k,
            CASE WHEN start > coalesce(max(fin) OVER (
                PARTITION BY doc_id ORDER BY start, fin, k
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -1907,7 +1921,7 @@ object Curation {
          FROM spans),
        islands AS (SELECT doc_id, n_tokens, start, fin,
            sum(new_island) OVER (PARTITION BY doc_id
-             ORDER BY start, fin ROWS BETWEEN UNBOUNDED PRECEDING
+             ORDER BY start, fin, k ROWS BETWEEN UNBOUNDED PRECEDING
              AND CURRENT ROW) AS island
          FROM flagged),
        merged AS (SELECT doc_id, n_tokens, island,

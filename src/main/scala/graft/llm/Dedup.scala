@@ -1814,13 +1814,32 @@ object Dedup {
     * sign-LSH bands of 2 hyperplanes each (8 planes total) with the
     * label in the join key — bounded bucket occupancy instead of a
     * within-label self-join. Cosine is verified exactly (1 dot + 1
-    * multiply via precomputed norms) on candidates only. */
+    * multiply via precomputed norms) on candidates only.
+    *
+    * Codegen discipline: the 8 plane projections (64 fused
+    * multiply-adds each) are materialized as COLUMNS in a Project
+    * BEFORE the stack — inlining them into the Generate put ~8×64
+    * expression trees into one generated doConsume method, blew
+    * janino's 64 KB method limit, and silently dropped the hottest
+    * stage of this query to interpreted execution (the round-8
+    * `ERROR CodeGenerator` verify-log finding; the log's concurrency
+    * had mis-attributed it to events_cuped_ab). A Project splits
+    * per-expression into separate methods, so every stage now
+    * compiles; the Generate consumes 8 scalar columns. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Similarity.vecs(spark, dir)
-    val stackParts = (0 until nDupBands)
-      .map(b => s"$b, ${dupBandExpr("v", b, SparkD)}").mkString(", ")
-    val bands = e.selectExpr("vec_id", "label",
-      s"stack($nDupBands, $stackParts) AS (band_idx, band_val)")
+    val planeCols = (0 until nDupBands * dupPlanesPerBand)
+      .map(j => s"(${lshProjection("v", j, SparkD)}) AS p_$j")
+    val stackParts = (0 until nDupBands).map { b =>
+      val bits = (0 until dupPlanesPerBand).map { k =>
+        s"CASE WHEN p_${b * dupPlanesPerBand + k} > 0 THEN ${1 << k} ELSE 0 END"
+      }.mkString(" + ")
+      s"$b, CAST(($bits) AS INTEGER)"
+    }.mkString(", ")
+    val bands = e
+      .selectExpr(Seq("vec_id", "label") ++ planeCols: _*)
+      .selectExpr("vec_id", "label",
+        s"stack($nDupBands, $stackParts) AS (band_idx, band_val)")
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx")

@@ -2157,13 +2157,20 @@ object TextAnalysis {
     * tree, nano-quantized. Vocabulary-grain throughout — corpus
     * touched once by the term count. */
   def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = "DECIMAL(38,0)"
-    val ranked = Tables.documents(spark, dir)
-      .select(explode(expr(words("lower(text)", SparkD))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("tf"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("tf"), asc("term"))))
+    // The rank runs over the FULL vocabulary (a web-scale corpus has
+    // 1e8+ distinct terms, millions tied at tf = 1), so it rides the
+    // two-phase Scale.globalRank instead of a one-partition window:
+    // tf is pinned exactly as the first bucket column, and the 2-char
+    // term prefix splits the huge tie classes — lexicographically
+    // order-aligned because prefix(a) < prefix(b) implies a < b.
+    val ranked = graft.ops.Scale.globalRank(
+      Tables.documents(spark, dir)
+        .select(explode(expr(words("lower(text)", SparkD))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf")),
+      Seq(expr("-tf"), expr("substring(term, 1, 2)")),
+      Seq(org.apache.spark.sql.functions.desc("tf"),
+        org.apache.spark.sql.functions.asc("term")), "rank")
       .selectExpr(
         "CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT) AS lx",
         "CAST(round(ln(CAST(tf AS DOUBLE)) * 1e9) AS BIGINT) AS ly")
@@ -2238,12 +2245,19 @@ object TextAnalysis {
       .select(explode(expr(words("lower(text)", SparkD))).as("term"))
       .selectExpr("term", "xxhash64(term) AS h")
     val sketch = toks
-      .agg(expr(s"graft_heavyhitters(h, $hhK)").as("sk"),
-        count(lit(1)).as("n_stream"))
-      .selectExpr("n_stream", "explode(sk) AS e")
-      .selectExpr("n_stream", "e.key AS h", "e.cnt AS cnt")
+      .agg(expr(s"graft_heavyhitters(h, $hhK)").as("sk"))
+      .selectExpr("explode(sk) AS e")
+      .selectExpr("e.key AS h", "e.cnt AS cnt")
     val exact = toks.groupBy("term", "h").agg(count(lit(1)).as("exact_cnt"))
+    // n_stream rides an INDEPENDENT one-row aggregate cross-joined to
+    // the exact side — when it lived on the sketch rows, an
+    // exact-heavy key MISSING from the sketch made n_stream NULL and
+    // the heaviness filter dropped the row, so the in_sketch=0 flag
+    // this audit exists for was unreachable: a retention bug would
+    // have surfaced as a row-set mismatch, not a flipped flag
+    // (ADVICE r8).
     exact
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_stream"))))
       .join(broadcast(sketch), Seq("h"), "left")
       .filter(expr(s"exact_cnt * ${hhK + 1} > n_stream"))
       .selectExpr("term", "CAST(exact_cnt AS BIGINT) AS exact_cnt",

@@ -45,10 +45,46 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 object RollupRewrite {
 
   /** dims are attribute names; measures map normalized child SQL →
-    * rollup column, with `kind` choosing the rewrite (count|sum). */
+    * rollup column, with `kind` choosing the rewrite (count|sum).
+    * `baseFingerprint` records the base files' (name, size, mtime)
+    * triple at rollup-build time — the staleness witness. */
   final case class Spec(basePath: String, rollupPath: String,
                         dims: Seq[String],
-                        measures: Map[String, (String, String)])
+                        measures: Map[String, (String, String)],
+                        baseFingerprint: String)
+
+  /** (name, size, mtime) of every regular file under `path`, sorted —
+    * cheap fs metadata, no content read. A rewritten base parquet
+    * changes size or mtime, so a stale rollup can't silently answer
+    * for it (ADVICE r8: the registry was keyed by path alone, and an
+    * in-process rewrite of lineitem.parquet would have served
+    * pre-rewrite aggregates forever). */
+  private def fingerprintOf(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) "missing"
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+          .toSeq.sorted.mkString("|")
+      } finally s.close()
+    }
+  }
+
+  /** The spec for `basePath` if it is registered AND its base files
+    * still match the fingerprint taken at rollup-build time; a stale
+    * entry is dropped (the next ensure() rebuilds it) and the rule
+    * refuses to fire rather than serve pre-rewrite aggregates. */
+  private def validSpec(basePath: String): Option[Spec] =
+    registry.get(basePath).filter { spec =>
+      val fresh = spec.baseFingerprint == fingerprintOf(spec.basePath)
+      if (!fresh) registry.remove(basePath, spec): Unit
+      fresh
+    }
 
   /** basePath suffix → spec; TrieMap because Verify plans queries
     * concurrently in one session. */
@@ -70,7 +106,12 @@ object RollupRewrite {
     * its spec, and inject the rewrite rule into the session. */
   def ensure(spark: SparkSession, dir: String): Spec = {
     val basePath = s"$dir/lineitem.parquet"
+    validSpec(basePath): Unit // evicts a stale entry so the update below rebuilds
     registry.getOrElseUpdate(basePath, {
+      // fingerprint BEFORE the build: if the base changes mid-build the
+      // recorded witness mismatches on the next check and forces a
+      // rebuild — conservative in the right direction
+      val fp = fingerprintOf(basePath)
       val rollupPath = s"${System.getProperty("java.io.tmpdir")}" +
         s"/graft_rollup_${dirTag(dir)}"
       import org.apache.spark.sql.functions._
@@ -102,7 +143,8 @@ object RollupRewrite {
         measures = Map(
           keyOf(qtyExpr) -> (("pre_sum_qty", "sum")),
           keyOf(priceExpr) -> (("pre_sum_price", "sum")),
-          "count_star" -> (("pre_cnt", "count"))))
+          "count_star" -> (("pre_cnt", "count"))),
+        baseFingerprint = fp)
     })
     inject(spark)
     registry(basePath)
@@ -165,6 +207,7 @@ object RollupRewrite {
         }
         paths.flatMap(p => registry.values.find(s => p.endsWith(s.basePath)))
           .headOption
+          .flatMap(s => validSpec(s.basePath)) // stale rollup never fires
       case _ => None
     }
 

@@ -56,16 +56,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isTable(p: Path): Boolean =
     Files.exists(p.resolve(LedgerSink.ManifestName))
 
+  /** Run `f` over a java.nio directory stream and CLOSE it —
+    * Files.list/walk hold an open directory fd until closed, so the
+    * bare-iterator form leaked one fd per catalog operation and a
+    * long-lived session eventually hit the process fd limit
+    * (ADVICE r8). */
+  private def withStream[A](s: java.util.stream.Stream[Path])(
+      f: Iterator[Path] => A): A =
+    try f(s.iterator().asScala) finally s.close()
+
   override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(root)(_.resolve(_))
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
       catalogName +: namespace)
-    Files.list(dir).iterator().asScala
+    withStream(Files.list(dir))(_
       .filter(p => Files.isDirectory(p) && isTable(p))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+      .toArray)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -100,8 +109,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // delete children bottom-up; the manifest goes FIRST so a crash
     // mid-drop leaves a non-table directory, never a corrupt table
     Files.deleteIfExists(dir.resolve(LedgerSink.ManifestName))
-    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    withStream(Files.walk(dir).sorted(java.util.Comparator.reverseOrder()))(
+      _.foreach(Files.deleteIfExists(_)))
     true
   }
 
@@ -115,17 +124,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // ---- namespaces: implicit directory prefixes ----
 
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(root).iterator().asScala
+    withStream(Files.list(root))(_
       .filter(p => Files.isDirectory(p) && !isTable(p))
-      .map(p => Array(p.getFileName.toString)).toArray
+      .map(p => Array(p.getFileName.toString)).toArray)
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val dir = namespace.foldLeft(root)(_.resolve(_))
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
       catalogName +: namespace)
-    Files.list(dir).iterator().asScala
+    withStream(Files.list(dir))(_
       .filter(p => Files.isDirectory(p) && !isTable(p))
-      .map(p => namespace :+ p.getFileName.toString).toArray
+      .map(p => namespace :+ p.getFileName.toString).toArray)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
@@ -151,10 +160,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = namespace.foldLeft(root)(_.resolve(_))
     if (!Files.isDirectory(dir)) return false
-    if (!cascade && Files.list(dir).iterator().hasNext)
+    if (!cascade && withStream(Files.list(dir))(_.hasNext))
       throw new IllegalStateException(s"namespace not empty: $dir")
-    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    withStream(Files.walk(dir).sorted(java.util.Comparator.reverseOrder()))(
+      _.foreach(Files.deleteIfExists(_)))
     true
   }
 }

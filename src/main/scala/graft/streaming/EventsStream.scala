@@ -1185,11 +1185,12 @@ object EventsStream {
     * both engines select the identical element) plus the exact mean.
     * This is the time-to-convert readout the stage-count funnel
     * (`events_funnel`) doesn't give. Plan: two user-keyed min-aggs
-    * and one user equi-join — the rank window runs over converting
-    * USERS (audience-sized), and delays are exact BIGINT micros end
-    * to end. */
+    * and one user equi-join — the rank runs over converting USERS
+    * (audience-sized, i.e. the same dimension-grain class VERDICT r8
+    * flagged), so it rides the two-phase
+    * [[graft.ops.Scale.globalRank]] rather than a one-partition
+    * window sort; delays are exact BIGINT micros end to end. */
   def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = graft.io.Tables.events(spark, dir)
     val su = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("ts").as("s_ts"))
@@ -1199,8 +1200,9 @@ object EventsStream {
       .groupBy("user_id", "s_ts").agg(min("ts").as("p_ts"))
       .selectExpr("user_id",
         "unix_micros(p_ts) - unix_micros(s_ts) AS delay_us")
-    val w = Window.orderBy(asc("delay_us"), asc("user_id"))
-    val ranked = conv.withColumn("rk", row_number().over(w))
+    val ranked = graft.ops.Scale.globalRank(conv,
+      Seq(expr("delay_us DIV 2147483648")), // ~36-min buckets over the delay range
+      Seq(asc("delay_us"), asc("user_id")), "rk")
     val n = ranked.agg(count(lit(1)).as("n_converted"))
     ranked.crossJoin(broadcast(n))
       .selectExpr("n_converted", "rk", "delay_us")

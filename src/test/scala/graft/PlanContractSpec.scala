@@ -336,7 +336,8 @@ class PlanContractSpec extends SparkSpec {
     // one that bit at sf0.1 already.
     import org.apache.spark.sql.execution.window.WindowExec
     Seq("rfm_customer_scores", "rfm_segment_rollup",
-      "events_user_deciles", "parts_abc_analysis", "parts_abc_xyz")
+      "events_user_deciles", "parts_abc_analysis", "parts_abc_xyz",
+      "events_funnel_latency", "text_zipf_slope")
       .foreach { q =>
         val plan = SparkEntry.queries(q)(spark, sfTiny)
           .queryExecution.sparkPlan

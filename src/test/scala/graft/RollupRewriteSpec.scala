@@ -61,4 +61,35 @@ class RollupRewriteSpec extends SparkSpec {
       .agg(countDistinct("l_orderkey").as("n_keys"))
     assert(!scansRollup(distinctAgg), "distinct agg must not be rewritten")
   }
+
+  test("a rewritten base file invalidates the rollup (no stale answers)") {
+    // stage a private copy of the fixture so mutating it can't race
+    // other suites
+    val dir = java.nio.file.Files.createTempDirectory("rollup_stale_").toString
+    val src = java.nio.file.Paths.get(s"$sfTiny/lineitem.parquet")
+    val dst = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
+    java.nio.file.Files.copy(src, dst)
+    def coveredHere() = {
+      graft.plans.RollupRewrite.ensure(spark, dir)
+      spark.read.parquet(dst.toString)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"))
+    }
+    assert(scansRollup(coveredHere()), "rule should fire on the fresh copy")
+    // simulate an in-process rewrite: a parquet overwrite always lands
+    // a new mtime, which is what the fingerprint watches (the file
+    // must stay readable — Spark loads the footer when planning)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(dst).toMillis + 10000))
+    // the rule must refuse the stale rollup...
+    val afterMutation = spark.read.parquet(dst.toString)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"))
+    assert(!scansRollup(afterMutation),
+      "stale rollup served an aggregate for a rewritten base file")
+    // ...and the next ensure() rebuilds from the current base, after
+    // which the rewrite fires again
+    assert(scansRollup(coveredHere()), "ensure() did not rebuild after staleness")
+  }
 }
