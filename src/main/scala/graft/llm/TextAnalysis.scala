@@ -2270,6 +2270,171 @@ object TextAnalysis {
       .orderBy(desc("exact_cnt"), asc("term"))
   }
 
+  // ---- in-engine classifier TRAINING: exact-integer hard-sigmoid GD ----
+
+  private val gdRounds = 16
+  /** Hard-sigmoid slope divisor: p_micro = clamp(5e5 + s/2^10, 0, 1e6). */
+  private val gdSlopeDiv = 1024L
+  /** Damping divisor on the diagonal-Newton step (2 = half-steps). */
+  private val gdDamp = 2L
+
+  /** Per-doc integer feature/label projection for the GD trainer:
+    * bias, capped token count, capped stopword-kind count, alphabetic
+    * token share in milli — all exact BIGINTs off the one
+    * [[gateRelation]] scan; label = the rule gate's verdict. */
+  private def gdFeatExprs(d: Dialect): Seq[String] = Seq(
+    "CAST(1 AS BIGINT) AS x0",
+    "CAST(least(n_tokens, 1000) AS BIGINT) AS x1",
+    "CAST(least(n_stop_kinds, 50) AS BIGINT) AS x2",
+    s"CAST(${intDiv("(1000 * n_alpha_tokens)", "greatest(n_tokens, 1)", d)} AS BIGINT) AS x3",
+    "CAST(pass AS BIGINT) AS y")
+
+  /** The per-row signed error in MILLI units under weights (w0..w3) —
+    * ONE expression text both engines run. Hard sigmoid instead of
+    * the logistic: clamp(1/2 + s/2^10) is exact integer arithmetic
+    * end to end, where exp() would put an iterated, amplified libm
+    * divergence inside an 8-round recursion (the one place the
+    * engine's no-libm-in-query rule is load-bearing rather than
+    * stylistic). The milli downscale bounds Σ e·x at 1e6 per row, so
+    * the gradient sum stays inside BIGINT to ~1e12 rows. */
+  private def gdErrExpr(d: Dialect): String =
+    intDiv(
+      s"(least(1000000, greatest(0, 500000 + ${intDiv(
+        "(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3)", gdSlopeDiv.toString, d)})) " +
+        "- y * 1000000)",
+      "1000", d)
+
+  /** One weight-update expression per feature: a DAMPED
+    * DIAGONAL-NEWTON step (NLMS-style). Plain uniform-rate GD was
+    * written first and REPLACED: the features span three orders of
+    * magnitude (bias 1 vs alpha-share ~1000), so any single learning
+    * rate either saturated the large features into a constant
+    * predictor or froze the small ones — measured 38% then 62%
+    * (= majority class) training accuracy on the fixture. The fix
+    * preconditions each gradient by its feature's mean square q_i
+    * (E[x_i²], exact integer, computed once and carried in the weight
+    * row): for the quadratic region of the hard sigmoid this IS the
+    * Newton step — the bias converges in one round — damped by 2 for
+    * the clamped region. step_i = ((g_i/n)·1000·slope) / (q_i·damp),
+    * all truncating integer division on both engines (Spark DIV;
+    * DuckDB // — both truncate toward zero, verified on negatives). */
+  private def gdStepExpr(i: Int, d: Dialect): String =
+    s"w${i}o - ${intDiv(
+      s"(${intDiv(s"g$i", "n", d)} * ${1000 * gdSlopeDiv})",
+      s"(q${i}o * $gdDamp)", d)} AS w$i"
+
+  /** `classifier_train_gd`: TRAIN a linear quality classifier inside
+    * the engine — distill the rule-based [[qualityGate]] into four
+    * interpretable weights by batch gradient descent, every round a
+    * single map-side-combined aggregate over the feature relation
+    * (the Pregel-shaped loop the PageRank/BPE/unigram-EM tiers
+    * already use, applied to model fitting). State between rounds is
+    * a ONE-ROW weight relation carried through
+    * [[graft.ops.Checkpoints.cutRound]]; nothing is collected to the
+    * driver and no step depends on partitioning — integer arithmetic
+    * makes the whole 8-round trajectory bit-exact against the DuckDB
+    * oracle's unrolled recurrence, which is the strongest correctness
+    * statement a trainer can make (not "converges to similar loss":
+    * IDENTICAL weights). Output: the four weights plus exact training
+    * accuracy/positive-rate micros, as a (feature, value) ledger. */
+  def classifierTrainGd(spark: SparkSession, dir: String): DataFrame = {
+    val feats = graft.PlanCache(spark, "gd_feats", dir) {
+      gateRelation(spark, dir).selectExpr(gdFeatExprs(SparkD): _*)
+    }
+    // weight row carries the per-feature mean squares q_i — the
+    // Newton preconditioner, computed once from the same scan
+    var w = feats
+      .agg(count(lit(1)).as("n"),
+        sum(expr("x0 * x0")).as("s0"), sum(expr("x1 * x1")).as("s1"),
+        sum(expr("x2 * x2")).as("s2"), sum(expr("x3 * x3")).as("s3"))
+      .selectExpr(
+        Seq("CAST(0 AS BIGINT) AS w0", "CAST(0 AS BIGINT) AS w1",
+          "CAST(0 AS BIGINT) AS w2", "CAST(0 AS BIGINT) AS w3") ++
+        (0 to 3).map(i =>
+          s"greatest(${intDiv(s"s$i", "n", SparkD)}, 1) AS q$i"): _*)
+    for (r <- 1 to gdRounds) {
+      w = feats.crossJoin(broadcast(w))
+        .selectExpr("w0", "w1", "w2", "w3", "q0", "q1", "q2", "q3",
+          "x0", "x1", "x2", "x3", s"${gdErrExpr(SparkD)} AS e")
+        .agg(max("w0").as("w0o"), max("w1").as("w1o"),
+          max("w2").as("w2o"), max("w3").as("w3o"),
+          max("q0").as("q0o"), max("q1").as("q1o"),
+          max("q2").as("q2o"), max("q3").as("q3o"),
+          count(lit(1)).as("n"),
+          sum(expr("e * x0")).as("g0"), sum(expr("e * x1")).as("g1"),
+          sum(expr("e * x2")).as("g2"), sum(expr("e * x3")).as("g3"))
+        .selectExpr((0 to 3).map(gdStepExpr(_, SparkD)) ++
+          (0 to 3).map(i => s"q${i}o AS q$i"): _*)
+        .transform(graft.ops.Checkpoints.cutRound(_, r))
+    }
+    feats.crossJoin(broadcast(w))
+      .selectExpr("w0", "w1", "w2", "w3", "y",
+        "w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3 AS s")
+      .agg(max("w0").as("w0"), max("w1").as("w1"),
+        max("w2").as("w2"), max("w3").as("w3"),
+        count(lit(1)).as("n"),
+        sum(expr("CASE WHEN (s >= 0) = (y = 1) THEN 1 ELSE 0 END")).as("n_ok"),
+        sum("y").as("n_pos"))
+      .selectExpr(
+        s"""stack(6,
+             'w_bias', w0,
+             'w_tokens_capped', w1,
+             'w_stop_kinds_capped', w2,
+             'w_alpha_milli', w3,
+             'train_acc_micro', ${intDiv("(1000000 * n_ok)", "n", SparkD)},
+             'train_pos_micro', ${intDiv("(1000000 * n_pos)", "n", SparkD)}
+           ) AS (feature, value)""")
+      .orderBy("feature")
+  }
+
+  val classifierTrainGdOracle: String = {
+    val roundCtes = (1 to gdRounds).map { r =>
+      s"""gdr$r AS (SELECT max(w0) AS w0o, max(w1) AS w1o,
+             max(w2) AS w2o, max(w3) AS w3o,
+             max(q0) AS q0o, max(q1) AS q1o,
+             max(q2) AS q2o, max(q3) AS q3o,
+             count(*) AS n,
+             sum(e * x0) AS g0, sum(e * x1) AS g1,
+             sum(e * x2) AS g2, sum(e * x3) AS g3
+           FROM (SELECT w.w0, w.w1, w.w2, w.w3,
+                   w.q0, w.q1, w.q2, w.q3,
+                   f.x0, f.x1, f.x2, f.x3,
+                   ${gdErrExpr(DuckD)} AS e
+                 FROM gd_feats f CROSS JOIN gdw${r - 1} w)),
+          gdw$r AS (SELECT ${(0 to 3).map(gdStepExpr(_, DuckD)).mkString(", ")},
+              q0o AS q0, q1o AS q1, q2o AS q2, q3o AS q3
+            FROM gdr$r)"""
+    }.mkString(",\n        ")
+    val qInit = (0 to 3).map(i =>
+      s"greatest(${intDiv(s"sum(x$i * x$i)", "count(*)", DuckD)}, 1) AS q$i")
+      .mkString(", ")
+    s"""WITH $gateCtes,
+        gd_feats AS (SELECT ${gdFeatExprs(DuckD).mkString(", ")} FROM gate),
+        gdw0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                        CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+                        $qInit
+                 FROM gd_feats),
+        $roundCtes,
+        fin AS (SELECT max(w.w0) AS w0, max(w.w1) AS w1,
+            max(w.w2) AS w2, max(w.w3) AS w3,
+            count(*) AS n,
+            sum(CASE WHEN (f.x0 * w.w0 + f.x1 * w.w1 + f.x2 * w.w2
+                  + f.x3 * w.w3 >= 0) = (f.y = 1)
+                THEN 1 ELSE 0 END) AS n_ok,
+            sum(f.y) AS n_pos
+          FROM gd_feats f CROSS JOIN gdw$gdRounds w)
+        SELECT feature, value FROM (
+          SELECT 'w_bias' AS feature, w0 AS value FROM fin
+          UNION ALL SELECT 'w_tokens_capped', w1 FROM fin
+          UNION ALL SELECT 'w_stop_kinds_capped', w2 FROM fin
+          UNION ALL SELECT 'w_alpha_milli', w3 FROM fin
+          UNION ALL SELECT 'train_acc_micro',
+            ${intDiv("(1000000 * n_ok)", "n", DuckD)} FROM fin
+          UNION ALL SELECT 'train_pos_micro',
+            ${intDiv("(1000000 * n_pos)", "n", DuckD)} FROM fin)
+        ORDER BY feature"""
+  }
+
   /** The oracle recomputes the deterministic part (exact-heavy set)
     * and asserts the theorem flags as literal 1s. */
   val heavyHittersAuditOracle: String =

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -36,7 +36,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * crawls files to discover tables, this catalog derives them from
   * the commit protocol's own manifests.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -126,7 +127,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(): Array[Array[String]] =
     withStream(Files.list(root))(_
       .filter(p => Files.isDirectory(p) && !isTable(p))
-      .map(p => Array(p.getFileName.toString)).toArray)
+      .map(p => Array(p.getFileName.toString)).toArray) :+ FnNamespace
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val dir = namespace.foldLeft(root)(_.resolve(_))
@@ -138,7 +139,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || Files.isDirectory(namespace.foldLeft(root)(_.resolve(_)))
+    namespace.isEmpty || namespace.sameElements(FnNamespace) ||
+      Files.isDirectory(namespace.foldLeft(root)(_.resolve(_)))
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): java.util.Map[String, String] = {
@@ -155,6 +157,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterNamespace(
       namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("namespaces carry no metadata")
+
+  // ---- functions: the catalog-served UDF surface ----
+
+  /** V2 functions live in the fixed `fns` namespace (they are code,
+    * not filesystem state — [[GraftFunctions]] documents the tier).
+    * `fns` coexists with the directory namespaces: listNamespaces
+    * reports it and namespaceExists admits it even though no
+    * directory backs it. */
+  private val FnNamespace = Array("fns")
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(FnNamespace))
+      GraftFunctions.all.keys.toArray.sorted
+        .map(Identifier.of(FnNamespace, _))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(catalogName +: namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().sameElements(FnNamespace))
+      GraftFunctions.all.getOrElse(ident.name(),
+        throw new NoSuchFunctionException(ident))
+    else throw new NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace().sameElements(FnNamespace) &&
+      GraftFunctions.all.contains(ident.name())
 
   override def dropNamespace(
       namespace: Array[String], cascade: Boolean): Boolean = {
@@ -207,4 +236,41 @@ object CatalogRoundtrip {
          count(*) AS n_nations,
          min(n_name) AS first_name, max(n_name) AS last_name
        FROM nation GROUP BY 1 ORDER BY 1"""
+
+  /** `dsv2_function_catalog`: catalog-served V2 functions called from
+    * plain SQL — the scalar [[GraftFunctions.HardSigmoid]] (magic-
+    * method Invoke path) inside a sum, and the V2 aggregate
+    * [[GraftFunctions.SumOfSquares]] (update/merge/produceResult)
+    * grouped per bucket. Exact integer arithmetic throughout, so the
+    * DuckDB oracle replays both function BODIES as inline text — a
+    * hash match pins that the catalog resolution, the reflective
+    * magic-method binding, and the partial-agg merge tree all compute
+    * the declared function. */
+  def functionCatalogQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt")
+    graft.io.Tables.orders(spark, sfDir)
+      .createOrReplaceTempView(s"cat_fn_orders_$tag")
+    spark.sql(
+      s"""SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+            count(*) AS n,
+            sum(graft_cat.fns.hardsig(
+              CAST(round(o_totalprice * 100) AS BIGINT) - 15000000)) AS sig_sum,
+            graft_cat.fns.ssq(CAST(o_orderkey % 1000 AS BIGINT)) AS key_ssq
+          FROM cat_fn_orders_$tag
+          GROUP BY 1 ORDER BY 1""")
+  }
+
+  val functionCatalogQueryOracle: String =
+    """SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+         count(*) AS n,
+         CAST(sum(least(1000000, greatest(0,
+           500000 + (CAST(round(o_totalprice * 100) AS BIGINT) - 15000000)
+             // 1024))) AS BIGINT) AS sig_sum,
+         CAST(sum(CAST(o_orderkey % 1000 AS BIGINT)
+           * CAST(o_orderkey % 1000 AS BIGINT)) AS BIGINT) AS key_ssq
+       FROM orders GROUP BY 1 ORDER BY 1"""
 }
