@@ -101,6 +101,57 @@ object LedgerRoundtrip {
   val sinkRoundtripOracle: String =
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
        FROM customer ORDER BY c_custkey"""
+
+  /** `dsv2_stream_sink_roundtrip`: the connector's fourth quadrant —
+    * micro-batch STREAM into the transactional ledger sink. The
+    * synthetic source drains 100k rows under a 25k-row admission cap
+    * (Trigger.AvailableNow ⇒ ≥ 4 epochs, each its own
+    * stage→message→epoch-commit cycle through
+    * [[LedgerStreamingWrite]]), then the table reads back through the
+    * manifest and aggregates. The oracle regenerates the whole ledger
+    * arithmetically in DuckDB, so the hash match pins exactly-once
+    * delivery ACROSS epochs: a lost or doubled batch changes every
+    * count and sum. Fresh table + checkpoint per run — replay
+    * idempotence is the sink spec's job, not this gate's. */
+  def streamSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ledger_stream_$tag"
+    val ckpt = s"$dir/_checkpoint"
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val s = Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    val stream = spark.readStream.format(classOf[SyntheticSource].getName)
+      .option("rows", "100000").option("slices", "16")
+      .option("maxRowsPerBatch", "25000").load()
+    val q = stream.writeStream.format(classOf[LedgerSink].getName)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.format(classOf[LedgerSink].getName)
+      .option("path", dir).load()
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy("category")
+  }
+
+  val streamSinkRoundtripOracle: String =
+    """SELECT 'c' || CAST(v % 23 AS VARCHAR) AS category,
+         count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS sum_value,
+         CAST(sum(v % 9973) AS BIGINT) AS sum_cents,
+         min(id) AS min_id,
+         max(id) AS max_id
+       FROM (SELECT id, (id * 1103515245 + 12345) % 2147483648 AS v
+             FROM range(0, 100000) t(id))
+       GROUP BY 1 ORDER BY 1"""
 }
 
 object LedgerSink {
@@ -229,7 +280,8 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LedgerScanBuilder(dir, schema0)
@@ -404,6 +456,9 @@ private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new LedgerBatchWrite(dir, schema, doTruncate)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new LedgerStreamingWrite(dir, schema)
   }
 }
 
@@ -442,11 +497,66 @@ private[sources] class LedgerBatchWrite(
     }
 }
 
+/** Exactly-once STREAMING sink over the same staged-file + manifest
+  * protocol as the batch write — the connector's fourth quadrant
+  * (batch read, batch write, micro-batch read, and now micro-batch
+  * WRITE). The one genuinely new obligation is EPOCH IDEMPOTENCE:
+  * after a failure, Structured Streaming re-runs the last epoch and
+  * calls `commit(epochId, …)` AGAIN for an epoch that may already be
+  * in the manifest. Staged files carry their epoch in the name
+  * (`_staging/epoch-<e>-part-…`), so a replayed commit detects its
+  * epoch's files already present and returns without appending —
+  * at-least-once task attempts compose with an idempotent commit
+  * into exactly-once table state, which is the entire contract of a
+  * transactional streaming sink. Append output mode only: an epoch
+  * never rewrites previous epochs' files. */
+private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(dir.resolve("_staging"))
+    val base = dir.toString
+    val ddl = schema.toDDL
+    (partitionId: Int, taskId: Long, epochId: Long) =>
+      new LedgerDataWriter(base, StructType.fromDDL(ddl), partitionId,
+        taskId, filePrefix = s"epoch-$epochId-")
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val prev = LedgerSink.readManifest(dir).map(_._2).getOrElse(Seq.empty)
+    val marker = s"_staging/epoch-$epochId-"
+    if (prev.exists(_.file.startsWith(marker))) {
+      // replayed epoch: the manifest already holds its files — drop
+      // the re-staged duplicates instead of double-appending
+      messages.foreach {
+        case LedgerCommitMessage(e) if !prev.exists(_.file == e.file) =>
+          Files.deleteIfExists(dir.resolve(e.file)): Unit
+        case _ => ()
+      }
+    } else {
+      val files = messages.map(_.asInstanceOf[LedgerCommitMessage].entry)
+      LedgerSink.writeManifestAtomic(dir, schema, prev ++ files)
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case LedgerCommitMessage(e) =>
+        Files.deleteIfExists(dir.resolve(e.file)): Unit
+      case _ => ()
+    }
+}
+
 private[sources] class LedgerDataWriter(
-    base: String, schema: StructType, partitionId: Int, taskId: Long)
+    base: String, schema: StructType, partitionId: Int, taskId: Long,
+    filePrefix: String = "")
     extends DataWriter[InternalRow] {
 
-  private val rel = s"_staging/part-$partitionId-$taskId.ledger"
+  private val rel = s"_staging/${filePrefix}part-$partitionId-$taskId.ledger"
   private val path = Paths.get(base, rel)
   Files.createDirectories(path.getParent) // executor-side, in case the
   // driver's mkdir raced or the writer runs on another host's view
