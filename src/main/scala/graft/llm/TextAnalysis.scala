@@ -2283,6 +2283,7 @@ object TextAnalysis {
     * token share in milli — all exact BIGINTs off the one
     * [[gateRelation]] scan; label = the rule gate's verdict. */
   private def gdFeatExprs(d: Dialect): Seq[String] = Seq(
+    "doc_id",
     "CAST(1 AS BIGINT) AS x0",
     "CAST(least(n_tokens, 1000) AS BIGINT) AS x1",
     "CAST(least(n_stop_kinds, 50) AS BIGINT) AS x2",
@@ -2338,9 +2339,38 @@ object TextAnalysis {
     * IDENTICAL weights). Output: the four weights plus exact training
     * accuracy/positive-rate micros, as a (feature, value) ledger. */
   def classifierTrainGd(spark: SparkSession, dir: String): DataFrame = {
-    val feats = graft.PlanCache(spark, "gd_feats", dir) {
+    val feats = gdFeats(spark, dir)
+    feats.crossJoin(broadcast(gdTrainedWeights(spark, dir)))
+      .selectExpr("w0", "w1", "w2", "w3", "y",
+        "w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3 AS s")
+      .agg(max("w0").as("w0"), max("w1").as("w1"),
+        max("w2").as("w2"), max("w3").as("w3"),
+        count(lit(1)).as("n"),
+        sum(expr("CASE WHEN (s >= 0) = (y = 1) THEN 1 ELSE 0 END")).as("n_ok"),
+        sum("y").as("n_pos"))
+      .selectExpr(
+        s"""stack(6,
+             'w_bias', w0,
+             'w_tokens_capped', w1,
+             'w_stop_kinds_capped', w2,
+             'w_alpha_milli', w3,
+             'train_acc_micro', ${intDiv("(1000000 * n_ok)", "n", SparkD)},
+             'train_pos_micro', ${intDiv("(1000000 * n_pos)", "n", SparkD)}
+           ) AS (feature, value)""")
+      .orderBy("feature")
+  }
+
+  private def gdFeats(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "gd_feats", dir) {
       gateRelation(spark, dir).selectExpr(gdFeatExprs(SparkD): _*)
     }
+
+  /** The 16-round training loop, returning the ONE-ROW weight
+    * relation — shared by the training readout and the corpus-apply
+    * query (PlanCache key `gd_weights`). */
+  private def gdTrainedWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "gd_weights", dir) {
+    val feats = gdFeats(spark, dir)
     // weight row carries the per-feature mean squares q_i — the
     // Newton preconditioner, computed once from the same scan
     var w = feats
@@ -2367,27 +2397,39 @@ object TextAnalysis {
           (0 to 3).map(i => s"q${i}o AS q$i"): _*)
         .transform(graft.ops.Checkpoints.cutRound(_, r))
     }
-    feats.crossJoin(broadcast(w))
-      .selectExpr("w0", "w1", "w2", "w3", "y",
-        "w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3 AS s")
-      .agg(max("w0").as("w0"), max("w1").as("w1"),
-        max("w2").as("w2"), max("w3").as("w3"),
-        count(lit(1)).as("n"),
-        sum(expr("CASE WHEN (s >= 0) = (y = 1) THEN 1 ELSE 0 END")).as("n_ok"),
-        sum("y").as("n_pos"))
-      .selectExpr(
-        s"""stack(6,
-             'w_bias', w0,
-             'w_tokens_capped', w1,
-             'w_stop_kinds_capped', w2,
-             'w_alpha_milli', w3,
-             'train_acc_micro', ${intDiv("(1000000 * n_ok)", "n", SparkD)},
-             'train_pos_micro', ${intDiv("(1000000 * n_pos)", "n", SparkD)}
-           ) AS (feature, value)""")
-      .orderBy("feature")
+    w
   }
 
-  val classifierTrainGdOracle: String = {
+  /** `classifier_train_apply`: close the train→apply loop — score the
+    * WHOLE corpus with the learned weights and report the per-source
+    * confusion matrix against the rule gate (the table that says
+    * where the distilled model disagrees with its teacher, which is
+    * where a human reviews before swapping the cheap model in). One
+    * broadcast of the one-row weight relation, one scan, a
+    * source-grain agg — inference is exactly as scalable as the gate
+    * itself. */
+  def classifierTrainApply(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    gdFeats(spark, dir)
+      .crossJoin(broadcast(gdTrainedWeights(spark, dir)))
+      .selectExpr("doc_id", "y",
+        "CASE WHEN w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3 >= 0 THEN 1 ELSE 0 END AS pred")
+      .join(src, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END")).as("tp"),
+        sum(expr("CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END")).as("fp"),
+        sum(expr("CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END")).as("fn"),
+        sum(expr("CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END")).as("tn"))
+      .selectExpr("source", "n_docs", "tp", "fp", "fn", "tn",
+        s"${intDiv("(1000000 * (tp + tn))", "n_docs", SparkD)} AS acc_micro")
+      .orderBy("source")
+  }
+
+  /** Shared oracle CTE prefix: gate chain → feature projection →
+    * initial weights → the unrolled 16-round recurrence, ending in
+    * `gdw$gdRounds`. */
+  private def gdOracleCtes: String = {
     val roundCtes = (1 to gdRounds).map { r =>
       s"""gdr$r AS (SELECT max(w0) AS w0o, max(w1) AS w1o,
              max(w2) AS w2o, max(w3) AS w3o,
@@ -2408,13 +2450,17 @@ object TextAnalysis {
     val qInit = (0 to 3).map(i =>
       s"greatest(${intDiv(s"sum(x$i * x$i)", "count(*)", DuckD)}, 1) AS q$i")
       .mkString(", ")
-    s"""WITH $gateCtes,
+    s"""$gateCtes,
         gd_feats AS (SELECT ${gdFeatExprs(DuckD).mkString(", ")} FROM gate),
         gdw0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
                         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
                         $qInit
                  FROM gd_feats),
-        $roundCtes,
+        $roundCtes"""
+  }
+
+  val classifierTrainGdOracle: String =
+    s"""WITH $gdOracleCtes,
         fin AS (SELECT max(w.w0) AS w0, max(w.w1) AS w1,
             max(w.w2) AS w2, max(w.w3) AS w3,
             count(*) AS n,
@@ -2433,7 +2479,24 @@ object TextAnalysis {
           UNION ALL SELECT 'train_pos_micro',
             ${intDiv("(1000000 * n_pos)", "n", DuckD)} FROM fin)
         ORDER BY feature"""
-  }
+
+  val classifierTrainApplyOracle: String =
+    s"""WITH $gdOracleCtes,
+        scored AS (SELECT f.doc_id, f.y,
+            CASE WHEN f.x0 * w.w0 + f.x1 * w.w1 + f.x2 * w.w2
+                   + f.x3 * w.w3 >= 0 THEN 1 ELSE 0 END AS pred
+          FROM gd_feats f CROSS JOIN gdw$gdRounds w),
+        conf AS (SELECT d.source,
+            count(*) AS n_docs,
+            CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+          GROUP BY d.source)
+        SELECT source, n_docs, tp, fp, fn, tn,
+          ${intDiv("(1000000 * (tp + tn))", "n_docs", DuckD)} AS acc_micro
+        FROM conf ORDER BY source"""
 
   /** The oracle recomputes the deterministic part (exact-heavy set)
     * and asserts the theorem flags as literal 1s. */
