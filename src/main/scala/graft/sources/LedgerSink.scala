@@ -55,7 +55,10 @@ class LedgerSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("ledger sink requires a path option"))
-    LedgerSink.readManifest(Paths.get(dir)) match {
+    // time travel: the requested VERSION's schema, not the live one —
+    // an overwrite may have changed it
+    val version = Option(options.get("versionAsOf")).map(_.toInt)
+    LedgerSink.readManifestAt(Paths.get(dir), version) match {
       case Some((schema, _)) => schema
       case None => throw new IllegalArgumentException(
         s"no committed ledger manifest under $dir")
@@ -71,7 +74,8 @@ class LedgerSink extends TableProvider {
       properties: java.util.Map[String, String]): Table = {
     val dir = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("ledger sink requires a path option"))
-    new LedgerTable(Paths.get(dir), schema)
+    new LedgerTable(Paths.get(dir), schema,
+      Option(properties.get("versionAsOf")).map(_.toInt))
   }
 }
 
@@ -152,6 +156,54 @@ object LedgerRoundtrip {
        FROM (SELECT id, (id * 1103515245 + 12345) % 2147483648 AS v
              FROM range(0, 100000) t(id))
        GROUP BY 1 ORDER BY 1"""
+
+  /** `dsv2_time_travel`: manifest-versioned TIME TRAVEL — every commit
+    * archives the manifest it replaces, so `versionAsOf` reads any
+    * historical table state through its own immutable manifest (the
+    * lakehouse snapshot story at this format's scale: an overwrite
+    * orphans data files rather than deleting them; vacuum reclaims
+    * what no version references). The gate overwrites the customer
+    * table with a filtered subset, then reads BOTH the pre-overwrite
+    * version and the live table; DuckDB recomputes both digests from
+    * the fixture, so the hash match pins that history is the history
+    * — an overwrite that leaked into v1, or a version chain that
+    * skipped, changes a digest. */
+  def timeTravelRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = scratch(sfDir) + "_tt"
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val s = Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    val cust = graft.io.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    cust.write.format(classOf[LedgerSink].getName)
+      .option("path", dir).mode("overwrite").save()          // version 1
+    cust.filter(col("c_nationkey") < 13)
+      .write.format(classOf[LedgerSink].getName)
+      .option("path", dir).mode("overwrite").save()          // version 2 (live)
+    def digest(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+        .selectExpr(s"'$tag' AS snapshot", "n_rows", "bal_cents")
+    digest(spark.read.format(classOf[LedgerSink].getName)
+        .option("path", dir).option("versionAsOf", "1").load(), "v1")
+      .unionByName(digest(spark.read.format(classOf[LedgerSink].getName)
+        .option("path", dir).load(), "live"))
+      .orderBy("snapshot")
+  }
+
+  val timeTravelRoundtripOracle: String =
+    """SELECT 'live' AS snapshot, count(*) AS n_rows,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+       FROM customer WHERE c_nationkey < 13
+       UNION ALL
+       SELECT 'v1', count(*),
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+       FROM customer
+       ORDER BY snapshot"""
 }
 
 object LedgerSink {
@@ -260,9 +312,100 @@ object LedgerSink {
     Some((StructType.fromDDL(lines.head), lines.tail.map(FileEntry.parse)))
   }
 
+  // ---- manifest versioning (time travel) ----
+
+  private[sources] def archiveName(v: Int): String = s"$ManifestName.v$v"
+
+  private val ArchiveRe = s"${ManifestName}\\.v(\\d+)".r
+
+  /** Archived (historical) version numbers, ascending. */
+  private[sources] def archivedVersions(dir: Path): Seq[Int] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.flatMap(p =>
+        p.getFileName.toString match {
+          case ArchiveRe(v) => Some(v.toInt)
+          case _ => None
+        }).toSeq.sorted
+      finally s.close()
+    }
+
+  /** The CURRENT manifest's version number: one past the newest
+    * archive (the archive is written at replacement time, so the live
+    * manifest is always the highest version). */
+  private[sources] def currentVersion(dir: Path): Int =
+    archivedVersions(dir).lastOption.getOrElse(0) + 1
+
+  /** Manifest as of `version` — the live manifest when `version` is
+    * None or equals [[currentVersion]]; an immutable archive
+    * otherwise. */
+  private[sources] def readManifestAt(dir: Path, version: Option[Int])
+      : Option[(StructType, Seq[FileEntry])] =
+    version.filter(_ != currentVersion(dir)) match {
+      case None => readManifest(dir)
+      case Some(v) =>
+        val m = dir.resolve(archiveName(v))
+        if (!Files.exists(m))
+          throw new IllegalArgumentException(
+            s"ledger $dir has no version $v (versions: " +
+              s"${archivedVersions(dir).mkString(",")},${currentVersion(dir)})")
+        val lines = Files.readAllLines(m, UTF_8).asScala.toSeq
+        Some((StructType.fromDDL(lines.head), lines.tail.map(FileEntry.parse)))
+    }
+
+  /** Every file referenced by ANY retained version — the set a vacuum
+    * or a post-DELETE cleanup must not touch. */
+  private[sources] def referencedFiles(dir: Path): Set[String] = {
+    val archived = archivedVersions(dir).flatMap { v =>
+      Files.readAllLines(dir.resolve(archiveName(v)), UTF_8)
+        .asScala.toSeq.tail.map(FileEntry.parse(_).file)
+    }
+    (archived ++ readManifest(dir).map(_._2.map(_.file)).getOrElse(Seq.empty))
+      .toSet
+  }
+
+  /** Delete staged files no retained version references (the Delta
+    * VACUUM analogue with retention = every version; expire versions
+    * first — delete their archive files — to reclaim their data). */
+  def vacuum(dir: Path): Seq[String] = {
+    val live = referencedFiles(dir)
+    val staging = dir.resolve("_staging")
+    if (!Files.isDirectory(staging)) return Seq.empty
+    val s = Files.list(staging)
+    val orphans = try {
+      s.iterator().asScala.map(p => s"_staging/${p.getFileName}")
+        .filterNot(live).toSeq
+    } finally s.close()
+    orphans.foreach(f => Files.deleteIfExists(dir.resolve(f)): Unit)
+    orphans.sorted
+  }
+
+  /** Replace the live manifest, ARCHIVING the one being replaced as
+    * the next immutable version — every commit (append, overwrite,
+    * epoch, metadata delete) leaves the previous table state readable
+    * via `versionAsOf`. The archive lands before the rename: a crash
+    * between the two leaves an archive that duplicates the live
+    * manifest, which the duplicate check skips on the next write, so
+    * the version chain never forks or gaps. Data files are never
+    * deleted by commits (overwrite orphans them; [[vacuum]] reclaims
+    * what no version references). */
   private[sources] def writeManifestAtomic(
       dir: Path, schema: StructType, files: Seq[FileEntry]): Unit = {
     Files.createDirectories(dir)
+    val cur = dir.resolve(ManifestName)
+    if (Files.exists(cur)) {
+      val curBytes = Files.readAllBytes(cur)
+      val vs = archivedVersions(dir)
+      val isDup = vs.lastOption.exists(v => java.util.Arrays.equals(
+        Files.readAllBytes(dir.resolve(archiveName(v))), curBytes))
+      if (!isDup) {
+        val tmpA = dir.resolve(s"$ManifestName.varc.tmp")
+        Files.write(tmpA, curBytes)
+        Files.move(tmpA, dir.resolve(archiveName(vs.lastOption.getOrElse(0) + 1)),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     val tmp = dir.resolve(s"$ManifestName.tmp")
     Files.write(tmp,
       (schema.toDDL +: files.map(_.render)).mkString("\n").getBytes(UTF_8))
@@ -271,12 +414,21 @@ object LedgerSink {
   }
 }
 
-private[sources] class LedgerTable(dir: Path, schema0: StructType)
+private[sources] class LedgerTable(dir: Path, schema0: StructType,
+    version: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
   LedgerSink.checkSchema(schema0)
 
-  override def name(): String = s"ledger(${dir.toString})"
+  /** A versionAsOf table is a SNAPSHOT: reads resolve the archived
+    * manifest; writes and deletes are refused (they would have to
+    * rewrite history). */
+  private def requireCurrent(op: String): Unit =
+    version.foreach(v => throw new UnsupportedOperationException(
+      s"$op on a versionAsOf=$v snapshot; writes go to the current table"))
+
+  override def name(): String =
+    s"ledger(${dir.toString}${version.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -284,10 +436,12 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType)
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LedgerScanBuilder(dir, schema0)
+    new LedgerScanBuilder(dir, schema0, version)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireCurrent("write")
     new LedgerWriteBuilder(dir, info.schema())
+  }
 
   // ---- metadata-only DELETE (the Iceberg "metadata delete") ----
 
@@ -340,17 +494,25 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType)
     * Spark surfaces a refusal as an analysis error telling the user
     * this table needs a rewrite for that predicate — the honest
     * boundary between a metadata delete and row-level ops. */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    requireCurrent("DELETE")
     deleteRange(filters).exists(r => classify(r).isDefined)
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireCurrent("DELETE")
     val (drop, keep) = deleteRange(filters).flatMap(classify)
       .getOrElse(throw new UnsupportedOperationException(
         "delete predicate does not align with file boundaries"))
     LedgerSink.writeManifestAtomic(dir, schema0, keep)
     // physical cleanup AFTER the commit point — a crash between the
-    // two leaves unreferenced files, never a manifest naming ghosts
-    drop.foreach(e => Files.deleteIfExists(dir.resolve(e.file)))
+    // two leaves unreferenced files, never a manifest naming ghosts —
+    // and only for files NO archived version still references (the
+    // commit above archived the pre-delete manifest, so in practice
+    // dropped files survive for time travel until vacuum)
+    val live = LedgerSink.referencedFiles(dir)
+    drop.filterNot(e => live(e.file))
+      .foreach(e => Files.deleteIfExists(dir.resolve(e.file)))
   }
 }
 
@@ -364,7 +526,8 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType)
   * iff its [min, max] intersects it. A statless file always survives;
   * an all-null-stat-column file never matches a null-excluding range
   * predicate, so skipping it is exact. */
-private[sources] class LedgerScanBuilder(dir: Path, schema: StructType)
+private[sources] class LedgerScanBuilder(dir: Path, schema: StructType,
+    version: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters {
 
   private val statName: Option[String] =
@@ -395,22 +558,22 @@ private[sources] class LedgerScanBuilder(dir: Path, schema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new LedgerScan(dir, schema, flo, fhi, pushed.nonEmpty)
+    new LedgerScan(dir, schema, flo, fhi, pushed.nonEmpty, version)
 }
 
 private[sources] class LedgerScan(
     dir: Path, schema: StructType,
     flo: Long = Long.MinValue, fhi: Long = Long.MaxValue,
-    filtered: Boolean = false)
+    filtered: Boolean = false, version: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-ledger $dir" +
+    s"graft-ledger $dir" + version.map(v => s" @v$v").getOrElse("") +
       (if (filtered) s" StatsRange: [$flo, $fhi]" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
-    LedgerSink.readManifest(dir) match {
+    LedgerSink.readManifestAt(dir, version) match {
       case Some((_, files)) =>
         files.filter { e =>
           !filtered || ((e.min, e.max) match {
