@@ -86,6 +86,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** SQL time travel — `SELECT … FROM cat.ns.t VERSION AS OF 2`
+    * resolves here; the snapshot reads its own archived manifest
+    * (schema included) and refuses writes ([[LedgerSink]]'s
+    * versioning scaladoc has the protocol). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"ledger versions are integers, got '$version'")
+    }
+    LedgerSink.readManifestAt(dir, Some(v)) match {
+      case Some((schema, _)) => new LedgerTable(dir, schema, Some(v))
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

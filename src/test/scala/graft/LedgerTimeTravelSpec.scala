@@ -94,6 +94,25 @@ class LedgerTimeTravelSpec extends graft.SparkSpec {
     assert(read(dir).count() == 5, "live table untouched by vacuum")
   }
 
+  test("SQL VERSION AS OF resolves through the catalog plugin") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt"
+    spark.conf.set("spark.sql.catalog.graft_cat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ttns")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ttns.t")
+    spark.sql("CREATE TABLE graft_cat.ttns.t (id BIGINT)")
+    spark.sql("INSERT INTO graft_cat.ttns.t SELECT id FROM range(10)")
+    spark.sql("INSERT INTO graft_cat.ttns.t SELECT id FROM range(100, 103)")
+    // create=v1 (empty), first insert archived as v2, live holds 13
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ttns.t")
+      .collect().head.getLong(0) == 13)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ttns.t VERSION AS OF 2")
+      .collect().head.getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ttns.t VERSION AS OF 1")
+      .collect().head.getLong(0) == 0, "creation snapshot is empty")
+  }
+
   test("unknown version fails with the available range") {
     val dir = freshDir()
     write(dir, spark.range(0, 3).selectExpr("id"))
