@@ -195,6 +195,72 @@ object LedgerRoundtrip {
       .orderBy("snapshot")
   }
 
+  /** `dsv2_merge_upsert`: SQL MERGE INTO through the catalog plugin —
+    * the group-based copy-on-write path end to end (matched UPDATE
+    * arm + not-matched INSERT arm, `__row_operation` slicing in the
+    * COW writer, scanned-group swap at commit). The oracle replays
+    * the upsert relationally in DuckDB; the read-back includes a
+    * non-aligned DELETE first, so the metadata-delete vs COW
+    * arbitration is inside the gate too. */
+  def mergeUpsertRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt")
+    val t = s"graft_cat.rlo.upsert_$tag"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rlo")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (c_custkey BIGINT, bal_c BIGINT)")
+    graft.io.Tables.customer(spark, sfDir)
+      .selectExpr("CAST(c_custkey AS BIGINT) AS c_custkey",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+      .createOrReplaceTempView(s"mu_base_$tag")
+    spark.sql(s"INSERT INTO $t SELECT c_custkey, bal_c FROM mu_base_$tag")
+    // a non-aligned COW delete first: drop every third customer
+    spark.sql(s"DELETE FROM $t WHERE c_custkey % 3 = 0")
+    // upsert: bump balances of keys % 7 = 0, insert shadow keys
+    spark.sql(
+      s"""SELECT c_custkey AS id, bal_c + 100000 AS bal_c
+          FROM mu_base_$tag WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey + 10000000, CAST(555 AS BIGINT)
+          FROM mu_base_$tag WHERE c_custkey % 11 = 0""")
+      .createOrReplaceTempView(s"mu_src_$tag")
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING mu_src_$tag AS src
+          ON tgt.c_custkey = src.id
+          WHEN MATCHED THEN UPDATE SET bal_c = src.bal_c
+          WHEN NOT MATCHED THEN INSERT (c_custkey, bal_c)
+            VALUES (src.id, src.bal_c)""")
+    spark.sql(s"SELECT count(*) AS n_rows, sum(bal_c) AS bal_sum," +
+      s" sum(c_custkey) AS key_sum FROM $t")
+  }
+
+  val mergeUpsertRoundtripOracle: String =
+    """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer),
+        after_del AS (SELECT * FROM base WHERE c_custkey % 3 <> 0),
+        src AS (SELECT c_custkey AS id, bal_c + 100000 AS bal_c
+                FROM base WHERE c_custkey % 7 = 0
+                UNION ALL
+                SELECT c_custkey + 10000000, CAST(555 AS BIGINT)
+                FROM base WHERE c_custkey % 11 = 0),
+        merged AS (
+          SELECT t.c_custkey,
+            coalesce(s.bal_c, t.bal_c) AS bal_c
+          FROM after_del t LEFT JOIN src s ON t.c_custkey = s.id
+          UNION ALL
+          SELECT s.id, s.bal_c FROM src s
+          LEFT JOIN after_del t ON t.c_custkey = s.id
+          WHERE t.c_custkey IS NULL)
+        SELECT count(*) AS n_rows,
+          CAST(sum(bal_c) AS BIGINT) AS bal_sum,
+          CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM merged"""
+
   val timeTravelRoundtripOracle: String =
     """SELECT 'live' AS snapshot, count(*) AS n_rows,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
@@ -417,7 +483,7 @@ object LedgerSink {
 private[sources] class LedgerTable(dir: Path, schema0: StructType,
     version: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with SupportsRowLevelOperations {
   LedgerSink.checkSchema(schema0)
 
   /** A versionAsOf table is a SNAPSHOT: reads resolve the archived
@@ -441,6 +507,24 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
     new LedgerWriteBuilder(dir, info.schema())
+  }
+
+  /** Row-level DELETE/UPDATE/MERGE as GROUP-BASED copy-on-write — the
+    * path SQL takes when a predicate does NOT align with file
+    * boundaries (the metadata delete above still wins when it does;
+    * Spark's OptimizeMetadataOnlyDeleteFromTable arbitrates). Spark
+    * rewrites the command into ReplaceData: the operation's SCAN
+    * plans the candidate files (stats pruning applies — files that
+    * provably hold no matching rows are neither read nor rewritten),
+    * Spark recomputes those files' SURVIVING rows, and the write's
+    * commit swaps exactly the scanned files for the replacement files
+    * in one manifest rename. The scanned-file set travels from the
+    * scan to the commit through the operation instance — both run on
+    * the driver. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireCurrent(info.command.toString)
+    () => new LedgerRowLevelOperation(dir, schema0, info.command)
   }
 
   // ---- metadata-only DELETE (the Iceberg "metadata delete") ----
@@ -527,7 +611,8 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
   * an all-null-stat-column file never matches a null-excluding range
   * predicate, so skipping it is exact. */
 private[sources] class LedgerScanBuilder(dir: Path, schema: StructType,
-    version: Option[Int] = None)
+    version: Option[Int] = None,
+    onPlanned: Seq[String] => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters {
 
   private val statName: Option[String] =
@@ -558,13 +643,14 @@ private[sources] class LedgerScanBuilder(dir: Path, schema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new LedgerScan(dir, schema, flo, fhi, pushed.nonEmpty, version)
+    new LedgerScan(dir, schema, flo, fhi, pushed.nonEmpty, version, onPlanned)
 }
 
 private[sources] class LedgerScan(
     dir: Path, schema: StructType,
     flo: Long = Long.MinValue, fhi: Long = Long.MaxValue,
-    filtered: Boolean = false, version: Option[Int] = None)
+    filtered: Boolean = false, version: Option[Int] = None,
+    onPlanned: Seq[String] => Unit = _ => ())
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -575,7 +661,7 @@ private[sources] class LedgerScan(
   override def planInputPartitions(): Array[InputPartition] =
     LedgerSink.readManifestAt(dir, version) match {
       case Some((_, files)) =>
-        files.filter { e =>
+        val chosen = files.filter { e =>
           !filtered || ((e.min, e.max) match {
             case (Some(lo), Some(hi)) => hi >= flo && lo <= fhi
             case _ =>
@@ -584,7 +670,9 @@ private[sources] class LedgerScan(
               // statless schema (no integral column) never pushes
               e.min.isEmpty && e.max.isEmpty && statlessSchema
           })
-        }.map(f => LedgerFilePartition(dir.resolve(f.file).toString)).toArray
+        }
+        onPlanned(chosen.map(_.file))
+        chosen.map(f => LedgerFilePartition(dir.resolve(f.file).toString)).toArray
       case None => Array.empty
     }
 
@@ -658,6 +746,101 @@ private[sources] class LedgerBatchWrite(
         Files.deleteIfExists(dir.resolve(e.file))
       case _ => ()
     }
+}
+
+/** Group-based copy-on-write row-level operation (see
+  * [[LedgerTable.newRowLevelOperationBuilder]]). One implementation
+  * serves DELETE, UPDATE and MERGE: the command only changes how
+  * Spark computes the replacement rows; the connector's contract is
+  * the same either way — replace the scanned groups with the written
+  * ones atomically. */
+private[sources] class LedgerRowLevelOperation(
+    dir: Path, schema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** Files the operation's scan planned — the groups being replaced.
+    * Written once by planInputPartitions (driver side), read by
+    * commit (driver side). */
+  @volatile private[sources] var scannedFiles: Seq[String] = Seq.empty
+
+  override def command: RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LedgerScanBuilder(dir, schema,
+      onPlanned = files => scannedFiles = files)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              pinfo: PhysicalWriteInfo): DataWriterFactory = {
+            Files.createDirectories(dir.resolve("_staging"))
+            val base = dir.toString
+            val ddl = schema.toDDL
+            val tag = java.util.UUID.randomUUID().toString.take(8)
+            (partitionId: Int, taskId: Long) =>
+              new CowDataWriter(base, StructType.fromDDL(ddl),
+                partitionId, taskId, s"cow-$tag-")
+          }
+
+          /** Swap the scanned groups for the replacement files —
+            * files the scan skipped are untouched, and the archived
+            * pre-operation manifest keeps the old state readable
+            * (time travel applies to row-level ops like any commit). */
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val prev = LedgerSink.readManifest(dir)
+              .map(_._2).getOrElse(Seq.empty)
+            val replaced = scannedFiles.toSet
+            val fresh = messages.map(_.asInstanceOf[LedgerCommitMessage].entry)
+            LedgerSink.writeManifestAtomic(dir, schema,
+              prev.filterNot(e => replaced(e.file)) ++ fresh)
+          }
+
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            messages.foreach {
+              case LedgerCommitMessage(e) =>
+                Files.deleteIfExists(dir.resolve(e.file)): Unit
+              case _ => ()
+            }
+        }
+      }
+    }
+}
+
+/** DataWriter for the copy-on-write path. Spark's group-based
+  * ReplaceData prepends a `__row_operation` column to every row
+  * (RowDeltaUtils: DELETE=1 … WRITE_WITH_METADATA=6) and — verified
+  * against the 4.1 bytecode — applies NO projection before the writer
+  * when the operation requests no metadata columns
+  * (`ReplaceDataExec.writingTask` falls through to the plain
+  * `DataWritingSparkTask` whenever `metadataProjection` is None), so
+  * the connector slices the data columns out itself: the payload is
+  * the LAST schema-width fields, and a row marked DELETE is dropped
+  * rather than written (group-based plans emit only write-ops today;
+  * the filter makes the writer safe if a future rewrite emits delete
+  * markers). Plain writes (no leading operation column) pass through
+  * untouched. */
+private[sources] class CowDataWriter(
+    base: String, schema: StructType, partitionId: Int, taskId: Long,
+    prefix: String)
+    extends LedgerDataWriter(base, schema, partitionId, taskId, prefix) {
+  private val width = schema.fields.length
+  override def write(r: InternalRow): Unit = {
+    val off = r.numFields - width
+    if (off <= 0) super.write(r)
+    else if (r.getInt(0) != 1) { // RowDeltaUtils.DELETE_OPERATION
+      val proj = new GenericInternalRow(width)
+      var i = 0
+      while (i < width) {
+        proj.update(i,
+          if (r.isNullAt(i + off)) null
+          else r.get(i + off, schema.fields(i).dataType))
+        i += 1
+      }
+      super.write(proj)
+    }
+  }
 }
 
 /** Exactly-once STREAMING sink over the same staged-file + manifest
