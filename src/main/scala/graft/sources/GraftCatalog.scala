@@ -26,10 +26,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * manifest does (no second metadata store to drift), create writes
   * an empty manifest atomically, drop deletes the directory, rename
   * is a directory move. Namespaces are implicit prefixes, like object
-  * stores treat them. `alterTable` is honestly unsupported — ledger
-  * manifests pin their schema, and schema evolution without a
-  * rewrite is exactly the feature that separates a table FORMAT from
-  * a file format (documented, not faked).
+  * stores treat them. Schema evolution supports appended nullable
+  * ADD COLUMN (no file rewrite — see [[alterTable]]); drops, renames
+  * and type changes honestly require a rewrite, because each would
+  * change how existing bytes decode.
   *
   * Reference tie-in: this replaces the reference's Glue Data Catalog
   * tier (`crawler.tf` + `06_catalog.py` registration) — where Glue
@@ -117,9 +117,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new LedgerTable(dir, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ledger manifests pin their schema; evolution requires a rewrite")
+  /** Schema evolution: ADD COLUMN only — appended, nullable, of a
+    * codec-supported type. Sound WITHOUT rewriting a single data file
+    * because the row codec reads missing TRAILING fields as NULL
+    * (exactly ADD COLUMN's promise for pre-existing rows) and the
+    * versioned manifest records the schema change as a commit: time
+    * travel to a pre-evolution version reads the OLD schema. Drops,
+    * renames, repositions and type changes still honestly require a
+    * rewrite — each would change how EXISTING bytes decode. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val (schema, files) = LedgerSink.readManifest(dir).getOrElse(
+      throw new NoSuchTableException(ident))
+    val newSchema = changes.foldLeft(schema) { (sch, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          if (add.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "ledger columns are flat; nested ADD COLUMN is unsupported")
+          if (add.position() != null)
+            throw new UnsupportedOperationException(
+              "ledger ADD COLUMN appends; positions would change how " +
+                "existing bytes decode")
+          if (!add.isNullable)
+            throw new UnsupportedOperationException(
+              "added columns must be nullable: pre-existing rows read NULL")
+          val f = StructType(Seq(org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true)))
+          LedgerSink.checkSchema(f)
+          StructType(sch.fields ++ f.fields)
+        case other => throw new UnsupportedOperationException(
+          s"ledger evolution supports appended nullable ADD COLUMN only; " +
+            s"$other requires a rewrite")
+      }
+    }
+    LedgerSink.writeManifestAtomic(dir, newSchema, files)
+    new LedgerTable(dir, newSchema)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -326,9 +326,16 @@ object LedgerSink {
 
   private[sources] def decodeRow(line: String, schema: StructType): InternalRow = {
     val parts = line.split(",", -1)
-    require(parts.length == schema.length, s"ragged ledger line: $line")
+    // Schema evolution (ADD COLUMN only): a row written before the
+    // column was added has FEWER fields — the missing TRAILING columns
+    // read as NULL, which is exactly what ADD COLUMN promises for
+    // pre-existing rows. MORE fields than the schema is still
+    // corruption (columns are never dropped), and so is a short row
+    // under the ORIGINAL schema when no evolution happened — but the
+    // codec can't distinguish those, so the width check is one-sided.
+    require(parts.length <= schema.length, s"ragged ledger line: $line")
     new GenericInternalRow(schema.fields.zipWithIndex.map { case (f, i) =>
-      if (parts(i) == NullMark) null
+      if (i >= parts.length || parts(i) == NullMark) null
       else (f.dataType match {
         case LongType => parts(i).toLong
         case IntegerType => parts(i).toInt
@@ -733,11 +740,22 @@ private[sources] class LedgerBatchWrite(
     * overwrite starts clean. Atomic rename makes torn job commits
     * impossible — either the old manifest or the new one exists. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val existing = LedgerSink.readManifest(dir)
+    // An APPEND preserves the TABLE's schema: the write schema is the
+    // incoming dataframe's (Spark has already checked compatibility),
+    // and its tighter nullability must not overwrite the manifest —
+    // an evolved table whose manifest flipped to NOT NULL made
+    // pre-evolution rows read 0 instead of NULL (codegen skips null
+    // checks on non-nullable columns; caught by the evolution spec).
+    // An OVERWRITE (or a first write) takes the write schema — that
+    // is how a path-based save defines the table.
+    val keepSchema =
+      if (truncate) schema else existing.map(_._1).getOrElse(schema)
     val prev =
       if (truncate) Seq.empty
-      else LedgerSink.readManifest(dir).map(_._2).getOrElse(Seq.empty)
+      else existing.map(_._2).getOrElse(Seq.empty)
     val files = messages.map(_.asInstanceOf[LedgerCommitMessage].entry)
-    LedgerSink.writeManifestAtomic(dir, schema, prev ++ files)
+    LedgerSink.writeManifestAtomic(dir, keepSchema, prev ++ files)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -872,7 +890,11 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val prev = LedgerSink.readManifest(dir).map(_._2).getOrElse(Seq.empty)
+    val existing = LedgerSink.readManifest(dir)
+    // epoch commits are appends: preserve the table's schema (see
+    // LedgerBatchWrite.commit)
+    val keepSchema = existing.map(_._1).getOrElse(schema)
+    val prev = existing.map(_._2).getOrElse(Seq.empty)
     val marker = s"_staging/epoch-$epochId-"
     if (prev.exists(_.file.startsWith(marker))) {
       // replayed epoch: the manifest already holds its files — drop
@@ -884,7 +906,7 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType)
       }
     } else {
       val files = messages.map(_.asInstanceOf[LedgerCommitMessage].entry)
-      LedgerSink.writeManifestAtomic(dir, schema, prev ++ files)
+      LedgerSink.writeManifestAtomic(dir, keepSchema, prev ++ files)
     }
   }
 

@@ -35,21 +35,40 @@ class GraftCatalogSpec extends graft.SparkSpec {
       .exists(_.getString(1) == "t2"))
   }
 
-  test("create refuses unsupported column types; alter is unsupported") {
+  test("create refuses unsupported column types; evolution is ADD COLUMN only") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS spec_cat.ns2")
     val e = intercept[Exception] {
       spark.sql("CREATE TABLE spec_cat.ns2.bad (k BIGINT, e ARRAY<FLOAT>)")
     }
     assert(e.getMessage.contains("does not support"))
+    spark.sql("DROP TABLE IF EXISTS spec_cat.ns2.ok")
     spark.sql("CREATE TABLE spec_cat.ns2.ok (k BIGINT)")
-    val a = intercept[Exception] {
-      spark.sql("ALTER TABLE spec_cat.ns2.ok ADD COLUMN x BIGINT")
+    spark.sql("INSERT INTO spec_cat.ns2.ok SELECT id FROM range(3)")
+    // ADD COLUMN evolves the schema WITHOUT rewriting data files:
+    // pre-existing rows read NULL for the new column
+    spark.sql("ALTER TABLE spec_cat.ns2.ok ADD COLUMN x BIGINT")
+    spark.sql("INSERT INTO spec_cat.ns2.ok VALUES (100, 7)")
+    val rows = spark.sql(
+      "SELECT k, x FROM spec_cat.ns2.ok ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(rows == Seq((0L, -1L), (1L, -1L), (2L, -1L), (100L, 7L)), rows)
+    // time travel to the pre-evolution version reads the OLD schema
+    val pre = spark.sql("SELECT * FROM spec_cat.ns2.ok VERSION AS OF 2")
+    assert(pre.columns.toSeq == Seq("k"),
+      s"pre-evolution schema leaked the new column: ${pre.columns.toSeq}")
+    // everything else still requires a rewrite
+    val d = intercept[Exception] {
+      spark.sql("ALTER TABLE spec_cat.ns2.ok DROP COLUMN x")
     }
-    assert(a.getMessage.contains("rewrite") || a.getMessage.contains("support"))
+    assert(d.getMessage.contains("rewrite"), d.getMessage)
+    val r = intercept[Exception] {
+      spark.sql("ALTER TABLE spec_cat.ns2.ok RENAME COLUMN x TO y")
+    }
+    assert(r.getMessage.contains("rewrite"), r.getMessage)
   }
 
-  test("metadata delete drops whole files by stats; straddling deletes refuse") {
+  test("metadata delete drops whole files by stats; straddling deletes take COW") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS spec_cat.del")
     spark.sql("CREATE TABLE spec_cat.del.t (k BIGINT, v STRING)")
@@ -64,13 +83,12 @@ class GraftCatalogSpec extends graft.SparkSpec {
     spark.sql("DELETE FROM spec_cat.del.t WHERE k >= 5000")
     val left = spark.sql("SELECT count(*), max(k) FROM spec_cat.del.t").head
     assert((left.getLong(0), left.getLong(1)) === ((5000L, 4999L)))
-    // straddling delete cannot be proven whole-file → refused
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM spec_cat.del.t WHERE k >= 2500")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete") ||
-      e.getMessage.contains("rewrite"))
-    assert(spark.sql("SELECT count(*) FROM spec_cat.del.t").head.getLong(0) === 5000L)
+    // straddling delete cannot be proven whole-file → it now takes the
+    // group-based copy-on-write route (round 9; it used to refuse) and
+    // computes exact survivors
+    spark.sql("DELETE FROM spec_cat.del.t WHERE k >= 2500")
+    val after = spark.sql("SELECT count(*), max(k) FROM spec_cat.del.t").head
+    assert((after.getLong(0), after.getLong(1)) === ((2500L, 2499L)))
   }
 
   test("fixture SQL roundtrip groups match the direct scan") {
