@@ -261,6 +261,56 @@ object LedgerRoundtrip {
           CAST(sum(c_custkey) AS BIGINT) AS key_sum
         FROM merged"""
 
+  /** `dsv2_version_history`: the DESCRIBE HISTORY analogue — one row
+    * per table version with its row count and balance digest, read
+    * through `versionAsOf`, across every commit kind in one lineage:
+    * CREATE (v1, empty), INSERT (v2), append INSERT (v3), and a
+    * non-aligned copy-on-write DELETE (v4 = live). The oracle
+    * recomputes all four states from the fixture, so the hash pins
+    * that each commit archived exactly the state it replaced — an
+    * append that leaked into v2, or a COW delete that rewrote
+    * history, changes a digest. */
+  def versionHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt")
+    val t = s"graft_cat.rlo.hist_$tag"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rlo")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (c_custkey BIGINT, bal_c BIGINT)")
+    graft.io.Tables.customer(spark, sfDir)
+      .selectExpr("CAST(c_custkey AS BIGINT) AS c_custkey",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+      .createOrReplaceTempView(s"vh_base_$tag")
+    spark.sql(s"INSERT INTO $t SELECT c_custkey, bal_c FROM vh_base_$tag" +
+      " WHERE c_custkey % 2 = 1")
+    spark.sql(s"INSERT INTO $t SELECT c_custkey, bal_c FROM vh_base_$tag" +
+      " WHERE c_custkey % 2 = 0")
+    spark.sql(s"DELETE FROM $t WHERE c_custkey % 5 = 0")
+    (1 to 4).map { v =>
+      spark.sql(s"SELECT CAST($v AS INT) AS version," +
+        s" count(*) AS n_rows, coalesce(sum(bal_c), CAST(0 AS BIGINT))" +
+        s" AS bal_sum FROM $t VERSION AS OF $v")
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  val versionHistoryOracle: String =
+    """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS b
+          FROM customer)
+       SELECT CAST(1 AS INTEGER) AS version, 0 AS n_rows,
+         CAST(0 AS BIGINT) AS bal_sum
+       UNION ALL
+       SELECT 2, count(*), CAST(sum(b) AS BIGINT) FROM base WHERE k % 2 = 1
+       UNION ALL
+       SELECT 3, count(*), CAST(sum(b) AS BIGINT) FROM base
+       UNION ALL
+       SELECT 4, count(*), CAST(sum(b) AS BIGINT) FROM base WHERE k % 5 <> 0
+       ORDER BY version"""
+
   val timeTravelRoundtripOracle: String =
     """SELECT 'live' AS snapshot, count(*) AS n_rows,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
