@@ -56,7 +56,8 @@ import graft.io.Tables
   * population, and the output is bounded by the true result size.
   *
   * Reference tie-in: the reference dedups records by exact key
-  * equality only (03_transform_inventory.py:31 dropDuplicates) —
+  * equality only (05_inventory_reconciliation_etl.py:53
+  * dropDuplicates) —
   * this operator is the typo-tolerant tier of the same dedup duty.
   *
   * Relation to [[Dedup.editDistancePairs]] (`dedup_edit_distance`):

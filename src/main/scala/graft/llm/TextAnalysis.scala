@@ -2469,7 +2469,7 @@ object TextAnalysis {
                 THEN 1 ELSE 0 END) AS n_ok,
             sum(f.y) AS n_pos
           FROM gd_feats f CROSS JOIN gdw$gdRounds w)
-        SELECT feature, value FROM (
+        SELECT feature, CAST(value AS BIGINT) AS value FROM (
           SELECT 'w_bias' AS feature, w0 AS value FROM fin
           UNION ALL SELECT 'w_tokens_capped', w1 FROM fin
           UNION ALL SELECT 'w_stop_kinds_capped', w2 FROM fin

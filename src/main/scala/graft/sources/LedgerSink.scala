@@ -42,7 +42,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `Double.toHexString` for bit-exact round-trips, `\N` for null) —
   * the point is the COMMIT PROTOCOL, not a parquet rewrite; the
   * reference gets this protocol for free from S3 + Glue job
-  * boundaries (02_transform_sales.py writes whole prefixes), and this
+  * boundaries (01_sales_revenue_etl.py:96-101 writes whole
+  * partitioned prefixes), and this
   * is the same guarantee expressed at the connector layer.
   *
   * Supported column types: long, int, double, string (the fixture

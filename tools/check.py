@@ -43,11 +43,20 @@ for name, sql in sorted(oracle.items()):
     for c in got.columns:
         g, e = got[c], exp[c]
         if str(g.dtype) != str(e.dtype):
-            # loose: compare as object/values below but flag dtype family
             gk = g.dtype.kind if hasattr(g.dtype, "kind") else "O"
             ek = e.dtype.kind if hasattr(e.dtype, "kind") else "O"
+            # The driver hashes rendered values: int64 5 vs float64 5.0
+            # hash differently even when numerically identical (the r9
+            # classifier_train_gd red row — DuckDB HUGEINT promotion).
+            # A cross-family int/float (or numeric/object) split is
+            # therefore a driver-hash FAIL, not a cosmetic note.
             if gk != ek:
-                print(f"  {name}.{c}: dtype spark={g.dtype} oracle={e.dtype}")
+                int_kinds = {"i", "u"}
+                hard = (gk in int_kinds) != (ek in int_kinds)
+                tag = "FAIL" if hard else "    "
+                print(f"{tag} {name}.{c}: dtype spark={g.dtype} oracle={e.dtype}")
+                if hard:
+                    ok = False
         if g.dtype.kind == "f" or e.dtype.kind == "f":
             ga, ea = g.to_numpy(dtype=float), e.to_numpy(dtype=float)
             both_nan = np.isnan(ga) & np.isnan(ea)
