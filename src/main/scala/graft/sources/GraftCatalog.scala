@@ -26,10 +26,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * manifest does (no second metadata store to drift), create writes
   * an empty manifest atomically, drop deletes the directory, rename
   * is a directory move. Namespaces are implicit prefixes, like object
-  * stores treat them. Schema evolution supports appended nullable
-  * ADD COLUMN (no file rewrite — see [[alterTable]]); drops, renames
-  * and type changes honestly require a rewrite, because each would
-  * change how existing bytes decode.
+  * stores treat them. Schema evolution supports ADD, RENAME and DROP
+  * COLUMN without file rewrites — readers bind columns by never-reused
+  * FIELD ID (see [[alterTable]]); type changes and repositions
+  * honestly require a rewrite, because each would change how existing
+  * bytes decode.
   *
   * Reference tie-in: this replaces the reference's Glue Data Catalog
   * tier (`crawler.tf` + `06_catalog.py` registration) — where Glue
@@ -81,7 +82,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     LedgerSink.readManifest(dir) match {
-      case Some((schema, _)) => new LedgerTable(dir, schema)
+      case Some(m) => new LedgerTable(dir, m.schema)
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -98,7 +99,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"ledger versions are integers, got '$version'")
     }
     LedgerSink.readManifestAt(dir, Some(v)) match {
-      case Some((schema, _)) => new LedgerTable(dir, schema, Some(v))
+      case Some(m) => new LedgerTable(dir, m.schema, Some(v))
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -109,27 +110,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(Seq(ident.toString))
-    LedgerSink.checkSchema(schema)
     val dir = tableDir(ident)
     // an empty manifest, atomically — the create is durable the same
-    // way commits are
-    LedgerSink.writeManifestAtomic(dir, schema, Seq.empty)
+    // way commits are; `PARTITIONED BY (col, …)` identity transforms
+    // become the manifest's partition spec (by FIELD ID, so the spec
+    // survives renames), which every later write and scan honors
+    val m = LedgerSink.Manifest.fresh(schema,
+      LedgerSink.identityPartitionNames(partitions))
+    LedgerSink.writeManifestAtomic(dir, m)
     new LedgerTable(dir, schema)
   }
 
-  /** Schema evolution: ADD COLUMN only — appended, nullable, of a
-    * codec-supported type. Sound WITHOUT rewriting a single data file
-    * because the row codec reads missing TRAILING fields as NULL
-    * (exactly ADD COLUMN's promise for pre-existing rows) and the
-    * versioned manifest records the schema change as a commit: time
-    * travel to a pre-evolution version reads the OLD schema. Drops,
-    * renames, repositions and type changes still honestly require a
-    * rewrite — each would change how EXISTING bytes decode. */
+  /** Schema evolution WITHOUT rewriting a single data file, sound
+    * because readers bind columns by FIELD ID (see
+    * [[LedgerSink.FileEntry]]) and every change is a versioned commit
+    * (time travel to a pre-evolution version reads the OLD schema):
+    *
+    *   - ADD COLUMN: appended, nullable, codec-supported type; gets a
+    *     NEVER-REUSED fresh id, so old bytes can't alias into it, and
+    *     pre-existing rows read NULL (their files simply lack the id).
+    *   - RENAME COLUMN: pure metadata — the id keeps its identity, so
+    *     files written under the old name still feed the new one.
+    *   - DROP COLUMN: removes the field and its id from the schema;
+    *     old files keep the orphaned bytes, which no reader binds.
+    *     Partition columns and the last column are refused.
+    *
+    * Type changes and repositions still honestly require a rewrite —
+    * each would change how EXISTING bytes decode. Legacy (pre-id)
+    * file entries are pinned to the pre-alter id list first, because
+    * their implicit prefix-of-schema binding is only sound while the
+    * schema grows at the tail. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
-    val (schema, files) = LedgerSink.readManifest(dir).getOrElse(
+    val before = LedgerSink.readManifest(dir).getOrElse(
       throw new NoSuchTableException(ident))
-    val newSchema = changes.foldLeft(schema) { (sch, ch) =>
+    val pinned = before.copy(files = before.files.map(e =>
+      if (e.ids.isEmpty)
+        e.copy(ids = Some(before.ids.toSeq),
+          statId = e.statId.orElse(before.statId))
+      else e))
+    val altered = changes.foldLeft(pinned) { (m, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
           if (add.fieldNames().length != 1)
@@ -142,17 +162,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (!add.isNullable)
             throw new UnsupportedOperationException(
               "added columns must be nullable: pre-existing rows read NULL")
-          val f = StructType(Seq(org.apache.spark.sql.types.StructField(
-            add.fieldNames()(0), add.dataType(), nullable = true)))
-          LedgerSink.checkSchema(f)
-          StructType(sch.fields ++ f.fields)
+          val f = org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true)
+          LedgerSink.checkSchema(StructType(Seq(f)))
+          if (m.schema.fieldNames.contains(f.name))
+            throw new IllegalArgumentException(s"column ${f.name} exists")
+          m.copy(schema = StructType(m.schema.fields :+ f),
+            ids = m.ids :+ m.nextId, nextId = m.nextId + 1)
+        case ren: TableChange.RenameColumn =>
+          if (ren.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "ledger columns are flat; nested RENAME is unsupported")
+          val from = ren.fieldNames()(0)
+          val i = m.schema.fieldIndex(from) // throws on a missing column
+          if (m.schema.fieldNames.contains(ren.newName()))
+            throw new IllegalArgumentException(
+              s"column ${ren.newName()} exists")
+          m.copy(schema = StructType(m.schema.fields.updated(i,
+            m.schema.fields(i).copy(name = ren.newName()))))
+        case del: TableChange.DeleteColumn =>
+          if (del.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "ledger columns are flat; nested DROP is unsupported")
+          val name = del.fieldNames()(0)
+          val iOpt =
+            try Some(m.schema.fieldIndex(name))
+            catch {
+              case e: IllegalArgumentException =>
+                if (del.ifExists()) None else throw e
+            }
+          iOpt match {
+            case None => m // IF EXISTS on a missing column: no-op
+            case Some(i) =>
+              if (m.partitionIds.contains(m.ids(i)))
+                throw new UnsupportedOperationException(
+                  s"cannot drop partition column $name")
+              if (m.schema.length == 1)
+                throw new UnsupportedOperationException(
+                  "cannot drop the last column")
+              m.copy(
+                schema = StructType(m.schema.fields.patch(i, Nil, 1)),
+                ids = m.ids.patch(i, Nil, 1))
+          }
         case other => throw new UnsupportedOperationException(
-          s"ledger evolution supports appended nullable ADD COLUMN only; " +
+          s"ledger evolution supports ADD/RENAME/DROP COLUMN only; " +
             s"$other requires a rewrite")
       }
     }
-    LedgerSink.writeManifestAtomic(dir, newSchema, files)
-    new LedgerTable(dir, newSchema)
+    LedgerSink.writeManifestAtomic(dir, altered)
+    new LedgerTable(dir, altered.schema)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

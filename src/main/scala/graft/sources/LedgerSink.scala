@@ -8,10 +8,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression => ConnectorExpression, Expressions, SortOrder => ConnectorSortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -56,11 +57,12 @@ class LedgerSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("ledger sink requires a path option"))
-    // time travel: the requested VERSION's schema, not the live one —
-    // an overwrite may have changed it
+    // time travel / CDC: the requested VERSION's schema, not the live
+    // one — an overwrite or evolution commit may have changed it
     val version = Option(options.get("versionAsOf")).map(_.toInt)
+      .orElse(Option(options.get("changesToVersion")).map(_.toInt))
     LedgerSink.readManifestAt(Paths.get(dir), version) match {
-      case Some((schema, _)) => schema
+      case Some(m) => m.schema
       case None => throw new IllegalArgumentException(
         s"no committed ledger manifest under $dir")
     }
@@ -75,8 +77,14 @@ class LedgerSink extends TableProvider {
       properties: java.util.Map[String, String]): Table = {
     val dir = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("ledger sink requires a path option"))
+    val changes = Option(properties.get("changesToVersion")).map { to =>
+      (Option(properties.get("changesFromVersion")).map(_.toInt).getOrElse(0),
+        to.toInt)
+    }
     new LedgerTable(Paths.get(dir), schema,
-      Option(properties.get("versionAsOf")).map(_.toInt))
+      Option(properties.get("versionAsOf")).map(_.toInt),
+      changes,
+      LedgerSink.identityPartitionNames(partitioning))
   }
 }
 
@@ -336,8 +344,39 @@ object LedgerSink {
       }
     }
 
-  /** %-escape the three structural bytes (field sep, newline family,
-    * escape char itself); everything else passes through verbatim. */
+  /** Partition columns additionally exclude DOUBLE: the file pruner
+    * compares partition values as rendered text, and doubles render
+    * as bit-exact hex — a user-facing literal would never match. */
+  private[sources] def checkPartitionCols(
+      schema: StructType, names: Seq[String]): Unit =
+    names.foreach { n =>
+      val f = schema.fields(schema.fieldIndex(n)) // throws on a missing column
+      if (f.dataType == DoubleType)
+        throw new UnsupportedOperationException(
+          s"partition column ${f.name} is DOUBLE; partition values prune " +
+            "by rendered text — use long/int/string")
+    }
+
+  /** Accept exactly identity transforms (the reference's y/m/d
+    * partitionBy is identity partitioning — 01_sales_revenue_etl.py:
+    * 96-101); bucket/temporal transforms would need transform
+    * evaluation inside the writer and honest inverse reasoning in the
+    * pruner, which this format does not promise. */
+  private[sources] def identityPartitionNames(
+      transforms: Array[Transform]): Seq[String] =
+    transforms.toSeq.map { t =>
+      if (t.name == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1)
+        t.references()(0).fieldNames()(0)
+      else throw new UnsupportedOperationException(
+        s"ledger tables support identity partition transforms only, got $t")
+    }
+
+  /** %-escape the structural bytes (field sep, newline family, the
+    * escape char itself, and TAB — partition values ride inside the
+    * tab-separated manifest); everything else passes through
+    * verbatim. Decoding is generic %XX, so adding an escaped byte is
+    * backward-compatible with data files written before it. */
   private[sources] def esc(s: String): String = {
     val b = new StringBuilder(s.length)
     s.foreach {
@@ -346,6 +385,7 @@ object LedgerSink {
       case '\n' => b.append("%0A")
       case '\r' => b.append("%0D")
       case '\\' => b.append("%5C")
+      case '\t' => b.append("%09")
       case c => b.append(c)
     }
     b.toString
@@ -363,57 +403,107 @@ object LedgerSink {
     b.toString
   }
 
+  /** One field's on-disk text (shared by the row codec and the
+    * partition-value renderer, so pruning compares the exact bytes
+    * the writer produced). */
+  private[sources] def encodeValue(dt: DataType, row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) NullMark
+    else dt match {
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case DoubleType => java.lang.Double.toHexString(row.getDouble(i))
+      case StringType => esc(row.getUTF8String(i).toString)
+      case other => throw new IllegalStateException(other.toString)
+    }
+
+  /** A pushed-filter literal rendered the same way [[encodeValue]]
+    * renders data — the text the partition pruner compares against. */
+  private[sources] def encodeLiteral(dt: DataType, v: Any): Option[String] =
+    (dt, v) match {
+      case (_, null) => None
+      case (LongType, x: java.lang.Long) => Some(x.toString)
+      case (LongType, x: java.lang.Integer) => Some(x.longValue.toString)
+      case (IntegerType, x: java.lang.Integer) => Some(x.toString)
+      case (StringType, x: String) => Some(esc(x))
+      case _ => None
+    }
+
   private[sources] def encodeRow(row: InternalRow, schema: StructType): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
-      if (row.isNullAt(i)) NullMark
-      else f.dataType match {
-        case LongType => row.getLong(i).toString
-        case IntegerType => row.getInt(i).toString
-        case DoubleType => java.lang.Double.toHexString(row.getDouble(i))
-        case StringType => esc(row.getUTF8String(i).toString)
-        case other => throw new IllegalStateException(other.toString)
-      }
+      encodeValue(f.dataType, row, i)
     }.mkString(",")
 
+  private[sources] def parseValue(dt: DataType, s: String): Any = dt match {
+    case LongType => s.toLong
+    case IntegerType => s.toInt
+    case DoubleType => java.lang.Double.parseDouble(s)
+    case StringType => UTF8String.fromString(unesc(s))
+    case other => throw new IllegalStateException(other.toString)
+  }
+
+  /** Whole-row positional decode against one schema (the pre-pruning
+    * read path; projected reads go through [[decodeProjected]]).
+    * A row written before a trailing ADD COLUMN has FEWER fields —
+    * the missing TRAILING columns read as NULL. */
   private[sources] def decodeRow(line: String, schema: StructType): InternalRow = {
     val parts = line.split(",", -1)
-    // Schema evolution (ADD COLUMN only): a row written before the
-    // column was added has FEWER fields — the missing TRAILING columns
-    // read as NULL, which is exactly what ADD COLUMN promises for
-    // pre-existing rows. MORE fields than the schema is still
-    // corruption (columns are never dropped), and so is a short row
-    // under the ORIGINAL schema when no evolution happened — but the
-    // codec can't distinguish those, so the width check is one-sided.
     require(parts.length <= schema.length, s"ragged ledger line: $line")
     new GenericInternalRow(schema.fields.zipWithIndex.map { case (f, i) =>
       if (i >= parts.length || parts(i) == NullMark) null
-      else (f.dataType match {
-        case LongType => parts(i).toLong
-        case IntegerType => parts(i).toInt
-        case DoubleType => java.lang.Double.parseDouble(parts(i))
-        case StringType => UTF8String.fromString(unesc(parts(i)))
-        case other => throw new IllegalStateException(other.toString)
-      }): Any
+      else parseValue(f.dataType, parts(i)): Any
     })
   }
 
-  /** One committed file plus its data-skipping statistics: min/max of
-    * the table's FIRST integral column over the file's non-null values
-    * (None stats = no non-null values, or the schema has no integral
-    * column). This is the micro version of a table format's column
-    * stats: enough for a scan to skip whole files on range predicates. */
+  /** Projected decode: `positions(i)` is the line-field index backing
+    * output column i (-1, beyond-width, or the null mark read as
+    * NULL — one mechanism covers column pruning, ADD COLUMN's missing
+    * trailing fields, and DROP COLUMN's orphaned extra fields). */
+  private[sources] def decodeProjected(line: String, positions: Array[Int],
+      types: Array[DataType], width: Int): InternalRow = {
+    val parts = line.split(",", -1)
+    require(parts.length <= width, s"ragged ledger line: $line")
+    val out = new GenericInternalRow(positions.length)
+    var i = 0
+    while (i < positions.length) {
+      val p = positions(i)
+      if (p >= 0 && p < parts.length && parts(p) != NullMark)
+        out.update(i, parseValue(types(i), parts(p)))
+      i += 1
+    }
+    out
+  }
+
+  /** One committed file plus its read-planning metadata:
+    *   - min/max data-skipping stats over `statId`'s non-null values;
+    *   - `ids`: the FIELD IDS of the file's columns in written order
+    *     (None = a pre-evolution legacy file whose columns are a
+    *     positional prefix of its manifest's schema);
+    *   - `partVals`: the file's identity-partition value tuple in
+    *     partition-spec order, rendered by [[LedgerSink.encodeValue]].
+    * Field ids are the Iceberg idea at this format's scale: names may
+    * be renamed and columns dropped without touching a data file,
+    * because readers bind columns by id, not by name or position. */
   private[sources] case class FileEntry(
-      file: String, rows: Long, min: Option[Long], max: Option[Long]) {
+      file: String, rows: Long, min: Option[Long], max: Option[Long],
+      ids: Option[Seq[Int]] = None, statId: Option[Int] = None,
+      partVals: Option[Seq[String]] = None) {
     def render: String =
-      s"$file\t$rows\t${min.getOrElse("-")}\t${max.getOrElse("-")}"
+      s"$file\t$rows\t${min.getOrElse("-")}\t${max.getOrElse("-")}\t" +
+        s"${ids.map(_.mkString(",")).getOrElse("-")}\t" +
+        s"${statId.map(_.toString).getOrElse("-")}\t" +
+        s"${partVals.map(_.mkString(",")).getOrElse("-")}"
   }
 
   private[sources] object FileEntry {
     def parse(line: String): FileEntry = {
       val p = line.split("\t", -1)
+      def opt(i: Int): Option[String] =
+        if (i >= p.length || p(i) == "-") None else Some(p(i))
       FileEntry(p(0), p(1).toLong,
-        if (p(2) == "-") None else Some(p(2).toLong),
-        if (p(3) == "-") None else Some(p(3).toLong))
+        opt(2).map(_.toLong), opt(3).map(_.toLong),
+        opt(4).map(_.split(",", -1).toSeq.filter(_.nonEmpty).map(_.toInt)),
+        opt(5).map(_.toInt),
+        opt(6).map(_.split(",", -1).toSeq))
     }
   }
 
@@ -425,15 +515,66 @@ object LedgerSink {
     if (i < 0) None else Some(i)
   }
 
-  /** Manifest: line 1 the schema DDL, then one tab-separated
-    * [[FileEntry]] per line. Present-and-parseable == committed (the
-    * atomic rename in [[LedgerBatchWrite.commit]] is what makes that
-    * equivalence hold). */
-  private[sources] def readManifest(dir: Path): Option[(StructType, Seq[FileEntry])] = {
+  /** A committed table state: the schema, its field-id assignment
+    * (`ids(i)` is field i's id; `nextId` has never been assigned, so
+    * a dropped id can never be reused and alias old bytes onto a new
+    * column), the identity-partition spec (by id, so partition
+    * columns survive renames), and the file list. */
+  private[sources] case class Manifest(
+      schema: StructType, ids: Seq[Int], nextId: Int,
+      partitionIds: Seq[Int], files: Seq[FileEntry]) {
+
+    def idOf(name: String): Int = ids(schema.fieldIndex(name))
+    def fieldOfId(id: Int): StructField = schema.fields(ids.indexOf(id))
+    def partitionNames: Seq[String] = partitionIds.map(fieldOfId(_).name)
+    def statId: Option[Int] = statColIndex(schema).map(ids(_))
+
+    def render: Seq[String] =
+      (schema.toDDL +:
+        (Seq(s"#ids:${ids.mkString(",")}", s"#nextid:$nextId") ++
+          (if (partitionIds.nonEmpty)
+            Seq(s"#partition:${partitionIds.mkString(",")}") else Nil))) ++
+        files.map(_.render)
+  }
+
+  private[sources] object Manifest {
+    /** Headers are `#key:value` lines between the DDL and the file
+      * entries; a manifest without them (pre-evolution format) reads
+      * as ids 1..n, unpartitioned — byte-for-byte compatible. */
+    def parse(lines: Seq[String]): Manifest = {
+      val schema = StructType.fromDDL(lines.head)
+      val (headers, entries) = lines.tail.partition(_.startsWith("#"))
+      val h = headers.map { s =>
+        val i = s.indexOf(':')
+        (s.substring(1, i), s.substring(i + 1))
+      }.toMap
+      def intList(k: String): Option[Seq[Int]] =
+        h.get(k).map(_.split(",", -1).toSeq.filter(_.nonEmpty).map(_.toInt))
+      val ids = intList("ids").getOrElse(1 to schema.length)
+      Manifest(schema, ids,
+        h.get("nextid").map(_.toInt)
+          .getOrElse(ids.maxOption.getOrElse(0) + 1),
+        intList("partition").getOrElse(Nil),
+        entries.map(FileEntry.parse))
+    }
+
+    def fresh(schema: StructType, partitionNames: Seq[String]): Manifest = {
+      checkSchema(schema)
+      checkPartitionCols(schema, partitionNames)
+      val ids = 1 to schema.length
+      Manifest(schema, ids, schema.length + 1,
+        partitionNames.map(n => ids(schema.fieldIndex(n))), Seq.empty)
+    }
+  }
+
+  /** Manifest: line 1 the schema DDL, optional `#` headers, then one
+    * tab-separated [[FileEntry]] per line. Present-and-parseable ==
+    * committed (the atomic rename in [[LedgerBatchWrite.commit]] is
+    * what makes that equivalence hold). */
+  private[sources] def readManifest(dir: Path): Option[Manifest] = {
     val m = dir.resolve(ManifestName)
     if (!Files.exists(m)) return None
-    val lines = Files.readAllLines(m, UTF_8).asScala.toSeq
-    Some((StructType.fromDDL(lines.head), lines.tail.map(FileEntry.parse)))
+    Some(Manifest.parse(Files.readAllLines(m, UTF_8).asScala.toSeq))
   }
 
   // ---- manifest versioning (time travel) ----
@@ -463,9 +604,11 @@ object LedgerSink {
 
   /** Manifest as of `version` — the live manifest when `version` is
     * None or equals [[currentVersion]]; an immutable archive
-    * otherwise. */
+    * otherwise. Every archive is self-contained (its own schema, ids
+    * and partition spec), so a version reads exactly the table
+    * definition it committed under. */
   private[sources] def readManifestAt(dir: Path, version: Option[Int])
-      : Option[(StructType, Seq[FileEntry])] =
+      : Option[Manifest] =
     version.filter(_ != currentVersion(dir)) match {
       case None => readManifest(dir)
       case Some(v) =>
@@ -474,18 +617,42 @@ object LedgerSink {
           throw new IllegalArgumentException(
             s"ledger $dir has no version $v (versions: " +
               s"${archivedVersions(dir).mkString(",")},${currentVersion(dir)})")
-        val lines = Files.readAllLines(m, UTF_8).asScala.toSeq
-        Some((StructType.fromDDL(lines.head), lines.tail.map(FileEntry.parse)))
+        Some(Manifest.parse(Files.readAllLines(m, UTF_8).asScala.toSeq))
     }
+
+  /** The append-only file DELTA between two versions — the CDC read
+    * (`changesFromVersion`/`changesToVersion` options): the files
+    * version `to` references that version `from` (0 = the empty
+    * table) did not, under `to`'s schema. Honest boundary: a range
+    * that REMOVED files (overwrite, row-level op, OPTIMIZE) is not
+    * expressible as inserts-only and is refused rather than
+    * misreported. */
+  private[sources] def readChanges(dir: Path, from: Int, to: Int): Manifest = {
+    if (from > to) throw new IllegalArgumentException(
+      s"changesFromVersion=$from > changesToVersion=$to")
+    val toM = readManifestAt(dir, Some(to)).getOrElse(
+      throw new IllegalArgumentException(s"no committed ledger manifest under $dir"))
+    val baseFiles: Set[String] =
+      if (from == 0) Set.empty
+      else readManifestAt(dir, Some(from))
+        .map(_.files.map(_.file).toSet).getOrElse(Set.empty)
+    val toFiles = toM.files.map(_.file).toSet
+    val removed = baseFiles -- toFiles
+    if (removed.nonEmpty) throw new UnsupportedOperationException(
+      s"CDC range v$from..v$to spans a non-append commit " +
+        s"(${removed.size} file(s) were removed or rewritten); " +
+        "read the versions on either side instead")
+    toM.copy(files = toM.files.filterNot(e => baseFiles(e.file)))
+  }
 
   /** Every file referenced by ANY retained version — the set a vacuum
     * or a post-DELETE cleanup must not touch. */
   private[sources] def referencedFiles(dir: Path): Set[String] = {
     val archived = archivedVersions(dir).flatMap { v =>
-      Files.readAllLines(dir.resolve(archiveName(v)), UTF_8)
-        .asScala.toSeq.tail.map(FileEntry.parse(_).file)
+      Manifest.parse(Files.readAllLines(dir.resolve(archiveName(v)), UTF_8)
+        .asScala.toSeq).files.map(_.file)
     }
-    (archived ++ readManifest(dir).map(_._2.map(_.file)).getOrElse(Seq.empty))
+    (archived ++ readManifest(dir).map(_.files.map(_.file)).getOrElse(Seq.empty))
       .toSet
   }
 
@@ -507,15 +674,14 @@ object LedgerSink {
 
   /** Replace the live manifest, ARCHIVING the one being replaced as
     * the next immutable version — every commit (append, overwrite,
-    * epoch, metadata delete) leaves the previous table state readable
-    * via `versionAsOf`. The archive lands before the rename: a crash
-    * between the two leaves an archive that duplicates the live
-    * manifest, which the duplicate check skips on the next write, so
-    * the version chain never forks or gaps. Data files are never
-    * deleted by commits (overwrite orphans them; [[vacuum]] reclaims
-    * what no version references). */
-  private[sources] def writeManifestAtomic(
-      dir: Path, schema: StructType, files: Seq[FileEntry]): Unit = {
+    * epoch, metadata delete, evolution, OPTIMIZE) leaves the previous
+    * table state readable via `versionAsOf`. The archive lands before
+    * the rename: a crash between the two leaves an archive that
+    * duplicates the live manifest, which the duplicate check skips on
+    * the next write, so the version chain never forks or gaps. Data
+    * files are never deleted by commits (overwrite orphans them;
+    * [[vacuum]] reclaims what no version references). */
+  private[sources] def writeManifestAtomic(dir: Path, m: Manifest): Unit = {
     Files.createDirectories(dir)
     val cur = dir.resolve(ManifestName)
     if (Files.exists(cur)) {
@@ -531,40 +697,120 @@ object LedgerSink {
       }
     }
     val tmp = dir.resolve(s"$ManifestName.tmp")
-    Files.write(tmp,
-      (schema.toDDL +: files.map(_.render)).mkString("\n").getBytes(UTF_8))
+    Files.write(tmp, m.render.mkString("\n").getBytes(UTF_8))
     Files.move(tmp, dir.resolve(ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 }
 
+/** OPTIMIZE as a commit kind: bin-pack the table's small files into
+  * target-sized ones and commit the swap as a new version — the
+  * answer to epoch-grain streaming appends accumulating one file per
+  * (epoch × partition). Because the row codec is line-oriented and a
+  * bin only ever groups files with the SAME column-id list, stat
+  * column and partition tuple, each bin's rewrite is a straight byte
+  * concatenation — no decode, no shuffle — so the job is one Spark
+  * task per bin (embarrassingly parallel on a cluster; the format's
+  * single-filesystem assumption is the same one every path here
+  * makes). Time travel sees OPTIMIZE like any commit: the
+  * pre-OPTIMIZE manifest is archived, its files stay referenced, and
+  * [[LedgerSink.vacuum]] reclaims them only when no version does. */
+object LedgerMaintenance {
+  import org.apache.spark.sql.SparkSession
+
+  /** Returns (files before, files after). Bins never mix column-id
+    * lists, stat columns or partition tuples, so every rewritten file
+    * is indistinguishable from one a single large write produced. */
+  def optimize(spark: SparkSession, dirStr: String,
+      targetBytes: Long = 8L << 20): (Int, Int) = {
+    val dir = Paths.get(dirStr)
+    val m = LedgerSink.readManifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no ledger table at $dirStr"))
+    val sizeOf = m.files.map(e =>
+      e.file -> (try Files.size(dir.resolve(e.file))
+      catch { case _: java.io.IOException => 0L })).toMap
+    val bins = Seq.newBuilder[Seq[LedgerSink.FileEntry]]
+    m.files.groupBy(e => (e.ids, e.statId, e.partVals))
+      .toSeq.sortBy(_._2.head.file).foreach { case (_, es) =>
+        var bin = Vector.empty[LedgerSink.FileEntry]
+        var sz = 0L
+        es.sortBy(e => (sizeOf(e.file), e.file)).foreach { e =>
+          val s = sizeOf(e.file)
+          if (bin.nonEmpty && sz + s > targetBytes) {
+            if (bin.length >= 2) bins += bin
+            bin = Vector.empty; sz = 0L
+          }
+          bin = bin :+ e; sz += s
+        }
+        if (bin.length >= 2) bins += bin
+      }
+    val packed = bins.result()
+    if (packed.isEmpty) return (m.files.length, m.files.length)
+    val base = dir.toString
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    val entries = spark.sparkContext
+      .parallelize(packed.zipWithIndex, packed.length)
+      .map { case (bin, i) =>
+        val rel = s"_staging/opt-$runTag-$i.ledger"
+        val out = Files.newOutputStream(Paths.get(base, rel))
+        try bin.foreach(e => Files.copy(Paths.get(base, e.file), out): Unit)
+        finally out.close()
+        val mins = bin.flatMap(_.min)
+        val maxs = bin.flatMap(_.max)
+        LedgerSink.FileEntry(rel, bin.map(_.rows).sum,
+          if (mins.isEmpty) None else Some(mins.min),
+          if (maxs.isEmpty) None else Some(maxs.max),
+          bin.head.ids, bin.head.statId, bin.head.partVals)
+      }.collect().toSeq
+    val rewritten = packed.flatten.map(_.file).toSet
+    LedgerSink.writeManifestAtomic(dir,
+      m.copy(files = m.files.filterNot(e => rewritten(e.file)) ++ entries))
+    (m.files.length, m.files.length - rewritten.size + entries.length)
+  }
+}
+
 private[sources] class LedgerTable(dir: Path, schema0: StructType,
-    version: Option[Int] = None)
+    version: Option[Int] = None,
+    changes: Option[(Int, Int)] = None,
+    requestedPartitioning: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations {
   LedgerSink.checkSchema(schema0)
 
-  /** A versionAsOf table is a SNAPSHOT: reads resolve the archived
-    * manifest; writes and deletes are refused (they would have to
+  /** A versionAsOf or CDC table is a SNAPSHOT: reads resolve archived
+    * manifests; writes and deletes are refused (they would have to
     * rewrite history). */
-  private def requireCurrent(op: String): Unit =
+  private def requireCurrent(op: String): Unit = {
     version.foreach(v => throw new UnsupportedOperationException(
       s"$op on a versionAsOf=$v snapshot; writes go to the current table"))
+    changes.foreach { case (f, t) => throw new UnsupportedOperationException(
+      s"$op on a changes v$f..v$t read; writes go to the current table") }
+  }
 
   override def name(): String =
-    s"ledger(${dir.toString}${version.map(v => s"@v$v").getOrElse("")})"
+    s"ledger(${dir.toString}${version.map(v => s"@v$v").getOrElse("")}" +
+      s"${changes.map { case (f, t) => s"@changes v$f..v$t" }.getOrElse("")})"
   override def schema(): StructType = schema0
+
+  /** The table's identity-partition spec, from the manifest (the
+    * requested transforms only matter before the first commit). */
+  override def partitioning(): Array[Transform] = {
+    val names = LedgerSink.readManifest(dir).map(_.partitionNames)
+      .getOrElse(requestedPartitioning)
+    names.map(n => Expressions.identity(n): Transform).toArray
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LedgerScanBuilder(dir, schema0, version)
+    new LedgerScanBuilder(dir, schema0, version, changes)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
-    new LedgerWriteBuilder(dir, info.schema())
+    new LedgerWriteBuilder(dir, info.schema(), requestedPartitioning)
   }
 
   /** Row-level DELETE/UPDATE/MERGE as GROUP-BASED copy-on-write — the
@@ -572,13 +818,13 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     * boundaries (the metadata delete above still wins when it does;
     * Spark's OptimizeMetadataOnlyDeleteFromTable arbitrates). Spark
     * rewrites the command into ReplaceData: the operation's SCAN
-    * plans the candidate files (stats pruning applies — files that
-    * provably hold no matching rows are neither read nor rewritten),
-    * Spark recomputes those files' SURVIVING rows, and the write's
-    * commit swaps exactly the scanned files for the replacement files
-    * in one manifest rename. The scanned-file set travels from the
-    * scan to the commit through the operation instance — both run on
-    * the driver. */
+    * plans the candidate files (stats AND partition pruning apply —
+    * files that provably hold no matching rows are neither read nor
+    * rewritten), Spark recomputes those files' SURVIVING rows, and
+    * the write's commit swaps exactly the scanned files for the
+    * replacement files in one manifest rename. The scanned-file set
+    * travels from the scan to the commit through the operation
+    * instance — both run on the driver. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireCurrent(info.command.toString)
@@ -587,14 +833,21 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
 
   // ---- metadata-only DELETE (the Iceberg "metadata delete") ----
 
-  /** Resolve the delete predicates to an inclusive [lo, hi] range on
-    * the stats column, or None when any predicate falls outside the
+  /** Resolve the delete predicates into whole-file-provable pieces:
+    * a [lo, hi] range on the stats column and/or equality constraints
+    * on partition columns. None when any predicate falls outside the
     * provable shapes. */
-  private def deleteRange(filters: Array[Filter]): Option[(Long, Long)] = {
-    val statName = LedgerSink.statColIndex(schema0).map(schema0.fields(_).name)
-    if (statName.isEmpty) return None
+  private def deleteShape(filters: Array[Filter])
+      : Option[((Long, Long), Map[String, String])] = {
+    val mOpt = LedgerSink.readManifest(dir)
+    if (mOpt.isEmpty) return None
+    val m = mOpt.get
+    val statName = LedgerSink.statColIndex(m.schema).map(m.schema.fields(_).name)
+    val partTypes: Map[String, DataType] = m.partitionNames
+      .map(n => n -> m.schema.fields(m.schema.fieldIndex(n)).dataType).toMap
     var lo = Long.MinValue
     var hi = Long.MaxValue
+    var partEq = Map.empty[String, String]
     val ok = filters.forall {
       case GreaterThan(c, v: Long) if statName.contains(c) =>
         lo = math.max(lo, v + 1); true
@@ -606,27 +859,64 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
         hi = math.min(hi, v); true
       case EqualTo(c, v: Long) if statName.contains(c) =>
         lo = math.max(lo, v); hi = math.min(hi, v); true
+      case EqualTo(c, v) if partTypes.contains(c) =>
+        LedgerSink.encodeLiteral(partTypes(c), v) match {
+          case Some(enc) if !partEq.contains(c) || partEq(c) == enc =>
+            partEq += (c -> enc); true
+          case _ => false
+        }
       case _ => false
     }
-    if (ok) Some((lo, hi)) else None
+    if (ok) Some(((lo, hi), partEq)) else None
   }
 
-  /** A file is decidable when its stats prove it fully inside the
-    * delete range (every row's stat value lies in [min,max] ⊆ range)
-    * or fully outside (ranges disjoint — including the all-null file,
-    * which a null-excluding range predicate can never match). */
-  private def classify(range: (Long, Long))
+  /** A file is decidable when partition equality proves it fully
+    * outside (a non-matching partition tuple), or its stats prove it
+    * fully inside the delete range (every row's stat value lies in
+    * [min,max] ⊆ range) or fully outside (ranges disjoint — including
+    * the all-null file, which a null-excluding range predicate can
+    * never match). A partition-only delete drops exactly the matching
+    * partitions' files — the reference's partitioned-prefix overwrite
+    * story as a metadata operation. */
+  private def classify(shape: ((Long, Long), Map[String, String]))
       : Option[(Seq[LedgerSink.FileEntry], Seq[LedgerSink.FileEntry])] = {
-    val (lo, hi) = range
-    val entries = LedgerSink.readManifest(dir).map(_._2).getOrElse(Seq.empty)
+    val ((lo, hi), partEq) = shape
+    val m = LedgerSink.readManifest(dir).getOrElse(return Some((Seq.empty, Seq.empty)))
+    val hasRange = lo != Long.MinValue || hi != Long.MaxValue
+    val partNames = m.partitionNames
+    val curStatId = m.statId
     val (drop, keep) = (Seq.newBuilder[LedgerSink.FileEntry],
       Seq.newBuilder[LedgerSink.FileEntry])
-    entries.foreach { e =>
-      (e.min, e.max) match {
-        case (Some(mn), Some(mx)) if mn >= lo && mx <= hi => drop += e
-        case (Some(mn), Some(mx)) if mx < lo || mn > hi => keep += e
-        case (None, None) => keep += e // all-null: no row can match
-        case _ => return None // straddling file: not a metadata delete
+    m.files.foreach { e =>
+      // partition verdict: Some(true)=file's tuple matches all
+      // equalities, Some(false)=provably not, None=unknowable
+      val partVerdict: Option[Boolean] =
+        if (partEq.isEmpty) Some(true)
+        else e.partVals match {
+          case Some(vals) if vals.length == partNames.length =>
+            Some(partNames.zip(vals).forall { case (n, v) =>
+              partEq.get(n).forall(want => v != LedgerSink.NullMark && v == want)
+            })
+          case _ => None
+        }
+      val statsApply = e.statId.orElse(
+        if (e.ids.isEmpty) curStatId else None) == curStatId && curStatId.isDefined
+      partVerdict match {
+        case Some(false) => keep += e
+        case Some(true) if !hasRange => drop += e
+        case Some(true) if statsApply =>
+          (e.min, e.max) match {
+            case (Some(mn), Some(mx)) if mn >= lo && mx <= hi => drop += e
+            case (Some(mn), Some(mx)) if mx < lo || mn > hi => keep += e
+            case (None, None) => keep += e // all-null: no row can match
+            case _ => return None // straddling file: not a metadata delete
+          }
+        case Some(true)
+          if hasRange && e.ids.exists(f => !curStatId.exists(f.contains)) =>
+          // the file predates the stat column entirely: it reads
+          // all-NULL there, so a null-excluding range never matches
+          keep += e
+        case _ => return None
       }
     }
     Some((drop.result(), keep.result()))
@@ -638,15 +928,16 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     * boundary between a metadata delete and row-level ops. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     requireCurrent("DELETE")
-    deleteRange(filters).exists(r => classify(r).isDefined)
+    deleteShape(filters).exists(s => classify(s).isDefined)
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireCurrent("DELETE")
-    val (drop, keep) = deleteRange(filters).flatMap(classify)
+    val (drop, keep) = deleteShape(filters).flatMap(classify)
       .getOrElse(throw new UnsupportedOperationException(
         "delete predicate does not align with file boundaries"))
-    LedgerSink.writeManifestAtomic(dir, schema0, keep)
+    val m = LedgerSink.readManifest(dir).get
+    LedgerSink.writeManifestAtomic(dir, m.copy(files = keep))
     // physical cleanup AFTER the commit point — a crash between the
     // two leaves unreferenced files, never a manifest naming ghosts —
     // and only for files NO archived version still references (the
@@ -658,26 +949,59 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
   }
 }
 
-/** Stats-based file skipping, the OTHER pruning discipline (the
-  * synthetic source's clamp is exact because generation is exact;
-  * here the stats only BOUND each file, so pruning may keep a file
-  * with no matching rows but can never drop a matching one, and every
-  * filter is returned as a residual for Spark to evaluate row-wise —
-  * the parquet row-group contract, reproduced at file grain). Range
-  * predicates on the stats column shrink [flo, fhi]; a file survives
-  * iff its [min, max] intersects it. A statless file always survives;
-  * an all-null-stat-column file never matches a null-excluding range
-  * predicate, so skipping it is exact. */
-private[sources] class LedgerScanBuilder(dir: Path, schema: StructType,
+/** Read planning with THREE pruning disciplines, all manifest-only
+  * (no data file is opened to plan):
+  *   - stats-based file skipping: range predicates on the stats
+  *     column shrink [flo, fhi]; a file survives iff its [min, max]
+  *     intersects it. Stats only BOUND each file, so pruning may keep
+  *     a file with no matching rows but can never drop a matching
+  *     one, and every filter is returned as a residual for Spark to
+  *     evaluate row-wise — the parquet row-group contract at file
+  *     grain. A file whose stats were taken on a different column
+  *     (pre-evolution) conservatively survives; a file that predates
+  *     the stat column entirely reads all-NULL there and is exactly
+  *     prunable under null-excluding range predicates.
+  *   - partition pruning: equality/IN/null predicates on identity
+  *     partition columns drop whole files by their manifest partition
+  *     tuple — exact, not conservative, because identity partitioning
+  *     makes the tuple a fact about every row in the file.
+  *   - column pruning (SupportsPushDownRequiredColumns): the reader
+  *     binds only the requested columns BY FIELD ID and never parses
+  *     the rest — a wide-table narrow projection pays line-splitting,
+  *     not full-row decoding. */
+private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
     version: Option[Int] = None,
+    changes: Option[(Int, Int)] = None,
     onPlanned: Seq[String] => Unit = _ => ())
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
 
-  private val statName: Option[String] =
-    LedgerSink.statColIndex(schema).map(schema.fields(_).name)
+  private[sources] val manifestOpt: Option[LedgerSink.Manifest] = changes match {
+    case Some((f, t)) => Some(LedgerSink.readChanges(dir, f, t))
+    case None => LedgerSink.readManifestAt(dir, version)
+  }
+  private def versionSchema: StructType =
+    manifestOpt.map(_.schema).getOrElse(tableSchema)
+
+  private val statName: Option[String] = LedgerSink.statColIndex(versionSchema)
+    .map(versionSchema.fields(_).name)
+  private val partTypes: Map[String, DataType] = manifestOpt.map(m =>
+    m.partitionNames.map(n =>
+      n -> m.schema.fields(m.schema.fieldIndex(n)).dataType).toMap)
+    .getOrElse(Map.empty)
+
   private var flo: Long = Long.MinValue
   private var fhi: Long = Long.MaxValue // inclusive
+  // per partition column: allowed encoded values (intersected), and
+  // null-ness constraints
+  private var partEq: Map[String, Set[String]] = Map.empty
+  private var partMustNull: Set[String] = Set.empty
+  private var partMustNotNull: Set[String] = Set.empty
   private var pushed: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  private def intersect(c: String, vs: Set[String]): Unit =
+    partEq += (c -> partEq.get(c).map(_.intersect(vs)).getOrElse(vs))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = scala.collection.mutable.ArrayBuffer.empty[Filter]
@@ -694,59 +1018,137 @@ private[sources] class LedgerScanBuilder(dir: Path, schema: StructType,
         flo = math.max(flo, v); fhi = math.min(fhi, v); accepted += f
       case _ => ()
     }
-    pushed = accepted.toArray
-    filters // ALL residual: stats bound files, they don't filter rows
+    // partition predicates prune independently of (and compose with)
+    // the stats range; EqualTo on the stats column may ALSO be a
+    // partition predicate — both prunings then apply
+    filters.foreach {
+      case f @ EqualTo(c, v) if partTypes.contains(c) && v != null =>
+        LedgerSink.encodeLiteral(partTypes(c), v).foreach { enc =>
+          intersect(c, Set(enc)); accepted += f
+        }
+      case f @ In(c, vs) if partTypes.contains(c) &&
+          vs.nonEmpty && !vs.contains(null) =>
+        val encs = vs.toSeq.map(LedgerSink.encodeLiteral(partTypes(c), _))
+        if (encs.forall(_.isDefined)) {
+          intersect(c, encs.flatten.toSet); accepted += f
+        }
+      case f @ IsNull(c) if partTypes.contains(c) =>
+        partMustNull += c; accepted += f
+      case f @ IsNotNull(c) if partTypes.contains(c) =>
+        partMustNotNull += c; accepted += f
+      case _ => ()
+    }
+    pushed = accepted.distinct.toArray
+    filters // ALL residual: pruning bounds files, it doesn't filter rows
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
   override def build(): Scan =
-    new LedgerScan(dir, schema, flo, fhi, pushed.nonEmpty, version, onPlanned)
+    new LedgerScan(dir, versionSchema, manifestOpt,
+      required.getOrElse(versionSchema),
+      flo, fhi, pushed.nonEmpty && statName.isDefined &&
+        (flo != Long.MinValue || fhi != Long.MaxValue),
+      partEq, partMustNull, partMustNotNull, version, changes, onPlanned)
 }
 
 private[sources] class LedgerScan(
-    dir: Path, schema: StructType,
-    flo: Long = Long.MinValue, fhi: Long = Long.MaxValue,
-    filtered: Boolean = false, version: Option[Int] = None,
-    onPlanned: Seq[String] => Unit = _ => ())
+    dir: Path, versionSchema: StructType,
+    manifestOpt: Option[LedgerSink.Manifest],
+    required: StructType,
+    flo: Long, fhi: Long, statFiltered: Boolean,
+    partEq: Map[String, Set[String]],
+    partMustNull: Set[String], partMustNotNull: Set[String],
+    version: Option[Int], changes: Option[(Int, Int)],
+    onPlanned: Seq[String] => Unit)
     extends Scan with Batch {
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-ledger $dir" + version.map(v => s" @v$v").getOrElse("") +
-      (if (filtered) s" StatsRange: [$flo, $fhi]" else "")
+      changes.map { case (f, t) => s" @changes v$f..v$t" }.getOrElse("") +
+      (if (statFiltered) s" StatsRange: [$flo, $fhi]" else "") +
+      (if (partEq.nonEmpty || partMustNull.nonEmpty || partMustNotNull.nonEmpty)
+        s" PartitionFilter: ${partEq.map { case (k, v) =>
+          s"$k IN {${v.toSeq.sorted.mkString(",")}}" }.mkString(", ")}" else "") +
+      (if (required.length != versionSchema.length)
+        s" PrunedColumns: [${required.fieldNames.mkString(",")}]" else "")
+
+  private def partitionMatches(m: LedgerSink.Manifest,
+      e: LedgerSink.FileEntry): Boolean = {
+    if (partEq.isEmpty && partMustNull.isEmpty && partMustNotNull.isEmpty)
+      return true
+    val names = m.partitionNames
+    e.partVals match {
+      case Some(vals) if vals.length == names.length =>
+        names.zip(vals).forall { case (n, v) =>
+          val isNull = v == LedgerSink.NullMark
+          (!partMustNull.contains(n) || isNull) &&
+            (!partMustNotNull.contains(n) || !isNull) &&
+            partEq.get(n).forall(s => !isNull && s.contains(v))
+        }
+      case _ => true // no recorded tuple: cannot prove, must survive
+    }
+  }
+
+  private def statsAdmit(m: LedgerSink.Manifest,
+      e: LedgerSink.FileEntry): Boolean = {
+    if (!statFiltered) return true
+    val curStatId = m.statId
+    val applies = e.statId.orElse(
+      if (e.ids.isEmpty) curStatId else None) == curStatId
+    if (applies) (e.min, e.max) match {
+      case (Some(lo), Some(hi)) => hi >= flo && lo <= fhi
+      case _ => false // all-null stat column: a range predicate excludes NULL
+    }
+    else if (e.ids.exists(f => !curStatId.exists(f.contains)))
+      false // file predates the stat column: it reads all-NULL there
+    else true // stats taken on another column: unknowable, keep
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
-    LedgerSink.readManifestAt(dir, version) match {
-      case Some((_, files)) =>
-        val chosen = files.filter { e =>
-          !filtered || ((e.min, e.max) match {
-            case (Some(lo), Some(hi)) => hi >= flo && lo <= fhi
-            case _ =>
-              // no stats: a file with rows but no non-null stat values
-              // cannot match a null-excluding range predicate; a
-              // statless schema (no integral column) never pushes
-              e.min.isEmpty && e.max.isEmpty && statlessSchema
-          })
-        }
+    manifestOpt match {
+      case Some(m) =>
+        val chosen = m.files.filter(e =>
+          partitionMatches(m, e) && statsAdmit(m, e))
         onPlanned(chosen.map(_.file))
-        chosen.map(f => LedgerFilePartition(dir.resolve(f.file).toString)).toArray
+        chosen.map { e =>
+          // output column i binds to the file field holding its ID;
+          // legacy files bind by schema position (their columns are a
+          // positional prefix of their manifest's schema)
+          val (positions, width) = e.ids match {
+            case Some(fids) =>
+              (required.fields.map(f =>
+                fids.indexOf(m.idOf(f.name))), fids.length)
+            case None =>
+              (required.fields.map(f => m.schema.fieldIndex(f.name)),
+                m.schema.length)
+          }
+          LedgerFilePartition(dir.resolve(e.file).toString, positions, width)
+            : InputPartition
+        }.toArray
       case None => Array.empty
     }
 
-  private def statlessSchema: Boolean = LedgerSink.statColIndex(schema).isEmpty
-
   override def createReaderFactory(): PartitionReaderFactory = {
-    val ddl = schema.toDDL
+    val ddl = required.toDDL
     partition => {
-      val sch = StructType.fromDDL(ddl)
-      val lines = Files.readAllLines(
-        Paths.get(partition.asInstanceOf[LedgerFilePartition].file), UTF_8)
-        .asScala.iterator
+      val types: Array[DataType] =
+        if (ddl.isEmpty) Array.empty
+        else StructType.fromDDL(ddl).fields.map(_.dataType)
+      val p = partition.asInstanceOf[LedgerFilePartition]
+      val lines = Files.readAllLines(Paths.get(p.file), UTF_8).asScala.iterator
       new PartitionReader[InternalRow] {
         private var cur: InternalRow = _
         override def next(): Boolean =
-          lines.hasNext && { cur = LedgerSink.decodeRow(lines.next(), sch); true }
+          lines.hasNext && {
+            cur = LedgerSink.decodeProjected(lines.next(), p.positions,
+              types, p.width)
+            true
+          }
         override def get(): InternalRow = cur
         override def close(): Unit = ()
       }
@@ -754,65 +1156,126 @@ private[sources] class LedgerScan(
   }
 }
 
-private[sources] case class LedgerFilePartition(file: String)
+private[sources] case class LedgerFilePartition(
+    file: String, positions: Array[Int], width: Int)
     extends InputPartition
 
-private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType)
+private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
+    requestedPartitionNames: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate {
   LedgerSink.checkSchema(schema)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new LedgerBatchWrite(dir, schema, doTruncate)
-    override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new LedgerStreamingWrite(dir, schema)
+
+  /** The partition spec this write must honor: the table's (appends
+    * and same-shape overwrites), or the requested one when the write
+    * (re)defines the table. An append missing a partition column is
+    * refused — its rows could not be placed. */
+  private def effectivePartitionNames: Seq[String] = {
+    val tableNames = LedgerSink.readManifest(dir).map(_.partitionNames)
+      .getOrElse(requestedPartitionNames)
+    if (tableNames.forall(n => schema.fieldNames.contains(n))) tableNames
+    else if (doTruncate) requestedPartitionNames
+    else throw new IllegalArgumentException(
+      s"append schema ${schema.fieldNames.mkString(",")} lacks partition " +
+        s"column(s) ${tableNames.mkString(",")}")
+  }
+
+  override def build(): Write = {
+    val partNames = effectivePartitionNames
+    LedgerSink.checkPartitionCols(schema, partNames)
+    new Write with RequiresDistributionAndOrdering {
+      /** Cluster incoming rows by the partition tuple so each
+        * partition's rows land in one task → one file per partition
+        * per commit, not one per (task × partition) — the difference
+        * between a manifest that grows with data and one that grows
+        * with parallelism. Unpartitioned writes impose nothing. */
+      override def requiredDistribution(): Distribution =
+        if (partNames.isEmpty) Distributions.unspecified()
+        else Distributions.clustered(
+          partNames.map(n => Expressions.column(n): ConnectorExpression).toArray)
+      override def requiredOrdering(): Array[ConnectorSortOrder] = Array.empty
+      override def toBatch: BatchWrite =
+        new LedgerBatchWrite(dir, schema, doTruncate,
+          partNames, requestedPartitionNames)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new LedgerStreamingWrite(dir, schema, partNames)
+    }
   }
 }
 
-private[sources] case class LedgerCommitMessage(entry: LedgerSink.FileEntry)
-    extends WriterCommitMessage
+private[sources] case class LedgerCommitMessage(
+    entries: Seq[LedgerSink.FileEntry]) extends WriterCommitMessage
+
+private[sources] object LedgerWriteSupport {
+  /** Field ids the write encodes under: by NAME against the table
+    * manifest (the evolved-table append case), by position when names
+    * don't line up (path-based positional appends, the pre-evolution
+    * behavior), fresh 1..n when the write defines the table. */
+  def writeIds(dir: Path, schema: StructType, truncate: Boolean): Seq[Int] =
+    LedgerSink.readManifest(dir) match {
+      case Some(m) if !truncate =>
+        if (schema.fieldNames.forall(m.schema.fieldNames.contains))
+          schema.fieldNames.toSeq.map(m.idOf)
+        else if (schema.length <= m.ids.length) m.ids.take(schema.length)
+        else throw new IllegalArgumentException(
+          s"append schema is wider than the table: " +
+            s"${schema.fieldNames.mkString(",")} vs ${m.schema.fieldNames.mkString(",")}")
+      case _ => 1 to schema.length
+    }
+}
 
 private[sources] class LedgerBatchWrite(
-    dir: Path, schema: StructType, truncate: Boolean) extends BatchWrite {
+    dir: Path, schema: StructType, truncate: Boolean,
+    partNames: Seq[String], requestedPartitionNames: Seq[String])
+    extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(dir.resolve("_staging"))
     val base = dir.toString
     val ddl = schema.toDDL
+    val ids = LedgerWriteSupport.writeIds(dir, schema, truncate)
+    val partIdxs = partNames.map(schema.fieldIndex)
     (partitionId: Int, taskId: Long) =>
-      new LedgerDataWriter(base, StructType.fromDDL(ddl), partitionId, taskId)
+      new LedgerDataWriter(base, StructType.fromDDL(ddl), ids, partIdxs,
+        partitionId, taskId)
   }
 
   /** The commit point: the manifest names exactly the files whose
     * tasks reported success; append unions the previous manifest,
     * overwrite starts clean. Atomic rename makes torn job commits
-    * impossible — either the old manifest or the new one exists. */
+    * impossible — either the old manifest or the new one exists.
+    * An APPEND preserves the TABLE's definition (schema, ids,
+    * partition spec): the write schema is the incoming dataframe's
+    * (Spark has already checked compatibility), and its tighter
+    * nullability must not overwrite the manifest — an evolved table
+    * whose manifest flipped to NOT NULL made pre-evolution rows read
+    * 0 instead of NULL (codegen skips null checks on non-nullable
+    * columns; caught by the evolution spec). An OVERWRITE (or a first
+    * write) takes the write schema — that is how a path-based save
+    * defines the table — keeping the table's partition spec when the
+    * write schema still carries its columns. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val existing = LedgerSink.readManifest(dir)
-    // An APPEND preserves the TABLE's schema: the write schema is the
-    // incoming dataframe's (Spark has already checked compatibility),
-    // and its tighter nullability must not overwrite the manifest —
-    // an evolved table whose manifest flipped to NOT NULL made
-    // pre-evolution rows read 0 instead of NULL (codegen skips null
-    // checks on non-nullable columns; caught by the evolution spec).
-    // An OVERWRITE (or a first write) takes the write schema — that
-    // is how a path-based save defines the table.
-    val keepSchema =
-      if (truncate) schema else existing.map(_._1).getOrElse(schema)
-    val prev =
-      if (truncate) Seq.empty
-      else existing.map(_._2).getOrElse(Seq.empty)
-    val files = messages.map(_.asInstanceOf[LedgerCommitMessage].entry)
-    LedgerSink.writeManifestAtomic(dir, keepSchema, prev ++ files)
+    val fresh = messages.toSeq
+      .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
+    val m = existing match {
+      case Some(old) if !truncate => old.copy(files = old.files ++ fresh)
+      case _ =>
+        val keepParts = existing.map(_.partitionNames)
+          .getOrElse(requestedPartitionNames)
+          .filter(schema.fieldNames.contains)
+        LedgerSink.Manifest.fresh(schema, keepParts).copy(files = fresh)
+    }
+    LedgerSink.writeManifestAtomic(dir, m)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case LedgerCommitMessage(e) =>
-        Files.deleteIfExists(dir.resolve(e.file))
+      case LedgerCommitMessage(es) =>
+        es.foreach(e => Files.deleteIfExists(dir.resolve(e.file)): Unit)
       case _ => ()
     }
 }
@@ -848,8 +1311,12 @@ private[sources] class LedgerRowLevelOperation(
             val base = dir.toString
             val ddl = schema.toDDL
             val tag = java.util.UUID.randomUUID().toString.take(8)
+            val ids = LedgerWriteSupport.writeIds(dir, schema, truncate = false)
+            val partIdxs = LedgerSink.readManifest(dir)
+              .map(_.partitionNames).getOrElse(Seq.empty)
+              .map(schema.fieldIndex)
             (partitionId: Int, taskId: Long) =>
-              new CowDataWriter(base, StructType.fromDDL(ddl),
+              new CowDataWriter(base, StructType.fromDDL(ddl), ids, partIdxs,
                 partitionId, taskId, s"cow-$tag-")
           }
 
@@ -858,18 +1325,19 @@ private[sources] class LedgerRowLevelOperation(
             * pre-operation manifest keeps the old state readable
             * (time travel applies to row-level ops like any commit). */
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            val prev = LedgerSink.readManifest(dir)
-              .map(_._2).getOrElse(Seq.empty)
+            val m = LedgerSink.readManifest(dir).getOrElse(
+              LedgerSink.Manifest.fresh(schema, Seq.empty))
             val replaced = scannedFiles.toSet
-            val fresh = messages.map(_.asInstanceOf[LedgerCommitMessage].entry)
-            LedgerSink.writeManifestAtomic(dir, schema,
-              prev.filterNot(e => replaced(e.file)) ++ fresh)
+            val fresh = messages.toSeq
+              .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
+            LedgerSink.writeManifestAtomic(dir, m.copy(
+              files = m.files.filterNot(e => replaced(e.file)) ++ fresh))
           }
 
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             messages.foreach {
-              case LedgerCommitMessage(e) =>
-                Files.deleteIfExists(dir.resolve(e.file)): Unit
+              case LedgerCommitMessage(es) =>
+                es.foreach(e => Files.deleteIfExists(dir.resolve(e.file)): Unit)
               case _ => ()
             }
         }
@@ -891,9 +1359,10 @@ private[sources] class LedgerRowLevelOperation(
   * markers). Plain writes (no leading operation column) pass through
   * untouched. */
 private[sources] class CowDataWriter(
-    base: String, schema: StructType, partitionId: Int, taskId: Long,
-    prefix: String)
-    extends LedgerDataWriter(base, schema, partitionId, taskId, prefix) {
+    base: String, schema: StructType, ids: Seq[Int], partIdxs: Seq[Int],
+    partitionId: Int, taskId: Long, prefix: String)
+    extends LedgerDataWriter(base, schema, ids, partIdxs,
+      partitionId, taskId, prefix) {
   private val width = schema.fields.length
   override def write(r: InternalRow): Unit = {
     val off = r.numFields - width
@@ -925,7 +1394,8 @@ private[sources] class CowDataWriter(
   * into exactly-once table state, which is the entire contract of a
   * transactional streaming sink. Append output mode only: an epoch
   * never rewrites previous epochs' files. */
-private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType)
+private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
+    partNames: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -934,83 +1404,119 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType)
     Files.createDirectories(dir.resolve("_staging"))
     val base = dir.toString
     val ddl = schema.toDDL
+    val ids = LedgerWriteSupport.writeIds(dir, schema, truncate = false)
+    val partIdxs = partNames.map(schema.fieldIndex)
     (partitionId: Int, taskId: Long, epochId: Long) =>
-      new LedgerDataWriter(base, StructType.fromDDL(ddl), partitionId,
-        taskId, filePrefix = s"epoch-$epochId-")
+      new LedgerDataWriter(base, StructType.fromDDL(ddl), ids, partIdxs,
+        partitionId, taskId, filePrefix = s"epoch-$epochId-")
   }
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val existing = LedgerSink.readManifest(dir)
-    // epoch commits are appends: preserve the table's schema (see
+    // epoch commits are appends: preserve the table's definition (see
     // LedgerBatchWrite.commit)
-    val keepSchema = existing.map(_._1).getOrElse(schema)
-    val prev = existing.map(_._2).getOrElse(Seq.empty)
+    val m = existing.getOrElse(LedgerSink.Manifest.fresh(schema, partNames))
     val marker = s"_staging/epoch-$epochId-"
-    if (prev.exists(_.file.startsWith(marker))) {
+    if (m.files.exists(_.file.startsWith(marker))) {
       // replayed epoch: the manifest already holds its files — drop
       // the re-staged duplicates instead of double-appending
       messages.foreach {
-        case LedgerCommitMessage(e) if !prev.exists(_.file == e.file) =>
-          Files.deleteIfExists(dir.resolve(e.file)): Unit
+        case LedgerCommitMessage(es) => es.foreach { e =>
+          if (!m.files.exists(_.file == e.file))
+            Files.deleteIfExists(dir.resolve(e.file)): Unit
+        }
         case _ => ()
       }
     } else {
-      val files = messages.map(_.asInstanceOf[LedgerCommitMessage].entry)
-      LedgerSink.writeManifestAtomic(dir, keepSchema, prev ++ files)
+      val fresh = messages.toSeq
+        .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
+      LedgerSink.writeManifestAtomic(dir, m.copy(files = m.files ++ fresh))
     }
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case LedgerCommitMessage(e) =>
-        Files.deleteIfExists(dir.resolve(e.file)): Unit
+      case LedgerCommitMessage(es) =>
+        es.foreach(e => Files.deleteIfExists(dir.resolve(e.file)): Unit)
       case _ => ()
     }
 }
 
+/** Task-side writer. Partitioned tables get DYNAMIC sub-files: one
+  * staged file per partition tuple seen by this task (the clustered
+  * write distribution makes that one tuple per task in the common
+  * case), each carrying its tuple in the commit entry for the
+  * pruner. Files open lazily — an empty task stages nothing, so file
+  * count tracks data, not parallelism. Stats are per sub-file over
+  * the write schema's first integral column, recorded with its FIELD
+  * ID so evolution can later tell whose stats they are. */
 private[sources] class LedgerDataWriter(
-    base: String, schema: StructType, partitionId: Int, taskId: Long,
-    filePrefix: String = "")
+    base: String, schema: StructType, ids: Seq[Int], partIdxs: Seq[Int],
+    partitionId: Int, taskId: Long, filePrefix: String = "")
     extends DataWriter[InternalRow] {
 
-  private val rel = s"_staging/${filePrefix}part-$partitionId-$taskId.ledger"
-  private val path = Paths.get(base, rel)
-  Files.createDirectories(path.getParent) // executor-side, in case the
-  // driver's mkdir raced or the writer runs on another host's view
-  private val out = Files.newBufferedWriter(path, UTF_8)
-  private var rows = 0L
-  // data-skipping stats over the first integral column's non-null values
   private val statIdx = LedgerSink.statColIndex(schema)
-  private var statMin = Long.MaxValue
-  private var statMax = Long.MinValue
-  private var statSeen = false
+  private val statId = statIdx.map(ids(_))
+
+  private final class Sub(val rel: String, val partVals: Option[Seq[String]]) {
+    val path: Path = Paths.get(base, rel)
+    Files.createDirectories(path.getParent) // executor-side, in case the
+    // driver's mkdir raced or the writer runs on another host's view
+    val out: java.io.BufferedWriter = Files.newBufferedWriter(path, UTF_8)
+    var rows = 0L
+    var statMin: Long = Long.MaxValue
+    var statMax: Long = Long.MinValue
+    var statSeen = false
+  }
+
+  private val subs =
+    scala.collection.mutable.LinkedHashMap.empty[Seq[String], Sub]
+  private var seq = 0
+
+  private def subFor(record: InternalRow): Sub = {
+    val key: Seq[String] =
+      partIdxs.map(i => LedgerSink.encodeValue(schema.fields(i).dataType,
+        record, i))
+    subs.getOrElseUpdate(key, {
+      val rel = s"_staging/${filePrefix}part-$partitionId-$taskId-$seq.ledger"
+      seq += 1
+      new Sub(rel, if (partIdxs.isEmpty) None else Some(key))
+    })
+  }
 
   override def write(record: InternalRow): Unit = {
-    out.write(LedgerSink.encodeRow(record, schema))
-    out.write("\n")
-    rows += 1
+    val sub = subFor(record)
+    sub.out.write(LedgerSink.encodeRow(record, schema))
+    sub.out.write("\n")
+    sub.rows += 1
     statIdx.foreach { i =>
       if (!record.isNullAt(i)) {
         val v = schema.fields(i).dataType match {
           case LongType => record.getLong(i)
           case _ => record.getInt(i).toLong
         }
-        statSeen = true
-        if (v < statMin) statMin = v
-        if (v > statMax) statMax = v
+        sub.statSeen = true
+        if (v < sub.statMin) sub.statMin = v
+        if (v > sub.statMax) sub.statMax = v
       }
     }
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
-    LedgerCommitMessage(LedgerSink.FileEntry(rel, rows,
-      if (statSeen) Some(statMin) else None,
-      if (statSeen) Some(statMax) else None))
+    val entries = subs.values.toSeq.map { s =>
+      s.out.close()
+      LedgerSink.FileEntry(s.rel, s.rows,
+        if (s.statSeen) Some(s.statMin) else None,
+        if (s.statSeen) Some(s.statMax) else None,
+        Some(ids), statId, s.partVals)
+    }
+    LedgerCommitMessage(entries)
   }
 
-  override def abort(): Unit = { out.close(); Files.deleteIfExists(path) }
-  override def close(): Unit = out.close()
+  override def abort(): Unit = subs.values.foreach { s =>
+    s.out.close(); Files.deleteIfExists(s.path): Unit
+  }
+  override def close(): Unit = subs.values.foreach(_.out.close())
 }

@@ -83,7 +83,7 @@ class LedgerStreamingSpec extends graft.SparkSpec {
       .option("checkpointLocation", s"$dir/_checkpoint")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val entries = LedgerSink.readManifest(dir).map(_._2).getOrElse(Seq.empty)
+    val entries = LedgerSink.readManifest(dir).map(_.files).getOrElse(Seq.empty)
     val epochs = entries.map(_.file).flatMap { f =>
       "epoch-(\\d+)-".r.findFirstMatchIn(f).map(_.group(1))
     }.distinct

@@ -69,11 +69,11 @@ class RowLevelOpsSpec extends graft.SparkSpec {
     spark.sql(s"INSERT INTO $t SELECT id, id FROM range(1000, 1100)")
     val root = java.nio.file.Paths.get(
       s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt/rlo/pruned")
-    val before = LedgerSink.readManifest(root).get._2.map(_.file).toSet
+    val before = LedgerSink.readManifest(root).get.files.map(_.file).toSet
     // range predicate prunes to the low file but is NOT file-aligned
     // (id < 50 splits the first file), so COW rewrites only that file
     spark.sql(s"DELETE FROM $t WHERE id >= 10 AND id < 50")
-    val after = LedgerSink.readManifest(root).get._2.map(_.file).toSet
+    val after = LedgerSink.readManifest(root).get.files.map(_.file).toSet
     val untouchedHigh = before.filter(after.contains)
     assert(untouchedHigh.nonEmpty,
       s"high-range file should have survived unrewritten: $before -> $after")
