@@ -659,8 +659,15 @@ object Dedup {
     * delta side is small (a day's crawl vs the corpus), so the band
     * join broadcasts the delta bands and the corpus side never
     * reshuffles — cost scales with the batch, not the corpus. */
-  private[graft] def incrementalCheck(delta: DataFrame, corpus: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The delta-vs-corpus VERIFIED PAIR relation shared by the
+    * per-doc decision view ([[incrementalCheck]]) and the CDC pair
+    * accumulator ([[crossPairsOriented]]): band keys of the delta
+    * equi-joined against the corpus features (delta×delta and
+    * corpus×corpus pairs are someone else's round), signature
+    * pre-filter, exact-Jaccard verify at >= 0.5 — the SAME survival
+    * predicate as the batch pipeline, which is what makes
+    * union-over-batches equal the batch answer exactly. */
+  private[graft] def crossVerifiedPairs(delta: DataFrame, corpus: DataFrame): DataFrame = {
     val bandStack = (0 until nBands).map(b => s"$b, band_$b").mkString(", ")
     def bandsOf(f: DataFrame, idCol: String) = f
       .selectExpr(s"doc_id AS $idCol", s"stack($nBands, $bandStack) AS (band_idx, band_val)")
@@ -677,7 +684,7 @@ object Dedup {
     val surv = cands.join(sigsN, Seq("new_doc")).join(sigsC, Seq("corpus_doc"))
       .filter(expr(s"($agree) >= $minSigAgree"))
       .select("new_doc", "corpus_doc")
-    val verified = surv
+    surv
       .join(delta.selectExpr("doc_id AS new_doc", "sh AS sh_a", "n AS na"), Seq("new_doc"))
       .join(corpus.selectExpr("doc_id AS corpus_doc", "sh AS sh_b", "n AS nb"), Seq("corpus_doc"))
       .selectExpr("new_doc", "corpus_doc", "na", "nb",
@@ -687,6 +694,21 @@ object Dedup {
       .filter(col("union_size") > 0)
       .selectExpr("*", "intersection_size / union_size AS jaccard")
       .filter(col("jaccard") >= 0.5)
+  }
+
+  /** [[crossVerifiedPairs]] re-oriented to the batch pipeline's
+    * (doc_a < doc_b) pair schema — delta docs and corpus docs are
+    * disjoint populations, so least/greatest is the only
+    * normalization a cross pair needs. */
+  private[graft] def crossPairsOriented(delta: DataFrame, corpus: DataFrame): DataFrame =
+    crossVerifiedPairs(delta, corpus).selectExpr(
+      "least(new_doc, corpus_doc) AS doc_a",
+      "greatest(new_doc, corpus_doc) AS doc_b",
+      "intersection_size", "union_size", "jaccard")
+
+  private[graft] def incrementalCheck(delta: DataFrame, corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val verified = crossVerifiedPairs(delta, corpus)
     val w = Window.partitionBy("new_doc").orderBy(desc("jaccard"), asc("corpus_doc"))
     val best = verified
       .withColumn("n_matches", count(lit(1)).over(Window.partitionBy("new_doc")))
