@@ -257,15 +257,20 @@ object PrefixJoin {
     * Top-200 by containment keeps the output bounded; the ordering
     * is total.
     *
-    * Cost note, and why it is the CORPUS, not the plan: this fixture
-    * is vocabulary-saturated (31 distinct words across every doc —
-    * [[graft.llm.TextAnalysis.zipfSlope]] measures −0.16 against
-    * natural text's ≈ −1), so the TRUE banded-containment answer is
-    * near-quadratic and no lossless candidate scheme can run faster
-    * than the answer it must produce (measured ~15 s at sf0.1). On a
-    * Zipfian corpus the rarity-ordered prefixes are genuinely sparse
-    * and the join is, too. Like [[verifiedPairs]], the build stages
-    * once per session; Verify still measures the cold path. */
+    * Cost note: this fixture is vocabulary-saturated (31 distinct
+    * words across every doc — [[graft.llm.TextAnalysis.zipfSlope]]
+    * measures −0.16 against natural text's ≈ −1), so the TRUE
+    * banded-containment answer is near-quadratic in docs and the
+    * rarity prefixes stop pruning (85 % of ordered pairs survived the
+    * prefix join at sf0.1). [[containmentFrom]] exploits the same
+    * saturation instead: vocab ≤ 64 → token sets become single-long
+    * bitmasks, pair math collapses to distinct-set grain with one
+    * popcount per pair, and the top-200 is recovered through a
+    * provably lossless minimal-pair bound without expanding the
+    * quadratic answer (23 s → ~4.5 s cold at sf0.1). Zipfian corpora
+    * keep the prefix join, whose sparse candidates are the right
+    * plan there. Like [[verifiedPairs]], the build stages once per
+    * session; Verify still measures the cold path. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.sideTable(spark, "containment_banded", dir) {
       buildContainment(spark, dir)
@@ -278,6 +283,127 @@ object PrefixJoin {
         s"sort_array(${arrDistinct(words("lower(text)", SparkD), SparkD)}) AS toks")
       .selectExpr("doc_id", "toks", "size(toks) AS sz")
       .transform(graft.ops.Checkpoints.cut)
+    containmentFrom(docsArr)
+  }
+
+  /** Corpus-adaptive dispatch between the two lossless containment
+    * plans. On a vocabulary-saturated corpus (the regime the cost
+    * note above describes — THIS fixture's 31-word vocabulary) the
+    * rarity prefixes stop pruning: measured at sf0.1, 10.7 M of the
+    * 12.5 M ordered doc pairs survive the prefix join and each pays
+    * an array merge-walk verify (~23 s isolated, worse under fleet
+    * memory pressure). But saturation is also an OPPORTUNITY: when
+    * the distinct-token vocabulary fits 64 bits, a token set IS a
+    * bitmask — dictionary-encode once, collapse docs to distinct
+    * masks, and the verify becomes one AND+popcount per DISTINCT-SET
+    * pair. That path is [[maskedContainment]]; Zipfian corpora (large
+    * vocab, sparse prefixes) keep the prefix-join plan, which is the
+    * one that scales there. The vocabulary count is a driver-side
+    * strategy read (like the AQE-style reads documented in
+    * [[graft.ops.Scale]]) against the checkpointed docsArr — one
+    * cheap distinct-count, not a data collect. */
+  private[graft] def containmentFrom(docsArr: DataFrame): DataFrame = {
+    val vocab = docsArr
+      .select(explode(col("toks")).as("tok")).distinct()
+    if (vocab.count() <= 64) maskedContainment(docsArr, vocab)
+    else prefixContainment(docsArr)
+  }
+
+  /** Saturated-vocabulary fast path: dictionary-encode tokens to bit
+    * positions, fold each doc's token set into ONE 64-bit mask
+    * (`bit_or(1L << tid)`), and collapse the corpus to its distinct
+    * masks. All pair math then happens at DISTINCT-SET grain —
+    * `bit_count(mask_s & mask_b)` is the exact intersection size, so
+    * the same integer cross-multiplication threshold applies with no
+    * arrays and no merge-walk. The set-pair join is a broadcast
+    * nested-loop over the mask relation (thousands of rows on a
+    * saturated corpus by construction — saturation is WHY distinct
+    * sets are few), never over docs.
+    *
+    * The top-200 output is recovered WITHOUT expanding the
+    * near-quadratic doc-pair answer, via a minimal-pair bound: a
+    * set-pair's expanded doc pairs all share its containment value,
+    * so its best-ranked doc pair uses each side's smallest member
+    * ids; and if a set-pair contributes ANY top-200 doc pair, its
+    * minimal pair ranks ≤ the 200th pair overall. Minimal pairs of
+    * distinct set-pairs are distinct doc pairs, so AT MOST 200
+    * set-pairs can contribute — TakeOrdered(200) on set-pair minimal
+    * keys is provably lossless. Expansion then joins only those ≤200
+    * set-pairs against members capped at the 201 smallest ids per
+    * set (a doc ranked >201 on its side has ≥200 same-containment,
+    * smaller-id pairs ahead of it, so it cannot reach the top-200) —
+    * a viral group of 10⁶ identical docs costs 201 rows here, not
+    * C(10⁶,2). */
+  private[graft] def maskedContainment(docsArr: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val dict = vocab.withColumn("tid",
+      expr("row_number() OVER (ORDER BY tok) - 1"))
+    val masks = docsArr
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(dict), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid))").as("mask"))
+    val sets = masks.groupBy("mask")
+      .agg(count(lit(1)).as("members"), min("doc_id").as("min1"))
+      .selectExpr("mask", "CAST(bit_count(mask) AS INT) AS sz",
+        "members", "min1")
+      .filter("sz >= 1") // empty token sets never enter the prefix join
+      .transform(graft.ops.Checkpoints.cut)
+    // members capped at the 201 smallest ids per set (see scaladoc);
+    // rn 1..2 double as each set's minimal intra pair
+    val m201 = masks
+      .withColumn("rn",
+        expr("row_number() OVER (PARTITION BY mask ORDER BY doc_id)"))
+      .filter("rn <= 201")
+      .transform(graft.ops.Checkpoints.cut)
+    val s = sets.selectExpr("mask AS mask_s", "sz AS sz_s", "min1 AS min1_s")
+    val b = sets.selectExpr("mask AS mask_b", "sz AS sz_b", "min1 AS min1_b")
+    // cross-set candidates: orientation small→big by (sz, mask), the
+    // size band, and the containment threshold — one popcount each
+    val cross = b.join(broadcast(s), expr(
+        s"""(sz_s < sz_b OR (sz_s = sz_b AND mask_s <> mask_b))
+            AND sz_b <= 2 * sz_s
+            AND $cDen * CAST(bit_count(mask_s & mask_b) AS INT)
+                >= $cNum * sz_s"""))
+      .selectExpr("mask_s", "mask_b", "sz_s", "sz_b",
+        "CAST(bit_count(mask_s & mask_b) AS INT) AS inter",
+        // minimal pair: sizes differ → (min_s, min_b); equal sizes
+        // orient per-doc by id, so the global min id is contained and
+        // the other set's min is its best container
+        "IF(sz_s < sz_b, min1_s, least(min1_s, min1_b)) AS c1",
+        "IF(sz_s < sz_b, min1_b, greatest(min1_s, min1_b)) AS c2")
+    val intra = sets.filter("members >= 2")
+      .join(m201.filter("rn = 2").selectExpr("mask", "doc_id AS min2"),
+        Seq("mask"))
+      .selectExpr("mask AS mask_s", "mask AS mask_b", "sz AS sz_s",
+        "sz AS sz_b", "sz AS inter", "min1 AS c1", "min2 AS c2")
+    val top = cross.unionByName(intra)
+      .selectExpr("mask_s", "mask_b", "sz_s", "sz_b", "inter",
+        "CAST(inter AS DOUBLE) / CAST(sz_s AS DOUBLE) AS cont", "c1", "c2")
+      .orderBy(desc("cont"), asc("c1"), asc("c2"))
+      .limit(200)
+    top
+      .join(m201.selectExpr("mask AS mask_s", "doc_id AS doc_sm"),
+        Seq("mask_s"))
+      .join(m201.selectExpr("mask AS mask_b", "doc_id AS doc_bg"),
+        Seq("mask_b"))
+      // intra set-pairs enumerate members × members: keep one
+      // orientation; cross pairs draw from disjoint sets, no dup
+      .filter("mask_s <> mask_b OR doc_sm < doc_bg")
+      .selectExpr(
+        "IF(sz_s < sz_b, doc_sm, least(doc_sm, doc_bg)) AS contained_id",
+        "IF(sz_s < sz_b, doc_bg, greatest(doc_sm, doc_bg)) AS container_id",
+        "CAST(inter AS BIGINT) AS inter",
+        "CAST(sz_s AS BIGINT) AS sz_small", "CAST(sz_b AS BIGINT) AS sz_big",
+        "CAST(inter AS DOUBLE) / CAST(sz_small AS DOUBLE) AS containment")
+      .orderBy(desc("containment"), asc("contained_id"), asc("container_id"))
+      .limit(200)
+  }
+
+  /** Zipfian-corpus path: the classic rarity-prefix self-join (see
+    * the class scaladoc) — sparse prefixes keep the candidate join
+    * linear-ish in the answer; verify is the exact merge-walk. */
+  private[graft] def prefixContainment(docsArr: DataFrame): DataFrame = {
     val toks = docsArr.select(col("doc_id"), col("sz"),
       explode(col("toks")).as("tok"))
     val dfT = toks.groupBy("tok").agg(count(lit(1)).as("df"))
