@@ -237,16 +237,21 @@ object LedgerLifecycle {
     * ledger table across three append commits (doc_id % 3); for each
     * version, the CDC read supplies EXACTLY the appended delta, the
     * delta is deduped within itself (the batch pipeline on the small
-    * side) and against the PRE-COMMIT corpus via `versionAsOf`
+    * side) and against the accumulated corpus FEATURE STATE
     * ([[graft.llm.Dedup.crossPairsOriented]] — band equi-join with the
     * delta side broadcast, signature pre-filter, exact-Jaccard
-    * verify). Because every tier applies the batch pipeline's exact
+    * verify). The corpus side is maintained incrementally: commit v's
+    * state is the UNION of the delta feature relations of commits
+    * 1..v−1, each featurized exactly once (and lineage-cut so no
+    * consumer recomputes it) — per-commit cost is O(delta feature
+    * work + banded join), never a corpus re-read or re-featurize,
+    * which is the contract that survives a corpus 10⁶× the daily
+    * crawl. Because every tier applies the batch pipeline's exact
     * survival predicate (band collision ∧ ≥6/16 signatures ∧ Jaccard
     * ≥ 0.5), the union over commits equals the batch answer over the
     * union — which is precisely what the oracle demands: the hash is
     * the FULL-corpus `dedup_minhash_pairs` oracle, so one lost or
-    * duplicated delta pair fails the gate. At 100 TB each round costs
-    * O(delta × corpus-bands-touched), never a corpus rescan. */
+    * duplicated delta pair fails the gate. */
   def cdcIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.llm.Dedup
     val dir =
@@ -263,20 +268,92 @@ object LedgerLifecycle {
       spark.read.format(ledger).option("path", dir)
         .option("changesFromVersion", (v - 1).toString)
         .option("changesToVersion", v.toString).load()
-    def corpusAt(v: Int): DataFrame =
-      spark.read.format(ledger).option("path", dir)
-        .option("versionAsOf", v.toString).load()
+    var corpusFeats: Option[DataFrame] = None
     (1 to 3).map { v =>
-      val deltaFeats = Dedup.featuresOf(deltaDocs(v))
+      val deltaFeats =
+        graft.ops.Checkpoints.cut(Dedup.featuresOf(deltaDocs(v)))
       val within = Dedup.minhashPairsOf(deltaFeats,
         Dedup.repBandCandidatesOf(deltaFeats))
-      if (v == 1) within
-      else within.unionByName(
-        Dedup.crossPairsOriented(deltaFeats,
-          Dedup.featuresOf(corpusAt(v - 1))))
+      val tier = corpusFeats match {
+        case None => within
+        case Some(state) => within.unionByName(
+          Dedup.crossPairsOriented(deltaFeats, state))
+      }
+      corpusFeats = Some(
+        corpusFeats.map(_.unionByName(deltaFeats)).getOrElse(deltaFeats))
+      tier
     }.reduce(_ unionByName _).orderBy("doc_a", "doc_b")
   }
 
   /** The batch pipeline's own oracle — CDC must reproduce it exactly. */
   val cdcIncrementalDedupOracle: String = graft.llm.Dedup.minhashPairsOracle
+
+  /** `dsv2_stream_replication`: the connector's last quadrant —
+    * streaming READ ([[LedgerMicroBatchStream]]) — exercised as
+    * ledger→ledger CDC replication, the canonical use of a table's
+    * commit log as a stream. Source table: three append commits (2
+    * files each), then OPTIMIZE (a rewrite commit). Drain #1
+    * (Trigger.AvailableNow, `maxFilesPerTrigger=3` ⇒ one version per
+    * batch, `skipChangeCommits=true` ⇒ the OPTIMIZE version advances
+    * the offset but replicates nothing) streams every row into the
+    * destination ledger through the epoch-committing sink. Then a
+    * FOURTH append lands and drain #2 RESUMES FROM THE SAME
+    * CHECKPOINT — only the new version may flow. The destination
+    * digest is recomputed by DuckDB from the fixture, so the hash
+    * pins exactly-once end to end: a re-played version, a doubled
+    * OPTIMIZE emission, or a lost resume delta each poison a count
+    * or sum. */
+  def streamReplication(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val g = tag(sfDir)
+    val base = System.getProperty("java.io.tmpdir")
+    val srcDir = s"$base/graft_ledger_repl_src_$g"
+    val dstDir = s"$base/graft_ledger_repl_dst_$g"
+    val ckpt = s"$base/graft_ledger_repl_ckpt_$g"
+    Seq(srcDir, dstDir, ckpt).foreach(deleteRecursively)
+    val cust = graft.io.Tables.customer(spark, sfDir).selectExpr(
+      "CAST(c_custkey AS BIGINT) AS c_custkey", "c_mktsegment",
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+    (0 until 3).foreach { i =>                                 // v1..v3
+      cust.filter(col("c_custkey") % 3 === i).repartition(2)
+        .write.format(ledger).option("path", srcDir)
+        .mode(if (i == 0) "overwrite" else "append").save()
+    }
+    LedgerMaintenance.optimize(spark, srcDir, 64L << 20): Unit // v4
+    def drain(): Unit = {
+      val q = spark.readStream.format(ledger).option("path", srcDir)
+        .option("skipChangeCommits", "true")
+        .option("maxFilesPerTrigger", "3")
+        .load()
+        .writeStream.format(ledger).option("path", dstDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    cust.filter(col("c_custkey") % 7 === 0)                    // v5
+      .selectExpr("c_custkey + 1000000 AS c_custkey", "c_mktsegment", "bal_c")
+      .write.format(ledger).option("path", srcDir).mode("append").save()
+    drain()
+    spark.read.format(ledger).option("path", dstDir).load()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bal_c")).as("bal_sum"),
+        sum(col("c_custkey")).as("key_sum"))
+      .orderBy("c_mktsegment")
+  }
+
+  val streamReplicationOracle: String =
+    """WITH src AS (
+         SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+         FROM customer
+         UNION ALL
+         SELECT CAST(c_custkey + 1000000 AS BIGINT), c_mktsegment,
+                CAST(round(c_acctbal * 100) AS BIGINT)
+         FROM customer WHERE c_custkey % 7 = 0)
+       SELECT seg AS c_mktsegment, count(*) AS n,
+         CAST(sum(bal) AS BIGINT) AS bal_sum,
+         CAST(sum(k) AS BIGINT) AS key_sum
+       FROM src GROUP BY seg ORDER BY seg"""
 }

@@ -672,6 +672,31 @@ object LedgerSink {
     orphans.sorted
   }
 
+  /** The one row-decoding reader both the batch scan and the
+    * micro-batch stream use: each [[LedgerFilePartition]] carries its
+    * own column-position binding, so the factory itself only needs
+    * the OUTPUT schema (serialized as DDL — the factory ships to
+    * executors). */
+  private[sources] def lineReaderFactory(
+      requiredDdl: String): PartitionReaderFactory =
+    partition => {
+      val types: Array[DataType] =
+        if (requiredDdl.isEmpty) Array.empty
+        else StructType.fromDDL(requiredDdl).fields.map(_.dataType)
+      val p = partition.asInstanceOf[LedgerFilePartition]
+      val lines = Files.readAllLines(Paths.get(p.file), UTF_8).asScala.iterator
+      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean =
+          lines.hasNext && {
+            cur = decodeProjected(lines.next(), p.positions, types, p.width)
+            true
+          }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
+
   /** Replace the live manifest, ARCHIVING the one being replaced as
     * the next immutable version — every commit (append, overwrite,
     * epoch, metadata delete, evolution, OPTIMIZE) leaves the previous
@@ -803,10 +828,11 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LedgerScanBuilder(dir, schema0, version, changes)
+    new LedgerScanBuilder(dir, schema0, version, changes,
+      streamOpts = options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
@@ -972,7 +998,8 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
 private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
     version: Option[Int] = None,
     changes: Option[(Int, Int)] = None,
-    onPlanned: Seq[String] => Unit = _ => ())
+    onPlanned: Seq[String] => Unit = _ => (),
+    streamOpts: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -1052,7 +1079,10 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
       required.getOrElse(versionSchema),
       flo, fhi, pushed.nonEmpty && statName.isDefined &&
         (flo != Long.MinValue || fhi != Long.MaxValue),
-      partEq, partMustNull, partMustNotNull, version, changes, onPlanned)
+      partEq, partMustNull, partMustNotNull, version, changes, onPlanned,
+      Option(streamOpts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(0),
+      Option(streamOpts.get("skipChangeCommits")).exists(_.toBoolean),
+      Option(streamOpts.get("startingVersion")).getOrElse("0"))
 }
 
 private[sources] class LedgerScan(
@@ -1063,10 +1093,26 @@ private[sources] class LedgerScan(
     partEq: Map[String, Set[String]],
     partMustNull: Set[String], partMustNotNull: Set[String],
     version: Option[Int], changes: Option[(Int, Int)],
-    onPlanned: Seq[String] => Unit)
+    onPlanned: Seq[String] => Unit,
+    maxFilesPerTrigger: Int = 0,
+    skipChangeCommits: Boolean = false,
+    startingVersion: String = "0")
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming READ: committed versions are the offsets (see
+    * [[LedgerMicroBatchStream]]). A versionAsOf/changes snapshot is a
+    * fixed relation — streaming it is refused like writes to it are. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (version.nonEmpty || changes.nonEmpty)
+      throw new UnsupportedOperationException(
+        "streaming read of a versionAsOf/changes snapshot")
+    new LedgerMicroBatchStream(dir, required,
+      (m, e) => partitionMatches(m, e) && statsAdmit(m, e),
+      maxFilesPerTrigger, skipChangeCommits, startingVersion, onPlanned)
+  }
   override def description(): String =
     s"graft-ledger $dir" + version.map(v => s" @v$v").getOrElse("") +
       changes.map { case (f, t) => s" @changes v$f..v$t" }.getOrElse("") +
@@ -1133,27 +1179,8 @@ private[sources] class LedgerScan(
       case None => Array.empty
     }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val ddl = required.toDDL
-    partition => {
-      val types: Array[DataType] =
-        if (ddl.isEmpty) Array.empty
-        else StructType.fromDDL(ddl).fields.map(_.dataType)
-      val p = partition.asInstanceOf[LedgerFilePartition]
-      val lines = Files.readAllLines(Paths.get(p.file), UTF_8).asScala.iterator
-      new PartitionReader[InternalRow] {
-        private var cur: InternalRow = _
-        override def next(): Boolean =
-          lines.hasNext && {
-            cur = LedgerSink.decodeProjected(lines.next(), p.positions,
-              types, p.width)
-            true
-          }
-        override def get(): InternalRow = cur
-        override def close(): Unit = ()
-      }
-    }
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    LedgerSink.lineReaderFactory(required.toDDL)
 }
 
 private[sources] case class LedgerFilePartition(

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+
+/** A committed ledger VERSION number as a streaming offset. Restart
+  * safety is the whole design: the offset serializes as the plain
+  * number, archived manifests are immutable, so re-planning any
+  * (start, end] after a crash yields byte-identical batches — the
+  * replayability half of end-to-end exactly-once (the other half is
+  * the sink's epoch commit, [[LedgerStreamingWrite]]). */
+private[sources] case class LedgerVersionOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** Streaming READ of the ledger: the table's commit log served as a
+  * micro-batch source (the Delta/Iceberg "table as a stream" shape).
+  *
+  *   - OFFSETS are version numbers; batch (s, e] is the union of the
+  *     per-version append deltas s+1..e, each resolved through
+  *     [[LedgerSink.readChanges]] against immutable archived
+  *     manifests — a replayed batch is identical by construction.
+  *   - ADMISSION CONTROL: `maxFilesPerTrigger` bounds how many ADDED
+  *     FILES one trigger swallows (versions are indivisible, so a
+  *     trigger always advances at least one version) — the backlog
+  *     drain stays incremental instead of one giant first batch.
+  *   - NON-APPEND commits (overwrite, row-level ops, OPTIMIZE) are
+  *     not expressible as an insert stream. `skipChangeCommits=true`
+  *     skips them (Delta's option of the same name — correct for
+  *     rewrite-only commits like OPTIMIZE, lossy-by-contract for
+  *     updates); without it the stream fails fast rather than
+  *     misreport.
+  *   - `startingVersion` picks the initial offset: `0` (default)
+  *     replays the full history, `latest` tails only post-start
+  *     commits.
+  *
+  * Column binding is by FIELD ID against the newest manifest in the
+  * batch, so files written before an ADD COLUMN read null there and
+  * renames never re-bind old bytes — the same evolution contract as
+  * the batch scan. The scan's pushed partition/stats predicates
+  * apply per file via `admits`, so a partition-filtered stream plans
+  * only matching files. */
+private[sources] class LedgerMicroBatchStream(
+    dir: Path, required: StructType,
+    admits: (LedgerSink.Manifest, LedgerSink.FileEntry) => Boolean,
+    maxFilesPerTrigger: Int, skipChangeCommits: Boolean,
+    startingVersion: String,
+    onPlanned: Seq[String] => Unit)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowCap: Option[Int] = None
+
+  private def current: Int = LedgerSink.currentVersion(dir)
+
+  /** Trigger.AvailableNow drains to the version frozen HERE through
+    * the admission-controlled loop — commits that land mid-drain
+    * belong to the next run. */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(current)
+
+  override def initialOffset(): Offset = LedgerVersionOffset(
+    startingVersion match {
+      case "latest" => current
+      case s => s.toInt
+    })
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  /** Version v's appended (manifest, files) delta; None for a
+    * non-append commit under skipChangeCommits (it advances the
+    * offset but plans nothing). */
+  private def versionAppends(v: Int)
+      : Option[(LedgerSink.Manifest, Seq[LedgerSink.FileEntry])] =
+    try {
+      val m = LedgerSink.readChanges(dir, v - 1, v)
+      Some((m, m.files))
+    } catch {
+      case _: UnsupportedOperationException if skipChangeCommits => None
+    }
+
+  override def latestOffset(): Offset =
+    LedgerVersionOffset(availableNowCap.getOrElse(current))
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LedgerVersionOffset].v
+    val hi = availableNowCap.getOrElse(current)
+    val budget = limit match {
+      case f: ReadMaxFiles => f.maxFiles()
+      case _ => Int.MaxValue
+    }
+    var v = s
+    var used = 0
+    var done = false
+    while (!done && v < hi) {
+      val files = versionAppends(v + 1).map(_._2.size).getOrElse(0)
+      if (used > 0 && used + files > budget) done = true
+      else { v += 1; used += files }
+    }
+    LedgerVersionOffset(v)
+  }
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LedgerVersionOffset].v
+    val e = end.asInstanceOf[LedgerVersionOffset].v
+    if (e <= s) { onPlanned(Seq.empty); return Array.empty }
+    // field-name → field-id under the batch's NEWEST manifest: the
+    // stream's schema came from the live table, and ids are the
+    // rename-stable identity old files bind through
+    val idOf: Map[String, Int] =
+      LedgerSink.readManifestAt(dir, Some(e))
+        .map(m => m.schema.fieldNames.zip(m.ids).toMap)
+        .getOrElse(Map.empty)
+    val parts = (s + 1 to e).flatMap { v =>
+      versionAppends(v).toSeq.flatMap { case (vM, entries) =>
+        entries.filter(en => admits(vM, en)).map { en =>
+          val (positions, width) = en.ids match {
+            case Some(fids) =>
+              (required.fields.map(f =>
+                idOf.get(f.name).map(fids.indexOf).getOrElse(-1)),
+                fids.length)
+            case None => // pre-evolution file: positional under its manifest
+              (required.fields.map(f =>
+                vM.schema.fieldNames.indexOf(f.name)), vM.schema.length)
+          }
+          LedgerFilePartition(dir.resolve(en.file).toString, positions, width)
+        }
+      }
+    }
+    onPlanned(parts.map(_.file))
+    parts.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LedgerSink.lineReaderFactory(required.toDDL)
+
+  override def deserializeOffset(json: String): Offset =
+    LedgerVersionOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
