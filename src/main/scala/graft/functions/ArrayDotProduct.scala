@@ -83,6 +83,9 @@ object Native {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_inter",
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hist_l1",
+      exprs => HistL1(exprs(0), exprs(1)), "built-in")
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // runtime-filter rewrite but does not register them as SQL
     // functions; surfacing them lets a pipeline build a bloom filter as

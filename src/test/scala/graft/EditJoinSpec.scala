@@ -84,6 +84,39 @@ class EditJoinSpec extends SparkSpec {
     assert(!expected.contains((0L, 4L))) // 40 edits is out
   }
 
+  test("band-scan and prefix-gram candidacy verify to identical answers") {
+    // both fixture docs (saturated grams → band path dispatched) and
+    // the crafted corpus (gram-rich → prefix path dispatched) must
+    // yield the same verified pair set through EITHER candidacy —
+    // band candidacy is a superset by construction, prefix candidacy
+    // is lossless by the set-prefix theorem, verify decides
+    graft.functions.Native.register(spark)
+    def viaBoth(docs: org.apache.spark.sql.DataFrame)
+        : (Set[(Long, Long, Long)], Set[(Long, Long, Long)]) = {
+      val base = docs.selectExpr("doc_id", "text", "length(text) AS len")
+      val texts = base.select("doc_id", "text")
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val band = collect(graft.llm.EditJoin.verifyPairs(
+        graft.llm.EditJoin.bandScanPairs(base)))
+      val prefix = collect(graft.llm.EditJoin.verifyPairs(
+        graft.llm.EditJoin.prefixCandidatePairs(base)))
+      (band, prefix)
+    }
+    val fixture = graft.io.Tables.documents(spark, sfTiny)
+      .select("doc_id", "text")
+    val (b1, p1) = viaBoth(fixture)
+    assert(b1.nonEmpty && b1 == p1,
+      s"fixture: band-only=${(b1 -- p1).take(3)} prefix-only=${(p1 -- b1).take(3)}")
+    val crafted = Seq[(Long, String)](
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, mut("the quick brown fox jumps over the lazy dog tonight", 5)),
+      (2L, "zebras graze quietly beneath the winter moonlight sky"),
+      (3L, "short one"), (4L, "short two")).toDF("doc_id", "text")
+    val (b2, p2) = viaBoth(crafted)
+    assert(b2.nonEmpty && b2 == p2)
+  }
+
   test("thresholded levenshtein boundary: d kept, d+1 rejected") {
     val r = spark.sql(
       s"SELECT levenshtein('${"a" * 20}', '${"a" * 20 + "b" * d}', $d) x, " +
