@@ -288,6 +288,90 @@ object LedgerLifecycle {
   /** The batch pipeline's own oracle — CDC must reproduce it exactly. */
   val cdcIncrementalDedupOracle: String = graft.llm.Dedup.minhashPairsOracle
 
+  /** `dsv2_sorted_compaction`: OPTIMIZE-SORT-BY as the bridge between
+    * the compaction tier and the data-skipping tier. Four interleaved
+    * appends (o_orderkey mod 4, two files each) give every file a
+    * [min, max] spanning the whole key space — the connector's own
+    * planner admits ALL 8 files for a mid-key point probe (stats
+    * pruning defeated by layout, the realistic post-ingest state).
+    * [[LedgerMaintenance.optimizeSorted]] range-clusters the table
+    * into disjoint files (the target count is best-effort — the range
+    * split may merge adjacent buckets); the same probe then plans
+    * EXACTLY 1.
+    * Output folds in the planner's before/after counts, a pairwise
+    * range-disjointness flag computed from the manifest, the
+    * full-table digest (rewrite lost/doubled nothing), and the
+    * pre-rewrite version's time-travel digest. The probe key is the
+    * metadata midpoint (min+max)/2 — planning facts need no data
+    * read, and admission is by range overlap, so the key need not
+    * exist in any row. */
+  def sortedCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_srt_${tag(sfDir)}"
+    deleteRecursively(dir)
+    val ord = graft.io.Tables.orders(spark, sfDir).selectExpr(
+      "CAST(o_orderkey AS BIGINT) AS okey",
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c",
+      "o_orderpriority")
+    (0 until 4).foreach { i =>
+      ord.filter(col("okey") % 4 === i).repartition(2)
+        .write.format(ledger).option("path", dir)
+        .mode(if (i == 0) "overwrite" else "append").save()
+    }
+    val root = Paths.get(dir)
+    def probePlanned(): Int = {
+      val m = LedgerSink.readManifest(root).get
+      val mid = (m.files.flatMap(_.min).min + m.files.flatMap(_.max).max) / 2
+      val b = new LedgerScanBuilder(root, m.schema)
+      b.pushFilters(Array(EqualTo("okey", mid)))
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length
+    }
+    val probeBefore = probePlanned()
+    val preVersion = LedgerSink.currentVersion(root)
+    val (fb, fa) = LedgerMaintenance.optimizeSorted(spark, dir, 4)
+    val probeAfter = probePlanned()
+    val disjoint = {
+      val ranges = LedgerSink.readManifest(root).get.files
+        .flatMap(e => e.min.zip(e.max)).sortBy(_._1)
+      if (ranges.sliding(2).forall {
+        case Seq((_, hiA), (loB, _)) => hiA < loB
+        case _ => true
+      }) 1 else 0
+    }
+    def digest(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(col("price_c")).as("price_sum"),
+        sum(col("okey")).as("key_sum"))
+    val live = digest(spark.read.format(ledger).option("path", dir).load())
+    val pre = digest(spark.read.format(ledger).option("path", dir)
+      .option("versionAsOf", preVersion.toString).load())
+      .selectExpr("n_rows AS p_n", "price_sum AS p_p", "key_sum AS p_k")
+    live.crossJoin(broadcast(pre))
+      .selectExpr(
+        s"CAST($fb AS INT) AS files_before",
+        s"CAST(CASE WHEN $fa < $fb THEN 1 ELSE 0 END AS INT) AS files_reduced",
+        s"CAST($probeBefore AS INT) AS probe_files_before",
+        s"CAST($probeAfter AS INT) AS probe_files_after",
+        s"CAST($disjoint AS INT) AS ranges_disjoint",
+        "n_rows", "price_sum", "key_sum",
+        "CAST(CASE WHEN n_rows = p_n AND price_sum = p_p AND key_sum = p_k" +
+          " THEN 1 ELSE 0 END AS INT) AS old_version_intact")
+  }
+
+  val sortedCompactionOracle: String =
+    """SELECT CAST(8 AS INTEGER) AS files_before,
+         CAST(1 AS INTEGER) AS files_reduced,
+         CAST(8 AS INTEGER) AS probe_files_before,
+         CAST(1 AS INTEGER) AS probe_files_after,
+         CAST(1 AS INTEGER) AS ranges_disjoint,
+         count(*) AS n_rows,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_sum,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         CAST(1 AS INTEGER) AS old_version_intact
+       FROM orders"""
+
   /** `dsv2_stream_replication`: the connector's last quadrant —
     * streaming READ ([[LedgerMicroBatchStream]]) — exercised as
     * ledger→ledger CDC replication, the canonical use of a table's

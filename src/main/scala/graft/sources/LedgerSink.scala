@@ -792,6 +792,71 @@ object LedgerMaintenance {
       m.copy(files = m.files.filterNot(e => rewritten(e.file)) ++ entries))
     (m.files.length, m.files.length - rewritten.size + entries.length)
   }
+
+  /** OPTIMIZE … SORT BY the stats column — compaction in service of
+    * PRUNING (the Delta/Iceberg "cluster by" story at this format's
+    * scale). Epoch appends interleave key ranges, so every file's
+    * [min, max] spans the whole key space and [[LedgerScan]]'s stats
+    * pruning admits everything; this rewrite RANGE-CLUSTERS the rows
+    * so file intervals become disjoint and a point/range predicate
+    * plans O(1) files. Unlike [[optimize]] (byte-concat bins, no
+    * decode) it is a real Spark job: scan → bucket → sort-within →
+    * one transactional overwrite commit (time travel keeps the
+    * unsorted history readable; vacuum reclaims it when expired).
+    *
+    * Bucket boundaries come from the MANIFEST's global stat range —
+    * value-space quantiles, zero extra scan — rather than
+    * `repartitionByRange`'s sampling pass: at 100 TB the boundaries
+    * are metadata, and (equally load-bearing for the correctness
+    * gates) the layout is DETERMINISTIC across runs, which sampling
+    * is not. Skewed value distributions get uneven buckets; a
+    * production variant would blend in sampled quantiles — the
+    * commit/pruning mechanics are identical.
+    *
+    * `files` is a TARGET, not a guarantee — the range split may
+    * merge adjacent buckets on quantile ties; disjointness of the
+    * rewritten files' stat ranges is the invariant.
+    *
+    * Unpartitioned tables only: a partitioned write's clustered
+    * distribution requirement would re-shuffle rows by the partition
+    * tuple and destroy the range layout. Returns (files before,
+    * files after). */
+  def optimizeSorted(spark: SparkSession, dirStr: String,
+      files: Int): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val dir = Paths.get(dirStr)
+    val m = LedgerSink.readManifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no ledger table at $dirStr"))
+    require(m.partitionIds.isEmpty,
+      "optimizeSorted rewrites unpartitioned tables only")
+    val statName = LedgerSink.statColIndex(m.schema)
+      .map(m.schema.fields(_).name).getOrElse(throw
+        new IllegalArgumentException("no integer stats column to sort by"))
+    val lo = m.files.flatMap(_.min) match {
+      case Nil => 0L case ms => ms.min
+    }
+    val hi = m.files.flatMap(_.max) match {
+      case Nil => 0L case ms => ms.max
+    }
+    val span = math.max(1L, hi - lo + 1L)
+    val ledger = classOf[LedgerSink].getName
+    // repartitionByRange on the BUCKET (not the raw stat): the range
+    // partitioner's sample then sees `files` dense distinct values and
+    // splits exactly one bucket per partition — hash repartitioning
+    // would collide bucket values into shared partitions and merge
+    // their ranges
+    spark.read.format(ledger).option("path", dirStr).load()
+      .selectExpr("*",
+        s"CAST(least($files - 1, greatest(0, " +
+          s"(($statName - ${lo}L) * $files) DIV ${span}L)) AS INT) AS __bkt")
+      .repartitionByRange(files, col("__bkt"))
+      .sortWithinPartitions(statName)
+      .drop("__bkt")
+      .write.format(ledger).option("path", dirStr)
+      .mode("overwrite").save()
+    (m.files.length,
+      LedgerSink.readManifest(dir).map(_.files.length).getOrElse(0))
+  }
 }
 
 private[sources] class LedgerTable(dir: Path, schema0: StructType,
