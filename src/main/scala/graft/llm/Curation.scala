@@ -960,7 +960,10 @@ object Curation {
     * integer cross-multiply rank·5 ≤ n_src. The rank orders on the
     * bit-identical quality double with the doc_id tie-break, so both
     * engines select the same element at every boundary. */
-  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame =
+    // multi-consumer doc-grain relation: session-cached like the
+    // other staged prefixes (Verify still measures the cold path)
+    graft.PlanCache(spark, "quality_calibrated", dir) {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val q = Tables.documents(spark, dir).select("doc_id", "source")

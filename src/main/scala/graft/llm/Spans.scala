@@ -140,7 +140,10 @@ object Spans {
     * (shuffle by doc, never global). Documents with no duplicated
     * window (or shorter than L) surface with coverage 0 via the
     * left join — the signal consumers need every document scored. */
-  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    // multi-consumer doc-grain relation: session-cached like the
+    // other staged prefixes (Verify still measures the cold path)
+    graft.PlanCache(spark, "dup_span_cov", dir) {
     val dwin = windows(spark, dir)
       .join(dupSpans(spark, dir).select("h"), Seq("h"))
       .select("doc_id", "i")

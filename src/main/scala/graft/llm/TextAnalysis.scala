@@ -1853,7 +1853,10 @@ object TextAnalysis {
     * text. The low-diversity flag is an integer cross-multiply
     * (inv_simpson < 4 ⇔ 4·Σn_c² > n²·1... spelled exactly), so no
     * float decides the boundary. */
-  def charDiversity(spark: SparkSession, dir: String): DataFrame = {
+  def charDiversity(spark: SparkSession, dir: String): DataFrame =
+    // multi-consumer doc-grain relation: session-cached like the
+    // other staged prefixes (Verify still measures the cold path)
+    graft.PlanCache(spark, "char_diversity", dir) {
     val chars = Tables.documents(spark, dir)
       .selectExpr("doc_id",
         "explode(regexp_extract_all(text, '[\\\\s\\\\S]', 0)) AS ch")
@@ -2044,7 +2047,10 @@ object TextAnalysis {
     * (4096 rows, the [[LanguageModel]] BM25 discipline), so per-doc
     * sums are exact BIGINT arithmetic — order-independent under any
     * partitioning. */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    // multi-consumer doc-grain relation: session-cached like the
+    // other staged prefixes (Verify still measures the cold path)
+    graft.PlanCache(spark, "dsir_weights", dir) {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), col("lang"),
         explode(expr(words("lower(text)", SparkD))).as("term"))
