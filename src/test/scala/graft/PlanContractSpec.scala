@@ -58,6 +58,33 @@ class PlanContractSpec extends SparkSpec {
     "source_simpson_diversity", "dsv2_runtime_pruned_join",
     "text_tokenizer_fertility", "dsv2_sink_roundtrip")
 
+  test("saturated edit join: broadcast band join, no hash shuffle") {
+    // the fixture corpus is gram-saturated, so the dispatch must pick
+    // the length-band broadcast path: texts ride inline through ONE
+    // BroadcastHashJoin and the counting filter + banded verify fuse
+    // into the probe stage — a hash-partitioned shuffle anywhere
+    // before the final (tiny) ordered output means the gram join
+    // came back
+    val p = plan("dedup_edit_join_pairs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"saturated path must not shuffle:\n$p")
+    assert(p.contains("graft_hist_l1") || p.contains("histl1") ||
+      p.contains("HistL1"), "counting filter missing from the plan")
+  }
+
+  test("masked containment verifies at distinct-set grain") {
+    // vocab fits 64 bits on the fixture → the bitmask path: set-pair
+    // candidacy is a broadcast nested-loop over the DISTINCT-MASK
+    // relation (intentional — thousands of rows by saturation), the
+    // verify is popcount arithmetic, and both top-k cuts are
+    // TakeOrdered, never a global sort of the quadratic answer
+    val p = plan("dedup_containment_banded")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bit_count"), s"popcount verify missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("edit join's long-document population never goes cartesian") {
     // the candidate generator must stay a (gram, band) equi-join; the
     // only permitted non-equi join is the BOUNDED short-document
