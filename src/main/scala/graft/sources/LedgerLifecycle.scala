@@ -372,6 +372,74 @@ object LedgerLifecycle {
          CAST(1 AS INTEGER) AS old_version_intact
        FROM orders"""
 
+  /** `dsv2_spj_join`: STORAGE-PARTITIONED JOIN — the shuffle-free
+    * co-partitioned join (Iceberg/Delta's flagship DSv2 scale
+    * feature). Customer and supplier load into two ledger tables
+    * identity-partitioned on their nation key; both scans report
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * keyed by partition tuple, so Spark's EnsureRequirements plans the
+    * FULL OUTER join (deliberately un-broadcastable — a broadcast
+    * would hide the result) as a SortMergeJoin with NO Exchange on
+    * either side; mismatched partition-value sets ride the
+    * pushPartValues path. The plan verdict (`spj_no_shuffle`) folds
+    * into the oracle-hashed output next to the full-outer digest
+    * DuckDB recomputes — at 100 TB this is the difference between a
+    * fact-to-fact join that moves both tables and one that moves
+    * nothing. */
+  def spjJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    initCatalog(spark)
+    val g = tag(sfDir)
+    val tc = s"graft_cat.spj.cust_$g"
+    val ts = s"graft_cat.spj.supp_$g"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.spj")
+    spark.sql(s"DROP TABLE IF EXISTS $tc")
+    spark.sql(s"DROP TABLE IF EXISTS $ts")
+    spark.sql(s"""CREATE TABLE $tc (c_custkey BIGINT, nk BIGINT,
+      bal_c BIGINT) PARTITIONED BY (nk)""")
+    spark.sql(s"""CREATE TABLE $ts (s_suppkey BIGINT, nk_s BIGINT,
+      acct_c BIGINT) PARTITIONED BY (nk_s)""")
+    graft.io.Tables.customer(spark, sfDir)
+      .createOrReplaceTempView(s"spj_cust_$g")
+    graft.io.Tables.supplier(spark, sfDir)
+      .createOrReplaceTempView(s"spj_supp_$g")
+    spark.sql(s"""INSERT INTO $tc
+      SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey AS BIGINT),
+             CAST(round(c_acctbal * 100) AS BIGINT)
+      FROM spj_cust_$g""")
+    spark.sql(s"""INSERT INTO $ts
+      SELECT CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS BIGINT),
+             CAST(round(s_acctbal * 100) AS BIGINT)
+      FROM spj_supp_$g""")
+    val j = spark.table(tc)
+      .join(spark.table(ts), expr("nk = nk_s"), "full_outer")
+    val plan = j.queryExecution.executedPlan.toString
+    val spj = if (!plan.contains("Exchange") &&
+      plan.contains("SortMergeJoin")) 1 else 0
+    j.groupBy(expr("coalesce(nk, nk_s)").as("nation"))
+      .agg(count(col("c_custkey")).as("n_cust"),
+        count(col("s_suppkey")).as("n_supp"),
+        sum(col("bal_c")).as("bal_sum"),
+        sum(col("acct_c")).as("acct_sum"))
+      .selectExpr("nation", "n_cust", "n_supp", "bal_sum", "acct_sum",
+        s"CAST($spj AS INT) AS spj_no_shuffle")
+      .orderBy("nation")
+  }
+
+  val spjJoinOracle: String =
+    """WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+           CAST(c_nationkey AS BIGINT) AS nk,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        b AS (SELECT CAST(s_suppkey AS BIGINT) AS sk,
+           CAST(s_nationkey AS BIGINT) AS nks,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS acct FROM supplier),
+        j AS (SELECT * FROM a FULL OUTER JOIN b ON a.nk = b.nks)
+       SELECT coalesce(nk, nks) AS nation,
+         count(k) AS n_cust, count(sk) AS n_supp,
+         CAST(sum(bal) AS BIGINT) AS bal_sum,
+         CAST(sum(acct) AS BIGINT) AS acct_sum,
+         CAST(1 AS INTEGER) AS spj_no_shuffle
+       FROM j GROUP BY 1 ORDER BY 1"""
+
   /** `dsv2_stream_replication`: the connector's last quadrant —
     * streaming READ ([[LedgerMicroBatchStream]]) — exercised as
     * ledger→ledger CDC replication, the canonical use of a table's

@@ -683,15 +683,18 @@ object LedgerSink {
       val types: Array[DataType] =
         if (requiredDdl.isEmpty) Array.empty
         else StructType.fromDDL(requiredDdl).fields.map(_.dataType)
-      val p = partition.asInstanceOf[LedgerFilePartition]
-      val lines = Files.readAllLines(Paths.get(p.file), UTF_8).asScala.iterator
+      val parts: Array[LedgerFilePartition] = partition match {
+        case g: LedgerFileGroupPartition => g.files
+        case p: LedgerFilePartition => Array(p)
+      }
+      val rows = parts.iterator.flatMap { p =>
+        Files.readAllLines(Paths.get(p.file), UTF_8).asScala.iterator
+          .map(line => decodeProjected(line, p.positions, types, p.width))
+      }
       new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
         private var cur: InternalRow = _
         override def next(): Boolean =
-          lines.hasNext && {
-            cur = decodeProjected(lines.next(), p.positions, types, p.width)
-            true
-          }
+          rows.hasNext && { cur = rows.next(); true }
         override def get(): InternalRow = cur
         override def close(): Unit = ()
       }
@@ -1162,7 +1165,7 @@ private[sources] class LedgerScan(
     maxFilesPerTrigger: Int = 0,
     skipChangeCommits: Boolean = false,
     startingVersion: String = "0")
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -1220,27 +1223,89 @@ private[sources] class LedgerScan(
     else true // stats taken on another column: unknowable, keep
   }
 
+  // output column i binds to the file field holding its ID; legacy
+  // files bind by schema position (their columns are a positional
+  // prefix of their manifest's schema)
+  private def bind(m: LedgerSink.Manifest,
+      e: LedgerSink.FileEntry): LedgerFilePartition = {
+    val (positions, width) = e.ids match {
+      case Some(fids) =>
+        (required.fields.map(f =>
+          fids.indexOf(m.idOf(f.name))), fids.length)
+      case None =>
+        (required.fields.map(f => m.schema.fieldIndex(f.name)),
+          m.schema.length)
+    }
+    LedgerFilePartition(dir.resolve(e.file).toString, positions, width)
+  }
+
+  private lazy val chosenFiles: Seq[LedgerSink.FileEntry] =
+    manifestOpt.map(_.files.filter(e =>
+      partitionMatches(m = manifestOpt.get, e = e) &&
+        statsAdmit(manifestOpt.get, e))).getOrElse(Seq.empty)
+
+  /** STORAGE-PARTITIONED JOIN grouping: when the session's v2
+    * bucketing is on, the table has an identity partition spec whose
+    * columns survive column pruning, and every admitted file carries
+    * its partition tuple, the scan groups files by tuple and reports
+    * [[KeyGroupedPartitioning]] — two ledger tables co-partitioned on
+    * the join key then join with NO shuffle on either side (the
+    * Iceberg/Delta SPJ contract at this format's scale; Spark matches
+    * groups via [[HasPartitionKey]], and mismatched partition-value
+    * sets are handled by its pushPartValues path). The trade is read
+    * parallelism at partition-value grain — the same trade Spark's
+    * own SPJ makes; `spark.sql.sources.v2.bucketing.enabled=false`
+    * restores per-file planning. */
+  private lazy val spjGroups
+      : Option[Seq[(InternalRow, Seq[LedgerSink.FileEntry])]] =
+    manifestOpt
+      .filter(_ => org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled)
+      .filter(_.partitionIds.nonEmpty)
+      .filter(_.partitionNames.forall(required.fieldNames.contains))
+      .filter(m => chosenFiles.nonEmpty && chosenFiles.forall(
+        _.partVals.exists(_.length == m.partitionIds.length)))
+      .map { m =>
+        val types = m.partitionNames.map(n =>
+          m.schema.fields(m.schema.fieldIndex(n)).dataType)
+        chosenFiles.groupBy(_.partVals.get).toSeq
+          .sortBy(_._1.mkString(" "))
+          .map { case (vals, es) =>
+            val key: InternalRow = new GenericInternalRow(
+              vals.zip(types).map { case (v, dt) =>
+                if (v == LedgerSink.NullMark) null
+                else LedgerSink.parseValue(dt, v): Any
+              }.toArray)
+            (key, es.toSeq)
+          }
+      }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups match {
+      case Some(gs) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            manifestOpt.get.partitionNames.map(n =>
+              Expressions.identity(n): ConnectorExpression).toArray,
+            gs.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(chosenFiles.length)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
     manifestOpt match {
       case Some(m) =>
-        val chosen = m.files.filter(e =>
-          partitionMatches(m, e) && statsAdmit(m, e))
-        onPlanned(chosen.map(_.file))
-        chosen.map { e =>
-          // output column i binds to the file field holding its ID;
-          // legacy files bind by schema position (their columns are a
-          // positional prefix of their manifest's schema)
-          val (positions, width) = e.ids match {
-            case Some(fids) =>
-              (required.fields.map(f =>
-                fids.indexOf(m.idOf(f.name))), fids.length)
-            case None =>
-              (required.fields.map(f => m.schema.fieldIndex(f.name)),
-                m.schema.length)
-          }
-          LedgerFilePartition(dir.resolve(e.file).toString, positions, width)
-            : InputPartition
-        }.toArray
+        onPlanned(chosenFiles.map(_.file))
+        spjGroups match {
+          case Some(gs) =>
+            gs.map { case (key, es) =>
+              LedgerFileGroupPartition(es.map(bind(m, _)).toArray, key)
+                : InputPartition
+            }.toArray
+          case None =>
+            chosenFiles.map(e => bind(m, e): InputPartition).toArray
+        }
       case None => Array.empty
     }
 
@@ -1251,6 +1316,16 @@ private[sources] class LedgerScan(
 private[sources] case class LedgerFilePartition(
     file: String, positions: Array[Int], width: Int)
     extends InputPartition
+
+/** One partition VALUE's files, keyed for storage-partitioned joins.
+  * All rows in the group share `key` by the identity-partition write
+  * invariant. */
+private[sources] case class LedgerFileGroupPartition(
+    files: Array[LedgerFilePartition], key: InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
     requestedPartitionNames: Seq[String] = Seq.empty)
