@@ -95,11 +95,33 @@ object PlanCache {
   private def evictStopped(): Unit =
     cache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
 
+  /** Session-scoped memo for MULTI-RELATION staged artifacts (e.g.
+    * BPE training's merge table + final sequence, produced by ONE run
+    * of the training rounds): same keying and enablement as [[apply]],
+    * no persist here — the builder must hand back already-materialized
+    * relations (lineage-cut), because two [[apply]] keys over the same
+    * builder would run it once per key. Entries are evicted with their
+    * session like the DataFrame cache. */
+  def memo[T](spark: SparkSession, key: String, dir: String,
+      alive: T => Boolean)(build: => T): T =
+    if (!enabled(spark)) build
+    else {
+      memoCache.filterInPlace((_, v) => v._2())
+      memoCache.getOrElseUpdate((sessionId(spark), key, dir), {
+        val v = build
+        (v, () => alive(v))
+      })._1.asInstanceOf[T]
+    }
+
+  private val memoCache =
+    TrieMap[(String, String, String), (Any, () => Boolean)]()
+
   /** Drop every cached prefix (between scale factors / at shutdown). */
   def clear(): Unit = {
     cache.values.foreach { df =>
       if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
     }
     cache.clear()
+    memoCache.clear()
   }
 }

@@ -359,9 +359,15 @@ object PrefixJoin {
     val s = sets.selectExpr("mask AS mask_s", "sz AS sz_s", "min1 AS min1_s")
     val b = sets.selectExpr("mask AS mask_b", "sz AS sz_b", "min1 AS min1_b")
     // cross-set candidates: orientation small→big by (sz, mask), the
-    // size band, and the containment threshold — one popcount each
+    // size band, and the containment threshold — one popcount each.
+    // Equal sizes tie-break ASYMMETRICALLY on the mask (an unordered
+    // set-pair must enter once): inter and containment are symmetric
+    // when sz_s = sz_b, and the per-doc-pair orientation happens at
+    // expansion, so which side is "s" is immaterial — but emitting
+    // BOTH orientations would duplicate every expanded doc pair and
+    // let duplicates evict genuine contributors from the top-200
     val cross = b.join(broadcast(s), expr(
-        s"""(sz_s < sz_b OR (sz_s = sz_b AND mask_s <> mask_b))
+        s"""(sz_s < sz_b OR (sz_s = sz_b AND mask_s < mask_b))
             AND sz_b <= 2 * sz_s
             AND $cDen * CAST(bit_count(mask_s & mask_b) AS INT)
                 >= $cNum * sz_s"""))

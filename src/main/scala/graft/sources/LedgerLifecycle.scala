@@ -319,18 +319,26 @@ object LedgerLifecycle {
         .mode(if (i == 0) "overwrite" else "append").save()
     }
     val root = Paths.get(dir)
-    def probePlanned(): Int = {
-      val m = LedgerSink.readManifest(root).get
-      val mid = (m.files.flatMap(_.min).min + m.files.flatMap(_.max).max) / 2
-      val b = new LedgerScanBuilder(root, m.schema)
-      b.pushFilters(Array(EqualTo("okey", mid)))
+    val preVersion = LedgerSink.currentVersion(root)
+    val (fb, fa) = LedgerMaintenance.optimizeSorted(spark, dir, 4)
+    // probe key: the SECOND range-clustered file's min — an interior
+    // key that exists in the data (sparse key spaces make the
+    // metadata midpoint fall into inter-file gaps, where the sorted
+    // layout correctly plans ZERO files — right answer, wrong probe).
+    // Every pre-rewrite file spans nearly the whole key range, so the
+    // same key admits all of them; post-rewrite ranges are disjoint,
+    // so it admits exactly one.
+    val key = LedgerSink.readManifest(root).get.files
+      .flatMap(_.min).sorted.drop(1).head
+    def probePlanned(version: Option[Int]): Int = {
+      val m = LedgerSink.readManifestAt(root, version).get
+      val b = new LedgerScanBuilder(root, m.schema, version)
+      b.pushFilters(Array(EqualTo("okey", key)))
       b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
         .planInputPartitions().length
     }
-    val probeBefore = probePlanned()
-    val preVersion = LedgerSink.currentVersion(root)
-    val (fb, fa) = LedgerMaintenance.optimizeSorted(spark, dir, 4)
-    val probeAfter = probePlanned()
+    val probeBefore = probePlanned(Some(preVersion))
+    val probeAfter = probePlanned(None)
     val disjoint = {
       val ranges = LedgerSink.readManifest(root).get.files
         .flatMap(e => e.min.zip(e.max)).sortBy(_._1)

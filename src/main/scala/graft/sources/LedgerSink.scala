@@ -58,7 +58,8 @@ class LedgerSink extends TableProvider {
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("ledger sink requires a path option"))
     // time travel / CDC: the requested VERSION's schema, not the live
-    // one — an overwrite or evolution commit may have changed it
+    // one — an overwrite or evolution commit may have changed it (a
+    // from-only CDC read targets the current version, i.e. None)
     val version = Option(options.get("versionAsOf")).map(_.toInt)
       .orElse(Option(options.get("changesToVersion")).map(_.toInt))
     LedgerSink.readManifestAt(Paths.get(dir), version) match {
@@ -77,10 +78,15 @@ class LedgerSink extends TableProvider {
       properties: java.util.Map[String, String]): Table = {
     val dir = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("ledger sink requires a path option"))
-    val changes = Option(properties.get("changesToVersion")).map { to =>
-      (Option(properties.get("changesFromVersion")).map(_.toInt).getOrElse(0),
-        to.toInt)
-    }
+    // changesFromVersion without changesToVersion means "from there to
+    // the current version" — silently ignoring the option would turn
+    // an intended incremental read into a full-table re-read
+    val changes = Option(properties.get("changesFromVersion"))
+      .orElse(Option(properties.get("changesToVersion"))).map { _ =>
+        (Option(properties.get("changesFromVersion")).map(_.toInt).getOrElse(0),
+          Option(properties.get("changesToVersion")).map(_.toInt)
+            .getOrElse(LedgerSink.currentVersion(Paths.get(dir))))
+      }
     new LedgerTable(Paths.get(dir), schema,
       Option(properties.get("versionAsOf")).map(_.toInt),
       changes,
@@ -1177,7 +1183,14 @@ private[sources] class LedgerScan(
     if (version.nonEmpty || changes.nonEmpty)
       throw new UnsupportedOperationException(
         "streaming read of a versionAsOf/changes snapshot")
-    new LedgerMicroBatchStream(dir, required,
+    // name→id resolution is frozen HERE: the stream's schema is the
+    // query-start schema, so its names must resolve against the
+    // query-start manifest — resolving per batch against the newest
+    // manifest would silently null a column renamed mid-stream
+    val idOf: Map[String, Int] = manifestOpt
+      .map(m => m.schema.fieldNames.zip(m.ids).toMap)
+      .getOrElse(Map.empty)
+    new LedgerMicroBatchStream(dir, required, idOf,
       (m, e) => partitionMatches(m, e) && statsAdmit(m, e),
       maxFilesPerTrigger, skipChangeCommits, startingVersion, onPlanned)
   }

@@ -37,14 +37,17 @@ private[sources] case class LedgerVersionOffset(v: Int) extends Offset {
   *     replays the full history, `latest` tails only post-start
   *     commits.
   *
-  * Column binding is by FIELD ID against the newest manifest in the
-  * batch, so files written before an ADD COLUMN read null there and
-  * renames never re-bind old bytes — the same evolution contract as
-  * the batch scan. The scan's pushed partition/stats predicates
+  * Column binding is by FIELD ID, resolved ONCE against the
+  * query-start manifest (the stream's schema is the query-start
+  * schema; per-batch resolution would null a column renamed
+  * mid-stream): files written before an ADD COLUMN read null there
+  * and renames never re-bind old bytes — the same evolution contract
+  * as the batch scan. The scan's pushed partition/stats predicates
   * apply per file via `admits`, so a partition-filtered stream plans
   * only matching files. */
 private[sources] class LedgerMicroBatchStream(
     dir: Path, required: StructType,
+    idOf: Map[String, Int],
     admits: (LedgerSink.Manifest, LedgerSink.FileEntry) => Boolean,
     maxFilesPerTrigger: Int, skipChangeCommits: Boolean,
     startingVersion: String,
@@ -112,13 +115,6 @@ private[sources] class LedgerMicroBatchStream(
     val s = start.asInstanceOf[LedgerVersionOffset].v
     val e = end.asInstanceOf[LedgerVersionOffset].v
     if (e <= s) { onPlanned(Seq.empty); return Array.empty }
-    // field-name → field-id under the batch's NEWEST manifest: the
-    // stream's schema came from the live table, and ids are the
-    // rename-stable identity old files bind through
-    val idOf: Map[String, Int] =
-      LedgerSink.readManifestAt(dir, Some(e))
-        .map(m => m.schema.fieldNames.zip(m.ids).toMap)
-        .getOrElse(Map.empty)
     val parts = (s + 1 to e).flatMap { v =>
       versionAppends(v).toSeq.flatMap { case (vM, entries) =>
         entries.filter(en => admits(vM, en)).map { en =>

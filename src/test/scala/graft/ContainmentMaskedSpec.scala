@@ -19,8 +19,11 @@ class ContainmentMaskedSpec extends SparkSpec {
       .selectExpr("doc_id", "sort_array(array_distinct(raw)) AS toks")
       .selectExpr("doc_id", "toks", "size(toks) AS sz")
 
+  // MULTISET comparison on purpose: a Set compare once hid an
+  // orientation bug that emitted equal-size cross pairs twice —
+  // duplicates must fail the compare, not vanish into it
   private def brute(rows: Seq[(Long, Seq[String])])
-      : Set[(Long, Long, Long, Double)] = {
+      : Seq[(Long, Long, Long, Double)] = {
     val docs = rows.map { case (id, ts) => id -> ts.toSet }
     val all = for {
       (ia, sa) <- docs
@@ -31,12 +34,14 @@ class ContainmentMaskedSpec extends SparkSpec {
       inter = (sa intersect sb).size
       if 10 * inter >= 9 * sa.size
     } yield (ia, ib, inter.toLong, inter.toDouble / sa.size)
-    all.sortBy(r => (-r._4, r._1, r._2)).take(200).toSet
+    all.sortBy(r => (-r._4, r._1, r._2)).take(200)
+      .sortBy(r => (r._1, r._2)).toVector
   }
 
-  private def run(df: DataFrame): Set[(Long, Long, Long, Double)] =
+  private def run(df: DataFrame): Seq[(Long, Long, Long, Double)] =
     df.selectExpr("contained_id", "container_id", "inter", "containment")
-      .as[(Long, Long, Long, Double)].collect().toSet
+      .as[(Long, Long, Long, Double)].collect().toVector
+      .sortBy(r => (r._1, r._2))
 
   test("masked == prefix == brute force under a viral identical group") {
     graft.functions.Native.register(spark)
@@ -57,9 +62,11 @@ class ContainmentMaskedSpec extends SparkSpec {
     val masked = run(PrefixJoin.maskedContainment(docsArr, vocab))
     val prefix = run(PrefixJoin.prefixContainment(docsArr))
     assert(masked == expect,
-      s"masked missing=${(expect -- masked).take(5)} extra=${(masked -- expect).take(5)}")
+      s"masked missing=${(expect.diff(masked)).take(5)} " +
+        s"extra=${(masked.diff(expect)).take(5)}")
     assert(prefix == expect,
-      s"prefix missing=${(expect -- prefix).take(5)} extra=${(prefix -- expect).take(5)}")
+      s"prefix missing=${(expect.diff(prefix)).take(5)} " +
+        s"extra=${(prefix.diff(expect)).take(5)}")
   }
 
   test("equal-size distinct sets orient per doc id in both paths") {

@@ -52,11 +52,18 @@ for name, sql in sorted(oracle.items()):
             # therefore a driver-hash FAIL, not a cosmetic note.
             if gk != ek:
                 int_kinds = {"i", "u"}
-                hard = (gk in int_kinds) != (ek in int_kinds)
+                num_kinds = {"i", "u", "f"}
+                hard = ((gk in int_kinds) != (ek in int_kinds)
+                        or (gk in num_kinds) != (ek in num_kinds))
                 tag = "FAIL" if hard else "    "
                 print(f"{tag} {name}.{c}: dtype spark={g.dtype} oracle={e.dtype}")
                 if hard:
                     ok = False
+                    if (gk in num_kinds) != (ek in num_kinds):
+                        # numeric-vs-object: value compare below would
+                        # crash on to_numpy(float); the dtype FAIL is
+                        # the verdict, skip the column
+                        continue
         if g.dtype.kind == "f" or e.dtype.kind == "f":
             ga, ea = g.to_numpy(dtype=float), e.to_numpy(dtype=float)
             both_nan = np.isnan(ga) & np.isnan(ea)
