@@ -36,8 +36,10 @@ class OracleDtypeSpec extends AnyFunSuite {
       java.nio.charset.StandardCharsets.UTF_8)
     assert(src.contains("""int_kinds = {"i", "u"}"""),
       "the strict kind check was removed from tools/check.py")
-    assert(src.contains("hard = (gk in int_kinds) != (ek in int_kinds)"),
-      "the strict kind check was removed from tools/check.py")
+    assert(src.contains("(gk in int_kinds) != (ek in int_kinds)"),
+      "the int-kind split check was removed from tools/check.py")
+    assert(src.contains("(gk in num_kinds) != (ek in num_kinds)"),
+      "the numeric-vs-object split check was removed from tools/check.py")
     assert(src.contains("if hard:") && src.contains("ok = False"),
       "the kind split must fail the query, not just print")
   }
