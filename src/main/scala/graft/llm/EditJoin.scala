@@ -107,10 +107,14 @@ object EditJoin {
         ORDER BY doc_a, doc_b"""
 
   /** Test seam: the same join over an arbitrary (doc_id, text)
-    * relation, for the crafted-corpus losslessness spec. */
-  private[graft] def pairsOf(docsIn: DataFrame): DataFrame =
+    * relation, for the crafted-corpus losslessness spec. The broadcast
+    * bound is overridable so the over-threshold fixture can exercise
+    * the shuffle-band fallback without a 64 MB corpus. */
+  private[graft] def pairsOf(docsIn: DataFrame,
+      maxBroadcastBytes: Long = bandBroadcastMaxBytes): DataFrame =
     editDistancePairsImpl(
-      docsIn.selectExpr("doc_id", "text", "length(text) AS len"))
+      docsIn.selectExpr("doc_id", "text", "length(text) AS len"),
+      maxBroadcastBytes)
 
   /** Corpus-adaptive dispatch, the [[graft.llm.PrefixJoin]]
     * containment join's lesson applied here: on a gram-SATURATED
@@ -137,36 +141,64 @@ object EditJoin {
     * saturated, every lossless candidate scheme (grams, segments,
     * bands) degenerates toward the quadratic truth — such a corpus
     * has a near-quadratic answer. The dispatch picks the cheaper
-    * plan per regime; it cannot beat the answer's own size. */
-  private def editDistancePairsImpl(base: DataFrame): DataFrame = {
+    * plan per regime; it cannot beat the answer's own size.
+    *
+    * Broadcast guard: the band join carries the whole document
+    * relation WITH TEXTS on its build side, so an unguarded
+    * `broadcast()` of a 100×-larger corpus would collect it to the
+    * driver and die before answering. The dispatch therefore measures
+    * corpus rows AND bytes (one cheap agg on the base relation) and
+    * only broadcasts below [[bandBroadcastMaxBytes]]/
+    * [[bandBroadcastMaxRows]]; above the bound the SAME band equi-join
+    * runs as a shuffle join — identical candidates, no driver
+    * collect, survives any corpus size (EditJoinSpec pins the
+    * fallback plan carries no BroadcastExchange and the answer is
+    * unchanged). */
+  private[graft] def editDistancePairsImpl(base: DataFrame,
+      maxBroadcastBytes: Long = bandBroadcastMaxBytes): DataFrame = {
     graft.functions.Native.register(base.sparkSession)
     import org.apache.spark.sql.Row
-    val Row(nDocs: Long, nGrams: Long) = base
-      .selectExpr("doc_id",
+    val Row(nDocs: Long, totalBytes: Long) = base
+      .agg(count(lit(1)).as("nd"),
+        coalesce(sum(col("len")), lit(0L)).as("bytes")).head()
+    val Row(nGrams: Long) = base
+      .selectExpr(
         s"explode(array_distinct(transform(sequence(1, greatest(len - $q + 1, 1)), " +
           s"i -> substring(text, i, $q)))) AS gram")
-      .agg(expr("approx_count_distinct(doc_id) AS nd"),
-        expr("approx_count_distinct(gram) AS ng")).head()
+      .agg(expr("approx_count_distinct(gram) AS ng")).head()
     val paired =
-      if (nGrams <= nDocs) bandScanPairs(base)
+      if (nGrams <= nDocs)
+        bandScanPairs(base, broadcastBuild =
+          totalBytes <= maxBroadcastBytes && nDocs <= bandBroadcastMaxRows)
       else prefixCandidatePairs(base)
     verifyPairs(paired)
   }
 
-  /** Saturated-corpus candidacy: length-band broadcast self-join with
-    * texts inline. The probe (left) side emits bands {b−1, b, b+1},
-    * the build side is broadcast whole (it is the document RELATION,
-    * dimension-sized next to any pair set), and the |Δlen| ≤ d +
+  /** Corpus bounds under which the band join's build side (the doc
+    * relation, texts inline) may be broadcast: comfortably inside
+    * executor/driver memory at local and cluster scale; above either
+    * bound the band join runs as a shuffle join instead. */
+  private[graft] val bandBroadcastMaxBytes: Long = 64L << 20
+  private[graft] val bandBroadcastMaxRows: Long = 4L << 20
+
+  /** Saturated-corpus candidacy: length-band self-join with texts
+    * inline. The probe (left) side emits bands {b−1, b, b+1}, the
+    * build side stays at its own band, and the |Δlen| ≤ d +
     * orientation filters run inside the join — no gram explode, no
-    * 4.9 M-row shuffle, no distinct. */
-  private[graft] def bandScanPairs(base: DataFrame): DataFrame = {
+    * 4.9 M-row shuffle, no distinct. Below the broadcast bound the
+    * build side (the document RELATION, dimension-sized next to any
+    * pair set) broadcasts for a zero-shuffle plan; above it the same
+    * equi-join shuffles on the band key — same candidate set, scales
+    * with the cluster instead of the driver's heap. */
+  private[graft] def bandScanPairs(base: DataFrame,
+      broadcastBuild: Boolean): DataFrame = {
     val probe = base.selectExpr("doc_id AS doc_a", "len AS len_a",
       "text AS text_a",
       s"explode(array(len DIV ${d + 1} - 1, len DIV ${d + 1}, " +
         s"len DIV ${d + 1} + 1)) AS band")
     val build = base.selectExpr("doc_id AS doc_b", "len AS len_b",
       "text AS text_b", s"len DIV ${d + 1} AS band")
-    probe.join(broadcast(build), Seq("band"))
+    probe.join(if (broadcastBuild) broadcast(build) else build, Seq("band"))
       .filter(col("doc_a") < col("doc_b") &&
         abs(col("len_a") - col("len_b")) <= d)
       .select("doc_a", "doc_b", "text_a", "text_b")

@@ -301,13 +301,32 @@ object PrefixJoin {
     * one that scales there. The vocabulary count is a driver-side
     * strategy read (like the AQE-style reads documented in
     * [[graft.ops.Scale]]) against the checkpointed docsArr — one
-    * cheap distinct-count, not a data collect. */
-  private[graft] def containmentFrom(docsArr: DataFrame): DataFrame = {
+    * cheap distinct-count, not a data collect.
+    *
+    * Mask-count guard: the masked path's set-pair join is a broadcast
+    * nested loop over the DISTINCT-MASK relation, and "thousands of
+    * rows by construction" is data-dependent, not guaranteed — a
+    * ≤64-token vocabulary still admits up to 2^vocab distinct subsets,
+    * so an adversarial corpus could blow the masks² BNLJ up. The
+    * dispatch therefore also requires the distinct token-SET count
+    * (distinct sorted arrays ≡ distinct masks, one agg on the
+    * checkpointed docsArr) at or below [[maskedMaxMasks]]; above it
+    * the prefix join runs — also lossless, same answer, no quadratic
+    * mask product (ContainmentMaskedSpec pins the fallback). */
+  private[graft] def containmentFrom(docsArr: DataFrame,
+      maxMasks: Long = maskedMaxMasks): DataFrame = {
     val vocab = docsArr
       .select(explode(col("toks")).as("tok")).distinct()
-    if (vocab.count() <= 64) maskedContainment(docsArr, vocab)
+    if (vocab.count() <= 64 &&
+        docsArr.select(col("toks")).distinct().count() <= maxMasks)
+      maskedContainment(docsArr, vocab)
     else prefixContainment(docsArr)
   }
+
+  /** Distinct-mask bound for the masked path: 2^16 masks keep the
+    * masks² popcount BNLJ around 4·10⁹ cheap comparisons — bounded
+    * work regardless of corpus row count. */
+  private[graft] val maskedMaxMasks: Long = 1L << 16
 
   /** Saturated-vocabulary fast path: dictionary-encode tokens to bit
     * positions, fold each doc's token set into ONE 64-bit mask

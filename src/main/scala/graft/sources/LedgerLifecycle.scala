@@ -328,8 +328,15 @@ object LedgerLifecycle {
     // Every pre-rewrite file spans nearly the whole key range, so the
     // same key admits all of them; post-rewrite ranges are disjoint,
     // so it admits exactly one.
-    val key = LedgerSink.readManifest(root).get.files
-      .flatMap(_.min).sorted.drop(1).head
+    // the file-count target is best-effort (quantile ties can merge
+    // buckets), so guard the assumption behind "second file's min"
+    // with a readable failure instead of a NoSuchElementException
+    val mins = LedgerSink.readManifest(root).get.files
+      .flatMap(_.min).sorted
+    require(mins.length >= 2,
+      s"sorted compaction left ${mins.length} file(s) with stats; " +
+        "the interior probe key needs at least 2")
+    val key = mins(1)
     def probePlanned(version: Option[Int]): Int = {
       val m = LedgerSink.readManifestAt(root, version).get
       val b = new LedgerScanBuilder(root, m.schema, version)

@@ -891,11 +891,17 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
       s"${changes.map { case (f, t) => s"@changes v$f..v$t" }.getOrElse("")})"
   override def schema(): StructType = schema0
 
-  /** The table's identity-partition spec, from the manifest (the
-    * requested transforms only matter before the first commit). */
+  /** The table's identity-partition spec, from the manifest the table
+    * actually READS (the requested transforms only matter before the
+    * first commit): a versionAsOf snapshot reports the spec the
+    * requested version committed under, and a changes read reports the
+    * `to` version's — specs can differ after an overwrite redefined
+    * the table, and reporting the LIVE spec for a snapshot would let
+    * the planner assume a layout the scanned files don't have. */
   override def partitioning(): Array[Transform] = {
-    val names = LedgerSink.readManifest(dir).map(_.partitionNames)
-      .getOrElse(requestedPartitioning)
+    val snapVersion = changes.map { case (_, t) => t }.orElse(version)
+    val names = LedgerSink.readManifestAt(dir, snapVersion)
+      .map(_.partitionNames).getOrElse(requestedPartitioning)
     names.map(n => Expressions.identity(n): Transform).toArray
   }
 
@@ -1418,9 +1424,17 @@ private[sources] class LedgerBatchWrite(
     val ddl = schema.toDDL
     val ids = LedgerWriteSupport.writeIds(dir, schema, truncate)
     val partIdxs = partNames.map(schema.fieldIndex)
+    // per-JOB tag: (partitionId, taskId) is only unique within one
+    // SparkContext — taskIds restart at 0 in a new session, so a later
+    // session appending to the same table could reuse a COMMITTED
+    // file's name and truncate it (CDC and versioning diff versions by
+    // file NAME, so name identity is load-bearing). COW and OPTIMIZE
+    // writers already carry a tag; batch appends get one too, plus the
+    // writer opens staged files CREATE_NEW to fail loud on collision.
+    val tag = java.util.UUID.randomUUID().toString.take(8)
     (partitionId: Int, taskId: Long) =>
       new LedgerDataWriter(base, StructType.fromDDL(ddl), ids, partIdxs,
-        partitionId, taskId)
+        partitionId, taskId, filePrefix = s"a$tag-")
   }
 
   /** The commit point: the manifest names exactly the files whose
@@ -1586,9 +1600,14 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
     val ddl = schema.toDDL
     val ids = LedgerWriteSupport.writeIds(dir, schema, truncate = false)
     val partIdxs = partNames.map(schema.fieldIndex)
+    // per-QUERY tag after the epoch marker (replay detection matches on
+    // the `epoch-<e>-` prefix, so the tag must follow it): a restarted
+    // query re-staging an epoch never collides with the committed run's
+    // file names — see createBatchWriterFactory's naming note
+    val tag = java.util.UUID.randomUUID().toString.take(8)
     (partitionId: Int, taskId: Long, epochId: Long) =>
       new LedgerDataWriter(base, StructType.fromDDL(ddl), ids, partIdxs,
-        partitionId, taskId, filePrefix = s"epoch-$epochId-")
+        partitionId, taskId, filePrefix = s"epoch-$epochId-$tag-")
   }
 
   override def commit(epochId: Long,
@@ -1644,7 +1663,10 @@ private[sources] class LedgerDataWriter(
     val path: Path = Paths.get(base, rel)
     Files.createDirectories(path.getParent) // executor-side, in case the
     // driver's mkdir raced or the writer runs on another host's view
-    val out: java.io.BufferedWriter = Files.newBufferedWriter(path, UTF_8)
+    // CREATE_NEW: a name collision with a committed file must fail the
+    // task, never silently truncate committed data
+    val out: java.io.BufferedWriter = Files.newBufferedWriter(path, UTF_8,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     var rows = 0L
     var statMin: Long = Long.MaxValue
     var statMax: Long = Long.MinValue

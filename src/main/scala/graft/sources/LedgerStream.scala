@@ -68,7 +68,19 @@ private[sources] class LedgerMicroBatchStream(
   override def initialOffset(): Offset = LedgerVersionOffset(
     startingVersion match {
       case "latest" => current
-      case s => s.toInt
+      case s =>
+        // fail fast on a bad offset: a startingVersion beyond the
+        // table's current version (typo, stale script) would make every
+        // latestOffset sit below the initial offset and the stream
+        // silently produce empty batches forever
+        val v = try s.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"startingVersion must be an integer or 'latest', got '$s'")
+        }
+        val cur = current
+        if (v < 0 || v > cur) throw new IllegalArgumentException(
+          s"startingVersion=$v out of range: table $dir is at version $cur")
+        v
     })
 
   override def getDefaultReadLimit: ReadLimit =

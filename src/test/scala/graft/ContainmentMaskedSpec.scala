@@ -87,6 +87,33 @@ class ContainmentMaskedSpec extends SparkSpec {
     assert(expect.contains((1L, 4L, 9L, 0.9)))
   }
 
+  test("over-bound distinct-mask count routes through the prefix path") {
+    // the ≤64-token vocabulary check alone does NOT bound the masked
+    // path's masks² BNLJ (2^vocab subsets are possible); the dispatch
+    // must also check the distinct-set count. Forcing the bound below
+    // this corpus's distinct-set count must pick the prefix plan —
+    // no BroadcastNestedLoopJoin — with the identical top-200 answer.
+    graft.functions.Native.register(spark)
+    val t = (0 to 11).map(i => s"t$i")
+    val fixture: Seq[(Long, Seq[String])] = Seq(
+      1L -> t.take(10), 2L -> t.take(9), 4L -> (t.take(9) :+ t(10)),
+      5L -> t.take(6), 6L -> Seq(t(11))) ++
+      (1000L to 1099L).map(id => id -> t.take(5))
+    val docsArr = docsArrOf(fixture)
+    val expect = brute(fixture)
+    // sanity: under the default bound this corpus takes the masked path
+    assert(run(PrefixJoin.containmentFrom(docsArr)) == expect)
+    val guarded = PrefixJoin.containmentFrom(docsArr, maxMasks = 3L)
+    val got = run(guarded)
+    assert(got == expect,
+      s"fallback missing=${(expect.diff(got)).take(5)} " +
+        s"extra=${(got.diff(expect)).take(5)}")
+    val p = guarded.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"over-bound mask count still chose the BNLJ plan:\n$p")
+  }
+
   test("large vocabulary routes through the prefix path and stays exact") {
     graft.functions.Native.register(spark)
     // 80-token vocabulary, sliding 21-token windows: adjacent windows

@@ -98,7 +98,7 @@ class EditJoinSpec extends SparkSpec {
       def collect(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val band = collect(graft.llm.EditJoin.verifyPairs(
-        graft.llm.EditJoin.bandScanPairs(base)))
+        graft.llm.EditJoin.bandScanPairs(base, broadcastBuild = true)))
       val prefix = collect(graft.llm.EditJoin.verifyPairs(
         graft.llm.EditJoin.prefixCandidatePairs(base)))
       (band, prefix)
@@ -115,6 +115,38 @@ class EditJoinSpec extends SparkSpec {
       (3L, "short one"), (4L, "short two")).toDF("doc_id", "text")
     val (b2, p2) = viaBoth(crafted)
     assert(b2.nonEmpty && b2 == p2)
+  }
+
+  test("over-threshold corpus dispatches the shuffle-band fallback, same answer") {
+    // models the 100×-scale saturated corpus whose document relation
+    // no longer fits a broadcast: with the broadcast bound forced to 0
+    // bytes the dispatch must keep the band equi-join but drop the
+    // broadcast() hint — no forced BroadcastExchange of the corpus —
+    // and the verified pair set must be byte-identical. Both AQE
+    // broadcast thresholds are forced to -1 so the runtime can't
+    // re-broadcast the small fixture and mask a hinted plan.
+    graft.functions.Native.register(spark)
+    val fixture = graft.io.Tables.documents(spark, sfTiny)
+      .select("doc_id", "text")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val baseline = collectPairs(graft.llm.EditJoin.pairsOf(fixture))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = graft.llm.EditJoin.pairsOf(fixture, maxBroadcastBytes = 0L)
+      val got = collectPairs(df)
+      assert(got == baseline, "fallback plan changed the answer")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"over-bound corpus still forced a broadcast:\n$p")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   test("thresholded levenshtein boundary: d kept, d+1 rejected") {
