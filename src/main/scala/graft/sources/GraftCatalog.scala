@@ -114,10 +114,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // an empty manifest, atomically — the create is durable the same
     // way commits are; `PARTITIONED BY (col, …)` identity transforms
     // become the manifest's partition spec (by FIELD ID, so the spec
-    // survives renames), which every later write and scan honors
+    // survives renames), which every later write and scan honors.
+    // The rebase form makes concurrent CREATEs serialize: exactly one
+    // wins, the loser gets TableAlreadyExists instead of clobbering.
     val m = LedgerSink.Manifest.fresh(schema,
       LedgerSink.identityPartitionNames(partitions))
-    LedgerSink.writeManifestAtomic(dir, m)
+    try LedgerSink.commitRebase(dir,
+      { case None => Some(m); case Some(_) => None }, "")
+    catch {
+      case _: java.util.ConcurrentModificationException =>
+        throw new TableAlreadyExistsException(Seq(ident.toString))
+    }
     new LedgerTable(dir, schema)
   }
 
@@ -142,8 +149,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * schema grows at the tail. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
-    val before = LedgerSink.readManifest(dir).getOrElse(
-      throw new NoSuchTableException(ident))
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    // the whole read-fold-write runs under the table's commit lock
+    // against the commit-time manifest: an append landing mid-alter
+    // keeps its file entries (the old read-then-write would have
+    // installed a stale file list and silently dropped them)
+    val altered = LedgerSink.commitRebase(dir, {
+      case None => None
+      case Some(before) => Some(applyChanges(before, changes))
+    }, s"table $ident was dropped while being altered")
+    new LedgerTable(dir, altered.schema)
+  }
+
+  private def applyChanges(before: LedgerSink.Manifest,
+      changes: Seq[TableChange]): LedgerSink.Manifest = {
     val pinned = before.copy(files = before.files.map(e =>
       if (e.ids.isEmpty)
         e.copy(ids = Some(before.ids.toSeq),
@@ -209,8 +228,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"$other requires a rewrite")
       }
     }
-    LedgerSink.writeManifestAtomic(dir, altered)
-    new LedgerTable(dir, altered.schema)
+    altered
   }
 
   override def dropTable(ident: Identifier): Boolean = {

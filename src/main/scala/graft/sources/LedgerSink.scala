@@ -735,6 +735,70 @@ object LedgerSink {
     Files.move(tmp, dir.resolve(ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  // ---- optimistic-concurrency commits ----
+
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The table's commit mutex: a JVM monitor (threads of one driver —
+    * the common concurrent-writers case in local/same-session use)
+    * wrapped around an OS file lock on `_commit.lock` (cooperating
+    * drivers on the same filesystem — the single-filesystem assumption
+    * every path in this format makes; an object store would need a
+    * lock service here, which is exactly why Delta-on-S3 ships one).
+    * The monitor must come FIRST: two threads of one JVM racing the
+    * file lock would throw OverlappingFileLockException instead of
+    * queueing. */
+  private def withCommitLock[A](dir: Path)(f: => A): A = {
+    Files.createDirectories(dir)
+    val mon = commitLocks.computeIfAbsent(
+      dir.toAbsolutePath.normalize.toString, _ => new Object)
+    mon.synchronized {
+      val ch = java.nio.channels.FileChannel.open(dir.resolve("_commit.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try f finally l.release() } finally ch.close()
+    }
+  }
+
+  /** OPTIMISTIC-CONCURRENCY commit (the Iceberg/Delta commit protocol
+    * at this format's scale): under the table's commit lock, re-read
+    * the manifest that is CURRENT at commit time — not the one the
+    * operation planned against — and ask `rebase` to reconcile the
+    * writer's intent with it:
+    *
+    *   - an APPEND's rebase unions its new files into whatever is
+    *     current (disjoint file sets commute, so append-append,
+    *     append-OPTIMIZE and append-DELETE all serialize with both
+    *     commits landing);
+    *   - a REWRITE's rebase (OPTIMIZE, copy-on-write row-level op)
+    *     first checks every file it is replacing still exists in the
+    *     current manifest and returns None when one vanished — a
+    *     concurrent commit rewrote its inputs, so installing the swap
+    *     would resurrect deleted rows or drop surviving ones;
+    *   - a rebase that returns the current manifest UNCHANGED commits
+    *     nothing (no spurious version bump — the streaming sink's
+    *     replayed-epoch branch relies on this).
+    *
+    * None aborts with ConcurrentModificationException carrying
+    * `conflict` — the caller cleans up its staged files and surfaces
+    * the error; a retry is a fresh operation against the new state.
+    * Without this, two concurrent appends both read v and both write
+    * v+1, silently orphaning one commit's files (last-writer-wins). */
+  private[sources] def commitRebase(dir: Path,
+      rebase: Option[Manifest] => Option[Manifest],
+      conflict: => String): Manifest =
+    withCommitLock(dir) {
+      val cur = readManifest(dir)
+      rebase(cur) match {
+        case Some(next) =>
+          if (!cur.contains(next)) writeManifestAtomic(dir, next)
+          next
+        case None =>
+          throw new java.util.ConcurrentModificationException(conflict)
+      }
+    }
 }
 
 /** OPTIMIZE as a commit kind: bin-pack the table's small files into
@@ -797,9 +861,23 @@ object LedgerMaintenance {
           bin.head.ids, bin.head.statId, bin.head.partVals)
       }.collect().toSeq
     val rewritten = packed.flatten.map(_.file).toSet
-    LedgerSink.writeManifestAtomic(dir,
-      m.copy(files = m.files.filterNot(e => rewritten(e.file)) ++ entries))
-    (m.files.length, m.files.length - rewritten.size + entries.length)
+    // CONCURRENCY: rebase onto the commit-time manifest — files
+    // appended since planning survive untouched; if a racing commit
+    // rewrote/removed one of this OPTIMIZE's input files, abort
+    // cleanly (delete the staged bins) rather than resurrect it
+    val next =
+      try LedgerSink.commitRebase(dir, cur =>
+        cur.filter(c => rewritten.subsetOf(c.files.map(_.file).toSet))
+          .map(c => c.copy(
+            files = c.files.filterNot(e => rewritten(e.file)) ++ entries)),
+        s"OPTIMIZE on $dirStr raced a commit that rewrote one of its " +
+          "input files; re-run OPTIMIZE against the new layout")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          entries.foreach(en => Files.deleteIfExists(dir.resolve(en.file)): Unit)
+          throw e
+      }
+    (m.files.length, next.files.length)
   }
 
   /** OPTIMIZE … SORT BY the stats column — compaction in service of
@@ -984,10 +1062,10 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     * never match). A partition-only delete drops exactly the matching
     * partitions' files — the reference's partitioned-prefix overwrite
     * story as a metadata operation. */
-  private def classify(shape: ((Long, Long), Map[String, String]))
+  private def classify(m: LedgerSink.Manifest,
+      shape: ((Long, Long), Map[String, String]))
       : Option[(Seq[LedgerSink.FileEntry], Seq[LedgerSink.FileEntry])] = {
     val ((lo, hi), partEq) = shape
-    val m = LedgerSink.readManifest(dir).getOrElse(return Some((Seq.empty, Seq.empty)))
     val hasRange = lo != Long.MinValue || hi != Long.MaxValue
     val partNames = m.partitionNames
     val curStatId = m.statId
@@ -1034,23 +1112,43 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     * boundary between a metadata delete and row-level ops. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     requireCurrent("DELETE")
-    deleteShape(filters).exists(s => classify(s).isDefined)
+    deleteShape(filters).exists(s =>
+      LedgerSink.readManifest(dir) match {
+        case Some(m) => classify(m, s).isDefined
+        case None => true // empty table: nothing to delete, trivially ok
+      })
   }
 
+  /** CONCURRENCY: classification re-runs against the manifest current
+    * at commit time under the table lock — a file APPENDED between
+    * canDeleteWhere and the commit is classified like any other (kept
+    * or dropped by the same whole-file proof), never silently dropped
+    * by a stale keep-list; a racing rewrite that makes the predicate
+    * straddle a file aborts instead of guessing. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireCurrent("DELETE")
-    val (drop, keep) = deleteShape(filters).flatMap(classify)
-      .getOrElse(throw new UnsupportedOperationException(
+    val shape = deleteShape(filters).getOrElse(
+      throw new UnsupportedOperationException(
         "delete predicate does not align with file boundaries"))
-    val m = LedgerSink.readManifest(dir).get
-    LedgerSink.writeManifestAtomic(dir, m.copy(files = keep))
+    var dropped: Seq[LedgerSink.FileEntry] = Seq.empty
+    LedgerSink.commitRebase(dir, {
+      case None => throw new UnsupportedOperationException(
+        "delete predicate does not align with file boundaries")
+      case Some(m) => classify(m, shape) match {
+        case Some((drop, keep)) =>
+          dropped = drop
+          Some(m.copy(files = keep))
+        case None => None
+      }
+    }, "metadata DELETE raced a commit after which its predicate no " +
+      "longer aligns with file boundaries; re-run the DELETE")
     // physical cleanup AFTER the commit point — a crash between the
     // two leaves unreferenced files, never a manifest naming ghosts —
     // and only for files NO archived version still references (the
     // commit above archived the pre-delete manifest, so in practice
     // dropped files survive for time travel until vacuum)
     val live = LedgerSink.referencedFiles(dir)
-    drop.filterNot(e => live(e.file))
+    dropped.filterNot(e => live(e.file))
       .foreach(e => Files.deleteIfExists(dir.resolve(e.file)))
   }
 }
@@ -1162,7 +1260,8 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
       partEq, partMustNull, partMustNotNull, version, changes, onPlanned,
       Option(streamOpts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(0),
       Option(streamOpts.get("skipChangeCommits")).exists(_.toBoolean),
-      Option(streamOpts.get("startingVersion")).getOrElse("0"))
+      Option(streamOpts.get("startingVersion")).getOrElse("0"),
+      Option(streamOpts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L))
 }
 
 private[sources] class LedgerScan(
@@ -1176,7 +1275,8 @@ private[sources] class LedgerScan(
     onPlanned: Seq[String] => Unit,
     maxFilesPerTrigger: Int = 0,
     skipChangeCommits: Boolean = false,
-    startingVersion: String = "0")
+    startingVersion: String = "0",
+    maxBytesPerTrigger: Long = 0L)
     extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1198,7 +1298,8 @@ private[sources] class LedgerScan(
       .getOrElse(Map.empty)
     new LedgerMicroBatchStream(dir, required, idOf,
       (m, e) => partitionMatches(m, e) && statsAdmit(m, e),
-      maxFilesPerTrigger, skipChangeCommits, startingVersion, onPlanned)
+      maxFilesPerTrigger, skipChangeCommits, startingVersion, onPlanned,
+      maxBytesPerTrigger)
   }
   override def description(): String =
     s"graft-ledger $dir" + version.map(v => s" @v$v").getOrElse("") +
@@ -1398,9 +1499,13 @@ private[sources] object LedgerWriteSupport {
   /** Field ids the write encodes under: by NAME against the table
     * manifest (the evolved-table append case), by position when names
     * don't line up (path-based positional appends, the pre-evolution
-    * behavior), fresh 1..n when the write defines the table. */
-  def writeIds(dir: Path, schema: StructType, truncate: Boolean): Seq[Int] =
-    LedgerSink.readManifest(dir) match {
+    * behavior), fresh 1..n when the write defines the table. Takes the
+    * manifest VIEW rather than re-reading, so a writer can capture the
+    * exact state its binding was computed against and verify it at
+    * commit time (see [[LedgerBatchWrite.commit]]). */
+  def writeIds(existing: Option[LedgerSink.Manifest], schema: StructType,
+      truncate: Boolean): Seq[Int] =
+    existing match {
       case Some(m) if !truncate =>
         if (schema.fieldNames.forall(m.schema.fieldNames.contains))
           schema.fieldNames.toSeq.map(m.idOf)
@@ -1417,12 +1522,20 @@ private[sources] class LedgerBatchWrite(
     partNames: Seq[String], requestedPartitionNames: Seq[String])
     extends BatchWrite {
 
+  /** The manifest state the write's field-id binding is computed
+    * against — captured ONCE so commit can detect a schema-changing
+    * commit that raced this write (the staged files' id lists would
+    * bind differently under the new definition). */
+  private val baseManifest: Option[LedgerSink.Manifest] =
+    LedgerSink.readManifest(dir)
+  private val ids: Seq[Int] =
+    LedgerWriteSupport.writeIds(baseManifest, schema, truncate)
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(dir.resolve("_staging"))
     val base = dir.toString
     val ddl = schema.toDDL
-    val ids = LedgerWriteSupport.writeIds(dir, schema, truncate)
     val partIdxs = partNames.map(schema.fieldIndex)
     // per-JOB tag: (partitionId, taskId) is only unique within one
     // SparkContext — taskIds restart at 0 in a new session, so a later
@@ -1432,8 +1545,11 @@ private[sources] class LedgerBatchWrite(
     // writers already carry a tag; batch appends get one too, plus the
     // writer opens staged files CREATE_NEW to fail loud on collision.
     val tag = java.util.UUID.randomUUID().toString.take(8)
+    val idsLocal = ids // local copy: the factory lambda ships to
+    // executors and must not capture `this` (dir: Path is not
+    // serializable)
     (partitionId: Int, taskId: Long) =>
-      new LedgerDataWriter(base, StructType.fromDDL(ddl), ids, partIdxs,
+      new LedgerDataWriter(base, StructType.fromDDL(ddl), idsLocal, partIdxs,
         partitionId, taskId, filePrefix = s"a$tag-")
   }
 
@@ -1450,20 +1566,38 @@ private[sources] class LedgerBatchWrite(
     * columns; caught by the evolution spec). An OVERWRITE (or a first
     * write) takes the write schema — that is how a path-based save
     * defines the table — keeping the table's partition spec when the
-    * write schema still carries its columns. */
+    * write schema still carries its columns.
+    *
+    * CONCURRENCY: the commit rebases onto the manifest current AT
+    * COMMIT TIME under the table's commit lock
+    * ([[LedgerSink.commitRebase]]) — two concurrent appends both land
+    * (file sets are disjoint; the union is order-independent), and an
+    * append racing an OPTIMIZE/DELETE lands too (those commits never
+    * touch files they haven't seen). The one append conflict is a
+    * racing SCHEMA-CHANGING commit (overwrite/evolution): the staged
+    * files' field-id binding was computed against [[baseManifest]],
+    * so if the current definition's (schema, ids) differ the append
+    * aborts rather than alias bytes under the new definition. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val existing = LedgerSink.readManifest(dir)
     val fresh = messages.toSeq
       .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
-    val m = existing match {
-      case Some(old) if !truncate => old.copy(files = old.files ++ fresh)
-      case _ =>
+    LedgerSink.commitRebase(dir, {
+      case Some(old) if !truncate =>
+        val bindingValid = baseManifest match {
+          case Some(b) => b.schema == old.schema && b.ids == old.ids
+          case None => // bound fresh 1..n against an empty table; a
+            // manifest that appeared since must carry that same binding
+            old.ids == (1 to schema.length) &&
+              old.schema.fieldNames.sameElements(schema.fieldNames)
+        }
+        if (bindingValid) Some(old.copy(files = old.files ++ fresh)) else None
+      case existing =>
         val keepParts = existing.map(_.partitionNames)
           .getOrElse(requestedPartitionNames)
           .filter(schema.fieldNames.contains)
-        LedgerSink.Manifest.fresh(schema, keepParts).copy(files = fresh)
-    }
-    LedgerSink.writeManifestAtomic(dir, m)
+        Some(LedgerSink.Manifest.fresh(schema, keepParts).copy(files = fresh))
+    }, s"append to $dir raced a schema-changing commit; retry the write " +
+      "against the table's new definition")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1505,8 +1639,10 @@ private[sources] class LedgerRowLevelOperation(
             val base = dir.toString
             val ddl = schema.toDDL
             val tag = java.util.UUID.randomUUID().toString.take(8)
-            val ids = LedgerWriteSupport.writeIds(dir, schema, truncate = false)
-            val partIdxs = LedgerSink.readManifest(dir)
+            val snapshot = LedgerSink.readManifest(dir)
+            val ids = LedgerWriteSupport.writeIds(snapshot, schema,
+              truncate = false)
+            val partIdxs = snapshot
               .map(_.partitionNames).getOrElse(Seq.empty)
               .map(schema.fieldIndex)
             (partitionId: Int, taskId: Long) =>
@@ -1517,15 +1653,27 @@ private[sources] class LedgerRowLevelOperation(
           /** Swap the scanned groups for the replacement files —
             * files the scan skipped are untouched, and the archived
             * pre-operation manifest keeps the old state readable
-            * (time travel applies to row-level ops like any commit). */
+            * (time travel applies to row-level ops like any commit).
+            *
+            * CONCURRENCY: a rewrite only commutes with commits that
+            * left its input groups alone. The rebase keeps files the
+            * scan never saw (a concurrent APPEND's rows survive
+            * untouched) but ABORTS when any scanned file is gone from
+            * the current manifest — a concurrent OPTIMIZE/DELETE/COW
+            * rewrote this operation's inputs, and installing the swap
+            * anyway would resurrect or drop rows. */
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            val m = LedgerSink.readManifest(dir).getOrElse(
-              LedgerSink.Manifest.fresh(schema, Seq.empty))
             val replaced = scannedFiles.toSet
             val fresh = messages.toSeq
               .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
-            LedgerSink.writeManifestAtomic(dir, m.copy(
-              files = m.files.filterNot(e => replaced(e.file)) ++ fresh))
+            LedgerSink.commitRebase(dir, cur => {
+              val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema, Seq.empty))
+              val curFiles = m.files.map(_.file).toSet
+              if (!replaced.forall(curFiles)) None
+              else Some(m.copy(
+                files = m.files.filterNot(e => replaced(e.file)) ++ fresh))
+            }, s"row-level $cmd on $dir raced a commit that rewrote one of " +
+              "its scanned files; re-run the operation")
           }
 
           override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1598,7 +1746,8 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
     Files.createDirectories(dir.resolve("_staging"))
     val base = dir.toString
     val ddl = schema.toDDL
-    val ids = LedgerWriteSupport.writeIds(dir, schema, truncate = false)
+    val ids = LedgerWriteSupport.writeIds(LedgerSink.readManifest(dir),
+      schema, truncate = false)
     val partIdxs = partNames.map(schema.fieldIndex)
     // per-QUERY tag after the epoch marker (replay detection matches on
     // the `epoch-<e>-` prefix, so the tag must follow it): a restarted
@@ -1612,26 +1761,30 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val existing = LedgerSink.readManifest(dir)
-    // epoch commits are appends: preserve the table's definition (see
-    // LedgerBatchWrite.commit)
-    val m = existing.getOrElse(LedgerSink.Manifest.fresh(schema, partNames))
     val marker = s"_staging/epoch-$epochId-"
-    if (m.files.exists(_.file.startsWith(marker))) {
-      // replayed epoch: the manifest already holds its files — drop
-      // the re-staged duplicates instead of double-appending
-      messages.foreach {
-        case LedgerCommitMessage(es) => es.foreach { e =>
-          if (!m.files.exists(_.file == e.file))
-            Files.deleteIfExists(dir.resolve(e.file)): Unit
+    val fresh = messages.toSeq
+      .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
+    // epoch commits are appends: preserve the table's definition (see
+    // LedgerBatchWrite.commit), rebase onto the commit-time manifest
+    // under the table lock (a batch append racing an epoch commit —
+    // both land), and detect REPLAY inside the same critical section
+    // so a replayed epoch can never double-append
+    LedgerSink.commitRebase(dir, cur => {
+      val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema, partNames))
+      if (m.files.exists(_.file.startsWith(marker))) {
+        // replayed epoch: the manifest already holds its files — drop
+        // the re-staged duplicates instead of double-appending
+        // (returning the current manifest unchanged commits nothing)
+        messages.foreach {
+          case LedgerCommitMessage(es) => es.foreach { e =>
+            if (!m.files.exists(_.file == e.file))
+              Files.deleteIfExists(dir.resolve(e.file)): Unit
+          }
+          case _ => ()
         }
-        case _ => ()
-      }
-    } else {
-      val fresh = messages.toSeq
-        .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
-      LedgerSink.writeManifestAtomic(dir, m.copy(files = m.files ++ fresh))
-    }
+        Some(m)
+      } else Some(m.copy(files = m.files ++ fresh))
+    }, "unreachable: epoch appends always rebase")
   }
 
   override def abort(epochId: Long,

@@ -1,9 +1,9 @@
 package graft.sources
 
-import java.nio.file.Path
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** A committed ledger VERSION number as a streaming offset. Restart
@@ -51,7 +51,8 @@ private[sources] class LedgerMicroBatchStream(
     admits: (LedgerSink.Manifest, LedgerSink.FileEntry) => Boolean,
     maxFilesPerTrigger: Int, skipChangeCommits: Boolean,
     startingVersion: String,
-    onPlanned: Seq[String] => Unit)
+    onPlanned: Seq[String] => Unit,
+    maxBytesPerTrigger: Long = 0L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -83,9 +84,23 @@ private[sources] class LedgerMicroBatchStream(
         v
     })
 
-  override def getDefaultReadLimit: ReadLimit =
-    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
-    else ReadLimit.allAvailable()
+  /** `maxFilesPerTrigger` and `maxBytesPerTrigger` compose (the
+    * file-source/Delta admission knobs): whichever budget fills first
+    * stops the trigger. Bytes come from the staged files' on-disk
+    * sizes — a driver-side metadata read, same as file-source
+    * admission. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      Option.when(maxFilesPerTrigger > 0)(
+        ReadLimit.maxFiles(maxFilesPerTrigger)),
+      Option.when(maxBytesPerTrigger > 0L)(
+        ReadLimit.maxBytes(maxBytesPerTrigger))).flatten
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** Version v's appended (manifest, files) delta; None for a
     * non-append commit under skipChangeCommits (it advances the
@@ -107,17 +122,31 @@ private[sources] class LedgerMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LedgerVersionOffset].v
     val hi = availableNowCap.getOrElse(current)
-    val budget = limit match {
-      case f: ReadMaxFiles => f.maxFiles()
-      case _ => Int.MaxValue
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case x => Seq(x)
     }
+    val pieces = flatten(limit)
+    val fileBudget = pieces.collectFirst { case f: ReadMaxFiles =>
+      f.maxFiles() }.getOrElse(Int.MaxValue)
+    val byteBudget = pieces.collectFirst { case b: ReadMaxBytes =>
+      b.maxBytes() }.getOrElse(Long.MaxValue)
     var v = s
-    var used = 0
+    var usedFiles = 0
+    var usedBytes = 0L
     var done = false
+    // versions are indivisible: a trigger always advances at least one
+    // data-bearing version, then stops before the version that would
+    // overflow EITHER budget
     while (!done && v < hi) {
-      val files = versionAppends(v + 1).map(_._2.size).getOrElse(0)
-      if (used > 0 && used + files > budget) done = true
-      else { v += 1; used += files }
+      val entries = versionAppends(v + 1).map(_._2).getOrElse(Seq.empty)
+      val bytes = entries.map(e =>
+        try Files.size(dir.resolve(e.file))
+        catch { case _: java.io.IOException => 0L }).sum
+      if ((usedFiles > 0 || usedBytes > 0L) &&
+          (usedFiles + entries.size > fileBudget ||
+            usedBytes + bytes > byteBudget)) done = true
+      else { v += 1; usedFiles += entries.size; usedBytes += bytes }
     }
     LedgerVersionOffset(v)
   }

@@ -64,6 +64,29 @@ class LedgerStreamReadSpec extends graft.SparkSpec {
     assert(sunk("adm_sink_all") == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("admission control: maxBytesPerTrigger batches by version, composes with files") {
+    val dir = freshDir("admb")
+    append(dir, Seq(1L, 2L), files = 1, overwrite = true) // v1: 1 file, ~6 B
+    append(dir, Seq(3L, 4L), files = 1)                   // v2: 1 file
+    append(dir, Seq(5L), files = 1)                       // v3: 1 file
+    // 1-byte budget: versions are indivisible, so each trigger still
+    // advances exactly one data-bearing version — three batches
+    val n = drain(dir, freshDir("admb_ck"), "admb_sink",
+      Map("maxBytesPerTrigger" -> "1"))
+    assert(n == 3, s"expected 3 byte-bounded batches, got $n")
+    assert(sunk("admb_sink") == Seq(1L, 2L, 3L, 4L, 5L))
+    // a budget covering everything: one batch
+    val n1 = drain(dir, freshDir("admb_ck_all"), "admb_sink_all",
+      Map("maxBytesPerTrigger" -> (64L << 20).toString))
+    assert(n1 == 1, s"expected one batch under a huge byte budget, got $n1")
+    // composite: byte budget loose, file budget tight — files win
+    val n2 = drain(dir, freshDir("admb_ck_mix"), "admb_sink_mix",
+      Map("maxBytesPerTrigger" -> (64L << 20).toString,
+        "maxFilesPerTrigger" -> "1"))
+    assert(n2 == 3, s"composite limit must honor the tighter budget, got $n2")
+    assert(sunk("admb_sink_mix") == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("a non-append commit fails the stream unless skipChangeCommits") {
     val dir = freshDir("chg")
     append(dir, Seq(1L, 2L), overwrite = true)            // v1
