@@ -1150,8 +1150,19 @@ object Similarity {
 
   // ---- greedy facility-location coverage selection ----
 
-  private val coverCandMod = 50
+  private val coverBudget = 64
   private val coverK = 6
+
+  /** Deterministic fixed-budget candidate key: a pure-integer mix both
+    * engines compute identically (pre-mod keeps every product below
+    * 2^63 for vec_ids up to any realistic corpus size). The candidate
+    * set is the [[coverBudget]] smallest (hkey, vec_id) — a top-k, so
+    * the selection is O(budget) driver/broadcast memory AT ANY CORPUS
+    * SIZE, unlike the earlier proportional 1-in-50 sample whose
+    * broadcast grew with the corpus. The candidate set is part of the
+    * query DEFINITION: the oracle computes the same key. */
+  private[graft] val coverHkey: String =
+    "((vec_id % 1048576) * 2654435761 + vec_id % 97) % 4294967296"
 
   /** `corpus_coverage_selection`: greedy facility-location
     * maximization — pick [[coverK]] exemplar vectors whose summed
@@ -1160,18 +1171,21 @@ object Similarity {
     * selection shape
     * (CRAIG-family): "which k documents best represent the corpus",
     * the complement of MMR (which diversifies a QUERY's result, not
-    * the corpus). Candidates are the deterministic 1-in-
-    * [[coverCandMod]] sample; the (vector × candidate) similarity
-    * relation is staged ONCE (candidates broadcast onto one corpus
-    * scan, nano-quantized), and each greedy round is: anti-join spent
-    * candidates, one map-side-combined marginal-gain agg
+    * the corpus). Candidates are the fixed-size deterministic
+    * [[coverBudget]] sample (see [[coverHkey]] — a TakeOrdered, never
+    * a corpus-proportional broadcast); the (vector × candidate)
+    * similarity relation is staged ONCE (candidates broadcast onto one
+    * corpus scan, nano-quantized), and each greedy round is: anti-join
+    * spent candidates, one map-side-combined marginal-gain agg
     * (Σ max(sim − cov, 0)), a struct-min argmax, and a coverage
     * update join — state is one (vec, cov) relation, lineage-cut per
     * round. Submodularity makes marginal gains non-increasing — the
     * spec pins that as the algebraic invariant. */
   def coverageSelection(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val cands = all.filter(col("vec_id") % coverCandMod === 0)
+    val cands = all
+      .selectExpr("vec_id", "v", "nrm", s"$coverHkey AS hkey")
+      .orderBy("hkey", "vec_id").limit(coverBudget)
       .selectExpr("vec_id AS cand_id", "v AS cv", "nrm AS cnrm")
     val sims = all.join(broadcast(cands), col("vec_id") =!= col("cand_id"))
       .selectExpr("vec_id", "cand_id",
@@ -1240,7 +1254,8 @@ object Similarity {
       .mkString(" UNION ALL ")
     s"""WITH ${vecsCte(DuckD)},
         cand AS (SELECT vec_id AS cand_id, v AS cv, nrm AS cnrm
-                 FROM e WHERE vec_id % $coverCandMod = 0),
+                 FROM (SELECT *, $coverHkey AS hkey FROM e
+                       ORDER BY hkey, vec_id LIMIT $coverBudget) zc),
         csims AS MATERIALIZED (SELECT e.vec_id, c.cand_id,
             CAST(round((${cosineWithNorms("e.v", "c.cv", "e.nrm", "c.cnrm", DuckD)}) * 1e9) AS BIGINT) AS sim_nano
           FROM e JOIN cand c ON e.vec_id <> c.cand_id),

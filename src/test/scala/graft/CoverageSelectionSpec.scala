@@ -12,8 +12,13 @@ import graft.llm.Similarity
   */
 class CoverageSelectionSpec extends SparkSpec {
 
-  private val candMod = 50
+  private val budget = 64
   private val k = 6
+
+  /** The engine's deterministic fixed-budget candidate rule, replayed
+    * imperatively (see Similarity.coverHkey). */
+  private def hkey(id: Long): Long =
+    ((id % 1048576) * 2654435761L + id % 97) % 4294967296L
 
   private def nano(x: Double): Long =
     BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
@@ -31,7 +36,7 @@ class CoverageSelectionSpec extends SparkSpec {
     }
     val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
     val byId = vecs.toMap
-    val cands = vecs.map(_._1).filter(_ % candMod == 0)
+    val cands = vecs.map(_._1).sortBy(id => (hkey(id), id)).take(budget)
     // staged sims: (vec, cand) for vec != cand, nano-quantized
     val sims: Map[Long, Map[Long, Long]] = cands.map { c =>
       c -> vecs.map(_._1).filter(_ != c).map { v =>
