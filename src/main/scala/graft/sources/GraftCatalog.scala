@@ -112,13 +112,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident)) throw new TableAlreadyExistsException(Seq(ident.toString))
     val dir = tableDir(ident)
     // an empty manifest, atomically — the create is durable the same
-    // way commits are; `PARTITIONED BY (col, …)` identity transforms
-    // become the manifest's partition spec (by FIELD ID, so the spec
-    // survives renames), which every later write and scan honors.
-    // The rebase form makes concurrent CREATEs serialize: exactly one
-    // wins, the loser gets TableAlreadyExists instead of clobbering.
+    // way commits are; `PARTITIONED BY (col, bucket(8, k), days(ts))`
+    // transforms become the manifest's partition spec (by FIELD ID, so
+    // the spec survives renames), which every later write and scan
+    // honors. The rebase form makes concurrent CREATEs serialize:
+    // exactly one wins, the loser gets TableAlreadyExists instead of
+    // clobbering.
     val m = LedgerSink.Manifest.fresh(schema,
-      LedgerSink.identityPartitionNames(partitions))
+      LedgerSink.partitionSpecOf(partitions))
     try LedgerSink.commitRebase(dir,
       { case None => Some(m); case Some(_) => None }, "")
     catch {
@@ -306,11 +307,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ident.namespace().sameElements(FnNamespace))
       GraftFunctions.all.getOrElse(ident.name(),
         throw new NoSuchFunctionException(ident))
+    else if (ident.namespace().isEmpty)
+      // the EMPTY namespace serves partition-transform functions:
+      // Spark's SPJ machinery resolves a scan-reported bucket/days
+      // transform through loadFunction(Identifier(Array(), name))
+      GraftFunctions.transforms.getOrElse(ident.name(),
+        throw new NoSuchFunctionException(ident))
     else throw new NoSuchFunctionException(ident)
 
   override def functionExists(ident: Identifier): Boolean =
-    ident.namespace().sameElements(FnNamespace) &&
-      GraftFunctions.all.contains(ident.name())
+    (ident.namespace().sameElements(FnNamespace) &&
+      GraftFunctions.all.contains(ident.name())) ||
+      (ident.namespace().isEmpty &&
+        GraftFunctions.transforms.contains(ident.name()))
 
   override def dropNamespace(
       namespace: Array[String], cascade: Boolean): Boolean = {

@@ -93,4 +93,79 @@ object GraftFunctions {
   /** The `fns` namespace's registry. */
   val all: Map[String, UnboundFunction] =
     Map("hardsig" -> HardSigmoid, "ssq" -> SumOfSquares)
+
+  // ---- partition-transform functions (EMPTY namespace) ----
+  //
+  // Spark's storage-partitioned-join machinery resolves a
+  // scan-reported bucket/days Transform by calling
+  // loadFunction(Identifier(Array(), "bucket"|"days")) on the TABLE's
+  // function catalog (V2ExpressionUtils.loadV2FunctionOpt) and
+  // compares both scans' BoundFunctions by canonicalName — these two
+  // definitions are what makes bucket/days-partitioned ledger scans
+  // SPJ-compatible. Their semantics MUST equal the write-side
+  // transforms (LedgerSink.bucketValue / dayValue): Spark may evaluate
+  // them when pushing partition values across a partially-matching
+  // join.
+
+  object BucketTransformFn extends UnboundFunction {
+    override def name: String = "bucket"
+    override def description: String =
+      "bucket(n INT, key BIGINT|INT): INT — floorMod(key, n)"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.fields.length != 2 ||
+          inputType.fields(0).dataType != IntegerType ||
+          !Seq(LongType, IntegerType).contains(inputType.fields(1).dataType))
+        throw new UnsupportedOperationException(
+          s"bucket expects (INT, BIGINT|INT), got $inputType")
+      new BucketBound(inputType.fields(1).dataType == LongType)
+    }
+  }
+
+  final class BucketBound(keyIsLong: Boolean)
+      extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, if (keyIsLong) LongType else IntegerType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isDeterministic: Boolean = true
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Integer =
+      if (input.isNullAt(1)) null
+      else LedgerSink.bucketValue(
+        if (keyIsLong) input.getLong(1) else input.getInt(1).toLong,
+        input.getInt(0))
+  }
+
+  object DaysTransformFn extends UnboundFunction {
+    override def name: String = "days"
+    override def description: String =
+      "days(ts BIGINT|INT): INT — floorDiv(epoch millis, 86400000)"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.fields.length != 1 ||
+          !Seq(LongType, IntegerType).contains(inputType.fields(0).dataType))
+        throw new UnsupportedOperationException(
+          s"days expects one BIGINT|INT epoch-millis argument, got $inputType")
+      new DaysBound(inputType.fields(0).dataType == LongType)
+    }
+  }
+
+  final class DaysBound(keyIsLong: Boolean)
+      extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[DataType] =
+      Array(if (keyIsLong) LongType else IntegerType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "days"
+    override def canonicalName(): String = "graft.days"
+    override def isDeterministic: Boolean = true
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Integer =
+      if (input.isNullAt(0)) null
+      else LedgerSink.dayValue(
+        if (keyIsLong) input.getLong(0) else input.getInt(0).toLong)
+  }
+
+  /** The empty-namespace registry (transform resolution). */
+  val transforms: Map[String, UnboundFunction] =
+    Map("bucket" -> BucketTransformFn, "days" -> DaysTransformFn)
 }

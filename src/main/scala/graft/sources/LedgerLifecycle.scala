@@ -510,6 +510,126 @@ object LedgerLifecycle {
       .orderBy("c_mktsegment")
   }
 
+  /** `dsv2_transform_partitioning`: bucket(8, key) and days(ts) as
+    * first-class partition transforms — the two layouts a 100 TB fact
+    * table actually keys SPJ and pruning on (Iceberg's bucket[N] and
+    * day specs; the reference's own y/m/d prefix layout IS a date
+    * transform, 01_sales_revenue_etl.py:96-101). One output row folds
+    * together:
+    *   - the DATA digests of a day-range read and of a bucket-
+    *     co-partitioned self-join, both recomputed by DuckDB from the
+    *     fixture (pruning or SPJ grouping that loses/duplicates a row
+    *     poisons them);
+    *   - the connector planner's own verdicts as flags: a bucket
+    *     point probe plans exactly the probe bucket's files, a days
+    *     point probe plans one day, a days range probe plans exactly
+    *     the in-range days (strict bounds tightened), each strictly
+    *     fewer than the full file list;
+    *   - `spj_no_shuffle`: the bucket-co-partitioned SortMergeJoin
+    *     planned with NO Exchange on either side, resolved through
+    *     the catalog's empty-namespace `bucket` function. */
+  def transformPartitioning(spark: SparkSession, sfDir: String): DataFrame = {
+    initCatalog(spark)
+    val g = tag(sfDir)
+    val dayMs = 86400000L
+    val tb = s"graft_cat.txf.ord_b_$g"
+    val tb2 = s"graft_cat.txf.ord_b2_$g"
+    val td = s"graft_cat.txf.ord_d_$g"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.txf")
+    Seq(tb, tb2, td).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"""CREATE TABLE $tb (okey BIGINT, price_c BIGINT)
+      PARTITIONED BY (bucket(8, okey))""")
+    spark.sql(s"""CREATE TABLE $tb2 (okey2 BIGINT, price2_c BIGINT)
+      PARTITIONED BY (bucket(8, okey2))""")
+    spark.sql(s"""CREATE TABLE $td (okey BIGINT, ts BIGINT, price_c BIGINT)
+      PARTITIONED BY (days(ts))""")
+    graft.io.Tables.orders(spark, sfDir).selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS okey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c",
+        s"(CAST(o_orderkey AS BIGINT) % 7) * $dayMs + " +
+          "(CAST(o_orderkey AS BIGINT) % 86400) * 1000 AS ts")
+      .createOrReplaceTempView(s"txf_ord_$g")
+    spark.sql(s"INSERT INTO $tb SELECT okey, price_c FROM txf_ord_$g")
+    spark.sql(s"INSERT INTO $tb2 SELECT okey, price_c FROM txf_ord_$g")
+    spark.sql(s"INSERT INTO $td SELECT okey, ts, price_c FROM txf_ord_$g")
+
+    def planned(dir: java.nio.file.Path,
+        fs: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val m = LedgerSink.readManifest(dir).get
+      val b = new LedgerScanBuilder(dir, m.schema)
+      b.pushFilters(fs)
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length
+    }
+    def tupleFiles(dir: java.nio.file.Path, want: Set[String]): Int =
+      LedgerSink.readManifest(dir).get.files
+        .count(_.partVals.exists(v => want(v.head)))
+    val dirB = Paths.get(catalogRoot, "txf", s"ord_b_$g")
+    val dirD = Paths.get(catalogRoot, "txf", s"ord_d_$g")
+    val totalB = LedgerSink.readManifest(dirB).get.files.length
+    val totalD = LedgerSink.readManifest(dirD).get.files.length
+    // bucket point probe: okey = 7 → bucket 7 only
+    val pB = planned(dirB, Array(EqualTo("okey", 7L)))
+    val bktExact = if (pB == tupleFiles(dirB, Set("7")) && pB < totalB) 1 else 0
+    // days point probe: ts inside day 3 → day-3 files only
+    val pDEq = planned(dirD, Array(EqualTo("ts", 3 * dayMs + 12345L)))
+    val dEqExact = if (pDEq == tupleFiles(dirD, Set("3")) && pDEq < totalD) 1 else 0
+    // days range probe: [day2, day4) → exactly days 2..3
+    val pDR = planned(dirD, Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ts", 2 * dayMs),
+      org.apache.spark.sql.sources.LessThan("ts", 4 * dayMs)))
+    val dRngExact =
+      if (pDR == tupleFiles(dirD, Set("2", "3")) && pDR < totalD) 1 else 0
+
+    // SPJ over bucket co-partitioning: force the join shape (no
+    // broadcast) so the verdict is about partitioning, not size
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.table(tb).join(spark.table(tb2), expr("okey = okey2"))
+      val plan = j.queryExecution.executedPlan.toString
+      val spj = if (!plan.contains("Exchange") &&
+        plan.contains("SortMergeJoin")) 1 else 0
+      val joinDigest = j.agg(count(lit(1)).as("n_join"),
+        sum(col("price_c")).as("price_join"))
+      val rngDigest = spark.sql(
+        s"""SELECT count(*) AS n_rng, sum(price_c) AS price_rng,
+              sum(okey) AS key_rng
+            FROM $td WHERE ts >= ${2 * dayMs} AND ts < ${4 * dayMs}""")
+      rngDigest.crossJoin(broadcast(joinDigest))
+        .selectExpr("n_rng", "price_rng", "key_rng", "n_join", "price_join",
+          s"CAST($bktExact AS INT) AS bkt_probe_exact",
+          s"CAST($dEqExact AS INT) AS day_probe_exact",
+          s"CAST($dRngExact AS INT) AS day_range_exact",
+          s"CAST($spj AS INT) AS spj_no_shuffle")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  val transformPartitioningOracle: String =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+           (CAST(o_orderkey AS BIGINT) % 7) * 86400000 +
+             (CAST(o_orderkey AS BIGINT) % 86400) * 1000 AS ts
+         FROM orders),
+        rng AS (SELECT count(*) AS n_rng,
+            CAST(sum(price_c) AS BIGINT) AS price_rng,
+            CAST(sum(okey) AS BIGINT) AS key_rng
+          FROM o WHERE ts >= 172800000 AND ts < 345600000),
+        j AS (SELECT count(*) AS n_join,
+            CAST(sum(a.price_c) AS BIGINT) AS price_join
+          FROM o a JOIN o b ON a.okey = b.okey)
+       SELECT n_rng, price_rng, key_rng, n_join, price_join,
+         CAST(1 AS INTEGER) AS bkt_probe_exact,
+         CAST(1 AS INTEGER) AS day_probe_exact,
+         CAST(1 AS INTEGER) AS day_range_exact,
+         CAST(1 AS INTEGER) AS spj_no_shuffle
+       FROM rng CROSS JOIN j"""
+
   val streamReplicationOracle: String =
     """WITH src AS (
          SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,

@@ -90,7 +90,7 @@ class LedgerSink extends TableProvider {
     new LedgerTable(Paths.get(dir), schema,
       Option(properties.get("versionAsOf")).map(_.toInt),
       changes,
-      LedgerSink.identityPartitionNames(partitioning))
+      LedgerSink.partitionSpecOf(partitioning))
   }
 }
 
@@ -350,33 +350,130 @@ object LedgerSink {
       }
     }
 
-  /** Partition columns additionally exclude DOUBLE: the file pruner
-    * compares partition values as rendered text, and doubles render
-    * as bit-exact hex — a user-facing literal would never match. */
-  private[sources] def checkPartitionCols(
-      schema: StructType, names: Seq[String]): Unit =
-    names.foreach { n =>
-      val f = schema.fields(schema.fieldIndex(n)) // throws on a missing column
+  // ---- partition transforms ----
+
+  /** One partition-spec field by NAME: `kind` is identity / bucket /
+    * days, `param` the bucket count (0 otherwise). */
+  private[sources] case class NamedPartField(
+      name: String, kind: String, param: Int)
+
+  /** One partition-spec field by FIELD ID (the manifest form — the
+    * spec survives renames). Identity renders as the bare id,
+    * byte-compatible with pre-transform manifests; transforms render
+    * as `bucket:<n>:<id>` / `days:<id>` tokens. */
+  private[sources] case class PartField(fieldId: Int, kind: String, param: Int) {
+    def render: String = kind match {
+      case "identity" => fieldId.toString
+      case "bucket" => s"bucket:$param:$fieldId"
+      case "days" => s"days:$fieldId"
+    }
+  }
+
+  private[sources] object PartField {
+    def identity(id: Int): PartField = PartField(id, "identity", 0)
+    def parse(tok: String): PartField = tok.split(":") match {
+      case Array(id) => PartField(id.toInt, "identity", 0)
+      case Array("bucket", n, id) => PartField(id.toInt, "bucket", n.toInt)
+      case Array("days", id) => PartField(id.toInt, "days", 0)
+      case _ => throw new IllegalArgumentException(
+        s"unparseable partition-spec token '$tok'")
+    }
+  }
+
+  /** The bucket transform: floorMod over the integral key. Chosen over
+    * a murmur-style mix DELIBERATELY: the value is transparent, the
+    * DuckDB oracle can recompute it exactly (`((v % n) + n) % n`), and
+    * the pruning/SPJ contracts depend only on determinism and
+    * same-function-both-sides, not on mixing quality. MUST stay in
+    * lockstep with [[GraftFunctions]]' catalog-served `bucket`
+    * (Spark's SPJ resolves the scan-reported transform through it). */
+  private[sources] def bucketValue(v: Long, n: Int): Int =
+    java.lang.Math.floorMod(v, n.toLong).toInt
+
+  /** The days transform over epoch-millis longs: floorDiv to days
+    * since epoch (negative-safe). Same lockstep note as
+    * [[bucketValue]]. */
+  private[sources] def dayValue(millis: Long): Int =
+    java.lang.Math.floorDiv(millis, 86400000L).toInt
+
+  /** Partition columns exclude DOUBLE (partition values prune by
+    * rendered text; doubles render as hex no literal would match), and
+    * bucket/days additionally require an integral column (days reads
+    * it as epoch millis). */
+  private[sources] def checkPartitionSpec(
+      schema: StructType, spec: Seq[NamedPartField]): Unit =
+    spec.foreach { p =>
+      val f = schema.fields(schema.fieldIndex(p.name)) // throws if missing
       if (f.dataType == DoubleType)
         throw new UnsupportedOperationException(
           s"partition column ${f.name} is DOUBLE; partition values prune " +
             "by rendered text — use long/int/string")
+      if (p.kind != "identity" &&
+          f.dataType != LongType && f.dataType != IntegerType)
+        throw new UnsupportedOperationException(
+          s"${p.kind}(${f.name}) needs an integral column, got ${f.dataType}")
+      if (p.kind == "bucket" && p.param <= 0)
+        throw new IllegalArgumentException(
+          s"bucket(${p.param}, ${p.name}): bucket count must be positive")
     }
 
-  /** Accept exactly identity transforms (the reference's y/m/d
-    * partitionBy is identity partitioning — 01_sales_revenue_etl.py:
-    * 96-101); bucket/temporal transforms would need transform
-    * evaluation inside the writer and honest inverse reasoning in the
-    * pruner, which this format does not promise. */
+  private[sources] def checkPartitionCols(
+      schema: StructType, names: Seq[String]): Unit =
+    checkPartitionSpec(schema, names.map(NamedPartField(_, "identity", 0)))
+
+  /** Resolve requested partition transforms. Identity covers the
+    * reference's y/m/d partitionBy (01_sales_revenue_etl.py:96-101);
+    * bucket and days are the two transforms a 100 TB fact layout
+    * actually keys SPJ on (Iceberg's bucket[N] and day partitioning).
+    * Anything else (years/hours/truncate) is refused rather than
+    * silently identity'd. */
+  private[sources] def partitionSpecOf(
+      transforms: Array[Transform]): Seq[NamedPartField] =
+    transforms.toSeq.map { t =>
+      def ref1: String = {
+        val rs = t.references()
+        if (rs.length != 1 || rs(0).fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"ledger partition transforms take one flat column, got $t")
+        rs(0).fieldNames()(0)
+      }
+      t.name match {
+        case "identity" => NamedPartField(ref1, "identity", 0)
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value() match {
+                case x: Number => x.intValue
+                case other => throw new IllegalArgumentException(
+                  s"bucket count literal $other in $t")
+              }
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform missing its count: $t"))
+          NamedPartField(ref1, "bucket", n)
+        case "days" => NamedPartField(ref1, "days", 0)
+        case other => throw new UnsupportedOperationException(
+          s"ledger tables support identity/bucket/days partition " +
+            s"transforms, got $other")
+      }
+    }
+
+  /** Back-compat shim for the path-based API (partitionBy is always
+    * identity there). */
   private[sources] def identityPartitionNames(
       transforms: Array[Transform]): Seq[String] =
-    transforms.toSeq.map { t =>
-      if (t.name == "identity" && t.references().length == 1 &&
-          t.references()(0).fieldNames().length == 1)
-        t.references()(0).fieldNames()(0)
-      else throw new UnsupportedOperationException(
-        s"ledger tables support identity partition transforms only, got $t")
+    partitionSpecOf(transforms).map { p =>
+      if (p.kind != "identity") throw new UnsupportedOperationException(
+        s"path-based ledger writes partition by identity only; use a " +
+          s"catalog table for ${p.kind}(${p.name})")
+      p.name
     }
+
+  /** A named spec field back to its connector Transform. */
+  private[sources] def toTransform(p: NamedPartField): Transform = p.kind match {
+    case "identity" => Expressions.identity(p.name)
+    case "bucket" => Expressions.bucket(p.param, p.name)
+    case "days" => Expressions.days(p.name)
+  }
 
   /** %-escape the structural bytes (field sep, newline family, the
     * escape char itself, and TAB — partition values ride inside the
@@ -432,6 +529,44 @@ object LedgerSink {
       case (IntegerType, x: java.lang.Integer) => Some(x.toString)
       case (StringType, x: String) => Some(esc(x))
       case _ => None
+    }
+
+  /** One partition-TUPLE entry for a row under a spec field: identity
+    * renders the raw value ([[encodeValue]]); bucket/days render the
+    * TRANSFORMED integer. Null transforms to null (NullMark) for every
+    * kind. */
+  private[sources] def encodePartValue(dt: DataType, row: InternalRow,
+      i: Int, kind: String, param: Int): String =
+    if (row.isNullAt(i)) NullMark
+    else kind match {
+      case "identity" => encodeValue(dt, row, i)
+      case k =>
+        val v = dt match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i).toLong
+          case other => throw new IllegalStateException(
+            s"$k over non-integral $other")
+        }
+        if (k == "bucket") bucketValue(v, param).toString
+        else dayValue(v).toString
+    }
+
+  /** A pushed-filter literal TRANSFORMED and rendered like
+    * [[encodePartValue]] — what equality pruning on a transformed
+    * partition column compares against. */
+  private[sources] def encodePartLiteral(dt: DataType, v: Any,
+      kind: String, param: Int): Option[String] =
+    kind match {
+      case "identity" => encodeLiteral(dt, v)
+      case k =>
+        val lv: Option[Long] = v match {
+          case x: java.lang.Long => Some(x.longValue)
+          case x: java.lang.Integer => Some(x.longValue)
+          case _ => None
+        }
+        lv.map(l =>
+          if (k == "bucket") bucketValue(l, param).toString
+          else dayValue(l).toString)
     }
 
   private[sources] def encodeRow(row: InternalRow, schema: StructType): String =
@@ -524,29 +659,34 @@ object LedgerSink {
   /** A committed table state: the schema, its field-id assignment
     * (`ids(i)` is field i's id; `nextId` has never been assigned, so
     * a dropped id can never be reused and alias old bytes onto a new
-    * column), the identity-partition spec (by id, so partition
-    * columns survive renames), and the file list. */
+    * column), the partition spec (transforms over field IDS, so
+    * partition columns survive renames), and the file list. */
   private[sources] case class Manifest(
       schema: StructType, ids: Seq[Int], nextId: Int,
-      partitionIds: Seq[Int], files: Seq[FileEntry]) {
+      partitionSpec: Seq[PartField], files: Seq[FileEntry]) {
 
     def idOf(name: String): Int = ids(schema.fieldIndex(name))
     def fieldOfId(id: Int): StructField = schema.fields(ids.indexOf(id))
+    def partitionIds: Seq[Int] = partitionSpec.map(_.fieldId)
     def partitionNames: Seq[String] = partitionIds.map(fieldOfId(_).name)
+    def namedPartitionSpec: Seq[NamedPartField] = partitionSpec.map(p =>
+      NamedPartField(fieldOfId(p.fieldId).name, p.kind, p.param))
     def statId: Option[Int] = statColIndex(schema).map(ids(_))
 
     def render: Seq[String] =
       (schema.toDDL +:
         (Seq(s"#ids:${ids.mkString(",")}", s"#nextid:$nextId") ++
-          (if (partitionIds.nonEmpty)
-            Seq(s"#partition:${partitionIds.mkString(",")}") else Nil))) ++
+          (if (partitionSpec.nonEmpty)
+            Seq(s"#partition:${partitionSpec.map(_.render).mkString(",")}")
+          else Nil))) ++
         files.map(_.render)
   }
 
   private[sources] object Manifest {
     /** Headers are `#key:value` lines between the DDL and the file
       * entries; a manifest without them (pre-evolution format) reads
-      * as ids 1..n, unpartitioned — byte-for-byte compatible. */
+      * as ids 1..n, unpartitioned — byte-for-byte compatible (and an
+      * identity-only spec still renders as the bare-id list). */
     def parse(lines: Seq[String]): Manifest = {
       val schema = StructType.fromDDL(lines.head)
       val (headers, entries) = lines.tail.partition(_.startsWith("#"))
@@ -560,17 +700,23 @@ object LedgerSink {
       Manifest(schema, ids,
         h.get("nextid").map(_.toInt)
           .getOrElse(ids.maxOption.getOrElse(0) + 1),
-        intList("partition").getOrElse(Nil),
+        h.get("partition").map(_.split(",", -1).toSeq.filter(_.nonEmpty)
+          .map(PartField.parse)).getOrElse(Nil),
         entries.map(FileEntry.parse))
     }
 
-    def fresh(schema: StructType, partitionNames: Seq[String]): Manifest = {
+    def fresh(schema: StructType, spec: Seq[NamedPartField]): Manifest = {
       checkSchema(schema)
-      checkPartitionCols(schema, partitionNames)
+      checkPartitionSpec(schema, spec)
       val ids = 1 to schema.length
       Manifest(schema, ids, schema.length + 1,
-        partitionNames.map(n => ids(schema.fieldIndex(n))), Seq.empty)
+        spec.map(p => PartField(ids(schema.fieldIndex(p.name)),
+          p.kind, p.param)), Seq.empty)
     }
+
+    def fresh(schema: StructType, partitionNames: Seq[String])
+        (implicit d: DummyImplicit): Manifest =
+      fresh(schema, partitionNames.map(NamedPartField(_, "identity", 0)))
   }
 
   /** Manifest: line 1 the schema DDL, optional `#` headers, then one
@@ -949,7 +1095,7 @@ object LedgerMaintenance {
 private[sources] class LedgerTable(dir: Path, schema0: StructType,
     version: Option[Int] = None,
     changes: Option[(Int, Int)] = None,
-    requestedPartitioning: Seq[String] = Seq.empty)
+    requestedPartitioning: Seq[LedgerSink.NamedPartField] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations {
   LedgerSink.checkSchema(schema0)
@@ -969,7 +1115,7 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
       s"${changes.map { case (f, t) => s"@changes v$f..v$t" }.getOrElse("")})"
   override def schema(): StructType = schema0
 
-  /** The table's identity-partition spec, from the manifest the table
+  /** The table's partition spec, from the manifest the table
     * actually READS (the requested transforms only matter before the
     * first commit): a versionAsOf snapshot reports the spec the
     * requested version committed under, and a changes read reports the
@@ -978,9 +1124,9 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     * the planner assume a layout the scanned files don't have. */
   override def partitioning(): Array[Transform] = {
     val snapVersion = changes.map { case (_, t) => t }.orElse(version)
-    val names = LedgerSink.readManifestAt(dir, snapVersion)
-      .map(_.partitionNames).getOrElse(requestedPartitioning)
-    names.map(n => Expressions.identity(n): Transform).toArray
+    val spec = LedgerSink.readManifestAt(dir, snapVersion)
+      .map(_.namedPartitionSpec).getOrElse(requestedPartitioning)
+    spec.map(LedgerSink.toTransform).toArray
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -1027,8 +1173,14 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     if (mOpt.isEmpty) return None
     val m = mOpt.get
     val statName = LedgerSink.statColIndex(m.schema).map(m.schema.fields(_).name)
-    val partTypes: Map[String, DataType] = m.partitionNames
-      .map(n => n -> m.schema.fields(m.schema.fieldIndex(n)).dataType).toMap
+    // IDENTITY fields only: a matching identity tuple proves every row
+    // in the file matches the equality, so the file may be DROPPED; a
+    // matching bucket/day tuple only proves rows MIGHT match — such
+    // predicates are refused here and take the row-level COW path
+    val partTypes: Map[String, DataType] = m.namedPartitionSpec
+      .filter(_.kind == "identity")
+      .map(p => p.name ->
+        m.schema.fields(m.schema.fieldIndex(p.name)).dataType).toMap
     var lo = Long.MinValue
     var hi = Long.MaxValue
     var partEq = Map.empty[String, String]
@@ -1190,23 +1342,37 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
 
   private val statName: Option[String] = LedgerSink.statColIndex(versionSchema)
     .map(versionSchema.fields(_).name)
-  private val partTypes: Map[String, DataType] = manifestOpt.map(m =>
-    m.partitionNames.map(n =>
-      n -> m.schema.fields(m.schema.fieldIndex(n)).dataType).toMap)
-    .getOrElse(Map.empty)
+  // per partition column: its type and transform (identity/bucket/days)
+  private val partInfo: Map[String, (DataType, String, Int)] =
+    manifestOpt.map(m => m.namedPartitionSpec.map(p =>
+      p.name -> ((m.schema.fields(m.schema.fieldIndex(p.name)).dataType,
+        p.kind, p.param))).toMap)
+      .getOrElse(Map.empty)
 
   private var flo: Long = Long.MinValue
   private var fhi: Long = Long.MaxValue // inclusive
-  // per partition column: allowed encoded values (intersected), and
-  // null-ness constraints
+  // per partition column: allowed encoded (transformed) values
+  // (intersected), null-ness constraints, and — days transforms only —
+  // an inclusive [dayLo, dayHi] range (floorDiv is monotone, so a raw
+  // range predicate bounds the day tuple exactly)
   private var partEq: Map[String, Set[String]] = Map.empty
   private var partMustNull: Set[String] = Set.empty
   private var partMustNotNull: Set[String] = Set.empty
+  private var partDayLo: Map[String, Long] = Map.empty
+  private var partDayHi: Map[String, Long] = Map.empty
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
 
   private def intersect(c: String, vs: Set[String]): Unit =
     partEq += (c -> partEq.get(c).map(_.intersect(vs)).getOrElse(vs))
+
+  private def dayLo(c: String, v: Long): Unit =
+    partDayLo += (c -> math.max(partDayLo.getOrElse(c, Long.MinValue),
+      LedgerSink.dayValue(v).toLong))
+
+  private def dayHi(c: String, v: Long): Unit =
+    partDayHi += (c -> math.min(partDayHi.getOrElse(c, Long.MaxValue),
+      LedgerSink.dayValue(v).toLong))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = scala.collection.mutable.ArrayBuffer.empty[Filter]
@@ -1225,22 +1391,53 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
     }
     // partition predicates prune independently of (and compose with)
     // the stats range; EqualTo on the stats column may ALSO be a
-    // partition predicate — both prunings then apply
+    // partition predicate — both prunings then apply. Equality/IN
+    // literals are TRANSFORMED before comparison (bucket(v), day(v)) —
+    // the inverse reasoning only sound for equality on bucket and for
+    // equality AND ranges on days (floorDiv monotone); bucket range
+    // predicates prune nothing.
     filters.foreach {
-      case f @ EqualTo(c, v) if partTypes.contains(c) && v != null =>
-        LedgerSink.encodeLiteral(partTypes(c), v).foreach { enc =>
+      case f @ EqualTo(c, v) if partInfo.contains(c) && v != null =>
+        val (dt, kind, param) = partInfo(c)
+        LedgerSink.encodePartLiteral(dt, v, kind, param).foreach { enc =>
           intersect(c, Set(enc)); accepted += f
         }
-      case f @ In(c, vs) if partTypes.contains(c) &&
+      case f @ In(c, vs) if partInfo.contains(c) &&
           vs.nonEmpty && !vs.contains(null) =>
-        val encs = vs.toSeq.map(LedgerSink.encodeLiteral(partTypes(c), _))
+        val (dt, kind, param) = partInfo(c)
+        val encs = vs.toSeq.map(LedgerSink.encodePartLiteral(dt, _, kind, param))
         if (encs.forall(_.isDefined)) {
           intersect(c, encs.flatten.toSet); accepted += f
         }
-      case f @ IsNull(c) if partTypes.contains(c) =>
+      case f @ IsNull(c) if partInfo.contains(c) =>
         partMustNull += c; accepted += f
-      case f @ IsNotNull(c) if partTypes.contains(c) =>
+      case f @ IsNotNull(c) if partInfo.contains(c) =>
         partMustNotNull += c; accepted += f
+      case _ => ()
+    }
+    // day-range pruning, strict bounds tightened on the integral raw
+    // value first: t > v ⟺ t ≥ v+1 ⇒ day(t) ≥ day(v+1), and dually
+    // t < v ⇒ day(t) ≤ day(v−1) — exact because floorDiv is monotone
+    def asLong(v: Any): Option[Long] = v match {
+      case x: java.lang.Long => Some(x.longValue)
+      case x: java.lang.Integer => Some(x.longValue)
+      case _ => None
+    }
+    filters.foreach {
+      case f @ GreaterThan(c, v)
+          if partInfo.get(c).exists(_._2 == "days") =>
+        asLong(v).filter(_ < Long.MaxValue).foreach { l =>
+          dayLo(c, l + 1); accepted += f }
+      case f @ GreaterThanOrEqual(c, v)
+          if partInfo.get(c).exists(_._2 == "days") =>
+        asLong(v).foreach { l => dayLo(c, l); accepted += f }
+      case f @ LessThan(c, v)
+          if partInfo.get(c).exists(_._2 == "days") =>
+        asLong(v).filter(_ > Long.MinValue).foreach { l =>
+          dayHi(c, l - 1); accepted += f }
+      case f @ LessThanOrEqual(c, v)
+          if partInfo.get(c).exists(_._2 == "days") =>
+        asLong(v).foreach { l => dayHi(c, l); accepted += f }
       case _ => ()
     }
     pushed = accepted.distinct.toArray
@@ -1257,7 +1454,8 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
       required.getOrElse(versionSchema),
       flo, fhi, pushed.nonEmpty && statName.isDefined &&
         (flo != Long.MinValue || fhi != Long.MaxValue),
-      partEq, partMustNull, partMustNotNull, version, changes, onPlanned,
+      partEq, partMustNull, partMustNotNull,
+      partDayLo, partDayHi, version, changes, onPlanned,
       Option(streamOpts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(0),
       Option(streamOpts.get("skipChangeCommits")).exists(_.toBoolean),
       Option(streamOpts.get("startingVersion")).getOrElse("0"),
@@ -1271,6 +1469,7 @@ private[sources] class LedgerScan(
     flo: Long, fhi: Long, statFiltered: Boolean,
     partEq: Map[String, Set[String]],
     partMustNull: Set[String], partMustNotNull: Set[String],
+    partDayLo: Map[String, Long], partDayHi: Map[String, Long],
     version: Option[Int], changes: Option[(Int, Int)],
     onPlanned: Seq[String] => Unit,
     maxFilesPerTrigger: Int = 0,
@@ -1313,7 +1512,8 @@ private[sources] class LedgerScan(
 
   private def partitionMatches(m: LedgerSink.Manifest,
       e: LedgerSink.FileEntry): Boolean = {
-    if (partEq.isEmpty && partMustNull.isEmpty && partMustNotNull.isEmpty)
+    if (partEq.isEmpty && partMustNull.isEmpty && partMustNotNull.isEmpty &&
+        partDayLo.isEmpty && partDayHi.isEmpty)
       return true
     val names = m.partitionNames
     e.partVals match {
@@ -1322,7 +1522,10 @@ private[sources] class LedgerScan(
           val isNull = v == LedgerSink.NullMark
           (!partMustNull.contains(n) || isNull) &&
             (!partMustNotNull.contains(n) || !isNull) &&
-            partEq.get(n).forall(s => !isNull && s.contains(v))
+            partEq.get(n).forall(s => !isNull && s.contains(v)) &&
+            // day-range bounds (range predicates exclude null)
+            partDayLo.get(n).forall(lo => !isNull && v.toLong >= lo) &&
+            partDayHi.get(n).forall(hi => !isNull && v.toLong <= hi)
         }
       case _ => true // no recorded tuple: cannot prove, must survive
     }
@@ -1385,8 +1588,12 @@ private[sources] class LedgerScan(
       .filter(m => chosenFiles.nonEmpty && chosenFiles.forall(
         _.partVals.exists(_.length == m.partitionIds.length)))
       .map { m =>
-        val types = m.partitionNames.map(n =>
-          m.schema.fields(m.schema.fieldIndex(n)).dataType)
+        // a transformed field's tuple value IS the transform result —
+        // bucket/day numbers key as INT; identity keys as the column
+        val types = m.namedPartitionSpec.map(p =>
+          if (p.kind == "identity")
+            m.schema.fields(m.schema.fieldIndex(p.name)).dataType
+          else IntegerType)
         chosenFiles.groupBy(_.partVals.get).toSeq
           .sortBy(_._1.mkString(" "))
           .map { case (vals, es) =>
@@ -1405,8 +1612,8 @@ private[sources] class LedgerScan(
       case Some(gs) =>
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            manifestOpt.get.partitionNames.map(n =>
-              Expressions.identity(n): ConnectorExpression).toArray,
+            manifestOpt.get.namedPartitionSpec.map(p =>
+              LedgerSink.toTransform(p): ConnectorExpression).toArray,
             gs.length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
@@ -1448,7 +1655,7 @@ private[sources] case class LedgerFileGroupPartition(
 }
 
 private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
-    requestedPartitionNames: Seq[String] = Seq.empty)
+    requestedSpec: Seq[LedgerSink.NamedPartField] = Seq.empty)
     extends WriteBuilder with SupportsTruncate {
   LedgerSink.checkSchema(schema)
   private var doTruncate = false
@@ -1458,36 +1665,42 @@ private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
     * and same-shape overwrites), or the requested one when the write
     * (re)defines the table. An append missing a partition column is
     * refused — its rows could not be placed. */
-  private def effectivePartitionNames: Seq[String] = {
-    val tableNames = LedgerSink.readManifest(dir).map(_.partitionNames)
-      .getOrElse(requestedPartitionNames)
-    if (tableNames.forall(n => schema.fieldNames.contains(n))) tableNames
-    else if (doTruncate) requestedPartitionNames
+  private def effectiveSpec: Seq[LedgerSink.NamedPartField] = {
+    val tableSpec = LedgerSink.readManifest(dir).map(_.namedPartitionSpec)
+      .getOrElse(requestedSpec)
+    if (tableSpec.forall(p => schema.fieldNames.contains(p.name))) tableSpec
+    else if (doTruncate) requestedSpec
     else throw new IllegalArgumentException(
       s"append schema ${schema.fieldNames.mkString(",")} lacks partition " +
-        s"column(s) ${tableNames.mkString(",")}")
+        s"column(s) ${tableSpec.map(_.name).mkString(",")}")
   }
 
   override def build(): Write = {
-    val partNames = effectivePartitionNames
-    LedgerSink.checkPartitionCols(schema, partNames)
+    val spec = effectiveSpec
+    LedgerSink.checkPartitionSpec(schema, spec)
     new Write with RequiresDistributionAndOrdering {
-      /** Cluster incoming rows by the partition tuple so each
+      /** Cluster incoming rows by the partition SOURCE columns so each
         * partition's rows land in one task → one file per partition
         * per commit, not one per (task × partition) — the difference
         * between a manifest that grows with data and one that grows
-        * with parallelism. Unpartitioned writes impose nothing. */
+        * with parallelism. Transformed specs cluster by the raw column
+        * too (finer than the tuple — a bucket's rows may span tasks,
+        * each task still writing one sub-file per tuple; OPTIMIZE
+        * compacts): clustering by the TRANSFORM expression would make
+        * the write's analysis depend on function-catalog resolution,
+        * which path-based writes don't have. Unpartitioned writes
+        * impose nothing. */
       override def requiredDistribution(): Distribution =
-        if (partNames.isEmpty) Distributions.unspecified()
+        if (spec.isEmpty) Distributions.unspecified()
         else Distributions.clustered(
-          partNames.map(n => Expressions.column(n): ConnectorExpression).toArray)
+          spec.map(p =>
+            Expressions.column(p.name): ConnectorExpression).toArray)
       override def requiredOrdering(): Array[ConnectorSortOrder] = Array.empty
       override def toBatch: BatchWrite =
-        new LedgerBatchWrite(dir, schema, doTruncate,
-          partNames, requestedPartitionNames)
+        new LedgerBatchWrite(dir, schema, doTruncate, spec, requestedSpec)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new LedgerStreamingWrite(dir, schema, partNames)
+        new LedgerStreamingWrite(dir, schema, spec)
     }
   }
 }
@@ -1519,7 +1732,8 @@ private[sources] object LedgerWriteSupport {
 
 private[sources] class LedgerBatchWrite(
     dir: Path, schema: StructType, truncate: Boolean,
-    partNames: Seq[String], requestedPartitionNames: Seq[String])
+    partSpec: Seq[LedgerSink.NamedPartField],
+    requestedSpec: Seq[LedgerSink.NamedPartField])
     extends BatchWrite {
 
   /** The manifest state the write's field-id binding is computed
@@ -1536,7 +1750,8 @@ private[sources] class LedgerBatchWrite(
     Files.createDirectories(dir.resolve("_staging"))
     val base = dir.toString
     val ddl = schema.toDDL
-    val partIdxs = partNames.map(schema.fieldIndex)
+    val partWrites = partSpec.map(p =>
+      (schema.fieldIndex(p.name), p.kind, p.param))
     // per-JOB tag: (partitionId, taskId) is only unique within one
     // SparkContext — taskIds restart at 0 in a new session, so a later
     // session appending to the same table could reuse a COMMITTED
@@ -1549,7 +1764,7 @@ private[sources] class LedgerBatchWrite(
     // executors and must not capture `this` (dir: Path is not
     // serializable)
     (partitionId: Int, taskId: Long) =>
-      new LedgerDataWriter(base, StructType.fromDDL(ddl), idsLocal, partIdxs,
+      new LedgerDataWriter(base, StructType.fromDDL(ddl), idsLocal, partWrites,
         partitionId, taskId, filePrefix = s"a$tag-")
   }
 
@@ -1592,10 +1807,10 @@ private[sources] class LedgerBatchWrite(
         }
         if (bindingValid) Some(old.copy(files = old.files ++ fresh)) else None
       case existing =>
-        val keepParts = existing.map(_.partitionNames)
-          .getOrElse(requestedPartitionNames)
-          .filter(schema.fieldNames.contains)
-        Some(LedgerSink.Manifest.fresh(schema, keepParts).copy(files = fresh))
+        val keepSpec = existing.map(_.namedPartitionSpec)
+          .getOrElse(requestedSpec)
+          .filter(p => schema.fieldNames.contains(p.name))
+        Some(LedgerSink.Manifest.fresh(schema, keepSpec).copy(files = fresh))
     }, s"append to $dir raced a schema-changing commit; retry the write " +
       "against the table's new definition")
   }
@@ -1642,11 +1857,11 @@ private[sources] class LedgerRowLevelOperation(
             val snapshot = LedgerSink.readManifest(dir)
             val ids = LedgerWriteSupport.writeIds(snapshot, schema,
               truncate = false)
-            val partIdxs = snapshot
-              .map(_.partitionNames).getOrElse(Seq.empty)
-              .map(schema.fieldIndex)
+            val partWrites = snapshot
+              .map(_.namedPartitionSpec).getOrElse(Seq.empty)
+              .map(p => (schema.fieldIndex(p.name), p.kind, p.param))
             (partitionId: Int, taskId: Long) =>
-              new CowDataWriter(base, StructType.fromDDL(ddl), ids, partIdxs,
+              new CowDataWriter(base, StructType.fromDDL(ddl), ids, partWrites,
                 partitionId, taskId, s"cow-$tag-")
           }
 
@@ -1667,7 +1882,8 @@ private[sources] class LedgerRowLevelOperation(
             val fresh = messages.toSeq
               .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
             LedgerSink.commitRebase(dir, cur => {
-              val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema, Seq.empty))
+              val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema,
+                Seq.empty[LedgerSink.NamedPartField]))
               val curFiles = m.files.map(_.file).toSet
               if (!replaced.forall(curFiles)) None
               else Some(m.copy(
@@ -1701,9 +1917,10 @@ private[sources] class LedgerRowLevelOperation(
   * markers). Plain writes (no leading operation column) pass through
   * untouched. */
 private[sources] class CowDataWriter(
-    base: String, schema: StructType, ids: Seq[Int], partIdxs: Seq[Int],
+    base: String, schema: StructType, ids: Seq[Int],
+    partWrites: Seq[(Int, String, Int)],
     partitionId: Int, taskId: Long, prefix: String)
-    extends LedgerDataWriter(base, schema, ids, partIdxs,
+    extends LedgerDataWriter(base, schema, ids, partWrites,
       partitionId, taskId, prefix) {
   private val width = schema.fields.length
   override def write(r: InternalRow): Unit = {
@@ -1737,7 +1954,7 @@ private[sources] class CowDataWriter(
   * transactional streaming sink. Append output mode only: an epoch
   * never rewrites previous epochs' files. */
 private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
-    partNames: Seq[String] = Seq.empty)
+    partSpec: Seq[LedgerSink.NamedPartField] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -1748,14 +1965,15 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
     val ddl = schema.toDDL
     val ids = LedgerWriteSupport.writeIds(LedgerSink.readManifest(dir),
       schema, truncate = false)
-    val partIdxs = partNames.map(schema.fieldIndex)
+    val partWrites = partSpec.map(p =>
+      (schema.fieldIndex(p.name), p.kind, p.param))
     // per-QUERY tag after the epoch marker (replay detection matches on
     // the `epoch-<e>-` prefix, so the tag must follow it): a restarted
     // query re-staging an epoch never collides with the committed run's
     // file names — see createBatchWriterFactory's naming note
     val tag = java.util.UUID.randomUUID().toString.take(8)
     (partitionId: Int, taskId: Long, epochId: Long) =>
-      new LedgerDataWriter(base, StructType.fromDDL(ddl), ids, partIdxs,
+      new LedgerDataWriter(base, StructType.fromDDL(ddl), ids, partWrites,
         partitionId, taskId, filePrefix = s"epoch-$epochId-$tag-")
   }
 
@@ -1770,7 +1988,7 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
     // both land), and detect REPLAY inside the same critical section
     // so a replayed epoch can never double-append
     LedgerSink.commitRebase(dir, cur => {
-      val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema, partNames))
+      val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema, partSpec))
       if (m.files.exists(_.file.startsWith(marker))) {
         // replayed epoch: the manifest already holds its files — drop
         // the re-staged duplicates instead of double-appending
@@ -1797,15 +2015,19 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
 }
 
 /** Task-side writer. Partitioned tables get DYNAMIC sub-files: one
-  * staged file per partition tuple seen by this task (the clustered
+  * staged file per partition TUPLE seen by this task (the clustered
   * write distribution makes that one tuple per task in the common
   * case), each carrying its tuple in the commit entry for the
-  * pruner. Files open lazily — an empty task stages nothing, so file
-  * count tracks data, not parallelism. Stats are per sub-file over
-  * the write schema's first integral column, recorded with its FIELD
-  * ID so evolution can later tell whose stats they are. */
+  * pruner. `partWrites` is (column index, transform kind, param) per
+  * spec field — tuples hold TRANSFORMED values (bucket number, day
+  * number) for non-identity fields. Files open lazily — an empty task
+  * stages nothing, so file count tracks data, not parallelism. Stats
+  * are per sub-file over the write schema's first integral column,
+  * recorded with its FIELD ID so evolution can later tell whose stats
+  * they are. */
 private[sources] class LedgerDataWriter(
-    base: String, schema: StructType, ids: Seq[Int], partIdxs: Seq[Int],
+    base: String, schema: StructType, ids: Seq[Int],
+    partWrites: Seq[(Int, String, Int)],
     partitionId: Int, taskId: Long, filePrefix: String = "")
     extends DataWriter[InternalRow] {
 
@@ -1832,12 +2054,14 @@ private[sources] class LedgerDataWriter(
 
   private def subFor(record: InternalRow): Sub = {
     val key: Seq[String] =
-      partIdxs.map(i => LedgerSink.encodeValue(schema.fields(i).dataType,
-        record, i))
+      partWrites.map { case (i, kind, param) =>
+        LedgerSink.encodePartValue(schema.fields(i).dataType,
+          record, i, kind, param)
+      }
     subs.getOrElseUpdate(key, {
       val rel = s"_staging/${filePrefix}part-$partitionId-$taskId-$seq.ledger"
       seq += 1
-      new Sub(rel, if (partIdxs.isEmpty) None else Some(key))
+      new Sub(rel, if (partWrites.isEmpty) None else Some(key))
     })
   }
 
