@@ -630,6 +630,153 @@ object LedgerLifecycle {
          CAST(1 AS INTEGER) AS spj_no_shuffle
        FROM rng CROSS JOIN j"""
 
+  /** `dsv2_mor_delete`: merge-on-read DELETE via deletion vectors —
+    * the modern Iceberg v2 / Delta DV design, and at 100 TB the
+    * difference between O(rows deleted) and O(files touched): the
+    * DELETE writes position-delete sidecars and one manifest swap, no
+    * data file is rewritten. The hashed row folds together the
+    * post-delete scan digest (the reader MERGES the DVs — a skipped
+    * or extra ordinal poisons the sums), the returned delete count,
+    * time travel to the pre-delete version (sidecars don't rewrite
+    * history), the DV-present/DV-cleared planner facts around an
+    * OPTIMIZE (which rewrites the vectors away), and the
+    * post-OPTIMIZE digest (the rewrite drops exactly the deleted
+    * lines). DuckDB recomputes every digest from the fixture with the
+    * same predicate. */
+  def morDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_mor_${tag(sfDir)}"
+    deleteRecursively(dir)
+    graft.io.Tables.orders(spark, sfDir).selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS okey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
+      .write.format(ledger).option("path", dir).mode("overwrite").save() // v1
+    val nDel = LedgerMaintenance.deleteMoR(spark, dir, Array(
+      org.apache.spark.sql.sources.LessThan("price_c", 10000000L)))      // v2
+    val root = Paths.get(dir)
+    val dvPresent =
+      if (LedgerSink.readManifest(root).get.files.exists(_.dv.nonEmpty)) 1
+      else 0
+    def digest(df: DataFrame, p: String): DataFrame =
+      df.selectExpr("count(*) AS n", "sum(price_c) AS p", "sum(okey) AS k")
+        .selectExpr(s"n AS n_$p", s"p AS price_$p", s"k AS key_$p")
+    val live = digest(
+      spark.read.format(ledger).option("path", dir).load(), "live")
+    val tt = digest(spark.read.format(ledger).option("path", dir)
+      .option("versionAsOf", "1").load(), "v1")
+    LedgerMaintenance.optimize(spark, dir): Unit                         // v3
+    val dvCleared =
+      if (LedgerSink.readManifest(root).get.files.forall(_.dv.isEmpty)) 1
+      else 0
+    val opt = digest(
+      spark.read.format(ledger).option("path", dir).load(), "opt")
+    live.crossJoin(broadcast(tt)).crossJoin(broadcast(opt))
+      .selectExpr(
+        s"CAST($nDel AS BIGINT) AS n_deleted",
+        "n_live", "price_live", "key_live",
+        "n_v1", "price_v1", "key_v1",
+        s"CAST($dvPresent AS INT) AS dv_present",
+        s"CAST($dvCleared AS INT) AS dv_cleared",
+        "CAST(CASE WHEN n_opt = n_live AND price_opt = price_live " +
+          "AND key_opt = key_live THEN 1 ELSE 0 END AS INT) AS opt_intact")
+  }
+
+  val morDeleteOracle: String =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+        del AS (SELECT count(*) AS n_deleted FROM o WHERE price_c < 10000000),
+        live AS (SELECT count(*) AS n_live,
+            CAST(sum(price_c) AS BIGINT) AS price_live,
+            CAST(sum(okey) AS BIGINT) AS key_live
+          FROM o WHERE price_c >= 10000000),
+        v1 AS (SELECT count(*) AS n_v1,
+            CAST(sum(price_c) AS BIGINT) AS price_v1,
+            CAST(sum(okey) AS BIGINT) AS key_v1 FROM o)
+       SELECT CAST(n_deleted AS BIGINT) AS n_deleted,
+         n_live, price_live, key_live, n_v1, price_v1, key_v1,
+         CAST(1 AS INTEGER) AS dv_present,
+         CAST(1 AS INTEGER) AS dv_cleared,
+         CAST(1 AS INTEGER) AS opt_intact
+       FROM del CROSS JOIN live CROSS JOIN v1"""
+
+  /** `dsv2_cdc_row_level`: the row-level CHANGE FEED through a
+    * copy-on-write MERGE — the Delta CDF contract the append-only CDC
+    * read honestly refuses. A catalog table takes customers (v2), a
+    * MERGE updates every k%10=0 balance and inserts shifted k%13=0
+    * rows (v3), and the feed for v2..v3 must emit EXACTLY the updated
+    * rows as delete(old)+insert(new) pairs plus the inserted rows —
+    * surviving rows of the rewritten files cancel in the multiset
+    * diff. The output folds the per-type digests (DuckDB replays the
+    * MERGE arithmetic from the fixture) with the reconstruction
+    * verdict: pre-state ∪ inserts ∖ deletes must equal the post-state
+    * exactly (exceptAll — multiset semantics). */
+  def cdcRowLevel(spark: SparkSession, sfDir: String): DataFrame = {
+    initCatalog(spark)
+    val g = tag(sfDir)
+    val t = s"graft_cat.cdf.cust_$g"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.cdf")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, bal BIGINT)")              // v1
+    graft.io.Tables.customer(spark, sfDir).selectExpr(
+        "CAST(c_custkey AS BIGINT) AS k",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal")
+      .createOrReplaceTempView(s"cdf_cust_$g")
+    spark.sql(s"INSERT INTO $t SELECT k, bal FROM cdf_cust_$g")       // v2
+    spark.sql(
+      s"""MERGE INTO $t dst USING (
+            SELECT k, bal + 7777 AS nb FROM cdf_cust_$g WHERE k % 10 = 0
+            UNION ALL
+            SELECT k + 500000, bal FROM cdf_cust_$g WHERE k % 13 = 0
+          ) src ON dst.k = src.k
+          WHEN MATCHED THEN UPDATE SET bal = src.nb
+          WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (src.k, src.nb)""") // v3
+    val dir = s"$catalogRoot/cdf/cust_$g"
+    val feed = spark.read.format(ledger).option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("changesFromVersion", "2")
+      .option("changesToVersion", "3").load()
+    feed.createOrReplaceTempView(s"cdf_feed_$g")
+    val byType = spark.sql(
+      s"""SELECT
+            sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE 0 END) AS n_ins,
+            sum(CASE WHEN _change_type = 'delete' THEN 1 ELSE 0 END) AS n_del,
+            sum(CASE WHEN _change_type = 'insert' THEN k ELSE 0 END) AS k_ins,
+            sum(CASE WHEN _change_type = 'delete' THEN k ELSE 0 END) AS k_del,
+            sum(CASE WHEN _change_type = 'insert' THEN bal ELSE 0 END) AS bal_ins,
+            sum(CASE WHEN _change_type = 'delete' THEN bal ELSE 0 END) AS bal_del
+          FROM cdf_feed_$g""")
+    val pre = spark.sql(s"SELECT k, bal FROM $t VERSION AS OF 2")
+    val post = spark.sql(s"SELECT k, bal FROM $t VERSION AS OF 3")
+    val reconstructed = pre
+      .unionByName(feed.filter("_change_type = 'insert'").select("k", "bal"))
+      .exceptAll(feed.filter("_change_type = 'delete'").select("k", "bal"))
+    val ok =
+      if (reconstructed.exceptAll(post).isEmpty &&
+          post.exceptAll(reconstructed).isEmpty) 1
+      else 0
+    byType.selectExpr("n_ins", "n_del", "k_ins", "k_del",
+      "bal_ins", "bal_del", s"CAST($ok AS INT) AS reconstructs")
+  }
+
+  val cdcRowLevelOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+         FROM customer),
+        upd AS (SELECT k, bal FROM c WHERE k % 10 = 0),
+        ins AS (SELECT k + 500000 AS k, bal FROM c WHERE k % 13 = 0)
+       SELECT
+         CAST((SELECT count(*) FROM upd) + (SELECT count(*) FROM ins)
+           AS BIGINT) AS n_ins,
+         CAST((SELECT count(*) FROM upd) AS BIGINT) AS n_del,
+         CAST(coalesce((SELECT sum(k) FROM upd), 0)
+           + coalesce((SELECT sum(k) FROM ins), 0) AS BIGINT) AS k_ins,
+         CAST(coalesce((SELECT sum(k) FROM upd), 0) AS BIGINT) AS k_del,
+         CAST(coalesce((SELECT sum(bal + 7777) FROM upd), 0)
+           + coalesce((SELECT sum(bal) FROM ins), 0) AS BIGINT) AS bal_ins,
+         CAST(coalesce((SELECT sum(bal) FROM upd), 0) AS BIGINT) AS bal_del,
+         CAST(1 AS INTEGER) AS reconstructs"""
+
   val streamReplicationOracle: String =
     """WITH src AS (
          SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,

@@ -63,7 +63,12 @@ class LedgerSink extends TableProvider {
     val version = Option(options.get("versionAsOf")).map(_.toInt)
       .orElse(Option(options.get("changesToVersion")).map(_.toInt))
     LedgerSink.readManifestAt(Paths.get(dir), version) match {
-      case Some(m) => m.schema
+      case Some(m) =>
+        // the row-level CHANGE FEED (Delta CDF contract) appends the
+        // change metadata columns to the version's schema
+        if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+          StructType(m.schema.fields ++ LedgerSink.cdfColumns)
+        else m.schema
       case None => throw new IllegalArgumentException(
         s"no committed ledger manifest under $dir")
     }
@@ -90,7 +95,9 @@ class LedgerSink extends TableProvider {
     new LedgerTable(Paths.get(dir), schema,
       Option(properties.get("versionAsOf")).map(_.toInt),
       changes,
-      LedgerSink.partitionSpecOf(partitioning))
+      LedgerSink.partitionSpecOf(partitioning),
+      rowLevelChanges =
+        Option(properties.get("readChangeFeed")).exists(_.toBoolean))
   }
 }
 
@@ -619,20 +626,27 @@ object LedgerSink {
     *   - `ids`: the FIELD IDS of the file's columns in written order
     *     (None = a pre-evolution legacy file whose columns are a
     *     positional prefix of its manifest's schema);
-    *   - `partVals`: the file's identity-partition value tuple in
-    *     partition-spec order, rendered by [[LedgerSink.encodeValue]].
+    *   - `partVals`: the file's partition value tuple in
+    *     partition-spec order (transformed values for bucket/days);
+    *   - `dv`: an optional DELETION VECTOR sidecar (merge-on-read
+    *     position deletes): readers skip the listed row ordinals, so a
+    *     DELETE costs O(rows deleted), not a file rewrite. `rows` stays
+    *     the PHYSICAL line count; stats stay valid (deletion only
+    *     narrows the true range, bounds remain conservative).
     * Field ids are the Iceberg idea at this format's scale: names may
     * be renamed and columns dropped without touching a data file,
     * because readers bind columns by id, not by name or position. */
   private[sources] case class FileEntry(
       file: String, rows: Long, min: Option[Long], max: Option[Long],
       ids: Option[Seq[Int]] = None, statId: Option[Int] = None,
-      partVals: Option[Seq[String]] = None) {
+      partVals: Option[Seq[String]] = None,
+      dv: Option[String] = None) {
     def render: String =
       s"$file\t$rows\t${min.getOrElse("-")}\t${max.getOrElse("-")}\t" +
         s"${ids.map(_.mkString(",")).getOrElse("-")}\t" +
         s"${statId.map(_.toString).getOrElse("-")}\t" +
-        s"${partVals.map(_.mkString(",")).getOrElse("-")}"
+        s"${partVals.map(_.mkString(",")).getOrElse("-")}" +
+        dv.map(d => s"\t$d").getOrElse("")
   }
 
   private[sources] object FileEntry {
@@ -644,7 +658,8 @@ object LedgerSink {
         opt(2).map(_.toLong), opt(3).map(_.toLong),
         opt(4).map(_.split(",", -1).toSeq.filter(_.nonEmpty).map(_.toInt)),
         opt(5).map(_.toInt),
-        opt(6).map(_.split(",", -1).toSeq))
+        opt(6).map(_.split(",", -1).toSeq),
+        opt(7))
     }
   }
 
@@ -784,28 +799,37 @@ object LedgerSink {
       s"changesFromVersion=$from > changesToVersion=$to")
     val toM = readManifestAt(dir, Some(to)).getOrElse(
       throw new IllegalArgumentException(s"no committed ledger manifest under $dir"))
-    val baseFiles: Set[String] =
+    // entry identity includes the deletion vector: a DV-only change to
+    // a file is a logical row REMOVAL and must not pass as append-only
+    val baseKeys: Set[(String, Option[String])] =
       if (from == 0) Set.empty
       else readManifestAt(dir, Some(from))
-        .map(_.files.map(_.file).toSet).getOrElse(Set.empty)
-    val toFiles = toM.files.map(_.file).toSet
-    val removed = baseFiles -- toFiles
+        .map(_.files.map(e => (e.file, e.dv)).toSet).getOrElse(Set.empty)
+    val toKeys = toM.files.map(e => (e.file, e.dv)).toSet
+    val removed = baseKeys -- toKeys
     if (removed.nonEmpty) throw new UnsupportedOperationException(
       s"CDC range v$from..v$to spans a non-append commit " +
         s"(${removed.size} file(s) were removed or rewritten); " +
-        "read the versions on either side instead")
-    toM.copy(files = toM.files.filterNot(e => baseFiles(e.file)))
+        "use readChangeFeed=true for the row-level diff, or read the " +
+        "versions on either side")
+    toM.copy(files = toM.files.filterNot(e => baseKeys((e.file, e.dv))))
   }
+
+  /** The change-feed metadata columns (the Delta CDF surface). */
+  private[sources] val cdfColumns: Array[StructField] = Array(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", IntegerType, nullable = false))
 
   /** Every file referenced by ANY retained version — the set a vacuum
     * or a post-DELETE cleanup must not touch. */
   private[sources] def referencedFiles(dir: Path): Set[String] = {
+    def refs(m: Manifest): Seq[String] =
+      m.files.flatMap(e => e.file +: e.dv.toSeq)
     val archived = archivedVersions(dir).flatMap { v =>
-      Manifest.parse(Files.readAllLines(dir.resolve(archiveName(v)), UTF_8)
-        .asScala.toSeq).files.map(_.file)
+      refs(Manifest.parse(Files.readAllLines(dir.resolve(archiveName(v)), UTF_8)
+        .asScala.toSeq))
     }
-    (archived ++ readManifest(dir).map(_.files.map(_.file)).getOrElse(Seq.empty))
-      .toSet
+    (archived ++ readManifest(dir).map(refs).getOrElse(Seq.empty)).toSet
   }
 
   /** Delete staged files no retained version references (the Delta
@@ -824,11 +848,33 @@ object LedgerSink {
     orphans.sorted
   }
 
+  /** Deletion-vector sidecar codec: one deleted row ORDINAL per line,
+    * sorted ascending (the writer sorts; the reader treats it as a
+    * set). */
+  private[sources] def readDvOrdinals(path: Path): java.util.BitSet = {
+    val bs = new java.util.BitSet()
+    Files.readAllLines(path, UTF_8).asScala
+      .foreach(l => if (l.nonEmpty) bs.set(l.trim.toInt))
+    bs
+  }
+
+  /** One bound file's live rows: decode every line EXCEPT the ordinals
+    * the file's deletion vector (if any) marks deleted — the
+    * merge-on-read scan path. */
+  private[sources] def fileRows(p: LedgerFilePartition,
+      types: Array[DataType]): Iterator[InternalRow] = {
+    val lines = Files.readAllLines(Paths.get(p.file), UTF_8)
+    val dv = p.dvFile.map(d => readDvOrdinals(Paths.get(d)))
+    (0 until lines.size).iterator
+      .filter(i => dv.forall(!_.get(i)))
+      .map(i => decodeProjected(lines.get(i), p.positions, types, p.width))
+  }
+
   /** The one row-decoding reader both the batch scan and the
     * micro-batch stream use: each [[LedgerFilePartition]] carries its
-    * own column-position binding, so the factory itself only needs
-    * the OUTPUT schema (serialized as DDL — the factory ships to
-    * executors). */
+    * own column-position binding (and optional deletion vector), so
+    * the factory itself only needs the OUTPUT schema (serialized as
+    * DDL — the factory ships to executors). */
   private[sources] def lineReaderFactory(
       requiredDdl: String): PartitionReaderFactory =
     partition => {
@@ -839,10 +885,7 @@ object LedgerSink {
         case g: LedgerFileGroupPartition => g.files
         case p: LedgerFilePartition => Array(p)
       }
-      val rows = parts.iterator.flatMap { p =>
-        Files.readAllLines(Paths.get(p.file), UTF_8).asScala.iterator
-          .map(line => decodeProjected(line, p.positions, types, p.width))
-      }
+      val rows = parts.iterator.flatMap(fileRows(_, types))
       new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
         private var cur: InternalRow = _
         override def next(): Boolean =
@@ -962,6 +1005,143 @@ object LedgerSink {
 object LedgerMaintenance {
   import org.apache.spark.sql.SparkSession
 
+  /** MERGE-ON-READ DELETE (deletion vectors — the Iceberg v2
+    * position-delete / Delta DV design): instead of rewriting every
+    * file a predicate touches (copy-on-write's O(files touched)), each
+    * matching file gains a position-delete SIDECAR listing its deleted
+    * row ordinals; scans merge the DV at read time, so the delete
+    * costs O(rows deleted) and commits in one manifest swap. A second
+    * delete on the same file writes a new sidecar holding the UNION of
+    * ordinals (sidecars are immutable; the old one stays referenced by
+    * the archived version for time travel until vacuum). [[optimize]]
+    * compacts DVs away — the rewrite drops deleted lines and clears
+    * the dv reference.
+    *
+    * `filters` is a CONJUNCTION over the Spark source-filter ADT
+    * (equality/range/null/IN on the table's columns) — the evaluation
+    * runs distributed, one task per candidate file; files the
+    * manifest's partition/stats metadata can't exclude are scanned,
+    * matching ordinals written from the executor, and the commit
+    * rebases under the table lock (a racing rewrite of a target file
+    * aborts cleanly). Returns the number of deleted rows. */
+  def deleteMoR(spark: SparkSession, dirStr: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+    import org.apache.spark.sql.sources._
+    val dir = Paths.get(dirStr)
+    val m = LedgerSink.readManifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no ledger table at $dirStr"))
+    val schema = m.schema
+    val ddl = schema.toDDL
+    // validate the filter shapes up front (fail before any work)
+    def checkShape(f: Filter): Unit = f match {
+      case EqualTo(c, _) => schema.fieldIndex(c): Unit
+      case GreaterThan(c, _) => schema.fieldIndex(c): Unit
+      case GreaterThanOrEqual(c, _) => schema.fieldIndex(c): Unit
+      case LessThan(c, _) => schema.fieldIndex(c): Unit
+      case LessThanOrEqual(c, _) => schema.fieldIndex(c): Unit
+      case In(c, _) => schema.fieldIndex(c): Unit
+      case IsNull(c) => schema.fieldIndex(c): Unit
+      case IsNotNull(c) => schema.fieldIndex(c): Unit
+      case other => throw new UnsupportedOperationException(
+        s"deleteMoR supports equality/range/null/IN conjunctions, got $other")
+    }
+    filters.foreach(checkShape)
+    val base = dir.toString
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    // one task per file: evaluate the conjunction on decoded rows,
+    // union with the existing DV, stage a fresh sidecar
+    val jobs = m.files.zipWithIndex.map { case (e, i) =>
+      val (positions, width) = e.ids match {
+        case Some(fids) =>
+          (schema.fields.map(f => fids.indexOf(m.idOf(f.name))), fids.length)
+        case None =>
+          (schema.fields.map(f => schema.fieldIndex(f.name)), schema.length)
+      }
+      (e.file, e.dv, positions, width, i)
+    }
+    val results = spark.sparkContext
+      .parallelize(jobs, math.max(1, jobs.length))
+      .map { case (file, oldDv, positions, width, i) =>
+        val st = StructType.fromDDL(ddl)
+        val types = st.fields.map(_.dataType)
+        val colIdx: Map[String, Int] = st.fieldNames.zipWithIndex.toMap
+        val lines = Files.readAllLines(Paths.get(base, file), UTF_8)
+        val dvOld = oldDv.map(d =>
+          LedgerSink.readDvOrdinals(Paths.get(base, d)))
+          .getOrElse(new java.util.BitSet())
+        def matches(row: InternalRow): Boolean = filters.forall { f =>
+          def idx(c: String) = colIdx(c)
+          def cmp(c: String, v: Any): Option[Int] = {
+            val j = idx(c)
+            if (row.isNullAt(j)) None
+            else (types(j), v) match {
+              case (LongType, x: Number) =>
+                Some(java.lang.Long.compare(row.getLong(j), x.longValue))
+              case (IntegerType, x: Number) =>
+                Some(java.lang.Long.compare(row.getInt(j).toLong, x.longValue))
+              case (DoubleType, x: Number) =>
+                Some(java.lang.Double.compare(row.getDouble(j), x.doubleValue))
+              case (StringType, x: String) =>
+                Some(row.getUTF8String(j).toString.compareTo(x))
+              case _ => None
+            }
+          }
+          f match {
+            case EqualTo(c, v) => cmp(c, v).contains(0)
+            case GreaterThan(c, v) => cmp(c, v).exists(_ > 0)
+            case GreaterThanOrEqual(c, v) => cmp(c, v).exists(_ >= 0)
+            case LessThan(c, v) => cmp(c, v).exists(_ < 0)
+            case LessThanOrEqual(c, v) => cmp(c, v).exists(_ <= 0)
+            case In(c, vs) => vs.exists(v => cmp(c, v).contains(0))
+            case IsNull(c) => row.isNullAt(idx(c))
+            case IsNotNull(c) => !row.isNullAt(idx(c))
+            case _ => false
+          }
+        }
+        val dvNew = dvOld.clone().asInstanceOf[java.util.BitSet]
+        var hits = 0L
+        var ord = 0
+        lines.forEach { line =>
+          if (!dvOld.get(ord) &&
+              matches(LedgerSink.decodeProjected(
+                line, positions, types, width))) {
+            dvNew.set(ord); hits += 1
+          }
+          ord += 1
+        }
+        if (hits == 0L) (file, None: Option[String], 0L)
+        else {
+          val rel = s"_staging/dv-$runTag-$i.dv"
+          val sb = new StringBuilder
+          var b = dvNew.nextSetBit(0)
+          while (b >= 0) { sb.append(b).append('\n'); b = dvNew.nextSetBit(b + 1) }
+          Files.write(Paths.get(base, rel), sb.toString.getBytes(UTF_8))
+          (file, Some(rel), hits)
+        }
+      }.collect()
+    val newDvs: Map[String, String] =
+      results.collect { case (f, Some(d), _) => f -> d }.toMap
+    val deleted = results.map(_._3).sum
+    if (newDvs.isEmpty) return 0L
+    try LedgerSink.commitRebase(dir, cur =>
+      // every target (file, dv-at-planning) entry must be unchanged —
+      // a racing rewrite of a target file would make our ordinals wrong
+      cur.filter(c => newDvs.keySet.subsetOf(c.files
+          .filter(e => m.files.exists(o => o.file == e.file && o.dv == e.dv))
+          .map(_.file).toSet))
+        .map(c => c.copy(files = c.files.map(e =>
+          newDvs.get(e.file).fold(e)(d => e.copy(dv = Some(d)))))),
+      s"deleteMoR on $dirStr raced a commit that rewrote one of its " +
+        "target files; re-run the delete")
+    catch {
+      case ex: java.util.ConcurrentModificationException =>
+        newDvs.values.foreach(d =>
+          Files.deleteIfExists(Paths.get(base, d)): Unit)
+        throw ex
+    }
+    deleted
+  }
+
   /** Returns (files before, files after). Bins never mix column-id
     * lists, stat columns or partition tuples, so every rewritten file
     * is indistinguishable from one a single large write produced. */
@@ -978,15 +1158,21 @@ object LedgerMaintenance {
       .toSeq.sortBy(_._2.head.file).foreach { case (_, es) =>
         var bin = Vector.empty[LedgerSink.FileEntry]
         var sz = 0L
+        // a bin qualifies when it actually compacts (≥2 files) OR when
+        // any member carries a deletion vector — OPTIMIZE is also the
+        // operation that rewrites DVs away (merge-on-read's deferred
+        // cost, paid here once)
+        def accept(b: Vector[LedgerSink.FileEntry]): Unit =
+          if (b.length >= 2 || b.exists(_.dv.nonEmpty)) bins += b
         es.sortBy(e => (sizeOf(e.file), e.file)).foreach { e =>
           val s = sizeOf(e.file)
           if (bin.nonEmpty && sz + s > targetBytes) {
-            if (bin.length >= 2) bins += bin
+            accept(bin)
             bin = Vector.empty; sz = 0L
           }
           bin = bin :+ e; sz += s
         }
-        if (bin.length >= 2) bins += bin
+        accept(bin)
       }
     val packed = bins.result()
     if (packed.isEmpty) return (m.files.length, m.files.length)
@@ -997,11 +1183,30 @@ object LedgerMaintenance {
       .map { case (bin, i) =>
         val rel = s"_staging/opt-$runTag-$i.ledger"
         val out = Files.newOutputStream(Paths.get(base, rel))
-        try bin.foreach(e => Files.copy(Paths.get(base, e.file), out): Unit)
-        finally out.close()
+        var liveRows = 0L
+        try bin.foreach { e =>
+          e.dv match {
+            case None => // clean file: straight byte concatenation
+              Files.copy(Paths.get(base, e.file), out): Unit
+              liveRows += e.rows
+            case Some(d) => // DV-carrying file: drop the deleted LINES
+              // (rows are line-delimited, so this is still a byte-level
+              // filter — no decode) and clear the vector
+              val dv = LedgerSink.readDvOrdinals(Paths.get(base, d))
+              val lines = Files.readAllLines(Paths.get(base, e.file), UTF_8)
+              var ord = 0
+              lines.forEach { l =>
+                if (!dv.get(ord)) {
+                  out.write(l.getBytes(UTF_8)); out.write('\n')
+                  liveRows += 1
+                }
+                ord += 1
+              }
+          }
+        } finally out.close()
         val mins = bin.flatMap(_.min)
         val maxs = bin.flatMap(_.max)
-        LedgerSink.FileEntry(rel, bin.map(_.rows).sum,
+        LedgerSink.FileEntry(rel, liveRows,
           if (mins.isEmpty) None else Some(mins.min),
           if (maxs.isEmpty) None else Some(maxs.max),
           bin.head.ids, bin.head.statId, bin.head.partVals)
@@ -1095,10 +1300,14 @@ object LedgerMaintenance {
 private[sources] class LedgerTable(dir: Path, schema0: StructType,
     version: Option[Int] = None,
     changes: Option[(Int, Int)] = None,
-    requestedPartitioning: Seq[LedgerSink.NamedPartField] = Seq.empty)
+    requestedPartitioning: Seq[LedgerSink.NamedPartField] = Seq.empty,
+    rowLevelChanges: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations {
   LedgerSink.checkSchema(schema0)
+  if (rowLevelChanges && changes.isEmpty)
+    throw new IllegalArgumentException(
+      "readChangeFeed requires changesFromVersion/changesToVersion")
 
   /** A versionAsOf or CDC table is a SNAPSHOT: reads resolve archived
     * manifests; writes and deletes are refused (they would have to
@@ -1135,7 +1344,10 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LedgerScanBuilder(dir, schema0, version, changes,
+    if (rowLevelChanges) {
+      val (f, t) = changes.get
+      () => new LedgerChangeFeedScan(dir, f, t)
+    } else new LedgerScanBuilder(dir, schema0, version, changes,
       streamOpts = options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1559,7 +1771,8 @@ private[sources] class LedgerScan(
         (required.fields.map(f => m.schema.fieldIndex(f.name)),
           m.schema.length)
     }
-    LedgerFilePartition(dir.resolve(e.file).toString, positions, width)
+    LedgerFilePartition(dir.resolve(e.file).toString, positions, width,
+      e.dv.map(d => dir.resolve(d).toString))
   }
 
   private lazy val chosenFiles: Seq[LedgerSink.FileEntry] =
@@ -1641,7 +1854,8 @@ private[sources] class LedgerScan(
 }
 
 private[sources] case class LedgerFilePartition(
-    file: String, positions: Array[Int], width: Int)
+    file: String, positions: Array[Int], width: Int,
+    dvFile: Option[String] = None)
     extends InputPartition
 
 /** One partition VALUE's files, keyed for storage-partitioned joins.
@@ -1652,6 +1866,138 @@ private[sources] case class LedgerFileGroupPartition(
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
+}
+
+/** One version STEP of the row-level change feed: the files version
+  * `version` added and removed relative to `version − 1`, each
+  * pre-bound to the feed's output schema. */
+private[sources] case class LedgerChangeStepPartition(
+    version: Int,
+    added: Array[LedgerFilePartition],
+    removed: Array[LedgerFilePartition])
+    extends InputPartition
+
+/** Row-level CHANGE FEED (the Delta CDF contract): for a version range
+  * (from, to], emit each step's logical row diff as
+  * (table columns…, `_change_type` ∈ {insert, delete},
+  * `_commit_version`), such that applying the feed to the FROM
+  * snapshot reconstructs the TO snapshot exactly (multiset semantics:
+  * post = pre ∪ inserts ∖ deletes).
+  *
+  * Unlike [[LedgerSink.readChanges]] (which serves append-only ranges
+  * as plain rows and REFUSES ranges spanning non-append commits), this
+  * scan handles every commit kind by DIFFING replaced against
+  * replacement files per step: a copy-on-write UPDATE emits the old
+  * row as `delete` and the new one as `insert`, surviving rows of the
+  * rewritten files cancel in the multiset diff, and a pure rewrite
+  * (OPTIMIZE) emits NOTHING — rewritten-identical rows all cancel.
+  *
+  * Honesty note on scale: this RECONSTRUCTS the diff at read time, so
+  * each step's reader holds one version step's distinct rows in
+  * memory. Delta/Iceberg persist change files AT COMMIT TIME to avoid
+  * exactly this; at this format's scale the reconstruction keeps the
+  * commit path lean and the feed exact, and steps parallelize across
+  * executors (one input partition per step). Files bind by FIELD ID
+  * against the TO version's schema — renames are transparent, columns
+  * added later read null from older files. */
+private[sources] class LedgerChangeFeedScan(dir: Path, from: Int, to: Int)
+    extends ScanBuilder with Scan with Batch {
+  if (from > to) throw new IllegalArgumentException(
+    s"changesFromVersion=$from > changesToVersion=$to")
+  private val toManifest = LedgerSink.readManifestAt(dir, Some(to)).getOrElse(
+    throw new IllegalArgumentException(
+      s"no committed ledger manifest under $dir"))
+
+  override def build(): Scan = this
+  override def toBatch: Batch = this
+  override def readSchema(): StructType =
+    StructType(toManifest.schema.fields ++ LedgerSink.cdfColumns)
+  override def description(): String =
+    s"graft-ledger-cdf $dir v$from..v$to"
+
+  private def bind(m: LedgerSink.Manifest,
+      e: LedgerSink.FileEntry): LedgerFilePartition = {
+    val out = toManifest.schema
+    val (positions, width) = e.ids match {
+      case Some(fids) =>
+        (out.fields.map(f => fids.indexOf(toManifest.idOf(f.name))),
+          fids.length)
+      case None => // legacy file: positional under ITS version's schema
+        (out.fields.map(f => m.schema.fieldNames.indexOf(f.name)),
+          m.schema.length)
+    }
+    LedgerFilePartition(dir.resolve(e.file).toString, positions, width,
+      e.dv.map(dir.resolve(_).toString))
+  }
+
+  /** Entry identity includes the deletion vector: a DV-only change to
+    * a file is a logical row change and must enter the step diff. */
+  private def keyOf(e: LedgerSink.FileEntry): (String, Option[String]) =
+    (e.file, e.dv)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (from + 1 to to).flatMap { v =>
+      val cur = LedgerSink.readManifestAt(dir, Some(v)).get
+      val prev =
+        if (v - 1 == 0) LedgerSink.Manifest.fresh(cur.schema, Seq.empty[String])
+        else LedgerSink.readManifestAt(dir, Some(v - 1)).get
+      val curKeys = cur.files.map(keyOf).toSet
+      val prevKeys = prev.files.map(keyOf).toSet
+      val added = cur.files.filterNot(e => prevKeys(keyOf(e)))
+      val removed = prev.files.filterNot(e => curKeys(keyOf(e)))
+      if (added.isEmpty && removed.isEmpty) None
+      else Some(LedgerChangeStepPartition(v,
+        added.map(bind(cur, _)).toArray,
+        removed.map(bind(prev, _)).toArray): InputPartition)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LedgerChangeFeedScan.readerFactory(toManifest.schema.toDDL)
+}
+
+private[sources] object LedgerChangeFeedScan {
+  /** Per-step multiset diff: count added rows up, removed rows down;
+    * positive residues emit as `insert`, negative as `delete`. Keyed
+    * on the DECODED field values (boxed equality — UTF8String by
+    * content, doubles bit-boxed), insertion-ordered so output is
+    * deterministic. */
+  private[sources] def readerFactory(
+      schemaDdl: String): PartitionReaderFactory =
+    partition => {
+      val types: Array[DataType] =
+        StructType.fromDDL(schemaDdl).fields.map(_.dataType)
+      val p = partition.asInstanceOf[LedgerChangeStepPartition]
+      def rowsOf(files: Array[LedgerFilePartition]): Iterator[InternalRow] =
+        files.iterator.flatMap(LedgerSink.fileRows(_, types))
+      val counts =
+        scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+      def keyed(r: InternalRow): Seq[Any] =
+        types.indices.map(i =>
+          if (r.isNullAt(i)) null else r.get(i, types(i)))
+      rowsOf(p.added).foreach { r =>
+        val k = keyed(r); counts.update(k, counts.getOrElse(k, 0L) + 1L)
+      }
+      rowsOf(p.removed).foreach { r =>
+        val k = keyed(r); counts.update(k, counts.getOrElse(k, 0L) - 1L)
+      }
+      val out = counts.iterator.flatMap { case (k, n) =>
+        if (n == 0L) Iterator.empty
+        else {
+          val tpe = UTF8String.fromString(if (n > 0L) "insert" else "delete")
+          Iterator.fill(math.abs(n).toInt) {
+            new GenericInternalRow(
+              (k :+ (tpe: Any) :+ (p.version: Any)).toArray): InternalRow
+          }
+        }
+      }
+      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean =
+          out.hasNext && { cur = out.next(); true }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
 }
 
 private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,

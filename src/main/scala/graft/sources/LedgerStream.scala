@@ -168,7 +168,8 @@ private[sources] class LedgerMicroBatchStream(
               (required.fields.map(f =>
                 vM.schema.fieldNames.indexOf(f.name)), vM.schema.length)
           }
-          LedgerFilePartition(dir.resolve(en.file).toString, positions, width)
+          LedgerFilePartition(dir.resolve(en.file).toString, positions, width,
+            en.dv.map(d => dir.resolve(d).toString))
         }
       }
     }
