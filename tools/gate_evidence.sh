@@ -17,7 +17,7 @@ cd /root/repo
   echo "- oracle_sql.json sha256: $(sha256sum "$OUT/oracle_sql.json" | cut -d' ' -f1)"
   echo "- git head: $(git rev-parse --short HEAD)"
   if [ -n "$BENCH" ] && [ -f "$BENCH" ]; then
-    echo "- bench (sf0.1 local[32]): $(cat "$BENCH" | python3 -c 'import json,sys; d=json.load(sys.stdin); print(f"{d[\"value\"]}s steady over {len(d[\"queries\"])} queries, cold_total {d.get(\"cold_total\",\"-\")}s, errors {sum(1 for v in d[\"queries\"].values() if not isinstance(v,(int,float)))}")')"
+    echo "- bench (sf0.1 local[32]): $(cat "$BENCH" | python3 -c "import json,sys; d=json.load(sys.stdin); print('%ss steady over %d queries, cold_total %ss, errors %s' % (d['value'], len(d['queries']), d.get('cold_total','-'), d.get('errors','-')))")"
   fi
   echo
 } >> GATES.md
