@@ -158,9 +158,11 @@ object EditJoin {
       maxBroadcastBytes: Long = bandBroadcastMaxBytes): DataFrame = {
     graft.functions.Native.register(base.sparkSession)
     import org.apache.spark.sql.Row
+    // octet_length, not length: the guard bounds UTF-8 BYTES on the
+    // build side, and a CJK-heavy corpus is up to 4 bytes per char
     val Row(nDocs: Long, totalBytes: Long) = base
       .agg(count(lit(1)).as("nd"),
-        coalesce(sum(col("len")), lit(0L)).as("bytes")).head()
+        coalesce(sum(expr("octet_length(text)")), lit(0L)).as("bytes")).head()
     val Row(nGrams: Long) = base
       .selectExpr(
         s"explode(array_distinct(transform(sequence(1, greatest(len - $q + 1, 1)), " +

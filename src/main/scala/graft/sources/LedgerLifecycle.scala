@@ -660,8 +660,14 @@ object LedgerLifecycle {
     def digest(df: DataFrame, p: String): DataFrame =
       df.selectExpr("count(*) AS n", "sum(price_c) AS p", "sum(okey) AS k")
         .selectExpr(s"n AS n_$p", s"p AS price_$p", s"k AS key_$p")
-    val live = digest(
-      spark.read.format(ledger).option("path", dir).load(), "live")
+    // the "live" digest reads versionAsOf=2 — the DV-carrying snapshot
+    // — NOT the head: DataFrames are lazy, and a head read would
+    // execute after the OPTIMIZE below, silently planning against the
+    // compacted (DV-free) manifest and making opt_intact tautological.
+    // Pinning v2 forces the scan to MERGE the deletion vectors, so a
+    // skipped or extra ordinal in fileRows poisons these sums.
+    val live = digest(spark.read.format(ledger).option("path", dir)
+      .option("versionAsOf", "2").load(), "live")
     val tt = digest(spark.read.format(ledger).option("path", dir)
       .option("versionAsOf", "1").load(), "v1")
     LedgerMaintenance.optimize(spark, dir): Unit                         // v3
@@ -727,7 +733,7 @@ object LedgerLifecycle {
       s"""MERGE INTO $t dst USING (
             SELECT k, bal + 7777 AS nb FROM cdf_cust_$g WHERE k % 10 = 0
             UNION ALL
-            SELECT k + 500000, bal FROM cdf_cust_$g WHERE k % 13 = 0
+            SELECT k + 100000000, bal FROM cdf_cust_$g WHERE k % 13 = 0
           ) src ON dst.k = src.k
           WHEN MATCHED THEN UPDATE SET bal = src.nb
           WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (src.k, src.nb)""") // v3
@@ -764,7 +770,7 @@ object LedgerLifecycle {
            CAST(round(c_acctbal * 100) AS BIGINT) AS bal
          FROM customer),
         upd AS (SELECT k, bal FROM c WHERE k % 10 = 0),
-        ins AS (SELECT k + 500000 AS k, bal FROM c WHERE k % 13 = 0)
+        ins AS (SELECT k + 100000000 AS k, bal FROM c WHERE k % 13 = 0)
        SELECT
          CAST((SELECT count(*) FROM upd) + (SELECT count(*) FROM ins)
            AS BIGINT) AS n_ins,

@@ -464,17 +464,6 @@ object LedgerSink {
       }
     }
 
-  /** Back-compat shim for the path-based API (partitionBy is always
-    * identity there). */
-  private[sources] def identityPartitionNames(
-      transforms: Array[Transform]): Seq[String] =
-    partitionSpecOf(transforms).map { p =>
-      if (p.kind != "identity") throw new UnsupportedOperationException(
-        s"path-based ledger writes partition by identity only; use a " +
-          s"catalog table for ${p.kind}(${p.name})")
-      p.name
-    }
-
   /** A named spec field back to its connector Transform. */
   private[sources] def toTransform(p: NamedPartField): Transform = p.kind match {
     case "identity" => Expressions.identity(p.name)
@@ -1032,14 +1021,28 @@ object LedgerMaintenance {
       throw new IllegalArgumentException(s"no ledger table at $dirStr"))
     val schema = m.schema
     val ddl = schema.toDDL
-    // validate the filter shapes up front (fail before any work)
+    // validate filter shapes AND literal types up front (fail before
+    // any work): a literal cmp cannot evaluate would otherwise make
+    // every row non-matching and the call return 0 as if the rows
+    // were deleted
+    def checkLit(c: String, v: Any): Unit = {
+      val dt = schema.fields(schema.fieldIndex(c)).dataType
+      val ok = (dt, v) match {
+        case (LongType | IntegerType | DoubleType, _: Number) => true
+        case (StringType, _: String) => true
+        case _ => false
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"deleteMoR: cannot compare column $c ($dt) with literal " +
+          s"$v (${if (v == null) "null" else v.getClass.getSimpleName})")
+    }
     def checkShape(f: Filter): Unit = f match {
-      case EqualTo(c, _) => schema.fieldIndex(c): Unit
-      case GreaterThan(c, _) => schema.fieldIndex(c): Unit
-      case GreaterThanOrEqual(c, _) => schema.fieldIndex(c): Unit
-      case LessThan(c, _) => schema.fieldIndex(c): Unit
-      case LessThanOrEqual(c, _) => schema.fieldIndex(c): Unit
-      case In(c, _) => schema.fieldIndex(c): Unit
+      case EqualTo(c, v) => checkLit(c, v)
+      case GreaterThan(c, v) => checkLit(c, v)
+      case GreaterThanOrEqual(c, v) => checkLit(c, v)
+      case LessThan(c, v) => checkLit(c, v)
+      case LessThanOrEqual(c, v) => checkLit(c, v)
+      case In(c, vs) => vs.foreach(checkLit(c, _))
       case IsNull(c) => schema.fieldIndex(c): Unit
       case IsNotNull(c) => schema.fieldIndex(c): Unit
       case other => throw new UnsupportedOperationException(
@@ -1211,16 +1214,24 @@ object LedgerMaintenance {
           if (maxs.isEmpty) None else Some(maxs.max),
           bin.head.ids, bin.head.statId, bin.head.partVals)
       }.collect().toSeq
-    val rewritten = packed.flatten.map(_.file).toSet
     // CONCURRENCY: rebase onto the commit-time manifest — files
     // appended since planning survive untouched; if a racing commit
     // rewrote/removed one of this OPTIMIZE's input files, abort
-    // cleanly (delete the staged bins) rather than resurrect it
+    // cleanly (delete the staged bins) rather than resurrect it.
+    // Input identity is the (file, dv) PAIR, not the name: a
+    // concurrent deleteMoR changes only the entry's deletion vector,
+    // and a name-only check would install bins built from the
+    // planning-time (pre-delete) bytes — resurrecting the deleted
+    // rows and dropping the new DV.
+    val rewritten: Set[(String, Option[String])] =
+      packed.flatten.map(e => (e.file, e.dv)).toSet
+    val rewrittenNames = rewritten.map(_._1)
     val next =
       try LedgerSink.commitRebase(dir, cur =>
-        cur.filter(c => rewritten.subsetOf(c.files.map(_.file).toSet))
+        cur.filter(c =>
+            rewritten.subsetOf(c.files.map(e => (e.file, e.dv)).toSet))
           .map(c => c.copy(
-            files = c.files.filterNot(e => rewritten(e.file)) ++ entries)),
+            files = c.files.filterNot(e => rewrittenNames(e.file)) ++ entries)),
         s"OPTIMIZE on $dirStr raced a commit that rewrote one of its " +
           "input files; re-run OPTIMIZE against the new layout")
       catch {
@@ -1476,11 +1487,11 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     * boundary between a metadata delete and row-level ops. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     requireCurrent("DELETE")
+    // deleteShape already requires a manifest, so the None arm is a
+    // race (concurrent DROP) — decline the metadata path there rather
+    // than promise a delete the commit would then refuse
     deleteShape(filters).exists(s =>
-      LedgerSink.readManifest(dir) match {
-        case Some(m) => classify(m, s).isDefined
-        case None => true // empty table: nothing to delete, trivially ok
-      })
+      LedgerSink.readManifest(dir).exists(m => classify(m, s).isDefined))
   }
 
   /** CONCURRENCY: classification re-runs against the manifest current
@@ -1496,8 +1507,8 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
         "delete predicate does not align with file boundaries"))
     var dropped: Seq[LedgerSink.FileEntry] = Seq.empty
     LedgerSink.commitRebase(dir, {
-      case None => throw new UnsupportedOperationException(
-        "delete predicate does not align with file boundaries")
+      case None => throw new IllegalStateException(
+        s"ledger table $dir was dropped while the DELETE was running")
       case Some(m) => classify(m, shape) match {
         case Some((drop, keep)) =>
           dropped = drop
@@ -1541,7 +1552,8 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
     version: Option[Int] = None,
     changes: Option[(Int, Int)] = None,
     onPlanned: Seq[String] => Unit = _ => (),
-    streamOpts: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    streamOpts: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -1671,7 +1683,8 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
       Option(streamOpts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(0),
       Option(streamOpts.get("skipChangeCommits")).exists(_.toBoolean),
       Option(streamOpts.get("startingVersion")).getOrElse("0"),
-      Option(streamOpts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L))
+      Option(streamOpts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L),
+      onPlannedEntries)
 }
 
 private[sources] class LedgerScan(
@@ -1687,7 +1700,8 @@ private[sources] class LedgerScan(
     maxFilesPerTrigger: Int = 0,
     skipChangeCommits: Boolean = false,
     startingVersion: String = "0",
-    maxBytesPerTrigger: Long = 0L)
+    maxBytesPerTrigger: Long = 0L,
+    onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => ())
     extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1837,6 +1851,7 @@ private[sources] class LedgerScan(
     manifestOpt match {
       case Some(m) =>
         onPlanned(chosenFiles.map(_.file))
+        onPlannedEntries(chosenFiles)
         spjGroups match {
           case Some(gs) =>
             gs.map { case (key, es) =>
@@ -2181,14 +2196,22 @@ private[sources] class LedgerRowLevelOperation(
 
   /** Files the operation's scan planned — the groups being replaced.
     * Written once by planInputPartitions (driver side), read by
-    * commit (driver side). */
+    * commit (driver side). Identity is the (file, deletion-vector)
+    * PAIR: a concurrent deleteMoR changes only the entry's DV, and a
+    * name-only identity would let this operation's commit install
+    * replacement files computed from the pre-delete scan — silently
+    * resurrecting the MoR-deleted rows. */
   @volatile private[sources] var scannedFiles: Seq[String] = Seq.empty
+  @volatile private[sources] var scannedEntries
+      : Seq[(String, Option[String])] = Seq.empty
 
   override def command: RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LedgerScanBuilder(dir, schema,
-      onPlanned = files => scannedFiles = files)
+      onPlanned = files => scannedFiles = files,
+      onPlannedEntries = es =>
+        scannedEntries = es.map(e => (e.file, e.dv)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -2224,16 +2247,20 @@ private[sources] class LedgerRowLevelOperation(
             * rewrote this operation's inputs, and installing the swap
             * anyway would resurrect or drop rows. */
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            val replaced = scannedFiles.toSet
+            val replacedPairs = scannedEntries.toSet
+            val replacedNames = replacedPairs.map(_._1)
             val fresh = messages.toSeq
               .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
             LedgerSink.commitRebase(dir, cur => {
               val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema,
                 Seq.empty[LedgerSink.NamedPartField]))
-              val curFiles = m.files.map(_.file).toSet
-              if (!replaced.forall(curFiles)) None
+              // every scanned (file, dv) pair must be unchanged — a
+              // concurrent deleteMoR that only swapped a DV also
+              // invalidates this operation's scan (see scannedEntries)
+              val curPairs = m.files.map(e => (e.file, e.dv)).toSet
+              if (!replacedPairs.subsetOf(curPairs)) None
               else Some(m.copy(
-                files = m.files.filterNot(e => replaced(e.file)) ++ fresh))
+                files = m.files.filterNot(e => replacedNames(e.file)) ++ fresh))
             }, s"row-level $cmd on $dir raced a commit that rewrote one of " +
               "its scanned files; re-run the operation")
           }

@@ -140,9 +140,13 @@ private[sources] class LedgerMicroBatchStream(
     // overflow EITHER budget
     while (!done && v < hi) {
       val entries = versionAppends(v + 1).map(_._2).getOrElse(Seq.empty)
-      val bytes = entries.map(e =>
-        try Files.size(dir.resolve(e.file))
-        catch { case _: java.io.IOException => 0L }).sum
+      // stat files only when a byte budget is actually configured —
+      // file-count admission must not pay per-file metadata I/O
+      val bytes =
+        if (byteBudget == Long.MaxValue) 0L
+        else entries.map(e =>
+          try Files.size(dir.resolve(e.file))
+          catch { case _: java.io.IOException => 0L }).sum
       if ((usedFiles > 0 || usedBytes > 0L) &&
           (usedFiles + entries.size > fileBudget ||
             usedBytes + bytes > byteBudget)) done = true

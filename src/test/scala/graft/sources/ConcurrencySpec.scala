@@ -122,7 +122,9 @@ class ConcurrencySpec extends graft.SparkSpec {
     val op = new LedgerRowLevelOperation(dir, schema,
       org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
     // the operation scanned the table's current files...
-    op.scannedFiles = LedgerSink.readManifest(dir).get.files.map(_.file)
+    val m0 = LedgerSink.readManifest(dir).get
+    op.scannedFiles = m0.files.map(_.file)
+    op.scannedEntries = m0.files.map(e => (e.file, e.dv))
     // ...then a concurrent OPTIMIZE rewrote them all
     val (b, a) = LedgerMaintenance.optimize(spark, dir.toString)
     assert(a < b)
@@ -132,6 +134,31 @@ class ConcurrencySpec extends graft.SparkSpec {
     }
     assert(ex.getMessage.contains("rewrote one of its scanned files"))
     assert(read(dir).count() == 20, "aborted COW must leave the table intact")
+  }
+
+  test("COW commit aborts when a racing deleteMoR swapped a scanned file's DV") {
+    // the review-caught DV-blind rebase: entry identity must be the
+    // (file, dv) PAIR — a deleteMoR changes only the vector, and a
+    // name-only check would install replacement files computed from
+    // the pre-delete scan, silently resurrecting the deleted rows
+    val dir = freshDir()
+    write(dir, spark.range(0, 20).selectExpr("id"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+    val op = new LedgerRowLevelOperation(dir, schema,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+    val m = LedgerSink.readManifest(dir).get
+    op.scannedFiles = m.files.map(_.file)
+    op.scannedEntries = m.files.map(e => (e.file, e.dv)) // all dv=None
+    // the racing MoR delete commits: same file names, new DVs
+    val n = LedgerMaintenance.deleteMoR(spark, dir.toString,
+      Array(org.apache.spark.sql.sources.LessThan("id", 3L)))
+    assert(n == 3)
+    val bw = op.newWriteBuilder(null).build().toBatch
+    val ex = intercept[ConcurrentModificationException] {
+      bw.commit(Array(LedgerCommitMessage(Seq.empty)))
+    }
+    assert(ex.getMessage.contains("rewrote one of its scanned files"))
+    assert(read(dir).count() == 17, "the MoR delete must survive the abort")
   }
 
   test("append racing a schema-changing commit aborts instead of aliasing") {

@@ -128,6 +128,23 @@ class MorDeleteCdfSpec extends graft.SparkSpec {
       "surviving rows of the rewritten files must cancel")
   }
 
+  test("deleteMoR rejects filters its evaluator cannot decide") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")
+    // wrong literal type: a silent 0-rows-deleted would read as success
+    val ex = intercept[IllegalArgumentException] {
+      LedgerMaintenance.deleteMoR(spark, dir,
+        Array(org.apache.spark.sql.sources.EqualTo("id", "seven")))
+    }
+    assert(ex.getMessage.contains("cannot compare"))
+    // unknown column fails too (fieldIndex throws inside the check)
+    intercept[IllegalArgumentException] {
+      LedgerMaintenance.deleteMoR(spark, dir,
+        Array(org.apache.spark.sql.sources.EqualTo("nope", 1L)))
+    }
+    assert(read(dir).count() == 10, "failed validation must delete nothing")
+  }
+
   test("legacy append-only CDC refuses a DV-only change") {
     val dir = freshDir()
     write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")    // v1
