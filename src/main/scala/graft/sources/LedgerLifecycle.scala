@@ -553,13 +553,19 @@ object LedgerLifecycle {
     spark.sql(s"INSERT INTO $tb2 SELECT okey, price_c FROM txf_ord_$g")
     spark.sql(s"INSERT INTO $td SELECT okey, ts, price_c FROM txf_ord_$g")
 
+    // count planned FILES, not partitions: with v2 bucketing on, the
+    // scan groups files by partition tuple for SPJ, so the partition
+    // count is the distinct-tuple count, not the admitted-file count
     def planned(dir: java.nio.file.Path,
         fs: Array[org.apache.spark.sql.sources.Filter]): Int = {
       val m = LedgerSink.readManifest(dir).get
       val b = new LedgerScanBuilder(dir, m.schema)
       b.pushFilters(fs)
       b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
-        .planInputPartitions().length
+        .planInputPartitions().map {
+          case g: LedgerFileGroupPartition => g.files.length
+          case _ => 1
+        }.sum
     }
     def tupleFiles(dir: java.nio.file.Path, want: Set[String]): Int =
       LedgerSink.readManifest(dir).get.files
@@ -568,9 +574,15 @@ object LedgerLifecycle {
     val dirD = Paths.get(catalogRoot, "txf", s"ord_d_$g")
     val totalB = LedgerSink.readManifest(dirB).get.files.length
     val totalD = LedgerSink.readManifest(dirD).get.files.length
-    // bucket point probe: okey = 7 → bucket 7 only
+    // bucket point probe: okey = 7 → bucket 7 only. okey is ALSO the
+    // stats column, so the expected set composes BOTH prunings: the
+    // matching bucket tuple AND a [min,max] range covering the key —
+    // the planner must admit exactly that set, no more, no less
     val pB = planned(dirB, Array(EqualTo("okey", 7L)))
-    val bktExact = if (pB == tupleFiles(dirB, Set("7")) && pB < totalB) 1 else 0
+    val wantB = LedgerSink.readManifest(dirB).get.files.count(e =>
+      e.partVals.exists(_.head == "7") &&
+        e.min.exists(_ <= 7L) && e.max.exists(_ >= 7L))
+    val bktExact = if (pB == wantB && pB < totalB) 1 else 0
     // days point probe: ts inside day 3 → day-3 files only
     val pDEq = planned(dirD, Array(EqualTo("ts", 3 * dayMs + 12345L)))
     val dEqExact = if (pDEq == tupleFiles(dirD, Set("3")) && pDEq < totalD) 1 else 0
@@ -706,6 +718,76 @@ object LedgerLifecycle {
          CAST(1 AS INTEGER) AS opt_intact
        FROM del CROSS JOIN live CROSS JOIN v1"""
 
+  /** `dsv2_mor_update`: merge-on-read UPDATE — ONE commit carrying the
+    * deletion vectors that kill the matched rows in place AND the
+    * appended files holding their updated versions (the Delta
+    * DV-update design; no touched file is rewritten). The hashed row
+    * folds the post-update scan digest (DuckDB replays the SET
+    * arithmetic with a CASE expression), the matched count, the
+    * one-commit fact (version advanced exactly once), time travel to
+    * the pre-update state, and the change feed's per-type counts for
+    * the commit (every matched row appears exactly once as delete(old)
+    * and once as insert(new) — the multiset diff pairs them). */
+  def morUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_moru_${tag(sfDir)}"
+    deleteRecursively(dir)
+    graft.io.Tables.orders(spark, sfDir).selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS okey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
+      .write.format(ledger).option("path", dir).mode("overwrite").save() // v1
+    val nUpd = LedgerMaintenance.updateMoR(spark, dir, Array(
+      org.apache.spark.sql.sources.LessThan("price_c", 10000000L)),
+      Map("price_c" -> "price_c + 111"))                                 // v2
+    val oneCommit =
+      if (LedgerSink.currentVersion(Paths.get(dir)) == 2) 1 else 0
+    val live = spark.read.format(ledger).option("path", dir).load()
+      .selectExpr("count(*) AS n_live", "sum(price_c) AS price_live",
+        "sum(okey) AS key_live")
+    val tt = spark.read.format(ledger).option("path", dir)
+      .option("versionAsOf", "1").load()
+      .selectExpr("count(*) AS n_v1", "sum(price_c) AS price_v1")
+    val feed = spark.read.format(ledger).option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("changesFromVersion", "1")
+      .option("changesToVersion", "2").load()
+      .selectExpr(
+        "sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE 0 END) AS n_ins",
+        "sum(CASE WHEN _change_type = 'delete' THEN 1 ELSE 0 END) AS n_del",
+        "sum(CASE WHEN _change_type = 'insert' THEN price_c ELSE 0 END)" +
+          " AS price_ins",
+        "sum(CASE WHEN _change_type = 'delete' THEN price_c ELSE 0 END)" +
+          " AS price_del")
+    live.crossJoin(broadcast(tt)).crossJoin(broadcast(feed))
+      .selectExpr(
+        s"CAST($nUpd AS BIGINT) AS n_updated",
+        "n_live", "price_live", "key_live", "n_v1", "price_v1",
+        "n_ins", "n_del", "price_ins", "price_del",
+        s"CAST($oneCommit AS INT) AS one_commit")
+  }
+
+  val morUpdateOracle: String =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+        hit AS (SELECT * FROM o WHERE price_c < 10000000)
+       SELECT
+         CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_updated,
+         (SELECT count(*) FROM o) AS n_live,
+         CAST((SELECT sum(CASE WHEN price_c < 10000000
+             THEN price_c + 111 ELSE price_c END) FROM o) AS BIGINT)
+           AS price_live,
+         CAST((SELECT sum(okey) FROM o) AS BIGINT) AS key_live,
+         (SELECT count(*) FROM o) AS n_v1,
+         CAST((SELECT sum(price_c) FROM o) AS BIGINT) AS price_v1,
+         CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_ins,
+         CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_del,
+         CAST(coalesce((SELECT sum(price_c + 111) FROM hit), 0) AS BIGINT)
+           AS price_ins,
+         CAST(coalesce((SELECT sum(price_c) FROM hit), 0) AS BIGINT)
+           AS price_del,
+         CAST(1 AS INTEGER) AS one_commit"""
+
   /** `dsv2_cdc_row_level`: the row-level CHANGE FEED through a
     * copy-on-write MERGE — the Delta CDF contract the append-only CDC
     * read honestly refuses. A catalog table takes customers (v2), a
@@ -782,6 +864,80 @@ object LedgerLifecycle {
            + coalesce((SELECT sum(bal) FROM ins), 0) AS BIGINT) AS bal_ins,
          CAST(coalesce((SELECT sum(bal) FROM upd), 0) AS BIGINT) AS bal_del,
          CAST(1 AS INTEGER) AS reconstructs"""
+
+  /** `dsv2_cdf_stream_replication`: the STREAMING change feed —
+    * `readChangeFeed=true` with no version range streams row-level
+    * diffs, versions as offsets (Delta's CDF-streaming contract).
+    * Source lineage: full load (v1), a MoR DELETE via deletion
+    * vectors (v2), an append (v3) — drained once through the
+    * epoch-committing ledger sink — then a MoR UPDATE (v4) lands and
+    * a SECOND drain resumes from the checkpoint, so the destination
+    * must hold v1/v3 inserts, v2 deletes, and v4's delete+insert
+    * pairs EXACTLY ONCE each. The destination digest (per change
+    * type: count, key sum, balance sum) is recomputed by DuckDB from
+    * the fixture — a replayed version, a missed DV diff, or a lost
+    * resume delta each poison a sum. */
+  def cdfStreamReplication(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val g = tag(sfDir)
+    val base = System.getProperty("java.io.tmpdir")
+    val srcDir = s"$base/graft_ledger_cdfr_src_$g"
+    val dstDir = s"$base/graft_ledger_cdfr_dst_$g"
+    val ckpt = s"$base/graft_ledger_cdfr_ckpt_$g"
+    Seq(srcDir, dstDir, ckpt).foreach(deleteRecursively)
+    val cust = graft.io.Tables.customer(spark, sfDir).selectExpr(
+      "CAST(c_custkey AS BIGINT) AS k",
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS bal")
+    cust.write.format(ledger).option("path", srcDir)
+      .mode("overwrite").save()                                     // v1
+    LedgerMaintenance.deleteMoR(spark, srcDir, Array(
+      org.apache.spark.sql.sources.LessThan("bal", 100000L))): Unit // v2
+    cust.filter(col("k") % 5 === 0)
+      .selectExpr("k + 100000000 AS k", "bal")
+      .write.format(ledger).option("path", srcDir)
+      .mode("append").save()                                        // v3
+    def drain(): Unit = {
+      val q = spark.readStream.format(ledger).option("path", srcDir)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format(ledger).option("path", dstDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    LedgerMaintenance.updateMoR(spark, srcDir, Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("bal", 100000L)),
+      Map("bal" -> "bal + 7")): Unit                                // v4
+    drain()
+    spark.read.format(ledger).option("path", dstDir).load()
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        sum(col("bal")).as("bal_sum"))
+      .selectExpr("_change_type AS change_type", "n", "k_sum", "bal_sum")
+      .orderBy("change_type")
+  }
+
+  val cdfStreamReplicationOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+         FROM customer),
+        app AS (SELECT k + 100000000 AS k, bal FROM c WHERE k % 5 = 0),
+        hit AS (SELECT k, bal FROM c WHERE bal >= 100000
+                UNION ALL
+                SELECT k, bal FROM app WHERE bal >= 100000),
+        ins AS (SELECT k, bal FROM c
+                UNION ALL SELECT k, bal FROM app
+                UNION ALL SELECT k, bal + 7 FROM hit),
+        del AS (SELECT k, bal FROM c WHERE bal < 100000
+                UNION ALL SELECT k, bal FROM hit)
+       SELECT 'delete' AS change_type, count(*) AS n,
+         CAST(sum(k) AS BIGINT) AS k_sum, CAST(sum(bal) AS BIGINT) AS bal_sum
+       FROM del
+       UNION ALL
+       SELECT 'insert', count(*), CAST(sum(k) AS BIGINT),
+         CAST(sum(bal) AS BIGINT)
+       FROM ins
+       ORDER BY change_type"""
 
   val streamReplicationOracle: String =
     """WITH src AS (

@@ -1015,38 +1015,70 @@ object LedgerMaintenance {
     * aborts cleanly). Returns the number of deleted rows. */
   def deleteMoR(spark: SparkSession, dirStr: String,
       filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
-    import org.apache.spark.sql.sources._
     val dir = Paths.get(dirStr)
     val m = LedgerSink.readManifest(dir).getOrElse(
       throw new IllegalArgumentException(s"no ledger table at $dirStr"))
+    val (newDvs, deleted) = planDvs(spark, dir, m, filters)
+    if (newDvs.isEmpty) return 0L
+    try LedgerSink.commitRebase(dir, cur =>
+      // every target (file, dv-at-planning) entry must be unchanged —
+      // a racing rewrite of a target file would make our ordinals wrong
+      cur.filter(c => newDvs.keySet.subsetOf(c.files
+          .filter(e => m.files.exists(o => o.file == e.file && o.dv == e.dv))
+          .map(_.file).toSet))
+        .map(c => c.copy(files = c.files.map(e =>
+          newDvs.get(e.file).fold(e)(d => e.copy(dv = Some(d)))))),
+      s"deleteMoR on $dirStr raced a commit that rewrote one of its " +
+        "target files; re-run the delete")
+    catch {
+      case ex: java.util.ConcurrentModificationException =>
+        newDvs.values.foreach(d =>
+          Files.deleteIfExists(dir.resolve(d)): Unit)
+        throw ex
+    }
+    deleted
+  }
+
+  /** The shared merge-on-read scan: stage a fresh DV sidecar for every
+    * file holding LIVE rows matching `filters` (ordinals unioned with
+    * the file's existing vector); returns (file → new sidecar,
+    * matched-row count). Stages only — callers commit. */
+  private def planDvs(spark: SparkSession, dir: Path,
+      m: LedgerSink.Manifest,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : (Map[String, String], Long) = {
+    import org.apache.spark.sql.sources._
     val schema = m.schema
     val ddl = schema.toDDL
     // validate filter shapes AND literal types up front (fail before
     // any work): a literal cmp cannot evaluate would otherwise make
     // every row non-matching and the call return 0 as if the rows
-    // were deleted
-    def checkLit(c: String, v: Any): Unit = {
+    // were deleted. RANGE comparisons on strings are refused — Java's
+    // UTF-16 compareTo and Spark's UTF-8 byte order diverge beyond the
+    // BMP, and updateMoR re-evaluates the same predicate through SQL.
+    def checkLit(c: String, v: Any, range: Boolean): Unit = {
       val dt = schema.fields(schema.fieldIndex(c)).dataType
       val ok = (dt, v) match {
         case (LongType | IntegerType | DoubleType, _: Number) => true
-        case (StringType, _: String) => true
+        case (StringType, _: String) => !range
         case _ => false
       }
       if (!ok) throw new IllegalArgumentException(
-        s"deleteMoR: cannot compare column $c ($dt) with literal " +
+        s"MoR predicate: cannot ${if (range) "range-" else ""}compare " +
+          s"column $c ($dt) with literal " +
           s"$v (${if (v == null) "null" else v.getClass.getSimpleName})")
     }
     def checkShape(f: Filter): Unit = f match {
-      case EqualTo(c, v) => checkLit(c, v)
-      case GreaterThan(c, v) => checkLit(c, v)
-      case GreaterThanOrEqual(c, v) => checkLit(c, v)
-      case LessThan(c, v) => checkLit(c, v)
-      case LessThanOrEqual(c, v) => checkLit(c, v)
-      case In(c, vs) => vs.foreach(checkLit(c, _))
+      case EqualTo(c, v) => checkLit(c, v, range = false)
+      case GreaterThan(c, v) => checkLit(c, v, range = true)
+      case GreaterThanOrEqual(c, v) => checkLit(c, v, range = true)
+      case LessThan(c, v) => checkLit(c, v, range = true)
+      case LessThanOrEqual(c, v) => checkLit(c, v, range = true)
+      case In(c, vs) => vs.foreach(checkLit(c, _, range = false))
       case IsNull(c) => schema.fieldIndex(c): Unit
       case IsNotNull(c) => schema.fieldIndex(c): Unit
       case other => throw new UnsupportedOperationException(
-        s"deleteMoR supports equality/range/null/IN conjunctions, got $other")
+        s"MoR predicates support equality/range/null/IN conjunctions, got $other")
     }
     filters.foreach(checkShape)
     val base = dir.toString
@@ -1124,25 +1156,108 @@ object LedgerMaintenance {
       }.collect()
     val newDvs: Map[String, String] =
       results.collect { case (f, Some(d), _) => f -> d }.toMap
-    val deleted = results.map(_._3).sum
-    if (newDvs.isEmpty) return 0L
+    val matched = results.map(_._3).sum
+    (newDvs, matched)
+  }
+
+  /** MERGE-ON-READ UPDATE — the Delta DV-update design: ONE commit
+    * carries (a) fresh deletion vectors marking the matched rows dead
+    * in their files and (b) appended files holding the updated
+    * versions, so readers see the update atomically and no touched
+    * file is rewritten. `set` maps column → SQL expression over the
+    * row (e.g. "price_c" → "price_c + 111"); the matched set comes
+    * from the SAME predicate evaluated twice — once by the MoR scan
+    * for ordinals, once through the public (DV-merging) reader for
+    * values — which agree because [[planDvs]] only admits predicate
+    * shapes whose semantics are identical in both evaluators.
+    * Unpartitioned tables only (the staged update files carry no
+    * partition tuple); partitioned tables take the COW UPDATE path.
+    * Returns the number of updated rows. */
+  def updateMoR(spark: SparkSession, dirStr: String,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      set: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Paths.get(dirStr)
+    // pin the PLANNING VERSION: currentVersion-then-readManifestAt is a
+    // consistent pair (a commit landing in between archives v, and the
+    // archive read is identical), and the value read below targets the
+    // same v — rows a concurrent append lands AFTER planning are
+    // neither marked dead nor re-emitted, giving clean serializability
+    // (this update happened at v; the append happened after)
+    val planVersion = LedgerSink.currentVersion(dir)
+    val m = LedgerSink.readManifestAt(dir, Some(planVersion)).getOrElse(
+      throw new IllegalArgumentException(s"no ledger table at $dirStr"))
+    require(m.partitionSpec.isEmpty,
+      "updateMoR rewrites unpartitioned tables only; partitioned " +
+        "tables take the SQL COW UPDATE path")
+    val schema = m.schema
+    set.keys.foreach(k => schema.fieldIndex(k): Unit)
+    val (newDvs, matched) = planDvs(spark, dir, m, filters)
+    if (matched == 0L) return 0L
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    // updated rows: the same predicate through the public DV-merging
+    // reader, SET expressions applied per column
+    def toColumn(f: org.apache.spark.sql.sources.Filter)
+        : org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.sources._
+      f match {
+        case EqualTo(c, v) => col(c) === lit(v)
+        case GreaterThan(c, v) => col(c) > lit(v)
+        case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
+        case LessThan(c, v) => col(c) < lit(v)
+        case LessThanOrEqual(c, v) => col(c) <= lit(v)
+        case In(c, vs) => col(c).isin(vs.toSeq: _*)
+        case IsNull(c) => col(c).isNull
+        case IsNotNull(c) => col(c).isNotNull
+        case other => throw new UnsupportedOperationException(other.toString)
+      }
+    }
+    val updated = spark.read.format(classOf[LedgerSink].getName)
+      .option("path", dirStr)
+      .option("versionAsOf", planVersion.toString).load()
+      .filter(filters.map(toColumn).reduce(_ && _))
+      .selectExpr(schema.fieldNames.toSeq.map(n =>
+        set.get(n).map(e => s"($e) AS $n").getOrElse(n)): _*)
+    // stage the updated rows through the normal write protocol against
+    // a scratch ledger, then MOVE its files into this table's staging —
+    // same filesystem, so the move is metadata-only — and remap their
+    // entries to the TARGET's field ids (the scratch table binds fresh
+    // 1..n ids; positionally identical because the projection above is
+    // in table-schema order)
+    val tmp = Files.createTempDirectory(s"graft_mor_upd_$tag")
+    Files.createDirectories(dir.resolve("_staging"))
+    val moved =
+      try {
+        updated.write.format(classOf[LedgerSink].getName)
+          .option("path", tmp.toString).mode("overwrite").save()
+        LedgerSink.readManifest(tmp).get.files.zipWithIndex.map {
+          case (e, i) =>
+            val rel = s"_staging/upd-$tag-$i.ledger"
+            Files.move(tmp.resolve(e.file), dir.resolve(rel))
+            e.copy(file = rel, ids = Some(m.ids.toSeq), statId = m.statId)
+        }
+      } finally {
+        val s = Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        try s.iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally s.close()
+      }
+    def cleanup(): Unit = {
+      newDvs.values.foreach(d => Files.deleteIfExists(dir.resolve(d)): Unit)
+      moved.foreach(e => Files.deleteIfExists(dir.resolve(e.file)): Unit)
+    }
     try LedgerSink.commitRebase(dir, cur =>
-      // every target (file, dv-at-planning) entry must be unchanged —
-      // a racing rewrite of a target file would make our ordinals wrong
       cur.filter(c => newDvs.keySet.subsetOf(c.files
           .filter(e => m.files.exists(o => o.file == e.file && o.dv == e.dv))
           .map(_.file).toSet))
         .map(c => c.copy(files = c.files.map(e =>
-          newDvs.get(e.file).fold(e)(d => e.copy(dv = Some(d)))))),
-      s"deleteMoR on $dirStr raced a commit that rewrote one of its " +
-        "target files; re-run the delete")
+          newDvs.get(e.file).fold(e)(d => e.copy(dv = Some(d)))) ++ moved)),
+      s"updateMoR on $dirStr raced a commit that rewrote one of its " +
+        "target files; re-run the update")
     catch {
       case ex: java.util.ConcurrentModificationException =>
-        newDvs.values.foreach(d =>
-          Files.deleteIfExists(Paths.get(base, d)): Unit)
-        throw ex
+        cleanup(); throw ex
     }
-    deleted
+    matched
   }
 
   /** Returns (files before, files after). Bins never mix column-id
@@ -1316,9 +1431,6 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations {
   LedgerSink.checkSchema(schema0)
-  if (rowLevelChanges && changes.isEmpty)
-    throw new IllegalArgumentException(
-      "readChangeFeed requires changesFromVersion/changesToVersion")
 
   /** A versionAsOf or CDC table is a SNAPSHOT: reads resolve archived
     * manifests; writes and deletes are refused (they would have to
@@ -1328,6 +1440,8 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
       s"$op on a versionAsOf=$v snapshot; writes go to the current table"))
     changes.foreach { case (f, t) => throw new UnsupportedOperationException(
       s"$op on a changes v$f..v$t read; writes go to the current table") }
+    if (rowLevelChanges) throw new UnsupportedOperationException(
+      s"$op on a readChangeFeed handle; writes go to the current table")
   }
 
   override def name(): String =
@@ -1355,9 +1469,13 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (rowLevelChanges) {
-      val (f, t) = changes.get
-      () => new LedgerChangeFeedScan(dir, f, t)
+    if (rowLevelChanges) changes match {
+      // bounded range → batch change feed; no range → the STREAMING
+      // change feed (versions as offsets, each batch = its steps'
+      // row-level diffs — Delta's CDF-streaming contract)
+      case Some((f, t)) => () => new LedgerChangeFeedScan(dir, f, t)
+      case None =>
+        () => new LedgerChangeFeedStreamScan(dir, schema0, options)
     } else new LedgerScanBuilder(dir, schema0, version, changes,
       streamOpts = options)
 

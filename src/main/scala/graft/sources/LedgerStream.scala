@@ -190,3 +190,129 @@ private[sources] class LedgerMicroBatchStream(
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
+
+/** STREAMING CHANGE FEED scan holder: `readChangeFeed=true` with NO
+  * version range streams the table's row-level diffs — versions are
+  * the offsets and each micro-batch is its version steps' multiset
+  * diffs with `_change_type`/`_commit_version` attached (Delta's CDF
+  * streaming contract; unlike the plain data stream, every commit
+  * kind is expressible, so there is no skipChangeCommits/fail-fast
+  * split — an OPTIMIZE step simply diffs to nothing). */
+private[sources] class LedgerChangeFeedStreamScan(dir: Path,
+    fullSchema: StructType,
+    opts: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.Scan {
+
+  private val cdfNames = LedgerSink.cdfColumns.map(_.name).toSeq
+  if (fullSchema.length < 3 ||
+      fullSchema.fields.takeRight(2).map(_.name).toSeq != cdfNames)
+    throw new IllegalArgumentException(
+      s"change-feed schema must end with ${cdfNames.mkString(", ")} " +
+        s"(got ${fullSchema.fieldNames.mkString(", ")})")
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = this
+  override def readSchema(): StructType = fullSchema
+  override def description(): String = s"graft-ledger-cdf-stream $dir"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    throw new UnsupportedOperationException(
+      "batch change-feed reads need changesFromVersion/changesToVersion")
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream = {
+    val dataSchema = StructType(fullSchema.fields.dropRight(2))
+    // name→id binding frozen at query start, like the data stream
+    val idOf: Map[String, Int] = LedgerSink.readManifest(dir)
+      .map(m => m.schema.fieldNames.zip(m.ids).toMap)
+      .getOrElse(Map.empty)
+    new LedgerChangeFeedStream(dir, dataSchema, idOf,
+      Option(opts.get("startingVersion")).getOrElse("0"))
+  }
+}
+
+/** The CDF micro-batch stream: committed versions as offsets, each
+  * batch one [[LedgerChangeStepPartition]] per data-bearing version
+  * step, read by the same multiset-diff reader as the batch change
+  * feed — a checkpoint-resumed drain consumes exactly the unseen
+  * commits' diffs (archived manifests are immutable, so replayed
+  * batches are byte-identical). */
+private[sources] class LedgerChangeFeedStream(dir: Path,
+    dataSchema: StructType, idOf: Map[String, Int],
+    startingVersion: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowCap: Option[Int] = None
+  private def current: Int = LedgerSink.currentVersion(dir)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(current)
+
+  override def initialOffset(): Offset = LedgerVersionOffset(
+    startingVersion match {
+      case "latest" => current
+      case s =>
+        val v = try s.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"startingVersion must be an integer or 'latest', got '$s'")
+        }
+        val cur = current
+        if (v < 0 || v > cur) throw new IllegalArgumentException(
+          s"startingVersion=$v out of range: table $dir is at version $cur")
+        v
+    })
+
+  override def latestOffset(): Offset =
+    LedgerVersionOffset(availableNowCap.getOrElse(current))
+
+  // no admission budget (a CDF batch is bounded by its commits' sizes);
+  // SupportsTriggerAvailableNow pulls in SupportsAdmissionControl
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def bind(m: LedgerSink.Manifest,
+      e: LedgerSink.FileEntry): LedgerFilePartition = {
+    val (positions, width) = e.ids match {
+      case Some(fids) =>
+        (dataSchema.fields.map(f =>
+          idOf.get(f.name).map(fids.indexOf).getOrElse(-1)), fids.length)
+      case None =>
+        (dataSchema.fields.map(f =>
+          m.schema.fieldNames.indexOf(f.name)), m.schema.length)
+    }
+    LedgerFilePartition(dir.resolve(e.file).toString, positions, width,
+      e.dv.map(d => dir.resolve(d).toString))
+  }
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LedgerVersionOffset].v
+    val e = end.asInstanceOf[LedgerVersionOffset].v
+    (s + 1 to e).flatMap { v =>
+      val cur = LedgerSink.readManifestAt(dir, Some(v)).get
+      val prev =
+        if (v - 1 == 0)
+          LedgerSink.Manifest.fresh(cur.schema, Seq.empty[String])
+        else LedgerSink.readManifestAt(dir, Some(v - 1)).get
+      def keyOf(en: LedgerSink.FileEntry) = (en.file, en.dv)
+      val curKeys = cur.files.map(keyOf).toSet
+      val prevKeys = prev.files.map(keyOf).toSet
+      val added = cur.files.filterNot(en => prevKeys(keyOf(en)))
+      val removed = prev.files.filterNot(en => curKeys(keyOf(en)))
+      if (added.isEmpty && removed.isEmpty) None
+      else Some(LedgerChangeStepPartition(v,
+        added.map(bind(cur, _)).toArray,
+        removed.map(bind(prev, _)).toArray): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LedgerChangeFeedScan.readerFactory(dataSchema.toDDL)
+
+  override def deserializeOffset(json: String): Offset =
+    LedgerVersionOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -128,6 +128,50 @@ class MorDeleteCdfSpec extends graft.SparkSpec {
       "surviving rows of the rewritten files must cancel")
   }
 
+  test("updateMoR: one atomic commit of DVs + updated rows; CDF pairs them") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 50).selectExpr("id", "id * 2 AS v"), "overwrite") // v1
+    val v1 = LedgerSink.currentVersion(java.nio.file.Paths.get(dir))
+    val n = LedgerMaintenance.updateMoR(spark, dir,
+      Array(LessThan("id", 10L)), Map("v" -> "v + 1000"))           // v2
+    assert(n == 10)
+    assert(LedgerSink.currentVersion(java.nio.file.Paths.get(dir)) == v1 + 1,
+      "DVs and updated rows must land as ONE commit")
+    val got = read(dir).selectExpr("id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 50)
+    (0L until 50L).foreach { i =>
+      assert(got(i) == (if (i < 10) i * 2 + 1000 else i * 2)) }
+    // the change feed pairs old/new per updated row, nothing else
+    val feed = cdf(dir, v1, v1 + 1)
+      .selectExpr("id", "v", "_change_type")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(feed.count(_._3 == "delete") == 10)
+    assert(feed.count(_._3 == "insert") == 10)
+    assert(feed.filter(_._3 == "delete").forall(r => r._2 == r._1 * 2))
+    assert(feed.filter(_._3 == "insert").forall(r => r._2 == r._1 * 2 + 1000))
+    // time travel: the pre-update version is intact
+    assert(read(dir, Some(v1)).selectExpr("sum(v)").head().getLong(0) ==
+      (0L until 50L).map(_ * 2).sum)
+    // a second update composes (targets a file that now carries a DV)
+    assert(LedgerMaintenance.updateMoR(spark, dir,
+      Array(LessThan("id", 3L)), Map("v" -> "v + 1")) == 3)
+    assert(read(dir).selectExpr("sum(v)").head().getLong(0) ==
+      (0L until 50L).map(i =>
+        if (i < 3) i * 2 + 1001 else if (i < 10) i * 2 + 1000 else i * 2).sum)
+    // updated rows are appended files without partition tuples —
+    // partitioned targets are refused (they take the COW path)
+    val pdir = freshDir()
+    spark.range(0, 10).selectExpr("id", "id % 2 AS p")
+      .write.format(ledger).option("path", pdir).partitionBy("p")
+      .mode("overwrite").save()
+    val ex = intercept[IllegalArgumentException] {
+      LedgerMaintenance.updateMoR(spark, pdir,
+        Array(LessThan("id", 5L)), Map("id" -> "id + 1"))
+    }
+    assert(ex.getMessage.contains("unpartitioned"))
+  }
+
   test("deleteMoR rejects filters its evaluator cannot decide") {
     val dir = freshDir()
     write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")
@@ -143,6 +187,47 @@ class MorDeleteCdfSpec extends graft.SparkSpec {
         Array(org.apache.spark.sql.sources.EqualTo("nope", 1L)))
     }
     assert(read(dir).count() == 10, "failed validation must delete nothing")
+  }
+
+  test("streaming change feed: per-version diffs, checkpoint-exact resume") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("ledger_cdf_ck").toString
+    write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")    // v1
+    LedgerMaintenance.deleteMoR(spark, dir,
+      Array(LessThan("id", 3L))): Unit                              // v2
+    write(dir, spark.range(100, 105).selectExpr("id"), "append")    // v3
+    // the memory sink can't recover a checkpoint; resume goes through
+    // the ledger sink (the replication shape)
+    val dst = freshDir()
+    def drain(): Unit = {
+      val q = spark.readStream.format(ledger).option("path", dir)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format(ledger).option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    def rows(): Seq[(Long, String, Int)] =
+      read(dst).selectExpr("id", "_change_type", "_commit_version")
+        .as[(Long, String, Int)].collect().toSeq
+    val r1 = rows()
+    assert(r1.filter(r => r._3 == 1 && r._2 == "insert").map(_._1).sorted ==
+      (0L until 10L), "v1 replays as inserts")
+    assert(r1.filter(_._3 == 2).map(r => (r._2, r._1)).sorted ==
+      (0L until 3L).map(("delete", _)), "v2 emits the MoR deletes")
+    assert(r1.filter(_._3 == 3).map(_._1).sorted == (100L until 105L))
+    assert(r1.size == 18)
+    // resume: an updateMoR lands (v4); only its delete+insert pairs flow
+    LedgerMaintenance.updateMoR(spark, dir,
+      Array(org.apache.spark.sql.sources.EqualTo("id", 100L)),
+      Map("id" -> "id + 9000")): Unit                               // v4
+    drain()
+    val r2 = rows().diff(r1)
+    assert(r2.map(r => (r._3, r._2, r._1)).sorted ==
+      Seq((4, "delete", 100L), (4, "insert", 9100L)),
+      s"resume must consume exactly v4's pair: $r2")
   }
 
   test("legacy append-only CDC refuses a DV-only change") {

@@ -21,6 +21,7 @@ class TransformPartitioningSpec extends graft.SparkSpec {
     root
   }
 
+  // planned FILES, not partitions — SPJ groups files by tuple
   private def plannedFiles(dirStr: String,
       filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
     val dir = Paths.get(dirStr)
@@ -28,7 +29,10 @@ class TransformPartitioningSpec extends graft.SparkSpec {
     val b = new LedgerScanBuilder(dir, m.schema)
     b.pushFilters(filters)
     b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
-      .planInputPartitions().length
+      .planInputPartitions().map {
+        case g: LedgerFileGroupPartition => g.files.length
+        case _ => 1
+      }.sum
   }
 
   test("bucket spec round-trips the manifest and prunes equality probes") {
