@@ -1820,9 +1820,104 @@ private[sources] class LedgerScan(
     startingVersion: String = "0",
     maxBytesPerTrigger: Long = 0L,
     onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => ())
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ---- runtime (DPP) narrowing state ----
+  // dynamic partition pruning delivers the build side's OBSERVED join
+  // keys after that side executes; [[filter]] intersects them into
+  // these and BatchScanExec re-plans partitions. Advisory like the
+  // static pushdown: the join above still evaluates the real
+  // condition, so an envelope over the stat column is sound and a
+  // transformed match on a partition column is exact.
+  @volatile private var rtPartEq: Map[String, Set[String]] = Map.empty
+  @volatile private var rtFlo: Long = Long.MinValue
+  @volatile private var rtFhi: Long = Long.MaxValue
+
+  private val rtStatName: Option[String] =
+    LedgerSink.statColIndex(versionSchema).map(versionSchema.fields(_).name)
+
+  /** DPP eligibility: runtime predicates on partition columns (any
+    * transform — values transform like static IN pruning) and on the
+    * stats column (envelope). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    manifestOpt.map(m => (m.partitionNames ++ rtStatName.toSeq).distinct
+      .map(n => Expressions.column(n)
+        : org.apache.spark.sql.connector.expressions.NamedReference)
+      .toArray).getOrElse(Array.empty)
+
+  override def filter(predicates
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        p.children().head match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames().length == 1 =>
+            val cname = r.fieldNames()(0)
+            val lits = p.children().tail.collect {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                l.value(): Any
+            }
+            if (lits.length == p.children().length - 1 && lits.nonEmpty) {
+              manifestOpt.foreach(m =>
+                m.namedPartitionSpec.find(_.name == cname).foreach { pf =>
+                  val dt = m.schema.fields(m.schema.fieldIndex(cname)).dataType
+                  val encs = lits.map(v => LedgerSink.encodePartLiteral(
+                    dt, unwrapLit(dt, v), pf.kind, pf.param))
+                  if (encs.forall(_.isDefined)) {
+                    val s = encs.flatten.toSet
+                    rtPartEq += (cname -> rtPartEq.get(cname)
+                      .map(_.intersect(s)).getOrElse(s))
+                  }
+                })
+              if (rtStatName.contains(cname)) {
+                val longs = lits.collect {
+                  case x: java.lang.Long => x.longValue
+                  case x: java.lang.Integer => x.longValue
+                }
+                if (longs.length == lits.length && longs.nonEmpty) {
+                  rtFlo = math.max(rtFlo, longs.min)
+                  rtFhi = math.min(rtFhi, longs.max)
+                }
+              }
+            }
+          case _ => ()
+        }
+      }
+    }
+
+  /** V2 literals arrive as INTERNAL values (UTF8String for strings) —
+    * normalize to what [[LedgerSink.encodePartLiteral]] accepts. */
+  private def unwrapLit(dt: DataType, v: Any): Any = (dt, v) match {
+    case (StringType, u: UTF8String) => u.toString
+    case _ => v
+  }
+
+  /** Post-pruning row/byte estimates from the manifest — what lets the
+    * optimizer auto-broadcast a small ledger dimension (without this a
+    * DSv2 relation reports the default "unknown = huge" size and a
+    * 5-row dim sort-merge-joins). Rows are physical line counts (DV
+    * overcount is bounded and estimates only need order of magnitude);
+    * bytes are the chosen files' on-disk sizes — a driver-side
+    * metadata read over already-pruned files. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val chosen = chosenFiles
+    val rows = chosen.map(_.rows).sum
+    val bytes = chosen.map(e =>
+      try Files.size(dir.resolve(e.file))
+      catch { case _: java.io.IOException => 0L }).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   /** Streaming READ: committed versions are the offsets (see
     * [[LedgerMicroBatchStream]]). A versionAsOf/changes snapshot is a
@@ -1857,7 +1952,7 @@ private[sources] class LedgerScan(
   private def partitionMatches(m: LedgerSink.Manifest,
       e: LedgerSink.FileEntry): Boolean = {
     if (partEq.isEmpty && partMustNull.isEmpty && partMustNotNull.isEmpty &&
-        partDayLo.isEmpty && partDayHi.isEmpty)
+        partDayLo.isEmpty && partDayHi.isEmpty && rtPartEq.isEmpty)
       return true
     val names = m.partitionNames
     e.partVals match {
@@ -1867,6 +1962,8 @@ private[sources] class LedgerScan(
           (!partMustNull.contains(n) || isNull) &&
             (!partMustNotNull.contains(n) || !isNull) &&
             partEq.get(n).forall(s => !isNull && s.contains(v)) &&
+            // runtime (DPP) key sets compose with the static pruning
+            rtPartEq.get(n).forall(s => !isNull && s.contains(v)) &&
             // day-range bounds (range predicates exclude null)
             partDayLo.get(n).forall(lo => !isNull && v.toLong >= lo) &&
             partDayHi.get(n).forall(hi => !isNull && v.toLong <= hi)
@@ -1877,12 +1974,15 @@ private[sources] class LedgerScan(
 
   private def statsAdmit(m: LedgerSink.Manifest,
       e: LedgerSink.FileEntry): Boolean = {
-    if (!statFiltered) return true
+    // static pushed range composed with the runtime (DPP) envelope
+    val lo = math.max(if (statFiltered) flo else Long.MinValue, rtFlo)
+    val hi = math.min(if (statFiltered) fhi else Long.MaxValue, rtFhi)
+    if (lo == Long.MinValue && hi == Long.MaxValue) return true
     val curStatId = m.statId
     val applies = e.statId.orElse(
       if (e.ids.isEmpty) curStatId else None) == curStatId
     if (applies) (e.min, e.max) match {
-      case (Some(lo), Some(hi)) => hi >= flo && lo <= fhi
+      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
       case _ => false // all-null stat column: a range predicate excludes NULL
     }
     else if (e.ids.exists(f => !curStatId.exists(f.contains)))
@@ -1907,7 +2007,11 @@ private[sources] class LedgerScan(
       e.dv.map(d => dir.resolve(d).toString))
   }
 
-  private lazy val chosenFiles: Seq[LedgerSink.FileEntry] =
+  // a DEF, not a lazy val: runtime (DPP) filtering narrows the state
+  // above AFTER the first planning pass, and BatchScanExec re-plans by
+  // calling planInputPartitions again — a cached selection would serve
+  // the pre-filter answer
+  private def chosenFiles: Seq[LedgerSink.FileEntry] =
     manifestOpt.map(_.files.filter(e =>
       partitionMatches(m = manifestOpt.get, e = e) &&
         statsAdmit(manifestOpt.get, e))).getOrElse(Seq.empty)
@@ -1924,7 +2028,8 @@ private[sources] class LedgerScan(
     * parallelism at partition-value grain — the same trade Spark's
     * own SPJ makes; `spark.sql.sources.v2.bucketing.enabled=false`
     * restores per-file planning. */
-  private lazy val spjGroups
+  // also a DEF — regrouped from the post-filter file selection
+  private def spjGroups
       : Option[Seq[(InternalRow, Seq[LedgerSink.FileEntry])]] =
     manifestOpt
       .filter(_ => org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled)
