@@ -64,7 +64,11 @@ object Bench {
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        catch {
+          case e: Throwable =>
+            if (sys.env.contains("SPARK_GRAFT_DEBUG")) e.printStackTrace()
+            Some(e.getClass.getSimpleName)
+        }
       ((System.nanoTime() - t0) / 1e9, err)
     }
     val firstPass = selected.map { case (name, fn) =>

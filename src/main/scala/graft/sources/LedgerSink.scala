@@ -1841,10 +1841,15 @@ private[sources] class LedgerScan(
 
   /** DPP eligibility: runtime predicates on partition columns (any
     * transform — values transform like static IN pruning) and on the
-    * stats column (envelope). */
+    * stats column (envelope). Restricted to columns the scan actually
+    * OUTPUTS: Spark's PartitionPruning resolves these against the
+    * scan's output attributes and fails the whole query on a miss —
+    * a column-pruned read must not advertise what it no longer
+    * carries. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     manifestOpt.map(m => (m.partitionNames ++ rtStatName.toSeq).distinct
+      .filter(required.fieldNames.contains)
       .map(n => Expressions.column(n)
         : org.apache.spark.sql.connector.expressions.NamedReference)
       .toArray).getOrElse(Array.empty)

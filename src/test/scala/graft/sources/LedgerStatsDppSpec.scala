@@ -101,6 +101,23 @@ class LedgerStatsDppSpec extends graft.SparkSpec {
       s"runtime pruning planned $planned files, expected $want of $total")
   }
 
+  test("a column-pruned scan does not advertise filter attributes it lost") {
+    // regression (caught by the bench): Spark's PartitionPruning rule
+    // resolves filterAttributes against the scan OUTPUT and fails the
+    // whole query when a pruned-out column is advertised — a join that
+    // only selects the join key from a stat-column-bearing table must
+    // still plan
+    val aDir = freshDir()
+    val bDir = freshDir()
+    write(aDir, spark.range(0, 500)
+      .selectExpr("id AS k", "id % 7 AS nk", "id * 5 AS payload"))
+    write(bDir, spark.range(0, 7).selectExpr("id AS nk_b", "id * 11 AS w"))
+    val j = read(aDir).select("nk") // k (stat col) and payload pruned out
+      .join(read(bDir), expr("nk = nk_b"), "full_outer")
+      .groupBy("nk_b").count()
+    assert(j.collect().length == 7)
+  }
+
   test("runtime IN-set narrows the stats-column envelope") {
     val dir = freshDir()
     // files laid out by key range: 4 appends of disjoint id ranges
