@@ -283,6 +283,100 @@ object LedgerRoundtrip {
           CAST(sum(c_custkey) AS BIGINT) AS key_sum
         FROM merged"""
 
+  /** `dsv2_merge_mor`: the same SQL MERGE surface through the DELTA
+    * (merge-on-read) path — `graft.ledger.rowLevelMode=mor` makes the
+    * table's row-level operation implement [[SupportsDelta]], so
+    * Spark plans `WriteDelta` against the `(_file, _pos)` rowId and
+    * the commit installs deletion vectors + appended files with NO
+    * touched file rewritten. Three connector verdicts fold into the
+    * oracle hash alongside the replayed state digest:
+    * `files_preserved` (every pre-merge data file name survives — a
+    * COW rewrite or a lost file flips it), `one_commit` (delete +
+    * update + insert arms land as exactly one version), and
+    * `dv_present` (at least one deletion vector was installed). */
+  def mergeMoRRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt"
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.root", root)
+    val t = s"graft_cat.rlo.mor_merge_$tag"
+    val dir = Paths.get(root, "rlo", s"mor_merge_$tag")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rlo")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (c_custkey BIGINT, bal_c BIGINT)")
+    graft.io.Tables.customer(spark, sfDir)
+      .selectExpr("CAST(c_custkey AS BIGINT) AS c_custkey",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+      .createOrReplaceTempView(s"mm_base_$tag")
+    spark.sql(s"INSERT INTO $t SELECT c_custkey, bal_c FROM mm_base_$tag")
+    // source rows are key-unique by construction (the %5 and %7∧¬%5
+    // branches are disjoint; inserts live in a shifted key space), so
+    // the MERGE cardinality check cannot trip
+    spark.sql(
+      s"""SELECT c_custkey AS id, 'del' AS kind, CAST(0 AS BIGINT) AS nv
+          FROM mm_base_$tag WHERE c_custkey % 5 = 0
+          UNION ALL
+          SELECT c_custkey, 'upd', bal_c + 100000
+          FROM mm_base_$tag WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
+          UNION ALL
+          SELECT c_custkey + 10000000, 'ins', CAST(555 AS BIGINT)
+          FROM mm_base_$tag WHERE c_custkey % 11 = 0""")
+      .createOrReplaceTempView(s"mm_src_$tag")
+    val preFiles = LedgerSink.readManifest(dir).get.files.map(_.file).toSet
+    val preVersion = LedgerSink.currentVersion(dir)
+    try {
+      spark.conf.set("graft.ledger.rowLevelMode", "mor")
+      spark.sql(
+        s"""MERGE INTO $t AS tgt USING mm_src_$tag AS src
+            ON tgt.c_custkey = src.id
+            WHEN MATCHED AND src.kind = 'del' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET bal_c = src.nv
+            WHEN NOT MATCHED THEN INSERT (c_custkey, bal_c)
+              VALUES (src.id, src.nv)""")
+    } finally spark.conf.set("graft.ledger.rowLevelMode", "cow")
+    val post = LedgerSink.readManifest(dir).get
+    val preserved = if (preFiles.subsetOf(post.files.map(_.file).toSet)) 1 else 0
+    val oneCommit =
+      if (LedgerSink.currentVersion(dir) == preVersion + 1) 1 else 0
+    val dvPresent = if (post.files.exists(_.dv.nonEmpty)) 1 else 0
+    spark.sql(s"SELECT count(*) AS n_rows, sum(bal_c) AS bal_sum," +
+      s" sum(c_custkey) AS key_sum," +
+      s" CAST($preserved AS INT) AS files_preserved," +
+      s" CAST($oneCommit AS INT) AS one_commit," +
+      s" CAST($dvPresent AS INT) AS dv_present FROM $t")
+  }
+
+  val mergeMoRRoundtripOracle: String =
+    """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer),
+        src AS (
+          SELECT c_custkey AS id, 'del' AS kind, CAST(0 AS BIGINT) AS nv
+          FROM base WHERE c_custkey % 5 = 0
+          UNION ALL
+          SELECT c_custkey, 'upd', bal_c + 100000
+          FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
+          UNION ALL
+          SELECT c_custkey + 10000000, 'ins', CAST(555 AS BIGINT)
+          FROM base WHERE c_custkey % 11 = 0),
+        merged AS (
+          SELECT t.c_custkey,
+            CASE WHEN s.kind = 'upd' THEN s.nv ELSE t.bal_c END AS bal_c
+          FROM base t LEFT JOIN src s ON t.c_custkey = s.id
+          WHERE s.kind IS NULL OR s.kind <> 'del'
+          UNION ALL
+          SELECT s.id, s.nv FROM src s
+          LEFT JOIN base t ON t.c_custkey = s.id
+          WHERE t.c_custkey IS NULL)
+        SELECT count(*) AS n_rows,
+          CAST(sum(bal_c) AS BIGINT) AS bal_sum,
+          CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+          CAST(1 AS INTEGER) AS files_preserved,
+          CAST(1 AS INTEGER) AS one_commit,
+          CAST(1 AS INTEGER) AS dv_present
+        FROM merged"""
+
   /** `dsv2_version_history`: the DESCRIBE HISTORY analogue — one row
     * per table version with its row count and balance digest, read
     * through `versionAsOf`, across every commit kind in one lineage:
@@ -847,16 +941,41 @@ object LedgerSink {
     bs
   }
 
+  /** The scan's METADATA COLUMNS (the Iceberg `_file`/`_pos` idea):
+    * `_file` is the table-relative data file holding the row, `_pos`
+    * its physical line ordinal. Together they are a stable row
+    * identity — physical ordinals survive deletion-vector changes
+    * (only a file REWRITE invalidates them, and rewrites always mint
+    * new file names) — which is exactly what the delta row-level
+    * write path uses as its rowId. Bound via sentinel positions so
+    * the shared line decoder stays metadata-blind. */
+  private[sources] val MetaFileCol = "_file"
+  private[sources] val MetaPosCol = "_pos"
+  private[sources] val MetaFilePos = -2
+  private[sources] val MetaPosPos = -3
+
   /** One bound file's live rows: decode every line EXCEPT the ordinals
     * the file's deletion vector (if any) marks deleted — the
-    * merge-on-read scan path. */
+    * merge-on-read scan path. Sentinel positions fill the metadata
+    * columns from the partition binding (file name) and the loop
+    * ordinal. */
   private[sources] def fileRows(p: LedgerFilePartition,
       types: Array[DataType]): Iterator[InternalRow] = {
     val lines = Files.readAllLines(Paths.get(p.file), UTF_8)
     val dv = p.dvFile.map(d => readDvOrdinals(Paths.get(d)))
+    val metaIdx = p.positions.indices.filter(j => p.positions(j) < -1)
+    val relName = UTF8String.fromString(p.rel)
     (0 until lines.size).iterator
       .filter(i => dv.forall(!_.get(i)))
-      .map(i => decodeProjected(lines.get(i), p.positions, types, p.width))
+      .map { i =>
+        val r = decodeProjected(lines.get(i), p.positions, types, p.width)
+        if (metaIdx.nonEmpty) {
+          val g = r.asInstanceOf[GenericInternalRow]
+          metaIdx.foreach(j => g.update(j,
+            if (p.positions(j) == MetaFilePos) relName else i.toLong))
+        }
+        r
+      }
   }
 
   /** The one row-decoding reader both the batch scan and the
@@ -1429,8 +1548,33 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     requestedPartitioning: Seq[LedgerSink.NamedPartField] = Seq.empty,
     rowLevelChanges: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete with SupportsRowLevelOperations {
+    with SupportsDelete with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
   LedgerSink.checkSchema(schema0)
+
+  /** The scan's hidden row-identity columns (the Iceberg `_file`/
+    * `_pos` surface): selectable by name on any batch read, and the
+    * rowId the DELTA row-level path keys deletion vectors on. The
+    * change-feed table does not serve them — its scan reconstructs
+    * rows by DIFFING files, so a single output row has no unique
+    * (file, pos) identity. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (rowLevelChanges) Array.empty
+    else Array(
+      new MetadataColumn {
+        override def name(): String = LedgerSink.MetaFileCol
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "table-relative data file holding the row"
+      },
+      new MetadataColumn {
+        override def name(): String = LedgerSink.MetaPosCol
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "physical line ordinal of the row within _file"
+      })
 
   /** A versionAsOf or CDC table is a SNAPSHOT: reads resolve archived
     * manifests; writes and deletes are refused (they would have to
@@ -1499,7 +1643,15 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireCurrent(info.command.toString)
-    () => new LedgerRowLevelOperation(dir, schema0, info.command)
+    // session knob `graft.ledger.rowLevelMode`: "cow" (default) keeps
+    // the group-based ReplaceData path; "mor" plans the DELTA path —
+    // Spark rewrites the command into WriteDelta keyed on the
+    // (_file, _pos) rowId, and the commit installs deletion vectors
+    // plus appended files instead of rewriting any touched file
+    val mor = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.ledger.rowLevelMode", "cow") == "mor"
+    if (mor) () => new LedgerDeltaOperation(dir, schema0, info.command)
+    else () => new LedgerRowLevelOperation(dir, schema0, info.command)
   }
 
   // ---- metadata-only DELETE (the Iceberg "metadata delete") ----
@@ -1997,19 +2149,29 @@ private[sources] class LedgerScan(
 
   // output column i binds to the file field holding its ID; legacy
   // files bind by schema position (their columns are a positional
-  // prefix of their manifest's schema)
+  // prefix of their manifest's schema). Metadata columns (_file/_pos)
+  // bind to sentinel positions the reader fills from the partition
+  // itself — they exist in no data file.
   private def bind(m: LedgerSink.Manifest,
       e: LedgerSink.FileEntry): LedgerFilePartition = {
+    def metaPos(name: String): Int = name match {
+      case LedgerSink.MetaFileCol => LedgerSink.MetaFilePos
+      case LedgerSink.MetaPosCol => LedgerSink.MetaPosPos
+      case _ => -1
+    }
+    val dataCols = m.schema.fieldNames.toSet
     val (positions, width) = e.ids match {
       case Some(fids) =>
         (required.fields.map(f =>
-          fids.indexOf(m.idOf(f.name))), fids.length)
+          if (dataCols(f.name)) fids.indexOf(m.idOf(f.name))
+          else metaPos(f.name)), fids.length)
       case None =>
-        (required.fields.map(f => m.schema.fieldIndex(f.name)),
-          m.schema.length)
+        (required.fields.map(f =>
+          if (dataCols(f.name)) m.schema.fieldIndex(f.name)
+          else metaPos(f.name)), m.schema.length)
     }
     LedgerFilePartition(dir.resolve(e.file).toString, positions, width,
-      e.dv.map(d => dir.resolve(d).toString))
+      e.dv.map(d => dir.resolve(d).toString), rel = e.file)
   }
 
   // a DEF, not a lazy val: runtime (DPP) filtering narrows the state
@@ -2098,7 +2260,7 @@ private[sources] class LedgerScan(
 
 private[sources] case class LedgerFilePartition(
     file: String, positions: Array[Int], width: Int,
-    dvFile: Option[String] = None)
+    dvFile: Option[String] = None, rel: String = "")
     extends InputPartition
 
 /** One partition VALUE's files, keyed for storage-partitioned joins.
