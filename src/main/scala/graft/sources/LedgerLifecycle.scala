@@ -952,4 +952,83 @@ object LedgerLifecycle {
          CAST(sum(bal) AS BIGINT) AS bal_sum,
          CAST(sum(k) AS BIGINT) AS key_sum
        FROM src GROUP BY seg ORDER BY seg"""
+
+  /** `dsv2_agg_pushdown_ledger`: metadata-only aggregation
+    * ([[LedgerScanBuilder.pushAggregation]]) — COUNT(*)/MIN/MAX
+    * grouped by an identity partition column are answered from the
+    * manifest (exact per-file row counts and true [min,max] stats)
+    * with ZERO data I/O; at 100 TB a table profile costs a driver
+    * metadata read instead of a full scan. The hashed row folds:
+    *   - the grouped profile digest (DuckDB recomputes it from the
+    *     fixture — a wrong manifest stat or a missed file breaks it);
+    *   - `grouped_pushed`: the plan verdict that the grouped query
+    *     used the pushed-aggregation scan;
+    *   - `count_pushed_dv` + the post-delete count: after a
+    *     merge-on-read DELETE, COUNT(*) stays metadata-answerable
+    *     (sidecar ordinal counts are committed metadata) and exact;
+    *   - `minmax_refused` + the post-delete min: MIN/MAX under a
+    *     deletion vector REFUSE the metadata path (the deleted row
+    *     may have held the extreme) and fall back to a real scan —
+    *     the honesty boundary, folded as a fact, not a comment. */
+  def aggPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_aggp_${tag(sfDir)}"
+    deleteRecursively(dir)
+    graft.io.Tables.customer(spark, sfDir).selectExpr(
+        "CAST(c_custkey AS BIGINT) AS ckey",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c",
+        "CAST(c_nationkey AS BIGINT) AS nk")
+      .write.format(ledger).option("path", dir)
+      .partitionBy("nk").mode("overwrite").save()                      // v1
+    def pushedPlan(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("graft-ledger-agg")
+    // pinned to v1: the final output plan re-plans this relation AFTER
+    // the deleteMoR below, and an unpinned read would then see the
+    // DV-carrying manifest (refusing min/max pushdown and changing the
+    // digest). Version pinning keeps the grouped profile the full
+    // pre-delete table — and proves pushdown works through time travel.
+    val grouped = spark.read.format(ledger).option("path", dir)
+      .option("versionAsOf", "1").load()
+      .groupBy("nk").agg(count(lit(1)).as("n"),
+        min("ckey").as("key_lo"), max("ckey").as("key_hi"))
+    val groupedPushed = if (pushedPlan(grouped)) 1 else 0
+    // merge-on-read delete, then the DV-honesty pair
+    val nDel = LedgerMaintenance.deleteMoR(spark, dir, Array(
+      org.apache.spark.sql.sources.LessThan("bal_c", 0L)))             // v2
+    val cnt = spark.read.format(ledger).option("path", dir).load()
+      .selectExpr("count(*) AS n_after_del")
+    val cntPushed = if (pushedPlan(cnt)) 1 else 0
+    val mn = spark.read.format(ledger).option("path", dir).load()
+      .selectExpr("min(ckey) AS key_lo_after_del")
+    val minRefused = if (!pushedPlan(mn)) 1 else 0
+    grouped
+      .crossJoin(broadcast(cnt)).crossJoin(broadcast(mn))
+      .selectExpr("nk", "n", "key_lo", "key_hi",
+        "n_after_del", "key_lo_after_del",
+        s"CAST($nDel AS BIGINT) AS n_deleted",
+        s"CAST($groupedPushed AS INT) AS grouped_pushed",
+        s"CAST($cntPushed AS INT) AS count_pushed_dv",
+        s"CAST($minRefused AS INT) AS minmax_refused")
+      .orderBy("nk")
+  }
+
+  val aggPushdownOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+           CAST(c_nationkey AS BIGINT) AS nk
+         FROM customer),
+        live AS (SELECT * FROM c WHERE bal_c >= 0),
+        del AS (SELECT count(*) AS n_deleted,
+            (SELECT count(*) FROM live) AS n_after_del,
+            (SELECT min(ckey) FROM live) AS key_lo_after_del
+          FROM c WHERE bal_c < 0)
+       SELECT nk, count(*) AS n, min(ckey) AS key_lo, max(ckey) AS key_hi,
+         n_after_del, key_lo_after_del,
+         CAST(n_deleted AS BIGINT) AS n_deleted,
+         CAST(1 AS INTEGER) AS grouped_pushed,
+         CAST(1 AS INTEGER) AS count_pushed_dv,
+         CAST(1 AS INTEGER) AS minmax_refused
+       FROM c CROSS JOIN del GROUP BY nk, n_after_del, key_lo_after_del,
+         n_deleted
+       ORDER BY nk"""
 }

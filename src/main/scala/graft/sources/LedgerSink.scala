@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expression => ConnectorExpression, Expressions, SortOrder => ConnectorSortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max => AggMax, Min => AggMin}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
@@ -1825,7 +1826,8 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
     streamOpts: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
     onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private[sources] val manifestOpt: Option[LedgerSink.Manifest] = changes match {
     case Some((f, t)) => Some(LedgerSink.readChanges(dir, f, t))
@@ -1943,7 +1945,152 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan =
+  // ---- aggregate pushdown (metadata-only aggregation) ----
+
+  /** COUNT(*) / MIN / MAX answered from the MANIFEST — zero data I/O:
+    * the file entries already carry exact physical row counts and
+    * exact per-file [min,max] on the stats column (the writer computes
+    * true extremes). At 100 TB, `SELECT count(*)` or a per-partition
+    * profile costs a driver-side metadata read instead of a full scan
+    * — the Iceberg/parquet-footer aggregate-pushdown idea at this
+    * format's grain.
+    *
+    * Honesty boundary, refusals are REAL:
+    *   - grouping only by IDENTITY partition columns whose tuples
+    *     every file carries (a tuple is a fact about every row);
+    *   - MIN/MAX only on the stats column, and only when NO chosen
+    *     file carries a deletion vector (deleting a row may remove
+    *     the extreme value; stats stay conservative bounds, which is
+    *     sound for pruning but NOT for exact answers) and every
+    *     file's stats were taken on the current stat column;
+    *   - COUNT(*) stays exact under DVs — the sidecar's ordinal count
+    *     is committed metadata (driver reads sidecars, still no data
+    *     file opened);
+    *   - any residual filter disables the path (Spark only attempts
+    *     aggregate pushdown when no post-scan filters remain, and
+    *     this scan returns every filter as residual).
+    * All-null files ((None,None) stats) contribute nothing to
+    * MIN/MAX, matching SQL null-skipping semantics. */
+  private var pushedAgg: Option[(Seq[String], Seq[AggregateFunc])] = None
+
+  private def aggAcceptable(agg: Aggregation): Boolean = {
+    val m = manifestOpt.getOrElse(return false)
+    if (pushed.nonEmpty) return false
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val identityParts = m.namedPartitionSpec
+      .filter(_.kind == "identity").map(_.name).toSet
+    val groupsOk = agg.groupByExpressions.forall(e =>
+      refName(e).exists(identityParts.contains)) &&
+      (agg.groupByExpressions.isEmpty ||
+        m.files.forall(_.partVals.exists(
+          _.length == m.partitionIds.length)))
+    val needsStats = agg.aggregateExpressions.exists {
+      case _: AggMin | _: AggMax => true
+      case _ => false
+    }
+    val statsOk = !needsStats || (
+      m.files.forall(e => e.dv.isEmpty &&
+        e.statId.orElse(
+          if (e.ids.isEmpty) m.statId else None) == m.statId) &&
+        m.statId.isDefined)
+    val aggsOk = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case f: AggMin => refName(f.column).exists(statName.contains)
+        case f: AggMax => refName(f.column).exists(statName.contains)
+        case _ => false
+      }
+    groupsOk && statsOk && aggsOk
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggAcceptable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    aggAcceptable(agg) && {
+      val groups = agg.groupByExpressions.toSeq.map(e =>
+        e.asInstanceOf[org.apache.spark.sql.connector.expressions
+          .NamedReference].fieldNames()(0))
+      pushedAgg = Some((groups, agg.aggregateExpressions.toSeq))
+      true
+    }
+
+  /** Evaluate the pushed aggregation from the manifest (driver-side;
+    * sidecar ordinal counts included for COUNT under DVs). Returns
+    * (schema, one row per group as plain JVM values). */
+  private def aggRows(): (StructType, Seq[Seq[Any]]) = {
+    val m = manifestOpt.get
+    val (groups, aggs) = pushedAgg.get
+    val statType = statName.map(n =>
+      m.schema.fields(m.schema.fieldIndex(n)).dataType)
+    val groupTypes = groups.map(n =>
+      m.schema.fields(m.schema.fieldIndex(n)).dataType)
+    val specPos = groups.map(n => m.partitionNames.indexOf(n))
+    val schema = StructType(
+      groups.zip(groupTypes).map { case (n, t) =>
+        StructField(n, t, nullable = true) } ++
+      aggs.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          StructField(s"count_star_$i", LongType, nullable = false)
+        case (f: AggMin, i) =>
+          StructField(s"min_$i", statType.get, nullable = true)
+        case (f: AggMax, i) =>
+          StructField(s"max_$i", statType.get, nullable = true)
+        case (f, _) => throw new IllegalStateException(f.toString)
+      })
+    def liveRows(e: LedgerSink.FileEntry): Long =
+      e.rows - e.dv.map(d =>
+        LedgerSink.readDvOrdinals(dir.resolve(d)).cardinality().toLong)
+        .getOrElse(0L)
+    def fold(files: Seq[LedgerSink.FileEntry]): Seq[Any] =
+      aggs.map {
+        case _: CountStar => files.map(liveRows).sum: java.lang.Long
+        case _: AggMin =>
+          val ms = files.flatMap(_.min)
+          if (ms.isEmpty) null
+          else statType.get match {
+            case IntegerType => Int.box(ms.min.toInt)
+            case _ => Long.box(ms.min)
+          }
+        case _: AggMax =>
+          val ms = files.flatMap(_.max)
+          if (ms.isEmpty) null
+          else statType.get match {
+            case IntegerType => Int.box(ms.max.toInt)
+            case _ => Long.box(ms.max)
+          }
+        case f => throw new IllegalStateException(f.toString)
+      }
+    val rows: Seq[Seq[Any]] =
+      if (groups.isEmpty) Seq(fold(m.files))
+      else m.files.groupBy(e => specPos.map(e.partVals.get(_)))
+        .toSeq.sortBy(_._1.mkString(" "))
+        .map { case (vals, fs) =>
+          vals.zip(groupTypes).map { case (v, t) =>
+            if (v == LedgerSink.NullMark) null
+            else LedgerSink.parseValue(t, v) match {
+              case u: UTF8String => u.toString // re-box executor-side
+              case x => x
+            }
+          } ++ fold(fs)
+        }
+    (schema, rows)
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(_) =>
+      val (schema, rows) = aggRows()
+      new LedgerAggScan(dir.toString, schema, rows)
+    case None =>
+      buildFileScan()
+  }
+
+  private def buildFileScan(): Scan =
     new LedgerScan(dir, versionSchema, manifestOpt,
       required.getOrElse(versionSchema),
       flo, fhi, pushed.nonEmpty && statName.isDefined &&
@@ -2262,6 +2409,41 @@ private[sources] case class LedgerFilePartition(
     file: String, positions: Array[Int], width: Int,
     dvFile: Option[String] = None, rel: String = "")
     extends InputPartition
+
+/** The pushed-aggregation result: already-final rows computed on the
+  * driver from the manifest ([[LedgerScanBuilder.aggRows]]) — one
+  * metadata-sized partition, no data file opened. Values travel as
+  * plain JVM types; the reader re-boxes strings to UTF8String. */
+private[sources] case class LedgerAggPartition(
+    rows: Array[Array[Any]], ddl: String) extends InputPartition
+
+private[sources] class LedgerAggScan(dirDesc: String, schema: StructType,
+    rows: Seq[Seq[Any]]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-ledger-agg $dirDesc PushedAggregation: " +
+      s"[${schema.fieldNames.mkString(",")}] groups=${rows.length}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LedgerAggPartition(rows.map(_.toArray).toArray, schema.toDDL))
+  override def createReaderFactory(): PartitionReaderFactory =
+    partition => {
+      val p = partition.asInstanceOf[LedgerAggPartition]
+      val out = p.rows.iterator.map { vals =>
+        new GenericInternalRow(vals.map {
+          case s: String => UTF8String.fromString(s)
+          case x => x
+        }): InternalRow
+      }
+      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean =
+          out.hasNext && { cur = out.next(); true }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
+}
 
 /** One partition VALUE's files, keyed for storage-partitioned joins.
   * All rows in the group share `key` by the identity-partition write
