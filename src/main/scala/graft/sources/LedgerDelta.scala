@@ -174,7 +174,7 @@ private[sources] class LedgerDeltaBatchWrite(dir: Path,
       snap.files.map(e => e.file -> e.dv).toMap
     def cleanup(): Unit = {
       newDvs.values.foreach(d => Files.deleteIfExists(dir.resolve(d)): Unit)
-      fresh.foreach(e => Files.deleteIfExists(dir.resolve(e.file)): Unit)
+      fresh.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
     }
     try LedgerSink.commitRebase(dir, {
       case Some(cur)
@@ -197,7 +197,7 @@ private[sources] class LedgerDeltaBatchWrite(dir: Path,
       case LedgerDeltaCommitMessage(dvs, entries) =>
         dvs.foreach { case (_, d) =>
           Files.deleteIfExists(dir.resolve(d)): Unit }
-        entries.foreach(e => Files.deleteIfExists(dir.resolve(e.file)): Unit)
+        entries.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
       case _ => ()
     }
 }

@@ -1012,6 +1012,166 @@ object LedgerLifecycle {
       .orderBy("nk")
   }
 
+  /** `dsv2_stream_upsert`: the canonical streaming-upsert pattern
+    * (Delta's `foreachBatch` + MERGE): a ledger STREAM (versions as
+    * offsets, one version per micro-batch via `maxFilesPerTrigger=1`
+    * and versions-indivisible admission) drives per-batch SQL MERGE
+    * INTO a catalog table running in merge-on-read mode — each batch
+    * lands as ONE delta commit of deletion vectors + appended files.
+    * The batch body dedups to the latest row per key (arg-max by
+    * change version) so the final state is batching-independent:
+    * last-writer-wins per key, which DuckDB replays with a CASE over
+    * the three change sets. Folded verdicts: `mor_dvs` (the upserts
+    * installed deletion vectors — the MoR path really ran) and
+    * `base_files_kept` (the initial batch's data files were never
+    * rewritten by later batches). */
+  def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    initCatalog(spark)
+    val g = tag(sfDir)
+    val srcDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_upsrc_$g"
+    deleteRecursively(srcDir)
+    val t = s"graft_cat.rlo.stream_upsert_$g"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rlo")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (ckey BIGINT, val BIGINT)")
+    val tDir = Paths.get(catalogRoot, "rlo", s"stream_upsert_$g")
+    val cust = graft.io.Tables.customer(spark, sfDir).selectExpr(
+      "CAST(c_custkey AS BIGINT) AS ckey",
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+    // three source versions = three micro-batches of upserts
+    cust.selectExpr("ckey", "bal_c AS val", "CAST(1 AS BIGINT) AS v")
+      .coalesce(1).write.format(ledger).option("path", srcDir)
+      .mode("overwrite").save()                                       // v1
+    cust.filter("ckey % 3 = 0")
+      .selectExpr("ckey", "bal_c + 100000 AS val", "CAST(2 AS BIGINT) AS v")
+      .coalesce(1).write.format(ledger).option("path", srcDir)
+      .mode("append").save()                                          // v2
+    cust.filter("ckey % 5 = 0")
+      .selectExpr("ckey", "bal_c + 900000 AS val", "CAST(3 AS BIGINT) AS v")
+      .unionByName(cust.filter("ckey % 11 = 0").selectExpr(
+        "ckey + 10000000 AS ckey", "CAST(555 AS BIGINT) AS val",
+        "CAST(3 AS BIGINT) AS v"))
+      .coalesce(1).write.format(ledger).option("path", srcDir)
+      .mode("append").save()                                          // v3
+    val ckpt = s"$srcDir/_checkpoint"
+    val baseFiles = scala.collection.mutable.Set.empty[String]
+    try {
+      spark.conf.set("graft.ledger.rowLevelMode", "mor")
+      val q = spark.readStream.format(ledger).option("path", srcDir)
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.createOrReplaceTempView(s"up_batch_$g")
+          batch.sparkSession.sql(
+            s"""MERGE INTO $t AS tgt USING (
+                  SELECT ckey, val FROM (
+                    SELECT ckey, val,
+                      row_number() OVER (PARTITION BY ckey
+                        ORDER BY v DESC) AS rn
+                    FROM up_batch_$g) WHERE rn = 1) AS src
+                ON tgt.ckey = src.ckey
+                WHEN MATCHED THEN UPDATE SET val = src.val
+                WHEN NOT MATCHED THEN INSERT (ckey, val)
+                  VALUES (src.ckey, src.val)""")
+          if (baseFiles.isEmpty)
+            baseFiles ++= LedgerSink.readManifest(tDir).get.files.map(_.file)
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("graft.ledger.rowLevelMode", "cow")
+    val post = LedgerSink.readManifest(tDir).get
+    val morDvs = if (post.files.exists(_.dv.nonEmpty)) 1 else 0
+    val baseKept =
+      if (baseFiles.toSet.subsetOf(post.files.map(_.file).toSet)) 1 else 0
+    spark.sql(s"SELECT count(*) AS n_rows, sum(val) AS val_sum," +
+      s" sum(ckey) AS key_sum," +
+      s" CAST($morDvs AS INT) AS mor_dvs," +
+      s" CAST($baseKept AS INT) AS base_files_kept FROM $t")
+  }
+
+  val streamUpsertOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+         FROM customer),
+        finals AS (
+          SELECT ckey,
+            CASE WHEN ckey % 5 = 0 THEN bal_c + 900000
+                 WHEN ckey % 3 = 0 THEN bal_c + 100000
+                 ELSE bal_c END AS val
+          FROM c
+          UNION ALL
+          SELECT ckey + 10000000, CAST(555 AS BIGINT)
+          FROM c WHERE ckey % 11 = 0)
+       SELECT count(*) AS n_rows,
+         CAST(sum(val) AS BIGINT) AS val_sum,
+         CAST(sum(ckey) AS BIGINT) AS key_sum,
+         CAST(1 AS INTEGER) AS mor_dvs,
+         CAST(1 AS INTEGER) AS base_files_kept
+       FROM finals"""
+
+  /** `dsv2_bloom_skipping`: per-file bloom sidecars over the first
+    * string column ([[LedgerSink.bloomColIndex]]) prune POINT
+    * predicates that min/max stats cannot — `WHERE key = x` on an
+    * unsorted high-cardinality key reads only the files whose bloom
+    * may hold x (the Delta bloom-index / Iceberg puffin idea; at
+    * 100 TB the difference between one file and all of them). Folded
+    * verdicts: `probe_pruned` (an existing key's point probe plans
+    * ≤ 1/4 of the files), `absent_zero` (an absent key plans ZERO
+    * files), alongside the matching rows' digest which DuckDB
+    * replays — correctness never depends on the bloom because every
+    * filter stays residual. */
+  def bloomSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_bloom_${tag(sfDir)}"
+    deleteRecursively(dir)
+    graft.io.Tables.customer(spark, sfDir).selectExpr(
+        "c_name AS name",
+        "CAST(c_custkey AS BIGINT) AS ckey",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+      .repartition(16)
+      .write.format(ledger).option("path", dir).mode("overwrite").save()
+    val probe = graft.io.Tables.customer(spark, sfDir)
+      .agg(min("c_name")).head().getString(0)
+    val root = Paths.get(dir)
+    val m = LedgerSink.readManifest(root).get
+    def planned(fs: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new LedgerScanBuilder(root, m.schema)
+      sb.pushFilters(fs): Unit
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val total = m.files.length
+    val hit = planned(Array(org.apache.spark.sql.sources.EqualTo(
+      "name", probe)))
+    val miss = planned(Array(org.apache.spark.sql.sources.EqualTo(
+      "name", "zzz_no_such_customer")))
+    val pruned = if (hit * 4 <= total) 1 else 0
+    val absentZero = if (miss == 0) 1 else 0
+    spark.read.format(ledger).option("path", dir).load()
+      .filter(col("name") === lit(probe))
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("ckey")).as("key_sum"),
+        sum(col("bal_c")).as("bal_sum"))
+      .selectExpr("n_match", "key_sum", "bal_sum",
+        s"CAST($pruned AS INT) AS probe_pruned",
+        s"CAST($absentZero AS INT) AS absent_zero")
+  }
+
+  val bloomSkippingOracle: String =
+    """WITH c AS (SELECT c_name AS name,
+           CAST(c_custkey AS BIGINT) AS ckey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+         FROM customer),
+        probe AS (SELECT min(name) AS p FROM c)
+       SELECT count(*) AS n_match,
+         CAST(sum(ckey) AS BIGINT) AS key_sum,
+         CAST(sum(bal_c) AS BIGINT) AS bal_sum,
+         CAST(1 AS INTEGER) AS probe_pruned,
+         CAST(1 AS INTEGER) AS absent_zero
+       FROM c, probe WHERE name = p"""
+
   val aggPushdownOracle: String =
     """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
            CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,

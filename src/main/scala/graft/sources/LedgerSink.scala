@@ -724,13 +724,18 @@ object LedgerSink {
       file: String, rows: Long, min: Option[Long], max: Option[Long],
       ids: Option[Seq[Int]] = None, statId: Option[Int] = None,
       partVals: Option[Seq[String]] = None,
-      dv: Option[String] = None) {
+      dv: Option[String] = None,
+      bloom: Option[String] = None) {
     def render: String =
       s"$file\t$rows\t${min.getOrElse("-")}\t${max.getOrElse("-")}\t" +
         s"${ids.map(_.mkString(",")).getOrElse("-")}\t" +
         s"${statId.map(_.toString).getOrElse("-")}\t" +
         s"${partVals.map(_.mkString(",")).getOrElse("-")}" +
-        dv.map(d => s"\t$d").getOrElse("")
+        ((dv, bloom) match {
+          case (None, None) => ""
+          case (Some(d), None) => s"\t$d"
+          case (d, Some(b)) => s"\t${d.getOrElse("-")}\t$b"
+        })
   }
 
   private[sources] object FileEntry {
@@ -743,8 +748,110 @@ object LedgerSink {
         opt(4).map(_.split(",", -1).toSeq.filter(_.nonEmpty).map(_.toInt)),
         opt(5).map(_.toInt),
         opt(6).map(_.split(",", -1).toSeq),
-        opt(7))
+        opt(7),
+        opt(8))
     }
+  }
+
+  // ---- bloom-filter file skipping (the Delta bloom-index / Iceberg
+  // puffin idea at this format's scale) ----
+
+  /** Index of the bloom column: the first string field, if any —
+    * the positional convention [[statColIndex]] set. Point predicates
+    * on a high-cardinality string column are exactly what min/max
+    * stats can't prune (an unsorted key's [min,max] spans everything);
+    * a per-file bloom sidecar makes `WHERE key = x` skip all but the
+    * files that may hold x. Sidecars live NEXT TO the data (manifest
+    * stays line-sized per file; the planner reads sidecars only for
+    * files other pruning kept — the puffin trade), are immutable, are
+    * vacuum-protected while referenced, and carry the FIELD ID they
+    * were built over, so schema evolution can never alias a bloom
+    * onto a different column. Deletion vectors leave blooms valid
+    * (a deleted row's value may linger as a false positive — blooms
+    * only ever over-approximate, and every filter is still evaluated
+    * row-wise). */
+  private[sources] def bloomColIndex(schema: StructType): Option[Int] = {
+    val i = schema.fields.indexWhere(_.dataType == StringType)
+    if (i < 0) None else Some(i)
+  }
+
+  private[sources] val BloomK = 5
+  private[sources] val BloomBitsPerKey = 10
+
+  /** Deterministic 64-bit FNV-1a + murmur finalizer over UTF-8 bytes —
+    * self-contained so the executor-side writer and the driver-side
+    * planner can never disagree. */
+  private[sources] def bloomHash(s: String, seed: Long): Long = {
+    val bytes = s.getBytes(UTF_8)
+    var h = seed ^ 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** Build a bloom from the (h1, h2) pairs of a file's distinct
+    * values: m = 10 bits/key (fp ≈ 1% at k = 5), double hashing
+    * g_i = h1 + i·h2. */
+  private[sources] def bloomBuild(pairs: Iterable[(Long, Long)])
+      : (Int, Array[Byte]) = {
+    val n = pairs.size
+    val m = math.max(1024, n * BloomBitsPerKey)
+    val bits = new Array[Byte]((m + 7) / 8)
+    pairs.foreach { case (h1, h2) =>
+      var i = 0
+      while (i < BloomK) {
+        val g = (((h1 + i * h2) % m) + m) % m
+        bits(g.toInt >> 3) = (bits(g.toInt >> 3) | (1 << (g.toInt & 7))).toByte
+        i += 1
+      }
+    }
+    (m, bits)
+  }
+
+  private[sources] val BloomSeed1 = 0x9747b28c17ea3173L
+  private[sources] val BloomSeed2 = 0x85ebca6bc2b2ae35L
+
+  private[sources] def bloomMightContain(m: Int, bits: Array[Byte],
+      value: String): Boolean = {
+    val h1 = bloomHash(value, BloomSeed1)
+    val h2 = bloomHash(value, BloomSeed2)
+    var i = 0
+    while (i < BloomK) {
+      val g = ((((h1 + i * h2) % m) + m) % m).toInt
+      if ((bits(g >> 3) & (1 << (g & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Abort/conflict cleanup for a staged-but-uncommitted entry: the
+    * data file and its bloom sidecar (staged entries never carry a
+    * deletion vector — DVs are staged separately by the commit that
+    * installs them). */
+  private[sources] def deleteStagedEntry(dir: Path, e: FileEntry): Unit = {
+    Files.deleteIfExists(dir.resolve(e.file)): Unit
+    e.bloom.foreach(b => Files.deleteIfExists(dir.resolve(b)): Unit)
+  }
+
+  /** Sidecar codec: line 1 = `m k fieldId`, line 2 = base64 bits. */
+  private[sources] def writeBloomSidecar(path: Path, m: Int,
+      fieldId: Int, bits: Array[Byte]): Unit =
+    Files.write(path,
+      (s"$m $BloomK $fieldId\n" +
+        java.util.Base64.getEncoder.encodeToString(bits) + "\n")
+        .getBytes(UTF_8))
+
+  private[sources] def readBloomSidecar(path: Path)
+      : (Int, Int, Int, Array[Byte]) = {
+    val lines = Files.readAllLines(path, UTF_8)
+    val h = lines.get(0).split(" ")
+    (h(0).toInt, h(1).toInt, h(2).toInt,
+      java.util.Base64.getDecoder.decode(lines.get(1)))
   }
 
   /** Index of the data-skipping stats column: the first long/int
@@ -908,7 +1015,7 @@ object LedgerSink {
     * or a post-DELETE cleanup must not touch. */
   private[sources] def referencedFiles(dir: Path): Set[String] = {
     def refs(m: Manifest): Seq[String] =
-      m.files.flatMap(e => e.file +: e.dv.toSeq)
+      m.files.flatMap(e => (e.file +: e.dv.toSeq) ++ e.bloom.toSeq)
     val archived = archivedVersions(dir).flatMap { v =>
       refs(Manifest.parse(Files.readAllLines(dir.resolve(archiveName(v)), UTF_8)
         .asScala.toSeq))
@@ -1354,7 +1461,20 @@ object LedgerMaintenance {
           case (e, i) =>
             val rel = s"_staging/upd-$tag-$i.ledger"
             Files.move(tmp.resolve(e.file), dir.resolve(rel))
-            e.copy(file = rel, ids = Some(m.ids.toSeq), statId = m.statId)
+            // the bloom sidecar moves with its file; its header's
+            // field id remaps like the entry's ids
+            val bloomRel = e.bloom.map { b =>
+              val br = s"_staging/upd-$tag-$i.bf"
+              val (bm, _, fid, bits) =
+                LedgerSink.readBloomSidecar(tmp.resolve(b))
+              val scratchIds = LedgerSink.readManifest(tmp).get.ids
+              val pos = scratchIds.indexOf(fid)
+              LedgerSink.writeBloomSidecar(dir.resolve(br), bm,
+                m.ids.toSeq(pos), bits)
+              br
+            }
+            e.copy(file = rel, ids = Some(m.ids.toSeq), statId = m.statId,
+              bloom = bloomRel)
         }
       } finally {
         val s = Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
@@ -1363,7 +1483,7 @@ object LedgerMaintenance {
       }
     def cleanup(): Unit = {
       newDvs.values.foreach(d => Files.deleteIfExists(dir.resolve(d)): Unit)
-      moved.foreach(e => Files.deleteIfExists(dir.resolve(e.file)): Unit)
+      moved.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
     }
     try LedgerSink.commitRebase(dir, cur =>
       cur.filter(c => newDvs.keySet.subsetOf(c.files
@@ -1794,8 +1914,11 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     // commit above archived the pre-delete manifest, so in practice
     // dropped files survive for time travel until vacuum)
     val live = LedgerSink.referencedFiles(dir)
-    dropped.filterNot(e => live(e.file))
-      .foreach(e => Files.deleteIfExists(dir.resolve(e.file)))
+    dropped.filterNot(e => live(e.file)).foreach { e =>
+      Files.deleteIfExists(dir.resolve(e.file)): Unit
+      e.bloom.filterNot(live).foreach(b =>
+        Files.deleteIfExists(dir.resolve(b)): Unit)
+    }
   }
 }
 
@@ -1858,6 +1981,13 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
   private var partDayHi: Map[String, Long] = Map.empty
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
+  // equality/IN point predicates on the bloom column: a conjunction
+  // of candidate-value sets; a file survives iff for EVERY conjunct
+  // SOME value may be present in its bloom
+  private val bloomName: Option[String] =
+    LedgerSink.bloomColIndex(versionSchema)
+      .map(versionSchema.fields(_).name)
+  private var bloomConjuncts: Seq[Set[String]] = Seq.empty
 
   private def intersect(c: String, vs: Set[String]): Unit =
     partEq += (c -> partEq.get(c).map(_.intersect(vs)).getOrElse(vs))
@@ -1918,6 +2048,18 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
       case x: java.lang.Long => Some(x.longValue)
       case x: java.lang.Integer => Some(x.longValue)
       case _ => None
+    }
+    // bloom pruning: point predicates on the bloom column (see
+    // [[LedgerSink.bloomColIndex]]); min/max can't prune an unsorted
+    // high-cardinality key, the per-file bloom sidecar can
+    filters.foreach {
+      case f @ EqualTo(c, v: String) if bloomName.contains(c) =>
+        bloomConjuncts :+= Set(v); accepted += f
+      case f @ In(c, vs) if bloomName.contains(c) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        bloomConjuncts :+= vs.map(_.asInstanceOf[String]).toSet
+        accepted += f
+      case _ => ()
     }
     filters.foreach {
       case f @ GreaterThan(c, v)
@@ -2101,7 +2243,7 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
       Option(streamOpts.get("skipChangeCommits")).exists(_.toBoolean),
       Option(streamOpts.get("startingVersion")).getOrElse("0"),
       Option(streamOpts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L),
-      onPlannedEntries)
+      onPlannedEntries, bloomConjuncts)
 }
 
 private[sources] class LedgerScan(
@@ -2118,7 +2260,8 @@ private[sources] class LedgerScan(
     skipChangeCommits: Boolean = false,
     startingVersion: String = "0",
     maxBytesPerTrigger: Long = 0L,
-    onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => ())
+    onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => (),
+    bloomConjuncts: Seq[Set[String]] = Seq.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -2134,9 +2277,47 @@ private[sources] class LedgerScan(
   @volatile private var rtPartEq: Map[String, Set[String]] = Map.empty
   @volatile private var rtFlo: Long = Long.MinValue
   @volatile private var rtFhi: Long = Long.MaxValue
+  @volatile private var rtBloom: Seq[Set[String]] = Seq.empty
 
   private val rtStatName: Option[String] =
     LedgerSink.statColIndex(versionSchema).map(versionSchema.fields(_).name)
+  private val rtBloomName: Option[String] =
+    LedgerSink.bloomColIndex(versionSchema).map(versionSchema.fields(_).name)
+
+  // ---- bloom-filter admission ----
+  // Sidecars are read lazily per distinct bloom file and cached for
+  // the scan's lifetime (planning re-runs — DPP, SPJ regrouping —
+  // reuse the parse). A sidecar built over a different field id
+  // (schema evolution moved the bloom column) or an unreadable one
+  // degrades to "keep" — pruning may only ever over-approximate.
+  private val bloomFieldId: Option[Int] = manifestOpt.flatMap(m =>
+    LedgerSink.bloomColIndex(m.schema).map(m.ids(_)))
+  private val bloomCache =
+    scala.collection.mutable.HashMap.empty[String, Option[(Int, Array[Byte])]]
+
+  private def bloomAdmit(e: LedgerSink.FileEntry): Boolean = {
+    val conjuncts = bloomConjuncts ++ rtBloom
+    if (conjuncts.isEmpty) return true
+    e.bloom match {
+      case None => true
+      case Some(b) =>
+        bloomCache.synchronized {
+          bloomCache.getOrElseUpdate(b,
+            try {
+              val (m, k, fid, bits) =
+                LedgerSink.readBloomSidecar(dir.resolve(b))
+              if (bloomFieldId.contains(fid) && k == LedgerSink.BloomK)
+                Some((m, bits))
+              else None
+            } catch { case _: java.io.IOException => None })
+        } match {
+          case None => true
+          case Some((m, bits)) =>
+            conjuncts.forall(_.exists(v =>
+              LedgerSink.bloomMightContain(m, bits, v)))
+        }
+    }
+  }
 
   /** DPP eligibility: runtime predicates on partition columns (any
     * transform — values transform like static IN pruning) and on the
@@ -2147,7 +2328,8 @@ private[sources] class LedgerScan(
     * carries. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    manifestOpt.map(m => (m.partitionNames ++ rtStatName.toSeq).distinct
+    manifestOpt.map(m =>
+      (m.partitionNames ++ rtStatName.toSeq ++ rtBloomName.toSeq).distinct
       .filter(required.fieldNames.contains)
       .map(n => Expressions.column(n)
         : org.apache.spark.sql.connector.expressions.NamedReference)
@@ -2187,6 +2369,18 @@ private[sources] class LedgerScan(
                   rtFlo = math.max(rtFlo, longs.min)
                   rtFhi = math.min(rtFhi, longs.max)
                 }
+              }
+              // runtime IN-set on the bloom column: the build side's
+              // observed join keys probe the per-file blooms — exact
+              // rows still come from the join, files that cannot hold
+              // any key are never read
+              if (rtBloomName.contains(cname)) {
+                val strs = lits.collect {
+                  case u: UTF8String => u.toString
+                  case s: String => s
+                }
+                if (strs.length == lits.length && strs.nonEmpty)
+                  rtBloom :+= strs.toSet
               }
             }
           case _ => ()
@@ -2239,7 +2433,7 @@ private[sources] class LedgerScan(
       .map(m => m.schema.fieldNames.zip(m.ids).toMap)
       .getOrElse(Map.empty)
     new LedgerMicroBatchStream(dir, required, idOf,
-      (m, e) => partitionMatches(m, e) && statsAdmit(m, e),
+      (m, e) => partitionMatches(m, e) && statsAdmit(m, e) && bloomAdmit(e),
       maxFilesPerTrigger, skipChangeCommits, startingVersion, onPlanned,
       maxBytesPerTrigger)
   }
@@ -2251,7 +2445,11 @@ private[sources] class LedgerScan(
         s" PartitionFilter: ${partEq.map { case (k, v) =>
           s"$k IN {${v.toSeq.sorted.mkString(",")}}" }.mkString(", ")}" else "") +
       (if (required.length != versionSchema.length)
-        s" PrunedColumns: [${required.fieldNames.mkString(",")}]" else "")
+        s" PrunedColumns: [${required.fieldNames.mkString(",")}]" else "") +
+      (if (bloomConjuncts.nonEmpty)
+        s" BloomProbe: ${bloomConjuncts.map(s =>
+          s"{${s.toSeq.sorted.take(3).mkString(",")}}").mkString(" AND ")}"
+      else "")
 
   private def partitionMatches(m: LedgerSink.Manifest,
       e: LedgerSink.FileEntry): Boolean = {
@@ -2328,7 +2526,7 @@ private[sources] class LedgerScan(
   private def chosenFiles: Seq[LedgerSink.FileEntry] =
     manifestOpt.map(_.files.filter(e =>
       partitionMatches(m = manifestOpt.get, e = e) &&
-        statsAdmit(manifestOpt.get, e))).getOrElse(Seq.empty)
+        statsAdmit(manifestOpt.get, e) && bloomAdmit(e))).getOrElse(Seq.empty)
 
   /** STORAGE-PARTITIONED JOIN grouping: when the session's v2
     * bucketing is on, the table has an identity partition spec whose
@@ -2751,7 +2949,7 @@ private[sources] class LedgerBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case LedgerCommitMessage(es) =>
-        es.foreach(e => Files.deleteIfExists(dir.resolve(e.file)): Unit)
+        es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
       case _ => ()
     }
 }
@@ -2840,7 +3038,7 @@ private[sources] class LedgerRowLevelOperation(
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             messages.foreach {
               case LedgerCommitMessage(es) =>
-                es.foreach(e => Files.deleteIfExists(dir.resolve(e.file)): Unit)
+                es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
               case _ => ()
             }
         }
@@ -2941,7 +3139,7 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
         messages.foreach {
           case LedgerCommitMessage(es) => es.foreach { e =>
             if (!m.files.exists(_.file == e.file))
-              Files.deleteIfExists(dir.resolve(e.file)): Unit
+              LedgerSink.deleteStagedEntry(dir, e)
           }
           case _ => ()
         }
@@ -2954,7 +3152,7 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case LedgerCommitMessage(es) =>
-        es.foreach(e => Files.deleteIfExists(dir.resolve(e.file)): Unit)
+        es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
       case _ => ()
     }
 }
@@ -2978,6 +3176,8 @@ private[sources] class LedgerDataWriter(
 
   private val statIdx = LedgerSink.statColIndex(schema)
   private val statId = statIdx.map(ids(_))
+  private val bloomIdx = LedgerSink.bloomColIndex(schema)
+  private val bloomId = bloomIdx.map(ids(_))
 
   private final class Sub(val rel: String, val partVals: Option[Seq[String]]) {
     val path: Path = Paths.get(base, rel)
@@ -2991,6 +3191,9 @@ private[sources] class LedgerDataWriter(
     var statMin: Long = Long.MaxValue
     var statMax: Long = Long.MinValue
     var statSeen = false
+    // distinct (h1, h2) pairs of the bloom column's non-null values;
+    // the bloom is sized from the distinct count at commit
+    val bloomPairs = scala.collection.mutable.HashSet.empty[(Long, Long)]
   }
 
   private val subs =
@@ -3026,15 +3229,31 @@ private[sources] class LedgerDataWriter(
         if (v > sub.statMax) sub.statMax = v
       }
     }
+    bloomIdx.foreach { i =>
+      if (!record.isNullAt(i)) {
+        val s = record.getUTF8String(i).toString
+        sub.bloomPairs.add((LedgerSink.bloomHash(s, LedgerSink.BloomSeed1),
+          LedgerSink.bloomHash(s, LedgerSink.BloomSeed2))): Unit
+      }
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     val entries = subs.values.toSeq.map { s =>
       s.out.close()
+      // the bloom sidecar shares the data file's unique stem, so
+      // attempt-uniqueness carries over; it stages at task commit and
+      // only the committed manifest ever references it
+      val bloomRel = bloomId.filter(_ => s.bloomPairs.nonEmpty).map { fid =>
+        val rel = s.rel.stripSuffix(".ledger") + ".bf"
+        val (m, bits) = LedgerSink.bloomBuild(s.bloomPairs)
+        LedgerSink.writeBloomSidecar(Paths.get(base, rel), m, fid, bits)
+        rel
+      }
       LedgerSink.FileEntry(s.rel, s.rows,
         if (s.statSeen) Some(s.statMin) else None,
         if (s.statSeen) Some(s.statMax) else None,
-        Some(ids), statId, s.partVals)
+        Some(ids), statId, s.partVals, dv = None, bloom = bloomRel)
     }
     LedgerCommitMessage(entries)
   }
