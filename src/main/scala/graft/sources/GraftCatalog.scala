@@ -118,8 +118,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // honors. The rebase form makes concurrent CREATEs serialize:
     // exactly one wins, the loser gets TableAlreadyExists instead of
     // clobbering.
+    // engine-namespaced properties persist in the manifest (`graft.*`
+    // — e.g. graft.ledger.rowLevelMode=mor); Spark's own reserved and
+    // bookkeeping keys (provider, owner, …) are not table state
     val m = LedgerSink.Manifest.fresh(schema,
       LedgerSink.partitionSpecOf(partitions))
+      .copy(props = properties.asScala
+        .filter(_._1.startsWith("graft.")).toMap)
     try LedgerSink.commitRebase(dir,
       { case None => Some(m); case Some(_) => None }, "")
     catch {
@@ -224,9 +229,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 schema = StructType(m.schema.fields.patch(i, Nil, 1)),
                 ids = m.ids.patch(i, Nil, 1))
           }
+        case set: TableChange.SetProperty =>
+          if (!set.property().startsWith("graft."))
+            throw new UnsupportedOperationException(
+              s"ledger table properties are engine-namespaced " +
+                s"(graft.*); got ${set.property()}")
+          m.copy(props = m.props + (set.property() -> set.value()))
+        case rm: TableChange.RemoveProperty =>
+          m.copy(props = m.props - rm.property())
         case other => throw new UnsupportedOperationException(
-          s"ledger evolution supports ADD/RENAME/DROP COLUMN only; " +
-            s"$other requires a rewrite")
+          s"ledger evolution supports ADD/RENAME/DROP COLUMN and " +
+            s"SET/UNSET TBLPROPERTIES only; $other requires a rewrite")
       }
     }
     altered

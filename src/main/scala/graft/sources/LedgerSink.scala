@@ -869,7 +869,8 @@ object LedgerSink {
     * partition columns survive renames), and the file list. */
   private[sources] case class Manifest(
       schema: StructType, ids: Seq[Int], nextId: Int,
-      partitionSpec: Seq[PartField], files: Seq[FileEntry]) {
+      partitionSpec: Seq[PartField], files: Seq[FileEntry],
+      props: Map[String, String] = Map.empty) {
 
     def idOf(name: String): Int = ids(schema.fieldIndex(name))
     def fieldOfId(id: Int): StructField = schema.fields(ids.indexOf(id))
@@ -884,6 +885,11 @@ object LedgerSink {
         (Seq(s"#ids:${ids.mkString(",")}", s"#nextid:$nextId") ++
           (if (partitionSpec.nonEmpty)
             Seq(s"#partition:${partitionSpec.map(_.render).mkString(",")}")
+          else Nil) ++
+          (if (props.nonEmpty)
+            Seq("#props:" + props.toSeq.sortBy(_._1).map { case (k, v) =>
+              s"${Manifest.escProp(k)}=${Manifest.escProp(v)}"
+            }.mkString(","))
           else Nil))) ++
         files.map(_.render)
   }
@@ -908,8 +914,28 @@ object LedgerSink {
           .getOrElse(ids.maxOption.getOrElse(0) + 1),
         h.get("partition").map(_.split(",", -1).toSeq.filter(_.nonEmpty)
           .map(PartField.parse)).getOrElse(Nil),
-        entries.map(FileEntry.parse))
+        entries.map(FileEntry.parse),
+        h.get("props").map(_.split(",", -1).toSeq.filter(_.nonEmpty)
+          .map { kv =>
+            val i = kv.indexOf('=')
+            (unescProp(kv.substring(0, i)), unescProp(kv.substring(i + 1)))
+          }.toMap).getOrElse(Map.empty))
     }
+
+    /** TABLE PROPERTIES travel in a `#props:` header (absent when
+      * empty — byte-compatible with every older manifest). Keys and
+      * values percent-escape the header's structural characters. */
+    private[sources] def escProp(s: String): String = s.flatMap {
+      case '%' => "%25"
+      case ',' => "%2C"
+      case '=' => "%3D"
+      case '\n' => "%0A"
+      case c => c.toString
+    }
+
+    private[sources] def unescProp(s: String): String =
+      s.replace("%2C", ",").replace("%3D", "=")
+        .replace("%0A", "\n").replace("%25", "%")
 
     def fresh(schema: StructType, spec: Seq[NamedPartField]): Manifest = {
       checkSchema(schema)
@@ -1714,6 +1740,19 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
       s"${changes.map { case (f, t) => s"@changes v$f..v$t" }.getOrElse("")})"
   override def schema(): StructType = schema0
 
+  /** Table properties from the manifest the table READS (snapshot
+    * tables report the properties the requested version committed
+    * under) — what `SHOW TBLPROPERTIES` surfaces. */
+  override def properties(): java.util.Map[String, String] = {
+    val snapVersion = changes.map { case (_, t) => t }.orElse(version)
+    val p = try LedgerSink.readManifestAt(dir, snapVersion)
+      .map(_.props).getOrElse(Map.empty)
+    catch { case _: IllegalArgumentException => Map.empty[String, String] }
+    val m = new java.util.HashMap[String, String]()
+    p.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** The table's partition spec, from the manifest the table
     * actually READS (the requested transforms only matter before the
     * first commit): a versionAsOf snapshot reports the spec the
@@ -1764,14 +1803,22 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireCurrent(info.command.toString)
-    // session knob `graft.ledger.rowLevelMode`: "cow" (default) keeps
-    // the group-based ReplaceData path; "mor" plans the DELTA path —
-    // Spark rewrites the command into WriteDelta keyed on the
-    // (_file, _pos) rowId, and the commit installs deletion vectors
-    // plus appended files instead of rewriting any touched file
-    val mor = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("graft.ledger.rowLevelMode", "cow") == "mor"
-    if (mor) () => new LedgerDeltaOperation(dir, schema0, info.command)
+    // row-level mode resolution: the session conf
+    // `graft.ledger.rowLevelMode` wins when set; otherwise the TABLE
+    // PROPERTY of the same name (declared at CREATE TABLE or via
+    // ALTER TABLE SET TBLPROPERTIES — the Delta enableDeletionVectors
+    // shape); default "cow". "mor" plans the DELTA path — Spark
+    // rewrites the command into WriteDelta keyed on the (_file, _pos)
+    // rowId, and the commit installs deletion vectors plus appended
+    // files instead of rewriting any touched file.
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.ledger.rowLevelMode", "")
+    val mode =
+      if (conf.nonEmpty) conf
+      else LedgerSink.readManifest(dir)
+        .flatMap(_.props.get("graft.ledger.rowLevelMode")).getOrElse("cow")
+    if (mode == "mor")
+      () => new LedgerDeltaOperation(dir, schema0, info.command)
     else () => new LedgerRowLevelOperation(dir, schema0, info.command)
   }
 
@@ -2941,7 +2988,10 @@ private[sources] class LedgerBatchWrite(
         val keepSpec = existing.map(_.namedPartitionSpec)
           .getOrElse(requestedSpec)
           .filter(p => schema.fieldNames.contains(p.name))
-        Some(LedgerSink.Manifest.fresh(schema, keepSpec).copy(files = fresh))
+        // an overwrite redefines the DATA, not the declaration:
+        // partition spec (when compatible) and table properties carry
+        Some(LedgerSink.Manifest.fresh(schema, keepSpec).copy(files = fresh,
+          props = existing.map(_.props).getOrElse(Map.empty)))
     }, s"append to $dir raced a schema-changing commit; retry the write " +
       "against the table's new definition")
   }
