@@ -49,7 +49,7 @@ object Dedup {
 
   // ---- exact dedup over normalized-text fingerprint ----
 
-  private[llm] def normExpr(d: Dialect): String = d match {
+  private[graft] def normExpr(d: Dialect): String = d match {
     case SparkD => "lower(regexp_replace(text, '\\\\s+', ' '))"
     case DuckD  => "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
   }

@@ -1012,6 +1012,84 @@ object LedgerLifecycle {
       .orderBy("nk")
   }
 
+  /** `dedup_kill_list_mor`: the end-to-end shape a real 100 TB
+    * curation pipeline has — dedup produces a KILL LIST, and the kill
+    * list is applied to the governed corpus table as a MERGE-ON-READ
+    * DELETE: `DELETE FROM corpus WHERE doc_id IN (<kill subquery>)`
+    * under `graft.ledger.rowLevelMode=mor` plans a WriteDelta whose
+    * commit installs deletion vectors only — O(rows killed), zero
+    * files rewritten, one atomic version. Subquery predicates are
+    * exactly what the filter-ADT `deleteMoR` cannot express and the
+    * SupportsDelta path handles for free (Spark rewrites the IN into
+    * a join against the scan). Kill rule = the normalized-PREFIX
+    * fingerprint (md5 of the first 64 chars of
+    * [[graft.llm.Dedup.normExpr]]'s normalization — the fixture's
+    * near-dup clusters share prefixes; full-text fingerprints find
+    * nothing because the corpus has no byte-exact dupes), keep min
+    * doc_id per cluster; DuckDB replays it relationally. Folded verdicts:
+    * `files_preserved`, `dv_present`, `one_commit`. */
+  def dedupKillListMoR(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.llm.Gen.{DuckD, SparkD}
+    initCatalog(spark)
+    val g = tag(sfDir)
+    val t = s"graft_cat.rlo.corpus_$g"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rlo")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (doc_id BIGINT, fp STRING, n_chars BIGINT)" +
+      " TBLPROPERTIES ('graft.ledger.rowLevelMode'='mor')")
+    val tDir = Paths.get(catalogRoot, "rlo", s"corpus_$g")
+    graft.io.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        s"md5(substr(${graft.llm.Dedup.normExpr(SparkD)}, 1, 64)) AS fp",
+        "n_chars")
+      .createOrReplaceTempView(s"kl_docs_$g")
+    spark.sql(s"INSERT INTO $t SELECT doc_id, fp, n_chars FROM kl_docs_$g")
+    val pre = LedgerSink.readManifest(tDir).get.files.map(_.file).toSet
+    val preVersion = LedgerSink.currentVersion(tDir)
+    // ensure no session override shadows the table property
+    val saved = spark.conf.getOption("graft.ledger.rowLevelMode")
+    try {
+      if (saved.nonEmpty) spark.conf.unset("graft.ledger.rowLevelMode")
+      spark.sql(
+        s"""DELETE FROM $t WHERE doc_id IN (
+              SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep
+                FROM kl_docs_$g) WHERE doc_id <> keep)""")
+    } finally saved.foreach(v =>
+      spark.conf.set("graft.ledger.rowLevelMode", v))
+    val post = LedgerSink.readManifest(tDir).get
+    val preserved =
+      if (post.files.map(_.file).toSet == pre) 1 else 0
+    val dvPresent = if (post.files.exists(_.dv.nonEmpty)) 1 else 0
+    val oneCommit =
+      if (LedgerSink.currentVersion(tDir) == preVersion + 1) 1 else 0
+    spark.sql(s"SELECT count(*) AS n_docs, sum(doc_id) AS id_sum," +
+      s" sum(n_chars) AS chars_sum," +
+      s" count(DISTINCT fp) AS n_fps," +
+      s" CAST($preserved AS INT) AS files_preserved," +
+      s" CAST($dvPresent AS INT) AS dv_present," +
+      s" CAST($oneCommit AS INT) AS one_commit FROM $t")
+  }
+
+  def dedupKillListMoROracle: String = {
+    import graft.llm.Gen.DuckD
+    s"""WITH d AS (SELECT doc_id,
+           md5(substr(${graft.llm.Dedup.normExpr(DuckD)}, 1, 64)) AS fp,
+           n_chars
+         FROM documents),
+        keep AS (SELECT doc_id, fp, n_chars,
+            min(doc_id) OVER (PARTITION BY fp) AS canon
+          FROM d)
+       SELECT count(*) AS n_docs,
+         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+         count(DISTINCT fp) AS n_fps,
+         CAST(1 AS INTEGER) AS files_preserved,
+         CAST(1 AS INTEGER) AS dv_present,
+         CAST(1 AS INTEGER) AS one_commit
+       FROM keep WHERE doc_id = canon"""
+  }
+
   /** `dsv2_stream_upsert`: the canonical streaming-upsert pattern
     * (Delta's `foreachBatch` + MERGE): a ledger STREAM (versions as
     * offsets, one version per micro-batch via `maxFilesPerTrigger=1`
