@@ -203,6 +203,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (m.schema.fieldNames.contains(ren.newName()))
             throw new IllegalArgumentException(
               s"column ${ren.newName()} exists")
+          // CHECK constraints store column NAMES: renaming a
+          // referenced column would orphan the rule and fail the next
+          // append far from the cause — refuse until it is dropped
+          val cRen = LedgerConstraints.constraintsOf(m.props)
+            .filter(c => LedgerConstraints.referencesColumn(c._2, from))
+          if (cRen.nonEmpty) throw new UnsupportedOperationException(
+            s"cannot rename $from: CHECK constraint(s) " +
+              s"${cRen.map(_._1).mkString(",")} reference it; drop them first")
           m.copy(schema = StructType(m.schema.fields.updated(i,
             m.schema.fields(i).copy(name = ren.newName()))))
         case del: TableChange.DeleteColumn =>
@@ -222,6 +230,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               if (m.partitionIds.contains(m.ids(i)))
                 throw new UnsupportedOperationException(
                   s"cannot drop partition column $name")
+              val cDel = LedgerConstraints.constraintsOf(m.props)
+                .filter(c => LedgerConstraints.referencesColumn(c._2, name))
+              if (cDel.nonEmpty) throw new UnsupportedOperationException(
+                s"cannot drop $name: CHECK constraint(s) " +
+                  s"${cDel.map(_._1).mkString(",")} reference it; " +
+                  "drop them first")
               if (m.schema.length == 1)
                 throw new UnsupportedOperationException(
                   "cannot drop the last column")

@@ -142,11 +142,17 @@ private[sources] class LedgerDeltaBatchWrite(dir: Path,
       else Seq.empty
     val dvByFile: Map[String, String] =
       m.files.flatMap(e => e.dv.map(e.file -> _)).toMap
+    // inserted/updated rows must satisfy the table's CHECK/NOT NULL
+    // constraints like any other ingest route
+    val checks =
+      if (canInsert) LedgerConstraints.writeChecks(Some(m), dataSchema,
+        truncate = false)
+      else LedgerConstraints.WriteChecks.empty
     new DeltaWriterFactory {
       override def createWriter(partitionId: Int,
           taskId: Long): DeltaWriter[InternalRow] =
         new LedgerDeltaWriter(base, ddl, ids, partWrites, dvByFile, tag,
-          partitionId, taskId)
+          partitionId, taskId, checks)
     }
   }
 
@@ -212,11 +218,14 @@ private[sources] class LedgerDeltaWriter(
     base: String, ddl: String, ids: Seq[Int],
     partWrites: Seq[(Int, String, Int)],
     dvByFile: Map[String, String], tag: String,
-    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    checks: LedgerConstraints.WriteChecks =
+      LedgerConstraints.WriteChecks.empty)
+    extends DeltaWriter[InternalRow] {
 
   private lazy val inserts = new LedgerDataWriter(base,
     StructType.fromDDL(ddl), ids, partWrites, partitionId, taskId,
-    filePrefix = s"d$tag-")
+    filePrefix = s"d$tag-", checks)
   private var insertsUsed = false
   private val dvs =
     scala.collection.mutable.LinkedHashMap.empty[String, java.util.BitSet]

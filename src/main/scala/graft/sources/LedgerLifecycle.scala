@@ -1269,4 +1269,291 @@ object LedgerLifecycle {
        FROM c CROSS JOIN del GROUP BY nk, n_after_del, key_lo_after_del,
          n_deleted
        ORDER BY nk"""
+
+  /** `dsv2_restore_expire`: tags, RESTORE and snapshot expiration —
+    * the metadata lifecycle ([[LedgerRefs]]). The lineage: v1 = all
+    * customers, v2 = overwrite to the non-negative subset (tagged
+    * `audit`), v3 = append the negatives back (row-set == v1's). Then
+    * RESTORE to v2 (digest must equal the subset — DuckDB recomputes),
+    * RESTORE forward to v3 (digest equals the full set — rollback is
+    * not one-way), tag read == versionAsOf read, expire keepLast=1
+    * (expires exactly v1: v3 is the newest archive after the first
+    * restore... the flags pin the arithmetic), vacuum reclaims v1's
+    * overwritten files (>0), the expired version fails fast, and
+    * keepLast=0 is refused. */
+  def restoreExpire(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_ref_${tag(sfDir)}"
+    deleteRecursively(dir)
+    val root = Paths.get(dir)
+    val base = graft.io.Tables.customer(spark, sfDir).selectExpr(
+      "CAST(c_custkey AS BIGINT) AS ckey",
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+    base.write.format(ledger).option("path", dir)
+      .mode("overwrite").save()                                       // v1
+    base.where("bal_c >= 0").write.format(ledger).option("path", dir)
+      .mode("overwrite").save()                                       // v2
+    LedgerRefs.createTag(root, "audit"): Unit                        // → v2
+    base.where("bal_c < 0").write.format(ledger).option("path", dir)
+      .mode("append").save()                                          // v3
+    val vRestore = LedgerRefs.restore(root, 2)                        // v4
+    def digest(df: DataFrame, p: String): DataFrame =
+      df.selectExpr("count(*) AS n", "sum(bal_c) AS b", "sum(ckey) AS k")
+        .selectExpr(s"n AS n_$p", s"b AS bal_$p", s"k AS key_$p")
+    val restored = digest(spark.read.format(ledger).option("path", dir)
+      .option("versionAsOf", vRestore.toString).load(), "r")
+    val tagRows = spark.read.format(ledger).option("path", dir)
+      .option("tagAsOf", "audit").load()
+    val vAsOf2 = spark.read.format(ledger).option("path", dir)
+      .option("versionAsOf", "2").load()
+    val tagMatches =
+      if (tagRows.exceptAll(vAsOf2).isEmpty && vAsOf2.exceptAll(tagRows).isEmpty)
+        1 else 0
+    LedgerRefs.restore(root, 3): Unit                                 // v5
+    val fwd = digest(
+      spark.read.format(ledger).option("path", dir).load(), "f")
+    val expired = LedgerRefs.expireVersions(root, keepLast = 1)
+    // protected: v4 (newest archive) + v2 (tag); v3's archive expires
+    // with v1 — its row-set lives on as the current (v5) manifest
+    val expiredOk =
+      if (expired == Seq(1, 3)) 1 else 0
+    val vacuumed = LedgerSink.vacuum(root)
+    val vacuumedGt0 = if (vacuumed.nonEmpty) 1 else 0
+    val expiredUnreadable =
+      try {
+        spark.read.format(ledger).option("path", dir)
+          .option("versionAsOf", "1").load(): Unit
+        0
+      } catch { case _: IllegalArgumentException => 1 }
+    val keepGuard =
+      try { LedgerRefs.expireVersions(root, 0): Unit; 0 }
+      catch { case _: IllegalArgumentException => 1 }
+    // tagged v2 must still read exactly after expire+vacuum — its
+    // archive was protected, so its files stayed referenced
+    val tagAfter = digest(spark.read.format(ledger).option("path", dir)
+      .option("tagAsOf", "audit").load(), "t")
+    restored.crossJoin(broadcast(fwd)).crossJoin(broadcast(tagAfter))
+      .selectExpr("n_r", "bal_r", "key_r", "n_f", "bal_f", "key_f",
+        "n_t", "bal_t", "key_t",
+        s"CAST($tagMatches AS INT) AS tag_matches",
+        s"CAST($expiredOk AS INT) AS expired_ok",
+        s"CAST($vacuumedGt0 AS INT) AS vacuumed_gt0",
+        s"CAST($expiredUnreadable AS INT) AS expired_unreadable",
+        s"CAST($keepGuard AS INT) AS keeplast_guard")
+  }
+
+  val restoreExpireOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+         FROM customer),
+        pos AS (SELECT count(*) AS n_r,
+            CAST(sum(bal_c) AS BIGINT) AS bal_r,
+            CAST(sum(ckey) AS BIGINT) AS key_r
+          FROM c WHERE bal_c >= 0),
+        allr AS (SELECT count(*) AS n_f,
+            CAST(sum(bal_c) AS BIGINT) AS bal_f,
+            CAST(sum(ckey) AS BIGINT) AS key_f FROM c)
+       SELECT n_r, bal_r, key_r, n_f, bal_f, key_f,
+         n_r AS n_t, bal_r AS bal_t, key_r AS key_t,
+         CAST(1 AS INTEGER) AS tag_matches,
+         CAST(1 AS INTEGER) AS expired_ok,
+         CAST(1 AS INTEGER) AS vacuumed_gt0,
+         CAST(1 AS INTEGER) AS expired_unreadable,
+         CAST(1 AS INTEGER) AS keeplast_guard
+       FROM pos CROSS JOIN allr"""
+
+  /** `dsv2_wap_publish`: write-audit-publish. Base table = high-price
+    * orders; `df.write.option("wapId","w1")` stages the low-price
+    * complement WITHOUT advancing the live table (flag: version
+    * unchanged, live digest still the base — DuckDB recomputes both
+    * sides); the `wapId` read audits base ∪ staged (digest = full
+    * order set); vacuum-while-staged reclaims nothing (staged
+    * manifests are references); publish folds exactly the staged
+    * files in as ONE new version (digest = full set, version +1,
+    * staged manifest gone); a second staged commit aborts cleanly
+    * (live untouched, staged files deleted from disk). */
+  def wapPublish(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_wap_${tag(sfDir)}"
+    deleteRecursively(dir)
+    val root = Paths.get(dir)
+    val all = graft.io.Tables.orders(spark, sfDir).selectExpr(
+      "CAST(o_orderkey AS BIGINT) AS okey",
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
+    all.where("price_c >= 10000000").write.format(ledger)
+      .option("path", dir).mode("overwrite").save()                   // v1
+    val vBefore = LedgerSink.currentVersion(root)
+    all.where("price_c < 10000000").write.format(ledger)
+      .option("path", dir).option("wapId", "w1").mode("append").save()
+    val stageNoVersion =
+      if (LedgerSink.currentVersion(root) == vBefore) 1 else 0
+    // the live-while-staged and audit digests must be EAGER (collected
+    // before publish) — a lazy plan would read the post-publish
+    // manifest and make the stage-isolation check tautological
+    def digestRow(df: DataFrame): org.apache.spark.sql.Row =
+      df.selectExpr("count(*) AS n", "sum(price_c) AS pr", "sum(okey) AS k")
+        .collect()(0)
+    val liveStaged = digestRow(
+      spark.read.format(ledger).option("path", dir).load())
+    val audit = digestRow(spark.read.format(ledger).option("path", dir)
+      .option("wapId", "w1").load())
+    val vacuumKeeps = if (LedgerSink.vacuum(root).isEmpty) 1 else 0
+    val vPub = LedgerRefs.publishWap(root, "w1")
+    val pubOneVersion = if (vPub == vBefore + 1) 1 else 0
+    val pubDigest = spark.read.format(ledger).option("path", dir).load()
+      .selectExpr("count(*) AS n_p", "sum(price_c) AS price_p",
+        "sum(okey) AS key_p")
+    val wapGone = if (LedgerSink.listWaps(root).isEmpty) 1 else 0
+    // stage a second commit, then ABORT it: live untouched, its
+    // staged files really deleted (vacuum finds nothing either)
+    all.limit(100).write.format(ledger)
+      .option("path", dir).option("wapId", "w2").mode("append").save()
+    val w2Files = LedgerSink.readWap(root, "w2")
+      .props(LedgerSink.WapNewFilesProp).split(",").toSeq.filter(_.nonEmpty)
+    LedgerRefs.abortWap(root, "w2")
+    val abortClean =
+      if (w2Files.nonEmpty && w2Files.forall(f =>
+        !java.nio.file.Files.exists(root.resolve(f))) &&
+        LedgerSink.listWaps(root).isEmpty &&
+        LedgerSink.currentVersion(root) == vPub) 1 else 0
+    pubDigest
+      .selectExpr(
+        s"CAST(${liveStaged.getLong(0)} AS BIGINT) AS n_base",
+        s"CAST(${liveStaged.getLong(1)} AS BIGINT) AS price_base",
+        s"CAST(${liveStaged.getLong(2)} AS BIGINT) AS key_base",
+        s"CAST(${audit.getLong(0)} AS BIGINT) AS n_a",
+        s"CAST(${audit.getLong(1)} AS BIGINT) AS price_a",
+        s"CAST(${audit.getLong(2)} AS BIGINT) AS key_a",
+        "n_p", "price_p", "key_p",
+        s"CAST($stageNoVersion AS INT) AS stage_no_version",
+        s"CAST($vacuumKeeps AS INT) AS vacuum_keeps_staged",
+        s"CAST($pubOneVersion AS INT) AS publish_one_version",
+        s"CAST($wapGone AS INT) AS wap_gone",
+        s"CAST($abortClean AS INT) AS abort_clean")
+  }
+
+  val wapPublishOracle: String =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+        hi AS (SELECT count(*) AS n_base,
+            CAST(sum(price_c) AS BIGINT) AS price_base,
+            CAST(sum(okey) AS BIGINT) AS key_base
+          FROM o WHERE price_c >= 10000000),
+        allr AS (SELECT count(*) AS n_a,
+            CAST(sum(price_c) AS BIGINT) AS price_a,
+            CAST(sum(okey) AS BIGINT) AS key_a FROM o)
+       SELECT n_base, price_base, key_base, n_a, price_a, key_a,
+         n_a AS n_p, price_a AS price_p, key_a AS key_p,
+         CAST(1 AS INTEGER) AS stage_no_version,
+         CAST(1 AS INTEGER) AS vacuum_keeps_staged,
+         CAST(1 AS INTEGER) AS publish_one_version,
+         CAST(1 AS INTEGER) AS wap_gone,
+         CAST(1 AS INTEGER) AS abort_clean
+       FROM hi CROSS JOIN allr"""
+
+  /** `dsv2_check_constraints`: CHECK constraints + NOT NULL in the
+    * write path ([[LedgerConstraints]]). v1 writes customers with a
+    * NON-NULLABLE key (coalesce with a literal pins nullable=false in
+    * the write schema, which the overwrite installs as the table's).
+    * Then: a satisfiable CHECK lands (validation scan passes); an
+    * unsatisfiable one is REFUSED with the existing violations; an
+    * append of in-bound rows lands under the constraint; an append
+    * with out-of-bound balances FAILS the job and leaves the digest
+    * untouched (commit never ran — the atomicity half of the
+    * invariant contract); NULL balances PASS the check (SQL CHECK's
+    * null-passes rule) and land; a null KEY trips NOT NULL. DuckDB
+    * replays the surviving ingest exactly. */
+  def checkConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_chk_${tag(sfDir)}"
+    deleteRecursively(dir)
+    val root = Paths.get(dir)
+    val ledgerName = ledger
+    val base = graft.io.Tables.customer(spark, sfDir).selectExpr(
+      "coalesce(CAST(c_custkey AS BIGINT), CAST(0 AS BIGINT)) AS ckey",
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+    base.write.format(ledgerName).option("path", dir)
+      .mode("overwrite").save()                                       // v1
+    LedgerConstraints.addCheck(spark, dir, "bal_floor",
+      "bal_c >= -100000000")                                          // v2
+    val addRejected =
+      try {
+        LedgerConstraints.addCheck(spark, dir, "bal_pos", "bal_c >= 0"); 0
+      } catch { case _: IllegalStateException => 1 }
+    // in-bound append: the non-negative rows again, keys offset to
+    // stay distinguishable in the replay
+    base.where("bal_c >= 0")
+      .selectExpr("ckey + 10000000 AS ckey", "bal_c")
+      .write.format(ledgerName).option("path", dir).mode("append").save()
+    def digest(p: String): DataFrame =
+      spark.read.format(ledgerName).option("path", dir).load()
+        .selectExpr("count(*) AS n", "sum(bal_c) AS b", "sum(ckey) AS k")
+        .selectExpr(s"n AS n_$p", s"b AS bal_$p", s"k AS key_$p")
+    val mid = digest("mid").collect()(0)
+    val checkRejected =
+      try {
+        base.limit(50).selectExpr("ckey", "bal_c - 200000000 AS bal_c")
+          .write.format(ledgerName).option("path", dir).mode("append").save()
+        0
+      } catch { case e: Exception =>
+        if (exceptionChainContains(e, "CHECK constraint 'bal_floor'")) 1
+        else throw e
+      }
+    val notNullRejected =
+      try {
+        base.limit(50).selectExpr("CAST(NULL AS BIGINT) AS ckey", "bal_c")
+          .write.format(ledgerName).option("path", dir).mode("append").save()
+        0
+      } catch { case e: Exception =>
+        if (exceptionChainContains(e, "NOT NULL violation")) 1 else throw e
+      }
+    val afterFail = digest("af").collect()(0)
+    val failedAtomic =
+      if (afterFail.getLong(0) == mid.getLong(0) &&
+        afterFail.getLong(1) == mid.getLong(1) &&
+        afterFail.getLong(2) == mid.getLong(2)) 1 else 0
+    // NULL passes CHECK: 5 smallest keys with NULL balances land
+    base.orderBy("ckey").limit(5)
+      .selectExpr("ckey + 20000000 AS ckey", "CAST(NULL AS BIGINT) AS bal_c")
+      .write.format(ledgerName).option("path", dir).mode("append").save()
+    digest("fin")
+      .selectExpr("n_fin", "bal_fin", "key_fin",
+        s"CAST($addRejected AS INT) AS add_rejected",
+        s"CAST($checkRejected AS INT) AS check_rejected",
+        s"CAST($notNullRejected AS INT) AS notnull_rejected",
+        s"CAST($failedAtomic AS INT) AS failed_atomic")
+  }
+
+  private def exceptionChainContains(e: Throwable, needle: String): Boolean = {
+    var cur: Throwable = e
+    var depth = 0
+    while (cur != null && depth < 20) {
+      if (cur.getMessage != null && cur.getMessage.contains(needle))
+        return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
+  val checkConstraintsOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+         FROM customer),
+        appended AS (SELECT ckey + 10000000 AS ckey, bal_c
+          FROM c WHERE bal_c >= 0),
+        nulls AS (SELECT ckey + 20000000 AS ckey,
+            CAST(NULL AS BIGINT) AS bal_c
+          FROM c ORDER BY ckey LIMIT 5),
+        fin AS (SELECT * FROM c UNION ALL SELECT * FROM appended
+          UNION ALL SELECT * FROM nulls)
+       SELECT count(*) AS n_fin,
+         CAST(sum(bal_c) AS BIGINT) AS bal_fin,
+         CAST(sum(ckey) AS BIGINT) AS key_fin,
+         CAST(1 AS INTEGER) AS add_rejected,
+         CAST(1 AS INTEGER) AS check_rejected,
+         CAST(1 AS INTEGER) AS notnull_rejected,
+         CAST(1 AS INTEGER) AS failed_atomic
+       FROM fin"""
 }

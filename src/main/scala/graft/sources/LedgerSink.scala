@@ -60,9 +60,23 @@ class LedgerSink extends TableProvider {
       throw new IllegalArgumentException("ledger sink requires a path option"))
     // time travel / CDC: the requested VERSION's schema, not the live
     // one — an overwrite or evolution commit may have changed it (a
-    // from-only CDC read targets the current version, i.e. None)
+    // from-only CDC read targets the current version, i.e. None).
+    // `tagAsOf` is a NAMED version (see [[LedgerRefs]]): resolving the
+    // tag here makes a tag read byte-identical to the versionAsOf read
+    // of its target. A `wapId` read resolves the STAGED manifest —
+    // the audit half of write-audit-publish.
     val version = Option(options.get("versionAsOf")).map(_.toInt)
+      .orElse(Option(options.get("tagAsOf"))
+        .map(t => LedgerRefs.resolveTag(Paths.get(dir), t)))
       .orElse(Option(options.get("changesToVersion")).map(_.toInt))
+    // absent staged manifest falls through to the live one — the
+    // pre-stage WRITE case (writes carry external metadata, but be
+    // robust if a caller probes the schema before staging)
+    Option(options.get("wapId"))
+      .flatMap(id => LedgerSink.readWapOpt(Paths.get(dir), id)) match {
+      case Some(w) => return w.schema
+      case None => ()
+    }
     LedgerSink.readManifestAt(Paths.get(dir), version) match {
       case Some(m) =>
         // the row-level CHANGE FEED (Delta CDF contract) appends the
@@ -94,11 +108,14 @@ class LedgerSink extends TableProvider {
             .getOrElse(LedgerSink.currentVersion(Paths.get(dir))))
       }
     new LedgerTable(Paths.get(dir), schema,
-      Option(properties.get("versionAsOf")).map(_.toInt),
+      Option(properties.get("versionAsOf")).map(_.toInt)
+        .orElse(Option(properties.get("tagAsOf"))
+          .map(t => LedgerRefs.resolveTag(Paths.get(dir), t))),
       changes,
       LedgerSink.partitionSpecOf(partitioning),
       rowLevelChanges =
-        Option(properties.get("readChangeFeed")).exists(_.toBoolean))
+        Option(properties.get("readChangeFeed")).exists(_.toBoolean),
+      wap = Option(properties.get("wapId")))
   }
 }
 
@@ -1032,6 +1049,52 @@ object LedgerSink {
     toM.copy(files = toM.files.filterNot(e => baseKeys((e.file, e.dv))))
   }
 
+  // ---- write-audit-publish staged manifests ----
+
+  /** A STAGED manifest (the Iceberg WAP idea): a full table state —
+    * the base manifest plus the staged commit's files — written next
+    * to the live manifest but never swapped in. Audit reads resolve it
+    * via the `wapId` read option; [[LedgerRefs.publishWap]] folds its
+    * new files into the live table under the commit protocol;
+    * [[LedgerRefs.abortWap]] discards them. Two headers make the
+    * staged manifest self-contained: `graft.wap.base` (the version the
+    * stage was computed against, provenance only) and
+    * `graft.wap.newfiles` (the staged file names — publish uses this
+    * list, so expiring the base version never strands a staged
+    * commit). */
+  private[sources] def wapName(id: String): String = {
+    require(id.nonEmpty && id.forall(c => c.isLetterOrDigit || c == '-' ||
+      c == '_'), s"wapId must be [A-Za-z0-9_-]+, got '$id'")
+    s"$ManifestName.wap.$id"
+  }
+
+  private[sources] val WapBaseProp = "graft.wap.base"
+  private[sources] val WapNewFilesProp = "graft.wap.newfiles"
+
+  private[sources] def readWapOpt(dir: Path, id: String): Option[Manifest] = {
+    val p = dir.resolve(wapName(id))
+    if (!Files.exists(p)) None
+    else Some(Manifest.parse(Files.readAllLines(p, UTF_8).asScala.toSeq))
+  }
+
+  private[sources] def readWap(dir: Path, id: String): Manifest =
+    readWapOpt(dir, id).getOrElse(throw new IllegalArgumentException(
+      s"ledger $dir has no staged commit wapId=$id (staged: " +
+        s"${listWaps(dir).mkString(",")})"))
+
+  private[sources] def listWaps(dir: Path): Seq[String] = {
+    val re = s"${java.util.regex.Pattern.quote(ManifestName)}\\.wap\\.(.+)".r
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
+        case re(id) if !id.endsWith(".tmp") => Some(id)
+        case _ => None
+      }).toSeq.sorted
+      finally s.close()
+    }
+  }
+
   /** The change-feed metadata columns (the Delta CDF surface). */
   private[sources] val cdfColumns: Array[StructField] = Array(
     StructField("_change_type", StringType, nullable = false),
@@ -1046,7 +1109,12 @@ object LedgerSink {
       refs(Manifest.parse(Files.readAllLines(dir.resolve(archiveName(v)), UTF_8)
         .asScala.toSeq))
     }
-    (archived ++ readManifest(dir).map(refs).getOrElse(Seq.empty)).toSet
+    // staged (write-audit-publish) manifests hold files no version
+    // references yet — a vacuum between stage and publish must keep
+    // them
+    val staged = listWaps(dir).flatMap(id => refs(readWap(dir, id)))
+    (archived ++ staged ++
+      readManifest(dir).map(refs).getOrElse(Seq.empty)).toSet
   }
 
   /** Delete staged files no retained version references (the Delta
@@ -1181,7 +1249,7 @@ object LedgerSink {
     * The monitor must come FIRST: two threads of one JVM racing the
     * file lock would throw OverlappingFileLockException instead of
     * queueing. */
-  private def withCommitLock[A](dir: Path)(f: => A): A = {
+  private[sources] def withCommitLock[A](dir: Path)(f: => A): A = {
     Files.createDirectories(dir)
     val mon = commitLocks.computeIfAbsent(
       dir.toAbsolutePath.normalize.toString, _ => new Object)
@@ -1693,7 +1761,8 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     version: Option[Int] = None,
     changes: Option[(Int, Int)] = None,
     requestedPartitioning: Seq[LedgerSink.NamedPartField] = Seq.empty,
-    rowLevelChanges: Boolean = false)
+    rowLevelChanges: Boolean = false,
+    wap: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
     with SupportsMetadataColumns {
@@ -1781,11 +1850,18 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
       case None =>
         () => new LedgerChangeFeedStreamScan(dir, schema0, options)
     } else new LedgerScanBuilder(dir, schema0, version, changes,
-      streamOpts = options)
+      streamOpts = options,
+      wap = wap.filter(id => LedgerSink.readWapOpt(dir, id).isDefined))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
-    new LedgerWriteBuilder(dir, info.schema(), requestedPartitioning)
+    // a `wapId` WRITE is the stage half of write-audit-publish: the
+    // commit lands in a staged manifest, never the live one (see
+    // [[LedgerBatchWrite.commit]]); a `wapId` READ of an existing
+    // staged manifest is a snapshot — its write would re-stage the
+    // same id, which the duplicate check refuses at commit
+    new LedgerWriteBuilder(dir, info.schema(), requestedPartitioning,
+      wapId = wap)
   }
 
   /** Row-level DELETE/UPDATE/MERGE as GROUP-BASED copy-on-write — the
@@ -1994,14 +2070,22 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
     changes: Option[(Int, Int)] = None,
     onPlanned: Seq[String] => Unit = _ => (),
     streamOpts: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => ())
+    onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => (),
+    wap: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
   private[sources] val manifestOpt: Option[LedgerSink.Manifest] = changes match {
     case Some((f, t)) => Some(LedgerSink.readChanges(dir, f, t))
-    case None => LedgerSink.readManifestAt(dir, version)
+    case None => wap match {
+      // the AUDIT read of write-audit-publish: the staged manifest is
+      // a full table state (base ∪ staged files), so every planning
+      // discipline — stats, partition pruning, column pruning — works
+      // on it unchanged
+      case Some(id) => Some(LedgerSink.readWap(dir, id))
+      case None => LedgerSink.readManifestAt(dir, version)
+    }
   }
   private def versionSchema: StructType =
     manifestOpt.map(_.schema).getOrElse(tableSchema)
@@ -2833,7 +2917,8 @@ private[sources] object LedgerChangeFeedScan {
 }
 
 private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
-    requestedSpec: Seq[LedgerSink.NamedPartField] = Seq.empty)
+    requestedSpec: Seq[LedgerSink.NamedPartField] = Seq.empty,
+    wapId: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   LedgerSink.checkSchema(schema)
   private var doTruncate = false
@@ -2875,10 +2960,15 @@ private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
             Expressions.column(p.name): ConnectorExpression).toArray)
       override def requiredOrdering(): Array[ConnectorSortOrder] = Array.empty
       override def toBatch: BatchWrite =
-        new LedgerBatchWrite(dir, schema, doTruncate, spec, requestedSpec)
+        new LedgerBatchWrite(dir, schema, doTruncate, spec, requestedSpec,
+          wapId)
       override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        wapId.foreach(id => throw new UnsupportedOperationException(
+          s"wapId=$id on a streaming write: write-audit-publish stages " +
+            "one batch commit; streams commit per epoch"))
         new LedgerStreamingWrite(dir, schema, spec)
+      }
     }
   }
 }
@@ -2911,7 +3001,8 @@ private[sources] object LedgerWriteSupport {
 private[sources] class LedgerBatchWrite(
     dir: Path, schema: StructType, truncate: Boolean,
     partSpec: Seq[LedgerSink.NamedPartField],
-    requestedSpec: Seq[LedgerSink.NamedPartField])
+    requestedSpec: Seq[LedgerSink.NamedPartField],
+    wapId: Option[String] = None)
     extends BatchWrite {
 
   /** The manifest state the write's field-id binding is computed
@@ -2941,9 +3032,12 @@ private[sources] class LedgerBatchWrite(
     val idsLocal = ids // local copy: the factory lambda ships to
     // executors and must not capture `this` (dir: Path is not
     // serializable)
+    // constraints/NOT NULL resolve + bind on the DRIVER (full Catalyst
+    // analysis), enforce per row on executors
+    val checks = LedgerConstraints.writeChecks(baseManifest, schema, truncate)
     (partitionId: Int, taskId: Long) =>
       new LedgerDataWriter(base, StructType.fromDDL(ddl), idsLocal, partWrites,
-        partitionId, taskId, filePrefix = s"a$tag-")
+        partitionId, taskId, filePrefix = s"a$tag-", checks)
   }
 
   /** The commit point: the manifest names exactly the files whose
@@ -2974,6 +3068,58 @@ private[sources] class LedgerBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.toSeq
       .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
+    // WRITE-AUDIT-PUBLISH stage: the commit lands in a staged manifest
+    // (base-at-stage-time ∪ new files) instead of advancing the live
+    // table. Audit via the `wapId` read option; LedgerRefs.publishWap
+    // folds exactly `graft.wap.newfiles` into the then-current table
+    // under the same rebase protocol as any append; abortWap discards.
+    // Append-only by design (a staged TRUNCATE would have to carry the
+    // whole replacement state through publish's conflict rules), and a
+    // duplicate wapId is refused — staged manifests are immutable.
+    wapId.foreach { id =>
+      if (truncate) throw new UnsupportedOperationException(
+        "wapId with overwrite mode: stage commits are append-only")
+      LedgerSink.withCommitLock(dir) {
+        val target = dir.resolve(LedgerSink.wapName(id))
+        if (Files.exists(target)) {
+          messages.foreach {
+            case LedgerCommitMessage(es) =>
+              es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
+            case _ => ()
+          }
+          throw new IllegalStateException(
+            s"wapId=$id is already staged on $dir; publish or abort it " +
+              "before re-staging")
+        }
+        val cur = LedgerSink.readManifest(dir)
+        val bindingValid = (baseManifest, cur) match {
+          case (Some(b), Some(c)) => b.schema == c.schema && b.ids == c.ids
+          case (None, Some(c)) => c.ids == (1 to schema.length) &&
+            c.schema.fieldNames.sameElements(schema.fieldNames)
+          case (_, None) => baseManifest.isEmpty
+        }
+        if (!bindingValid) {
+          messages.foreach {
+            case LedgerCommitMessage(es) =>
+              es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
+            case _ => ()
+          }
+          throw new java.util.ConcurrentModificationException(
+            s"wap stage on $dir raced a schema-changing commit; retry " +
+              "against the table's new definition")
+        }
+        val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema, partSpec))
+        val staged = m.copy(files = m.files ++ fresh,
+          props = m.props +
+            (LedgerSink.WapBaseProp -> LedgerSink.currentVersion(dir).toString) +
+            (LedgerSink.WapNewFilesProp -> fresh.map(_.file).mkString(",")))
+        val tmp = dir.resolve(s"${LedgerSink.wapName(id)}.tmp")
+        Files.write(tmp, staged.render.mkString("\n").getBytes(UTF_8))
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      return
+    }
     LedgerSink.commitRebase(dir, {
       case Some(old) if !truncate =>
         val bindingValid = baseManifest match {
@@ -3049,9 +3195,13 @@ private[sources] class LedgerRowLevelOperation(
             val partWrites = snapshot
               .map(_.namedPartitionSpec).getOrElse(Seq.empty)
               .map(p => (schema.fieldIndex(p.name), p.kind, p.param))
+            // UPDATE/MERGE-written rows must satisfy the table's
+            // constraints like any other ingest
+            val checks = LedgerConstraints.writeChecks(snapshot, schema,
+              truncate = false)
             (partitionId: Int, taskId: Long) =>
               new CowDataWriter(base, StructType.fromDDL(ddl), ids, partWrites,
-                partitionId, taskId, s"cow-$tag-")
+                partitionId, taskId, s"cow-$tag-", checks)
           }
 
           /** Swap the scanned groups for the replacement files —
@@ -3112,9 +3262,10 @@ private[sources] class LedgerRowLevelOperation(
 private[sources] class CowDataWriter(
     base: String, schema: StructType, ids: Seq[Int],
     partWrites: Seq[(Int, String, Int)],
-    partitionId: Int, taskId: Long, prefix: String)
+    partitionId: Int, taskId: Long, prefix: String,
+    checks: LedgerConstraints.WriteChecks = LedgerConstraints.WriteChecks.empty)
     extends LedgerDataWriter(base, schema, ids, partWrites,
-      partitionId, taskId, prefix) {
+      partitionId, taskId, prefix, checks) {
   private val width = schema.fields.length
   override def write(r: InternalRow): Unit = {
     val off = r.numFields - width
@@ -3165,9 +3316,13 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
     // query re-staging an epoch never collides with the committed run's
     // file names — see createBatchWriterFactory's naming note
     val tag = java.util.UUID.randomUUID().toString.take(8)
+    // epoch writes enforce the table's constraints too — a stream is
+    // just another ingest route
+    val checks = LedgerConstraints.writeChecks(
+      LedgerSink.readManifest(dir), schema, truncate = false)
     (partitionId: Int, taskId: Long, epochId: Long) =>
       new LedgerDataWriter(base, StructType.fromDDL(ddl), ids, partWrites,
-        partitionId, taskId, filePrefix = s"epoch-$epochId-$tag-")
+        partitionId, taskId, filePrefix = s"epoch-$epochId-$tag-", checks)
   }
 
   override def commit(epochId: Long,
@@ -3221,8 +3376,18 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
 private[sources] class LedgerDataWriter(
     base: String, schema: StructType, ids: Seq[Int],
     partWrites: Seq[(Int, String, Int)],
-    partitionId: Int, taskId: Long, filePrefix: String = "")
+    partitionId: Int, taskId: Long, filePrefix: String = "",
+    checks: LedgerConstraints.WriteChecks = LedgerConstraints.WriteChecks.empty)
     extends DataWriter[InternalRow] {
+
+  // CHECK constraints compile once per task; a violating row fails the
+  // task → the job aborts → the commit never happens (see
+  // LedgerConstraints — the Delta invariants contract)
+  private val violationPreds = checks.constraints.map { case (n, e) =>
+    val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+    p.initialize(partitionId)
+    (n, p)
+  }
 
   private val statIdx = LedgerSink.statColIndex(schema)
   private val statId = statIdx.map(ids(_))
@@ -3264,6 +3429,15 @@ private[sources] class LedgerDataWriter(
   }
 
   override def write(record: InternalRow): Unit = {
+    checks.notNull.foreach { case (i, name) =>
+      if (record.isNullAt(i)) throw new IllegalStateException(
+        s"NOT NULL violation: column $name is null")
+    }
+    violationPreds.foreach { case (name, p) =>
+      if (p.eval(record)) throw new IllegalStateException(
+        s"CHECK constraint '$name' violated by row " +
+          LedgerSink.encodeRow(record, schema))
+    }
     val sub = subFor(record)
     sub.out.write(LedgerSink.encodeRow(record, schema))
     sub.out.write("\n")
