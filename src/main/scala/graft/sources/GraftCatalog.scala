@@ -227,9 +227,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           iOpt match {
             case None => m // IF EXISTS on a missing column: no-op
             case Some(i) =>
-              if (m.partitionIds.contains(m.ids(i)))
+              // ANY spec, current or historical: files written under
+              // an old spec still carry tuples keyed by this field id
+              if (m.allSpecFieldIds.contains(m.ids(i)))
                 throw new UnsupportedOperationException(
-                  s"cannot drop partition column $name")
+                  s"cannot drop partition column $name (referenced by " +
+                    "the current or a historical partition spec)")
               val cDel = LedgerConstraints.constraintsOf(m.props)
                 .filter(c => LedgerConstraints.referencesColumn(c._2, name))
               if (cDel.nonEmpty) throw new UnsupportedOperationException(

@@ -185,6 +185,10 @@ private[sources] class LedgerDeltaBatchWrite(dir: Path,
     try LedgerSink.commitRebase(dir, {
       case Some(cur)
           if cur.schema == snap.schema && cur.ids == snap.ids &&
+            // a spec change since planning invalidates the appended
+            // files' tuple bindings (conflict, like a redefinition)
+            cur.partitionSpec == snap.partitionSpec &&
+            cur.specId == snap.specId &&
             newDvs.keySet.forall(f => cur.files.exists(e =>
               e.file == f && e.dv == snapDv.getOrElse(f, None))) =>
         Some(cur.copy(files = cur.files.map(e =>

@@ -1525,6 +1525,101 @@ object LedgerLifecycle {
         s"CAST($failedAtomic AS INT) AS failed_atomic")
   }
 
+  /** `dsv2_spec_evolution`: partition-spec evolution
+    * ([[LedgerMaintenance.alterPartitionSpec]]). The table starts
+    * UNPARTITIONED (4 files), evolves to identity(nk), and appends a
+    * second copy of the rows (keys offset) under the new spec. The
+    * hashed row folds: the full-table digest across mixed specs, the
+    * nk-probe digest (both eras contribute — DuckDB replays), EXACT
+    * planning arithmetic (all pre-evolution files conservatively kept
+    * + exactly the matching new-spec files), the refusal of a
+    * metadata DELETE whose proof would need old-spec tuples, time
+    * travel to the unpartitioned era, and the post-OPTIMIZE digest
+    * (bins never mix specs). */
+  def specEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_spev_${tag(sfDir)}"
+    deleteRecursively(dir)
+    val root = Paths.get(dir)
+    val base = graft.io.Tables.customer(spark, sfDir).selectExpr(
+      "CAST(c_custkey AS BIGINT) AS ckey",
+      "CAST(c_nationkey AS BIGINT) AS nk",
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+    base.repartition(4).write.format(ledger).option("path", dir)
+      .mode("overwrite").save()                                       // v1
+    val newSpecId =
+      LedgerMaintenance.alterPartitionSpec(dir, Seq(("nk", "identity", 0)))
+    base.selectExpr("ckey + 10000000 AS ckey", "nk", "bal_c")
+      .write.format(ledger).option("path", dir).mode("append").save() // v3
+    val probeNk = base.agg(min("nk")).head().getLong(0)
+    val m = LedgerSink.readManifest(root).get
+    val oldFiles = m.files.count(e => m.specOf(e) != m.specId)
+    val newMatching = m.files.count(e => m.specOf(e) == m.specId &&
+      e.partVals.contains(Seq(probeNk.toString)))
+    val sb = new LedgerScanBuilder(root, m.schema)
+    sb.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("nk", probeNk))): Unit
+    val planned = sb.build().toBatch.planInputPartitions().length
+    val plannedExact =
+      if (oldFiles > 0 && newMatching > 0 &&
+        planned == oldFiles + newMatching) 1 else 0
+    val mixedDetected =
+      if (!m.specHomogeneous && newSpecId == 1) 1 else 0
+    val metaDeleteRefused =
+      if (!new LedgerTable(root, m.schema).canDeleteWhere(Array[
+        org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("nk", probeNk)))) 1 else 0
+    def digest(df: DataFrame, p: String): DataFrame =
+      df.selectExpr("count(*) AS n", "sum(bal_c) AS b", "sum(ckey) AS k")
+        .selectExpr(s"n AS n_$p", s"b AS bal_$p", s"k AS key_$p")
+    val v1 = digest(spark.read.format(ledger).option("path", dir)
+      .option("versionAsOf", "1").load(), "v1")
+    val filesBefore = m.files.length
+    LedgerMaintenance.optimize(spark, dir): Unit                      // v4
+    val mOpt = LedgerSink.readManifest(root).get
+    val optCompacted = if (mOpt.files.length < filesBefore &&
+      mOpt.files.forall(e => mOpt.specFields(mOpt.specOf(e)).length ==
+        e.partVals.map(_.length).getOrElse(0))) 1 else 0
+    val full = digest(
+      spark.read.format(ledger).option("path", dir).load(), "all")
+    val probe = digest(spark.read.format(ledger).option("path", dir)
+      .load().where(s"nk = $probeNk"), "probe")
+    full.crossJoin(broadcast(probe)).crossJoin(broadcast(v1))
+      .selectExpr("n_all", "bal_all", "key_all",
+        "n_probe", "bal_probe", "key_probe",
+        "n_v1", "bal_v1", "key_v1",
+        s"CAST($plannedExact AS INT) AS planned_exact",
+        s"CAST($mixedDetected AS INT) AS mixed_detected",
+        s"CAST($metaDeleteRefused AS INT) AS metadelete_refused",
+        s"CAST($optCompacted AS INT) AS opt_spec_intact")
+  }
+
+  val specEvolutionOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
+           CAST(c_nationkey AS BIGINT) AS nk,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+         FROM customer),
+        u AS (SELECT ckey, nk, bal_c FROM c
+          UNION ALL SELECT ckey + 10000000, nk, bal_c FROM c),
+        k AS (SELECT min(nk) AS mk FROM c),
+        allr AS (SELECT count(*) AS n_all,
+            CAST(sum(bal_c) AS BIGINT) AS bal_all,
+            CAST(sum(ckey) AS BIGINT) AS key_all FROM u),
+        probe AS (SELECT count(*) AS n_probe,
+            CAST(sum(bal_c) AS BIGINT) AS bal_probe,
+            CAST(sum(ckey) AS BIGINT) AS key_probe
+          FROM u CROSS JOIN k WHERE nk = mk),
+        v1 AS (SELECT count(*) AS n_v1,
+            CAST(sum(bal_c) AS BIGINT) AS bal_v1,
+            CAST(sum(ckey) AS BIGINT) AS key_v1 FROM c)
+       SELECT n_all, bal_all, key_all, n_probe, bal_probe, key_probe,
+         n_v1, bal_v1, key_v1,
+         CAST(1 AS INTEGER) AS planned_exact,
+         CAST(1 AS INTEGER) AS mixed_detected,
+         CAST(1 AS INTEGER) AS metadelete_refused,
+         CAST(1 AS INTEGER) AS opt_spec_intact
+       FROM allr CROSS JOIN probe CROSS JOIN v1"""
+
   private def exceptionChainContains(e: Throwable, needle: String): Boolean = {
     var cur: Throwable = e
     var depth = 0

@@ -742,17 +742,21 @@ object LedgerSink {
       ids: Option[Seq[Int]] = None, statId: Option[Int] = None,
       partVals: Option[Seq[String]] = None,
       dv: Option[String] = None,
-      bloom: Option[String] = None) {
+      bloom: Option[String] = None,
+      spec: Option[Int] = None) {
     def render: String =
       s"$file\t$rows\t${min.getOrElse("-")}\t${max.getOrElse("-")}\t" +
         s"${ids.map(_.mkString(",")).getOrElse("-")}\t" +
         s"${statId.map(_.toString).getOrElse("-")}\t" +
-        s"${partVals.map(_.mkString(",")).getOrElse("-")}" +
-        ((dv, bloom) match {
-          case (None, None) => ""
-          case (Some(d), None) => s"\t$d"
-          case (d, Some(b)) => s"\t${d.getOrElse("-")}\t$b"
-        })
+        s"${partVals.map(_.mkString(",")).getOrElse("-")}" + {
+          // optional trailing columns (dv, bloom, spec id): placeholders
+          // fill interior gaps, trailing absents render nothing — every
+          // pre-existing manifest stays byte-identical
+          val tail = Seq(dv.getOrElse("-"), bloom.getOrElse("-"),
+            spec.map(_.toString).getOrElse("-"))
+            .reverse.dropWhile(_ == "-").reverse
+          tail.map("\t" + _).mkString
+        }
   }
 
   private[sources] object FileEntry {
@@ -766,7 +770,8 @@ object LedgerSink {
         opt(5).map(_.toInt),
         opt(6).map(_.split(",", -1).toSeq),
         opt(7),
-        opt(8))
+        opt(8),
+        opt(9).map(_.toInt))
     }
   }
 
@@ -887,12 +892,45 @@ object LedgerSink {
   private[sources] case class Manifest(
       schema: StructType, ids: Seq[Int], nextId: Int,
       partitionSpec: Seq[PartField], files: Seq[FileEntry],
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      specId: Int = 0,
+      oldSpecs: Map[Int, Seq[PartField]] = Map.empty) {
 
     def idOf(name: String): Int = ids(schema.fieldIndex(name))
     def fieldOfId(id: Int): StructField = schema.fields(ids.indexOf(id))
     def partitionIds: Seq[Int] = partitionSpec.map(_.fieldId)
     def partitionNames: Seq[String] = partitionIds.map(fieldOfId(_).name)
+
+    // ---- partition-spec evolution (the Iceberg multi-spec model) ----
+
+    /** The spec a FILE was written under: its explicit stamp, else the
+      * current spec ([[LedgerMaintenance.alterPartitionSpec]] stamps
+      * every pre-evolution entry before switching, so "unstamped"
+      * always means "current"). */
+    def specOf(e: FileEntry): Int = e.spec.getOrElse(specId)
+
+    def specFields(id: Int): Seq[PartField] =
+      if (id == specId) partitionSpec
+      else oldSpecs.getOrElse(id, throw new IllegalStateException(
+        s"file references unknown partition spec $id"))
+
+    /** A file's spec resolved to column NAMES (current names — specs
+      * are field-id based, so renames never detach them). */
+    def namedSpecOf(e: FileEntry): Seq[NamedPartField] =
+      specFields(specOf(e)).map(p =>
+        NamedPartField(fieldOfId(p.fieldId).name, p.kind, p.param))
+
+    /** Every field id any spec (current or historical) references —
+      * dropping such a column would orphan the spec of files still
+      * carrying its tuples. */
+    def allSpecFieldIds: Set[Int] =
+      (partitionSpec ++ oldSpecs.values.flatten).map(_.fieldId).toSet
+
+    /** True when every file was written under the CURRENT spec — the
+      * precondition for spec-homogeneous planning (SPJ key grouping,
+      * partition-grouped aggregate pushdown). */
+    def specHomogeneous: Boolean = files.forall(e => specOf(e) == specId)
+
     def namedPartitionSpec: Seq[NamedPartField] = partitionSpec.map(p =>
       NamedPartField(fieldOfId(p.fieldId).name, p.kind, p.param))
     def statId: Option[Int] = statColIndex(schema).map(ids(_))
@@ -902,6 +940,16 @@ object LedgerSink {
         (Seq(s"#ids:${ids.mkString(",")}", s"#nextid:$nextId") ++
           (if (partitionSpec.nonEmpty)
             Seq(s"#partition:${partitionSpec.map(_.render).mkString(",")}")
+          else Nil) ++
+          // spec-evolution headers only once a spec change happened —
+          // never-evolved manifests stay byte-identical
+          (if (specId != 0 || oldSpecs.nonEmpty)
+            Seq(s"#specid:$specId")
+          else Nil) ++
+          (if (oldSpecs.nonEmpty)
+            Seq("#oldspecs:" + oldSpecs.toSeq.sortBy(_._1).map {
+              case (id, fs) => s"$id=${fs.map(_.render).mkString("|")}"
+            }.mkString(";"))
           else Nil) ++
           (if (props.nonEmpty)
             Seq("#props:" + props.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -936,6 +984,15 @@ object LedgerSink {
           .map { kv =>
             val i = kv.indexOf('=')
             (unescProp(kv.substring(0, i)), unescProp(kv.substring(i + 1)))
+          }.toMap).getOrElse(Map.empty),
+        h.get("specid").map(_.toInt).getOrElse(0),
+        h.get("oldspecs").map(_.split(";", -1).toSeq.filter(_.nonEmpty)
+          .map { s =>
+            val i = s.indexOf('=')
+            val toks = s.substring(i + 1)
+            (s.substring(0, i).toInt,
+              if (toks.isEmpty) Seq.empty[PartField]
+              else toks.split("\\|", -1).toSeq.map(PartField.parse))
           }.toMap).getOrElse(Map.empty))
     }
 
@@ -1597,6 +1654,60 @@ object LedgerMaintenance {
   /** Returns (files before, files after). Bins never mix column-id
     * lists, stat columns or partition tuples, so every rewritten file
     * is indistinguishable from one a single large write produced. */
+  /** PARTITION-SPEC EVOLUTION (the Iceberg multi-spec design at this
+    * format's scale): change how FUTURE files are partitioned without
+    * rewriting a single existing file. The commit (one manifest swap
+    * under the table lock):
+    *
+    *   1. STAMPS every entry that carried no explicit spec id with the
+    *      outgoing spec's id — "unstamped" always means "current", so
+    *      the meaning of existing tuples is frozen before the current
+    *      pointer moves;
+    *   2. archives the outgoing spec under its id (ids are never
+    *      reused — the id space is append-only like field ids);
+    *   3. installs the new spec as current.
+    *
+    * Readers resolve each file's tuple against the spec it was written
+    * under: pruning applies per-file (same-transform fields keep
+    * pruning, changed ones conservatively keep the file), metadata
+    * DELETE only proves against identity fields of the FILE's spec,
+    * SPJ and partition-grouped aggregate pushdown require a
+    * spec-homogeneous file set, and OPTIMIZE never bins across specs.
+    * Writers always write the current spec; every concurrent commit
+    * kind treats a mid-flight spec change as a conflict. Old files
+    * migrate only through explicit rewrites — exactly Iceberg's
+    * contract, and the only one that works at 100 TB (the alternative
+    * is rewriting the table to change its layout).
+    *
+    * `spec` is (column, transform, param) triples — e.g.
+    * `("okey","bucket",8)`, `("day_ms","days",0)`, `("nk","identity",0)`;
+    * empty = unpartitioned. Returns the new spec id. Re-declaring the
+    * current spec is a no-op (no version bump). */
+  def alterPartitionSpec(dirStr: String,
+      spec: Seq[(String, String, Int)]): Int = {
+    val dir = Paths.get(dirStr)
+    var newId = -1
+    LedgerSink.commitRebase(dir, {
+      case None => throw new IllegalArgumentException(
+        s"no ledger table at $dirStr")
+      case Some(m) =>
+        val named = spec.map(p => LedgerSink.NamedPartField(p._1, p._2, p._3))
+        LedgerSink.checkPartitionSpec(m.schema, named)
+        val fields = named.map(p =>
+          LedgerSink.PartField(m.idOf(p.name), p.kind, p.param))
+        if (fields == m.partitionSpec) { newId = m.specId; Some(m) }
+        else {
+          val stamped = m.files.map(e =>
+            if (e.spec.isEmpty) e.copy(spec = Some(m.specId)) else e)
+          newId = (m.oldSpecs.keySet + m.specId).max + 1
+          Some(m.copy(partitionSpec = fields, files = stamped,
+            specId = newId,
+            oldSpecs = m.oldSpecs + (m.specId -> m.partitionSpec)))
+        }
+    }, "unreachable: spec changes always rebase"): Unit
+    newId
+  }
+
   def optimize(spark: SparkSession, dirStr: String,
       targetBytes: Long = 8L << 20): (Int, Int) = {
     val dir = Paths.get(dirStr)
@@ -1606,7 +1717,9 @@ object LedgerMaintenance {
       e.file -> (try Files.size(dir.resolve(e.file))
       catch { case _: java.io.IOException => 0L })).toMap
     val bins = Seq.newBuilder[Seq[LedgerSink.FileEntry]]
-    m.files.groupBy(e => (e.ids, e.statId, e.partVals))
+    // spec evolution: a bin never mixes files of different partition
+    // specs — equal tuples under different specs mean different things
+    m.files.groupBy(e => (e.ids, e.statId, e.partVals, m.specOf(e)))
       .toSeq.sortBy(_._2.head.file).foreach { case (_, es) =>
         var bin = Vector.empty[LedgerSink.FileEntry]
         var sz = 0L
@@ -1630,9 +1743,16 @@ object LedgerMaintenance {
     if (packed.isEmpty) return (m.files.length, m.files.length)
     val base = dir.toString
     val runTag = java.util.UUID.randomUUID().toString.take(8)
+    // the rewritten entry carries its bin's spec EXPLICITLY once the
+    // table has evolution state (an unstamped entry means "current
+    // spec", which may have moved on by commit time); never-evolved
+    // tables stay stamp-free and byte-identical
+    val specStamps: Seq[Option[Int]] = packed.map(b =>
+      if (m.specId == 0 && m.oldSpecs.isEmpty) None
+      else Some(m.specOf(b.head)))
     val entries = spark.sparkContext
-      .parallelize(packed.zipWithIndex, packed.length)
-      .map { case (bin, i) =>
+      .parallelize(packed.zip(specStamps).zipWithIndex, packed.length)
+      .map { case ((bin, specStamp), i) =>
         val rel = s"_staging/opt-$runTag-$i.ledger"
         val out = Files.newOutputStream(Paths.get(base, rel))
         var liveRows = 0L
@@ -1661,7 +1781,8 @@ object LedgerMaintenance {
         LedgerSink.FileEntry(rel, liveRows,
           if (mins.isEmpty) None else Some(mins.min),
           if (maxs.isEmpty) None else Some(maxs.max),
-          bin.head.ids, bin.head.statId, bin.head.partVals)
+          bin.head.ids, bin.head.statId, bin.head.partVals,
+          spec = specStamp)
       }.collect().toSeq
     // CONCURRENCY: rebase onto the commit-time manifest — files
     // appended since planning survive untouched; if a racing commit
@@ -1678,11 +1799,16 @@ object LedgerMaintenance {
     val next =
       try LedgerSink.commitRebase(dir, cur =>
         cur.filter(c =>
-            rewritten.subsetOf(c.files.map(e => (e.file, e.dv)).toSet))
+            // a spec change since planning is a conflict too: the
+            // rewritten entries' spec stamps were computed against the
+            // planning manifest's id space
+            c.specId == m.specId && c.oldSpecs == m.oldSpecs &&
+              rewritten.subsetOf(c.files.map(e => (e.file, e.dv)).toSet))
           .map(c => c.copy(
             files = c.files.filterNot(e => rewrittenNames(e.file)) ++ entries)),
         s"OPTIMIZE on $dirStr raced a commit that rewrote one of its " +
-          "input files; re-run OPTIMIZE against the new layout")
+          "input files or changed the partition spec; re-run OPTIMIZE " +
+          "against the new layout")
       catch {
         case e: java.util.ConcurrentModificationException =>
           entries.foreach(en => Files.deleteIfExists(dir.resolve(en.file)): Unit)
@@ -1962,15 +2088,30 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
       Seq.newBuilder[LedgerSink.FileEntry])
     m.files.foreach { e =>
       // partition verdict: Some(true)=file's tuple matches all
-      // equalities, Some(false)=provably not, None=unknowable
+      // equalities, Some(false)=provably not, None=unknowable. Under
+      // SPEC EVOLUTION the proof runs against the spec THE FILE was
+      // written under: every constrained column must be an IDENTITY
+      // field of that spec (a bucket/day tuple only proves rows MIGHT
+      // match; a missing column proves nothing) — otherwise the whole
+      // delete falls back to the row-level path
       val partVerdict: Option[Boolean] =
         if (partEq.isEmpty) Some(true)
-        else e.partVals match {
-          case Some(vals) if vals.length == partNames.length =>
-            Some(partNames.zip(vals).forall { case (n, v) =>
-              partEq.get(n).forall(want => v != LedgerSink.NullMark && v == want)
-            })
-          case _ => None
+        else {
+          val fields = m.namedSpecOf(e)
+          e.partVals match {
+            case Some(vals) if vals.length == fields.length =>
+              val byName: Map[String, (String, String)] =
+                fields.zip(vals).map { case (p, v) =>
+                  p.name -> ((p.kind, v))
+                }.toMap
+              if (partEq.keys.exists(c =>
+                !byName.get(c).exists(_._1 == "identity"))) None
+              else Some(partEq.forall { case (c, want) =>
+                val v = byName(c)._2
+                v != LedgerSink.NullMark && v == want
+              })
+            case _ => None
+          }
         }
       val statsApply = e.statId.orElse(
         if (e.ids.isEmpty) curStatId else None) == curStatId && curStatId.isDefined
@@ -2260,8 +2401,8 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
     val groupsOk = agg.groupByExpressions.forall(e =>
       refName(e).exists(identityParts.contains)) &&
       (agg.groupByExpressions.isEmpty ||
-        m.files.forall(_.partVals.exists(
-          _.length == m.partitionIds.length)))
+        (m.specHomogeneous && m.files.forall(_.partVals.exists(
+          _.length == m.partitionIds.length))))
     val needsStats = agg.aggregateExpressions.exists {
       case _: AggMin | _: AggMax => true
       case _ => false
@@ -2582,24 +2723,44 @@ private[sources] class LedgerScan(
           s"{${s.toSeq.sorted.take(3).mkString(",")}}").mkString(" AND ")}"
       else "")
 
+  /** Per-file partition pruning under SPEC EVOLUTION: the tuple is
+    * matched against the spec THE FILE WAS WRITTEN UNDER
+    * ([[LedgerSink.Manifest.namedSpecOf]]), not the table's current
+    * spec. Encoded constraints (equality/IN sets, day bounds) were
+    * computed under the CURRENT spec's transforms, so they apply to a
+    * field only when the file's transform for that column is the SAME
+    * (kind, param) — a bucket(4) tuple says nothing about a bucket(8)
+    * predicate, and conservatively keeping such files is the sound
+    * half of the Iceberg multi-spec contract. Null-ness constraints
+    * apply under ANY transform: every transform maps a null raw value
+    * to the null tuple mark. */
   private def partitionMatches(m: LedgerSink.Manifest,
       e: LedgerSink.FileEntry): Boolean = {
     if (partEq.isEmpty && partMustNull.isEmpty && partMustNotNull.isEmpty &&
         partDayLo.isEmpty && partDayHi.isEmpty && rtPartEq.isEmpty)
       return true
-    val names = m.partitionNames
+    val fields = m.namedSpecOf(e)
+    // the CURRENT spec's transforms — what the pushed constraint sets
+    // were encoded under
+    val curInfo: Map[String, (String, Int)] =
+      m.namedPartitionSpec.map(p => p.name -> ((p.kind, p.param))).toMap
     e.partVals match {
-      case Some(vals) if vals.length == names.length =>
-        names.zip(vals).forall { case (n, v) =>
+      case Some(vals) if vals.length == fields.length =>
+        fields.zip(vals).forall { case (p, v) =>
+          val n = p.name
           val isNull = v == LedgerSink.NullMark
+          val sameTransform = curInfo.get(n).exists { case (k, prm) =>
+            k == p.kind && prm == p.param
+          }
           (!partMustNull.contains(n) || isNull) &&
             (!partMustNotNull.contains(n) || !isNull) &&
-            partEq.get(n).forall(s => !isNull && s.contains(v)) &&
-            // runtime (DPP) key sets compose with the static pruning
-            rtPartEq.get(n).forall(s => !isNull && s.contains(v)) &&
-            // day-range bounds (range predicates exclude null)
-            partDayLo.get(n).forall(lo => !isNull && v.toLong >= lo) &&
-            partDayHi.get(n).forall(hi => !isNull && v.toLong <= hi)
+            (!sameTransform || (
+              partEq.get(n).forall(s => !isNull && s.contains(v)) &&
+                // runtime (DPP) key sets compose with the static pruning
+                rtPartEq.get(n).forall(s => !isNull && s.contains(v)) &&
+                // day-range bounds (range predicates exclude null)
+                partDayLo.get(n).forall(lo => !isNull && v.toLong >= lo) &&
+                partDayHi.get(n).forall(hi => !isNull && v.toLong <= hi)))
         }
       case _ => true // no recorded tuple: cannot prove, must survive
     }
@@ -2678,8 +2839,12 @@ private[sources] class LedgerScan(
       .filter(_ => org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled)
       .filter(_.partitionIds.nonEmpty)
       .filter(_.partitionNames.forall(required.fieldNames.contains))
-      .filter(m => chosenFiles.nonEmpty && chosenFiles.forall(
-        _.partVals.exists(_.length == m.partitionIds.length)))
+      .filter(m => chosenFiles.nonEmpty && chosenFiles.forall(e =>
+        // spec-homogeneous only: a pre-evolution file's tuple keys a
+        // DIFFERENT spec — grouping it under the current transforms
+        // would co-locate rows that don't share the key
+        m.specOf(e) == m.specId &&
+          e.partVals.exists(_.length == m.partitionIds.length)))
       .map { m =>
         // a transformed field's tuple value IS the transform result —
         // bucket/day numbers key as INT; identity keys as the column
@@ -3093,9 +3258,11 @@ private[sources] class LedgerBatchWrite(
         }
         val cur = LedgerSink.readManifest(dir)
         val bindingValid = (baseManifest, cur) match {
-          case (Some(b), Some(c)) => b.schema == c.schema && b.ids == c.ids
+          case (Some(b), Some(c)) => b.schema == c.schema && b.ids == c.ids &&
+            b.partitionSpec == c.partitionSpec && b.specId == c.specId
           case (None, Some(c)) => c.ids == (1 to schema.length) &&
-            c.schema.fieldNames.sameElements(schema.fieldNames)
+            c.schema.fieldNames.sameElements(schema.fieldNames) &&
+            c.namedPartitionSpec == partSpec && c.specId == 0
           case (_, None) => baseManifest.isEmpty
         }
         if (!bindingValid) {
@@ -3122,12 +3289,17 @@ private[sources] class LedgerBatchWrite(
     }
     LedgerSink.commitRebase(dir, {
       case Some(old) if !truncate =>
+        // a racing PARTITION-SPEC change conflicts like a schema
+        // change: the staged files' tuples were computed under the
+        // planning spec and would be misread under the new one
         val bindingValid = baseManifest match {
-          case Some(b) => b.schema == old.schema && b.ids == old.ids
+          case Some(b) => b.schema == old.schema && b.ids == old.ids &&
+            b.partitionSpec == old.partitionSpec && b.specId == old.specId
           case None => // bound fresh 1..n against an empty table; a
             // manifest that appeared since must carry that same binding
             old.ids == (1 to schema.length) &&
-              old.schema.fieldNames.sameElements(schema.fieldNames)
+              old.schema.fieldNames.sameElements(schema.fieldNames) &&
+              old.namedPartitionSpec == partSpec && old.specId == 0
         }
         if (bindingValid) Some(old.copy(files = old.files ++ fresh)) else None
       case existing =>
@@ -3183,6 +3355,10 @@ private[sources] class LedgerRowLevelOperation(
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
+          // (spec, specId) the writer factory bound its partition
+          // tuples under — commit verifies it is still current
+          @volatile private var writeSpec
+              : Option[(Seq[LedgerSink.NamedPartField], Int)] = None
           override def createBatchWriterFactory(
               pinfo: PhysicalWriteInfo): DataWriterFactory = {
             Files.createDirectories(dir.resolve("_staging"))
@@ -3190,6 +3366,7 @@ private[sources] class LedgerRowLevelOperation(
             val ddl = schema.toDDL
             val tag = java.util.UUID.randomUUID().toString.take(8)
             val snapshot = LedgerSink.readManifest(dir)
+            writeSpec = snapshot.map(m => (m.namedPartitionSpec, m.specId))
             val ids = LedgerWriteSupport.writeIds(snapshot, schema,
               truncate = false)
             val partWrites = snapshot
@@ -3228,11 +3405,17 @@ private[sources] class LedgerRowLevelOperation(
               // concurrent deleteMoR that only swapped a DV also
               // invalidates this operation's scan (see scannedEntries)
               val curPairs = m.files.map(e => (e.file, e.dv)).toSet
-              if (!replacedPairs.subsetOf(curPairs)) None
+              // a spec change since the writer factory bound its
+              // partition tuples is a conflict like any rewrite
+              val specOk = writeSpec.forall { case (spec, sid) =>
+                m.namedPartitionSpec == spec && m.specId == sid
+              }
+              if (!specOk || !replacedPairs.subsetOf(curPairs)) None
               else Some(m.copy(
                 files = m.files.filterNot(e => replacedNames(e.file)) ++ fresh))
             }, s"row-level $cmd on $dir raced a commit that rewrote one of " +
-              "its scanned files; re-run the operation")
+              "its scanned files or changed the partition spec; re-run " +
+              "the operation")
           }
 
           override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -3337,6 +3520,13 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
     // so a replayed epoch can never double-append
     LedgerSink.commitRebase(dir, cur => {
       val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema, partSpec))
+      // a partition-spec change mid-stream invalidates the factory's
+      // tuple bindings — fail the epoch rather than stamp wrong specs
+      if (m.namedPartitionSpec != partSpec)
+        throw new java.util.ConcurrentModificationException(
+          s"epoch commit on $dir raced a partition-spec change " +
+            s"(${m.namedPartitionSpec} vs writer's $partSpec); restart " +
+            "the stream against the new spec")
       if (m.files.exists(_.file.startsWith(marker))) {
         // replayed epoch: the manifest already holds its files — drop
         // the re-staged duplicates instead of double-appending
