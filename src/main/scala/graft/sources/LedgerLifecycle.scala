@@ -1620,6 +1620,103 @@ object LedgerLifecycle {
          CAST(1 AS INTEGER) AS opt_spec_intact
        FROM allr CROSS JOIN probe CROSS JOIN v1"""
 
+  /** `dsv2_metadata_log`: the log-structured manifest layout. A
+    * 64-file base table takes 10 one-file appends; the hashed row
+    * folds: every append's commit wrote an O(delta) log file (max log
+    * bytes ×4 < the full checkpoint's bytes — the metadata-I/O claim
+    * at 100 TB scale, where full-manifest-per-commit is the
+    * scale-killer), the checkpoint rolled exactly once (at
+    * CheckpointEvery=8 commits past it), time travel replays ACROSS
+    * the roll boundary (v5 = checkpoint v1 + log replay — DuckDB
+    * recomputes the digest), retention keeps the newest two versions
+    * as exact snapshots and drops the log, the expired version fails
+    * fast, and vacuum reclaims nothing (appends orphan no file). */
+  def metadataLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_mlog_${tag(sfDir)}"
+    deleteRecursively(dir)
+    val root = Paths.get(dir)
+    val all = graft.io.Tables.orders(spark, sfDir).selectExpr(
+      "CAST(o_orderkey AS BIGINT) AS okey",
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
+    all.repartition(64).write.format(ledger).option("path", dir)
+      .mode("overwrite").save()                                       // v1
+    val fullBytes = java.nio.file.Files.size(root.resolve("_MANIFEST"))
+    (0 until 10).foreach { i =>                                       // v2..v11
+      all.where(s"okey % 10 = $i")
+        .selectExpr(s"okey + ${(i + 1) * 1000000000L} AS okey", "price_c")
+        .repartition(1)
+        .write.format(ledger).option("path", dir).mode("append").save()
+    }
+    val logBytes = (2 to 11).map(v =>
+      java.nio.file.Files.size(root.resolve(LedgerSink.logName(v))))
+    val logSmall = if (logBytes.max * 4 < fullBytes) 1 else 0
+    val ckptRolled =
+      if (java.nio.file.Files.exists(root.resolve(
+        LedgerSink.checkpointName(1))) &&
+        LedgerSink.currentVersion(root) == 11) 1 else 0
+    def digest(df: DataFrame, p: String): DataFrame =
+      df.selectExpr("count(*) AS n", "sum(price_c) AS pr", "sum(okey) AS k")
+        .selectExpr(s"n AS n_$p", s"pr AS price_$p", s"k AS key_$p")
+    val v5 = digest(spark.read.format(ledger).option("path", dir)
+      .option("versionAsOf", "5").load(), "v5").collect()(0)
+    val expired = LedgerRefs.expireVersions(root, keepLast = 2)
+    val expiredOk = if (expired == (1 to 8)) 1 else 0
+    val vacuumEmpty = if (LedgerSink.vacuum(root).isEmpty) 1 else 0
+    val v5Fails =
+      try {
+        spark.read.format(ledger).option("path", dir)
+          .option("versionAsOf", "5").load(): Unit
+        0
+      } catch { case _: IllegalArgumentException => 1 }
+    val v10 = digest(spark.read.format(ledger).option("path", dir)
+      .option("versionAsOf", "10").load(), "v10")
+    val cur = digest(
+      spark.read.format(ledger).option("path", dir).load(), "all")
+    cur.crossJoin(broadcast(v10))
+      .selectExpr("n_all", "price_all", "key_all",
+        "n_v10", "price_v10", "key_v10",
+        s"CAST(${v5.getLong(0)} AS BIGINT) AS n_v5",
+        s"CAST(${v5.getLong(1)} AS BIGINT) AS price_v5",
+        s"CAST(${v5.getLong(2)} AS BIGINT) AS key_v5",
+        s"CAST($logSmall AS INT) AS log_small",
+        s"CAST($ckptRolled AS INT) AS ckpt_rolled",
+        s"CAST($expiredOk AS INT) AS expired_ok",
+        s"CAST($vacuumEmpty AS INT) AS vacuum_empty",
+        s"CAST($v5Fails AS INT) AS v5_expired_fails")
+  }
+
+  val metadataLogOracle: String =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+        slices AS (SELECT o.okey + (CAST(g.i AS BIGINT) + 1) * 1000000000
+             AS okey, o.price_c, CAST(g.i AS BIGINT) AS slice
+          FROM o CROSS JOIN range(10) AS g(i) WHERE o.okey % 10 = g.i),
+        cur AS (SELECT count(*) AS n_all,
+            CAST(sum(price_c) AS BIGINT) AS price_all,
+            CAST(sum(okey) AS BIGINT) AS key_all
+          FROM (SELECT okey, price_c FROM o
+            UNION ALL SELECT okey, price_c FROM slices)),
+        v10 AS (SELECT count(*) AS n_v10,
+            CAST(sum(price_c) AS BIGINT) AS price_v10,
+            CAST(sum(okey) AS BIGINT) AS key_v10
+          FROM (SELECT okey, price_c FROM o
+            UNION ALL SELECT okey, price_c FROM slices WHERE slice <= 8)),
+        v5 AS (SELECT count(*) AS n_v5,
+            CAST(sum(price_c) AS BIGINT) AS price_v5,
+            CAST(sum(okey) AS BIGINT) AS key_v5
+          FROM (SELECT okey, price_c FROM o
+            UNION ALL SELECT okey, price_c FROM slices WHERE slice <= 3))
+       SELECT n_all, price_all, key_all, n_v10, price_v10, key_v10,
+         n_v5, price_v5, key_v5,
+         CAST(1 AS INTEGER) AS log_small,
+         CAST(1 AS INTEGER) AS ckpt_rolled,
+         CAST(1 AS INTEGER) AS expired_ok,
+         CAST(1 AS INTEGER) AS vacuum_empty,
+         CAST(1 AS INTEGER) AS v5_expired_fails
+       FROM cur CROSS JOIN v10 CROSS JOIN v5"""
+
   private def exceptionChainContains(e: Throwable, needle: String): Boolean = {
     var cur: Throwable = e
     var depth = 0

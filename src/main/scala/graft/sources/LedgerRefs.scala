@@ -148,15 +148,12 @@ object LedgerRefs {
     * version numbers. */
   def expireVersions(dir: Path, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1,
-      s"keepLast must be >= 1 (the newest archive anchors the version " +
-        s"counter), got $keepLast")
+      s"keepLast must be >= 1 (always retain the newest historical " +
+        s"version), got $keepLast")
     LedgerSink.withCommitLock(dir) {
       val vs = LedgerSink.archivedVersions(dir)
-      val keep = vs.takeRight(keepLast).toSet ++ tags(dir).values
-      val expired = vs.filterNot(keep)
-      expired.foreach(v =>
-        Files.deleteIfExists(dir.resolve(LedgerSink.archiveName(v))): Unit)
-      expired
+      LedgerSink.dropHistory(dir,
+        vs.takeRight(keepLast).toSet ++ tags(dir).values)
     }
   }
 

@@ -1025,57 +1025,216 @@ object LedgerSink {
       fresh(schema, partitionNames.map(NamedPartField(_, "identity", 0)))
   }
 
-  /** Manifest: line 1 the schema DDL, optional `#` headers, then one
-    * tab-separated [[FileEntry]] per line. Present-and-parseable ==
-    * committed (the atomic rename in [[LedgerBatchWrite.commit]] is
-    * what makes that equivalence hold). */
-  private[sources] def readManifest(dir: Path): Option[Manifest] = {
-    val m = dir.resolve(ManifestName)
-    if (!Files.exists(m)) return None
-    Some(Manifest.parse(Files.readAllLines(m, UTF_8).asScala.toSeq))
-  }
-
-  // ---- manifest versioning (time travel) ----
+  // ---- LOG-STRUCTURED manifest storage (commit log + checkpoints) ----
+  //
+  // The naive layout (full manifest rewritten + fully archived per
+  // commit) costs O(table's file count) of metadata I/O on EVERY
+  // commit — at 100 TB (millions of files, epoch-grain streaming
+  // commits) the metadata write dwarfs the data write. This layout is
+  // the Delta-log/Iceberg-snapshot answer at this format's scale:
+  //
+  //   - `_MANIFEST` is a CHECKPOINT: the full state of some version C,
+  //     carrying `#version:C`;
+  //   - each commit k > C is a DELTA file `_LOG.vk` — the resulting
+  //     HEADERS (schema/ids/spec/props are small) plus only the
+  //     removed file names and added/replaced entries: O(delta) bytes,
+  //     written with one atomic rename (the commit point);
+  //   - every [[CheckpointEvery]] commits the checkpoint rolls forward
+  //     (the old one is preserved as `_MANIFEST.c<C>` for time
+  //     travel), so replay depth is bounded;
+  //   - retention ([[LedgerRefs.expireVersions]]) materializes
+  //     retained old versions as exact snapshots and drops the logs —
+  //     history cost is O(retained), not O(commits).
+  //
+  // Version state sources, in resolution order: the live replay
+  // (checkpoint + logs), exact snapshots `_MANIFEST.c<v>` (retention /
+  // rolled checkpoints) and `_MANIFEST.v<v>` (the legacy full-archive
+  // layout — still readable, so pre-log tables migrate in place on
+  // their next commit).
 
   private[sources] def archiveName(v: Int): String = s"$ManifestName.v$v"
+  private[sources] def checkpointName(v: Int): String = s"$ManifestName.c$v"
+  private[sources] def logName(v: Int): String = s"_LOG.v$v"
 
   private val ArchiveRe = s"${ManifestName}\\.v(\\d+)".r
+  private val CheckpointRe = s"${ManifestName}\\.c(\\d+)".r
+  private val LogRe = "_LOG\\.v(\\d+)".r
 
-  /** Archived (historical) version numbers, ascending. */
-  private[sources] def archivedVersions(dir: Path): Seq[Int] =
+  private[sources] val CheckpointEvery = 8
+
+  private def listVersions(dir: Path, re: scala.util.matching.Regex)
+      : Seq[Int] =
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val s = Files.list(dir)
       try s.iterator().asScala.flatMap(p =>
         p.getFileName.toString match {
-          case ArchiveRe(v) => Some(v.toInt)
+          case re(v) => Some(v.toInt)
           case _ => None
         }).toSeq.sorted
       finally s.close()
     }
 
-  /** The CURRENT manifest's version number: one past the newest
-    * archive (the archive is written at replacement time, so the live
-    * manifest is always the highest version). */
-  private[sources] def currentVersion(dir: Path): Int =
-    archivedVersions(dir).lastOption.getOrElse(0) + 1
+  /** Versions with an EXACT state snapshot on disk (legacy archives +
+    * rolled/materialized checkpoints). */
+  private def exactVersions(dir: Path): Seq[Int] =
+    (listVersions(dir, ArchiveRe) ++ listVersions(dir, CheckpointRe))
+      .distinct.sorted
 
-  /** Manifest as of `version` — the live manifest when `version` is
-    * None or equals [[currentVersion]]; an immutable archive
-    * otherwise. Every archive is self-contained (its own schema, ids
-    * and partition spec), so a version reads exactly the table
-    * definition it committed under. */
+  private def exactStateFile(dir: Path, v: Int): Option[Path] = {
+    val c = dir.resolve(checkpointName(v))
+    val a = dir.resolve(archiveName(v))
+    if (Files.exists(c)) Some(c) else if (Files.exists(a)) Some(a) else None
+  }
+
+  /** The live checkpoint's `#version:` header; None = a pre-log
+    * (legacy) manifest, or no manifest at all. */
+  private def manifestVersion(dir: Path): Option[Int] = {
+    val m = dir.resolve(ManifestName)
+    if (!Files.exists(m)) return None
+    Files.readAllLines(m, UTF_8).asScala
+      .find(_.startsWith("#version:")).map(_.stripPrefix("#version:").toInt)
+  }
+
+  private def renderState(m: Manifest, v: Int): Seq[String] =
+    m.render match { case head +: tail => head +: (s"#version:$v" +: tail) }
+
+  /** One commit's delta: the RESULTING headers (always — they are
+    * line-sized), `#removes:` for vanished file names, and the
+    * added/replaced entries. `#full:1` marks a whole-state delta (the
+    * escape hatch for commits that reorder surviving entries, e.g.
+    * RESTORE). */
+  private def renderDelta(next: Manifest, v: Int, cur: Manifest)
+      : Seq[String] = {
+    val curNames = cur.files.map(_.file)
+    val nextNames = next.files.map(_.file).toSet
+    val curByName = cur.files.map(e => e.file -> e).toMap
+    val header = next.copy(files = Seq.empty).render ++ Seq(s"#version:$v")
+    val orderOk = next.files.map(_.file).filter(curByName.contains) ==
+      curNames.filter(nextNames)
+    if (!orderOk)
+      header ++ Seq("#full:1") ++ next.files.map(_.render)
+    else {
+      val removes = curNames.filterNot(nextNames)
+      val changedOrNew =
+        next.files.filter(e => !curByName.get(e.file).contains(e))
+      header ++
+        (if (removes.nonEmpty) Seq("#removes:" + removes.mkString(","))
+        else Nil) ++
+        changedOrNew.map(_.render)
+    }
+  }
+
+  /** Apply one delta on top of `cur`: replaced entries stay IN PLACE
+    * (by file name), removed ones vanish, new ones append — exactly
+    * how every commit kind builds its next manifest, so replay
+    * reproduces the committed state byte-for-byte. */
+  private def applyDelta(cur: Manifest, lines: Seq[String]): Manifest = {
+    val m0 = Manifest.parse(lines.filterNot(l =>
+      l.startsWith("#version:") || l.startsWith("#full:") ||
+        l.startsWith("#removes:")))
+    if (lines.exists(_.startsWith("#full:"))) m0
+    else {
+      val removes = lines.find(_.startsWith("#removes:"))
+        .map(_.stripPrefix("#removes:").split(",", -1).toSet
+          .filter(_.nonEmpty)).getOrElse(Set.empty[String])
+      val replace = m0.files.map(e => e.file -> e).toMap
+      val curNames = cur.files.map(_.file).toSet
+      m0.copy(files =
+        cur.files.filterNot(e => removes(e.file))
+          .map(e => replace.getOrElse(e.file, e)) ++
+          m0.files.filterNot(e => curNames(e.file)))
+    }
+  }
+
+  /** Manifest: line 1 the schema DDL, optional `#` headers, then one
+    * tab-separated [[FileEntry]] per line. Present-and-parseable ==
+    * committed (every commit point is one atomic rename — of the log
+    * delta in the log layout, of the manifest itself in the legacy
+    * one). The LIVE state = the checkpoint plus its contiguous log
+    * suffix. */
+  private[sources] def readManifest(dir: Path): Option[Manifest] = {
+    val mf = dir.resolve(ManifestName)
+    if (!Files.exists(mf)) return None
+    val lines = Files.readAllLines(mf, UTF_8).asScala.toSeq
+    var m = Manifest.parse(lines)
+    manifestVersion(dir) match {
+      case None => Some(m) // legacy layout: the manifest IS the state
+      case Some(c) =>
+        var v = c + 1
+        while (Files.exists(dir.resolve(logName(v)))) {
+          m = applyDelta(m,
+            Files.readAllLines(dir.resolve(logName(v)), UTF_8).asScala.toSeq)
+          v += 1
+        }
+        Some(m)
+    }
+  }
+
+  /** The live table's version: checkpoint version + contiguous log
+    * suffix (log layout), or one past the newest full archive
+    * (legacy). An empty directory reads as version 1 — the version the
+    * FIRST commit will create. */
+  private[sources] def currentVersion(dir: Path): Int =
+    manifestVersion(dir) match {
+      case Some(c) =>
+        var v = c
+        while (Files.exists(dir.resolve(logName(v + 1)))) v += 1
+        v
+      case None =>
+        listVersions(dir, ArchiveRe).lastOption.getOrElse(0) + 1
+    }
+
+  /** Historical versions readable right now, ascending (exact
+    * snapshots plus every version reachable by checkpoint-and-replay).
+    * The name is historical — with the log layout nothing is "archived"
+    * per commit; retention decides what stays reconstructable. */
+  private[sources] def archivedVersions(dir: Path): Seq[Int] = {
+    val cur = currentVersion(dir)
+    val exact = exactVersions(dir).toSet
+    val logSet = listVersions(dir, LogRe).toSet
+    val bases = exact ++ manifestVersion(dir).toSet
+    (1 until cur).filter(v => exact(v) ||
+      bases.filter(_ <= v).maxOption.exists(b =>
+        (b + 1 to v).forall(logSet))).toSeq
+  }
+
+  /** Manifest as of `version` — the live state when `version` is None
+    * or current; otherwise an exact snapshot, or the nearest
+    * checkpoint at-or-below replayed forward through the log. Every
+    * reconstructed state is self-contained (its own schema, ids and
+    * partition spec), so a version reads exactly the table definition
+    * it committed under. */
   private[sources] def readManifestAt(dir: Path, version: Option[Int])
       : Option[Manifest] =
     version.filter(_ != currentVersion(dir)) match {
       case None => readManifest(dir)
       case Some(v) =>
-        val m = dir.resolve(archiveName(v))
-        if (!Files.exists(m))
-          throw new IllegalArgumentException(
-            s"ledger $dir has no version $v (versions: " +
-              s"${archivedVersions(dir).mkString(",")},${currentVersion(dir)})")
-        Some(Manifest.parse(Files.readAllLines(m, UTF_8).asScala.toSeq))
+        exactStateFile(dir, v) match {
+          case Some(p) =>
+            Some(Manifest.parse(Files.readAllLines(p, UTF_8).asScala.toSeq))
+          case None =>
+            val bases = exactVersions(dir).toSet ++ manifestVersion(dir).toSet
+            val base = bases.filter(b => b <= v && b > 0).maxOption
+              .filter(b => (b + 1 to v).forall(k =>
+                Files.exists(dir.resolve(logName(k)))))
+            base match {
+              case Some(b) =>
+                val start =
+                  if (manifestVersion(dir).contains(b)) dir.resolve(ManifestName)
+                  else exactStateFile(dir, b).get
+                var m = Manifest.parse(
+                  Files.readAllLines(start, UTF_8).asScala.toSeq)
+                (b + 1 to v).foreach { k =>
+                  m = applyDelta(m, Files.readAllLines(
+                    dir.resolve(logName(k)), UTF_8).asScala.toSeq)
+                }
+                Some(m)
+              case None => throw new IllegalArgumentException(
+                s"ledger $dir has no version $v (versions: " +
+                  s"${archivedVersions(dir).mkString(",")},${currentVersion(dir)})")
+            }
+        }
     }
 
   /** The append-only file DELTA between two versions — the CDC read
@@ -1157,20 +1316,68 @@ object LedgerSink {
     StructField("_change_type", StringType, nullable = false),
     StructField("_commit_version", IntegerType, nullable = false))
 
+  /** Storage half of retention ([[LedgerRefs.expireVersions]] holds
+    * the policy — what to protect — and the lock): materialize every
+    * protected historical version as an exact snapshot, roll the live
+    * checkpoint to the current version (its old base may be among the
+    * expiring), then drop every other historical state source —
+    * legacy archives, snapshots and the whole log (each surviving
+    * state is now self-contained). History cost after retention is
+    * O(protected versions), independent of how many commits ever
+    * happened. Returns the expired versions, ascending. */
+  private[sources] def dropHistory(dir: Path, protect: Set[Int]): Seq[Int] = {
+    val cur = currentVersion(dir)
+    val avail = archivedVersions(dir)
+    val expired = avail.filterNot(protect)
+    if (expired.isEmpty) return Seq.empty
+    avail.filter(protect).foreach { v =>
+      if (exactStateFile(dir, v).isEmpty)
+        writeAtomic(dir, checkpointName(v),
+          renderState(readManifestAt(dir, Some(v)).get, v))
+    }
+    if (!manifestVersion(dir).contains(cur))
+      readManifest(dir).foreach(m =>
+        writeAtomic(dir, ManifestName, renderState(m, cur)))
+    expired.foreach { v =>
+      Files.deleteIfExists(dir.resolve(archiveName(v))): Unit
+      Files.deleteIfExists(dir.resolve(checkpointName(v))): Unit
+    }
+    listVersions(dir, LogRe).filter(_ <= cur).foreach(v =>
+      Files.deleteIfExists(dir.resolve(logName(v))): Unit)
+    expired
+  }
+
   /** Every file referenced by ANY retained version — the set a vacuum
-    * or a post-DELETE cleanup must not touch. */
+    * or a post-DELETE cleanup must not touch. O(metadata), not
+    * O(versions × files): a file referenced by some reconstructable
+    * version appears either in an exact snapshot, in the live
+    * checkpoint, or as an add/replace entry in a surviving log — so
+    * walking those sources once covers every replayable state. */
   private[sources] def referencedFiles(dir: Path): Set[String] = {
     def refs(m: Manifest): Seq[String] =
       m.files.flatMap(e => (e.file +: e.dv.toSeq) ++ e.bloom.toSeq)
-    val archived = archivedVersions(dir).flatMap { v =>
-      refs(Manifest.parse(Files.readAllLines(dir.resolve(archiveName(v)), UTF_8)
-        .asScala.toSeq))
+    def refsOf(p: Path): Seq[String] =
+      refs(Manifest.parse(Files.readAllLines(p, UTF_8).asScala.toSeq
+        .filterNot(l => l.startsWith("#version:") || l.startsWith("#full:") ||
+          l.startsWith("#removes:"))))
+    val exact = exactVersions(dir)
+      .flatMap(v => exactStateFile(dir, v)).flatMap(refsOf)
+    // log deltas: their entry lines are exactly the adds/replacements
+    // (a full delta's lines are the whole state — same handling)
+    val logged = listVersions(dir, LogRe)
+      .flatMap(v => refsOf(dir.resolve(logName(v))))
+    // the live CHECKPOINT itself (not just the replayed head): a file
+    // removed by a later log is still referenced by the checkpoint's
+    // version until retention drops it
+    val ckpt = {
+      val mf = dir.resolve(ManifestName)
+      if (Files.exists(mf)) refsOf(mf) else Seq.empty
     }
     // staged (write-audit-publish) manifests hold files no version
     // references yet — a vacuum between stage and publish must keep
     // them
     val staged = listWaps(dir).flatMap(id => refs(readWap(dir, id)))
-    (archived ++ staged ++
+    (exact ++ logged ++ ckpt ++ staged ++
       readManifest(dir).map(refs).getOrElse(Seq.empty)).toSet
   }
 
@@ -1262,34 +1469,63 @@ object LedgerSink {
       }
     }
 
-  /** Replace the live manifest, ARCHIVING the one being replaced as
-    * the next immutable version — every commit (append, overwrite,
-    * epoch, metadata delete, evolution, OPTIMIZE) leaves the previous
-    * table state readable via `versionAsOf`. The archive lands before
-    * the rename: a crash between the two leaves an archive that
-    * duplicates the live manifest, which the duplicate check skips on
-    * the next write, so the version chain never forks or gaps. Data
-    * files are never deleted by commits (overwrite orphans them;
-    * [[vacuum]] reclaims what no version references). */
+  private def writeAtomic(dir: Path, name: String, lines: Seq[String]): Unit = {
+    val tmp = dir.resolve(s"$name.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** COMMIT the next table state. In the log layout this writes one
+    * O(delta) log file — the atomic rename IS the commit point — and
+    * every [[CheckpointEvery]] commits rolls the checkpoint forward
+    * (preserving the outgoing one as an exact snapshot for time
+    * travel; a crash between the two steps leaves the old checkpoint
+    * live with its logs intact, and the duplicate snapshot is
+    * harmless). A LEGACY table (full-archive layout) migrates here on
+    * its next commit: its manifest is archived whole one last time and
+    * the new state becomes the first versioned checkpoint. Previous
+    * versions stay readable via `versionAsOf` either way; data files
+    * are never deleted by commits (overwrite orphans them; [[vacuum]]
+    * reclaims what no retained version references). */
   private[sources] def writeManifestAtomic(dir: Path, m: Manifest): Unit = {
     Files.createDirectories(dir)
     val cur = dir.resolve(ManifestName)
-    if (Files.exists(cur)) {
-      val curBytes = Files.readAllBytes(cur)
-      val vs = archivedVersions(dir)
-      val isDup = vs.lastOption.exists(v => java.util.Arrays.equals(
-        Files.readAllBytes(dir.resolve(archiveName(v))), curBytes))
-      if (!isDup) {
-        val tmpA = dir.resolve(s"$ManifestName.varc.tmp")
-        Files.write(tmpA, curBytes)
-        Files.move(tmpA, dir.resolve(archiveName(vs.lastOption.getOrElse(0) + 1)),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      }
+    if (!Files.exists(cur)) { // first commit: version-1 checkpoint
+      writeAtomic(dir, ManifestName, renderState(m, 1))
+      return
     }
-    val tmp = dir.resolve(s"$ManifestName.tmp")
-    Files.write(tmp, m.render.mkString("\n").getBytes(UTF_8))
-    Files.move(tmp, dir.resolve(ManifestName),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    manifestVersion(dir) match {
+      case None => // legacy layout: archive the old full state once,
+        // then the new state becomes the first checkpoint — migration
+        // in place, every old archive still readable
+        val curBytes = Files.readAllBytes(cur)
+        val vs = listVersions(dir, ArchiveRe)
+        val v = vs.lastOption.getOrElse(0) + 1
+        val isDup = vs.lastOption.exists(pv => java.util.Arrays.equals(
+          Files.readAllBytes(dir.resolve(archiveName(pv))), curBytes))
+        if (!isDup) {
+          val tmpA = dir.resolve(s"$ManifestName.varc.tmp")
+          Files.write(tmpA, curBytes)
+          Files.move(tmpA, dir.resolve(archiveName(v)),
+            StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+        writeAtomic(dir, ManifestName, renderState(m, v + 1))
+      case Some(ckptV) =>
+        val curM = readManifest(dir).get
+        val newV = currentVersion(dir) + 1
+        writeAtomic(dir, logName(newV), renderDelta(m, newV, curM))
+        if (newV - ckptV >= CheckpointEvery) {
+          // roll: preserve the outgoing checkpoint as an exact
+          // snapshot (atomically — a torn snapshot would parse as a
+          // corrupt state), then write the full state at newV. Logs
+          // stay — retention decides when history is dropped.
+          writeAtomic(dir, checkpointName(ckptV),
+            Files.readAllLines(cur, UTF_8).asScala.toSeq)
+          writeAtomic(dir, ManifestName, renderState(m, newV))
+        }
+    }
   }
 
   // ---- optimistic-concurrency commits ----

@@ -87,11 +87,12 @@ class LedgerTimeTravelSpec extends graft.SparkSpec {
     assert(removed == Seq("_staging/part-99-99.ledger"),
       s"vacuum removed the wrong set: $removed")
     assert(read(dir, Some(1)).count() == 10, "referenced files must survive vacuum")
-    // expire version 1 (drop its archive), vacuum reclaims its files
-    Files.delete(dir.resolve(LedgerSink.archiveName(1)))
+    // expire version 1 through the retention API, vacuum reclaims its files
+    write(dir, spark.range(0, 7).selectExpr("id")) // v3, so v1 can expire
+    assert(LedgerRefs.expireVersions(dir, keepLast = 1) == Seq(1))
     val reclaimed = LedgerSink.vacuum(dir)
     assert(reclaimed.nonEmpty, "expired version's files should be reclaimed")
-    assert(read(dir).count() == 5, "live table untouched by vacuum")
+    assert(read(dir).count() == 7, "live table untouched by vacuum")
   }
 
   test("SQL VERSION AS OF resolves through the catalog plugin") {

@@ -11,6 +11,11 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
+  /** Suites that set or depend on the `graft.ledger.rowLevelMode`
+    * session conf serialize on this — the session is JVM-shared and
+    * suites run in parallel. */
+  val rowLevelConfLock = new Object
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

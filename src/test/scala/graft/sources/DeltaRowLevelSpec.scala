@@ -46,9 +46,16 @@ class DeltaRowLevelSpec extends graft.SparkSpec {
   private def manifest(name: String) =
     LedgerSink.readManifest(dirOf(name)).get
 
+  // the row-level-mode session conf is JVM-shared (one SparkSession
+  // across parallel suites): every section that sets OR depends on it
+  // holds the same lock, and restore means UNSET — leaving "cow" set
+  // would override TABLE-PROPERTY routing in concurrently-running
+  // suites (the TablePropertiesSpec flake)
   private def inMor[A](f: => A): A =
-    try { spark.conf.set("graft.ledger.rowLevelMode", "mor"); f }
-    finally spark.conf.set("graft.ledger.rowLevelMode", "cow")
+    graft.SparkSpec.rowLevelConfLock.synchronized {
+      try { spark.conf.set("graft.ledger.rowLevelMode", "mor"); f }
+      finally spark.conf.unset("graft.ledger.rowLevelMode")
+    }
 
   test("_file/_pos metadata columns: selectable, physical, DV-stable") {
     val t = freshTable("meta", 100)

@@ -50,6 +50,7 @@ class TablePropertiesSpec extends graft.SparkSpec {
   }
 
   test("rowLevelMode=mor as a table property routes DELETE to the delta path") {
+    graft.SparkSpec.rowLevelConfLock.synchronized {
     spark.conf.unset("graft.ledger.rowLevelMode")
     val t = fresh("morprop", "'graft.ledger.rowLevelMode'='mor'")
     val pre = manifest("morprop").files.map(_.file).toSet
@@ -68,9 +69,11 @@ class TablePropertiesSpec extends graft.SparkSpec {
       assert(m2.files.map(_.file).toSet.intersect(pre).isEmpty,
         "conf=cow must rewrite (override the property)")
     } finally spark.conf.unset("graft.ledger.rowLevelMode")
+    }
   }
 
   test("ALTER TABLE SET/UNSET TBLPROPERTIES is a versioned commit") {
+    graft.SparkSpec.rowLevelConfLock.synchronized {
     spark.conf.unset("graft.ledger.rowLevelMode")
     val t = fresh("alterp")
     assert(manifest("alterp").props.isEmpty)
@@ -91,5 +94,6 @@ class TablePropertiesSpec extends graft.SparkSpec {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('foo'='bar')")
     }: Unit
+    }
   }
 }
