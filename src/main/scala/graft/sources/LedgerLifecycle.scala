@@ -1717,6 +1717,112 @@ object LedgerLifecycle {
          CAST(1 AS INTEGER) AS v5_expired_fails
        FROM cur CROSS JOIN v10 CROSS JOIN v5"""
 
+  /** `dsv2_branch_ff`: branches + fast-forward publish
+    * ([[LedgerRefs]] on the log layout) — multi-commit staging where
+    * WAP stages one. Base = high-price orders; branch `audit` takes
+    * TWO append commits (low-price rows, then the same rows re-keyed);
+    * the hashed row folds: main's digest and version untouched while
+    * the branch accumulates (eager reads), the branch-head read seeing
+    * base + both commits, vacuum keeping branch-staged files,
+    * fast-forward landing both commits as main versions (exactly
+    * fork+2), and a second branch whose fast-forward is REFUSED after
+    * main moved — its drop reclaiming the staged files. DuckDB
+    * recomputes every digest from the fixture. */
+  def branchFastForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_br_${tag(sfDir)}"
+    deleteRecursively(dir)
+    val root = Paths.get(dir)
+    val all = graft.io.Tables.orders(spark, sfDir).selectExpr(
+      "CAST(o_orderkey AS BIGINT) AS okey",
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
+    all.where("price_c >= 10000000").write.format(ledger)
+      .option("path", dir).mode("overwrite").save()                   // v1
+    val fork = LedgerRefs.createBranch(root, "audit")
+    val lo = all.where("price_c < 10000000")
+    lo.write.format(ledger).option("path", dir)
+      .option("branch", "audit").mode("append").save()                // b:v2
+    lo.selectExpr("okey + 1000000000 AS okey", "price_c")
+      .write.format(ledger).option("path", dir)
+      .option("branch", "audit").mode("append").save()                // b:v3
+    def digestRow(df: DataFrame): org.apache.spark.sql.Row =
+      df.selectExpr("count(*) AS n", "sum(price_c) AS pr", "sum(okey) AS k")
+        .collect()(0)
+    val mainDuring = digestRow(
+      spark.read.format(ledger).option("path", dir).load())
+    val branchRead = digestRow(spark.read.format(ledger)
+      .option("path", dir).option("branch", "audit").load())
+    val mainUntouched =
+      if (LedgerSink.currentVersion(root) == fork) 1 else 0
+    val headOk = if (LedgerRefs.branchHead(root, "audit") == fork + 2) 1 else 0
+    val vacuumKeeps = if (LedgerSink.vacuum(root).isEmpty) 1 else 0
+    val vFf = LedgerRefs.fastForward(root, "audit")
+    val ffOk = if (vFf == fork + 2 &&
+      LedgerRefs.branches(root).isEmpty) 1 else 0
+    // a late branch races a main append: fast-forward must refuse,
+    // drop must reclaim its staged files
+    LedgerRefs.createBranch(root, "late"): Unit
+    all.limit(200).selectExpr("okey + 2000000000 AS okey", "price_c")
+      .write.format(ledger).option("path", dir)
+      .option("branch", "late").mode("append").save()
+    val lateFiles = LedgerSink.readBranchState(root, "late",
+      LedgerRefs.branchFork(root, "late")).files.map(_.file).toSet --
+      LedgerSink.readManifest(root).get.files.map(_.file).toSet
+    all.limit(50).selectExpr("okey + 3000000000 AS okey", "price_c")
+      .write.format(ledger).option("path", dir).mode("append").save()
+    val ffRefused =
+      try { LedgerRefs.fastForward(root, "late"): Unit; 0 }
+      catch { case _: java.util.ConcurrentModificationException => 1 }
+    LedgerRefs.dropBranch(root, "late")
+    LedgerSink.vacuum(root): Unit
+    val dropClean = if (lateFiles.nonEmpty && lateFiles.forall(f =>
+      !java.nio.file.Files.exists(root.resolve(f)))) 1 else 0
+    // post-ff digest pinned at the fast-forwarded version (the later
+    // main append must not leak in)
+    val ff = spark.read.format(ledger).option("path", dir)
+      .option("versionAsOf", vFf.toString).load()
+      .selectExpr("count(*) AS n_ff", "sum(price_c) AS price_ff",
+        "sum(okey) AS key_ff")
+    ff.selectExpr(
+      s"CAST(${mainDuring.getLong(0)} AS BIGINT) AS n_base",
+      s"CAST(${mainDuring.getLong(1)} AS BIGINT) AS price_base",
+      s"CAST(${mainDuring.getLong(2)} AS BIGINT) AS key_base",
+      s"CAST(${branchRead.getLong(0)} AS BIGINT) AS n_br",
+      s"CAST(${branchRead.getLong(1)} AS BIGINT) AS price_br",
+      s"CAST(${branchRead.getLong(2)} AS BIGINT) AS key_br",
+      "n_ff", "price_ff", "key_ff",
+      s"CAST($mainUntouched AS INT) AS main_untouched",
+      s"CAST($headOk AS INT) AS head_ok",
+      s"CAST($vacuumKeeps AS INT) AS vacuum_keeps_branch",
+      s"CAST($ffOk AS INT) AS ff_ok",
+      s"CAST($ffRefused AS INT) AS ff_refused_after_move",
+      s"CAST($dropClean AS INT) AS drop_clean")
+  }
+
+  val branchFastForwardOracle: String =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+        hi AS (SELECT count(*) AS n_base,
+            CAST(sum(price_c) AS BIGINT) AS price_base,
+            CAST(sum(okey) AS BIGINT) AS key_base
+          FROM o WHERE price_c >= 10000000),
+        fullr AS (SELECT count(*) AS n_br,
+            CAST(sum(price_c) AS BIGINT) AS price_br,
+            CAST(sum(okey) AS BIGINT) AS key_br
+          FROM (SELECT okey, price_c FROM o
+            UNION ALL SELECT okey + 1000000000, price_c FROM o
+              WHERE price_c < 10000000))
+       SELECT n_base, price_base, key_base, n_br, price_br, key_br,
+         n_br AS n_ff, price_br AS price_ff, key_br AS key_ff,
+         CAST(1 AS INTEGER) AS main_untouched,
+         CAST(1 AS INTEGER) AS head_ok,
+         CAST(1 AS INTEGER) AS vacuum_keeps_branch,
+         CAST(1 AS INTEGER) AS ff_ok,
+         CAST(1 AS INTEGER) AS ff_refused_after_move,
+         CAST(1 AS INTEGER) AS drop_clean
+       FROM hi CROSS JOIN fullr"""
+
   private def exceptionChainContains(e: Throwable, needle: String): Boolean = {
     var cur: Throwable = e
     var depth = 0

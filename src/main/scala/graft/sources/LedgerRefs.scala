@@ -59,20 +59,37 @@ object LedgerRefs {
       c == '-' || c == '_' || c == '.'),
       s"ref name must be [A-Za-z0-9._-]+, got '$name'")
 
-  /** All tags, name → target version. Missing file = no tags. */
-  def tags(dir: Path): Map[String, Int] = {
+  /** All refs, name → (kind, version): tags target a version, branches
+    * record their FORK point (head is derived from the branch's log).
+    * Two-column lines are legacy tags — byte-compatible. */
+  def refs(dir: Path): Map[String, (String, Int)] = {
     val p = dir.resolve(RefsName)
     if (!Files.exists(p)) Map.empty
     else Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty).map { l =>
-      val parts = l.split("\t")
-      parts(0) -> parts(1).toInt
+      l.split("\t") match {
+        case Array(n, v) => n -> (("tag", v.toInt))
+        case Array(n, k, v) => n -> ((k, v.toInt))
+        case other => throw new IllegalStateException(
+          s"unparseable ref line '${other.mkString("\\t")}' in $p")
+      }
     }.toMap
   }
 
-  private def writeRefs(dir: Path, refs: Map[String, Int]): Unit = {
+  /** Tags only, name → target version. */
+  def tags(dir: Path): Map[String, Int] =
+    refs(dir).collect { case (n, ("tag", v)) => n -> v }
+
+  /** Branches only, name → fork point. */
+  def branches(dir: Path): Map[String, Int] =
+    refs(dir).collect { case (n, ("branch", v)) => n -> v }
+
+  private def writeRefs(dir: Path, rs: Map[String, (String, Int)]): Unit = {
     val tmp = dir.resolve(s"$RefsName.tmp")
-    Files.write(tmp, refs.toSeq.sortBy(_._1)
-      .map { case (n, v) => s"$n\t$v" }.mkString("\n").getBytes(UTF_8))
+    Files.write(tmp, rs.toSeq.sortBy(_._1)
+      .map {
+        case (n, ("tag", v)) => s"$n\t$v" // legacy-compatible tag line
+        case (n, (k, v)) => s"$n\t$k\t$v"
+      }.mkString("\n").getBytes(UTF_8))
     Files.move(tmp, dir.resolve(RefsName), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING): Unit
   }
@@ -90,20 +107,93 @@ object LedgerRefs {
       require(known.contains(target),
         s"cannot tag version $target of $dir (versions: " +
           s"${known.toSeq.sorted.mkString(",")})")
-      val t = tags(dir)
-      if (t.contains(name)) throw new IllegalStateException(
-        s"tag '$name' already exists on $dir (→ v${t(name)}); " +
-          "drop it first — tags are immutable")
-      writeRefs(dir, t + (name -> target))
+      val rs = refs(dir)
+      if (rs.contains(name)) throw new IllegalStateException(
+        s"ref '$name' already exists on $dir (${rs(name)._1} → " +
+          s"v${rs(name)._2}); drop it first — refs share one namespace " +
+          "and tags are immutable")
+      writeRefs(dir, rs + (name -> (("tag", target))))
       target
     }
   }
 
   def dropTag(dir: Path, name: String): Unit =
     LedgerSink.withCommitLock(dir) {
-      val t = tags(dir)
-      require(t.contains(name), s"no tag '$name' on $dir")
-      writeRefs(dir, t - name)
+      val rs = refs(dir)
+      require(rs.get(name).exists(_._1 == "tag"), s"no tag '$name' on $dir")
+      writeRefs(dir, rs - name)
+    }
+
+  // ---- branches (multi-commit staging; Iceberg refs) ----
+
+  /** Fork branch `name` at `from` (default: the current version).
+    * Branch reads resolve via the `branch` option; branch WRITES are
+    * `df.write.option("branch", name).mode("append")` — each lands as
+    * one commit on the branch's own log chain, invisible to main.
+    * Publish via [[fastForward]]. */
+  def createBranch(dir: Path, name: String, from: Option[Int] = None): Int = {
+    checkRefName(name)
+    LedgerSink.withCommitLock(dir) {
+      val cur = LedgerSink.currentVersion(dir)
+      val fork = from.getOrElse(cur)
+      val known = LedgerSink.archivedVersions(dir).toSet + cur
+      require(known.contains(fork),
+        s"cannot branch from version $fork of $dir (versions: " +
+          s"${known.toSeq.sorted.mkString(",")})")
+      val rs = refs(dir)
+      if (rs.contains(name)) throw new IllegalStateException(
+        s"ref '$name' already exists on $dir (${rs(name)._1})")
+      writeRefs(dir, rs + (name -> (("branch", fork))))
+      fork
+    }
+  }
+
+  def branchFork(dir: Path, name: String): Int =
+    branches(dir).getOrElse(name, throw new IllegalArgumentException(
+      s"no branch '$name' on $dir (branches: " +
+        s"${branches(dir).keys.toSeq.sorted.mkString(",")})"))
+
+  /** The branch's head version (fork + its committed log suffix). */
+  def branchHead(dir: Path, name: String): Int =
+    LedgerSink.branchHead(dir, name, branchFork(dir, name))
+
+  /** FAST-FORWARD publish: if main is still AT the branch's fork
+    * point, the branch's logs become main's (a rename — they are
+    * deltas against exactly the states main now replays), the ref is
+    * dropped, and main's head IS the branch head. If main moved past
+    * the fork, refuse with ConcurrentModificationException — the
+    * branch stays intact; re-branch from the new head or drop it
+    * (non-fast-forward merges would need per-commit-kind conflict
+    * semantics and are honestly unsupported, the Iceberg contract). */
+  def fastForward(dir: Path, name: String): Int =
+    LedgerSink.withCommitLock(dir) {
+      val fork = branchFork(dir, name)
+      val head = LedgerSink.branchHead(dir, name, fork)
+      val cur = LedgerSink.currentVersion(dir)
+      if (cur != fork) throw new java.util.ConcurrentModificationException(
+        s"cannot fast-forward branch '$name' (fork v$fork, head v$head): " +
+          s"main moved to v$cur; re-branch from the new head or drop " +
+          "the branch")
+      LedgerSink.ensureLogLayout(dir)
+      (fork + 1 to head).foreach { k =>
+        Files.move(dir.resolve(LedgerSink.branchLogName(name, k)),
+          dir.resolve(LedgerSink.logName(k)),
+          StandardCopyOption.ATOMIC_MOVE): Unit
+      }
+      writeRefs(dir, refs(dir) - name)
+      LedgerSink.currentVersion(dir)
+    }
+
+  /** Discard a branch: its ref and its logs; the staged files its
+    * logs referenced become unreferenced — vacuum reclaims them. */
+  def dropBranch(dir: Path, name: String): Unit =
+    LedgerSink.withCommitLock(dir) {
+      val fork = branchFork(dir, name)
+      val head = LedgerSink.branchHead(dir, name, fork)
+      writeRefs(dir, refs(dir) - name)
+      (fork + 1 to head).foreach(k =>
+        Files.deleteIfExists(
+          dir.resolve(LedgerSink.branchLogName(name, k))): Unit)
     }
 
   /** Tag → version, failing loud on an unknown name (a silent
@@ -152,8 +242,11 @@ object LedgerRefs {
         s"version), got $keepLast")
     LedgerSink.withCommitLock(dir) {
       val vs = LedgerSink.archivedVersions(dir)
+      // live branches pin their FORK points: branch state = fork state
+      // + branch log, so the fork must stay reconstructable
       LedgerSink.dropHistory(dir,
-        vs.takeRight(keepLast).toSet ++ tags(dir).values)
+        vs.takeRight(keepLast).toSet ++ tags(dir).values ++
+          branches(dir).values)
     }
   }
 

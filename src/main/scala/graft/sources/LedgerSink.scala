@@ -77,6 +77,10 @@ class LedgerSink extends TableProvider {
       case Some(w) => return w.schema
       case None => ()
     }
+    Option(options.get("branch")).foreach { b =>
+      return LedgerSink.readBranchState(Paths.get(dir), b,
+        LedgerRefs.branchFork(Paths.get(dir), b)).schema
+    }
     LedgerSink.readManifestAt(Paths.get(dir), version) match {
       case Some(m) =>
         // the row-level CHANGE FEED (Delta CDF contract) appends the
@@ -115,7 +119,8 @@ class LedgerSink extends TableProvider {
       LedgerSink.partitionSpecOf(partitioning),
       rowLevelChanges =
         Option(properties.get("readChangeFeed")).exists(_.toBoolean),
-      wap = Option(properties.get("wapId")))
+      wap = Option(properties.get("wapId")),
+      branch = Option(properties.get("branch")))
   }
 }
 
@@ -1316,6 +1321,71 @@ object LedgerSink {
     StructField("_change_type", StringType, nullable = false),
     StructField("_commit_version", IntegerType, nullable = false))
 
+  // ---- branches (the Iceberg refs model on the log layout) ----
+  //
+  // A branch forks main at version F and accumulates its OWN log
+  // chain `_LOG.b.<name>.v<k>` for k > F on top of main's state at F
+  // — multi-commit staging where WAP stages exactly one. Publishing is
+  // FAST-FORWARD only: if main hasn't moved past F, the branch logs
+  // RENAME into the main chain (they are deltas against exactly the
+  // states main will now replay through); if main moved, the publish
+  // refuses — a true merge would need conflict semantics per commit
+  // kind, and refusing honestly is the Iceberg fast-forward contract.
+
+  private[sources] def branchLogName(name: String, v: Int): String =
+    s"_LOG.b.$name.v$v"
+
+  private val AnyBranchLogRe = "_LOG\\.b\\..+\\.v(\\d+)".r
+
+  private[sources] def branchLogVersions(dir: Path, name: String): Seq[Int] =
+    listVersions(dir,
+      ("_LOG\\.b\\." + java.util.regex.Pattern.quote(name) +
+        "\\.v(\\d+)").r)
+
+  /** The branch's head version: fork point + its contiguous log
+    * suffix. */
+  private[sources] def branchHead(dir: Path, name: String, fork: Int): Int = {
+    var v = fork
+    while (Files.exists(dir.resolve(branchLogName(name, v + 1)))) v += 1
+    v
+  }
+
+  /** Branch state at `version` (default: the branch head): main's
+    * state at the fork point replayed through the branch's own log.
+    * Works as long as retention keeps the fork point reconstructable —
+    * [[LedgerRefs.expireVersions]] protects live branches' forks. */
+  private[sources] def readBranchState(dir: Path, name: String, fork: Int,
+      version: Option[Int] = None): Manifest = {
+    val v = version.getOrElse(branchHead(dir, name, fork))
+    require(v >= fork && v <= branchHead(dir, name, fork),
+      s"branch $name has no version $v (fork $fork, head " +
+        s"${branchHead(dir, name, fork)})")
+    var m = readManifestAt(dir, Some(fork)).getOrElse(
+      throw new IllegalStateException(
+        s"branch $name's fork point v$fork is gone from $dir"))
+    (fork + 1 to v).foreach { k =>
+      m = applyDelta(m, Files.readAllLines(
+        dir.resolve(branchLogName(name, k)), UTF_8).asScala.toSeq)
+    }
+    m
+  }
+
+  /** One branch commit: the delta of `next` against the branch state
+    * `cur`, as log `v` of the branch's chain. Same atomic-rename
+    * commit point as main-chain commits. */
+  private[sources] def writeBranchCommit(dir: Path, name: String, v: Int,
+      next: Manifest, cur: Manifest): Unit =
+    writeAtomic(dir, branchLogName(name, v), renderDelta(next, v, cur))
+
+  /** Fast-forward needs the main chain to REPLAY logs, which the
+    * legacy (pre-log) layout doesn't: stamp the live manifest with its
+    * version in place — same state, no version bump, archives
+    * untouched. Call under the commit lock. */
+  private[sources] def ensureLogLayout(dir: Path): Unit =
+    if (manifestVersion(dir).isEmpty)
+      readManifest(dir).foreach(m =>
+        writeAtomic(dir, ManifestName, renderState(m, currentVersion(dir))))
+
   /** Storage half of retention ([[LedgerRefs.expireVersions]] holds
     * the policy — what to protect — and the lock): materialize every
     * protected historical version as an exact snapshot, roll the live
@@ -1363,9 +1433,18 @@ object LedgerSink {
     val exact = exactVersions(dir)
       .flatMap(v => exactStateFile(dir, v)).flatMap(refsOf)
     // log deltas: their entry lines are exactly the adds/replacements
-    // (a full delta's lines are the whole state — same handling)
-    val logged = listVersions(dir, LogRe)
-      .flatMap(v => refsOf(dir.resolve(logName(v))))
+    // (a full delta's lines are the whole state — same handling).
+    // Branch logs count too — their staged files have no other
+    // reference until fast-forward.
+    val logged = (listVersions(dir, LogRe).map(logName) ++ {
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => AnyBranchLogRe.pattern.matcher(n).matches()).toSeq
+        finally s.close()
+      }
+    }).flatMap(n => refsOf(dir.resolve(n)))
     // the live CHECKPOINT itself (not just the replayed head): a file
     // removed by a later log is still referenced by the checkpoint's
     // version until retention drops it
@@ -2124,7 +2203,8 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     changes: Option[(Int, Int)] = None,
     requestedPartitioning: Seq[LedgerSink.NamedPartField] = Seq.empty,
     rowLevelChanges: Boolean = false,
-    wap: Option[String] = None)
+    wap: Option[String] = None,
+    branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
     with SupportsMetadataColumns {
@@ -2165,6 +2245,15 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     if (rowLevelChanges) throw new UnsupportedOperationException(
       s"$op on a readChangeFeed handle; writes go to the current table")
   }
+
+  /** Branch handles support reads and APPEND writes only — row-level
+    * ops, metadata deletes and streaming on a branch would need the
+    * whole rewrite machinery re-targeted at the branch chain, and
+    * refusing honestly beats silently operating on main. */
+  private def requireNotBranch(op: String): Unit =
+    branch.foreach(b => throw new UnsupportedOperationException(
+      s"$op on branch '$b': branches support reads and append writes " +
+        "only; fast-forward first"))
 
   override def name(): String =
     s"ledger(${dir.toString}${version.map(v => s"@v$v").getOrElse("")}" +
@@ -2213,7 +2302,8 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
         () => new LedgerChangeFeedStreamScan(dir, schema0, options)
     } else new LedgerScanBuilder(dir, schema0, version, changes,
       streamOpts = options,
-      wap = wap.filter(id => LedgerSink.readWapOpt(dir, id).isDefined))
+      wap = wap.filter(id => LedgerSink.readWapOpt(dir, id).isDefined),
+      branch = branch)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
@@ -2221,9 +2311,10 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     // commit lands in a staged manifest, never the live one (see
     // [[LedgerBatchWrite.commit]]); a `wapId` READ of an existing
     // staged manifest is a snapshot — its write would re-stage the
-    // same id, which the duplicate check refuses at commit
+    // same id, which the duplicate check refuses at commit. A `branch`
+    // write appends one commit to the branch's own log chain.
     new LedgerWriteBuilder(dir, info.schema(), requestedPartitioning,
-      wapId = wap)
+      wapId = wap, branch = branch)
   }
 
   /** Row-level DELETE/UPDATE/MERGE as GROUP-BASED copy-on-write — the
@@ -2241,6 +2332,7 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireCurrent(info.command.toString)
+    requireNotBranch(info.command.toString)
     // row-level mode resolution: the session conf
     // `graft.ledger.rowLevelMode` wins when set; otherwise the TABLE
     // PROPERTY of the same name (declared at CREATE TABLE or via
@@ -2378,6 +2470,7 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     * boundary between a metadata delete and row-level ops. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     requireCurrent("DELETE")
+    requireNotBranch("DELETE")
     // deleteShape already requires a manifest, so the None arm is a
     // race (concurrent DROP) — decline the metadata path there rather
     // than promise a delete the commit would then refuse
@@ -2393,6 +2486,7 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
     * straddle a file aborts instead of guessing. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireCurrent("DELETE")
+    requireNotBranch("DELETE")
     val shape = deleteShape(filters).getOrElse(
       throw new UnsupportedOperationException(
         "delete predicate does not align with file boundaries"))
@@ -2448,20 +2542,24 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
     onPlanned: Seq[String] => Unit = _ => (),
     streamOpts: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
     onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => (),
-    wap: Option[String] = None)
+    wap: Option[String] = None,
+    branch: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
   private[sources] val manifestOpt: Option[LedgerSink.Manifest] = changes match {
     case Some((f, t)) => Some(LedgerSink.readChanges(dir, f, t))
-    case None => wap match {
+    case None => (wap, branch) match {
       // the AUDIT read of write-audit-publish: the staged manifest is
       // a full table state (base ∪ staged files), so every planning
       // discipline — stats, partition pruning, column pruning — works
-      // on it unchanged
-      case Some(id) => Some(LedgerSink.readWap(dir, id))
-      case None => LedgerSink.readManifestAt(dir, version)
+      // on it unchanged. Branch reads resolve the branch HEAD state
+      // the same way.
+      case (Some(id), _) => Some(LedgerSink.readWap(dir, id))
+      case (None, Some(b)) => Some(LedgerSink.readBranchState(dir, b,
+        LedgerRefs.branchFork(dir, b)))
+      case _ => LedgerSink.readManifestAt(dir, version)
     }
   }
   private def versionSchema: StructType =
@@ -2751,7 +2849,7 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
       Option(streamOpts.get("skipChangeCommits")).exists(_.toBoolean),
       Option(streamOpts.get("startingVersion")).getOrElse("0"),
       Option(streamOpts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L),
-      onPlannedEntries, bloomConjuncts)
+      onPlannedEntries, bloomConjuncts, branch)
 }
 
 private[sources] class LedgerScan(
@@ -2769,7 +2867,8 @@ private[sources] class LedgerScan(
     startingVersion: String = "0",
     maxBytesPerTrigger: Long = 0L,
     onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => (),
-    bloomConjuncts: Seq[Set[String]] = Seq.empty)
+    bloomConjuncts: Seq[Set[String]] = Seq.empty,
+    branch: Option[String] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -2930,9 +3029,9 @@ private[sources] class LedgerScan(
     * fixed relation — streaming it is refused like writes to it are. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    if (version.nonEmpty || changes.nonEmpty)
+    if (version.nonEmpty || changes.nonEmpty || branch.nonEmpty)
       throw new UnsupportedOperationException(
-        "streaming read of a versionAsOf/changes snapshot")
+        "streaming read of a versionAsOf/changes/branch snapshot")
     // name→id resolution is frozen HERE: the stream's schema is the
     // query-start schema, so its names must resolve against the
     // query-start manifest — resolving per batch against the newest
@@ -3319,7 +3418,8 @@ private[sources] object LedgerChangeFeedScan {
 
 private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
     requestedSpec: Seq[LedgerSink.NamedPartField] = Seq.empty,
-    wapId: Option[String] = None)
+    wapId: Option[String] = None,
+    branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   LedgerSink.checkSchema(schema)
   private var doTruncate = false
@@ -3330,7 +3430,13 @@ private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
     * (re)defines the table. An append missing a partition column is
     * refused — its rows could not be placed. */
   private def effectiveSpec: Seq[LedgerSink.NamedPartField] = {
-    val tableSpec = LedgerSink.readManifest(dir).map(_.namedPartitionSpec)
+    // a branch write honors the BRANCH state's spec (main may have
+    // evolved since the fork — that divergence surfaces as a
+    // fast-forward refusal, not a mis-partitioned branch file)
+    val tableSpec = branch
+      .map(b => LedgerSink.readBranchState(dir, b,
+        LedgerRefs.branchFork(dir, b)).namedPartitionSpec)
+      .orElse(LedgerSink.readManifest(dir).map(_.namedPartitionSpec))
       .getOrElse(requestedSpec)
     if (tableSpec.forall(p => schema.fieldNames.contains(p.name))) tableSpec
     else if (doTruncate) requestedSpec
@@ -3362,12 +3468,15 @@ private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
       override def requiredOrdering(): Array[ConnectorSortOrder] = Array.empty
       override def toBatch: BatchWrite =
         new LedgerBatchWrite(dir, schema, doTruncate, spec, requestedSpec,
-          wapId)
+          wapId, branch)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         wapId.foreach(id => throw new UnsupportedOperationException(
           s"wapId=$id on a streaming write: write-audit-publish stages " +
             "one batch commit; streams commit per epoch"))
+        branch.foreach(b => throw new UnsupportedOperationException(
+          s"branch=$b on a streaming write: branches take batch appends; " +
+            "fast-forward before streaming to the table"))
         new LedgerStreamingWrite(dir, schema, spec)
       }
     }
@@ -3403,15 +3512,20 @@ private[sources] class LedgerBatchWrite(
     dir: Path, schema: StructType, truncate: Boolean,
     partSpec: Seq[LedgerSink.NamedPartField],
     requestedSpec: Seq[LedgerSink.NamedPartField],
-    wapId: Option[String] = None)
+    wapId: Option[String] = None,
+    branch: Option[String] = None)
     extends BatchWrite {
 
   /** The manifest state the write's field-id binding is computed
     * against — captured ONCE so commit can detect a schema-changing
     * commit that raced this write (the staged files' id lists would
-    * bind differently under the new definition). */
-  private val baseManifest: Option[LedgerSink.Manifest] =
-    LedgerSink.readManifest(dir)
+    * bind differently under the new definition). A BRANCH write binds
+    * against the branch's head state, not main's. */
+  private val baseManifest: Option[LedgerSink.Manifest] = branch match {
+    case Some(b) => Some(LedgerSink.readBranchState(dir, b,
+      LedgerRefs.branchFork(dir, b)))
+    case None => LedgerSink.readManifest(dir)
+  }
   private val ids: Seq[Int] =
     LedgerWriteSupport.writeIds(baseManifest, schema, truncate)
 
@@ -3469,6 +3583,40 @@ private[sources] class LedgerBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.toSeq
       .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
+    def dropStaged(): Unit = messages.foreach {
+      case LedgerCommitMessage(es) =>
+        es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
+      case _ => ()
+    }
+    // BRANCH commit: one append on the branch's own log chain — main
+    // is untouched, and the branch's conflict rules mirror main's
+    // (a schema/spec change of the BRANCH state since planning
+    // aborts; concurrent branch appends serialize under the lock and
+    // rebase onto the branch head).
+    branch.foreach { b =>
+      if (truncate) {
+        dropStaged()
+        throw new UnsupportedOperationException(
+          s"overwrite on branch '$b': branch writes are append-only")
+      }
+      LedgerSink.withCommitLock(dir) {
+        val fork = LedgerRefs.branchFork(dir, b) // throws if dropped
+        val head = LedgerSink.branchHead(dir, b, fork)
+        val cur = LedgerSink.readBranchState(dir, b, fork)
+        val ok = baseManifest.exists(bm => bm.schema == cur.schema &&
+          bm.ids == cur.ids && bm.partitionSpec == cur.partitionSpec &&
+          bm.specId == cur.specId)
+        if (!ok) {
+          dropStaged()
+          throw new java.util.ConcurrentModificationException(
+            s"append to branch '$b' of $dir raced a definition change; " +
+              "retry against the branch's new state")
+        }
+        LedgerSink.writeBranchCommit(dir, b, head + 1,
+          cur.copy(files = cur.files ++ fresh), cur)
+      }
+      return
+    }
     // WRITE-AUDIT-PUBLISH stage: the commit lands in a staged manifest
     // (base-at-stage-time ∪ new files) instead of advancing the live
     // table. Audit via the `wapId` read option; LedgerRefs.publishWap
