@@ -69,7 +69,10 @@ object LedgerConstraints {
     * string literal containing the name) — refusing a rename too
     * eagerly is safe; allowing one that orphans a constraint is not. */
   def referencesColumn(exprSql: String, col: String): Boolean =
-    ("""(?i)(?<![A-Za-z0-9_`])""" + java.util.regex.Pattern.quote(col) +
+    // word chars only in the boundary classes: a backtick DELIMITS an
+    // identifier, so `col` must match (a backtick in the lookbehind
+    // class would let backquoted references defeat the rename guard)
+    ("""(?i)(?<![A-Za-z0-9_])""" + java.util.regex.Pattern.quote(col) +
       """(?![A-Za-z0-9_])""").r.findFirstIn(exprSql).isDefined
 
   /** Resolve `sql` against `schema` with the full Catalyst analyzer
@@ -164,12 +167,20 @@ object LedgerConstraints {
     if (violations > 0) throw new IllegalStateException(
       s"cannot add constraint '$name' CHECK ($exprSql) on $dirStr: " +
         s"$violations existing row(s) violate it")
+    // the validated STATE must still be current at commit time: a
+    // commit landing between the validation scan and this property
+    // commit carries rows the scan never saw (the write-side race is
+    // closed symmetrically — writers conflict on constraint changes)
+    val validated = m.files.map(e => (e.file, e.dv)).toSet
     LedgerSink.commitRebase(dir, {
       case None => throw new IllegalStateException(
         s"ledger table $dirStr was dropped while adding constraint '$name'")
       case Some(cur) =>
-        Some(cur.copy(props = cur.props + (Prefix + name -> exprSql)))
-    }, "unreachable: property commits always rebase"): Unit
+        if (cur.files.map(e => (e.file, e.dv)).toSet == validated)
+          Some(cur.copy(props = cur.props + (Prefix + name -> exprSql)))
+        else None
+    }, s"addCheck('$name') on $dirStr raced a data commit its validation " +
+      "scan never saw; re-run the add"): Unit
   }
 
   def dropCheck(dirStr: String, name: String): Unit =

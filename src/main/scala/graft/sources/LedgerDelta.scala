@@ -186,9 +186,12 @@ private[sources] class LedgerDeltaBatchWrite(dir: Path,
       case Some(cur)
           if cur.schema == snap.schema && cur.ids == snap.ids &&
             // a spec change since planning invalidates the appended
-            // files' tuple bindings (conflict, like a redefinition)
+            // files' tuple bindings; a constraint change invalidates
+            // the rows' validation (conflict, like a redefinition)
             cur.partitionSpec == snap.partitionSpec &&
             cur.specId == snap.specId &&
+            LedgerConstraints.constraintsOf(cur.props) ==
+              LedgerConstraints.constraintsOf(snap.props) &&
             newDvs.keySet.forall(f => cur.files.exists(e =>
               e.file == f && e.dv == snapDv.getOrElse(f, None))) =>
         Some(cur.copy(files = cur.files.map(e =>

@@ -101,6 +101,8 @@ object LedgerRefs {
   def createTag(dir: Path, name: String, version: Option[Int] = None): Int = {
     checkRefName(name)
     LedgerSink.withCommitLock(dir) {
+      require(LedgerSink.readManifest(dir).isDefined,
+        s"no committed ledger table at $dir to tag")
       val cur = LedgerSink.currentVersion(dir)
       val target = version.getOrElse(cur)
       val known = LedgerSink.archivedVersions(dir).toSet + cur
@@ -134,6 +136,8 @@ object LedgerRefs {
   def createBranch(dir: Path, name: String, from: Option[Int] = None): Int = {
     checkRefName(name)
     LedgerSink.withCommitLock(dir) {
+      require(LedgerSink.readManifest(dir).isDefined,
+        s"no committed ledger table at $dir to branch")
       val cur = LedgerSink.currentVersion(dir)
       val fork = from.getOrElse(cur)
       val known = LedgerSink.archivedVersions(dir).toSet + cur
@@ -168,30 +172,51 @@ object LedgerRefs {
   def fastForward(dir: Path, name: String): Int =
     LedgerSink.withCommitLock(dir) {
       val fork = branchFork(dir, name)
-      val head = LedgerSink.branchHead(dir, name, fork)
       val cur = LedgerSink.currentVersion(dir)
-      if (cur != fork) throw new java.util.ConcurrentModificationException(
-        s"cannot fast-forward branch '$name' (fork v$fork, head v$head): " +
-          s"main moved to v$cur; re-branch from the new head or drop " +
-          "the branch")
+      // CRASH RESUME: a previous fast-forward may have died mid-way —
+      // moved logs fork+1..cur sit on main (their branch counterparts
+      // gone) with the branch's remainder starting exactly at cur+1.
+      // Main moving for any OTHER reason leaves a branch log at some
+      // k <= cur, which this detects and refuses. (The lock rules out
+      // live concurrency; this is crash recovery only.)
+      val resumable = cur > fork &&
+        (fork + 1 to cur).forall(k => !Files.exists(
+          dir.resolve(LedgerSink.branchLogName(name, k)))) &&
+        Files.exists(dir.resolve(LedgerSink.branchLogName(name, cur + 1)))
+      if (cur != fork && !resumable)
+        throw new java.util.ConcurrentModificationException(
+          s"cannot fast-forward branch '$name' (fork v$fork): main moved " +
+            s"to v$cur; re-branch from the new head or drop the branch " +
+            "(a crash after the final log move is recovered by dropBranch" +
+            " — the ref is then the only remnant)")
       LedgerSink.ensureLogLayout(dir)
-      (fork + 1 to head).foreach { k =>
+      var k = cur + 1
+      while (Files.exists(dir.resolve(LedgerSink.branchLogName(name, k)))) {
         Files.move(dir.resolve(LedgerSink.branchLogName(name, k)),
           dir.resolve(LedgerSink.logName(k)),
           StandardCopyOption.ATOMIC_MOVE): Unit
+        k += 1
       }
       writeRefs(dir, refs(dir) - name)
       LedgerSink.currentVersion(dir)
     }
 
+  /** Every log version this branch has on disk, contiguous or not —
+    * drop/cleanup must see crash leftovers, not just the walkable
+    * chain. */
+  private def allBranchLogs(dir: Path, name: String): Seq[Int] =
+    LedgerSink.branchLogVersions(dir, name)
+
   /** Discard a branch: its ref and its logs; the staged files its
     * logs referenced become unreferenced — vacuum reclaims them. */
   def dropBranch(dir: Path, name: String): Unit =
     LedgerSink.withCommitLock(dir) {
-      val fork = branchFork(dir, name)
-      val head = LedgerSink.branchHead(dir, name, fork)
+      branchFork(dir, name): Unit // fail loud on an unknown name
       writeRefs(dir, refs(dir) - name)
-      (fork + 1 to head).foreach(k =>
+      // delete by LISTING, not by walking the contiguous chain — a
+      // crash-interrupted fast-forward can leave a gap, and the
+      // stranded logs past it must not pin their staged files forever
+      allBranchLogs(dir, name).foreach(k =>
         Files.deleteIfExists(
           dir.resolve(LedgerSink.branchLogName(name, k))): Unit)
     }
@@ -260,39 +285,49 @@ object LedgerRefs {
     * the publish aborts (staged data intact — re-stage against the new
     * definition). Deletes the staged manifest on success. Returns the
     * published version. */
-  def publishWap(dir: Path, id: String): Int = {
-    val w = LedgerSink.readWap(dir, id)
-    val newNames = w.props.get(LedgerSink.WapNewFilesProp)
-      .map(_.split(",", -1).toSet.filter(_.nonEmpty)).getOrElse(Set.empty)
-    val newEntries = w.files.filter(e => newNames(e.file))
-    LedgerSink.commitRebase(dir, {
-      case Some(cur) =>
-        if (cur.schema == w.schema && cur.ids == w.ids &&
-          cur.partitionSpec == w.partitionSpec)
-          Some(cur.copy(files = cur.files ++ newEntries))
-        else None
-      case None =>
-        // stage against an empty table, still empty: the staged state
-        // minus the wap bookkeeping props IS the table
-        Some(w.copy(props =
-          w.props - LedgerSink.WapBaseProp - LedgerSink.WapNewFilesProp))
-    }, s"publish of wapId=$id on $dir raced a schema-changing commit; " +
-      "re-stage against the table's new definition")
-    Files.deleteIfExists(dir.resolve(LedgerSink.wapName(id))): Unit
-    LedgerSink.currentVersion(dir)
-  }
+  def publishWap(dir: Path, id: String): Int =
+    // the whole publish — read stage, fold, delete stage — runs under
+    // ONE hold of the table lock: a concurrent publish/abort of the
+    // same id serializes instead of double-folding or folding ghost
+    // files, and the fold itself skips entries already present so a
+    // crash-retry (commit landed, stage file survived) is idempotent
+    LedgerSink.withCommitLock(dir) {
+      val w = LedgerSink.readWap(dir, id)
+      val newNames = w.props.get(LedgerSink.WapNewFilesProp)
+        .map(_.split(",", -1).toSet.filter(_.nonEmpty)).getOrElse(Set.empty)
+      val next = LedgerSink.readManifest(dir) match {
+        case Some(cur) =>
+          if (cur.schema == w.schema && cur.ids == w.ids &&
+            cur.partitionSpec == w.partitionSpec) {
+            val present = cur.files.map(_.file).toSet
+            val adds = w.files.filter(e => newNames(e.file) && !present(e.file))
+            if (adds.isEmpty) None else Some(cur.copy(files = cur.files ++ adds))
+          } else throw new java.util.ConcurrentModificationException(
+            s"publish of wapId=$id on $dir raced a schema-changing " +
+              "commit; re-stage against the table's new definition")
+        case None =>
+          // stage against an empty table, still empty: the staged
+          // state minus the wap bookkeeping props IS the table
+          Some(w.copy(props =
+            w.props - LedgerSink.WapBaseProp - LedgerSink.WapNewFilesProp))
+      }
+      next.foreach(LedgerSink.writeManifestAtomic(dir, _))
+      Files.deleteIfExists(dir.resolve(LedgerSink.wapName(id))): Unit
+      LedgerSink.currentVersion(dir)
+    }
 
   /** Discard a staged commit: its staged files (with sidecars) and its
     * staged manifest. The live table was never touched. */
-  def abortWap(dir: Path, id: String): Unit = {
-    val w = LedgerSink.readWap(dir, id)
-    val newNames = w.props.get(LedgerSink.WapNewFilesProp)
-      .map(_.split(",", -1).toSet.filter(_.nonEmpty)).getOrElse(Set.empty)
-    // delete the staged manifest FIRST: a crash mid-abort then leaves
-    // unreferenced files for vacuum, never a staged manifest naming
-    // deleted ones
-    Files.deleteIfExists(dir.resolve(LedgerSink.wapName(id))): Unit
-    w.files.filter(e => newNames(e.file))
-      .foreach(e => LedgerSink.deleteStagedEntry(dir, e))
-  }
+  def abortWap(dir: Path, id: String): Unit =
+    LedgerSink.withCommitLock(dir) { // serializes against publishWap
+      val w = LedgerSink.readWap(dir, id)
+      val newNames = w.props.get(LedgerSink.WapNewFilesProp)
+        .map(_.split(",", -1).toSet.filter(_.nonEmpty)).getOrElse(Set.empty)
+      // delete the staged manifest FIRST: a crash mid-abort then
+      // leaves unreferenced files for vacuum, never a staged manifest
+      // naming deleted ones
+      Files.deleteIfExists(dir.resolve(LedgerSink.wapName(id))): Unit
+      w.files.filter(e => newNames(e.file))
+        .foreach(e => LedgerSink.deleteStagedEntry(dir, e))
+    }
 }

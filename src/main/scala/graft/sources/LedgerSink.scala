@@ -111,6 +111,21 @@ class LedgerSink extends TableProvider {
           Option(properties.get("changesToVersion")).map(_.toInt)
             .getOrElse(LedgerSink.currentVersion(Paths.get(dir))))
       }
+    // the state-selecting options are mutually exclusive — silently
+    // preferring one would serve (e.g.) the branch head labeled as a
+    // versionAsOf read
+    val stateOpts = Seq("versionAsOf", "tagAsOf", "wapId", "branch",
+      "changesFromVersion", "changesToVersion", "readChangeFeed")
+      .filter(k => Option(properties.get(k)).isDefined)
+    val exclusive = stateOpts.filterNot(_.startsWith("changes"))
+    val changesPresent = stateOpts.exists(_.startsWith("changes"))
+    if (exclusive.length > 1 ||
+      (changesPresent && exclusive.exists(_ != "readChangeFeed")))
+      throw new IllegalArgumentException(
+        s"conflicting ledger read options: ${stateOpts.mkString(", ")} — " +
+          "versionAsOf/tagAsOf/wapId/branch/readChangeFeed select " +
+          "different table states; pass exactly one (changes ranges " +
+          "combine only with readChangeFeed)")
     new LedgerTable(Paths.get(dir), schema,
       Option(properties.get("versionAsOf")).map(_.toInt)
         .orElse(Option(properties.get("tagAsOf"))
@@ -2302,8 +2317,10 @@ private[sources] class LedgerTable(dir: Path, schema0: StructType,
         () => new LedgerChangeFeedStreamScan(dir, schema0, options)
     } else new LedgerScanBuilder(dir, schema0, version, changes,
       streamOpts = options,
-      wap = wap.filter(id => LedgerSink.readWapOpt(dir, id).isDefined),
-      branch = branch)
+      // pass the wapId through unverified: a typo'd id must fail loud
+      // in readWap (listing the staged ids), never silently audit the
+      // LIVE table as if it were the staged state
+      wap = wap, branch = branch)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("write")
@@ -3425,6 +3442,13 @@ private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  /** The branch head state, resolved ONCE per write (it replays the
+    * fork manifest plus every branch log — re-resolving in each of
+    * effectiveSpec / id binding / checks would re-read all of it). */
+  private lazy val branchBase: Option[LedgerSink.Manifest] =
+    branch.map(b => LedgerSink.readBranchState(dir, b,
+      LedgerRefs.branchFork(dir, b)))
+
   /** The partition spec this write must honor: the table's (appends
     * and same-shape overwrites), or the requested one when the write
     * (re)defines the table. An append missing a partition column is
@@ -3433,9 +3457,7 @@ private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
     // a branch write honors the BRANCH state's spec (main may have
     // evolved since the fork — that divergence surfaces as a
     // fast-forward refusal, not a mis-partitioned branch file)
-    val tableSpec = branch
-      .map(b => LedgerSink.readBranchState(dir, b,
-        LedgerRefs.branchFork(dir, b)).namedPartitionSpec)
+    val tableSpec = branchBase.map(_.namedPartitionSpec)
       .orElse(LedgerSink.readManifest(dir).map(_.namedPartitionSpec))
       .getOrElse(requestedSpec)
     if (tableSpec.forall(p => schema.fieldNames.contains(p.name))) tableSpec
@@ -3468,7 +3490,7 @@ private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
       override def requiredOrdering(): Array[ConnectorSortOrder] = Array.empty
       override def toBatch: BatchWrite =
         new LedgerBatchWrite(dir, schema, doTruncate, spec, requestedSpec,
-          wapId, branch)
+          wapId, branch, branchBase)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         wapId.foreach(id => throw new UnsupportedOperationException(
@@ -3513,19 +3535,18 @@ private[sources] class LedgerBatchWrite(
     partSpec: Seq[LedgerSink.NamedPartField],
     requestedSpec: Seq[LedgerSink.NamedPartField],
     wapId: Option[String] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    branchBase: Option[LedgerSink.Manifest] = None)
     extends BatchWrite {
 
   /** The manifest state the write's field-id binding is computed
     * against — captured ONCE so commit can detect a schema-changing
     * commit that raced this write (the staged files' id lists would
     * bind differently under the new definition). A BRANCH write binds
-    * against the branch's head state, not main's. */
-  private val baseManifest: Option[LedgerSink.Manifest] = branch match {
-    case Some(b) => Some(LedgerSink.readBranchState(dir, b,
-      LedgerRefs.branchFork(dir, b)))
-    case None => LedgerSink.readManifest(dir)
-  }
+    * against the branch's head state (resolved once by the builder),
+    * not main's. */
+  private val baseManifest: Option[LedgerSink.Manifest] =
+    if (branch.isDefined) branchBase else LedgerSink.readManifest(dir)
   private val ids: Seq[Int] =
     LedgerWriteSupport.writeIds(baseManifest, schema, truncate)
 
@@ -3605,7 +3626,9 @@ private[sources] class LedgerBatchWrite(
         val cur = LedgerSink.readBranchState(dir, b, fork)
         val ok = baseManifest.exists(bm => bm.schema == cur.schema &&
           bm.ids == cur.ids && bm.partitionSpec == cur.partitionSpec &&
-          bm.specId == cur.specId)
+          bm.specId == cur.specId &&
+          LedgerConstraints.constraintsOf(bm.props) ==
+            LedgerConstraints.constraintsOf(cur.props))
         if (!ok) {
           dropStaged()
           throw new java.util.ConcurrentModificationException(
@@ -3631,11 +3654,7 @@ private[sources] class LedgerBatchWrite(
       LedgerSink.withCommitLock(dir) {
         val target = dir.resolve(LedgerSink.wapName(id))
         if (Files.exists(target)) {
-          messages.foreach {
-            case LedgerCommitMessage(es) =>
-              es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
-            case _ => ()
-          }
+          dropStaged()
           throw new IllegalStateException(
             s"wapId=$id is already staged on $dir; publish or abort it " +
               "before re-staging")
@@ -3643,21 +3662,20 @@ private[sources] class LedgerBatchWrite(
         val cur = LedgerSink.readManifest(dir)
         val bindingValid = (baseManifest, cur) match {
           case (Some(b), Some(c)) => b.schema == c.schema && b.ids == c.ids &&
-            b.partitionSpec == c.partitionSpec && b.specId == c.specId
+            b.partitionSpec == c.partitionSpec && b.specId == c.specId &&
+            LedgerConstraints.constraintsOf(b.props) ==
+              LedgerConstraints.constraintsOf(c.props)
           case (None, Some(c)) => c.ids == (1 to schema.length) &&
             c.schema.fieldNames.sameElements(schema.fieldNames) &&
-            c.namedPartitionSpec == partSpec && c.specId == 0
+            c.namedPartitionSpec == partSpec && c.specId == 0 &&
+            LedgerConstraints.constraintsOf(c.props).isEmpty
           case (_, None) => baseManifest.isEmpty
         }
         if (!bindingValid) {
-          messages.foreach {
-            case LedgerCommitMessage(es) =>
-              es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
-            case _ => ()
-          }
+          dropStaged()
           throw new java.util.ConcurrentModificationException(
-            s"wap stage on $dir raced a schema-changing commit; retry " +
-              "against the table's new definition")
+            s"wap stage on $dir raced a schema-, spec- or constraint-" +
+              "changing commit; retry against the table's new definition")
         }
         val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema, partSpec))
         val staged = m.copy(files = m.files ++ fresh,
@@ -3675,15 +3693,23 @@ private[sources] class LedgerBatchWrite(
       case Some(old) if !truncate =>
         // a racing PARTITION-SPEC change conflicts like a schema
         // change: the staged files' tuples were computed under the
-        // planning spec and would be misread under the new one
+        // planning spec and would be misread under the new one. A
+        // racing CONSTRAINT change conflicts too: this job's rows were
+        // validated against the planning-time constraint set (the
+        // addCheck validation scan cannot see uncommitted staged rows,
+        // so letting this commit through would land unvalidated data
+        // under the new rule).
         val bindingValid = baseManifest match {
           case Some(b) => b.schema == old.schema && b.ids == old.ids &&
-            b.partitionSpec == old.partitionSpec && b.specId == old.specId
+            b.partitionSpec == old.partitionSpec && b.specId == old.specId &&
+            LedgerConstraints.constraintsOf(b.props) ==
+              LedgerConstraints.constraintsOf(old.props)
           case None => // bound fresh 1..n against an empty table; a
             // manifest that appeared since must carry that same binding
             old.ids == (1 to schema.length) &&
               old.schema.fieldNames.sameElements(schema.fieldNames) &&
-              old.namedPartitionSpec == partSpec && old.specId == 0
+              old.namedPartitionSpec == partSpec && old.specId == 0 &&
+              LedgerConstraints.constraintsOf(old.props).isEmpty
         }
         if (bindingValid) Some(old.copy(files = old.files ++ fresh)) else None
       case existing =>
@@ -3694,8 +3720,8 @@ private[sources] class LedgerBatchWrite(
         // partition spec (when compatible) and table properties carry
         Some(LedgerSink.Manifest.fresh(schema, keepSpec).copy(files = fresh,
           props = existing.map(_.props).getOrElse(Map.empty)))
-    }, s"append to $dir raced a schema-changing commit; retry the write " +
-      "against the table's new definition")
+    }, s"append to $dir raced a schema-, spec- or constraint-changing " +
+      "commit; retry the write against the table's new definition")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -3739,10 +3765,11 @@ private[sources] class LedgerRowLevelOperation(
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
-          // (spec, specId) the writer factory bound its partition
-          // tuples under — commit verifies it is still current
-          @volatile private var writeSpec
-              : Option[(Seq[LedgerSink.NamedPartField], Int)] = None
+          // (spec, specId, constraints) the writer factory bound its
+          // partition tuples and row checks under — commit verifies
+          // they are still current
+          @volatile private var writeSpec: Option[(
+            Seq[LedgerSink.NamedPartField], Int, Seq[(String, String)])] = None
           override def createBatchWriterFactory(
               pinfo: PhysicalWriteInfo): DataWriterFactory = {
             Files.createDirectories(dir.resolve("_staging"))
@@ -3750,7 +3777,8 @@ private[sources] class LedgerRowLevelOperation(
             val ddl = schema.toDDL
             val tag = java.util.UUID.randomUUID().toString.take(8)
             val snapshot = LedgerSink.readManifest(dir)
-            writeSpec = snapshot.map(m => (m.namedPartitionSpec, m.specId))
+            writeSpec = snapshot.map(m => (m.namedPartitionSpec, m.specId,
+              LedgerConstraints.constraintsOf(m.props)))
             val ids = LedgerWriteSupport.writeIds(snapshot, schema,
               truncate = false)
             val partWrites = snapshot
@@ -3789,10 +3817,11 @@ private[sources] class LedgerRowLevelOperation(
               // concurrent deleteMoR that only swapped a DV also
               // invalidates this operation's scan (see scannedEntries)
               val curPairs = m.files.map(e => (e.file, e.dv)).toSet
-              // a spec change since the writer factory bound its
-              // partition tuples is a conflict like any rewrite
-              val specOk = writeSpec.forall { case (spec, sid) =>
-                m.namedPartitionSpec == spec && m.specId == sid
+              // a spec or constraint change since the writer factory
+              // bound its tuples/checks is a conflict like any rewrite
+              val specOk = writeSpec.forall { case (spec, sid, cs) =>
+                m.namedPartitionSpec == spec && m.specId == sid &&
+                  LedgerConstraints.constraintsOf(m.props) == cs
               }
               if (!specOk || !replacedPairs.subsetOf(curPairs)) None
               else Some(m.copy(
@@ -3884,13 +3913,21 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
     // file names — see createBatchWriterFactory's naming note
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // epoch writes enforce the table's constraints too — a stream is
-    // just another ingest route
-    val checks = LedgerConstraints.writeChecks(
-      LedgerSink.readManifest(dir), schema, truncate = false)
+    // just another ingest route. The constraint SET is captured here,
+    // once per stream: the epoch commit conflicts on any later change
+    // (see commit), forcing a restart that re-captures it.
+    val m0 = LedgerSink.readManifest(dir)
+    boundConstraints = m0.map(m =>
+      LedgerConstraints.constraintsOf(m.props)).getOrElse(Seq.empty)
+    val checks = LedgerConstraints.writeChecks(m0, schema, truncate = false)
     (partitionId: Int, taskId: Long, epochId: Long) =>
       new LedgerDataWriter(base, StructType.fromDDL(ddl), ids, partWrites,
         partitionId, taskId, filePrefix = s"epoch-$epochId-$tag-", checks)
   }
+
+  /** (name, sql) constraint set the writer factory validated under —
+    * epoch commits conflict when it changed. */
+  @volatile private var boundConstraints: Seq[(String, String)] = Seq.empty
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -3905,12 +3942,18 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
     LedgerSink.commitRebase(dir, cur => {
       val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema, partSpec))
       // a partition-spec change mid-stream invalidates the factory's
-      // tuple bindings — fail the epoch rather than stamp wrong specs
+      // tuple bindings — fail the epoch rather than stamp wrong specs;
+      // a constraint change mid-stream means this epoch's rows were
+      // validated under the OLD rule set — fail rather than land them
       if (m.namedPartitionSpec != partSpec)
         throw new java.util.ConcurrentModificationException(
           s"epoch commit on $dir raced a partition-spec change " +
             s"(${m.namedPartitionSpec} vs writer's $partSpec); restart " +
             "the stream against the new spec")
+      if (LedgerConstraints.constraintsOf(m.props) != boundConstraints)
+        throw new java.util.ConcurrentModificationException(
+          s"epoch commit on $dir raced a constraint change; restart the " +
+            "stream to enforce the new constraint set")
       if (m.files.exists(_.file.startsWith(marker))) {
         // replayed epoch: the manifest already holds its files — drop
         // the re-staged duplicates instead of double-appending

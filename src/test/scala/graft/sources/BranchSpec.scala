@@ -117,6 +117,34 @@ class BranchSpec extends graft.SparkSpec {
     }
   }
 
+  test("fast-forward resumes after a crash mid-move; drop deletes stranded logs") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")   // v1
+    LedgerRefs.createBranch(dir, "b"): Unit
+    (1 to 3).foreach(i => write(dir,
+      spark.range(i * 100L, i * 100L + 5).selectExpr("id"), "append",
+      branch = Some("b")))
+    // simulate the crash: the first branch log already moved to main
+    LedgerSink.ensureLogLayout(dir)
+    Files.move(dir.resolve(LedgerSink.branchLogName("b", 2)),
+      dir.resolve(LedgerSink.logName(2)))
+    assert(LedgerSink.currentVersion(dir) == 2)
+    // the retry detects the half-done move and completes it
+    assert(LedgerRefs.fastForward(dir, "b") == 4)
+    assert(read(dir).count() == 25)
+    // stranded-log cleanup: forge a gap and drop
+    write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")
+    LedgerRefs.createBranch(dir, "c"): Unit
+    (1 to 2).foreach(i => write(dir,
+      spark.range(i * 10L, i * 10L + 2).selectExpr("id"), "append",
+      branch = Some("c")))
+    val head = LedgerRefs.branchHead(dir, "c")
+    Files.delete(dir.resolve(LedgerSink.branchLogName("c", head - 1)))
+    LedgerRefs.dropBranch(dir, "c") // must delete the log PAST the gap
+    assert(LedgerSink.branchLogVersions(dir, "c").isEmpty,
+      "stranded branch logs must not survive a drop")
+  }
+
   test("fast-forward off a legacy full-archive table migrates in place") {
     val dir = freshDir()
     Files.createDirectories(dir.resolve("_staging"))

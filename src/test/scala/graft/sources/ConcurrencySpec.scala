@@ -177,7 +177,7 @@ class ConcurrencySpec extends graft.SparkSpec {
     val ex = intercept[ConcurrentModificationException] {
       stale.commit(Array(msg))
     }
-    assert(ex.getMessage.contains("schema-changing"))
+    assert(ex.getMessage.contains("schema-, spec- or constraint-changing"))
     assert(read(dir).count() == 5, "aborted append must not land")
   }
 

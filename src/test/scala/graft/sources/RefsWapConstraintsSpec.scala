@@ -215,6 +215,80 @@ class RefsWapConstraintsSpec extends graft.SparkSpec {
     assert(LedgerConstraints.referencesColumn("abs(v) > 0", "v"))
   }
 
+  test("review-caught races: constraint vs write, wap typo, option conflicts, publish idempotence") {
+    val dir = freshDir()
+    val root = Paths.get(dir)
+    write(dir, spark.range(0, 20)
+      .selectExpr("id",
+        "CAST(CASE WHEN id >= 0 THEN id END AS BIGINT) AS v"), "overwrite")
+    // 1. a write planned BEFORE addCheck lands must conflict — its
+    // rows were never validated under the new rule
+    val schema =
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT")
+    val stale = new LedgerBatchWrite(root, schema, truncate = false,
+      Seq.empty, Seq.empty)
+    val factory = stale.createBatchWriterFactory(null)
+    LedgerConstraints.addCheck(spark, dir, "v_cap", "v < 1000")
+    val w = factory.createWriter(0, 31L)
+    w.write(new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](999L, 5000L))) // violates v_cap
+    val msg = w.commit()
+    intercept[java.util.ConcurrentModificationException] {
+      stale.commit(Array(msg))
+    }
+    assert(read(dir).count() == 20, "unvalidated rows must not land")
+    // 2. addCheck racing a data commit its scan never saw: stale
+    // writer planned first, commits first, then addCheck — the add
+    // re-validates via its file-set pin and aborts
+    val stale2 = new LedgerBatchWrite(root, schema, truncate = false,
+      Seq.empty, Seq.empty)
+    val f2 = stale2.createBatchWriterFactory(null)
+    val mPin = LedgerSink.readManifest(root).get
+    val w2 = f2.createWriter(0, 32L)
+    w2.write(new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](998L, -50L)))
+    val msg2 = w2.commit()
+    // validation scan equivalent happened against mPin; land the data
+    stale2.commit(Array(msg2))
+    intercept[java.util.ConcurrentModificationException] {
+      // replicate addCheck's commit against the pinned (stale) state
+      LedgerSink.commitRebase(root, {
+        case Some(cur) =>
+          if (cur.files.map(e => (e.file, e.dv)).toSet ==
+            mPin.files.map(e => (e.file, e.dv)).toSet)
+            Some(cur.copy(props = cur.props +
+              ("graft.constraint.v_pos2" -> "v >= 0")))
+          else None
+        case None => None
+      }, "addCheck raced a data commit")
+    }
+    // 3. a typo'd wapId read fails loud instead of auditing live data
+    // (the resolution happens at scan planning — force an action)
+    intercept[IllegalArgumentException] {
+      spark.read.format(ledger).option("path", dir)
+        .option("wapId", "no-such-stage").load().count()
+    }
+    // 4. conflicting state options fail loud
+    intercept[IllegalArgumentException] {
+      spark.read.format(ledger).option("path", dir)
+        .option("versionAsOf", "1").option("tagAsOf", "x").load()
+    }
+    // 5. publish is idempotent across a crash that lost the stage
+    // delete: re-publishing a surviving stage must not double-fold
+    spark.range(500, 510).selectExpr("id",
+      "CAST(id AS BIGINT) AS v").write.format(ledger)
+      .option("path", dir).option("wapId", "pw").mode("append").save()
+    val stageBytes = Files.readAllBytes(
+      root.resolve(LedgerSink.wapName("pw")))
+    val n0 = read(dir).count()
+    LedgerRefs.publishWap(root, "pw"): Unit
+    assert(read(dir).count() == n0 + 10)
+    Files.write(root.resolve(LedgerSink.wapName("pw")), stageBytes): Unit
+    LedgerRefs.publishWap(root, "pw"): Unit // crash-retry replay
+    assert(read(dir).count() == n0 + 10, "replayed publish must not double-fold")
+    assert(LedgerSink.listWaps(root).isEmpty)
+  }
+
   private def chain(e: Throwable): Seq[String] = {
     val b = Seq.newBuilder[String]
     var cur: Throwable = e
