@@ -38,7 +38,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the commit protocol's own manifests.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -54,6 +55,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def tableDir(ident: Identifier): Path =
     ident.namespace().foldLeft(root)(_.resolve(_)).resolve(ident.name())
+
+  // ---- SQL CALL maintenance procedures (see [[GraftProcedures]]) ----
+
+  /** `table` procedure arguments are `namespace.table` strings,
+    * resolved exactly like identifiers everywhere else in the
+    * catalog; the table must exist — procedures operate on committed
+    * state. */
+  private def procTableDir(qualified: String): Path = {
+    val parts = qualified.split("\\.").toSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty table argument '$qualified'")
+    val dir = parts.foldLeft(root)(_.resolve(_))
+    if (!isTable(dir)) throw new NoSuchTableException(
+      Identifier.of(parts.init.toArray, parts.last))
+    dir
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, procTableDir)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names
+      .map(n => Identifier.of(Array("sys"), n)).toArray
 
   private def isTable(p: Path): Boolean =
     Files.exists(p.resolve(LedgerSink.ManifestName))

@@ -1823,6 +1823,108 @@ object LedgerLifecycle {
          CAST(1 AS INTEGER) AS drop_clean
        FROM hi CROSS JOIN fullr"""
 
+  /** `dsv2_call_procedures`: the whole table lifecycle driven from
+    * PLAIN SQL through the CALL procedure surface
+    * ([[GraftProcedures]]) — tag, compaction, rollback, retention,
+    * vacuum, constraints, and a branch published by fast-forward,
+    * with every CALL's RESULT ROW feeding the flags (the SQL surface
+    * must report exactly what the Scala API does). DuckDB recomputes
+    * the tag-read, post-rollback and post-publish digests from the
+    * fixture. */
+  def callProcedures(spark: SparkSession, sfDir: String): DataFrame = {
+    initCatalog(spark)
+    val g = tag(sfDir)
+    val t = s"graft_cat.cp.cust_$g"
+    val qual = s"cp.cust_$g"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.cp")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    deleteRecursively(s"$catalogRoot/cp/cust_$g")
+    spark.sql(s"CREATE TABLE $t (ckey BIGINT, bal_c BIGINT)")      // v1
+    graft.io.Tables.customer(spark, sfDir)
+      .createOrReplaceTempView(s"cp_base_$g")
+    spark.sql(s"""INSERT INTO $t
+        SELECT CAST(c_custkey AS BIGINT),
+               CAST(round(c_acctbal * 100) AS BIGINT)
+        FROM cp_base_$g""")                                        // v2
+    spark.sql(s"""INSERT INTO $t
+        SELECT ckey + 10000000, bal_c FROM $t WHERE bal_c >= 0""") // v3
+    def call(sql: String): org.apache.spark.sql.Row =
+      spark.sql(sql).collect()(0)
+    val tagged = call(
+      s"CALL graft_cat.sys.create_tag('$qual', 'audit', 3)").getInt(0)
+    val opt = call(s"CALL graft_cat.sys.optimize('$qual')")
+    val optOk =
+      if (opt.getInt(0) >= 2 && opt.getInt(1) < opt.getInt(0)) 1 else 0
+    val rolledTo = call(
+      s"CALL graft_cat.sys.rollback('$qual', 2)").getInt(0)       // v5
+    val expired = call(
+      s"CALL graft_cat.sys.expire_versions('$qual', 1)").getInt(0)
+    val vacuumed = call(s"CALL graft_cat.sys.vacuum('$qual')").getInt(0)
+    // everything is still referenced: live = v2's files, the tagged
+    // v3 and the newest retained version pin the rest
+    val lifecycleOk = if (tagged == 3 && rolledTo == 5 &&
+      expired == 2 && vacuumed == 0) 1 else 0
+    val tagRead = spark.read.format(ledger)
+      .option("path", s"$catalogRoot/cp/cust_$g")
+      .option("tagAsOf", "audit").load()
+      .selectExpr("count(*) AS n", "sum(bal_c) AS b", "sum(ckey) AS k")
+      .collect()(0)
+    val checkAdded = call(
+      s"CALL graft_cat.sys.add_check('$qual', 'floor', " +
+        "'bal_c >= -100000000')").getInt(0)
+    val checkRejected =
+      try { spark.sql(s"INSERT INTO $t VALUES (1, -200000000)"); 0 }
+      catch { case e: Exception =>
+        if (exceptionChainContains(e, "CHECK constraint 'floor'")) 1
+        else throw e
+      }
+    call(s"CALL graft_cat.sys.create_branch('$qual', 'stage')"): Unit
+    spark.range(0, 5).selectExpr(
+        "id + 20000000 AS ckey", "CAST(id AS BIGINT) AS bal_c")
+      .write.format(ledger).option("path", s"$catalogRoot/cp/cust_$g")
+      .option("branch", "stage").mode("append").save()
+    val ffOk = if (call(
+      s"CALL graft_cat.sys.fast_forward('$qual', 'stage')").getInt(0) > 0)
+      1 else 0
+    spark.table(t)
+      .selectExpr("count(*) AS n_cur", "sum(bal_c) AS bal_cur",
+        "sum(ckey) AS key_cur")
+      .selectExpr("n_cur", "bal_cur", "key_cur",
+        s"CAST(${tagRead.getLong(0)} AS BIGINT) AS n_tag",
+        s"CAST(${tagRead.getLong(1)} AS BIGINT) AS bal_tag",
+        s"CAST(${tagRead.getLong(2)} AS BIGINT) AS key_tag",
+        s"CAST($optOk AS INT) AS opt_ok",
+        s"CAST($lifecycleOk AS INT) AS lifecycle_ok",
+        s"CAST($checkAdded AS INT) AS check_added",
+        s"CAST($checkRejected AS INT) AS check_rejected",
+        s"CAST($ffOk AS INT) AS ff_ok")
+  }
+
+  val callProceduresOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+         FROM customer),
+        cur AS (SELECT count(*) AS n_cur,
+            CAST(sum(bal_c) AS BIGINT) AS bal_cur,
+            CAST(sum(ckey) AS BIGINT) AS key_cur
+          FROM (SELECT ckey, bal_c FROM c
+            UNION ALL
+            SELECT g.i + 20000000, CAST(g.i AS BIGINT)
+            FROM range(5) AS g(i))),
+        tg AS (SELECT count(*) AS n_tag,
+            CAST(sum(bal_c) AS BIGINT) AS bal_tag,
+            CAST(sum(ckey) AS BIGINT) AS key_tag
+          FROM (SELECT ckey, bal_c FROM c
+            UNION ALL SELECT ckey + 10000000, bal_c FROM c
+              WHERE bal_c >= 0))
+       SELECT n_cur, bal_cur, key_cur, n_tag, bal_tag, key_tag,
+         CAST(1 AS INTEGER) AS opt_ok,
+         CAST(1 AS INTEGER) AS lifecycle_ok,
+         CAST(1 AS INTEGER) AS check_added,
+         CAST(1 AS INTEGER) AS check_rejected,
+         CAST(1 AS INTEGER) AS ff_ok
+       FROM cur CROSS JOIN tg"""
+
   private def exceptionChainContains(e: Throwable, needle: String): Boolean = {
     var cur: Throwable = e
     var depth = 0

@@ -1,0 +1,97 @@
+package graft.sources
+
+/** The SQL CALL surface ([[GraftProcedures]]): every lifecycle
+  * operation reachable from plain SQL through the catalog, returning
+  * the underlying operation's result row. */
+class ProcedureSpec extends graft.SparkSpec {
+
+  private lazy val root: String = {
+    // a DEDICATED catalog name: Spark caches catalog instances per name,
+    // so sharing graft_cat with parallel suites would bind whichever
+    // root won the race while this spec reads paths under its own
+    spark.conf.set("spark.sql.catalog.graft_proc",
+      classOf[GraftCatalog].getName)
+    val r = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_proc"
+    spark.conf.set("spark.sql.catalog.graft_proc.root", r)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_proc.pr")
+    r
+  }
+
+  private def fresh(name: String): String = {
+    root: Unit
+    spark.sql(s"DROP TABLE IF EXISTS graft_proc.pr.$name")
+    spark.sql(s"CREATE TABLE graft_proc.pr.$name (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO graft_proc.pr.$name " +
+      "SELECT id, id * 10 FROM range(50)")
+    s"graft_proc.pr.$name"
+  }
+
+  private def one(sql: String): org.apache.spark.sql.Row =
+    spark.sql(sql).collect()(0)
+
+  test("rollback, tag, expire and vacuum through CALL") {
+    val t = fresh("life") // v1 create, v2 insert
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(100, 120)") // v3
+    assert(spark.table(t).count() == 70)
+    assert(one(s"CALL graft_proc.sys.create_tag('pr.life', 'keep', 3)")
+      .getInt(0) == 3)
+    assert(one(s"CALL graft_proc.sys.rollback('pr.life', 2)")
+      .getInt(0) == 4)
+    assert(spark.table(t).count() == 50)
+    val exp = one(s"CALL graft_proc.sys.expire_versions('pr.life', 1)")
+    assert(exp.getInt(0) == 2, s"v1+v2 expire (v3 tagged): $exp")
+    one(s"CALL graft_proc.sys.vacuum('pr.life')"): Unit
+    // the tagged version still reads after retention
+    assert(spark.read.format(classOf[LedgerSink].getName)
+      .option("path", s"$root/pr/life").option("tagAsOf", "keep")
+      .load().count() == 70)
+  }
+
+  test("optimize and constraints through CALL") {
+    val t = fresh("opt")
+    (1 to 3).foreach(i => spark.sql(
+      s"INSERT INTO $t SELECT id, id FROM range(${i * 100}, ${i * 100 + 5})"))
+    val r = one(s"CALL graft_proc.sys.optimize('pr.opt')")
+    assert(r.getInt(1) < r.getInt(0), s"should compact: $r")
+    assert(spark.table(t).count() == 65)
+    assert(one(s"CALL graft_proc.sys.add_check('pr.opt', 'vbound', 'v >= 0')")
+      .getInt(0) == 1)
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VALUES (9999, -5)")
+    }
+    assert(exChain(ex).exists(_.contains("CHECK constraint 'vbound'")))
+    one(s"CALL graft_proc.sys.drop_check('pr.opt', 'vbound')"): Unit
+    spark.sql(s"INSERT INTO $t VALUES (9999, -5)")
+    assert(spark.table(t).count() == 66)
+  }
+
+  test("branch lifecycle through CALL") {
+    val t = fresh("br")
+    val fork = one(s"CALL graft_proc.sys.create_branch('pr.br', 'stage')")
+      .getInt(0)
+    spark.range(500, 510).selectExpr("id", "id AS v")
+      .write.format(classOf[LedgerSink].getName)
+      .option("path", s"$root/pr/br").option("branch", "stage")
+      .mode("append").save()
+    assert(spark.table(t).count() == 50, "main untouched")
+    assert(one(s"CALL graft_proc.sys.fast_forward('pr.br', 'stage')")
+      .getInt(0) == fork + 1)
+    assert(spark.table(t).count() == 60)
+    // unknown procedure fails with the available list
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_proc.sys.no_such_proc('x')")
+    }
+    assert(e.getMessage.contains("no_such_proc"))
+  }
+
+  private def exChain(e: Throwable): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    var cur: Throwable = e
+    var n = 0
+    while (cur != null && n < 20) {
+      if (cur.getMessage != null) b += cur.getMessage
+      cur = cur.getCause; n += 1
+    }
+    b.result()
+  }
+}
