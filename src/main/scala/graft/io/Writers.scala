@@ -18,10 +18,14 @@ object Writers {
   def processed(df: DataFrame, path: String, partitionCols: Seq[String],
                 dynamicOverwrite: Boolean = true): Unit = {
     val mode = if (dynamicOverwrite) "dynamic" else "static"
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    // per-WRITE option, not the session conf: a library function must
+    // not flip a global knob — leaving `dynamic` set on the shared
+    // session turned unrelated `INSERT OVERWRITE`s on v2 tables into
+    // OverwritePartitionsDynamic plans they don't support
     df.write
       .mode("overwrite")
       .partitionBy(partitionCols: _*)
+      .option("partitionOverwriteMode", mode)
       .option("compression", "snappy")
       .parquet(path)
   }

@@ -1159,7 +1159,9 @@ object LedgerLifecycle {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set("graft.ledger.rowLevelMode", "cow")
+    } finally spark.conf.unset("graft.ledger.rowLevelMode")
+    // unset, not set-to-cow: leaving "cow" SET would override
+    // table-PROPERTY routing for everything else on this session
     val post = LedgerSink.readManifest(tDir).get
     val morDvs = if (post.files.exists(_.dv.nonEmpty)) 1 else 0
     val baseKept =
