@@ -40,12 +40,34 @@ private[sources] object GraftProcedures {
       name: String, description: String,
       params: Seq[(String, DataType)],
       output: StructType,
-      body: (Path, InternalRow) => Seq[Any])
+      body: (Path, InternalRow) => Seq[Any],
+      multiRow: (Path, InternalRow) => Seq[Seq[Any]] = null) {
+    def rows(dir: Path, r: InternalRow): Seq[Seq[Any]] =
+      if (multiRow != null) multiRow(dir, r) else Seq(body(dir, r))
+  }
 
   private def str(r: InternalRow, i: Int): String =
     r.getUTF8String(i).toString
 
   private val defs: Seq[ProcDef] = Seq(
+    ProcDef("history",
+      "one row per readable version: files, physical rows (DV-deleted " +
+        "lines included — n_dvs flags merge-on-read tables), DVs",
+      Seq("table" -> StringType),
+      StructType(Seq(StructField("version", IntegerType),
+        StructField("n_files", IntegerType),
+        StructField("n_physical_rows", LongType),
+        StructField("n_dvs", IntegerType),
+        StructField("is_current", IntegerType))),
+      body = null,
+      multiRow = (dir, _) => {
+        val cur = LedgerSink.currentVersion(dir)
+        (LedgerSink.archivedVersions(dir) :+ cur).map { v =>
+          val m = LedgerSink.readManifestAt(dir, Some(v)).get
+          Seq(v, m.files.length, m.files.map(_.rows).sum,
+            m.files.count(_.dv.nonEmpty), if (v == cur) 1 else 0)
+        }
+      }),
     ProcDef("rollback",
       "restore the table to an earlier version as a new commit",
       Seq("table" -> StringType, "version" -> IntegerType),
@@ -148,13 +170,13 @@ private[sources] object GraftProcedures {
           override def call(input: InternalRow)
               : java.util.Iterator[Scan] = {
             val dir = resolveTable(str(input, 0))
-            val values = d.body(dir, input)
-            val row = new GenericInternalRow(values.map {
-              case s: String => UTF8String.fromString(s): Any
-              case v => v: Any
-            }.toArray)
+            val out = d.rows(dir, input).map(values =>
+              new GenericInternalRow(values.map {
+                case s: String => UTF8String.fromString(s): Any
+                case v => v: Any
+              }.toArray): InternalRow)
             java.util.Collections.singletonList(new LocalScan {
-              override def rows(): Array[InternalRow] = Array(row)
+              override def rows(): Array[InternalRow] = out.toArray
               override def readSchema(): StructType = d.output
               override def description(): String = s"graft-call ${d.name}"
             }: Scan).iterator()

@@ -82,6 +82,13 @@ class ProcedureSpec extends graft.SparkSpec {
       spark.sql("CALL graft_proc.sys.no_such_proc('x')")
     }
     assert(e.getMessage.contains("no_such_proc"))
+    // DESCRIBE HISTORY analogue: one row per readable version
+    val hist = spark.sql(s"CALL graft_proc.sys.history('pr.br')")
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getInt(4)))
+    assert(hist.map(_._1).toSeq == hist.map(_._1).toSeq.sorted)
+    assert(hist.last._2 == 60 && hist.last._3 == 1,
+      s"current version row should carry the live row count: ${hist.toSeq}")
+    assert(hist.count(_._3 == 1) == 1)
   }
 
   private def exChain(e: Throwable): Seq[String] = {
