@@ -126,6 +126,53 @@ class MetadataLogSpec extends graft.SparkSpec {
     assert(read(dir).count() == 11)
   }
 
+  test("sixty-commit stress: replay stays exact, metadata stays O(delta)") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 200).selectExpr("id").repartition(8),
+      "overwrite")                                                  // v1
+    var expect = 200L
+    val probes = scala.collection.mutable.Map.empty[Int, Long]
+    (1 to 56).foreach { i =>
+      write(dir, spark.range(i * 1000L, i * 1000L + 10).selectExpr("id"),
+        "append")
+      expect += 10
+      if (i % 9 == 0) probes(LedgerSink.currentVersion(dir)) = expect
+    }
+    LedgerMaintenance.deleteMoR(spark, dir.toString, Array(
+      org.apache.spark.sql.sources.LessThan("id", 50L))): Unit      // v58
+    expect -= 50
+    probes(LedgerSink.currentVersion(dir)) = expect
+    LedgerMaintenance.optimize(spark, dir.toString): Unit           // v59
+    write(dir, spark.range(1, 4).selectExpr("id + 900000 AS id"),
+      "append")                                                     // v60
+    expect += 3
+    assert(LedgerSink.currentVersion(dir) == 60)
+    assert(read(dir).count() == expect)
+    // every probe replays exactly, across multiple checkpoint rolls
+    probes.foreach { case (v, n) =>
+      assert(read(dir, Some(v)).count() == n, s"version $v")
+    }
+    // ~every CheckpointEvery commits a checkpoint rolled
+    val ckpts = (1 to 60).count(v =>
+      Files.exists(dir.resolve(LedgerSink.checkpointName(v))))
+    assert(ckpts >= 5, s"expected repeated checkpoint rolls, got $ckpts")
+    // the metadata-scaling claim: a typical APPEND delta is far
+    // smaller than the full state it commits against
+    val appendLogs = (30 to 55).filter(v =>
+      Files.exists(dir.resolve(LedgerSink.logName(v))))
+      .map(v => Files.size(dir.resolve(LedgerSink.logName(v))))
+    val fullState = Files.size(dir.resolve("_MANIFEST"))
+    assert(appendLogs.nonEmpty &&
+      appendLogs.sum / appendLogs.length * 5 < fullState,
+      s"append deltas (${appendLogs.sum / appendLogs.length}B avg) " +
+        s"should be tiny vs the $fullState-byte state")
+    // retention across the whole history still behaves
+    assert(LedgerRefs.expireVersions(dir, keepLast = 3).length == 56)
+    LedgerSink.vacuum(dir): Unit
+    assert(read(dir).count() == expect)
+    intercept[IllegalArgumentException] { read(dir, Some(10)).count() }
+  }
+
   test("retention materializes protected versions and drops the log") {
     val dir = freshDir()
     write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")    // v1
