@@ -117,6 +117,30 @@ class BranchSpec extends graft.SparkSpec {
     }
   }
 
+  test("two concurrent branch appends both land on the branch chain") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")
+    LedgerRefs.createBranch(dir, "b"): Unit
+    val fs = Seq(
+      Future(write(dir, spark.range(100, 130).selectExpr("id"), "append",
+        branch = Some("b"))),
+      Future(write(dir, spark.range(200, 250).selectExpr("id"), "append",
+        branch = Some("b"))))
+    fs.foreach(Await.result(_, 120.seconds))
+    assert(LedgerRefs.branchHead(dir, "b") == 3,
+      "each branch append must be its own branch version")
+    val got = read(dir, Some("b")).collect().map(_.getLong(0)).sorted
+    val want =
+      ((0L until 10L) ++ (100L until 130L) ++ (200L until 250L)).sorted
+    assert(got.toSeq == want.toSeq, "one branch append's files vanished")
+    assert(read(dir).count() == 10, "main untouched throughout")
+    assert(LedgerRefs.fastForward(dir, "b") == 3)
+    assert(read(dir).count() == 90)
+  }
+
   test("fast-forward resumes after a crash mid-move; drop deletes stranded logs") {
     val dir = freshDir()
     write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")   // v1
