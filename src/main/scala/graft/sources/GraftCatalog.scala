@@ -128,6 +128,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** SQL `SELECT … FROM cat.ns.t TIMESTAMP AS OF <expr>` — Spark
+    * evaluates the expression and hands us MICROseconds since epoch;
+    * resolve it to the version current at that instant and read that
+    * snapshot (same machinery as `VERSION AS OF`). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = LedgerSink.versionForTimestamp(
+      dir, Math.floorDiv(timestamp, 1000L))
+    new LedgerTable(dir, LedgerSink.readManifestAt(dir, Some(v)).get.schema,
+      Some(v))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

@@ -68,6 +68,9 @@ class LedgerSink extends TableProvider {
     val version = Option(options.get("versionAsOf")).map(_.toInt)
       .orElse(Option(options.get("tagAsOf"))
         .map(t => LedgerRefs.resolveTag(Paths.get(dir), t)))
+      .orElse(Option(options.get("timestampAsOf")).map(t =>
+        LedgerSink.versionForTimestamp(Paths.get(dir),
+          LedgerSink.parseTsMillis(t))))
       .orElse(Option(options.get("changesToVersion")).map(_.toInt))
     // absent staged manifest falls through to the live one — the
     // pre-stage WRITE case (writes carry external metadata, but be
@@ -114,8 +117,8 @@ class LedgerSink extends TableProvider {
     // the state-selecting options are mutually exclusive — silently
     // preferring one would serve (e.g.) the branch head labeled as a
     // versionAsOf read
-    val stateOpts = Seq("versionAsOf", "tagAsOf", "wapId", "branch",
-      "changesFromVersion", "changesToVersion", "readChangeFeed")
+    val stateOpts = Seq("versionAsOf", "timestampAsOf", "tagAsOf", "wapId",
+      "branch", "changesFromVersion", "changesToVersion", "readChangeFeed")
       .filter(k => Option(properties.get(k)).isDefined)
     val exclusive = stateOpts.filterNot(_.startsWith("changes"))
     val changesPresent = stateOpts.exists(_.startsWith("changes"))
@@ -123,13 +126,16 @@ class LedgerSink extends TableProvider {
       (changesPresent && exclusive.exists(_ != "readChangeFeed")))
       throw new IllegalArgumentException(
         s"conflicting ledger read options: ${stateOpts.mkString(", ")} — " +
-          "versionAsOf/tagAsOf/wapId/branch/readChangeFeed select " +
-          "different table states; pass exactly one (changes ranges " +
-          "combine only with readChangeFeed)")
+          "versionAsOf/timestampAsOf/tagAsOf/wapId/branch/readChangeFeed " +
+          "select different table states; pass exactly one (changes " +
+          "ranges combine only with readChangeFeed)")
     new LedgerTable(Paths.get(dir), schema,
       Option(properties.get("versionAsOf")).map(_.toInt)
         .orElse(Option(properties.get("tagAsOf"))
-          .map(t => LedgerRefs.resolveTag(Paths.get(dir), t))),
+          .map(t => LedgerRefs.resolveTag(Paths.get(dir), t)))
+        .orElse(Option(properties.get("timestampAsOf")).map(t =>
+          LedgerSink.versionForTimestamp(Paths.get(dir),
+            LedgerSink.parseTsMillis(t)))),
       changes,
       LedgerSink.partitionSpecOf(partitioning),
       rowLevelChanges =
@@ -474,6 +480,75 @@ object LedgerRoundtrip {
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
        FROM customer
        ORDER BY snapshot"""
+
+  /** `dsv2_timestamp_travel`: TIMESTAMP AS OF over the per-commit
+    * clock — every commit records a strictly-monotonic `#ts:` header,
+    * and `timestampAsOf` resolves to the greatest version committed
+    * at-or-before the instant (Delta's contract). Wall-clock values
+    * are not reproducible, so the gate folds RESOLUTION VERDICTS into
+    * the oracle hash instead of the clock itself: reading at v1's
+    * exact boundary, one millisecond before v2, at v2, and an hour in
+    * the future must serve exactly v1/v1/v2/live — digests DuckDB
+    * recomputes from the fixture — and a timestamp before the first
+    * commit must fail loud. */
+  def timestampTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = scratch(sfDir) + "_tsas"
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val s = Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    val cust = graft.io.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    cust.write.format(classOf[LedgerSink].getName)
+      .option("path", dir).mode("overwrite").save()            // v1
+    cust.filter(col("c_nationkey") < 13)
+      .write.format(classOf[LedgerSink].getName)
+      .option("path", dir).mode("overwrite").save()            // v2
+    cust.filter(col("c_nationkey") >= 20)
+      .write.format(classOf[LedgerSink].getName)
+      .option("path", dir).mode("append").save()               // v3 (live)
+    val ts = LedgerSink.commitTimestamps(root).toMap
+    val monotone =
+      if (ts(1) < ts(2) && ts(2) < ts(3)) 1 else 0
+    def readAt(millis: Long): DataFrame =
+      spark.read.format(classOf[LedgerSink].getName)
+        .option("path", dir).option("timestampAsOf", millis.toString).load()
+    def digest(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+        .selectExpr(s"'$tag' AS snapshot", "n_rows", "bal_cents")
+    val beforeFirstFails =
+      try { readAt(ts(1) - 1).count(); 0 }
+      catch { case _: IllegalArgumentException => 1 }
+    digest(readAt(ts(1)), "t1_v1")
+      .unionByName(digest(readAt(ts(2) - 1), "t2_minus_v1"))
+      .unionByName(digest(readAt(ts(2)), "t2_v2"))
+      .unionByName(digest(readAt(ts(3) + 3600000L), "t9_live"))
+      .withColumn("ts_monotone", lit(monotone))
+      .withColumn("before_first_fails", lit(beforeFirstFails))
+      .orderBy("snapshot")
+  }
+
+  val timestampTravelOracle: String =
+    """WITH c AS (SELECT c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        v1 AS (SELECT count(*) AS n, CAST(sum(bal) AS BIGINT) AS b FROM c),
+        v2 AS (SELECT count(*) AS n, CAST(sum(bal) AS BIGINT) AS b
+          FROM c WHERE c_nationkey < 13),
+        v3 AS (SELECT count(*) AS n, CAST(sum(bal) AS BIGINT) AS b
+          FROM c WHERE c_nationkey < 13 OR c_nationkey >= 20)
+       SELECT s.snapshot, s.n_rows, s.bal_cents,
+         CAST(1 AS INTEGER) AS ts_monotone,
+         CAST(1 AS INTEGER) AS before_first_fails
+       FROM (
+         SELECT 't1_v1' AS snapshot, n AS n_rows, b AS bal_cents FROM v1
+         UNION ALL SELECT 't2_minus_v1', n, b FROM v1
+         UNION ALL SELECT 't2_v2', n, b FROM v2
+         UNION ALL SELECT 't9_live', n, b FROM v3) s
+       ORDER BY s.snapshot"""
 }
 
 object LedgerSink {
@@ -1116,20 +1191,99 @@ object LedgerSink {
       .find(_.startsWith("#version:")).map(_.stripPrefix("#version:").toInt)
   }
 
-  private def renderState(m: Manifest, v: Int): Seq[String] =
-    m.render match { case head +: tail => head +: (s"#version:$v" +: tail) }
+  private def renderState(m: Manifest, v: Int,
+      ts: Option[Long] = None): Seq[String] =
+    m.render match {
+      case head +: tail =>
+        head +: ((s"#version:$v" +: ts.map(t => s"#ts:$t").toSeq) ++ tail)
+    }
+
+  // ---- commit timestamps (TIMESTAMP AS OF) ----
+  //
+  // Every commit records its wall-clock time as a `#ts:<epochMillis>`
+  // header on its log delta (and on every exact state snapshot of the
+  // version), monotonically bumped so two commits in one millisecond
+  // still order — the Delta/Iceberg commit-timestamp contract that
+  // `timestampAsOf` resolution needs. `Manifest.parse` ignores the
+  // header, so timestamps are commit METADATA, not table state: the
+  // no-op-rebase equality check (`cur.contains(next)`) stays
+  // timestamp-blind and replayed streaming epochs still commit
+  // nothing. Legacy tables (and legacy full archives) carry no
+  // timestamps; `timestampAsOf` on a version without one fails loud
+  // rather than inventing history.
+
+  private[sources] def tsOfLines(lines: Seq[String]): Option[Long] =
+    lines.find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong)
+
+  /** The recorded commit time of `v`, if any: its log delta, else an
+    * exact snapshot of it, else the live checkpoint when the
+    * checkpoint IS version v. */
+  private[sources] def commitTs(dir: Path, v: Int): Option[Long] = {
+    val log = dir.resolve(logName(v))
+    if (Files.exists(log))
+      tsOfLines(Files.readAllLines(log, UTF_8).asScala.toSeq)
+    else exactStateFile(dir, v).flatMap(p =>
+      tsOfLines(Files.readAllLines(p, UTF_8).asScala.toSeq))
+      .orElse(
+        if (manifestVersion(dir).contains(v))
+          tsOfLines(Files.readAllLines(
+            dir.resolve(ManifestName), UTF_8).asScala.toSeq)
+        else None)
+  }
+
+  /** (version, commitMillis) for every readable version that recorded
+    * one, ascending by version. */
+  private[sources] def commitTimestamps(dir: Path): Seq[(Int, Long)] =
+    (archivedVersions(dir) :+ currentVersion(dir))
+      .flatMap(v => commitTs(dir, v).map(v -> _))
+
+  /** Resolve a timestamp to the version CURRENT at that instant: the
+    * greatest version whose commit time is <= `tsMillis` (Delta's
+    * timestampAsOf contract). Fails loud before the first recorded
+    * commit, and on tables with no timestamp metadata at all. */
+  private[sources] def versionForTimestamp(dir: Path, tsMillis: Long): Int = {
+    val known = commitTimestamps(dir)
+    if (known.isEmpty) throw new IllegalArgumentException(
+      s"ledger $dir has no commit-timestamp metadata " +
+        "(legacy layout?) — use versionAsOf")
+    known.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis is before the first recorded commit " +
+          s"(${known.head._2}) of ledger $dir"))
+  }
+
+  /** A `timestampAsOf` option value: epoch millis when all digits,
+    * otherwise a `yyyy-MM-dd HH:mm:ss[.SSS]` / ISO-8601 local
+    * timestamp interpreted in the session default zone (how Spark
+    * evaluates the SQL `TIMESTAMP AS OF` expression too). */
+  private[sources] def parseTsMillis(s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else {
+      val iso = s.trim.replace(' ', 'T')
+      java.time.LocalDateTime.parse(iso)
+        .atZone(java.time.ZoneId.systemDefault()).toInstant.toEpochMilli
+    }
+
+  /** The next commit's timestamp: now, bumped past the current
+    * version's recorded time so per-table commit times are strictly
+    * increasing even within one millisecond. */
+  private def nextCommitTs(dir: Path): Long = {
+    val last = commitTs(dir, currentVersion(dir)).getOrElse(0L)
+    Math.max(System.currentTimeMillis(), last + 1)
+  }
 
   /** One commit's delta: the RESULTING headers (always — they are
     * line-sized), `#removes:` for vanished file names, and the
     * added/replaced entries. `#full:1` marks a whole-state delta (the
     * escape hatch for commits that reorder surviving entries, e.g.
     * RESTORE). */
-  private def renderDelta(next: Manifest, v: Int, cur: Manifest)
-      : Seq[String] = {
+  private def renderDelta(next: Manifest, v: Int, cur: Manifest,
+      ts: Option[Long] = None): Seq[String] = {
     val curNames = cur.files.map(_.file)
     val nextNames = next.files.map(_.file).toSet
     val curByName = cur.files.map(e => e.file -> e).toMap
-    val header = next.copy(files = Seq.empty).render ++ Seq(s"#version:$v")
+    val header = next.copy(files = Seq.empty).render ++
+      (s"#version:$v" +: ts.map(t => s"#ts:$t").toSeq)
     val orderOk = next.files.map(_.file).filter(curByName.contains) ==
       curNames.filter(nextNames)
     if (!orderOk)
@@ -1389,8 +1543,21 @@ object LedgerSink {
     * `cur`, as log `v` of the branch's chain. Same atomic-rename
     * commit point as main-chain commits. */
   private[sources] def writeBranchCommit(dir: Path, name: String, v: Int,
-      next: Manifest, cur: Manifest): Unit =
-    writeAtomic(dir, branchLogName(name, v), renderDelta(next, v, cur))
+      next: Manifest, cur: Manifest): Unit = {
+    // branch commits carry timestamps too: fast-forward renames these
+    // logs into the main chain, so they must order after the fork —
+    // floor at the previous branch commit's time (or main's current
+    // version's, which is >= the fork's)
+    val last = {
+      val prev = dir.resolve(branchLogName(name, v - 1))
+      (if (Files.exists(prev))
+        tsOfLines(Files.readAllLines(prev, UTF_8).asScala.toSeq)
+      else None).orElse(commitTs(dir, currentVersion(dir))).getOrElse(0L)
+    }
+    val ts = Math.max(System.currentTimeMillis(), last + 1)
+    writeAtomic(dir, branchLogName(name, v),
+      renderDelta(next, v, cur, Some(ts)))
+  }
 
   /** Fast-forward needs the main chain to REPLAY logs, which the
     * legacy (pre-log) layout doesn't: stamp the live manifest with its
@@ -1418,11 +1585,14 @@ object LedgerSink {
     avail.filter(protect).foreach { v =>
       if (exactStateFile(dir, v).isEmpty)
         writeAtomic(dir, checkpointName(v),
-          renderState(readManifestAt(dir, Some(v)).get, v))
+          // materialize with the version's ORIGINAL commit time —
+          // retention must not rewrite history's clock
+          renderState(readManifestAt(dir, Some(v)).get, v, commitTs(dir, v)))
     }
     if (!manifestVersion(dir).contains(cur))
       readManifest(dir).foreach(m =>
-        writeAtomic(dir, ManifestName, renderState(m, cur)))
+        writeAtomic(dir, ManifestName,
+          renderState(m, cur, commitTs(dir, cur))))
     expired.foreach { v =>
       Files.deleteIfExists(dir.resolve(archiveName(v))): Unit
       Files.deleteIfExists(dir.resolve(checkpointName(v))): Unit
@@ -1586,7 +1756,8 @@ object LedgerSink {
     Files.createDirectories(dir)
     val cur = dir.resolve(ManifestName)
     if (!Files.exists(cur)) { // first commit: version-1 checkpoint
-      writeAtomic(dir, ManifestName, renderState(m, 1))
+      writeAtomic(dir, ManifestName,
+        renderState(m, 1, Some(nextCommitTs(dir))))
       return
     }
     manifestVersion(dir) match {
@@ -1605,19 +1776,22 @@ object LedgerSink {
             StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING): Unit
         }
-        writeAtomic(dir, ManifestName, renderState(m, v + 1))
+        writeAtomic(dir, ManifestName,
+          renderState(m, v + 1, Some(nextCommitTs(dir))))
       case Some(ckptV) =>
         val curM = readManifest(dir).get
         val newV = currentVersion(dir) + 1
-        writeAtomic(dir, logName(newV), renderDelta(m, newV, curM))
+        val ts = nextCommitTs(dir)
+        writeAtomic(dir, logName(newV), renderDelta(m, newV, curM, Some(ts)))
         if (newV - ckptV >= CheckpointEvery) {
           // roll: preserve the outgoing checkpoint as an exact
           // snapshot (atomically — a torn snapshot would parse as a
-          // corrupt state), then write the full state at newV. Logs
-          // stay — retention decides when history is dropped.
+          // corrupt state), then write the full state at newV (same
+          // commit, same timestamp as its log). Logs stay —
+          // retention decides when history is dropped.
           writeAtomic(dir, checkpointName(ckptV),
             Files.readAllLines(cur, UTF_8).asScala.toSeq)
-          writeAtomic(dir, ManifestName, renderState(m, newV))
+          writeAtomic(dir, ManifestName, renderState(m, newV, Some(ts)))
         }
     }
   }
