@@ -107,7 +107,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     LedgerSink.readManifest(dir) match {
       case Some(m) => new LedgerTable(dir, m.schema)
-      case None => throw new NoSuchTableException(ident)
+      case None =>
+        // the Iceberg-style INSPECTION surface: `cat.ns.t.files` (and
+        // .history/.partitions/.refs) resolves to a metadata relation
+        // over table `cat.ns.t` when no real table shadows the name
+        val ns = ident.namespace()
+        (if (ns.nonEmpty && MetadataTables.Names(ident.name())) {
+          val parent = Identifier.of(ns.init, ns.last)
+          val parentDir = tableDir(parent)
+          if (isTable(parentDir))
+            MetadataTables.forSuffix(parentDir,
+              (catalogName +: ns :+ ident.name()).mkString("."),
+              ident.name())
+          else None
+        } else None).getOrElse(throw new NoSuchTableException(ident))
     }
   }
 
