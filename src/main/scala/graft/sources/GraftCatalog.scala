@@ -283,6 +283,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 throw new UnsupportedOperationException(
                   s"cannot drop partition column $name (referenced by " +
                     "the current or a historical partition spec)")
+              // active equality deletes key on field ids: dropping the
+              // column would strand their tuples (and any later
+              // re-add mints a NEW id, so the binding could never
+              // silently alias) — refuse until they are materialized
+              if (m.eqDeleteFieldIds.contains(m.ids(i)))
+                throw new UnsupportedOperationException(
+                  s"cannot drop $name: active equality delete(s) key " +
+                    "on it; OPTIMIZE (materializing the deletes) first")
               val cDel = LedgerConstraints.constraintsOf(m.props)
                 .filter(c => LedgerConstraints.referencesColumn(c._2, name))
               if (cDel.nonEmpty) throw new UnsupportedOperationException(

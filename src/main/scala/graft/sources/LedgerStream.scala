@@ -295,6 +295,13 @@ private[sources] class LedgerChangeFeedStream(dir: Path,
         if (v - 1 == 0)
           LedgerSink.Manifest.fresh(cur.schema, Seq.empty[String])
         else LedgerSink.readManifestAt(dir, Some(v - 1)).get
+      // an equality-delete install changes NO files — the file diff
+      // would read as an empty step while rows logically died
+      if (cur.eqDeletes != prev.eqDeletes)
+        throw new UnsupportedOperationException(
+          s"change feed step v$v installs equality deletes, which the " +
+            "file-diff feed cannot express; OPTIMIZE (materializing " +
+            "the deletes) and stream from there")
       def keyOf(en: LedgerSink.FileEntry) = (en.file, en.dv)
       val curKeys = cur.files.map(keyOf).toSet
       val prevKeys = prev.files.map(keyOf).toSet
