@@ -141,9 +141,13 @@ object EndToEnd {
     // it routes to ALL five jobs (lambda:44-53 default branch); each
     // runs under its own 600 s budget, failures recorded and skipped,
     // and the crawl runs because at least one job succeeded
-    // (lambda:31-33 / 55-97 semantics).
+    // (lambda:31-33 / 55-97 semantics). The five jobs run as
+    // CONCURRENT Spark jobs — they write disjoint zones, so the only
+    // thing the reference's sequential loop adds is idle executors
+    // (see [[Orchestrator.runRecordedConcurrent]]'s deviation note).
     val (results, crawl) =
-      Orchestrator.runAndCrawlRecorded("incoming/daily_batch_2024_08.csv") {
+      Orchestrator.runAndCrawlRecordedConcurrent(
+        "incoming/daily_batch_2024_08.csv") {
         case Orchestrator.SalesRevenue =>
           val sales = SalesRevenue.run(orders, items, products)
           Writers.processed(sales,

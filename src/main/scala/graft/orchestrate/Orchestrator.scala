@@ -101,6 +101,55 @@ object Orchestrator {
       }
     }
 
+  /** [[runRecorded]] with the routed jobs running as CONCURRENT Spark
+    * jobs — a documented semantics-preserving deviation from the
+    * reference's sequential loop (lambda:58-61; SURVEY §4.3): the five
+    * jobs are independent by construction (each reads only the raw
+    * zone and writes its OWN processed/curated prefix, exactly like
+    * the Glue jobs), so a multi-tenant scheduler can overlap them.
+    * Spark's scheduler interleaves the concurrent actions across the
+    * executor pool — on a cluster this is five Glue jobs running in
+    * parallel, which is how the reference's jobs would actually be
+    * launched by five simultaneous S3 events. Everything OBSERVABLE is
+    * preserved: per-job wall-clock budget (each [[withBudget]] thread
+    * starts at fan-out), per-job failure isolation, and results in
+    * ROUTING order. [[runRecorded]] stays the faithful sequential
+    * replica for routing-parity tests. */
+  def runRecordedConcurrent(objectKey: String,
+      timeoutSeconds: Long = jobTimeoutSeconds)(
+      runJob: Job => Unit): Seq[JobResult] = {
+    val jobs = route(objectKey)
+    val results = new Array[JobResult](jobs.length)
+    val threads = jobs.zipWithIndex.map { case (job, i) =>
+      val t = new Thread(() => {
+        results(i) = withBudget(timeoutSeconds, s"job $job")(runJob(job)) match {
+          case None => JobResult(job, "succeeded", None)
+          case Some(err) if err.startsWith("timeout") =>
+            JobResult(job, "timeout", Some(err))
+          case Some(err) => JobResult(job, "failed", Some(err))
+        }
+      }, s"graft-orchestrator-fanout-$job")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    results.toSeq
+  }
+
+  /** [[runAndCrawlRecorded]] over the concurrent fan-out: jobs overlap,
+    * the crawl still runs once afterwards iff any job succeeded. */
+  def runAndCrawlRecordedConcurrent(objectKey: String)(runJob: Job => Unit)(
+      crawl: Seq[Job] => Unit): (Seq[JobResult], Option[String]) = {
+    val results = runRecordedConcurrent(objectKey)(runJob)
+    val succeeded = results.filter(_.succeeded).map(_.job)
+    val crawlStatus =
+      if (succeeded.isEmpty) None
+      else Some(withBudget(crawlTimeoutSeconds, "crawler")(
+        crawl(succeeded)).fold("succeeded")(identity))
+    (results, crawlStatus)
+  }
+
   /** Sequential run; failures/timeouts are recorded-and-skipped per
     * job ([[runRecorded]] has the statuses). Returns jobs in execution
     * order — every routed job is ATTEMPTED, matching the reference

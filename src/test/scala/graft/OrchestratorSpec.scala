@@ -121,6 +121,22 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(failedCrawl.exists(_.contains("crawler down")))
   }
 
+  test("concurrent fan-out: all jobs overlap, failures isolate, routing order kept") {
+    // all five jobs must be IN FLIGHT at once: each blocks on a latch
+    // that only opens when every job has arrived — a sequential runner
+    // would deadlock here (and the budget would record timeouts)
+    val gate = new java.util.concurrent.CyclicBarrier(5)
+    val rs = Orchestrator.runRecordedConcurrent(
+      "incoming/daily_batch.csv", timeoutSeconds = 60) { j =>
+      gate.await(30, java.util.concurrent.TimeUnit.SECONDS): Unit
+      if (j == MarketingRoi) sys.error("boom")
+    }
+    assert(rs.map(_.job) == Orchestrator.route("incoming/daily_batch.csv"),
+      "results must come back in routing order")
+    assert(rs.count(_.succeeded) == 4)
+    assert(rs.find(_.job == MarketingRoi).exists(_.status == "failed"))
+  }
+
   test("multi-record event: first runnable CSV wins, rest dropped (lambda:17-38)") {
     val ran = scala.collection.mutable.ArrayBuffer.empty[Job]
     val out = Orchestrator.handleEvent(Seq(
