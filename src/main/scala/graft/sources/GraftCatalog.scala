@@ -108,32 +108,61 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     LedgerSink.readManifest(dir) match {
       case Some(m) => new LedgerTable(dir, m.schema)
       case None =>
-        // the Iceberg-style INSPECTION surface: `cat.ns.t.files` (and
-        // .history/.partitions/.refs) resolves to a metadata relation
-        // over table `cat.ns.t` when no real table shadows the name
+        // table-scoped derived relations, Iceberg-style, when no real
+        // table shadows the name: the INSPECTION surface
+        // (`cat.ns.t.files` / .history / .partitions / .refs), branch
+        // handles (`cat.ns.t.branch_dev` — readable AND append-
+        // writable, the SQL branch-write surface), and tag snapshots
+        // (`cat.ns.t.tag_audit` — read-only)
         val ns = ident.namespace()
-        (if (ns.nonEmpty && MetadataTables.Names(ident.name())) {
-          val parent = Identifier.of(ns.init, ns.last)
-          val parentDir = tableDir(parent)
-          if (isTable(parentDir))
+        (if (ns.isEmpty) None
+        else {
+          val parentDir = tableDir(Identifier.of(ns.init, ns.last))
+          if (!isTable(parentDir)) None
+          else if (MetadataTables.Names(ident.name()))
             MetadataTables.forSuffix(parentDir,
               (catalogName +: ns :+ ident.name()).mkString("."),
               ident.name())
-          else None
-        } else None).getOrElse(throw new NoSuchTableException(ident))
+          else if (ident.name().startsWith("branch_")) {
+            val b = ident.name().stripPrefix("branch_")
+            Some(new LedgerTable(parentDir,
+              LedgerSink.readBranchState(parentDir, b,
+                LedgerRefs.branchFork(parentDir, b)).schema,
+              branch = Some(b)))
+          } else if (ident.name().startsWith("tag_")) {
+            val t = ident.name().stripPrefix("tag_")
+            val v = LedgerRefs.resolveTag(parentDir, t)
+            Some(new LedgerTable(parentDir,
+              LedgerSink.readManifestAt(parentDir, Some(v)).get.schema,
+              Some(v)))
+          } else None
+        }).getOrElse(throw new NoSuchTableException(ident))
     }
   }
 
   /** SQL time travel — `SELECT … FROM cat.ns.t VERSION AS OF 2`
     * resolves here; the snapshot reads its own archived manifest
     * (schema included) and refuses writes ([[LedgerSink]]'s
-    * versioning scaladoc has the protocol). */
+    * versioning scaladoc has the protocol). Following Iceberg, the
+    * "version" may also NAME a ref: a tag reads its target snapshot,
+    * a branch reads the branch head. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"ledger versions are integers, got '$version'")
+    val v = version.toIntOption match {
+      case Some(i) => i
+      case None =>
+        LedgerRefs.tags(dir).get(version) match {
+          case Some(t) => t
+          case None if LedgerRefs.branches(dir).contains(version) =>
+            return new LedgerTable(dir,
+              LedgerSink.readBranchState(dir, version,
+                LedgerRefs.branchFork(dir, version)).schema,
+              branch = Some(version))
+          case None => throw new IllegalArgumentException(
+            s"'$version' is neither a version number nor a tag/branch " +
+              s"of ${ident.toString}")
+        }
     }
     LedgerSink.readManifestAt(dir, Some(v)) match {
       case Some(m) => new LedgerTable(dir, m.schema, Some(v))

@@ -89,6 +89,28 @@ private[sources] object GraftProcedures {
       Seq("table" -> StringType),
       StructType(Seq(StructField("reclaimed", IntegerType))),
       (dir, r) => Seq(LedgerSink.vacuum(dir).length)),
+    ProcDef("delete_by_keys",
+      "equality delete: kill rows whose key tuple appears in a view, " +
+        "reading no data files",
+      Seq("table" -> StringType, "key_cols" -> StringType,
+        "keys_view" -> StringType),
+      StructType(Seq(StructField("deleted_keys", LongType))),
+      (dir, r) => Seq(LedgerMaintenance.deleteByKeys(SparkSession.active,
+        dir.toString, str(r, 1).split(",").toSeq.map(_.trim),
+        SparkSession.active.table(str(r, 2))))),
+    ProcDef("upsert_by_keys",
+      "single-commit equality-delete upsert from a view (O(batch), " +
+        "no data file read)",
+      Seq("table" -> StringType, "key_cols" -> StringType,
+        "rows_view" -> StringType),
+      StructType(Seq(StructField("upsert_keys", LongType),
+        StructField("upsert_rows", LongType))),
+      (dir, r) => {
+        val (k, n) = LedgerMaintenance.upsertByKeys(SparkSession.active,
+          dir.toString, str(r, 1).split(",").toSeq.map(_.trim),
+          SparkSession.active.table(str(r, 2)))
+        Seq(k, n)
+      }),
     ProcDef("optimize",
       "bin-pack small files (and compact deletion vectors away)",
       Seq("table" -> StringType),

@@ -1192,6 +1192,117 @@ object LedgerLifecycle {
          CAST(1 AS INTEGER) AS base_files_kept
        FROM finals"""
 
+  /** `dsv2_stream_equality_upsert`: the O(batch) streaming-CDC apply —
+    * the same three-version upsert stream as `dsv2_stream_upsert`, but
+    * each micro-batch lands through
+    * [[LedgerMaintenance.upsertByKeys]]: ONE commit of an equality
+    * delete on the batch keys + the appended batch, reading ZERO
+    * target data files (the MoR MERGE variant must still SCAN the
+    * target to locate matched rows; at 100 TB this variant's per-batch
+    * cost is O(batch) flat). The pattern is replay-idempotent by
+    * construction: re-running a batch's upsert deletes the previous
+    * copy (smaller data sequence) and appends one fresh copy. Folded
+    * verdicts: one commit per batch (version arithmetic), no file
+    * ever rewritten (every version's file set contains its
+    * predecessor's), equality deletes active after the drain, and
+    * OPTIMIZE materializing them without changing the digest. */
+  def streamEqualityUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val g = tag(sfDir)
+    val srcDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_equpsrc_$g"
+    val tDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_equptgt_$g"
+    deleteRecursively(srcDir)
+    deleteRecursively(tDir)
+    val cust = graft.io.Tables.customer(spark, sfDir).selectExpr(
+      "CAST(c_custkey AS BIGINT) AS ckey",
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+    // three source versions = three micro-batches of upserts
+    cust.selectExpr("ckey", "bal_c AS val", "CAST(1 AS BIGINT) AS v")
+      .coalesce(1).write.format(ledger).option("path", srcDir)
+      .mode("overwrite").save()                                       // v1
+    cust.filter("ckey % 3 = 0")
+      .selectExpr("ckey", "bal_c + 100000 AS val", "CAST(2 AS BIGINT) AS v")
+      .coalesce(1).write.format(ledger).option("path", srcDir)
+      .mode("append").save()                                          // v2
+    cust.filter("ckey % 5 = 0")
+      .selectExpr("ckey", "bal_c + 900000 AS val", "CAST(3 AS BIGINT) AS v")
+      .unionByName(cust.filter("ckey % 11 = 0").selectExpr(
+        "ckey + 10000000 AS ckey", "CAST(555 AS BIGINT) AS val",
+        "CAST(3 AS BIGINT) AS v"))
+      .coalesce(1).write.format(ledger).option("path", srcDir)
+      .mode("append").save()                                          // v3
+    // empty target: schema-only manifest (version 1)
+    cust.limit(0).selectExpr("ckey", "bal_c AS val")
+      .write.format(ledger).option("path", tDir).mode("overwrite").save()
+    val ckpt = s"$srcDir/_checkpoint_eq"
+    val q = spark.readStream.format(ledger).option("path", srcDir)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // last image per key within the batch, then one-commit upsert
+        val latest = batch
+          .withColumn("rn", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy("ckey")
+              .orderBy(org.apache.spark.sql.functions.col("v").desc)))
+          .filter("rn = 1").selectExpr("ckey", "val")
+        LedgerMaintenance.upsertByKeys(batch.sparkSession,
+          tDir, Seq("ckey"), latest): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val root = Paths.get(tDir)
+    val cur = LedgerSink.currentVersion(root)
+    val oneCommitPerBatch = if (cur == 4) 1 else 0  // create + 3 batches
+    val noRewrites = if ((2 to cur).forall { v =>
+      LedgerSink.readManifestAt(root, Some(v - 1)).get.files.map(_.file)
+        .toSet.subsetOf(
+          LedgerSink.readManifestAt(root, Some(v)).get.files.map(_.file).toSet)
+    }) 1 else 0
+    val eqdActive =
+      if (LedgerSink.readManifest(root).get.eqDeletes.nonEmpty) 1 else 0
+    def digest(): org.apache.spark.sql.Row =
+      spark.read.format(ledger).option("path", tDir).load()
+        .selectExpr("count(*)", "sum(val)", "sum(ckey)").collect()(0)
+    val pre = digest()
+    LedgerMaintenance.optimize(spark, tDir): Unit
+    val m2 = LedgerSink.readManifest(root).get
+    val optimizedClean = if (digest() == pre && m2.eqDeletes.isEmpty &&
+      m2.files.map(_.rows).sum == pre.getLong(0)) 1 else 0
+    spark.sql(
+      s"""SELECT CAST(${pre.getLong(0)} AS BIGINT) AS n_rows,
+            CAST(${pre.getLong(1)} AS BIGINT) AS val_sum,
+            CAST(${pre.getLong(2)} AS BIGINT) AS key_sum,
+            CAST($oneCommitPerBatch AS INT) AS one_commit_per_batch,
+            CAST($noRewrites AS INT) AS no_rewrites,
+            CAST($eqdActive AS INT) AS eqd_active,
+            CAST($optimizedClean AS INT) AS optimized_clean""")
+  }
+
+  val streamEqualityUpsertOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+         FROM customer),
+        finals AS (
+          SELECT ckey,
+            CASE WHEN ckey % 5 = 0 THEN bal_c + 900000
+                 WHEN ckey % 3 = 0 THEN bal_c + 100000
+                 ELSE bal_c END AS val
+          FROM c
+          UNION ALL
+          SELECT ckey + 10000000, CAST(555 AS BIGINT)
+          FROM c WHERE ckey % 11 = 0)
+       SELECT count(*) AS n_rows,
+         CAST(sum(val) AS BIGINT) AS val_sum,
+         CAST(sum(ckey) AS BIGINT) AS key_sum,
+         CAST(1 AS INTEGER) AS one_commit_per_batch,
+         CAST(1 AS INTEGER) AS no_rewrites,
+         CAST(1 AS INTEGER) AS eqd_active,
+         CAST(1 AS INTEGER) AS optimized_clean
+       FROM finals"""
+
   /** `dsv2_bloom_skipping`: per-file bloom sidecars over the first
     * string column ([[LedgerSink.bloomColIndex]]) prune POINT
     * predicates that min/max stats cannot — `WHERE key = x` on an

@@ -102,4 +102,40 @@ class MetadataTablesSpec extends graft.SparkSpec {
       spark.sql("DROP TABLE IF EXISTS meta_cat.ns.t")
     }
   }
+
+  test("refs resolve in SQL: tag/branch names in VERSION AS OF, branch_/tag_ identifiers") {
+    val root = initCatalog()
+    try {
+      spark.sql("DROP TABLE IF EXISTS meta_cat.ns.r")
+      spark.sql("CREATE TABLE meta_cat.ns.r (id BIGINT)")
+      spark.sql("INSERT INTO meta_cat.ns.r SELECT id FROM range(0, 10)")  // v2
+      val dir = root.resolve("ns").resolve("r")
+      LedgerRefs.createTag(dir, "audit"): Unit                       // at v2
+      LedgerRefs.createBranch(dir, "dev"): Unit                      // fork v2
+      spark.sql("INSERT INTO meta_cat.ns.r SELECT id FROM range(50, 53)") // v3
+      def count(sql: String): Long = spark.sql(sql).collect()(0).getLong(0)
+      // tag name in VERSION AS OF reads its target snapshot
+      assert(count("SELECT count(*) FROM meta_cat.ns.r VERSION AS OF 'audit'") == 10)
+      // branch name in VERSION AS OF reads the branch head (still at fork)
+      assert(count("SELECT count(*) FROM meta_cat.ns.r VERSION AS OF 'dev'") == 10)
+      // tag_/branch_ identifiers resolve the same states
+      assert(count("SELECT count(*) FROM meta_cat.ns.r.tag_audit") == 10)
+      assert(count("SELECT count(*) FROM meta_cat.ns.r.branch_dev") == 10)
+      // INSERT INTO the branch identifier appends to the BRANCH only
+      spark.sql("INSERT INTO meta_cat.ns.r.branch_dev SELECT id FROM range(100, 104)")
+      assert(count("SELECT count(*) FROM meta_cat.ns.r.branch_dev") == 14)
+      assert(count("SELECT count(*) FROM meta_cat.ns.r") == 13,
+        "main must not see branch appends")
+      // an unknown ref fails loud
+      val e = intercept[Exception](
+        spark.sql("SELECT * FROM meta_cat.ns.r VERSION AS OF 'nope'").collect())
+      assert(e.getMessage.contains("neither a version number nor a tag/branch"))
+      // a tag snapshot refuses writes
+      val e2 = intercept[Exception](
+        spark.sql("INSERT INTO meta_cat.ns.r.tag_audit SELECT id FROM range(0, 1)"))
+      assert(e2.getMessage.toLowerCase.contains("snapshot"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS meta_cat.ns.r")
+    }
+  }
 }

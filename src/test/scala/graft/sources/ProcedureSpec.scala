@@ -65,6 +65,22 @@ class ProcedureSpec extends graft.SparkSpec {
     assert(spark.table(t).count() == 66)
   }
 
+  test("equality-delete surface through CALL: delete_by_keys and upsert_by_keys") {
+    val t = fresh("eqd") // v1 create, v2 insert: ids 0..49, v = id*10
+    spark.range(0, 10).selectExpr("id")
+      .createOrReplaceTempView("proc_eqd_keys")
+    assert(one(s"CALL graft_proc.sys.delete_by_keys('pr.eqd', 'id', " +
+      "'proc_eqd_keys')").getLong(0) == 10)
+    assert(spark.table(t).count() == 40)
+    spark.range(5, 8).selectExpr("id", "CAST(999 AS BIGINT) AS v")
+      .createOrReplaceTempView("proc_eqd_rows")
+    val r = one(s"CALL graft_proc.sys.upsert_by_keys('pr.eqd', 'id', " +
+      "'proc_eqd_rows')")
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(spark.table(t).count() == 43)
+    assert(spark.table(t).filter("v = 999").count() == 3)
+  }
+
   test("branch lifecycle through CALL") {
     val t = fresh("br")
     val fork = one(s"CALL graft_proc.sys.create_branch('pr.br', 'stage')")
