@@ -300,7 +300,12 @@ object LedgerRefs {
           if (cur.schema == w.schema && cur.ids == w.ids &&
             cur.partitionSpec == w.partitionSpec) {
             val present = cur.files.map(_.file).toSet
+            // folded entries take the PUBLISH commit's data sequence
+            // (seq cleared → stamped at commit): the staged rows were
+            // published now, so equality deletes installed between
+            // stage and publish must not apply to them
             val adds = w.files.filter(e => newNames(e.file) && !present(e.file))
+              .map(_.copy(seq = None))
             if (adds.isEmpty) None else Some(cur.copy(files = cur.files ++ adds))
           } else throw new java.util.ConcurrentModificationException(
             s"publish of wapId=$id on $dir raced a schema-changing " +

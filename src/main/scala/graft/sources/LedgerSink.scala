@@ -3170,9 +3170,19 @@ private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
       // the AUDIT read of write-audit-publish: the staged manifest is
       // a full table state (base ∪ staged files), so every planning
       // discipline — stats, partition pruning, column pruning — works
-      // on it unchanged. Branch reads resolve the branch HEAD state
-      // the same way.
-      case (Some(id), _) => Some(LedgerSink.readWap(dir, id))
+      // on it unchanged. STAGED entries audit with an unreachable data
+      // sequence: active equality deletes must not kill rows the stage
+      // appended AFTER them — publish assigns the real sequence
+      // (strictly above every installed delete), and the audit must
+      // show what publish will serve. Branch reads resolve the branch
+      // HEAD state the same way.
+      case (Some(id), _) =>
+        val w = LedgerSink.readWap(dir, id)
+        val staged = w.props.get(LedgerSink.WapNewFilesProp)
+          .map(_.split(",", -1).toSet.filter(_.nonEmpty))
+          .getOrElse(Set.empty[String])
+        Some(w.copy(files = w.files.map(e =>
+          if (staged(e.file)) e.copy(seq = Some(Int.MaxValue)) else e)))
       case (None, Some(b)) => Some(LedgerSink.readBranchState(dir, b,
         LedgerRefs.branchFork(dir, b)))
       case _ => LedgerSink.readManifestAt(dir, version)

@@ -163,6 +163,28 @@ class EqualityDeleteSpec extends graft.SparkSpec {
     }
   }
 
+  test("WAP: staged rows escape active equality deletes in audit and after publish") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 10).selectExpr("id", "id AS v"), "overwrite") // v1
+    LedgerMaintenance.deleteByKeys(spark, dir.toString, Seq("id"),
+      spark.range(0, 6).selectExpr("id")): Unit                             // v2
+    // stage an append that REVIVES keys 0..3 (plus nothing else)
+    spark.range(0, 4).selectExpr("id", "id + 500 AS v")
+      .write.format(ledger).option("path", dir.toString)
+      .option("wapId", "w1").mode("append").save()
+    val audit = spark.read.format(ledger).option("path", dir.toString)
+      .option("wapId", "w1").load()
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(audit == Set(0L, 1L, 2L, 3L, 6L, 7L, 8L, 9L),
+      s"audit must show staged rows escaping the active delete, got $audit")
+    // a delete installed BETWEEN stage and publish kills base key 6
+    // but must not touch the staged rows (published after it)
+    LedgerMaintenance.deleteByKeys(spark, dir.toString, Seq("id"),
+      spark.range(6, 7).selectExpr("id")): Unit                             // v3
+    LedgerRefs.publishWap(dir, "w1"): Unit                                  // v4
+    assert(ids(dir) == Set(0L, 1L, 2L, 3L, 7L, 8L, 9L))
+  }
+
   test("vacuum protects live sidecars; DVs compose with equality deletes") {
     val dir = freshDir()
     write(dir, spark.range(0, 12).selectExpr("id", "id AS v"), "overwrite")
