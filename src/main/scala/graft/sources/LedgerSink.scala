@@ -3978,8 +3978,13 @@ private[sources] class LedgerChangeFeedScan(dir: Path, from: Int, to: Int)
         (out.fields.map(f => m.schema.fieldNames.indexOf(f.name)),
           m.schema.length)
     }
+    // each side reads through ITS OWN merge-on-read state (DVs by
+    // entry identity, equality deletes by the side's manifest): the
+    // multiset diff then sees LOGICAL rows, so a rewrite that
+    // materializes deletes cancels exactly
     LedgerFilePartition(dir.resolve(e.file).toString, positions, width,
-      e.dv.map(dir.resolve(_).toString))
+      e.dv.map(dir.resolve(_).toString),
+      eqd = LedgerSink.eqdBindings(dir, m, e))
   }
 
   /** Entry identity includes the deletion vector: a DV-only change to
@@ -3993,21 +3998,28 @@ private[sources] class LedgerChangeFeedScan(dir: Path, from: Int, to: Int)
       val prev =
         if (v - 1 == 0) LedgerSink.Manifest.fresh(cur.schema, Seq.empty[String])
         else LedgerSink.readManifestAt(dir, Some(v - 1)).get
-      // an equality-delete install changes NO files — the file diff
-      // would read as an empty step while rows logically died
       if (cur.eqDeletes != prev.eqDeletes)
-        throw new UnsupportedOperationException(
-          s"change feed step v$v installs equality deletes, which the " +
-            "file-diff feed cannot express; OPTIMIZE (materializing " +
-            "the deletes) and read the feed from there")
-      val curKeys = cur.files.map(keyOf).toSet
-      val prevKeys = prev.files.map(keyOf).toSet
-      val added = cur.files.filterNot(e => prevKeys(keyOf(e)))
-      val removed = prev.files.filterNot(e => curKeys(keyOf(e)))
-      if (added.isEmpty && removed.isEmpty) None
-      else Some(LedgerChangeStepPartition(v,
-        added.map(bind(cur, _)).toArray,
-        removed.map(bind(prev, _)).toArray): InputPartition)
+        // an equality-delete change alters which rows are LIVE without
+        // touching a file: diff the WHOLE logical state (every file on
+        // both sides, each through its side's delete set) — unchanged
+        // rows cancel in the multiset diff and exactly the rows the
+        // new deletes killed emit as `delete` (an upsert commit's
+        // appended files emit as `insert` alongside). O(table) reads
+        // for the step — the price of row-level answers about a
+        // metadata-only commit; pure install/GC steps are rare.
+        Some(LedgerChangeStepPartition(v,
+          cur.files.map(bind(cur, _)).toArray,
+          prev.files.map(bind(prev, _)).toArray): InputPartition)
+      else {
+        val curKeys = cur.files.map(keyOf).toSet
+        val prevKeys = prev.files.map(keyOf).toSet
+        val added = cur.files.filterNot(e => prevKeys(keyOf(e)))
+        val removed = prev.files.filterNot(e => curKeys(keyOf(e)))
+        if (added.isEmpty && removed.isEmpty) None
+        else Some(LedgerChangeStepPartition(v,
+          added.map(bind(cur, _)).toArray,
+          removed.map(bind(prev, _)).toArray): InputPartition)
+      }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -281,8 +281,11 @@ private[sources] class LedgerChangeFeedStream(dir: Path,
         (dataSchema.fields.map(f =>
           m.schema.fieldNames.indexOf(f.name)), m.schema.length)
     }
+    // each side reads through ITS OWN merge-on-read state — see the
+    // batch change feed's bind
     LedgerFilePartition(dir.resolve(e.file).toString, positions, width,
-      e.dv.map(d => dir.resolve(d).toString))
+      e.dv.map(d => dir.resolve(d).toString),
+      eqd = LedgerSink.eqdBindings(dir, m, e))
   }
 
   override def planInputPartitions(
@@ -295,22 +298,23 @@ private[sources] class LedgerChangeFeedStream(dir: Path,
         if (v - 1 == 0)
           LedgerSink.Manifest.fresh(cur.schema, Seq.empty[String])
         else LedgerSink.readManifestAt(dir, Some(v - 1)).get
-      // an equality-delete install changes NO files — the file diff
-      // would read as an empty step while rows logically died
       if (cur.eqDeletes != prev.eqDeletes)
-        throw new UnsupportedOperationException(
-          s"change feed step v$v installs equality deletes, which the " +
-            "file-diff feed cannot express; OPTIMIZE (materializing " +
-            "the deletes) and stream from there")
-      def keyOf(en: LedgerSink.FileEntry) = (en.file, en.dv)
-      val curKeys = cur.files.map(keyOf).toSet
-      val prevKeys = prev.files.map(keyOf).toSet
-      val added = cur.files.filterNot(en => prevKeys(keyOf(en)))
-      val removed = prev.files.filterNot(en => curKeys(keyOf(en)))
-      if (added.isEmpty && removed.isEmpty) None
-      else Some(LedgerChangeStepPartition(v,
-        added.map(bind(cur, _)).toArray,
-        removed.map(bind(prev, _)).toArray): InputPartition)
+        // an equality-delete change alters LIVE rows with no file
+        // change: diff the whole logical state (see the batch feed)
+        Some(LedgerChangeStepPartition(v,
+          cur.files.map(bind(cur, _)).toArray,
+          prev.files.map(bind(prev, _)).toArray): InputPartition)
+      else {
+        def keyOf(en: LedgerSink.FileEntry) = (en.file, en.dv)
+        val curKeys = cur.files.map(keyOf).toSet
+        val prevKeys = prev.files.map(keyOf).toSet
+        val added = cur.files.filterNot(en => prevKeys(keyOf(en)))
+        val removed = prev.files.filterNot(en => curKeys(keyOf(en)))
+        if (added.isEmpty && removed.isEmpty) None
+        else Some(LedgerChangeStepPartition(v,
+          added.map(bind(cur, _)).toArray,
+          removed.map(bind(prev, _)).toArray): InputPartition)
+      }
     }.toArray
   }
 

@@ -113,7 +113,7 @@ class EqualityDeleteSpec extends graft.SparkSpec {
     assert(m.eqDeletes.isEmpty && m.files.map(_.rows).sum == 8)
   }
 
-  test("honesty: CDC and the change feed refuse equality-delete commits; the stream skips them") {
+  test("append-only CDC refuses equality-delete commits; the row-level feed expresses them") {
     val dir = freshDir()
     write(dir, spark.range(0, 10).selectExpr("id", "id AS v"), "overwrite")
     LedgerMaintenance.deleteByKeys(spark, dir.toString, Seq("id"),
@@ -123,14 +123,33 @@ class EqualityDeleteSpec extends graft.SparkSpec {
       spark.read.format(ledger).option("path", dir.toString)
         .option("changesFromVersion", "1").load().count())
     assert(e1.getMessage.contains("equality-delete"))
-    val e2 = intercept[Exception](
-      spark.read.format(ledger).option("path", dir.toString)
-        .option("readChangeFeed", "true")
-        .option("changesFromVersion", "1").load().count())
-    assert(e2.getMessage.contains("equality deletes"))
+    // the ROW-LEVEL feed diffs the logical state: the delete commit
+    // emits exactly the two killed rows, the append its three inserts
+    val feed = spark.read.format(ledger).option("path", dir.toString)
+      .option("readChangeFeed", "true")
+      .option("changesFromVersion", "1").load()
+      .select("id", "_change_type", "_commit_version").collect()
+    val byType = feed.groupBy(_.getString(1))
+      .map { case (t, rs) => t -> rs.map(_.getLong(0)).sorted.toSeq }
+    assert(byType("delete") == Seq(0L, 1L))
+    assert(byType("insert") == Seq(20L, 21L, 22L))
+    assert(feed.filter(_.getString(1) == "delete")
+      .forall(_.getInt(2) == 2), "deletes belong to the install commit")
+    // pre(v1) ∪ inserts ∖ deletes == live
+    assert(read(dir).count() == 10 - 2 + 3)
     // a from-version at the delete commit reads the pure append fine
     assert(spark.read.format(ledger).option("path", dir.toString)
       .option("changesFromVersion", "2").load().count() == 3)
+    // an UPSERT commit feeds as its deletes + inserts in one step
+    LedgerMaintenance.upsertByKeys(spark, dir.toString, Seq("id"),
+      spark.range(5, 7).selectExpr("id", "id + 800 AS v")): Unit     // v4
+    val up = spark.read.format(ledger).option("path", dir.toString)
+      .option("readChangeFeed", "true")
+      .option("changesFromVersion", "3").load()
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(up == Set((5L, 5L, "delete"), (6L, 6L, "delete"),
+      (5L, 805L, "insert"), (6L, 806L, "insert")))
   }
 
   test("guards: dropping an eq-keyed column refuses; rename keeps the delete applying") {
