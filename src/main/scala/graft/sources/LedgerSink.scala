@@ -2401,6 +2401,22 @@ object LedgerMaintenance {
     ids
   }
 
+  /** Key matching happens in ENCODED space, so the key relation's
+    * column types must equal the table's exactly — a double key
+    * against a long column would encode differently and silently
+    * match nothing. */
+  private def checkKeyTypes(m: LedgerSink.Manifest, keyCols: Seq[String],
+      provided: StructType): Unit =
+    keyCols.foreach { c =>
+      val want = m.schema.fields(m.schema.fieldIndex(c)).dataType
+      val got = provided.find(_.name == c).map(_.dataType)
+      require(got.contains(want),
+        s"equality-delete key $c: provided relation has " +
+          s"${got.map(_.simpleString).getOrElse("no such column")}, the " +
+          s"table column is ${want.simpleString} — encoded-tuple " +
+          "matching needs identical types (CAST the keys first)")
+    }
+
   /** Stage `tuples` (already projected to the key columns, in order)
     * as equality-delete sidecars via a scratch-ledger write — the
     * ledger row codec IS the sidecar codec, one encoded tuple per
@@ -2451,6 +2467,7 @@ object LedgerMaintenance {
     val m = LedgerSink.readManifest(dir).getOrElse(
       throw new IllegalArgumentException(s"no ledger table at $dirStr"))
     val fieldIds = eqKeyIds(m, keyCols)
+    checkKeyTypes(m, keyCols, keys.schema)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val (staged, nKeys) = stageEqdSidecars(spark, dir,
       keys.selectExpr(keyCols: _*).distinct(), tag)
@@ -2498,6 +2515,10 @@ object LedgerMaintenance {
       "upsertByKeys stages unpartitioned appends only; partitioned " +
         "tables take the MoR MERGE path")
     val fieldIds = eqKeyIds(m, keyCols)
+    // the whole row schema must match by type, not just the keys: the
+    // staged files' entries remap POSITIONALLY to the target's ids
+    m.schema.fields.foreach(f =>
+      checkKeyTypes(m, Seq(f.name), rows.schema))
     LedgerConstraints.constraintsOf(m.props).foreach { case (n, sql) =>
       val bad = rows.filter(s"($sql) <=> false").count()
       if (bad > 0) throw new IllegalArgumentException(
