@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object MetadataTables {
 
   /** Inspection suffixes, in the Iceberg naming. */
-  val Names: Set[String] = Set("files", "history", "partitions", "refs")
+  val Names: Set[String] =
+    Set("files", "history", "partitions", "refs", "eq_deletes")
 
   /** A spec field rendered for display: `region`, `bucket(4,id)`,
     * `days(ts)`. */
@@ -45,6 +46,7 @@ object MetadataTables {
       case "history" => Some(history(dir, qualified))
       case "partitions" => Some(partitions(dir, qualified))
       case "refs" => Some(refs(dir, qualified))
+      case "eq_deletes" => Some(eqDeletes(dir, qualified))
       case _ => None
     }
 
@@ -61,7 +63,7 @@ object MetadataTables {
       Seq(e.file, m.specOf(e), e.rows,
         e.min.orNull, e.max.orNull,
         if (part.isEmpty) null else part,
-        e.dv.orNull, e.bloom.orNull)
+        e.dv.orNull, e.bloom.orNull, e.seq.orNull)
     }
     new StaticRowsTable(s"$qualified.files", StructType(Seq(
       StructField("file", StringType, nullable = false),
@@ -71,7 +73,23 @@ object MetadataTables {
       StructField("stat_max", LongType),
       StructField("partition", StringType),
       StructField("dv", StringType),
-      StructField("bloom", StringType))), rows)
+      StructField("bloom", StringType),
+      StructField("data_seq", IntegerType))), rows)
+  }
+
+  /** One row per ACTIVE equality delete: its sidecar, install version,
+    * and key columns (resolved to current names — the delete keys on
+    * field ids, so renames never detach it). */
+  private def eqDeletes(dir: Path, qualified: String): Table = {
+    val m = LedgerSink.readManifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no ledger table at $dir"))
+    val rows: Seq[Seq[Any]] = m.eqDeletes.map(d =>
+      Seq(d.file, d.version,
+        d.fieldIds.map(id => m.fieldOfId(id).name).mkString(",")))
+    new StaticRowsTable(s"$qualified.eq_deletes", StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("key_columns", StringType, nullable = false))), rows)
   }
 
   /** One row per readable version, with its commit timestamp (null on
@@ -83,7 +101,8 @@ object MetadataTables {
         val m = LedgerSink.readManifestAt(dir, Some(v)).get
         Seq(v, LedgerSink.commitTs(dir, v).orNull,
           m.files.length, m.files.map(_.rows).sum,
-          m.files.count(_.dv.nonEmpty), if (v == cur) 1 else 0)
+          m.files.count(_.dv.nonEmpty), m.eqDeletes.length,
+          if (v == cur) 1 else 0)
       }
     new StaticRowsTable(s"$qualified.history", StructType(Seq(
       StructField("version", IntegerType, nullable = false),
@@ -91,6 +110,7 @@ object MetadataTables {
       StructField("n_files", IntegerType, nullable = false),
       StructField("n_physical_rows", LongType, nullable = false),
       StructField("n_dvs", IntegerType, nullable = false),
+      StructField("n_eqdels", IntegerType, nullable = false),
       StructField("is_current", IntegerType, nullable = false))), rows)
   }
 

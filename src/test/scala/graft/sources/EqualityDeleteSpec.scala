@@ -170,6 +170,16 @@ class EqualityDeleteSpec extends graft.SparkSpec {
       spark.sql("ALTER TABLE eqd_cat.ns.t RENAME COLUMN id TO ident")
       assert(spark.sql("SELECT count(*) FROM eqd_cat.ns.t")
         .collect()(0).getLong(0) == 6)
+      // the inspection surface shows the active delete under the NEW
+      // name, and data sequences on the files once tracking started
+      val insp = spark.sql(
+        "SELECT version, key_columns FROM eqd_cat.ns.t.eq_deletes").collect()
+      assert(insp.nonEmpty && insp.forall(r =>
+        r.getInt(0) == 3 && r.getString(1) == "ident"),
+        s"one install commit, keyed on the renamed column: ${insp.toSeq}")
+      assert(spark.sql(
+        "SELECT max(n_eqdels) FROM eqd_cat.ns.t.history")
+        .collect()(0).getInt(0) == insp.length)
       // a delete keyed on a column some file predates refuses
       spark.sql("ALTER TABLE eqd_cat.ns.t ADD COLUMN extra BIGINT")
       val e2 = intercept[IllegalArgumentException](
