@@ -92,14 +92,29 @@ object Orchestrator {
   def runRecorded(objectKey: String,
       timeoutSeconds: Long = jobTimeoutSeconds)(
       runJob: Job => Unit): Seq[JobResult] =
-    route(objectKey).map { job =>
-      withBudget(timeoutSeconds, s"job $job")(runJob(job)) match {
-        case None => JobResult(job, "succeeded", None)
-        case Some(err) if err.startsWith("timeout") =>
-          JobResult(job, "timeout", Some(err))
-        case Some(err) => JobResult(job, "failed", Some(err))
-      }
+    route(objectKey).map(job =>
+      toResult(job, withBudget(timeoutSeconds, s"job $job")(runJob(job))))
+
+  /** One outcome classification for both runners. */
+  private def toResult(job: Job, outcome: Option[String]): JobResult =
+    outcome match {
+      case None => JobResult(job, "succeeded", None)
+      case Some(err) if err.startsWith("timeout") =>
+        JobResult(job, "timeout", Some(err))
+      case Some(err) => JobResult(job, "failed", Some(err))
     }
+
+  /** One crawl-gating rule for both runners: crawl once, iff any job
+    * succeeded, under the crawler's own budget. */
+  private def crawlAfter(results: Seq[JobResult])(
+      crawl: Seq[Job] => Unit): (Seq[JobResult], Option[String]) = {
+    val succeeded = results.filter(_.succeeded).map(_.job)
+    val crawlStatus =
+      if (succeeded.isEmpty) None
+      else Some(withBudget(crawlTimeoutSeconds, "crawler")(
+        crawl(succeeded)).fold("succeeded")(identity))
+    (results, crawlStatus)
+  }
 
   /** [[runRecorded]] with the routed jobs running as CONCURRENT Spark
     * jobs — a documented semantics-preserving deviation from the
@@ -122,12 +137,8 @@ object Orchestrator {
     val results = new Array[JobResult](jobs.length)
     val threads = jobs.zipWithIndex.map { case (job, i) =>
       val t = new Thread(() => {
-        results(i) = withBudget(timeoutSeconds, s"job $job")(runJob(job)) match {
-          case None => JobResult(job, "succeeded", None)
-          case Some(err) if err.startsWith("timeout") =>
-            JobResult(job, "timeout", Some(err))
-          case Some(err) => JobResult(job, "failed", Some(err))
-        }
+        results(i) =
+          toResult(job, withBudget(timeoutSeconds, s"job $job")(runJob(job)))
       }, s"graft-orchestrator-fanout-$job")
       t.setDaemon(true)
       t.start()
@@ -140,15 +151,8 @@ object Orchestrator {
   /** [[runAndCrawlRecorded]] over the concurrent fan-out: jobs overlap,
     * the crawl still runs once afterwards iff any job succeeded. */
   def runAndCrawlRecordedConcurrent(objectKey: String)(runJob: Job => Unit)(
-      crawl: Seq[Job] => Unit): (Seq[JobResult], Option[String]) = {
-    val results = runRecordedConcurrent(objectKey)(runJob)
-    val succeeded = results.filter(_.succeeded).map(_.job)
-    val crawlStatus =
-      if (succeeded.isEmpty) None
-      else Some(withBudget(crawlTimeoutSeconds, "crawler")(
-        crawl(succeeded)).fold("succeeded")(identity))
-    (results, crawlStatus)
-  }
+      crawl: Seq[Job] => Unit): (Seq[JobResult], Option[String]) =
+    crawlAfter(runRecordedConcurrent(objectKey)(runJob))(crawl)
 
   /** Sequential run; failures/timeouts are recorded-and-skipped per
     * job ([[runRecorded]] has the statuses). Returns jobs in execution
@@ -172,15 +176,8 @@ object Orchestrator {
 
   /** [[runAndCrawl]] with the per-job and crawl outcomes exposed. */
   def runAndCrawlRecorded(objectKey: String)(runJob: Job => Unit)(
-      crawl: Seq[Job] => Unit): (Seq[JobResult], Option[String]) = {
-    val results = runRecorded(objectKey)(runJob)
-    val succeeded = results.filter(_.succeeded).map(_.job)
-    val crawlStatus =
-      if (succeeded.isEmpty) None
-      else Some(withBudget(crawlTimeoutSeconds, "crawler")(
-        crawl(succeeded)).fold("succeeded")(identity))
-    (results, crawlStatus)
-  }
+      crawl: Seq[Job] => Unit): (Seq[JobResult], Option[String]) =
+    crawlAfter(runRecorded(objectKey)(runJob))(crawl)
 
   /** One S3 ObjectCreated record inside an event envelope
     * (`event['Records'][i]['s3']`, lambda:20-22). */

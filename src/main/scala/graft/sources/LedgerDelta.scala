@@ -192,6 +192,10 @@ private[sources] class LedgerDeltaBatchWrite(dir: Path,
             cur.specId == snap.specId &&
             LedgerConstraints.constraintsOf(cur.props) ==
               LedgerConstraints.constraintsOf(snap.props) &&
+            // update images / inserts commit with a fresh data
+            // sequence: an equality delete installed after planning
+            // would be escaped by them — conflict instead
+            cur.eqDeletes == snap.eqDeletes &&
             newDvs.keySet.forall(f => cur.files.exists(e =>
               e.file == f && e.dv == snapDv.getOrElse(f, None))) =>
         Some(cur.copy(files = cur.files.map(e =>

@@ -24,18 +24,18 @@ import org.apache.spark.sql.sources.EqualTo
   * than assumed. */
 object LedgerLifecycle {
 
-  private def ledger = classOf[LedgerSink].getName
+  private[sources] def ledger = classOf[LedgerSink].getName
 
-  private def catalogRoot: String =
+  private[sources] def catalogRoot: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt"
 
-  private def initCatalog(spark: SparkSession): Unit = {
+  private[sources] def initCatalog(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.catalog.graft_cat",
       classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
   }
 
-  private def tag(sfDir: String): String =
+  private[sources] def tag(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
   private def deleteRecursively(dirStr: String): Unit = {

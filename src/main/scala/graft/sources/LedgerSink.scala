@@ -1382,16 +1382,28 @@ object LedgerSink {
           s"(${known.head._2}) of ledger $dir"))
   }
 
-  /** A `timestampAsOf` option value: epoch millis when all digits,
-    * otherwise a `yyyy-MM-dd HH:mm:ss[.SSS]` / ISO-8601 local
-    * timestamp interpreted in the session default zone (how Spark
-    * evaluates the SQL `TIMESTAMP AS OF` expression too). */
+  /** A `timestampAsOf` option value: epoch millis when all digits;
+    * otherwise zone-suffixed ISO-8601, a `yyyy-MM-dd[ HH:mm:ss[.SSS]]`
+    * local timestamp (default zone — how Spark evaluates the SQL
+    * `TIMESTAMP AS OF` expression too), or a bare date (midnight).
+    * Unparseable values fail as IllegalArgumentException naming the
+    * option, like every other bad ledger read option. */
   private[sources] def parseTsMillis(s: String): Long =
     if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
     else {
-      val iso = s.trim.replace(' ', 'T')
-      java.time.LocalDateTime.parse(iso)
-        .atZone(java.time.ZoneId.systemDefault()).toInstant.toEpochMilli
+      val t = s.trim.replace(' ', 'T')
+      val zone = java.time.ZoneId.systemDefault()
+      def attempt(f: => Long): Option[Long] =
+        try Some(f)
+        catch { case _: java.time.format.DateTimeParseException => None }
+      attempt(java.time.OffsetDateTime.parse(t).toInstant.toEpochMilli)
+        .orElse(attempt(java.time.LocalDateTime.parse(t)
+          .atZone(zone).toInstant.toEpochMilli))
+        .orElse(attempt(java.time.LocalDate.parse(t)
+          .atStartOfDay(zone).toInstant.toEpochMilli))
+        .getOrElse(throw new IllegalArgumentException(
+          s"timestampAsOf: cannot parse '$s' as epoch millis, ISO-8601, " +
+            "or 'yyyy-MM-dd[ HH:mm:ss[.SSS]]'"))
     }
 
   /** The next commit's timestamp: now, bumped past the current
@@ -2369,11 +2381,15 @@ object LedgerMaintenance {
     try LedgerSink.commitRebase(dir, cur =>
       cur.filter(c => newDvs.keySet.subsetOf(c.files
           .filter(e => m.files.exists(o => o.file == e.file && o.dv == e.dv))
-          .map(_.file).toSet))
+          .map(_.file).toSet) &&
+          // the update images commit with a fresh data sequence: an
+          // equality delete installed after planning would be escaped
+          // by them (resurrection) — conflict instead
+          c.eqDeletes == m.eqDeletes)
         .map(c => c.copy(files = c.files.map(e =>
           newDvs.get(e.file).fold(e)(d => e.copy(dv = Some(d)))) ++ moved)),
       s"updateMoR on $dirStr raced a commit that rewrote one of its " +
-        "target files; re-run the update")
+        "target files or installed equality deletes; re-run the update")
     catch {
       case ex: java.util.ConcurrentModificationException =>
         cleanup(); throw ex
@@ -2390,10 +2406,20 @@ object LedgerMaintenance {
       keyCols: Seq[String]): Seq[Int] = {
     require(keyCols.nonEmpty, "equality delete needs at least one key column")
     val ids = keyCols.map(m.idOf)
-    val missing = m.files.filter(e => ids.exists(id => e.ids match {
-      case Some(fids) => !fids.contains(id)
-      case None => !m.ids.contains(id)
-    }))
+    // a legacy (id-less) entry's column layout is unknowable from the
+    // manifest — a key column added after the file was written would
+    // read as null and the delete would silently match nothing, so
+    // refuse outright (the current manifest's ids would always
+    // "contain" the freshly resolved key id — no test against them
+    // can catch this)
+    val legacy = m.files.filter(_.ids.isEmpty)
+    if (legacy.nonEmpty) throw new IllegalArgumentException(
+      s"equality delete on ${keyCols.mkString(",")}: ${legacy.length} " +
+        s"legacy (id-less) data file(s) (e.g. ${legacy.head.file}) have " +
+        "no recorded column layout; rewrite them (optimizeSorted or " +
+        "re-append) first")
+    val missing = m.files.filter(e =>
+      ids.exists(id => !e.ids.exists(_.contains(id))))
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"equality delete on ${keyCols.mkString(",")}: ${missing.length} " +
         s"data file(s) predate the column(s) (e.g. ${missing.head.file}); " +
@@ -4020,17 +4046,8 @@ private[sources] class LedgerChangeFeedScan(dir: Path, from: Int, to: Int)
         if (v - 1 == 0) LedgerSink.Manifest.fresh(cur.schema, Seq.empty[String])
         else LedgerSink.readManifestAt(dir, Some(v - 1)).get
       if (cur.eqDeletes != prev.eqDeletes)
-        // an equality-delete change alters which rows are LIVE without
-        // touching a file: diff the WHOLE logical state (every file on
-        // both sides, each through its side's delete set) — unchanged
-        // rows cancel in the multiset diff and exactly the rows the
-        // new deletes killed emit as `delete` (an upsert commit's
-        // appended files emit as `insert` alongside). O(table) reads
-        // for the step — the price of row-level answers about a
-        // metadata-only commit; pure install/GC steps are rare.
-        Some(LedgerChangeStepPartition(v,
-          cur.files.map(bind(cur, _)).toArray,
-          prev.files.map(bind(prev, _)).toArray): InputPartition)
+        LedgerChangeFeedScan.eqDeleteStepPartitions(
+          dir, v, prev, cur, bind)
       else {
         val curKeys = cur.files.map(keyOf).toSet
         val prevKeys = prev.files.map(keyOf).toSet
@@ -4048,6 +4065,45 @@ private[sources] class LedgerChangeFeedScan(dir: Path, from: Int, to: Int)
 }
 
 private[sources] object LedgerChangeFeedScan {
+
+  /** Step partitions for a commit that CHANGED the equality-delete
+    * set. When no file was removed (install / upsert — the common
+    * shapes, since every rewrite kind conflicts on a concurrent
+    * delete change), no cross-FILE cancellation is possible, so the
+    * step splits into ONE PARTITION PER AFFECTED FILE: appended files
+    * emit as pure inserts, a surviving file whose applicable-delete
+    * set (or DV) changed self-diffs cur-side against prev-side
+    * (emitting exactly its newly killed rows), and untouched files
+    * are never read — parallel, and each task bounded by one file.
+    * A step that also REMOVED files (OPTIMIZE's delete GC) needs the
+    * whole-state diff in one partition: rewritten rows cancel ACROSS
+    * files. */
+  private[sources] def eqDeleteStepPartitions(
+      dir: Path, v: Int,
+      prev: LedgerSink.Manifest, cur: LedgerSink.Manifest,
+      bind: (LedgerSink.Manifest, LedgerSink.FileEntry) => LedgerFilePartition)
+      : Seq[InputPartition] = {
+    val prevByName = prev.files.map(e => e.file -> e).toMap
+    val curNames = cur.files.map(_.file).toSet
+    if (prev.files.exists(e => !curNames(e.file)))
+      Seq(LedgerChangeStepPartition(v,
+        cur.files.map(bind(cur, _)).toArray,
+        prev.files.map(bind(prev, _)).toArray))
+    else cur.files.flatMap { e =>
+      prevByName.get(e.file) match {
+        case None => // appended by this commit: pure inserts
+          Some(LedgerChangeStepPartition(v,
+            Array(bind(cur, e)), Array.empty[LedgerFilePartition]))
+        case Some(pe) =>
+          if (pe.dv != e.dv ||
+            prev.eqDeletesFor(pe) != cur.eqDeletesFor(e))
+            Some(LedgerChangeStepPartition(v,
+              Array(bind(cur, e)), Array(bind(prev, pe))))
+          else None // identical logical content: skip, never read
+      }
+    }
+  }
+
   /** Per-step multiset diff: count added rows up, removed rows down;
     * positive residues emit as `insert`, negative as `delete`. Keyed
     * on the DECODED field values (boxed equality — UTF8String by
@@ -4411,14 +4467,27 @@ private[sources] class LedgerRowLevelOperation(
   @volatile private[sources] var scannedFiles: Seq[String] = Seq.empty
   @volatile private[sources] var scannedEntries
       : Seq[(String, Option[String])] = Seq.empty
+  /** The equality-delete set the operation PLANNED against: its scan
+    * materialized exactly these into the replacement rows, and the
+    * replacement files commit with a fresh data sequence that escapes
+    * every delete — so a delete installed after planning must CONFLICT
+    * or its rows would resurrect through the rewrite. Captured at
+    * scan-builder creation; a delete landing between this read and the
+    * scan's own manifest read only makes the commit conflict
+    * spuriously (safe), never silently pass. */
+  @volatile private[sources] var plannedEqDeletes
+      : Seq[LedgerSink.EqDelete] = Seq.empty
 
   override def command: RowLevelOperation.Command = cmd
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    plannedEqDeletes = LedgerSink.readManifest(dir)
+      .map(_.eqDeletes).getOrElse(Seq.empty)
     new LedgerScanBuilder(dir, schema,
       onPlanned = files => scannedFiles = files,
       onPlannedEntries = es =>
         scannedEntries = es.map(e => (e.file, e.dv)))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -4482,12 +4551,16 @@ private[sources] class LedgerRowLevelOperation(
                 m.namedPartitionSpec == spec && m.specId == sid &&
                   LedgerConstraints.constraintsOf(m.props) == cs
               }
-              if (!specOk || !replacedPairs.subsetOf(curPairs)) None
+              // an equality delete installed after planning would be
+              // escaped by the replacement files' fresh data sequence
+              // (the scan only materialized the PLANNED set)
+              val eqdOk = m.eqDeletes == plannedEqDeletes
+              if (!specOk || !eqdOk || !replacedPairs.subsetOf(curPairs)) None
               else Some(m.copy(
                 files = m.files.filterNot(e => replacedNames(e.file)) ++ fresh))
             }, s"row-level $cmd on $dir raced a commit that rewrote one of " +
-              "its scanned files or changed the partition spec; re-run " +
-              "the operation")
+              "its scanned files, changed the partition spec, or " +
+              "installed equality deletes; re-run the operation")
           }
 
           override def abort(messages: Array[WriterCommitMessage]): Unit =

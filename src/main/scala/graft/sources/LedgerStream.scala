@@ -300,10 +300,9 @@ private[sources] class LedgerChangeFeedStream(dir: Path,
         else LedgerSink.readManifestAt(dir, Some(v - 1)).get
       if (cur.eqDeletes != prev.eqDeletes)
         // an equality-delete change alters LIVE rows with no file
-        // change: diff the whole logical state (see the batch feed)
-        Some(LedgerChangeStepPartition(v,
-          cur.files.map(bind(cur, _)).toArray,
-          prev.files.map(bind(prev, _)).toArray): InputPartition)
+        // change: per-affected-file self-diff partitions (see the
+        // batch feed's eqDeleteStepPartitions)
+        LedgerChangeFeedScan.eqDeleteStepPartitions(dir, v, prev, cur, bind)
       else {
         def keyOf(en: LedgerSink.FileEntry) = (en.file, en.dv)
         val curKeys = cur.files.map(keyOf).toSet

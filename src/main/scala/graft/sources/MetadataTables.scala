@@ -150,13 +150,13 @@ object MetadataTables {
     * MoR delete while the live read shrinks — the gate pins both. */
   def metadataTables(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt"
-    spark.conf.set("spark.sql.catalog.graft_cat",
-      classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_cat.root", root)
+    // one catalog bootstrap for all gates (Spark caches catalog
+    // instances by name with their first-seen root)
+    LedgerLifecycle.initCatalog(spark)
+    val tag = LedgerLifecycle.tag(sfDir)
     val t = s"graft_cat.meta.insp_$tag"
-    val dir = java.nio.file.Paths.get(root, "meta", s"insp_$tag")
+    val dir = java.nio.file.Paths.get(
+      LedgerLifecycle.catalogRoot, "meta", s"insp_$tag")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.meta")
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(

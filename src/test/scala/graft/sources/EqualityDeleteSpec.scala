@@ -192,6 +192,83 @@ class EqualityDeleteSpec extends graft.SparkSpec {
     }
   }
 
+  test("a rewrite racing an equality-delete install conflicts (no resurrection)") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 10).selectExpr("id", "id AS v"), "overwrite")
+    // hold the table's commit lock so updateMoR PLANS (lock-free) and
+    // then blocks at its commit; install an equality delete underneath
+    // via the raw manifest writer (test-only lock bypass); on release
+    // the rebase must CONFLICT — committing would give the update
+    // images a fresh sequence that escapes the delete
+    @volatile var err: Throwable = null
+    val t = new Thread(() =>
+      try LedgerMaintenance.updateMoR(spark, dir.toString,
+        Array(org.apache.spark.sql.sources.EqualTo("id", 5L)),
+        Map("v" -> "v + 100")): Unit
+      catch { case e: Throwable => err = e })
+    LedgerSink.withCommitLock(dir) {
+      t.start()
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+      while (t.getState != Thread.State.BLOCKED &&
+        t.getState != Thread.State.TERMINATED && System.nanoTime < deadline)
+        Thread.sleep(10)
+      assert(t.getState == Thread.State.BLOCKED,
+        s"updateMoR should be waiting on the commit lock, is ${t.getState}")
+      val m = LedgerSink.readManifest(dir).get
+      // forge the kill list for key 5 directly (one-line sidecar)
+      Files.createDirectories(dir.resolve("_staging"))
+      Files.write(dir.resolve("_staging/eqd-race.eqdel"),
+        "5\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      LedgerSink.writeManifestAtomic(dir, m.copy(eqDeletes =
+        Seq(LedgerSink.EqDelete("_staging/eqd-race.eqdel", 0,
+          Seq(m.idOf("id"))))))
+    }
+    t.join(60000)
+    assert(err.isInstanceOf[java.util.ConcurrentModificationException],
+      s"expected a conflict, got $err")
+    assert(ids(dir) == ((0L until 10L).toSet - 5L),
+      "the delete must win; the update must not have landed")
+  }
+
+  test("equality deletes refuse legacy (id-less) data files") {
+    val dir = freshDir()
+    Files.createDirectories(dir.resolve("_staging"))
+    Files.write(dir.resolve("_staging/legacy-0.ledger"),
+      "1,10\n2,20\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // forge a legacy manifest: no ids column recorded for the file
+    val m = LedgerSink.Manifest(
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"),
+      Seq(1, 2), 3, Nil,
+      Seq(LedgerSink.FileEntry("_staging/legacy-0.ledger", 2, None, None)))
+    LedgerSink.writeManifestAtomic(dir, m)
+    val e = intercept[IllegalArgumentException](
+      LedgerMaintenance.deleteByKeys(spark, dir.toString, Seq("id"),
+        spark.range(1, 2).selectExpr("id")))
+    assert(e.getMessage.contains("legacy"))
+  }
+
+  test("an equality-delete step plans one partition per affected file") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 10).selectExpr("id", "id AS v").coalesce(1),
+      "overwrite")                                                   // v1: file A
+    write(dir, spark.range(100, 110).selectExpr("id", "id AS v").coalesce(1),
+      "append")                                                      // v2: file B
+    LedgerMaintenance.upsertByKeys(spark, dir.toString, Seq("id"),
+      spark.range(0, 2).selectExpr("id", "id + 900 AS v").coalesce(1)): Unit // v3
+    val scan = new LedgerChangeFeedScan(dir, 2, 3)
+    val parts = scan.planInputPartitions()
+    // two surviving files self-diff + one appended file = 3 parallel
+    // partitions, instead of one whole-table task
+    assert(parts.length == 3, s"got ${parts.length} partitions")
+    val feed = spark.read.format(ledger).option("path", dir.toString)
+      .option("readChangeFeed", "true")
+      .option("changesFromVersion", "2").load()
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((0L, "delete"), (1L, "delete"),
+      (0L, "insert"), (1L, "insert")))
+  }
+
   test("WAP: staged rows escape active equality deletes in audit and after publish") {
     val dir = freshDir()
     write(dir, spark.range(0, 10).selectExpr("id", "id AS v"), "overwrite") // v1

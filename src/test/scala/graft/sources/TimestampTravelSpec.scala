@@ -123,6 +123,18 @@ class TimestampTravelSpec extends graft.SparkSpec {
     assert(readTs(dir, before(4)).count() == 10 + 3 * 2)
   }
 
+  test("timestampAsOf parses ISO-with-zone and bare dates; garbage names the option") {
+    assert(LedgerSink.parseTsMillis("1700000000123") == 1700000000123L)
+    assert(LedgerSink.parseTsMillis("1970-01-01T00:00:01Z") == 1000L)
+    assert(LedgerSink.parseTsMillis("1970-01-02") ==
+      java.time.LocalDate.of(1970, 1, 2)
+        .atStartOfDay(java.time.ZoneId.systemDefault())
+        .toInstant.toEpochMilli)
+    val e = intercept[IllegalArgumentException](
+      LedgerSink.parseTsMillis("last tuesday"))
+    assert(e.getMessage.contains("timestampAsOf"))
+  }
+
   test("a table without timestamp metadata fails loud on timestampAsOf") {
     val dir = freshDir()
     // forge a LEGACY manifest by hand: no #version header, no #ts
