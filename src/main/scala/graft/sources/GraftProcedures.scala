@@ -89,6 +89,14 @@ private[sources] object GraftProcedures {
       Seq("table" -> StringType),
       StructType(Seq(StructField("reclaimed", IntegerType))),
       (dir, r) => Seq(LedgerSink.vacuum(dir).length)),
+    ProcDef("expire_older_than",
+      "expire history committed strictly before a timestamp (epoch " +
+        "millis or 'yyyy-MM-dd[ HH:mm:ss]'); tags, branch forks and " +
+        "the newest historical version survive",
+      Seq("table" -> StringType, "older_than" -> StringType),
+      StructType(Seq(StructField("expired_versions", IntegerType))),
+      (dir, r) => Seq(LedgerRefs.expireOlderThan(dir,
+        LedgerSink.parseTsMillis(str(r, 1))).length)),
     ProcDef("delete_by_keys",
       "equality delete: kill rows whose key tuple appears in a view, " +
         "reading no data files",

@@ -275,6 +275,25 @@ object LedgerRefs {
     }
   }
 
+  /** Retention by CLOCK (the Delta `vacuum`-retention / Iceberg
+    * `expire_snapshots(older_than)` shape, enabled by the per-commit
+    * timestamps): expire every historical version whose commit time
+    * is strictly before `olderThanMillis`, protecting tags, live
+    * branches' fork points, and the newest historical version (the
+    * rollback target) exactly like [[expireVersions]]. Versions
+    * without a recorded clock (legacy history) are treated as older
+    * than any cutoff — they predate the timestamp feature. Returns
+    * the expired versions, ascending. */
+  def expireOlderThan(dir: Path, olderThanMillis: Long): Seq[Int] =
+    LedgerSink.withCommitLock(dir) {
+      val vs = LedgerSink.archivedVersions(dir)
+      val keep = vs.filter(v =>
+        LedgerSink.commitTs(dir, v).exists(_ >= olderThanMillis)).toSet
+      LedgerSink.dropHistory(dir,
+        keep ++ vs.lastOption.toSet ++ tags(dir).values ++
+          branches(dir).values)
+    }
+
   /** Publish a staged (write-audit-publish) commit: fold exactly its
     * `graft.wap.newfiles` into the table current AT PUBLISH TIME under
     * the optimistic-commit protocol — commits that landed between

@@ -110,6 +110,43 @@ class TimestampTravelSpec extends graft.SparkSpec {
     }
   }
 
+  test("expireOlderThan drops exactly the pre-cutoff history, protecting refs") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")     // v1
+    (2 to 5).foreach(i =>
+      write(dir, spark.range(i * 10L, i * 10L + 2).selectExpr("id"),
+        "append"))                                                   // v2..v5
+    val ts = LedgerSink.commitTimestamps(dir).toMap
+    LedgerRefs.createTag(dir, "pin", Some(1)): Unit // protects v1
+    // cutoff between v3 and v4: v2, v3 expire; v1 survives via the tag
+    val expired = LedgerRefs.expireOlderThan(dir, ts(4))
+    assert(expired == Seq(2, 3), s"got $expired")
+    assert(readTs(dir, ts(4)).count() == 10 + 3 * 2)
+    assert(spark.read.format(ledger).option("path", dir.toString)
+      .option("tagAsOf", "pin").load().count() == 10)
+    val e = intercept[IllegalArgumentException](
+      spark.read.format(ledger).option("path", dir.toString)
+        .option("versionAsOf", "2").load())
+    assert(e.getMessage.contains("no version 2"))
+    // CALL surface: a far-future cutoff expires everything unprotected
+    val root = Files.createTempDirectory("graft_cat_exp")
+    spark.conf.set("spark.sql.catalog.exp_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.exp_cat.root", root.toString)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS exp_cat.ns")
+      spark.sql("CREATE TABLE exp_cat.ns.t (id BIGINT)")
+      spark.sql("INSERT INTO exp_cat.ns.t SELECT id FROM range(0, 5)")
+      spark.sql("INSERT INTO exp_cat.ns.t SELECT id FROM range(5, 9)")
+      val n = spark.sql(
+        "CALL exp_cat.sys.expire_older_than('ns.t', '2999-01-01')")
+        .collect()(0).getInt(0)
+      assert(n == 1, "v1 expires; v2 (newest historical) survives")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS exp_cat.ns.t")
+      spark.conf.unset("spark.sql.catalog.exp_cat")
+    }
+  }
+
   test("retention materializes protected versions with their ORIGINAL clock") {
     val dir = freshDir()
     write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")
