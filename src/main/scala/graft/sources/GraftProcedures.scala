@@ -89,6 +89,17 @@ private[sources] object GraftProcedures {
       Seq("table" -> StringType),
       StructType(Seq(StructField("reclaimed", IntegerType))),
       (dir, r) => Seq(LedgerSink.vacuum(dir).length)),
+    ProcDef("rollback_to_timestamp",
+      "restore the table to the version current at an instant (epoch " +
+        "millis or 'yyyy-MM-dd[ HH:mm:ss]') as a new commit",
+      Seq("table" -> StringType, "timestamp" -> StringType),
+      StructType(Seq(StructField("restored_version", IntegerType),
+        StructField("restored_as", IntegerType))),
+      (dir, r) => {
+        val v = LedgerSink.versionForTimestamp(dir,
+          LedgerSink.parseTsMillis(str(r, 1)))
+        Seq(v, LedgerRefs.restore(dir, v))
+      }),
     ProcDef("expire_older_than",
       "expire history committed strictly before a timestamp (epoch " +
         "millis or 'yyyy-MM-dd[ HH:mm:ss]'); tags, branch forks and " +

@@ -141,6 +141,15 @@ class TimestampTravelSpec extends graft.SparkSpec {
         "CALL exp_cat.sys.expire_older_than('ns.t', '2999-01-01')")
         .collect()(0).getInt(0)
       assert(n == 1, "v1 expires; v2 (newest historical) survives")
+      // rollback by instant: v2's exact boundary restores the 5-row state
+      val dirT = root.resolve("ns").resolve("t")
+      val ts2 = LedgerSink.commitTimestamps(dirT).toMap.apply(2)
+      val rb = spark.sql(
+        s"CALL exp_cat.sys.rollback_to_timestamp('ns.t', '$ts2')")
+        .collect()(0)
+      assert(rb.getInt(0) == 2 && rb.getInt(1) == 4)
+      assert(spark.sql("SELECT count(*) FROM exp_cat.ns.t")
+        .collect()(0).getLong(0) == 5)
     } finally {
       spark.sql("DROP TABLE IF EXISTS exp_cat.ns.t")
       spark.conf.unset("spark.sql.catalog.exp_cat")
