@@ -18,11 +18,22 @@ object Writers {
   def processed(df: DataFrame, path: String, partitionCols: Seq[String],
                 dynamicOverwrite: Boolean = true): Unit = {
     val mode = if (dynamicOverwrite) "dynamic" else "static"
+    // REBALANCE on the partition columns before the partitioned write:
+    // without it every upstream task writes one file into every
+    // Hive partition it touches — tasks × partitions tiny files
+    // (measured: 2538 files for a 31 MB zone; commit, recoverPartitions
+    // and every later scan then pay per-file costs). The AQE rebalance
+    // co-locates each partition's rows (→ one file per partition dir)
+    // while still SPLITTING a skewed partition across tasks at the
+    // advisory size, so a hot month at 100 TB doesn't serialize into
+    // one writer — exactly the adaptive write-distribution trade
+    // `repartition(cols)` alone gets wrong on skew.
     // per-WRITE option, not the session conf: a library function must
     // not flip a global knob — leaving `dynamic` set on the shared
     // session turned unrelated `INSERT OVERWRITE`s on v2 tables into
     // OverwritePartitionsDynamic plans they don't support
-    df.write
+    df.hint("rebalance", partitionCols: _*)
+      .write
       .mode("overwrite")
       .partitionBy(partitionCols: _*)
       .option("partitionOverwriteMode", mode)

@@ -1508,7 +1508,18 @@ object Similarity {
     * any corpus; the driver never sees a row. Hops are fixed
     * ([[graft.sql.Graph]]'s fixed-round contract: both engines run
     * the same rounds, so results agree by construction). */
-  private def graphVisited(spark: SparkSession, dir: String): DataFrame = {
+  private def graphVisited(spark: SparkSession, dir: String): DataFrame =
+    // The visited pool is consumed by BOTH graph queries (top-k readout
+    // and the recall audit); without this cache each pays the full
+    // 5-hop search — ~60 Spark jobs of window/join/cut rounds whose
+    // cost is scheduler/codegen overhead, not data (the r11 driver
+    // record showed exactly this line item blowing up 12x under host
+    // contention). One search per session, two readouts.
+    graft.PlanCache(spark, "ann_graph_visited", dir) {
+      graphVisitedUncached(spark, dir)
+    }
+
+  private def graphVisitedUncached(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val q = all.filter(col("vec_id") < nQueries)
       .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm")

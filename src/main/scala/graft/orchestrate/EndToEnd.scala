@@ -60,11 +60,20 @@ object EndToEnd {
   /** Stage the raw CSV zone for `dir` (idempotent, once per fixture
     * dir per machine; guarded by a marker file + JVM lock). */
   def stageRawZone(spark: SparkSession, dir: String): String = synchronized {
-    val root = s"$tmp/graft_raw_zone/${dirTag(dir)}"
+    // v2: layout version in the path — the marker-file idempotency
+    // would otherwise pin a zone staged by older code (64 shards per
+    // entity) forever on a warm machine.
+    val root = s"$tmp/graft_raw_zone_v2/${dirTag(dir)}"
     val marker = java.nio.file.Paths.get(root, "_STAGED")
     if (!java.nio.file.Files.exists(marker)) {
       entities(spark, dir).foreach { case (name, df) =>
-        df.write.mode("overwrite")
+        // A handful of CSV files per entity, not one-per-task: the raw
+        // zone models the producer's batch drop (the reference ingests
+        // ONE daily csv per entity, lambda:20-22); 64 shards per entity
+        // just multiplies open/parse overhead for all five concurrent
+        // consumer jobs. 4 keeps split parallelism for the big entities
+        // without the tiny-file tax.
+        df.coalesce(4).write.mode("overwrite")
           .option("header", "true")
           .option("timestampFormat", TsFmt)
           .csv(s"$root/$name")
@@ -116,6 +125,13 @@ object EndToEnd {
         expr(s"CAST($digest AS BIGINT)").as("digest"))
       .selectExpr(s"'$zone' AS zone", "n_rows", "digest")
 
+  private def phase[A](name: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_E2E_PROFILE")) {
+      val t0 = System.nanoTime(); val r = f
+      println(f"E2EPHASE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    } else f
+
   def pipelineEndToEnd(spark: SparkSession, dir: String): DataFrame = {
     val raw = stageRawZone(spark, dir)
     val out = s"$tmp/graft_e2e_zones/${dirTag(dir)}"
@@ -145,35 +161,40 @@ object EndToEnd {
     // CONCURRENT Spark jobs — they write disjoint zones, so the only
     // thing the reference's sequential loop adds is idle executors
     // (see [[Orchestrator.runRecordedConcurrent]]'s deviation note).
-    val (results, crawl) =
+    val (results, crawl) = phase("jobs+crawl")(
       Orchestrator.runAndCrawlRecordedConcurrent(
         "incoming/daily_batch_2024_08.csv") {
-        case Orchestrator.SalesRevenue =>
+        case Orchestrator.SalesRevenue => phase("job:SalesRevenue") {
           val sales = SalesRevenue.run(orders, items, products)
           Writers.processed(sales,
             zonePath("processed_sales_transactions"), Seq("year", "month"))
           Writers.curated(Aggregations.revenueByCategory(sales),
             zonePath("curated_revenue_by_category"))
-        case Orchestrator.DeliveryPerformance =>
+        }
+        case Orchestrator.DeliveryPerformance => phase("job:DeliveryPerformance") {
           Writers.curated(
             Aggregations.deliveryPartnerPerformance(
               DeliveryPerformance.run(orders)),
             zonePath("curated_delivery_partner_performance"))
-        case Orchestrator.CustomerFeedback =>
+        }
+        case Orchestrator.CustomerFeedback => phase("job:CustomerFeedback") {
           Writers.curated(
             CustomerFeedback.areaMetrics(CustomerFeedback.enrich(
               feedback, customers, orders, CustomerFeedback.ratingIcons(spark))),
             zonePath("curated_area_feedback_metrics"))
-        case Orchestrator.MarketingRoi =>
+        }
+        case Orchestrator.MarketingRoi => phase("job:MarketingRoi") {
           Writers.curated(
             Aggregations.campaignPerformanceSummary(MarketingRoi.run(marketing)),
             zonePath("curated_campaign_performance_summary"))
-        case Orchestrator.InventoryReconciliation =>
+        }
+        case Orchestrator.InventoryReconciliation => phase("job:InventoryReconciliation") {
           val recon = InventoryReconciliation.run(invOld, invNew, products)
           Writers.curated(Aggregations.categoryInventoryImpact(recon),
             zonePath("curated_category_inventory_impact"))
           Writers.curated(Aggregations.productInventoryDiscrepancies(recon),
             zonePath("curated_product_inventory_discrepancies"))
+        }
       } { _ =>
         // Crawler step: register every curated zone + the partitioned
         // processed zone in the catalog, e2e_-prefixed (see e2eSql).
@@ -183,7 +204,7 @@ object EndToEnd {
           else
             Catalog.registerExternalUnpartitioned(spark, s"e2e_$z", zonePath(z))
         }
-      }
+      })
     val failed = results.filterNot(_.succeeded)
     if (failed.nonEmpty || !crawl.contains("succeeded"))
       throw new IllegalStateException(
@@ -191,11 +212,11 @@ object EndToEnd {
 
     // Athena tier over the crawled tables, then one summary row per
     // zone and per query.
-    val zoneRows = zoneDigests.map { case (z, digest) =>
-      summarize(z, spark.table(s"e2e_$z"), digest) }
-    val queryRows = queryDigests.map { case (q, digest) =>
-      summarize(q, spark.sql(e2eSql(AthenaQueries.all(q))), digest) }
-    (zoneRows ++ queryRows).reduce(_ unionByName _).orderBy("zone")
+    val zoneRows = phase("zoneSummaries")(zoneDigests.map { case (z, digest) =>
+      summarize(z, spark.table(s"e2e_$z"), digest) })
+    val queryRows = phase("querySummaries")(queryDigests.map { case (q, digest) =>
+      summarize(q, spark.sql(e2eSql(AthenaQueries.all(q))), digest) })
+    phase("unionPlan")((zoneRows ++ queryRows).reduce(_ unionByName _).orderBy("zone"))
   }
 
   /** Oracle: identical summaries from the shared CTE registry (the

@@ -85,10 +85,25 @@ private[sources] object GraftProcedures {
             .getOrElse(LedgerSink.currentVersion(dir)))
       }),
     ProcDef("vacuum",
-      "reclaim files no retained version references",
+      "reclaim files no retained version references; staged files " +
+        "younger than the default horizon are kept (in-flight-writer " +
+        "guard) — use remove_orphan_files to set the horizon",
       Seq("table" -> StringType),
       StructType(Seq(StructField("reclaimed", IntegerType))),
       (dir, r) => Seq(LedgerSink.vacuum(dir).length)),
+    ProcDef("remove_orphan_files",
+      "vacuum with an explicit horizon: reclaim unreferenced staged " +
+        "files last modified BEFORE older_than (epoch millis or " +
+        "'yyyy-MM-dd[ HH:mm:ss]') — Iceberg remove_orphan_files " +
+        "semantics; never pass a time a writer could still be " +
+        "staging at",
+      Seq("table" -> StringType, "older_than" -> StringType),
+      StructType(Seq(StructField("reclaimed", IntegerType))),
+      (dir, r) => {
+        val horizon = System.currentTimeMillis() -
+          LedgerSink.parseTsMillis(str(r, 1))
+        Seq(LedgerSink.vacuum(dir, math.max(0L, horizon)).length)
+      }),
     ProcDef("rollback_to_timestamp",
       "restore the table to the version current at an instant (epoch " +
         "millis or 'yyyy-MM-dd[ HH:mm:ss]') as a new commit",

@@ -260,7 +260,12 @@ object LedgerLifecycle {
     val docs = graft.io.Tables.documents(spark, sfDir)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "source", "text")
     (0 until 3).foreach { b =>
-      docs.filter(col("doc_id") % 3 === b)
+      // Two files per commit, not one-per-scan-task: a daily-crawl
+      // append lands as a few well-sized files; ten 100-row files per
+      // commit just multiplies manifest entries, bloom sidecars and
+      // CDC open() calls — measured as the gate's hypersensitivity to
+      // ambient host I/O (r11 driver record 21.6 s vs 7.6 s steady).
+      docs.filter(col("doc_id") % 3 === b).coalesce(2)
         .write.format(ledger).option("path", dir)
         .mode(if (b == 0) "overwrite" else "append").save()          // v(b+1)
     }
@@ -1430,7 +1435,21 @@ object LedgerLifecycle {
     // with v1 — its row-set lives on as the current (v5) manifest
     val expiredOk =
       if (expired == Seq(1, 3)) 1 else 0
-    val vacuumed = LedgerSink.vacuum(root)
+    // In-flight-writer guard: a YOUNG unreferenced staged file is
+    // exactly what a concurrent writer's pre-commit stage looks like
+    // (files land in _staging BEFORE the commit lock); the default
+    // vacuum horizon must keep it — and everything else here is
+    // seconds old too, so the default-horizon call must reclaim
+    // NOTHING. The explicit-0 call below is the single-writer
+    // maintenance-window form that actually reclaims.
+    val inflight = root.resolve("_staging")
+      .resolve("inflight-part-0-99-0.ledger")
+    java.nio.file.Files.write(inflight,
+      "9999|9999|9999\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val youngStagedKept =
+      if (LedgerSink.vacuum(root).isEmpty &&
+        java.nio.file.Files.exists(inflight)) 1 else 0
+    val vacuumed = LedgerSink.vacuum(root, olderThanMillis = 0L)
     val vacuumedGt0 = if (vacuumed.nonEmpty) 1 else 0
     val expiredUnreadable =
       try {
@@ -1450,6 +1469,7 @@ object LedgerLifecycle {
         "n_t", "bal_t", "key_t",
         s"CAST($tagMatches AS INT) AS tag_matches",
         s"CAST($expiredOk AS INT) AS expired_ok",
+        s"CAST($youngStagedKept AS INT) AS young_staged_kept",
         s"CAST($vacuumedGt0 AS INT) AS vacuumed_gt0",
         s"CAST($expiredUnreadable AS INT) AS expired_unreadable",
         s"CAST($keepGuard AS INT) AS keeplast_guard")
@@ -1470,6 +1490,7 @@ object LedgerLifecycle {
          n_r AS n_t, bal_r AS bal_t, key_r AS key_t,
          CAST(1 AS INTEGER) AS tag_matches,
          CAST(1 AS INTEGER) AS expired_ok,
+         CAST(1 AS INTEGER) AS young_staged_kept,
          CAST(1 AS INTEGER) AS vacuumed_gt0,
          CAST(1 AS INTEGER) AS expired_unreadable,
          CAST(1 AS INTEGER) AS keeplast_guard
@@ -1510,7 +1531,10 @@ object LedgerLifecycle {
       spark.read.format(ledger).option("path", dir).load())
     val audit = digestRow(spark.read.format(ledger).option("path", dir)
       .option("wapId", "w1").load())
-    val vacuumKeeps = if (LedgerSink.vacuum(root).isEmpty) 1 else 0
+    // horizon 0 so this pins REFERENCE protection (staged manifests
+    // keep their files live), not the age guard
+    val vacuumKeeps =
+      if (LedgerSink.vacuum(root, olderThanMillis = 0L).isEmpty) 1 else 0
     val vPub = LedgerRefs.publishWap(root, "w1")
     val pubOneVersion = if (vPub == vBefore + 1) 1 else 0
     val pubDigest = spark.read.format(ledger).option("path", dir).load()
@@ -1775,7 +1799,8 @@ object LedgerLifecycle {
       .option("versionAsOf", "5").load(), "v5").collect()(0)
     val expired = LedgerRefs.expireVersions(root, keepLast = 2)
     val expiredOk = if (expired == (1 to 8)) 1 else 0
-    val vacuumEmpty = if (LedgerSink.vacuum(root).isEmpty) 1 else 0
+    val vacuumEmpty =
+      if (LedgerSink.vacuum(root, olderThanMillis = 0L).isEmpty) 1 else 0
     val v5Fails =
       try {
         spark.read.format(ledger).option("path", dir)
@@ -1868,7 +1893,10 @@ object LedgerLifecycle {
     val mainUntouched =
       if (LedgerSink.currentVersion(root) == fork) 1 else 0
     val headOk = if (LedgerRefs.branchHead(root, "audit") == fork + 2) 1 else 0
-    val vacuumKeeps = if (LedgerSink.vacuum(root).isEmpty) 1 else 0
+    // horizon 0 so this pins REFERENCE protection (staged manifests
+    // keep their files live), not the age guard
+    val vacuumKeeps =
+      if (LedgerSink.vacuum(root, olderThanMillis = 0L).isEmpty) 1 else 0
     val vFf = LedgerRefs.fastForward(root, "audit")
     val ffOk = if (vFf == fork + 2 &&
       LedgerRefs.branches(root).isEmpty) 1 else 0
@@ -1887,7 +1915,7 @@ object LedgerLifecycle {
       try { LedgerRefs.fastForward(root, "late"): Unit; 0 }
       catch { case _: java.util.ConcurrentModificationException => 1 }
     LedgerRefs.dropBranch(root, "late")
-    LedgerSink.vacuum(root): Unit
+    LedgerSink.vacuum(root, olderThanMillis = 0L): Unit
     val dropClean = if (lateFiles.nonEmpty && lateFiles.forall(f =>
       !java.nio.file.Files.exists(root.resolve(f)))) 1 else 0
     // post-ff digest pinned at the fast-forwarded version (the later

@@ -1797,16 +1797,40 @@ object LedgerSink {
       readManifest(dir).map(refs).getOrElse(Seq.empty)).toSet
   }
 
+  /** Age horizon below which [[vacuum]] never reclaims an unreferenced
+    * staged file (Iceberg `remove_orphan_files`' `older_than` default,
+    * scaled to this connector's commit cadence): a batch append / COW /
+    * MoR / streaming epoch stages its files BEFORE taking the commit
+    * lock, so between task-write and commit an in-flight writer's files
+    * are referenced by NO manifest — indistinguishable, by reference
+    * counting alone, from a crashed writer's garbage. Age is the only
+    * signal that separates them: at 100 TB a write job stages for
+    * minutes-to-hours, so a routine maintenance vacuum racing it must
+    * skip anything young enough to still be in flight. */
+  val DefaultVacuumHorizonMillis: Long = 24L * 60 * 60 * 1000
+
   /** Delete staged files no retained version references (the Delta
     * VACUUM analogue with retention = every version; expire versions
-    * first — delete their archive files — to reclaim their data). */
-  def vacuum(dir: Path): Seq[String] = {
+    * first — delete their archive files — to reclaim their data).
+    *
+    * `olderThanMillis` is the in-flight-writer guard: an unreferenced
+    * staged file is reclaimed only when its mtime is older than that
+    * horizon (see [[DefaultVacuumHorizonMillis]]). Pass 0 to reclaim
+    * regardless of age — correct only when the caller KNOWS no write
+    * is in flight (single-writer maintenance windows, tests). */
+  def vacuum(dir: Path,
+      olderThanMillis: Long = DefaultVacuumHorizonMillis): Seq[String] = {
     val live = referencedFiles(dir)
     val staging = dir.resolve("_staging")
     if (!Files.isDirectory(staging)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    def agedOut(p: Path): Boolean = olderThanMillis <= 0 ||
+      (try Files.getLastModifiedTime(p).toMillis < cutoff
+       catch { case _: java.io.IOException => false }) // vanished → skip
     val s = Files.list(staging)
     val orphans = try {
-      s.iterator().asScala.map(p => s"_staging/${p.getFileName}")
+      s.iterator().asScala.filter(agedOut)
+        .map(p => s"_staging/${p.getFileName}")
         .filterNot(live).toSeq
     } finally s.close()
     orphans.foreach(f => Files.deleteIfExists(dir.resolve(f)): Unit)

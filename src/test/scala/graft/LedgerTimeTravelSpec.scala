@@ -83,14 +83,14 @@ class LedgerTimeTravelSpec extends graft.SparkSpec {
     // a true orphan: an aborted attempt's leftover
     Files.write(dir.resolve("_staging/part-99-99.ledger"),
       "9\n".getBytes("UTF-8"))
-    val removed = LedgerSink.vacuum(dir)
+    val removed = LedgerSink.vacuum(dir, olderThanMillis = 0L)
     assert(removed == Seq("_staging/part-99-99.ledger"),
       s"vacuum removed the wrong set: $removed")
     assert(read(dir, Some(1)).count() == 10, "referenced files must survive vacuum")
     // expire version 1 through the retention API, vacuum reclaims its files
     write(dir, spark.range(0, 7).selectExpr("id")) // v3, so v1 can expire
     assert(LedgerRefs.expireVersions(dir, keepLast = 1) == Seq(1))
-    val reclaimed = LedgerSink.vacuum(dir)
+    val reclaimed = LedgerSink.vacuum(dir, olderThanMillis = 0L)
     assert(reclaimed.nonEmpty, "expired version's files should be reclaimed")
     assert(read(dir).count() == 7, "live table untouched by vacuum")
   }

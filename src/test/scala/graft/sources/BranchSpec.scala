@@ -106,7 +106,7 @@ class BranchSpec extends graft.SparkSpec {
     write(dir, spark.range(0, 14).selectExpr("id"), "overwrite")   // v3
     write(dir, spark.range(0, 16).selectExpr("id"), "overwrite")   // v4
     assert(LedgerRefs.expireVersions(dir, keepLast = 1) == Seq(1))
-    LedgerSink.vacuum(dir): Unit
+    LedgerSink.vacuum(dir, olderThanMillis = 0L): Unit
     // fork v2 was protected (materialized exact), so the branch reads
     assert(read(dir, Some("b")).count() == 17)
     // branch scope refusal: no streaming read of a branch snapshot

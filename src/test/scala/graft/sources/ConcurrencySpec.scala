@@ -205,4 +205,40 @@ class ConcurrencySpec extends graft.SparkSpec {
     assert(results.sum == 1, s"exactly one create must win, got $results")
     assert(cat.tableExists(ident))
   }
+
+  test("vacuum during an uncommitted write keeps its stage; " +
+      "commit then succeeds and reads back") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 10).selectExpr("id"))
+    val m = LedgerSink.readManifest(dir).get
+    val e = m.files.head
+    // An in-flight writer's stage: bytes on disk in _staging that NO
+    // manifest references yet (tasks stage before the commit lock).
+    // Clone a committed file's bytes so the later commit is a real,
+    // decodable table state.
+    val rel = "_staging/inflight-part-0-777-0.ledger"
+    Files.copy(dir.resolve(e.file), dir.resolve(rel))
+    // default-horizon vacuum: unreferenced but YOUNG → kept
+    assert(LedgerSink.vacuum(dir).isEmpty,
+      "vacuum must not reclaim a staged file younger than the horizon")
+    assert(Files.exists(dir.resolve(rel)))
+    // the racing writer then commits — its stage is intact, so the
+    // commit installs and the rows read back
+    LedgerSink.commitRebase(dir,
+      cur => cur.map(c => c.copy(files =
+        c.files :+ e.copy(file = rel, dv = None, bloom = None))),
+      "unexpected conflict"): Unit
+    assert(read(dir).count() == 10 + e.rows,
+      "the committed stage must read back after the racing vacuum")
+    // now referenced: even a zero-horizon vacuum keeps it
+    assert(LedgerSink.vacuum(dir, olderThanMillis = 0L).isEmpty)
+    // a genuinely old orphan IS reclaimed by the default horizon
+    val old = "_staging/inflight-part-0-778-0.ledger"
+    Files.copy(dir.resolve(e.file), dir.resolve(old))
+    Files.setLastModifiedTime(dir.resolve(old),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * LedgerSink.DefaultVacuumHorizonMillis))
+    assert(LedgerSink.vacuum(dir) == Seq(old),
+      "an aged-out orphan must still be reclaimed by default vacuum")
+  }
 }

@@ -296,7 +296,8 @@ class EqualityDeleteSpec extends graft.SparkSpec {
     write(dir, spark.range(0, 12).selectExpr("id", "id AS v"), "overwrite")
     LedgerMaintenance.deleteByKeys(spark, dir.toString, Seq("id"),
       spark.range(0, 6).selectExpr("id")): Unit
-    assert(LedgerSink.vacuum(dir).isEmpty, "live sidecars must survive vacuum")
+    assert(LedgerSink.vacuum(dir, olderThanMillis = 0L).isEmpty,
+      "live sidecars must survive vacuum")
     assert(read(dir).count() == 6)
     // a MoR position-delete over an overlapping predicate counts only
     // rows the equality delete had NOT already killed
@@ -310,7 +311,7 @@ class EqualityDeleteSpec extends graft.SparkSpec {
     LedgerMaintenance.optimize(spark, dir.toString): Unit
     write(dir, spark.range(100, 101).selectExpr("id", "id AS v"), "append")
     LedgerRefs.expireVersions(dir, keepLast = 1): Unit
-    val reclaimed = LedgerSink.vacuum(dir)
+    val reclaimed = LedgerSink.vacuum(dir, olderThanMillis = 0L)
     assert(reclaimed.exists(_.contains("eqd-")),
       s"expired sidecars should be reclaimed, got $reclaimed")
     assert(ids(dir) == (8L until 12L).toSet ++ Set(100L))

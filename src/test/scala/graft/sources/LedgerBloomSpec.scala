@@ -107,12 +107,12 @@ class LedgerBloomSpec extends graft.SparkSpec {
   test("vacuum protects referenced sidecars; time travel keeps pruning") {
     val dir = freshDir()
     writeBanded(dir)
-    assert(LedgerSink.vacuum(Paths.get(dir)).isEmpty)
+    assert(LedgerSink.vacuum(Paths.get(dir), olderThanMillis = 0L).isEmpty)
     // append a second commit; v1 reads still bloom-prune
     spark.range(800, 900).selectExpr("id", "concat('key_', id) AS name")
       .coalesce(1)
       .write.format(ledger).option("path", dir).mode("append").save()
-    assert(LedgerSink.vacuum(Paths.get(dir)).isEmpty)
+    assert(LedgerSink.vacuum(Paths.get(dir), olderThanMillis = 0L).isEmpty)
     val v1 = spark.read.format(ledger).option("path", dir)
       .option("versionAsOf", "1").load().filter("name = 'key_850'")
     assert(v1.count() == 0, "v1 predates the append")

@@ -168,7 +168,7 @@ class MetadataLogSpec extends graft.SparkSpec {
         s"should be tiny vs the $fullState-byte state")
     // retention across the whole history still behaves
     assert(LedgerRefs.expireVersions(dir, keepLast = 3).length == 56)
-    LedgerSink.vacuum(dir): Unit
+    LedgerSink.vacuum(dir, olderThanMillis = 0L): Unit
     assert(read(dir).count() == expect)
     intercept[IllegalArgumentException] { read(dir, Some(10)).count() }
   }

@@ -65,7 +65,7 @@ class MorDeleteCdfSpec extends graft.SparkSpec {
       Array(LessThan("id", 5L))) == 0L)
     assert(LedgerSink.currentVersion(Paths.get(dir)) == v3)
     // vacuum keeps referenced sidecars
-    assert(LedgerSink.vacuum(Paths.get(dir)).isEmpty)
+    assert(LedgerSink.vacuum(Paths.get(dir), olderThanMillis = 0L).isEmpty)
     // OPTIMIZE compacts the DVs away; digest unchanged
     val (fb, fa) = LedgerMaintenance.optimize(spark, dir)           // v4
     assert(fa <= fb)

@@ -71,7 +71,7 @@ class RefsWapConstraintsSpec extends graft.SparkSpec {
     assert(expired == Seq(1))
     // v1's files are still referenced (live manifest == v1 content via
     // the restore), so vacuum must NOT break the restored table
-    LedgerSink.vacuum(root)
+    LedgerSink.vacuum(root, olderThanMillis = 0L)
     assert(read(dir).count() == 50)
     intercept[IllegalArgumentException] {
       LedgerRefs.expireVersions(root, 0)
@@ -85,7 +85,7 @@ class RefsWapConstraintsSpec extends graft.SparkSpec {
     write(dir, spark.range(100, 105).selectExpr("id"), "overwrite") // v2
     write(dir, spark.range(200, 210).selectExpr("id"), "overwrite") // v3
     LedgerRefs.expireVersions(root, keepLast = 1): Unit  // v1 gone
-    LedgerSink.vacuum(root): Unit                        // v1's files gone
+    LedgerSink.vacuum(root, olderThanMillis = 0L): Unit  // v1's files gone
     // v2 is still an archive: its files survived (archive referenced)
     assert(LedgerRefs.restore(root, 2) == 4)
     assert(read(dir).count() == 5)
