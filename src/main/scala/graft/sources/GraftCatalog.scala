@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A v2 CATALOG PLUGIN — the extension tier above connectors: the
@@ -27,10 +27,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * an empty manifest atomically, drop deletes the directory, rename
   * is a directory move. Namespaces are implicit prefixes, like object
   * stores treat them. Schema evolution supports ADD, RENAME and DROP
-  * COLUMN without file rewrites — readers bind columns by never-reused
-  * FIELD ID (see [[alterTable]]); type changes and repositions
-  * honestly require a rewrite, because each would change how existing
-  * bytes decode.
+  * COLUMN plus the Iceberg-spec safe promotion INT → BIGINT, all
+  * without file rewrites — readers bind columns by never-reused
+  * FIELD ID (see [[alterTable]]); every other type change and any
+  * reposition honestly requires a rewrite, because each would change
+  * how existing bytes decode.
   *
   * Reference tie-in: this replaces the reference's Glue Data Catalog
   * tier (`crawler.tf` + `06_catalog.py` registration) — where Glue
@@ -52,6 +53,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  /** Declares ADD COLUMN ... DEFAULT support so Spark's analyzer lets
+    * the DDL through to [[alterTable]] (initial-default semantics —
+    * see the AddColumn case) and fills omitted columns on INSERT from
+    * the CURRENT_DEFAULT metadata [[loadTable]] attaches. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def tableDir(ident: Identifier): Path =
     ident.namespace().foldLeft(root)(_.resolve(_)).resolve(ident.name())
@@ -103,10 +111,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .toArray)
   }
 
+  /** The schema with CURRENT/EXISTS_DEFAULT metadata attached for
+    * fields carrying an initial default — the handle Spark's own
+    * INSERT analysis uses to fill omitted columns, so "new writes
+    * materialize values" without this connector touching the write
+    * path. Metadata-free when no defaults exist (byte-identical
+    * schema for every pre-existing table). */
+  private def withDefaultMetadata(m: LedgerSink.Manifest): StructType =
+    if (m.defaults.isEmpty) m.schema
+    else StructType(m.schema.fields.zip(m.ids).map { case (f, id) =>
+      m.defaults.get(id) match {
+        case Some(enc) =>
+          val sql = LedgerSink.defaultSqlText(f.dataType, enc)
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql).build())
+        case None => f
+      }
+    })
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     LedgerSink.readManifest(dir) match {
-      case Some(m) => new LedgerTable(dir, m.schema)
+      case Some(m) => new LedgerTable(dir, withDefaultMetadata(m))
       case None =>
         // table-scoped derived relations, Iceberg-style, when no real
         // table shadows the name: the INSPECTION surface
@@ -200,17 +228,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // engine-namespaced properties persist in the manifest (`graft.*`
     // — e.g. graft.ledger.rowLevelMode=mor); Spark's own reserved and
     // bookkeeping keys (provider, owner, …) are not table state
-    val m = LedgerSink.Manifest.fresh(schema,
+    // CREATE-time column DEFAULTs arrive as CURRENT_DEFAULT schema
+    // metadata (Spark's Column[] → StructType conversion): fold each
+    // into the manifest's defaults map (by the field's fresh id) and
+    // strip the metadata — manifests store schemas as plain DDL, and
+    // [[withDefaultMetadata]] re-attaches on load.
+    val defaults = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      if (!f.metadata.contains("CURRENT_DEFAULT")) None
+      else {
+        val sql = f.metadata.getString("CURRENT_DEFAULT")
+        val e = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(sql), f.dataType)
+        if (!e.resolved || !e.foldable) throw new UnsupportedOperationException(
+          s"ledger DEFAULT for ${f.name} must be a constant literal; got $sql")
+        Option(e.eval(null))
+          .map(v => (i + 1) -> LedgerSink.encodeDefault(f.dataType, v))
+        // DEFAULT NULL folds to nothing: absent == NULL already
+      }
+    }.toMap
+    val clean = StructType(schema.fields.map(_.copy(
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val m = LedgerSink.Manifest.fresh(clean,
       LedgerSink.partitionSpecOf(partitions))
       .copy(props = properties.asScala
-        .filter(_._1.startsWith("graft.")).toMap)
+        .filter(_._1.startsWith("graft.")).toMap,
+        defaults = defaults)
     try LedgerSink.commitRebase(dir,
       { case None => Some(m); case Some(_) => None }, "")
     catch {
       case _: java.util.ConcurrentModificationException =>
         throw new TableAlreadyExistsException(Seq(ident.toString))
     }
-    new LedgerTable(dir, schema)
+    new LedgerTable(dir, withDefaultMetadata(m))
   }
 
   /** Schema evolution WITHOUT rewriting a single data file, sound
@@ -220,7 +270,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *
     *   - ADD COLUMN: appended, nullable, codec-supported type; gets a
     *     NEVER-REUSED fresh id, so old bytes can't alias into it, and
-    *     pre-existing rows read NULL (their files simply lack the id).
+    *     pre-existing rows read NULL (their files simply lack the id)
+    *     — or the declared `DEFAULT <literal>` (initial-default
+    *     semantics: the value is manifest state by field id; new
+    *     writes materialize real values via Spark's INSERT fill).
     *   - RENAME COLUMN: pure metadata — the id keeps its identity, so
     *     files written under the old name still feed the new one.
     *   - DROP COLUMN: removes the field and its id from the schema;
@@ -265,14 +318,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 "existing bytes decode")
           if (!add.isNullable)
             throw new UnsupportedOperationException(
-              "added columns must be nullable: pre-existing rows read NULL")
+              "added columns must be nullable: pre-existing rows read " +
+                "NULL (or the declared DEFAULT)")
           val f = org.apache.spark.sql.types.StructField(
             add.fieldNames()(0), add.dataType(), nullable = true)
           LedgerSink.checkSchema(StructType(Seq(f)))
           if (m.schema.fieldNames.contains(f.name))
             throw new IllegalArgumentException(s"column ${f.name} exists")
+          // ADD COLUMN ... DEFAULT <literal> (Delta / Iceberg-v3
+          // INITIAL DEFAULT): stored by the fresh field id, no file
+          // rewrite — files lacking the id read the default, new
+          // writes materialize real values (Spark fills omitted
+          // columns from the schema metadata [[withDefaultMetadata]]
+          // attaches on load). Only foldable literals arrive here —
+          // Spark has already constant-folded the DEFAULT expression.
+          val defEnc = Option(add.defaultValue()).map { dv =>
+            val lit = dv.getValue
+            if (lit == null) throw new UnsupportedOperationException(
+              "ledger DEFAULT must be a constant literal")
+            LedgerSink.encodeDefault(f.dataType, lit.value())
+          }
           m.copy(schema = StructType(m.schema.fields :+ f),
-            ids = m.ids :+ m.nextId, nextId = m.nextId + 1)
+            ids = m.ids :+ m.nextId, nextId = m.nextId + 1,
+            defaults = defEnc.fold(m.defaults)(v =>
+              m.defaults + (m.nextId -> v)))
         case ren: TableChange.RenameColumn =>
           if (ren.fieldNames().length != 1)
             throw new UnsupportedOperationException(
@@ -331,8 +400,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   "cannot drop the last column")
               m.copy(
                 schema = StructType(m.schema.fields.patch(i, Nil, 1)),
-                ids = m.ids.patch(i, Nil, 1))
+                ids = m.ids.patch(i, Nil, 1),
+                // its initial default dies with the id (a later
+                // re-add mints a NEW id, so it can never resurrect)
+                defaults = m.defaults - m.ids(i))
           }
+        case upd: TableChange.UpdateColumnType =>
+          if (upd.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "ledger columns are flat; nested ALTER COLUMN TYPE is " +
+                "unsupported")
+          val name = upd.fieldNames()(0)
+          val i = m.schema.fieldIndex(name) // throws on a missing column
+          val from = m.schema.fields(i).dataType
+          val to = upd.newDataType()
+          if (from == to) m
+          else if (from == IntegerType && to == LongType)
+            // The one Iceberg-spec promotion this codec has a site for
+            // (it has no FLOAT, so float→double never arises). Sound
+            // without touching a data file because EVERY consumer of
+            // the column's bytes is widening-stable: the line codec is
+            // decimal text (an int's rendering parses as the long it
+            // denotes), min/max skipping stats are stored as Long
+            // already, partition values prune by rendered text (and
+            // bucket/days read the value as long under both types),
+            // and equality deletes match in encoded space where the
+            // two types render identically. Time travel reads each
+            // version's own schema, so pre-widening versions keep INT.
+            m.copy(schema = StructType(m.schema.fields.updated(i,
+              m.schema.fields(i).copy(dataType = to))))
+          else throw new UnsupportedOperationException(
+            s"cannot change $name: $from -> $to; only the safe " +
+              "promotion INT -> BIGINT is supported (narrowing or " +
+              "cross-family changes would change how existing bytes " +
+              "decode — rewrite the table instead)")
         case set: TableChange.SetProperty =>
           if (!set.property().startsWith("graft."))
             throw new UnsupportedOperationException(
@@ -342,7 +443,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case rm: TableChange.RemoveProperty =>
           m.copy(props = m.props - rm.property())
         case other => throw new UnsupportedOperationException(
-          s"ledger evolution supports ADD/RENAME/DROP COLUMN and " +
+          s"ledger evolution supports ADD/RENAME/DROP COLUMN, " +
+            s"ALTER COLUMN TYPE (INT -> BIGINT) and " +
             s"SET/UNSET TBLPROPERTIES only; $other requires a rewrite")
       }
     }

@@ -127,7 +127,7 @@ private[sources] class LedgerDeltaBatchWrite(dir: Path,
     snapshot = Some(m)
     Files.createDirectories(dir.resolve("_staging"))
     val base = dir.toString
-    val ddl = dataSchema.toDDL
+    val ddl = LedgerSink.cleanDdl(dataSchema)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // a pure DELETE's write schema carries no data columns — no
     // inserts can arrive, so the insert writer's bindings stay empty

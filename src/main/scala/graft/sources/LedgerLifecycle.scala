@@ -181,6 +181,157 @@ object LedgerLifecycle {
          CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
        ORDER BY probe"""
 
+  /** `dsv2_type_widening`: the Iceberg-spec safe promotion INT →
+    * BIGINT as a pure metadata commit. Orders load under an INT key
+    * (v2), `ALTER COLUMN okey TYPE BIGINT` widens without touching a
+    * data file (v3), and an append lands keys ABOVE Int.MaxValue —
+    * values only a genuine 64-bit read can represent (v4). The digest
+    * then scans MIXED files (written-as-int + written-as-long) through
+    * the widened schema; time travel at v2 must read the column as
+    * INT again (each version decodes under its own schema); narrowing
+    * (BIGINT → INT) and a cross-family change (STRING → BIGINT) must
+    * refuse. DuckDB recomputes the digests from the fixture. */
+  def typeWidening(spark: SparkSession, sfDir: String): DataFrame = {
+    initCatalog(spark)
+    val g = tag(sfDir)
+    val t = s"graft_cat.tw.ord_$g"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.tw")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    deleteRecursively(s"$catalogRoot/tw/ord_$g")
+    spark.sql(s"CREATE TABLE $t (okey INT, price_c BIGINT)")          // v1
+    graft.io.Tables.orders(spark, sfDir)
+      .createOrReplaceTempView(s"tw_base_$g")
+    spark.sql(s"""INSERT INTO $t
+        SELECT CAST(o_orderkey AS INT),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM tw_base_$g""")                                           // v2
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN okey TYPE BIGINT")        // v3
+    val widenedTypeOk = if (spark.table(t).schema("okey").dataType ==
+      org.apache.spark.sql.types.LongType) 1 else 0
+    spark.sql(s"""INSERT INTO $t
+        SELECT CAST(o_orderkey AS BIGINT) + 2147483648,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM tw_base_$g WHERE o_orderkey % 100 = 0""")                // v4
+    val v2Df = spark.sql(s"SELECT * FROM $t VERSION AS OF 2")
+    val v2TypeInt = if (v2Df.schema("okey").dataType ==
+      org.apache.spark.sql.types.IntegerType) 1 else 0
+    // Narrowing/cross-family refusals surface at two layers: Spark's
+    // own v2 analyzer (Cast.canUpCast gate, NOT_SUPPORTED_CHANGE_COLUMN)
+    // for SQL, and this catalog's applyChanges for direct API callers
+    // (GraftCatalogSpec pins that layer) — either refusal is the
+    // contract; silently succeeding is the failure.
+    def refuses(sql: String): Int =
+      try { spark.sql(sql); 0 }
+      catch { case e: Exception =>
+        if (exceptionChainContains(e, "safe") ||
+          exceptionChainContains(e, "NOT_SUPPORTED_CHANGE_COLUMN")) 1
+        else throw e }
+    val narrowRefused =
+      refuses(s"ALTER TABLE $t ALTER COLUMN price_c TYPE INT")
+    // cross-family: first give the table a STRING column to attack
+    spark.sql(s"ALTER TABLE $t ADD COLUMN note STRING")               // v5
+    val crossRefused =
+      refuses(s"ALTER TABLE $t ALTER COLUMN note TYPE BIGINT")
+    val live = spark.table(t).selectExpr("count(*) AS n",
+      "CAST(sum(okey) AS BIGINT) AS sum_k",
+      "CAST(sum(price_c) AS BIGINT) AS sum_p")
+    val v2d = v2Df.selectExpr("count(*) AS n_v2",
+      "CAST(sum(okey) AS BIGINT) AS sum_k_v2")
+    live.crossJoin(broadcast(v2d)).selectExpr(
+      "n", "sum_k", "sum_p", "n_v2", "sum_k_v2",
+      s"CAST($widenedTypeOk AS INT) AS widened_type_ok",
+      s"CAST($v2TypeInt AS INT) AS v2_type_int",
+      s"CAST($narrowRefused AS INT) AS narrow_refused",
+      s"CAST($crossRefused AS INT) AS cross_refused")
+  }
+
+  /** `dsv2_add_column_default`: ADD COLUMN ... DEFAULT with
+    * Delta/Iceberg-v3 INITIAL-DEFAULT semantics, oracle-checked.
+    * Customer rows land (v2), then two defaulted columns arrive as
+    * pure metadata commits (v3/v4) — every pre-existing row reads
+    * 'unassigned' / 250 with NO file rewritten. A later INSERT that
+    * OMITS the columns materializes the defaults (Spark's fill from
+    * the schema metadata the catalog attaches); an INSERT with an
+    * explicit NULL stays NULL (the file HAS the column); RENAME keeps
+    * the default (keyed by field id); the pre-evolution version still
+    * has neither column. DuckDB recomputes the whole digest from the
+    * fixture. */
+  def addColumnDefault(spark: SparkSession, sfDir: String): DataFrame = {
+    initCatalog(spark)
+    val g = tag(sfDir)
+    val t = s"graft_cat.dflt.cust_$g"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.dflt")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    deleteRecursively(s"$catalogRoot/dflt/cust_$g")
+    spark.sql(s"CREATE TABLE $t (ckey BIGINT, bal_c BIGINT)")         // v1
+    graft.io.Tables.customer(spark, sfDir)
+      .createOrReplaceTempView(s"dflt_base_$g")
+    spark.sql(s"""INSERT INTO $t
+        SELECT CAST(c_custkey AS BIGINT),
+               CAST(round(c_acctbal * 100) AS BIGINT)
+        FROM dflt_base_$g""")                                         // v2
+    spark.sql(
+      s"ALTER TABLE $t ADD COLUMN segment STRING DEFAULT 'unassigned'") // v3
+    spark.sql(s"ALTER TABLE $t ADD COLUMN bonus_c BIGINT DEFAULT 250")  // v4
+    // omitted columns MATERIALIZE the defaults in the new file
+    spark.sql(s"""INSERT INTO $t (ckey, bal_c)
+        SELECT ckey + 10000000, bal_c FROM $t VERSION AS OF 2
+        WHERE bal_c < 0""")                                           // v5
+    // explicit NULL in a file that HAS the column stays NULL
+    spark.sql(s"INSERT INTO $t VALUES (99000001, 42, 'vip', NULL)")   // v6
+    val preEvoCols =
+      if (spark.sql(s"SELECT * FROM $t VERSION AS OF 2").columns.toSeq
+        == Seq("ckey", "bal_c")) 1 else 0
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN segment TO seg")         // v7
+    val renameKeeps = if (spark.sql(
+      s"SELECT count(*) AS n FROM $t WHERE seg = 'unassigned'")
+      .head.getLong(0) > 0) 1 else 0
+    spark.table(t).selectExpr("count(*) AS n_total",
+        "CAST(sum(bal_c) AS BIGINT) AS sum_bal",
+        "CAST(sum(CASE WHEN seg = 'unassigned' THEN 1 ELSE 0 END) AS BIGINT)" +
+          " AS n_unassigned",
+        "CAST(sum(CASE WHEN seg = 'vip' THEN 1 ELSE 0 END) AS BIGINT)" +
+          " AS n_vip",
+        "CAST(sum(bonus_c) AS BIGINT) AS sum_bonus",
+        "CAST(count(*) - count(bonus_c) AS BIGINT) AS n_bonus_null")
+      .selectExpr("n_total", "sum_bal", "n_unassigned", "n_vip",
+        "sum_bonus", "n_bonus_null",
+        s"CAST($preEvoCols AS INT) AS pre_evo_two_cols",
+        s"CAST($renameKeeps AS INT) AS rename_keeps_default")
+  }
+
+  val addColumnDefaultOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ckey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        neg AS (SELECT * FROM c WHERE bal < 0)
+       SELECT (SELECT count(*) FROM c) + (SELECT count(*) FROM neg) + 1
+           AS n_total,
+         (SELECT CAST(sum(bal) AS BIGINT) FROM c)
+           + (SELECT CAST(sum(bal) AS BIGINT) FROM neg) + 42 AS sum_bal,
+         (SELECT count(*) FROM c) + (SELECT count(*) FROM neg)
+           AS n_unassigned,
+         CAST(1 AS BIGINT) AS n_vip,
+         250 * ((SELECT count(*) FROM c) + (SELECT count(*) FROM neg))
+           AS sum_bonus,
+         CAST(1 AS BIGINT) AS n_bonus_null,
+         CAST(1 AS INTEGER) AS pre_evo_two_cols,
+         CAST(1 AS INTEGER) AS rename_keeps_default"""
+
+  val typeWideningOracle: String =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS p FROM orders),
+        w AS (SELECT k + 2147483648 AS k, p FROM o WHERE k % 100 = 0),
+        u AS (SELECT k, p FROM o UNION ALL SELECT k, p FROM w)
+       SELECT (SELECT count(*) FROM u) AS n,
+         (SELECT CAST(sum(k) AS BIGINT) FROM u) AS sum_k,
+         (SELECT CAST(sum(p) AS BIGINT) FROM u) AS sum_p,
+         (SELECT count(*) FROM o) AS n_v2,
+         (SELECT CAST(sum(k) AS BIGINT) FROM o) AS sum_k_v2,
+         CAST(1 AS INTEGER) AS widened_type_ok,
+         CAST(1 AS INTEGER) AS v2_type_int,
+         CAST(1 AS INTEGER) AS narrow_refused,
+         CAST(1 AS INTEGER) AS cross_refused"""
+
   /** `dsv2_compaction`: ten small appends model the epoch-grain file
     * accumulation of the streaming sink (each append repartition(2) →
     * two staged files), then [[LedgerMaintenance.optimize]] bin-packs

@@ -812,6 +812,50 @@ object LedgerSink {
       case other => throw new IllegalStateException(other.toString)
     }
 
+  /** A column DEFAULT rendered in the row codec's value encoding, so
+    * the read side decodes it with the same [[parseValue]] that
+    * decodes data bytes (doubles keep the codec's exact hex form). */
+  private[sources] def encodeDefault(dt: DataType, v: Any): String =
+    (dt, v) match {
+      case (LongType, x: java.lang.Long) => x.toString
+      case (LongType, x: java.lang.Integer) => x.longValue.toString
+      case (IntegerType, x: java.lang.Integer) => x.toString
+      case (DoubleType, x: java.lang.Double) =>
+        java.lang.Double.toHexString(x)
+      case (StringType, x: UTF8String) => esc(x.toString)
+      case (StringType, x: String) => esc(x)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported DEFAULT literal $v for type $dt")
+    }
+
+  /** Per-output-column initial defaults for one (manifest, binding):
+    * non-null exactly where the file LACKS the column's field id and
+    * the manifest registers a default for it. Empty when no column
+    * qualifies, so the no-defaults path ships nothing extra. */
+  private[sources] def defaultsArray(m: Manifest, positions: Array[Int],
+      colIds: Array[Int]): Array[String] = {
+    if (m.defaults.isEmpty) return Array.empty
+    val out = positions.indices.map(i =>
+      if (positions(i) == -1 && colIds(i) >= 0)
+        m.defaults.get(colIds(i)).orNull
+      else null).toArray
+    if (out.forall(_ == null)) Array.empty else out
+  }
+
+  /** A stored default re-rendered as a SQL literal (for the
+    * CURRENT_DEFAULT schema metadata Spark's INSERT analysis reads).
+    * Doubles go through an explicit CAST so the text can't parse as
+    * DECIMAL; strings backslash-escape the two metacharacters. */
+  private[sources] def defaultSqlText(dt: DataType, enc: String): String =
+    dt match {
+      case StringType =>
+        "'" + unesc(enc).replace("\\", "\\\\")
+          .replace("'", "\\'") + "'"
+      case DoubleType =>
+        s"CAST('${java.lang.Double.parseDouble(enc)}' AS DOUBLE)"
+      case _ => enc
+    }
+
   /** A pushed-filter literal rendered the same way [[encodeValue]]
     * renders data — the text the partition pruner compares against. */
   private[sources] def encodeLiteral(dt: DataType, v: Any): Option[String] =
@@ -1106,7 +1150,14 @@ object LedgerSink {
       props: Map[String, String] = Map.empty,
       specId: Int = 0,
       oldSpecs: Map[Int, Seq[PartField]] = Map.empty,
-      eqDeletes: Seq[EqDelete] = Seq.empty) {
+      eqDeletes: Seq[EqDelete] = Seq.empty,
+      // INITIAL DEFAULTS by FIELD ID (the Delta / Iceberg-v3 ADD
+      // COLUMN ... DEFAULT semantics): a data file LACKING the id
+      // reads this value instead of NULL; files carrying the id keep
+      // their own bytes (an explicit NULL stays NULL). Keyed by id so
+      // renames keep the default and a re-added name never inherits
+      // one. Values are row-codec-encoded text ([[encodeDefault]]).
+      defaults: Map[Int, String] = Map.empty) {
 
     /** The equality deletes that apply to `e`: installed by a commit
       * strictly after the file's data sequence. */
@@ -1174,6 +1225,14 @@ object LedgerSink {
           (if (eqDeletes.nonEmpty)
             Seq("#eqdels:" + eqDeletes.map(_.render).mkString(";"))
           else Nil) ++
+          (if (defaults.nonEmpty)
+            // escProp plus ';' (this header's own separator, which
+            // prop values never needed escaped)
+            Seq("#defaults:" + defaults.toSeq.sortBy(_._1).map {
+              case (id, v) =>
+                s"$id=${Manifest.escProp(v).replace(";", "%3B")}"
+            }.mkString(";"))
+          else Nil) ++
           (if (props.nonEmpty)
             Seq("#props:" + props.toSeq.sortBy(_._1).map { case (k, v) =>
               s"${Manifest.escProp(k)}=${Manifest.escProp(v)}"
@@ -1218,7 +1277,13 @@ object LedgerSink {
               else toks.split("\\|", -1).toSeq.map(PartField.parse))
           }.toMap).getOrElse(Map.empty),
         h.get("eqdels").map(_.split(";", -1).toSeq.filter(_.nonEmpty)
-          .map(EqDelete.parse)).getOrElse(Seq.empty))
+          .map(EqDelete.parse)).getOrElse(Seq.empty),
+        h.get("defaults").map(_.split(";", -1).toSeq.filter(_.nonEmpty)
+          .map { kv =>
+            val i = kv.indexOf('=')
+            (kv.substring(0, i).toInt,
+              unescProp(kv.substring(i + 1).replace("%3B", ";")))
+          }.toMap).getOrElse(Map.empty))
     }
 
     /** TABLE PROPERTIES travel in a `#props:` header (absent when
@@ -1921,15 +1986,32 @@ object LedgerSink {
     val eqKilled: String => Boolean = eqdKillPredicate(p.eqd)
     val metaIdx = p.positions.indices.filter(j => p.positions(j) < -1)
     val relName = UTF8String.fromString(p.rel)
+    // initial defaults, parsed ONCE per file: cells whose column the
+    // file predates (position -1) read the registered default instead
+    // of NULL — explicit NullMark bytes in files that HAVE the column
+    // are untouched
+    val defVals: Array[Any] =
+      if (p.defaults.isEmpty) null
+      else p.defaults.indices.map(j =>
+        if (p.defaults(j) == null) null
+        else parseValue(types(j), p.defaults(j)): Any).toArray
     (0 until lines.size).iterator
       .filter(i => dv.forall(!_.get(i)) &&
         (eqKilled == null || !eqKilled(lines.get(i))))
       .map { i =>
         val r = decodeProjected(lines.get(i), p.positions, types, p.width)
-        if (metaIdx.nonEmpty) {
+        if (metaIdx.nonEmpty || defVals != null) {
           val g = r.asInstanceOf[GenericInternalRow]
           metaIdx.foreach(j => g.update(j,
             if (p.positions(j) == MetaFilePos) relName else i.toLong))
+          if (defVals != null) {
+            var j = 0
+            while (j < defVals.length) {
+              if (defVals(j) != null && p.positions(j) == -1)
+                g.update(j, defVals(j))
+              j += 1
+            }
+          }
         }
         r
       }
@@ -1940,6 +2022,15 @@ object LedgerSink {
     * own column-position binding (and optional deletion vector), so
     * the factory itself only needs the OUTPUT schema (serialized as
     * DDL — the factory ships to executors). */
+  /** DDL for shipping a schema to executors: metadata stripped.
+    * Column-default metadata ([[GraftCatalog]] attaches CURRENT/
+    * EXISTS_DEFAULT for Spark's INSERT fill) renders as a `DEFAULT`
+    * clause in toDDL, which `StructType.fromDDL` cannot re-parse —
+    * and the reader/writer only ever need names and types. */
+  private[sources] def cleanDdl(schema: StructType): String =
+    StructType(schema.fields.map(_.copy(
+      metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL
+
   private[sources] def lineReaderFactory(
       requiredDdl: String): PartitionReaderFactory =
     partition => {
@@ -3842,9 +3933,12 @@ private[sources] class LedgerScan(
           if (dataCols(f.name)) m.schema.fieldIndex(f.name)
           else metaPos(f.name)), m.schema.length)
     }
+    val colIds = required.fields.map(f =>
+      if (dataCols(f.name)) m.idOf(f.name) else -1)
     LedgerFilePartition(dir.resolve(e.file).toString, positions, width,
       e.dv.map(d => dir.resolve(d).toString), rel = e.file,
-      eqd = LedgerSink.eqdBindings(dir, m, e))
+      eqd = LedgerSink.eqdBindings(dir, m, e),
+      defaults = LedgerSink.defaultsArray(m, positions, colIds))
   }
 
   // a DEF, not a lazy val: runtime (DPP) filtering narrows the state
@@ -3932,13 +4026,16 @@ private[sources] class LedgerScan(
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    LedgerSink.lineReaderFactory(required.toDDL)
+    LedgerSink.lineReaderFactory(LedgerSink.cleanDdl(required))
 }
 
 private[sources] case class LedgerFilePartition(
     file: String, positions: Array[Int], width: Int,
     dvFile: Option[String] = None, rel: String = "",
-    eqd: Array[EqdFileBinding] = Array.empty)
+    eqd: Array[EqdFileBinding] = Array.empty,
+    // row-codec-encoded INITIAL DEFAULTS per output column (empty =
+    // none apply to this file); see [[LedgerSink.defaultsArray]]
+    defaults: Array[String] = Array.empty)
     extends InputPartition
 
 /** One equality-delete file bound to one data file: the delete's key
@@ -3961,7 +4058,8 @@ private[sources] class LedgerAggScan(dirDesc: String, schema: StructType,
     s"graft-ledger-agg $dirDesc PushedAggregation: " +
       s"[${schema.fieldNames.mkString(",")}] groups=${rows.length}"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(LedgerAggPartition(rows.map(_.toArray).toArray, schema.toDDL))
+    Array(LedgerAggPartition(rows.map(_.toArray).toArray,
+      LedgerSink.cleanDdl(schema)))
   override def createReaderFactory(): PartitionReaderFactory =
     partition => {
       val p = partition.asInstanceOf[LedgerAggPartition]
@@ -4053,9 +4151,13 @@ private[sources] class LedgerChangeFeedScan(dir: Path, from: Int, to: Int)
     // entry identity, equality deletes by the side's manifest): the
     // multiset diff then sees LOGICAL rows, so a rewrite that
     // materializes deletes cancels exactly
+    // defaults are version-scoped like the rest of the manifest:
+    // each side's files read the defaults ITS version registered
+    val colIds = out.fields.map(f => toManifest.idOf(f.name))
     LedgerFilePartition(dir.resolve(e.file).toString, positions, width,
       e.dv.map(dir.resolve(_).toString),
-      eqd = LedgerSink.eqdBindings(dir, m, e))
+      eqd = LedgerSink.eqdBindings(dir, m, e),
+      defaults = LedgerSink.defaultsArray(m, positions, colIds))
   }
 
   /** Entry identity includes the deletion vector: a DV-only change to
@@ -4293,7 +4395,7 @@ private[sources] class LedgerBatchWrite(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(dir.resolve("_staging"))
     val base = dir.toString
-    val ddl = schema.toDDL
+    val ddl = LedgerSink.cleanDdl(schema)
     val partWrites = partSpec.map(p =>
       (schema.fieldIndex(p.name), p.kind, p.param))
     // per-JOB tag: (partitionId, taskId) is only unique within one
@@ -4526,7 +4628,7 @@ private[sources] class LedgerRowLevelOperation(
               pinfo: PhysicalWriteInfo): DataWriterFactory = {
             Files.createDirectories(dir.resolve("_staging"))
             val base = dir.toString
-            val ddl = schema.toDDL
+            val ddl = LedgerSink.cleanDdl(schema)
             val tag = java.util.UUID.randomUUID().toString.take(8)
             val snapshot = LedgerSink.readManifest(dir)
             writeSpec = snapshot.map(m => (m.namedPartitionSpec, m.specId,
@@ -4658,7 +4760,7 @@ private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(dir.resolve("_staging"))
     val base = dir.toString
-    val ddl = schema.toDDL
+    val ddl = LedgerSink.cleanDdl(schema)
     val ids = LedgerWriteSupport.writeIds(LedgerSink.readManifest(dir),
       schema, truncate = false)
     val partWrites = partSpec.map(p =>

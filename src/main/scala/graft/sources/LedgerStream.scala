@@ -173,7 +173,9 @@ private[sources] class LedgerMicroBatchStream(
                 vM.schema.fieldNames.indexOf(f.name)), vM.schema.length)
           }
           LedgerFilePartition(dir.resolve(en.file).toString, positions, width,
-            en.dv.map(d => dir.resolve(d).toString))
+            en.dv.map(d => dir.resolve(d).toString),
+            defaults = LedgerSink.defaultsArray(vM, positions,
+              required.fields.map(f => idOf.getOrElse(f.name, -1))))
         }
       }
     }
@@ -182,7 +184,7 @@ private[sources] class LedgerMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    LedgerSink.lineReaderFactory(required.toDDL)
+    LedgerSink.lineReaderFactory(LedgerSink.cleanDdl(required))
 
   override def deserializeOffset(json: String): Offset =
     LedgerVersionOffset(json.trim.toInt)
@@ -285,7 +287,9 @@ private[sources] class LedgerChangeFeedStream(dir: Path,
     // batch change feed's bind
     LedgerFilePartition(dir.resolve(e.file).toString, positions, width,
       e.dv.map(d => dir.resolve(d).toString),
-      eqd = LedgerSink.eqdBindings(dir, m, e))
+      eqd = LedgerSink.eqdBindings(dir, m, e),
+      defaults = LedgerSink.defaultsArray(m, positions,
+        dataSchema.fields.map(f => idOf.getOrElse(f.name, -1))))
   }
 
   override def planInputPartitions(
@@ -318,7 +322,7 @@ private[sources] class LedgerChangeFeedStream(dir: Path,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    LedgerChangeFeedScan.readerFactory(dataSchema.toDDL)
+    LedgerChangeFeedScan.readerFactory(LedgerSink.cleanDdl(dataSchema))
 
   override def deserializeOffset(json: String): Offset =
     LedgerVersionOffset(json.trim.toInt)

@@ -70,12 +70,92 @@ class GraftCatalogSpec extends graft.SparkSpec {
     assert(spark.table("spec_cat.ns2.ok").columns.toSeq == Seq("k"))
     assert(spark.sql("SELECT sum(k) FROM spec_cat.ns2.ok")
       .head.getLong(0) === 103L)
-    // type changes still honestly require a rewrite (Spark's analyzer
-    // refuses them for v2 tables before the catalog is even asked)
+    // narrowing still honestly requires a rewrite (Spark's analyzer
+    // refuses it for v2 tables before the catalog is even asked)
     val t = intercept[Exception] {
       spark.sql("ALTER TABLE spec_cat.ns2.ok ALTER COLUMN k TYPE INT")
     }
     assert(t.getMessage.contains("not supported"), t.getMessage)
+  }
+
+  test("INT -> BIGINT widening is metadata-only; rename keeps it; " +
+      "direct narrowing refused at the catalog layer") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spec_cat.ns3")
+    spark.sql("DROP TABLE IF EXISTS spec_cat.ns3.w")
+    spark.sql("CREATE TABLE spec_cat.ns3.w (k INT, v BIGINT)")
+    spark.sql("INSERT INTO spec_cat.ns3.w SELECT CAST(id AS INT), id * 10 " +
+      "FROM range(5)")                                              // v2
+    spark.sql("ALTER TABLE spec_cat.ns3.w ALTER COLUMN k TYPE BIGINT") // v3
+    // rows written as INT decode through the widened schema; a
+    // beyond-int append proves the 64-bit read path
+    spark.sql("INSERT INTO spec_cat.ns3.w VALUES (2147483648, 99)")   // v4
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    assert(spark.table("spec_cat.ns3.w").schema("k").dataType == LongType)
+    assert(spark.sql("SELECT sum(k) FROM spec_cat.ns3.w").head.getLong(0)
+      == 10L + 2147483648L)
+    // rename after the widen: the field id keeps both name and type
+    spark.sql("ALTER TABLE spec_cat.ns3.w RENAME COLUMN k TO key")
+    assert(spark.table("spec_cat.ns3.w").schema("key").dataType == LongType)
+    assert(spark.sql("SELECT count(*) FROM spec_cat.ns3.w " +
+      "WHERE key > 2000000000").head.getLong(0) == 1L)
+    // time travel reads each version's own type
+    assert(spark.sql("SELECT * FROM spec_cat.ns3.w VERSION AS OF 2")
+      .schema("k").dataType == IntegerType)
+    // the catalog layer itself refuses narrowing and cross-family
+    // changes (SQL callers are guarded earlier by Spark's analyzer;
+    // direct API callers must hit the same wall)
+    val cat = spark.sessionState.catalogManager.catalog("spec_cat")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("ns3"), "w")
+    val narrow = intercept[UnsupportedOperationException] {
+      cat.alterTable(ident,
+        org.apache.spark.sql.connector.catalog.TableChange
+          .updateColumnType(Array("v"), IntegerType))
+    }
+    assert(narrow.getMessage.contains("safe"), narrow.getMessage)
+  }
+
+  test("ADD COLUMN DEFAULT: old files read it, new writes materialize, " +
+      "rename keeps it, drop+re-add forgets it") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spec_cat.ns4")
+    spark.sql("DROP TABLE IF EXISTS spec_cat.ns4.d")
+    spark.sql("CREATE TABLE spec_cat.ns4.d (k BIGINT)")
+    spark.sql("INSERT INTO spec_cat.ns4.d SELECT id FROM range(3)")   // v2
+    spark.sql("ALTER TABLE spec_cat.ns4.d " +
+      "ADD COLUMN src STRING DEFAULT 'web'")                          // v3
+    spark.sql("ALTER TABLE spec_cat.ns4.d ADD COLUMN n BIGINT DEFAULT 7") // v4
+    def rows(): Map[Long, (String, Option[Long])] =
+      spark.sql("SELECT k, src, n FROM spec_cat.ns4.d").collect()
+        .map(r => r.getLong(0) -> (r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // pre-default rows read the INITIAL defaults, not NULL
+    assert(rows() == Map(0L -> ("web", Some(7L)), 1L -> ("web", Some(7L)),
+      2L -> ("web", Some(7L))), rows())
+    // a write omitting the columns MATERIALIZES the default values
+    spark.sql("INSERT INTO spec_cat.ns4.d (k) VALUES (100)")          // v5
+    // an explicit NULL in a file that HAS the column stays NULL
+    spark.sql("INSERT INTO spec_cat.ns4.d VALUES (200, 'app', NULL)") // v6
+    assert(rows()(100L) == ("web", Some(7L)))
+    assert(rows()(200L) == ("app", None))
+    // rename keeps the default (keyed by field id, not name)
+    spark.sql("ALTER TABLE spec_cat.ns4.d RENAME COLUMN src TO source")
+    assert(spark.sql("SELECT source FROM spec_cat.ns4.d WHERE k = 0")
+      .head.getString(0) == "web")
+    // time travel: pre-evolution versions have neither column; the
+    // defaulted read is version-scoped like the schema itself
+    assert(spark.sql("SELECT * FROM spec_cat.ns4.d VERSION AS OF 2")
+      .columns.toSeq == Seq("k"))
+    assert(spark.sql("SELECT src FROM spec_cat.ns4.d VERSION AS OF 3 " +
+      "WHERE k = 0").head.getString(0) == "web")
+    // DROP releases the default; re-adding the NAME mints a new id
+    // that must NOT resurrect it
+    spark.sql("ALTER TABLE spec_cat.ns4.d DROP COLUMN n")
+    spark.sql("ALTER TABLE spec_cat.ns4.d ADD COLUMN n BIGINT")
+    assert(spark.sql("SELECT n FROM spec_cat.ns4.d WHERE k = 0")
+      .head.isNullAt(0), "a re-added column must not inherit the default")
   }
 
   test("metadata delete drops whole files by stats; straddling deletes take COW") {
