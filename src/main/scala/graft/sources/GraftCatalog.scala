@@ -152,17 +152,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               (catalogName +: ns :+ ident.name()).mkString("."),
               ident.name())
           else if (ident.name().startsWith("branch_")) {
+            // an unknown ref name must fall through to "no such
+            // table", not leak IllegalArgumentException out of
+            // loadTable — Spark's catalog-resolution fallback (e.g. a
+            // temp view or another catalog shadowing the name) only
+            // engages on NoSuchTableException (ADVICE r11)
             val b = ident.name().stripPrefix("branch_")
-            Some(new LedgerTable(parentDir,
+            try Some(new LedgerTable(parentDir,
               LedgerSink.readBranchState(parentDir, b,
                 LedgerRefs.branchFork(parentDir, b)).schema,
               branch = Some(b)))
+            catch { case _: IllegalArgumentException => None }
           } else if (ident.name().startsWith("tag_")) {
             val t = ident.name().stripPrefix("tag_")
-            val v = LedgerRefs.resolveTag(parentDir, t)
-            Some(new LedgerTable(parentDir,
-              LedgerSink.readManifestAt(parentDir, Some(v)).get.schema,
-              Some(v)))
+            try {
+              val v = LedgerRefs.resolveTag(parentDir, t)
+              Some(new LedgerTable(parentDir,
+                LedgerSink.readManifestAt(parentDir, Some(v)).get.schema,
+                Some(v)))
+            } catch { case _: IllegalArgumentException => None }
           } else None
         }).getOrElse(throw new NoSuchTableException(ident))
     }

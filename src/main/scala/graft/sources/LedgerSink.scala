@@ -69,7 +69,7 @@ class LedgerSink extends TableProvider {
       .orElse(Option(options.get("tagAsOf"))
         .map(t => LedgerRefs.resolveTag(Paths.get(dir), t)))
       .orElse(Option(options.get("timestampAsOf")).map(t =>
-        LedgerSink.versionForTimestamp(Paths.get(dir),
+        LedgerSink.versionForTimestampMemo(Paths.get(dir),
           LedgerSink.parseTsMillis(t))))
       .orElse(Option(options.get("changesToVersion")).map(_.toInt))
     // absent staged manifest falls through to the live one — the
@@ -134,7 +134,7 @@ class LedgerSink extends TableProvider {
         .orElse(Option(properties.get("tagAsOf"))
           .map(t => LedgerRefs.resolveTag(Paths.get(dir), t)))
         .orElse(Option(properties.get("timestampAsOf")).map(t =>
-          LedgerSink.versionForTimestamp(Paths.get(dir),
+          LedgerSink.versionForTimestampMemo(Paths.get(dir),
             LedgerSink.parseTsMillis(t)))),
       changes,
       LedgerSink.partitionSpecOf(partitioning),
@@ -1441,10 +1441,44 @@ object LedgerSink {
     if (known.isEmpty) throw new IllegalArgumentException(
       s"ledger $dir has no commit-timestamp metadata " +
         "(legacy layout?) — use versionAsOf")
-    known.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+    val v = known.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
       throw new IllegalArgumentException(
         s"timestamp $tsMillis is before the first recorded commit " +
           s"(${known.head._2}) of ledger $dir"))
+    // resolution is among SURVIVING versions only — if v's immediate
+    // successor was expired, the instant may belong to an expired
+    // version whose clock died with its archive, and serving v would
+    // be a silent stale read where the rest of the time-travel
+    // contract fails loud (ADVICE r11). v == max means nothing ever
+    // followed, so v IS the version current at the instant.
+    val versions = known.map(_._1).toSet
+    if (v != versions.max && !versions.contains(v + 1))
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis falls in an expired span of ledger $dir " +
+          s"history: version ${v + 1} (the resolved version's successor) " +
+          "was expired, so the version current at that instant is " +
+          "unknowable — use versionAsOf or a retained timestamp")
+    v
+  }
+
+  /** [[versionForTimestamp]] memoized over a short TTL: Spark resolves
+    * a read's schema (inferSchema) and its table (getTable) in two
+    * separate calls, and for a timestamp at-or-after "now" a commit
+    * landing between them would bind the scan to a different version
+    * than the inferred schema — versionAsOf/tagAsOf cannot diverge
+    * this way, so timestampAsOf must not either (ADVICE r11). The TTL
+    * keeps an unrelated LATER read (same timestamp, minutes on) seeing
+    * current state. */
+  private val tsResolutions =
+    scala.collection.concurrent.TrieMap[(String, Long), (Int, Long)]()
+  private val TsMemoTtlMillis = 10000L
+
+  private[sources] def versionForTimestampMemo(dir: Path,
+      tsMillis: Long): Int = {
+    val now = System.currentTimeMillis()
+    tsResolutions.filterInPlace((_, va) => now - va._2 < TsMemoTtlMillis)
+    tsResolutions.getOrElseUpdate((dir.toString, tsMillis),
+      (versionForTimestamp(dir, tsMillis), now))._1
   }
 
   /** A `timestampAsOf` option value: epoch millis when all digits;
@@ -2405,8 +2439,13 @@ object LedgerMaintenance {
     * for ordinals, once through the public (DV-merging) reader for
     * values — which agree because [[planDvs]] only admits predicate
     * shapes whose semantics are identical in both evaluators.
-    * Unpartitioned tables only (the staged update files carry no
-    * partition tuple); partitioned tables take the COW UPDATE path.
+    * Partitioned tables work too: the scratch ledger the update
+    * images stage through is pre-created with the TARGET's partition
+    * spec, so every staged file carries its partition tuple under the
+    * same transforms (the [[org.apache.spark.sql.connector.write]]
+    * SupportsDelta SQL path and this procedural path now share the
+    * partition-aware write shape); a mid-flight partition-spec change
+    * conflicts like any other racing rewrite.
     * Returns the number of updated rows. */
   def updateMoR(spark: SparkSession, dirStr: String,
       filters: Array[org.apache.spark.sql.sources.Filter],
@@ -2422,9 +2461,6 @@ object LedgerMaintenance {
     val planVersion = LedgerSink.currentVersion(dir)
     val m = LedgerSink.readManifestAt(dir, Some(planVersion)).getOrElse(
       throw new IllegalArgumentException(s"no ledger table at $dirStr"))
-    require(m.partitionSpec.isEmpty,
-      "updateMoR rewrites unpartitioned tables only; partitioned " +
-        "tables take the SQL COW UPDATE path")
     val schema = m.schema
     set.keys.foreach(k => schema.fieldIndex(k): Unit)
     val (newDvs, matched) = planDvs(spark, dir, m, filters)
@@ -2461,10 +2497,16 @@ object LedgerMaintenance {
     // in table-schema order)
     val tmp = Files.createTempDirectory(s"graft_mor_upd_$tag")
     Files.createDirectories(dir.resolve("_staging"))
+    // the scratch table is PRE-CREATED with the target's partition
+    // spec (by NAME, re-resolved against the scratch's fresh 1..n
+    // ids), so the append below stamps every staged file with its
+    // partition tuple under the SAME transforms the target prunes by
+    LedgerSink.writeManifestAtomic(tmp,
+      LedgerSink.Manifest.fresh(schema, m.namedPartitionSpec))
     val moved =
       try {
         updated.write.format(classOf[LedgerSink].getName)
-          .option("path", tmp.toString).mode("overwrite").save()
+          .option("path", tmp.toString).mode("append").save()
         LedgerSink.readManifest(tmp).get.files.zipWithIndex.map {
           case (e, i) =>
             val rel = s"_staging/upd-$tag-$i.ledger"
@@ -2481,8 +2523,12 @@ object LedgerMaintenance {
                 m.ids.toSeq(pos), bits)
               br
             }
+            // partition tuple carries over verbatim (same named spec,
+            // same transforms); stamp the TARGET's current spec id so
+            // the entry stays correct across later spec evolutions
             e.copy(file = rel, ids = Some(m.ids.toSeq), statId = m.statId,
-              bloom = bloomRel)
+              bloom = bloomRel,
+              spec = if (m.specId == 0) None else Some(m.specId))
         }
       } finally {
         val s = Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
@@ -2500,7 +2546,10 @@ object LedgerMaintenance {
           // the update images commit with a fresh data sequence: an
           // equality delete installed after planning would be escaped
           // by them (resurrection) — conflict instead
-          c.eqDeletes == m.eqDeletes)
+          c.eqDeletes == m.eqDeletes &&
+          // staged tuples were computed under m's spec — a racing
+          // spec evolution would mis-key them
+          c.specId == m.specId && c.partitionSpec == m.partitionSpec)
         .map(c => c.copy(files = c.files.map(e =>
           newDvs.get(e.file).fold(e)(d => e.copy(dv = Some(d)))) ++ moved)),
       s"updateMoR on $dirStr raced a commit that rewrote one of its " +
@@ -2660,24 +2709,37 @@ object LedgerMaintenance {
     // staged files' entries remap POSITIONALLY to the target's ids
     m.schema.fields.foreach(f =>
       checkKeyTypes(m, Seq(f.name), rows.schema))
-    LedgerConstraints.constraintsOf(m.props).foreach { case (n, sql) =>
-      val bad = rows.filter(s"($sql) <=> false").count()
-      if (bad > 0) throw new IllegalArgumentException(
-        s"upsert into $dirStr violates CHECK constraint $n " +
-          s"($sql) on $bad row(s)")
-    }
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val projected = rows.selectExpr(m.schema.fieldNames.toSeq: _*)
-    // stage the appends through a scratch ledger (same move-and-remap
-    // protocol as updateMoR)
+    // Stage the appends through a scratch ledger (same move-and-remap
+    // protocol as updateMoR). The input plan is evaluated EXACTLY ONCE
+    // — this write; the CHECK scan and the key sidecars below read the
+    // MATERIALIZED staged bytes, never the plan again. A
+    // non-deterministic input (rand(), a view over a changing source)
+    // would otherwise append one evaluation's rows while installing
+    // another evaluation's delete keys, making the "single atomic
+    // upsert" internally inconsistent (ADVICE r11).
     val tmp = Files.createTempDirectory(s"graft_equ_$tag")
     Files.createDirectories(dir.resolve("_staging"))
-    val moved =
+    val (moved, staged, nKeys) =
       try {
         projected.write.format(classOf[LedgerSink].getName)
           .option("path", tmp.toString).mode("overwrite").save()
+        val stagedRows = spark.read.format(classOf[LedgerSink].getName)
+          .option("path", tmp.toString).load()
+        LedgerConstraints.constraintsOf(m.props).foreach { case (n, sql) =>
+          val bad = stagedRows.filter(s"($sql) <=> false").count()
+          if (bad > 0) throw new IllegalArgumentException(
+            s"upsert into $dirStr violates CHECK constraint $n " +
+              s"($sql) on $bad row(s)")
+        }
+        // key sidecars from the staged data — the appended rows and
+        // the keys deleting their predecessors are the same rows by
+        // construction
+        val (st, nk) = stageEqdSidecars(spark, dir,
+          stagedRows.selectExpr(keyCols: _*).distinct(), tag)
         val sm = LedgerSink.readManifest(tmp).get
-        sm.files.zipWithIndex.map { case (e, i) =>
+        val mv = sm.files.zipWithIndex.map { case (e, i) =>
           val rel = s"_staging/equ-$tag-$i.ledger"
           Files.move(tmp.resolve(e.file), dir.resolve(rel))
           val bloomRel = e.bloom.map { b =>
@@ -2690,14 +2752,13 @@ object LedgerMaintenance {
           e.copy(file = rel, ids = Some(m.ids.toSeq), statId = m.statId,
             bloom = bloomRel)
         }
+        (mv, st, nk)
       } finally {
         val s = Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
         try s.iterator().asScala.foreach(Files.deleteIfExists(_))
         finally s.close()
       }
     val nRows = moved.map(_.rows).sum
-    val (staged, nKeys) = stageEqdSidecars(spark, dir,
-      projected.selectExpr(keyCols: _*).distinct(), tag)
     def cleanup(): Unit = {
       staged.foreach(f => Files.deleteIfExists(dir.resolve(f)): Unit)
       moved.foreach(e => LedgerSink.deleteStagedEntry(dir, e))

@@ -316,4 +316,26 @@ class EqualityDeleteSpec extends graft.SparkSpec {
       s"expired sidecars should be reclaimed, got $reclaimed")
     assert(ids(dir) == (8L until 12L).toSet ++ Set(100L))
   }
+
+  test("upsert of a NON-DETERMINISTIC batch stays internally " +
+      "consistent: every appended row is covered by its own delete") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 200).selectExpr("id", "id AS v"), "overwrite")
+    // rand() makes every re-evaluation of this plan a different row
+    // set — if the staged appends and the key sidecars came from two
+    // evaluations, some appended key would miss its delete and its
+    // base row would SURVIVE as a duplicate (ADVICE r11: evaluate
+    // once, derive the keys from the staged bytes)
+    val batch = spark.range(0, 200)
+      .filter(org.apache.spark.sql.functions.rand() < 0.5)
+      .selectExpr("id", "id + 1000 AS v")
+    LedgerMaintenance.upsertByKeys(spark, dir.toString, Seq("id"), batch): Unit
+    val dup = read(dir).groupBy("id").count().filter("count > 1").count()
+    assert(dup == 0, s"$dup key(s) duplicated after a rand() upsert")
+    assert(read(dir).count() == 200)
+    // and the updated rows really are the appended evaluation's rows
+    val updated = read(dir).filter("v >= 1000").count()
+    val unchanged = read(dir).filter("v < 1000 AND v = id").count()
+    assert(updated + unchanged == 200)
+  }
 }

@@ -117,6 +117,24 @@ class GraftCatalogSpec extends graft.SparkSpec {
     assert(narrow.getMessage.contains("safe"), narrow.getMessage)
   }
 
+  test("unknown branch_/tag_ handles under a real table resolve to " +
+      "'table not found', not an analysis-breaking ref error") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spec_cat.ns5")
+    spark.sql("DROP TABLE IF EXISTS spec_cat.ns5.base")
+    spark.sql("CREATE TABLE spec_cat.ns5.base (k BIGINT)")
+    // Spark's catalog-resolution fallback (temp views, other catalogs)
+    // only engages on NoSuchTableException — an
+    // IllegalArgumentException out of loadTable breaks analysis with
+    // a confusing error instead (ADVICE r11)
+    for (bogus <- Seq("branch_nope", "tag_nope")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.table(s"spec_cat.ns5.$bogus").count())
+      assert(e.getCondition == "TABLE_OR_VIEW_NOT_FOUND",
+        s"$bogus: ${e.getCondition} / ${e.getMessage}")
+    }
+  }
+
   test("ADD COLUMN DEFAULT: old files read it, new writes materialize, " +
       "rename keeps it, drop+re-add forgets it") {
     init()

@@ -159,17 +159,27 @@ class MorDeleteCdfSpec extends graft.SparkSpec {
     assert(read(dir).selectExpr("sum(v)").head().getLong(0) ==
       (0L until 50L).map(i =>
         if (i < 3) i * 2 + 1001 else if (i < 10) i * 2 + 1000 else i * 2).sum)
-    // updated rows are appended files without partition tuples —
-    // partitioned targets are refused (they take the COW path)
+    // partitioned targets: the update images stage WITH their
+    // partition tuples (the scratch ledger is pre-created with the
+    // target's spec), so MoR updates work and pruning still holds
     val pdir = freshDir()
     spark.range(0, 10).selectExpr("id", "id % 2 AS p")
       .write.format(ledger).option("path", pdir).partitionBy("p")
       .mode("overwrite").save()
-    val ex = intercept[IllegalArgumentException] {
-      LedgerMaintenance.updateMoR(spark, pdir,
-        Array(LessThan("id", 5L)), Map("id" -> "id + 1"))
-    }
-    assert(ex.getMessage.contains("unpartitioned"))
+    assert(LedgerMaintenance.updateMoR(spark, pdir,
+      Array(LessThan("id", 5L)), Map("id" -> "id + 100")) == 5)
+    val prows = spark.read.format(ledger).option("path", pdir).load()
+    assert(prows.count() == 10)
+    assert(prows.selectExpr("sum(id)").head.getLong(0) ==
+      (0L until 10L).sum + 5 * 100)
+    // every appended update file carries its partition tuple, placed
+    // under the value matching its rows' p — partition pruning on the
+    // updated table stays exact
+    val pm = LedgerSink.readManifest(java.nio.file.Paths.get(pdir)).get
+    assert(pm.files.forall(_.partVals.exists(_.length == 1)),
+      s"a staged update file lost its partition tuple: ${pm.files}")
+    assert(prows.filter("p = 1 AND id >= 100").count() == 2,
+      "updated odd ids (1,3) live under p=1")
   }
 
   test("deleteMoR rejects filters its evaluator cannot decide") {

@@ -195,4 +195,44 @@ class TimestampTravelSpec extends graft.SparkSpec {
         .option("timestampAsOf", "1700000000000").load())
     assert(e.getMessage.contains("no commit-timestamp metadata"))
   }
+
+  test("a timestamp inside an expired history gap fails loud, " +
+      "never serves the older surviving snapshot") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 10).selectExpr("id"), "overwrite")    // v1
+    write(dir, spark.range(0, 20).selectExpr("id"), "overwrite")    // v2
+    write(dir, spark.range(0, 30).selectExpr("id"), "overwrite")    // v3
+    write(dir, spark.range(0, 40).selectExpr("id"), "overwrite")    // v4
+    write(dir, spark.range(0, 50).selectExpr("id"), "overwrite")    // v5
+    val ts = LedgerSink.commitTimestamps(dir).toMap
+    // protect v1 with a tag, then expire: v2+v3 (and their clocks)
+    // die (keepLast=1 keeps v4, the newest archive; v1 is tagged),
+    // leaving retained versions {1, 4, 5} with a gap at 2-3
+    LedgerRefs.createTag(dir, "keep1", Some(1)): Unit
+    assert(LedgerRefs.expireVersions(dir, keepLast = 1) == Seq(2, 3))
+    // a timestamp that belonged to the expired v2's reign resolves
+    // structurally to v1 — whose successor is gone, so the read must
+    // refuse instead of silently serving v1's rows
+    val e = intercept[IllegalArgumentException](
+      readTs(dir, ts(3) - 1).count())
+    assert(e.getMessage.contains("expired span"), e.getMessage)
+    // timestamps squarely inside retained reigns still resolve
+    assert(readTs(dir, ts(4)).count() == 40)
+    assert(readTs(dir, ts(5) + 100000).count() == 50)
+  }
+
+  test("inferSchema and the scan bind the SAME version for a " +
+      "timestamp even when a commit lands in between (memo)") {
+    val dir = freshDir()
+    write(dir, spark.range(0, 5).selectExpr("id"), "overwrite")     // v1
+    // a FUTURE timestamp: resolution depends on what has committed —
+    // exactly the case where two independent resolutions can diverge
+    val future = System.currentTimeMillis() + 60000
+    val first = LedgerSink.versionForTimestampMemo(dir, future)
+    write(dir, spark.range(0, 50).selectExpr("id"), "overwrite")    // v2
+    // within the memo TTL the paired call must see the SAME version,
+    // even though a fresh resolution now answers v2
+    assert(LedgerSink.versionForTimestampMemo(dir, future) == first)
+    assert(LedgerSink.versionForTimestamp(dir, future) == first + 1)
+  }
 }
