@@ -219,6 +219,146 @@ object EndToEnd {
     phase("unionPlan")((zoneRows ++ queryRows).reduce(_ unionByName _).orderBy("zone"))
   }
 
+  /** `pipeline_end_to_end_ledger`: the reference's unit of work with
+    * the curated zone landing in LEDGER TABLES through
+    * write-audit-publish — the lakehouse-native shape of the same
+    * drop-to-dashboard path. Raw CSVs route to the five concurrent
+    * jobs as in [[pipelineEndToEnd]], but each curated table stages
+    * its rows under a `wapId` against an empty ledger table (no
+    * version advances), the audit step recounts the STAGED read and
+    * only then publishes, and the six Athena queries run over the
+    * PUBLISHED catalog state. A deliberately failing audit (an empty
+    * second batch where the audit demands rows) aborts cleanly: live
+    * tables untouched, staged files deleted. The protocol verdicts
+    * travel as one extra summary row whose digest folds the four
+    * checks, so the oracle hash fails if any protocol step regresses. */
+  def pipelineEndToEndLedger(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{LedgerRefs, LedgerSink}
+    val raw = stageRawZone(spark, dir)
+    graft.sources.LedgerLifecycle.initCatalog(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.e2el")
+    // identifier-safe tag (dirTag keeps dots, which a SQL table name
+    // cannot carry unquoted)
+    val g = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val catRoot = graft.sources.LedgerLifecycle.catalogRoot
+    def tPath(zone: String) = java.nio.file.Paths.get(catRoot, "e2el", s"${zone}_$g")
+    def tName(zone: String) = s"graft_cat.e2el.${zone}_$g"
+    val ledger = classOf[LedgerSink].getName
+    val zones = zoneDigests.filterNot(_._1.startsWith("processed_")).map(_._1)
+
+    val orders = readEntity(spark, dir, raw, "orders")
+    val items = readEntity(spark, dir, raw, "order_items")
+    val products = readEntity(spark, dir, raw, "products")
+    val customers = readEntity(spark, dir, raw, "customers")
+    val feedback = readEntity(spark, dir, raw, "feedback")
+    val marketing = readEntity(spark, dir, raw, "marketing")
+    val invSchema = Entities.inventoryOld(spark, dir).schema
+    val invAll = Readers.csvWithProvenance(spark, invSchema, s"$raw/inventory/*/*.csv")
+    val invOld = invAll.filter(!col("source_file").contains("inventoryNew"))
+      .drop("source_file")
+    val invNew = invAll.filter(col("source_file").contains("inventoryNew"))
+      .drop("source_file")
+
+    // each job CREATES its empty curated table (v1) then STAGES the
+    // rows under wapId w1 — no version advances until publish
+    def stageWap(zone: String, df: DataFrame): Unit = {
+      df.limit(0).write.format(ledger)
+        .option("path", tPath(zone).toString).mode("overwrite").save()
+      df.write.format(ledger).option("path", tPath(zone).toString)
+        .option("wapId", "w1").mode("append").save()
+    }
+    val (results, crawl) =
+      Orchestrator.runAndCrawlRecordedConcurrent(
+        "incoming/daily_batch_2024_08.csv") {
+        case Orchestrator.SalesRevenue =>
+          stageWap("curated_revenue_by_category",
+            Aggregations.revenueByCategory(
+              SalesRevenue.run(orders, items, products)))
+        case Orchestrator.DeliveryPerformance =>
+          stageWap("curated_delivery_partner_performance",
+            Aggregations.deliveryPartnerPerformance(
+              DeliveryPerformance.run(orders)))
+        case Orchestrator.CustomerFeedback =>
+          stageWap("curated_area_feedback_metrics",
+            CustomerFeedback.areaMetrics(CustomerFeedback.enrich(
+              feedback, customers, orders, CustomerFeedback.ratingIcons(spark))))
+        case Orchestrator.MarketingRoi =>
+          stageWap("curated_campaign_performance_summary",
+            Aggregations.campaignPerformanceSummary(MarketingRoi.run(marketing)))
+        case Orchestrator.InventoryReconciliation =>
+          val recon = InventoryReconciliation.run(invOld, invNew, products)
+          stageWap("curated_category_inventory_impact",
+            Aggregations.categoryInventoryImpact(recon))
+          stageWap("curated_product_inventory_discrepancies",
+            Aggregations.productInventoryDiscrepancies(recon))
+      } { _ => () } // the catalog IS the crawler here: path-convention tables
+    val failed = results.filterNot(_.succeeded)
+    if (failed.nonEmpty || !crawl.contains("succeeded"))
+      throw new IllegalStateException(
+        s"ledger end-to-end degraded: jobs=$results crawl=$crawl")
+
+    // AUDIT → PUBLISH. Audit reads the staged (base ∪ wap) state and
+    // demands rows; staging must not have advanced any version.
+    val stageIsolated = if (zones.forall(z =>
+      LedgerSink.currentVersion(tPath(z)) == 1)) 1 else 0
+    val audited = zones.map { z =>
+      z -> spark.read.format(ledger).option("path", tPath(z).toString)
+        .option("wapId", "w1").load().count()
+    }.toMap
+    if (audited.values.exists(_ == 0L))
+      throw new IllegalStateException(s"audit found an empty zone: $audited")
+    zones.foreach(z => LedgerRefs.publishWap(tPath(z), "w1"): Unit)
+    val publishOk = if (zones.forall(z =>
+      LedgerSink.currentVersion(tPath(z)) == 2 &&
+        spark.table(tName(z)).count() == audited(z) &&
+        LedgerSink.listWaps(tPath(z)).isEmpty)) 1 else 0
+
+    // a deliberately FAILING audit: stage an empty second batch where
+    // the audit demands rows — abort must leave live state untouched
+    val probe = zones.head
+    spark.table(tName(probe)).limit(0).write.format(ledger)
+      .option("path", tPath(probe).toString)
+      .option("wapId", "w2").mode("append").save()
+    val auditFails =
+      if (spark.read.format(ledger).option("path", tPath(probe).toString)
+        .option("wapId", "w2").load().count() == audited(probe)) 1 else 0
+    LedgerRefs.abortWap(tPath(probe), "w2")
+    val abortClean = if (LedgerSink.currentVersion(tPath(probe)) == 2 &&
+      spark.table(tName(probe)).count() == audited(probe) &&
+      LedgerSink.listWaps(tPath(probe)).isEmpty) 1 else 0
+
+    // the six queries over the PUBLISHED catalog state
+    def ledgerSql(sql: String): String =
+      sql.replaceAll("\\bcurated_(\\w+)", s"graft_cat.e2el.curated_$$1_$g")
+    val zoneRows = zoneDigests.filterNot(_._1.startsWith("processed_"))
+      .map { case (z, digest) => summarize(z, spark.table(tName(z)), digest) }
+    val queryRows = queryDigests.map { case (q, digest) =>
+      summarize(q, spark.sql(ledgerSql(AthenaQueries.all(q))), digest) }
+    val verdict = spark.range(1).selectExpr(
+      "'wap_protocol' AS zone",
+      "CAST(4 AS BIGINT) AS n_rows",
+      s"CAST($stageIsolated * 1000 + $publishOk * 100 + " +
+        s"$auditFails * 10 + $abortClean AS BIGINT) AS digest")
+    (zoneRows ++ queryRows :+ verdict).reduce(_ unionByName _).orderBy("zone")
+  }
+
+  /** Oracle twin: the curated/query summaries from the shared CTE
+    * registry plus the all-green protocol verdict row. */
+  val pipelineEndToEndLedgerOracle: String = {
+    val rows =
+      zoneDigests.filterNot(_._1.startsWith("processed_"))
+        .map { case (z, digest) =>
+          s"""SELECT '$z' AS zone, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST($digest AS BIGINT) AS digest FROM $z""" } ++
+      queryDigests.map { case (q, digest) =>
+        s"""SELECT '$q' AS zone, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST($digest AS BIGINT) AS digest
+            FROM (${AthenaQueries.all(q)})""" } :+
+      "SELECT 'wap_protocol' AS zone, CAST(4 AS BIGINT) AS n_rows, " +
+        "CAST(1111 AS BIGINT) AS digest"
+    OracleSql.withCtes(rows.mkString(" UNION ALL ") + " ORDER BY zone")
+  }
+
   /** Oracle: identical summaries from the shared CTE registry (the
     * DuckDB-side derivation of the same entities → pipelines →
     * curated aggregates → Athena queries). */

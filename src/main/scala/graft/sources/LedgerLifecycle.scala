@@ -26,10 +26,10 @@ object LedgerLifecycle {
 
   private[sources] def ledger = classOf[LedgerSink].getName
 
-  private[sources] def catalogRoot: String =
+  private[graft] def catalogRoot: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt"
 
-  private[sources] def initCatalog(spark: SparkSession): Unit = {
+  private[graft] def initCatalog(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.catalog.graft_cat",
       classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)

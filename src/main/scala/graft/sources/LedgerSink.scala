@@ -1590,7 +1590,7 @@ object LedgerSink {
     * suffix (log layout), or one past the newest full archive
     * (legacy). An empty directory reads as version 1 — the version the
     * FIRST commit will create. */
-  private[sources] def currentVersion(dir: Path): Int =
+  private[graft] def currentVersion(dir: Path): Int =
     manifestVersion(dir) match {
       case Some(c) =>
         var v = c
@@ -1722,7 +1722,7 @@ object LedgerSink {
       s"ledger $dir has no staged commit wapId=$id (staged: " +
         s"${listWaps(dir).mkString(",")})"))
 
-  private[sources] def listWaps(dir: Path): Seq[String] = {
+  private[graft] def listWaps(dir: Path): Seq[String] = {
     val re = s"${java.util.regex.Pattern.quote(ManifestName)}\\.wap\\.(.+)".r
     if (!Files.isDirectory(dir)) Seq.empty
     else {
