@@ -245,6 +245,11 @@ object EndToEnd {
     def tName(zone: String) = s"graft_cat.e2el.${zone}_$g"
     val ledger = classOf[LedgerSink].getName
     val zones = zoneDigests.filterNot(_._1.startsWith("processed_")).map(_._1)
+    // fresh tables per run: the protocol verdicts assert version
+    // arithmetic from v1, which a previous run's published tables on a
+    // warm machine would break
+    zones.foreach(z =>
+      graft.sources.LedgerLifecycle.deleteRecursively(tPath(z).toString))
 
     val orders = readEntity(spark, dir, raw, "orders")
     val items = readEntity(spark, dir, raw, "order_items")

@@ -38,7 +38,7 @@ object LedgerLifecycle {
   private[sources] def tag(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
-  private def deleteRecursively(dirStr: String): Unit = {
+  private[graft] def deleteRecursively(dirStr: String): Unit = {
     val root = Paths.get(dirStr)
     if (Files.exists(root)) {
       val s = Files.walk(root).sorted(java.util.Comparator.reverseOrder())
