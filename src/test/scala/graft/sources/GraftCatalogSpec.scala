@@ -176,6 +176,26 @@ class GraftCatalogSpec extends graft.SparkSpec {
       .head.isNullAt(0), "a re-added column must not inherit the default")
   }
 
+  test("widening composes with defaults: an INT column's stored " +
+      "default reads back as BIGINT after ALTER COLUMN TYPE") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spec_cat.ns6")
+    spark.sql("DROP TABLE IF EXISTS spec_cat.ns6.wd")
+    spark.sql("CREATE TABLE spec_cat.ns6.wd (k BIGINT)")
+    spark.sql("INSERT INTO spec_cat.ns6.wd SELECT id FROM range(3)")  // v2
+    spark.sql("ALTER TABLE spec_cat.ns6.wd ADD COLUMN c INT DEFAULT 42") // v3
+    spark.sql("ALTER TABLE spec_cat.ns6.wd ALTER COLUMN c TYPE BIGINT") // v4
+    // the encoded default ('42', int text) parses under the widened
+    // type; pre-default rows read 42L, and INSERT fill still works
+    import org.apache.spark.sql.types.LongType
+    assert(spark.table("spec_cat.ns6.wd").schema("c").dataType == LongType)
+    assert(spark.sql("SELECT sum(c) FROM spec_cat.ns6.wd").head.getLong(0)
+      == 3 * 42L)
+    spark.sql("INSERT INTO spec_cat.ns6.wd (k) VALUES (100)")
+    assert(spark.sql("SELECT c FROM spec_cat.ns6.wd WHERE k = 100")
+      .head.getLong(0) == 42L)
+  }
+
   test("metadata delete drops whole files by stats; straddling deletes take COW") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS spec_cat.del")

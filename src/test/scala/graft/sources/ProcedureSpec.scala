@@ -47,6 +47,25 @@ class ProcedureSpec extends graft.SparkSpec {
       .load().count() == 70)
   }
 
+  test("remove_orphan_files: explicit horizon through CALL") {
+    val t = fresh("rof")
+    val dir = java.nio.file.Paths.get(s"$root/pr/rof")
+    // a young orphan: plain vacuum (default horizon) keeps it — it
+    // looks exactly like an in-flight writer's stage
+    val orphan = dir.resolve("_staging/orphan-part-0-1-0.ledger")
+    java.nio.file.Files.write(orphan, "1|1\n".getBytes("UTF-8"))
+    assert(one(s"CALL graft_proc.sys.vacuum('pr.rof')").getInt(0) == 0)
+    assert(java.nio.file.Files.exists(orphan))
+    // remove_orphan_files with older_than = the future reclaims it
+    // (Iceberg semantics: files modified BEFORE the instant go)
+    val future = System.currentTimeMillis() + 60000
+    assert(one(
+      s"CALL graft_proc.sys.remove_orphan_files('pr.rof', '$future')")
+      .getInt(0) == 1)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(spark.table(t).count() == 50, "live data untouched")
+  }
+
   test("optimize and constraints through CALL") {
     val t = fresh("opt")
     (1 to 3).foreach(i => spark.sql(
