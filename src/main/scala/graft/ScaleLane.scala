@@ -37,6 +37,10 @@ object ScaleLane {
   private val Copies = 10
 
   def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: ScaleLane <srcSfDir> <outDir>")
+      sys.exit(2)
+    }
     val Array(src, out) = args
     val marker = java.nio.file.Paths.get(out, "_SCALED")
     if (java.nio.file.Files.exists(marker)) {
@@ -89,9 +93,16 @@ object ScaleLane {
     val ev = spark.read.parquet(s"$src/events.parquet")
     val maxEvent = ev.agg(max("event_id")).head.getLong(0) + 1
     val maxUser = ev.agg(max("user_id")).head.getLong(0) + 1
+    // the ts shift must handle BOTH fixture vintages the session
+    // accepts (nanosAsLong=true): TIMESTAMP adds an interval,
+    // nano-long BIGINT adds raw nanoseconds
+    val tsShift =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        "ts + __copy * 1000000000 AS ts"
+      else "ts + make_interval(0, 0, 0, 0, 0, 0, __copy) AS ts"
     write("events", copies(ev).selectExpr(
       s"event_id + __copy * ${maxEvent}L AS event_id",
-      "ts + make_interval(0, 0, 0, 0, 0, 0, __copy) AS ts",
+      tsShift,
       s"user_id + __copy * ${maxUser}L AS user_id",
       "event_type", "value", "props"))
 

@@ -66,6 +66,10 @@ object EndToEnd {
     val root = s"$tmp/graft_raw_zone_v2/${dirTag(dir)}"
     val marker = java.nio.file.Paths.get(root, "_STAGED")
     if (!java.nio.file.Files.exists(marker)) {
+      // reclaim the pre-v2 zone on warm machines — the layout bump
+      // must not leave a full orphaned CSV copy of every entity behind
+      graft.sources.LedgerLifecycle.deleteRecursively(
+        s"$tmp/graft_raw_zone/${dirTag(dir)}")
       entities(spark, dir).foreach { case (name, df) =>
         // A handful of CSV files per entity, not one-per-task: the raw
         // zone models the producer's batch drop (the reference ingests
@@ -238,8 +242,8 @@ object EndToEnd {
     graft.sources.LedgerLifecycle.initCatalog(spark)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.e2el")
     // identifier-safe tag (dirTag keeps dots, which a SQL table name
-    // cannot carry unquoted)
-    val g = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // cannot carry unquoted) — the lifecycle gates' own sanitizer
+    val g = graft.sources.LedgerLifecycle.tag(dir)
     val catRoot = graft.sources.LedgerLifecycle.catalogRoot
     def tPath(zone: String) = java.nio.file.Paths.get(catRoot, "e2el", s"${zone}_$g")
     def tName(zone: String) = s"graft_cat.e2el.${zone}_$g"

@@ -340,11 +340,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // columns from the schema metadata [[withDefaultMetadata]]
           // attaches on load). Only foldable literals arrive here —
           // Spark has already constant-folded the DEFAULT expression.
-          val defEnc = Option(add.defaultValue()).map { dv =>
+          val defEnc = Option(add.defaultValue()).flatMap { dv =>
             val lit = dv.getValue
             if (lit == null) throw new UnsupportedOperationException(
               "ledger DEFAULT must be a constant literal")
-            LedgerSink.encodeDefault(f.dataType, lit.value())
+            // DEFAULT NULL folds to nothing — absent == NULL already
+            // (same rule as the CREATE TABLE path)
+            Option(lit.value())
+              .map(LedgerSink.encodeDefault(f.dataType, _))
           }
           m.copy(schema = StructType(m.schema.fields :+ f),
             ids = m.ids :+ m.nextId, nextId = m.nextId + 1,

@@ -35,7 +35,7 @@ object LedgerLifecycle {
     spark.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
   }
 
-  private[sources] def tag(sfDir: String): String =
+  private[graft] def tag(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
   private[graft] def deleteRecursively(dirStr: String): Unit = {

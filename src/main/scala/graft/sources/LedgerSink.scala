@@ -1470,14 +1470,19 @@ object LedgerSink {
     * keeps an unrelated LATER read (same timestamp, minutes on) seeing
     * current state. */
   private val tsResolutions =
-    scala.collection.concurrent.TrieMap[(String, Long), (Int, Long)]()
+    scala.collection.concurrent.TrieMap[(String, Long, Long), (Int, Long)]()
   private val TsMemoTtlMillis = 10000L
 
   private[sources] def versionForTimestampMemo(dir: Path,
       tsMillis: Long): Int = {
     val now = System.currentTimeMillis()
     tsResolutions.filterInPlace((_, va) => now - va._2 < TsMemoTtlMillis)
-    tsResolutions.getOrElseUpdate((dir.toString, tsMillis),
+    // the table's CREATION clock (first commit ts) keys the memo too:
+    // a drop-and-recreate at the same path within the TTL mints a new
+    // clock, so a stale resolution can never bind the new table's
+    // scan to the OLD table's version
+    val born = commitTimestamps(dir).headOption.map(_._2).getOrElse(-1L)
+    tsResolutions.getOrElseUpdate((dir.toString, tsMillis, born),
       (versionForTimestamp(dir, tsMillis), now))._1
   }
 
@@ -1928,9 +1933,14 @@ object LedgerSink {
        catch { case _: java.io.IOException => false }) // vanished → skip
     val s = Files.list(staging)
     val orphans = try {
-      s.iterator().asScala.filter(agedOut)
-        .map(p => s"_staging/${p.getFileName}")
-        .filterNot(live).toSeq
+      // liveness BEFORE the age stat: committed data files live under
+      // _staging permanently, and stat'ing each would cost one
+      // metadata call per data file on every routine vacuum — the age
+      // guard only needs to inspect the (few) unreferenced candidates
+      s.iterator().asScala
+        .filter(p => !live(s"_staging/${p.getFileName}"))
+        .filter(agedOut)
+        .map(p => s"_staging/${p.getFileName}").toSeq
     } finally s.close()
     orphans.foreach(f => Files.deleteIfExists(dir.resolve(f)): Unit)
     orphans.sorted
@@ -2360,16 +2370,39 @@ object LedgerMaintenance {
       // not "matched" — marking them again would inflate the returned
       // count and lie to the caller
       (e.file, e.dv, positions, width, i,
-        LedgerSink.eqdBindings(dir, m, e))
+        LedgerSink.eqdBindings(dir, m, e),
+        // INITIAL DEFAULTS must apply here exactly as in the public
+        // reader: a predicate on a defaulted column would otherwise
+        // see NULL where every SELECT shows the default — silently
+        // matching the wrong rows (and updateMoR's DV set would
+        // disagree with its own update images)
+        LedgerSink.defaultsArray(m, positions, m.ids.toArray))
     }
     val results = spark.sparkContext
       .parallelize(jobs, math.max(1, jobs.length))
-      .map { case (file, oldDv, positions, width, i, eqd) =>
+      .map { case (file, oldDv, positions, width, i, eqd, defEnc) =>
         val st = StructType.fromDDL(ddl)
         val types = st.fields.map(_.dataType)
         val colIdx: Map[String, Int] = st.fieldNames.zipWithIndex.toMap
         val lines = Files.readAllLines(Paths.get(base, file), UTF_8)
         val eqKilled = LedgerSink.eqdKillPredicate(eqd)
+        val defVals: Array[Any] =
+          if (defEnc.isEmpty) null
+          else defEnc.indices.map(j =>
+            if (defEnc(j) == null) null
+            else LedgerSink.parseValue(types(j), defEnc(j)): Any).toArray
+        def withDefaults(row: InternalRow): InternalRow = {
+          if (defVals != null) {
+            val g = row.asInstanceOf[GenericInternalRow]
+            var j = 0
+            while (j < defVals.length) {
+              if (defVals(j) != null && positions(j) == -1)
+                g.update(j, defVals(j))
+              j += 1
+            }
+          }
+          row
+        }
         val dvOld = oldDv.map(d =>
           LedgerSink.readDvOrdinals(Paths.get(base, d)))
           .getOrElse(new java.util.BitSet())
@@ -2407,8 +2440,8 @@ object LedgerMaintenance {
         var ord = 0
         lines.forEach { line =>
           if (!dvOld.get(ord) && (eqKilled == null || !eqKilled(line)) &&
-              matches(LedgerSink.decodeProjected(
-                line, positions, types, width))) {
+              matches(withDefaults(LedgerSink.decodeProjected(
+                line, positions, types, width)))) {
             dvNew.set(ord); hits += 1
           }
           ord += 1

@@ -176,6 +176,46 @@ class GraftCatalogSpec extends graft.SparkSpec {
       .head.isNullAt(0), "a re-added column must not inherit the default")
   }
 
+  test("MoR delete/update predicates see initial defaults exactly " +
+      "like SELECT does; ADD COLUMN DEFAULT NULL is a plain column") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spec_cat.ns7")
+    spark.sql("DROP TABLE IF EXISTS spec_cat.ns7.m")
+    spark.sql("CREATE TABLE spec_cat.ns7.m (k BIGINT)")
+    spark.sql("INSERT INTO spec_cat.ns7.m SELECT id FROM range(6)")   // v2
+    spark.sql("ALTER TABLE spec_cat.ns7.m " +
+      "ADD COLUMN seg STRING DEFAULT 'unassigned'")                   // v3
+    spark.sql("INSERT INTO spec_cat.ns7.m VALUES (100, 'vip')")       // v4
+    val dir = s"$root/ns7/m"
+    // a procedural MoR delete keyed on the DEFAULTED value must kill
+    // the pre-evolution rows the public reader shows as 'unassigned'
+    // — before the fix the no-defaults evaluator read NULL there and
+    // silently matched nothing
+    import org.apache.spark.sql.sources.EqualTo
+    val del = LedgerMaintenance.deleteMoR(spark, dir,
+      Array(EqualTo("seg", "unassigned")))
+    assert(del == 6, s"expected the 6 pre-evolution rows, got $del")
+    assert(spark.table("spec_cat.ns7.m").count() == 1)
+    // and IsNull must NOT match rows that publicly read the default
+    spark.sql("INSERT INTO spec_cat.ns7.m SELECT id + 200, 'x' " +
+      "FROM range(2)")
+    import org.apache.spark.sql.sources.IsNull
+    assert(LedgerMaintenance.deleteMoR(spark, dir,
+      Array(IsNull("seg"))) == 0)
+    // updateMoR through the default: DV set and update images agree
+    val upd = LedgerMaintenance.updateMoR(spark, dir,
+      Array(EqualTo("seg", "vip")), Map("seg" -> "'gold'"))
+    assert(upd == 1)
+    assert(spark.sql("SELECT count(*) FROM spec_cat.ns7.m " +
+      "WHERE seg = 'gold'").head.getLong(0) == 1)
+    // DEFAULT NULL folds to a plain nullable column at ALTER time,
+    // same as the CREATE path
+    spark.sql("ALTER TABLE spec_cat.ns7.m ADD COLUMN note STRING " +
+      "DEFAULT NULL")
+    assert(spark.sql("SELECT note FROM spec_cat.ns7.m WHERE seg = 'gold'")
+      .head.isNullAt(0))
+  }
+
   test("widening composes with defaults: an INT column's stored " +
       "default reads back as BIGINT after ALTER COLUMN TYPE") {
     init()
