@@ -47,6 +47,48 @@ object Bench {
         s"${System.getProperty("java.io.tmpdir")}/graft_feature_tables")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ambient-load sentinel (VERDICT r12 #5): two FIXED-WORK probes —
+    // pure distributed compute (codegen'd hash fold over a constant
+    // range) and raw host I/O (write + read-back of a constant-size
+    // temp file) — timed before the run and again after it. Their
+    // seconds are a machine-readable "how loaded was this window"
+    // record in the bench JSON itself: a noisy driver window (two
+    // rounds running concurrent benches inflated records 1.5-2.5×)
+    // self-identifies instead of needing manual prose adjudication,
+    // and round-over-round comparisons can normalize on it.
+    def sentinel(): (Double, Double) = {
+      val c0 = System.nanoTime()
+      // bit_xor, not sum: summing 200M 64-bit hashes overflows Long
+      // under ANSI semantics (measured, stage-0 crash); xor folds the
+      // same codegen'd hash work overflow-free
+      spark.range(0, 200000000L, 1, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS s").collect(): Unit
+      val cpuSec = (System.nanoTime() - c0) / 1e9
+      val i0 = System.nanoTime()
+      val f = java.nio.file.Files.createTempFile("graft_bench_probe", ".bin")
+      try {
+        val chunk = new Array[Byte](4 << 20) // 4 MiB × 32 = 128 MiB
+        java.util.Arrays.fill(chunk, 0x5a.toByte)
+        val out = java.nio.file.Files.newOutputStream(f)
+        try (0 until 32).foreach(_ => out.write(chunk)) finally out.close()
+        val in = java.nio.file.Files.newInputStream(f)
+        try {
+          val buf = new Array[Byte](4 << 20)
+          while (in.read(buf) > 0) ()
+        } finally in.close()
+      } finally java.nio.file.Files.deleteIfExists(f)
+      ((System.nanoTime() - i0) / 1e9, cpuSec)
+    }
+    val (ioSec0, cpuSec0) = sentinel()
+    // Per-query resource accounting (see BenchMetricsListener): the
+    // listener totals task shuffle/spill/peak-memory between exact
+    // window edges (bus drained before reset and before snapshot).
+    val resListener = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(resListener)
+    def drain(): Unit =
+      try org.apache.spark.GraftCoreBridge.drainListenerBus(
+        spark.sparkContext)
+      catch { case _: java.util.concurrent.TimeoutException => () }
     // Optional subset filter for local profiling: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) =>
@@ -61,7 +103,8 @@ object Bench {
       catch { case e: Throwable => Some(e.getClass.getSimpleName) }
     val prepSec = (System.nanoTime() - prep0) / 1e9
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String]) = {
+        : (Double, Option[String], (Long, Long, Long, Long)) = {
+      drain(); resListener.reset()
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch {
@@ -69,17 +112,19 @@ object Bench {
             if (sys.env.contains("SPARK_GRAFT_DEBUG")) e.printStackTrace()
             Some(e.getClass.getSimpleName)
         }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      drain()
+      (dt, err, resListener.snapshot)
     }
     val firstPass = selected.map { case (name, fn) =>
-      val (dt, err) = timeOne(name, fn)
+      val (dt, err, res) = timeOne(name, fn)
       // Nudge the ContextCleaner between queries: accumulated shuffle /
       // broadcast state is only reclaimed on driver GC, and 40+ queries
       // of retained state otherwise degrade the tail of the run.
       // (Deliberately NOT clearCache(): the PlanCache prefixes persist
       // across queries by design.)
       System.gc()
-      (name, dt, err)
+      (name, dt, err, res)
     }
     // Steady-state pass for the slowest queries: the driver runs this
     // bench concurrently with its own work, and round-6 showed the
@@ -94,10 +139,10 @@ object Bench {
       .sortBy(-_._2).take(math.max(0, rerunK)).map(_._1).toSet
     val reruns = selected.filter(p => rerunNames.contains(p._1)).map {
       case (name, fn) =>
-        val (dt, err) = timeOne(name, fn); System.gc()
+        val (dt, err, _) = timeOne(name, fn); System.gc()
         name -> (if (err.isEmpty) dt else Double.MaxValue)
     }.toMap
-    val results = firstPass.map { case (name, dt, err) =>
+    val results = firstPass.map { case (name, dt, err, _) =>
       (name, math.min(dt, reruns.getOrElse(name, Double.MaxValue)), err)
     }
     // JSON string escape for anything that could carry quotes,
@@ -119,7 +164,12 @@ object Bench {
       s"\"" + k + "\":\"" + e.fold("ok")(m => "err:" + esc(m)) + "\"" }
       .mkString("{", ",", "}")
     val firstJson = firstPass.filter(r => rerunNames.contains(r._1))
-      .map { case (k, v, _) => s"\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => s"\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    // First-pass resources: the plan's volume, not the host's mood —
+    // wall gets the min-of-two estimator, bytes don't need one.
+    val resJson = firstPass
+      .map { case (k, _, _, r) => s"\"" + k + "\":" + BenchMetricsListener.json(r) }
+      .mkString("{", ",", "}")
     val nErr = results.count(_._3.nonEmpty) + prepErr.size
     val total = results.map(_._2).sum
     // What a FRESH session pays end-to-end: side-table prep plus every
@@ -128,7 +178,9 @@ object Bench {
     // comparisons can't hide prep growth or warm-cache drift
     // (VERDICT r7 #3).
     val coldTotal = prepSec + firstPass.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prep":$prepSec,"prep_status":"${prepErr.fold("ok")(m => "err:" + esc(m))}","queries":$qs,"status":$st,"first_pass":$firstJson,"errors":$nErr,"sf":"$sfDir"}"""
+    val (ioSec1, cpuSec1) = sentinel()
+    val sentinelJson = f"""{"cpu_sec":$cpuSec0%.2f,"io_sec":$ioSec0%.2f,"cpu_sec_end":$cpuSec1%.2f,"io_sec_end":$ioSec1%.2f}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"prep":$prepSec,"prep_status":"${prepErr.fold("ok")(m => "err:" + esc(m))}","sentinel":$sentinelJson,"queries":$qs,"status":$st,"first_pass":$firstJson,"resources":$resJson,"errors":$nErr,"sf":"$sfDir"}"""
     // Full per-query detail to a file (humans + regression diffing)...
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
@@ -146,7 +198,7 @@ object Bench {
     val failed = results.filter(_._3.nonEmpty).take(10)
       .map { case (k, _, e) => s"\"" + k + "\":\"err:" + esc(e.get) + "\"" }
       .mkString(",")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","cold_total":$coldTotal%.2f,"prep":$prepSec%.2f,"prep_status":"${prepErr.fold("ok")(m => "err:" + esc(m))}","n_queries":${results.size},"errors":$nErr,"mean_sec":${total / math.max(1, results.size)}%.3f,"queries":{$slow},"failed":{$failed},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","cold_total":$coldTotal%.2f,"prep":$prepSec%.2f,"prep_status":"${prepErr.fold("ok")(m => "err:" + esc(m))}","sentinel":$sentinelJson,"n_queries":${results.size},"errors":$nErr,"mean_sec":${total / math.max(1, results.size)}%.3f,"queries":{$slow},"failed":{$failed},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     PlanCache.clear()
     spark.stop()
     if (nErr > 0) sys.exit(1)

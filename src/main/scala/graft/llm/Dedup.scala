@@ -1724,28 +1724,81 @@ object Dedup {
 
   /** Near-dup pairs by Hamming distance <= 8 within a language.
     * Candidates come from a 9-band pigeonhole split of the 32-bit hash
-    * (Hamming <= 8 ⇒ at least one band identical), so the equi-join on
-    * (band_idx, band_val, lang) finds EXACTLY the pairs the exhaustive
-    * within-lang self-join would — sub-quadratic with zero recall loss.
-    * Multi-band collisions produce duplicate rows; DISTINCT (on the
-    * deterministic output columns) collapses them. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    * (Hamming <= 8 ⇒ at least one band identical), so the band
+    * equi-join finds EXACTLY the pairs the exhaustive within-lang
+    * self-join would — sub-quadratic with zero recall loss.
+    *
+    * Duplicate-dense guard (VERDICT r12 #2): the band join and the
+    * Hamming verify run at (SIMHASH VALUE, lang) GROUP grain — the
+    * natural collapse key here: members of a group are pairwise
+    * Hamming 0 and share the lang, so a member pair's Hamming and
+    * lang-match equal its groups' exactly. A viral cluster of k
+    * identical or near-identical docs is ONE band-bucket occupant,
+    * never k rows feeding a k²-candidate DISTINCT. Two load-bearing
+    * shapes, both measured at sf0.1: (a) lang STAYS IN the bucket key
+    * — it partitions every band bucket just as it did the doc-grain
+    * join (dropping it to "filter per member pair later" inflated
+    * candidate volume ~5× and tripled the query); with lang in the
+    * key the simhash value is still a unique id within any bucket, so
+    * (b) both sides' VALUES sit in every candidate row and the
+    * Hamming cut applies IN the join, BEFORE the cross-band DISTINCT
+    * (the 32-bit space is dense at corpus scale — 3-to-4-bit bands —
+    * and deduplicating the full pre-verify candidate volume was the
+    * other 6× regression). Verified (value_a, value_b, lang) pairs
+    * fan back out to member pairs via two joins against the
+    * (value, lang) → members relation — tiny next to the pair set,
+    * broadcast in practice — and a streamed double explode (never a
+    * materialized k×k array); no per-member lang recheck is needed.
+    * Nothing is dropped: the expansion is the true, genuinely
+    * quadratic-in-cluster-size answer, oracle hash unchanged.
+    * Within-group pairs (same simhash, same lang → Hamming 0) re-emit
+    * directly through the skew-guarded bucket self-join. Hot band
+    * buckets are block-decomposed ([[bucketSelfJoinPairs]]). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(simhashSigs(spark, dir))
+
+  /** [[simhashPairs]] parameterized by the (doc_id, lang, simhash)
+    * signature relation — the seam the viral-cluster spec drives with
+    * synthetic corpora. */
+  private[graft] def simhashPairsOf(simsIn: DataFrame): DataFrame = {
+    // both relations feed MULTIPLE plan branches ([[bucketSelfJoinPairs]]
+    // alone scans its input 4+ times: occupancy count, cold anti, hot
+    // semi, block cross) — cut them once or every branch re-runs the
+    // tokenize+signature aggregation (measured: the un-cut shape more
+    // than doubled the query)
+    val sims = graft.ops.Checkpoints.cut(
+      simsIn.select("doc_id", "lang", "simhash"))
     val stackParts = simhashBands.zipWithIndex.map { case ((off, w), i) =>
       s"$i, ${simhashBandVal("simhash", off, w, SparkD)}"
     }.mkString(", ")
-    val bands = simhashSigs(spark, dir).selectExpr("doc_id", "lang", "simhash",
+    val groups = graft.ops.Checkpoints.cut(
+      sims.groupBy("simhash", "lang").agg(
+        collect_list(col("doc_id")).as("ms")))
+    val groupBands = groups.selectExpr("simhash", "lang",
       s"stack(${simhashBands.size}, $stackParts) AS (band_idx, band_val)")
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_val") === col("b.band_val")
-          && col("a.lang") === col("b.lang")
-          && col("a.doc_id") < col("b.doc_id"))
-      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b", "a.lang AS lang",
-        s"CAST(bit_count(${bitXor("a.simhash", "b.simhash", SparkD)}) AS INTEGER) AS hamming")
+    val valuePairs = bucketSelfJoinPairs(
+        groupBands, Seq("band_idx", "band_val", "lang"), "simhash",
+        payload = Seq("lang"))
+      .selectExpr("doc_a AS sim_a", "doc_b AS sim_b", "lang",
+        s"CAST(bit_count(${bitXor("doc_a", "doc_b", SparkD)}) AS INTEGER) AS hamming")
       .filter(col("hamming") <= 8)
       .distinct()
-      .orderBy("doc_a", "doc_b")
+    val expanded = valuePairs
+      .join(groups.selectExpr("simhash AS sim_a", "lang", "ms AS ms_a"),
+        Seq("sim_a", "lang"))
+      .join(groups.selectExpr("simhash AS sim_b", "lang", "ms AS ms_b"),
+        Seq("sim_b", "lang"))
+      .select(col("lang"), col("hamming"), explode(col("ms_a")).as("a"),
+        col("ms_b"))
+      .select(col("lang"), col("hamming"), col("a"),
+        explode(col("ms_b")).as("b"))
+      .selectExpr("least(a, b) AS doc_a", "greatest(a, b) AS doc_b",
+        "lang", "hamming")
+    val within = bucketSelfJoinPairs(
+        sims.select("simhash", "lang", "doc_id"),
+        Seq("simhash", "lang"), "doc_id", payload = Seq("lang"))
+      .selectExpr("doc_a", "doc_b", "lang", "CAST(0 AS INTEGER) AS hamming")
+    expanded.union(within).orderBy("doc_a", "doc_b")
   }
 
   val simhashPairsOracle: String = {

@@ -1174,47 +1174,66 @@ object Similarity {
     * the corpus). Candidates are the fixed-size deterministic
     * [[coverBudget]] sample (see [[coverHkey]] — a TakeOrdered, never
     * a corpus-proportional broadcast); the (vector × candidate)
-    * similarity relation is staged ONCE (candidates broadcast onto one
-    * corpus scan, nano-quantized), and each greedy round is: anti-join
-    * spent candidates, one map-side-combined marginal-gain agg
-    * (Σ max(sim − cov, 0)), a struct-min argmax, and a coverage
-    * update join — state is one (vec, cov) relation, lineage-cut per
-    * round. Submodularity makes marginal gains non-increasing — the
-    * spec pins that as the algebraic invariant. */
+    * similarity relation is staged ONCE, PIVOTED to one row per
+    * vector (`smap`: a budget-sized cand_id→sim map — O(budget)
+    * bytes/row at any corpus size). The pivot makes coverage a
+    * per-row EXPRESSION, not state: cov(v) = max over picked p of
+    * smap[p], recomputed from the ≤k broadcast picked ids, so a
+    * greedy round is exactly ONE corpus pass — explode + map-side-
+    * combined marginal-gain agg (Σ max(sim − cov, 0)) to budget-many
+    * rows, a broadcast anti-join of the spent candidates AT THAT
+    * GRAIN, and a struct-min argmax (r12 shape joined sims⋈cov at
+    * corpus grain per round and rewrote the cov relation per round —
+    * 2 corpus-grain shuffles a round this formulation never does).
+    * Submodularity makes marginal gains non-increasing — the spec
+    * pins that as the algebraic invariant. */
   def coverageSelection(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val cands = all
       .selectExpr("vec_id", "v", "nrm", s"$coverHkey AS hkey")
       .orderBy("hkey", "vec_id").limit(coverBudget)
       .selectExpr("vec_id AS cand_id", "v AS cv", "nrm AS cnrm")
-    val sims = all.join(broadcast(cands), col("vec_id") =!= col("cand_id"))
+    val state = all.join(broadcast(cands), col("vec_id") =!= col("cand_id"))
       .selectExpr("vec_id", "cand_id",
         s"CAST(round((${cosineWithNorms("v", "cv", "nrm", "cnrm", SparkD)}) * 1e9) AS BIGINT) AS sim_nano")
+      .groupBy("vec_id")
+      .agg(map_from_entries(
+        collect_list(struct(col("cand_id"), col("sim_nano")))).as("smap"))
       .transform(graft.ops.Checkpoints.cut)
-    var cov = all.selectExpr("vec_id", "CAST(0 AS BIGINT) AS cov")
-      .transform(graft.ops.Checkpoints.cut)
+    // max over picked of this row's sim to the pick, CLAMPED AT 0 —
+    // coverage starts at 0 (the empty-set baseline), so an all-
+    // negative-sim pick set covers nothing rather than anti-covering
+    // (the r12 state formulation had this implicitly via
+    // greatest(cov, …) from a 0-initialized relation); 0 likewise
+    // before any pick and for vectors outside a pick's sim map (the
+    // self pair)
+    val covExpr = "greatest(0L, coalesce(" +
+      "array_max(transform(picks, p -> element_at(smap, p))), 0L))"
+    def picksRow(picked: Seq[DataFrame]): DataFrame = picked
+      .map(_.select("cand_id")).reduce(_ unionByName _)
+      .agg(collect_list("cand_id").as("picks"))
     var picked = Seq.empty[DataFrame]
-    var pickedIds: DataFrame = null
     for (r <- 1 to coverK) {
-      val live = if (pickedIds == null) sims
-        else sims.join(pickedIds, Seq("cand_id"), "left_anti")
-      val gains = live.join(cov, Seq("vec_id"))
-        .selectExpr("cand_id", "greatest(sim_nano - cov, 0L) AS g")
+      val withCov = if (picked.isEmpty) state.selectExpr("smap", "0L AS cov")
+        else state.crossJoin(broadcast(picksRow(picked)))
+          .selectExpr("smap", s"$covExpr AS cov")
+      val gains = withCov
+        .select(col("cov"), explode(col("smap")))
+        .selectExpr("key AS cand_id", "greatest(value - cov, 0L) AS g")
         .groupBy("cand_id").agg(sum("g").as("gain"))
-      val pick = gains
+      val live = if (picked.isEmpty) gains
+        else gains.join(
+          broadcast(picksRow(picked).selectExpr("explode(picks) AS cand_id")),
+          Seq("cand_id"), "left_anti")
+      val pick = live
         .agg(min(struct(expr("-gain").as("ng"), col("cand_id").as("c"))).as("m"))
         .selectExpr("m.c AS cand_id", s"CAST($r AS INT) AS rank", "-m.ng AS gain_nano")
         .transform(graft.ops.Checkpoints.cutRound(_, r))
       picked :+= pick
-      pickedIds = (if (pickedIds == null) pick.select("cand_id")
-        else pickedIds.unionByName(pick.select("cand_id")))
-      cov = cov
-        .join(sims.join(pick.select("cand_id"), Seq("cand_id"), "left_semi")
-          .selectExpr("vec_id", "sim_nano"), Seq("vec_id"), "left")
-        .selectExpr("vec_id", "greatest(cov, coalesce(sim_nano, 0L)) AS cov")
-        .transform(graft.ops.Checkpoints.cutRound(_, 100 + r))
     }
-    val total = cov.agg(sum("cov").as("total_cov_nano"))
+    val total = state.crossJoin(broadcast(picksRow(picked)))
+      .selectExpr(s"$covExpr AS cov")
+      .agg(sum("cov").as("total_cov_nano"))
     picked.reduce(_ unionByName _)
       .crossJoin(broadcast(total))
       .selectExpr("rank", "cand_id AS vec_id", "gain_nano", "total_cov_nano")

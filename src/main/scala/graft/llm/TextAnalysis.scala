@@ -1383,19 +1383,35 @@ object TextAnalysis {
     // and the recovered text do, and count ties are broken on the
     // window TEXT (hash order would be an engine artifact) — every
     // max-count hash per length recovers its text, min-text wins.
+    //
+    // Duplicate-dense guard (VERDICT r12 #8): byte-identical documents
+    // collapse BEFORE the 7-length window fan-out — one representative
+    // (the group-min doc_id) fans windows with multiplicity k, and the
+    // count aggregate is sum(k). Exactness: identical texts yield
+    // identical window sets, so per-hash counts are unchanged, and the
+    // true min (doc_id, pos) rep of any hash is reachable through the
+    // group-min doc (members share positions; the group min doc_id IS
+    // the rep doc). On a crawl where a viral page repeats k times the
+    // window shuffle carries its windows ONCE, not k times — the
+    // repeated-mass blowup the sf1.0 lane measured (4.3× wall at 10×
+    // data with 5× byte-identical copies) was exactly this.
+    val docs = Tables.documents(spark, dir)
+    val groups = docs.selectExpr("md5(text) AS fp", "doc_id")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"), count(lit(1)).as("k"))
+    val fanDocs = docs.join(groups.select("doc_id", "k"), Seq("doc_id"))
     val arrs = repeatLens.map { l =>
       s"""CASE WHEN size(wv) >= $l THEN transform(sequence(0, size(wv) - $l),
             i -> named_struct('len', $l, 'pos', i, 'a', slice(wv, i + 1, $l)))
           ELSE array() END"""
     }.mkString("concat(", ", ", ")")
-    val windows = Tables.documents(spark, dir)
-      .selectExpr("doc_id",
+    val windows = fanDocs
+      .selectExpr("doc_id", "k",
         s"${let1(words("lower(text)", SparkD), "wv", arrs)} AS ws")
-      .select(col("doc_id"), explode(col("ws")).as("w"))
-      .selectExpr("w.len AS len", "xxhash64(w.a) AS h",
+      .select(col("doc_id"), col("k"), explode(col("ws")).as("w"))
+      .selectExpr("w.len AS len", "xxhash64(w.a) AS h", "k",
         "named_struct('doc_id', doc_id, 'pos', w.pos) AS rep")
     val cnts = windows.groupBy("len", "h")
-      .agg(count(lit(1)).as("cnt"), min(col("rep")).as("rep"))
+      .agg(sum(col("k")).as("cnt"), min(col("rep")).as("rep"))
       .filter(col("cnt") > 1)
     val maxc = cnts.groupBy("len").agg(max(col("cnt")).as("n_occurrences"))
     val winners = cnts.join(maxc, Seq("len"))

@@ -30,5 +30,4 @@ object DeliveryPerformance {
       .select("order_id", "delivery_partner_id", "delivery_status",
         "delivery_minutes", "delivery_hours", "is_delayed", "distance_km",
         "year", "month")
-      .orderBy("order_id")
 }

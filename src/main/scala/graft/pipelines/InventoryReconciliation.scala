@@ -61,6 +61,5 @@ object InventoryReconciliation {
         col("stock_variance"), col("damaged_variance"), col("price")))
       .withColumn("year", year(col("date")))
       .withColumn("month", month(col("date")))
-      .orderBy("product_id", "date")
   }
 }

@@ -36,5 +36,4 @@ object MarketingRoi {
         "impressions", "clicks", "conversions", "spend", "revenue_generated",
         "ctr", "conversion_rate", "cpc", "cpa", "roas", "roi_pct",
         "effectiveness_score", "year", "month")
-      .orderBy("campaign_id", "date", "event_id")
 }

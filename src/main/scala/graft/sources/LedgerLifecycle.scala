@@ -381,6 +381,85 @@ object LedgerLifecycle {
          CAST(1 AS INTEGER) AS old_version_intact
        FROM customer"""
 
+  /** `dsv2_commit_volume`: the full maintenance cycle under a commit
+    * count that SCALES WITH THE DATA — the scale lane's missing axis
+    * (VERDICT r12 #3). [[compaction]] fixes the chain at 10 commits
+    * while the data grows; a real epoch-grain producer commits per
+    * micro-batch, so 10× the data is 10× the manifest chain, 10× the
+    * optimize bin set and 10× the expire/vacuum walk. Here the
+    * customer table lands in max(3, ceil(n/1000)) single-file commits
+    * (~15 at sf0.1, ~150 at the sf1.0 replica); the LAST micro-batch
+    * lands while the maintenance window is open — i.e. AFTER OPTIMIZE
+    * bin-packs the chain — which is what moves the newest archived
+    * manifest past the pre-optimize state ([[LedgerRefs.expireVersions]]
+    * always retains the newest archive as the rollback target, and an
+    * empty append is a no-op commit, so WITHOUT a real post-optimize
+    * commit the retained archive would keep every original commit file
+    * pinned and vacuum would reclaim nothing — measured, not
+    * hypothetical). Then expireVersions(keepLast=1) retires exactly
+    * the pre-optimize archives 1..commits-1 and the explicit-horizon
+    * vacuum (single-writer maintenance-window form) reclaims exactly
+    * the commits-1 original batch files the optimize rewrite
+    * unreferenced. Output: exact row digests DuckDB recomputes from
+    * `customer`, the (data-dependent) commit count the oracle derives
+    * the same way, and exact invariant flags. */
+  def commitVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ledger_cvol_${tag(sfDir)}"
+    deleteRecursively(dir)
+    val root = Paths.get(dir)
+    val cust = graft.io.Tables.customer(spark, sfDir).selectExpr(
+      "CAST(c_custkey AS BIGINT) AS ckey",
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+    val n = cust.count()
+    val nCommits = math.max(3L, (n + 999) / 1000).toInt
+    // one materialization feeds every commit's narrow filter — the
+    // producer's staging buffer, not nCommits re-scans of the source
+    val staged = graft.ops.Checkpoints.cut(
+      cust.withColumn("b", pmod(col("ckey"), lit(nCommits.toLong))))
+    def commitBatch(i: Int): Unit =
+      staged.where(col("b") === i).drop("b").coalesce(1)
+        .write.format(ledger).option("path", dir)
+        .mode(if (i == 0) "overwrite" else "append").save()
+    (0 until nCommits - 1).foreach(commitBatch)
+    // input digest, COLLECTED pre-maintenance: a lazy frame would
+    // re-read the table after the maintenance below and make
+    // live_intact vacuously true
+    val preRow = staged
+      .selectExpr("count(*)", "sum(bal_c)", "sum(ckey)").head
+    val (nb, na) = LedgerMaintenance.optimize(spark, dir, 64L << 20)
+    commitBatch(nCommits - 1) // the through-the-window commit
+    val expired = LedgerRefs.expireVersions(root, keepLast = 1)
+    val expiredAllPre = if (expired == (1 until nCommits)) 1 else 0
+    val reclaimed = LedgerSink.vacuum(root, olderThanMillis = 0L).size
+    spark.read.format(ledger).option("path", dir).load()
+      .selectExpr("count(*) AS n_rows", "sum(bal_c) AS bal_sum",
+        "sum(ckey) AS key_sum")
+      .selectExpr(
+        "n_rows", "bal_sum", "key_sum",
+        s"CAST($nCommits AS INT) AS commits",
+        s"CAST(${if (nb == nCommits - 1) 1 else 0} AS INT) AS one_file_per_commit",
+        s"CAST(${if (na < nb) 1 else 0} AS INT) AS compacted",
+        s"CAST($expiredAllPre AS INT) AS expired_all_pre",
+        s"CAST(${if (reclaimed == nCommits - 1) 1 else 0} AS INT) AS vacuum_reclaimed_all",
+        s"CAST(CASE WHEN n_rows = ${preRow.getLong(0)}L" +
+          s" AND bal_sum = ${preRow.getLong(1)}L" +
+          s" AND key_sum = ${preRow.getLong(2)}L" +
+          " THEN 1 ELSE 0 END AS INT) AS live_intact")
+  }
+
+  val commitVolumeOracle: String =
+    """SELECT count(*) AS n_rows,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_sum,
+         CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+         CAST(greatest(3, ceil(count(*) / 1000.0)) AS INTEGER) AS commits,
+         CAST(1 AS INTEGER) AS one_file_per_commit,
+         CAST(1 AS INTEGER) AS compacted,
+         CAST(1 AS INTEGER) AS expired_all_pre,
+         CAST(1 AS INTEGER) AS vacuum_reclaimed_all,
+         CAST(1 AS INTEGER) AS live_intact
+       FROM customer"""
+
   /** `dsv2_cdc_incremental_dedup`: near-dup state maintained from
     * ledger COMMITS instead of full rescans — the production shape
     * where the corpus grows by append and each new version's delta is

@@ -145,502 +145,6 @@ class LedgerSink extends TableProvider {
   }
 }
 
-/** Oracle gate for the sink: the customer dimension pushed through the
-  * full write protocol (stage → message → manifest commit) and read
-  * back through the manifest — compared against DuckDB scanning the
-  * original parquet directly, which only passes if every codec branch
-  * (long, int, DOUBLE-as-hex, string) is bit-exact. */
-object LedgerRoundtrip {
-  import org.apache.spark.sql.{DataFrame, SparkSession}
-
-  private def scratch(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ledger_rt_" +
-      sfDir.replaceAll("[^A-Za-z0-9]", "_")
-
-  def sinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = scratch(sfDir)
-    graft.io.Tables.customer(spark, sfDir)
-      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-      .write.format(classOf[LedgerSink].getName)
-      .option("path", dir).mode("overwrite").save()
-    spark.read.format(classOf[LedgerSink].getName)
-      .option("path", dir).load()
-      .orderBy("c_custkey")
-  }
-
-  val sinkRoundtripOracle: String =
-    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-       FROM customer ORDER BY c_custkey"""
-
-  /** `dsv2_stream_sink_roundtrip`: the connector's fourth quadrant —
-    * micro-batch STREAM into the transactional ledger sink. The
-    * synthetic source drains 100k rows under a 25k-row admission cap
-    * (Trigger.AvailableNow ⇒ ≥ 4 epochs, each its own
-    * stage→message→epoch-commit cycle through
-    * [[LedgerStreamingWrite]]), then the table reads back through the
-    * manifest and aggregates. The oracle regenerates the whole ledger
-    * arithmetically in DuckDB, so the hash match pins exactly-once
-    * delivery ACROSS epochs: a lost or doubled batch changes every
-    * count and sum. Fresh table + checkpoint per run — replay
-    * idempotence is the sink spec's job, not this gate's. */
-  def streamSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.streaming.Trigger
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ledger_stream_$tag"
-    val ckpt = s"$dir/_checkpoint"
-    val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      val s = Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
-    val stream = spark.readStream.format(classOf[SyntheticSource].getName)
-      .option("rows", "100000").option("slices", "16")
-      .option("maxRowsPerBatch", "25000").load()
-    val q = stream.writeStream.format(classOf[LedgerSink].getName)
-      .option("path", dir).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.read.format(classOf[LedgerSink].getName)
-      .option("path", dir).load()
-      .groupBy(col("category"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value")).as("sum_value"),
-        sum(col("cents")).as("sum_cents"),
-        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
-      .orderBy("category")
-  }
-
-  val streamSinkRoundtripOracle: String =
-    """SELECT 'c' || CAST(v % 23 AS VARCHAR) AS category,
-         count(*) AS n,
-         CAST(sum(v) AS BIGINT) AS sum_value,
-         CAST(sum(v % 9973) AS BIGINT) AS sum_cents,
-         min(id) AS min_id,
-         max(id) AS max_id
-       FROM (SELECT id, (id * 1103515245 + 12345) % 2147483648 AS v
-             FROM range(0, 100000) t(id))
-       GROUP BY 1 ORDER BY 1"""
-
-  /** `dsv2_time_travel`: manifest-versioned TIME TRAVEL — every commit
-    * archives the manifest it replaces, so `versionAsOf` reads any
-    * historical table state through its own immutable manifest (the
-    * lakehouse snapshot story at this format's scale: an overwrite
-    * orphans data files rather than deleting them; vacuum reclaims
-    * what no version references). The gate overwrites the customer
-    * table with a filtered subset, then reads BOTH the pre-overwrite
-    * version and the live table; DuckDB recomputes both digests from
-    * the fixture, so the hash match pins that history is the history
-    * — an overwrite that leaked into v1, or a version chain that
-    * skipped, changes a digest. */
-  def timeTravelRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val dir = scratch(sfDir) + "_tt"
-    val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      val s = Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
-    val cust = graft.io.Tables.customer(spark, sfDir)
-      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-    cust.write.format(classOf[LedgerSink].getName)
-      .option("path", dir).mode("overwrite").save()          // version 1
-    cust.filter(col("c_nationkey") < 13)
-      .write.format(classOf[LedgerSink].getName)
-      .option("path", dir).mode("overwrite").save()          // version 2 (live)
-    def digest(df: DataFrame, tag: String): DataFrame =
-      df.agg(count(lit(1)).as("n_rows"),
-          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
-        .selectExpr(s"'$tag' AS snapshot", "n_rows", "bal_cents")
-    digest(spark.read.format(classOf[LedgerSink].getName)
-        .option("path", dir).option("versionAsOf", "1").load(), "v1")
-      .unionByName(digest(spark.read.format(classOf[LedgerSink].getName)
-        .option("path", dir).load(), "live"))
-      .orderBy("snapshot")
-  }
-
-  /** `dsv2_merge_upsert`: SQL MERGE INTO through the catalog plugin —
-    * the group-based copy-on-write path end to end (matched UPDATE
-    * arm + not-matched INSERT arm, `__row_operation` slicing in the
-    * COW writer, scanned-group swap at commit). The oracle replays
-    * the upsert relationally in DuckDB; the read-back includes a
-    * non-aligned DELETE first, so the metadata-delete vs COW
-    * arbitration is inside the gate too. */
-  def mergeUpsertRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    spark.conf.set("spark.sql.catalog.graft_cat",
-      classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_cat.root",
-      s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt")
-    val t = s"graft_cat.rlo.upsert_$tag"
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rlo")
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    spark.sql(s"CREATE TABLE $t (c_custkey BIGINT, bal_c BIGINT)")
-    graft.io.Tables.customer(spark, sfDir)
-      .selectExpr("CAST(c_custkey AS BIGINT) AS c_custkey",
-        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
-      .createOrReplaceTempView(s"mu_base_$tag")
-    spark.sql(s"INSERT INTO $t SELECT c_custkey, bal_c FROM mu_base_$tag")
-    // a non-aligned COW delete first: drop every third customer
-    spark.sql(s"DELETE FROM $t WHERE c_custkey % 3 = 0")
-    // upsert: bump balances of keys % 7 = 0, insert shadow keys
-    spark.sql(
-      s"""SELECT c_custkey AS id, bal_c + 100000 AS bal_c
-          FROM mu_base_$tag WHERE c_custkey % 7 = 0
-          UNION ALL
-          SELECT c_custkey + 10000000, CAST(555 AS BIGINT)
-          FROM mu_base_$tag WHERE c_custkey % 11 = 0""")
-      .createOrReplaceTempView(s"mu_src_$tag")
-    spark.sql(
-      s"""MERGE INTO $t AS tgt USING mu_src_$tag AS src
-          ON tgt.c_custkey = src.id
-          WHEN MATCHED THEN UPDATE SET bal_c = src.bal_c
-          WHEN NOT MATCHED THEN INSERT (c_custkey, bal_c)
-            VALUES (src.id, src.bal_c)""")
-    spark.sql(s"SELECT count(*) AS n_rows, sum(bal_c) AS bal_sum," +
-      s" sum(c_custkey) AS key_sum FROM $t")
-  }
-
-  val mergeUpsertRoundtripOracle: String =
-    """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
-            CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
-          FROM customer),
-        after_del AS (SELECT * FROM base WHERE c_custkey % 3 <> 0),
-        src AS (SELECT c_custkey AS id, bal_c + 100000 AS bal_c
-                FROM base WHERE c_custkey % 7 = 0
-                UNION ALL
-                SELECT c_custkey + 10000000, CAST(555 AS BIGINT)
-                FROM base WHERE c_custkey % 11 = 0),
-        merged AS (
-          SELECT t.c_custkey,
-            coalesce(s.bal_c, t.bal_c) AS bal_c
-          FROM after_del t LEFT JOIN src s ON t.c_custkey = s.id
-          UNION ALL
-          SELECT s.id, s.bal_c FROM src s
-          LEFT JOIN after_del t ON t.c_custkey = s.id
-          WHERE t.c_custkey IS NULL)
-        SELECT count(*) AS n_rows,
-          CAST(sum(bal_c) AS BIGINT) AS bal_sum,
-          CAST(sum(c_custkey) AS BIGINT) AS key_sum
-        FROM merged"""
-
-  /** `dsv2_merge_mor`: the same SQL MERGE surface through the DELTA
-    * (merge-on-read) path — `graft.ledger.rowLevelMode=mor` makes the
-    * table's row-level operation implement [[SupportsDelta]], so
-    * Spark plans `WriteDelta` against the `(_file, _pos)` rowId and
-    * the commit installs deletion vectors + appended files with NO
-    * touched file rewritten. Three connector verdicts fold into the
-    * oracle hash alongside the replayed state digest:
-    * `files_preserved` (every pre-merge data file name survives — a
-    * COW rewrite or a lost file flips it), `one_commit` (delete +
-    * update + insert arms land as exactly one version), and
-    * `dv_present` (at least one deletion vector was installed). */
-  def mergeMoRRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt"
-    spark.conf.set("spark.sql.catalog.graft_cat",
-      classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_cat.root", root)
-    val t = s"graft_cat.rlo.mor_merge_$tag"
-    val dir = Paths.get(root, "rlo", s"mor_merge_$tag")
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rlo")
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    spark.sql(s"CREATE TABLE $t (c_custkey BIGINT, bal_c BIGINT)")
-    graft.io.Tables.customer(spark, sfDir)
-      .selectExpr("CAST(c_custkey AS BIGINT) AS c_custkey",
-        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
-      .createOrReplaceTempView(s"mm_base_$tag")
-    spark.sql(s"INSERT INTO $t SELECT c_custkey, bal_c FROM mm_base_$tag")
-    // source rows are key-unique by construction (the %5 and %7∧¬%5
-    // branches are disjoint; inserts live in a shifted key space), so
-    // the MERGE cardinality check cannot trip
-    spark.sql(
-      s"""SELECT c_custkey AS id, 'del' AS kind, CAST(0 AS BIGINT) AS nv
-          FROM mm_base_$tag WHERE c_custkey % 5 = 0
-          UNION ALL
-          SELECT c_custkey, 'upd', bal_c + 100000
-          FROM mm_base_$tag WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
-          UNION ALL
-          SELECT c_custkey + 10000000, 'ins', CAST(555 AS BIGINT)
-          FROM mm_base_$tag WHERE c_custkey % 11 = 0""")
-      .createOrReplaceTempView(s"mm_src_$tag")
-    val preFiles = LedgerSink.readManifest(dir).get.files.map(_.file).toSet
-    val preVersion = LedgerSink.currentVersion(dir)
-    try {
-      spark.conf.set("graft.ledger.rowLevelMode", "mor")
-      spark.sql(
-        s"""MERGE INTO $t AS tgt USING mm_src_$tag AS src
-            ON tgt.c_custkey = src.id
-            WHEN MATCHED AND src.kind = 'del' THEN DELETE
-            WHEN MATCHED THEN UPDATE SET bal_c = src.nv
-            WHEN NOT MATCHED THEN INSERT (c_custkey, bal_c)
-              VALUES (src.id, src.nv)""")
-    } finally spark.conf.set("graft.ledger.rowLevelMode", "cow")
-    val post = LedgerSink.readManifest(dir).get
-    val preserved = if (preFiles.subsetOf(post.files.map(_.file).toSet)) 1 else 0
-    val oneCommit =
-      if (LedgerSink.currentVersion(dir) == preVersion + 1) 1 else 0
-    val dvPresent = if (post.files.exists(_.dv.nonEmpty)) 1 else 0
-    spark.sql(s"SELECT count(*) AS n_rows, sum(bal_c) AS bal_sum," +
-      s" sum(c_custkey) AS key_sum," +
-      s" CAST($preserved AS INT) AS files_preserved," +
-      s" CAST($oneCommit AS INT) AS one_commit," +
-      s" CAST($dvPresent AS INT) AS dv_present FROM $t")
-  }
-
-  val mergeMoRRoundtripOracle: String =
-    """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
-            CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
-          FROM customer),
-        src AS (
-          SELECT c_custkey AS id, 'del' AS kind, CAST(0 AS BIGINT) AS nv
-          FROM base WHERE c_custkey % 5 = 0
-          UNION ALL
-          SELECT c_custkey, 'upd', bal_c + 100000
-          FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
-          UNION ALL
-          SELECT c_custkey + 10000000, 'ins', CAST(555 AS BIGINT)
-          FROM base WHERE c_custkey % 11 = 0),
-        merged AS (
-          SELECT t.c_custkey,
-            CASE WHEN s.kind = 'upd' THEN s.nv ELSE t.bal_c END AS bal_c
-          FROM base t LEFT JOIN src s ON t.c_custkey = s.id
-          WHERE s.kind IS NULL OR s.kind <> 'del'
-          UNION ALL
-          SELECT s.id, s.nv FROM src s
-          LEFT JOIN base t ON t.c_custkey = s.id
-          WHERE t.c_custkey IS NULL)
-        SELECT count(*) AS n_rows,
-          CAST(sum(bal_c) AS BIGINT) AS bal_sum,
-          CAST(sum(c_custkey) AS BIGINT) AS key_sum,
-          CAST(1 AS INTEGER) AS files_preserved,
-          CAST(1 AS INTEGER) AS one_commit,
-          CAST(1 AS INTEGER) AS dv_present
-        FROM merged"""
-
-  /** `dsv2_version_history`: the DESCRIBE HISTORY analogue — one row
-    * per table version with its row count and balance digest, read
-    * through `versionAsOf`, across every commit kind in one lineage:
-    * CREATE (v1, empty), INSERT (v2), append INSERT (v3), and a
-    * non-aligned copy-on-write DELETE (v4 = live). The oracle
-    * recomputes all four states from the fixture, so the hash pins
-    * that each commit archived exactly the state it replaced — an
-    * append that leaked into v2, or a COW delete that rewrote
-    * history, changes a digest. */
-  def versionHistory(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    spark.conf.set("spark.sql.catalog.graft_cat",
-      classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_cat.root",
-      s"${System.getProperty("java.io.tmpdir")}/graft_catalog_rt")
-    val t = s"graft_cat.rlo.hist_$tag"
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.rlo")
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    spark.sql(s"CREATE TABLE $t (c_custkey BIGINT, bal_c BIGINT)")
-    graft.io.Tables.customer(spark, sfDir)
-      .selectExpr("CAST(c_custkey AS BIGINT) AS c_custkey",
-        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
-      .createOrReplaceTempView(s"vh_base_$tag")
-    spark.sql(s"INSERT INTO $t SELECT c_custkey, bal_c FROM vh_base_$tag" +
-      " WHERE c_custkey % 2 = 1")
-    spark.sql(s"INSERT INTO $t SELECT c_custkey, bal_c FROM vh_base_$tag" +
-      " WHERE c_custkey % 2 = 0")
-    spark.sql(s"DELETE FROM $t WHERE c_custkey % 5 = 0")
-    (1 to 4).map { v =>
-      spark.sql(s"SELECT CAST($v AS INT) AS version," +
-        s" count(*) AS n_rows, coalesce(sum(bal_c), CAST(0 AS BIGINT))" +
-        s" AS bal_sum FROM $t VERSION AS OF $v")
-    }.reduce(_ unionByName _).orderBy("version")
-  }
-
-  val versionHistoryOracle: String =
-    """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
-            CAST(round(c_acctbal * 100) AS BIGINT) AS b
-          FROM customer)
-       SELECT CAST(1 AS INTEGER) AS version, 0 AS n_rows,
-         CAST(0 AS BIGINT) AS bal_sum
-       UNION ALL
-       SELECT 2, count(*), CAST(sum(b) AS BIGINT) FROM base WHERE k % 2 = 1
-       UNION ALL
-       SELECT 3, count(*), CAST(sum(b) AS BIGINT) FROM base
-       UNION ALL
-       SELECT 4, count(*), CAST(sum(b) AS BIGINT) FROM base WHERE k % 5 <> 0
-       ORDER BY version"""
-
-  val timeTravelRoundtripOracle: String =
-    """SELECT 'live' AS snapshot, count(*) AS n_rows,
-         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
-       FROM customer WHERE c_nationkey < 13
-       UNION ALL
-       SELECT 'v1', count(*),
-         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
-       FROM customer
-       ORDER BY snapshot"""
-
-  /** `dsv2_timestamp_travel`: TIMESTAMP AS OF over the per-commit
-    * clock — every commit records a strictly-monotonic `#ts:` header,
-    * and `timestampAsOf` resolves to the greatest version committed
-    * at-or-before the instant (Delta's contract). Wall-clock values
-    * are not reproducible, so the gate folds RESOLUTION VERDICTS into
-    * the oracle hash instead of the clock itself: reading at v1's
-    * exact boundary, one millisecond before v2, at v2, and an hour in
-    * the future must serve exactly v1/v1/v2/live — digests DuckDB
-    * recomputes from the fixture — and a timestamp before the first
-    * commit must fail loud. */
-  def timestampTravel(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val dir = scratch(sfDir) + "_tsas"
-    val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      val s = Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
-    val cust = graft.io.Tables.customer(spark, sfDir)
-      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
-    cust.write.format(classOf[LedgerSink].getName)
-      .option("path", dir).mode("overwrite").save()            // v1
-    cust.filter(col("c_nationkey") < 13)
-      .write.format(classOf[LedgerSink].getName)
-      .option("path", dir).mode("overwrite").save()            // v2
-    cust.filter(col("c_nationkey") >= 20)
-      .write.format(classOf[LedgerSink].getName)
-      .option("path", dir).mode("append").save()               // v3 (live)
-    val ts = LedgerSink.commitTimestamps(root).toMap
-    val monotone =
-      if (ts(1) < ts(2) && ts(2) < ts(3)) 1 else 0
-    def readAt(millis: Long): DataFrame =
-      spark.read.format(classOf[LedgerSink].getName)
-        .option("path", dir).option("timestampAsOf", millis.toString).load()
-    def digest(df: DataFrame, tag: String): DataFrame =
-      df.agg(count(lit(1)).as("n_rows"),
-          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
-        .selectExpr(s"'$tag' AS snapshot", "n_rows", "bal_cents")
-    val beforeFirstFails =
-      try { readAt(ts(1) - 1).count(); 0 }
-      catch { case _: IllegalArgumentException => 1 }
-    digest(readAt(ts(1)), "t1_v1")
-      .unionByName(digest(readAt(ts(2) - 1), "t2_minus_v1"))
-      .unionByName(digest(readAt(ts(2)), "t2_v2"))
-      .unionByName(digest(readAt(ts(3) + 3600000L), "t9_live"))
-      .withColumn("ts_monotone", lit(monotone))
-      .withColumn("before_first_fails", lit(beforeFirstFails))
-      .orderBy("snapshot")
-  }
-
-  val timestampTravelOracle: String =
-    """WITH c AS (SELECT c_nationkey,
-           CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
-        v1 AS (SELECT count(*) AS n, CAST(sum(bal) AS BIGINT) AS b FROM c),
-        v2 AS (SELECT count(*) AS n, CAST(sum(bal) AS BIGINT) AS b
-          FROM c WHERE c_nationkey < 13),
-        v3 AS (SELECT count(*) AS n, CAST(sum(bal) AS BIGINT) AS b
-          FROM c WHERE c_nationkey < 13 OR c_nationkey >= 20)
-       SELECT s.snapshot, s.n_rows, s.bal_cents,
-         CAST(1 AS INTEGER) AS ts_monotone,
-         CAST(1 AS INTEGER) AS before_first_fails
-       FROM (
-         SELECT 't1_v1' AS snapshot, n AS n_rows, b AS bal_cents FROM v1
-         UNION ALL SELECT 't2_minus_v1', n, b FROM v1
-         UNION ALL SELECT 't2_v2', n, b FROM v2
-         UNION ALL SELECT 't9_live', n, b FROM v3) s
-       ORDER BY s.snapshot"""
-
-  /** `dsv2_equality_upsert`: the Iceberg v2 EQUALITY-DELETE tier as a
-    * CDC-apply replay — two single-commit upserts
-    * ([[LedgerMaintenance.upsertByKeys]]: equality delete on the batch
-    * keys + append, NO data file read) around a kill-list
-    * [[LedgerMaintenance.deleteByKeys]], exercising the data-sequence
-    * contract end to end: batch-2 REVIVES keys the kill list erased
-    * (its appends outsequence the delete), while batch-1's appended
-    * images die to the kill list (they predate it). Folded connector
-    * verdicts: the three ops landed as exactly three commits with
-    * equality deletes active; NO base data file was ever rewritten
-    * (`files_preserved` — the O(batch) promise); OPTIMIZE then
-    * materializes the deletes (eqDeletes GC'd, physical rows == live
-    * rows) with the digest unchanged. DuckDB replays the same three
-    * batches relationally. */
-  def equalityUpsert(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val dir = scratch(sfDir) + "_equ"
-    val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      val s = Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
-    val base = graft.io.Tables.customer(spark, sfDir)
-      .selectExpr("CAST(c_custkey AS BIGINT) AS k",
-        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal")
-    base.write.format(classOf[LedgerSink].getName)
-      .option("path", dir).mode("overwrite").save()                  // v1
-    val baseFiles = LedgerSink.readManifest(root).get.files.map(_.file).toSet
-    val b1 = base.filter(col("k") % 7 === 0)
-      .select(col("k"), (col("bal") + 100000L).as("bal"))
-      .unionByName(base.filter(col("k") % 11 === 0)
-        .select((col("k") + 10000000L).as("k"), lit(555L).as("bal")))
-    LedgerMaintenance.upsertByKeys(spark, dir, Seq("k"), b1): Unit   // v2
-    LedgerMaintenance.deleteByKeys(spark, dir, Seq("k"),
-      base.filter(col("k") % 5 === 0).select("k")): Unit             // v3
-    val b2 = base.filter(col("k") % 3 === 0)
-      .select(col("k"), lit(777L).as("bal"))
-    LedgerMaintenance.upsertByKeys(spark, dir, Seq("k"), b2): Unit   // v4
-    val m = LedgerSink.readManifest(root).get
-    val eqdActive =
-      if (LedgerSink.currentVersion(root) == 4 && m.eqDeletes.nonEmpty) 1
-      else 0
-    val filesPreserved =
-      if (baseFiles.subsetOf(m.files.map(_.file).toSet)) 1 else 0
-    def digest(): org.apache.spark.sql.Row =
-      spark.read.format(classOf[LedgerSink].getName).option("path", dir)
-        .load()
-        .agg(count(lit(1)), sum(col("bal")), sum(col("k")))
-        .collect()(0)
-    val pre = digest()
-    LedgerMaintenance.optimize(spark, dir): Unit                     // v5
-    val post = digest()
-    val m2 = LedgerSink.readManifest(root).get
-    val afterOptimizeEqual = if (pre == post) 1 else 0
-    val morMaterialized =
-      if (m2.eqDeletes.isEmpty && m2.files.map(_.rows).sum == pre.getLong(0)) 1
-      else 0
-    spark.sql(
-      s"""SELECT CAST(${pre.getLong(0)} AS BIGINT) AS n_rows,
-            CAST(${pre.getLong(1)} AS BIGINT) AS bal_sum,
-            CAST(${pre.getLong(2)} AS BIGINT) AS key_sum,
-            CAST($eqdActive AS INT) AS eqd_active,
-            CAST($filesPreserved AS INT) AS files_preserved,
-            CAST($afterOptimizeEqual AS INT) AS after_optimize_equal,
-            CAST($morMaterialized AS INT) AS mor_materialized""")
-  }
-
-  val equalityUpsertOracle: String =
-    """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
-           CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
-        b1 AS (SELECT k, bal + 100000 AS bal FROM base WHERE k % 7 = 0
-          UNION ALL
-          SELECT k + 10000000, CAST(555 AS BIGINT) FROM base WHERE k % 11 = 0),
-        s2 AS (SELECT k, bal FROM base WHERE k NOT IN (SELECT k FROM b1)
-          UNION ALL SELECT k, bal FROM b1),
-        s3 AS (SELECT k, bal FROM s2
-          WHERE k NOT IN (SELECT k FROM base WHERE k % 5 = 0)),
-        b2 AS (SELECT k, CAST(777 AS BIGINT) AS bal FROM base WHERE k % 3 = 0),
-        s4 AS (SELECT k, bal FROM s3 WHERE k NOT IN (SELECT k FROM b2)
-          UNION ALL SELECT k, bal FROM b2)
-       SELECT count(*) AS n_rows,
-         CAST(sum(bal) AS BIGINT) AS bal_sum,
-         CAST(sum(k) AS BIGINT) AS key_sum,
-         CAST(1 AS INTEGER) AS eqd_active,
-         CAST(1 AS INTEGER) AS files_preserved,
-         CAST(1 AS INTEGER) AS after_optimize_equal,
-         CAST(1 AS INTEGER) AS mor_materialized
-       FROM s4"""
-}
-
 object LedgerSink {
   private[sources] val ManifestName = "_MANIFEST"
   private[sources] val NullMark = "\\N"
@@ -2251,2808 +1755,4 @@ object LedgerSink {
           throw new java.util.ConcurrentModificationException(conflict)
       }
     }
-}
-
-/** OPTIMIZE as a commit kind: bin-pack the table's small files into
-  * target-sized ones and commit the swap as a new version — the
-  * answer to epoch-grain streaming appends accumulating one file per
-  * (epoch × partition). Because the row codec is line-oriented and a
-  * bin only ever groups files with the SAME column-id list, stat
-  * column and partition tuple, each bin's rewrite is a straight byte
-  * concatenation — no decode, no shuffle — so the job is one Spark
-  * task per bin (embarrassingly parallel on a cluster; the format's
-  * single-filesystem assumption is the same one every path here
-  * makes). Time travel sees OPTIMIZE like any commit: the
-  * pre-OPTIMIZE manifest is archived, its files stay referenced, and
-  * [[LedgerSink.vacuum]] reclaims them only when no version does. */
-object LedgerMaintenance {
-  import org.apache.spark.sql.SparkSession
-
-  /** MERGE-ON-READ DELETE (deletion vectors — the Iceberg v2
-    * position-delete / Delta DV design): instead of rewriting every
-    * file a predicate touches (copy-on-write's O(files touched)), each
-    * matching file gains a position-delete SIDECAR listing its deleted
-    * row ordinals; scans merge the DV at read time, so the delete
-    * costs O(rows deleted) and commits in one manifest swap. A second
-    * delete on the same file writes a new sidecar holding the UNION of
-    * ordinals (sidecars are immutable; the old one stays referenced by
-    * the archived version for time travel until vacuum). [[optimize]]
-    * compacts DVs away — the rewrite drops deleted lines and clears
-    * the dv reference.
-    *
-    * `filters` is a CONJUNCTION over the Spark source-filter ADT
-    * (equality/range/null/IN on the table's columns) — the evaluation
-    * runs distributed, one task per candidate file; files the
-    * manifest's partition/stats metadata can't exclude are scanned,
-    * matching ordinals written from the executor, and the commit
-    * rebases under the table lock (a racing rewrite of a target file
-    * aborts cleanly). Returns the number of deleted rows. */
-  def deleteMoR(spark: SparkSession, dirStr: String,
-      filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
-    val dir = Paths.get(dirStr)
-    val m = LedgerSink.readManifest(dir).getOrElse(
-      throw new IllegalArgumentException(s"no ledger table at $dirStr"))
-    val (newDvs, deleted) = planDvs(spark, dir, m, filters)
-    if (newDvs.isEmpty) return 0L
-    try LedgerSink.commitRebase(dir, cur =>
-      // every target (file, dv-at-planning) entry must be unchanged —
-      // a racing rewrite of a target file would make our ordinals wrong
-      cur.filter(c => newDvs.keySet.subsetOf(c.files
-          .filter(e => m.files.exists(o => o.file == e.file && o.dv == e.dv))
-          .map(_.file).toSet))
-        .map(c => c.copy(files = c.files.map(e =>
-          newDvs.get(e.file).fold(e)(d => e.copy(dv = Some(d)))))),
-      s"deleteMoR on $dirStr raced a commit that rewrote one of its " +
-        "target files; re-run the delete")
-    catch {
-      case ex: java.util.ConcurrentModificationException =>
-        newDvs.values.foreach(d =>
-          Files.deleteIfExists(dir.resolve(d)): Unit)
-        throw ex
-    }
-    deleted
-  }
-
-  /** The shared merge-on-read scan: stage a fresh DV sidecar for every
-    * file holding LIVE rows matching `filters` (ordinals unioned with
-    * the file's existing vector); returns (file → new sidecar,
-    * matched-row count). Stages only — callers commit. */
-  private def planDvs(spark: SparkSession, dir: Path,
-      m: LedgerSink.Manifest,
-      filters: Array[org.apache.spark.sql.sources.Filter])
-      : (Map[String, String], Long) = {
-    import org.apache.spark.sql.sources._
-    val schema = m.schema
-    val ddl = schema.toDDL
-    // validate filter shapes AND literal types up front (fail before
-    // any work): a literal cmp cannot evaluate would otherwise make
-    // every row non-matching and the call return 0 as if the rows
-    // were deleted. RANGE comparisons on strings are refused — Java's
-    // UTF-16 compareTo and Spark's UTF-8 byte order diverge beyond the
-    // BMP, and updateMoR re-evaluates the same predicate through SQL.
-    def checkLit(c: String, v: Any, range: Boolean): Unit = {
-      val dt = schema.fields(schema.fieldIndex(c)).dataType
-      val ok = (dt, v) match {
-        case (LongType | IntegerType | DoubleType, _: Number) => true
-        case (StringType, _: String) => !range
-        case _ => false
-      }
-      if (!ok) throw new IllegalArgumentException(
-        s"MoR predicate: cannot ${if (range) "range-" else ""}compare " +
-          s"column $c ($dt) with literal " +
-          s"$v (${if (v == null) "null" else v.getClass.getSimpleName})")
-    }
-    def checkShape(f: Filter): Unit = f match {
-      case EqualTo(c, v) => checkLit(c, v, range = false)
-      case GreaterThan(c, v) => checkLit(c, v, range = true)
-      case GreaterThanOrEqual(c, v) => checkLit(c, v, range = true)
-      case LessThan(c, v) => checkLit(c, v, range = true)
-      case LessThanOrEqual(c, v) => checkLit(c, v, range = true)
-      case In(c, vs) => vs.foreach(checkLit(c, _, range = false))
-      case IsNull(c) => schema.fieldIndex(c): Unit
-      case IsNotNull(c) => schema.fieldIndex(c): Unit
-      case other => throw new UnsupportedOperationException(
-        s"MoR predicates support equality/range/null/IN conjunctions, got $other")
-    }
-    filters.foreach(checkShape)
-    val base = dir.toString
-    val runTag = java.util.UUID.randomUUID().toString.take(8)
-    // one task per file: evaluate the conjunction on decoded rows,
-    // union with the existing DV, stage a fresh sidecar
-    val jobs = m.files.zipWithIndex.map { case (e, i) =>
-      val (positions, width) = e.ids match {
-        case Some(fids) =>
-          (schema.fields.map(f => fids.indexOf(m.idOf(f.name))), fids.length)
-        case None =>
-          (schema.fields.map(f => schema.fieldIndex(f.name)), schema.length)
-      }
-      // equality deletes compose: rows they already killed are dead,
-      // not "matched" — marking them again would inflate the returned
-      // count and lie to the caller
-      (e.file, e.dv, positions, width, i,
-        LedgerSink.eqdBindings(dir, m, e),
-        // INITIAL DEFAULTS must apply here exactly as in the public
-        // reader: a predicate on a defaulted column would otherwise
-        // see NULL where every SELECT shows the default — silently
-        // matching the wrong rows (and updateMoR's DV set would
-        // disagree with its own update images)
-        LedgerSink.defaultsArray(m, positions, m.ids.toArray))
-    }
-    val results = spark.sparkContext
-      .parallelize(jobs, math.max(1, jobs.length))
-      .map { case (file, oldDv, positions, width, i, eqd, defEnc) =>
-        val st = StructType.fromDDL(ddl)
-        val types = st.fields.map(_.dataType)
-        val colIdx: Map[String, Int] = st.fieldNames.zipWithIndex.toMap
-        val lines = Files.readAllLines(Paths.get(base, file), UTF_8)
-        val eqKilled = LedgerSink.eqdKillPredicate(eqd)
-        val defVals: Array[Any] =
-          if (defEnc.isEmpty) null
-          else defEnc.indices.map(j =>
-            if (defEnc(j) == null) null
-            else LedgerSink.parseValue(types(j), defEnc(j)): Any).toArray
-        def withDefaults(row: InternalRow): InternalRow = {
-          if (defVals != null) {
-            val g = row.asInstanceOf[GenericInternalRow]
-            var j = 0
-            while (j < defVals.length) {
-              if (defVals(j) != null && positions(j) == -1)
-                g.update(j, defVals(j))
-              j += 1
-            }
-          }
-          row
-        }
-        val dvOld = oldDv.map(d =>
-          LedgerSink.readDvOrdinals(Paths.get(base, d)))
-          .getOrElse(new java.util.BitSet())
-        def matches(row: InternalRow): Boolean = filters.forall { f =>
-          def idx(c: String) = colIdx(c)
-          def cmp(c: String, v: Any): Option[Int] = {
-            val j = idx(c)
-            if (row.isNullAt(j)) None
-            else (types(j), v) match {
-              case (LongType, x: Number) =>
-                Some(java.lang.Long.compare(row.getLong(j), x.longValue))
-              case (IntegerType, x: Number) =>
-                Some(java.lang.Long.compare(row.getInt(j).toLong, x.longValue))
-              case (DoubleType, x: Number) =>
-                Some(java.lang.Double.compare(row.getDouble(j), x.doubleValue))
-              case (StringType, x: String) =>
-                Some(row.getUTF8String(j).toString.compareTo(x))
-              case _ => None
-            }
-          }
-          f match {
-            case EqualTo(c, v) => cmp(c, v).contains(0)
-            case GreaterThan(c, v) => cmp(c, v).exists(_ > 0)
-            case GreaterThanOrEqual(c, v) => cmp(c, v).exists(_ >= 0)
-            case LessThan(c, v) => cmp(c, v).exists(_ < 0)
-            case LessThanOrEqual(c, v) => cmp(c, v).exists(_ <= 0)
-            case In(c, vs) => vs.exists(v => cmp(c, v).contains(0))
-            case IsNull(c) => row.isNullAt(idx(c))
-            case IsNotNull(c) => !row.isNullAt(idx(c))
-            case _ => false
-          }
-        }
-        val dvNew = dvOld.clone().asInstanceOf[java.util.BitSet]
-        var hits = 0L
-        var ord = 0
-        lines.forEach { line =>
-          if (!dvOld.get(ord) && (eqKilled == null || !eqKilled(line)) &&
-              matches(withDefaults(LedgerSink.decodeProjected(
-                line, positions, types, width)))) {
-            dvNew.set(ord); hits += 1
-          }
-          ord += 1
-        }
-        if (hits == 0L) (file, None: Option[String], 0L)
-        else {
-          val rel = s"_staging/dv-$runTag-$i.dv"
-          val sb = new StringBuilder
-          var b = dvNew.nextSetBit(0)
-          while (b >= 0) { sb.append(b).append('\n'); b = dvNew.nextSetBit(b + 1) }
-          Files.write(Paths.get(base, rel), sb.toString.getBytes(UTF_8))
-          (file, Some(rel), hits)
-        }
-      }.collect()
-    val newDvs: Map[String, String] =
-      results.collect { case (f, Some(d), _) => f -> d }.toMap
-    val matched = results.map(_._3).sum
-    (newDvs, matched)
-  }
-
-  /** MERGE-ON-READ UPDATE — the Delta DV-update design: ONE commit
-    * carries (a) fresh deletion vectors marking the matched rows dead
-    * in their files and (b) appended files holding the updated
-    * versions, so readers see the update atomically and no touched
-    * file is rewritten. `set` maps column → SQL expression over the
-    * row (e.g. "price_c" → "price_c + 111"); the matched set comes
-    * from the SAME predicate evaluated twice — once by the MoR scan
-    * for ordinals, once through the public (DV-merging) reader for
-    * values — which agree because [[planDvs]] only admits predicate
-    * shapes whose semantics are identical in both evaluators.
-    * Partitioned tables work too: the scratch ledger the update
-    * images stage through is pre-created with the TARGET's partition
-    * spec, so every staged file carries its partition tuple under the
-    * same transforms (the [[org.apache.spark.sql.connector.write]]
-    * SupportsDelta SQL path and this procedural path now share the
-    * partition-aware write shape); a mid-flight partition-spec change
-    * conflicts like any other racing rewrite.
-    * Returns the number of updated rows. */
-  def updateMoR(spark: SparkSession, dirStr: String,
-      filters: Array[org.apache.spark.sql.sources.Filter],
-      set: Map[String, String]): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val dir = Paths.get(dirStr)
-    // pin the PLANNING VERSION: currentVersion-then-readManifestAt is a
-    // consistent pair (a commit landing in between archives v, and the
-    // archive read is identical), and the value read below targets the
-    // same v — rows a concurrent append lands AFTER planning are
-    // neither marked dead nor re-emitted, giving clean serializability
-    // (this update happened at v; the append happened after)
-    val planVersion = LedgerSink.currentVersion(dir)
-    val m = LedgerSink.readManifestAt(dir, Some(planVersion)).getOrElse(
-      throw new IllegalArgumentException(s"no ledger table at $dirStr"))
-    val schema = m.schema
-    set.keys.foreach(k => schema.fieldIndex(k): Unit)
-    val (newDvs, matched) = planDvs(spark, dir, m, filters)
-    if (matched == 0L) return 0L
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    // updated rows: the same predicate through the public DV-merging
-    // reader, SET expressions applied per column
-    def toColumn(f: org.apache.spark.sql.sources.Filter)
-        : org.apache.spark.sql.Column = {
-      import org.apache.spark.sql.sources._
-      f match {
-        case EqualTo(c, v) => col(c) === lit(v)
-        case GreaterThan(c, v) => col(c) > lit(v)
-        case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
-        case LessThan(c, v) => col(c) < lit(v)
-        case LessThanOrEqual(c, v) => col(c) <= lit(v)
-        case In(c, vs) => col(c).isin(vs.toSeq: _*)
-        case IsNull(c) => col(c).isNull
-        case IsNotNull(c) => col(c).isNotNull
-        case other => throw new UnsupportedOperationException(other.toString)
-      }
-    }
-    val updated = spark.read.format(classOf[LedgerSink].getName)
-      .option("path", dirStr)
-      .option("versionAsOf", planVersion.toString).load()
-      .filter(filters.map(toColumn).reduce(_ && _))
-      .selectExpr(schema.fieldNames.toSeq.map(n =>
-        set.get(n).map(e => s"($e) AS $n").getOrElse(n)): _*)
-    // stage the updated rows through the normal write protocol against
-    // a scratch ledger, then MOVE its files into this table's staging —
-    // same filesystem, so the move is metadata-only — and remap their
-    // entries to the TARGET's field ids (the scratch table binds fresh
-    // 1..n ids; positionally identical because the projection above is
-    // in table-schema order)
-    val tmp = Files.createTempDirectory(s"graft_mor_upd_$tag")
-    Files.createDirectories(dir.resolve("_staging"))
-    // the scratch table is PRE-CREATED with the target's partition
-    // spec (by NAME, re-resolved against the scratch's fresh 1..n
-    // ids), so the append below stamps every staged file with its
-    // partition tuple under the SAME transforms the target prunes by
-    LedgerSink.writeManifestAtomic(tmp,
-      LedgerSink.Manifest.fresh(schema, m.namedPartitionSpec))
-    val moved =
-      try {
-        updated.write.format(classOf[LedgerSink].getName)
-          .option("path", tmp.toString).mode("append").save()
-        LedgerSink.readManifest(tmp).get.files.zipWithIndex.map {
-          case (e, i) =>
-            val rel = s"_staging/upd-$tag-$i.ledger"
-            Files.move(tmp.resolve(e.file), dir.resolve(rel))
-            // the bloom sidecar moves with its file; its header's
-            // field id remaps like the entry's ids
-            val bloomRel = e.bloom.map { b =>
-              val br = s"_staging/upd-$tag-$i.bf"
-              val (bm, _, fid, bits) =
-                LedgerSink.readBloomSidecar(tmp.resolve(b))
-              val scratchIds = LedgerSink.readManifest(tmp).get.ids
-              val pos = scratchIds.indexOf(fid)
-              LedgerSink.writeBloomSidecar(dir.resolve(br), bm,
-                m.ids.toSeq(pos), bits)
-              br
-            }
-            // partition tuple carries over verbatim (same named spec,
-            // same transforms); stamp the TARGET's current spec id so
-            // the entry stays correct across later spec evolutions
-            e.copy(file = rel, ids = Some(m.ids.toSeq), statId = m.statId,
-              bloom = bloomRel,
-              spec = if (m.specId == 0) None else Some(m.specId))
-        }
-      } finally {
-        val s = Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        try s.iterator().asScala.foreach(Files.deleteIfExists(_))
-        finally s.close()
-      }
-    def cleanup(): Unit = {
-      newDvs.values.foreach(d => Files.deleteIfExists(dir.resolve(d)): Unit)
-      moved.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
-    }
-    try LedgerSink.commitRebase(dir, cur =>
-      cur.filter(c => newDvs.keySet.subsetOf(c.files
-          .filter(e => m.files.exists(o => o.file == e.file && o.dv == e.dv))
-          .map(_.file).toSet) &&
-          // the update images commit with a fresh data sequence: an
-          // equality delete installed after planning would be escaped
-          // by them (resurrection) — conflict instead
-          c.eqDeletes == m.eqDeletes &&
-          // staged tuples were computed under m's spec — a racing
-          // spec evolution would mis-key them
-          c.specId == m.specId && c.partitionSpec == m.partitionSpec)
-        .map(c => c.copy(files = c.files.map(e =>
-          newDvs.get(e.file).fold(e)(d => e.copy(dv = Some(d)))) ++ moved)),
-      s"updateMoR on $dirStr raced a commit that rewrote one of its " +
-        "target files or installed equality deletes; re-run the update")
-    catch {
-      case ex: java.util.ConcurrentModificationException =>
-        cleanup(); throw ex
-    }
-    matched
-  }
-
-  /** Key columns resolved to field ids, with every live data file
-    * checked to CARRY them (a file written before an ADD COLUMN has no
-    * key bytes — its rows' keys would read as null, which is not what
-    * a delete-by-key means). Shared by install and rebase so a racing
-    * schema change re-validates. */
-  private def eqKeyIds(m: LedgerSink.Manifest,
-      keyCols: Seq[String]): Seq[Int] = {
-    require(keyCols.nonEmpty, "equality delete needs at least one key column")
-    val ids = keyCols.map(m.idOf)
-    // a legacy (id-less) entry's column layout is unknowable from the
-    // manifest — a key column added after the file was written would
-    // read as null and the delete would silently match nothing, so
-    // refuse outright (the current manifest's ids would always
-    // "contain" the freshly resolved key id — no test against them
-    // can catch this)
-    val legacy = m.files.filter(_.ids.isEmpty)
-    if (legacy.nonEmpty) throw new IllegalArgumentException(
-      s"equality delete on ${keyCols.mkString(",")}: ${legacy.length} " +
-        s"legacy (id-less) data file(s) (e.g. ${legacy.head.file}) have " +
-        "no recorded column layout; rewrite them (optimizeSorted or " +
-        "re-append) first")
-    val missing = m.files.filter(e =>
-      ids.exists(id => !e.ids.exists(_.contains(id))))
-    if (missing.nonEmpty) throw new IllegalArgumentException(
-      s"equality delete on ${keyCols.mkString(",")}: ${missing.length} " +
-        s"data file(s) predate the column(s) (e.g. ${missing.head.file}); " +
-        "OPTIMIZE first")
-    ids
-  }
-
-  /** Key matching happens in ENCODED space, so the key relation's
-    * column types must equal the table's exactly — a double key
-    * against a long column would encode differently and silently
-    * match nothing. */
-  private def checkKeyTypes(m: LedgerSink.Manifest, keyCols: Seq[String],
-      provided: StructType): Unit =
-    keyCols.foreach { c =>
-      val want = m.schema.fields(m.schema.fieldIndex(c)).dataType
-      val got = provided.find(_.name == c).map(_.dataType)
-      require(got.contains(want),
-        s"equality-delete key $c: provided relation has " +
-          s"${got.map(_.simpleString).getOrElse("no such column")}, the " +
-          s"table column is ${want.simpleString} — encoded-tuple " +
-          "matching needs identical types (CAST the keys first)")
-    }
-
-  /** Stage `tuples` (already projected to the key columns, in order)
-    * as equality-delete sidecars via a scratch-ledger write — the
-    * ledger row codec IS the sidecar codec, one encoded tuple per
-    * line. Returns (staged relative paths, tuple count). */
-  private def stageEqdSidecars(spark: SparkSession, dir: Path,
-      tuples: org.apache.spark.sql.DataFrame, tag: String)
-      : (Seq[String], Long) = {
-    val tmp = Files.createTempDirectory(s"graft_eqd_$tag")
-    Files.createDirectories(dir.resolve("_staging"))
-    try {
-      tuples.write.format(classOf[LedgerSink].getName)
-        .option("path", tmp.toString).mode("overwrite").save()
-      val sm = LedgerSink.readManifest(tmp).get
-      val staged = sm.files.filter(_.rows > 0).zipWithIndex.map {
-        case (e, i) =>
-          val rel = s"_staging/eqd-$tag-$i.eqdel"
-          Files.move(tmp.resolve(e.file), dir.resolve(rel))
-          rel
-      }
-      (staged, sm.files.map(_.rows).sum)
-    } finally {
-      val s = Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
-  }
-
-  /** EQUALITY DELETE (the Iceberg v2 equality-delete design): kill
-    * every row whose key tuple appears in `keys`, WITHOUT reading a
-    * single data file — the keys are staged as sidecars and one
-    * manifest commit installs them; scans anti-join at read time and
-    * OPTIMIZE materializes (then drops) them. This is the shape a
-    * 100 TB kill-list or GDPR erasure wants: O(keys) written,
-    * O(metadata) committed, cost deferred to reads the same way DVs
-    * defer it — but with no per-file planning scan at all.
-    *
-    * The delete applies to data files whose data sequence is strictly
-    * below the installing commit — concurrent appends landing BEFORE
-    * the install are covered (the delete serializes after them),
-    * appends landing after are not. Key comparison happens in the
-    * codec's encoded space; a null key field matches null (the
-    * kill-list contract, not SQL ternary equality). Duplicate key
-    * tuples collapse. Returns the distinct key-tuple count. */
-  def deleteByKeys(spark: SparkSession, dirStr: String,
-      keyCols: Seq[String],
-      keys: org.apache.spark.sql.DataFrame): Long = {
-    val dir = Paths.get(dirStr)
-    val m = LedgerSink.readManifest(dir).getOrElse(
-      throw new IllegalArgumentException(s"no ledger table at $dirStr"))
-    val fieldIds = eqKeyIds(m, keyCols)
-    checkKeyTypes(m, keyCols, keys.schema)
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val (staged, nKeys) = stageEqdSidecars(spark, dir,
-      keys.selectExpr(keyCols: _*).distinct(), tag)
-    if (nKeys == 0L) {
-      staged.foreach(f => Files.deleteIfExists(dir.resolve(f)): Unit)
-      return 0L
-    }
-    try LedgerSink.commitRebase(dir, cur =>
-      cur.filter(c =>
-          // re-validate against the commit-time state: a racing schema
-          // change could have dropped a key column or added files
-          // without it
-          scala.util.Try(eqKeyIds(c, keyCols) == fieldIds)
-            .getOrElse(false))
-        .map(c => c.copy(eqDeletes = c.eqDeletes ++
-          staged.map(LedgerSink.EqDelete(_, 0, fieldIds)))),
-      s"equality delete on $dirStr raced a schema change affecting its " +
-        "key columns; re-run against the new schema")
-    catch {
-      case ex: java.util.ConcurrentModificationException =>
-        staged.foreach(f => Files.deleteIfExists(dir.resolve(f)): Unit)
-        throw ex
-    }
-    nKeys
-  }
-
-  /** EQUALITY-DELETE UPSERT: ONE commit that installs an equality
-    * delete on `rows`' key tuples AND appends `rows` — last-writer-
-    * wins replacement that reads NO data files (the delete applies
-    * only to files with a strictly smaller data sequence, so the
-    * rows appended by this very commit survive it). This is the
-    * streaming-CDC apply shape at 100 TB: per batch, cost is
-    * O(batch), not O(files touched) (MoR MERGE) or O(files rewritten)
-    * (COW). `rows` must be key-unique (dedupe a CDC batch to its last
-    * image first). Unpartitioned tables only, same as [[updateMoR]]
-    * (the staged appends carry no partition tuple). CHECK constraints
-    * are enforced on the incoming rows. Returns (keys, rows). */
-  def upsertByKeys(spark: SparkSession, dirStr: String,
-      keyCols: Seq[String],
-      rows: org.apache.spark.sql.DataFrame): (Long, Long) = {
-    val dir = Paths.get(dirStr)
-    val m = LedgerSink.readManifest(dir).getOrElse(
-      throw new IllegalArgumentException(s"no ledger table at $dirStr"))
-    require(m.partitionSpec.isEmpty,
-      "upsertByKeys stages unpartitioned appends only; partitioned " +
-        "tables take the MoR MERGE path")
-    val fieldIds = eqKeyIds(m, keyCols)
-    // the whole row schema must match by type, not just the keys: the
-    // staged files' entries remap POSITIONALLY to the target's ids
-    m.schema.fields.foreach(f =>
-      checkKeyTypes(m, Seq(f.name), rows.schema))
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val projected = rows.selectExpr(m.schema.fieldNames.toSeq: _*)
-    // Stage the appends through a scratch ledger (same move-and-remap
-    // protocol as updateMoR). The input plan is evaluated EXACTLY ONCE
-    // — this write; the CHECK scan and the key sidecars below read the
-    // MATERIALIZED staged bytes, never the plan again. A
-    // non-deterministic input (rand(), a view over a changing source)
-    // would otherwise append one evaluation's rows while installing
-    // another evaluation's delete keys, making the "single atomic
-    // upsert" internally inconsistent (ADVICE r11).
-    val tmp = Files.createTempDirectory(s"graft_equ_$tag")
-    Files.createDirectories(dir.resolve("_staging"))
-    val (moved, staged, nKeys) =
-      try {
-        projected.write.format(classOf[LedgerSink].getName)
-          .option("path", tmp.toString).mode("overwrite").save()
-        val stagedRows = spark.read.format(classOf[LedgerSink].getName)
-          .option("path", tmp.toString).load()
-        LedgerConstraints.constraintsOf(m.props).foreach { case (n, sql) =>
-          val bad = stagedRows.filter(s"($sql) <=> false").count()
-          if (bad > 0) throw new IllegalArgumentException(
-            s"upsert into $dirStr violates CHECK constraint $n " +
-              s"($sql) on $bad row(s)")
-        }
-        // key sidecars from the staged data — the appended rows and
-        // the keys deleting their predecessors are the same rows by
-        // construction
-        val (st, nk) = stageEqdSidecars(spark, dir,
-          stagedRows.selectExpr(keyCols: _*).distinct(), tag)
-        val sm = LedgerSink.readManifest(tmp).get
-        val mv = sm.files.zipWithIndex.map { case (e, i) =>
-          val rel = s"_staging/equ-$tag-$i.ledger"
-          Files.move(tmp.resolve(e.file), dir.resolve(rel))
-          val bloomRel = e.bloom.map { b =>
-            val br = s"_staging/equ-$tag-$i.bf"
-            val (bm, _, fid, bits) = LedgerSink.readBloomSidecar(tmp.resolve(b))
-            LedgerSink.writeBloomSidecar(dir.resolve(br), bm,
-              m.ids.toSeq(sm.ids.indexOf(fid)), bits)
-            br
-          }
-          e.copy(file = rel, ids = Some(m.ids.toSeq), statId = m.statId,
-            bloom = bloomRel)
-        }
-        (mv, st, nk)
-      } finally {
-        val s = Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        try s.iterator().asScala.foreach(Files.deleteIfExists(_))
-        finally s.close()
-      }
-    val nRows = moved.map(_.rows).sum
-    def cleanup(): Unit = {
-      staged.foreach(f => Files.deleteIfExists(dir.resolve(f)): Unit)
-      moved.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
-    }
-    if (nRows == 0L && nKeys == 0L) { cleanup(); return (0L, 0L) }
-    try LedgerSink.commitRebase(dir, cur =>
-      cur.filter(c => c.partitionSpec.isEmpty &&
-          scala.util.Try(eqKeyIds(c, keyCols) == fieldIds).getOrElse(false))
-        .map(c => c.copy(
-          files = c.files ++ moved,
-          eqDeletes = c.eqDeletes ++
-            staged.map(LedgerSink.EqDelete(_, 0, fieldIds)))),
-      s"upsertByKeys on $dirStr raced a schema or partition-spec " +
-        "change; re-run against the new table state")
-    catch {
-      case ex: java.util.ConcurrentModificationException =>
-        cleanup(); throw ex
-    }
-    (nKeys, nRows)
-  }
-
-  /** Returns (files before, files after). Bins never mix column-id
-    * lists, stat columns or partition tuples, so every rewritten file
-    * is indistinguishable from one a single large write produced. */
-  /** PARTITION-SPEC EVOLUTION (the Iceberg multi-spec design at this
-    * format's scale): change how FUTURE files are partitioned without
-    * rewriting a single existing file. The commit (one manifest swap
-    * under the table lock):
-    *
-    *   1. STAMPS every entry that carried no explicit spec id with the
-    *      outgoing spec's id — "unstamped" always means "current", so
-    *      the meaning of existing tuples is frozen before the current
-    *      pointer moves;
-    *   2. archives the outgoing spec under its id (ids are never
-    *      reused — the id space is append-only like field ids);
-    *   3. installs the new spec as current.
-    *
-    * Readers resolve each file's tuple against the spec it was written
-    * under: pruning applies per-file (same-transform fields keep
-    * pruning, changed ones conservatively keep the file), metadata
-    * DELETE only proves against identity fields of the FILE's spec,
-    * SPJ and partition-grouped aggregate pushdown require a
-    * spec-homogeneous file set, and OPTIMIZE never bins across specs.
-    * Writers always write the current spec; every concurrent commit
-    * kind treats a mid-flight spec change as a conflict. Old files
-    * migrate only through explicit rewrites — exactly Iceberg's
-    * contract, and the only one that works at 100 TB (the alternative
-    * is rewriting the table to change its layout).
-    *
-    * `spec` is (column, transform, param) triples — e.g.
-    * `("okey","bucket",8)`, `("day_ms","days",0)`, `("nk","identity",0)`;
-    * empty = unpartitioned. Returns the new spec id. Re-declaring the
-    * current spec is a no-op (no version bump). */
-  def alterPartitionSpec(dirStr: String,
-      spec: Seq[(String, String, Int)]): Int = {
-    val dir = Paths.get(dirStr)
-    var newId = -1
-    LedgerSink.commitRebase(dir, {
-      case None => throw new IllegalArgumentException(
-        s"no ledger table at $dirStr")
-      case Some(m) =>
-        val named = spec.map(p => LedgerSink.NamedPartField(p._1, p._2, p._3))
-        LedgerSink.checkPartitionSpec(m.schema, named)
-        val fields = named.map(p =>
-          LedgerSink.PartField(m.idOf(p.name), p.kind, p.param))
-        if (fields == m.partitionSpec) { newId = m.specId; Some(m) }
-        else {
-          val stamped = m.files.map(e =>
-            if (e.spec.isEmpty) e.copy(spec = Some(m.specId)) else e)
-          newId = (m.oldSpecs.keySet + m.specId).max + 1
-          Some(m.copy(partitionSpec = fields, files = stamped,
-            specId = newId,
-            oldSpecs = m.oldSpecs + (m.specId -> m.partitionSpec)))
-        }
-    }, "unreachable: spec changes always rebase"): Unit
-    newId
-  }
-
-  def optimize(spark: SparkSession, dirStr: String,
-      targetBytes: Long = 8L << 20): (Int, Int) = {
-    val dir = Paths.get(dirStr)
-    val m = LedgerSink.readManifest(dir).getOrElse(
-      throw new IllegalArgumentException(s"no ledger table at $dirStr"))
-    val sizeOf = m.files.map(e =>
-      e.file -> (try Files.size(dir.resolve(e.file))
-      catch { case _: java.io.IOException => 0L })).toMap
-    val bins = Seq.newBuilder[Seq[LedgerSink.FileEntry]]
-    // spec evolution: a bin never mixes files of different partition
-    // specs — equal tuples under different specs mean different things
-    m.files.groupBy(e => (e.ids, e.statId, e.partVals, m.specOf(e)))
-      .toSeq.sortBy(_._2.head.file).foreach { case (_, es) =>
-        var bin = Vector.empty[LedgerSink.FileEntry]
-        var sz = 0L
-        // a bin qualifies when it actually compacts (≥2 files) OR when
-        // any member carries a deletion vector or an applicable
-        // equality delete — OPTIMIZE is also the operation that
-        // rewrites merge-on-read state away (the deferred cost, paid
-        // here once)
-        def accept(b: Vector[LedgerSink.FileEntry]): Unit =
-          if (b.length >= 2 || b.exists(_.dv.nonEmpty) ||
-            b.exists(e => m.eqDeletesFor(e).nonEmpty)) bins += b
-        es.sortBy(e => (sizeOf(e.file), e.file)).foreach { e =>
-          val s = sizeOf(e.file)
-          if (bin.nonEmpty && sz + s > targetBytes) {
-            accept(bin)
-            bin = Vector.empty; sz = 0L
-          }
-          bin = bin :+ e; sz += s
-        }
-        accept(bin)
-      }
-    val packed = bins.result()
-    if (packed.isEmpty) return (m.files.length, m.files.length)
-    val base = dir.toString
-    val runTag = java.util.UUID.randomUUID().toString.take(8)
-    // the rewritten entry carries its bin's spec EXPLICITLY once the
-    // table has evolution state (an unstamped entry means "current
-    // spec", which may have moved on by commit time); never-evolved
-    // tables stay stamp-free and byte-identical
-    val specStamps: Seq[Option[Int]] = packed.map(b =>
-      if (m.specId == 0 && m.oldSpecs.isEmpty) None
-      else Some(m.specOf(b.head)))
-    // equality-delete bindings resolve on the driver (they need the
-    // manifest); the rewrite tasks get plain (path, ordinals) pairs
-    val binEqds: Seq[Seq[Array[EqdFileBinding]]] =
-      packed.map(_.map(e => LedgerSink.eqdBindings(dir, m, e)))
-    val entries = spark.sparkContext
-      .parallelize(packed.zip(binEqds).zip(specStamps).zipWithIndex,
-        packed.length)
-      .map { case (((bin, eqds), specStamp), i) =>
-        val rel = s"_staging/opt-$runTag-$i.ledger"
-        val out = Files.newOutputStream(Paths.get(base, rel))
-        var liveRows = 0L
-        try bin.zip(eqds).foreach { case (e, eqd) =>
-          val eqKilled = LedgerSink.eqdKillPredicate(eqd)
-          (e.dv, eqKilled) match {
-            case (None, null) => // clean file: straight byte concatenation
-              Files.copy(Paths.get(base, e.file), out): Unit
-              liveRows += e.rows
-            case (d, kill) => // merge-on-read state: drop DV-marked
-              // LINES and equality-deleted rows (line-delimited, so the
-              // DV half stays a byte-level filter; the equality half
-              // splits fields but never type-decodes) — the rewrite
-              // MATERIALIZES the deletes, which is exactly why the new
-              // entry may take a fresh data sequence
-              val dv = d.map(x => LedgerSink.readDvOrdinals(Paths.get(base, x)))
-                .getOrElse(new java.util.BitSet())
-              val lines = Files.readAllLines(Paths.get(base, e.file), UTF_8)
-              var ord = 0
-              lines.forEach { l =>
-                if (!dv.get(ord) && (kill == null || !kill(l))) {
-                  out.write(l.getBytes(UTF_8)); out.write('\n')
-                  liveRows += 1
-                }
-                ord += 1
-              }
-          }
-        } finally out.close()
-        val mins = bin.flatMap(_.min)
-        val maxs = bin.flatMap(_.max)
-        LedgerSink.FileEntry(rel, liveRows,
-          if (mins.isEmpty) None else Some(mins.min),
-          if (maxs.isEmpty) None else Some(maxs.max),
-          bin.head.ids, bin.head.statId, bin.head.partVals,
-          spec = specStamp)
-      }.collect().toSeq
-    // CONCURRENCY: rebase onto the commit-time manifest — files
-    // appended since planning survive untouched; if a racing commit
-    // rewrote/removed one of this OPTIMIZE's input files, abort
-    // cleanly (delete the staged bins) rather than resurrect it.
-    // Input identity is the (file, dv) PAIR, not the name: a
-    // concurrent deleteMoR changes only the entry's deletion vector,
-    // and a name-only check would install bins built from the
-    // planning-time (pre-delete) bytes — resurrecting the deleted
-    // rows and dropping the new DV.
-    val rewritten: Set[(String, Option[String])] =
-      packed.flatten.map(e => (e.file, e.dv)).toSet
-    val rewrittenNames = rewritten.map(_._1)
-    val next =
-      try LedgerSink.commitRebase(dir, cur =>
-        cur.filter(c =>
-            // a spec change since planning is a conflict too: the
-            // rewritten entries' spec stamps were computed against the
-            // planning manifest's id space — and so is an
-            // equality-delete change: the rewrite applied the deletes
-            // KNOWN AT PLANNING, and its output takes a fresh data
-            // sequence that would wrongly escape a racing install
-            c.specId == m.specId && c.oldSpecs == m.oldSpecs &&
-              c.eqDeletes == m.eqDeletes &&
-              rewritten.subsetOf(c.files.map(e => (e.file, e.dv)).toSet))
-          .map { c =>
-            val survivors = c.files.filterNot(e => rewrittenNames(e.file))
-            // GC: a delete no remaining OLD file is subject to has been
-            // fully materialized (the rewritten entries commit with a
-            // sequence ABOVE every known delete)
-            val kept = c.eqDeletes.filter(d =>
-              survivors.exists(e => e.seq.getOrElse(0) < d.version))
-            c.copy(files = survivors ++ entries, eqDeletes = kept)
-          },
-        s"OPTIMIZE on $dirStr raced a commit that rewrote one of its " +
-          "input files, changed the partition spec, or installed " +
-          "equality deletes; re-run OPTIMIZE against the new layout")
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          entries.foreach(en => Files.deleteIfExists(dir.resolve(en.file)): Unit)
-          throw e
-      }
-    (m.files.length, next.files.length)
-  }
-
-  /** OPTIMIZE … SORT BY the stats column — compaction in service of
-    * PRUNING (the Delta/Iceberg "cluster by" story at this format's
-    * scale). Epoch appends interleave key ranges, so every file's
-    * [min, max] spans the whole key space and [[LedgerScan]]'s stats
-    * pruning admits everything; this rewrite RANGE-CLUSTERS the rows
-    * so file intervals become disjoint and a point/range predicate
-    * plans O(1) files. Unlike [[optimize]] (byte-concat bins, no
-    * decode) it is a real Spark job: scan → bucket → sort-within →
-    * one transactional overwrite commit (time travel keeps the
-    * unsorted history readable; vacuum reclaims it when expired).
-    *
-    * Bucket boundaries come from the MANIFEST's global stat range —
-    * value-space quantiles, zero extra scan — rather than
-    * `repartitionByRange`'s sampling pass: at 100 TB the boundaries
-    * are metadata, and (equally load-bearing for the correctness
-    * gates) the layout is DETERMINISTIC across runs, which sampling
-    * is not. Skewed value distributions get uneven buckets; a
-    * production variant would blend in sampled quantiles — the
-    * commit/pruning mechanics are identical.
-    *
-    * `files` is a TARGET, not a guarantee — the range split may
-    * merge adjacent buckets on quantile ties; disjointness of the
-    * rewritten files' stat ranges is the invariant.
-    *
-    * Unpartitioned tables only: a partitioned write's clustered
-    * distribution requirement would re-shuffle rows by the partition
-    * tuple and destroy the range layout. Returns (files before,
-    * files after). */
-  def optimizeSorted(spark: SparkSession, dirStr: String,
-      files: Int): (Int, Int) = {
-    import org.apache.spark.sql.functions.col
-    val dir = Paths.get(dirStr)
-    val m = LedgerSink.readManifest(dir).getOrElse(
-      throw new IllegalArgumentException(s"no ledger table at $dirStr"))
-    require(m.partitionIds.isEmpty,
-      "optimizeSorted rewrites unpartitioned tables only")
-    val statName = LedgerSink.statColIndex(m.schema)
-      .map(m.schema.fields(_).name).getOrElse(throw
-        new IllegalArgumentException("no integer stats column to sort by"))
-    val lo = m.files.flatMap(_.min) match {
-      case Nil => 0L case ms => ms.min
-    }
-    val hi = m.files.flatMap(_.max) match {
-      case Nil => 0L case ms => ms.max
-    }
-    val span = math.max(1L, hi - lo + 1L)
-    val ledger = classOf[LedgerSink].getName
-    // repartitionByRange on the BUCKET (not the raw stat): the range
-    // partitioner's sample then sees `files` dense distinct values and
-    // splits exactly one bucket per partition — hash repartitioning
-    // would collide bucket values into shared partitions and merge
-    // their ranges
-    spark.read.format(ledger).option("path", dirStr).load()
-      .selectExpr("*",
-        s"CAST(least($files - 1, greatest(0, " +
-          s"(($statName - ${lo}L) * $files) DIV ${span}L)) AS INT) AS __bkt")
-      .repartitionByRange(files, col("__bkt"))
-      .sortWithinPartitions(statName)
-      .drop("__bkt")
-      .write.format(ledger).option("path", dirStr)
-      .mode("overwrite").save()
-    (m.files.length,
-      LedgerSink.readManifest(dir).map(_.files.length).getOrElse(0))
-  }
-}
-
-private[sources] class LedgerTable(dir: Path, schema0: StructType,
-    version: Option[Int] = None,
-    changes: Option[(Int, Int)] = None,
-    requestedPartitioning: Seq[LedgerSink.NamedPartField] = Seq.empty,
-    rowLevelChanges: Boolean = false,
-    wap: Option[String] = None,
-    branch: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete with SupportsRowLevelOperations
-    with SupportsMetadataColumns {
-  LedgerSink.checkSchema(schema0)
-
-  /** The scan's hidden row-identity columns (the Iceberg `_file`/
-    * `_pos` surface): selectable by name on any batch read, and the
-    * rowId the DELTA row-level path keys deletion vectors on. The
-    * change-feed table does not serve them — its scan reconstructs
-    * rows by DIFFING files, so a single output row has no unique
-    * (file, pos) identity. */
-  override def metadataColumns(): Array[MetadataColumn] =
-    if (rowLevelChanges) Array.empty
-    else Array(
-      new MetadataColumn {
-        override def name(): String = LedgerSink.MetaFileCol
-        override def dataType(): DataType = StringType
-        override def isNullable: Boolean = false
-        override def comment(): String =
-          "table-relative data file holding the row"
-      },
-      new MetadataColumn {
-        override def name(): String = LedgerSink.MetaPosCol
-        override def dataType(): DataType = LongType
-        override def isNullable: Boolean = false
-        override def comment(): String =
-          "physical line ordinal of the row within _file"
-      })
-
-  /** A versionAsOf or CDC table is a SNAPSHOT: reads resolve archived
-    * manifests; writes and deletes are refused (they would have to
-    * rewrite history). */
-  private def requireCurrent(op: String): Unit = {
-    version.foreach(v => throw new UnsupportedOperationException(
-      s"$op on a versionAsOf=$v snapshot; writes go to the current table"))
-    changes.foreach { case (f, t) => throw new UnsupportedOperationException(
-      s"$op on a changes v$f..v$t read; writes go to the current table") }
-    if (rowLevelChanges) throw new UnsupportedOperationException(
-      s"$op on a readChangeFeed handle; writes go to the current table")
-  }
-
-  /** Branch handles support reads and APPEND writes only — row-level
-    * ops, metadata deletes and streaming on a branch would need the
-    * whole rewrite machinery re-targeted at the branch chain, and
-    * refusing honestly beats silently operating on main. */
-  private def requireNotBranch(op: String): Unit =
-    branch.foreach(b => throw new UnsupportedOperationException(
-      s"$op on branch '$b': branches support reads and append writes " +
-        "only; fast-forward first"))
-
-  override def name(): String =
-    s"ledger(${dir.toString}${version.map(v => s"@v$v").getOrElse("")}" +
-      s"${changes.map { case (f, t) => s"@changes v$f..v$t" }.getOrElse("")})"
-  override def schema(): StructType = schema0
-
-  /** Table properties from the manifest the table READS (snapshot
-    * tables report the properties the requested version committed
-    * under) — what `SHOW TBLPROPERTIES` surfaces. */
-  override def properties(): java.util.Map[String, String] = {
-    val snapVersion = changes.map { case (_, t) => t }.orElse(version)
-    val p = try LedgerSink.readManifestAt(dir, snapVersion)
-      .map(_.props).getOrElse(Map.empty)
-    catch { case _: IllegalArgumentException => Map.empty[String, String] }
-    val m = new java.util.HashMap[String, String]()
-    p.foreach { case (k, v) => m.put(k, v) }
-    m
-  }
-
-  /** The table's partition spec, from the manifest the table
-    * actually READS (the requested transforms only matter before the
-    * first commit): a versionAsOf snapshot reports the spec the
-    * requested version committed under, and a changes read reports the
-    * `to` version's — specs can differ after an overwrite redefined
-    * the table, and reporting the LIVE spec for a snapshot would let
-    * the planner assume a layout the scanned files don't have. */
-  override def partitioning(): Array[Transform] = {
-    val snapVersion = changes.map { case (_, t) => t }.orElse(version)
-    val spec = LedgerSink.readManifestAt(dir, snapVersion)
-      .map(_.namedPartitionSpec).getOrElse(requestedPartitioning)
-    spec.map(LedgerSink.toTransform).toArray
-  }
-
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (rowLevelChanges) changes match {
-      // bounded range → batch change feed; no range → the STREAMING
-      // change feed (versions as offsets, each batch = its steps'
-      // row-level diffs — Delta's CDF-streaming contract)
-      case Some((f, t)) => () => new LedgerChangeFeedScan(dir, f, t)
-      case None =>
-        () => new LedgerChangeFeedStreamScan(dir, schema0, options)
-    } else new LedgerScanBuilder(dir, schema0, version, changes,
-      streamOpts = options,
-      // pass the wapId through unverified: a typo'd id must fail loud
-      // in readWap (listing the staged ids), never silently audit the
-      // LIVE table as if it were the staged state
-      wap = wap, branch = branch)
-
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    requireCurrent("write")
-    // a `wapId` WRITE is the stage half of write-audit-publish: the
-    // commit lands in a staged manifest, never the live one (see
-    // [[LedgerBatchWrite.commit]]); a `wapId` READ of an existing
-    // staged manifest is a snapshot — its write would re-stage the
-    // same id, which the duplicate check refuses at commit. A `branch`
-    // write appends one commit to the branch's own log chain.
-    new LedgerWriteBuilder(dir, info.schema(), requestedPartitioning,
-      wapId = wap, branch = branch)
-  }
-
-  /** Row-level DELETE/UPDATE/MERGE as GROUP-BASED copy-on-write — the
-    * path SQL takes when a predicate does NOT align with file
-    * boundaries (the metadata delete above still wins when it does;
-    * Spark's OptimizeMetadataOnlyDeleteFromTable arbitrates). Spark
-    * rewrites the command into ReplaceData: the operation's SCAN
-    * plans the candidate files (stats AND partition pruning apply —
-    * files that provably hold no matching rows are neither read nor
-    * rewritten), Spark recomputes those files' SURVIVING rows, and
-    * the write's commit swaps exactly the scanned files for the
-    * replacement files in one manifest rename. The scanned-file set
-    * travels from the scan to the commit through the operation
-    * instance — both run on the driver. */
-  override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
-    requireCurrent(info.command.toString)
-    requireNotBranch(info.command.toString)
-    // row-level mode resolution: the session conf
-    // `graft.ledger.rowLevelMode` wins when set; otherwise the TABLE
-    // PROPERTY of the same name (declared at CREATE TABLE or via
-    // ALTER TABLE SET TBLPROPERTIES — the Delta enableDeletionVectors
-    // shape); default "cow". "mor" plans the DELTA path — Spark
-    // rewrites the command into WriteDelta keyed on the (_file, _pos)
-    // rowId, and the commit installs deletion vectors plus appended
-    // files instead of rewriting any touched file.
-    val conf = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("graft.ledger.rowLevelMode", "")
-    val mode =
-      if (conf.nonEmpty) conf
-      else LedgerSink.readManifest(dir)
-        .flatMap(_.props.get("graft.ledger.rowLevelMode")).getOrElse("cow")
-    if (mode == "mor")
-      () => new LedgerDeltaOperation(dir, schema0, info.command)
-    else () => new LedgerRowLevelOperation(dir, schema0, info.command)
-  }
-
-  // ---- metadata-only DELETE (the Iceberg "metadata delete") ----
-
-  /** Resolve the delete predicates into whole-file-provable pieces:
-    * a [lo, hi] range on the stats column and/or equality constraints
-    * on partition columns. None when any predicate falls outside the
-    * provable shapes. */
-  private def deleteShape(filters: Array[Filter])
-      : Option[((Long, Long), Map[String, String])] = {
-    val mOpt = LedgerSink.readManifest(dir)
-    if (mOpt.isEmpty) return None
-    val m = mOpt.get
-    val statName = LedgerSink.statColIndex(m.schema).map(m.schema.fields(_).name)
-    // IDENTITY fields only: a matching identity tuple proves every row
-    // in the file matches the equality, so the file may be DROPPED; a
-    // matching bucket/day tuple only proves rows MIGHT match — such
-    // predicates are refused here and take the row-level COW path
-    val partTypes: Map[String, DataType] = m.namedPartitionSpec
-      .filter(_.kind == "identity")
-      .map(p => p.name ->
-        m.schema.fields(m.schema.fieldIndex(p.name)).dataType).toMap
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
-    var partEq = Map.empty[String, String]
-    val ok = filters.forall {
-      case GreaterThan(c, v: Long) if statName.contains(c) =>
-        lo = math.max(lo, v + 1); true
-      case GreaterThanOrEqual(c, v: Long) if statName.contains(c) =>
-        lo = math.max(lo, v); true
-      case LessThan(c, v: Long) if statName.contains(c) =>
-        hi = math.min(hi, v - 1); true
-      case LessThanOrEqual(c, v: Long) if statName.contains(c) =>
-        hi = math.min(hi, v); true
-      case EqualTo(c, v: Long) if statName.contains(c) =>
-        lo = math.max(lo, v); hi = math.min(hi, v); true
-      case EqualTo(c, v) if partTypes.contains(c) =>
-        LedgerSink.encodeLiteral(partTypes(c), v) match {
-          case Some(enc) if !partEq.contains(c) || partEq(c) == enc =>
-            partEq += (c -> enc); true
-          case _ => false
-        }
-      case _ => false
-    }
-    if (ok) Some(((lo, hi), partEq)) else None
-  }
-
-  /** A file is decidable when partition equality proves it fully
-    * outside (a non-matching partition tuple), or its stats prove it
-    * fully inside the delete range (every row's stat value lies in
-    * [min,max] ⊆ range) or fully outside (ranges disjoint — including
-    * the all-null file, which a null-excluding range predicate can
-    * never match). A partition-only delete drops exactly the matching
-    * partitions' files — the reference's partitioned-prefix overwrite
-    * story as a metadata operation. */
-  private def classify(m: LedgerSink.Manifest,
-      shape: ((Long, Long), Map[String, String]))
-      : Option[(Seq[LedgerSink.FileEntry], Seq[LedgerSink.FileEntry])] = {
-    val ((lo, hi), partEq) = shape
-    val hasRange = lo != Long.MinValue || hi != Long.MaxValue
-    val partNames = m.partitionNames
-    val curStatId = m.statId
-    val (drop, keep) = (Seq.newBuilder[LedgerSink.FileEntry],
-      Seq.newBuilder[LedgerSink.FileEntry])
-    m.files.foreach { e =>
-      // partition verdict: Some(true)=file's tuple matches all
-      // equalities, Some(false)=provably not, None=unknowable. Under
-      // SPEC EVOLUTION the proof runs against the spec THE FILE was
-      // written under: every constrained column must be an IDENTITY
-      // field of that spec (a bucket/day tuple only proves rows MIGHT
-      // match; a missing column proves nothing) — otherwise the whole
-      // delete falls back to the row-level path
-      val partVerdict: Option[Boolean] =
-        if (partEq.isEmpty) Some(true)
-        else {
-          val fields = m.namedSpecOf(e)
-          e.partVals match {
-            case Some(vals) if vals.length == fields.length =>
-              val byName: Map[String, (String, String)] =
-                fields.zip(vals).map { case (p, v) =>
-                  p.name -> ((p.kind, v))
-                }.toMap
-              if (partEq.keys.exists(c =>
-                !byName.get(c).exists(_._1 == "identity"))) None
-              else Some(partEq.forall { case (c, want) =>
-                val v = byName(c)._2
-                v != LedgerSink.NullMark && v == want
-              })
-            case _ => None
-          }
-        }
-      val statsApply = e.statId.orElse(
-        if (e.ids.isEmpty) curStatId else None) == curStatId && curStatId.isDefined
-      partVerdict match {
-        case Some(false) => keep += e
-        case Some(true) if !hasRange => drop += e
-        case Some(true) if statsApply =>
-          (e.min, e.max) match {
-            case (Some(mn), Some(mx)) if mn >= lo && mx <= hi => drop += e
-            case (Some(mn), Some(mx)) if mx < lo || mn > hi => keep += e
-            case (None, None) => keep += e // all-null: no row can match
-            case _ => return None // straddling file: not a metadata delete
-          }
-        case Some(true)
-          if hasRange && e.ids.exists(f => !curStatId.exists(f.contains)) =>
-          // the file predates the stat column entirely: it reads
-          // all-NULL there, so a null-excluding range never matches
-          keep += e
-        case _ => return None
-      }
-    }
-    Some((drop.result(), keep.result()))
-  }
-
-  /** Accept exactly the deletes the manifest can prove whole-file:
-    * Spark surfaces a refusal as an analysis error telling the user
-    * this table needs a rewrite for that predicate — the honest
-    * boundary between a metadata delete and row-level ops. */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
-    requireCurrent("DELETE")
-    requireNotBranch("DELETE")
-    // deleteShape already requires a manifest, so the None arm is a
-    // race (concurrent DROP) — decline the metadata path there rather
-    // than promise a delete the commit would then refuse
-    deleteShape(filters).exists(s =>
-      LedgerSink.readManifest(dir).exists(m => classify(m, s).isDefined))
-  }
-
-  /** CONCURRENCY: classification re-runs against the manifest current
-    * at commit time under the table lock — a file APPENDED between
-    * canDeleteWhere and the commit is classified like any other (kept
-    * or dropped by the same whole-file proof), never silently dropped
-    * by a stale keep-list; a racing rewrite that makes the predicate
-    * straddle a file aborts instead of guessing. */
-  override def deleteWhere(filters: Array[Filter]): Unit = {
-    requireCurrent("DELETE")
-    requireNotBranch("DELETE")
-    val shape = deleteShape(filters).getOrElse(
-      throw new UnsupportedOperationException(
-        "delete predicate does not align with file boundaries"))
-    var dropped: Seq[LedgerSink.FileEntry] = Seq.empty
-    LedgerSink.commitRebase(dir, {
-      case None => throw new IllegalStateException(
-        s"ledger table $dir was dropped while the DELETE was running")
-      case Some(m) => classify(m, shape) match {
-        case Some((drop, keep)) =>
-          dropped = drop
-          Some(m.copy(files = keep))
-        case None => None
-      }
-    }, "metadata DELETE raced a commit after which its predicate no " +
-      "longer aligns with file boundaries; re-run the DELETE")
-    // physical cleanup AFTER the commit point — a crash between the
-    // two leaves unreferenced files, never a manifest naming ghosts —
-    // and only for files NO archived version still references (the
-    // commit above archived the pre-delete manifest, so in practice
-    // dropped files survive for time travel until vacuum)
-    val live = LedgerSink.referencedFiles(dir)
-    dropped.filterNot(e => live(e.file)).foreach { e =>
-      Files.deleteIfExists(dir.resolve(e.file)): Unit
-      e.bloom.filterNot(live).foreach(b =>
-        Files.deleteIfExists(dir.resolve(b)): Unit)
-    }
-  }
-}
-
-/** Read planning with THREE pruning disciplines, all manifest-only
-  * (no data file is opened to plan):
-  *   - stats-based file skipping: range predicates on the stats
-  *     column shrink [flo, fhi]; a file survives iff its [min, max]
-  *     intersects it. Stats only BOUND each file, so pruning may keep
-  *     a file with no matching rows but can never drop a matching
-  *     one, and every filter is returned as a residual for Spark to
-  *     evaluate row-wise — the parquet row-group contract at file
-  *     grain. A file whose stats were taken on a different column
-  *     (pre-evolution) conservatively survives; a file that predates
-  *     the stat column entirely reads all-NULL there and is exactly
-  *     prunable under null-excluding range predicates.
-  *   - partition pruning: equality/IN/null predicates on identity
-  *     partition columns drop whole files by their manifest partition
-  *     tuple — exact, not conservative, because identity partitioning
-  *     makes the tuple a fact about every row in the file.
-  *   - column pruning (SupportsPushDownRequiredColumns): the reader
-  *     binds only the requested columns BY FIELD ID and never parses
-  *     the rest — a wide-table narrow projection pays line-splitting,
-  *     not full-row decoding. */
-private[sources] class LedgerScanBuilder(dir: Path, tableSchema: StructType,
-    version: Option[Int] = None,
-    changes: Option[(Int, Int)] = None,
-    onPlanned: Seq[String] => Unit = _ => (),
-    streamOpts: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => (),
-    wap: Option[String] = None,
-    branch: Option[String] = None)
-    extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
-
-  private[sources] val manifestOpt: Option[LedgerSink.Manifest] = changes match {
-    case Some((f, t)) => Some(LedgerSink.readChanges(dir, f, t))
-    case None => (wap, branch) match {
-      // the AUDIT read of write-audit-publish: the staged manifest is
-      // a full table state (base ∪ staged files), so every planning
-      // discipline — stats, partition pruning, column pruning — works
-      // on it unchanged. STAGED entries audit with an unreachable data
-      // sequence: active equality deletes must not kill rows the stage
-      // appended AFTER them — publish assigns the real sequence
-      // (strictly above every installed delete), and the audit must
-      // show what publish will serve. Branch reads resolve the branch
-      // HEAD state the same way.
-      case (Some(id), _) =>
-        val w = LedgerSink.readWap(dir, id)
-        val staged = w.props.get(LedgerSink.WapNewFilesProp)
-          .map(_.split(",", -1).toSet.filter(_.nonEmpty))
-          .getOrElse(Set.empty[String])
-        Some(w.copy(files = w.files.map(e =>
-          if (staged(e.file)) e.copy(seq = Some(Int.MaxValue)) else e)))
-      case (None, Some(b)) => Some(LedgerSink.readBranchState(dir, b,
-        LedgerRefs.branchFork(dir, b)))
-      case _ => LedgerSink.readManifestAt(dir, version)
-    }
-  }
-  private def versionSchema: StructType =
-    manifestOpt.map(_.schema).getOrElse(tableSchema)
-
-  private val statName: Option[String] = LedgerSink.statColIndex(versionSchema)
-    .map(versionSchema.fields(_).name)
-  // per partition column: its type and transform (identity/bucket/days)
-  private val partInfo: Map[String, (DataType, String, Int)] =
-    manifestOpt.map(m => m.namedPartitionSpec.map(p =>
-      p.name -> ((m.schema.fields(m.schema.fieldIndex(p.name)).dataType,
-        p.kind, p.param))).toMap)
-      .getOrElse(Map.empty)
-
-  private var flo: Long = Long.MinValue
-  private var fhi: Long = Long.MaxValue // inclusive
-  // per partition column: allowed encoded (transformed) values
-  // (intersected), null-ness constraints, and — days transforms only —
-  // an inclusive [dayLo, dayHi] range (floorDiv is monotone, so a raw
-  // range predicate bounds the day tuple exactly)
-  private var partEq: Map[String, Set[String]] = Map.empty
-  private var partMustNull: Set[String] = Set.empty
-  private var partMustNotNull: Set[String] = Set.empty
-  private var partDayLo: Map[String, Long] = Map.empty
-  private var partDayHi: Map[String, Long] = Map.empty
-  private var pushed: Array[Filter] = Array.empty
-  private var required: Option[StructType] = None
-  // equality/IN point predicates on the bloom column: a conjunction
-  // of candidate-value sets; a file survives iff for EVERY conjunct
-  // SOME value may be present in its bloom
-  private val bloomName: Option[String] =
-    LedgerSink.bloomColIndex(versionSchema)
-      .map(versionSchema.fields(_).name)
-  private var bloomConjuncts: Seq[Set[String]] = Seq.empty
-
-  private def intersect(c: String, vs: Set[String]): Unit =
-    partEq += (c -> partEq.get(c).map(_.intersect(vs)).getOrElse(vs))
-
-  private def dayLo(c: String, v: Long): Unit =
-    partDayLo += (c -> math.max(partDayLo.getOrElse(c, Long.MinValue),
-      LedgerSink.dayValue(v).toLong))
-
-  private def dayHi(c: String, v: Long): Unit =
-    partDayHi += (c -> math.min(partDayHi.getOrElse(c, Long.MaxValue),
-      LedgerSink.dayValue(v).toLong))
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val accepted = scala.collection.mutable.ArrayBuffer.empty[Filter]
-    filters.foreach {
-      case f @ GreaterThan(c, v: Long) if statName.contains(c) =>
-        flo = math.max(flo, v + 1); accepted += f
-      case f @ GreaterThanOrEqual(c, v: Long) if statName.contains(c) =>
-        flo = math.max(flo, v); accepted += f
-      case f @ LessThan(c, v: Long) if statName.contains(c) =>
-        fhi = math.min(fhi, v - 1); accepted += f
-      case f @ LessThanOrEqual(c, v: Long) if statName.contains(c) =>
-        fhi = math.min(fhi, v); accepted += f
-      case f @ EqualTo(c, v: Long) if statName.contains(c) =>
-        flo = math.max(flo, v); fhi = math.min(fhi, v); accepted += f
-      case _ => ()
-    }
-    // partition predicates prune independently of (and compose with)
-    // the stats range; EqualTo on the stats column may ALSO be a
-    // partition predicate — both prunings then apply. Equality/IN
-    // literals are TRANSFORMED before comparison (bucket(v), day(v)) —
-    // the inverse reasoning only sound for equality on bucket and for
-    // equality AND ranges on days (floorDiv monotone); bucket range
-    // predicates prune nothing.
-    filters.foreach {
-      case f @ EqualTo(c, v) if partInfo.contains(c) && v != null =>
-        val (dt, kind, param) = partInfo(c)
-        LedgerSink.encodePartLiteral(dt, v, kind, param).foreach { enc =>
-          intersect(c, Set(enc)); accepted += f
-        }
-      case f @ In(c, vs) if partInfo.contains(c) &&
-          vs.nonEmpty && !vs.contains(null) =>
-        val (dt, kind, param) = partInfo(c)
-        val encs = vs.toSeq.map(LedgerSink.encodePartLiteral(dt, _, kind, param))
-        if (encs.forall(_.isDefined)) {
-          intersect(c, encs.flatten.toSet); accepted += f
-        }
-      case f @ IsNull(c) if partInfo.contains(c) =>
-        partMustNull += c; accepted += f
-      case f @ IsNotNull(c) if partInfo.contains(c) =>
-        partMustNotNull += c; accepted += f
-      case _ => ()
-    }
-    // day-range pruning, strict bounds tightened on the integral raw
-    // value first: t > v ⟺ t ≥ v+1 ⇒ day(t) ≥ day(v+1), and dually
-    // t < v ⇒ day(t) ≤ day(v−1) — exact because floorDiv is monotone
-    def asLong(v: Any): Option[Long] = v match {
-      case x: java.lang.Long => Some(x.longValue)
-      case x: java.lang.Integer => Some(x.longValue)
-      case _ => None
-    }
-    // bloom pruning: point predicates on the bloom column (see
-    // [[LedgerSink.bloomColIndex]]); min/max can't prune an unsorted
-    // high-cardinality key, the per-file bloom sidecar can
-    filters.foreach {
-      case f @ EqualTo(c, v: String) if bloomName.contains(c) =>
-        bloomConjuncts :+= Set(v); accepted += f
-      case f @ In(c, vs) if bloomName.contains(c) && vs.nonEmpty &&
-          vs.forall(_.isInstanceOf[String]) =>
-        bloomConjuncts :+= vs.map(_.asInstanceOf[String]).toSet
-        accepted += f
-      case _ => ()
-    }
-    filters.foreach {
-      case f @ GreaterThan(c, v)
-          if partInfo.get(c).exists(_._2 == "days") =>
-        asLong(v).filter(_ < Long.MaxValue).foreach { l =>
-          dayLo(c, l + 1); accepted += f }
-      case f @ GreaterThanOrEqual(c, v)
-          if partInfo.get(c).exists(_._2 == "days") =>
-        asLong(v).foreach { l => dayLo(c, l); accepted += f }
-      case f @ LessThan(c, v)
-          if partInfo.get(c).exists(_._2 == "days") =>
-        asLong(v).filter(_ > Long.MinValue).foreach { l =>
-          dayHi(c, l - 1); accepted += f }
-      case f @ LessThanOrEqual(c, v)
-          if partInfo.get(c).exists(_._2 == "days") =>
-        asLong(v).foreach { l => dayHi(c, l); accepted += f }
-      case _ => ()
-    }
-    pushed = accepted.distinct.toArray
-    filters // ALL residual: pruning bounds files, it doesn't filter rows
-  }
-
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = Some(requiredSchema)
-
-  // ---- aggregate pushdown (metadata-only aggregation) ----
-
-  /** COUNT(*) / MIN / MAX answered from the MANIFEST — zero data I/O:
-    * the file entries already carry exact physical row counts and
-    * exact per-file [min,max] on the stats column (the writer computes
-    * true extremes). At 100 TB, `SELECT count(*)` or a per-partition
-    * profile costs a driver-side metadata read instead of a full scan
-    * — the Iceberg/parquet-footer aggregate-pushdown idea at this
-    * format's grain.
-    *
-    * Honesty boundary, refusals are REAL:
-    *   - grouping only by IDENTITY partition columns whose tuples
-    *     every file carries (a tuple is a fact about every row);
-    *   - MIN/MAX only on the stats column, and only when NO chosen
-    *     file carries a deletion vector (deleting a row may remove
-    *     the extreme value; stats stay conservative bounds, which is
-    *     sound for pruning but NOT for exact answers) and every
-    *     file's stats were taken on the current stat column;
-    *   - COUNT(*) stays exact under DVs — the sidecar's ordinal count
-    *     is committed metadata (driver reads sidecars, still no data
-    *     file opened);
-    *   - any residual filter disables the path (Spark only attempts
-    *     aggregate pushdown when no post-scan filters remain, and
-    *     this scan returns every filter as residual).
-    * All-null files ((None,None) stats) contribute nothing to
-    * MIN/MAX, matching SQL null-skipping semantics. */
-  private var pushedAgg: Option[(Seq[String], Seq[AggregateFunc])] = None
-
-  private def aggAcceptable(agg: Aggregation): Boolean = {
-    val m = manifestOpt.getOrElse(return false)
-    if (pushed.nonEmpty) return false
-    def refName(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[String] = e match {
-      case r: org.apache.spark.sql.connector.expressions.NamedReference
-          if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
-      case _ => None
-    }
-    val identityParts = m.namedPartitionSpec
-      .filter(_.kind == "identity").map(_.name).toSet
-    val groupsOk = agg.groupByExpressions.forall(e =>
-      refName(e).exists(identityParts.contains)) &&
-      (agg.groupByExpressions.isEmpty ||
-        (m.specHomogeneous && m.files.forall(_.partVals.exists(
-          _.length == m.partitionIds.length))))
-    val needsStats = agg.aggregateExpressions.exists {
-      case _: AggMin | _: AggMax => true
-      case _ => false
-    }
-    val statsOk = !needsStats || (
-      m.files.forall(e => e.dv.isEmpty &&
-        e.statId.orElse(
-          if (e.ids.isEmpty) m.statId else None) == m.statId) &&
-        m.statId.isDefined)
-    val aggsOk = agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall {
-        case _: CountStar => true
-        case f: AggMin => refName(f.column).exists(statName.contains)
-        case f: AggMax => refName(f.column).exists(statName.contains)
-        case _ => false
-      }
-    // equality deletes kill rows the manifest cannot count (membership
-    // is data-dependent) — metadata aggregates refuse outright and the
-    // query falls back to the (eq-merging) scan
-    groupsOk && statsOk && aggsOk && m.eqDeletes.isEmpty
-  }
-
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    aggAcceptable(agg)
-
-  override def pushAggregation(agg: Aggregation): Boolean =
-    aggAcceptable(agg) && {
-      val groups = agg.groupByExpressions.toSeq.map(e =>
-        e.asInstanceOf[org.apache.spark.sql.connector.expressions
-          .NamedReference].fieldNames()(0))
-      pushedAgg = Some((groups, agg.aggregateExpressions.toSeq))
-      true
-    }
-
-  /** Evaluate the pushed aggregation from the manifest (driver-side;
-    * sidecar ordinal counts included for COUNT under DVs). Returns
-    * (schema, one row per group as plain JVM values). */
-  private def aggRows(): (StructType, Seq[Seq[Any]]) = {
-    val m = manifestOpt.get
-    val (groups, aggs) = pushedAgg.get
-    val statType = statName.map(n =>
-      m.schema.fields(m.schema.fieldIndex(n)).dataType)
-    val groupTypes = groups.map(n =>
-      m.schema.fields(m.schema.fieldIndex(n)).dataType)
-    val specPos = groups.map(n => m.partitionNames.indexOf(n))
-    val schema = StructType(
-      groups.zip(groupTypes).map { case (n, t) =>
-        StructField(n, t, nullable = true) } ++
-      aggs.zipWithIndex.map {
-        case (_: CountStar, i) =>
-          StructField(s"count_star_$i", LongType, nullable = false)
-        case (f: AggMin, i) =>
-          StructField(s"min_$i", statType.get, nullable = true)
-        case (f: AggMax, i) =>
-          StructField(s"max_$i", statType.get, nullable = true)
-        case (f, _) => throw new IllegalStateException(f.toString)
-      })
-    def liveRows(e: LedgerSink.FileEntry): Long =
-      e.rows - e.dv.map(d =>
-        LedgerSink.readDvOrdinals(dir.resolve(d)).cardinality().toLong)
-        .getOrElse(0L)
-    def fold(files: Seq[LedgerSink.FileEntry]): Seq[Any] =
-      aggs.map {
-        case _: CountStar => files.map(liveRows).sum: java.lang.Long
-        case _: AggMin =>
-          val ms = files.flatMap(_.min)
-          if (ms.isEmpty) null
-          else statType.get match {
-            case IntegerType => Int.box(ms.min.toInt)
-            case _ => Long.box(ms.min)
-          }
-        case _: AggMax =>
-          val ms = files.flatMap(_.max)
-          if (ms.isEmpty) null
-          else statType.get match {
-            case IntegerType => Int.box(ms.max.toInt)
-            case _ => Long.box(ms.max)
-          }
-        case f => throw new IllegalStateException(f.toString)
-      }
-    val rows: Seq[Seq[Any]] =
-      if (groups.isEmpty) Seq(fold(m.files))
-      else m.files.groupBy(e => specPos.map(e.partVals.get(_)))
-        .toSeq.sortBy(_._1.mkString(" "))
-        .map { case (vals, fs) =>
-          vals.zip(groupTypes).map { case (v, t) =>
-            if (v == LedgerSink.NullMark) null
-            else LedgerSink.parseValue(t, v) match {
-              case u: UTF8String => u.toString // re-box executor-side
-              case x => x
-            }
-          } ++ fold(fs)
-        }
-    (schema, rows)
-  }
-
-  override def build(): Scan = pushedAgg match {
-    case Some(_) =>
-      val (schema, rows) = aggRows()
-      new LedgerAggScan(dir.toString, schema, rows)
-    case None =>
-      buildFileScan()
-  }
-
-  private def buildFileScan(): Scan =
-    new LedgerScan(dir, versionSchema, manifestOpt,
-      required.getOrElse(versionSchema),
-      flo, fhi, pushed.nonEmpty && statName.isDefined &&
-        (flo != Long.MinValue || fhi != Long.MaxValue),
-      partEq, partMustNull, partMustNotNull,
-      partDayLo, partDayHi, version, changes, onPlanned,
-      Option(streamOpts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(0),
-      Option(streamOpts.get("skipChangeCommits")).exists(_.toBoolean),
-      Option(streamOpts.get("startingVersion")).getOrElse("0"),
-      Option(streamOpts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L),
-      onPlannedEntries, bloomConjuncts, branch)
-}
-
-private[sources] class LedgerScan(
-    dir: Path, versionSchema: StructType,
-    manifestOpt: Option[LedgerSink.Manifest],
-    required: StructType,
-    flo: Long, fhi: Long, statFiltered: Boolean,
-    partEq: Map[String, Set[String]],
-    partMustNull: Set[String], partMustNotNull: Set[String],
-    partDayLo: Map[String, Long], partDayHi: Map[String, Long],
-    version: Option[Int], changes: Option[(Int, Int)],
-    onPlanned: Seq[String] => Unit,
-    maxFilesPerTrigger: Int = 0,
-    skipChangeCommits: Boolean = false,
-    startingVersion: String = "0",
-    maxBytesPerTrigger: Long = 0L,
-    onPlannedEntries: Seq[LedgerSink.FileEntry] => Unit = _ => (),
-    bloomConjuncts: Seq[Set[String]] = Seq.empty,
-    branch: Option[String] = None)
-    extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-
-  // ---- runtime (DPP) narrowing state ----
-  // dynamic partition pruning delivers the build side's OBSERVED join
-  // keys after that side executes; [[filter]] intersects them into
-  // these and BatchScanExec re-plans partitions. Advisory like the
-  // static pushdown: the join above still evaluates the real
-  // condition, so an envelope over the stat column is sound and a
-  // transformed match on a partition column is exact.
-  @volatile private var rtPartEq: Map[String, Set[String]] = Map.empty
-  @volatile private var rtFlo: Long = Long.MinValue
-  @volatile private var rtFhi: Long = Long.MaxValue
-  @volatile private var rtBloom: Seq[Set[String]] = Seq.empty
-
-  private val rtStatName: Option[String] =
-    LedgerSink.statColIndex(versionSchema).map(versionSchema.fields(_).name)
-  private val rtBloomName: Option[String] =
-    LedgerSink.bloomColIndex(versionSchema).map(versionSchema.fields(_).name)
-
-  // ---- bloom-filter admission ----
-  // Sidecars are read lazily per distinct bloom file and cached for
-  // the scan's lifetime (planning re-runs — DPP, SPJ regrouping —
-  // reuse the parse). A sidecar built over a different field id
-  // (schema evolution moved the bloom column) or an unreadable one
-  // degrades to "keep" — pruning may only ever over-approximate.
-  private val bloomFieldId: Option[Int] = manifestOpt.flatMap(m =>
-    LedgerSink.bloomColIndex(m.schema).map(m.ids(_)))
-  private val bloomCache =
-    scala.collection.mutable.HashMap.empty[String, Option[(Int, Array[Byte])]]
-
-  private def bloomAdmit(e: LedgerSink.FileEntry): Boolean = {
-    val conjuncts = bloomConjuncts ++ rtBloom
-    if (conjuncts.isEmpty) return true
-    e.bloom match {
-      case None => true
-      case Some(b) =>
-        bloomCache.synchronized {
-          bloomCache.getOrElseUpdate(b,
-            try {
-              val (m, k, fid, bits) =
-                LedgerSink.readBloomSidecar(dir.resolve(b))
-              if (bloomFieldId.contains(fid) && k == LedgerSink.BloomK)
-                Some((m, bits))
-              else None
-            } catch { case _: java.io.IOException => None })
-        } match {
-          case None => true
-          case Some((m, bits)) =>
-            conjuncts.forall(_.exists(v =>
-              LedgerSink.bloomMightContain(m, bits, v)))
-        }
-    }
-  }
-
-  /** DPP eligibility: runtime predicates on partition columns (any
-    * transform — values transform like static IN pruning) and on the
-    * stats column (envelope). Restricted to columns the scan actually
-    * OUTPUTS: Spark's PartitionPruning resolves these against the
-    * scan's output attributes and fails the whole query on a miss —
-    * a column-pruned read must not advertise what it no longer
-    * carries. */
-  override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    manifestOpt.map(m =>
-      (m.partitionNames ++ rtStatName.toSeq ++ rtBloomName.toSeq).distinct
-      .filter(required.fieldNames.contains)
-      .map(n => Expressions.column(n)
-        : org.apache.spark.sql.connector.expressions.NamedReference)
-      .toArray).getOrElse(Array.empty)
-
-  override def filter(predicates
-      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit =
-    predicates.foreach { p =>
-      if (p.name() == "IN" && p.children().nonEmpty) {
-        p.children().head match {
-          case r: org.apache.spark.sql.connector.expressions.NamedReference
-              if r.fieldNames().length == 1 =>
-            val cname = r.fieldNames()(0)
-            val lits = p.children().tail.collect {
-              case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-                l.value(): Any
-            }
-            if (lits.length == p.children().length - 1 && lits.nonEmpty) {
-              manifestOpt.foreach(m =>
-                m.namedPartitionSpec.find(_.name == cname).foreach { pf =>
-                  val dt = m.schema.fields(m.schema.fieldIndex(cname)).dataType
-                  val encs = lits.map(v => LedgerSink.encodePartLiteral(
-                    dt, unwrapLit(dt, v), pf.kind, pf.param))
-                  if (encs.forall(_.isDefined)) {
-                    val s = encs.flatten.toSet
-                    rtPartEq += (cname -> rtPartEq.get(cname)
-                      .map(_.intersect(s)).getOrElse(s))
-                  }
-                })
-              if (rtStatName.contains(cname)) {
-                val longs = lits.collect {
-                  case x: java.lang.Long => x.longValue
-                  case x: java.lang.Integer => x.longValue
-                }
-                if (longs.length == lits.length && longs.nonEmpty) {
-                  rtFlo = math.max(rtFlo, longs.min)
-                  rtFhi = math.min(rtFhi, longs.max)
-                }
-              }
-              // runtime IN-set on the bloom column: the build side's
-              // observed join keys probe the per-file blooms — exact
-              // rows still come from the join, files that cannot hold
-              // any key are never read
-              if (rtBloomName.contains(cname)) {
-                val strs = lits.collect {
-                  case u: UTF8String => u.toString
-                  case s: String => s
-                }
-                if (strs.length == lits.length && strs.nonEmpty)
-                  rtBloom :+= strs.toSet
-              }
-            }
-          case _ => ()
-        }
-      }
-    }
-
-  /** V2 literals arrive as INTERNAL values (UTF8String for strings) —
-    * normalize to what [[LedgerSink.encodePartLiteral]] accepts. */
-  private def unwrapLit(dt: DataType, v: Any): Any = (dt, v) match {
-    case (StringType, u: UTF8String) => u.toString
-    case _ => v
-  }
-
-  /** Post-pruning row/byte estimates from the manifest — what lets the
-    * optimizer auto-broadcast a small ledger dimension (without this a
-    * DSv2 relation reports the default "unknown = huge" size and a
-    * 5-row dim sort-merge-joins). Rows are physical line counts (DV
-    * overcount is bounded and estimates only need order of magnitude);
-    * bytes are the chosen files' on-disk sizes — a driver-side
-    * metadata read over already-pruned files. */
-  override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = {
-    val chosen = chosenFiles
-    val rows = chosen.map(_.rows).sum
-    val bytes = chosen.map(e =>
-      try Files.size(dir.resolve(e.file))
-      catch { case _: java.io.IOException => 0L }).sum
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(math.max(bytes, 1L))
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows)
-    }
-  }
-
-  /** Streaming READ: committed versions are the offsets (see
-    * [[LedgerMicroBatchStream]]). A versionAsOf/changes snapshot is a
-    * fixed relation — streaming it is refused like writes to it are. */
-  override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    if (version.nonEmpty || changes.nonEmpty || branch.nonEmpty)
-      throw new UnsupportedOperationException(
-        "streaming read of a versionAsOf/changes/branch snapshot")
-    // name→id resolution is frozen HERE: the stream's schema is the
-    // query-start schema, so its names must resolve against the
-    // query-start manifest — resolving per batch against the newest
-    // manifest would silently null a column renamed mid-stream
-    val idOf: Map[String, Int] = manifestOpt
-      .map(m => m.schema.fieldNames.zip(m.ids).toMap)
-      .getOrElse(Map.empty)
-    new LedgerMicroBatchStream(dir, required, idOf,
-      (m, e) => partitionMatches(m, e) && statsAdmit(m, e) && bloomAdmit(e),
-      maxFilesPerTrigger, skipChangeCommits, startingVersion, onPlanned,
-      maxBytesPerTrigger)
-  }
-  override def description(): String =
-    s"graft-ledger $dir" + version.map(v => s" @v$v").getOrElse("") +
-      changes.map { case (f, t) => s" @changes v$f..v$t" }.getOrElse("") +
-      (if (statFiltered) s" StatsRange: [$flo, $fhi]" else "") +
-      (if (partEq.nonEmpty || partMustNull.nonEmpty || partMustNotNull.nonEmpty)
-        s" PartitionFilter: ${partEq.map { case (k, v) =>
-          s"$k IN {${v.toSeq.sorted.mkString(",")}}" }.mkString(", ")}" else "") +
-      (if (required.length != versionSchema.length)
-        s" PrunedColumns: [${required.fieldNames.mkString(",")}]" else "") +
-      (if (bloomConjuncts.nonEmpty)
-        s" BloomProbe: ${bloomConjuncts.map(s =>
-          s"{${s.toSeq.sorted.take(3).mkString(",")}}").mkString(" AND ")}"
-      else "")
-
-  /** Per-file partition pruning under SPEC EVOLUTION: the tuple is
-    * matched against the spec THE FILE WAS WRITTEN UNDER
-    * ([[LedgerSink.Manifest.namedSpecOf]]), not the table's current
-    * spec. Encoded constraints (equality/IN sets, day bounds) were
-    * computed under the CURRENT spec's transforms, so they apply to a
-    * field only when the file's transform for that column is the SAME
-    * (kind, param) — a bucket(4) tuple says nothing about a bucket(8)
-    * predicate, and conservatively keeping such files is the sound
-    * half of the Iceberg multi-spec contract. Null-ness constraints
-    * apply under ANY transform: every transform maps a null raw value
-    * to the null tuple mark. */
-  private def partitionMatches(m: LedgerSink.Manifest,
-      e: LedgerSink.FileEntry): Boolean = {
-    if (partEq.isEmpty && partMustNull.isEmpty && partMustNotNull.isEmpty &&
-        partDayLo.isEmpty && partDayHi.isEmpty && rtPartEq.isEmpty)
-      return true
-    val fields = m.namedSpecOf(e)
-    // the CURRENT spec's transforms — what the pushed constraint sets
-    // were encoded under
-    val curInfo: Map[String, (String, Int)] =
-      m.namedPartitionSpec.map(p => p.name -> ((p.kind, p.param))).toMap
-    e.partVals match {
-      case Some(vals) if vals.length == fields.length =>
-        fields.zip(vals).forall { case (p, v) =>
-          val n = p.name
-          val isNull = v == LedgerSink.NullMark
-          val sameTransform = curInfo.get(n).exists { case (k, prm) =>
-            k == p.kind && prm == p.param
-          }
-          (!partMustNull.contains(n) || isNull) &&
-            (!partMustNotNull.contains(n) || !isNull) &&
-            (!sameTransform || (
-              partEq.get(n).forall(s => !isNull && s.contains(v)) &&
-                // runtime (DPP) key sets compose with the static pruning
-                rtPartEq.get(n).forall(s => !isNull && s.contains(v)) &&
-                // day-range bounds (range predicates exclude null)
-                partDayLo.get(n).forall(lo => !isNull && v.toLong >= lo) &&
-                partDayHi.get(n).forall(hi => !isNull && v.toLong <= hi)))
-        }
-      case _ => true // no recorded tuple: cannot prove, must survive
-    }
-  }
-
-  private def statsAdmit(m: LedgerSink.Manifest,
-      e: LedgerSink.FileEntry): Boolean = {
-    // static pushed range composed with the runtime (DPP) envelope
-    val lo = math.max(if (statFiltered) flo else Long.MinValue, rtFlo)
-    val hi = math.min(if (statFiltered) fhi else Long.MaxValue, rtFhi)
-    if (lo == Long.MinValue && hi == Long.MaxValue) return true
-    val curStatId = m.statId
-    val applies = e.statId.orElse(
-      if (e.ids.isEmpty) curStatId else None) == curStatId
-    if (applies) (e.min, e.max) match {
-      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-      case _ => false // all-null stat column: a range predicate excludes NULL
-    }
-    else if (e.ids.exists(f => !curStatId.exists(f.contains)))
-      false // file predates the stat column: it reads all-NULL there
-    else true // stats taken on another column: unknowable, keep
-  }
-
-  // output column i binds to the file field holding its ID; legacy
-  // files bind by schema position (their columns are a positional
-  // prefix of their manifest's schema). Metadata columns (_file/_pos)
-  // bind to sentinel positions the reader fills from the partition
-  // itself — they exist in no data file.
-  private def bind(m: LedgerSink.Manifest,
-      e: LedgerSink.FileEntry): LedgerFilePartition = {
-    def metaPos(name: String): Int = name match {
-      case LedgerSink.MetaFileCol => LedgerSink.MetaFilePos
-      case LedgerSink.MetaPosCol => LedgerSink.MetaPosPos
-      case _ => -1
-    }
-    val dataCols = m.schema.fieldNames.toSet
-    val (positions, width) = e.ids match {
-      case Some(fids) =>
-        (required.fields.map(f =>
-          if (dataCols(f.name)) fids.indexOf(m.idOf(f.name))
-          else metaPos(f.name)), fids.length)
-      case None =>
-        (required.fields.map(f =>
-          if (dataCols(f.name)) m.schema.fieldIndex(f.name)
-          else metaPos(f.name)), m.schema.length)
-    }
-    val colIds = required.fields.map(f =>
-      if (dataCols(f.name)) m.idOf(f.name) else -1)
-    LedgerFilePartition(dir.resolve(e.file).toString, positions, width,
-      e.dv.map(d => dir.resolve(d).toString), rel = e.file,
-      eqd = LedgerSink.eqdBindings(dir, m, e),
-      defaults = LedgerSink.defaultsArray(m, positions, colIds))
-  }
-
-  // a DEF, not a lazy val: runtime (DPP) filtering narrows the state
-  // above AFTER the first planning pass, and BatchScanExec re-plans by
-  // calling planInputPartitions again — a cached selection would serve
-  // the pre-filter answer
-  private def chosenFiles: Seq[LedgerSink.FileEntry] =
-    manifestOpt.map(_.files.filter(e =>
-      partitionMatches(m = manifestOpt.get, e = e) &&
-        statsAdmit(manifestOpt.get, e) && bloomAdmit(e))).getOrElse(Seq.empty)
-
-  /** STORAGE-PARTITIONED JOIN grouping: when the session's v2
-    * bucketing is on, the table has an identity partition spec whose
-    * columns survive column pruning, and every admitted file carries
-    * its partition tuple, the scan groups files by tuple and reports
-    * [[KeyGroupedPartitioning]] — two ledger tables co-partitioned on
-    * the join key then join with NO shuffle on either side (the
-    * Iceberg/Delta SPJ contract at this format's scale; Spark matches
-    * groups via [[HasPartitionKey]], and mismatched partition-value
-    * sets are handled by its pushPartValues path). The trade is read
-    * parallelism at partition-value grain — the same trade Spark's
-    * own SPJ makes; `spark.sql.sources.v2.bucketing.enabled=false`
-    * restores per-file planning. */
-  // also a DEF — regrouped from the post-filter file selection
-  private def spjGroups
-      : Option[Seq[(InternalRow, Seq[LedgerSink.FileEntry])]] =
-    manifestOpt
-      .filter(_ => org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled)
-      .filter(_.partitionIds.nonEmpty)
-      .filter(_.partitionNames.forall(required.fieldNames.contains))
-      .filter(m => chosenFiles.nonEmpty && chosenFiles.forall(e =>
-        // spec-homogeneous only: a pre-evolution file's tuple keys a
-        // DIFFERENT spec — grouping it under the current transforms
-        // would co-locate rows that don't share the key
-        m.specOf(e) == m.specId &&
-          e.partVals.exists(_.length == m.partitionIds.length)))
-      .map { m =>
-        // a transformed field's tuple value IS the transform result —
-        // bucket/day numbers key as INT; identity keys as the column
-        val types = m.namedPartitionSpec.map(p =>
-          if (p.kind == "identity")
-            m.schema.fields(m.schema.fieldIndex(p.name)).dataType
-          else IntegerType)
-        chosenFiles.groupBy(_.partVals.get).toSeq
-          .sortBy(_._1.mkString(" "))
-          .map { case (vals, es) =>
-            val key: InternalRow = new GenericInternalRow(
-              vals.zip(types).map { case (v, dt) =>
-                if (v == LedgerSink.NullMark) null
-                else LedgerSink.parseValue(dt, v): Any
-              }.toArray)
-            (key, es.toSeq)
-          }
-      }
-
-  override def outputPartitioning()
-      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    spjGroups match {
-      case Some(gs) =>
-        new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(
-            manifestOpt.get.namedPartitionSpec.map(p =>
-              LedgerSink.toTransform(p): ConnectorExpression).toArray,
-            gs.length)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning
-          .UnknownPartitioning(chosenFiles.length)
-    }
-
-  override def planInputPartitions(): Array[InputPartition] =
-    manifestOpt match {
-      case Some(m) =>
-        onPlanned(chosenFiles.map(_.file))
-        onPlannedEntries(chosenFiles)
-        spjGroups match {
-          case Some(gs) =>
-            gs.map { case (key, es) =>
-              LedgerFileGroupPartition(es.map(bind(m, _)).toArray, key)
-                : InputPartition
-            }.toArray
-          case None =>
-            chosenFiles.map(e => bind(m, e): InputPartition).toArray
-        }
-      case None => Array.empty
-    }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    LedgerSink.lineReaderFactory(LedgerSink.cleanDdl(required))
-}
-
-private[sources] case class LedgerFilePartition(
-    file: String, positions: Array[Int], width: Int,
-    dvFile: Option[String] = None, rel: String = "",
-    eqd: Array[EqdFileBinding] = Array.empty,
-    // row-codec-encoded INITIAL DEFAULTS per output column (empty =
-    // none apply to this file); see [[LedgerSink.defaultsArray]]
-    defaults: Array[String] = Array.empty)
-    extends InputPartition
-
-/** One equality-delete file bound to one data file: the delete's key
-  * tuples live at `ordinals` within the data file's line layout. */
-private[sources] case class EqdFileBinding(
-    path: String, ordinals: Array[Int])
-
-/** The pushed-aggregation result: already-final rows computed on the
-  * driver from the manifest ([[LedgerScanBuilder.aggRows]]) — one
-  * metadata-sized partition, no data file opened. Values travel as
-  * plain JVM types; the reader re-boxes strings to UTF8String. */
-private[sources] case class LedgerAggPartition(
-    rows: Array[Array[Any]], ddl: String) extends InputPartition
-
-private[sources] class LedgerAggScan(dirDesc: String, schema: StructType,
-    rows: Seq[Seq[Any]]) extends Scan with Batch {
-  override def readSchema(): StructType = schema
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-ledger-agg $dirDesc PushedAggregation: " +
-      s"[${schema.fieldNames.mkString(",")}] groups=${rows.length}"
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(LedgerAggPartition(rows.map(_.toArray).toArray,
-      LedgerSink.cleanDdl(schema)))
-  override def createReaderFactory(): PartitionReaderFactory =
-    partition => {
-      val p = partition.asInstanceOf[LedgerAggPartition]
-      val out = p.rows.iterator.map { vals =>
-        new GenericInternalRow(vals.map {
-          case s: String => UTF8String.fromString(s)
-          case x => x
-        }): InternalRow
-      }
-      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-        private var cur: InternalRow = _
-        override def next(): Boolean =
-          out.hasNext && { cur = out.next(); true }
-        override def get(): InternalRow = cur
-        override def close(): Unit = ()
-      }
-    }
-}
-
-/** One partition VALUE's files, keyed for storage-partitioned joins.
-  * All rows in the group share `key` by the identity-partition write
-  * invariant. */
-private[sources] case class LedgerFileGroupPartition(
-    files: Array[LedgerFilePartition], key: InternalRow)
-    extends InputPartition
-    with org.apache.spark.sql.connector.read.HasPartitionKey {
-  override def partitionKey(): InternalRow = key
-}
-
-/** One version STEP of the row-level change feed: the files version
-  * `version` added and removed relative to `version − 1`, each
-  * pre-bound to the feed's output schema. */
-private[sources] case class LedgerChangeStepPartition(
-    version: Int,
-    added: Array[LedgerFilePartition],
-    removed: Array[LedgerFilePartition])
-    extends InputPartition
-
-/** Row-level CHANGE FEED (the Delta CDF contract): for a version range
-  * (from, to], emit each step's logical row diff as
-  * (table columns…, `_change_type` ∈ {insert, delete},
-  * `_commit_version`), such that applying the feed to the FROM
-  * snapshot reconstructs the TO snapshot exactly (multiset semantics:
-  * post = pre ∪ inserts ∖ deletes).
-  *
-  * Unlike [[LedgerSink.readChanges]] (which serves append-only ranges
-  * as plain rows and REFUSES ranges spanning non-append commits), this
-  * scan handles every commit kind by DIFFING replaced against
-  * replacement files per step: a copy-on-write UPDATE emits the old
-  * row as `delete` and the new one as `insert`, surviving rows of the
-  * rewritten files cancel in the multiset diff, and a pure rewrite
-  * (OPTIMIZE) emits NOTHING — rewritten-identical rows all cancel.
-  *
-  * Honesty note on scale: this RECONSTRUCTS the diff at read time, so
-  * each step's reader holds one version step's distinct rows in
-  * memory. Delta/Iceberg persist change files AT COMMIT TIME to avoid
-  * exactly this; at this format's scale the reconstruction keeps the
-  * commit path lean and the feed exact, and steps parallelize across
-  * executors (one input partition per step). Files bind by FIELD ID
-  * against the TO version's schema — renames are transparent, columns
-  * added later read null from older files. */
-private[sources] class LedgerChangeFeedScan(dir: Path, from: Int, to: Int)
-    extends ScanBuilder with Scan with Batch {
-  if (from > to) throw new IllegalArgumentException(
-    s"changesFromVersion=$from > changesToVersion=$to")
-  private val toManifest = LedgerSink.readManifestAt(dir, Some(to)).getOrElse(
-    throw new IllegalArgumentException(
-      s"no committed ledger manifest under $dir"))
-
-  override def build(): Scan = this
-  override def toBatch: Batch = this
-  override def readSchema(): StructType =
-    StructType(toManifest.schema.fields ++ LedgerSink.cdfColumns)
-  override def description(): String =
-    s"graft-ledger-cdf $dir v$from..v$to"
-
-  private def bind(m: LedgerSink.Manifest,
-      e: LedgerSink.FileEntry): LedgerFilePartition = {
-    val out = toManifest.schema
-    val (positions, width) = e.ids match {
-      case Some(fids) =>
-        (out.fields.map(f => fids.indexOf(toManifest.idOf(f.name))),
-          fids.length)
-      case None => // legacy file: positional under ITS version's schema
-        (out.fields.map(f => m.schema.fieldNames.indexOf(f.name)),
-          m.schema.length)
-    }
-    // each side reads through ITS OWN merge-on-read state (DVs by
-    // entry identity, equality deletes by the side's manifest): the
-    // multiset diff then sees LOGICAL rows, so a rewrite that
-    // materializes deletes cancels exactly
-    // defaults are version-scoped like the rest of the manifest:
-    // each side's files read the defaults ITS version registered
-    val colIds = out.fields.map(f => toManifest.idOf(f.name))
-    LedgerFilePartition(dir.resolve(e.file).toString, positions, width,
-      e.dv.map(dir.resolve(_).toString),
-      eqd = LedgerSink.eqdBindings(dir, m, e),
-      defaults = LedgerSink.defaultsArray(m, positions, colIds))
-  }
-
-  /** Entry identity includes the deletion vector: a DV-only change to
-    * a file is a logical row change and must enter the step diff. */
-  private def keyOf(e: LedgerSink.FileEntry): (String, Option[String]) =
-    (e.file, e.dv)
-
-  override def planInputPartitions(): Array[InputPartition] =
-    (from + 1 to to).flatMap { v =>
-      val cur = LedgerSink.readManifestAt(dir, Some(v)).get
-      val prev =
-        if (v - 1 == 0) LedgerSink.Manifest.fresh(cur.schema, Seq.empty[String])
-        else LedgerSink.readManifestAt(dir, Some(v - 1)).get
-      if (cur.eqDeletes != prev.eqDeletes)
-        LedgerChangeFeedScan.eqDeleteStepPartitions(
-          dir, v, prev, cur, bind)
-      else {
-        val curKeys = cur.files.map(keyOf).toSet
-        val prevKeys = prev.files.map(keyOf).toSet
-        val added = cur.files.filterNot(e => prevKeys(keyOf(e)))
-        val removed = prev.files.filterNot(e => curKeys(keyOf(e)))
-        if (added.isEmpty && removed.isEmpty) None
-        else Some(LedgerChangeStepPartition(v,
-          added.map(bind(cur, _)).toArray,
-          removed.map(bind(prev, _)).toArray): InputPartition)
-      }
-    }.toArray
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    LedgerChangeFeedScan.readerFactory(toManifest.schema.toDDL)
-}
-
-private[sources] object LedgerChangeFeedScan {
-
-  /** Step partitions for a commit that CHANGED the equality-delete
-    * set. When no file was removed (install / upsert — the common
-    * shapes, since every rewrite kind conflicts on a concurrent
-    * delete change), no cross-FILE cancellation is possible, so the
-    * step splits into ONE PARTITION PER AFFECTED FILE: appended files
-    * emit as pure inserts, a surviving file whose applicable-delete
-    * set (or DV) changed self-diffs cur-side against prev-side
-    * (emitting exactly its newly killed rows), and untouched files
-    * are never read — parallel, and each task bounded by one file.
-    * A step that also REMOVED files (OPTIMIZE's delete GC) needs the
-    * whole-state diff in one partition: rewritten rows cancel ACROSS
-    * files. */
-  private[sources] def eqDeleteStepPartitions(
-      dir: Path, v: Int,
-      prev: LedgerSink.Manifest, cur: LedgerSink.Manifest,
-      bind: (LedgerSink.Manifest, LedgerSink.FileEntry) => LedgerFilePartition)
-      : Seq[InputPartition] = {
-    val prevByName = prev.files.map(e => e.file -> e).toMap
-    val curNames = cur.files.map(_.file).toSet
-    if (prev.files.exists(e => !curNames(e.file)))
-      Seq(LedgerChangeStepPartition(v,
-        cur.files.map(bind(cur, _)).toArray,
-        prev.files.map(bind(prev, _)).toArray))
-    else cur.files.flatMap { e =>
-      prevByName.get(e.file) match {
-        case None => // appended by this commit: pure inserts
-          Some(LedgerChangeStepPartition(v,
-            Array(bind(cur, e)), Array.empty[LedgerFilePartition]))
-        case Some(pe) =>
-          if (pe.dv != e.dv ||
-            prev.eqDeletesFor(pe) != cur.eqDeletesFor(e))
-            Some(LedgerChangeStepPartition(v,
-              Array(bind(cur, e)), Array(bind(prev, pe))))
-          else None // identical logical content: skip, never read
-      }
-    }
-  }
-
-  /** Per-step multiset diff: count added rows up, removed rows down;
-    * positive residues emit as `insert`, negative as `delete`. Keyed
-    * on the DECODED field values (boxed equality — UTF8String by
-    * content, doubles bit-boxed), insertion-ordered so output is
-    * deterministic. */
-  private[sources] def readerFactory(
-      schemaDdl: String): PartitionReaderFactory =
-    partition => {
-      val types: Array[DataType] =
-        StructType.fromDDL(schemaDdl).fields.map(_.dataType)
-      val p = partition.asInstanceOf[LedgerChangeStepPartition]
-      def rowsOf(files: Array[LedgerFilePartition]): Iterator[InternalRow] =
-        files.iterator.flatMap(LedgerSink.fileRows(_, types))
-      val counts =
-        scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
-      def keyed(r: InternalRow): Seq[Any] =
-        types.indices.map(i =>
-          if (r.isNullAt(i)) null else r.get(i, types(i)))
-      rowsOf(p.added).foreach { r =>
-        val k = keyed(r); counts.update(k, counts.getOrElse(k, 0L) + 1L)
-      }
-      rowsOf(p.removed).foreach { r =>
-        val k = keyed(r); counts.update(k, counts.getOrElse(k, 0L) - 1L)
-      }
-      val out = counts.iterator.flatMap { case (k, n) =>
-        if (n == 0L) Iterator.empty
-        else {
-          val tpe = UTF8String.fromString(if (n > 0L) "insert" else "delete")
-          Iterator.fill(math.abs(n).toInt) {
-            new GenericInternalRow(
-              (k :+ (tpe: Any) :+ (p.version: Any)).toArray): InternalRow
-          }
-        }
-      }
-      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-        private var cur: InternalRow = _
-        override def next(): Boolean =
-          out.hasNext && { cur = out.next(); true }
-        override def get(): InternalRow = cur
-        override def close(): Unit = ()
-      }
-    }
-}
-
-private[sources] class LedgerWriteBuilder(dir: Path, schema: StructType,
-    requestedSpec: Seq[LedgerSink.NamedPartField] = Seq.empty,
-    wapId: Option[String] = None,
-    branch: Option[String] = None)
-    extends WriteBuilder with SupportsTruncate {
-  LedgerSink.checkSchema(schema)
-  private var doTruncate = false
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
-
-  /** The branch head state, resolved ONCE per write (it replays the
-    * fork manifest plus every branch log — re-resolving in each of
-    * effectiveSpec / id binding / checks would re-read all of it). */
-  private lazy val branchBase: Option[LedgerSink.Manifest] =
-    branch.map(b => LedgerSink.readBranchState(dir, b,
-      LedgerRefs.branchFork(dir, b)))
-
-  /** The partition spec this write must honor: the table's (appends
-    * and same-shape overwrites), or the requested one when the write
-    * (re)defines the table. An append missing a partition column is
-    * refused — its rows could not be placed. */
-  private def effectiveSpec: Seq[LedgerSink.NamedPartField] = {
-    // a branch write honors the BRANCH state's spec (main may have
-    // evolved since the fork — that divergence surfaces as a
-    // fast-forward refusal, not a mis-partitioned branch file)
-    val tableSpec = branchBase.map(_.namedPartitionSpec)
-      .orElse(LedgerSink.readManifest(dir).map(_.namedPartitionSpec))
-      .getOrElse(requestedSpec)
-    if (tableSpec.forall(p => schema.fieldNames.contains(p.name))) tableSpec
-    else if (doTruncate) requestedSpec
-    else throw new IllegalArgumentException(
-      s"append schema ${schema.fieldNames.mkString(",")} lacks partition " +
-        s"column(s) ${tableSpec.map(_.name).mkString(",")}")
-  }
-
-  override def build(): Write = {
-    val spec = effectiveSpec
-    LedgerSink.checkPartitionSpec(schema, spec)
-    new Write with RequiresDistributionAndOrdering {
-      /** Cluster incoming rows by the partition SOURCE columns so each
-        * partition's rows land in one task → one file per partition
-        * per commit, not one per (task × partition) — the difference
-        * between a manifest that grows with data and one that grows
-        * with parallelism. Transformed specs cluster by the raw column
-        * too (finer than the tuple — a bucket's rows may span tasks,
-        * each task still writing one sub-file per tuple; OPTIMIZE
-        * compacts): clustering by the TRANSFORM expression would make
-        * the write's analysis depend on function-catalog resolution,
-        * which path-based writes don't have. Unpartitioned writes
-        * impose nothing. */
-      override def requiredDistribution(): Distribution =
-        if (spec.isEmpty) Distributions.unspecified()
-        else Distributions.clustered(
-          spec.map(p =>
-            Expressions.column(p.name): ConnectorExpression).toArray)
-      override def requiredOrdering(): Array[ConnectorSortOrder] = Array.empty
-      override def toBatch: BatchWrite =
-        new LedgerBatchWrite(dir, schema, doTruncate, spec, requestedSpec,
-          wapId, branch, branchBase)
-      override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-        wapId.foreach(id => throw new UnsupportedOperationException(
-          s"wapId=$id on a streaming write: write-audit-publish stages " +
-            "one batch commit; streams commit per epoch"))
-        branch.foreach(b => throw new UnsupportedOperationException(
-          s"branch=$b on a streaming write: branches take batch appends; " +
-            "fast-forward before streaming to the table"))
-        new LedgerStreamingWrite(dir, schema, spec)
-      }
-    }
-  }
-}
-
-private[sources] case class LedgerCommitMessage(
-    entries: Seq[LedgerSink.FileEntry]) extends WriterCommitMessage
-
-private[sources] object LedgerWriteSupport {
-  /** Field ids the write encodes under: by NAME against the table
-    * manifest (the evolved-table append case), by position when names
-    * don't line up (path-based positional appends, the pre-evolution
-    * behavior), fresh 1..n when the write defines the table. Takes the
-    * manifest VIEW rather than re-reading, so a writer can capture the
-    * exact state its binding was computed against and verify it at
-    * commit time (see [[LedgerBatchWrite.commit]]). */
-  def writeIds(existing: Option[LedgerSink.Manifest], schema: StructType,
-      truncate: Boolean): Seq[Int] =
-    existing match {
-      case Some(m) if !truncate =>
-        if (schema.fieldNames.forall(m.schema.fieldNames.contains))
-          schema.fieldNames.toSeq.map(m.idOf)
-        else if (schema.length <= m.ids.length) m.ids.take(schema.length)
-        else throw new IllegalArgumentException(
-          s"append schema is wider than the table: " +
-            s"${schema.fieldNames.mkString(",")} vs ${m.schema.fieldNames.mkString(",")}")
-      case _ => 1 to schema.length
-    }
-}
-
-private[sources] class LedgerBatchWrite(
-    dir: Path, schema: StructType, truncate: Boolean,
-    partSpec: Seq[LedgerSink.NamedPartField],
-    requestedSpec: Seq[LedgerSink.NamedPartField],
-    wapId: Option[String] = None,
-    branch: Option[String] = None,
-    branchBase: Option[LedgerSink.Manifest] = None)
-    extends BatchWrite {
-
-  /** The manifest state the write's field-id binding is computed
-    * against — captured ONCE so commit can detect a schema-changing
-    * commit that raced this write (the staged files' id lists would
-    * bind differently under the new definition). A BRANCH write binds
-    * against the branch's head state (resolved once by the builder),
-    * not main's. */
-  private val baseManifest: Option[LedgerSink.Manifest] =
-    if (branch.isDefined) branchBase else LedgerSink.readManifest(dir)
-  private val ids: Seq[Int] =
-    LedgerWriteSupport.writeIds(baseManifest, schema, truncate)
-
-  override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(dir.resolve("_staging"))
-    val base = dir.toString
-    val ddl = LedgerSink.cleanDdl(schema)
-    val partWrites = partSpec.map(p =>
-      (schema.fieldIndex(p.name), p.kind, p.param))
-    // per-JOB tag: (partitionId, taskId) is only unique within one
-    // SparkContext — taskIds restart at 0 in a new session, so a later
-    // session appending to the same table could reuse a COMMITTED
-    // file's name and truncate it (CDC and versioning diff versions by
-    // file NAME, so name identity is load-bearing). COW and OPTIMIZE
-    // writers already carry a tag; batch appends get one too, plus the
-    // writer opens staged files CREATE_NEW to fail loud on collision.
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val idsLocal = ids // local copy: the factory lambda ships to
-    // executors and must not capture `this` (dir: Path is not
-    // serializable)
-    // constraints/NOT NULL resolve + bind on the DRIVER (full Catalyst
-    // analysis), enforce per row on executors
-    val checks = LedgerConstraints.writeChecks(baseManifest, schema, truncate)
-    (partitionId: Int, taskId: Long) =>
-      new LedgerDataWriter(base, StructType.fromDDL(ddl), idsLocal, partWrites,
-        partitionId, taskId, filePrefix = s"a$tag-", checks)
-  }
-
-  /** The commit point: the manifest names exactly the files whose
-    * tasks reported success; append unions the previous manifest,
-    * overwrite starts clean. Atomic rename makes torn job commits
-    * impossible — either the old manifest or the new one exists.
-    * An APPEND preserves the TABLE's definition (schema, ids,
-    * partition spec): the write schema is the incoming dataframe's
-    * (Spark has already checked compatibility), and its tighter
-    * nullability must not overwrite the manifest — an evolved table
-    * whose manifest flipped to NOT NULL made pre-evolution rows read
-    * 0 instead of NULL (codegen skips null checks on non-nullable
-    * columns; caught by the evolution spec). An OVERWRITE (or a first
-    * write) takes the write schema — that is how a path-based save
-    * defines the table — keeping the table's partition spec when the
-    * write schema still carries its columns.
-    *
-    * CONCURRENCY: the commit rebases onto the manifest current AT
-    * COMMIT TIME under the table's commit lock
-    * ([[LedgerSink.commitRebase]]) — two concurrent appends both land
-    * (file sets are disjoint; the union is order-independent), and an
-    * append racing an OPTIMIZE/DELETE lands too (those commits never
-    * touch files they haven't seen). The one append conflict is a
-    * racing SCHEMA-CHANGING commit (overwrite/evolution): the staged
-    * files' field-id binding was computed against [[baseManifest]],
-    * so if the current definition's (schema, ids) differ the append
-    * aborts rather than alias bytes under the new definition. */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.toSeq
-      .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
-    def dropStaged(): Unit = messages.foreach {
-      case LedgerCommitMessage(es) =>
-        es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
-      case _ => ()
-    }
-    // BRANCH commit: one append on the branch's own log chain — main
-    // is untouched, and the branch's conflict rules mirror main's
-    // (a schema/spec change of the BRANCH state since planning
-    // aborts; concurrent branch appends serialize under the lock and
-    // rebase onto the branch head).
-    branch.foreach { b =>
-      if (truncate) {
-        dropStaged()
-        throw new UnsupportedOperationException(
-          s"overwrite on branch '$b': branch writes are append-only")
-      }
-      LedgerSink.withCommitLock(dir) {
-        val fork = LedgerRefs.branchFork(dir, b) // throws if dropped
-        val head = LedgerSink.branchHead(dir, b, fork)
-        val cur = LedgerSink.readBranchState(dir, b, fork)
-        val ok = baseManifest.exists(bm => bm.schema == cur.schema &&
-          bm.ids == cur.ids && bm.partitionSpec == cur.partitionSpec &&
-          bm.specId == cur.specId &&
-          LedgerConstraints.constraintsOf(bm.props) ==
-            LedgerConstraints.constraintsOf(cur.props))
-        if (!ok) {
-          dropStaged()
-          throw new java.util.ConcurrentModificationException(
-            s"append to branch '$b' of $dir raced a definition change; " +
-              "retry against the branch's new state")
-        }
-        LedgerSink.writeBranchCommit(dir, b, head + 1,
-          cur.copy(files = cur.files ++ fresh), cur)
-      }
-      return
-    }
-    // WRITE-AUDIT-PUBLISH stage: the commit lands in a staged manifest
-    // (base-at-stage-time ∪ new files) instead of advancing the live
-    // table. Audit via the `wapId` read option; LedgerRefs.publishWap
-    // folds exactly `graft.wap.newfiles` into the then-current table
-    // under the same rebase protocol as any append; abortWap discards.
-    // Append-only by design (a staged TRUNCATE would have to carry the
-    // whole replacement state through publish's conflict rules), and a
-    // duplicate wapId is refused — staged manifests are immutable.
-    wapId.foreach { id =>
-      if (truncate) throw new UnsupportedOperationException(
-        "wapId with overwrite mode: stage commits are append-only")
-      LedgerSink.withCommitLock(dir) {
-        val target = dir.resolve(LedgerSink.wapName(id))
-        if (Files.exists(target)) {
-          dropStaged()
-          throw new IllegalStateException(
-            s"wapId=$id is already staged on $dir; publish or abort it " +
-              "before re-staging")
-        }
-        val cur = LedgerSink.readManifest(dir)
-        val bindingValid = (baseManifest, cur) match {
-          case (Some(b), Some(c)) => b.schema == c.schema && b.ids == c.ids &&
-            b.partitionSpec == c.partitionSpec && b.specId == c.specId &&
-            LedgerConstraints.constraintsOf(b.props) ==
-              LedgerConstraints.constraintsOf(c.props)
-          case (None, Some(c)) => c.ids == (1 to schema.length) &&
-            c.schema.fieldNames.sameElements(schema.fieldNames) &&
-            c.namedPartitionSpec == partSpec && c.specId == 0 &&
-            LedgerConstraints.constraintsOf(c.props).isEmpty
-          case (_, None) => baseManifest.isEmpty
-        }
-        if (!bindingValid) {
-          dropStaged()
-          throw new java.util.ConcurrentModificationException(
-            s"wap stage on $dir raced a schema-, spec- or constraint-" +
-              "changing commit; retry against the table's new definition")
-        }
-        val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema, partSpec))
-        val staged = m.copy(files = m.files ++ fresh,
-          props = m.props +
-            (LedgerSink.WapBaseProp -> LedgerSink.currentVersion(dir).toString) +
-            (LedgerSink.WapNewFilesProp -> fresh.map(_.file).mkString(",")))
-        val tmp = dir.resolve(s"${LedgerSink.wapName(id)}.tmp")
-        Files.write(tmp, staged.render.mkString("\n").getBytes(UTF_8))
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      }
-      return
-    }
-    LedgerSink.commitRebase(dir, {
-      case Some(old) if !truncate =>
-        // a racing PARTITION-SPEC change conflicts like a schema
-        // change: the staged files' tuples were computed under the
-        // planning spec and would be misread under the new one. A
-        // racing CONSTRAINT change conflicts too: this job's rows were
-        // validated against the planning-time constraint set (the
-        // addCheck validation scan cannot see uncommitted staged rows,
-        // so letting this commit through would land unvalidated data
-        // under the new rule).
-        val bindingValid = baseManifest match {
-          case Some(b) => b.schema == old.schema && b.ids == old.ids &&
-            b.partitionSpec == old.partitionSpec && b.specId == old.specId &&
-            LedgerConstraints.constraintsOf(b.props) ==
-              LedgerConstraints.constraintsOf(old.props)
-          case None => // bound fresh 1..n against an empty table; a
-            // manifest that appeared since must carry that same binding
-            old.ids == (1 to schema.length) &&
-              old.schema.fieldNames.sameElements(schema.fieldNames) &&
-              old.namedPartitionSpec == partSpec && old.specId == 0 &&
-              LedgerConstraints.constraintsOf(old.props).isEmpty
-        }
-        if (bindingValid) Some(old.copy(files = old.files ++ fresh)) else None
-      case existing =>
-        val keepSpec = existing.map(_.namedPartitionSpec)
-          .getOrElse(requestedSpec)
-          .filter(p => schema.fieldNames.contains(p.name))
-        // an overwrite redefines the DATA, not the declaration:
-        // partition spec (when compatible) and table properties carry
-        Some(LedgerSink.Manifest.fresh(schema, keepSpec).copy(files = fresh,
-          props = existing.map(_.props).getOrElse(Map.empty)))
-    }, s"append to $dir raced a schema-, spec- or constraint-changing " +
-      "commit; retry the write against the table's new definition")
-  }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case LedgerCommitMessage(es) =>
-        es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
-      case _ => ()
-    }
-}
-
-/** Group-based copy-on-write row-level operation (see
-  * [[LedgerTable.newRowLevelOperationBuilder]]). One implementation
-  * serves DELETE, UPDATE and MERGE: the command only changes how
-  * Spark computes the replacement rows; the connector's contract is
-  * the same either way — replace the scanned groups with the written
-  * ones atomically. */
-private[sources] class LedgerRowLevelOperation(
-    dir: Path, schema: StructType,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
-
-  /** Files the operation's scan planned — the groups being replaced.
-    * Written once by planInputPartitions (driver side), read by
-    * commit (driver side). Identity is the (file, deletion-vector)
-    * PAIR: a concurrent deleteMoR changes only the entry's DV, and a
-    * name-only identity would let this operation's commit install
-    * replacement files computed from the pre-delete scan — silently
-    * resurrecting the MoR-deleted rows. */
-  @volatile private[sources] var scannedFiles: Seq[String] = Seq.empty
-  @volatile private[sources] var scannedEntries
-      : Seq[(String, Option[String])] = Seq.empty
-  /** The equality-delete set the operation PLANNED against: its scan
-    * materialized exactly these into the replacement rows, and the
-    * replacement files commit with a fresh data sequence that escapes
-    * every delete — so a delete installed after planning must CONFLICT
-    * or its rows would resurrect through the rewrite. Captured at
-    * scan-builder creation; a delete landing between this read and the
-    * scan's own manifest read only makes the commit conflict
-    * spuriously (safe), never silently pass. */
-  @volatile private[sources] var plannedEqDeletes
-      : Seq[LedgerSink.EqDelete] = Seq.empty
-
-  override def command: RowLevelOperation.Command = cmd
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    plannedEqDeletes = LedgerSink.readManifest(dir)
-      .map(_.eqDeletes).getOrElse(Seq.empty)
-    new LedgerScanBuilder(dir, schema,
-      onPlanned = files => scannedFiles = files,
-      onPlannedEntries = es =>
-        scannedEntries = es.map(e => (e.file, e.dv)))
-  }
-
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new BatchWrite {
-          // (spec, specId, constraints) the writer factory bound its
-          // partition tuples and row checks under — commit verifies
-          // they are still current
-          @volatile private var writeSpec: Option[(
-            Seq[LedgerSink.NamedPartField], Int, Seq[(String, String)])] = None
-          override def createBatchWriterFactory(
-              pinfo: PhysicalWriteInfo): DataWriterFactory = {
-            Files.createDirectories(dir.resolve("_staging"))
-            val base = dir.toString
-            val ddl = LedgerSink.cleanDdl(schema)
-            val tag = java.util.UUID.randomUUID().toString.take(8)
-            val snapshot = LedgerSink.readManifest(dir)
-            writeSpec = snapshot.map(m => (m.namedPartitionSpec, m.specId,
-              LedgerConstraints.constraintsOf(m.props)))
-            val ids = LedgerWriteSupport.writeIds(snapshot, schema,
-              truncate = false)
-            val partWrites = snapshot
-              .map(_.namedPartitionSpec).getOrElse(Seq.empty)
-              .map(p => (schema.fieldIndex(p.name), p.kind, p.param))
-            // UPDATE/MERGE-written rows must satisfy the table's
-            // constraints like any other ingest
-            val checks = LedgerConstraints.writeChecks(snapshot, schema,
-              truncate = false)
-            (partitionId: Int, taskId: Long) =>
-              new CowDataWriter(base, StructType.fromDDL(ddl), ids, partWrites,
-                partitionId, taskId, s"cow-$tag-", checks)
-          }
-
-          /** Swap the scanned groups for the replacement files —
-            * files the scan skipped are untouched, and the archived
-            * pre-operation manifest keeps the old state readable
-            * (time travel applies to row-level ops like any commit).
-            *
-            * CONCURRENCY: a rewrite only commutes with commits that
-            * left its input groups alone. The rebase keeps files the
-            * scan never saw (a concurrent APPEND's rows survive
-            * untouched) but ABORTS when any scanned file is gone from
-            * the current manifest — a concurrent OPTIMIZE/DELETE/COW
-            * rewrote this operation's inputs, and installing the swap
-            * anyway would resurrect or drop rows. */
-          override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            val replacedPairs = scannedEntries.toSet
-            val replacedNames = replacedPairs.map(_._1)
-            val fresh = messages.toSeq
-              .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
-            LedgerSink.commitRebase(dir, cur => {
-              val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema,
-                Seq.empty[LedgerSink.NamedPartField]))
-              // every scanned (file, dv) pair must be unchanged — a
-              // concurrent deleteMoR that only swapped a DV also
-              // invalidates this operation's scan (see scannedEntries)
-              val curPairs = m.files.map(e => (e.file, e.dv)).toSet
-              // a spec or constraint change since the writer factory
-              // bound its tuples/checks is a conflict like any rewrite
-              val specOk = writeSpec.forall { case (spec, sid, cs) =>
-                m.namedPartitionSpec == spec && m.specId == sid &&
-                  LedgerConstraints.constraintsOf(m.props) == cs
-              }
-              // an equality delete installed after planning would be
-              // escaped by the replacement files' fresh data sequence
-              // (the scan only materialized the PLANNED set)
-              val eqdOk = m.eqDeletes == plannedEqDeletes
-              if (!specOk || !eqdOk || !replacedPairs.subsetOf(curPairs)) None
-              else Some(m.copy(
-                files = m.files.filterNot(e => replacedNames(e.file)) ++ fresh))
-            }, s"row-level $cmd on $dir raced a commit that rewrote one of " +
-              "its scanned files, changed the partition spec, or " +
-              "installed equality deletes; re-run the operation")
-          }
-
-          override def abort(messages: Array[WriterCommitMessage]): Unit =
-            messages.foreach {
-              case LedgerCommitMessage(es) =>
-                es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
-              case _ => ()
-            }
-        }
-      }
-    }
-}
-
-/** DataWriter for the copy-on-write path. Spark's group-based
-  * ReplaceData prepends a `__row_operation` column to every row
-  * (RowDeltaUtils: DELETE=1 … WRITE_WITH_METADATA=6) and — verified
-  * against the 4.1 bytecode — applies NO projection before the writer
-  * when the operation requests no metadata columns
-  * (`ReplaceDataExec.writingTask` falls through to the plain
-  * `DataWritingSparkTask` whenever `metadataProjection` is None), so
-  * the connector slices the data columns out itself: the payload is
-  * the LAST schema-width fields, and a row marked DELETE is dropped
-  * rather than written (group-based plans emit only write-ops today;
-  * the filter makes the writer safe if a future rewrite emits delete
-  * markers). Plain writes (no leading operation column) pass through
-  * untouched. */
-private[sources] class CowDataWriter(
-    base: String, schema: StructType, ids: Seq[Int],
-    partWrites: Seq[(Int, String, Int)],
-    partitionId: Int, taskId: Long, prefix: String,
-    checks: LedgerConstraints.WriteChecks = LedgerConstraints.WriteChecks.empty)
-    extends LedgerDataWriter(base, schema, ids, partWrites,
-      partitionId, taskId, prefix, checks) {
-  private val width = schema.fields.length
-  override def write(r: InternalRow): Unit = {
-    val off = r.numFields - width
-    if (off <= 0) super.write(r)
-    else if (r.getInt(0) != 1) { // RowDeltaUtils.DELETE_OPERATION
-      val proj = new GenericInternalRow(width)
-      var i = 0
-      while (i < width) {
-        proj.update(i,
-          if (r.isNullAt(i + off)) null
-          else r.get(i + off, schema.fields(i).dataType))
-        i += 1
-      }
-      super.write(proj)
-    }
-  }
-}
-
-/** Exactly-once STREAMING sink over the same staged-file + manifest
-  * protocol as the batch write — the connector's fourth quadrant
-  * (batch read, batch write, micro-batch read, and now micro-batch
-  * WRITE). The one genuinely new obligation is EPOCH IDEMPOTENCE:
-  * after a failure, Structured Streaming re-runs the last epoch and
-  * calls `commit(epochId, …)` AGAIN for an epoch that may already be
-  * in the manifest. Staged files carry their epoch in the name
-  * (`_staging/epoch-<e>-part-…`), so a replayed commit detects its
-  * epoch's files already present and returns without appending —
-  * at-least-once task attempts compose with an idempotent commit
-  * into exactly-once table state, which is the entire contract of a
-  * transactional streaming sink. Append output mode only: an epoch
-  * never rewrites previous epochs' files. */
-private[sources] class LedgerStreamingWrite(dir: Path, schema: StructType,
-    partSpec: Seq[LedgerSink.NamedPartField] = Seq.empty)
-    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
-
-  override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    Files.createDirectories(dir.resolve("_staging"))
-    val base = dir.toString
-    val ddl = LedgerSink.cleanDdl(schema)
-    val ids = LedgerWriteSupport.writeIds(LedgerSink.readManifest(dir),
-      schema, truncate = false)
-    val partWrites = partSpec.map(p =>
-      (schema.fieldIndex(p.name), p.kind, p.param))
-    // per-QUERY tag after the epoch marker (replay detection matches on
-    // the `epoch-<e>-` prefix, so the tag must follow it): a restarted
-    // query re-staging an epoch never collides with the committed run's
-    // file names — see createBatchWriterFactory's naming note
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    // epoch writes enforce the table's constraints too — a stream is
-    // just another ingest route. The constraint SET is captured here,
-    // once per stream: the epoch commit conflicts on any later change
-    // (see commit), forcing a restart that re-captures it.
-    val m0 = LedgerSink.readManifest(dir)
-    boundConstraints = m0.map(m =>
-      LedgerConstraints.constraintsOf(m.props)).getOrElse(Seq.empty)
-    val checks = LedgerConstraints.writeChecks(m0, schema, truncate = false)
-    (partitionId: Int, taskId: Long, epochId: Long) =>
-      new LedgerDataWriter(base, StructType.fromDDL(ddl), ids, partWrites,
-        partitionId, taskId, filePrefix = s"epoch-$epochId-$tag-", checks)
-  }
-
-  /** (name, sql) constraint set the writer factory validated under —
-    * epoch commits conflict when it changed. */
-  @volatile private var boundConstraints: Seq[(String, String)] = Seq.empty
-
-  override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = {
-    val marker = s"_staging/epoch-$epochId-"
-    val fresh = messages.toSeq
-      .flatMap(_.asInstanceOf[LedgerCommitMessage].entries)
-    // epoch commits are appends: preserve the table's definition (see
-    // LedgerBatchWrite.commit), rebase onto the commit-time manifest
-    // under the table lock (a batch append racing an epoch commit —
-    // both land), and detect REPLAY inside the same critical section
-    // so a replayed epoch can never double-append
-    LedgerSink.commitRebase(dir, cur => {
-      val m = cur.getOrElse(LedgerSink.Manifest.fresh(schema, partSpec))
-      // a partition-spec change mid-stream invalidates the factory's
-      // tuple bindings — fail the epoch rather than stamp wrong specs;
-      // a constraint change mid-stream means this epoch's rows were
-      // validated under the OLD rule set — fail rather than land them
-      if (m.namedPartitionSpec != partSpec)
-        throw new java.util.ConcurrentModificationException(
-          s"epoch commit on $dir raced a partition-spec change " +
-            s"(${m.namedPartitionSpec} vs writer's $partSpec); restart " +
-            "the stream against the new spec")
-      if (LedgerConstraints.constraintsOf(m.props) != boundConstraints)
-        throw new java.util.ConcurrentModificationException(
-          s"epoch commit on $dir raced a constraint change; restart the " +
-            "stream to enforce the new constraint set")
-      if (m.files.exists(_.file.startsWith(marker))) {
-        // replayed epoch: the manifest already holds its files — drop
-        // the re-staged duplicates instead of double-appending
-        // (returning the current manifest unchanged commits nothing)
-        messages.foreach {
-          case LedgerCommitMessage(es) => es.foreach { e =>
-            if (!m.files.exists(_.file == e.file))
-              LedgerSink.deleteStagedEntry(dir, e)
-          }
-          case _ => ()
-        }
-        Some(m)
-      } else Some(m.copy(files = m.files ++ fresh))
-    }, "unreachable: epoch appends always rebase")
-  }
-
-  override def abort(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case LedgerCommitMessage(es) =>
-        es.foreach(e => LedgerSink.deleteStagedEntry(dir, e))
-      case _ => ()
-    }
-}
-
-/** Task-side writer. Partitioned tables get DYNAMIC sub-files: one
-  * staged file per partition TUPLE seen by this task (the clustered
-  * write distribution makes that one tuple per task in the common
-  * case), each carrying its tuple in the commit entry for the
-  * pruner. `partWrites` is (column index, transform kind, param) per
-  * spec field — tuples hold TRANSFORMED values (bucket number, day
-  * number) for non-identity fields. Files open lazily — an empty task
-  * stages nothing, so file count tracks data, not parallelism. Stats
-  * are per sub-file over the write schema's first integral column,
-  * recorded with its FIELD ID so evolution can later tell whose stats
-  * they are. */
-private[sources] class LedgerDataWriter(
-    base: String, schema: StructType, ids: Seq[Int],
-    partWrites: Seq[(Int, String, Int)],
-    partitionId: Int, taskId: Long, filePrefix: String = "",
-    checks: LedgerConstraints.WriteChecks = LedgerConstraints.WriteChecks.empty)
-    extends DataWriter[InternalRow] {
-
-  // CHECK constraints compile once per task; a violating row fails the
-  // task → the job aborts → the commit never happens (see
-  // LedgerConstraints — the Delta invariants contract)
-  private val violationPreds = checks.constraints.map { case (n, e) =>
-    val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
-    p.initialize(partitionId)
-    (n, p)
-  }
-
-  private val statIdx = LedgerSink.statColIndex(schema)
-  private val statId = statIdx.map(ids(_))
-  private val bloomIdx = LedgerSink.bloomColIndex(schema)
-  private val bloomId = bloomIdx.map(ids(_))
-
-  private final class Sub(val rel: String, val partVals: Option[Seq[String]]) {
-    val path: Path = Paths.get(base, rel)
-    Files.createDirectories(path.getParent) // executor-side, in case the
-    // driver's mkdir raced or the writer runs on another host's view
-    // CREATE_NEW: a name collision with a committed file must fail the
-    // task, never silently truncate committed data
-    val out: java.io.BufferedWriter = Files.newBufferedWriter(path, UTF_8,
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    var rows = 0L
-    var statMin: Long = Long.MaxValue
-    var statMax: Long = Long.MinValue
-    var statSeen = false
-    // distinct (h1, h2) pairs of the bloom column's non-null values;
-    // the bloom is sized from the distinct count at commit
-    val bloomPairs = scala.collection.mutable.HashSet.empty[(Long, Long)]
-  }
-
-  private val subs =
-    scala.collection.mutable.LinkedHashMap.empty[Seq[String], Sub]
-  private var seq = 0
-
-  private def subFor(record: InternalRow): Sub = {
-    val key: Seq[String] =
-      partWrites.map { case (i, kind, param) =>
-        LedgerSink.encodePartValue(schema.fields(i).dataType,
-          record, i, kind, param)
-      }
-    subs.getOrElseUpdate(key, {
-      val rel = s"_staging/${filePrefix}part-$partitionId-$taskId-$seq.ledger"
-      seq += 1
-      new Sub(rel, if (partWrites.isEmpty) None else Some(key))
-    })
-  }
-
-  override def write(record: InternalRow): Unit = {
-    checks.notNull.foreach { case (i, name) =>
-      if (record.isNullAt(i)) throw new IllegalStateException(
-        s"NOT NULL violation: column $name is null")
-    }
-    violationPreds.foreach { case (name, p) =>
-      if (p.eval(record)) throw new IllegalStateException(
-        s"CHECK constraint '$name' violated by row " +
-          LedgerSink.encodeRow(record, schema))
-    }
-    val sub = subFor(record)
-    sub.out.write(LedgerSink.encodeRow(record, schema))
-    sub.out.write("\n")
-    sub.rows += 1
-    statIdx.foreach { i =>
-      if (!record.isNullAt(i)) {
-        val v = schema.fields(i).dataType match {
-          case LongType => record.getLong(i)
-          case _ => record.getInt(i).toLong
-        }
-        sub.statSeen = true
-        if (v < sub.statMin) sub.statMin = v
-        if (v > sub.statMax) sub.statMax = v
-      }
-    }
-    bloomIdx.foreach { i =>
-      if (!record.isNullAt(i)) {
-        val s = record.getUTF8String(i).toString
-        sub.bloomPairs.add((LedgerSink.bloomHash(s, LedgerSink.BloomSeed1),
-          LedgerSink.bloomHash(s, LedgerSink.BloomSeed2))): Unit
-      }
-    }
-  }
-
-  override def commit(): WriterCommitMessage = {
-    val entries = subs.values.toSeq.map { s =>
-      s.out.close()
-      // the bloom sidecar shares the data file's unique stem, so
-      // attempt-uniqueness carries over; it stages at task commit and
-      // only the committed manifest ever references it
-      val bloomRel = bloomId.filter(_ => s.bloomPairs.nonEmpty).map { fid =>
-        val rel = s.rel.stripSuffix(".ledger") + ".bf"
-        val (m, bits) = LedgerSink.bloomBuild(s.bloomPairs)
-        LedgerSink.writeBloomSidecar(Paths.get(base, rel), m, fid, bits)
-        rel
-      }
-      LedgerSink.FileEntry(s.rel, s.rows,
-        if (s.statSeen) Some(s.statMin) else None,
-        if (s.statSeen) Some(s.statMax) else None,
-        Some(ids), statId, s.partVals, dv = None, bloom = bloomRel)
-    }
-    LedgerCommitMessage(entries)
-  }
-
-  override def abort(): Unit = subs.values.foreach { s =>
-    s.out.close(); Files.deleteIfExists(s.path): Unit
-  }
-  override def close(): Unit = subs.values.foreach(_.out.close())
 }

@@ -3,12 +3,14 @@ package graft
 import graft.llm.Similarity
 
 /** Facility-location coverage selection (`Similarity.coverageSelection`)
-  * replayed imperatively: the relational greedy (anti-join + marginal-
-  * gain agg + struct-min argmax + coverage-update join per round) must
-  * walk the textbook sequential greedy's exact path on the same
-  * nano-quantized integers. A second assertion pins the submodularity
-  * invariant — marginal gains never increase along the selection —
-  * which any bookkeeping bug in the coverage-update join would break.
+  * replayed imperatively: the relational greedy (per round: one
+  * explode + marginal-gain agg over the pivoted per-vector sim map,
+  * with coverage recomputed per row from the broadcast picked ids,
+  * then a budget-grain anti-join + struct-min argmax) must walk the
+  * textbook sequential greedy's exact path on the same nano-quantized
+  * integers. A second assertion pins the submodularity invariant —
+  * marginal gains never increase along the selection — which any
+  * bookkeeping bug in the coverage expression would break.
   */
 class CoverageSelectionSpec extends SparkSpec {
 

@@ -78,7 +78,7 @@ class PipelineSpec extends SparkSpec {
       .toDF("event_id", "campaign_id", "campaign_name", "channel", "date",
         "impressions", "clicks", "conversions", "spend", "revenue_generated")
       .withColumn("date", to_timestamp(col("date")))
-    val out = MarketingRoi.run(mkt).collect()
+    val out = MarketingRoi.run(mkt).orderBy("campaign_id", "date").collect()
     assert(out.length == 2)
     val d1 = out(0)
     assert(d1.getAs[Long]("event_id") == 7L)
@@ -102,7 +102,7 @@ class PipelineSpec extends SparkSpec {
       .withColumn("delivered_time", to_timestamp(col("delivered_time")))
     val out = DeliveryPerformance.run(orders)
       .select("order_id", "delivery_minutes", "delivery_hours", "is_delayed")
-      .as[(String, Long, Double, Int)].collect().toSeq
+      .as[(String, Long, Double, Int)].collect().toSeq.sortBy(_._1)
     assert(out == Seq(("o1", 1800L, 30.0, 1), ("o2", 1200L, 20.0, 0)))
   }
 }

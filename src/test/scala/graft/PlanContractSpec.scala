@@ -380,6 +380,45 @@ class PlanContractSpec extends SparkSpec {
       }
   }
 
+  test("no Sort in any pipeline run() write-path plan") {
+    // run() outputs are what EndToEnd hands to Writers.processed /
+    // Writers.curated; a global orderBy there is a wasted
+    // total-ordering range shuffle at fact grain (the writer inserts
+    // its own REBALANCE exchange, and curated aggs re-shuffle on the
+    // group key anyway). Determinism sorts belong in the
+    // SparkEntry.queries wrappers only. Matches reference 01-05,
+    // which never sort before write.
+    import org.apache.spark.sql.execution.SortExec
+    import graft.etl.Entities
+    import graft.pipelines._
+    val d = sfTiny
+    val producers = Map(
+      "SalesRevenue.run" -> SalesRevenue.run(
+        Entities.orders(spark, d), Entities.orderItems(spark, d),
+        Entities.products(spark, d)),
+      "DeliveryPerformance.run" ->
+        DeliveryPerformance.run(Entities.orders(spark, d)),
+      "MarketingRoi.run" -> MarketingRoi.run(Entities.marketing(spark, d)),
+      "InventoryReconciliation.run" -> InventoryReconciliation.run(
+        Entities.inventoryOld(spark, d), Entities.inventoryNew(spark, d),
+        Entities.products(spark, d)),
+      "CustomerFeedback.enrich" -> CustomerFeedback.enrich(
+        Entities.feedback(spark, d), Entities.customers(spark, d),
+        Entities.orders(spark, d), CustomerFeedback.ratingIcons(spark)))
+    producers.foreach { case (name, df) =>
+      // global sorts only: the dedup windows legitimately sort WITHIN
+      // their hash-partitioned (key) groups, so assert on SortExec
+      // nodes marked global (the range-shuffle-backed kind orderBy
+      // plants), not on every per-partition sort
+      val offenders = df.queryExecution.sparkPlan.collect {
+        case s: SortExec if s.global => s
+      }
+      assert(offenders.isEmpty,
+        s"$name plants a global Sort in the write path:\n" +
+          offenders.mkString("\n"))
+    }
+  }
+
   test("co-bucketed tables join with no Exchange on either side") {
     // the write-side co-location contract: two tables bucketed+sorted
     // the same way must sort-merge-join straight off the scans — an

@@ -63,4 +63,30 @@ class ShortDocSpec extends SparkSpec {
     assert(byId(0L)._1 == 0) // 1 word: zero grams
     assert(byId(4L)._2 > 0.0) // repeated 3-grams detected
   }
+
+  test("topRepeats' exact-dup collapse equals the direct all-docs count") {
+    // this corpus has two byte-identical groups (2=3, 4=5): the
+    // collapsed fan-out (one rep per distinct text, multiplicity-
+    // weighted counts) must reproduce the uncollapsed formulation
+    // exactly — counts, tie-breaks and recovered window text
+    import org.apache.spark.sql.functions._
+    val got = graft.llm.TextAnalysis.topRepeats(spark, dir)
+      .as[(Int, Long, String)].collect().toSeq
+    val docs = graft.io.Tables.documents(spark, dir)
+      .selectExpr("split(trim(lower(text)), '\\\\s+') AS wv")
+    val want = Seq(1, 2, 4, 8, 16, 32, 64).flatMap { l =>
+      val cnts = docs
+        .selectExpr(s"""explode(CASE WHEN size(wv) >= $l
+            THEN transform(sequence(0, size(wv) - $l),
+                           i -> array_join(slice(wv, i + 1, $l), ' '))
+            ELSE array() END) AS t""")
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .orderBy(desc("cnt"), col("t"))
+        .as[(String, Long)].collect().toSeq
+      cnts.headOption.map { case (t, c) => (l, c, t) }
+    }
+    assert(want.exists(_._2 >= 4), "fixture lacks cross-doc repeats — vacuous")
+    assert(got == want, s"collapsed topRepeats diverged:\n got=$got\nwant=$want")
+  }
 }

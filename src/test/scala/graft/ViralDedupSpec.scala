@@ -97,6 +97,44 @@ class ViralDedupSpec extends SparkSpec {
     feats.unpersist()
   }
 
+  test("simhash pairs: viral cluster collapses to simhash-value grain " +
+      "and output equals the all-pairs band-join formulation") {
+    import spark.implicits._
+    // synthetic SIGNATURE relation (the seam skips tokenization): one
+    // 500-member hamming-0 cluster whose members SPAN LANGS (the lang
+    // filter must apply per member pair, not at rep grain), a
+    // neighbor 3 bits away, a neighbor 9 bits away (band-reachable
+    // but over the hamming cut), and a far value
+    val base = 0x12345678L
+    val sims = ((0 until 500).map(i =>
+        (i.toLong, if (i % 5 == 0) "de" else "en", base)) ++ Seq(
+        (1000L, "en", base ^ 0x7L),       // hamming 3: kept
+        (1001L, "en", base ^ 0x1FFL),     // hamming 9: cut
+        (1002L, "en", 0x0FEDCBA9L)))      // far
+      .toDF("doc_id", "lang", "simhash")
+    val got = Dedup.simhashPairsOf(sims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3))).toSet
+    // reference: the pre-collapse all-pairs formulation
+    val naive = sims.as("a").join(sims.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b", "a.lang AS lang",
+        "CAST(bit_count(a.simhash ^ b.simhash) AS INTEGER) AS hamming")
+      .filter(col("hamming") <= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3))).toSet
+    assert(naive.nonEmpty, "fixture produced no pairs — test is vacuous")
+    assert(got == naive,
+      s"collapsed simhash diverged: extra=${(got -- naive).take(5)} " +
+        s"missing=${(naive -- got).take(5)}")
+    // no duplicate emission: disjoint union of expansion + within-group
+    assert(Dedup.simhashPairsOf(sims).count() == naive.size)
+    // the 1001 doc is hamming 9 from the viral cluster (cut there) but
+    // hamming 6 from 1000 — it must pair ONLY with 1000
+    assert(got.filter(p => p._1 == 1001L || p._2 == 1001L)
+      == Set((1000L, 1001L, "en", 6)))
+  }
+
   test("bucketSelfJoinPairs: blocked hot path equals the naive self-join") {
     // one hot key (600 rows) and several cold keys, threshold 64 so the
     // hot path genuinely engages, 4 blocks
