@@ -423,26 +423,82 @@ object Multimodal {
     * [[ahashPairK]] closest image pairs among band-collision
     * candidates, with their exact Hamming distance and the ≤ 8 dup
     * verdict. Candidates come from a (band, value) equi-join — never
-    * an all-pairs product — and the verify is one XOR+popcount per
-    * candidate; at corpus scale this is the whole image-dedup
-    * pipeline: 8 bytes per image in, bounded-occupancy equi-join,
-    * O(1) verify. On this fixture's pseudo-random rasters true dups
-    * don't exist, so the readout is the nearest-pair tail (all
-    * is_dup = 0) — the banding, collision, and verify machinery is
-    * what the oracle locks. */
-  def ahashPairs(spark: SparkSession, dir: String): DataFrame = {
+    * an all-pairs product. On this fixture's pseudo-random rasters
+    * true dups don't exist, so the readout is the nearest-pair tail
+    * (all is_dup = 0) — the banding, collision, and verify machinery
+    * is what the oracle locks.
+    *
+    * Scale shape (r13, after the lane flagged the naive form at 31×
+    * wall and a 2.7 GB per-task hash-agg peak at 10× images): random
+    * hashes make the candidate SET quadratic-ish (that's the
+    * semantics — the oracle counts the same set), but only a
+    * vanishing fraction can reach a top-50 readout, so nothing
+    * quadratic may ever be deduplicated, shuffled, or held in an
+    * aggregate. Three-step exact evaluation, all at (distinct aHash
+    * VALUE) grain off one cut decode pass:
+    *
+    *   1. A streaming Hamming HISTOGRAM over cross-value band
+    *      collisions — map-side combined to ≤ 65 counters, no
+    *      distinct, nothing retained — plus the exact identical-value
+    *      pair mass Σ C(cnt,2).
+    *   2. A cutoff h* = min h with within + cum(h)/9 ≥ K. Band
+    *      multiplicity inflates each value pair ≤ 9×, and a value
+    *      pair expands to ≥ 1 member pair, so true cum count at h* is
+    *      ≥ K — the top K provably lies at hamming ≤ h*.
+    *   3. Re-join with `hamming <= h*` composed INTO the join, so
+    *      only the tail survivors (hundreds, not millions) reach the
+    *      DISTINCT, the member expansion, and the TakeOrderedAndProject.
+    *
+    * Member expansion is bounded by construction: any top-K pair can
+    * only involve a group's K+1 SMALLEST doc_ids (for every pair
+    * touching a later member, the K+1 pairs substituting each smaller
+    * member are strictly (hamming, doc_a, doc_b)-smaller), so groups
+    * keep `slice(sort_array(ids), 1, K+1)` and a viral cluster of
+    * identical images expands to ≤ C(K+1, 2) rows, never C(cnt, 2).
+    * Worst case (pair mass concentrated at one Hamming value) degrades
+    * to the naive candidate volume — never worse than the r12 shape. */
+  def ahashPairs(spark: SparkSession, dir: String): DataFrame =
+    ahashPairsOf(pixelAhash(spark, dir).select("doc_id", "ahash"))
+
+  /** [[ahashPairs]] parameterized by the (doc_id, ahash) relation —
+    * the seam the viral/threshold spec drives with synthetic hash
+    * corpora. */
+  private[graft] def ahashPairsOf(ah: DataFrame): DataFrame = {
     val bandArr = ahashBands.map { case (o, w) =>
       s"(shiftright(ahash, $o) & ${(1 << w) - 1})" }.mkString(", ")
-    val ah = pixelAhash(spark, dir).select("doc_id", "ahash")
-    val banded = ah.selectExpr("doc_id", "ahash",
+    val groups = graft.ops.Checkpoints.cut(
+      ah.groupBy("ahash").agg(
+          count(lit(1)).as("cnt"),
+          expr(s"slice(sort_array(collect_list(doc_id)), 1, ${ahashPairK + 1})")
+            .as("ms")))
+    val banded = groups.selectExpr("ahash",
       s"posexplode(array($bandArr)) AS (band, bval)")
-    val cands = banded.selectExpr("doc_id AS doc_a", "ahash AS ha", "band", "bval")
-      .join(banded.selectExpr("doc_id AS doc_b", "ahash AS hb", "band", "bval"),
+    def crossValues = banded.selectExpr("ahash AS va", "band", "bval")
+      .join(banded.selectExpr("ahash AS vb", "band", "bval"),
         Seq("band", "bval"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb").distinct()
-    cands.selectExpr("doc_a", "doc_b",
-        "CAST(bit_count(ha ^ hb) AS INT) AS hamming")
+      .filter(col("va") < col("vb"))
+      .selectExpr("va", "vb", "CAST(bit_count(va ^ vb) AS INT) AS hamming")
+    val hist = crossValues.groupBy("hamming").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val withinTotal = groups
+      .selectExpr("coalesce(sum(cnt * (cnt - 1) DIV 2), 0L) AS w")
+      .head.getLong(0)
+    val hStar = (0 to 64).find(h =>
+      withinTotal + (0 to h).map(hist.getOrElse(_, 0L)).sum / 9.0
+        >= ahashPairK).getOrElse(64)
+    val cross = crossValues.filter(col("hamming") <= hStar).distinct()
+      .join(groups.selectExpr("ahash AS va", "ms AS ms_a"), Seq("va"))
+      .join(groups.selectExpr("ahash AS vb", "ms AS ms_b"), Seq("vb"))
+      .select(col("hamming"), explode(col("ms_a")).as("a"), col("ms_b"))
+      .select(col("hamming"), col("a"), explode(col("ms_b")).as("b"))
+      .selectExpr("least(a, b) AS doc_a", "greatest(a, b) AS doc_b",
+        "hamming")
+    val within = groups.filter(col("cnt") >= 2)
+      .select(explode(expr("flatten(transform(ms, (x, i) -> " +
+        "transform(slice(ms, i + 2, size(ms)), y -> " +
+        "struct(x AS a, y AS b))))")).as("p"))
+      .selectExpr("p.a AS doc_a", "p.b AS doc_b", "CAST(0 AS INT) AS hamming")
+    within.unionByName(cross)
       .selectExpr("doc_a", "doc_b", "hamming",
         "CASE WHEN hamming <= 8 THEN 1 ELSE 0 END AS is_dup")
       .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b"))

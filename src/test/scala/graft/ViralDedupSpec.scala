@@ -169,4 +169,72 @@ class ViralDedupSpec extends SparkSpec {
     assert(pairs.filter(col("w") =!= pmod(col("doc_a"), lit(2)) * 10).count() == 0)
     assert(pairs.count() == 2L * (50 * 49 / 2))
   }
+
+  // ---- aHash top-k pairs: threshold + collapse exactness ----
+
+  private def naiveAhashTopK(ah: DataFrame): Seq[(Long, Long, Int, Int)] = {
+    // the pre-r13 formulation: doc-grain band join, global distinct,
+    // TakeOrdered — the reference the histogram-threshold + value-
+    // grain collapse must reproduce exactly
+    val a = ah.as("a"); val b = ah.as("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("exists(array(" +
+        (Seq((0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 7),
+          (49, 7), (56, 8)).map { case (o, w) =>
+          s"(shiftright(a.ahash, $o) & ${(1 << w) - 1}) = " +
+            s"(shiftright(b.ahash, $o) & ${(1 << w) - 1})"
+        }.mkString(", ")) + "), x -> x)"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+        "CAST(bit_count(a.ahash ^ b.ahash) AS INT) AS hamming")
+      .selectExpr("doc_a", "doc_b", "hamming",
+        "CASE WHEN hamming <= 8 THEN 1 ELSE 0 END AS is_dup")
+      .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b"))
+      .limit(50)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+  }
+
+  test("ahash top-k: viral identical-image cluster collapses to value " +
+      "grain and equals the all-pairs formulation") {
+    import spark.implicits._
+    // 200 identical hashes (the viral cluster — naive would push
+    // C(200,2)*bands candidates through a distinct), one 3 bits away,
+    // one 9 bits away, a few far values: top-50 is entirely the
+    // cluster's (0, 1..50) hamming-0 pairs, which the 51-smallest-
+    // member cap must reproduce exactly
+    val base = 0x0123456789ABCDEFL
+    val ah = ((0 until 200).map(i => (i.toLong, base)) ++ Seq(
+        (1000L, base ^ 0x7L), (1001L, base ^ 0x1FFL),
+        (1002L, 0x7EDCBA9876543210L), (1003L, 0x0F0F0F0F0F0F0F0FL)))
+      .toDF("doc_id", "ahash")
+    val got = graft.llm.Multimodal.ahashPairsOf(ah)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    val want = naiveAhashTopK(ah)
+    assert(want.forall(_._3 == 0) && want.size == 50, "fixture not viral")
+    assert(got == want,
+      s"collapsed ahash top-k diverged:\n got=${got.take(5)}…\n" +
+        s"want=${want.take(5)}…")
+  }
+
+  test("ahash top-k: histogram threshold is exact on a dup-free corpus " +
+      "whose top-50 sits deep in the hamming tail") {
+    import spark.implicits._
+    // 300 distinct pseudo-random hashes (deterministic LCG) — no dups,
+    // so the cutoff h* must reach deep enough that the top-50 nearest
+    // pairs all survive the in-join hamming cut
+    var x = 88172645463325252L
+    val ah = (0 until 300).map { i =>
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (i.toLong, x)
+    }.toDF("doc_id", "ahash")
+    val got = graft.llm.Multimodal.ahashPairsOf(ah)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    val want = naiveAhashTopK(ah)
+    assert(want.map(_._3).distinct.size > 1, "fixture hamming tail vacuous")
+    assert(got == want,
+      s"threshold ahash top-k diverged:\n got=${got.take(5)}…\n" +
+        s"want=${want.take(5)}…")
+  }
 }
