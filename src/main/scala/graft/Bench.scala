@@ -57,6 +57,12 @@ object Bench {
     // self-identifies instead of needing manual prose adjudication,
     // and round-over-round comparisons can normalize on it.
     def sentinel(): (Double, Double) = {
+      // unrecorded warm-up fold first: the session's first codegen'd
+      // job pays JIT + codegen compilation, which inflated the start-
+      // edge probe 2-30x over the end-edge one on an IDLE box — the
+      // probe must measure the host, not the JVM's cold start
+      spark.range(0, 20000000L, 1, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS s").collect(): Unit
       val c0 = System.nanoTime()
       // bit_xor, not sum: summing 200M 64-bit hashes overflows Long
       // under ANSI semantics (measured, stage-0 crash); xor folds the

@@ -94,6 +94,43 @@ object EndToEnd {
       .schema(schema).csv(s"$raw/$name")
   }
 
+  /** The seven raw CSV relations the five jobs consume, PERSISTED for
+    * the jobs' duration: orders and products feed two jobs each and
+    * the inventory glob is read twice (provenance split), so without
+    * the persist the concurrent jobs parse the same CSV bytes up to
+    * three times — measured as ~2-3 s of the composite at sf0.1, and
+    * at cluster scale it is raw-zone re-scan traffic the reference's
+    * staged S3 reads would also pay only once per job run. Lazy
+    * persist keeps the jobs' concurrency (first action materializes,
+    * the rest reuse blocks); callers unpersist via [[RawRelations.release]]
+    * once the zones are written. */
+  private case class RawRelations(orders: DataFrame, items: DataFrame,
+      products: DataFrame, customers: DataFrame, feedback: DataFrame,
+      marketing: DataFrame, invOld: DataFrame, invNew: DataFrame,
+      handles: Seq[DataFrame]) {
+    def release(): Unit = handles.foreach(_.unpersist(blocking = false))
+  }
+
+  private def rawRelations(spark: SparkSession, dir: String,
+      raw: String): RawRelations = {
+    def e(n: String) = readEntity(spark, dir, raw, n).persist()
+    val orders = e("orders"); val items = e("order_items")
+    val products = e("products"); val customers = e("customers")
+    val feedback = e("feedback"); val marketing = e("marketing")
+    // Generation split on file provenance (P6, 05:39-45).
+    val invSchema = Entities.inventoryOld(spark, dir).schema
+    val invAll = Readers
+      .csvWithProvenance(spark, invSchema, s"$raw/inventory/*/*.csv")
+      .persist()
+    val invOld = invAll.filter(!col("source_file").contains("inventoryNew"))
+      .drop("source_file")
+    val invNew = invAll.filter(col("source_file").contains("inventoryNew"))
+      .drop("source_file")
+    RawRelations(orders, items, products, customers, feedback, marketing,
+      invOld, invNew,
+      Seq(orders, items, products, customers, feedback, marketing, invAll))
+  }
+
   /** Zone/query summary digests — every one an exact integer so the
     * composition is hash-checkable end to end. */
   private val zoneDigests: Seq[(String, String)] = Seq(
@@ -143,19 +180,9 @@ object EndToEnd {
 
     // Raw reads with declared schemas (S1) — the five jobs below
     // consume ONLY these CSV relations, exactly like the Glue jobs.
-    val orders = readEntity(spark, dir, raw, "orders")
-    val items = readEntity(spark, dir, raw, "order_items")
-    val products = readEntity(spark, dir, raw, "products")
-    val customers = readEntity(spark, dir, raw, "customers")
-    val feedback = readEntity(spark, dir, raw, "feedback")
-    val marketing = readEntity(spark, dir, raw, "marketing")
-    // Generation split on file provenance (P6, 05:39-45).
-    val invSchema = Entities.inventoryOld(spark, dir).schema
-    val invAll = Readers.csvWithProvenance(spark, invSchema, s"$raw/inventory/*/*.csv")
-    val invOld = invAll.filter(!col("source_file").contains("inventoryNew"))
-      .drop("source_file")
-    val invNew = invAll.filter(col("source_file").contains("inventoryNew"))
-      .drop("source_file")
+    val rels = rawRelations(spark, dir, raw)
+    import rels.{orders, items, products, customers, feedback, marketing,
+      invOld, invNew}
 
     // A generic daily-batch basename matches no routing substring, so
     // it routes to ALL five jobs (lambda:44-53 default branch); each
@@ -209,6 +236,7 @@ object EndToEnd {
             Catalog.registerExternalUnpartitioned(spark, s"e2e_$z", zonePath(z))
         }
       })
+    rels.release() // zones are written; the raw parses are done with
     val failed = results.filterNot(_.succeeded)
     if (failed.nonEmpty || !crawl.contains("succeeded"))
       throw new IllegalStateException(
@@ -255,18 +283,9 @@ object EndToEnd {
     zones.foreach(z =>
       graft.sources.LedgerLifecycle.deleteRecursively(tPath(z).toString))
 
-    val orders = readEntity(spark, dir, raw, "orders")
-    val items = readEntity(spark, dir, raw, "order_items")
-    val products = readEntity(spark, dir, raw, "products")
-    val customers = readEntity(spark, dir, raw, "customers")
-    val feedback = readEntity(spark, dir, raw, "feedback")
-    val marketing = readEntity(spark, dir, raw, "marketing")
-    val invSchema = Entities.inventoryOld(spark, dir).schema
-    val invAll = Readers.csvWithProvenance(spark, invSchema, s"$raw/inventory/*/*.csv")
-    val invOld = invAll.filter(!col("source_file").contains("inventoryNew"))
-      .drop("source_file")
-    val invNew = invAll.filter(col("source_file").contains("inventoryNew"))
-      .drop("source_file")
+    val rels = rawRelations(spark, dir, raw)
+    import rels.{orders, items, products, customers, feedback, marketing,
+      invOld, invNew}
 
     // each job CREATES its empty curated table (v1) then STAGES the
     // rows under wapId w1 — no version advances until publish
@@ -301,6 +320,7 @@ object EndToEnd {
           stageWap("curated_product_inventory_discrepancies",
             Aggregations.productInventoryDiscrepancies(recon))
       } { _ => () } // the catalog IS the crawler here: path-convention tables
+    rels.release() // staged; the raw parses are done with
     val failed = results.filterNot(_.succeeded)
     if (failed.nonEmpty || !crawl.contains("succeeded"))
       throw new IllegalStateException(
