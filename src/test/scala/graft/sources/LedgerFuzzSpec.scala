@@ -62,6 +62,10 @@ class LedgerFuzzSpec extends graft.SparkSpec {
     var nextKey = 0L
     var nextCol = 0
     val log = scala.collection.mutable.Buffer[String]()
+    // version → (schema cols, row multiset) at the time the version
+    // was current; last write wins (same version ⇒ same contents)
+    val snaps = scala.collection.mutable.LinkedHashMap[
+      Int, (Vector[Col], Vector[Vector[Any]])]()
 
     def keyName: String = cols.head.name
     def colIdx(name: String): Int = cols.indexWhere(_.name == name)
@@ -147,7 +151,31 @@ class LedgerFuzzSpec extends graft.SparkSpec {
       s"contents diverged after [$op]\n extra=${(g.toSet -- w.toSet).take(5)}\n" +
         s" missing=${(w.toSet -- g.toSet).take(5)}\n" +
         s"ops:\n  ${m.log.mkString("\n  ")}")
+    m.snaps(LedgerSink.currentVersion(m.dir)) = (m.cols, m.rows)
   }
+
+  /** Snapshot immutability: every version that was ever current must
+    * re-read EXACTLY its recorded state after all later ops — row-level
+    * deletes (DV sidecars), file-rewriting OPTIMIZE, vacuum at both
+    * horizons, schema evolution and branch traffic included. Each
+    * version reads under ITS schema (id-based binding), so the
+    * recorded column set is part of the pin. */
+  private def checkTimeTravel(m: Model): Unit =
+    m.snaps.foreach { case (v, (cols, rows)) =>
+      val got = spark.sql(s"SELECT * FROM ${m.table} VERSION AS OF $v")
+      assert(got.schema.fieldNames.toVector == cols.map(_.name),
+        s"v$v schema names diverged: ${got.schema.fieldNames.toVector} " +
+          s"vs ${cols.map(_.name)}\nops:\n  ${m.log.mkString("\n  ")}")
+      val g = got.collect()
+        .map(r => Vector.tabulate(r.length)(i => r.get(i)))
+        .groupBy(identity).map { case (k, x) => k -> x.length }
+      val w = rows.groupBy(identity).map { case (k, x) => k -> x.size }
+      assert(g == w,
+        s"v$v contents diverged after later ops\n" +
+          s" extra=${(g.toSet -- w.toSet).take(5)}\n" +
+          s" missing=${(w.toSet -- g.toSet).take(5)}\n" +
+          s"ops:\n  ${m.log.mkString("\n  ")}")
+    }
 
   // ---- ops ----
 
@@ -324,6 +352,7 @@ class LedgerFuzzSpec extends graft.SparkSpec {
         else opSpecEvolution(m, rnd)
       check(m, s"#$i $op")
     }
+    checkTimeTravel(m)
     spark.sql(s"DROP TABLE fuzz_cat.fz.t$seed")
   }
 
@@ -333,5 +362,10 @@ class LedgerFuzzSpec extends graft.SparkSpec {
 
   test("op-sequence fuzz, seed 2: model equivalence after every op") {
     drive(seed = 2L, nOps = 40)
+  }
+
+  test("op-sequence fuzz, seed 3 (long): model equivalence + snapshot " +
+      "immutability over a 60-op history") {
+    drive(seed = 3L, nOps = 60)
   }
 }
