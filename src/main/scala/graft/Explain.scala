@@ -42,6 +42,11 @@ object Explain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_CACHE=true replicates the bench session's
+      // PlanCache confs so captured plans match the bench path
+      // (persisted shared prefixes) instead of the cold verify path.
+      .config("spark.graft.cachePrefixes",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

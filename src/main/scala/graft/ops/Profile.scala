@@ -64,8 +64,41 @@ object Profile {
     val stackArgs = cols.zipWithIndex.map { case ((c, kind), i) =>
       s"'$c', '${basis(kind)}', nn_$i, nd_$i, mn_$i, mx_$i"
     }.mkString(", ")
-    Tables.lineitem(spark, dir)
-      .selectExpr(aggExprs(SparkD): _*)
+    // Multi-column count(DISTINCT) in ONE aggregate plans as an
+    // Expand: every input row is replicated once per distinct column
+    // (11 columns = 12x rows, all 11 source columns wide) before the
+    // shuffle — measured 48 MB shuffled and the query's whole cost at
+    // sf0.1, and at 100 TB it is an 11x row multiplication of the
+    // scan stream. Decomposed instead into (a) one full-width pass
+    // for every non-distinct stat (count/nulls/min/max partial-agg
+    // map-side to a single row) and (b) one single-distinct branch
+    // per column, each of which plans Expand-free as a two-level hash
+    // agg over a scan COLUMN-PRUNED to that one column (the partial
+    // agg dedups map-side, so the shuffle carries distinct values,
+    // not rows). The 11 one-row results broadcast back onto the base
+    // row; values are identical by construction, and the branches are
+    // independent jobs the scheduler overlaps.
+    val li = Tables.lineitem(spark, dir)
+    // the distinct branches read the RAW scan (no spread): their
+    // partial agg groups by the column value right on the scan task,
+    // so the only exchange they pay carries DISTINCT VALUES — the
+    // spread's round-robin exchange would re-shuffle all rows per
+    // branch (measured: it kept the full 48 MB shuffle the Expand
+    // removal was supposed to drop)
+    val liRaw = Tables.table(spark, dir, "lineitem")
+    val baseAggs = Seq("CAST(count(*) AS BIGINT) AS n_rows") ++
+      cols.zipWithIndex.flatMap { case ((c, kind), i) =>
+        val ord = ordExpr(c, kind, SparkD)
+        Seq(
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$i",
+          s"min($ord) AS mn_$i", s"max($ord) AS mx_$i")
+      }
+    val withNd = cols.zipWithIndex.foldLeft(li.selectExpr(baseAggs: _*)) {
+      case (acc, ((c, _), i)) =>
+        acc.crossJoin(org.apache.spark.sql.functions.broadcast(
+          liRaw.selectExpr(s"CAST(count(DISTINCT $c) AS BIGINT) AS nd_$i")))
+    }
+    withNd
       .selectExpr("n_rows",
         s"stack(${cols.size}, $stackArgs) AS " +
           "(column_name, basis, n_null, n_distinct, min_ord, max_ord)")

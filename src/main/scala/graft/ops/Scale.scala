@@ -309,8 +309,13 @@ object Scale {
       order: Seq[Column], out: String): DataFrame = {
     val rk = s"__rank_$out"
     val nc = s"__n_$out"
-    globalRank(df, buckets, order, rk)
-      .join(broadcast(df.agg(count(lit(1)).as(nc))))
+    // n rides orderedPrefixSum's totalOut (the full-frame sum of the
+    // per-bucket row counts) instead of a separate df.agg(count) —
+    // that agg was a THIRD reference to df's lineage, and nested
+    // ntile calls (RFM's three) compounded the re-planned/re-executed
+    // subtree geometrically (3^k vs 2^k copies; measured as a
+    // 316-Exchange physical plan on rfm_customer_scores).
+    orderedPrefixSum(df, buckets, order, lit(1L), rk, totalOut = Some(nc))
       .withColumn(out, ntileFromRank(k, rk, nc))
       .drop(rk, nc)
   }

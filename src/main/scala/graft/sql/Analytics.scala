@@ -45,23 +45,34 @@ object Analytics {
   private[graft] def rfmScores(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache(spark, "rfm_scores", dir) {
       import graft.ops.Scale
+      // Each withNtile references its input TWICE (bucket totals +
+      // join-back), so the three chained scores re-executed the
+      // previous level's windows 2x/4x and the orders rollup 8x in
+      // one materialization (measured: a 316-Exchange physical plan).
+      // persist() per level lets the CacheManager substitute ONE
+      // InMemoryRelation for every repeated subtree, so each score
+      // pass runs exactly once — while the ANALYZED plan (and with it
+      // the rfm_column_lineage provenance walk, which a lineage CUT
+      // would blind) is untouched. Customer-grain rows only.
       val base = t(spark, dir, "orders")
         .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS od",
           "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
         .groupBy("o_custkey")
         .agg(max("od").as("last_order"), count(lit(1)).as("n_orders"),
           sum("price_c").as("monetary_c"))
+        .persist()
       val anchored = base
         .join(broadcast(base.agg(max("last_order").as("anchor"))))
         .selectExpr("o_custkey AS custkey",
           "datediff(anchor, last_order) AS recency_days",
           "n_orders", "monetary_c")
+        .persist()
       val r = Scale.withNtile(anchored, 5,
         Seq(expr("-recency_days"), expr("custkey DIV 65536")),
-        Seq(desc("recency_days"), asc("custkey")), "r_score")
+        Seq(desc("recency_days"), asc("custkey")), "r_score").persist()
       val f = Scale.withNtile(r, 5,
         Seq(col("n_orders"), expr("custkey DIV 65536")),
-        Seq(asc("n_orders"), asc("custkey")), "f_score")
+        Seq(asc("n_orders"), asc("custkey")), "f_score").persist()
       Scale.withNtile(f, 5,
         Seq(expr("monetary_c DIV 4194304")),
         Seq(asc("monetary_c"), asc("custkey")), "m_score")

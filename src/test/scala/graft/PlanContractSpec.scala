@@ -119,13 +119,19 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("approx profile plan avoids the Expand the exact profile pays") {
-    // Exact multi-count(DISTINCT) duplicates the scan stream per
-    // distinct column (Expand ×11); the HLL profile is one plain
-    // partial agg — the documented 100 TB swap, now a plan contract.
+    // Exact multi-count(DISTINCT) in ONE aggregate plans as an Expand
+    // that duplicates the scan stream per distinct column (x12 rows,
+    // full width). The HLL profile was always one plain partial agg;
+    // since the r13 optimization round the EXACT profile also avoids
+    // Expand by decomposing into one non-distinct pass plus one
+    // single-distinct branch per column (each column-pruned at the
+    // scan) — both plans are now Expand-free, and that IS the
+    // contract.
     val approx = graft.ops.Profile.tableProfileApprox(spark, sfTiny)
       .queryExecution.executedPlan.toString
     assert(!approx.contains("Expand"), "approx profile should not Expand")
-    assert(plan("table_profile").contains("Expand"))
+    assert(!plan("table_profile").contains("Expand"),
+      "exact profile should decompose distinct counts, not Expand")
     // And the audited form stays within its published 4-sigma band at
     // fixture scale (flags all 1).
     val audit = graft.ops.Profile.tableProfileApproxAudit(spark, sfTiny)
