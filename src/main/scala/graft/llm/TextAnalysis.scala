@@ -1310,17 +1310,29 @@ object TextAnalysis {
     * actually uses. Windows are md5-hashed so shuffle rows stay
     * narrow; counts are exact integers. */
   def repeatSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    // r13 optimization: the window fan used to md5 an array_join of
+    // STRING slices — ~sum(L)=127 token-string copies plus a joined
+    // string build per position. Windows now slice a per-token
+    // xxhash64 LONG array (8-byte copies) and key the count on a
+    // 96-bit combined hash (xxhash64 + murmur3 of the same long
+    // slice): n_distinct is an output here, so a 64-bit key alone
+    // would be too collision-prone at corpus scale, while 96 bits
+    // keeps the expected collision count << 1 even at 1e12 windows —
+    // the same order of by-construction reliance the md5 key already
+    // made (2^-128 vs 2^-96 per pair, both ≈ 0 at fixture scale where
+    // the oracle compares exactly).
     val arrs = repeatLens.map { l =>
-      s"""CASE WHEN size(wv) >= $l THEN transform(sequence(0, size(wv) - $l),
-            i -> named_struct('len', $l,
-              'h', md5(array_join(slice(wv, i + 1, $l), ' '))))
+      s"""CASE WHEN size(hv) >= $l THEN transform(sequence(0, size(hv) - $l),
+            i -> named_struct('len', $l, 'a', slice(hv, i + 1, $l)))
           ELSE array() END"""
     }.mkString("concat(", ", ", ")")
+    val hv = let1(words("lower(text)", SparkD), "wv",
+      "transform(wv, t -> xxhash64(t))")
     val windows = Tables.documents(spark, dir)
-      .selectExpr(s"${let1(words("lower(text)", SparkD), "wv", arrs)} AS ws")
+      .selectExpr(s"${let1(hv, "hv", arrs)} AS ws")
       .select(explode(col("ws")).as("w"))
-      .select(col("w.len").as("len"), col("w.h").as("h"))
-    windows.groupBy("len", "h").agg(count(lit(1)).as("cnt"))
+      .selectExpr("w.len AS len", "xxhash64(w.a) AS h", "hash(w.a) AS h2")
+    windows.groupBy("len", "h", "h2").agg(count(lit(1)).as("cnt"))
       .groupBy("len")
       .agg(sum("cnt").as("n_windows"),
         count(lit(1)).as("n_distinct"),
@@ -1395,20 +1407,33 @@ object TextAnalysis {
     // window shuffle carries its windows ONCE, not k times — the
     // repeated-mass blowup the sf1.0 lane measured (4.3× wall at 10×
     // data with 5× byte-identical copies) was exactly this.
+    // r13 optimization: windows hash LONG slices of a per-token
+    // xxhash64 array instead of string-array slices — the 7-length
+    // fan used to copy ~sum(L)=127 token STRINGS per position; now it
+    // copies 8-byte longs. Counts are unchanged (equal token windows
+    // give equal hash arrays), and the engine-side hash stays
+    // invisible to the oracle exactly as before: h never reaches the
+    // output, and the existing reliance on xxhash64 being
+    // collision-free over the window space already subsumes the
+    // token-level reuse. (A min-struct single-pass collapse was
+    // measured and REJECTED: aggregating a text-carrying struct
+    // forces SortAggregate — var-length buffers can't hash-agg — and
+    // cost +3 s over the narrow group + join-back.)
     val docs = Tables.documents(spark, dir)
     val groups = docs.selectExpr("md5(text) AS fp", "doc_id")
       .groupBy("fp").agg(min("doc_id").as("doc_id"), count(lit(1)).as("k"))
     val fanDocs = docs.join(groups.select("doc_id", "k"), Seq("doc_id"))
     val arrs = repeatLens.map { l =>
-      s"""CASE WHEN size(wv) >= $l THEN transform(sequence(0, size(wv) - $l),
-            i -> named_struct('len', $l, 'pos', i, 'a', slice(wv, i + 1, $l)))
+      s"""CASE WHEN size(hv) >= $l THEN transform(sequence(0, size(hv) - $l),
+            i -> named_struct('len', $l, 'pos', i, 'h', xxhash64(slice(hv, i + 1, $l))))
           ELSE array() END"""
     }.mkString("concat(", ", ", ")")
+    val hv = let1(words("lower(text)", SparkD), "wv",
+      "transform(wv, t -> xxhash64(t))")
     val windows = fanDocs
-      .selectExpr("doc_id", "k",
-        s"${let1(words("lower(text)", SparkD), "wv", arrs)} AS ws")
+      .selectExpr("doc_id", "k", s"${let1(hv, "hv", arrs)} AS ws")
       .select(col("doc_id"), col("k"), explode(col("ws")).as("w"))
-      .selectExpr("w.len AS len", "xxhash64(w.a) AS h", "k",
+      .selectExpr("w.len AS len", "w.h AS h", "k",
         "named_struct('doc_id', doc_id, 'pos', w.pos) AS rep")
     val cnts = windows.groupBy("len", "h")
       .agg(sum(col("k")).as("cnt"), min(col("rep")).as("rep"))
