@@ -700,15 +700,21 @@ object LanguageModel {
     * scores differ by ≥ 64 after scaling and the piece count ≤ 16
     * can never flip an order; both engines unpack with the same
     * truncated-% arithmetic on negative values). */
-  private def uniTypes(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Checkpoints
-    Tables.documents(spark, dir)
-      .select(explode(expr(words("lower(text)", SparkD))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("wf"))
-      .filter(s"length(word) BETWEEN 1 AND $uniMaxLen")
-      .selectExpr("word", "wf", "CAST(length(word) AS INT) AS len")
-      .transform(Checkpoints.cut)
-  }
+  // uniTypes/uniVocab/emUsedCounts carry eager lineage cuts, so every
+  // CALL materializes (viterbi, em_step, prune_iter and the forward
+  // cache each re-derived the word-type table per query). Session-
+  // cached like the other staged relations; Verify still measures the
+  // cold path (PlanCache off there).
+  private def uniTypes(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "uni_types", dir) {
+      import graft.ops.Checkpoints
+      Tables.documents(spark, dir)
+        .select(explode(expr(words("lower(text)", SparkD))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wf"))
+        .filter(s"length(word) BETWEEN 1 AND $uniMaxLen")
+        .selectExpr("word", "wf", "CAST(length(word) AS INT) AS len")
+        .transform(Checkpoints.cut)
+    }
 
   /** Piece vocabulary with counts AND nano log-probs (see
     * [[unigramViterbi]] doc for the seeding rule). */
@@ -738,19 +744,35 @@ object LanguageModel {
     * again). */
   private def uniForward(types: DataFrame, vocab: DataFrame): DataFrame = {
     import graft.ops.Checkpoints
+    // r13 optimization: the per-position piece lookups used to be up
+    // to FOUR broadcast hash joins per round — and because every
+    // round is lineage-cut, none of those 64 broadcast builds could
+    // be reused across rounds (measured: the 16-round chain was
+    // ~4.5 s of job latency at sf0.1). The vocabulary is folded ONCE
+    // into a one-row piece→lnp_nano map relation (itself cut, so the
+    // per-round broadcast build is a 1-row collect) and each round
+    // attaches it with one trivial cross-join; lookups become
+    // element_at expressions — NULL on a missing key, exactly the
+    // left-outer join's semantics, so every DP value is unchanged.
+    // The map is vocabulary-sized (the same bound the broadcast hash
+    // relations already assumed).
+    val vmapRel = Checkpoints.cut(vocab.agg(
+      org.apache.spark.sql.functions.map_from_entries(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(
+            col("piece"), col("lnp_nano")))).as("vmap")))
     var dp = types.selectExpr("word", "wf", "len",
       "CAST(0 AS BIGINT) AS pm1", "CAST(NULL AS BIGINT) AS pm2",
       "CAST(NULL AS BIGINT) AS pm3", "CAST(NULL AS BIGINT) AS pm4",
       "CAST(NULL AS BIGINT) AS best_final")
     for (i <- 1 to uniMaxLen) {
-      var r = dp
       val ls = (1 to uniMaxPiece).filter(_ <= i)
-      ls.foreach { l =>
-        r = r.withColumn(s"qp_$l", expr(s"substr(word, ${i - l + 1}, $l)"))
-          .join(broadcast(vocab.selectExpr(s"piece AS v_piece_$l",
-            s"lnp_nano AS lnp_$l")),
-            col(s"qp_$l") === col(s"v_piece_$l"), "left_outer")
-      }
+      // two-stage projection inside the round: lnp_l columns first
+      // (each map probe evaluated once), then the CASE tree over them
+      // — the same column boundary the joins used to provide
+      val r = dp.crossJoin(broadcast(vmapRel))
+        .selectExpr(Seq("*") ++ ls.map(l =>
+          s"element_at(vmap, substr(word, ${i - l + 1}, $l)) AS lnp_$l"): _*)
       val terms = ls.map(l =>
         s"coalesce(pm$l + 64 * lnp_$l - 1, CAST($uniSentinel AS BIGINT))")
       val best = if (terms.size == 1) terms.head
@@ -777,7 +799,17 @@ object LanguageModel {
   private def uniForwardCached(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache(spark, "uni_forward", dir) {
       val types = uniTypes(spark, dir)
-      uniForward(types, uniVocab(types))
+      uniForward(types, uniVocabCached(spark, dir))
+    }
+
+  private def uniVocabCached(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "uni_vocab", dir) {
+      uniVocab(uniTypes(spark, dir))
+    }
+
+  private def emUsedCountsCached(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "uni_em_used", dir) {
+      emUsedCounts(uniForwardCached(spark, dir))
     }
 
   def unigramViterbi(spark: SparkSession, dir: String): DataFrame = {
@@ -879,8 +911,8 @@ object LanguageModel {
   }
 
   def unigramEmStep(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = uniVocab(uniTypes(spark, dir))
-    val used = emUsedCounts(uniForwardCached(spark, dir))
+    val vocab = uniVocabCached(spark, dir)
+    val used = emUsedCountsCached(spark, dir)
     val total = used.agg(sum("em_count").as("em_tot"))
     vocab
       .join(used, Seq("piece"), "left_outer")
@@ -1034,14 +1066,15 @@ object LanguageModel {
     * word-type / vocabulary grain; the corpus is touched once. */
   def unigramPruneIter(spark: SparkSession, dir: String): DataFrame = {
     val types = uniTypes(spark, dir)
-    val vocab1 = uniVocab(types)
+    val vocab1 = uniVocabCached(spark, dir)
     val fwd1 = uniForwardCached(spark, dir)
-    val used = emUsedCounts(fwd1)
-    val vocab2 = used
+    val used = emUsedCountsCached(spark, dir)
+    val vocab2 = graft.PlanCache(spark, "uni_vocab2", dir) { used
       .join(broadcast(used.agg(sum("em_count").as("emt"))))
       .selectExpr("piece",
         "CAST(round(ln(CAST(em_count AS DOUBLE) / CAST(emt AS DOUBLE)) * 1e9) AS BIGINT) AS lnp_nano")
       .transform(graft.ops.Checkpoints.cut)
+    }
     // second 16-round DP pass under the pruned vocab: deterministic
     // per fixture dir, so session-cache it like uni_forward — the
     // iteration latency (an eager lineage cut per round) is the cost,

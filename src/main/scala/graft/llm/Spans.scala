@@ -53,8 +53,15 @@ object Spans {
       .selectExpr("doc_id", "n", "i",
         s"md5(concat_ws(chr(1), slice(w, i, $L))) AS h")
 
+  // Session-cached like the other staged prefixes: the span family
+  // re-derives this stream up to three times PER QUERY (fresh plan
+  // instances around Spark's ambiguous-self-join guard) and five
+  // queries consume it; position-grain but narrow (doc_id, n, i, h).
+  // Verify still measures the cold path (PlanCache off there).
   private def windows(spark: SparkSession, dir: String): DataFrame =
-    windowsOf(Tables.documents(spark, dir))
+    graft.PlanCache(spark, "span_windows", dir) {
+      windowsOf(Tables.documents(spark, dir))
+    }
 
   /** Duplicated-span table: every window hash occurring in ≥2 distinct
     * documents, with occurrence counts. */
