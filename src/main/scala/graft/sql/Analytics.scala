@@ -503,14 +503,17 @@ object Analytics {
     * degenerate cross join that is free at any scale. */
   def brandAssociationRules(spark: SparkSession, dir: String): DataFrame = {
     val ob = Extras.orderBrands(spark, dir)
-    val nBaskets = ob.agg(
-      countDistinct(col("l_orderkey")).as("n_baskets"))
+    val nBaskets = Extras.orderBrandSets(spark, dir).agg(
+      count(lit(1)).cast("long").as("n_baskets"))
     val brandN = ob.groupBy("p_brand")
       .agg(count(lit(1)).as("n_brand"))
-    val pairs = ob.selectExpr("l_orderkey", "p_brand AS antecedent")
-      .join(ob.selectExpr("l_orderkey AS ok2", "p_brand AS consequent"),
-        col("l_orderkey") === col("ok2") &&
-          col("antecedent") =!= col("consequent"))
+    // directed pairs (a ≠ b) = the undirected a<b pair stream emitted
+    // both ways — one array explode over the shared per-order sets
+    // instead of the ob⋈ob self-join (identical multiset of pairs:
+    // orderBrands is distinct per (order, brand))
+    val undirected = Extras.orderBrandPairs(spark, dir)
+    val pairs = undirected.selectExpr("a AS antecedent", "b AS consequent")
+      .unionAll(undirected.selectExpr("b AS antecedent", "a AS consequent"))
       .groupBy("antecedent", "consequent")
       .agg(count(lit(1)).as("n_ab"))
       .filter("n_ab >= 3")

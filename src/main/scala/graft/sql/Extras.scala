@@ -246,16 +246,38 @@ object Extras {
         .distinct()
     }
 
-  def brandCopurchase(spark: SparkSession, dir: String): DataFrame = {
-    val ob = orderBrands(spark, dir)
-    ob.selectExpr("l_orderkey", "p_brand AS brand_a")
-      .join(ob.selectExpr("l_orderkey AS ok2", "p_brand AS brand_b"),
-        col("l_orderkey") === col("ok2") && col("brand_a") < col("brand_b"))
+  /** Per-order SORTED distinct-brand array — the shared base the
+    * basket-analysis queries (copurchase, association rules, triples)
+    * derive their pair streams from. One shuffle builds it; pair
+    * generation becomes an array-combination EXPLODE instead of an
+    * ob⋈ob self-join (two shuffles + a sort-merge per query). The
+    * array is strictly increasing (orderBrands is distinct), so
+    * i<j combinations ARE the a<b pairs. Bounded: a basket holds at
+    * most |brand domain| entries, the same bound the self-join's
+    * per-key fan-out already had. */
+  private[sql] def orderBrandSets(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "order_brand_sets", dir) {
+      orderBrands(spark, dir).groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("p_brand"))).as("bs"))
+    }
+
+  /** (l_orderkey, a, b) with a < b — the undirected pair stream, one
+    * explode over [[orderBrandSets]]. */
+  private[sql] def orderBrandPairs(spark: SparkSession, dir: String): DataFrame =
+    orderBrandSets(spark, dir)
+      .selectExpr("l_orderkey",
+        """explode(flatten(transform(bs, (x, i) ->
+             transform(slice(bs, i + 2, size(bs)), y ->
+               named_struct('a', x, 'b', y))))) AS p""")
+      .selectExpr("l_orderkey", "p.a AS a", "p.b AS b")
+
+  def brandCopurchase(spark: SparkSession, dir: String): DataFrame =
+    orderBrandPairs(spark, dir)
+      .selectExpr("a AS brand_a", "b AS brand_b")
       .groupBy("brand_a", "brand_b")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(desc("n_orders"), asc("brand_a"), asc("brand_b"))
       .limit(20)
-  }
 
   val brandCopurchaseOracle: String =
     """WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
@@ -284,15 +306,15 @@ object Extras {
     * operator is scale-invariant. */
   def brandTriples(spark: SparkSession, dir: String): DataFrame = {
     val ob = orderBrands(spark, dir)
-    val tot = ob.select("l_orderkey").distinct()
+    // n_total = distinct orders = one row per basket in the sets
+    // relation (same value as the old ob-distinct-count, one agg over
+    // the cached sets instead of a re-distinct of ob)
+    val tot = orderBrandSets(spark, dir)
       .agg(count(lit(1)).as("n_total"))
       .selectExpr("n_total", "greatest(CAST(5 AS BIGINT), n_total DIV 200) AS min_sup")
     // checkpoint: the pair stream feeds BOTH the L2 count and the
-    // triple expansion — without it the self-join runs twice
-    val pairsRaw = ob.selectExpr("l_orderkey", "p_brand AS a")
-      .join(ob.selectExpr("l_orderkey AS ok2", "p_brand AS b"),
-        col("l_orderkey") === col("ok2") && col("a") < col("b"))
-      .select("l_orderkey", "a", "b")
+    // triple expansion — without it the pair explode runs twice
+    val pairsRaw = orderBrandPairs(spark, dir)
       .transform(graft.ops.Checkpoints.cut)
     val l2 = pairsRaw.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
       .crossJoin(broadcast(tot)).filter(col("n_pair") >= col("min_sup"))
