@@ -72,18 +72,26 @@ object Chunking {
           FROM cuts c JOIN documents d ON c.doc_id = d.doc_id)"""
   }
 
+  /** Unsorted chunk relation — session-cached (r13): four registered
+    * queries (chunks/savings/shared + the cross-tier savings ledger)
+    * each re-ran the native boundary scan and the per-doc windows.
+    * Verify still measures the cold path (PlanCache off there). */
+  private def chunkRel(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "cdc_chunks", dir) {
+      sparkCuts(spark, dir)
+        .selectExpr("doc_id", "text",
+          "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS chunk_idx",
+          "CAST(coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1 AS BIGINT) AS chunk_start",
+          "pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS chunk_len")
+        .selectExpr("doc_id", "chunk_idx", "chunk_start",
+          "CAST(chunk_len AS INTEGER) AS chunk_len",
+          "md5(substr(text, CAST(chunk_start AS INTEGER), chunk_len)) AS chunk_md5")
+    }
+
   /** The chunk table: (doc_id, chunk_idx, chunk_start, chunk_len,
     * chunk_md5), chunks tiling each document exactly. */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame =
-    sparkCuts(spark, dir)
-      .selectExpr("doc_id", "text",
-        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS chunk_idx",
-        "CAST(coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1 AS BIGINT) AS chunk_start",
-        "pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS chunk_len")
-      .selectExpr("doc_id", "chunk_idx", "chunk_start",
-        "CAST(chunk_len AS INTEGER) AS chunk_len",
-        "md5(substr(text, CAST(chunk_start AS INTEGER), chunk_len)) AS chunk_md5")
-      .orderBy("doc_id", "chunk_idx")
+    chunkRel(spark, dir).orderBy("doc_id", "chunk_idx")
 
   val cdcChunksOracle: String =
     s"""WITH $oracleCutsCtes
@@ -99,7 +107,7 @@ object Chunking {
     * reports for a chunked content-addressable store; the distinct-
     * chunk accounting is one hash agg on the fingerprint key. */
   def cdcSavings(spark: SparkSession, dir: String): DataFrame =
-    cdcChunks(spark, dir)
+    chunkRel(spark, dir)
       .groupBy("chunk_md5", "chunk_len")
       .agg(count(lit(1)).as("n_occ"))
       .agg(
@@ -131,7 +139,7 @@ object Chunking {
     * than one document, ranked by occurrence count — the direct measure
     * of boilerplate/duplication below document grain. */
   def cdcSharedChunks(spark: SparkSession, dir: String): DataFrame =
-    cdcChunks(spark, dir)
+    chunkRel(spark, dir)
       .groupBy("chunk_md5", "chunk_len")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))

@@ -1735,17 +1735,29 @@ object Similarity {
         "v AS cv")
       .transform(Checkpoints.cut)
     for (r <- 1 to kppRounds) {
-      val d2 = all.join(broadcast(cands))
-        .selectExpr("vec_id", "v",
+      // r13: the per-round nearest-candidate distance aggregates
+      // NARROW (vec_id, d2) rows — the old shape dragged the full
+      // vector through the group-by as first(v), a var-length agg
+      // buffer that demotes the hash aggregate and shuffles every
+      // embedding once per round. The (tiny, coin-filtered) picked
+      // set re-fetches its vectors with one broadcast join against
+      // the cached corpus instead; first(v) grouped by vec_id was the
+      // row's own v, so the fetched vectors are identical.
+      // the distance table feeds BOTH phi and the coin filter — cut it
+      // (narrow: vec_id + one long) or the corpus × candidates
+      // distance pass runs twice per round
+      val d2 = Checkpoints.cut(all.join(broadcast(cands))
+        .selectExpr("vec_id",
           s"${l2sqRange("v", "cv", 0, embeddingDims, SparkD)} AS d2")
-        .groupBy("vec_id").agg(min("d2").as("d2"), first("v").as("v"))
-        .selectExpr("vec_id", "v",
-          "CAST(round(d2 * 1e6) AS BIGINT) AS d2_micro")
+        .groupBy("vec_id").agg(min("d2").as("d2"))
+        .selectExpr("vec_id", "CAST(round(d2 * 1e6) AS BIGINT) AS d2_micro"))
       val phi = d2.agg(sum("d2_micro").as("phi"))
-      val picked = d2.join(broadcast(phi))
-        .selectExpr("vec_id", "v", "d2_micro", "phi",
+      val pickedIds = d2.join(broadcast(phi))
+        .selectExpr("vec_id", "d2_micro", "phi",
           s"${hexPrefix32(s"md5(concat(${kppStr("vec_id", SparkD)}, ':kpp$r'))")} % 1000000 AS coin")
         .filter(s"phi > 0 AND coin < ($kppOversample * d2_micro * 1000000) DIV phi")
+        .select("vec_id")
+      val picked = all.join(broadcast(pickedIds), Seq("vec_id"))
         .selectExpr(s"CAST($r AS INT) AS sel_round", "vec_id AS cand_id",
           "v AS cv")
       cands = cands.unionByName(picked).transform(Checkpoints.cutRound(_, r))
