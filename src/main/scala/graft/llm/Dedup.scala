@@ -54,9 +54,18 @@ object Dedup {
     case DuckD  => "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
   }
 
+  /** (doc_id, n_chars, fp_md5) over the normalized text — session-
+    * cached (r13): the regex normalization + md5 over every document
+    * is paid by both exactDedup and the savings ledger's exact-loser
+    * tier. Verify still measures the cold path. */
+  private def exactFp(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "exact_fp", dir) {
+      Tables.documents(spark, dir)
+        .selectExpr("doc_id", "n_chars", s"md5(${normExpr(SparkD)}) AS fp_md5")
+    }
+
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .selectExpr("doc_id", s"md5(${normExpr(SparkD)}) AS fp_md5")
+    exactFp(spark, dir)
       .groupBy("fp_md5")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
       .orderBy("fp_md5")
@@ -1217,8 +1226,8 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
     val totals = docs.agg(sum("n_chars").as("tot_chars"),
       count(lit(1)).as("tot_docs"))
-    val exactLosers = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "n_chars", s"md5(${normExpr(SparkD)}) AS fp")
+    val exactLosers = exactFp(spark, dir)
+      .selectExpr("doc_id", "n_chars", "fp_md5 AS fp")
       .withColumn("keep", expr(
         "min(doc_id) OVER (PARTITION BY fp) = doc_id"))
       .filter(!col("keep"))
