@@ -196,11 +196,15 @@ object EndToEnd {
       Orchestrator.runAndCrawlRecordedConcurrent(
         "incoming/daily_batch_2024_08.csv") {
         case Orchestrator.SalesRevenue => phase("job:SalesRevenue") {
-          val sales = SalesRevenue.run(orders, items, products)
-          Writers.processed(sales,
-            zonePath("processed_sales_transactions"), Seq("year", "month"))
-          Writers.curated(Aggregations.revenueByCategory(sales),
-            zonePath("curated_revenue_by_category"))
+          // two sinks consume the same transform — persist so the
+          // joins/derivations run once, not once per write
+          val sales = SalesRevenue.run(orders, items, products).persist()
+          try {
+            Writers.processed(sales,
+              zonePath("processed_sales_transactions"), Seq("year", "month"))
+            Writers.curated(Aggregations.revenueByCategory(sales),
+              zonePath("curated_revenue_by_category"))
+          } finally sales.unpersist(blocking = false): Unit
         }
         case Orchestrator.DeliveryPerformance => phase("job:DeliveryPerformance") {
           Writers.curated(
@@ -221,10 +225,13 @@ object EndToEnd {
         }
         case Orchestrator.InventoryReconciliation => phase("job:InventoryReconciliation") {
           val recon = InventoryReconciliation.run(invOld, invNew, products)
-          Writers.curated(Aggregations.categoryInventoryImpact(recon),
-            zonePath("curated_category_inventory_impact"))
-          Writers.curated(Aggregations.productInventoryDiscrepancies(recon),
-            zonePath("curated_product_inventory_discrepancies"))
+            .persist()
+          try {
+            Writers.curated(Aggregations.categoryInventoryImpact(recon),
+              zonePath("curated_category_inventory_impact"))
+            Writers.curated(Aggregations.productInventoryDiscrepancies(recon),
+              zonePath("curated_product_inventory_discrepancies"))
+          } finally recon.unpersist(blocking = false): Unit
         }
       } { _ =>
         // Crawler step: register every curated zone + the partitioned
@@ -315,10 +322,13 @@ object EndToEnd {
             Aggregations.campaignPerformanceSummary(MarketingRoi.run(marketing)))
         case Orchestrator.InventoryReconciliation =>
           val recon = InventoryReconciliation.run(invOld, invNew, products)
-          stageWap("curated_category_inventory_impact",
-            Aggregations.categoryInventoryImpact(recon))
-          stageWap("curated_product_inventory_discrepancies",
-            Aggregations.productInventoryDiscrepancies(recon))
+            .persist()
+          try {
+            stageWap("curated_category_inventory_impact",
+              Aggregations.categoryInventoryImpact(recon))
+            stageWap("curated_product_inventory_discrepancies",
+              Aggregations.productInventoryDiscrepancies(recon))
+          } finally recon.unpersist(blocking = false): Unit
       } { _ => () } // the catalog IS the crawler here: path-convention tables
     rels.release() // staged; the raw parses are done with
     val failed = results.filterNot(_.succeeded)
