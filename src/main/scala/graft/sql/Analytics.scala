@@ -2426,30 +2426,39 @@ object Analytics {
   def lineitemWinsorized(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "DECIMAL(38,0)"
+    // r13: everything after the first value-grain rollup runs at VALUE
+    // grain — the fact table used to be scanned three times (the
+    // rollup, a separate count(*), and the final winsorize pass).
+    // n rides the bucket-total window (sum of exact bucket counts),
+    // and the final moments weight each distinct value by its count:
+    // identical exact-integer sums, one fact scan.
     val q = graft.io.Tables.lineitem(spark, dir)
       .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) AS v")
     val vals = q.groupBy("v").agg(count(lit(1)).as("c"))
       .withColumn("bucket", expr("v DIV 100000"))
+      .transform(graft.ops.Checkpoints.cut)
     val bucketTot = vals.groupBy("bucket").agg(sum("c").as("bc"))
       .withColumn("off", coalesce(sum("bc").over(
         Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select("bucket", "off")
+      .withColumn("n", sum("bc").over(
+        Window.orderBy("bucket").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("bucket", "off", "n")
     val cum = vals.join(broadcast(bucketTot), Seq("bucket"))
       .withColumn("cum", col("off") + sum("c").over(
         Window.partitionBy("bucket").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, 0)))
-    val n = q.agg(count(lit(1)).as("n"))
-    val thresholds = cum.join(broadcast(n))
+    val thresholds = cum
       .agg(
         min(expr("CASE WHEN cum >= (n + 99) DIV 100 THEN v END")).as("lo"),
         min(expr("CASE WHEN cum >= (99 * n + 99) DIV 100 THEN v END")).as("hi"))
-    q.join(broadcast(thresholds))
-      .selectExpr("v", "least(greatest(v, lo), hi) AS w", "lo", "hi")
+    vals.join(broadcast(thresholds))
+      .selectExpr("v", "c", "least(greatest(v, lo), hi) AS w", "lo", "hi")
       .groupBy("lo", "hi")
-      .agg(count(lit(1)).as("n"),
-        sum("v").as("sv"), sum("w").as("sw"),
-        expr(s"sum(CAST(w AS $dec) * w)").as("ssw"))
+      .agg(sum("c").as("n"),
+        sum(expr("v * c")).as("sv"), sum(expr("w * c")).as("sw"),
+        expr(s"sum(CAST(w AS $dec) * w * c)").as("ssw"))
       .selectExpr("n",
         "CAST(lo AS DOUBLE) / 100.0 AS p1",
         "CAST(hi AS DOUBLE) / 100.0 AS p99",

@@ -96,15 +96,28 @@ object EventsStream {
     * sessionization pays), then a hash agg onto the tiny type×type
     * grid; the probability is one division over the per-prev window
     * on that grid. Integer counts → exact doubles. */
+  /** (a, b, n_ab) adjacent-type transition counts — the per-user lag
+    * window plus one hash agg, session-cached (r13): typeTransitions
+    * and markovStationary compute the identical relation. Verify
+    * still measures the cold path (PlanCache off there). */
+  private def transCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache(spark, "event_trans", dir) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("a"), col("event_type").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .transform(graft.ops.Checkpoints.cut)
+    }
+
   def typeTransitions(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
-      .agg(count(lit(1)).as("n_transitions"))
+    transCounts(spark, dir)
+      .selectExpr("a AS prev_type", "b AS next_type",
+        "n_ab AS n_transitions")
       .withColumn("p_transition",
         col("n_transitions") /
           sum(col("n_transitions")).over(Window.partitionBy("prev_type"))
@@ -1107,21 +1120,19 @@ object EventsStream {
     * their mass (self-loop treatment, the absorbing-state convention). */
   def markovStationary(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val trans = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type").as("a"), col("event_type").as("b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .transform(graft.ops.Checkpoints.cut)
+    val trans = transCounts(spark, dir)
     val outTot = trans.groupBy("a").agg(sum("n_ab").as("n_a"))
     val types = Tables.events(spark, dir).select(col("event_type").as("t"))
       .distinct().transform(graft.ops.Checkpoints.cut)
     val nTypes = types.agg(count(lit(1)).as("nt"))
     var pi = types.crossJoin(broadcast(nTypes))
       .selectExpr("t", s"CAST($MR DIV nt AS BIGINT) AS m")
-    for (_ <- 1 to markovIters) {
+    // r13: 2-round cut stride (the Graph.bfsHops trade): pi is
+    // referenced twice per round (inflow + absorbing carry), so an
+    // uncut segment costs at most 4 type-grain copies over the CUT
+    // transition table while halving the materialization jobs of a
+    // 4-round fixed loop over a type-squared-bounded relation.
+    for (iter <- 1 to markovIters) {
       val moved = trans.join(broadcast(outTot), Seq("a"))
         .join(pi.withColumnRenamed("t", "a"), Seq("a"))
         .selectExpr("b AS t", "(m * n_ab) DIV n_a AS c")
@@ -1133,7 +1144,8 @@ object EventsStream {
         .join(moved.unionByName(kept).groupBy("t").agg(sum("inflow").as("m0")),
           Seq("t"), "left")
         .selectExpr("t", "CAST(coalesce(m0, 0) AS BIGINT) AS m")
-        .transform(graft.ops.Checkpoints.cut)
+      if (iter % 2 == 0 || iter == markovIters)
+        pi = pi.transform(graft.ops.Checkpoints.cut)
     }
     pi.selectExpr("t AS event_type", "m AS stationary_pico",
         "CAST(m AS DOUBLE) / 1e12 AS stationary")
