@@ -220,13 +220,24 @@ object Retrieval {
     * comparison with doc-id tie-break — no float ordering anywhere,
     * and both engines replay the identical selection path.
     *
-    * Scale shape: the candidate pool bounds everything — the
-    * candidate-candidate sim relation is pool²·|queries| rows built
-    * by one equi-join, and each greedy round is one anti-join + one
-    * (bounded) join + two map-side-combined aggs, all keyed on
-    * query_id. The argmax is a struct-min agg, never a global sort.
-    * Rounds are lineage-cut ([[graft.ops.Checkpoints]]) — the
-    * unrolled-iteration plan-growth lesson from propagateLabels. */
+    * Scale shape (r14): MMR is SEQUENTIAL per query but independent
+    * ACROSS queries, and the pool bounds per-query state at pool²
+    * integers — so the greedy distributes over queries, not over
+    * rounds. The pool relevances and the pool×pool sim relation
+    * (both built by the same codegen'd cosine expressions as before)
+    * collapse to ONE row per query (two collect_lists of BIGINT
+    * arrays), and the whole k-round selection runs inside one scalar
+    * function call on that row — integer comparisons only, identical
+    * tie-breaks, and list-order-independent (every argmax carries
+    * the full (score desc, id asc) total order, so collect_list's
+    * unspecified ordering cannot reach the result). The r13 shape
+    * ran the rounds as k−1 GLOBAL barriers (per round: anti-join +
+    * sim join + two aggs + a lineage cut) — at a million queries
+    * that is k−1 cluster-wide synchronizations of work that never
+    * crosses a query boundary; this shape is one shuffle to query
+    * grain and embarrassingly parallel across queries. MmrSpec pins
+    * the greedy trace against an independent imperative replay on
+    * the fixture. */
   def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = Similarity.vecs(spark, dir)
     val q = all.filter(col("vec_id") < nQueries)
@@ -246,32 +257,64 @@ object Retrieval {
           && col("a.vec_id") =!= col("b.vec_id"))
       .selectExpr("a.query_id AS query_id", "a.vec_id AS d1", "b.vec_id AS d2",
         s"CAST(round((${cosineWithNorms("a.v", "b.v", "a.nrm", "b.nrm", SparkD)}) * 1e9) AS BIGINT) AS sim_nano")
-      .transform(graft.ops.Checkpoints.cut)
-    // round 1: pure relevance argmax (struct-min: score desc, id asc)
-    var sel = cand.groupBy("query_id")
-      .agg(min(struct(expr("-rel_nano").as("ns"), col("vec_id").as("d"))).as("m"))
-      .selectExpr("query_id", "m.d AS vec_id", "CAST(1 AS INT) AS rank",
-        "-(7 * m.ns) AS mmr_nano")
-    for (r <- 2 to mmrK) {
-      val selIds = sel.select("query_id", "vec_id")
-      val rem = cand.join(selIds, Seq("query_id", "vec_id"), "left_anti")
-      val ms = rem
-        .join(sims.selectExpr("query_id", "d1 AS vec_id", "d2 AS s", "sim_nano"),
-          Seq("query_id", "vec_id"))
-        .join(selIds.selectExpr("query_id", "vec_id AS s"), Seq("query_id", "s"))
-        .groupBy("query_id", "vec_id", "rel_nano")
-        .agg(max("sim_nano").as("max_sim"))
-      val pick = ms
-        .selectExpr("query_id", "vec_id", "7 * rel_nano - 3 * max_sim AS score")
-        .groupBy("query_id")
-        .agg(min(struct(expr("-score").as("ns"), col("vec_id").as("d"))).as("m"))
-        .selectExpr("query_id", "m.d AS vec_id", s"CAST($r AS INT) AS rank",
-          "-m.ns AS mmr_nano")
-      sel = sel.unionByName(pick)
-        .transform(graft.ops.Checkpoints.cutRound(_, r))
-    }
-    sel.orderBy("query_id", "rank")
+    // one row per query: the pool as (id, rel) pairs and the pool×pool
+    // sims as (d1, d2, sim) triples — all BIGINT, so plain arrays
+    val rels = cand.groupBy("query_id")
+      .agg(collect_list(array(col("vec_id"), col("rel_nano"))).as("rl"))
+    val simArr = sims.groupBy("query_id")
+      .agg(collect_list(array(col("d1"), col("d2"), col("sim_nano"))).as("sl"))
+    rels.join(simArr, Seq("query_id"), "left")
+      .select(col("query_id"),
+        explode(mmrGreedy(col("rl"), col("sl"))).as("p"))
+      .selectExpr("query_id", "p.vec_id AS vec_id", "p.rank AS rank",
+        "p.mmr_nano AS mmr_nano")
+      .orderBy("query_id", "rank")
   }
+
+  /** One MMR pick row of [[mmrGreedy]]'s bounded output. */
+  private case class MmrPick(vec_id: Long, rank: Int, mmr_nano: Long)
+
+  /** The per-query greedy, replayed imperatively over the pool arrays
+    * — the exact integer path of the r13 relational rounds: round 1
+    * is the (rel desc, id asc) argmax at mmr = 7·rel; round r picks
+    * the remaining candidate maximizing 7·rel − 3·max_{s∈S} sim with
+    * the same (score desc, id asc) tie-break; a candidate with no sim
+    * row to any selected doc is EXCLUDED from the round (the inner
+    * join's semantics — unreachable when sims covers the full pool²),
+    * and an exhausted pool ends the selection early exactly as the
+    * relational rounds' empty join did. */
+  private val mmrGreedy =
+    udf { (rl: Seq[Seq[Long]], sl: Seq[Seq[Long]]) =>
+      val rel = rl.map(a => (a(0), a(1)))
+      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      if (sl != null) sl.foreach(a => sim((a(0), a(1))) = a(2))
+      val picks = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (rel.nonEmpty) {
+        val first = rel.minBy { case (id, rv) => (-rv, id) }
+        picks += MmrPick(first._1, 1, 7L * first._2)
+        selected += first._1
+        var r = 2
+        var exhausted = false
+        while (r <= mmrK && !exhausted) {
+          val scoredRem = rel.iterator
+            .filter { case (id, _) => !selected.contains(id) }
+            .flatMap { case (id, rv) =>
+              val ss = selected.flatMap(s => sim.get((id, s)))
+              if (ss.isEmpty) None
+              else Some((id, 7L * rv - 3L * ss.max))
+            }.toSeq
+          if (scoredRem.isEmpty) exhausted = true
+          else {
+            val best = scoredRem.minBy { case (id, sc) => (-sc, id) }
+            picks += MmrPick(best._1, r, best._2)
+            selected += best._1
+          }
+          r += 1
+        }
+      }
+      picks.toSeq
+    }
 
   /** One greedy-round CTE pair for the oracle: pick_r (argmax of the
     * integer MMR score over non-selected candidates) and sel_r

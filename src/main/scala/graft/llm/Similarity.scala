@@ -1178,15 +1178,18 @@ object Similarity {
     * vector (`smap`: a budget-sized cand_id→sim map — O(budget)
     * bytes/row at any corpus size). The pivot makes coverage a
     * per-row EXPRESSION, not state: cov(v) = max over picked p of
-    * smap[p], recomputed from the ≤k broadcast picked ids, so a
-    * greedy round is exactly ONE corpus pass — explode + map-side-
-    * combined marginal-gain agg (Σ max(sim − cov, 0)) to budget-many
-    * rows, a broadcast anti-join of the spent candidates AT THAT
-    * GRAIN, and a struct-min argmax (r12 shape joined sims⋈cov at
-    * corpus grain per round and rewrote the cov relation per round —
-    * 2 corpus-grain shuffles a round this formulation never does).
-    * Submodularity makes marginal gains non-increasing — the spec
-    * pins that as the algebraic invariant. */
+    * smap[p], recomputed from the ≤k picked ids inlined as literals
+    * (r14 — the pick state is O(k) driver rows, so no broadcast
+    * relation and no per-round lineage cut exist at all), so a
+    * greedy round is exactly ONE job: corpus pass → explode +
+    * map-side-combined marginal-gain agg (Σ max(sim − cov, 0)) to
+    * budget-many rows → struct-min argmax (r12 shape joined sims⋈cov
+    * at corpus grain per round and rewrote the cov relation per
+    * round — 2 corpus-grain shuffles a round this formulation never
+    * does). Submodularity makes marginal gains non-increasing — the
+    * spec pins that as the algebraic invariant, and
+    * CoverageGreedySpec pins the whole greedy trace against an
+    * independent in-memory reference on a fixture. */
   def coverageSelection(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val cands = all
@@ -1206,38 +1209,48 @@ object Similarity {
     // (the r12 state formulation had this implicitly via
     // greatest(cov, …) from a 0-initialized relation); 0 likewise
     // before any pick and for vectors outside a pick's sim map (the
-    // self pair)
-    val covExpr = "greatest(0L, coalesce(" +
-      "array_max(transform(picks, p -> element_at(smap, p))), 0L))"
-    def picksRow(picked: Seq[DataFrame]): DataFrame = picked
-      .map(_.select("cand_id")).reduce(_ unionByName _)
-      .agg(collect_list("cand_id").as("picks"))
-    var picked = Seq.empty[DataFrame]
+    // self pair). Picked ids appear as BIGINT LITERALS: the greedy's
+    // only cross-round state is ≤ coverK (cand_id, gain) rows, a
+    // DRIVER-BOUNDED O(k) collect at any corpus size (the
+    // multimodal-ahash ≤65-row precedent), so a round is exactly ONE
+    // job — corpus pass + 64-group map-side agg + one-row argmax —
+    // with no per-round broadcast build, no per-round lineage-cut
+    // job, and no picksRow re-union (r13 shape: 3 jobs/round). The
+    // 6 corpus passes themselves are the floor: greedy round r+1's
+    // gains depend on round r's global argmax.
+    def covExprOf(ids: Seq[Long]): String =
+      if (ids.isEmpty) "0L"
+      else "greatest(0L, coalesce(array_max(transform(array(" +
+        ids.map(_ + "L").mkString(",") + "), p -> element_at(smap, p))), 0L))"
+    var picked = Vector.empty[(Long, Long)] // (cand_id, gain_nano)
     for (r <- 1 to coverK) {
-      val withCov = if (picked.isEmpty) state.selectExpr("smap", "0L AS cov")
-        else state.crossJoin(broadcast(picksRow(picked)))
-          .selectExpr("smap", s"$covExpr AS cov")
-      val gains = withCov
+      val ids = picked.map(_._1)
+      // picked candidates' map entries drop out PRE-agg: their groups
+      // never form, which equals the r13 post-agg anti-join (groups
+      // are per cand_id) while shuffling 6 fewer groups
+      val notPicked = if (ids.isEmpty) "true"
+        else s"key NOT IN (${ids.map(_ + "L").mkString(",")})"
+      val row = state
+        .selectExpr(s"${covExprOf(ids)} AS cov", "smap")
         .select(col("cov"), explode(col("smap")))
+        .where(notPicked)
         .selectExpr("key AS cand_id", "greatest(value - cov, 0L) AS g")
         .groupBy("cand_id").agg(sum("g").as("gain"))
-      val live = if (picked.isEmpty) gains
-        else gains.join(
-          broadcast(picksRow(picked).selectExpr("explode(picks) AS cand_id")),
-          Seq("cand_id"), "left_anti")
-      val pick = live
         .agg(min(struct(expr("-gain").as("ng"), col("cand_id").as("c"))).as("m"))
-        .selectExpr("m.c AS cand_id", s"CAST($r AS INT) AS rank", "-m.ng AS gain_nano")
-        .transform(graft.ops.Checkpoints.cutRound(_, r))
-      picked :+= pick
+        .selectExpr("m.c AS cand_id", "-m.ng AS gain_nano")
+        .head()
+      picked :+= ((row.getLong(0), row.getLong(1)))
     }
-    val total = state.crossJoin(broadcast(picksRow(picked)))
-      .selectExpr(s"$covExpr AS cov")
-      .agg(sum("cov").as("total_cov_nano"))
-    picked.reduce(_ unionByName _)
-      .crossJoin(broadcast(total))
-      .selectExpr("rank", "cand_id AS vec_id", "gain_nano", "total_cov_nano")
-      .orderBy("rank")
+    // total coverage = Σ marginal gains, EXACTLY: per row the clamped
+    // coverage is ≥ 0 and new_cov = max(cov, s) = cov + max(s − cov, 0),
+    // so each round's gain aggregate IS the integer increase of
+    // Σ_v cov(v) from the empty-set 0 — no final corpus pass needed
+    val total = picked.map(_._2).sum
+    picked.zipWithIndex.map { case ((id, gain), i) =>
+      spark.range(1).selectExpr(s"CAST(${i + 1} AS INT) AS rank",
+        s"${id}L AS vec_id", s"${gain}L AS gain_nano",
+        s"${total}L AS total_cov_nano")
+    }.reduce(_ unionByName _).orderBy("rank")
   }
 
   /** One greedy-round CTE triple for the oracle (gains over

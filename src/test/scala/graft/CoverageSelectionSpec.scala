@@ -5,12 +5,14 @@ import graft.llm.Similarity
 /** Facility-location coverage selection (`Similarity.coverageSelection`)
   * replayed imperatively: the relational greedy (per round: one
   * explode + marginal-gain agg over the pivoted per-vector sim map,
-  * with coverage recomputed per row from the broadcast picked ids,
-  * then a budget-grain anti-join + struct-min argmax) must walk the
-  * textbook sequential greedy's exact path on the same nano-quantized
-  * integers. A second assertion pins the submodularity invariant —
-  * marginal gains never increase along the selection — which any
-  * bookkeeping bug in the coverage expression would break.
+  * with coverage recomputed per row from the picked ids inlined as
+  * literals — the r14 driver-bounded O(k) pick state — then a
+  * struct-min argmax collected as one row) must walk the textbook
+  * sequential greedy's exact path on the same nano-quantized
+  * integers, including the summed total coverage readout. A second
+  * assertion pins the submodularity invariant — marginal gains never
+  * increase along the selection — which any bookkeeping bug in the
+  * coverage expression would break.
   */
 class CoverageSelectionSpec extends SparkSpec {
 
@@ -59,11 +61,12 @@ class CoverageSelectionSpec extends SparkSpec {
         v -> math.max(cv, sims(best._1).getOrElse(v, 0L))
       }
     }
+    val expectedTotal = cov.values.map(c => math.max(c, 0L)).sum
     val expected = picked.zipWithIndex
-      .map { case ((c, g), i) => (i + 1, c, g) }.toSet
+      .map { case ((c, g), i) => (i + 1, c, g, expectedTotal) }.toSet
 
     val got = Similarity.coverageSelection(spark, sfTiny).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(got == expected)
 

@@ -3,13 +3,13 @@ package graft
 import graft.llm.Retrieval
 
 /** Maximal-Marginal-Relevance greedy selection (`Retrieval.mmrTopK`)
-  * replayed imperatively: the relational form (anti-join + bounded
-  * join + struct-min argmax per round) must walk the EXACT selection
-  * path of the textbook sequential greedy on the same nano-quantized
-  * integers. The replay recomputes cosines with the same
-  * left-associated 64-term dot product and HALF_UP nano rounding the
-  * engine uses, so any disagreement is a selection-logic bug, not
-  * float noise.
+  * replayed imperatively: the engine form (r14 — pool arrays
+  * collected to one row per query, the k rounds replayed inside one
+  * scalar function) must walk the EXACT selection path of the
+  * textbook sequential greedy on the same nano-quantized integers.
+  * The replay recomputes cosines with the same left-associated
+  * 64-term dot product and HALF_UP nano rounding the engine uses, so
+  * any disagreement is a selection-logic bug, not float noise.
   */
 class MmrSpec extends SparkSpec {
 
