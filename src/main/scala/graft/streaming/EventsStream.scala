@@ -1119,19 +1119,75 @@ object EventsStream {
     * window + first agg); types with no outgoing transitions keep
     * their mass (self-loop treatment, the absorbing-state convention). */
   def markovStationary(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val trans = transCounts(spark, dir)
+    // Bounded-domain dispatch (the containmentFrom pattern): the
+    // event-type domain is enum-like — when it fits 64 values the
+    // whole chain state is ≤ 64 mass cells and ≤ 64² transition
+    // counts, a DRIVER-BOUNDED collect at any event volume (the
+    // multimodal-ahash ≤65-row precedent), and the 4 power-method
+    // rounds are 4·64² integer ops better done in-process than as
+    // ~10 cluster jobs over 5-row relations (r13: 3.2 s of pure
+    // scheduling at sf0.1). An unbounded type domain keeps the
+    // distributed loop — same arithmetic, same results
+    // (MarkovStationarySpec pins both paths to one imperative
+    // replay). limit(65) keeps the probe itself O(1): 65 rows back
+    // means "too many", nothing corpus-sized ever reaches the driver.
+    val typeProbe = Tables.events(spark, dir)
+      .select(col("event_type").as("t")).distinct()
+      .limit(65).collect().map(_.getString(0))
+    if (typeProbe.length <= 64) {
+      val types = typeProbe.sorted
+      val tRows = trans.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val outTot = tRows.groupBy(_._1).map { case (a, rs) =>
+        a -> rs.map(_._3).sum }
+      var pi: Map[String, Long] =
+        if (types.isEmpty) Map.empty
+        else types.map(_ -> MR / types.length).toMap
+      for (_ <- 1 to markovIters) {
+        val inflow = scala.collection.mutable.HashMap.empty[String, Long]
+        // (m * n_ab) DIV n_a in ANSI BIGINT arithmetic: multiplyExact
+        // mirrors the engine's overflow-throws semantics exactly
+        tRows.foreach { case (a, b, nAb) =>
+          val c = Math.multiplyExact(pi(a), nAb) / outTot(a)
+          inflow(b) = inflow.getOrElse(b, 0L) + c
+        }
+        // absorbing states (no outgoing row) keep their own mass
+        pi = pi.map { case (t, m) =>
+          t -> (if (outTot.contains(t)) inflow.getOrElse(t, 0L)
+                else inflow.getOrElse(t, 0L) + m)
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("stationary_pico",
+          org.apache.spark.sql.types.LongType)))
+      val rows = types.map(t =>
+        org.apache.spark.sql.Row(t, pi.getOrElse(t, 0L)))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+        .selectExpr("event_type", "stationary_pico",
+          "CAST(stationary_pico AS DOUBLE) / 1e12 AS stationary")
+        .orderBy(desc("stationary_pico"), asc("event_type"))
+    } else markovStationaryLoop(spark, dir, trans)
+  }
+
+  /** The distributed power-method loop — the shape that survives an
+    * unbounded type domain; [[markovStationary]] dispatches here past
+    * 64 types. 2-round cut stride (the Graph.bfsHops trade): pi is
+    * referenced twice per round (inflow + absorbing carry), so an
+    * uncut segment costs at most 4 type-grain copies over the CUT
+    * transition table while halving the materialization jobs of a
+    * 4-round fixed loop over a type-squared-bounded relation. */
+  private[graft] def markovStationaryLoop(spark: SparkSession, dir: String,
+      trans: DataFrame): DataFrame = {
     val outTot = trans.groupBy("a").agg(sum("n_ab").as("n_a"))
     val types = Tables.events(spark, dir).select(col("event_type").as("t"))
       .distinct().transform(graft.ops.Checkpoints.cut)
     val nTypes = types.agg(count(lit(1)).as("nt"))
     var pi = types.crossJoin(broadcast(nTypes))
       .selectExpr("t", s"CAST($MR DIV nt AS BIGINT) AS m")
-    // r13: 2-round cut stride (the Graph.bfsHops trade): pi is
-    // referenced twice per round (inflow + absorbing carry), so an
-    // uncut segment costs at most 4 type-grain copies over the CUT
-    // transition table while halving the materialization jobs of a
-    // 4-round fixed loop over a type-squared-bounded relation.
     for (iter <- 1 to markovIters) {
       val moved = trans.join(broadcast(outTot), Seq("a"))
         .join(pi.withColumnRenamed("t", "a"), Seq("a"))
