@@ -54,25 +54,30 @@ object Analytics {
       // pass runs exactly once — while the ANALYZED plan (and with it
       // the rfm_column_lineage provenance walk, which a lineage CUT
       // would blind) is untouched. Customer-grain rows only.
+      // Gated on PlanCache (ADVICE r13): with cachePrefixes off
+      // (Verify, tests) an ungated persist would outlive this call and
+      // quietly warm later rfm-family cold-path runs.
+      def lvl(df: DataFrame): DataFrame =
+        if (graft.PlanCache.enabled(spark)) df.persist() else df
       val base = t(spark, dir, "orders")
         .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS od",
           "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
         .groupBy("o_custkey")
         .agg(max("od").as("last_order"), count(lit(1)).as("n_orders"),
           sum("price_c").as("monetary_c"))
-        .persist()
+        .transform(lvl)
       val anchored = base
         .join(broadcast(base.agg(max("last_order").as("anchor"))))
         .selectExpr("o_custkey AS custkey",
           "datediff(anchor, last_order) AS recency_days",
           "n_orders", "monetary_c")
-        .persist()
+        .transform(lvl)
       val r = Scale.withNtile(anchored, 5,
         Seq(expr("-recency_days"), expr("custkey DIV 65536")),
-        Seq(desc("recency_days"), asc("custkey")), "r_score").persist()
+        Seq(desc("recency_days"), asc("custkey")), "r_score").transform(lvl)
       val f = Scale.withNtile(r, 5,
         Seq(col("n_orders"), expr("custkey DIV 65536")),
-        Seq(asc("n_orders"), asc("custkey")), "f_score").persist()
+        Seq(asc("n_orders"), asc("custkey")), "f_score").transform(lvl)
       Scale.withNtile(f, 5,
         Seq(expr("monetary_c DIV 4194304")),
         Seq(asc("monetary_c"), asc("custkey")), "m_score")

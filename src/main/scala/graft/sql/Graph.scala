@@ -80,6 +80,14 @@ object Graph {
     // node-sized, so the checkpoint itself is trivial; at real graph
     // scale this is persist()/checkpoint every few rounds, same idea.
     val edges = tradeEdges(spark, dir).transform(graft.ops.Checkpoints.cut)
+    // No per-round cut here, unlike bfsHops/kCore's stride-2: ranks is
+    // referenced TWICE per iteration (contrib + dangling), so the plan
+    // doubles per uncut round — 2^3 is fine, 2^10 is not (ADVICE r13).
+    // The assertion stops a future iteration bump from silently
+    // reintroducing geometric plan re-expansion.
+    assert(iterations <= 3,
+      "nationPagerank unrolls 2^iterations plan copies; add a stride cut " +
+        "(see bfsHops) before raising iterations past 3")
     val nodes = t(spark, dir, "nation").selectExpr("n_nationkey AS node")
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
