@@ -487,15 +487,20 @@ object LedgerLifecycle {
     val dir =
       s"${System.getProperty("java.io.tmpdir")}/graft_ledger_cdc_${tag(sfDir)}"
     deleteRecursively(dir)
-    val docs = graft.io.Tables.documents(spark, sfDir)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "source", "text")
+    // one materialization feeds all three commits' narrow filters (the
+    // commitVolume staging-buffer pattern, r14): the text-heavy
+    // documents scan ran once per commit before
+    val docs = graft.ops.Checkpoints.cut(
+      graft.io.Tables.documents(spark, sfDir)
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "source",
+          "text", "CAST(doc_id AS BIGINT) % 3 AS b"))
     (0 until 3).foreach { b =>
       // Two files per commit, not one-per-scan-task: a daily-crawl
       // append lands as a few well-sized files; ten 100-row files per
       // commit just multiplies manifest entries, bloom sidecars and
       // CDC open() calls — measured as the gate's hypersensitivity to
       // ambient host I/O (r11 driver record 21.6 s vs 7.6 s steady).
-      docs.filter(col("doc_id") % 3 === b).coalesce(2)
+      docs.filter(col("b") === b).drop("b").coalesce(2)
         .write.format(ledger).option("path", dir)
         .mode(if (b == 0) "overwrite" else "append").save()          // v(b+1)
     }
@@ -2003,16 +2008,25 @@ object LedgerLifecycle {
       s"${System.getProperty("java.io.tmpdir")}/graft_ledger_mlog_${tag(sfDir)}"
     deleteRecursively(dir)
     val root = Paths.get(dir)
-    val all = graft.io.Tables.orders(spark, sfDir).selectExpr(
-      "CAST(o_orderkey AS BIGINT) AS okey",
-      "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c")
-    all.repartition(64).write.format(ledger).option("path", dir)
+    // one materialization feeds v1 and every append's narrow filter
+    // (the commitVolume staging-buffer pattern, r14): before this the
+    // ten appends re-scanned and re-shuffled the orders source once
+    // each — 11 source passes for one protocol exercise
+    val staged = graft.ops.Checkpoints.cut(
+      graft.io.Tables.orders(spark, sfDir).selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS okey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c",
+        "CAST(o_orderkey AS BIGINT) % 10 AS slice"))
+    staged.drop("slice").repartition(64)
+      .write.format(ledger).option("path", dir)
       .mode("overwrite").save()                                       // v1
     val fullBytes = java.nio.file.Files.size(root.resolve("_MANIFEST"))
     (0 until 10).foreach { i =>                                       // v2..v11
-      all.where(s"okey % 10 = $i")
+      // coalesce, not repartition: the append is one file either way,
+      // and the narrow read of the staged buffer skips a shuffle
+      staged.where(s"slice = $i")
         .selectExpr(s"okey + ${(i + 1) * 1000000000L} AS okey", "price_c")
-        .repartition(1)
+        .coalesce(1)
         .write.format(ledger).option("path", dir).mode("append").save()
     }
     val logBytes = (2 to 11).map(v =>
