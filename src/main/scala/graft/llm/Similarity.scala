@@ -1192,16 +1192,32 @@ object Similarity {
     * independent in-memory reference on a fixture. */
   def coverageSelection(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val cands = all
+    // r14: the candidate set is budget-bounded BY DEFINITION, so
+    // collect the 64 candidate vectors (TakeOrdered, driver-bounded at
+    // any corpus size) and inline them as CONSTANT array literals in
+    // the smap projection. The r13 shape built smap via a broadcast
+    // join + corpus-grain groupBy(collect_list) — a full corpus
+    // SHUFFLE; this one is a single narrow map pass straight into the
+    // checkpoint (guide §2.4: remove shuffles outright). Doubles
+    // round-trip exactly through Double.toString → CAST(str AS DOUBLE)
+    // (both are shortest-repr parse), and the per-pair arithmetic text
+    // is unchanged (graft_dot(v, cv) / (nrm * cnrm) — same sequential
+    // fold), so every sim_nano is bit-identical to the join form.
+    val candRows = all
       .selectExpr("vec_id", "v", "nrm", s"$coverHkey AS hkey")
       .orderBy("hkey", "vec_id").limit(coverBudget)
-      .selectExpr("vec_id AS cand_id", "v AS cv", "nrm AS cnrm")
-    val state = all.join(broadcast(cands), col("vec_id") =!= col("cand_id"))
-      .selectExpr("vec_id", "cand_id",
-        s"CAST(round((${cosineWithNorms("v", "cv", "nrm", "cnrm", SparkD)}) * 1e9) AS BIGINT) AS sim_nano")
-      .groupBy("vec_id")
-      .agg(map_from_entries(
-        collect_list(struct(col("cand_id"), col("sim_nano")))).as("smap"))
+      .selectExpr("vec_id", "v", "nrm")
+      .collect()
+    def dlit(x: Double): String = s"CAST('$x' AS DOUBLE)"
+    val entries = candRows.map { r =>
+      val cv = r.getSeq[Double](1).map(dlit).mkString("array(", ",", ")")
+      s"named_struct('key', ${r.getLong(0)}L, 'value', " +
+        s"CAST(round((${cosineWithNorms("v", cv, "nrm", dlit(r.getDouble(2)), SparkD)}) * 1e9) AS BIGINT))"
+    }.mkString("array(", ",", ")")
+    // the self pair stays excluded (the join form's vec_id <> cand_id)
+    val state = all
+      .selectExpr("vec_id",
+        s"map_from_entries(filter($entries, e -> e.key != vec_id)) AS smap")
       .transform(graft.ops.Checkpoints.cut)
     // max over picked of this row's sim to the pick, CLAMPED AT 0 —
     // coverage starts at 0 (the empty-set baseline), so an all-
@@ -1209,37 +1225,44 @@ object Similarity {
     // (the r12 state formulation had this implicitly via
     // greatest(cov, …) from a 0-initialized relation); 0 likewise
     // before any pick and for vectors outside a pick's sim map (the
-    // self pair). Picked ids appear as BIGINT LITERALS: the greedy's
-    // only cross-round state is ≤ coverK (cand_id, gain) rows, a
-    // DRIVER-BOUNDED O(k) collect at any corpus size (the
-    // multimodal-ahash ≤65-row precedent), so a round is exactly ONE
-    // job — corpus pass + 64-group map-side agg + one-row argmax —
-    // with no per-round broadcast build, no per-round lineage-cut
-    // job, and no picksRow re-union (r13 shape: 3 jobs/round). The
-    // 6 corpus passes themselves are the floor: greedy round r+1's
-    // gains depend on round r's global argmax.
+    // self pair). The greedy's only cross-round state is ≤ coverK
+    // (cand_id, gain) rows, a DRIVER-BOUNDED O(k) collect at any
+    // corpus size (the multimodal-ahash ≤65-row precedent), so a
+    // round is exactly ONE job — corpus pass + 64-group map-side agg.
+    // The 6 corpus passes themselves are the floor: greedy round
+    // r+1's gains depend on round r's global argmax.
+    //
+    // Picked ids appear as BIGINT LITERALS (a one-row LocalRelation
+    // broadcast was tried for codegen-cache reuse across rounds and
+    // measured WORSE — the BroadcastNestedLoopJoin breaks whole-stage
+    // fusion; 3.3-3.4 s vs 2.9-3.0 s literal at sf0.1).
     def covExprOf(ids: Seq[Long]): String =
       if (ids.isEmpty) "0L"
       else "greatest(0L, coalesce(array_max(transform(array(" +
         ids.map(_ + "L").mkString(",") + "), p -> element_at(smap, p))), 0L))"
     var picked = Vector.empty[(Long, Long)] // (cand_id, gain_nano)
-    for (r <- 1 to coverK) {
+    for (_ <- 1 to coverK) {
       val ids = picked.map(_._1)
       // picked candidates' map entries drop out PRE-agg: their groups
       // never form, which equals the r13 post-agg anti-join (groups
       // are per cand_id) while shuffling 6 fewer groups
       val notPicked = if (ids.isEmpty) "true"
         else s"key NOT IN (${ids.map(_ + "L").mkString(",")})"
-      val row = state
+      // argmax over the ≤budget gain rows happens ON THE DRIVER (r14):
+      // collecting 64 rows costs the same as collecting the 1-row
+      // argmax, and it drops the struct-min re-aggregation (one fewer
+      // exchange + AQE stage per round). Tie-break identical to the
+      // min(struct(-gain, cand_id)) it replaces: gain desc, cand asc.
+      val pick = state
         .selectExpr(s"${covExprOf(ids)} AS cov", "smap")
         .select(col("cov"), explode(col("smap")))
         .where(notPicked)
         .selectExpr("key AS cand_id", "greatest(value - cov, 0L) AS g")
         .groupBy("cand_id").agg(sum("g").as("gain"))
-        .agg(min(struct(expr("-gain").as("ng"), col("cand_id").as("c"))).as("m"))
-        .selectExpr("m.c AS cand_id", "-m.ng AS gain_nano")
-        .head()
-      picked :+= ((row.getLong(0), row.getLong(1)))
+        .collect()
+        .map(row => (row.getLong(0), row.getLong(1)))
+        .minBy { case (c, g) => (-g, c) }
+      picked :+= ((pick._1, pick._2))
     }
     // total coverage = Σ marginal gains, EXACTLY: per row the clamped
     // coverage is ≥ 0 and new_cov = max(cov, s) = cov + max(s − cov, 0),
