@@ -1766,32 +1766,81 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(simhashSigs(spark, dir))
 
+  /** Group-count bound for the direct (band-free) candidate path of
+    * [[simhashPairsOf]]: ≤2^16 distinct (simhash, lang) groups keeps
+    * the all-group-pairs popcount join around 4·10⁹/2 cheap codegen'd
+    * comparisons — bounded work regardless of corpus row count (the
+    * [[graft.llm.PrefixJoin.maskedMaxMasks]] precedent). */
+  private[graft] val simhashMaxDirectGroups: Long = 1L << 16
+
   /** [[simhashPairs]] parameterized by the (doc_id, lang, simhash)
     * signature relation — the seam the viral-cluster spec drives with
-    * synthetic corpora. */
-  private[graft] def simhashPairsOf(simsIn: DataFrame): DataFrame = {
+    * synthetic corpora — and by the direct-path group bound (specs
+    * force the banded fallback with maxDirect = 0).
+    *
+    * Candidate-generator dispatch (r14): the 9-band pigeonhole split
+    * is LOSSLESS for Hamming ≤ 8, but over a 32-bit hash its bands
+    * are 3-4 bits wide, so on a DENSE simhash space the buckets stop
+    * pruning AND emit every qualifying pair once per identical band
+    * into a corpus-grain DISTINCT — measured at sf0.1: 4919 groups
+    * produced 7.07 M band-collision candidate instances for 0.92 M
+    * distinct qualifying pairs, a 7.7× duplicate-emission tax on the
+    * shuffle. When the group relation is small enough (a driver-side
+    * strategy read on the CUT groups relation, the containmentFrom
+    * pattern), the direct within-lang group-pair join — Hamming cut
+    * inside the join condition, one comparison per unordered pair,
+    * broadcast build side, zero duplicate emission, zero DISTINCT —
+    * is strictly less work than the band fan-out it replaces and
+    * keeps the banded path's exact output (the pair set equals "all
+    * within-lang pairs at Hamming ≤ 8" either way; the oracle's
+    * band-based SQL checks precisely this equivalence on every run).
+    * Past the bound the banded path remains: with groups ≫ band
+    * buckets the space is saturated and genuinely pair-bound either
+    * way, but the banded join then at least distributes bucket by
+    * bucket with the hot-bucket block decomposition. */
+  private[graft] def simhashPairsOf(simsIn: DataFrame,
+      maxDirect: Long = simhashMaxDirectGroups): DataFrame = {
     // both relations feed MULTIPLE plan branches ([[bucketSelfJoinPairs]]
     // alone scans its input 4+ times: occupancy count, cold anti, hot
     // semi, block cross) — cut them once or every branch re-runs the
     // tokenize+signature aggregation (measured: the un-cut shape more
     // than doubled the query)
-    val sims = graft.ops.Checkpoints.cut(
-      simsIn.select("doc_id", "lang", "simhash"))
+    def prof[A](n: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_E2E_PROFILE")) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SIMPHASE $n%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      } else f
+    val sims = prof("sims_cut")(graft.ops.Checkpoints.cut(
+      simsIn.select("doc_id", "lang", "simhash")))
     val stackParts = simhashBands.zipWithIndex.map { case ((off, w), i) =>
       s"$i, ${simhashBandVal("simhash", off, w, SparkD)}"
     }.mkString(", ")
-    val groups = graft.ops.Checkpoints.cut(
+    val groups = prof("groups_cut")(graft.ops.Checkpoints.cut(
       sims.groupBy("simhash", "lang").agg(
-        collect_list(col("doc_id")).as("ms")))
-    val groupBands = groups.selectExpr("simhash", "lang",
-      s"stack(${simhashBands.size}, $stackParts) AS (band_idx, band_val)")
-    val valuePairs = bucketSelfJoinPairs(
-        groupBands, Seq("band_idx", "band_val", "lang"), "simhash",
-        payload = Seq("lang"))
-      .selectExpr("doc_a AS sim_a", "doc_b AS sim_b", "lang",
-        s"CAST(bit_count(${bitXor("doc_a", "doc_b", SparkD)}) AS INTEGER) AS hamming")
-      .filter(col("hamming") <= 8)
-      .distinct()
+        collect_list(col("doc_id")).as("ms"))))
+    val valuePairs = if (groups.count() <= maxDirect) {
+      // direct path: every within-lang group pair tested exactly once,
+      // Hamming cut IN the join condition (before any row is emitted),
+      // group side broadcast — no band fan-out, no hot-bucket
+      // machinery, no DISTINCT
+      groups.selectExpr("simhash AS sim_a", "lang AS lang_a")
+        .join(broadcast(
+          groups.selectExpr("simhash AS sim_b", "lang AS lang_b")),
+          expr("lang_a = lang_b AND sim_a < sim_b AND " +
+            s"bit_count(${bitXor("sim_a", "sim_b", SparkD)}) <= 8"))
+        .selectExpr("sim_a", "sim_b", "lang_a AS lang",
+          s"CAST(bit_count(${bitXor("sim_a", "sim_b", SparkD)}) AS INTEGER) AS hamming")
+    } else {
+      val groupBands = groups.selectExpr("simhash", "lang",
+        s"stack(${simhashBands.size}, $stackParts) AS (band_idx, band_val)")
+      bucketSelfJoinPairs(
+          groupBands, Seq("band_idx", "band_val", "lang"), "simhash",
+          payload = Seq("lang"))
+        .selectExpr("doc_a AS sim_a", "doc_b AS sim_b", "lang",
+          s"CAST(bit_count(${bitXor("doc_a", "doc_b", SparkD)}) AS INTEGER) AS hamming")
+        .filter(col("hamming") <= 8)
+        .distinct()
+    }
     val expanded = valuePairs
       .join(groups.selectExpr("simhash AS sim_a", "lang", "ms AS ms_a"),
         Seq("sim_a", "lang"))

@@ -133,6 +133,16 @@ class ViralDedupSpec extends SparkSpec {
     // hamming 6 from 1000 — it must pair ONLY with 1000
     assert(got.filter(p => p._1 == 1001L || p._2 == 1001L)
       == Set((1000L, 1001L, "en", 6)))
+    // r14 dispatch pin: the banded fallback (forced with maxDirect = 0)
+    // must produce the identical pair set as the direct group-pair
+    // path the small-group regime takes (both are lossless for
+    // hamming <= 8 by the pigeonhole argument)
+    val banded = Dedup.simhashPairsOf(sims, maxDirect = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3))).toSet
+    assert(banded == naive,
+      s"banded fallback diverged: extra=${(banded -- naive).take(5)} " +
+        s"missing=${(naive -- banded).take(5)}")
   }
 
   test("bucketSelfJoinPairs: blocked hot path equals the naive self-join") {
