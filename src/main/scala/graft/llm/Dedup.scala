@@ -613,21 +613,38 @@ object Dedup {
     * the pair relation is the already-bounded band-join output, and
     * each split adds one map-side-combined aggregate over it. */
   def lshPlanner(spark: SparkSession, dir: String): DataFrame = {
+    // r14: ONE pass computes every split's aggregate. The old shape
+    // unioned 8 independent aggregates over minhashPairs — and since
+    // only the pair relation's PREFIXES (features, band candidates)
+    // are session-cached, the signature-agree + exact-Jaccard verify
+    // join re-executed once per split, 8× the real work of the query.
+    // All 8 sums and the shared count ride one map-side-combined agg
+    // (identical per-split expressions over identical rows — BIGINT
+    // sums are order-independent, so values are unchanged), and the
+    // 8-row table unfolds from the single aggregate row with the
+    // per-split constants attached.
     val base = minhashPairs(spark, dir).selectExpr("jaccard AS s")
-    plannerSplits.map { case (b, r) =>
-      base
-        .selectExpr(s"CAST(round((${pCand("s", r, b)}) * 1e9) AS BIGINT) AS p_nano")
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(sum("p_nano"), lit(0L)).as("sum_p_nano"))
-        .selectExpr(s"CAST($b AS INT) AS n_bands",
-          s"CAST($r AS INT) AS rows_per_band",
-          "CAST(n_pairs AS BIGINT) AS n_pairs", "sum_p_nano",
-          "CASE WHEN n_pairs > 0 THEN CAST(sum_p_nano AS DOUBLE) / n_pairs / 1e9 " +
-            "ELSE CAST(0 AS DOUBLE) END AS exp_recall",
-          s"${pCand("CAST(0.5 AS DOUBLE)", r, b)} AS p_at_05",
-          s"${pCand("CAST(0.8 AS DOUBLE)", r, b)} AS p_at_08",
-          s"${pCand("CAST(0.9 AS DOUBLE)", r, b)} AS p_at_09")
-    }.reduce(_ unionByName _).orderBy("rows_per_band")
+    val sums = plannerSplits.map { case (b, r) =>
+      coalesce(sum(expr(
+        s"CAST(round((${pCand("s", r, b)}) * 1e9) AS BIGINT)")), lit(0L))
+        .as(s"sp_${b}_$r")
+    }
+    val one = base.agg(count(lit(1)).as("n_pairs"), sums: _*)
+    val stackParts = plannerSplits.map { case (b, r) =>
+      s"CAST($b AS INT), CAST($r AS INT), sp_${b}_$r, " +
+        s"${pCand("CAST(0.5 AS DOUBLE)", r, b)}, " +
+        s"${pCand("CAST(0.8 AS DOUBLE)", r, b)}, " +
+        s"${pCand("CAST(0.9 AS DOUBLE)", r, b)}"
+    }.mkString(", ")
+    one.selectExpr("n_pairs",
+        s"stack(${plannerSplits.size}, $stackParts) AS " +
+          "(n_bands, rows_per_band, sum_p_nano, p_at_05, p_at_08, p_at_09)")
+      .selectExpr("n_bands", "rows_per_band",
+        "CAST(n_pairs AS BIGINT) AS n_pairs", "sum_p_nano",
+        "CASE WHEN n_pairs > 0 THEN CAST(sum_p_nano AS DOUBLE) / n_pairs / 1e9 " +
+          "ELSE CAST(0 AS DOUBLE) END AS exp_recall",
+        "p_at_05", "p_at_08", "p_at_09")
+      .orderBy("rows_per_band")
   }
 
   val lshPlannerOracle: String = {
