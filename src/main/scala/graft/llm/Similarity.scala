@@ -298,7 +298,11 @@ object Similarity {
     * bit-exact; each probe tier stays the bounded broadcast-cells
     * equi-join shape regardless of corpus size. */
   def probeSweep(spark: SparkSession, dir: String): DataFrame = {
-    val truth = cosineTopK(spark, dir).select("query_id", "vec_id")
+    // r14: cut the brute-force truth — it fed every probe tier's
+    // branch of the union, so the full corpus×queries scan + window
+    // re-executed once per tier (4×)
+    val truth = graft.ops.Checkpoints.cut(
+      cosineTopK(spark, dir).select("query_id", "vec_id"))
     probeSweepPs.map { p =>
       truth.join(
           probeTopK(spark, dir, p).withColumn("__hit", lit(1)),
@@ -509,7 +513,10 @@ object Similarity {
     * is the standard offline index-quality job: truth for a small
     * query sample via brute force, then one semi-join per tier. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val truth = cosineTopK(spark, dir).select("query_id", "vec_id")
+    // r14: cut the truth — it fed all four tiers' branches (see
+    // probeSweep); the brute-force pass now runs once, not 4×
+    val truth = graft.ops.Checkpoints.cut(
+      cosineTopK(spark, dir).select("query_id", "vec_id"))
     val tiers = Seq(
       ("ivf_probe1", ivfTopK(spark, dir)),
       ("ivf_probe2", ivfTopKMultiProbe(spark, dir)),
@@ -757,12 +764,15 @@ object Similarity {
     val q = all.filter(col("vec_id") < nQueries)
       .selectExpr("vec_id AS query_id", "v AS qv")
     val w = Window.partitionBy("query_id").orderBy(asc("l2"), asc("vec_id"))
-    val truth = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .selectExpr("query_id", "vec_id",
-        s"${l2sqRange("qv", "v", 0, embeddingDims, SparkD)} AS l2")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "vec_id")
+    // r14: cut — both PQ tiers' branches re-executed this brute-force
+    // L2 pass before
+    val truth = graft.ops.Checkpoints.cut(
+      all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .selectExpr("query_id", "vec_id",
+          s"${l2sqRange("qv", "v", 0, embeddingDims, SparkD)} AS l2")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select("query_id", "vec_id"))
     val tiers = Seq(
       ("pq_adc", pqAdcTopK(spark, dir)),
       ("ivfpq_adc", ivfPqTopK(spark, dir)))
